@@ -1,0 +1,78 @@
+"""Category A — scans / sources / sinks (SURVEY.md §2.A).
+
+This is (half of) the reference's own surface: parquet in, parquet out.
+Spark-first: the scan is declarative, so column pruning / predicate pushdown
+reach the parquet reader (asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+
+@register("scan_parquet", oracle="SELECT * FROM nation")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan. At 100 TB this is a parallel columnar read split by
+    row-group; no driver materialization."""
+    return load(spark, sf_dir, "nation")
+
+
+@register(
+    "scan_projected",
+    oracle="SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem",
+)
+def scan_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan — ReadSchema must show exactly 3 columns
+    (verified in test_plans.py): at scale this is the difference between
+    reading 3 columns and reading 16."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+
+
+@register(
+    "scan_events_ns",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ns-timestamp normalization (SURVEY §1.3): bigint ns → µs timestamp;
+    DuckDB truncates ns→µs natively so values hash-match."""
+    return load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register("sink_parquet_roundtrip")  # rows-only: side-effecting sink
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a transformed slice partitioned by l_returnflag (snappy), read
+    it back.  Partitioned layout is the 100 TB story: downstream queries with
+    a returnflag predicate prune whole directories (partition pruning).
+    Self-consistency (written == read) is asserted in pytest."""
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+    out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_parquet")
+    df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    # partition column comes back typed as read; normalize column order
+    return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register("sink_csv_roundtrip")  # rows-only: side-effecting sink
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write/read with explicit schema on the way back (header=True).
+    CSV kills type fidelity + splittable compression at scale — offered for
+    interchange parity, not the 100 TB path (parquet is)."""
+    df = load(spark, sf_dir, "region")
+    out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_csv")
+    df.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(df.schema).option("header", True).csv(out)

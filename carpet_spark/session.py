@@ -1,0 +1,57 @@
+"""SparkSession factory with the engine's scale-aware defaults.
+
+Local testing uses ``local[N]``; the same conf keys are the ones that matter
+on a 1000-executor cluster (AQE, shuffle partitions, broadcast threshold,
+Arrow batches).  SURVEY.md §4/§6.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session our queries run under
+# (including the driver's own session) via ensure_runtime_confs().
+RUNTIME_CONFS = {
+    # events.parquet is TIMESTAMP(NANOS): unreadable without this (SURVEY §1.3)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp collection — DuckDB timestamps are naive/UTC
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this session build; reads may still work
+    return spark
+
+
+def get_spark(app_name: str = "carpet_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the local session.
+
+    Scale notes: on a real cluster these builder confs move to spark-submit;
+    AQE handles partition coalescing + skew joins at runtime, shuffle
+    partitions sized ~2-3x total cores (here: small local default).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return ensure_runtime_confs(spark)

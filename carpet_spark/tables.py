@@ -1,0 +1,49 @@
+"""Table loaders — the engine's source layer (SURVEY.md §1.2/§1.3).
+
+All inputs are driver-generated parquet under ``{sf_dir}/{table}.parquet``.
+Loaders are plain ``spark.read.parquet`` so Catalyst keeps full pushdown /
+pruning freedom; the only normalization is the events ns-timestamp cast.
+
+Scale note (100 TB): a scan here is a ``LogicalRelation(ParquetFileFormat)``
+— predicate pushdown, column pruning, and partition pruning all apply
+automatically downstream; nothing is materialized driver-side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import ensure_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one table; normalize the events ns-timestamp to a real timestamp.
+
+    events.ts is parquet TIMESTAMP(NANOS) → with nanosAsLong=true it arrives
+    as bigint ns-since-epoch; ``ts div 1000`` is exact integer µs (never
+    float-divide: 1e18 ns exceeds double's 53-bit exact-integer range), and
+    DuckDB truncates ns→µs identically (SURVEY §1.3 [verified]).
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
