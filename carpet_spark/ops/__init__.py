@@ -2,3 +2,7 @@
 
 from . import scans  # noqa: F401
 from . import aggs  # noqa: F401
+from . import filters  # noqa: F401
+from . import pii  # noqa: F401
+from . import joins  # noqa: F401
+from . import sorts  # noqa: F401

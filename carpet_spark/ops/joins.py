@@ -1,0 +1,243 @@
+"""Category D — joins (SURVEY.md §2.D).
+
+Physical strategy is Catalyst's choice (broadcast-hash / sort-merge /
+shuffled-hash / broadcast-nested-loop); we shape the logical plan so the
+right one is available: dimension sides are small → AQE auto-broadcasts
+(no shuffle of the fact table on the build side); explicit
+``F.broadcast()`` marks the dims whose size Catalyst can't see through
+aggregates.  At 100 TB: fact-fact joins shuffle on the join key (sort-merge
++ AQE skew splitting); fact-dim joins must broadcast — these plans do.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..exprs import dsum, sql_dsum
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate,
+           c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer.  customer is the dim side →
+    broadcast-hash join, zero shuffle of orders."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        "c_custkey", "c_name", "c_mktsegment",
+    )
+
+
+_EARLY = "TIMESTAMP '1995-07-01 00:00:00'"
+
+
+@register(
+    "join_left",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderdate < {_EARLY}) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a filtered right side so unmatched customers emit
+    NULL order columns."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-07-01")
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_right",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_mktsegment
+    FROM (SELECT * FROM orders WHERE o_orderdate < {_EARLY}) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-07-01")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT cc.nk AS cust_nk, cc.n_cust, ss.nk AS supp_nk, ss.n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+          WHERE c_mktsegment = 'MACHINERY' GROUP BY 1) cc
+    FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+               GROUP BY 1) ss
+      ON cc.nk = ss.nk
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated sides (nations with MACHINERY
+    customers vs nations with suppliers) — both unmatched directions occur."""
+    cc = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy(F.col("c_nationkey").alias("cust_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    ss = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("supp_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cc.join(ss, cc.cust_nk == ss.supp_nk, "full").select(
+        "cust_nk", "n_cust", "supp_nk", "n_supp"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 finished order.  left_semi never duplicates the
+    left side and only ships the join key of the right side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian region×nation (125 rows).  Only sane when one side is
+    tiny — Catalyst uses BroadcastNestedLoopJoin."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_retailprice,
+           l.l_extendedprice
+    FROM lineitem l JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice BETWEEN p.p_retailprice * 0.9 AND p.p_retailprice * 1.1
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate: hash join on partkey, band as post-join
+    filter — the scalable shape (pure theta would be nested-loop)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (li.l_partkey == p.p_partkey)
+        & (li.l_extendedprice >= p.p_retailprice * 0.9)
+        & (li.l_extendedprice <= p.p_retailprice * 1.1)
+    )
+    return li.join(F.broadcast(p), cond, "inner").select(
+        "l_orderkey", "l_linenumber", "p_partkey", "p_retailprice", "l_extendedprice"
+    )
+
+
+@register(
+    "join_band",
+    oracle="""
+    SELECT s.s_suppkey, s.s_acctbal, c.c_custkey, c.c_acctbal
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 10.0 AND s.s_acctbal + 10.0
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure band (non-equi) join → BroadcastNestedLoopJoin with the small
+    supplier side broadcast.  At scale this shape demands binning the band
+    into an equi key first; kept here as the semantic baseline."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cond = (c.c_acctbal >= s.s_acctbal - 10.0) & (c.c_acctbal <= s.s_acctbal + 10.0)
+    return c.join(F.broadcast(s), cond, "inner").select(
+        "s_suppkey", "s_acctbal", "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "join_multiway",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join.  Join order: dims first (region→nation
+    filter prunes to one region before touching facts), lineitem joined to
+    the already-filtered orders.  All dim sides broadcast; the only shuffle
+    is lineitem⋈orders (largest two)."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )

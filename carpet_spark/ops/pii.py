@@ -1,0 +1,118 @@
+"""Category C — PII / data-format ops: the reference's own surface.
+
+curology/carpet is a single-file Parquet PII-removal tool (BASELINE.json:6;
+SURVEY §0 — /root/reference is empty, so parity is to the driver's binding
+description, not file:line cites).  Re-expressed Spark-first, each redaction
+is a narrow projection over a distributed scan: at 100 TB these run as
+column-level rewrites with full pushdown, no shuffle at all.
+
+PII targets per FIXTURES.md: customer.c_name (drop/hash/mask),
+customer.c_acctbal (drop/nullify/bucket).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+PII_COLS = ("c_name", "c_acctbal")
+HASH_SALT = "carpet-salt:"
+
+
+@register(
+    "pii_drop",
+    oracle="SELECT c_custkey, c_nationkey, c_mktsegment FROM customer",
+)
+def pii_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove configured PII columns entirely (schema-changing redaction) —
+    the reference's core operation.  Column pruning means the dropped
+    columns are never read from disk."""
+    return load(spark, sf_dir, "customer").drop(*PII_COLS)
+
+
+@register(
+    "pii_nullify",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NULL AS VARCHAR) AS c_name,
+           c_nationkey,
+           CAST(NULL AS DOUBLE) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def pii_nullify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-preserving redaction: keep the column, null every value."""
+    df = load(spark, sf_dir, "customer")
+    df = df.withColumn("c_name", F.lit(None).cast("string"))
+    df = df.withColumn("c_acctbal", F.lit(None).cast("double"))
+    return df
+
+
+@register(
+    "pii_hash",
+    oracle=f"""
+    SELECT c_custkey,
+           sha256('{HASH_SALT}' || c_name) AS name_token,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def pii_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irreversible salted tokenization: sha256(salt || name).  Stable
+    tokens keep joinability across tables without exposing the value.
+    Both engines emit lowercase hex (SURVEY §2.C [verified])."""
+    df = load(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.sha2(F.concat(F.lit(HASH_SALT), F.col("c_name")), 256).alias("name_token"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "pii_mask_regex",
+    oracle=r"""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+           regexp_replace(c_name || '@example.com', '[A-Za-z0-9.#]+@[A-Za-z0-9.]+',
+                          '<EMAIL>', 'g') AS contact_masked
+    FROM customer
+    """,
+)
+def pii_mask_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-based masking of digit runs and email-shaped substrings in
+    free text.  DuckDB needs the 'g' flag to match Spark's replace-all
+    semantics (SURVEY §2.C); patterns stay in the Java∩RE2 subset."""
+    df = load(spark, sf_dir, "customer")
+    email_like = F.concat(F.col("c_name"), F.lit("@example.com"))
+    return df.select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "[0-9]", "X").alias("name_masked"),
+        F.regexp_replace(email_like, r"[A-Za-z0-9.#]+@[A-Za-z0-9.]+", "<EMAIL>").alias(
+            "contact_masked"
+        ),
+    )
+
+
+@register(
+    "pii_bucket",
+    oracle="""
+    SELECT c_custkey,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_bucket,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def pii_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalize a quasi-identifier to a coarse bucket (k-anonymity-style):
+    exact balance → 1000-wide bucket index (floor handles negatives)."""
+    df = load(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("acctbal_bucket"),
+        "c_mktsegment",
+    )
