@@ -6,3 +6,5 @@ from . import filters  # noqa: F401
 from . import pii  # noqa: F401
 from . import joins  # noqa: F401
 from . import sorts  # noqa: F401
+from . import windows  # noqa: F401
+from . import functions  # noqa: F401

@@ -1,0 +1,301 @@
+"""Category H — scalar function families (SURVEY.md §2.H).
+
+One query per family, projected over a stable unique key so the driver's
+value-hash pins every value.  All expressions are JVM-side Catalyst
+expressions (whole-stage codegen; no Python in the loop).
+
+Dialect notes baked in (probed this session):
+- transcendentals (pow/exp/ln/log10) round(6) both sides — libm vs Java
+  Math can differ in the last ulp; sqrt is IEEE-correctly-rounded → raw.
+- float→int conversions via FLOOR (Spark CAST truncates, DuckDB rounds).
+- Spark ``weekday(d)+1`` ≡ DuckDB ``isodow(d)`` (SURVEY §2.H [verified]).
+- DuckDB list_distinct does NOT preserve order → sort both sides.
+- DuckDB map[key] yields a 1-element list → ``[1]`` to get the scalar.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up_name,
+           lower(c_mktsegment) AS low_seg,
+           trim(' ' || c_name || '  ') AS trimmed,
+           substring(c_name, 1, 8) AS name8,
+           concat_ws('-', c_mktsegment, c_name) AS seg_name,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+           replace(c_name, 'Customer', 'Cust') AS renamed,
+           strpos(c_name, '#') AS hash_pos,
+           string_split(c_name, '#')[1] AS name_prefix,
+           reverse(c_name) AS name_rev
+    FROM customer
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("low_seg"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("renamed"),
+        F.instr(F.col("c_name"), "#").alias("hash_pos"),
+        F.element_at(F.split("c_name", "#"), 1).alias("name_prefix"),
+        F.reverse(F.col("c_name")).alias("name_rev"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           isodow(CAST(o_orderdate AS DATE)) AS dow_iso,
+           CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS made
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.weekday(d) + 1).alias("dow_iso"),
+        F.date_add(d, 30).alias("d_plus30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+            "made"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / 7.0, 2) AS r2,
+           CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS flr,
+           CAST(CEIL(l_discount * 100.0) AS BIGINT) AS cl,
+           abs(l_extendedprice - 30000.0) AS ab,
+           round(pow(l_quantity, 2.0), 6) AS pw,
+           sqrt(l_extendedprice) AS sq,
+           round(exp(l_discount), 6) AS ex,
+           round(ln(l_extendedprice), 6) AS l1,
+           round(log10(l_extendedprice), 6) AS l10,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+           l_orderkey % 7 AS pm,
+           greatest(l_quantity, l_tax * 100.0) AS gr,
+           least(l_quantity, l_tax * 100.0) AS ls
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7.0, 2).alias("r2"),
+        F.floor(F.col("l_extendedprice") / 100.0).alias("flr"),
+        F.ceil(F.col("l_discount") * 100.0).alias("cl"),
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("ab"),
+        F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("pw"),
+        F.sqrt("l_extendedprice").alias("sq"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.round(F.log("l_extendedprice"), 6).alias("l1"),
+        F.round(F.log10("l_extendedprice"), 6).alias("l10"),
+        F.signum(F.col("l_discount") - 0.05).alias("sg"),
+        F.pmod("l_orderkey", F.lit(7)).alias("pm"),
+        F.greatest(F.col("l_quantity"), F.col("l_tax") * 100.0).alias("gr"),
+        F.least(F.col("l_quantity"), F.col("l_tax") * 100.0).alias("ls"),
+    )
+
+
+@register(
+    "fn_cond",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+           nullif(o_orderpriority, '5-LOW') AS prio_nz,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS f_price
+    FROM orders
+    """,
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.nullif("o_orderpriority", F.lit("5-LOW")).alias("prio_nz"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("f_price"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS ship_d,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_s,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_str,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST('00042' AS INTEGER) AS int_from_str,
+           CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec
+    FROM lineitem
+    """,
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast chains: timestamp→string→date, double→decimal(18,4)→string
+    (both engines render the full scale, probed: '1.5000'), int↔string."""
+    li = load(spark, sf_dir, "lineitem")
+    ship_s = F.date_format("l_shipdate", "yyyy-MM-dd")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        ship_s.cast("date").alias("ship_d"),
+        ship_s.alias("ship_s"),
+        F.col("l_extendedprice").cast("decimal(18,4)").cast("string").alias("price_str"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.lit("00042").cast("int").alias("int_from_str"),
+        F.col("l_quantity").cast("decimal(18,4)").alias("qty_dec"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tok,
+           list_contains(toks, 'spark') AS has_spark,
+           list_slice(toks, 1, 3) AS first3,
+           toks[2] AS tok2,
+           list_sort(list_distinct(toks)) AS vocab,
+           flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]) AS first4
+    FROM t
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized documents.  list_distinct order is
+    engine-specific → wrapped in sort on both sides."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.element_at(toks, 2).alias("tok2"),
+        F.array_sort(F.array_distinct(toks)).alias("vocab"),
+        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias("first4"),
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id < 100)
+    SELECT doc_id,
+           unnest(range(1, len(toks) + 1)) AS pos1,
+           unnest(toks) AS tok
+    FROM t
+    """,
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (UDTF-shaped lateral): one row per token with 1-based
+    ordinality.  DuckDB zips parallel unnests (probed this session)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos1"), "tok")
+
+
+@register(
+    "fn_map",
+    oracle="""
+    WITH t AS (SELECT event_id, MAP {'u': user_id, 'e': event_id * 10} AS m
+               FROM events)
+    SELECT event_id,
+           m['u'][1] AS u_val,
+           m['e'][1] AS e_val,
+           list_sort(map_keys(m)) AS keys_sorted,
+           list_sort(map_values(m)) AS vals_sorted
+    FROM t
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build, extract, keys/values.  Outputs are projected to
+    scalars/sorted lists — map *rendering* differs between engines, element
+    semantics don't (SURVEY §7.4.5)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("u"), F.lit("e")),
+        F.array(F.col("user_id"), F.col("event_id") * 10),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "u").alias("u_val"),
+        F.element_at(m, "e").alias("e_val"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_sort(F.map_values(m)).alias("vals_sorted"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER) AS k_int,
+           CAST(props->>'$.k' AS INTEGER) * 2 AS k_doubled,
+           to_json(struct_pack(t := event_type, u := user_id)) AS packed
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extract (props is a JSON string column) + struct→JSON pack;
+    both engines emit compact JSON with insertion-ordered fields (probed)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_int"),
+        (F.from_json("props", "k INT")["k"] * 2).alias("k_doubled"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
+        ).alias("packed"),
+    )

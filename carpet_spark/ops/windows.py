@@ -1,0 +1,194 @@
+"""Category F — window functions (SURVEY.md §2.F).
+
+All windows partition by ``o_custkey`` and order by
+``o_totalprice DESC, o_orderkey`` — the unique tie-break key is mandatory
+(SURVEY §7.4.2): rank/lag/frames over ties are engine-dependent otherwise.
+
+Scale notes: a window = one shuffle on the partition key, then a
+per-partition sort.  Partition count = |custkeys| (bounded, well-spread);
+no window here is unpartitioned (an ORDER BY over the whole table would
+serialize through one task — avoided).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import register
+from ..tables import load
+
+_ORDER_SQL = "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+
+
+def _win():
+    return Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+
+
+@register(
+    "win_rank",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           RANK() OVER ({_ORDER_SQL}) AS rnk,
+           DENSE_RANK() OVER ({_ORDER_SQL}) AS drnk,
+           ROW_NUMBER() OVER ({_ORDER_SQL}) AS rn
+    FROM orders
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = _win()
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COALESCE(LAG(o_totalprice, 1) OVER ({_ORDER_SQL}), -1.0) AS prev_price,
+           COALESCE(LEAD(o_totalprice, 1) OVER ({_ORDER_SQL}), -1.0) AS next_price
+    FROM orders
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead with explicit defaults (DuckDB's default arg and Spark's
+    agree, but COALESCE keeps the NULL contract visible on both sides)."""
+    o = load(spark, sf_dir, "orders")
+    w = _win()
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.lag("o_totalprice", 1, -1.0).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1, -1.0).over(w).alias("next_price"),
+    )
+
+
+@register(
+    "win_running",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER ({_ORDER_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           COUNT(*) OVER ({_ORDER_SQL}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum/count.  The running sum goes through decimal: a frame is
+    an ordered reduction, but the driver hash compares doubles bit-wise, so
+    associativity drift inside the frame must still be impossible."""
+    o = load(spark, sf_dir, "orders")
+    w = _win().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w)
+        .cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "win_sliding_frame",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER ({_ORDER_SQL} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / COUNT(*) OVER ({_ORDER_SQL} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_avg
+    FROM orders
+    """,
+)
+def win_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average, decimal-sum/count formulated identically on
+    both sides (never the engines' own AVG — frame-internal summation order
+    would differ)."""
+    o = load(spark, sf_dir, "orders")
+    w = _win().rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS near_spend
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: sum of orders within 1000 below the current
+    price.  RANGE frames include ALL ties of the boundary value, so the
+    result is deterministic without a tie-break key."""
+    o = load(spark, sf_dir, "orders")
+    # double-typed RANGE bounds need the SQL window form (the Python
+    # Window.rangeBetween API only takes long offsets)
+    return o.selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        """CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS near_spend""",
+    )
+
+
+@register(
+    "win_ntile_pct",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           NTILE(4) OVER ({_ORDER_SQL}) AS quartile,
+           ROUND(PERCENT_RANK() OVER ({_ORDER_SQL}), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER ({_ORDER_SQL}), 6) AS cume
+    FROM orders
+    """,
+)
+def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist; the pct outputs are float ratios →
+    round(6) on both sides (SURVEY §7.4.1)."""
+    o = load(spark, sf_dir, "orders")
+    w = _win()
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           FIRST_VALUE(o_orderkey) OVER ({_ORDER_SQL}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS biggest_order,
+           LAST_VALUE(o_orderkey) OVER ({_ORDER_SQL}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS smallest_order
+    FROM orders
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last over the explicit full frame (default frame for LAST_VALUE
+    stops at CURRENT ROW — the classic trap; both sides use the full frame)."""
+    o = load(spark, sf_dir, "orders")
+    w = _win().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.first("o_orderkey").over(w).alias("biggest_order"),
+        F.last("o_orderkey").over(w).alias("smallest_order"),
+    )
