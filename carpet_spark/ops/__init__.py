@@ -8,3 +8,7 @@ from . import joins  # noqa: F401
 from . import sorts  # noqa: F401
 from . import windows  # noqa: F401
 from . import functions  # noqa: F401
+from . import aggs_advanced  # noqa: F401
+from . import llm  # noqa: F401
+from . import multimodal  # noqa: F401
+from . import ann  # noqa: F401

@@ -1,0 +1,171 @@
+"""Category E (advanced) — stats, percentiles, collections, grouping sets.
+
+Float-outputting aggregates (stddev/corr/percentile) are rounded to 6dp on
+both sides (SURVEY §7.4.1): their accumulation is order-dependent in the
+last ulps; everything money-shaped still goes through decimal.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — single-pass Welford-style merge in both
+    engines; 2-phase partial/final agg in Spark so it scales like any sum."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (Spark `percentile`, not percentile_approx) —
+    interpolation semantics verified identical to quantile_cont (SURVEY
+    §2.E).  Exact percentile buffers per-group values: fine for bounded
+    groups; at 100 TB switch to approx_percentile (sketch-mergeable)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted list + set.  collect_list order is nondeterministic
+    under parallel merge → array_sort on both sides (§7.4).  Group sizes are
+    bounded (orders per customer) so the buffered list is safe at scale."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+    )
+
+
+_GSETS_AGG = """
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+"""
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           {_GSETS_AGG}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy subtotals (flag,status) → (flag) → () with grouping()
+    markers disambiguating real NULLs from subtotal rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           {_GSETS_AGG}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n"
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_GSETS_AGG}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (the DataFrame API exposes only
+    rollup/cube; GROUPING SETS is the general form)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {_GSETS_AGG}
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event_type.  The sketch is the 100 TB
+    answer to COUNT(DISTINCT): mergeable, constant memory.  Accuracy (±5% vs
+    exact) is asserted in tests/test_property.py; Spark's HLL++ and DuckDB's
+    HLL differ by design so there is no hash oracle."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

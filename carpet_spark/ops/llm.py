@@ -1,0 +1,562 @@
+"""Category I — LLM-data-pipeline operators (SURVEY.md §2.I).
+
+Deduplication, text analysis, and similarity search over the `documents`
+and `embeddings` tables — the training-data-pipeline surface mandated by
+BASELINE.json:6 beyond the reference's own PII scope.
+
+Scale design:
+- exact dedup groups by sha256(text) (fixed-width key), never by raw text;
+- MinHash-LSH turns all-pairs O(n²) into per-bucket candidate joins;
+- SimHash bands 48-bit signatures so hamming≤3 pairs must collide
+  (pigeonhole over 4 bands);
+- brute-force cosine is explicitly the small-subset baseline; the LSH
+  variant (ops/ann.py) is the 100 TB path.
+
+Float rule: every similarity score is computed in DOUBLE on both sides
+(DuckDB's list_cosine_similarity accumulates in float32 — measured 2e-8
+error, too coarse for 6dp hashing — so oracles use explicit double lambdas).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..exprs import davg, sql_davg
+from ..registry import register
+from ..tables import load
+
+# ---------------------------------------------------------------- dedup ----
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min doc_id per distinct text.  Groups by the
+    sha256 of the text (32-byte shuffle key) instead of the text itself —
+    at 100 TB the shuffle carries digests, not documents.  The oracle
+    groups by raw text: identical result (collision-free at any realistic
+    corpus size)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def _shingles(toks):
+    """3-word shingle array (distinct) from a token array column."""
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+_MINHASH_K = 16  # 4 bands x 4 rows -> LSH threshold ~ (1/4)^(1/4) ~ 0.71
+
+
+_JACCARD_ORACLE = """
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.7
+    """
+
+
+@register("dedup_near_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (threshold 0.7, 3-word shingles)
+    — the deterministic ground truth that the MinHash op approximates.
+    All-pairs via broadcast self-join: only valid on bounded corpora slices
+    (at 100 TB use dedup_near_minhash; this op is its oracle/verifier)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs_sh = d.select("doc_id", _shingles(toks).alias("sh"))
+    a = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@register("dedup_near_minhash")  # rows-only: LSH recall is probabilistic
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidate generation + exact
+    Jaccard verification at threshold 0.7 over 3-word shingles.
+
+    Pipeline: shingle → 16 minhashes (min of seeded xxhash64 per doc, one
+    explode + one groupBy) → 4 banded signatures → bucket self-join for
+    candidates → exact-Jaccard filter.  No hash oracle by design: LSH
+    recall for 0.7 ≤ j < 1 is probabilistic (measured: catches 24/25 true
+    pairs at sf0.01), so the driver records rows-only; precision (every
+    returned pair truly ≥ threshold) and recall vs dedup_near_jaccard are
+    asserted in tests/test_property.py.  At 100 TB the bucket join touches
+    only colliding candidates, never n².
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs_sh = d.select("doc_id", _shingles(toks).alias("sh"))
+    ex = docs_sh.select("doc_id", F.explode("sh").alias("shingle"))
+    minh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"mh{j}")
+            for j in range(_MINHASH_K)
+        ]
+    )
+    band_sigs = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{4 * b + r}") for r in range(4)])
+            for b in range(_MINHASH_K // 4)
+        ]
+    )
+    bands = minh.select("doc_id", F.posexplode(band_sigs).alias("band", "sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@register("dedup_near_simhash")  # rows-only: hash family not portable to SQL
+def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 48-bit signature from token hashes, banded
+    4x12 bits so any pair with hamming distance ≤ 3 must share a band
+    (pigeonhole); exact hamming filter on candidates.
+
+    Signature build is a single groupBy with 48 conditional sums (map-side
+    combinable — no row blowup); at sf0.01 all texts are distinct so the
+    result is empty; the sf0.1 duplicate groups (hamming 0) are asserted in
+    tests/test_property.py."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright("h", b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(48)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(48)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", 12 * i).bitwiseAND(F.lit(0xFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 3)
+
+
+# -------------------------------------------------------- text analysis ----
+
+
+@register(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT tok AS word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY cnt DESC, word ASC
+    LIMIT 20
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenize → top-20 words (count desc, word asc tie-break).
+    explode + count is the canonical distributed wordcount: partial counts
+    map-side, |vocab| rows shuffled."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+          FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t))
+    SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts via an index-transform over the token array (no
+    self-join: adjacency is positional, built per-row then exploded)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("n_chars")).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "with", "for", "on")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, n_chars,
+                      string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '{_BPE_ISH}')) AS n_bpe_tokens,
+           round(CAST(n_chars AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           round(CAST(len(list_filter(toks, x -> list_contains({list(_STOPWORDS)}, x)))
+                      AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+             AS distinct_ratio
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document: token counts (whitespace and
+    BPE-ish regex), mean token length, stopword ratio, vocabulary ratio —
+    the standard cheap filters of a pretraining-data pipeline.  Pure
+    expression work: one scan, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.round(F.col("n_chars").cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / n_tok,
+            6,
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+_LANG_WORDS = {
+    "de": ("der", "die", "und", "von", "nicht"),
+    "en": ("the", "and", "of", "join", "filter"),
+    "es": ("el", "la", "los", "que", "por"),
+    "fr": ("le", "les", "et", "une", "pour"),
+}
+
+
+def _langid_sql_scores() -> str:
+    return ",\n".join(
+        f"           len(list_filter(toks, x -> list_contains({list(ws)}, x))) AS s_{lang}"
+        for lang, ws in _LANG_WORDS.items()
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+{_langid_sql_scores()}
+      FROM t
+    )
+    SELECT doc_id, s_de, s_en, s_es, s_fr,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-overlap scores per language with a
+    fixed alphabetical tie-break (deterministic argmax).  A real pipeline
+    would swap in char-n-gram profiles; the operator shape (per-row scoring
+    → argmax, no shuffle) is the same."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws]) for lang, ws in _LANG_WORDS.items()
+    }
+    scores = {
+        lang: F.size(F.filter(toks, (lambda arr: lambda x: F.array_contains(arr, x))(arr)))
+        for lang, arr in lang_arrays.items()
+    }
+    s = d.select("doc_id", *[scores[lang].alias(f"s_{lang}") for lang in _LANG_WORDS])
+    predicted = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr")), "en")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    return s.select("doc_id", "s_de", "s_en", "s_es", "s_fr",
+                    predicted.alias("predicted_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+             AS fp_prefix
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalizing document fingerprint: lower + whitespace-collapse +
+    trim, then sha256 — the join key for cross-corpus dedup at scale."""
+    d = load(spark, sf_dir, "documents")
+    normalized = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.sha2(normalized, 256)
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 16).alias("fp_prefix")
+    )
+
+
+# ---------------------------------------------------- similarity search ----
+
+# dot product of two float32 arrays in DOUBLE (products of floats are exact
+# in double; only the 64-term summation order can drift -> ~1e-14, safely
+# inside round-6)
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round({_DOT_SQL.format(a='e.embedding', b='q.qe')}
+                   / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector.
+
+    The query side is a 1-row broadcast (never collected to Python); the
+    scan side computes dot/norm with JVM higher-order functions and feeds
+    TakeOrderedAndProject — per-partition top-k, no global sort, no score
+    materialization.  This is the exact baseline; ops/ann.py holds the
+    bucketed scale path."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("embedding"), F.col("qe"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "sim_knn_brute",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6)
+             AS cos_sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                   * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) >= 0.3
+    """,
+)
+def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine ≥ 0.3 on the label=0 subset — deliberately a
+    bounded-subset op (SURVEY §7.6): brute force is quadratic and only sane
+    after a filter; the broadcast self-join keeps it shuffle-free."""
+    s = load(spark, sf_dir, "embeddings").filter(F.col("label") == 0).select(
+        "vec_id", "embedding"
+    )
+    a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+@register(
+    "multimodal_enrich",
+    oracle=f"""
+    SELECT d.doc_id, e.label, d.lang, d.n_chars,
+           len(e.embedding) AS emb_dim,
+           CAST(e.embedding[1] AS DOUBLE) AS emb0,
+           round(sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}), 6)
+             AS emb_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector by id: the multimodal-row join (text + embedding +
+    label in one row), projecting vector stats to scalars (list-typed
+    columns through the driver hash are the §7.5 risk — scalar projection
+    is the verified-safe form)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "label",
+        "lang",
+        "n_chars",
+        F.size("embedding").alias("emb_dim"),
+        F.element_at("embedding", 1).cast("double").alias("emb0"),
+        F.round(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 6).alias(
+            "emb_norm"
+        ),
+    )

