@@ -12,3 +12,5 @@ from . import aggs_advanced  # noqa: F401
 from . import llm  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import ann  # noqa: F401
+from . import streaming  # noqa: F401
+from . import udfs  # noqa: F401

@@ -12,7 +12,7 @@ aggregates.  At 100 TB: fact-fact joins shuffle on the join key (sort-merge
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import dsum, sql_dsum
 from ..registry import register
@@ -240,4 +240,76 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH sig AS (
+      SELECT user_id, ts, MAX(event_id) AS sig_id
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, s.sig_id, s.ts AS sig_ts
+    FROM events e
+    ASOF LEFT JOIN sig s ON e.user_id = s.user_id AND s.ts <= e.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's latest signup event
+    with signup.ts <= event.ts (NULL if none yet).
+
+    Spark has no native ASOF JOIN; this is the union-tag + window
+    last(ignorenulls) pattern (SURVEY §2.D): union both sides with a
+    side marker, sort per user by (ts, side, id) — right side first at
+    equal ts so <= semantics hold — and carry the last seen signup
+    forward.  ONE shuffle on user_id, no range-join blowup: the scalable
+    distributed as-of.  Right side deduped to one row per (user, ts)
+    (max event_id) so ties are deterministic — DuckDB's ASOF picks the
+    single matching row per timestamp for the same reason.
+    """
+    ev = load(spark, sf_dir, "events")
+    sig = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("sig_id"))
+    )
+    left = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("sig_id"),
+        F.lit(None).cast("timestamp").alias("sig_ts"),
+    )
+    right = sig.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_left"),
+        "sig_id",
+        F.col("ts").alias("sig_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("is_left").asc(),
+            F.coalesce("event_id", "sig_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("m_sig_id", F.last("sig_id", ignorenulls=True).over(w))
+        .withColumn("m_sig_ts", F.last("sig_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("m_sig_id").alias("sig_id"),
+            F.col("m_sig_ts").alias("sig_ts"),
+        )
     )

@@ -1,0 +1,200 @@
+"""Category J — streaming ops (SURVEY.md §2.J).
+
+Engine path: Structured Streaming (readStream → watermark → windowed agg /
+dedup → sink).  Event-time logic is deterministic, so each op also has a
+batch-equivalent formulation: the window/session assignment of a row
+depends only on its own timestamp (and its user's timeline), never on
+arrival order — that twin is what the DuckDB oracle checks.  True
+incremental semantics (late-data drops, state eviction) are exercised in
+tests/test_streaming.py with rate-limited availableNow runs.
+
+Scale notes: tumbling/sliding aggs shuffle on (window, key) — state per
+key×window is bounded and evicted by the watermark; session windows use
+SessionWindowStateStoreSaveExec with per-user state merged on gap overlap.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..exprs import dsum, sql_dsum
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event_type (batch twin of the streaming
+    agg — F.window works identically on batch DataFrames).  Epoch-aligned
+    buckets ≡ date_trunc('hour') [verified SURVEY §2.J]."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - k * (INTERVAL '15 minutes') AS wstart,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest(range(4)) AS k)
+    )
+    SELECT wstart, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 min: each event lands in exactly 4
+    epoch-aligned windows.  The oracle explodes each event into its 4
+    covering buckets (time_bucket is epoch-aligned for sub-day intervals —
+    probed: 10:37 → 10:30)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-min inactivity gap.  Engine path:
+    F.session_window (state-store merged sessions in streaming; works on
+    batch too).  Oracle: classic gaps-and-islands.  Spark's session end =
+    last event + gap [verified SURVEY §2.J]."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (ns→µs normalized), one file per
+    micro-batch capped — the file source is the deterministic stand-in for
+    Kafka here; swap `format` for kafka in production."""
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    # the file stream source requires a directory; stage the single events
+    # file behind a symlink dir (zero-copy)
+    stage = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_available_now(
+    stream_df: DataFrame, query_name: str, mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming query to completion with the availableNow trigger
+    and return the materialized memory-sink table."""
+    spark = stream_df.sparkSession
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{query_name}_{uuid.uuid4().hex}")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+@register("stream_dedup_watermark")  # rows-only: streaming-only semantics
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming run: dropDuplicatesWithinWatermark on
+    event_id with a 1-hour watermark, driven to completion via availableNow
+    into a memory sink.  On the (already-unique) events table this is an
+    identity; injected-duplicate behavior is asserted in
+    tests/test_streaming.py."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
+    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    out = _run_available_now(
+        deduped.select("event_id", "ts", "user_id", "event_type", "value"), name
+    )
+    return out
+
+
+@register("stream_late_data")  # rows-only: streaming-only semantics
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming aggregate (1h tumbling, 1h allowed lateness)
+    driven by availableNow.  With a single ordered file nothing is late, so
+    this equals the batch tumbling agg; genuinely-late drops are exercised
+    in tests/test_streaming.py with out-of-order micro-batches."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n_events")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    return _run_available_now(agg, name, mode="complete")

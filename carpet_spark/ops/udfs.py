@@ -1,0 +1,167 @@
+"""Category K — UDF / UDAF / UDTF surface (SURVEY.md §2.K).
+
+The deliberate tour of Spark's Python extension points, slowest to fastest:
+- udf_scalar: row-at-a-time Python UDF (pickled rows — the slow path, kept
+  ONLY as API parity; everything else in this engine avoids it);
+- udf_pandas: Arrow-batched vectorized scalar UDF;
+- udaf_grouped_pandas: applyInPandas grouped-map (per-group pandas frame);
+- udtf_split: Spark 4 Python UDTF (lateral 1:N).
+
+Determinism: derived means/stds are computed with exact decimal sums on
+both sides (SURVEY §7.4.1) so the float outputs round-trip the hash.
+"""
+
+from __future__ import annotations
+
+import re
+from decimal import Decimal
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DoubleType, StringType
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "udf_scalar",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower('  ' || upper(text) || '   '), '\s+', ' ', 'g'))
+             AS cleaned
+    FROM documents
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text as a classic Python UDF (lower + collapse whitespace +
+    trim) applied to a deliberately-messy synthesized input.  Row-at-a-time
+    pickling: ~10-100x slower than the builtin expression the oracle uses —
+    which is exactly the point being demonstrated."""
+
+    @F.udf(returnType=StringType())
+    def clean_text(s: str) -> str:
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    d = load(spark, sf_dir, "documents")
+    messy = F.concat(F.lit("  "), F.upper("text"), F.lit("   "))
+    return d.select("doc_id", clean_text(messy).alias("cleaned"))
+
+
+_ZSTATS_SQL = """
+      SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                   - COUNT(*) * pow(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                                    / COUNT(*), 2))
+                  / (COUNT(*) - 1)) AS sigma
+      FROM events
+"""
+
+
+@register(
+    "udf_pandas",
+    oracle=f"""
+    WITH stats AS ({_ZSTATS_SQL})
+    SELECT event_id, round((value - mu) / sigma, 6) AS zscore
+    FROM events CROSS JOIN stats
+    """,
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized z-score via pandas_udf (Arrow batches, numpy arithmetic).
+    Global mean/std are computed once by a deterministic decimal-sum
+    aggregate and broadcast-joined in — the pandas UDF itself is pure
+    per-batch arithmetic, the scalable shape for normalization at 100 TB."""
+
+    @F.pandas_udf(DoubleType())
+    def z(v: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.Series:
+        return (v - mu) / sigma
+
+    ev = load(spark, sf_dir, "events")
+    sum_dec = F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+    sumsq_dec = F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)")).cast(
+        "double"
+    )
+    n = F.count(F.lit(1))
+    stats = ev.agg(
+        (sum_dec / n).alias("mu"),
+        F.sqrt((sumsq_dec - n * F.pow(sum_dec / n, 2)) / (n - 1)).alias("sigma"),
+    )
+    return ev.crossJoin(F.broadcast(stats)).select(
+        "event_id", F.round(z("value", "mu", "sigma"), 6).alias("zscore")
+    )
+
+
+@register(
+    "udaf_grouped_pandas",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           round(value - CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                              OVER (PARTITION BY event_type) AS DOUBLE)
+                         / COUNT(*) OVER (PARTITION BY event_type), 6) AS demeaned
+    FROM events
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group demeaning via applyInPandas (grouped-map 'UDAF').  The
+    group mean is computed inside the pandas function with an EXACT Decimal
+    sum, then cast to double — bit-identical to the oracle's
+    CAST(SUM(DECIMAL) AS DOUBLE)/COUNT window (pandas' float sum would
+    drift in the last ulp and flake the hash)."""
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        dec_sum = sum((Decimal(repr(v)) for v in pdf["value"]), Decimal(0))
+        mu = float(dec_sum) / len(pdf)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "demeaned": pdf["value"] - mu,
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = ev.groupBy("event_type").applyInPandas(
+        demean, schema="event_id long, event_type string, demeaned double"
+    )
+    # round JVM-side: Spark and DuckDB round doubles identically (probed);
+    # numpy's half-even rounding would not
+    return out.select("event_id", "event_type", F.round("demeaned", 6).alias("demeaned"))
+
+
+@register(
+    "udtf_split",
+    oracle="""
+    WITH t AS (SELECT c_custkey,
+                      string_split(c_mktsegment || ',' || c_name || ',' ||
+                                   CAST(c_nationkey AS VARCHAR), ',') AS parts
+               FROM customer)
+    SELECT c_custkey,
+           unnest(parts) AS part,
+           unnest(range(1, len(parts) + 1)) AS idx
+    FROM t
+    """,
+)
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) exploding a csv-ish string into (part, idx)
+    rows via a SQL LATERAL join — the table-function extension point."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part string, idx int")
+    class SplitCsv:
+        def eval(self, s: str):
+            for i, p in enumerate(s.split(",")):
+                yield p, i + 1
+
+    spark.udtf.register("split_csv", SplitCsv)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_udtf")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.part, t.idx
+        FROM customer_udtf,
+             LATERAL split_csv(concat_ws(',', c_mktsegment, c_name,
+                                         CAST(c_nationkey AS STRING))) t
+        """
+    )
