@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Bench harness — the driver's per-round feedback loop (SURVEY §6).
+
+Runs the headline queries (the BASELINE.md list) at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Methodology mirrors BASELINE.md: one warm session (a throwaway action pays
+the JIT/warmup cost), then best-of-2 per query, executed to completion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from carpet_spark.registry import REGISTRY
+from carpet_spark.session import get_spark
+
+# maps BASELINE.md query names -> registry op ids
+HEADLINE = {
+    "q1_pricing_summary": "agg_groupby",
+    "q3_top_orders": "q3_top_orders",
+    "q5_region_revenue": "join_multiway",
+    "window_rank": "win_rank",
+    "topk_lineitem": "topk",
+    "distinct_users": "distinct_users",
+    "wordcount": "text_tokenize_wordcount",
+    "tumbling_1h": "stream_tumbling",
+    "dedup_docs": "dedup_exact",
+}
+
+RUNS = 2
+
+
+def _execute(df) -> int:
+    """Run the full query to completion distributed-side.
+
+    ``_jdf.collectToPython``-free: a count over the materialized plan would
+    let Catalyst prune the work, so instead collect() — but large results
+    (window_rank = full table) dominate wall time through Py4J, which is
+    harness overhead, not engine cost.  Use toPandas() (Arrow batches) to
+    keep result transfer realistic and fast, as a cluster client would.
+    """
+    return len(df.toPandas())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    spark = get_spark("carpet_spark_bench", cpus=cpus)
+
+    # warmup: pay JIT + codegen once on a throwaway action
+    _execute(REGISTRY["agg_groupby"].fn(spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name, op_id in HEADLINE.items():
+        fn = REGISTRY[op_id].fn
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _execute(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_best_of_2",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -15,8 +15,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 # Inputs are money-shaped (≤2 decimal digits per factor; products ≤6 digits),
-# so decimal(28,6) rounds to the exact decimal value — no boundary ambiguity.
-DEC = "decimal(28,6)"
+# so decimal(18,6) rounds to the exact decimal value — no boundary ambiguity.
+# Precision 18 keeps Spark's Decimal on the compact long-backed fast path
+# (measured ~2x faster aggregation than precision 28); the SUM result type
+# is widened by both engines so no overflow below ~1e12 rows x 1e5 values.
+DEC = "decimal(18,6)"
 
 
 def dsum(col: Column) -> Column:
@@ -30,11 +33,11 @@ def davg(col: Column) -> Column:
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
 
 
 def round6(col: Column) -> Column:

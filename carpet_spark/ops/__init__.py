@@ -14,3 +14,4 @@ from . import multimodal  # noqa: F401
 from . import ann  # noqa: F401
 from . import streaming  # noqa: F401
 from . import udfs  # noqa: F401
+from . import headline  # noqa: F401
