@@ -1,0 +1,104 @@
+"""Physical-plan assertions (SURVEY §4/§5): guard the optimizations that
+make these operators scale — pushdown, pruning, broadcast, top-k, partial
+aggregation.  A regression here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from carpet_spark.registry import REGISTRY
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_column_pruning_scan_projected(spark, sf_dir):
+    plan = explain_str(REGISTRY["scan_projected"].fn(spark, sf_dir))
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # pruned
+    assert "l_comment" not in read_schema
+
+
+def test_predicate_pushdown_filter_compound(spark, sf_dir):
+    plan = explain_str(REGISTRY["filter_compound"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters line in plan"
+    assert "[]" not in pushed[0], f"empty pushdown: {pushed[0]}"
+
+
+def test_pii_drop_never_reads_dropped_columns(spark, sf_dir):
+    plan = explain_str(REGISTRY["pii_drop"].fn(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_name" not in read_schema
+    assert "c_acctbal" not in read_schema
+
+
+def test_join_inner_broadcasts_dimension(spark, sf_dir):
+    plan = explain_str(REGISTRY["join_inner"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_multiway_broadcasts_all_dims(spark, sf_dir):
+    plan = explain_str(REGISTRY["join_multiway"].fn(spark, sf_dir))
+    # 4 dim joins broadcast (supplier/customer/nation/region); the only
+    # non-broadcast join allowed is lineitem⋈orders (fact-fact)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = explain_str(REGISTRY["topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_groupby_partial_final(spark, sf_dir):
+    plan = explain_str(REGISTRY["agg_groupby"].fn(spark, sf_dir))
+    # 2-phase hash aggregation: partial (map-side) + final after shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan  # no Python on the hot path
+
+
+def test_win_rank_single_shuffle(spark, sf_dir):
+    import re
+
+    plan = explain_str(REGISTRY["win_rank"].fn(spark, sf_dir))
+    # exactly one Exchange node (formatted mode lists each node twice:
+    # tree + detail) — one hash-partition on o_custkey
+    nodes = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(nodes) == 1, plan
+    assert "hashpartitioning(o_custkey" in plan
+    assert "Window" in plan
+
+
+def test_dedup_exact_no_text_shuffle(spark, sf_dir):
+    """The dedup shuffle key must be the sha256 digest, not the raw text."""
+    plan = explain_str(REGISTRY["dedup_exact"].fn(spark, sf_dir), mode="extended")
+    assert "sha2" in plan
+
+
+def test_sim_cosine_topk_is_topk_not_sort(spark, sf_dir):
+    plan = explain_str(REGISTRY["sim_cosine_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_flagship(spark, sf_dir):
+    # explain('codegen') reports 0 subtrees under an *unexecuted*
+    # AdaptiveSparkPlan (Spark 4 explain artifact); disable AQE just for
+    # the inspection — runtime codegen is unaffected
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain_str(REGISTRY["agg_groupby"].fn(spark, sf_dir), mode="codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan
+    n = int(plan.split("WholeStageCodegen subtrees")[0].rsplit("Found", 1)[1].strip())
+    assert n >= 2  # scan+partial-agg pipeline, post-shuffle final-agg pipeline

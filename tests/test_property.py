@@ -1,0 +1,130 @@
+"""Property tests for the approximate operators (SURVEY §5): the ops whose
+oracles are omitted (rows-only) get their quality contracts asserted here.
+"""
+
+import pytest
+
+from carpet_spark.registry import REGISTRY
+
+SF01 = "/root/testdata/sf0.1"  # the only sf with duplicate documents
+
+
+def test_minhash_precision_and_recall(spark, sf_dir):
+    """Every MinHash pair must truly have jaccard >= 0.7 (precision 1.0 by
+    construction — the op verifies exactly); recall vs the exact op >= 0.9."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_near_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert approx <= exact, f"false positives: {approx - exact}"
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_minhash_finds_all_exact_duplicates_at_sf01(spark):
+    """LSH recall is 1.0 for jaccard=1.0 pairs: the 8 duplicate-text groups
+    at sf0.1 must all be found."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.tables import load
+
+    d = load(spark, SF01, "documents")
+    dup_pairs = set()
+    groups = (
+        d.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    assert len(groups) == 8, "fixture drift: expected 8 dup groups at sf0.1"
+    for g in groups:
+        ids = sorted(g.ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                dup_pairs.add((ids[i], ids[j]))
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_near_minhash"].fn(spark, SF01).collect()
+    }
+    assert dup_pairs <= found, f"missed exact dups: {dup_pairs - found}"
+
+
+def test_simhash_finds_exact_duplicates_at_sf01(spark):
+    """Exact duplicates have identical simhash signatures -> hamming 0."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.tables import load
+
+    d = load(spark, SF01, "documents")
+    groups = (
+        d.groupBy("text").agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .collect()
+    )
+    dup_pairs = set()
+    for g in groups:
+        ids = sorted(g.ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                dup_pairs.add((ids[i], ids[j]))
+    res = REGISTRY["dedup_near_simhash"].fn(spark, SF01).collect()
+    zero = {(r.doc_a, r.doc_b) for r in res if r.hamming == 0}
+    assert dup_pairs <= zero, f"missed: {dup_pairs - zero}"
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in REGISTRY["distinct_users"].fn(spark, sf_dir).collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, f"{et}: {approx[et]} vs {n}"
+
+
+def test_ann_lsh_returns_query_first(spark, sf_dir):
+    """Single-probe SRP-LSH: the query vector is always in its own bucket,
+    so the top hit is itself with cos 1.0; all results score below it."""
+    rows = REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect()
+    assert rows, "empty ANN result"
+    assert rows[0].vec_id == 0 and rows[0].cos_sim == 1.0
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_results_subset_of_brute_force_scores(spark, sf_dir):
+    """Every ANN hit's score must equal the brute-force score for that id
+    (the approximation affects candidate coverage, never the scores)."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.ops.llm import _dot
+    from carpet_spark.tables import load
+
+    ann = {r.vec_id: r.cos_sim for r in REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    brute = {
+        r.vec_id: r.cos
+        for r in e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("qe"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .collect()
+    }
+    for vid, sim in ann.items():
+        assert brute[vid] == sim

@@ -1,0 +1,170 @@
+"""Structured Streaming semantics the batch-twin oracle can't see
+(SURVEY §5): watermark late-drops and dedup-within-watermark, driven by a
+file source with one file per micro-batch so the watermark advances
+between batches deterministically.
+"""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def _mk_dirs():
+    base = os.path.join(tempfile.gettempdir(), f"stream_test_{uuid.uuid4().hex[:8]}")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    return base, src, ckpt
+
+
+def _write_batch(spark, src: str, rows, n: int):
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    tmp = os.path.join(os.path.dirname(src), f"tmp{n}")
+    df.write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(tmp, part), os.path.join(src, f"batch{n}.parquet"))
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_dedup_within_watermark_drops_duplicates(spark):
+    base, src, ckpt = _mk_dirs()
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _write_batch(
+        spark,
+        src,
+        [(1, _ts("2024-01-01 12:00:00"), "a"), (2, _ts("2024-01-01 12:10:00"), "a")],
+        1,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: duplicate id=1 within the watermark window + one new id
+        _write_batch(
+            spark,
+            src,
+            [(1, _ts("2024-01-01 12:05:00"), "a"), (3, _ts("2024-01-01 12:20:00"), "a")],
+            2,
+        )
+        q.processAllAvailable()
+        got = {r.event_id for r in spark.table(name).collect()}
+        counts = spark.table(name).groupBy("event_id").count().collect()
+        assert got == {1, 2, 3}
+        assert all(r["count"] == 1 for r in counts), "duplicate id=1 not dropped"
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    base, src, ckpt = _mk_dirs()
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    # batch 1 advances the watermark to 14:05 - 1h = 13:05
+    _write_batch(
+        spark,
+        src,
+        [(1, _ts("2024-01-01 12:05:00"), "a"), (2, _ts("2024-01-01 14:05:00"), "a")],
+        1,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("wstart"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 11:30 is behind the 13:05 watermark -> dropped;
+        # 14:30 is on time -> 14:00 window increments to 2
+        _write_batch(
+            spark,
+            src,
+            [(3, _ts("2024-01-01 11:30:00"), "a"), (4, _ts("2024-01-01 14:30:00"), "a")],
+            2,
+        )
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        by_window = {}
+        for r in rows:  # update mode: later rows supersede earlier ones
+            by_window[r.wstart.isoformat()] = r.n
+        assert by_window.get("2024-01-01T11:00:00") is None, "late row not dropped"
+        assert by_window["2024-01-01T14:00:00"] == 2
+        assert by_window["2024-01-01T12:00:00"] == 1
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_session_window_end_semantics(spark):
+    """SURVEY §2.J probe as a regression test: session end = last event
+    ts + gap."""
+    import datetime
+
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), "a"),
+        (2, _ts("2024-01-01 00:10:00"), "a"),
+        (3, _ts("2024-01-01 01:00:00"), "a"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w.start", "w.end", "n")
+        .orderBy("start")
+        .collect()
+    )
+    assert len(out) == 2
+    assert out[0].start == _ts("2024-01-01 00:00:00")
+    assert out[0].end == _ts("2024-01-01 00:40:00")  # last event + 30 min
+    assert out[0].n == 2
+    assert out[1].start == _ts("2024-01-01 01:00:00")
+    assert out[1].end == _ts("2024-01-01 01:30:00")
+    assert out[1].n == 1
