@@ -169,3 +169,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register("agg_approx_percentile")  # rows-only: t-digest sketches differ per engine
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile sketch) — the 100 TB quantile
+    path: constant memory per group vs exact percentile's full buffer.
+    Accuracy vs the exact agg_percentile is asserted in
+    tests/test_property.py (no hash oracle: sketch internals differ from
+    DuckDB's)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
+            "p90_approx"
+        ),
+    )

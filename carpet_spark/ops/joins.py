@@ -313,3 +313,72 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_sig_ts").alias("sig_ts"),
         )
     )
+
+
+_J_INNER_PROJ_ORACLE = """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+
+
+@register("join_bucketed", oracle=_J_INNER_PROJ_ORACLE)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing: both sides written
+    bucketed by the join key (8 buckets, sorted), then joined — Spark's
+    bucketing metadata proves co-partitioning so the join plans WITHOUT an
+    Exchange on either side (asserted in test_plans.py).
+
+    This is THE fact-fact join strategy at 100 TB: pay the shuffle once at
+    write time, every subsequent join on the bucket key is local.  Result
+    is identical to the plain join, so the oracle is the plain join SQL.
+    """
+    import os
+    import tempfile
+
+    wh = os.path.join(tempfile.gettempdir(), "carpet_spark_buckets")
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_cust = f"b_orders_{tag}", f"b_customer_{tag}"
+    for tname, table, key, cols in (
+        (t_orders, "orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        (t_cust, "customer", "c_custkey", ["c_custkey", "c_mktsegment"]),
+    ):
+        if not spark.catalog.tableExists(tname):
+            (
+                load(spark, sf_dir, table)
+                .select(*cols)
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(wh, tname))
+                .mode("overwrite")
+                .saveAsTable(tname)
+            )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_mktsegment"
+    )
+
+
+@register("join_salted", oracle=_J_INNER_PROJ_ORACLE)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via key salting: the fact side appends a random
+    salt in [0,8) to its key; the dim side explodes into all 8 salted
+    copies; join on (key, salt).  Result is identical to the plain join
+    (oracle = plain SQL) but a hot key's rows now spread over 8 tasks.
+
+    AQE's skewJoin handles moderate skew automatically; salting is the
+    manual fallback for pathological keys (the task-killing 10%-of-table
+    key) and is shown here as the reusable pattern.  The salt must be
+    deterministic-per-row only for test reproducibility — pmod(hash) here,
+    rand() in production.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n_salt = 8
+    o_s = o.withColumn("salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt)))
+    c_s = c.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)]))
+    )
+    return o_s.join(
+        c_s, (o_s.o_custkey == c_s.c_custkey) & (o_s.salt == c_s.salt), "inner"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_mktsegment")

@@ -49,12 +49,19 @@ def scan_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_parquet_roundtrip")  # rows-only: side-effecting sink
+_SINK_SLICE_ORACLE = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_quantity >= 45
+    """
+
+
+@register("sink_parquet_roundtrip", oracle=_SINK_SLICE_ORACLE)
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a transformed slice partitioned by l_returnflag (snappy), read
-    it back.  Partitioned layout is the 100 TB story: downstream queries with
-    a returnflag predicate prune whole directories (partition pruning).
-    Self-consistency (written == read) is asserted in pytest."""
+    it back.  Partitioned layout is the 100 TB story: downstream queries
+    with a returnflag predicate prune whole directories.  The roundtrip is
+    an identity, so the oracle is the source filter itself — a lost or
+    mangled row anywhere in write→read fails the hash."""
     df = (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 45)
@@ -67,12 +74,34 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
-@register("sink_csv_roundtrip")  # rows-only: side-effecting sink
+@register("sink_csv_roundtrip", oracle="SELECT * FROM region")
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV write/read with explicit schema on the way back (header=True).
-    CSV kills type fidelity + splittable compression at scale — offered for
-    interchange parity, not the 100 TB path (parquet is)."""
+    """CSV write/read with explicit schema on the way back (header=True);
+    identity roundtrip hash-checked against the source.  CSV kills type
+    fidelity + splittable compression at scale — offered for interchange
+    parity, not the 100 TB path (parquet is)."""
     df = load(spark, sf_dir, "region")
     out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_csv")
     df.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(df.schema).option("header", True).csv(out)
+
+
+@register("sink_json_roundtrip", oracle="SELECT * FROM nation")
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write/read with explicit schema (identity, hash-checked).
+    Same interchange caveats as CSV; newline-delimited JSON stays splittable
+    so it parallelizes at scale, just 5-10x the bytes of parquet."""
+    df = load(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_json")
+    df.write.mode("overwrite").json(out)
+    return spark.read.schema(df.schema).json(out)
+
+
+@register("sink_orc_roundtrip", oracle="SELECT * FROM supplier")
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write/read (identity, hash-checked) — the second columnar format
+    Spark ships natively; same pushdown/pruning machinery as parquet."""
+    df = load(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_orc")
+    df.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

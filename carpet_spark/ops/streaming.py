@@ -198,3 +198,47 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"late_{uuid.uuid4().hex[:8]}"
     return _run_available_now(agg, name, mode="complete")
+
+
+@register(
+    "stream_stateful_counter",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running event counter whose GroupState survives across
+    micro-batches.  Driven to completion with availableNow; on the single
+    ordered source the final state per user equals the batch GROUP BY —
+    which is the hash oracle — while the state machinery itself (update,
+    exists, cross-batch carry) is exercised in tests/test_streaming.py.
+
+    Scale notes: state lives in the executor-local StateStore keyed by
+    user_id — memory is O(|active keys|), not O(events); this is the
+    building block for custom sessionization/CEP operators Spark lacks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = _events_stream(spark, sf_dir)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    out = _run_available_now(counted, name, mode="update")
+    # update mode re-emits a row per key per batch; keep the final count
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

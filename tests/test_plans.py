@@ -102,3 +102,18 @@ def test_whole_stage_codegen_on_flagship(spark, sf_dir):
     assert "WholeStageCodegen subtrees" in plan
     n = int(plan.split("WholeStageCodegen subtrees")[0].rsplit("Found", 1)[1].strip())
     assert n >= 2  # scan+partial-agg pipeline, post-shuffle final-agg pipeline
+
+
+def test_join_bucketed_has_no_shuffle(spark, sf_dir):
+    """The whole point of bucketing: co-located join, zero shuffle.  At
+    test scale the planner prefers broadcast (also shuffle-free); disable
+    it to prove the bucket-join path — the one that matters when BOTH
+    sides are 100 TB facts and neither can broadcast."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain_str(REGISTRY["join_bucketed"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Bucketed: true" in plan

@@ -128,3 +128,18 @@ def test_ann_results_subset_of_brute_force_scores(spark, sf_dir):
     }
     for vid, sim in ann.items():
         assert brute[vid] == sim
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    approx = {
+        r.l_returnflag: (r.p50_approx, r.p90_approx)
+        for r in REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p50_price, r.p90_price)
+        for r in REGISTRY["agg_percentile"].fn(spark, sf_dir).collect()
+    }
+    for flag, (p50, p90) in exact.items():
+        a50, a90 = approx[flag]
+        assert abs(a50 - p50) / p50 <= 0.01
+        assert abs(a90 - p90) / p90 <= 0.01

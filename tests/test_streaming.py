@@ -168,3 +168,56 @@ def test_session_window_end_semantics(spark):
     assert out[1].start == _ts("2024-01-01 01:00:00")
     assert out[1].end == _ts("2024-01-01 01:30:00")
     assert out[1].n == 1
+
+
+def test_stateful_counter_carries_state_across_batches(spark):
+    """applyInPandasWithState: the count must accumulate across
+    micro-batches, proving GroupState survives the batch boundary."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base, src, ckpt = _mk_dirs()
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    _write_batch(
+        spark,
+        src,
+        [(1, _ts("2024-01-01 10:00:00"), "u1"), (2, _ts("2024-01-01 10:01:00"), "u1")],
+        1,
+    )
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"k": [key[0]], "n": [total]})
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            count_events,
+            outputStructType="k string, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [(3, _ts("2024-01-01 10:02:00"), "u1")], 2)
+        q.processAllAvailable()
+        ns = sorted(r.n for r in spark.table(name).collect())
+        assert ns == [2, 3], f"state did not carry: {ns}"  # batch1=2, batch2=2+1
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
