@@ -15,3 +15,4 @@ from . import ann  # noqa: F401
 from . import streaming  # noqa: F401
 from . import udfs  # noqa: F401
 from . import headline  # noqa: F401
+from . import timeseries  # noqa: F401

@@ -299,3 +299,31 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
         ).alias("packed"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS b_and,
+           l_orderkey | 15 AS b_or,
+           xor(l_orderkey, l_linenumber) AS b_xor,
+           l_orderkey << 2 AS b_shl,
+           l_orderkey >> 3 AS b_shr,
+           bit_count(l_orderkey) AS b_cnt
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — and/or/xor/shifts/popcount over the key columns
+    (the primitive layer under the SimHash/banding ops in ops/llm.py)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("b_and"),
+        F.col("l_orderkey").bitwiseOR(F.lit(15)).alias("b_or"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("long")).alias("b_xor"),
+        F.shiftleft("l_orderkey", 2).alias("b_shl"),
+        F.shiftright("l_orderkey", 3).alias("b_shr"),
+        F.bit_count("l_orderkey").alias("b_cnt"),
+    )

@@ -1,0 +1,88 @@
+"""Time-series operators over the events table — hypertable-style rollups
+and gap filling (the continuous-aggregate surface of a streaming warehouse).
+
+Scale notes: gap filling generates the hour spine from the *aggregated*
+min/max (one row), never by exploding per-event; the multi-grain rollup is
+one scan + one grouping-sets aggregate instead of three passes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "ts_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour, t.event_type, COALESCE(c.n, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    """,
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type with zero-filled gaps: the
+    continuous-aggregate shape (resample + fill) used for dashboards and
+    ML feature grids.  The hour spine comes from sequence() over the global
+    min/max (a 1-row aggregate, broadcast to the join) — spine size is
+    O(hours), independent of event count."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+@register(
+    "ts_rollup_multi",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           date_part('hour', ts) AS hour_of_day,
+           grouping(date_part('hour', ts)) AS g_hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE), date_part('hour', ts))
+    """,
+)
+def ts_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain rollup: (day, hour) → (day) → (total)
+    in ONE grouping-sets pass — the batch equivalent of maintaining hourly
+    + daily + total continuous aggregates."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        "user_id",
+    )
+    return ev.rollup("day", "hour_of_day").agg(
+        F.grouping("hour_of_day").cast("int").alias("g_hour"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select("day", "hour_of_day", "g_hour", "n_events", "n_users")
