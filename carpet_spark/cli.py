@@ -1,0 +1,110 @@
+"""carpet-spark CLI — the reference's product surface, distributed.
+
+curology/carpet is a single-file Parquet PII-removal command
+(BASELINE.json:6: "Parquet PII removal ... DataFrame read/transform/write");
+this is that command on Spark: same knobs (drop / nullify / hash / mask /
+bucket per column), any input size, partitioned output.
+
+    python -m carpet_spark.cli INPUT OUTPUT \
+        --drop c_name --nullify c_acctbal \
+        --hash c_custkey --hash-salt s3cret \
+        --mask c_comment --mask-pattern '[0-9]' --mask-replacement X \
+        --bucket c_acctbal --bucket-width 1000 \
+        --partition-by c_mktsegment
+
+Scale notes: the whole pipeline is one narrow projection over a distributed
+scan — no shuffle unless --partition-by asks for a partitioned layout;
+column pruning means dropped columns are never read.
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class PIIConfig:
+    """Column-level redaction plan (the reference's config surface)."""
+
+    drop: list[str] = field(default_factory=list)
+    nullify: list[str] = field(default_factory=list)
+    hash: list[str] = field(default_factory=list)
+    hash_salt: str = ""
+    mask: list[str] = field(default_factory=list)
+    mask_pattern: str = r"[0-9]"
+    mask_replacement: str = "X"
+    bucket: list[str] = field(default_factory=list)
+    bucket_width: float = 1000.0
+
+
+def apply_pii(df: DataFrame, cfg: PIIConfig) -> DataFrame:
+    """Apply the redaction plan as a single narrow projection.
+
+    Order of operations on a column that appears in several lists:
+    drop wins; then nullify; then hash/mask/bucket transform in place.
+    """
+    for c in cfg.nullify:
+        if c in df.columns and c not in cfg.drop:
+            df = df.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
+    for c in cfg.hash:
+        if c in df.columns and c not in cfg.drop:
+            df = df.withColumn(
+                c, F.sha2(F.concat(F.lit(cfg.hash_salt), F.col(c).cast("string")), 256)
+            )
+    for c in cfg.mask:
+        if c in df.columns and c not in cfg.drop:
+            df = df.withColumn(
+                c, F.regexp_replace(F.col(c), cfg.mask_pattern, cfg.mask_replacement)
+            )
+    for c in cfg.bucket:
+        if c in df.columns and c not in cfg.drop and c not in cfg.nullify:
+            df = df.withColumn(c, F.floor(F.col(c) / cfg.bucket_width))
+    if cfg.drop:
+        df = df.drop(*[c for c in cfg.drop if c in df.columns])
+    return df
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="carpet-spark", description=__doc__)
+    p.add_argument("input", help="input parquet path/glob")
+    p.add_argument("output", help="output parquet directory")
+    p.add_argument("--drop", action="append", default=[], metavar="COL")
+    p.add_argument("--nullify", action="append", default=[], metavar="COL")
+    p.add_argument("--hash", action="append", default=[], metavar="COL")
+    p.add_argument("--hash-salt", default="")
+    p.add_argument("--mask", action="append", default=[], metavar="COL")
+    p.add_argument("--mask-pattern", default=r"[0-9]")
+    p.add_argument("--mask-replacement", default="X")
+    p.add_argument("--bucket", action="append", default=[], metavar="COL")
+    p.add_argument("--bucket-width", type=float, default=1000.0)
+    p.add_argument("--partition-by", action="append", default=[], metavar="COL")
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark("carpet_spark_cli")
+    cfg = PIIConfig(
+        drop=args.drop,
+        nullify=args.nullify,
+        hash=args.hash,
+        hash_salt=args.hash_salt,
+        mask=args.mask,
+        mask_pattern=args.mask_pattern,
+        mask_replacement=args.mask_replacement,
+        bucket=args.bucket,
+        bucket_width=args.bucket_width,
+    )
+    out = apply_pii(spark.read.parquet(args.input), cfg)
+    writer = out.write.mode("overwrite")
+    if args.partition_by:
+        writer = writer.partitionBy(*args.partition_by)
+    writer.parquet(args.output)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

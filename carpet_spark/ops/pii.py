@@ -116,3 +116,33 @@ def pii_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / 1000.0).alias("acctbal_bucket"),
         "c_mktsegment",
     )
+
+
+@register(
+    "pii_pipeline",
+    oracle=f"""
+    SELECT c_custkey,
+           sha256('{HASH_SALT}' || c_name) AS c_name,
+           c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS c_acctbal,
+           regexp_replace(c_mktsegment, '[AEIOU]', '*', 'g') AS c_mktsegment
+    FROM customer
+    """,
+)
+def pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite config-driven redaction pipeline (carpet_spark.cli's
+    apply_pii): hash + bucket + mask applied in one narrow projection —
+    exactly what the reference CLI does per file, here over a distributed
+    scan with zero shuffle."""
+    from ..cli import PIIConfig, apply_pii
+
+    cfg = PIIConfig(
+        hash=["c_name"],
+        hash_salt=HASH_SALT,
+        bucket=["c_acctbal"],
+        bucket_width=1000.0,
+        mask=["c_mktsegment"],
+        mask_pattern="[AEIOU]",
+        mask_replacement="*",
+    )
+    return apply_pii(load(spark, sf_dir, "customer"), cfg)

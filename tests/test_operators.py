@@ -136,3 +136,31 @@ def test_sink_parquet_roundtrip_self_consistent(spark):
     # partition pruning: reading one partition returns only that flag
     flags = {r.l_returnflag for r in out.select("l_returnflag").distinct().collect()}
     assert flags <= {"A", "N", "R"}
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """The reference's product surface: redact a parquet file via the CLI
+    entry point and verify every redaction on the output file."""
+    from carpet_spark import cli
+
+    out = str(tmp_path / "redacted")
+    cli.main(
+        [
+            f"{SF_SMOKE}/customer.parquet",
+            out,
+            "--drop", "c_acctbal",
+            "--hash", "c_name",
+            "--hash-salt", "s",
+            "--mask", "c_mktsegment",
+            "--mask-pattern", "[AEIOU]",
+            "--mask-replacement", "_",
+        ]
+    )
+    back = spark.read.parquet(out)
+    src = load(spark, SF_SMOKE, "customer")
+    assert "c_acctbal" not in back.columns
+    assert back.count() == src.count()
+    row = back.filter(F.col("c_custkey") == 1).collect()[0]
+    src_row = src.filter(F.col("c_custkey") == 1).collect()[0]
+    assert row.c_name == hashlib.sha256(f"s{src_row.c_name}".encode()).hexdigest()
+    assert not any(ch in "AEIOU" for ch in row.c_mktsegment)
