@@ -16,3 +16,4 @@ from . import streaming  # noqa: F401
 from . import udfs  # noqa: F401
 from . import headline  # noqa: F401
 from . import timeseries  # noqa: F401
+from . import reshape  # noqa: F401
