@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Scale probe: run the core operator shapes at 1x / 10x / 30x of sf0.1
+(synthetic seeded data in /tmp) and report wall-time scaling.
+
+The question this answers (SURVEY §7.6): do the plans scale linearly with
+data volume, i.e. no driver-side or single-task bottleneck?  Results land
+in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from carpet_spark.exprs import davg, dsum
+from carpet_spark.session import get_spark
+
+BASE = "/tmp/carpet_scale"
+
+
+def synth(spark, mult: int) -> tuple[str, str]:
+    """Seeded synthetic lineitem/orders at `mult` x sf0.1 volumes."""
+    li_path = f"{BASE}/lineitem_x{mult}"
+    o_path = f"{BASE}/orders_x{mult}"
+    n_li, n_o = 600_000 * mult, 150_000 * mult
+    if not os.path.exists(li_path):
+        (
+            spark.range(n_li)
+            .withColumn("l_orderkey", (F.col("id") % n_o).cast("long"))
+            .withColumn("l_quantity", (F.floor(F.rand(42) * 50) + 1).cast("double"))
+            .withColumn("l_extendedprice", F.round(F.rand(43) * 100000 + 900, 2))
+            .withColumn("l_discount", F.round(F.rand(44) * 0.1, 2))
+            .withColumn("l_tax", F.round(F.rand(45) * 0.08, 2))
+            .withColumn(
+                "l_returnflag",
+                F.element_at(
+                    F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                    (F.col("id") % 3 + 1).cast("int"),
+                ),
+            )
+            .drop("id")
+            .repartition(8 * mult)
+            .write.mode("overwrite")
+            .parquet(li_path)
+        )
+    if not os.path.exists(o_path):
+        (
+            spark.range(n_o)
+            .select(
+                F.col("id").alias("o_orderkey"),
+                (F.col("id") % (15_000 * mult)).alias("o_custkey"),
+                F.round(F.rand(46) * 300000, 2).alias("o_totalprice"),
+            )
+            .repartition(2 * mult)
+            .write.mode("overwrite")
+            .parquet(o_path)
+        )
+    return li_path, o_path
+
+
+def probe(spark, mult: int) -> dict[str, float]:
+    li_path, o_path = synth(spark, mult)
+    res = {}
+
+    def t(name, build):
+        best = float("inf")
+        for _ in range(2):  # best-of-2, REBUILDING the plan each run —
+            # re-executing one DataFrame object reuses its shuffle files
+            # and fakes sub-linear scaling
+            t0 = time.perf_counter()
+            build().toPandas()
+            best = min(best, time.perf_counter() - t0)
+        res[name] = round(best, 3)
+
+    def li():
+        return spark.read.parquet(li_path)
+
+    def o():
+        return spark.read.parquet(o_path)
+
+    t(
+        "agg_q1_shape",
+        lambda: li().groupBy("l_returnflag").agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+    )
+    t(
+        "join_agg_shape",
+        lambda: li().join(o(), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice")).alias("spend"))
+        .orderBy(F.col("spend").desc())
+        .limit(10),
+    )
+    t(
+        "topk_shape",
+        lambda: li()
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"))
+        .limit(100),
+    )
+    t(
+        "distinct_shape",
+        lambda: li().groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("d")
+        ),
+    )
+    return res
+
+
+def main():
+    spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    mults = tuple(int(m) for m in os.environ.get("SCALE_MULTS", "1,10,30").split(","))
+    for mult in mults:  # synth everything first so probes are write-free
+        synth(spark, mult)
+    out = {}
+    for mult in mults:
+        parts = max(8, 8 * mult // 4)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        out[f"x{mult}"] = {"shuffle_partitions": parts, **probe(spark, mult)}
+        print(json.dumps({f"x{mult}": out[f"x{mult}"]}), file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
