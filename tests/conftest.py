@@ -18,6 +18,28 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _session_hygiene():
+    """Drop accumulated memory-sink tables / cached plans between modules —
+    the long suite degrades the shared JVM otherwise (measured: a 20s test
+    took 377s at the end of a full run)."""
+    yield
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        try:
+            s.catalog.clearCache()
+            for t in s.catalog.listTables():
+                if t.isTemporary and any(
+                    t.name.startswith(p)
+                    for p in ("dedup_wm_", "late_", "stateful_", "state_")
+                ):
+                    s.catalog.dropTempView(t.name)
+        except Exception:
+            pass
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duck_connect(SF_DIR)
