@@ -17,3 +17,4 @@ from . import udfs  # noqa: F401
 from . import headline  # noqa: F401
 from . import timeseries  # noqa: F401
 from . import reshape  # noqa: F401
+from . import tpch  # noqa: F401

@@ -382,3 +382,41 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o_s.join(
         c_s, (o_s.o_custkey == c_s.c_custkey) & (o_s.salt == c_s.salt), "inner"
     ).select("o_orderkey", "o_totalprice", "c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_interval_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.ts >= p.ts - INTERVAL '1 hour'
+     AND c.ts <= p.ts
+    """,
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: each purchase matched to the same user's
+    clicks in the preceding hour — the attribution-join shape.  Equi on
+    user_id (hash join) + time band as post-join filter; the streaming twin
+    is a stream-stream join with watermarks on both sides (exercised in
+    tests/test_streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.click_ts <= p.purchase_ts),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

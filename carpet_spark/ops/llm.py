@@ -560,3 +560,97 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emb_norm"
         ),
     )
+
+
+_CLUSTER_PAIRS_SQL = """
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= 0.7
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    pairs AS ({_CLUSTER_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse near-dup PAIRS into CLUSTERS: connected components over the
+    exact-Jaccard similarity graph, each node labeled with its component's
+    min doc_id (the canonical survivor a dedup pipeline keeps).
+
+    Spark side: iterative min-label propagation — each round joins labels
+    across edges and keeps the min; converges in O(diameter) rounds (the
+    driver only compares one aggregated checksum per round, never rows).
+    This is the simple variant of the large-star/small-star CC algorithm
+    used for web-scale dedup graphs.  Oracle: recursive CTE transitive
+    closure — tractable because the oracle corpus is small; at 100 TB only
+    the Spark formulation survives.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    docs_sh = d.select("doc_id", _shingles(toks).alias("sh"))
+    a = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnsRenamed({"doc_a": "src", "doc_b": "dst"})
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(20):  # diameter bound; tiny vs corpus size
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "label").withColumnsRenamed(
+        {"node": "doc_id", "label": "cluster_rep"}
+    )

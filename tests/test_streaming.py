@@ -221,3 +221,61 @@ def test_stateful_counter_carries_state_across_batches(spark):
     finally:
         q.stop()
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream inner join with watermarks on both sides: purchases
+    matched to the same user's clicks in the preceding hour (the streaming
+    twin of the join_interval_events batch op)."""
+    base, src, ckpt = _mk_dirs()
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    rows = [
+        (1, _ts("2024-01-01 10:00:00"), "click"),
+        (2, _ts("2024-01-01 10:30:00"), "purchase"),   # matches click 1
+        (3, _ts("2024-01-01 12:00:00"), "click"),
+        (4, _ts("2024-01-01 13:30:00"), "purchase"),   # click 3 too old: no match
+    ]
+    _write_batch(spark, src, rows, 1)
+    # stream-stream joins REQUIRE an equality predicate (state is keyed by
+    # it); derive a user key as the batch op does with user_id
+    base_stream = spark.readStream.schema(SCHEMA).parquet(src)
+    clicks = (
+        base_stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            (F.col("event_id") / 10).cast("long").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        base_stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            (F.col("event_id") / 10).cast("long").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        got = {(r.purchase_id, r.click_id) for r in spark.table(name).collect()}
+        assert got == {(2, 1)}, got
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
