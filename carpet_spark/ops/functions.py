@@ -327,3 +327,32 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("l_orderkey", 3).alias("b_shr"),
         F.bit_count("l_orderkey").alias("b_cnt"),
     )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_extract(c_name, '^([A-Za-z]+)#([0-9]+)$', 2) AS id_part,
+           len(regexp_extract_all(c_name, '[0-9]')) AS n_digits,
+           regexp_matches(c_name, '0{2,}') AS has_zero_run,
+           regexp_replace(c_name, '(0+)([1-9])', '\\2', 'g') AS unpadded
+    FROM customer
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: group extraction, extract-all counting, boolean match,
+    backreference replacement — patterns kept in the Java∩RE2 subset, with
+    Spark's idx argument ≡ DuckDB's group argument."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_extract("c_name", r"^([A-Za-z]+)#([0-9]+)$", 2).alias("id_part"),
+        F.size(F.regexp_extract_all("c_name", F.lit(r"[0-9]"), F.lit(0))).alias(
+            "n_digits"
+        ),
+        F.col("c_name").rlike("0{2,}").alias("has_zero_run"),
+        F.regexp_replace("c_name", r"(0+)([1-9])", r"$2").alias("unpadded"),
+    )

@@ -654,3 +654,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("node", "label").withColumnsRenamed(
         {"node": "doc_id", "label": "cluster_rep"}
     )
+
+
+@register(
+    "dedup_near_embedding",
+    oracle=f"""
+    WITH j AS (SELECT d.doc_id, e.embedding
+               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6)
+             AS cos_sim
+    FROM j a JOIN j b ON a.doc_id < b.doc_id
+    WHERE round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                   * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) >= 0.4
+    """,
+)
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: documents whose embeddings
+    score ≥ 0.4 cosine — the semantic-dedup variant (catches paraphrases
+    that shingle Jaccard misses).  Exact all-pairs on the doc↔vector join;
+    at 100 TB the candidate set comes from sim_ann_lsh buckets instead of
+    the full cross join (same scoring expression either way)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
+    a = j.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    b = j.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        6,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("doc_a", "doc_b", "cos_sim")
+    )

@@ -146,3 +146,31 @@ def pii_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask_replacement="*",
     )
     return apply_pii(load(spark, sf_dir, "customer"), cfg)
+
+
+@register(
+    "pii_kanon_check",
+    oracle="""
+    SELECT c_nationkey, acctbal_bucket, COUNT(*) AS group_size,
+           COUNT(*) >= 5 AS k_ok
+    FROM (
+      SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_bucket
+      FROM customer
+    )
+    GROUP BY c_nationkey, acctbal_bucket
+    """,
+)
+def pii_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the generalized quasi-identifiers (nation x
+    balance bucket): group sizes + a k>=5 flag per equivalence class — the
+    verification step after pii_bucket generalization.  One groupBy, scales
+    like any aggregate."""
+    df = load(spark, sf_dir, "customer")
+    return (
+        df.select(
+            "c_nationkey", F.floor(F.col("c_acctbal") / 1000.0).alias("acctbal_bucket")
+        )
+        .groupBy("c_nationkey", "acctbal_bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("k_ok", F.col("group_size") >= 5)
+    )
