@@ -143,3 +143,29 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         a50, a90 = approx[flag]
         assert abs(a50 - p50) / p50 <= 0.01
         assert abs(a90 - p90) / p90 <= 0.01
+
+
+def test_ann_ivf_query_first_and_recall(spark, sf_dir):
+    """IVF ANN: the query is always in its own (probed) cell → top hit is
+    itself at cos 1.0; and with nprobe=4 of 16 cells the top-10 must
+    overlap the exact brute-force top-10 on ≥5 ids (measured 7+ on the
+    fixture; bound left slack for centroid ulp drift)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from carpet_spark.tables import load
+
+    rows = REGISTRY["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert rows[0].vec_id == 0 and rows[0].cos_sim == 1.0
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in e])
+    vecs = np.array([r.embedding for r in e], dtype=np.float64)
+    q = vecs[ids == 0][0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    exact_top = set(ids[np.argsort(-cos)[:10]].tolist())
+    got = {r.vec_id for r in rows}
+    assert len(got & exact_top) >= 5, f"recall too low: {got & exact_top}"
