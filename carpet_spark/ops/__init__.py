@@ -18,3 +18,4 @@ from . import headline  # noqa: F401
 from . import timeseries  # noqa: F401
 from . import reshape  # noqa: F401
 from . import tpch  # noqa: F401
+from . import mutations  # noqa: F401

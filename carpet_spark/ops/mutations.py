@@ -1,0 +1,99 @@
+"""Mutation-shaped batch operators: MERGE/upsert and CDC compaction.
+
+Spark has no in-place UPDATE; the scalable idiom is "merge as a join":
+compute the post-merge state as a full-outer join of target and source and
+rewrite the affected partitions (partition overwrite at 100 TB — only
+partitions containing matched keys are rewritten, the rest are untouched).
+Both ops here express the *result relation* declaratively so Catalyst keeps
+pushdown/broadcast freedom, and both have exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey + 10000000 AS s_key, o_custkey AS s_custkey,
+             'O' AS s_status, o_totalprice * 0.5 AS s_price
+      FROM orders WHERE o_orderkey % 1000 = 0
+      UNION ALL
+      SELECT o_orderkey AS s_key, o_custkey AS s_custkey,
+             o_orderstatus AS s_status, o_totalprice + 100.0 AS s_price
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT COALESCE(t.o_orderkey, s.s_key) AS o_orderkey,
+           COALESCE(s.s_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(s.s_status, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(s.s_price, t.o_totalprice) AS o_totalprice
+    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.s_key
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: WHEN MATCHED → update
+    (price +100 for every 7th order), WHEN NOT MATCHED → insert (new
+    half-price orders keyed above the existing range).  The post-merge
+    relation is one full-outer join with COALESCE picks — the source side
+    is small relative to the target, so it broadcasts; at 100 TB the write
+    path is dynamic partition overwrite of only the touched partitions."""
+    o = load(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("s_key"),
+        F.col("o_custkey").alias("s_custkey"),
+        F.col("o_orderstatus").alias("s_status"),
+        (F.col("o_totalprice") + 100.0).alias("s_price"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("s_key"),
+        F.col("o_custkey").alias("s_custkey"),
+        F.lit("O").alias("s_status"),
+        (F.col("o_totalprice") * 0.5).alias("s_price"),
+    )
+    src = updates.unionByName(inserts)
+    t = o.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    return t.join(src, t.o_orderkey == src.s_key, "full_outer").select(
+        F.coalesce(t.o_orderkey, F.col("s_key")).alias("o_orderkey"),
+        F.coalesce(F.col("s_custkey"), t.o_custkey).alias("o_custkey"),
+        F.coalesce(F.col("s_status"), t.o_orderstatus).alias("o_orderstatus"),
+        F.coalesce(F.col("s_price"), t.o_totalprice).alias("o_totalprice"),
+    )
+
+
+@register(
+    "cdc_compact_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) ranked
+    WHERE rn = 1
+    """,
+)
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: keep the latest event per user (change-stream →
+    current-state snapshot).  row_number over (key ORDER BY ts DESC) with a
+    unique event_id tie-break; one hash-partition shuffle on the key, which
+    at 100 TB is the same partitioning the downstream upsert join wants —
+    so the exchange is reusable.  events.ts is normalized to µs timestamps
+    by the loader (FIXTURES.md) and both engines order it identically."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
