@@ -61,6 +61,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, op_id in HEADLINE.items():
         fn = REGISTRY[op_id].fn
+        # BASELINE.md methodology: warm measurements only — the first full
+        # run of a query pays its codegen/JIT and is discarded, then
+        # best-of-RUNS.  (Whole-stage codegen compiles per plan shape, so a
+        # limit(1) session warmup alone leaves the first query cold.)
+        _execute(fn(spark, sf_dir))
         best = float("inf")
         for _ in range(RUNS):
             t0 = time.perf_counter()

