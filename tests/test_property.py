@@ -169,3 +169,30 @@ def test_ann_ivf_query_first_and_recall(spark, sf_dir):
     exact_top = set(ids[np.argsort(-cos)[:10]].tolist())
     got = {r.vec_id for r in rows}
     assert len(got & exact_top) >= 5, f"recall too low: {got & exact_top}"
+
+
+def test_lsum_matches_dsum_on_money_columns(spark, sf_dir):
+    """The fixed-point long sum (exprs.lsum) must be bit-identical to the
+    decimal path (exprs.dsum) for every money-shaped bench column while the
+    scaled accumulator is within its 9.2e12 bound — this is the contract
+    that lets the Q1 flagship use the 12x-faster path."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.exprs import dsum, lsum
+    from carpet_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    exprs = {
+        "qty": F.col("l_quantity"),
+        "price": F.col("l_extendedprice"),
+        "disc_price": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        "charge": F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax")),
+    }
+    row = li.agg(
+        *[dsum(e).alias(f"d_{k}") for k, e in exprs.items()],
+        *[lsum(e).alias(f"l_{k}") for k, e in exprs.items()],
+    ).collect()[0]
+    for k in exprs:
+        assert row[f"d_{k}"] == row[f"l_{k}"], (k, row[f"d_{k}"], row[f"l_{k}"])
