@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..exprs import dsum, sql_dsum
+from ..exprs import lsum, sql_lsum
 from ..registry import register
 from ..tables import load
 
@@ -19,7 +19,7 @@ from ..tables import load
     "q3_top_orders",
     oracle=f"""
     SELECT l.l_orderkey, o.o_orderdate,
-           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           {sql_lsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -42,7 +42,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )

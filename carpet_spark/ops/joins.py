@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import dsum, sql_dsum
+from ..exprs import dsum, lsum, sql_dsum, sql_lsum
 from ..registry import register
 from ..tables import load
 
@@ -205,7 +205,7 @@ def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle=f"""
     SELECT n.n_name,
-           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+           {sql_lsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -239,7 +239,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
