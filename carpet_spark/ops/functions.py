@@ -356,3 +356,32 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").rlike("0{2,}").alias("has_zero_run"),
         F.regexp_replace("c_name", r"(0+)([1-9])", r"$2").alias("unpadded"),
     )
+
+
+@register(
+    "fn_fuzzy",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_name, 'Customer#000000000') AS d_lit,
+           levenshtein(c_name, replace(c_name, '0', 'O')) AS d_self,
+           (levenshtein(c_name, 'Customer#000000000') <= 3) AS near_anchor
+    FROM customer
+    """,
+)
+def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein distance to a fixed anchor, to a
+    derived variant (distance = count of '0's replaced), and a banded
+    near-match flag — the building block for fuzzy joins (at scale: band by
+    length/prefix first so the quadratic distance only runs inside small
+    candidate buckets, same pattern as the LSH dedup family)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000000")).alias("d_lit"),
+        F.levenshtein(
+            "c_name", F.regexp_replace("c_name", "0", "O")
+        ).alias("d_self"),
+        (F.levenshtein("c_name", F.lit("Customer#000000000")) <= 3).alias(
+            "near_anchor"
+        ),
+    )

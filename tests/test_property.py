@@ -196,3 +196,11 @@ def test_lsum_matches_dsum_on_money_columns(spark, sf_dir):
     ).collect()[0]
     for k in exprs:
         assert row[f"d_{k}"] == row[f"l_{k}"], (k, row[f"d_{k}"], row[f"l_{k}"])
+
+    # negative values (c_acctbal has ~8% negatives): rounding must agree
+    # away-from-zero on both paths
+    c = load(spark, sf_dir, "customer")
+    neg = c.agg(
+        dsum(F.col("c_acctbal")).alias("d"), lsum(F.col("c_acctbal")).alias("l")
+    ).collect()[0]
+    assert neg["d"] == neg["l"], (neg["d"], neg["l"])
