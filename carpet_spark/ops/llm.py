@@ -694,3 +694,85 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.4)
         .select("doc_a", "doc_b", "cos_sim")
     )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS weight
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights per (document, term): smoothed idf = ln((N+1)/(df+1)).
+    Three aggregations — tf keyed on (doc, term), df on term, N global —
+    then a term-keyed join; the df side is |vocab| rows and broadcasts.
+    At 100 TB this is the canonical two-pass scheme: both tf and df are
+    map-side-combined counts, and the heavy (doc,term) relation is never
+    re-shuffled (the join key is term, delivered by broadcast)."""
+    d = load(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("weight"),
+        )
+    )
+
+
+@register(
+    "pipeline_pretrain_prep",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE lang = 'en'
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE n_tok BETWEEN 25 AND 80
+    )
+    SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_tok) AS n_tok,
+           COUNT(*) AS n_copies
+    FROM filtered
+    GROUP BY text
+    """,
+)
+def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep chain as one lazy plan: language
+    filter → quality gate (token-count band) → exact dedup keeping the
+    smallest doc_id.  Everything fuses into scan+filter before the single
+    digest-keyed shuffle (dedup_exact's pattern: sha256 shuffle key, not
+    the document body).  n_tok is constant within a text-group, so
+    ANY_VALUE/first agree across engines."""
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    scored = d.withColumn("n_tok", F.size(F.split("text", " ")))
+    filtered = scored.filter(F.col("n_tok").between(25, 80))
+    return (
+        filtered.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_tok").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_tok", "n_copies")
+    )
