@@ -776,3 +776,43 @@ def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tok", "n_copies")
     )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS dim1,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, dim1 - 1 AS dim,
+           round(CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM dims
+    GROUP BY label, dim1
+    """,
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the training step of a nearest-
+    centroid classifier / the reduce step of distributed k-means):
+    posexplode the vector to (label, dim, value) and mean per (label, dim).
+    Values are rounded to 6dp in double first (a dyadic float can never
+    sit exactly on a half at the 6th decimal, so both engines round alike),
+    then decimal-summed — direct float→decimal casts disagree between
+    engines at that boundary.  At 100 TB the explode
+    multiplies rows by dim (64) but the shuffle is map-side-combined down
+    to |labels|×dim rows."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid")
+    )
