@@ -21,7 +21,7 @@ import uuid
 from typing import Optional
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import dsum, sql_dsum
 from ..registry import register
@@ -242,3 +242,76 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_available_now(counted, name, mode="update")
     # update mode re-emits a row per key per batch; keep the final count
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "stream_cdc_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) ranked
+    WHERE rn = 1
+    """,
+)
+def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cdc_compact_latest: a per-user GroupState holding
+    the (max ts, event_id, type) seen so far, updated every micro-batch —
+    the change-stream → current-state materialized view.  availableNow
+    drives the full file source; the final state equals the batch
+    row_number()=1 snapshot, which is the oracle.  The (ts, event_id)
+    tie-break is applied inside the state update so arrival order across
+    batches never matters.
+
+    Scale notes: state is O(|keys|) in the StateStore; output in update
+    mode re-emits only changed keys per batch — exactly the delta a
+    downstream sink needs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def keep_latest(key, pdfs, state: GroupState):
+        if state.exists:
+            best_ts, best_id, best_type = state.get
+        else:
+            best_ts, best_id, best_type = -1, -1, ""
+        for pdf in pdfs:
+            for ts, eid, etype in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+            ):
+                if (ts, eid) > (best_ts, best_id):
+                    best_ts, best_id, best_type = int(ts), int(eid), str(etype)
+        state.update((best_ts, best_id, best_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [best_id],
+                "last_type": [best_type],
+                "ts_us": [best_ts],
+            }
+        )
+
+    stream = _events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    latest = stream.groupBy("user_id").applyInPandasWithState(
+        keep_latest,
+        outputStructType="user_id long, last_event_id long, last_type string, ts_us long",
+        stateStructType="ts long, eid long, etype string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"cdclatest_{uuid.uuid4().hex[:8]}"
+    out = _run_available_now(latest, name, mode="update")
+    # update mode re-emits per batch; the row with the max (ts, event_id)
+    # per user is the final state
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("last_event_id").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "last_event_id", "last_type")
+    )
