@@ -9,7 +9,7 @@ conditional aggregates (no second distinct-scan to discover columns — at
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import sql_dsum
 from ..registry import register
@@ -73,6 +73,50 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("measure", "^l_", "").alias("measure"),
         "val",
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank
+    FROM ranked
+    WHERE sample_rank <= (n_lang + 9) // 10
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10%-per-stratum sample of documents by language: rank
+    rows inside each stratum by md5(doc_id) (a uniform, engine-agnostic
+    pseudo-random order — unlike seeded RNG, identical in any engine) and
+    keep the first ceil(n/10).  The cutoff uses integer arithmetic
+    ((n+9) div 10), never 0.1*n, so no float-boundary drift (SURVEY §7.4).
+
+    This is the reproducible eval-holdout / per-language rebalancing
+    primitive of a training-data pipeline.  Scale: one window pass
+    partitioned by stratum; md5 ranking distributes uniformly so no stratum
+    ordering hotspot beyond the stratum's own size (salt-split giant strata
+    upstream if one language dominates)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(Window.partitionBy("lang").orderBy(*order))
+        .cast("long")
+        .alias("sample_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return ranked.filter(
+        F.col("sample_rank") <= F.expr("(n_lang + 9) div 10")
+    ).select("doc_id", "lang", "sample_rank")
 
 
 @register("sample_seeded")  # rows-only: RNG streams differ across engines

@@ -61,6 +61,48 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_ohlc",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event_type — the classic
+    time-series downsampling shape.  open/close use ``min_by``/``max_by``
+    over a (ts, event_id) struct so ties on ts break deterministically on
+    the unique event_id (SURVEY §7.4 rule 2); values are raw doubles (no
+    arithmetic → bit-exact across engines).  DuckDB 1.0's arg_min can't
+    take a struct key, so the oracle uses a zero-padded decimal string
+    (epoch_us ‖ event_id) — order-equivalent to the struct because both
+    fields are non-negative and fixed-width.
+
+    Scale: one hash-aggregate pass, shuffle keyed on (hour, event_type) —
+    partial min_by/max_by combine map-side, so shuffle volume is
+    O(groups), not O(events), at any table size."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "ts_rollup_multi",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
