@@ -51,6 +51,37 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_prefix",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY md5(substr(text, 1, 100))
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: collapse documents identical in their first 100 chars
+    (the cheap pretraining near-dup heuristic — catches boilerplate-headed
+    and truncated-tail copies that exact dedup misses).  Same shuffle-on-
+    digest design as dedup_exact: the shuffle key is md5 of the prefix,
+    never the text, so shuffle bytes are O(docs × 16B) at any corpus size.
+    1-based substring semantics agree between engines (SURVEY §7.4)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.substring("text", 1, 100)).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select("doc_id", "n_copies", "min_chars", "max_chars")
+    )
+
+
 def _shingles(toks):
     """3-word shingle array (distinct) from a token array column."""
     n = F.size(toks)
