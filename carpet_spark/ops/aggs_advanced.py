@@ -187,3 +187,44 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_approx"
         ),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_part('hour', ts) AS hour_of_day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY n DESC, hour_of_day
+      ) AS rn FROM c
+    )
+    SELECT event_type, hour_of_day, n AS n_events FROM r WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the busiest hour-of-day per event_type.  Native
+    ``mode()`` is unspecified on ties in both engines, so this is the
+    portable formulation — count per candidate, then rank with an explicit
+    tie-break (higher count first, smaller hour wins ties; SURVEY §7.4
+    rule 2).
+
+    Scale: the aggregate shrinks events to |types|x24 rows before the
+    window, so the rank pass is over a tiny relation regardless of event
+    count — mode never touches raw rows twice."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.asc("hour_of_day")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "hour_of_day", "n_events")
+    )
