@@ -192,3 +192,32 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("biggest_order"),
         F.last("o_orderkey").over(w).alias("smallest_order"),
     )
+
+
+@register(
+    "win_pct_change",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           round((o_totalprice - lag(o_totalprice) OVER w)
+                 / lag(o_totalprice) OVER w, 6) AS pct_change
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change: each order's total price vs the
+    customer's previous order (NULL for the first).  Ordered by the unique
+    o_orderkey (SURVEY §7.4 rule 2); the division is plain IEEE double on
+    identical inputs in both engines, rounded to 6dp on both sides.
+
+    Scale: single window pass, one shuffle on o_custkey — the same
+    partitioning every per-customer analytic reuses."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round((F.col("o_totalprice") - prev) / prev, 6).alias("pct_change"),
+    )
