@@ -123,7 +123,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(DISTINCT CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_distinct_value,
+           CAST(SUM(DISTINCT CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_distinct_value,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -131,11 +131,17 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(distinct)/sum(distinct) — Spark expands to a 2-level aggregate
-    (distinct keys first, then counts) so it scales without collecting sets."""
+    (distinct keys first, then counts) so it scales without collecting sets.
+
+    DISTINCT-set membership is decided on round(value, 6) in DOUBLE first
+    (a dyadic double never sits exactly on a half at the 6th decimal, so
+    both engines round alike), then decimal-cast — a direct float→decimal
+    cast can round differently between Spark and DuckDB at half boundaries
+    and silently change the distinct set (ADVICE r01)."""
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
-        F.sum_distinct(F.col("value").cast("decimal(28,6)"))
+        F.sum_distinct(F.round(F.col("value"), 6).cast("decimal(28,6)"))
         .cast("double")
         .alias("sum_distinct_value"),
         F.count(F.lit(1)).alias("n_events"),

@@ -84,6 +84,92 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
 
 
+# Banded SRP for PAIR generation (semantic dedup).  Band survival for a
+# pair at cosine c is p = 1 - arccos(c)/pi per plane; P(collide) =
+# 1-(1-p^bits)^bands.  2-bit bands × 8 give ~0.98 recall at the op's 0.4
+# threshold (p≈0.64).  NOTE the tradeoff: 0.4 is a LOW similarity bar, so
+# candidate precision is weak at this setting; a production semantic-dedup
+# threshold (≥0.85, p≥0.92) would use 8+ bits per band, where random pairs
+# almost never collide and the bucket join prunes hard.  Bits/bands are
+# module constants precisely so the 100 TB deployment tunes them to its
+# threshold.
+_PAIR_PLANES = 16
+_PAIR_BANDS = 8
+_PAIR_BITS = _PAIR_PLANES // _PAIR_BANDS
+
+
+def _pair_planes() -> np.ndarray:
+    return np.random.default_rng(_SEED + 1).standard_normal((_PAIR_PLANES, _DIM))
+
+
+@register("dedup_near_embedding_ann")  # rows-only: seeded hyperplane family
+def dedup_near_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs at cosine ≥ 0.4 with LSH-generated candidates
+    — the 100 TB composition the r01 VERDICT asked for: dedup_near_embedding
+    (exact all-pairs, the ground truth this op is property-tested against)
+    swaps its O(n²) cross join for banded signed-random-projection buckets.
+
+    Pipeline: one Arrow mapInPandas matmul computes 16 sign bits per vector
+    → 8 × 2-bit band signatures (posexplode) → equi self-join on
+    (band, sig) for candidates → exact double-precision cosine verify.
+    Every emitted pair is exactly scored (precision 1.0 by construction);
+    recall vs the exact op is pinned in tests/test_property.py.  The
+    candidate join is an equi shuffle join on the band signature — no
+    BroadcastNestedLoopJoin anywhere in the plan (plan-asserted)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = _pair_planes()
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (vecs @ planes.T) > 0
+            sigs = []
+            for b in range(_PAIR_BANDS):
+                chunk = bits[:, b * _PAIR_BITS : (b + 1) * _PAIR_BITS]
+                sig = (chunk * (1 << np.arange(_PAIR_BITS))).sum(axis=1)
+                # disambiguate bands: high bits carry the band index
+                sigs.append(sig.astype("int64") | (b << _PAIR_BITS))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy().repeat(_PAIR_BANDS),
+                    "sig": np.column_stack(sigs).ravel(),  # row-major per doc
+                }
+            )
+
+    bands = j.mapInPandas(bucketize, schema="doc_id long, sig long")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    def dot(x, y):
+        prods = F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    ea = j.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    eb = j.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
+        6,
+    )
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
 _NLIST = 16  # IVF coarse clusters
 _NPROBE = 4  # clusters searched per query
 _ITERS = 3  # fixed Lloyd iterations (deterministic run count)

@@ -332,17 +332,32 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     write time, every subsequent join on the bucket key is local.  Result
     is identical to the plain join, so the oracle is the plain join SQL.
     """
+    import hashlib
     import os
     import tempfile
 
     wh = os.path.join(tempfile.gettempdir(), "carpet_spark_buckets")
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # Key the bucketed tables on a content fingerprint of the source files
+    # (path + mtime + size), not just the sf_dir basename: a regenerated
+    # source at the same path, a shared basename across roots, or a cleaned
+    # /tmp with a surviving metastore would otherwise serve stale data
+    # (ADVICE r01).  Reuse on an unchanged source is the point of bucketing
+    # (pay the shuffle once at write time), so we keep the cache but make
+    # its key honest — and rewrite if the backing files vanished.
+    fp = hashlib.sha256()
+    for table in ("orders", "customer"):
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        st = os.stat(path)
+        fp.update(f"{path}|{st.st_mtime_ns}|{st.st_size}".encode())
+    tag = fp.hexdigest()[:12]
     t_orders, t_cust = f"b_orders_{tag}", f"b_customer_{tag}"
     for tname, table, key, cols in (
         (t_orders, "orders", "o_custkey", ["o_orderkey", "o_custkey", "o_totalprice"]),
         (t_cust, "customer", "c_custkey", ["c_custkey", "c_mktsegment"]),
     ):
-        if not spark.catalog.tableExists(tname):
+        if not spark.catalog.tableExists(tname) or not os.path.isdir(
+            os.path.join(wh, tname)
+        ):
             (
                 load(spark, sf_dir, table)
                 .select(*cols)

@@ -84,6 +84,61 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_binary_sink_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS payload_sha,
+           lang
+    FROM documents
+    """,
+)
+def mm_binary_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL parquet ``binary`` column through sink + scan (r01 VERDICT
+    item 5): write (payload, metadata) rows, read them back, recompute the
+    payload's sha256 from the STORED BYTES — a single flipped bit anywhere
+    in the write→read path fails the hash against the oracle's sha256 of
+    the source text.
+
+    The 100 TB claim this hardens: the payload lives in parquet alongside
+    its metadata, so metadata-only queries prune the (huge) binary column
+    at the reader — tests/test_plans.py asserts the pruned ReadSchema on
+    this exact layout.  byte_len is recomputed from the stored payload too
+    (octet_length), not copied through, for the same end-to-end reason."""
+    from .scans import _sink_path
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"), "lang"
+    )
+    out = _sink_path(spark, "mm_binary")
+    d.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "doc_id",
+        F.length("payload").alias("byte_len"),
+        F.sha2("payload", 256).alias("payload_sha"),
+        "lang",
+    )
+
+
+def mm_binary_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned-read companion of mm_binary_sink_roundtrip: same parquet
+    layout, metadata-only projection — the scan must NOT read the payload
+    column (ReadSchema plan-asserted in tests/test_plans.py).  Not
+    registered: identical result surface to a trivial projection; its value
+    is the plan shape."""
+    from .scans import _sink_path
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"), "lang"
+    )
+    out = _sink_path(spark, "mm_binary")
+    d.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select("doc_id", "lang")
+
+
 _FRAME = 1024
 
 

@@ -55,6 +55,16 @@ _SINK_SLICE_ORACLE = """
     """
 
 
+def _sink_path(spark: SparkSession, name: str) -> str:
+    """Per-application sink dir: two concurrent sessions (parallel driver +
+    pytest runs) must never overwrite each other's roundtrip mid read-back
+    (ADVICE r01) — applicationId is unique per SparkContext."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"carpet_spark_{name}_{spark.sparkContext.applicationId}",
+    )
+
+
 @register("sink_parquet_roundtrip", oracle=_SINK_SLICE_ORACLE)
 def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write a transformed slice partitioned by l_returnflag (snappy), read
@@ -67,7 +77,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") >= 45)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     )
-    out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_parquet")
+    out = _sink_path(spark, "sink_parquet")
     df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
     # partition column comes back typed as read; normalize column order
@@ -81,7 +91,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fidelity + splittable compression at scale — offered for interchange
     parity, not the 100 TB path (parquet is)."""
     df = load(spark, sf_dir, "region")
-    out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_csv")
+    out = _sink_path(spark, "sink_csv")
     df.write.mode("overwrite").option("header", True).csv(out)
     return spark.read.schema(df.schema).option("header", True).csv(out)
 
@@ -92,7 +102,7 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same interchange caveats as CSV; newline-delimited JSON stays splittable
     so it parallelizes at scale, just 5-10x the bytes of parquet."""
     df = load(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_json")
+    out = _sink_path(spark, "sink_json")
     df.write.mode("overwrite").json(out)
     return spark.read.schema(df.schema).json(out)
 
@@ -102,6 +112,6 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC write/read (identity, hash-checked) — the second columnar format
     Spark ships natively; same pushdown/pruning machinery as parquet."""
     df = load(spark, sf_dir, "supplier")
-    out = os.path.join(tempfile.gettempdir(), "carpet_spark_sink_orc")
+    out = _sink_path(spark, "sink_orc")
     df.write.mode("overwrite").orc(out)
     return spark.read.orc(out)

@@ -137,8 +137,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
     # the file stream source requires a directory; stage the single events
     # file behind a symlink dir (zero-copy)
+    # stable digest, NOT Python hash(): per-process hash randomization would
+    # mint a fresh staging dir every run and accumulate stale symlink dirs
+    import hashlib
+
     stage = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(),
+        f"events_stream_{hashlib.sha256(sf_dir.encode()).hexdigest()[:16]}",
     )
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")

@@ -117,3 +117,55 @@ def test_join_bucketed_has_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Bucketed: true" in plan
+
+
+def test_dedup_clusters_edge_build_is_not_nested_loop(spark, sf_dir):
+    """r01 VERDICT fix: candidate edges must come from the LSH bucket
+    equi-join, never an O(n²) BroadcastNestedLoopJoin over the corpus.
+    dedup_clusters executes the CC loop on collect, so probe the edge-build
+    plan via the same helpers the op composes."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.ops.llm import (
+        _banded_candidates,
+        _minhash_sigs,
+        _shingles,
+        _verify_jaccard,
+    )
+    from carpet_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    docs_sh = d.select("doc_id", _shingles(F.split("text", " ")).alias("sh"))
+    cand = _banded_candidates(_minhash_sigs(docs_sh), rows_per_band=2)
+    pairs = _verify_jaccard(cand, docs_sh, 0.7)
+    plan = explain_str(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_near_minhash_no_nested_loop(spark, sf_dir):
+    plan = explain_str(REGISTRY["dedup_near_minhash"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_near_embedding_ann_no_nested_loop(spark, sf_dir):
+    """The ANN-composed semantic dedup must generate candidates via the
+    banded-signature equi-join (r01 VERDICT fix for dedup_near_embedding's
+    all-pairs form)."""
+    plan = explain_str(REGISTRY["dedup_near_embedding_ann"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mm_binary_payload_pruned_when_metadata_only(spark, sf_dir):
+    """The multimodal 100 TB claim made checkable: with payload+metadata in
+    one parquet, a metadata-only projection must NOT read the binary column
+    (column pruning reaches the reader)."""
+    from carpet_spark.ops.multimodal import mm_binary_metadata_only
+
+    df = mm_binary_metadata_only(spark, sf_dir)
+    plan = explain_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" not in read_schema, read_schema
+    assert "doc_id" in read_schema and "lang" in read_schema

@@ -204,3 +204,24 @@ def test_lsum_matches_dsum_on_money_columns(spark, sf_dir):
         dsum(F.col("c_acctbal")).alias("d"), lsum(F.col("c_acctbal")).alias("l")
     ).collect()[0]
     assert neg["d"] == neg["l"], (neg["d"], neg["l"])
+
+
+def test_embedding_ann_dedup_precision_and_recall(spark, sf_dir):
+    """dedup_near_embedding_ann: every emitted pair's score must equal the
+    exact op's score for that pair (precision 1.0 — candidates are verified
+    with the same exact cosine), and recall vs the exact all-pairs op must
+    clear the banding's theoretical floor (~0.98 at cos 0.4, higher above;
+    bound left slack at 0.85 for the finite-planes draw)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in REGISTRY["dedup_near_embedding"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b): r.cos_sim
+        for r in REGISTRY["dedup_near_embedding_ann"].fn(spark, sf_dir).collect()
+    }
+    for pair, sim in approx.items():
+        assert pair in exact and exact[pair] == sim, f"false positive: {pair}"
+    if exact:
+        recall = len(set(approx) & set(exact)) / len(exact)
+        assert recall >= 0.85, f"recall {recall:.3f} ({len(approx)}/{len(exact)})"
