@@ -7,13 +7,24 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Methodology mirrors BASELINE.md: one warm session (a throwaway action pays
-the JIT/warmup cost), then best-of-2 per query, executed to completion.
+the JIT/warmup cost), then best-of-3 per query, executed to completion.
+
+Round-over-round comparability (r01 VERDICT item 6): this machine shows
+±40% run-to-run drift, so each query also emits a *physical-plan
+fingerprint* (sha256 of the executed plan, normalized to strip expression
+ids / file paths / size statistics).  A changed fingerprint means "the plan
+changed" — investigate the diff; an unchanged fingerprint with a moved
+timing means "the machine drifted" — rerun on an idle box before calling
+it a regression.  `load1` (1-min load average at start) is recorded for
+the same reason.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -35,7 +46,7 @@ HEADLINE = {
     "dedup_docs": "dedup_exact",
 }
 
-RUNS = 2
+RUNS = 3
 
 
 def _execute(df) -> int:
@@ -50,15 +61,30 @@ def _execute(df) -> int:
     return len(df.toPandas())
 
 
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the physical plan: normalize away the run-varying
+    bits (expression ids, plan ids, temp/file paths, row-count statistics)
+    so the fingerprint only moves when the plan SHAPE moves."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[A-Z]*", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"(file|hdfs|s3a?):[^,\]\s\)]+", r"\1:", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"\b\d+(\.\d+)?\s*(B|KiB|MiB|GiB)\b", "", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    load1 = round(os.getloadavg()[0], 2) if hasattr(os, "getloadavg") else None
     spark = get_spark("carpet_spark_bench", cpus=cpus)
 
     # warmup: pay JIT + codegen once on a throwaway action
     _execute(REGISTRY["agg_groupby"].fn(spark, sf_dir).limit(1))
 
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name, op_id in HEADLINE.items():
         fn = REGISTRY[op_id].fn
         # BASELINE.md methodology: warm measurements only — the first full
@@ -72,16 +98,19 @@ def main() -> None:
             _execute(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        plans[name] = _plan_fingerprint(fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
-                "metric": "headline_total_best_of_2",
+                "metric": "headline_total_best_of_3",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
+                "load1": load1,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

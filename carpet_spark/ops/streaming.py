@@ -206,6 +206,65 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND c.ts >= p.ts - INTERVAL '1 hour'
+     AND c.ts <= p.ts
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of join_interval_events (r01 VERDICT item 7): a TRUE
+    watermarked stream-stream inner join — purchases matched to the same
+    user's clicks in the preceding hour, driven to completion via
+    availableNow into a memory sink.
+
+    Both sides carry a 2-hour watermark; with the equi key (user_id) plus
+    the event-time band, Spark bounds each side's join state and evicts
+    rows older than watermark - 1 h — the state-cleanup contract that makes
+    stream-stream attribution viable on an unbounded stream.  The file
+    source delivers everything in one availableNow batch, so the emitted
+    append-mode result equals the batch interval join exactly — which is
+    the hash oracle (same SQL as join_interval_events); incremental
+    multi-batch behavior is exercised in tests/test_streaming.py.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    return _run_available_now(joined, name)
+
+
+@register(
     "stream_stateful_counter",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events

@@ -88,6 +88,7 @@ _PRIORITY_WINDOW = (
     "stream_late_data",
     "stream_stateful_counter",
     "stream_cdc_latest",
+    "stream_interval_join",
     # UDF surface
     "udf_scalar",
     "udaf_grouped_pandas",
@@ -113,7 +114,6 @@ _PRIORITY_WINDOW = (
     "sim_ann_lsh",
     "dedup_near_embedding_ann",
     "dedup_clusters",
-    "sim_ann_ivf",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

@@ -279,3 +279,54 @@ def test_stream_stream_interval_join(spark):
     finally:
         q.stop()
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_foreach_batch_idempotent_sink(spark):
+    """foreachBatch exactly-once pattern: the sink writes each micro-batch
+    into a batch_id-keyed parquet partition with dynamic partition
+    overwrite, so a RETRIED batch (Spark re-invokes the function with the
+    same batch_id after a failure) overwrites its own output instead of
+    appending duplicates."""
+    base, src, ckpt = _mk_dirs()
+    out = os.path.join(base, "sink")
+    _write_batch(
+        spark,
+        src,
+        [(1, _ts("2024-01-01 10:00:00"), "a"), (2, _ts("2024-01-01 10:01:00"), "b")],
+        1,
+    )
+
+    def write_idempotent(df, batch_id: int):
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(write_idempotent)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        first = spark.read.parquet(out).collect()
+        assert {r.event_id for r in first} == {1, 2}
+
+        # simulate Spark's retry-after-failure: the SAME batch is replayed
+        # with the SAME batch_id — the sink must converge, not duplicate
+        replay = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:00:00"), "a"), (2, _ts("2024-01-01 10:01:00"), "b")],
+            SCHEMA,
+        )
+        write_idempotent(replay, 0)
+        after = spark.read.parquet(out).collect()
+        assert len(after) == len(first) == 2, "retried batch duplicated rows"
+        assert {r.event_id for r in after} == {1, 2}
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
