@@ -19,3 +19,4 @@ from . import timeseries  # noqa: F401
 from . import reshape  # noqa: F401
 from . import tpch  # noqa: F401
 from . import mutations  # noqa: F401
+from . import trainprep  # noqa: F401

@@ -1,0 +1,351 @@
+"""Training-data preparation operators (extension beyond SURVEY §2.I).
+
+The ops a 100 TB pretraining pipeline runs between raw crawl and tokenizer:
+HTML stripping, free-text PII scrubbing, deterministic train/val/test
+splitting, batch sessionization, embedding quantization, BPE-style token
+accounting, and mergeable-sketch cardinality.
+
+Scale design: every op here is either a pure narrow projection (clean,
+scrub, quantize, token-count — zero shuffle at any size) or a two-phase
+hash aggregate whose shuffle volume is |groups|, not |rows| (split stats,
+sessionize, sketches).  Nothing leaves the JVM; no Python UDFs.
+
+Determinism notes (SURVEY §7.4): DuckDB ``regexp_replace`` replaces only
+the first match unless passed the ``'g'`` flag — every oracle regex here
+carries it.  Spark ``regexp_extract_all`` defaults to group 1, DuckDB to
+group 0, so extraction patterns are parenthesized and both sides pass the
+group index explicitly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..exprs import davg, round6, sql_davg
+from ..registry import register
+from ..tables import load
+
+# ------------------------------------------------------------- cleaning ----
+
+# Entity-decode table applied after tag stripping; order-insensitive except
+# &amp; which must come last so "&amp;lt;" doesn't double-decode.
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+@register(
+    "text_clean_html",
+    oracle=r"""
+    WITH html AS (
+      SELECT doc_id,
+             '<p id="' || doc_id || '"><b>' || text || '</b></p> &amp; <br/>' AS h
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(h, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                 '&amp;', '&'),
+               '\s+', ' ', 'g')) AS cleaned
+      FROM html
+    )
+    SELECT doc_id, cleaned, length(cleaned) AS clean_len FROM cleaned
+    """,
+)
+def text_clean_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-to-text cleaning: strip tags, decode entities, collapse
+    whitespace.  The markup is synthesized deterministically around each
+    document (the corpus itself is plain text) so the op exercises the
+    real chain.  Pure narrow projection — zero shuffle at any corpus size,
+    whole-stage-codegen regex on the JVM."""
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p id="'), F.col("doc_id").cast("string"), F.lit('"><b>'),
+        F.col("text"), F.lit("</b></p> &amp; <br/>"),
+    )
+    cleaned = F.regexp_replace(html, "<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return d.select(
+        "doc_id", cleaned.alias("cleaned"), F.length(cleaned).alias("clean_len")
+    )
+
+
+_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+@register(
+    "pii_text_scrub",
+    oracle=f"""
+    WITH note AS (
+      SELECT doc_id,
+             text || ' contact: 12-345-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' or doc' || doc_id || '@example.com' AS note
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(note, '{_PHONE_RE}', '[PHONE]', 'g'),
+                          '{_EMAIL_RE}', '[EMAIL]', 'g') AS scrubbed,
+           len(regexp_extract_all(note, '({_PHONE_RE})', 1)) AS n_phone,
+           len(regexp_extract_all(note, '({_EMAIL_RE})', 1)) AS n_email
+    FROM note
+    """,
+)
+def pii_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII scrubbing: redact phone numbers and emails *inside*
+    unstructured text (the column-level ops in ops/pii.py can't reach
+    these).  PII is planted deterministically per doc_id so redaction
+    counts are verifiable.  Narrow projection: the scrub runs where the
+    data lives, no shuffle, no Python."""
+    d = load(spark, sf_dir, "documents")
+    note = F.concat(
+        F.col("text"), F.lit(" contact: 12-345-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" or doc"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(note, _PHONE_RE, "[PHONE]"), _EMAIL_RE, "[EMAIL]"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(note, F.lit(f"({_PHONE_RE})"), F.lit(1))).alias("n_phone"),
+        F.size(F.regexp_extract_all(note, F.lit(f"({_EMAIL_RE})"), F.lit(1))).alias("n_email"),
+    )
+
+
+# ------------------------------------------------------------- splitting ----
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT *, strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT *, CASE WHEN bucket < 12 THEN 'train'
+                     WHEN bucket < 14 THEN 'val'
+                     ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           {avg_chars} AS avg_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY split
+    """.format(avg_chars=sql_davg("n_chars")),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash: the last
+    hex nibble of md5(text) buckets each document 0-15; 12/2/2 nibbles →
+    75/12.5/12.5 split.  Content-keyed (not doc_id-keyed) so re-ingested
+    copies of a document always land in the same split — the property that
+    prevents train/test leakage under re-crawls.  Stateless projection +
+    3-group aggregate; no shuffle of document text."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr("locate(substring(md5(text), 32, 1), '0123456789abcdef') - 1")
+    split = (
+        F.when(bucket < 12, "train").when(bucket < 14, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg(F.col("n_chars")).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------- sessionizing ----
+
+
+@register(
+    "ts_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0
+                  ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when a
+    user's inter-event gap exceeds 30 minutes.  The batch twin of
+    stream_session (ops/streaming.py) — same windows, computed with two
+    partitioned window passes instead of the state store.
+
+    Scale: both windows and the final aggregate share ONE
+    hashpartitioning(user_id) — a single shuffle end-to-end regardless of
+    table size; per-partition sorts are user-local.  Ordering is made
+    total with (ts, event_id) so tie rows flag identically in both
+    engines."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-exact gap test to match DuckDB's interval comparison (a cast-to-
+    # seconds diff would misclassify gaps like 30min+0.4s)
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        <= 1_800_000_000
+    )
+    flagged = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)).alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id", "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("duration_sec"),
+        )
+    )
+
+
+# ----------------------------------------------------------- embeddings ----
+
+_NORM_SQL = (
+    "sqrt(list_sum(list_transform(range(1, 65), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))"
+)
+
+
+@register(
+    "emb_quantize",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, round(nrm, 6) AS l2_norm,
+             list_transform(range(1, 65),
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE) / nrm * 127) AS INT)) AS qv
+      FROM n
+    )
+    SELECT vec_id, label, l2_norm,
+           list_min(qv) AS q_min, list_max(qv) AS q_max,
+           list_sum(qv) AS q_sum
+    FROM q
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization: L2-normalize then scale to [-127,127]
+    — the storage/serving compression step before ANN indexing (4 bytes →
+    1 byte per dim).  All JVM higher-order functions over the array
+    column; zero shuffle.  Projected to scalar stats (min/max/sum pin
+    every quantized value's contribution) to keep the value-hash off raw
+    list columns.  float→double widening is exact in both engines; the
+    64-term norm fold drifts ≤1e-14, inside round-6 (same argument as
+    _DOT_SQL, ops/llm.py)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    sq = F.zip_with(v, v, lambda x, y: x.cast("double") * y.cast("double"))
+    nrm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    qv = F.transform(v, lambda x: F.round(x.cast("double") / F.col("nrm") * 127).cast("int"))
+    return (
+        e.withColumn("nrm", nrm)
+        .withColumn("qv", qv)
+        .select(
+            "vec_id", "label",
+            round6(F.col("nrm")).alias("l2_norm"),
+            F.array_min("qv").alias("q_min"),
+            F.array_max("qv").alias("q_max"),
+            F.aggregate("qv", F.lit(0), lambda acc, x: acc + x).alias("q_sum"),
+        )
+    )
+
+
+# ------------------------------------------------------- token counting ----
+
+# BPE-style pre-tokenization proxy: letter runs, digit runs, or single
+# non-alphanumeric marks — the GPT-2-family regex shape reduced to classes
+# both Java regex and RE2 treat identically.
+_TOK_RE = "([a-z]+|[0-9]+|[^a-z0-9 ])"
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_extract_all(text, '{_TOK_RE}', 1)) AS n_tok
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(n_tok) AS total_tokens,
+           MAX(n_tok) AS max_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM t GROUP BY source
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting with a BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / punctuation marks) — the budget estimate a pretraining
+    pipeline runs before paying for real tokenization.  Per-doc counts are
+    a narrow projection; the rollup shuffles |sources| rows.  Integer sums
+    are exact, and the avg is one double division of exact ints —
+    bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_TOK_RE), F.lit(1)))
+    return (
+        d.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------ sketch merging ----
+
+
+@register("agg_hll_merge", oracle=None)  # rows-only: estimate is sketch-defined
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-cardinality pattern: build one HLL sketch of user_id per
+    event_type (partial, map-side combined), then union the per-type
+    sketches into a global distinct-user estimate — the only way COUNT
+    DISTINCT composes at 100 TB (partials merge across partitions, days,
+    and re-runs; exact distinct would reshuffle every row).  Estimate
+    accuracy vs exact is pinned in tests/test_trainprep.py (lgConfigK=12
+    → ~1.6% standard error).  Rows-only: the estimate is sketch-defined,
+    not ANSI-SQL-reproducible."""
+    e = load(spark, sf_dir, "events")
+    sketches = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    return sketches.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
+    )

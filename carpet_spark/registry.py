@@ -103,7 +103,6 @@ _PRIORITY_WINDOW = (
     "fn_explode",
     "fn_map",
     "fn_json",
-    "fn_bitwise",
     "fn_regex",
     "fn_fuzzy",
     # advanced aggregates

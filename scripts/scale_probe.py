@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from carpet_spark.exprs import davg, dsum
 from carpet_spark.session import get_spark
@@ -24,11 +25,13 @@ from carpet_spark.session import get_spark
 BASE = "/tmp/carpet_scale"
 
 
-def synth(spark, mult: int) -> tuple[str, str]:
-    """Seeded synthetic lineitem/orders at `mult` x sf0.1 volumes."""
+def synth(spark, mult: int) -> tuple[str, str, str]:
+    """Seeded synthetic lineitem/orders/documents at `mult` x sf0.1 volumes."""
     li_path = f"{BASE}/lineitem_x{mult}"
     o_path = f"{BASE}/orders_x{mult}"
+    d_path = f"{BASE}/documents_x{mult}"
     n_li, n_o = 600_000 * mult, 150_000 * mult
+    n_d = 15_000 * mult
     if not os.path.exists(li_path):
         (
             spark.range(n_li)
@@ -61,11 +64,27 @@ def synth(spark, mult: int) -> tuple[str, str]:
             .write.mode("overwrite")
             .parquet(o_path)
         )
-    return li_path, o_path
+    if not os.path.exists(d_path):
+        # ~2 copies per distinct text: the dedup shuffle has real combining
+        # to do, keyed on the digest of a ~200-char body
+        (
+            spark.range(n_d)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[F.md5(F.concat(F.lit(s), (F.col("id") % (n_d // 2)).cast("string"))) for s in "abcdef"],
+                ).alias("text"),
+            )
+            .repartition(max(2, mult))
+            .write.mode("overwrite")
+            .parquet(d_path)
+        )
+    return li_path, o_path, d_path
 
 
 def probe(spark, mult: int) -> dict[str, float]:
-    li_path, o_path = synth(spark, mult)
+    li_path, o_path, d_path = synth(spark, mult)
     res = {}
 
     def t(name, build):
@@ -112,6 +131,51 @@ def probe(spark, mult: int) -> dict[str, float]:
         lambda: li().groupBy("l_returnflag").agg(
             F.countDistinct("l_orderkey").alias("d")
         ),
+    )
+
+    def docs():
+        return spark.read.parquet(d_path)
+
+    # q5 shape: fact⋈fact shuffle + broadcast dim + group on dim key — the
+    # plan whose 31x win over baseline comes from never shuffling the dims
+    dim = spark.range(25).select(
+        F.col("id").alias("n_key"),
+        F.concat(F.lit("nation_"), F.col("id").cast("string")).alias("n_name"),
+    )
+    t(
+        "q5_dim_broadcast_shape",
+        lambda: li()
+        .join(o(), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") % 25 == F.col("n_key"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")),
+    )
+    # window_rank shape: full-table window compute (one hash exchange +
+    # per-partition sort); output bounded by a post-window rank filter so
+    # the probe measures engine cost, not 60M-row Arrow transfer
+    t(
+        "window_rank_shape",
+        lambda: li()
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy(
+                    F.col("l_extendedprice").desc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 2)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    # dedup shape: exact dedup's digest-keyed shuffle (never the raw text)
+    t(
+        "dedup_shape",
+        lambda: docs()
+        .groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_distinct"), F.sum("n_copies").alias("n_docs")),
     )
     return res
 
