@@ -84,6 +84,44 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 
 
+@register(
+    "sink_partition_prune",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+    GROUP BY event_type
+    """,
+)
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned sink + pruned read-back: events written
+    ``partitionBy(day)``, then a one-day query against the sink.  The plan
+    must show ``PartitionFilters: [... day = <lit>]`` (asserted in
+    test_plans.py) — directory-level pruning, the mechanism that turns a
+    100 TB events table into a one-day read.  The day literal is resolved
+    with a bounded 1-value collect (metadata-scale, like ann.py's k-means
+    state); the oracle recomputes the same day from the source, so a row
+    landing in the wrong partition fails the hash."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = _sink_path(spark, "sink_part")
+    e.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(out)
+    day0 = spark.read.parquet(out).agg(F.min("day")).collect()[0][0]
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("day") == F.lit(day0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 @register("sink_csv_roundtrip", oracle="SELECT * FROM region")
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write/read with explicit schema on the way back (header=True);

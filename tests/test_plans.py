@@ -169,3 +169,15 @@ def test_mm_binary_payload_pruned_when_metadata_only(spark, sf_dir):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "payload" not in read_schema, read_schema
     assert "doc_id" in read_schema and "lang" in read_schema
+
+
+def test_sink_partition_prune_uses_partition_filters(spark, sf_dir):
+    """The one-day read-back must prune at the directory level: the day
+    predicate appears in PartitionFilters (not PushedFilters), and the
+    partition column is not part of the data ReadSchema."""
+    plan = explain_str(REGISTRY["sink_partition_prune"].fn(spark, sf_dir))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf, "no PartitionFilters line in plan"
+    assert "day" in pf[0] and "[]" not in pf[0].split("PartitionFilters:")[1][:4]
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "day" not in read_schema  # partition col never read from data files
