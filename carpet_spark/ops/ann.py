@@ -170,6 +170,87 @@ def dedup_near_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 3
+
+
+@register("sim_knn_join_topk")  # rows-only: seeded hyperplane family
+def sim_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN JOIN: top-3 neighbors for EVERY query vector (label=1
+    subset) at once — the retrieval-pipeline shape (embed a batch, fetch
+    neighbors for all of them), not the single-query probe of sim_ann_lsh.
+
+    Candidates come from the same banded SRP signatures as
+    dedup_near_embedding_ann (8 bands × 2 bits): query and index sides
+    each explode to |rows|×8 (band,sig) rows, and the candidate set is an
+    EQUI join on the signature — at 100 TB both sides hash-partition on
+    sig, so each executor joins only its signature range; no cross join,
+    no per-query scan.  Exact double cosine re-scores candidates and a
+    per-query window (partitioned by q_id — one shuffle) keeps the top-3.
+    Recall vs per-query brute force is pinned in tests/test_property.py."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = _pair_planes()
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (vecs @ planes.T) > 0
+            sigs = []
+            for b in range(_PAIR_BANDS):
+                chunk = bits[:, b * _PAIR_BITS : (b + 1) * _PAIR_BITS]
+                sig = (chunk * (1 << np.arange(_PAIR_BITS))).sum(axis=1)
+                sigs.append(sig.astype("int64") | (b << _PAIR_BITS))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(_PAIR_BANDS),
+                    "label": pdf["label"].to_numpy().repeat(_PAIR_BANDS),
+                    "sig": np.column_stack(sigs).ravel(),
+                }
+            )
+
+    bands = e.mapInPandas(bucketize, schema="vec_id long, label int, sig long")
+    qb = bands.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("q_id"), "sig"
+    )
+    cand = (
+        qb.join(bands.select("vec_id", "sig"), "sig")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+
+    def dot(a, b):
+        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    ie = e.select("vec_id", F.col("embedding").alias("iv"), "label")
+    scored = (
+        cand.join(qe, "q_id")
+        .join(ie, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("qv"), F.col("iv"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("iv"), F.col("iv")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "label", "cos_sim", "rank")
+    )
+
+
 _NLIST = 16  # IVF coarse clusters
 _NPROBE = 4  # clusters searched per query
 _ITERS = 3  # fixed Lloyd iterations (deterministic run count)

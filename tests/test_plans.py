@@ -181,3 +181,11 @@ def test_sink_partition_prune_uses_partition_filters(spark, sf_dir):
     assert "day" in pf[0] and "[]" not in pf[0].split("PartitionFilters:")[1][:4]
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "day" not in read_schema  # partition col never read from data files
+
+
+def test_knn_join_no_nested_loop(spark, sf_dir):
+    """The batch k-NN join must stay equi-join shaped end-to-end: banded
+    signature candidates, never a cross/nested-loop join."""
+    plan = explain_str(REGISTRY["sim_knn_join_topk"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

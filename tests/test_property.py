@@ -225,3 +225,44 @@ def test_embedding_ann_dedup_precision_and_recall(spark, sf_dir):
     if exact:
         recall = len(set(approx) & set(exact)) / len(exact)
         assert recall >= 0.85, f"recall {recall:.3f} ({len(approx)}/{len(exact)})"
+
+
+def test_knn_join_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Batch k-NN join: per-query top-3 via banded SRP candidates must
+    average >=0.5 recall vs exact brute force (2-bit x 8 bands is a
+    recall-oriented but still pruning family; exactness is NOT claimed —
+    the op is rows-only by design), every emitted score must be exactly
+    right (verified re-computation), and ranks must be 1..k ordered."""
+    import numpy as np
+
+    from carpet_spark.tables import load
+
+    rows = REGISTRY["sim_knn_join_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding").collect()
+    ids = np.array([r.vec_id for r in e])
+    labels = np.array([r.label for r in e])
+    vecs = np.array([r.embedding for r in e], dtype=np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    qmask = labels == 1
+    assert set(by_q) <= set(ids[qmask].tolist())
+
+    recalls = []
+    for qi in np.nonzero(qmask)[0]:
+        q_id = int(ids[qi])
+        cos = (vecs @ vecs[qi]) / (norms * norms[qi])
+        order = sorted(range(len(ids)), key=lambda i: (-round(cos[i], 6), ids[i]))
+        exact_top = [int(ids[i]) for i in order if ids[i] != q_id][:3]
+        got = sorted(by_q.get(q_id, []), key=lambda r: r.rank)
+        got_ids = [r.neighbor_id for r in got]
+        # scores exactly right for whatever was emitted
+        for r in got:
+            i = int(np.nonzero(ids == r.neighbor_id)[0][0])
+            assert abs(round(float(cos[i]), 6) - r.cos_sim) <= 1e-6
+        assert [r.rank for r in got] == list(range(1, len(got) + 1))
+        recalls.append(len(set(got_ids) & set(exact_top)) / 3)
+    assert recalls and float(np.mean(recalls)) >= 0.5, np.mean(recalls)
