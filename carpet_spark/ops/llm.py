@@ -745,6 +745,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    pairs AS ({_CLUSTER_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM labels WHERE cluster_rep <> doc_id)
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing dedup MATERIALIZATION: the corpus with near-dup
+    losers removed — every document either outside the Jaccard≥0.7
+    similarity graph or the canonical (min doc_id) representative of its
+    cluster.  This is what actually feeds the tokenizer; the pair/cluster
+    ops are its building blocks.
+
+    Compose-don't-reimplement: reuses dedup_clusters (MinHash-LSH
+    candidates → exact-Jaccard edges → CC labels) and anti-joins the
+    losers.  At 100 TB the anti join broadcasts: the loser set is
+    |dup docs|, orders of magnitude smaller than the corpus."""
+    d = load(spark, sf_dir, "documents")
+    labels = dedup_clusters(spark, sf_dir)
+    losers = labels.filter(F.col("cluster_rep") != F.col("doc_id")).select("doc_id")
+    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
     "dedup_near_embedding",
     oracle=f"""
     WITH j AS (SELECT d.doc_id, e.embedding
