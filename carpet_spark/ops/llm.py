@@ -170,7 +170,7 @@ def _verify_jaccard(cand: DataFrame, docs_sh: DataFrame, threshold: float) -> Da
 
 
 _JACCARD_ORACLE = """
-    WITH s AS (
+    WITH s AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(toks) - 1),
                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
@@ -179,7 +179,9 @@ _JACCARD_ORACLE = """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    FROM s a JOIN s b
+      ON a.doc_id < b.doc_id
+     AND least(len(a.sh), len(b.sh)) >= 0.7 * greatest(len(a.sh), len(b.sh))
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(a.sh || b.sh)) >= 0.7
     """
@@ -194,18 +196,28 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Empty-shingle docs (<3 tokens) are filtered before pairing: Jaccard with
     an empty set is 0 (or 0/0), never ≥ 0.7, and under ANSI mode the 0
-    denominator would raise where DuckDB's double division yields NaN."""
+    denominator would raise where DuckDB's double division yields NaN.
+
+    Size-ratio prefilter (lossless): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    so J ≥ 0.7 forces the shingle-set sizes within a 0.7 ratio — the
+    cheap length predicate sits in the join condition and prunes most
+    pairs BEFORE the expensive set intersection runs (the standard size
+    filter of exact similarity joins; same trick keeps the verify stage
+    cheap at 100 TB)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     docs_sh = d.select("doc_id", _shingles(toks).alias("sh")).filter(F.size("sh") > 0)
     a = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    size_ok = F.least(F.size("sh_a"), F.size("sh_b")) >= 0.7 * F.greatest(
+        F.size("sh_a"), F.size("sh_b")
+    )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))
     )
     return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        a.join(F.broadcast(b), (F.col("doc_a") < F.col("doc_b")) & size_ok)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -638,7 +650,9 @@ def multimodal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_PAIRS_SQL = """
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      FROM s a JOIN s b
+        ON a.doc_id < b.doc_id
+       AND least(len(a.sh), len(b.sh)) >= 0.7 * greatest(len(a.sh), len(b.sh))
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(a.sh || b.sh)) >= 0.7
 """
@@ -647,13 +661,13 @@ _CLUSTER_PAIRS_SQL = """
 @register(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE s AS (
+    WITH RECURSIVE s AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(toks) - 1),
                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     ),
-    pairs AS ({_CLUSTER_PAIRS_SQL}),
+    pairs AS MATERIALIZED ({_CLUSTER_PAIRS_SQL}),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -747,13 +761,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_apply",
     oracle=f"""
-    WITH RECURSIVE s AS (
+    WITH RECURSIVE s AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(toks) - 1),
                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     ),
-    pairs AS ({_CLUSTER_PAIRS_SQL}),
+    pairs AS MATERIALIZED ({_CLUSTER_PAIRS_SQL}),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
