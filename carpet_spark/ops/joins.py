@@ -400,6 +400,66 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_aqe",
+    oracle=f"""
+    WITH f AS (
+        SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 0
+                    ELSE l_orderkey % 97 END AS skew_key,
+               l_quantity
+        FROM lineitem
+    ),
+    d AS (
+        SELECT CAST(unnest(range(0, 97)) AS BIGINT) AS skew_key,
+               CAST(unnest(range(0, 97)) AS BIGINT) * 3 + 1 AS weight
+    )
+    SELECT f.skew_key,
+           COUNT(*) AS n_rows,
+           {{lsum}} AS weighted_qty
+    FROM f JOIN d USING (skew_key)
+    GROUP BY 1
+    """.format(lsum=sql_lsum("f.l_quantity * d.weight")),
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed shuffle join left to AQE: ~90% of lineitem rows map to
+    skew_key 0 (the task-killing hot key), joined to a 97-row weight dim
+    with an explicit ``MERGE`` hint so the plan is a shuffled sort-merge
+    join rather than a broadcast (the shape AQE's skew mitigation applies
+    to).  At production thresholds AQE splits the oversized partition into
+    advisory-sized chunks and replicates the matching dim rows
+    (``spark.sql.adaptive.skewJoin``) — no salting, no manual tuning;
+    tests/test_plans.py lowers the thresholds so the split is observable
+    (``skew=true`` in the adaptive plan) at test scale.  join_salted
+    (above) is the manual fallback for when the dim side is too large to
+    replicate."""
+    # repartition(16) simulates production mapper granularity: AQE splits a
+    # skewed reduce partition only at map-output-block boundaries, and the
+    # single-row-group test parquet yields ONE mapper (unsplittable).  A
+    # 100 TB scan has thousands of mappers, so the repartition disappears
+    # in production — here it is what makes the skew split observable.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(0).cast("long"))
+            .otherwise(F.col("l_orderkey") % 97)
+            .alias("skew_key"),
+            "l_quantity",
+        )
+        .repartition(16)
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("skew_key"), (F.col("id") * 3 + 1).alias("weight")
+    )
+    return (
+        li.join(dim.hint("MERGE"), "skew_key")
+        .groupBy("skew_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            lsum(F.col("l_quantity") * F.col("weight")).alias("weighted_qty"),
+        )
+    )
+
+
+@register(
     "join_interval_events",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,

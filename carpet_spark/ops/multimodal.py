@@ -139,6 +139,118 @@ def mm_binary_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("doc_id", "lang")
 
 
+_RESIZE_BOX = 224  # target fit-box for mm_image_resize (ImageNet-ish)
+
+
+@register(
+    "mm_image_resize",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               64 + octet_length(encode(text)) % 577 AS w,
+               64 + (octet_length(encode(text)) * 31) % 577 AS h
+        FROM documents
+    )
+    SELECT doc_id, w AS src_width, h AS src_height,
+           CASE WHEN greatest(w, h) <= {_RESIZE_BOX} THEN w
+                ELSE CAST(w * {_RESIZE_BOX} // greatest(w, h) AS BIGINT) END
+             AS out_width,
+           CASE WHEN greatest(w, h) <= {_RESIZE_BOX} THEN h
+                ELSE CAST(h * {_RESIZE_BOX} // greatest(w, h) AS BIGINT) END
+             AS out_height
+    FROM m
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for a binary image column: decode (deterministic
+    fake — real codec stubbed, see module docstring), compute
+    aspect-preserving fit into a 224x224 box with pure integer arithmetic
+    (``w * 224 // max(w, h)``, exact in both engines), emit new dims.  The
+    actual pixel resample is part of the stubbed codec; the batched UDF
+    shape (binary in, per-row metadata out) is exactly what a real
+    PIL.thumbnail worker would use.  Scale: mapInPandas, one Arrow batch
+    per core, payloads never on the driver."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("img_data")
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_image_real if REAL_DECODERS_AVAILABLE else _decode_image_fake
+        for pdf in batches:
+            rows = {"doc_id": [], "src_width": [], "src_height": [],
+                    "out_width": [], "out_height": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["img_data"]):
+                w, h, _ = decode(bytes(raw))
+                mx = max(w, h)
+                if mx <= _RESIZE_BOX:
+                    ow, oh = w, h
+                else:
+                    ow, oh = w * _RESIZE_BOX // mx, h * _RESIZE_BOX // mx
+                rows["doc_id"].append(doc_id)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        resize_batches,
+        schema="doc_id long, src_width long, src_height long, "
+        "out_width long, out_height long",
+    )
+
+
+@register(
+    "mm_image_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           CAST(('0x' || substring(sha256(text), 1, 8)) AS BIGINT)  AS f0,
+           CAST(('0x' || substring(sha256(text), 9, 8)) AS BIGINT)  AS f1,
+           CAST(('0x' || substring(sha256(text), 17, 8)) AS BIGINT) AS f2,
+           CAST(('0x' || substring(sha256(text), 25, 8)) AS BIGINT) AS f3
+    FROM documents
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over a binary column: the real extractor (a CNN /
+    CLIP embedding) is stubbed with the codecs; the deterministic fake
+    derives a 4-long feature vector from sha256 slices of the payload —
+    computed in PYTHON inside mapInPandas, so the hash-match against the
+    oracle proves every byte survived the Arrow batch transfer both ways.
+    The batch shape (binary in, fixed-width vector out) is the real
+    embedding-worker contract; swap ``_features_fake`` for a model call
+    when codecs/weights exist."""
+    import hashlib
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("img_data")
+    )
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _features_fake(data: bytes) -> list[int]:
+            hx = hashlib.sha256(data).hexdigest()
+            return [int(hx[i : i + 8], 16) for i in (0, 8, 16, 24)]
+
+        for pdf in batches:
+            feats = [_features_fake(bytes(b)) for b in pdf["img_data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": [len(bytes(b)) for b in pdf["img_data"]],
+                    "f0": [f[0] for f in feats],
+                    "f1": [f[1] for f in feats],
+                    "f2": [f[2] for f in feats],
+                    "f3": [f[3] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(
+        feature_batches,
+        schema="doc_id long, byte_len long, f0 long, f1 long, f2 long, f3 long",
+    )
+
+
 _FRAME = 1024
 
 
@@ -177,4 +289,58 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         frame_batches, schema="doc_id long, frame_idx long, frame_len long"
+    )
+
+
+_KEYFRAME_STRIDE = 4
+
+
+@register(
+    "mm_video_keyframes",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, n, CAST(ceil(n / {_FRAME}.0) AS BIGINT) AS nf FROM t),
+    allf AS (
+        SELECT doc_id, nf, unnest(range(1, nf + 1)) AS frame_idx,
+               unnest(list_transform(range(1, nf + 1),
+                                     i -> least({_FRAME}, n - (i - 1) * {_FRAME})))
+                 AS frame_len
+        FROM f
+    )
+    SELECT doc_id, frame_idx, frame_len,
+           (frame_idx - 1) * {_FRAME} AS byte_offset
+    FROM allf
+    WHERE (frame_idx - 1) % {_KEYFRAME_STRIDE} = 0 OR frame_idx = nf
+    """,
+)
+def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling: treat the binary payload as a fixed-size frame
+    sequence and emit every {stride}-th frame plus the final frame — the
+    1:K downsampling shape of a real keyframe extractor (ffmpeg
+    ``select='eq(pict_type,I)'``), which is stubbed with the codecs.  The
+    sampling arithmetic (stride, byte offsets, tail frame) is real and
+    hash-verified; at scale this is the op that turns 100 TB of video into
+    the ~3% of frames a vision model trains on."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("video_data")
+    )
+
+    def keyframe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "byte_offset": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["video_data"]):
+                data = bytes(raw)
+                nf = (len(data) + _FRAME - 1) // _FRAME
+                for fi in range(1, nf + 1):
+                    if (fi - 1) % _KEYFRAME_STRIDE == 0 or fi == nf:
+                        off = (fi - 1) * _FRAME
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(fi)
+                        out["frame_len"].append(min(_FRAME, len(data) - off))
+                        out["byte_offset"].append(off)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        keyframe_batches,
+        schema="doc_id long, frame_idx long, frame_len long, byte_offset long",
     )

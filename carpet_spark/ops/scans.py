@@ -122,6 +122,53 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_dpp",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE EXTRACT(day FROM CAST(ts AS DATE)) <= 5
+    GROUP BY 1
+    """,
+)
+def scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a day-partitioned fact joined to a
+    filtered dimension of days.  The dim-side predicate (day-of-month <= 5)
+    is only known at plan time on the DIM, not the fact — Catalyst's DPP
+    rewrites the fact scan's PartitionFilters to a
+    ``dynamicpruningexpression`` fed by the broadcast dim, so the fact
+    reads ~1/6 of its partitions instead of all of them (plan-asserted in
+    test_plans.py).  At 100 TB this is the star-schema pruning mechanism:
+    the dim filter travels to the fact's directory listing at runtime.
+    The oracle collapses join+filter to the equivalent source predicate
+    (inner join on the same table's distinct days = filter)."""
+    from pyspark.sql.functions import broadcast
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = _sink_path(spark, "sink_dpp")
+    e.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        e.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .filter(F.dayofmonth("day") <= 5)
+    )
+    return (
+        fact.join(broadcast(dim), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 @register("sink_csv_roundtrip", oracle="SELECT * FROM region")
 def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV write/read with explicit schema on the way back (header=True);

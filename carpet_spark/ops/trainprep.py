@@ -349,3 +349,41 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
     )
+
+
+_FP_SQL = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_cross_corpus",
+    oracle=f"""
+    WITH seen AS (
+        SELECT {_FP_SQL} AS fp FROM documents WHERE doc_id % 3 = 0
+    ),
+    incoming AS (
+        SELECT doc_id, lang, {_FP_SQL} AS fp
+        FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT i.doc_id, i.lang
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = i.fp)
+    """,
+)
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: drop incoming documents whose normalized
+    fingerprint (lowercase, whitespace-collapsed, sha256 — text_fingerprint's
+    normalization) already exists in the previously-ingested corpus.  Here
+    the 'seen' corpus is simulated as doc_id % 3 == 0 of the same table.
+
+    Scale: LEFT ANTI join on the 32-byte digest — the shuffle carries
+    fingerprints, never text, and the seen-side can be a 100 TB corpus's
+    fingerprint index (digests only, ~1/3000th the bytes).  This is THE
+    recurring production shape: dedup each new crawl against everything
+    already trained on."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.sha2(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 256)
+    seen = d.filter(F.col("doc_id") % 3 == 0).select(fp.alias("fp"))
+    incoming = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "lang", fp.alias("fp")
+    )
+    return incoming.join(seen, "fp", "left_anti").select("doc_id", "lang")

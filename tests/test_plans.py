@@ -183,6 +183,46 @@ def test_sink_partition_prune_uses_partition_filters(spark, sf_dir):
     assert "day" not in read_schema  # partition col never read from data files
 
 
+def test_scan_dpp_dynamic_pruning(spark, sf_dir):
+    """The day-partitioned fact scan must carry a dynamicpruningexpression
+    in its PartitionFilters — i.e. the dim-side day-of-month filter reaches
+    the fact's directory listing at runtime, not after a full scan."""
+    plan = explain_str(REGISTRY["scan_dpp"].fn(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_join_skew_aqe_splits_hot_partition(spark, sf_dir):
+    """With production-shaped thresholds scaled down to test size, AQE must
+    mark the hot skew_key-0 partition as split (``skew=true`` in the final
+    adaptive plan).  At defaults the threshold is 256 MB — the same
+    mechanism, observable only at cluster scale."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # the downstream groupBy reuses the join's partitioning, so the
+        # split would add an exchange — force it (production would too,
+        # trading one small shuffle for an unstuck straggler)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = REGISTRY["join_skew_aqe"].fn(spark, sf_dir)
+        df.collect()  # AQE finalizes the plan only on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
+
+
 def test_knn_join_no_nested_loop(spark, sf_dir):
     """The batch k-NN join must stay equi-join shaped end-to-end: banded
     signature candidates, never a cross/nested-loop join."""
