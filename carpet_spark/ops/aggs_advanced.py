@@ -278,3 +278,41 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_val, max_val)"
     )
+
+
+_HIST_WIDTH = 30000
+_HIST_MAX_BUCKET = 19
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    SELECT least({_HIST_MAX_BUCKET},
+                 CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT)) AS bucket,
+           least({_HIST_MAX_BUCKET},
+                 CAST(floor(o_totalprice / {_HIST_WIDTH}) AS BIGINT))
+             * {_HIST_WIDTH} AS bucket_lo,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 buckets, last one
+    open-ended) — the distribution-profiling aggregate.  Bucketing is pure
+    integer arithmetic on the scan (no sort, no sketch), so the whole op is
+    one map-side-combined aggregate over <=20 keys: at 100 TB the shuffle
+    carries 20 rows per mapper."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(_HIST_MAX_BUCKET),
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long"),
+    )
+    return (
+        o.select(
+            bucket.alias("bucket"),
+            (bucket * _HIST_WIDTH).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

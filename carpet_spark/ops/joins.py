@@ -495,3 +495,44 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (c.click_ts >= p.purchase_ts - F.expr("INTERVAL 1 HOUR"))
         & (c.click_ts <= p.purchase_ts),
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_lsum('l.l_quantity')} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+    GROUP BY 1
+    """,
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dim fact join shaped for Catalyst's runtime bloom filter:
+    the filtered orders side builds a BloomFilterAggregate that is injected
+    as a ``might_contain`` semi-filter on lineitem's scan side BEFORE the
+    join shuffle — rows that cannot match never get shuffled.  At
+    production defaults this fires when the application side exceeds
+    ``runtime.bloomFilter.applicationSideScanSizeThreshold`` (10 GB) — i.e.
+    exactly the 100 TB fact-table case; tests/test_plans.py lowers the
+    threshold to make the injection observable at test scale."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            lsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )

@@ -128,3 +128,70 @@ def ts_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     ).select("day", "hour_of_day", "g_hour", "n_events", "n_users")
+
+
+@register(
+    "ts_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour, t.event_type,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY t.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+    """,
+)
+def ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill resample (last observation carried forward): dense
+    hourly grid per event_type where silent hours inherit the most recent
+    hourly average — the standard ML-feature / sensor-data imputation.
+
+    Scale: the window runs over the DENSE SPINE (O(hours x types) rows,
+    independent of event count), not raw events — the expensive part stays
+    a map-side-combined hourly aggregate; leading NULLs (hours before a
+    type's first observation) stay NULL by definition."""
+    from pyspark.sql import Window
+
+    from ..exprs import davg, round6
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(round6(davg(F.col("value"))).alias("avg_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.last("avg_value", ignorenulls=True).over(w).alias("locf_value"),
+        )
+    )

@@ -229,3 +229,28 @@ def test_knn_join_no_nested_loop(spark, sf_dir):
     plan = explain_str(REGISTRY["sim_knn_join_topk"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_bloom_runtime_filter_injects_might_contain(spark, sf_dir):
+    """With the 10 GB application-side threshold scaled to test size, the
+    optimizer must inject a bloom-filter semi-filter (might_contain) on the
+    fact side — pre-shuffle row pruning, the runtime filter that matters
+    when the fact side is 100 TB."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = REGISTRY["join_bloom_runtime_filter"].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan, plan
