@@ -20,3 +20,4 @@ from . import reshape  # noqa: F401
 from . import tpch  # noqa: F401
 from . import mutations  # noqa: F401
 from . import trainprep  # noqa: F401
+from . import graph  # noqa: F401

@@ -1,0 +1,152 @@
+"""Graph operators — iterative algorithms over relational edge lists.
+
+PageRank here is the representative *iterative* workload (the category the
+task brief calls out as genuinely non-SQL-expressible in one query).  Two
+design decisions make it verifiable and scalable:
+
+1. **Exact integer arithmetic.**  Float PageRank is order-dependent under
+   parallel summation (double addition is non-associative), so a
+   hash-parity oracle would flake.  Ranks are scaled to BIGINT at 1e12 and
+   every step uses integer division — both engines compute bit-identical
+   longs, so the driver's value-hash is stable.  (dedup_clusters uses the
+   same trick for its label-propagation loop.)
+2. **Distributed iteration shape.**  Each step is join(ranks, edges) →
+   groupBy(dst).sum — ranks and edges stay DataFrames throughout, nothing
+   rank-sized ever hits the driver.  ``localCheckpoint`` every few rounds
+   truncates the lineage so the plan doesn't deepen unboundedly — at a
+   billion vertices this is the standard Pregel-on-DataFrames loop.
+
+The oracle unrolls the same fixed iteration count as chained CTEs —
+possible precisely because the arithmetic is exact.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+_SCALE = 1_000_000_000_000  # rank fixed-point scale (1e12)
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+_N_ITER = 10
+
+# Directed trade graph: customer-nation → supplier-nation, keeping only
+# pairs whose trade volume exceeds the MEAN pair volume (written as
+# ``w * n_pairs > total_w`` — integer compare, no float division, so both
+# engines pick the identical edge set at any SF).  The raw pair graph is
+# complete at test scale; thresholding makes out-degrees uneven (5..16)
+# so ranks actually discriminate.
+_PAIRS_SQL = """
+    SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+    GROUP BY 1, 2
+"""
+_EDGES_SQL = f"""
+    WITH p AS ({_PAIRS_SQL})
+    SELECT src, dst FROM p
+    WHERE w * (SELECT COUNT(*) FROM p) > (SELECT SUM(w) FROM p)
+"""
+
+
+def _pagerank_oracle() -> str:
+    base = (
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL}),\n"
+        "verts AS MATERIALIZED (SELECT n_nationkey AS v FROM nation),\n"
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),\n"
+        "nv AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts),\n"
+        f"r0 AS (SELECT v, CAST({_SCALE} // (SELECT n FROM nv) AS BIGINT) AS rank"
+        " FROM verts)"
+    )
+    steps = []
+    for i in range(1, _N_ITER + 1):
+        p = i - 1
+        steps.append(
+            f"r{i} AS (\n"
+            f"  SELECT v, CAST({_SCALE} * ({_DAMP_DEN} - {_DAMP_NUM})"
+            f" // ({_DAMP_DEN} * (SELECT n FROM nv)) AS BIGINT)\n"
+            f"       + COALESCE((SELECT SUM(contrib) FROM (\n"
+            f"           SELECT e.dst, r.rank * {_DAMP_NUM}"
+            f" // ({_DAMP_DEN} * d.outdeg) AS contrib\n"
+            f"           FROM r{p} r JOIN edges e ON e.src = r.v\n"
+            f"           JOIN deg d ON d.src = r.v) c WHERE c.dst = verts.v), 0)"
+            f" AS rank\n"
+            f"  FROM verts)"
+        )
+    return (
+        base + ",\n" + ",\n".join(steps) + f"\nSELECT v AS nationkey, rank AS pr_fixed"
+        f" FROM r{_N_ITER}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (10 iterations, damping 0.85) over the
+    nation-to-nation trade graph.  See module docstring for why the
+    arithmetic is exact-integer and the loop is the Pregel-on-DataFrames
+    shape."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("w").alias("total_w")
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("n_pairs") > F.col("total_w"))
+        .select("src", "dst")
+        .localCheckpoint()  # edge list computed once, lineage truncated
+    )
+    verts = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("v")
+    )
+    n = verts.count()  # scalar graph metadata, like ann.py's k-means state
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+
+    ranks = verts.select("v", F.lit(_SCALE // n).cast("long").alias("rank"))
+    teleport = _SCALE * (_DAMP_DEN - _DAMP_NUM) // (_DAMP_DEN * n)
+    for i in range(_N_ITER):
+        contribs = (
+            ranks.join(edges_deg, ranks.v == edges_deg.src)
+            .select(
+                F.col("dst"),
+                F.expr(f"rank * {_DAMP_NUM} DIV ({_DAMP_DEN} * outdeg)").alias(
+                    "contrib"
+                ),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            verts.join(contribs, verts.v == contribs.dst, "left")
+            .select(
+                "v",
+                (F.lit(teleport) + F.coalesce("inflow", F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+        if (i + 1) % 5 == 0:  # truncate lineage every 5 rounds
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        F.col("v").alias("nationkey"), F.col("rank").alias("pr_fixed")
+    )

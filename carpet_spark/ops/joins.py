@@ -536,3 +536,90 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsum(F.col("l_quantity")).alias("sum_qty"),
         )
     )
+
+
+_BAND = 10.0
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    SELECT s.s_suppkey, s.s_acctbal, c.c_custkey, c.c_acctbal
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 10.0 AND s.s_acctbal + 10.0
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_band's 100 TB form: bin the band predicate into an EQUI key.
+    Each supplier row is replicated into the 3 bins its ±10 window can
+    touch (bin width = band width ⇒ a match is always in the same or an
+    adjacent bin of the probe row); the join is then a plain hash join on
+    bin_id with the exact band re-checked after.  Same result as join_band
+    (identical oracle), but the plan is shuffle/broadcast HASH join —
+    never a nested-loop — so both sides may be facts.  3x replication of
+    ONE side buys an equi-shuffle: the standard interval-join compromise
+    (plan-asserted no BroadcastNestedLoopJoin in test_plans.py)."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey", "c_acctbal")
+    s_binned = s.withColumn(
+        "bin_id",
+        F.explode(
+            F.array(
+                F.floor(F.col("s_acctbal") / _BAND) - 1,
+                F.floor(F.col("s_acctbal") / _BAND),
+                F.floor(F.col("s_acctbal") / _BAND) + 1,
+            )
+        ),
+    )
+    c_binned = c.withColumn("bin_id", F.floor(F.col("c_acctbal") / _BAND))
+    return (
+        c_binned.join(s_binned, "bin_id")
+        .filter(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - _BAND)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + _BAND)
+        )
+        .select("s_suppkey", "s_acctbal", "c_custkey", "c_acctbal")
+    )
+
+
+@register(
+    "join_fuzzy_blocked",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b
+      ON substring(a.c_name, 1, 12) = substring(b.c_name, 1, 12)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 3
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-match with BLOCKING: candidate pairs come
+    from an equi-join on a cheap blocking key (12-char name prefix), then
+    the expensive levenshtein verifies only within blocks — entity
+    resolution's standard scale shape.  All-pairs levenshtein over n rows
+    is O(n²·len²) and unshardable; blocked, the cost is Σ|block|² with the
+    same recall for any pair sharing the prefix.  JVM-side levenshtein
+    (built-in), hash-verified against DuckDB's."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 12).alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 12).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("custkey_a") < F.col("custkey_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("custkey_a", "custkey_b", "name_a", "name_b", "edit_dist")
+    )

@@ -254,3 +254,19 @@ def test_join_bloom_runtime_filter_injects_might_contain(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     assert "might_contain" in plan, plan
+
+
+def test_join_range_binned_is_hash_join(spark, sf_dir):
+    """The binned band join must be an equi hash join — the whole point is
+    escaping the nested-loop that join_band (the semantic baseline) uses."""
+    plan = explain_str(REGISTRY["join_range_binned"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_join_fuzzy_blocked_is_equi_join(spark, sf_dir):
+    """Fuzzy matching must join on the blocking key (equi), with
+    levenshtein only as a post-join filter — never an all-pairs theta."""
+    plan = explain_str(REGISTRY["join_fuzzy_blocked"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
