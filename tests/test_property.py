@@ -266,3 +266,53 @@ def test_knn_join_topk_recall_vs_bruteforce(spark, sf_dir):
         assert [r.rank for r in got] == list(range(1, len(got) + 1))
         recalls.append(len(set(got_ids) & set(exact_top)) / 3)
     assert recalls and float(np.mean(recalls)) >= 0.5, np.mean(recalls)
+
+
+def test_range_binned_equals_naive_band_on_random_data(spark):
+    """join_range_binned's bin-replication must be EXACTLY equivalent to
+    the naive theta band join for any data — including values on bin
+    boundaries (x/width integral) and negatives (floor semantics)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    rng = random.Random(20260813)
+    band = 10.0
+    # adversarial values: boundary multiples of the bin width, negatives,
+    # near-boundary offsets
+    vals_a = [rng.choice([-1, 1]) * rng.randint(0, 400) / 4.0 for _ in range(300)]
+    vals_b = [rng.choice([-1, 1]) * rng.randint(0, 400) / 4.0 for _ in range(300)]
+    a = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals_a)], "ida long, va double"
+    )
+    b = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals_b)], "idb long, vb double"
+    )
+
+    naive = a.join(
+        b, (b.vb >= a.va - band) & (b.vb <= a.va + band)
+    ).select("ida", "idb")
+
+    a_binned = a.withColumn(
+        "bin_id",
+        F.explode(
+            F.array(
+                F.floor(F.col("va") / band) - 1,
+                F.floor(F.col("va") / band),
+                F.floor(F.col("va") / band) + 1,
+            )
+        ),
+    )
+    b_binned = b.withColumn("bin_id", F.floor(F.col("vb") / band))
+    binned = (
+        b_binned.join(a_binned, "bin_id")
+        .filter((F.col("vb") >= F.col("va") - band) & (F.col("vb") <= F.col("va") + band))
+        .select("ida", "idb")
+    )
+
+    naive_set = {tuple(r) for r in naive.collect()}
+    binned_set = {tuple(r) for r in binned.collect()}
+    assert naive_set == binned_set, (
+        f"missing={list(naive_set - binned_set)[:5]} "
+        f"extra={list(binned_set - naive_set)[:5]}"
+    )
