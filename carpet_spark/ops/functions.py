@@ -385,3 +385,47 @@ def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "near_anchor"
         ),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: synthesize a well-formed URL per document, then
+    parse host / path / query-param / protocol back out with Spark's
+    JVM-side ``parse_url`` (the crawl-pipeline staple: domain extraction
+    for source filtering and per-site quotas).  The oracle re-parses with
+    anchored regexes — agreement proves parse_url's components match their
+    regex definitions on well-formed URLs."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -379,3 +379,71 @@ def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "last_event_id", "last_type")
     )
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet — _events_stream's staging
+    pattern (symlink dir keyed on a stable digest of sf_dir)."""
+    import hashlib
+
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"docs_stream_{hashlib.sha256(sf_dir.encode()).hexdigest()[:16]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"), link)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+@register(
+    "stream_pretrain_prep",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, text, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE lang = 'en'
+    ),
+    filtered AS (
+      SELECT * FROM scored WHERE n_tok BETWEEN 25 AND 80
+    )
+    SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_tok) AS n_tok,
+           COUNT(*) AS n_copies
+    FROM filtered
+    GROUP BY text
+    """,
+)
+def stream_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_pretrain_prep as a TRUE Structured Streaming query: the
+    documents corpus arrives as a stream; language filter + token-count
+    quality gate run stateless per micro-batch; the exact-dedup groupBy on
+    the sha256 digest is a stateful streaming aggregate (complete mode),
+    driven to completion with availableNow into a memory sink.
+
+    This is the continuous-ingest shape of a training-data pipeline: a
+    crawler drops files, the stream folds them into the deduped corpus
+    incrementally — no batch recompute of already-seen documents.  The
+    digest keyed state is 32 bytes + counters per UNIQUE doc; on an
+    unbounded crawl you'd bound it with dropDuplicatesWithinWatermark on
+    an ingest-time column instead (stream_dedup_watermark shows that).
+    File-source delivery order doesn't affect the result (MIN/count are
+    order-insensitive), so the emitted table equals the batch pipeline —
+    the identical hash oracle."""
+    stream = _documents_stream(spark, sf_dir).filter(F.col("lang") == "en")
+    scored = stream.withColumn("n_tok", F.size(F.split("text", " ")))
+    filtered = scored.filter(F.col("n_tok").between(25, 80))
+    deduped = (
+        filtered.groupBy(F.sha2("text", 256).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_tok").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_tok", "n_copies")
+    )
+    name = f"pretrain_{uuid.uuid4().hex[:8]}"
+    return _run_available_now(deduped, name, mode="complete")
