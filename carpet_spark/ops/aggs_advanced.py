@@ -316,3 +316,28 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+           COUNT(*) AS n
+    FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer) t
+    GROUP BY c_nationkey
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): distinct market
+    segments per nation, concatenated in sorted order.  collect_list order
+    is nondeterministic under parallel merge, so the list is sort_array'd
+    before joining — SURVEY §7.4's determinism rule applied to aggregation
+    of strings.  Scale: the distinct prunes to |nation|x|segment| rows
+    before any list is built; lists never exceed the (bounded) segment
+    vocabulary."""
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_list("c_mktsegment")), ",").alias("segs"),
+        F.count(F.lit(1)).alias("n"),
+    )
