@@ -270,3 +270,14 @@ def test_join_fuzzy_blocked_is_equi_join(spark, sf_dir):
     plan = explain_str(REGISTRY["join_fuzzy_blocked"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """The profiler's core claim: every column's stats in ONE pass — the
+    plan must contain exactly one parquet scan of orders (the naive
+    per-column loop would show four)."""
+    import re
+
+    plan = explain_str(REGISTRY["profile_table"].fn(spark, sf_dir))
+    # formatted mode prints each node in tree + detail; count numbered nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
