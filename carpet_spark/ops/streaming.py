@@ -447,3 +447,39 @@ def stream_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"pretrain_{uuid.uuid4().hex[:8]}"
     return _run_available_now(deduped, name, mode="complete")
+
+
+@register(
+    "stream_sink_exactly_once",
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once file sink via foreachBatch: each micro-batch
+    overwrites its OWN directory keyed by batch_id, so a replayed batch
+    (post-crash restart from the checkpoint) lands idempotently instead of
+    duplicating — the production pattern for non-transactional sinks.  The
+    read-back of everything written must equal the source exactly (identity
+    oracle): a lost, duplicated, or mangled row anywhere in
+    stream→batch→write→read fails the hash.  Incremental replay behavior
+    is exercised in tests/test_streaming.py's foreachBatch test."""
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), f"stream_sink_{uuid.uuid4().hex[:12]}"
+    )
+    ckpt = os.path.join(out, "_ckpt")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

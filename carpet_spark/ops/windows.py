@@ -221,3 +221,31 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.round((F.col("o_totalprice") - prev) / prev, 6).alias("pct_change"),
     )
+
+
+@register(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+           ) AS n_last_hour
+    FROM events
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, how many of their events fall in
+    the trailing hour — the rate-limit / burst-detection window.  RANGE
+    over a timestamp ORDER BY with a calendar-interval bound (SQL window
+    form; the Python rangeBetween API only takes longs).  Unlike a
+    tumbling window this is one frame PER EVENT, evaluated by the sliding
+    frame machinery after a single shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id", "user_id", "ts",
+        """COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS n_last_hour""",
+    )
