@@ -200,3 +200,36 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _sink_path(spark, "sink_orc")
     df.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, NULL AS n_population
+    FROM nation WHERE n_regionkey <= 1
+    UNION ALL
+    SELECT n_nationkey, n_name, n_nationkey * 1000 + 7 AS n_population
+    FROM nation WHERE n_regionkey > 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: two parquet files in one dataset,
+    the newer with an added column (n_population), read with
+    ``mergeSchema=true`` — old rows surface NULL for the new column, the
+    production contract for append-only datasets whose schema widens over
+    time.  At 100 TB schema merge is a FOOTER-level operation (no data
+    rewrite); the oracle reconstructs the same union with explicit NULLs.
+    Write order doesn't matter: merge is by column NAME."""
+    n = load(spark, sf_dir, "nation")
+    out = _sink_path(spark, "schema_evo")
+    old = n.filter(F.col("n_regionkey") <= 1).select("n_nationkey", "n_name")
+    new = n.filter(F.col("n_regionkey") > 1).select(
+        "n_nationkey",
+        "n_name",
+        (F.col("n_nationkey") * 1000 + 7).alias("n_population"),
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "v1"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    ).select("n_nationkey", "n_name", "n_population")
