@@ -429,3 +429,43 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(k := o_orderkey, p := o_totalprice).k AS s_key,
+           struct_pack(k := o_orderkey, p := o_totalprice).p AS s_price,
+           (o_totalprice > 100000) AND (o_orderstatus = 'O') AS s_flag,
+           to_json(struct_pack(
+             id := o_orderkey,
+             nested := struct_pack(st := o_orderstatus)
+           )) AS s_json
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family — named_struct construction, field access (getField),
+    predicates over fields, and nested struct→JSON rendering.  Struct
+    columns themselves are projected back to scalars before returning so
+    the driver's value-hash sees engine-neutral primitives (SURVEY §7.5:
+    nested-type hash rendering is engine-specific)."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("k").alias("s_key"),
+        s.getField("p").alias("s_price"),
+        ((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O")).alias(
+            "s_flag"
+        ),
+        F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("id"),
+                F.struct(F.col("o_orderstatus").alias("st")).alias("nested"),
+            )
+        ).alias("s_json"),
+    )

@@ -623,3 +623,73 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("custkey_a", "custkey_b", "name_a", "name_b", "edit_dist")
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH sig AS (
+      SELECT user_id, ts, MIN(event_id) AS sig_id
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, s.sig_id, s.ts AS sig_ts
+    FROM events e
+    ASOF LEFT JOIN sig s ON e.user_id = s.user_id AND s.ts >= e.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event matched to the user's EARLIEST signup
+    at-or-after it (NULL if none follows) — the "next scheduled event"
+    lookup, mirror of join_asof's latest-at-or-before.
+
+    Same union-tag pattern, reflected: per user, sort by ts ascending with
+    the left row BEFORE the right at equal ts (so >= includes ties), and
+    take first(ignorenulls) over the [current row, unbounded following]
+    frame.  Still exactly ONE shuffle on user_id and no range-join blowup;
+    right side deduped to one row per (user, ts) with MIN(event_id) so the
+    match is engine-deterministic."""
+    ev = load(spark, sf_dir, "events")
+    sig = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("sig_id"))
+    )
+    left = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("sig_id"),
+        F.lit(None).cast("timestamp").alias("sig_ts"),
+    )
+    right = sig.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_left"),
+        "sig_id",
+        F.col("ts").alias("sig_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(),
+            F.col("is_left").desc(),
+            F.coalesce("event_id", "sig_id").asc(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("m_sig_id", F.first("sig_id", ignorenulls=True).over(w))
+        .withColumn("m_sig_ts", F.first("sig_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("m_sig_id").alias("sig_id"),
+            F.col("m_sig_ts").alias("sig_ts"),
+        )
+    )

@@ -963,3 +963,66 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid")
     )
+
+
+# ---------------------------------------------------- repetition quality ----
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    per AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt
+      FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_bigram_frac,
+           round(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+             AS dup_bigram_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of bigram
+    occurrences taken by the single most frequent bigram, and the fraction
+    that are repeats of an already-seen bigram.  High values flag
+    boilerplate / generated text — a standard pretraining quality filter.
+
+    Plan: bigrams are built positionally per row (index transform, no
+    self-join), exploded, then two map-side-combined hash aggregations
+    keyed by (doc_id, bigram) and doc_id.  Both shuffles carry the doc_id
+    key so at 100 TB the op is a pair of combiner-reduced exchanges, never
+    all-pairs.  Rounding is safe at 6dp: ratios have denominator ≤ 98
+    (max tokens/doc), which cannot terminate with a half at the 7th
+    decimal digit."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    per = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_bigram_frac"),
+        F.round(
+            (F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt"), 6
+        ).alias("dup_bigram_frac"),
+    )

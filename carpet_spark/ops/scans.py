@@ -233,3 +233,39 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(
         os.path.join(out, "v1"), os.path.join(out, "v2")
     ).select("n_nationkey", "n_name", "n_population")
+
+
+@register(
+    "sink_sorted_skip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l_shipdate <  TIMESTAMP '1995-07-01'
+    """,
+)
+def sink_sorted_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping layout: write lineitem range-partitioned AND sorted by
+    l_shipdate, then read back one month.  Because every file (and every
+    row group inside it) covers a tight l_shipdate interval, the parquet
+    min/max footer stats let the pushed-down predicate skip almost all
+    I/O — the sorted-layout half of what table formats call clustering /
+    Z-ordering (one sort key, so a plain range sort IS the optimal
+    curve).  At 100 TB this is the difference between scanning the
+    dataset and scanning ~1/84th of it; the plan test asserts the filter
+    reaches the scan (PushedFilters) rather than running post-read."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    out = _sink_path(spark, "sorted_skip")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    lo, hi = "1995-06-01", "1995-07-01"
+    return spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
@@ -147,3 +148,49 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
     b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return a.exceptAll(b)
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority class — per-group top-k, the skew-safe way.
+
+    A single window over 5 priority groups means 5 reducers own the whole
+    table at 100 TB.  Instead: phase 1 takes top-3 per (group, salt-of-64)
+    — 320 tiny partitions, map-heavy, each keeps ≤3 rows — then phase 2
+    re-ranks the ≤ groups×64×3 surviving candidates per group.  Any row in
+    a group's true top-3 is in its salt bucket's top-3 (row_number over a
+    superset can only rank it worse), so the two-phase result is exact.
+    The final window sees ≤192 rows per group regardless of table size.
+    Tie-break (totalprice DESC, orderkey ASC) is unique, so ranks are
+    engine-deterministic."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    salted = Window.partitionBy(
+        "o_orderpriority", F.crc32(F.col("o_orderkey").cast("string")) % 64
+    ).orderBy(*order_cols)
+    cand = (
+        o.withColumn("srn", F.row_number().over(salted))
+        .filter(F.col("srn") <= 3)
+        .drop("srn")
+    )
+    final = Window.partitionBy("o_orderpriority").orderBy(*order_cols)
+    return (
+        cand.withColumn("rn", F.row_number().over(final))
+        .filter(F.col("rn") <= 3)
+    )

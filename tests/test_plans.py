@@ -281,3 +281,20 @@ def test_profile_table_single_scan(spark, sf_dir):
     plan = explain_str(REGISTRY["profile_table"].fn(spark, sf_dir))
     # formatted mode prints each node in tree + detail; count numbered nodes
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_sink_sorted_skip_pushes_date_filter(spark, sf_dir):
+    """The read-back of the range-sorted sink must push the month predicate
+    into the parquet scan (footer min/max skipping), not filter post-read."""
+    plan = explain_str(REGISTRY["sink_sorted_skip"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], pushed
+
+
+def test_topk_per_group_two_phase(spark, sf_dir):
+    """Per-group top-k must run the salted pre-prune: two Window nodes, the
+    first partitioned by (group, salt) so no reducer ever owns a whole
+    group at scale."""
+    plan = explain_str(REGISTRY["topk_per_group"].fn(spark, sf_dir))
+    assert plan.count("Window") >= 2, plan
+    assert "crc32" in plan.lower(), "salt key missing from first window phase"
