@@ -341,3 +341,58 @@ def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("c_mktsegment")), ",").alias("segs"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT word, cnt FROM (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    )
+    ORDER BY cnt DESC, word ASC
+    LIMIT 20
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via mergeable Misra-Gries summaries + exact recount —
+    the streaming-sketch top-k that never shuffles the full key space.
+
+    Phase 1 (mapInPandas): each partition keeps a K=200-counter summary of
+    the word stream (on overflow, subtract the (K+1)-th largest count from
+    all and drop non-positives — the mergeable-summary reduction).  Any
+    word with global frequency > n/K is GUARANTEED to survive in at least
+    one partition (if its count were <= n_p/K in every partition, the
+    total would be <= n/K), so the candidate union always contains every
+    true heavy hitter regardless of partition boundaries.
+    Phase 2: exact count of the bounded candidate set only (broadcast
+    semi-join), so emitted counts are EXACT and the result is
+    partition-layout independent — which is what licenses the exact hash
+    oracle for an "approximate" operator.
+    At 100 TB phase 1 moves K rows per partition (not the key space) and
+    phase 2 aggregates a candidate-pruned stream; driver never sees raw
+    data."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("word"))
+    K = 200
+
+    def mg_summary(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counters = counters.add(pdf["word"].value_counts(), fill_value=0)
+            if len(counters) > K:
+                m = counters.nlargest(K + 1).iloc[-1]
+                counters = counters - m
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"word": counters.index.astype(str)})
+
+    candidates = toks.mapInPandas(mg_summary, "word string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exact.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(20)

@@ -469,3 +469,39 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s_json"),
     )
+
+
+@register(
+    "fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+             AS plus_2mo,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE)
+             AS minus_1mo,
+           CAST(CAST(o_orderdate AS DATE)
+                + to_days(CAST(((1 - isodow(CAST(o_orderdate AS DATE)) + 6) % 7)
+                               + 1 AS INTEGER)) AS DATE) AS next_monday,
+           o_orderdate + INTERVAL 90 MINUTE AS plus_90min,
+           o_orderdate - INTERVAL 36 HOUR AS minus_36h
+    FROM orders
+    """,
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic family: month addition with end-of-month
+    clamping (both engines clamp Jan 31 + 1 mo -> Feb 28 [probed]),
+    next-weekday, and sub-day timestamp offsets.  All pure Catalyst
+    expressions; the DuckDB twin emulates next_day via isodow modular
+    arithmetic (no native next_day there)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        F.add_months(d, -1).alias("minus_1mo"),
+        F.next_day(d, "Mon").alias("next_monday"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90min"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 36 HOURS")).alias("minus_36h"),
+    )

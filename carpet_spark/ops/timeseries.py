@@ -195,3 +195,119 @@ def ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("locf_value"),
         )
     )
+
+
+@register(
+    "ts_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.hour, t.event_type, h.avg_value,
+             last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN h.avg_value IS NOT NULL THEN s.hour END
+                        IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN h.avg_value IS NOT NULL THEN s.hour END
+                         IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+    )
+    SELECT hour, event_type,
+           CASE
+             WHEN avg_value IS NOT NULL THEN avg_value
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               round(pv + (nv - pv)
+                     * (CAST(epoch(hour) - epoch(ph) AS DOUBLE)
+                        / CAST(epoch(nh) - epoch(ph) AS DOUBLE)), 6)
+             ELSE NULL
+           END AS interp_value
+    FROM grid
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (time-weighted) interpolation on the dense hourly grid per
+    event_type: silent hours get the value lerped between the previous and
+    next observed hours; hours outside the observed range stay NULL (no
+    extrapolation).  Completes the imputation trio zero-fill (ts_gapfill) /
+    step (ts_locf) / linear (this op).
+
+    Scale: identical spine discipline to ts_locf — the two carry-windows
+    run over O(hours x types) spine rows, never raw events, and the lerp
+    is pure per-row arithmetic.  Both engines evaluate the SAME double
+    expression shape (pv + (nv-pv)*frac, then round 6) so results are
+    bit-deterministic."""
+    from pyspark.sql import Window
+
+    from ..exprs import davg, round6
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(round6(davg(F.col("value"))).alias("avg_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("avg_value").isNotNull(), F.col("hour"))
+    grid = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            "avg_value",
+            F.last("avg_value", ignorenulls=True).over(wp).alias("pv"),
+            F.last(obs_hour, ignorenulls=True).over(wp).alias("ph"),
+            F.first("avg_value", ignorenulls=True).over(wn).alias("nv"),
+            F.first(obs_hour, ignorenulls=True).over(wn).alias("nh"),
+        )
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    return grid.select(
+        "hour",
+        "event_type",
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6),
+        )
+        .alias("interp_value"),
+    )
