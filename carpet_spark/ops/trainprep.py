@@ -387,3 +387,98 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", fp.alias("fp")
     )
     return incoming.join(seen, "fp", "left_anti").select("doc_id", "lang")
+
+
+# ------------------------------------------------------ output sharding ----
+
+
+@register(
+    "pack_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             hash_part,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM (
+        SELECT doc_id, text,
+               CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 8
+                    AS INTEGER) AS hash_part
+        FROM documents
+      )
+    ),
+    packed AS (
+      SELECT doc_id, hash_part, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY hash_part ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, hash_part, n_tokens,
+           CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 2000)
+                AS BIGINT) AS shard_id
+    FROM packed
+    """,
+)
+def pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed token-budget output shards — the last step
+    of a pretraining pipeline before writing tokenized data.  Documents are
+    spread across hash partitions (md5 of doc_id, so assignment is stable
+    under reprocessing), and within each partition a running token cumsum
+    places each doc in shard floor(preceding_tokens / budget): every shard
+    holds ~budget tokens of consecutive docs.
+
+    Scale: the window cumsum runs per hash_part — P independent sequential
+    scans, each 1/P of the corpus, exactly how a distributed writer packs
+    shards without a global sort.  Shard ids are deterministic because the
+    intra-partition order (doc_id) and the hash are."""
+    d = load(spark, sf_dir, "documents")
+    budget = 2000
+    part = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 8
+    ).alias("hash_part")
+    toks = d.select(
+        "doc_id", part, F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("hash_part")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id",
+        "hash_part",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / budget
+        ).alias("shard_id"),
+    )
+
+
+@register(
+    "shuffle_deterministic",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)))
+             AS shuffle_rank
+    FROM documents
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: global example order for training is
+    the sort order of md5(seed || doc_id) — reproducible across runs and
+    engines (both emit lowercase-hex md5), reshuffled by changing the
+    seed, and free of RNG state.  The observable is the rank itself.
+
+    Scale: a range-partitioned sort on a uniformly distributed 128-bit
+    key — Spark samples split points, so partitions are balanced by
+    construction; no single reducer hotspot.  (The global row_number here
+    is for the bounded test corpus; at 100 TB the writer consumes the
+    SORT order directly — partition-local sequence + partition offsets —
+    rather than materializing a global rank.)"""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    return d.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(key)).alias("shuffle_rank"),
+    )

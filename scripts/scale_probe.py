@@ -168,6 +168,40 @@ def probe(spark, mult: int) -> dict[str, float]:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n")),
     )
+    # per-group top-k, both ways: the naive single window funnels the whole
+    # table through |groups| reducers (3 returnflag values here — the skew
+    # worst case); the two-phase salted version pre-prunes to <=3 rows per
+    # (group, salt-of-64) so the final window sees <=192 rows per group
+    # regardless of table size.  The gap between these two rows IS the
+    # skew argument for ops/sorts.py::topk_per_group.
+    order_cols = [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc()]
+
+    def naive_group_topk():
+        w = Window.partitionBy("l_returnflag").orderBy(*order_cols)
+        return (
+            li()
+            .select("l_returnflag", "l_orderkey", "l_extendedprice")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+        )
+
+    def salted_group_topk():
+        salted = Window.partitionBy(
+            "l_returnflag", F.crc32(F.col("l_orderkey").cast("string")) % 64
+        ).orderBy(*order_cols)
+        final = Window.partitionBy("l_returnflag").orderBy(*order_cols)
+        return (
+            li()
+            .select("l_returnflag", "l_orderkey", "l_extendedprice")
+            .withColumn("srn", F.row_number().over(salted))
+            .filter(F.col("srn") <= 3)
+            .drop("srn")
+            .withColumn("rn", F.row_number().over(final))
+            .filter(F.col("rn") <= 3)
+        )
+
+    t("group_topk_naive_shape", naive_group_topk)
+    t("group_topk_salted_shape", salted_group_topk)
     # dedup shape: exact dedup's digest-keyed shuffle (never the raw text)
     t(
         "dedup_shape",
