@@ -316,3 +316,36 @@ def test_range_binned_equals_naive_band_on_random_data(spark):
         f"missing={list(naive_set - binned_set)[:5]} "
         f"extra={list(binned_set - naive_set)[:5]}"
     )
+
+
+def test_agg_approx_topk_partition_independent(spark, sf_dir):
+    """The Misra-Gries guarantee that licenses agg_approx_topk's EXACT hash
+    oracle: any word with global frequency > n/K survives phase 1 in at
+    least one partition, so the final top-20 (exact recount of candidates)
+    must be identical under radically different partition layouts."""
+    from carpet_spark.registry import REGISTRY
+
+    fn = REGISTRY["agg_approx_topk"].fn
+
+    def run(n_parts):
+        import carpet_spark.tables as tables
+
+        orig = tables.load
+
+        def repartitioned(spark_, sf_, name):
+            df = orig(spark_, sf_, name)
+            return df.repartition(n_parts) if name == "documents" else df
+
+        tables.load = repartitioned
+        # ops bind `load` at import time; patch via the module the op uses
+        import carpet_spark.ops.aggs_advanced as mod
+
+        mod_orig = mod.load
+        mod.load = repartitioned
+        try:
+            return [tuple(r) for r in fn(spark, sf_dir).collect()]
+        finally:
+            tables.load = orig
+            mod.load = mod_orig
+
+    assert run(1) == run(13)
