@@ -182,7 +182,7 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
     salted = Window.partitionBy(
-        "o_orderpriority", F.crc32(F.col("o_orderkey").cast("string")) % 64
+        "o_orderpriority", F.pmod(F.hash("o_orderkey"), F.lit(64))
     ).orderBy(*order_cols)
     cand = (
         o.withColumn("srn", F.row_number().over(salted))

@@ -187,7 +187,7 @@ def probe(spark, mult: int) -> dict[str, float]:
 
     def salted_group_topk():
         salted = Window.partitionBy(
-            "l_returnflag", F.crc32(F.col("l_orderkey").cast("string")) % 64
+            "l_returnflag", F.pmod(F.hash("l_orderkey"), F.lit(64))
         ).orderBy(*order_cols)
         final = Window.partitionBy("l_returnflag").orderBy(*order_cols)
         return (

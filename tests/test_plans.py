@@ -297,4 +297,4 @@ def test_topk_per_group_two_phase(spark, sf_dir):
     group at scale."""
     plan = explain_str(REGISTRY["topk_per_group"].fn(spark, sf_dir))
     assert plan.count("Window") >= 2, plan
-    assert "crc32" in plan.lower(), "salt key missing from first window phase"
+    assert "pmod" in plan.lower(), "salt key missing from first window phase"
