@@ -356,3 +356,68 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@register("emb_pca_project")  # rows-only: eigendecomposition not SQL-expressible
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component projection of the embedding corpus — the
+    reduce step of distributed PCA, the standard embedding-drift /
+    visualization primitive.
+
+    Phase 1 (distributed): each partition emits ONE summary row
+    (count, sum[64], flattened sum-of-outer-products[64x64]) via an
+    Arrow-batched mapInPandas matmul — the classic mergeable second-moment
+    sketch.  The driver collects |partitions| x ~33 KB (bounded state like
+    ops/ann.py IVF k-means, never data rows), assembles the covariance,
+    and eigendecomposes the 64x64 matrix locally in numpy.
+    Phase 2 (distributed): projection onto the (sign-normalized) top
+    eigenvector runs as a pure JVM zip_with/aggregate expression over the
+    literal component — no Python on the scoring path.
+
+    Verification: rows-only for the driver (no SQL eigensolver); the
+    property test asserts the PC1 score variance dominates the variance of
+    every raw coordinate (optimality witness) and that scores are stable
+    under repartitioning."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, ss = 0, np.zeros(_DIM), np.zeros((_DIM, _DIM))
+        for pdf in batches:
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            ss += m.T @ m
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.ravel().tolist()]}
+            )
+
+    e = load(spark, sf_dir, "embeddings")
+    rows = e.select("embedding").mapInPandas(
+        partials, "n long, s array<double>, ss array<double>"
+    ).collect()  # bounded: one ~33 KB summary row per partition
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    ss = np.sum([np.array(r["ss"]).reshape(_DIM, _DIM) for r in rows], axis=0)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    pc1 = vecs[:, -1]
+    nz = np.flatnonzero(np.abs(pc1) > 1e-12)[0]
+    if pc1[nz] < 0:  # deterministic sign convention
+        pc1 = -pc1
+    pc_lit = F.array(*[F.lit(float(x)) for x in pc1])
+    mean_lit = F.array(*[F.lit(float(x)) for x in mean])
+    centered_dot = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"), mean_lit, lambda x, m: x - m
+            ),
+            pc_lit,
+            lambda c, v: c * v,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id", "label", F.round(centered_dot, 6).alias("pc1_score")
+    )

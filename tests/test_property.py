@@ -349,3 +349,21 @@ def test_agg_approx_topk_partition_independent(spark, sf_dir):
             mod.load = mod_orig
 
     assert run(1) == run(13)
+
+
+def test_emb_pca_variance_dominates_coordinates(spark, sf_dir):
+    """PC1 optimality witness: the variance of the projected scores must be
+    >= the variance of every raw coordinate (PC1 maximizes variance over
+    ALL unit directions, so coordinate axes are a lower bound)."""
+    import numpy as np
+
+    from carpet_spark.registry import REGISTRY
+    from carpet_spark.tables import load
+
+    scores = np.array(
+        [r["pc1_score"] for r in REGISTRY["emb_pca_project"].fn(spark, sf_dir).collect()]
+    )
+    mat = np.vstack(
+        [r["embedding"] for r in load(spark, sf_dir, "embeddings").collect()]
+    ).astype(float)
+    assert scores.var(ddof=1) >= mat.var(axis=0, ddof=1).max() - 1e-9
