@@ -68,7 +68,57 @@ def apply_pii(df: DataFrame, cfg: PIIConfig) -> DataFrame:
     return df
 
 
+def _main_query(argv: list[str]) -> None:
+    """`carpet-spark query OP`: run any registered operator and print or
+    write its result — the whole 183-op registry as a command-line product.
+
+    python -m carpet_spark.cli query dedup_near_minhash \
+        --sf-dir /root/testdata/sf0.01 --limit 20 [--output out.parquet]
+    """
+    p = argparse.ArgumentParser(prog="carpet-spark query")
+    p.add_argument("op", help="registered operator id (see `ops` subcommand)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--output", help="write result parquet here instead of stdout")
+    p.add_argument("--limit", type=int, default=20, help="stdout row cap")
+    p.add_argument("--explain", action="store_true", help="print the physical plan")
+    args = p.parse_args(argv)
+
+    from .registry import REGISTRY
+    from .session import get_spark
+
+    if args.op not in REGISTRY:
+        raise SystemExit(f"unknown op {args.op!r}; run: carpet-spark ops")
+    spark = get_spark("carpet_spark_cli")
+    df = REGISTRY[args.op].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain(mode="formatted")
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=False)
+
+
+def _main_ops() -> None:
+    from .registry import REGISTRY
+
+    for name, op in sorted(REGISTRY.items()):
+        kind = "hash-oracle" if op.oracle else "rows-only"
+        print(f"{name:32s} {kind}")
+
+
 def main(argv: list[str] | None = None) -> None:
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "query":
+        import carpet_spark.ops  # noqa: F401  (registration side-effects)
+
+        return _main_query(argv[1:])
+    if argv and argv[0] == "ops":
+        import carpet_spark.ops  # noqa: F401
+
+        return _main_ops()
     p = argparse.ArgumentParser(prog="carpet-spark", description=__doc__)
     p.add_argument("input", help="input parquet path/glob")
     p.add_argument("output", help="output parquet directory")

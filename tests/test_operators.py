@@ -164,3 +164,16 @@ def test_cli_end_to_end(spark, tmp_path):
     src_row = src.filter(F.col("c_custkey") == 1).collect()[0]
     assert row.c_name == hashlib.sha256(f"s{src_row.c_name}".encode()).hexdigest()
     assert not any(ch in "AEIOU" for ch in row.c_mktsegment)
+
+
+def test_cli_query_subcommand(spark, tmp_path, capsys):
+    """`carpet-spark query OP` runs any registered operator; --output writes
+    parquet readable back with the op's schema."""
+    from carpet_spark import cli
+
+    out = str(tmp_path / "q_out")
+    cli.main(["query", "scan_parquet", "--sf-dir", SF_SMOKE, "--output", out])
+    capsys.readouterr()
+    back = spark.read.parquet(out)
+    assert back.count() == 25
+    assert "n_nationkey" in back.columns
