@@ -470,15 +470,41 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (both emit lowercase-hex md5), reshuffled by changing the
     seed, and free of RNG state.  The observable is the rank itself.
 
-    Scale: a range-partitioned sort on a uniformly distributed 128-bit
-    key — Spark samples split points, so partitions are balanced by
-    construction; no single reducer hotspot.  (The global row_number here
-    is for the bounded test corpus; at 100 TB the writer consumes the
-    SORT order directly — partition-local sequence + partition offsets —
-    rather than materializing a global rank.)"""
+    Scale: the global rank is computed WITHOUT a single-partition window
+    (the naive ``Window.orderBy(key)`` funnels the corpus through one
+    reducer).  Instead, the distributed zipWithIndex pattern over
+    CONTENT-DERIVED range buckets: the key's first hex character splits
+    the corpus into 16 disjoint ordered ranges ('0' < '1' < … < 'f'
+    lexicographically, and the first char dominates the comparison), each
+    bucket takes a partition-local row_number, and a 16-row cumulative
+    offset table (broadcast) lifts local ranks to global ones.  Bucketing
+    by content — not by a sampled boundary — keeps every branch of the
+    plan in agreement without relying on exchange reuse; at 100 TB use
+    the first 2-4 hex chars (256-65k buckets) for reducer parallelism."""
     d = load(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
-    return d.select(
-        "doc_id",
-        F.row_number().over(Window.orderBy(key)).alias("shuffle_rank"),
+    keyed = d.select(
+        "doc_id", key.alias("k"), F.substring(key, 1, 1).alias("bucket")
+    )
+    local = keyed.withColumn(
+        "lrn", F.row_number().over(Window.partitionBy("bucket").orderBy("k"))
+    )
+    offsets = (
+        keyed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", (F.col("lrn") + F.col("offset")).alias("shuffle_rank")
     )
