@@ -217,7 +217,8 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union("sh_a", "sh_b"))
     )
     return (
-        a.join(F.broadcast(b), (F.col("doc_a") < F.col("doc_b")) & size_ok)
+        a.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(b), (F.col("doc_a") < F.col("doc_b")) & size_ok)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.7)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
@@ -610,7 +611,8 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        a.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "cos_sim")
@@ -836,7 +838,8 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        a.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
         .withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= 0.4)
         .select("doc_a", "doc_b", "cos_sim")
