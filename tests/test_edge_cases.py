@@ -75,3 +75,44 @@ def test_shingle_guard_matches_duckdb_empty_semantics(spark, short_doc_dir):
     among doc_ids 0-3."""
     rows = REGISTRY["dedup_near_jaccard"].fn(spark, short_doc_dir).collect()
     assert {(r.doc_a, r.doc_b) for r in rows} == {(4, 5)}
+
+
+def test_text_repetition_short_docs(spark, short_doc_dir):
+    """Docs with <2 tokens have no bigrams: they must be EXCLUDED (not
+    crash, not emit a 0/0 row) — mirroring the oracle's len>=2 filter."""
+    out = REGISTRY["text_repetition"].fn(spark, short_doc_dir).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 0 not in ids and 1 not in ids  # empty + 1-token excluded
+    assert 2 in ids and 4 in ids
+    row2 = next(r for r in out if r["doc_id"] == 2)
+    assert row2["n_bigrams"] == 1 and row2["dup_bigram_frac"] == 0.0
+
+
+def test_topk_per_group_group_smaller_than_k(spark, sf_dir):
+    """A group with fewer rows than k returns all its rows with contiguous
+    ranks starting at 1 (no padding, no missing ranks)."""
+    out = REGISTRY["topk_per_group"].fn(spark, sf_dir).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["o_orderpriority"], []).append(r["rn"])
+    for grp, rns in by_grp.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), (grp, rns)
+        assert len(rns) <= 3
+
+
+def test_pack_shards_budget_invariant(spark, sf_dir):
+    """Every shard except a hash-partition's last must have accumulated
+    >= budget tokens once its successor starts; shard ids are contiguous
+    from 0 within each hash partition."""
+    rows = REGISTRY["pack_shards"].fn(spark, sf_dir).collect()
+    parts = {}
+    for r in rows:
+        parts.setdefault(r["hash_part"], []).append(r)
+    for hp, rs in parts.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        shard_ids = sorted({r["shard_id"] for r in rs})
+        assert shard_ids == list(range(len(shard_ids))), hp
+        cum = 0
+        for r in rs:
+            assert r["shard_id"] == cum // 2000
+            cum += r["n_tokens"]
