@@ -1029,3 +1029,39 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cnt") - F.count(F.lit(1))) / F.sum("cnt"), 6
         ).alias("dup_bigram_frac"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY sha256(text)
+               ORDER BY n_chars DESC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST representative per duplicate group —
+    production pipelines keep the longest / highest-quality copy (here:
+    max n_chars, doc_id tie-break), not an arbitrary min-id.  One
+    row_number window partitioned by the sha256 digest: same single
+    digest-keyed shuffle as dedup_exact (never the raw text), and the
+    quality policy is just the window's ORDER BY — swap in any scoring
+    column without touching the shuffle structure."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
