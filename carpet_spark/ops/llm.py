@@ -1065,3 +1065,64 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))
+               AS avg_len,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> list_contains(['the','and','of','a'], x)))
+                  AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 1
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-1.5 + 0.02 * n_tok + 0.1 * avg_len
+                                    + 2.0 * stop_ratio))), 6) AS quality,
+           (1.0 / (1.0 + exp(-(-1.5 + 0.02 * n_tok + 0.1 * avg_len
+                               + 2.0 * stop_ratio))) >= 0.5) AS keep
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier inference as a Spark op: a logistic model over
+    cheap text features (token count, mean token length, stopword ratio)
+    with fixed broadcast weights — the fastText-classifier-shaped filter
+    every pretraining pipeline runs after heuristic gates.  The weights
+    are literals here; in production they come from a broadcast variable
+    and the op is UNCHANGED — scoring is a pure JVM projection (sigmoid of
+    a dot product), zero shuffle, codegen-fused with the scan.  The same
+    expression shape on both engines keeps the double bit-deterministic
+    before the 6dp round."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in ("the", "and", "of", "a")])
+    feats = d.filter(n_tok >= 1).select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        (F.col("n_chars").cast("double") / n_tok).alias("avg_len"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / n_tok
+        ).alias("stop_ratio"),
+    )
+    logit = (
+        F.lit(-1.5)
+        + 0.02 * F.col("n_tok")
+        + 0.1 * F.col("avg_len")
+        + 2.0 * F.col("stop_ratio")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return feats.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
