@@ -592,35 +592,42 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.c_name AS name_a, b.c_name AS name_b,
            levenshtein(a.c_name, b.c_name) AS edit_dist
     FROM customer a JOIN customer b
-      ON substring(a.c_name, 1, 12) = substring(b.c_name, 1, 12)
+      ON substring(a.c_name, 10, 7) = substring(b.c_name, 10, 7)
      AND a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= 3
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
 )
 def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (edit-distance) self-match with BLOCKING: candidate pairs come
-    from an equi-join on a cheap blocking key (12-char name prefix), then
-    the expensive levenshtein verifies only within blocks — entity
-    resolution's standard scale shape.  All-pairs levenshtein over n rows
-    is O(n²·len²) and unshardable; blocked, the cost is Σ|block|² with the
-    same recall for any pair sharing the prefix.  JVM-side levenshtein
-    (built-in), hash-verified against DuckDB's."""
+    from an equi-join on a cheap blocking key, then the expensive
+    levenshtein verifies only within blocks — entity resolution's standard
+    scale shape.  All-pairs levenshtein over n rows is O(n²·len²) and
+    unshardable; blocked, the cost is Σ|block|² with full recall for any
+    pair sharing the key.  The key must be DISCRIMINATIVE: the first
+    attempt blocked on the 12-char name prefix, which on templated
+    "Customer#000..." names put the whole corpus in ONE block (all-pairs
+    in disguise — 225M single-task compares at sf0.1).  Blocking on the
+    first 7 digits of the numeric suffix caps every block at the last-2-
+    digit combinations (≤100 rows) at ANY corpus size, trading recall on
+    pairs that differ in a leading digit — the standard blocking recall/
+    cost dial.  JVM-side levenshtein (built-in), hash-verified against
+    DuckDB's."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     a = c.select(
         F.col("c_custkey").alias("custkey_a"),
         F.col("c_name").alias("name_a"),
-        F.substring("c_name", 1, 12).alias("blk"),
+        F.substring("c_name", 10, 7).alias("blk"),
     )
     b = c.select(
         F.col("c_custkey").alias("custkey_b"),
         F.col("c_name").alias("name_b"),
-        F.substring("c_name", 1, 12).alias("blk"),
+        F.substring("c_name", 10, 7).alias("blk"),
     )
     return (
         a.join(b, "blk")
         .filter(F.col("custkey_a") < F.col("custkey_b"))
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("edit_dist") <= 3)
+        .filter(F.col("edit_dist") <= 1)
         .select("custkey_a", "custkey_b", "name_a", "name_b", "edit_dist")
     )
 
