@@ -151,7 +151,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..tables import _normalize_event_ts
+
+    return _normalize_event_ts(raw)
 
 
 def _run_available_now(

@@ -45,7 +45,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = _normalize_event_ts(df)
     # Memoize the analyzed source plan per (session, path): repeated queries
     # skip file listing + parquet schema inference, the way a catalog table
     # with cached metadata behaves on a real cluster.  DataFrames are
@@ -56,6 +56,26 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 _SOURCE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Schema-adaptive ts normalization: the test generator has shipped
+    events.ts both as parquet TIMESTAMP(NANOS) (arrives as bigint ns with
+    nanosAsLong=true) and as native TIMESTAMP(MICROS).  Branch on the
+    *arrived* dtype so either vintage of the data works unchanged; the
+    bigint branch uses exact integer µs division (never float-divide:
+    1e18 ns exceeds double's 53-bit exact range), matching DuckDB's own
+    ns→µs truncation (SURVEY §1.3 [verified])."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        # timestamp_micros() yields TIMESTAMP (ltz), so every downstream op
+        # (unix_micros, window(), stream watermarks) was written against
+        # TIMESTAMP.  Session timezone is pinned to UTC (session.py:20), so
+        # the ntz→ltz cast is value-identical — it only restores the type.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
