@@ -508,3 +508,161 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.join(F.broadcast(offsets), "bucket").select(
         "doc_id", (F.col("lrn") + F.col("offset")).alias("shuffle_rank")
     )
+
+
+# ----------------------------------------------- decontamination / mixing ----
+
+
+@register(
+    "decontaminate_ngram",
+    oracle="""
+    WITH ng AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3] || ' ' || t[i+4])) AS gs
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT DISTINCT e.doc_id
+      FROM (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 97 <> 0) e
+      JOIN bench USING (g)
+    )
+    SELECT n.doc_id, n.source,
+           (h.doc_id IS NOT NULL) AS contaminated
+    FROM ng n LEFT JOIN hits h USING (doc_id)
+    WHERE n.doc_id % 97 <> 0
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    at least one 5-word n-gram with the held-out eval set (docs where
+    ``doc_id % 97 = 0`` stand in for the benchmark corpus).  The standard
+    pretraining hygiene step (13-gram in the literature; 5-gram here so
+    the synthetic short docs actually collide).
+
+    100 TB design: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are MBs, training data is TBs), so it is broadcast and the
+    contamination check is a broadcast LEFT SEMI join against each doc's
+    exploded n-grams — the corpus is never shuffled, and the per-doc
+    ``array_distinct`` bounds the explode factor at |tokens|."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 4),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+            F.element_at(toks, i + 4),
+        ),
+    )
+    # guard: sequence(1, n-4) descends through 0 when n < 5 (Spark default
+    # step -1) and element_at(toks, 0) throws — short docs get no grams
+    grams = F.when(n >= 5, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    ng = d.select("doc_id", "source", grams.alias("gs"))
+    bench = (
+        ng.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = ng.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(
+        hits.withColumn("hit", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        F.coalesce("hit", F.lit(False)).alias("contaminated"),
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    SELECT doc_id,
+           k AS chunk_id,
+           1 + 150 * k AS chunk_start,
+           substr(text, 1 + 150 * k, 200) AS chunk_text,
+           length(substr(text, 1 + 150 * k, 200)) AS chunk_len
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, 1 + (length(text) - 1) // 150)) AS k)
+    WHERE length(text) >= 1
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: fixed 200-char windows with 50-char overlap
+    (stride 150), emitting (chunk_id, 1-based char offset, text, length)
+    per chunk.  Chunk k starts at ``1 + 150*k`` while that offset is still
+    inside the document, so every char belongs to ≥1 chunk and boundary
+    context is preserved by the overlap.
+
+    100 TB design: pure narrow explode — no shuffle, no UDF; output size
+    is bounded at ~1.33× input chars by the stride/window ratio, and the
+    generator (sequence + transform) runs inside whole-stage codegen."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    ks = F.sequence(F.lit(0), F.expr("(length(text) - 1) div 150"))
+    e = d.select("doc_id", "text", F.explode(ks).alias("k"))
+    start = 1 + 150 * F.col("k")
+    chunk = F.substring(F.col("text"), start, 200)
+    return e.select(
+        "doc_id",
+        F.col("k").alias("chunk_id"),
+        start.alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+@register(
+    "sample_domain_mix",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, n_chars,
+             16 * (strpos('0123456789abcdef', substr(md5(text), 31, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(md5(text), 32, 1)) - 1)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM b
+    WHERE bucket < CASE source WHEN 'src0' THEN 256
+                               WHEN 'src1' THEN 128
+                               WHEN 'src2' THEN 64
+                               ELSE 26 END
+    """,
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: keep each document with a per-source target
+    rate (src0 100%, src1 50%, src2 25%, everything else ~10%) — the knob a
+    pretraining pipeline turns to up-weight high-quality domains.  The coin
+    flip is the last byte of md5(text) (256 buckets) so the decision is
+    content-keyed and reproducible: re-runs and re-crawls keep exactly the
+    same documents, independent of partitioning or row order.
+
+    100 TB design: stateless narrow filter, zero shuffle; the rate table
+    rides along as a CASE expression (broadcast a real dim table if the
+    domain list outgrows a literal)."""
+    d = load(spark, sf_dir, "documents")
+    nib = "locate(substring(md5(text), {pos}, 1), '0123456789abcdef') - 1"
+    bucket = F.expr(f"16 * ({nib.format(pos=31)}) + ({nib.format(pos=32)})")
+    rate = (
+        F.when(F.col("source") == "src0", 256)
+        .when(F.col("source") == "src1", 128)
+        .when(F.col("source") == "src2", 64)
+        .otherwise(26)
+    )
+    return d.select("doc_id", "source", "n_chars").where(bucket < rate)
