@@ -666,3 +666,49 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(26)
     )
     return d.select("doc_id", "source", "n_chars").where(bucket < rate)
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS s FROM cnt)
+    SELECT doc_id,
+           round(AVG(ln(c / s)), 6) AS avg_logprob,
+           COUNT(*) AS n_tok
+    FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model scoring: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheap 'perplexity' filter a pretraining pipeline runs before paying
+    for a neural LM pass (low avg_logprob = rare-token gibberish, high =
+    boilerplate).  Self-scored here; at 100 TB the vocab table would be
+    fit once on a reference corpus and reused.
+
+    100 TB design: two-phase.  Phase 1 builds the vocab -> count table
+    with a map-side-combined aggregate (shuffle volume is |vocab|, not
+    |tokens|); a unigram vocab is millions of rows = tens of MB, so phase
+    2 BROADCASTs it and scores every document without shuffling the
+    corpus — the only corpus-keyed exchange is the final per-doc partial
+    aggregate (one row per doc after map-side combine)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("s"))
+    vocab = cnt.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log(F.col("c") / F.col("s")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )

@@ -165,3 +165,62 @@ def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          CAST(c_nationkey AS STRING))) t
         """
     )
+
+
+@register(
+    "udf_cogrouped_pandas",
+    oracle="""
+    SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           round(COALESCE(o.sum_price, 0.0), 6) AS sum_price,
+           c.c_acctbal AS acctbal
+    FROM (SELECT o_custkey,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_price
+          FROM orders GROUP BY o_custkey) o
+    FULL JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas UDF: ``groupby(...).cogroup(...).applyInPandas``
+    over orders x customer on custkey — the last Python extension point in
+    the §2.K tour.  Each call receives BOTH sides' rows for one key (either
+    side possibly empty, so it also demonstrates full-outer cogroup
+    semantics).  Exact Decimal order-price sums keep the double output
+    bit-identical to the oracle's CAST(SUM(DECIMAL) AS DOUBLE).
+
+    100 TB design: cogroup is a single co-partitioned shuffle of both
+    inputs on the key (same exchange shape as a SortMergeJoin) and streams
+    one key's rows at a time through Arrow — per-key state never exceeds
+    one customer's orders."""
+
+    def merge(key, orders_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
+        dec_sum = sum(
+            (Decimal(repr(v)) for v in orders_pdf["o_totalprice"]), Decimal(0)
+        )
+        return pd.DataFrame(
+            {
+                "custkey": [key[0]],
+                "n_orders": [len(orders_pdf)],
+                "sum_price": [float(dec_sum)],
+                "acctbal": [
+                    float(cust_pdf["c_acctbal"].iloc[0]) if len(cust_pdf) else None
+                ],
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = (
+        o.groupby("o_custkey")
+        .cogroup(c.groupby("c_custkey"))
+        .applyInPandas(
+            merge,
+            schema="custkey long, n_orders long, sum_price double, acctbal double",
+        )
+    )
+    # round JVM-side (same rationale as udaf_grouped_pandas above)
+    return out.select(
+        "custkey", "n_orders", F.round("sum_price", 6).alias("sum_price"), "acctbal"
+    )
