@@ -97,14 +97,17 @@ _PRIORITY_WINDOW = (
     "fn_string",
     "fn_date",
     "fn_math",
-    "fn_cond",
-    "fn_cast",
     "fn_array",
     "fn_explode",
-    "fn_map",
     "fn_json",
     "fn_regex",
     "fn_fuzzy",
+    # round-2 flagship trainprep/UDF additions (hash oracles, all cheap);
+    # fn_cond/fn_cast/fn_map moved to the mid section — they stay pinned by
+    # the local parity suite and are the least information-dense fn ops
+    "decontaminate_ngram",
+    "text_unigram_logprob",
+    "udf_cogrouped_pandas",
     # advanced aggregates
     "agg_percentile",
     "agg_rollup",
