@@ -269,3 +269,65 @@ def sink_sorted_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
     )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT i AS id,
+           CAST(i % 8 AS INT) AS part,
+           md5(CAST(i AS VARCHAR)) AS payload
+    FROM range(0, 10000) t(i)
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python Data Source API — the
+    extension point for a source format the built-in readers don't speak
+    (the engine's equivalent of a reference source plugin).  The source
+    here deterministically synthesizes (id, part, md5(id)) rows so the
+    result is hash-checkable against DuckDB's range().
+
+    The distributed mechanics are real: ``partitions()`` plans 8 input
+    splits on the driver, and each executor's ``read(partition)``
+    generates ONLY its split — no driver-side materialization, no
+    single-task scan.  100 TB design: a real connector returns one
+    InputPartition per file/shard/offset-range and streams rows (or Arrow
+    batches) per split, so source parallelism scales with the data
+    exactly like the parquet reader's."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    n_rows, n_parts = 10_000, 8
+
+    class SynDocsReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", n_rows))
+            self.parts = int(options.get("parts", n_parts))
+
+        def partitions(self):
+            return [InputPartition(p) for p in range(self.parts)]
+
+        def read(self, partition):
+            import hashlib
+
+            p = partition.value
+            for i in range(p, self.rows, self.parts):
+                yield i, p, hashlib.md5(str(i).encode()).hexdigest()
+
+    class SynDocsDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "syndocs"
+
+        def schema(self):
+            return "id bigint, part int, payload string"
+
+        def reader(self, schema):
+            return SynDocsReader(self.options)
+
+    spark.dataSource.register(SynDocsDataSource)
+    return (
+        spark.read.format("syndocs")
+        .option("rows", str(n_rows))
+        .option("parts", str(n_parts))
+        .load()
+    )
