@@ -485,3 +485,92 @@ def stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+def _twstate_available() -> bool:
+    """transformWithStateInPandas drives its executor<->Python state server
+    over protobuf; this container ships a broken google.protobuf (no
+    descriptor module, verified by running the op: the micro-batch dies
+    with ImportError inside the worker).  Gate registration on the probe —
+    same honest-stub policy as the multimodal codecs (multimodal.py) — so
+    environments WITH protobuf get the op and this one doesn't ship a
+    guaranteed-red correctness row.  applyInPandasWithState
+    (stream_stateful_counter / stream_cdc_latest) covers arbitrary
+    stateful streaming either way."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_if(cond: bool, name: str, oracle: str | None = None):
+    if cond:
+        return register(name, oracle=oracle)
+    return lambda fn: fn
+
+
+@_register_if(
+    _twstate_available(),
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming via transformWithStateInPandas (the
+    Spark 4.x successor to applyInPandasWithState): a StatefulProcessor
+    holding per-user ValueState (event count + running max), updated each
+    micro-batch.  Driven with availableNow; the final state equals the
+    batch GROUP BY, which is the hash oracle (count and max are exact
+    regardless of batch order — no float-sum drift).
+
+    Scale notes: same StateStore economics as stream_stateful_counter —
+    O(|active keys|) executor-local state — but the processor-object API
+    adds typed named state, TTL, and timers, which is the surface a
+    production CEP/sessionization operator builds on."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.state = handle.getValueState("agg", "n long, mx double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, mx = (0, None)
+            if self.state.exists():
+                n, mx = self.state.get()
+            for pdf in rows:
+                n += len(pdf)
+                bmx = float(pdf["value"].max()) if len(pdf) else None
+                if bmx is not None and (mx is None or bmx > mx):
+                    mx = bmx
+            self.state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [mx]}
+            )
+
+        def close(self):
+            pass
+
+    stream = _events_stream(spark, sf_dir).select("user_id", "value")
+    out_stream = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountMax(),
+        outputStructType="user_id long, n_events long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    out = _run_available_now(out_stream, name, mode="update")
+    # update mode re-emits per key per batch; final state row wins
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
