@@ -574,3 +574,89 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
     )
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+    SELECT i % 7 AS bucket, COUNT(*) AS n,
+           CAST(SUM(i) AS BIGINT) AS sum_id
+    FROM range(0, 2000) t(i)
+    GROUP BY i % 7
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Python Data Source API
+    (DataSourceStreamReader — the partition-planned executor-side variant,
+    not SimpleDataSourceStreamReader, whose reads run on the driver): a
+    deterministic tick source whose offsets are row positions.  The
+    micro-batch planner calls latestOffset(), splits the [start, end)
+    offset range into 8 InputPartitions, and each executor reads ONLY its
+    slice; offsets are committed through the checkpoint exactly like a
+    Kafka source's.  availableNow drains to the declared end and the
+    memory-sink contents — every id exactly once — are aggregated
+    batch-side, which is what the hash oracle checks.
+
+    100 TB design: this is the shape of a real ingest connector (Kafka /
+    CDC / object-store listing): driver plans offset ranges, executors
+    fetch rows, exactly-once lands on offset commit + idempotent sink —
+    source parallelism is splits x micro-batches with no driver data
+    path."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    n_rows, n_splits = 2000, 8
+
+    class RangePart(InputPartition):
+        def __init__(self, lo, hi):
+            self.lo, self.hi = lo, hi
+
+    class TickReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.max_rows = int(options.get("maxRows", n_rows))
+            self.splits = int(options.get("splits", n_splits))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            return {"pos": self.max_rows}
+
+        def partitions(self, start, end):
+            lo, hi = start["pos"], end["pos"]
+            step = max(1, (hi - lo + self.splits - 1) // self.splits)
+            return [RangePart(a, min(a + step, hi)) for a in range(lo, hi, step)]
+
+        def read(self, partition):
+            for i in range(partition.lo, partition.hi):
+                yield (i, i % 7)
+
+        def commit(self, end):
+            pass
+
+    class TickStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "tickstream"
+
+        def schema(self):
+            return "id bigint, bucket bigint"
+
+        def streamReader(self, schema):
+            return TickReader(self.options)
+
+    spark.dataSource.register(TickStreamSource)
+    stream = (
+        spark.readStream.format("tickstream")
+        .option("maxRows", str(n_rows))
+        .option("splits", str(n_splits))
+        .load()
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    out = _run_available_now(stream, name)
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id")
+    )
