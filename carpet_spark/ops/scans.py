@@ -411,3 +411,52 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.schema("s_suppkey bigint, s_name string, s_acctbal double").json(
         parts
     )
+
+
+@register(
+    "sink_zorder_skip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+    FROM lineitem
+    WHERE l_partkey BETWEEN 50 AND 150
+      AND l_suppkey BETWEEN 2 AND 8
+    """,
+)
+def sink_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering: write lineitem laid out along a
+    Z-order (Morton) curve over (l_partkey, l_suppkey) — bit-interleave
+    the two 16-bit keys into one z-value, range-partition AND sort by it —
+    then read back a 2-D box predicate.  A single-column sort
+    (sink_sorted_skip) gives footer-stats skipping on ONE dimension only;
+    the space-filling curve keeps rows close in BOTH keys inside each file
+    and row group, so min/max stats prune on both predicates at once —
+    what table formats call Z-ORDER clustering, built from two Spark
+    primitives (repartitionByRange + sortWithinPartitions).
+
+    The z-value is layout-only; returned rows are the exact box filter,
+    so the op stays hash-checkable.  100 TB design: the curve turns a
+    full-scan 2-D selection into O(files overlapping the box), and the
+    layout job itself is one range shuffle — the standard compaction
+    pass's cost."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    x = F.col("l_partkey").bitwiseAND(0xFFFF)
+    y = F.col("l_suppkey").bitwiseAND(0xFFFF)
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+    out = _sink_path(spark, "zorder_skip")
+    (
+        li.withColumn("zval", z)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(
+        F.col("l_partkey").between(50, 150) & F.col("l_suppkey").between(2, 8)
+    )
