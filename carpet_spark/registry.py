@@ -69,7 +69,6 @@ _PRIORITY_WINDOW = (
     "text_lang_stats",
     "text_quality",
     "text_langid",
-    "text_fingerprint",
     "text_tfidf",
     "sim_knn_brute",
     "multimodal_enrich",
@@ -84,11 +83,17 @@ _PRIORITY_WINDOW = (
     # streaming
     "stream_sliding",
     "stream_session",
-    "stream_dedup_watermark",
-    "stream_late_data",
     "stream_stateful_counter",
     "stream_cdc_latest",
     "stream_interval_join",
+    # connector surface (round 2): Python Data Source batch/stream/sink,
+    # all with hash oracles — displacing the two rows-only watermark ops
+    # (identity on the fixture; incremental semantics live in
+    # tests/test_streaming.py either way)
+    "scan_python_datasource",
+    "stream_python_datasource",
+    "sink_python_datasource_roundtrip",
+    "sink_zorder_skip",
     # UDF surface
     "udf_scalar",
     "udaf_grouped_pandas",
@@ -98,13 +103,13 @@ _PRIORITY_WINDOW = (
     "fn_date",
     "fn_math",
     "fn_array",
-    "fn_explode",
     "fn_json",
-    "fn_regex",
-    "fn_fuzzy",
+    "fn_variant",
+    "udf_arrow_map",
     # round-2 flagship trainprep/UDF additions (hash oracles, all cheap);
-    # fn_cond/fn_cast/fn_map moved to the mid section — they stay pinned by
-    # the local parity suite and are the least information-dense fn ops
+    # displaced fn_cond/fn_cast/fn_map/fn_explode/fn_regex/fn_fuzzy,
+    # text_fingerprint, and the rows-only watermark ops into the mid
+    # section — all stay pinned by the local parity suite
     "decontaminate_ngram",
     "text_unigram_logprob",
     "udf_cogrouped_pandas",
