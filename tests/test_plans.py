@@ -298,3 +298,47 @@ def test_topk_per_group_two_phase(spark, sf_dir):
     plan = explain_str(REGISTRY["topk_per_group"].fn(spark, sf_dir))
     assert plan.count("Window") >= 2, plan
     assert "pmod" in plan.lower(), "salt key missing from first window phase"
+
+
+def test_decontaminate_ngram_broadcasts_bench_side(spark, sf_dir):
+    # the corpus must never shuffle: the benchmark-gram check is a
+    # broadcast semi-join, and no SortMergeJoin may appear anywhere
+    plan = explain_str(REGISTRY["decontaminate_ngram"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_unigram_logprob_broadcasts_vocab(spark, sf_dir):
+    # corpus-side scoring join must be broadcast (vocab is the small side);
+    # the only shuffles are the |vocab| count agg and the per-doc partial agg
+    plan = explain_str(REGISTRY["text_unigram_logprob"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sink_zorder_skip_pushes_box_predicate(spark, sf_dir):
+    # both dimensions of the 2-D box must reach the parquet scan footer
+    plan = explain_str(REGISTRY["sink_zorder_skip"].fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_partkey" in pushed[0] and "l_suppkey" in pushed[0]
+
+
+def test_udf_arrow_map_is_pure_map(spark, sf_dir):
+    # mapInArrow must stay a narrow map: no Exchange anywhere in the plan
+    plan = explain_str(REGISTRY["udf_arrow_map"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan or "ArrowEvalPython" in plan
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    # chunking is a pure explode projection — zero Exchange
+    plan = explain_str(REGISTRY["chunk_documents"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_sample_domain_mix_no_shuffle(spark, sf_dir):
+    # content-keyed coin flip is a stateless narrow filter
+    plan = explain_str(REGISTRY["sample_domain_mix"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
