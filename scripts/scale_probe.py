@@ -211,6 +211,70 @@ def probe(spark, mult: int) -> dict[str, float]:
         .groupBy()
         .agg(F.count(F.lit(1)).alias("n_distinct"), F.sum("n_copies").alias("n_docs")),
     )
+
+    # decontamination shape (ops/trainprep.py::decontaminate_ngram): explode
+    # per-doc n-grams, broadcast the (small) benchmark gram set, semi-join.
+    # The corpus explodes ~2 grams/doc and is never shuffled; the bench side
+    # is |corpus|/97 docs -> broadcastable at any realistic eval-suite size.
+    def decontam():
+        toks = F.split("text", " ")
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(5)]
+                ),
+            )
+        )
+        ng = docs().select("doc_id", grams.alias("gs"))
+        bench = (
+            ng.filter(F.col("doc_id") % 97 == 0)
+            .select(F.explode("gs").alias("g"))
+            .distinct()
+        )
+        train = ng.filter(F.col("doc_id") % 97 != 0)
+        hits = (
+            train.select("doc_id", F.explode("gs").alias("g"))
+            .join(F.broadcast(bench), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        return (
+            train.join(hits.withColumn("hit", F.lit(True)), "doc_id", "left")
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n_train"),
+                F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_contam"),
+            )
+        )
+
+    t("decontam_shape", decontam)
+
+    # unigram-LM scoring shape (ops/trainprep.py::text_unigram_logprob):
+    # token-count aggregate (shuffle = |vocab|), broadcast the vocab, score
+    # the corpus shuffle-free, per-doc partial agg.  Synthetic md5 tokens
+    # are truncated to 3 hex chars so vocab stays bounded (~4k) the way a
+    # natural-language vocab is — the regime the broadcast design targets.
+    def unigram():
+        toks = (
+            docs()
+            .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+            .select("doc_id", F.substring("t", 1, 3).alias("tok"))
+        )
+        cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        tot = cnt.agg(F.sum("c").alias("s"))
+        vocab = cnt.crossJoin(F.broadcast(tot)).select(
+            "tok", F.log(F.col("c") / F.col("s")).alias("lp")
+        )
+        return (
+            toks.join(F.broadcast(vocab), "tok")
+            .groupBy("doc_id")
+            .agg(F.avg("lp").alias("avg_lp"))
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("avg_lp").alias("mean_lp"))
+        )
+
+    t("unigram_logprob_shape", unigram)
     return res
 
 
