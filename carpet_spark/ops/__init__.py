@@ -21,3 +21,4 @@ from . import tpch  # noqa: F401
 from . import mutations  # noqa: F401
 from . import trainprep  # noqa: F401
 from . import graph  # noqa: F401
+from . import sqlsurface  # noqa: F401

@@ -1,0 +1,128 @@
+"""Spark 4 SQL-surface operators: recursive CTEs, correlated LATERAL
+subqueries, and pipe-syntax queries.
+
+These exercise the *SQL dialect* features a reference-engine user would
+reach for — each op registers the needed temp views and runs spark.sql,
+so Catalyst sees exactly what an end user's SQL would produce.  All are
+hash-checked against the equivalent (classic-dialect) DuckDB query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+      FROM customer WHERE c_custkey % 100 = 0
+      UNION ALL
+      SELECT start_key, cur // 2, depth + 1 FROM chain WHERE cur > 0
+    )
+    SELECT start_key,
+           MAX(depth) AS depth_to_root,
+           COUNT(*) AS chain_len
+    FROM chain
+    GROUP BY start_key
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): walk a synthetic binary org hierarchy
+    (parent(k) = k div 2) from every 100th customer up to the root,
+    reporting walk depth and chain length — the hierarchical/graph query
+    shape (bill-of-materials, org charts, reachability) that needed
+    iterative DataFrame loops before WITH RECURSIVE landed.
+
+    100 TB design: each recursion step is one self-join of the frontier —
+    Catalyst unions the step plans, so cost is O(depth x frontier); the
+    anchor filter keeps the frontier a fixed fraction of customers, and
+    depth is log2(maxkey) ~ bounded."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+          FROM customer_rcte WHERE c_custkey % 100 = 0
+          UNION ALL
+          SELECT start_key, cur DIV 2, depth + 1 FROM chain WHERE cur > 0
+        )
+        SELECT start_key,
+               MAX(depth) AS depth_to_root,
+               COUNT(*) AS chain_len
+        FROM chain
+        GROUP BY start_key
+        """
+    )
+
+
+@register(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) l
+    """,
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by price,
+    expressed the way a SQL user writes per-row subqueries — Catalyst
+    decorrelates the LATERAL into a ranked window under the hood instead
+    of executing |customer| separate queries.
+
+    100 TB design: after decorrelation this is one shuffle on o_custkey
+    with per-group top-k — same cost as the explicit window formulation,
+    proving the declarative form doesn't pay an execution penalty."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) l
+        """
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the Q1 pricing-summary shape written as
+    a |> pipeline — scan |> filter |> aggregate — the linear-dataflow SQL
+    dialect.  Semantically identical to the classic GROUP BY (the oracle);
+    Catalyst plans both to the same two-phase hash aggregate with the
+    shipdate predicate pushed to the scan."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> AGGREGATE CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                       AS sum_qty,
+                     COUNT(*) AS n_rows
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
