@@ -537,3 +537,77 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(v).alias("vjson"),
         F.schema_of_variant(v).alias("vschema"),
     )
+
+
+@register(
+    "fn_xml",
+    oracle="""
+    SELECT c_custkey AS custkey,
+           c_name AS name,
+           c_acctbal AS bal,
+           c_custkey AS xp_key
+    FROM customer
+    """,
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface: serialize each customer to an XML fragment, parse it
+    back with from_xml (typed struct schema), and extract one field again
+    via the xpath_long Hive-compatible path function.  The oracle is the
+    round-trip identity — if any parse/typing step corrupted a value the
+    hash would diverge.
+
+    100 TB design: from_xml is a JVM-side expression inside codegen (one
+    StAX parse per row, no Python); the op is a pure narrow projection."""
+    c = load(spark, sf_dir, "customer")
+    xml = F.concat(
+        F.lit("<c><k>"),
+        F.col("c_custkey").cast("string"),
+        F.lit("</k><n>"),
+        F.col("c_name"),
+        F.lit("</n><b>"),
+        F.col("c_acctbal").cast("string"),
+        F.lit("</b></c>"),
+    )
+    parsed = F.from_xml(xml, "k LONG, n STRING, b DOUBLE")
+    return c.select(
+        parsed.getField("k").alias("custkey"),
+        parsed.getField("n").alias("name"),
+        parsed.getField("b").alias("bal"),
+        F.expr(
+            "xpath_long(concat('<c><k>', CAST(c_custkey AS STRING),"
+            " '</k></c>'), '/c/k/text()')"
+        ).alias("xp_key"),
+    )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+    SELECT c_custkey,
+           (lower(CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                       ELSE c_mktsegment END) = 'building') AS is_building,
+           (CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                 ELSE c_mktsegment END ILIKE 'mach%') AS is_mach_prefix
+    FROM customer
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): case-insensitive equality and prefix
+    matching via COLLATE UTF8_LCASE on a deliberately mixed-case column
+    (even keys lowercased) — collation-aware comparison semantics pushed
+    into the engine instead of wrapping every predicate in lower().  The
+    oracle states the same predicates with explicit lower()/ILIKE.
+
+    100 TB design: collation is metadata on the comparison, so it keeps
+    predicates sargable for pushdown/codegen rather than burying the
+    column under a function call on every use."""
+    c = load(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    lc = F.collate(mixed, "UTF8_LCASE")
+    return c.select(
+        "c_custkey",
+        (lc == F.lit("building")).alias("is_building"),
+        lc.startswith("MACH").alias("is_mach_prefix"),
+    )
