@@ -611,3 +611,49 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lc == F.lit("building")).alias("is_building"),
         lc.startswith("MACH").alias("is_mach_prefix"),
     )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    WITH t AS (
+      SELECT *, l_returnflag || ' ' || l_linestatus || ' ' ||
+                CAST(l_quantity AS VARCHAR) AS s
+      FROM lineitem WHERE l_orderkey % 32 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS safe_div,
+           TRY_CAST(s AS DOUBLE) AS bad_cast,
+           TRY_CAST('9e999' AS DOUBLE) AS overflow_lit,
+           CASE WHEN l_linenumber <= len(string_split(s, ' '))
+                THEN string_split(s, ' ')[l_linenumber]
+                ELSE NULL END AS safe_elem
+    FROM t
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe evaluation family: try_divide (NULL on divide-by-zero),
+    try_cast (NULL on malformed input), and try_element_at (NULL past the
+    end) — the ANSI-mode-compatible forms that turn data errors into NULLs
+    instead of failing a 6-hour job on one bad row.  Spark 4 runs ANSI
+    mode by default, so these are the idioms a production pipeline needs.
+
+    The DuckDB oracle mirrors each with TRY_CAST / guarded CASE.  Note
+    'Infinity': DuckDB TRY_CAST('9e999') yields +inf (same as Spark's
+    cast) — both sides agree, the hash pins it.
+
+    100 TB design: pure narrow projection in codegen; the value is
+    semantic (partial-failure tolerance), not physical."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 32 == 0)
+    s = F.concat_ws(
+        " ", "l_returnflag", "l_linestatus", F.col("l_quantity").cast("string")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_discount").alias("safe_div"),
+        s.try_cast("double").alias("bad_cast"),
+        F.lit("9e999").try_cast("double").alias("overflow_lit"),
+        F.try_element_at(F.split(s, " "), F.col("l_linenumber")).alias("safe_elem"),
+    )
