@@ -660,3 +660,105 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"), F.sum("id").alias("sum_id")
     )
+
+
+@register(
+    "stream_python_datasource_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING sink via DataSourceStreamWriter — the fourth leg of
+    the connector matrix (batch read / batch write / stream read / stream
+    write).  Each micro-batch's tasks write uniquely-named JSON-lines part
+    files and the driver-side ``commit(messages, batchId)`` publishes a
+    per-batch manifest named by batchId — so a replayed batch (failure
+    recovery) OVERWRITES its own manifest instead of double-counting:
+    batchId-keyed idempotence, the exactly-once contract an external sink
+    must implement.  Readers union only manifested parts.
+
+    The op streams the events table through the sink with availableNow,
+    reads back what was committed, and aggregates — hash-checked against
+    the batch GROUP BY of the source table, proving no loss and no
+    duplication through the sink protocol.
+
+    100 TB design: writes are per-task and shuffle-free; commit work is
+    O(|tasks|) per batch on the driver, the same economics as
+    FileStreamSink's manifest log."""
+    import glob as _glob
+    import json
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import DataSource, DataSourceStreamWriter, WriterCommitMessage
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"pyds_stream_sink_{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}",
+    )
+    os.makedirs(out, exist_ok=True)
+
+    @dataclass
+    class PartCommit(WriterCommitMessage):
+        path: str
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def write(self, iterator):
+            import uuid as _u
+
+            part = os.path.join(self.path, f"part-{_u.uuid4().hex}.jsonl")
+            with open(part, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+            return PartCommit(path=part)
+
+        def commit(self, messages, batchId):
+            # manifest keyed by batchId: a replayed batch overwrites its own
+            # manifest — idempotent, never double-counted
+            with open(os.path.join(self.path, f"_MANIFEST-{batchId}"), "w") as f:
+                for m in messages:
+                    if m is not None:
+                        f.write(m.path + "\n")
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlStreamSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jsonlsink"
+
+        def streamWriter(self, schema, overwrite):
+            return JsonlStreamWriter(self.options)
+
+    spark.dataSource.register(JsonlStreamSink)
+    stream = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_pyds_sink_{uuid.uuid4().hex}")
+    q = (
+        stream.writeStream.format("jsonlsink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = []
+    for man in sorted(_glob.glob(os.path.join(out, "_MANIFEST-*"))):
+        with open(man) as f:
+            parts += [line.strip() for line in f if line.strip()]
+    committed = spark.read.schema("event_id long, event_type string, value double").json(
+        parts
+    )
+    return committed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
+    )
