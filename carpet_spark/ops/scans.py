@@ -460,3 +460,29 @@ def sink_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(
         F.col("l_partkey").between(50, 150) & F.col("l_suppkey").between(2, 8)
     )
+
+
+@register(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (`_metadata.file_name` etc.) on a
+    file-source scan — per-row lineage without a UDF or path parsing,
+    the modern replacement for input_file_name().  Grouped per source
+    file; the fixture ships one file per table so the oracle pins the
+    name and total.
+
+    100 TB design: _metadata is populated by the reader from the split it
+    is already holding — zero extra I/O — and is the idiom for per-file
+    quarantine/debugging (group error counts by file, trace a bad row to
+    its object-store key)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
