@@ -64,20 +64,31 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+           array_to_string(list_sort(list(o_orderkey)), ' ') AS order_keys,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ' ')
+               AS statuses
     FROM orders
     GROUP BY o_custkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sorted list + set.  collect_list order is nondeterministic
-    under parallel merge → array_sort on both sides (§7.4).  Group sizes are
-    bounded (orders per customer) so the buffered list is safe at scale."""
+    under parallel merge → array_sort on both sides (§7.4); the sorted lists
+    are then space-joined to strings because the driver's canonicalizer
+    can't hash list cells (r02 VERDICT item 1).  Group sizes are bounded
+    (orders per customer) so the buffered list is safe at scale."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            " ",
+        ).alias("order_keys"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), " ").alias(
+            "statuses"
+        ),
     )
 
 

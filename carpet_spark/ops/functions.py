@@ -202,26 +202,34 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_tok,
            list_contains(toks, 'spark') AS has_spark,
-           list_slice(toks, 1, 3) AS first3,
+           array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
            toks[2] AS tok2,
-           list_sort(list_distinct(toks)) AS vocab,
-           flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]) AS first4
+           array_to_string(list_sort(list_distinct(toks)), ' ') AS vocab,
+           array_to_string(
+               flatten([list_slice(toks, 1, 2), list_slice(toks, 3, 4)]), ' '
+           ) AS first4
     FROM t
     """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over tokenized documents.  list_distinct order is
-    engine-specific → wrapped in sort on both sides."""
+    engine-specific → wrapped in sort on both sides.  Array-typed outputs
+    are projected to space-joined strings (same witness both sides): the
+    driver's pandas canonicalizer cannot hash list cells (SURVEY §7.5,
+    r02 VERDICT item 1) — the array *operations* still run JVM-side, only
+    the final projection is scalar."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tok"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
         F.element_at(toks, 2).alias("tok2"),
-        F.array_sort(F.array_distinct(toks)).alias("vocab"),
-        F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))).alias("first4"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("vocab"),
+        F.array_join(
+            F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))), " "
+        ).alias("first4"),
     )
 
 
@@ -253,15 +261,16 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            m['u'][1] AS u_val,
            m['e'][1] AS e_val,
-           list_sort(map_keys(m)) AS keys_sorted,
-           list_sort(map_values(m)) AS vals_sorted
+           array_to_string(list_sort(map_keys(m)), ' ') AS keys_sorted,
+           array_to_string(list_sort(map_values(m)), ' ') AS vals_sorted
     FROM t
     """,
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: build, extract, keys/values.  Outputs are projected to
-    scalars/sorted lists — map *rendering* differs between engines, element
-    semantics don't (SURVEY §7.4.5)."""
+    scalars / space-joined sorted lists — map *rendering* differs between
+    engines, element semantics don't (SURVEY §7.4.5), and the driver's
+    canonicalizer can't hash list cells (r02 VERDICT item 1)."""
     ev = load(spark, sf_dir, "events")
     m = F.map_from_arrays(
         F.array(F.lit("u"), F.lit("e")),
@@ -271,8 +280,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "u").alias("u_val"),
         F.element_at(m, "e").alias("e_val"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
-        F.array_sort(F.map_values(m)).alias("vals_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), " ").alias("keys_sorted"),
+        F.array_join(
+            F.transform(F.array_sort(F.map_values(m)), lambda x: x.cast("string")),
+            " ",
+        ).alias("vals_sorted"),
     )
 
 

@@ -387,7 +387,10 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
             manifest = os.path.join(self.path, "_MANIFEST")
             with open(manifest, "w") as f:
                 for m in messages:
-                    f.write(m.path + "\n")
+                    # a task that wrote nothing can commit None — same
+                    # guard as abort() and the streaming sink's commit()
+                    if m is not None:
+                        f.write(m.path + "\n")
 
         def abort(self, messages):
             for m in messages:

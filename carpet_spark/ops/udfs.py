@@ -251,16 +251,36 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def norms(batches):
         for batch in batches:
+            if len(batch) == 0:
+                continue
             emb = batch.column("embedding")
-            # flatten the list column once; reshape is safe because every
-            # vector in the fixture has the same dimension
-            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            mat = flat.reshape(len(emb), -1)
+            # flatten+reshape only when the batch is provably rectangular
+            # (no nulls, equal lengths); otherwise fall back to a per-list
+            # offset walk so a null or ragged vector can't silently
+            # misalign the flattened buffer
+            lengths = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+            if emb.null_count == 0 and len(set(lengths.tolist())) == 1:
+                flat = (
+                    emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+                )
+                mat = flat.reshape(len(emb), -1)
+                out = np.sqrt((mat * mat).sum(axis=1))
+            else:
+                out = np.array(
+                    [
+                        np.nan
+                        if v is None
+                        else np.sqrt(
+                            np.sum(np.asarray(v, dtype=np.float64) ** 2)
+                        )
+                        for v in emb.to_pylist()
+                    ]
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("vec_id"),
                     batch.column("label"),
-                    pa.array(np.sqrt((mat * mat).sum(axis=1))),
+                    pa.array(out),
                 ],
                 names=["vec_id", "label", "l2_norm"],
             )
