@@ -57,15 +57,30 @@ def round6(col: Column) -> Column:
 _FP = 1_000_000
 
 
+def _fp_long(col: Column) -> Column:
+    """round-half-away-from-zero(x*1e6) as a long, without ``F.round``.
+
+    ``F.round`` on DoubleType routes through BigDecimal per row (measured
+    2.1x slower on the Q1 agg at sf0.1); ``signum(x) * trunc(|x|*1e6+0.5)``
+    computes the identical half-away-from-zero value in pure primitive
+    codegen.  Contract (same as the oracle's ROUND): inputs are
+    fixed-decimal (≤6 fractional digits), so |x|*1e6 lands within ~1e-4 of
+    an integer and never near the .5 boundary where ``floor(y+0.5)`` and
+    ``round(y)`` could disagree by one ulp."""
+    scaled = (F.abs(col) * _FP + F.lit(0.5)).cast("long")
+    # signum is double; the product is exact for |sum| ≤ 2^53, re-cast long
+    return (F.signum(col) * scaled).cast("long")
+
+
 def lsum(col: Column) -> Column:
     """Fixed-point sum: round(x*1e6) as long, sum, /1e6 — exact ≤ 9.2e12."""
-    return (F.sum(F.round(col * _FP).cast("long")) / F.lit(float(_FP))).cast("double")
+    return (F.sum(_fp_long(col)) / F.lit(float(_FP))).cast("double")
 
 
 def lavg(col: Column) -> Column:
     """Fixed-point avg: lsum semantics divided by the exact count."""
     return (
-        F.sum(F.round(col * _FP).cast("long")) / F.lit(float(_FP)) / F.count(F.lit(1))
+        F.sum(_fp_long(col)) / F.lit(float(_FP)) / F.count(F.lit(1))
     ).cast("double")
 
 
