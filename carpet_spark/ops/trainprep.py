@@ -712,3 +712,147 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tok"),
         )
     )
+
+
+# ------------------------------------------- quality signals & learning ----
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id)
+    SELECT c.doc_id,
+           t.n AS n_tok,
+           round(SUM(-(c / t.n) * log2(c / t.n)), 6) AS token_entropy
+    FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.n
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the repetition /
+    diversity quality signal pretraining filters use alongside stopword
+    and length ratios (low entropy = template spam or keyword stuffing).
+
+    100 TB design: the textbook formulation (explode -> groupBy(doc, tok)
+    -> groupBy(doc)) shuffles the whole token stream TWICE on a 100 TB
+    corpus.  This implementation instead computes each document's entropy
+    inside its own row with JVM higher-order functions: sort the token
+    array, then one ``aggregate`` pass accumulates -p*log2(p) per run of
+    equal tokens — a pure narrow projection, ZERO shuffle at any scale,
+    O(n log n) per document.  The DuckDB oracle uses the groupBy
+    formulation, so the hash match also proves the two are equivalent.
+    round(6) absorbs float-summation-order differences (SURVEY §7.4.1)."""
+    d = load(spark, sf_dir, "documents")
+    toks_sorted = F.array_sort(F.split("text", " "))
+    n = F.size(toks_sorted)
+
+    def run_term(run):
+        p = run.cast("double") / n.cast("double")
+        return -p * F.log2(p)
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0.0).alias("acc"),
+    )
+    entropy = F.aggregate(
+        toks_sorted,
+        init,
+        lambda st, x: F.when(
+            x == st.prev,
+            F.struct(
+                x.alias("prev"), (st.run + 1).alias("run"), st.acc.alias("acc")
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).alias("run"),
+                (
+                    st.acc
+                    + F.when(st.run > 0, run_term(st.run)).otherwise(F.lit(0.0))
+                ).alias("acc"),
+            )
+        ),
+        lambda st: st.acc
+        + F.when(st.run > 0, run_term(st.run)).otherwise(F.lit(0.0)),
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tok"),
+        F.round(entropy, 6).alias("token_entropy"),
+    )
+
+
+# Weak-label stopword set = the 'en' marker words the langid op keys on.
+_QUALITY_EN_MARKERS = ("the", "and", "of", "join", "filter")
+
+
+@register("quality_train_score")  # no oracle: iterative LBFGS fit (rows-only)
+def quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter, the C4/Gopher-style pipeline step: featurize
+    cheap text signals, train a logistic-regression classifier against a
+    weak label on a deterministic content-hash ~80% split, then score the
+    WHOLE corpus with the fitted model.  Returns (doc_id, weak_label, pred,
+    in_train).  The fixture carries no human quality labels (and its
+    ``lang`` column is uncorrelated with the text — probed), so the weak
+    label is a substantial-document proxy (n_chars >= 280) that the model
+    must recover from the cheap features; in production the same plumbing
+    takes human or LM-judge labels.
+
+    100 TB design: featurization and scoring are narrow projections (zero
+    shuffle); the only distributed iteration is MLlib's LBFGS, whose
+    per-iteration gradient is a treeAggregate of mergeable partials — the
+    driver ever holds only the coefficient vector.  This is the public
+    Spark surface purpose-built for fitting on data that does not fit
+    anywhere else.  Scoring reuses the same assembled features, so a real
+    pipeline would persist the model and apply it as a stage in
+    pipeline_pretrain_prep.  No oracle: LBFGS converges to float-level
+    nondeterminism; the accuracy property is tested in
+    tests/test_trainprep.py on the held-out hash split instead."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    markers = F.array(*[F.lit(w) for w in _QUALITY_EN_MARKERS])
+    feats = d.select(
+        "doc_id",
+        (F.col("n_chars") >= 280).cast("double").alias("label"),
+        n_tok.cast("double").alias("f_ntok"),
+        (F.col("n_chars").cast("double") / n_tok).alias("f_avg_len"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(markers, x))).cast(
+                "double"
+            )
+            / n_tok
+        ).alias("f_marker"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "f_distinct"
+        ),
+        # content-keyed split, same convention as sample_hash_split: the
+        # last md5 nibble of the text — stable across runs AND machines
+        (
+            F.conv(F.substring(F.md5("text"), 32, 1), 16, 10).cast("int") < 13
+        ).alias("in_train"),
+    )
+    va = VectorAssembler(
+        inputCols=["f_ntok", "f_avg_len", "f_marker", "f_distinct"],
+        outputCol="features",
+    )
+    model = LogisticRegression(maxIter=25, regParam=0.01).fit(
+        va.transform(feats.filter(F.col("in_train")))
+    )
+    return (
+        model.transform(va.transform(feats))
+        .select(
+            "doc_id",
+            F.col("label").cast("int").alias("weak_label"),
+            F.col("prediction").cast("int").alias("pred"),
+            F.col("in_train").cast("int").alias("in_train"),
+        )
+    )

@@ -128,6 +128,8 @@ _PRIORITY_WINDOW = (
 # final 6 plus any r3 failures go in r5.
 _R4_QUEUE = (
     "agg_hll_merge",
+    "text_token_entropy",
+    "quality_train_score",
     "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
     "text_quality_score",
     "merge_upsert", "cdc_compact_latest", "scd2_history",

@@ -74,3 +74,25 @@ def test_scrub_redacts_all_planted_pii(spark):
         assert "[EMAIL]" in r["scrubbed"]
         assert "@example.com" not in r["scrubbed"]
         assert r["n_phone"] >= 1 and r["n_email"] >= 1
+
+
+def test_quality_classifier_beats_baseline_on_holdout(spark):
+    """The learned filter must generalize: holdout accuracy well above the
+    majority-class rate (en is ~44% of docs, so majority guess ~56%)."""
+    df = REGISTRY["quality_train_score"].fn(spark, SF_SMOKE)
+    rows = df.filter("in_train = 0").collect()
+    assert len(rows) > 20
+    acc = sum(1 for r in rows if r["pred"] == r["weak_label"]) / len(rows)
+    assert acc >= 0.8, f"holdout accuracy {acc:.3f}"
+
+
+def test_token_entropy_bounds(spark):
+    """0 <= H <= log2(n_tok), repetition-free docs hit the upper bound."""
+    import math
+
+    rows = REGISTRY["text_token_entropy"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # +1e-6: the op rounds H to 6 decimals, which can round up past
+        # the exact log2(n) bound by half an ulp of the 6th decimal
+        assert -1e-6 <= r["token_entropy"] <= math.log2(max(r["n_tok"], 2)) + 1e-6
