@@ -342,3 +342,34 @@ def test_sample_domain_mix_no_shuffle(spark, sf_dir):
     # content-keyed coin flip is a stateless narrow filter
     plan = explain_str(REGISTRY["sample_domain_mix"].fn(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_q9_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Q9's join tree: part/supplier/nation are dims and must broadcast;
+    the only sort-merge-eligible join is lineitem⋈orders (fact-fact)."""
+    plan = explain_str(REGISTRY["q9_product_profit"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q21_no_nested_loop(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair must decorrelate to hash semi-joins —
+    a BroadcastNestedLoopJoin here is the 100 TB killer."""
+    plan = explain_str(REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_semi_join_not_inner_rejoin(spark, sf_dir):
+    """Q18's IN-subquery must stay a semi join (no row duplication that a
+    full inner join against the grouped set would risk)."""
+    plan = explain_str(REGISTRY["q18_large_orders"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_token_entropy_zero_shuffle(spark, sf_dir):
+    """The entropy op's whole point is computing per-doc entropy WITHOUT
+    exploding tokens: the plan must contain no Exchange at all."""
+    plan = explain_str(REGISTRY["text_token_entropy"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
