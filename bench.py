@@ -64,13 +64,22 @@ def _execute(df) -> int:
 def _plan_fingerprint(df) -> str:
     """Stable hash of the physical plan: normalize away the run-varying
     bits (expression ids, plan ids, temp/file paths, row-count statistics)
-    so the fingerprint only moves when the plan SHAPE moves."""
+    so the fingerprint only moves when the plan SHAPE moves.
+
+    Scan-metadata strings (DataFilters etc.) truncate at
+    spark.sql.maxMetadataStringLength BEFORE our expr-id normalization, so
+    the cut point shifts with expr-id digit width and the fingerprint would
+    vary across sessions/SFs; raise the limit so nothing truncates, and
+    collapse any residual "...tail" as belt-and-suspenders (r02→r03 fix —
+    this moved no fingerprint whose plan shape was stable)."""
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "10000")
     s = df._jdf.queryExecution().executedPlan().toString()
     s = re.sub(r"#\d+[A-Z]*", "#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=", s)
     s = re.sub(r"(file|hdfs|s3a?):[^,\]\s\)]+", r"\1:", s)
     s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
     s = re.sub(r"\b\d+(\.\d+)?\s*(B|KiB|MiB|GiB)\b", "", s)
+    s = re.sub(r"\S*\.\.\.", "...", s)
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
 

@@ -140,7 +140,7 @@ _R4_QUEUE = (
     "sink_sorted_skip", "scan_file_metadata",
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
     "join_fuzzy_blocked", "join_asof_forward",
-    "win_pct_change", "win_time_range",
+    "win_pct_change", "win_time_range", "win_rank_salted",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",

@@ -373,3 +373,12 @@ def test_token_entropy_zero_shuffle(spark, sf_dir):
     plan = explain_str(REGISTRY["text_token_entropy"].fn(spark, sf_dir))
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_win_rank_salted_two_phase(spark, sf_dir):
+    """The skew-hardened rank<=k variant must be genuinely two-phase: a
+    first Window partitioned by (custkey, salt) so no reducer owns a whole
+    hot customer, then the final re-rank window."""
+    plan = explain_str(REGISTRY["win_rank_salted"].fn(spark, sf_dir))
+    assert plan.count("Window") >= 2, plan
+    assert "pmod" in plan.lower(), "salt key missing from first window phase"
