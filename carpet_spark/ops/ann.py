@@ -102,6 +102,82 @@ def _pair_planes() -> np.ndarray:
     return np.random.default_rng(_SEED + 1).standard_normal((_PAIR_PLANES, _DIM))
 
 
+def banded_signatures(
+    df: DataFrame,
+    planes: np.ndarray,
+    n_bands: int,
+    n_bits: int,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Explode each vector row to `n_bands` (id..., sig) rows: sign bits
+    against `planes`, chunked into bands, band index carried in the sig's
+    high bits so signatures from different bands can never equi-match.
+    One Arrow mapInPandas matmul per batch; shared by the registered pair
+    ops (module constants) and scripts/ann_scale_probe.py (production
+    banding — the constants are deployment-tunable, see the note above)."""
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (vecs @ planes.T) > 0
+            sigs = []
+            for b in range(n_bands):
+                chunk = bits[:, b * n_bits : (b + 1) * n_bits]
+                sig = (chunk * (1 << np.arange(n_bits))).sum(axis=1)
+                # disambiguate bands: high bits carry the band index
+                sigs.append(sig.astype("int64") | (b << n_bits))
+            data = {c: pdf[c].to_numpy().repeat(n_bands) for c in id_cols}
+            data["sig"] = np.column_stack(sigs).ravel()  # row-major per doc
+            yield pd.DataFrame(data)
+
+    types = {"label": "int"}
+    schema = ", ".join(f"{c} {types.get(c, 'long')}" for c in id_cols) + ", sig long"
+    return df.mapInPandas(bucketize, schema=schema)
+
+
+def _dot(x, y):
+    prods = F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def semantic_pair_dedup(
+    j: DataFrame,
+    planes: np.ndarray,
+    n_bands: int,
+    n_bits: int,
+    threshold: float,
+) -> DataFrame:
+    """Banded-SRP near-dup pairs over (doc_id, embedding) rows: equi
+    self-join on the band signature for candidates, exact double cosine
+    verify at `threshold`.  Parameterized so the probe can run the
+    production-banding regime on the same code path."""
+    bands = banded_signatures(j, planes, n_bands, n_bits)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ea = j.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"))
+    eb = j.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        6,
+    )
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", "cos_sim")
+    )
+
+
 @register("dedup_near_embedding_ann")  # rows-only: seeded hyperplane family
 def dedup_near_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs at cosine ≥ 0.4 with LSH-generated candidates
@@ -115,62 +191,67 @@ def dedup_near_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every emitted pair is exactly scored (precision 1.0 by construction);
     recall vs the exact op is pinned in tests/test_property.py.  The
     candidate join is an equi shuffle join on the band signature — no
-    BroadcastNestedLoopJoin anywhere in the plan (plan-asserted)."""
+    BroadcastNestedLoopJoin anywhere in the plan (plan-asserted).
+    Scaling of the production-banding regime is measured in SCALE.md via
+    scripts/ann_scale_probe.py on this same semantic_pair_dedup path."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     e = load(spark, sf_dir, "embeddings")
     j = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
-
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = _pair_planes()
-        for pdf in batches:
-            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (vecs @ planes.T) > 0
-            sigs = []
-            for b in range(_PAIR_BANDS):
-                chunk = bits[:, b * _PAIR_BITS : (b + 1) * _PAIR_BITS]
-                sig = (chunk * (1 << np.arange(_PAIR_BITS))).sum(axis=1)
-                # disambiguate bands: high bits carry the band index
-                sigs.append(sig.astype("int64") | (b << _PAIR_BITS))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy().repeat(_PAIR_BANDS),
-                    "sig": np.column_stack(sigs).ravel(),  # row-major per doc
-                }
-            )
-
-    bands = j.mapInPandas(bucketize, schema="doc_id long, sig long")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-    def dot(x, y):
-        prods = F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double"))
-        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-
-    ea = j.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"))
-    eb = j.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"))
-    cos = F.round(
-        dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
-        6,
-    )
-    return (
-        cand.join(ea, "doc_a")
-        .join(eb, "doc_b")
-        .withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.4)
-        .select("doc_a", "doc_b", "cos_sim")
-    )
+    return semantic_pair_dedup(j, _pair_planes(), _PAIR_BANDS, _PAIR_BITS, 0.4)
 
 
 _KNN_K = 3
+
+
+def knn_join_topk(
+    e: DataFrame,
+    planes: np.ndarray,
+    n_bands: int,
+    n_bits: int,
+    k: int,
+) -> DataFrame:
+    """Batch k-NN join over (vec_id, label, embedding) rows: label=1 rows
+    are the query side; banded-SRP equi join generates candidates, exact
+    double cosine re-scores, a per-query window keeps top-k.  Parameterized
+    so scripts/ann_scale_probe.py can measure the production-banding regime
+    on this same code path."""
+    bands = banded_signatures(e, planes, n_bands, n_bits, id_cols=("vec_id", "label"))
+    qb = bands.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("q_id"), "sig"
+    )
+    cand = (
+        qb.join(bands.select("vec_id", "sig"), "sig")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    ie = e.select("vec_id", F.col("embedding").alias("iv"), "label")
+    scored = (
+        cand.join(qe, "q_id")
+        .join(ie, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(
+                _dot(F.col("qv"), F.col("iv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("iv"), F.col("iv")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "label", "cos_sim", "rank")
+    )
 
 
 @register("sim_knn_join_topk")  # rows-only: seeded hyperplane family
@@ -186,69 +267,11 @@ def sim_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig, so each executor joins only its signature range; no cross join,
     no per-query scan.  Exact double cosine re-scores candidates and a
     per-query window (partitioned by q_id — one shuffle) keeps the top-3.
-    Recall vs per-query brute force is pinned in tests/test_property.py."""
+    Recall vs per-query brute force is pinned in tests/test_property.py.
+    Scaling of the production-banding regime is measured in SCALE.md via
+    scripts/ann_scale_probe.py on this same knn_join_topk path."""
     e = load(spark, sf_dir, "embeddings")
-
-    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = _pair_planes()
-        for pdf in batches:
-            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
-            bits = (vecs @ planes.T) > 0
-            sigs = []
-            for b in range(_PAIR_BANDS):
-                chunk = bits[:, b * _PAIR_BITS : (b + 1) * _PAIR_BITS]
-                sig = (chunk * (1 << np.arange(_PAIR_BITS))).sum(axis=1)
-                sigs.append(sig.astype("int64") | (b << _PAIR_BITS))
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy().repeat(_PAIR_BANDS),
-                    "label": pdf["label"].to_numpy().repeat(_PAIR_BANDS),
-                    "sig": np.column_stack(sigs).ravel(),
-                }
-            )
-
-    bands = e.mapInPandas(bucketize, schema="vec_id long, label int, sig long")
-    qb = bands.filter(F.col("label") == 1).select(
-        F.col("vec_id").alias("q_id"), "sig"
-    )
-    cand = (
-        qb.join(bands.select("vec_id", "sig"), "sig")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-        .distinct()
-    )
-
-    def dot(a, b):
-        prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-
-    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
-    ie = e.select("vec_id", F.col("embedding").alias("iv"), "label")
-    scored = (
-        cand.join(qe, "q_id")
-        .join(ie, "vec_id")
-        .select(
-            "q_id",
-            "vec_id",
-            "label",
-            F.round(
-                dot(F.col("qv"), F.col("iv"))
-                / (
-                    F.sqrt(dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(dot(F.col("iv"), F.col("iv")))
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _KNN_K)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "label", "cos_sim", "rank")
-    )
+    return knn_join_topk(e, _pair_planes(), _PAIR_BANDS, _PAIR_BITS, _KNN_K)
 
 
 _NLIST = 16  # IVF coarse clusters
