@@ -847,6 +847,21 @@ def quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = LogisticRegression(maxIter=25, regParam=0.01).fit(
         va.transform(feats.filter(F.col("in_train")))
     )
+    # Persist + reload before scoring — the production pattern, and a real
+    # correctness requirement: the freshly-fitted model's trainingSummary
+    # holds a SparkSession reference, and the scoring closure serializes
+    # the whole model, so transform() throws NotSerializableException
+    # (ObservationManager) in any session where an observe() query has run
+    # (e.g. agg_observe_metrics earlier in a suite).  The reloaded model
+    # carries coefficients only.
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    with tempfile.TemporaryDirectory(prefix="carpet_lr_") as tmp:
+        model.write().overwrite().save(f"{tmp}/model")
+        # load() materializes coefficients in memory; tmp can then go away
+        model = LogisticRegressionModel.load(f"{tmp}/model")
     return (
         model.transform(va.transform(feats))
         .select(
