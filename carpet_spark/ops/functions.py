@@ -669,3 +669,57 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("9e999").try_cast("double").alias("overflow_lit"),
         F.try_element_at(F.split(s, " "), F.col("l_linenumber")).alias("safe_elem"),
     )
+
+
+@register(
+    "fn_lambda",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(list_slice(toks, 1, 5), x -> upper(x)), ' ')
+             AS upper5,
+           COALESCE(array_to_string(list_filter(toks, x -> length(x) > 5), ' '), '')
+             AS long_toks,
+           CAST(len(list_filter(toks, x -> x = 'the')) > 0 AS INT) AS has_the,
+           CAST(len(list_filter(toks, x -> length(x) > 12)) = 0 AS INT) AS all_short,
+           list_sum(list_transform(toks, x -> length(x))) AS char_sum,
+           list_reduce(list_slice(toks, 1, 4), (a, x) -> a || '|' || x) AS piped4
+    FROM t
+    """,
+)
+def fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions over arrays — transform / filter /
+    exists / forall / aggregate (fold), the Catalyst-native way to compute
+    on array columns WITHOUT exploding or leaving the JVM (SURVEY §2.H
+    extension; fn_array covers the non-lambda surface).
+
+    Oracle mapping: Spark transform/filter ↔ DuckDB list_transform/
+    list_filter; exists/forall ↔ len(list_filter(...)) comparisons;
+    aggregate(0, +) ↔ list_sum(list_transform); aggregate-with-concat ↔
+    list_reduce (seeded with the first element, so Spark folds from
+    element 2).  Array outputs projected through array_join (driver
+    canonicalizer trap, SURVEY §7.5).
+
+    Scale: pure narrow projection, zero shuffle, all six expressions in
+    one whole-stage-codegen pass over the tokenized column."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)), " "
+        ).alias("upper5"),
+        F.array_join(
+            F.filter(toks, lambda x: F.length(x) > 5), " "
+        ).alias("long_toks"),
+        F.exists(toks, lambda x: x == "the").cast("int").alias("has_the"),
+        F.forall(toks, lambda x: F.length(x) <= 12).cast("int").alias("all_short"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("char_sum"),
+        F.aggregate(
+            F.slice(toks, 2, 3),
+            F.element_at(toks, 1),
+            lambda acc, x: F.concat(acc, F.lit("|"), x),
+        ).alias("piped4"),
+    )

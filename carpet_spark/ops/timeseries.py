@@ -9,7 +9,7 @@ one scan + one grouping-sets aggregate instead of three passes.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
 from ..tables import load
@@ -310,4 +310,66 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6),
         )
         .alias("interp_value"),
+    )
+
+
+@register(
+    "ts_zscore_outliers",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS roll_sum,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS roll_sumsq
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           ROUND((value - roll_sum / n)
+                 / sqrt((roll_sumsq - roll_sum * roll_sum / n) / (n - 1)), 4)
+             AS zscore
+    FROM w
+    WHERE n >= 5
+      AND (roll_sumsq - roll_sum * roll_sum / n) / (n - 1) > 1e-12
+    """,
+)
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score per user over the trailing 20 events — the
+    monitoring/anomaly primitive (flag readings far from the recent local
+    distribution).  Frames shorter than 5 rows and near-zero variances are
+    excluded (z undefined / numerically meaningless).
+
+    Determinism (SURVEY §7.4): the rolling mean and variance are
+    FORMULATED identically on both sides — decimal-exact frame sums for
+    Σx and Σx², then one double conversion and the textbook
+    (Σx² − (Σx)²/n)/(n−1) — instead of each engine's own windowed
+    STDDEV (whose internal accumulation order differs); z rounds to 4dp.
+    Tie-break (ts, event_id) is unique per user.
+
+    Scale: one shuffle on user_id shared by all three frames (a single
+    Window node), then per-partition sorted sliding sums — the same
+    single-exchange shape as win_running; never a self-join."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    dec = F.col("value").cast("decimal(28,6)")
+    roll_sum = F.sum(dec).over(w).cast("double")
+    roll_sumsq = F.sum(dec * dec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    var = (roll_sumsq - roll_sum * roll_sum / n) / (n - 1)
+    z = F.round((F.col("value") - roll_sum / n) / F.sqrt(var), 4)
+    return (
+        ev.select("event_id", "user_id", "ts", "value",
+                  n.alias("n"), var.alias("var"), z.alias("zscore"))
+        .filter((F.col("n") >= 5) & (F.col("var") > 1e-12))
+        .select("event_id", "user_id", "ts", "value", "zscore")
     )

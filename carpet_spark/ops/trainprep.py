@@ -871,3 +871,66 @@ def quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("in_train").cast("int").alias("in_train"),
         )
     )
+
+
+@register(
+    "dedup_span_corpus",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 10
+    ),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[k:k+9], ' ')) AS dig
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 10 + 2)) AS k)
+    ),
+    per AS (
+      SELECT dig, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY dig
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           SUM(CASE WHEN p.nd > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+           ROUND(SUM(CASE WHEN p.nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_frac
+    FROM spans s JOIN per p USING (dig)
+    GROUP BY s.doc_id
+    """,
+)
+def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-document span duplication (the C4/RefinedWeb repeated-span
+    signal): for every 10-token window of every document, does the same
+    span occur in ANY other document?  Emits per-doc
+    (n_spans, n_dup_spans, dup_frac) — the score a pretrain pipeline
+    thresholds to drop boilerplate-heavy documents, complementing
+    dedup_near_minhash (whole-doc) and text_repetition (intra-doc).
+
+    100 TB design: spans never shuffle as text — each window is digested
+    to md5 INSIDE the projection (one narrow explode), so the two
+    aggregations and the self-join move 16-byte digests only, exactly like
+    dedup_exact.  Both groupBys and the join share hashpartitioning(dig),
+    so the exchange is reused rather than repeated; the final per-doc
+    rollup shuffles one row per span with map-side combine.  Span count ~=
+    token count, so total shuffle volume is ~2 x the tokenized corpus
+    digest stream — linear, skew-free (digests are uniform)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    W = 10
+    d = d.filter(F.size(toks) >= W)
+    digs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - W + 1),
+        lambda k: F.md5(F.array_join(F.slice(toks, k, W), " ")),
+    )
+    spans = d.select("doc_id", F.explode(digs).alias("dig"))
+    per = spans.groupBy("dig").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        spans.join(per, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("nd") > 1).cast("int")).alias("n_dup_spans"),
+            F.round(
+                F.sum((F.col("nd") > 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -130,6 +130,7 @@ _R4_QUEUE = (
     "agg_hll_merge",
     "text_token_entropy",
     "quality_train_score",
+    "dedup_span_corpus",
     "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
     "text_quality_score",
     "merge_upsert", "cdc_compact_latest", "scd2_history",
@@ -141,10 +142,12 @@ _R4_QUEUE = (
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
     "join_fuzzy_blocked", "join_asof_forward",
     "win_pct_change", "win_time_range", "win_rank_salted",
+    "ts_zscore_outliers",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",
     "fn_struct", "fn_interval", "fn_xml", "fn_collation", "fn_try_safe",
+    "fn_lambda",
     "topk_per_group",
     "sim_knn_join_topk", "sim_ann_ivf", "emb_pca_project",
     "stream_pretrain_prep", "stream_sink_exactly_once",

@@ -382,3 +382,33 @@ def test_win_rank_salted_two_phase(spark, sf_dir):
     plan = explain_str(REGISTRY["win_rank_salted"].fn(spark, sf_dir))
     assert plan.count("Window") >= 2, plan
     assert "pmod" in plan.lower(), "salt key missing from first window phase"
+
+
+def test_dedup_span_corpus_shuffles_digests_only(spark, sf_dir):
+    """Spans must be digested before any exchange: no Exchange may carry
+    the raw text/span column — the md5 projection precedes the explode, so
+    every shuffled row is (doc_id, 32-hex digest)."""
+    plan = explain_str(REGISTRY["dedup_span_corpus"].fn(spark, sf_dir))
+    assert "md5" in plan.lower()
+    # the span text never appears as a shuffle attribute
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines, plan
+    assert not any("text" in l for l in exchange_lines), exchange_lines
+
+
+def test_fn_lambda_no_shuffle_no_python(spark, sf_dir):
+    plan = explain_str(REGISTRY["fn_lambda"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ts_zscore_single_window_exchange(spark, sf_dir):
+    """All three rolling frames must share ONE hashpartitioning(user_id)
+    exchange and one Window node — the win_running shape, never a
+    self-join."""
+    plan = explain_str(REGISTRY["ts_zscore_outliers"].fn(spark, sf_dir))
+    # formatted mode lists each node once in the tree ("+- Exchange (3)")
+    # and once in the detail section — count tree nodes only
+    assert plan.count("+- Exchange") == 1, plan
+    assert plan.count("+- Window") == 1, plan
+    assert "Join" not in plan
