@@ -700,3 +700,116 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_sig_ts").alias("sig_ts"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH sig AS (
+      SELECT user_id, ts, MIN(event_id) AS sig_id
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, ts
+    ),
+    back AS (
+      SELECT e.event_id, e.user_id, e.ts, s.sig_id AS b_id, s.ts AS b_ts
+      FROM events e
+      ASOF LEFT JOIN sig s ON e.user_id = s.user_id AND s.ts <= e.ts
+    ),
+    fwd AS (
+      SELECT e.event_id, s.sig_id AS f_id, s.ts AS f_ts
+      FROM events e
+      ASOF LEFT JOIN sig s ON e.user_id = s.user_id AND s.ts >= e.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN b_ts IS NULL THEN f_id
+                WHEN f_ts IS NULL THEN b_id
+                WHEN date_diff('second', b_ts, b.ts)
+                     <= date_diff('second', b.ts, f_ts) THEN b_id
+                ELSE f_id END AS sig_id,
+           CASE WHEN b_ts IS NULL THEN f_ts
+                WHEN f_ts IS NULL THEN b_ts
+                WHEN date_diff('second', b_ts, b.ts)
+                     <= date_diff('second', b.ts, f_ts) THEN b_ts
+                ELSE f_ts END AS sig_ts
+    FROM back b JOIN fwd f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each event matched to the user's CLOSEST signup
+    in either time direction (tie at equal distance → the earlier one) —
+    completes the asof family (join_asof = backward, join_asof_forward =
+    forward).  The sensor-alignment / nearest-reading lookup.
+
+    Both directional candidates come from ONE union-tag pass: a single
+    Window partitioning (user_id, ordered ts with the signup row first at
+    equal ts) carries last(signup≤) over the preceding frame AND
+    first(signup≥) over the following frame — same partition+order spec,
+    so Catalyst evaluates both frames in one Window node after ONE shuffle
+    and one sort.  The equal-ts signup sorts before the event row, so the
+    forward frame misses it — harmless: the backward frame catches it at
+    distance 0, which wins the nearest choice by the tie rule.  No range
+    join, no per-row probe; the 100 TB cost is exactly join_asof's.
+
+    DuckDB oracle: two native ASOF joins (<= and >=) re-joined on
+    event_id, same CASE.  Signups dedup to MIN(event_id) per (user, ts)
+    on both sides so the match is engine-deterministic."""
+    ev = load(spark, sf_dir, "events")
+    sig = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("sig_id"))
+    )
+    left = ev.select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("sig_id"),
+        F.lit(None).cast("timestamp").alias("sig_ts"),
+    )
+    right = sig.select(
+        "user_id", "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_left"),
+        "sig_id",
+        F.col("ts").alias("sig_ts"),
+    )
+    order = [
+        F.col("ts").asc(),
+        F.col("is_left").asc(),  # signup row first at equal ts
+        F.coalesce("event_id", "sig_id").asc(),
+    ]
+    wb = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    u = left.unionByName(right)
+    b_id = F.last("sig_id", ignorenulls=True).over(wb)
+    b_ts = F.last("sig_ts", ignorenulls=True).over(wb)
+    f_id = F.first("sig_id", ignorenulls=True).over(wf)
+    f_ts = F.first("sig_ts", ignorenulls=True).over(wf)
+    b_closer = (
+        F.col("f_ts").isNull()
+        | (
+            F.col("b_ts").isNotNull()
+            & (
+                F.unix_timestamp("ts") - F.unix_timestamp("b_ts")
+                <= F.unix_timestamp("f_ts") - F.unix_timestamp("ts")
+            )
+        )
+    )
+    return (
+        u.select(
+            "*",
+            b_id.alias("b_id"), b_ts.alias("b_ts"),
+            f_id.alias("f_id"), f_ts.alias("f_ts"),
+        )
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id", "user_id", "ts",
+            F.when(b_closer, F.col("b_id")).otherwise(F.col("f_id")).alias("sig_id"),
+            F.when(b_closer, F.col("b_ts")).otherwise(F.col("f_ts")).alias("sig_ts"),
+        )
+    )

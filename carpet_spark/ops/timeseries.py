@@ -373,3 +373,49 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 5) & (F.col("var") > 1e-12))
         .select("event_id", "user_id", "ts", "value", "zscore")
     )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           ROUND(list_reduce(
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+             (a, x) -> a * 0.8 + x * 0.2
+           ), 6) AS ewma
+    FROM events
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.2) per user over
+    the trailing 50 events — the smoothing primitive behind monitoring
+    dashboards and drift detectors.  The 50-row truncation bounds the
+    frame (the dropped history's weight is 0.8^50 ~ 1e-5) and makes the
+    recursion a pure windowed fold instead of an unbounded scan.
+
+    Determinism: both engines collect the SAME ordered frame (unique
+    (ts, event_id) tie-break) and fold it left with the SAME lambda
+    (seed = first element, acc*0.8 + x*0.2) — Spark `aggregate` over the
+    frame's collect_list, DuckDB `list_reduce` over the windowed list().
+    Identical IEEE operation order → identical doubles; round(6) on both.
+
+    Scale: one shuffle on user_id, per-partition sort, O(50) state per
+    row — the win_running shape with a bounded frame.  (A true unbounded
+    EWMA is inherently sequential per key; the applyInPandas route covers
+    that need — this op is the JVM-only bounded formulation.)"""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    vals = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", "value", F.round(ewma, 6).alias("ewma")
+    )

@@ -140,9 +140,9 @@ _R4_QUEUE = (
     "sink_partition_prune", "scan_dpp", "scan_schema_evolution",
     "sink_sorted_skip", "scan_file_metadata",
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
-    "join_fuzzy_blocked", "join_asof_forward",
+    "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
     "win_pct_change", "win_time_range", "win_rank_salted",
-    "ts_zscore_outliers",
+    "ts_zscore_outliers", "ts_ewma",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",

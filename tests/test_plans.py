@@ -412,3 +412,19 @@ def test_ts_zscore_single_window_exchange(spark, sf_dir):
     assert plan.count("+- Exchange") == 1, plan
     assert plan.count("+- Window") == 1, plan
     assert "Join" not in plan
+
+
+def test_join_asof_nearest_single_window_no_join(spark, sf_dir):
+    """Nearest-asof must stay the union-tag shape: both directional frames
+    in Window nodes over one hashpartitioning(user_id) — never a range
+    join or per-row probe."""
+    plan = explain_str(REGISTRY["join_asof_nearest"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("+- Window") >= 1
+    assert plan.count("+- Exchange") <= 3, plan  # sig agg + union partitioning
+
+
+def test_ts_ewma_single_exchange(spark, sf_dir):
+    plan = explain_str(REGISTRY["ts_ewma"].fn(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Join" not in plan
