@@ -407,3 +407,93 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return exact.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(20)
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    SELECT 'l_discount_in_range' AS rule, COUNT(*) AS n_rows,
+           SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.10 THEN 1 ELSE 0 END)
+             AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity_positive', COUNT(*),
+           SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag_accepted', COUNT(*),
+           SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate_complete', COUNT(*),
+           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_orderkey_unique', COUNT(*) ,
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orderkey_referential',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Deequ/Great-Expectations shape):
+    declarative rules evaluated in bulk, one result row per rule —
+    range, positivity, accepted-values, completeness, key uniqueness, and
+    cross-table referential integrity.  The report a pipeline gates a
+    publish step on.
+
+    Scale: the four lineitem row-rules fuse into ONE conditional aggregate
+    (single scan, map-side partials — adding rules is free); uniqueness is
+    a count-distinct over the key; referential integrity is a single
+    left hash join on the key columns with a null-probe count — n_rows and
+    n_violations in one pass, never EXISTS-per-row (its count matches the
+    oracle's NOT EXISTS because o_orderkey is unique — itself verified by
+    the adjacent rule).  Every rule's violation count shuffles one partial
+    row per partition."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def viol(cond):  # count rows violating the rule
+        return F.sum(cond.cast("int"))
+
+    li_rules = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol((F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.10)).alias(
+            "l_discount_in_range"
+        ),
+        viol(F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)).alias(
+            "l_quantity_positive"
+        ),
+        viol(~F.col("l_returnflag").isin("A", "N", "R")).alias(
+            "l_returnflag_accepted"
+        ),
+        viol(F.col("l_shipdate").isNull()).alias("l_shipdate_complete"),
+    )
+    li_report = li_rules.selectExpr(
+        "stack(4, "
+        "'l_discount_in_range', n_rows, l_discount_in_range, "
+        "'l_quantity_positive', n_rows, l_quantity_positive, "
+        "'l_returnflag_accepted', n_rows, l_returnflag_accepted, "
+        "'l_shipdate_complete', n_rows, l_shipdate_complete"
+        ") AS (rule, n_rows, n_violations)"
+    )
+    uniq = o.agg(
+        F.lit("o_orderkey_unique").alias("rule"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    )
+    orphans = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left")
+        .agg(
+            F.lit("lineitem_orderkey_referential").alias("rule"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderkey").isNull().cast("int")).alias("n_violations"),
+        )
+    )
+    return li_report.unionByName(uniq).unionByName(orphans)

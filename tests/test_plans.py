@@ -428,3 +428,16 @@ def test_ts_ewma_single_exchange(spark, sf_dir):
     plan = explain_str(REGISTRY["ts_ewma"].fn(spark, sf_dir))
     assert plan.count("+- Exchange") == 1, plan
     assert "Join" not in plan
+
+
+def test_dq_expectations_fused_rules_and_anti_join(spark, sf_dir):
+    """The four lineitem row-rules must evaluate in one conditional
+    aggregate (no per-rule scan), and referential integrity must be a
+    single hash join + null-probe count, never a per-row EXISTS probe or
+    a nested-loop join."""
+    plan = explain_str(REGISTRY["dq_expectations"].fn(spark, sf_dir))
+    assert "Join LeftOuter" in plan or "LeftOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # row-rules: one aggregate computing all four violation counts
+    assert "l_discount" in plan and "l_returnflag" in plan
