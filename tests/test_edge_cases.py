@@ -116,3 +116,50 @@ def test_pack_shards_budget_invariant(spark, sf_dir):
         for r in rs:
             assert r["shard_id"] == cum // 2000
             cum += r["n_tokens"]
+
+
+@pytest.fixture(scope="module")
+def micro_events_dir(spark, tmp_path_factory):
+    """A tiny events table exercising the asof/window edge cases: equal
+    ties, single-event users, users with no signup at all."""
+    import datetime as dt
+
+    base = str(tmp_path_factory.mktemp("micro_events"))
+    T = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    rows = [
+        # user 1: signups at :10 and :30; event at :20 is EXACTLY equidistant
+        Row(event_id=100, ts=T(10), user_id=1, event_type="signup", value=1.0, props="{}"),
+        Row(event_id=101, ts=T(20), user_id=1, event_type="click", value=2.0, props="{}"),
+        Row(event_id=102, ts=T(30), user_id=1, event_type="signup", value=3.0, props="{}"),
+        # user 2: a single event, no signup anywhere
+        Row(event_id=200, ts=T(5), user_id=2, event_type="click", value=7.0, props="{}"),
+        # user 3: signup at the same timestamp as the event
+        Row(event_id=300, ts=T(40), user_id=3, event_type="signup", value=0.0, props="{}"),
+        Row(event_id=301, ts=T(40), user_id=3, event_type="click", value=0.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "events.parquet")
+    )
+    return base
+
+
+def test_asof_nearest_tie_prefers_earlier(spark, micro_events_dir):
+    out = {r.event_id: r for r in REGISTRY["join_asof_nearest"].fn(spark, micro_events_dir).collect()}
+    # equidistant (10s both ways) -> the EARLIER signup (event 100)
+    assert out[101].sig_id == 100
+    # no signup for user 2 -> NULL match
+    assert out[200].sig_id is None
+    # same-timestamp signup matches at distance 0
+    assert out[301].sig_id == 300
+
+
+def test_ewma_single_event_is_identity(spark, micro_events_dir):
+    out = {r.event_id: r.ewma for r in REGISTRY["ts_ewma"].fn(spark, micro_events_dir).collect()}
+    assert out[200] == 7.0  # one-row frame: seed only, no fold
+    # user 1 third event: fold(1.0, 2.0, 3.0) = (1*0.8 + 2*0.2)*0.8 + 3*0.2
+    assert abs(out[102] - ((1.0 * 0.8 + 2.0 * 0.2) * 0.8 + 3.0 * 0.2)) < 1e-9
+
+
+def test_zscore_excludes_short_frames(spark, micro_events_dir):
+    # every user here has < 5 events -> no row survives the n >= 5 guard
+    assert REGISTRY["ts_zscore_outliers"].fn(spark, micro_events_dir).count() == 0
