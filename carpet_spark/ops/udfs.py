@@ -288,3 +288,37 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     out = emb.mapInArrow(norms, schema="vec_id long, label int, l2_norm double")
     return out.select("vec_id", "label", F.round("l2_norm", 6).alias("l2_norm"))
+
+
+@register(
+    "udf_pandas_iter",
+    oracle="""
+    SELECT event_id,
+           round(value * 0.0625 + 12.5, 6) AS calibrated
+    FROM events
+    """,
+)
+def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER) — the API for UDFs with
+    expensive one-time setup: the body runs ONCE per partition, initializes
+    its state (here a calibration table standing in for a loaded model /
+    tokenizer / decoder), then streams Arrow batches through it.  The
+    per-batch work is identical to a plain pandas UDF; the per-PARTITION
+    init is what a per-batch UDF cannot amortize — at 100 TB the difference
+    between loading a model 10^5 times (once per executor-partition) and
+    10^8 times (once per batch).
+
+    The 'model' is deterministic (scale=1/16, offset=12.5 — both exact in
+    binary floating point, so the oracle's literal arithmetic matches
+    bit-for-bit)."""
+    @F.pandas_udf(DoubleType())
+    def calibrate(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-partition setup (the expensive part in real use)
+        model = {"scale": 0.0625, "offset": 12.5}
+        for v in batches:
+            yield v * model["scale"] + model["offset"]
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(calibrate("value"), 6).alias("calibrated")
+    )

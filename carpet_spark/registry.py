@@ -149,7 +149,7 @@ _R4_QUEUE = (
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",
     "fn_struct", "fn_interval", "fn_xml", "fn_collation", "fn_try_safe",
     "fn_lambda",
-    "topk_per_group",
+    "topk_per_group", "udf_pandas_iter",
     "sim_knn_join_topk", "sim_ann_ivf", "emb_pca_project",
     "stream_pretrain_prep", "stream_sink_exactly_once",
     "stream_python_datasource_sink",

@@ -441,3 +441,12 @@ def test_dq_expectations_fused_rules_and_anti_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # row-rules: one aggregate computing all four violation counts
     assert "l_discount" in plan and "l_returnflag" in plan
+
+
+def test_udf_pandas_iter_is_arrow_not_batch_python(spark, sf_dir):
+    """SCALAR_ITER must run as an Arrow-vectorized eval, never
+    row-pickling BatchEvalPython, and adds no shuffle."""
+    plan = explain_str(REGISTRY["udf_pandas_iter"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
