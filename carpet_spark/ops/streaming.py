@@ -762,3 +762,32 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type,
+           c.c_name, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each incoming event picks up its
+    customer's dimension attributes — the canonical streaming-ETL step
+    (enrich-then-sink).  Stream-static joins are STATELESS in Structured
+    Streaming: the static side is (re)broadcast per micro-batch and no
+    join state accumulates, so this shape runs forever at constant
+    memory — unlike stream-stream joins (stream_interval_join) whose
+    state the watermark must bound.
+
+    This is the deterministic batch twin (same plan shape: broadcast hash
+    join, no shuffle of the stream side); the incremental run is exercised
+    in tests/test_streaming.py.  At 100 TB the static side is a true dim
+    table — broadcast if small, else a bucketed storage join."""
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return ev.join(
+        F.broadcast(c), ev.user_id == c.c_custkey
+    ).select("event_id", "ts", "user_id", "event_type", "c_name", "c_mktsegment")

@@ -144,14 +144,14 @@ _R4_QUEUE = (
     "win_pct_change", "win_time_range", "win_rank_salted",
     "ts_zscore_outliers", "ts_ewma",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
-    "dq_expectations",
+    "dq_expectations", "agg_bitmap_distinct",
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",
     "fn_struct", "fn_interval", "fn_xml", "fn_collation", "fn_try_safe",
     "fn_lambda",
     "topk_per_group", "udf_pandas_iter",
     "sim_knn_join_topk", "sim_ann_ivf", "emb_pca_project",
-    "stream_pretrain_prep", "stream_sink_exactly_once",
+    "stream_pretrain_prep", "stream_sink_exactly_once", "stream_static_join",
     "stream_python_datasource_sink",
     "mm_image_resize", "mm_image_features", "mm_video_keyframes",
 )

@@ -450,3 +450,18 @@ def test_udf_pandas_iter_is_arrow_not_batch_python(spark, sf_dir):
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_dir):
+    plan = explain_str(REGISTRY["stream_static_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_bitmap_distinct_two_level_agg(spark, sf_dir):
+    """Bitmap distinct must be the mergeable-partials shape: (group,
+    bucket) partial agg then group final — HashAggregates at both levels,
+    no Expand-based count-distinct rewrite."""
+    plan = explain_str(REGISTRY["agg_bitmap_distinct"].fn(spark, sf_dir))
+    assert "bitmap_construct_agg" in plan or "bitmap_count" in plan, plan
+    assert "Expand" not in plan, plan  # the COUNT(DISTINCT) rewrite we avoid
