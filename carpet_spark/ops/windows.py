@@ -302,3 +302,37 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
            ) AS n_last_hour""",
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           len(list_distinct(list(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+             AS n_types_seen
+    FROM events
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user ("how many distinct event types has
+    this user produced so far") — SQL window frames cannot take
+    COUNT(DISTINCT ...), so the idiom is size(collect_set() OVER frame),
+    which Catalyst evaluates as a per-frame set accumulator.  DuckDB
+    mirrors it with len(list_distinct(list() OVER ...)).
+
+    Scale: one shuffle on user_id + per-partition sort (the standard
+    window shape); set state per frame is bounded by |event types| (8
+    here), NOT by frame length, so memory stays constant even for
+    million-event users."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+    )

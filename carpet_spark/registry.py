@@ -142,7 +142,7 @@ _R4_QUEUE = (
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
     "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
     "win_pct_change", "win_time_range", "win_rank_salted",
-    "ts_zscore_outliers", "ts_ewma",
+    "ts_zscore_outliers", "ts_ewma", "win_running_distinct",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
     "dq_expectations", "agg_bitmap_distinct",
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",

@@ -465,3 +465,9 @@ def test_agg_bitmap_distinct_two_level_agg(spark, sf_dir):
     plan = explain_str(REGISTRY["agg_bitmap_distinct"].fn(spark, sf_dir))
     assert "bitmap_construct_agg" in plan or "bitmap_count" in plan, plan
     assert "Expand" not in plan, plan  # the COUNT(DISTINCT) rewrite we avoid
+
+
+def test_win_running_distinct_single_exchange(spark, sf_dir):
+    plan = explain_str(REGISTRY["win_running_distinct"].fn(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1, plan
+    assert plan.count("+- Window") == 1, plan
