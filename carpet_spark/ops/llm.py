@@ -1126,3 +1126,86 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality"),
         (score >= 0.5).alias("keep"),
     )
+
+
+_RAG_QUERY = "spark join performance tuning"
+_RAG_DIM = 8
+
+
+def _rag_sql_embed(expr: str, i: int) -> str:
+    return f"(('0x' || substr(md5({expr}), {i*4+1}, 4))::BIGINT / 65535.0)"
+
+
+def _rag_oracle() -> str:
+    q = "'" + _RAG_QUERY + "'"
+    e = [_rag_sql_embed("chunk_text", i) for i in range(_RAG_DIM)]
+    qe = [_rag_sql_embed(q, i) for i in range(_RAG_DIM)]
+    dot = " + ".join(f"{a} * {b}" for a, b in zip(e, qe))
+    n_e = " + ".join(f"{a} * {a}" for a in e)
+    n_q = " + ".join(f"{b} * {b}" for b in qe)
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id, k AS chunk_id,
+             substr(text, 1 + 150 * k, 200) AS chunk_text
+      FROM documents,
+           LATERAL (SELECT unnest(range(0, 1 + (length(text) - 1) // 150)) AS k)
+      WHERE length(text) >= 1
+    )
+    SELECT doc_id, chunk_id,
+           round(({dot}) / (sqrt({n_e}) * sqrt({n_q})), 6) AS score
+    FROM chunks
+    ORDER BY score DESC, doc_id ASC, chunk_id ASC
+    LIMIT 10
+    """
+
+
+@register("pipeline_rag_topk", oracle=_rag_oracle())
+def pipeline_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval pipeline in ONE lazy plan: chunk documents
+    (200-char windows, stride 150 — chunk_documents' convention) →
+    embed each chunk → cosine-score against the embedded query → top-10
+    chunks.  The embedder is a deterministic md5-projection (4 hex chars →
+    [0,1] per dimension, 8 dims) standing in for a model endpoint — chosen
+    precisely because BOTH engines can compute it exactly, so the entire
+    pipeline (chunking + embedding + scoring + ranking) gets a full value
+    hash instead of the rows-only check a float model would force.
+
+    Scale: zero shuffle until the final top-k — chunking is a narrow
+    explode, embedding/scoring are whole-stage-codegen scalar expressions
+    (no arrays, no Python), and the ranking compiles to
+    TakeOrderedAndProject (per-partition top-10, driver merges
+    k x partitions rows).  Swapping the embedder for a real model is one
+    mapInPandas stage in the same plan (the udf_pandas_iter pattern);
+    swapping brute-force scoring for buckets is ops/ann.py."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 1)
+    ks = F.sequence(F.lit(0), F.expr("(length(text) - 1) div 150"))
+    chunks = (
+        d.select("doc_id", "text", F.explode(ks).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(F.col("text"), 1 + 150 * F.col("chunk_id"), 200).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+    def embed(col, i):
+        return F.conv(F.substring(F.md5(col), i * 4 + 1, 4), 16, 10).cast(
+            "long"
+        ) / F.lit(65535.0)
+
+    e = [embed(F.col("chunk_text"), i) for i in range(_RAG_DIM)]
+    qe = [embed(F.lit(_RAG_QUERY), i) for i in range(_RAG_DIM)]
+    dot = sum((a * b for a, b in zip(e, qe)), F.lit(0.0))
+    n_e = sum((a * a for a in e), F.lit(0.0))
+    n_q = sum((b * b for b in qe), F.lit(0.0))
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            F.round(dot / (F.sqrt(n_e) * F.sqrt(n_q)), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc())
+        .limit(10)
+    )

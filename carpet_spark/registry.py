@@ -130,7 +130,7 @@ _R4_QUEUE = (
     "agg_hll_merge",
     "text_token_entropy",
     "quality_train_score",
-    "dedup_span_corpus",
+    "dedup_span_corpus", "pipeline_rag_topk",
     "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
     "text_quality_score",
     "merge_upsert", "cdc_compact_latest", "scd2_history",

@@ -471,3 +471,13 @@ def test_win_running_distinct_single_exchange(spark, sf_dir):
     plan = explain_str(REGISTRY["win_running_distinct"].fn(spark, sf_dir))
     assert plan.count("+- Exchange") == 1, plan
     assert plan.count("+- Window") == 1, plan
+
+
+def test_pipeline_rag_topk_is_narrow_until_topk(spark, sf_dir):
+    """The whole RAG pipeline (chunk -> embed -> score -> rank) must be
+    shuffle-free: narrow explode + codegen scalars into
+    TakeOrderedAndProject; no Python, no Exchange."""
+    plan = explain_str(REGISTRY["pipeline_rag_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
