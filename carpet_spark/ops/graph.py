@@ -150,3 +150,79 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("v").alias("nationkey"), F.col("rank").alias("pr_fixed")
     )
+
+
+_BFS_MAX_HOPS = 6
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+      SELECT prev AS src, user_id AS dst FROM (
+        SELECT user_id,
+               LAG(user_id) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS prev
+        FROM events
+      ) WHERE prev IS NOT NULL AND prev <> user_id
+    ),
+    bidir AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach (user_id, hops) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT b.dst, r.hops + 1
+      FROM reach r JOIN bidir b ON b.src = r.user_id
+      WHERE r.hops < {_BFS_MAX_HOPS}
+    )
+    SELECT user_id, MIN(hops) AS hops FROM reach GROUP BY user_id
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability: minimum hop count from user 0 over the
+    temporal-adjacency graph (an undirected edge links users who appear
+    consecutively in the same event_type's timeline — deterministic,
+    data-derived, ~|events| edges).  The second iterative-graph shape
+    beside PageRank: per-node DISTANCE, the frontier-expansion loop.
+
+    Iteration is hop-exact so the hash oracle is safe (no floats at all):
+    each round joins the frontier to the edge list, takes the min hop per
+    node, and localCheckpoints to truncate lineage — the Pregel BFS on
+    DataFrames; at scale each round is one join + one agg on the edge
+    partitioning.  Capped at {_BFS_MAX_HOPS} hops on BOTH sides (the
+    oracle is a recursive CTE with the same cap), so results match even
+    if the graph's true diameter exceeds the cap."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = (
+        ev.select("event_type", "ts", "event_id", "user_id")
+        .withColumn("prev", F.lag("user_id").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("user_id")))
+        .select(F.col("prev").alias("src"), F.col("user_id").alias("dst"))
+    )
+    bidir = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    bidir = bidir.localCheckpoint()
+
+    frontier = spark.createDataFrame([(0,)], "user_id long").withColumn(
+        "hops", F.lit(0)
+    )
+    seen = frontier
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(bidir, frontier.user_id == bidir.src)
+            .select(F.col("dst").alias("user_id"))
+            .distinct()
+            .join(seen.select("user_id"), "user_id", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return seen
