@@ -344,3 +344,56 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyframe_batches,
         schema="doc_id long, frame_idx long, frame_len long, byte_offset long",
     )
+
+
+@register(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.bin' AS filename,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS content_sha
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest via Spark's ``binaryFile`` source — the front door
+    of every multimodal pipeline: a directory of opaque files becomes a
+    DataFrame of (path, modificationTime, length, content) WITHOUT any
+    per-format code, and the binary column then flows into the
+    mapInPandas decode stages (mm_image_meta etc.).
+
+    Fixture prep writes 20 .bin files (utf-8 bytes of the first 20
+    documents — bounded, deterministic, driver-side by necessity: Spark
+    has no binary-file WRITER, which is exactly why the reader matters);
+    the op under test is the distributed binaryFile SCAN, whose content
+    bytes are re-hashed and checked against the oracle's sha256 of the
+    source text — any corruption in the file write/read path fails the
+    value hash.
+
+    Scale: binaryFile scans parallelize per file (and honor
+    maxPartitionBytes for large files); at 100 TB this is the pattern for
+    slurping image/audio shards off object storage before decode."""
+    import os as _os
+
+    from .scans import _sink_path
+
+    src = _sink_path(spark, "binfiles")
+    if not _os.path.isdir(src):
+        _os.makedirs(src, exist_ok=True)
+        rows = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 20)
+            .select("doc_id", "text")
+            .collect()  # bounded: 20 fixture rows, prep only
+        )
+        for r in rows:
+            with open(_os.path.join(src, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    files = spark.read.format("binaryFile").load(src)
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        F.col("length").alias("byte_len"),
+        F.sha2("content", 256).alias("content_sha"),
+    )
