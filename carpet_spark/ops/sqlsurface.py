@@ -126,3 +126,46 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "sql_udf_registered",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+                WHEN o_totalprice >= 100000 THEN 'gold'
+                ELSE 'standard' END AS tier,
+           upper(substr(o_orderpriority, 3)) AS prio
+    FROM orders
+    """,
+)
+def sql_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDFs registered into the SQL catalog and called FROM SQL text — the
+    surface that lets analysts use engineering-owned Python functions in
+    plain SQL (spark.udf.register).  Two registrations: a Python scalar
+    UDF (tier) and a pure-SQL function via expr registration is not needed
+    for the second — it stays builtin to show the mixed plan.
+
+    The Python UDF is intentionally trivial and OFF the recommended hot
+    path (see udf_scalar's demonstration); what this op pins is the
+    REGISTRATION surface: named resolution inside spark.sql(...), mixed in
+    one projection with builtin expressions."""
+    from pyspark.sql.types import StringType
+
+    def tier(p: float) -> str:
+        if p >= 200000:
+            return "platinum"
+        if p >= 100000:
+            return "gold"
+        return "standard"
+
+    spark.udf.register("carpet_tier", tier, StringType())
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqludf")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               carpet_tier(o_totalprice) AS tier,
+               upper(substring(o_orderpriority, 3)) AS prio
+        FROM orders_sqludf
+        """
+    )

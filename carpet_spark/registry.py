@@ -136,6 +136,7 @@ _R4_QUEUE = (
     "merge_upsert", "cdc_compact_latest", "scd2_history",
     "agg_pivot", "unpivot_melt", "sample_stratified", "sample_seeded",
     "sql_recursive_cte", "sql_lateral_topn", "sql_pipe_syntax",
+    "sql_udf_registered",
     "graph_pagerank", "graph_bfs_hops",
     "sink_partition_prune", "scan_dpp", "scan_schema_evolution",
     "sink_sorted_skip", "scan_file_metadata", "scan_binary_files",
