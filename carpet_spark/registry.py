@@ -119,13 +119,15 @@ _PRIORITY_WINDOW = (
     "ts_interpolate",
 )
 
-# Round-4+ queue (r02 VERDICT item 3): the 56 ops still unverified after the
-# r3 window, in the order the next windows should take them — trainprep
-# remainder → llm leftovers → mutations → reshape → sqlsurface → graph (the
-# verdict's explicit user-value ordering), then storage-layout scans, join
-# strategies, window/agg extras, function families, ANN, streaming sinks,
-# multimodal.  Next round: promote the first 50 into _PRIORITY_WINDOW; the
-# final 6 plus any r3 failures go in r5.
+# Round-4+ queue (r02 VERDICT item 3): the 73 ops still unverified after
+# the r3 window (56 carried over + the 17 round-3 additions, slotted into
+# their families), in the order the next windows should take them —
+# trainprep remainder → llm leftovers → mutations → reshape → sqlsurface →
+# graph (the r02 verdict's explicit user-value ordering), then
+# storage-layout scans, join strategies, window/agg extras, function
+# families, ANN, streaming sinks, multimodal.  Next round: promote the
+# first 50 into _PRIORITY_WINDOW; the final 23 plus any r3 failures go in
+# r5 — after which every registered op has a driver CORRECTNESS row.
 _R4_QUEUE = (
     "agg_hll_merge",
     "text_token_entropy",
