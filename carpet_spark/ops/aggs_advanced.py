@@ -543,3 +543,41 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_distinct("l_partkey", "n_parts").join(
         bitmap_distinct("l_suppkey", "n_supps"), "l_returnflag"
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             AS wavg_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS effective_rate
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages — quantity-weighted unit price and the effective
+    post-discount rate — the ratio-of-sums formulation (NEVER avg of
+    ratios, and never an engine's own weighted-avg whose accumulation
+    order differs).  Both numerator and denominator sum in decimal then
+    divide once as doubles, so the hash is bit-stable (SURVEY §7.4).
+
+    Scale: plain 2-phase hash aggregate; ratio-of-sums is the ONLY
+    correct distributed weighted mean — it composes from partial sums,
+    while avg-of-ratios cannot."""
+    li = load(spark, sf_dir, "lineitem")
+    dec = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (
+            dec(F.col("l_extendedprice") * F.col("l_quantity"))
+            / dec(F.col("l_quantity"))
+        ).alias("wavg_price"),
+        (
+            dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            / dec(F.col("l_extendedprice"))
+        ).alias("effective_rate"),
+    )

@@ -147,7 +147,7 @@ _R4_QUEUE = (
     "win_pct_change", "win_time_range", "win_rank_salted",
     "ts_zscore_outliers", "ts_ewma", "win_running_distinct",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
-    "dq_expectations", "agg_bitmap_distinct",
+    "dq_expectations", "agg_bitmap_distinct", "agg_weighted_avg",
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",
     "fn_struct", "fn_interval", "fn_xml", "fn_collation", "fn_try_safe",
