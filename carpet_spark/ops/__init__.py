@@ -22,3 +22,4 @@ from . import mutations  # noqa: F401
 from . import trainprep  # noqa: F401
 from . import graph  # noqa: F401
 from . import sqlsurface  # noqa: F401
+from . import analytics  # noqa: F401

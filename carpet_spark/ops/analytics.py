@@ -1,0 +1,148 @@
+"""Product-analytics operators over the events table — funnels and
+retention cohorts, the two queries every behavioral warehouse runs daily.
+
+Scale design: both ops are compositions of per-user aggregates joined on
+the SAME hashpartitioning(user_id), so Catalyst reuses one exchange across
+the chain; final rollups shuffle |stages| or |cohort weeks| rows.
+Determinism: stage times are MIN(timestamp) under explicit >= ordering
+constraints (identical formulation both engines — no window-order
+tie-break needed because min() is order-free); week bucketing uses
+date_trunc('week'), which both engines anchor to Monday.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..tables import load
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts >= t1.ts
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts >= t2.ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    t4 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN t3 ON e.user_id = t3.user_id AND e.ts >= t3.ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 1 AS stage_idx, 'signup' AS stage, COUNT(*) AS n_users FROM t1
+    UNION ALL
+    SELECT 2, 'view', COUNT(*) FROM t2
+    UNION ALL
+    SELECT 3, 'click', COUNT(*) FROM t3
+    UNION ALL
+    SELECT 4, 'purchase', COUNT(*) FROM t4
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users signed up, then VIEWED at-or-after
+    their first signup, then CLICKED at-or-after that view, then PURCHASED
+    — each stage's time is the earliest qualifying event after the
+    previous stage's time (the standard greedy funnel, which maximizes
+    progression).
+
+    Scale: stage k is one filtered aggregate joined to stage k-1 — all
+    four joins and aggs key on user_id, so the chain shares ONE
+    hashpartitioning end-to-end (exchange reuse); per-stage output is one
+    row per surviving user, shrinking monotonically.  The final UNION of
+    4 count rows is driver-trivial."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_stage(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("ts"))
+        )
+
+    def next_stage(prev: DataFrame, etype: str) -> DataFrame:
+        p = prev.select("user_id", F.col("ts").alias("prev_ts"))
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(p, "user_id")
+            .filter(F.col("ts") >= F.col("prev_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("ts"))
+        )
+
+    stages = [first_stage(_FUNNEL_STAGES[0])]
+    for etype in _FUNNEL_STAGES[1:]:
+        stages.append(next_stage(stages[-1], etype))
+
+    counts = None
+    for i, (etype, s) in enumerate(zip(_FUNNEL_STAGES, stages), start=1):
+        row = s.agg(
+            F.lit(i).alias("stage_idx"),
+            F.lit(etype).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+               AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted once per later week they were active — the classic
+    cohort-retention matrix behind every growth dashboard.
+
+    Week arithmetic is integer on both sides: date_trunc('week') anchors
+    Monday in Spark and DuckDB, and the offset is whole weeks between
+    truncated dates (no fractional-day drift).  Scale: one agg for first
+    touch, one distinct per (user, week) — both on the user_id
+    partitioning — then a |cohorts|x|weeks| rollup (tiny)."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                           F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
