@@ -146,3 +146,85 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "ab_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, n, sx / n AS mean,
+             (sxx - sx * sx / n) / (n - 1) AS var
+      FROM s
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+           ROUND((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+           ROUND(pow(a.var / a.n + b.var / b.n, 2)
+                 / (pow(a.var / a.n, 2) / (a.n - 1)
+                    + pow(b.var / b.n, 2) / (b.n - 1)), 2) AS df_welch
+    FROM (SELECT * FROM m WHERE event_type = 'click') a
+    CROSS JOIN (SELECT * FROM m WHERE event_type = 'view') b
+    """,
+)
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations
+    ('click' vs 'view' values) — the A/B-experiment readout: t statistic
+    and Welch–Satterthwaite degrees of freedom from nothing but mergeable
+    per-group (n, Σx, Σx²) partials.
+
+    That mergeability IS the scale story: each variant reduces to three
+    numbers via one 2-phase aggregate over any data size, and the test
+    itself is driver-trivial arithmetic on a 2-row result.  Sums go
+    through decimal so the hash is bit-stable; the final float arithmetic
+    is formulated identically on both sides and rounded (6dp stat, 2dp
+    df)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(28,6)")).cast("double")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("value")).alias("sx"),
+        dec(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = m.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2_a + se2_b), 6
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("n_a") - 1)
+                + F.pow(se2_b, 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )

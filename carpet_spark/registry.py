@@ -133,7 +133,7 @@ _R4_QUEUE = (
     "text_token_entropy",
     "quality_train_score",
     "dedup_span_corpus", "pipeline_rag_topk",
-    "funnel_conversion", "retention_cohorts",
+    "funnel_conversion", "retention_cohorts", "ab_welch_ttest",
     "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
     "text_quality_score",
     "merge_upsert", "cdc_compact_latest", "scd2_history",
