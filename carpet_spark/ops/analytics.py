@@ -228,3 +228,71 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+@register(
+    "win_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS len,
+             MIN(d) AS streak_start, MAX(d) AS streak_end
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, len AS longest_streak, streak_start, streak_end
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, streak_start ASC) AS rn
+      FROM streaks
+    ) WHERE rn = 1
+    """,
+)
+def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands
+    on calendar days — the engagement metric next to retention).  Distinct
+    active days per user, then the classic island key ``day -
+    row_number`` (consecutive days share it), then the longest island;
+    ties broken by earliest start.
+
+    Unlike ts_sessionize (event-time gap windows) this is CALENDAR
+    arithmetic: date minus an integer row number, exact on both engines.
+    Scale: everything keys on user_id — distinct, two windows, and the
+    final pick share one hashpartitioning; state per user is bounded by
+    |active days|."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    wd = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub("d", F.row_number().over(wd))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    wpick = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("streak_start").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            "streak_start",
+            "streak_end",
+        )
+    )
