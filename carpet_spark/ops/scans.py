@@ -489,3 +489,62 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@register(
+    "sink_jsonl_sharded",
+    oracle="""
+    SELECT doc_id, text, lang, n_chars FROM documents
+    """,
+)
+def sink_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded JSONL export — the training-data delivery format: newline-
+    delimited JSON with ``maxRecordsPerFile`` bounding every shard, so
+    downstream loaders stream fixed-size files regardless of upstream
+    partition sizes.  Shard-count bound is asserted in
+    tests/test_operators.py; content integrity is this op's read-back
+    hash against the source oracle.
+
+    Scale: maxRecordsPerFile splits at the WRITER (no extra shuffle —
+    each task rolls to a new file every N records); pair with
+    repartition(n) only when shard COUNT must also be exact.  JSONL stays
+    splittable so re-reads parallelize."""
+    df = load(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    out = _sink_path(spark, "sink_jsonl_sharded")
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .json(out)
+    )
+    return spark.read.schema(df.schema).json(out)
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE maintenance op): a slice is
+    first written deliberately over-partitioned (64 files for a few
+    hundred rows — the classic streaming-ingest debris), then compacted
+    with coalesce(1) into target-sized files and read back.  Content
+    identity is the hash check; the file-count collapse (64 -> 1) is
+    asserted in tests/test_operators.py.
+
+    Scale: coalesce merges WITHOUT a shuffle (narrow: each output task
+    reads whole input files); repartition is the shuffle variant for when
+    output must also be balanced by a key.  At 100 TB the target is
+    ~256 MB-1 GB per file — file count = bytes/target, never 'one'."""
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+    debris = _sink_path(spark, "compact_debris")
+    df.repartition(64).write.mode("overwrite").parquet(debris)
+    compacted = _sink_path(spark, "compact_out")
+    spark.read.parquet(debris).coalesce(1).write.mode("overwrite").parquet(compacted)
+    return spark.read.parquet(compacted)

@@ -144,6 +144,7 @@ _R4_QUEUE = (
     "graph_pagerank", "graph_bfs_hops",
     "sink_partition_prune", "scan_dpp", "scan_schema_evolution",
     "sink_sorted_skip", "scan_file_metadata", "scan_binary_files",
+    "sink_jsonl_sharded", "sink_compact_small_files",
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
     "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
     "win_pct_change", "win_time_range", "win_rank_salted",

@@ -177,3 +177,32 @@ def test_cli_query_subcommand(spark, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == 25
     assert "n_nationkey" in back.columns
+
+
+def test_jsonl_shards_bounded(spark, sf_dir):
+    """maxRecordsPerFile=100 must actually bound every shard."""
+    import glob
+    import os
+
+    from carpet_spark.ops.scans import _sink_path
+
+    REGISTRY["sink_jsonl_sharded"].fn(spark, sf_dir).count()
+    out = _sink_path(spark, "sink_jsonl_sharded")
+    shards = glob.glob(os.path.join(out, "part-*"))
+    assert shards
+    for s in shards:
+        with open(s) as f:
+            assert sum(1 for _ in f) <= 100, s
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    import glob
+    import os
+
+    from carpet_spark.ops.scans import _sink_path
+
+    REGISTRY["sink_compact_small_files"].fn(spark, sf_dir).count()
+    debris = glob.glob(os.path.join(_sink_path(spark, "compact_debris"), "part-*"))
+    out = glob.glob(os.path.join(_sink_path(spark, "compact_out"), "part-*"))
+    assert len(debris) == 64
+    assert len(out) == 1
