@@ -723,3 +723,42 @@ def fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.concat(acc, F.lit("|"), x),
         ).alias("piped4"),
     )
+
+
+@register(
+    "fn_surrogate_key",
+    oracle="""
+    WITH h AS (SELECT o_orderkey, md5('ord|' || o_orderkey) AS hx FROM orders)
+    SELECT o_orderkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' ||
+           substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-' ||
+           substr(hx, 21, 12) AS uuid_key,
+           ('0x' || substr(hx, 1, 15))::BIGINT AS bigint_key
+    FROM h
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys from business keys — the warehouse
+    pattern for stable ids across re-loads (unlike uuid()/rand(), which
+    would also be untestable): a namespaced md5 formatted as a UUID-shaped
+    string plus a 60-bit bigint key (15 hex chars — always positive,
+    fits a signed long exactly).
+
+    Both derivations are pure narrow projections over the same digest;
+    the namespace prefix ('ord|') keeps keys from colliding across
+    entity types that share numeric ids.  Identical string/hex math on
+    both engines → full hash oracle."""
+    o = load(spark, sf_dir, "orders")
+    hx = F.md5(F.concat(F.lit("ord|"), F.col("o_orderkey").cast("string")))
+    return o.select(
+        "o_orderkey",
+        F.concat_ws(
+            "-",
+            F.substring(hx, 1, 8),
+            F.substring(hx, 9, 4),
+            F.substring(hx, 13, 4),
+            F.substring(hx, 17, 4),
+            F.substring(hx, 21, 12),
+        ).alias("uuid_key"),
+        F.conv(F.substring(hx, 1, 15), 16, 10).cast("long").alias("bigint_key"),
+    )

@@ -154,7 +154,7 @@ _R4_QUEUE = (
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",
     "fn_struct", "fn_interval", "fn_xml", "fn_collation", "fn_try_safe",
-    "fn_lambda",
+    "fn_lambda", "fn_surrogate_key",
     "topk_per_group", "udf_pandas_iter",
     "sim_knn_join_topk", "sim_ann_ivf", "emb_pca_project",
     "stream_pretrain_prep", "stream_sink_exactly_once", "stream_static_join",
