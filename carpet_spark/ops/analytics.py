@@ -296,3 +296,46 @@ def win_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_end",
         )
     )
+
+
+@register(
+    "basket_pair_counts",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item
+      FROM lineitem
+    )
+    SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_baskets
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= 5
+    """,
+)
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair support: how many orders contain both item A and
+    item B (parts bucketed to 50 categories so pairs repeat at fixture
+    scale) — the support-counting core of association-rule mining.
+
+    Scale: the pair generation is a SELF-JOIN ON THE BASKET KEY, so work
+    per order is C(items_in_order, 2) — bounded by basket size (TPC-H
+    orders hold <=7 lines), never corpus-quadratic; both sides and the
+    final count share hashpartitioning(l_orderkey)/then (item_a,item_b).
+    The support threshold (>=5) prunes the long tail before output, the
+    same role min-support plays in Apriori/FP-growth."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 5)
+    )
