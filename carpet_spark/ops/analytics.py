@@ -339,3 +339,68 @@ def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= 5)
     )
+
+
+@register(
+    "conversion_lag_stats",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    lags AS (
+      SELECT s.user_id,
+             date_diff('second', s.signup_ts, p.purchase_ts) AS lag_sec
+      FROM s JOIN p ON s.user_id = p.user_id
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(SUM(lag_sec) AS BIGINT) AS total_lag_sec,
+           MIN(lag_sec) AS min_lag_sec,
+           MAX(lag_sec) AS max_lag_sec,
+           CAST(round(quantile_cont(lag_sec, 0.5), 0) AS BIGINT) AS p50_lag_sec
+    FROM lags
+    """,
+)
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from a user's first signup to
+    their first at-or-after purchase — count, total, min/max, and median
+    lag.  The growth-team metric between funnel (did they convert) and
+    retention (did they stay).
+
+    Lags are integer seconds (exact on both engines); the median is exact
+    percentile over the converted-user set (bounded: one row per user —
+    the agg_percentile scale note applies).  All joins/aggs key on
+    user_id; the final stats row is a single global aggregate of
+    |converted users| rows."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    lags = s.join(p, "user_id").select(
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("signup_ts")
+        ).alias("lag_sec")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.sum("lag_sec").alias("total_lag_sec"),
+        F.min("lag_sec").alias("min_lag_sec"),
+        F.max("lag_sec").alias("max_lag_sec"),
+        F.round(F.percentile("lag_sec", F.lit(0.5)), 0)
+        .cast("long")
+        .alias("p50_lag_sec"),
+    )

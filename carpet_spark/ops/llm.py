@@ -1209,3 +1209,61 @@ def pipeline_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("chunk_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "emb_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(CAST(list_sum(list_transform(embedding,
+                    x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              AS DECIMAL(38,12)))) AS DOUBLE)) AS l2
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(l2 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_norm,
+           ROUND(MIN(l2), 6) AS min_norm,
+           ROUND(MAX(l2), 6) AS max_norm
+    FROM n
+    GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm distribution per label — the drift/health monitor
+    every embedding pipeline runs (collapsed norms = dead model, exploding
+    norms = missing normalization).  The norm is a JVM higher-order
+    aggregate over the array column (zip-free: transform + aggregate —
+    no explode, no Python); per-label stats are a plain 2-phase agg.
+
+    Determinism: the per-vector norm is an identical left-to-right float
+    fold on both sides (same element order), the mean goes through a
+    decimal sum, and all outputs round to 6dp."""
+    e = load(spark, sf_dir, "embeddings")
+    # decimal accumulator: each double square is bit-identical on both
+    # sides, and decimal addition is exact/associative, so the total (and
+    # its sqrt) matches DuckDB's list_sum regardless of fold order
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(38,12)")
+        ).cast("decimal(38,12)"),
+    )
+    l2 = F.sqrt(sq_sum.cast("double"))
+    return (
+        e.select("label", l2.alias("l2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("l2").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_norm"),
+            F.round(F.min("l2"), 6).alias("min_norm"),
+            F.round(F.max("l2"), 6).alias("max_norm"),
+        )
+    )

@@ -134,7 +134,8 @@ _R4_QUEUE = (
     "quality_train_score",
     "dedup_span_corpus", "pipeline_rag_topk",
     "funnel_conversion", "retention_cohorts", "ab_welch_ttest",
-    "win_activity_streaks", "basket_pair_counts",
+    "win_activity_streaks", "basket_pair_counts", "conversion_lag_stats",
+    "emb_norm_stats",
     "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
     "text_quality_score",
     "merge_upsert", "cdc_compact_latest", "scd2_history",
