@@ -762,3 +762,32 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uuid_key"),
         F.conv(F.substring(hx, 1, 15), 16, 10).cast("long").alias("bigint_key"),
     )
+
+
+@register(
+    "fn_bitpack_key",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_orderkey << 8) | l_linenumber AS packed,
+           ((l_orderkey << 8) | l_linenumber) >> 8 AS unpacked_order,
+           ((l_orderkey << 8) | l_linenumber) & 255 AS unpacked_line
+    FROM lineitem
+    """,
+)
+def fn_bitpack_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-packed composite key: (orderkey, linenumber) folded into ONE
+    long via shift/or, and unpacked back via shift/mask — the technique
+    that turns a two-column join/sort key into a single 8-byte key
+    (smaller shuffles, single-column sort runs, direct use as an array
+    index).  Linenumber is 1..7, so 8 bits is comfortable headroom and
+    the round-trip is exact; both unpack columns hash-verify the
+    inverse.  Pure narrow projection in whole-stage codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    packed = F.shiftleft(F.col("l_orderkey"), 8).bitwiseOR(F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        packed.alias("packed"),
+        F.shiftright(packed, 8).alias("unpacked_order"),
+        packed.bitwiseAND(F.lit(255)).alias("unpacked_line"),
+    )

@@ -419,3 +419,52 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts", "value", F.round(ewma, 6).alias("ewma")
     )
+
+
+@register(
+    "ts_seasonality_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT isodow(d) AS dow, COUNT(*) AS n_days,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS dow_avg
+      FROM daily GROUP BY 1
+    ),
+    overall AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS all_avg FROM daily
+    )
+    SELECT dow, n_days,
+           ROUND(dow_avg, 6) AS dow_avg,
+           ROUND(dow_avg / all_avg, 6) AS seasonal_index
+    FROM stats CROSS JOIN overall
+    """,
+)
+def ts_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: each weekday's average daily event
+    count relative to the overall daily average (index > 1 = busy day) —
+    the first decomposition every forecasting pipeline computes.
+
+    Integer day counts aggregate exactly; the two averages divide once as
+    doubles with identical formulation, rounded 6dp.  Scale: one daily
+    rollup (|days| rows) then 7-row statistics — input size only touches
+    the first aggregate, which is map-side combined."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy((F.weekday("d") + 1).alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("dow_avg"),
+    )
+    overall = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("all_avg")
+    )
+    return stats.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "n_days",
+        F.round("dow_avg", 6).alias("dow_avg"),
+        F.round(F.col("dow_avg") / F.col("all_avg"), 6).alias("seasonal_index"),
+    )

@@ -150,12 +150,13 @@ _R4_QUEUE = (
     "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
     "win_pct_change", "win_time_range", "win_rank_salted",
     "ts_zscore_outliers", "ts_ewma", "win_running_distinct",
+    "ts_seasonality_dow",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
     "dq_expectations", "agg_bitmap_distinct", "agg_weighted_avg",
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",
     "fn_struct", "fn_interval", "fn_xml", "fn_collation", "fn_try_safe",
-    "fn_lambda", "fn_surrogate_key",
+    "fn_lambda", "fn_surrogate_key", "fn_bitpack_key",
     "topk_per_group", "udf_pandas_iter",
     "sim_knn_join_topk", "sim_ann_ivf", "emb_pca_project",
     "stream_pretrain_prep", "stream_sink_exactly_once", "stream_static_join",
