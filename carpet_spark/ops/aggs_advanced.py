@@ -581,3 +581,50 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / dec(F.col("l_extendedprice"))
         ).alias("effective_rate"),
     )
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k)
+    SELECT key, n,
+           ROUND(n * 1.0 / total, 6) AS share,
+           ROUND(n * 1.0 * n_keys / total, 6) AS skew_factor
+    FROM k CROSS JOIN tot
+    ORDER BY n DESC, key ASC
+    LIMIT 20
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew profiler: the 20 heaviest join/agg keys with their
+    share of all rows and skew factor (count / mean-count — 1.0 = uniform)
+    — the diagnostic run BEFORE choosing between plain shuffle,
+    join_salted, and AQE skew-join (SCALE.md's per-key skew levers).
+
+    Scale: one map-side-combined count per key, a broadcast 1-row total,
+    and TakeOrderedAndProject for the top-20 — the profiler costs one
+    aggregate regardless of table size, which is why it's cheap insurance
+    before any big join."""
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("n_keys") / F.col("total"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(20)
+    )

@@ -174,3 +174,49 @@ def pii_kanon_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .withColumn("k_ok", F.col("group_size") >= 5)
     )
+
+
+@register(
+    "pii_noisy_count_laplace",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment, COUNT(*) AS true_n FROM customer GROUP BY c_mktsegment
+    ),
+    u AS (
+      SELECT c_mktsegment, true_n,
+             ('0x' || substr(md5('noise|' || c_mktsegment), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS u01
+      FROM g
+    )
+    SELECT c_mktsegment, true_n,
+           ROUND(true_n - 2.0 * sign(u01 - 0.5)
+                 * ln(1.0 - 2.0 * abs(u01 - 0.5)), 6) AS noisy_n
+    FROM u
+    """,
+)
+def pii_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy counts (the differential-privacy release
+    shape, epsilon = 0.5 -> scale b = 2): per-group counts plus
+    inverse-CDF Laplace noise.  The uniform draw is DERIVED from a keyed
+    md5 (15 hex chars / 16^15) instead of an RNG — deliberately, so both
+    engines compute the identical release and the mechanism's arithmetic
+    is hash-verifiable end-to-end; a production deployment swaps the
+    digest for a real RNG (one-line change) and loses only the oracle,
+    not the shape.  ln() is libm-vs-Java-ulp territory -> round(6).
+
+    Scale: the noise is a per-GROUP scalar projection after the count
+    aggregate — released aggregates are tiny regardless of input size."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("true_n"))
+    u01 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("noise|"), F.col("c_mktsegment"))), 1, 15),
+        16,
+        10,
+    ).cast("long") / F.lit(float(16**15))
+    centered = u01 - 0.5
+    noise = -2.0 * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    return g.select(
+        "c_mktsegment",
+        "true_n",
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+    )
