@@ -20,7 +20,7 @@ error, too coarse for 6dp hashing — so oracles use explicit double lambdas).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import davg, sql_davg
 from ..registry import register
@@ -1265,5 +1265,59 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_norm"),
             F.round(F.min("l2"), 6).alias("min_norm"),
             F.round(F.max("l2"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+    WITH grouped AS (
+      SELECT substr(md5(substr(text, 1, 40)), 1, 6) AS grp, doc_id, text,
+             n_chars, lang
+      FROM documents
+    ),
+    ranked AS (
+      SELECT grp, doc_id, n_chars, lang,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS grp_size,
+             MIN(doc_id) OVER (PARTITION BY grp) AS first_doc
+      FROM grouped
+    )
+    SELECT grp, doc_id AS survivor_doc, n_chars AS survivor_chars,
+           lang AS survivor_lang, grp_size, first_doc
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record selection — the step AFTER duplicate
+    detection in master-data management: within each duplicate group,
+    elect one surviving record by a declared rule (here: most complete =
+    longest text, doc_id as the deterministic tie-break) while retaining
+    group lineage (size, first id).  Groups come from the same
+    40-char-prefix digest family as dedup_prefix.
+
+    Scale: one window over hashpartitioning(grp) computes the election,
+    the group size, and the lineage min in a single pass — no self-join
+    back to the group; the digest group key shuffles 6 hex chars, never
+    text (the dedup_exact rule)."""
+    d = load(spark, sf_dir, "documents")
+    grp = F.substring(F.md5(F.substring("text", 1, 40)), 1, 6)
+    g = d.select(grp.alias("grp"), "doc_id", "n_chars", "lang")
+    w = Window.partitionBy("grp").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    wall = Window.partitionBy("grp")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp_size", F.count(F.lit(1)).over(wall))
+        .withColumn("first_doc", F.min("doc_id").over(wall))
+        .filter(F.col("rn") == 1)
+        .select(
+            "grp",
+            F.col("doc_id").alias("survivor_doc"),
+            F.col("n_chars").alias("survivor_chars"),
+            F.col("lang").alias("survivor_lang"),
+            "grp_size",
+            "first_doc",
         )
     )

@@ -548,3 +548,54 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = _sink_path(spark, "compact_out")
     spark.read.parquet(debris).coalesce(1).write.mode("overwrite").parquet(compacted)
     return spark.read.parquet(compacted)
+
+
+@register(
+    "sink_csv_quoted_multiline",
+    oracle="""
+    SELECT doc_id,
+           'a,b"c' || chr(10) || substr(text, 1, 30) AS tricky,
+           lang
+    FROM documents
+    """,
+)
+def sink_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip of ADVERSARIAL values: every field carries an
+    embedded comma, a double-quote, AND a newline — the trifecta that
+    breaks naive CSV handling.  Written with explicit quote/escape
+    settings, read back with multiLine=true; the read-back values hash
+    against the oracle's expected strings, so any mis-quoting or
+    mis-splitting anywhere in the writer/reader fails the value check.
+
+    Scale note (and the reason parquet wins): multiLine=true makes CSV
+    files NON-SPLITTABLE (a record boundary can no longer be found by
+    seeking to a newline), so each file becomes one task — acceptable for
+    interchange, wrong for a 100 TB fact table.  The op documents that
+    trade-off by existing."""
+    d = load(spark, sf_dir, "documents")
+    tricky = F.concat(
+        F.lit('a,b"c\n'), F.substring("text", 1, 30)
+    )
+    df = d.select("doc_id", tricky.alias("tricky"), "lang")
+    out = _sink_path(spark, "sink_csv_quoted")
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        # the CSV WRITER trims by default (ignore*WhiteSpace=true) — a
+        # silent data change; disabled on both ends for true round-trip
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(out)
+    )
+    return (
+        spark.read.schema(df.schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(out)
+    )

@@ -137,6 +137,7 @@ _R4_QUEUE = (
     "win_activity_streaks", "basket_pair_counts", "conversion_lag_stats",
     "emb_norm_stats",
     "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
+    "dedup_survivorship",
     "text_quality_score",
     "merge_upsert", "cdc_compact_latest", "scd2_history",
     "agg_pivot", "unpivot_melt", "sample_stratified", "sample_seeded",
@@ -146,6 +147,7 @@ _R4_QUEUE = (
     "sink_partition_prune", "scan_dpp", "scan_schema_evolution",
     "sink_sorted_skip", "scan_file_metadata", "scan_binary_files",
     "sink_jsonl_sharded", "sink_compact_small_files",
+    "sink_csv_quoted_multiline",
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
     "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
     "win_pct_change", "win_time_range", "win_rank_salted",
