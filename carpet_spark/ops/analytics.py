@@ -404,3 +404,59 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p50_lag_sec"),
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           datediff('day', last_order, DATE '1998-12-31') AS recency_days,
+           frequency, monetary,
+           NTILE(5) OVER (ORDER BY datediff('day', last_order, DATE '1998-12-31') ASC,
+                          o_custkey ASC) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+    FROM m
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quintile scores
+    per customer, the classic CRM base table (quintile 1 = most recent /
+    most frequent / highest spend under these orderings).
+
+    Scale caveat, stated honestly: NTILE over the full customer set is a
+    GLOBAL window (single ordering).  Spark executes it as one task after
+    a range-free sort — correct but serialized, which is why the 100 TB
+    variant replaces ntile with percentile-threshold bucketing
+    (approx_percentile cutpoints + CASE, distributed; agg_approx_percentile
+    is the building block).  The op keeps ntile because it is the exact,
+    engine-parity formulation; custkey tie-breaks make all three
+    orderings total.  Monetary sums in decimal (hash-stable)."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    m = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("monetary"),
+    )
+    recency = F.datediff(F.lit("1998-12-31").cast("date"), F.col("last_order"))
+    wr = Window.orderBy(recency.asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return m.select(
+        "o_custkey",
+        recency.alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )

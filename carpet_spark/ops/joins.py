@@ -813,3 +813,44 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(b_closer, F.col("b_ts")).otherwise(F.col("f_ts")).alias("sig_ts"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH sig AS (
+      SELECT user_id, ts, MAX(event_id) AS sig_id
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, ts
+    ),
+    matched AS (
+      SELECT e.event_id, e.user_id, e.ts, s.sig_id, s.ts AS sig_ts
+      FROM events e
+      ASOF LEFT JOIN sig s ON e.user_id = s.user_id AND s.ts <= e.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN sig_ts >= ts - INTERVAL 1 HOUR THEN sig_id END AS sig_id,
+           CASE WHEN sig_ts >= ts - INTERVAL 1 HOUR THEN sig_ts END AS sig_ts
+    FROM matched
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: the latest signup at-or-before
+    each event counts ONLY if it is within the last hour — the form every
+    sensor-alignment and feature-join actually ships (an unboundedly old
+    match is usually worse than no match: stale features silently leak
+    into training).
+
+    Identical single-shuffle union-tag machinery as join_asof; the
+    tolerance is a post-match null-out (cheap scalar), NOT a range join —
+    so the 100 TB cost is unchanged.  Mirrors pandas merge_asof's
+    ``tolerance=`` parameter."""
+    base = join_asof(spark, sf_dir)
+    within = F.col("sig_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("sig_id")).alias("sig_id"),
+        F.when(within, F.col("sig_ts")).alias("sig_ts"),
+    )

@@ -135,7 +135,7 @@ _R4_QUEUE = (
     "dedup_span_corpus", "pipeline_rag_topk",
     "funnel_conversion", "retention_cohorts", "ab_welch_ttest",
     "win_activity_streaks", "basket_pair_counts", "conversion_lag_stats",
-    "emb_norm_stats",
+    "emb_norm_stats", "rfm_segments",
     "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
     "dedup_survivorship",
     "text_quality_score",
@@ -150,6 +150,7 @@ _R4_QUEUE = (
     "sink_csv_quoted_multiline",
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
     "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
+    "join_asof_tolerance",
     "win_pct_change", "win_time_range", "win_rank_salted",
     "ts_zscore_outliers", "ts_ewma", "win_running_distinct",
     "ts_seasonality_dow",
