@@ -460,3 +460,129 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wf).alias("f_score"),
         F.ntile(5).over(wm).alias("m_score"),
     )
+
+
+@register(
+    "feature_quantile_bucketize",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.2) AS c1,
+             quantile_cont(o_totalprice, 0.4) AS c2,
+             quantile_cont(o_totalprice, 0.6) AS c3,
+             quantile_cont(o_totalprice, 0.8) AS c4
+      FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice <= c1 THEN 1
+                WHEN o_totalprice <= c2 THEN 2
+                WHEN o_totalprice <= c3 THEN 3
+                WHEN o_totalprice <= c4 THEN 4
+                ELSE 5 END AS bucket
+    FROM orders CROSS JOIN cuts
+    """,
+)
+def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing the DISTRIBUTED way — the scale replacement for
+    a global NTILE window (rfm_segments' documented caveat): compute the
+    4 quintile cutpoints as ONE aggregate, broadcast the 1-row cutpoint
+    table, and assign buckets with a narrow CASE projection.  No global
+    sort, no single-reducer window — data any size flows through a
+    map-only scan plus a 4-number broadcast.
+
+    Differences vs ntile, stated: ties around a cutpoint all land in one
+    bucket (ntile splits them to equalize counts), so bucket sizes are
+    approximately-equal rather than exactly-equal — the trade every
+    production feature pipeline accepts.  Exact percentile here for
+    oracle parity; swap in approx_percentile at 100 TB (sketch-mergeable,
+    same broadcast shape)."""
+    o = load(spark, sf_dir, "orders")
+    cuts = o.agg(
+        *[
+            F.percentile("o_totalprice", F.lit(q)).alias(f"c{i}")
+            for i, q in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("c1"), 1)
+        .when(F.col("o_totalprice") <= F.col("c2"), 2)
+        .when(F.col("o_totalprice") <= F.col("c3"), 3)
+        .when(F.col("o_totalprice") <= F.col("c4"), 4)
+        .otherwise(5)
+    )
+    return o.crossJoin(F.broadcast(cuts)).select(
+        "o_orderkey", "o_totalprice", bucket.alias("bucket")
+    )
+
+
+@register(
+    "geo_haversine_radius",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (('0x' || substr(md5('lat|' || c_custkey), 1, 8))::BIGINT
+              / 4294967295.0) * 160.0 - 80.0 AS lat,
+             (('0x' || substr(md5('lon|' || c_custkey), 1, 8))::BIGINT
+              / 4294967295.0) * 360.0 - 180.0 AS lon
+      FROM customer
+    )
+    SELECT c_custkey,
+           ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon,
+           ROUND(2.0 * 6371.0 * asin(sqrt(
+             pow(sin(radians(lat - 40.7128) / 2.0), 2)
+             + cos(radians(40.7128)) * cos(radians(lat))
+               * pow(sin(radians(lon - (-74.0060)) / 2.0), 2)
+           )), 2) AS km_to_nyc
+    FROM pts
+    WHERE 2.0 * 6371.0 * asin(sqrt(
+            pow(sin(radians(lat - 40.7128) / 2.0), 2)
+            + cos(radians(40.7128)) * cos(radians(lat))
+              * pow(sin(radians(lon - (-74.0060)) / 2.0), 2)
+          )) <= 5000.0
+    """,
+)
+def geo_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo radius query without a geo library: haversine great-circle
+    distance to a reference point (NYC) with a 5000 km radius filter —
+    the store-locator / delivery-zone shape, all in builtin trig that
+    whole-stage codegen compiles.  Coordinates are derived
+    deterministically from the customer key (the fixture has no geo
+    columns), so both engines compute identical doubles; distance rounds
+    to 2 dp (asin/sin/cos are libm-vs-Java ulp territory).
+
+    Scale: pure narrow projection + filter.  The real 100 TB geo join
+    (points x polygons / points x points) adds a geohash-prefix equi join
+    for candidates — the same bucket-then-verify pattern as ops/ann.py —
+    before this exact verify step."""
+    c = load(spark, sf_dir, "customer")
+
+    def unit(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix + "|"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") / F.lit(4294967295.0)
+
+    lat = unit("lat") * 160.0 - 80.0
+    lon = unit("lon") * 360.0 - 180.0
+    dlat = F.radians(lat - 40.7128) / 2.0
+    dlon = F.radians(lon - F.lit(-74.0060)) / 2.0
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.lit(40.7128))) * F.cos(F.radians(lat)) * F.pow(F.sin(dlon), 2)
+    )
+    km = 2.0 * 6371.0 * F.asin(F.sqrt(h))
+    return (
+        c.select(
+            "c_custkey",
+            F.round(lat, 6).alias("lat"),
+            F.round(lon, 6).alias("lon"),
+            F.round(km, 2).alias("km_to_nyc"),
+            km.alias("_km_raw"),
+        )
+        .filter(F.col("_km_raw") <= 5000.0)
+        .drop("_km_raw")
+    )
