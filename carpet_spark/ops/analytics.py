@@ -586,3 +586,116 @@ def geo_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_km_raw") <= 5000.0)
         .drop("_km_raw")
     )
+
+
+_GEO_CELL_DEG = 5.0  # ~550 km at the equator; >= the 500 km radius
+
+
+@register(
+    "geo_cell_join_radius",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (('0x' || substr(md5('lat|' || c_custkey), 1, 8))::BIGINT
+              / 4294967295.0) * 160.0 - 80.0 AS lat,
+             (('0x' || substr(md5('lon|' || c_custkey), 1, 8))::BIGINT
+              / 4294967295.0) * 360.0 - 180.0 AS lon
+      FROM customer WHERE c_custkey < 600
+    ),
+    cells AS (
+      SELECT *, CAST(FLOOR((lat + 90.0) / 5.0) AS BIGINT) AS cy,
+                CAST(FLOOR((lon + 180.0) / 5.0) AS BIGINT) AS cx
+      FROM pts
+    ),
+    probes AS (
+      SELECT c.*, (c.cy + dy) * 72 + ((c.cx + dx + 72) % 72) AS nkey
+      FROM cells c,
+           LATERAL (SELECT unnest(range(-1, 2)) AS dy),
+           LATERAL (SELECT unnest(range(-1, 2)) AS dx)
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           ROUND(2.0 * 6371.0 * asin(sqrt(
+             pow(sin(radians(b.lat - a.lat) / 2.0), 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * pow(sin(radians(b.lon - a.lon) / 2.0), 2)
+           )), 2) AS km
+    FROM probes a
+    JOIN cells b ON a.nkey = b.cy * 72 + b.cx AND a.c_custkey < b.c_custkey
+    WHERE 2.0 * 6371.0 * asin(sqrt(
+            pow(sin(radians(b.lat - a.lat) / 2.0), 2)
+            + cos(radians(a.lat)) * cos(radians(b.lat))
+              * pow(sin(radians(b.lon - a.lon) / 2.0), 2)
+          )) <= 500.0
+    """,
+)
+def geo_cell_join_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius SELF-join the scalable way: all customer pairs within
+    500 km, with candidates from a 5-degree grid-cell equi join (each
+    point probes its 3x3 cell neighborhood; longitude cells wrap mod 72)
+    and an exact haversine verify — the geo instance of the
+    bucket-then-verify pattern (ops/ann.py's banded join, llm.py's LSH).
+    Never an all-pairs cross join: candidate volume is
+    sum-over-cells(|cell| x |3x3 neighborhood|), which at any scale is
+    bounded by local density, not corpus size.
+
+    Known simplification, stated: a 5-degree LONGITUDE cell narrows
+    toward the poles, so the 3x3 probe can miss pairs above ~|lat| 85
+    whose great-circle distance crosses many cells — production grids use
+    latitude-banded cell widths (geohash/S2/H3); the bounded-subset
+    (c_custkey < 600) keeps the exact verify cheap at fixture scale.
+    Distances round to 2 dp (libm trig)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 600)
+
+    def unit(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix + "|"), F.col("c_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") / F.lit(4294967295.0)
+
+    pts = c.select(
+        "c_custkey",
+        (unit("lat") * 160.0 - 80.0).alias("lat"),
+        (unit("lon") * 360.0 - 180.0).alias("lon"),
+    )
+    cells = pts.withColumn(
+        "cy", F.floor((F.col("lat") + 90.0) / _GEO_CELL_DEG)
+    ).withColumn("cx", F.floor((F.col("lon") + 180.0) / _GEO_CELL_DEG))
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dy -> "
+        "transform(sequence(-1,1), dx -> struct(dy, dx)))))"
+    )
+    probes = cells.select("*", offsets.alias("o")).select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        ((F.col("cy") + F.col("o.dy")) * 72
+         + F.pmod(F.col("cx") + F.col("o.dx") + 72, F.lit(72))).alias("nkey"),
+    )
+    base = cells.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        (F.col("cy") * 72 + F.col("cx")).alias("bkey"),
+    )
+    cand = probes.join(
+        base,
+        (F.col("nkey") == F.col("bkey")) & (F.col("cust_a") < F.col("cust_b")),
+    )
+    dlat = F.radians(F.col("lat_b") - F.col("lat_a")) / 2.0
+    dlon = F.radians(F.col("lon_b") - F.col("lon_a")) / 2.0
+    km = 2.0 * 6371.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(dlat), 2)
+            + F.cos(F.radians("lat_a")) * F.cos(F.radians("lat_b")) * F.pow(F.sin(dlon), 2)
+        )
+    )
+    return (
+        cand.withColumn("km_raw", km)
+        .filter(F.col("km_raw") <= 500.0)
+        .select("cust_a", "cust_b", F.round("km_raw", 2).alias("km"))
+    )

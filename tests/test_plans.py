@@ -481,3 +481,11 @@ def test_pipeline_rag_topk_is_narrow_until_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_geo_cell_join_is_equi_not_cross(spark, sf_dir):
+    """The geo radius self-join must generate candidates via the grid-cell
+    equi join — never a cross/nested-loop product."""
+    plan = explain_str(REGISTRY["geo_cell_join_radius"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
