@@ -468,3 +468,52 @@ def ts_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dow_avg", 6).alias("dow_avg"),
         F.round(F.col("dow_avg") / F.col("all_avg"), 6).alias("seasonal_index"),
     )
+
+
+@register(
+    "ts_inflight_orders",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, +1 AS delta FROM orders
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INTEGER), -1 FROM orders
+    ),
+    daily AS (
+      SELECT d, SUM(delta) AS net FROM deltas GROUP BY d
+    )
+    SELECT d, net,
+           CAST(SUM(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS in_flight
+    FROM daily
+    """,
+)
+def ts_inflight_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-in-flight timeline via the DIFFERENCE-ARRAY sweep: each
+    order contributes +1 at open and -1 at close (close = open +
+    1..30 days, derived deterministically from the key since the fixture
+    has no ship date), daily net deltas aggregate map-side, and a
+    cumulative sum over DATES yields the concurrent-open count — the
+    interval-stabbing query (active sessions / open tickets / concurrent
+    jobs) WITHOUT joining every day against every interval.
+
+    Scale: the expensive part is the per-date delta aggregate
+    (|orders| rows in, |dates| rows out, map-side combined).  The final
+    cumulative window IS a global ordering — over the DATE axis, whose
+    cardinality is bounded (~2,400 here; a century of days is 36,525
+    rows), so the single-task window is a non-issue at any fact-table
+    size; integer deltas make the running sum exact."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    opens = o.select(d.alias("d"), F.lit(1).alias("delta"))
+    closes = o.select(
+        F.date_add(d, (F.col("o_orderkey") % 30 + 1).cast("int")).alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = opens.unionByName(closes).groupBy("d").agg(
+        F.sum("delta").alias("net")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d", "net", F.sum("net").over(w).cast("long").alias("in_flight")
+    )

@@ -154,7 +154,7 @@ _R4_QUEUE = (
     "join_asof_tolerance",
     "win_pct_change", "win_time_range", "win_rank_salted",
     "ts_zscore_outliers", "ts_ewma", "win_running_distinct",
-    "ts_seasonality_dow",
+    "ts_seasonality_dow", "ts_inflight_orders",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
     "dq_expectations", "agg_bitmap_distinct", "agg_weighted_avg",
     "profile_key_skew", "pii_noisy_count_laplace",
