@@ -699,3 +699,108 @@ def geo_cell_join_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("km_raw") <= 500.0)
         .select("cust_a", "cust_b", F.round("km_raw", 2).alias("km"))
     )
+
+
+_PARETO_BUCKETS = 8
+
+
+def _pareto_oracle() -> str:
+    qs = ", ".join(
+        f"quantile_cont(rev, {i / _PARETO_BUCKETS}) AS q{i}"
+        for i in range(1, _PARETO_BUCKETS)
+    )
+    # bucket 1 holds the HIGHEST revenues: rev >= q7 -> 1, ... else 8
+    cases = " ".join(
+        f"WHEN rev >= q{_PARETO_BUCKETS - b} THEN {b}"
+        for b in range(1, _PARETO_BUCKETS)
+    )
+    return f"""
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (SELECT {qs} FROM r),
+    b AS (
+      SELECT o_custkey, rev, CASE {cases} ELSE {_PARETO_BUCKETS} END AS bucket
+      FROM r CROSS JOIN cuts
+    ),
+    tot AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(28,6))) AS DOUBLE) AS total FROM r)
+    SELECT o_custkey, rev, bucket,
+           ROUND(CAST(SUM(CAST(rev AS DECIMAL(28,6)))
+                      OVER (ORDER BY rev DESC, o_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / total, 6) AS cum_share
+    FROM b CROSS JOIN tot
+    """
+
+
+@register("dist_cumulative_share", oracle=_pareto_oracle())
+def dist_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-revenue-share curve ("the top X% of customers
+    drive Y% of revenue") computed as a DISTRIBUTED PREFIX SUM — the
+    textbook replacement for the global cumulative window that would
+    otherwise serialize every row through one task:
+
+      1. quantile cutpoints split customers into revenue-range buckets
+         (one aggregate, broadcast — feature_quantile_bucketize's shape);
+      2. per-bucket totals cumsum over the BUCKET axis (8 rows) into a
+         broadcast per-bucket offset;
+      3. each bucket cumsums ITS OWN rows in parallel (window partitioned
+         by bucket) and adds its offset.
+
+    The result equals the global window exactly — the oracle IS the
+    single-window formulation — because bucket ranges follow the same
+    (rev DESC, custkey) total order and every accumulation runs in
+    decimal (order-exact), converting to double only at the final
+    divide.  At 100 TB: step 1 swaps to approx_percentile, bucket count
+    scales to ~2-3x cores, and no task ever sees more than one bucket's
+    rows."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("rev")
+    )
+    cuts = r.agg(
+        *[
+            F.percentile("rev", F.lit(i / _PARETO_BUCKETS)).alias(f"q{i}")
+            for i in range(1, _PARETO_BUCKETS)
+        ]
+    )
+    bucket = F
+    expr = None
+    for b in range(1, _PARETO_BUCKETS):
+        cond = F.col("rev") >= F.col(f"q{_PARETO_BUCKETS - b}")
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    bucket = expr.otherwise(_PARETO_BUCKETS)
+    bkt = r.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey", "rev", bucket.alias("bucket")
+    )
+    dec = F.col("rev").cast("decimal(28,6)")
+    per_bucket = bkt.groupBy("bucket").agg(F.sum(dec).alias("bsum"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bsum").over(wb), F.lit(0).cast("decimal(28,6)")).alias(
+            "offset"
+        ),
+    )
+    total = bkt.agg(F.sum(dec).cast("double").alias("total"))
+    win = Window.partitionBy("bucket").orderBy(
+        F.col("rev").desc(), F.col("o_custkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        bkt.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "rev",
+            "bucket",
+            F.round(
+                (F.col("offset") + F.sum(dec).over(win)).cast("double")
+                / F.col("total"),
+                6,
+            ).alias("cum_share"),
+        )
+    )

@@ -136,7 +136,7 @@ _R4_QUEUE = (
     "funnel_conversion", "retention_cohorts", "ab_welch_ttest",
     "win_activity_streaks", "basket_pair_counts", "conversion_lag_stats",
     "emb_norm_stats", "rfm_segments", "feature_quantile_bucketize",
-    "geo_haversine_radius", "geo_cell_join_radius",
+    "geo_haversine_radius", "geo_cell_join_radius", "dist_cumulative_share",
     "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
     "dedup_survivorship",
     "text_quality_score",

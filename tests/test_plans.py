@@ -489,3 +489,11 @@ def test_geo_cell_join_is_equi_not_cross(spark, sf_dir):
     plan = explain_str(REGISTRY["geo_cell_join_radius"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dist_cumulative_share_is_bucket_parallel(spark, sf_dir):
+    """The Pareto prefix sum must run its big cumulative window
+    PARTITIONED BY bucket (parallel), never as one global unpartitioned
+    window over all customers."""
+    plan = explain_str(REGISTRY["dist_cumulative_share"].fn(spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan, plan
