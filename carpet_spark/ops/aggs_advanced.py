@@ -628,3 +628,102 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("key").asc())
         .limit(20)
     )
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+    mad AS (
+      SELECT m, quantile_cont(abs(value - m), 0.5) AS mad
+      FROM events CROSS JOIN med GROUP BY m
+    )
+    SELECT event_id, value,
+           ROUND(abs(value - m) / (1.4826 * mad), 4) AS robust_z
+    FROM events CROSS JOIN mad
+    WHERE abs(value - m) / (1.4826 * mad) > 3.0
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: unlike the
+    mean/stddev z-score (ts_zscore_outliers), the median/MAD pair is
+    unmoved by the outliers themselves — the estimator of choice when
+    contamination is the thing being hunted.  1.4826 scales MAD to
+    sigma-equivalents under normality; threshold 3.
+
+    Two exact-median passes (value, then |value - median|) with the
+    1-row results broadcast into a narrow filter — three scans total,
+    nothing but scalar rows ever moves.  Exact medians for oracle parity;
+    at 100 TB both swap to approx_percentile (same broadcast shape)."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    mad = (
+        ev.crossJoin(F.broadcast(med))
+        .agg(
+            F.first("m").alias("m"),
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad"),
+        )
+    )
+    rz = F.abs(F.col("value") - F.col("m")) / (1.4826 * F.col("mad"))
+    return (
+        ev.crossJoin(F.broadcast(mad))
+        .filter(rz > 3.0)
+        .select("event_id", "value", F.round(rz, 4).alias("robust_z"))
+    )
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                 / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skewness_g1,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+                 / pow(s2 / n - pow(s1 / n, 2), 2) - 3.0, 6) AS kurtosis_g2
+    FROM s
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness (g1) and excess kurtosis (g2) derived EXPLICITLY from
+    power sums — not the engines' own skewness()/kurtosis(), whose bias
+    conventions differ between Spark (population) and DuckDB (sample) and
+    would never hash-match.  Σx..Σx⁴ accumulate in decimal (exact ints of
+    the fixture's integral quantities), so the moment arithmetic sees
+    identical doubles on both sides; round(6).
+
+    The scale point: FOUR mergeable partial sums per group is the entire
+    distributed cost — higher moments compose from power sums exactly
+    like mean/variance do, one 2-phase aggregate at any size."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(q).alias("s1"),
+        dec(q * q).alias("s2"),
+        dec(q * q * q).alias("s3"),
+        dec(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n")
+    m1, m2, m3, m4 = (F.col(c) / n for c in ("s1", "s2", "s3", "s4"))
+    var = m2 - F.pow(m1, 2)
+    g1 = (m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5)
+    g2 = (m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4)) / F.pow(var, 2) - 3.0
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(g1, 6).alias("skewness_g1"),
+        F.round(g2, 6).alias("kurtosis_g2"),
+    )

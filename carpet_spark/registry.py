@@ -157,7 +157,8 @@ _R4_QUEUE = (
     "ts_seasonality_dow", "ts_inflight_orders",
     "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
     "dq_expectations", "agg_bitmap_distinct", "agg_weighted_avg",
-    "profile_key_skew", "pii_noisy_count_laplace",
+    "profile_key_skew", "pii_noisy_count_laplace", "agg_mad_outliers",
+    "agg_higher_moments",
     "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
     "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",
     "fn_struct", "fn_interval", "fn_xml", "fn_collation", "fn_try_safe",
