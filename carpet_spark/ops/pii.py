@@ -220,3 +220,47 @@ def pii_noisy_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
     )
+
+
+@register(
+    "pii_encrypt_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name AS decrypted, length(c_name) AS orig_len
+    FROM customer
+    """,
+)
+def pii_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level AES encryption through a write/read/decrypt cycle —
+    the PII-at-rest pattern beyond masking: aes_encrypt the name column,
+    persist ONLY the ciphertext to parquet, read it back, aes_decrypt.
+    The hash oracle is the identity on the source — one corrupted or
+    mis-keyed byte anywhere in encrypt→sink→scan→decrypt breaks it.
+
+    ECB mode is used DELIBERATELY and with the standard caveat: it is the
+    only deterministic mode (GCM/CBC salt a random IV per call, which is
+    what production wants but no equality oracle can check); equal
+    plaintexts ⇒ equal ciphertexts under ECB, so treat it here as the
+    testable stand-in — the API call is identical with mode='GCM'.
+    Scale: both transforms are narrow JVM projections; the stored table
+    holds ciphertext only, so a leaked data lake leaks nothing readable."""
+    from .scans import _sink_path
+
+    c = load(spark, sf_dir, "customer")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key; prod: KMS-managed
+    enc = c.select(
+        "c_custkey",
+        F.aes_encrypt(F.col("c_name").cast("binary"), key, F.lit("ECB")).alias(
+            "name_ct"
+        ),
+        F.length("c_name").alias("orig_len"),
+    )
+    out = _sink_path(spark, "pii_encrypted")
+    enc.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "c_custkey",
+        F.aes_decrypt(F.col("name_ct"), key, F.lit("ECB")).cast("string").alias(
+            "decrypted"
+        ),
+        "orig_len",
+    )

@@ -599,3 +599,56 @@ def sink_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("ignoreTrailingWhiteSpace", False)
         .csv(out)
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN COUNT(*) + 1000000 ELSE COUNT(*) END AS n,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'v2' ELSE 'v1' END AS version
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the incremental-reload semantics
+    every partitioned warehouse table depends on: a second write replaces
+    ONLY the partitions present in the new batch
+    (partitionOverwriteMode=dynamic), leaving all others untouched.
+    Static mode (the default!) would silently DELETE the untouched
+    partitions — the classic data-loss footgun this op pins.
+
+    Sequence: full 5-partition write (v1 counts) → dynamic overwrite of
+    just the URGENT/HIGH partitions with v2 counts (+1e6 marker) → read
+    back.  The oracle encodes the expected merged state: overwritten
+    partitions carry v2/+1e6, the rest remain v1 — any leakage of static
+    semantics fails the hash.
+
+    Scale: partition-granular replacement IS the idempotent-backfill
+    primitive (re-run yesterday's batch without touching history);
+    per-partition file layout makes it an O(changed partitions) commit."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).select(
+        "o_orderpriority", "n", F.lit("v1").alias("version")
+    )
+    out = _sink_path(spark, "dyn_overwrite")
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+
+    update = (
+        base.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(
+            "o_orderpriority",
+            (F.col("n") + 1000000).alias("n"),
+            F.lit("v2").alias("version"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        update.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.select("o_orderpriority", "n", "version")

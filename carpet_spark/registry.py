@@ -148,7 +148,8 @@ _R4_QUEUE = (
     "sink_partition_prune", "scan_dpp", "scan_schema_evolution",
     "sink_sorted_skip", "scan_file_metadata", "scan_binary_files",
     "sink_jsonl_sharded", "sink_compact_small_files",
-    "sink_csv_quoted_multiline",
+    "sink_csv_quoted_multiline", "sink_dynamic_partition_overwrite",
+    "pii_encrypt_roundtrip",
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
     "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
     "join_asof_tolerance",
