@@ -854,3 +854,51 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, F.col("sig_id")).alias("sig_id"),
         F.when(within, F.col("sig_ts")).alias("sig_ts"),
     )
+
+
+@register(
+    "join_null_safe_keys",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS k
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    b AS (
+      SELECT o_orderkey AS rhs_key,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS k
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+    )
+    SELECT a.o_orderkey, b.rhs_key, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    WHERE a.o_orderkey % 97 = 0 AND b.rhs_key % 97 = 0
+    """,
+)
+def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equi join (<=>): ordinary join conditions silently drop
+    every row whose key is NULL (NULL = NULL is NULL, not true) — the
+    trap behind countless 'where did my rows go' bugs when joining on
+    nullable business keys.  eqNullSafe makes NULL a first-class joinable
+    value; one in seven keys here is NULL, so the NULL↔NULL matches are a
+    substantial, hash-checked part of the result (the %97 filter bounds
+    the NULL-block blowup).
+
+    Scale: <=> compiles to a plain hash-join key (null-safe comparison is
+    still an equi key — plan stays BroadcastHashJoin/SortMergeJoin, no
+    nested loop); note a hot NULL key concentrates like any other skewed
+    key — salt it if NULLs dominate."""
+    o = load(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", k.alias("k")
+    )
+    b = o.filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)).select(
+        F.col("o_orderkey").alias("rhs_key"), k.alias("k2")
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k2))
+        .filter((F.col("o_orderkey") % 97 == 0) & (F.col("rhs_key") % 97 == 0))
+        .select("o_orderkey", "rhs_key", "k")
+    )

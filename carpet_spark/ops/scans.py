@@ -652,3 +652,37 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = spark.read.parquet(out)
     return back.select("o_orderpriority", "n", "version")
+
+
+@register(
+    "scan_recursive_dir",
+    oracle="SELECT * FROM nation",
+)
+def scan_recursive_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive directory ingest (recursiveFileLookup=true): data laid
+    out in arbitrary nested folders — the landing-zone reality when
+    upstream systems drop files by date/source/team with no Hive
+    partition naming — read as one dataset.  Without the option, Spark
+    reads only the top level (and nested NON-partition dirs error);
+    with it, every descendant file loads and partition inference is
+    disabled (documented trade: nested dirs carrying k=v semantics must
+    use the partitioned reader instead).
+
+    Fixture prep scatters nation across a/deep/, b/deeper/still/, c/ —
+    the read-back must recover the exact table (identity hash oracle).
+    Scale: listing is parallelized driver-side (InMemoryFileIndex); at
+    object-store scale prefer fewer, larger directories — listing cost
+    is per-object."""
+    df = load(spark, sf_dir, "nation")
+    out = _sink_path(spark, "recursive_src")
+    for i, sub in enumerate(("a/deep", "b/deeper/still", "c")):
+        (
+            df.filter(F.col("n_nationkey") % 3 == i)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, sub))
+        )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(df.schema)
+        .parquet(out)
+    )

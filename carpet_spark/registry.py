@@ -149,10 +149,10 @@ _R4_QUEUE = (
     "sink_sorted_skip", "scan_file_metadata", "scan_binary_files",
     "sink_jsonl_sharded", "sink_compact_small_files",
     "sink_csv_quoted_multiline", "sink_dynamic_partition_overwrite",
-    "pii_encrypt_roundtrip",
+    "pii_encrypt_roundtrip", "scan_recursive_dir",
     "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
     "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
-    "join_asof_tolerance",
+    "join_asof_tolerance", "join_null_safe_keys",
     "win_pct_change", "win_time_range", "win_rank_salted",
     "ts_zscore_outliers", "ts_ewma", "win_running_distinct",
     "ts_seasonality_dow", "ts_inflight_orders",
