@@ -902,3 +902,49 @@ def join_null_safe_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("o_orderkey") % 97 == 0) & (F.col("rhs_key") % 97 == 0))
         .select("o_orderkey", "rhs_key", "k")
     )
+
+
+@register(
+    "join_array_membership",
+    oracle="""
+    SELECT tok AS term,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    WHERE tok IN ('merge', 'window', 'stream', 'filter', 'query')
+    GROUP BY tok
+    """,
+)
+def join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-membership join done the scalable way: EXPLODE the array side
+    to rows, then equi-join the term dimension.  The naive formulation —
+    ``docs.join(dim, array_contains(docs.tokens, dim.term))`` — has a
+    non-equi predicate, so Spark can only plan BroadcastNestedLoopJoin:
+    every (doc, term) pair is tested, O(|docs|·|terms|) comparisons with
+    the full text array materialized per probe.  Explode+equi-join turns
+    membership into a hash lookup: tokens flow through a
+    BroadcastHashJoin against the 5-row term dim (map-side, no shuffle),
+    and only MATCHING tokens reach the |terms|-key aggregate.
+
+    Scale (100 TB): the explode is a flatMap — no shuffle, no buffering;
+    the only shuffle is the final groupBy on ≤|terms| keys with map-side
+    partial counts (count + distinct-doc count collapse per partition
+    first).  Works unchanged when the dim is too big to broadcast: the
+    same plan degrades to a shuffled hash join on the token key, still
+    never a nested loop."""
+    d = load(spark, sf_dir, "documents")
+    terms = ["merge", "window", "stream", "filter", "query"]
+    dim = spark.createDataFrame([(t,) for t in terms], "term string")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        toks.join(F.broadcast(dim), "term")
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )

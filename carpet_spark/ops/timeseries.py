@@ -517,3 +517,101 @@ def ts_inflight_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "d", "net", F.sum("net").over(w).cast("long").alias("in_flight")
     )
+
+
+@register(
+    "ts_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + CAST(FLOOR(value) AS BIGINT) AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS new_island,
+             event_id
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e1
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(e1 - s0) AS BIGINT) AS covered_s
+    FROM merged
+    GROUP BY user_id
+    """,
+)
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user intervals (interval union): each event
+    opens a span of ``floor(value)`` seconds; overlapping/touching spans
+    coalesce into islands and the op reports, per user, how many disjoint
+    intervals remain and how many seconds they cover — the gaps-and-
+    islands sweep behind session stitching, SLA uptime, and machine-
+    utilization queries.
+
+    Algorithm (one pass, no self-join): sort each user's intervals by
+    start; an interval begins a NEW island iff its start exceeds the
+    running max end of all earlier intervals (window max over the
+    preceding frame); the running sum of those flags numbers the islands;
+    a groupBy (user, island) then min(start)/max(end) materializes the
+    merged spans.  The naive alternative — self-join on overlap — is
+    O(n²) per user and unplannable as an equi-join.
+
+    Determinism: ordering is total (s, e, event_id), and all arithmetic
+    is integer seconds (unix_timestamp floors; DuckDB FLOOR(epoch)
+    matches; duration uses FLOOR not CAST because DuckDB CAST
+    double→BIGINT rounds while Spark's truncates).
+
+    Scale (100 TB): ONE hashpartitioning(user_id) exchange feeds both
+    windows and the island groupBy (same key prefix — Catalyst reuses
+    the sort); per-user data never leaves its partition, there is no
+    global sort, and output is |users| rows.  A pathological single-user
+    skew is bounded by that user's event count, the same bound the
+    self-join formulation would hit quadratically."""
+    e = load(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.floor("value").cast("long")).alias("e"),
+    )
+    order = [F.col("s"), F.col("e"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("e1") - F.col("s0")).alias("covered_s"),
+    )

@@ -169,6 +169,8 @@ _R4_QUEUE = (
     "stream_pretrain_prep", "stream_sink_exactly_once", "stream_static_join",
     "stream_python_datasource_sink",
     "mm_image_resize", "mm_image_features", "mm_video_keyframes",
+    # --- round-3 second-session additions ---
+    "join_array_membership", "ts_interval_merge",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
