@@ -13,7 +13,7 @@ date_trunc('week'), which both engines anchor to Monday.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
 from ..tables import load
@@ -802,5 +802,99 @@ def dist_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("total"),
                 6,
             ).alias("cum_share"),
+        )
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('view', 'click') THEN event_type
+                  END AS touch_ch,
+             CASE WHEN event_type = 'purchase' THEN value END AS conv_value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv
+      FROM events
+    ),
+    attributed AS (
+      SELECT is_conv, conv_value, ts,
+             LAST_VALUE(touch_ch IGNORE NULLS) OVER w AS last_ch,
+             LAST_VALUE(CASE WHEN touch_ch IS NOT NULL THEN ts END
+                        IGNORE NULLS) OVER w AS last_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_conv, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT
+      CASE WHEN last_ch IS NOT NULL
+                AND ts <= last_ts + INTERVAL 7 DAY THEN last_ch
+           ELSE 'unattributed' END AS channel,
+      COUNT(*) AS n_conversions,
+      CAST(CAST(SUM(CAST(ROUND(conv_value * 1000000) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS DOUBLE) AS revenue
+    FROM attributed
+    WHERE is_conv = 1
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to the
+    user's most recent view/click touch within a 7-day lookback, else
+    'unattributed' — the default revenue-attribution report of every
+    growth team.
+
+    Algorithm: union-free — touches and conversions stay ONE stream; a
+    single last_value(… IGNORE NULLS) window over (user, time) carries
+    the latest touch forward onto each conversion row (the as-of-join-
+    via-window trick: no join at all, so no matching-row explosion and
+    no range predicate).  Ties at identical ts order touch-before-
+    conversion (is_conv sort key) so same-instant touches are creditable;
+    event_id makes the ordering total.  Revenue uses fixed-point long
+    sums (exprs.lsum) so both engines hash bit-equal.
+
+    Scale (100 TB): one hashpartitioning(user_id) exchange for the
+    window, then a |channels|-key aggregate with map-side partials — the
+    join-based formulation would shuffle touches AND conversions and
+    explode on users with many touches; this plan is one pass, linear,
+    and the 7-day check is a post-window scalar filter."""
+    from ..exprs import lsum
+
+    ev = load(spark, sf_dir, "events")
+    et = F.col("event_type")
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(et.isin("view", "click"), et).alias("touch_ch"),
+        F.when(et == "purchase", F.col("value")).alias("conv_value"),
+        F.when(et == "purchase", 1).otherwise(0).alias("is_conv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_conv", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    att = tagged.select(
+        "is_conv",
+        "conv_value",
+        "ts",
+        F.last("touch_ch", ignorenulls=True).over(w).alias("last_ch"),
+        F.last(
+            F.when(F.col("touch_ch").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w).alias("last_ts"),
+    )
+    channel = F.when(
+        F.col("last_ch").isNotNull()
+        & (F.col("ts") <= F.col("last_ts") + F.expr("INTERVAL 7 DAY")),
+        F.col("last_ch"),
+    ).otherwise(F.lit("unattributed"))
+    return (
+        att.filter(F.col("is_conv") == 1)
+        .select(channel.alias("channel"), "conv_value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            lsum(F.col("conv_value")).alias("revenue"),
         )
     )

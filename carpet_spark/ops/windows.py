@@ -336,3 +336,42 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    SELECT user_id, event_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+    FROM events
+    WHERE user_id % 25 = 0
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median over the trailing-5 frame per user — the
+    robust-smoothing companion to the rolling mean (spike-immune trend
+    lines, sensor denoising).  Spark's `percentile` aggregate is window-
+    capable, and its linear-interpolation semantics match DuckDB's
+    quantile_cont bit-for-bit on the shared frame (same verification as
+    agg_percentile, SURVEY §2.E); both sides round to 6dp.
+
+    Scale (100 TB): one hashpartitioning(user_id) exchange; the frame
+    buffers only 5 values per position, so memory is O(frame) not
+    O(partition).  Exact windowed percentile re-sorts the frame per row
+    (O(k log k) each, k=5 — trivial); for frames of thousands, switch
+    to the two-heap streaming-median mapInPandas pattern instead.
+    The %25 user filter bounds driver-collected output; it pushes to
+    the parquet scan."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.filter(F.col("user_id") % 25 == 0).select(
+        "user_id",
+        "event_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med5"),
+    )

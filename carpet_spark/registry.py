@@ -171,6 +171,7 @@ _R4_QUEUE = (
     "mm_image_resize", "mm_image_features", "mm_video_keyframes",
     # --- round-3 second-session additions ---
     "join_array_membership", "ts_interval_merge",
+    "attribution_last_touch", "win_rolling_median",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
