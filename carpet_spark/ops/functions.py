@@ -791,3 +791,64 @@ def fn_bitpack_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(packed, 8).alias("unpacked_order"),
         packed.bitwiseAND(F.lit(255)).alias("unpacked_line"),
     )
+
+
+@register(
+    "fn_ip_subnet",
+    oracle="""
+    WITH ips AS (
+      SELECT DISTINCT user_id,
+             (user_id * 2654435761) % 4294967296 AS ip
+      FROM events
+    ),
+    oct AS (
+      SELECT user_id, ip,
+             CAST(FLOOR(ip / 16777216) AS BIGINT) % 256 AS o1,
+             CAST(FLOOR(ip / 65536) AS BIGINT) % 256 AS o2
+      FROM ips
+    )
+    SELECT o1 || '.' || o2 || '.0.0/16' AS subnet,
+           COUNT(*) AS n_users,
+           MIN(ip) AS min_ip,
+           MAX(ip) AS max_ip
+    FROM oct
+    GROUP BY 1
+    """,
+)
+def fn_ip_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 arithmetic in pure integer expressions: derive a deterministic
+    synthetic IP per user (Knuth multiplicative hash mod 2^32 — the
+    fixture has no IP column; a real pipeline would parse one with
+    ``split('.')`` + the same octet math), bucket into /16 subnets, and
+    profile users per subnet — the geo/abuse rollup shape (CIDR
+    grouping, scanner detection, rate-limit keying).
+
+    Determinism: all arithmetic is exact 64-bit integer (ip < 2^32, so
+    double FLOOR division is exact too — both engines agree bit-for-bit);
+    no hash functions, no floats in the output.
+
+    Scale (100 TB): distinct-user dedup is a digest-width shuffle on
+    user_id; octet extraction is whole-stage-codegen projection; the
+    final aggregate has ≤65,536 possible keys with map-side partials —
+    the textbook shrinking-cardinality pipeline."""
+    ev = load(spark, sf_dir, "events")
+    ips = ev.select("user_id").distinct().select(
+        "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("ip"),
+    )
+    o1 = (F.floor(F.col("ip") / 16777216).cast("long") % 256)
+    o2 = (F.floor(F.col("ip") / 65536).cast("long") % 256)
+    return (
+        ips.select(
+            F.concat_ws(
+                "", o1.cast("string"), F.lit("."), o2.cast("string"), F.lit(".0.0/16")
+            ).alias("subnet"),
+            "ip",
+        )
+        .groupBy("subnet")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("ip").alias("min_ip"),
+            F.max("ip").alias("max_ip"),
+        )
+    )

@@ -13,6 +13,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..exprs import lsum
 from ..registry import register
 from ..tables import load
 
@@ -685,4 +686,63 @@ def scan_recursive_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("recursiveFileLookup", "true")
         .schema(df.schema)
         .parquet(out)
+    )
+
+
+@register(
+    "scan_csv_permissive",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_orderkey % 1000 <> 0) AS n_good,
+           COUNT(*) FILTER (WHERE l_orderkey % 1000 = 0) AS n_corrupt,
+           CAST(CAST(SUM(CAST(ROUND(CASE WHEN l_orderkey % 1000 <> 0
+                                         THEN l_quantity ELSE 0 END
+                              * 1000000) AS BIGINT)) AS DOUBLE)
+                / 1000000 AS DOUBLE) AS good_qty
+    FROM lineitem
+    WHERE l_orderkey % 199 = 0
+    """,
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingestion: write a CSV feed in which a
+    deterministic subset of rows is corrupted (non-numeric quantity),
+    then read it back in PERMISSIVE mode with a ``_corrupt`` rescue
+    column — the dirty-ingest contract every production loader needs
+    (FAILFAST aborts the job on one bad line; DROPMALFORMED silently
+    loses data; PERMISSIVE quarantines).  Returns row/good/corrupt
+    counts plus the fixed-point sum of successfully-parsed quantities,
+    proving values (not just line counts) survived the round trip.
+
+    Scale (100 TB): corruption handling is per-line inside the scan —
+    no extra pass, no driver involvement; the rescue column adds one
+    nullable string only for bad rows.  CSV itself (single-pass text
+    parse, no pushdown) is the interchange path, not the query path —
+    land it to parquet once, as sink_parquet_roundtrip does."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 199 == 0)
+    # corrupt rule: every orderkey divisible by 1000 gets a non-numeric qty
+    line = F.concat_ws(
+        ",",
+        F.col("l_orderkey"),
+        F.when(F.col("l_orderkey") % 1000 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+            F.col("l_quantity").cast("string")
+        ),
+        F.col("l_returnflag"),
+    )
+    out = _sink_path(spark, "scan_csv_permissive")
+    li.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = "l_orderkey bigint, l_quantity double, l_returnflag string, _corrupt string"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    good = F.col("_corrupt").isNull()
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        lsum(F.when(good, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+            "good_qty"
+        ),
     )

@@ -172,6 +172,7 @@ _R4_QUEUE = (
     # --- round-3 second-session additions ---
     "join_array_membership", "ts_interval_merge",
     "attribution_last_touch", "win_rolling_median",
+    "scan_csv_permissive", "fn_ip_subnet",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
