@@ -727,3 +727,109 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(g1, 6).alias("skewness_g1"),
         F.round(g2, 6).alias("kurtosis_g2"),
     )
+
+
+@register(
+    "profile_column_entropy",
+    oracle="""
+    WITH ce AS (
+      SELECT event_type AS v, COUNT(*) AS c FROM events GROUP BY 1
+    ),
+    cl AS (
+      SELECT lang AS v, COUNT(*) AS c FROM documents GROUP BY 1
+    ),
+    cs AS (
+      SELECT source AS v, COUNT(*) AS c FROM documents GROUP BY 1
+    )
+    SELECT 'events.event_type' AS col, COUNT(*) AS n_distinct,
+           round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy_bits
+    FROM ce
+    UNION ALL
+    SELECT 'documents.lang', COUNT(*),
+           round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
+    FROM cl
+    UNION ALL
+    SELECT 'documents.source', COUNT(*),
+           round(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6)
+    FROM cs
+    """,
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + cardinality per categorical column — the data-
+    profiling metric behind feature selection, anomaly baselining, and
+    'is this column worth indexing/partitioning on' decisions (0 bits =
+    constant column; log2(n_distinct) = uniform).
+
+    Formulation: H = log2(N) - Σ c·log2(c) / N over the per-value count
+    table, which needs only ONE aggregate over the counts — no p=c/N
+    per-row division, no second pass for N (both N and Σ fall out of the
+    same agg).  Integer counts in, one rounded float out.
+
+    Scale (100 TB): per column, a map-side-combined count aggregate
+    (|distinct values| rows shuffle) then a single-row reduction; the
+    three columns run as independent branches of a union — on a cluster
+    they schedule concurrently, and each branch's scan prunes to its one
+    column (ReadSchema)."""
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    def col_entropy(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        n = F.sum("c")
+        return counts.agg(
+            F.lit(label).alias("col"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+            ).alias("entropy_bits"),
+        )
+
+    return (
+        col_entropy(ev, "event_type", "events.event_type")
+        .unionByName(col_entropy(docs, "lang", "documents.lang"))
+        .unionByName(col_entropy(docs, "source", "documents.source"))
+    )
+
+
+@register(
+    "agg_duplicate_stats",
+    oracle="""
+    WITH clusters AS (
+      SELECT text, COUNT(*) AS c FROM documents GROUP BY text
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_distinct_texts,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_duplicate_rows,
+           MAX(c) AS max_cluster,
+           round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_ratio
+    FROM clusters
+    """,
+)
+def agg_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile in one pass: total docs, distinct
+    texts, surplus (removable) rows, the largest duplicate cluster, and
+    the dedup ratio — the go/no-go report run BEFORE committing to an
+    expensive full dedup of a crawl snapshot (dedup_exact then removes;
+    this op only measures).
+
+    Scale (100 TB): groups by sha256 digest so full text never shuffles
+    (32-byte keys; the oracle groups raw text — identical modulo
+    cryptographic collision, P < 2^-100); map-side combine collapses
+    within-partition duplicates first, then a single-row reduction over
+    |distinct| counts.  Output is 1 row — safe to collect anywhere."""
+    d = load(spark, sf_dir, "documents")
+    clusters = d.groupBy(F.sha2(F.col("text"), 256).alias("digest")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    return clusters.agg(
+        n.cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        (n - F.count(F.lit(1))).cast("long").alias("n_duplicate_rows"),
+        F.max("c").alias("max_cluster"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / n.cast("double"), 6).alias(
+            "dup_ratio"
+        ),
+    )

@@ -173,6 +173,7 @@ _R4_QUEUE = (
     "join_array_membership", "ts_interval_merge",
     "attribution_last_touch", "win_rolling_median",
     "scan_csv_permissive", "fn_ip_subnet",
+    "profile_column_entropy", "agg_duplicate_stats",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
