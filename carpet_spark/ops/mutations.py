@@ -125,3 +125,91 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "reconcile_table_diff",
+    oracle="""
+    WITH a AS (SELECT * FROM orders),
+    b AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 503 = 0
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 1009 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice
+      FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT CASE
+             WHEN a.o_orderkey IS NULL THEN 'added'
+             WHEN b.o_orderkey IS NULL THEN 'removed'
+             WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                  OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                  OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+               THEN 'changed'
+             ELSE 'unchanged'
+           END AS status,
+           COUNT(*) AS n
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+    GROUP BY 1
+    """,
+)
+def reconcile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two table versions into
+    added/removed/changed/unchanged counts — the data-migration sign-off
+    query (did the backfill / engine swap / vendor feed change what it
+    claimed and nothing else?).  The 'after' snapshot is derived
+    deterministically inside the op: keys %1009 deleted, %503 price-
+    bumped, %997 re-inserted under new keys.
+
+    Comparison uses IS DISTINCT FROM per column — no row-hash, so NULLs
+    compare correctly and no cross-engine value-formatting (double→string)
+    ambiguity enters; a real deployment with hundreds of columns would
+    generate the same predicate list from the schema.
+
+    Scale (100 TB): one full-outer sort-merge join on the primary key —
+    the unavoidable shuffle, done once; the status projection is
+    codegen'd scalar work and the aggregate is 4 keys with map-side
+    partials.  For repeated nightly diffs, bucket both snapshots on the
+    key to make the join exchange-free."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    a = o.select("o_orderkey", *cols)
+    changed_price = F.when(
+        F.col("o_orderkey") % 503 == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    b = (
+        o.filter(F.col("o_orderkey") % 1009 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            changed_price.alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 997 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    bb = b.select(
+        F.col("o_orderkey").alias("b_key"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
+    )
+    j = a.join(bb, a.o_orderkey == bb.b_key, "full_outer")
+    any_diff = None
+    for c in cols:
+        d = ~F.col(c).eqNullSafe(F.col(f"b_{c}"))
+        any_diff = d if any_diff is None else (any_diff | d)
+    status = (
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .when(any_diff, "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n")
+    )

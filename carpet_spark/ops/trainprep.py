@@ -934,3 +934,85 @@ def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN 'http://cdn' || (doc_id % 50)
+                         || '.example.com/doc/' || (doc_id % 2000)
+               WHEN 1 THEN 'HTTP://CDN' || (doc_id % 50)
+                         || '.EXAMPLE.COM:80/doc/' || (doc_id % 2000) || '/'
+               ELSE 'http://cdn' || (doc_id % 50)
+                    || '.example.com/doc/' || (doc_id % 2000)
+                    || '?utm_source=feed&ref=rss'
+             END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT regexp_replace(
+               replace(split_part(lower(url), '?', 1), ':80/', '/'),
+               '/$', '') AS cu
+      FROM raw
+    ),
+    g AS (SELECT cu, COUNT(*) AS n_variants FROM canon GROUP BY cu)
+    SELECT COUNT(*) AS n_canonical,
+           CAST(SUM(n_variants) AS BIGINT) AS n_raw,
+           MAX(n_variants) AS max_variants
+    FROM g
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the first pass of every web-crawl
+    pipeline: the same page arrives as ``http://host/p``,
+    ``HTTP://HOST:80/p/`` and ``http://host/p?utm_source=...``, and
+    byte-exact dedup misses all of it.  Canonical form here: lowercase,
+    strip the query (the synthetic queries are tracking-only; a real
+    deployment whitelists+sorts meaningful params), drop the default
+    :80 port, strip the trailing slash.  The three deterministic
+    variants per doc (synthesized from doc_id — the fixture has no URL
+    column) all collapse to one canonical URL, and the op reports
+    raw-vs-canonical counts and the largest variant cluster.
+
+    Scale (100 TB): canonicalization is pure whole-stage-codegen string
+    projection (lower/split/replace — no UDF, no regex backtracking:
+    the only regexp is the anchored '/$'); the groupBy shuffles
+    canonical URLs with map-side combine, and the final reduction is
+    one row.  This is the cheap precursor that shrinks the corpus
+    BEFORE content-level MinHash/SimHash dedup runs."""
+    d = load(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("cdn"), (F.col("doc_id") % 50).cast("string"), F.lit(".example.com")
+    )
+    path = F.concat(F.lit("/doc/"), (F.col("doc_id") % 2000).cast("string"))
+    m = F.col("doc_id") % 3
+    raw = (
+        F.when(m == 0, F.concat(F.lit("http://"), host, path))
+        .when(
+            m == 1,
+            F.concat(F.lit("HTTP://"), F.upper(host), F.lit(":80"), path, F.lit("/")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), host, path, F.lit("?utm_source=feed&ref=rss")
+            )
+        )
+    )
+    canon = F.regexp_replace(
+        F.replace(
+            F.substring_index(F.lower(raw), "?", 1), F.lit(":80/"), F.lit("/")
+        ),
+        "/$",
+        "",
+    )
+    g = d.select(canon.alias("cu")).groupBy("cu").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("n_variants").cast("long").alias("n_raw"),
+        F.max("n_variants").alias("max_variants"),
+    )

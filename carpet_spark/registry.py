@@ -174,6 +174,7 @@ _R4_QUEUE = (
     "attribution_last_touch", "win_rolling_median",
     "scan_csv_permissive", "fn_ip_subnet",
     "profile_column_entropy", "agg_duplicate_stats",
+    "reconcile_table_diff", "dedup_url_canonical",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
