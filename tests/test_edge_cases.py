@@ -163,3 +163,104 @@ def test_ewma_single_event_is_identity(spark, micro_events_dir):
 def test_zscore_excludes_short_frames(spark, micro_events_dir):
     # every user here has < 5 events -> no row survives the n >= 5 guard
     assert REGISTRY["ts_zscore_outliers"].fn(spark, micro_events_dir).count() == 0
+
+
+@pytest.fixture(scope="module")
+def interval_events_dir(spark, tmp_path_factory):
+    """Events for the interval-merge edge cases: touching (s == prev end),
+    overlapping, disjoint, and zero-length intervals on one user."""
+    import datetime as dt
+
+    base = str(tmp_path_factory.mktemp("interval_events"))
+    T = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    rows = [
+        # user 1: [0,10] then touching [10,20] (merges: s == prev end is
+        # NOT s > prev_max), then disjoint [30,35]
+        Row(event_id=1, ts=T(0), user_id=1, event_type="a", value=10.0, props="{}"),
+        Row(event_id=2, ts=T(10), user_id=1, event_type="a", value=10.0, props="{}"),
+        Row(event_id=3, ts=T(30), user_id=1, event_type="a", value=5.0, props="{}"),
+        # user 2: containment — [0,20] swallows [5,6]
+        Row(event_id=4, ts=T(0), user_id=2, event_type="a", value=20.0, props="{}"),
+        Row(event_id=5, ts=T(5), user_id=2, event_type="a", value=1.0, props="{}"),
+        # user 3: zero-length interval (value < 1 floors to 0)
+        Row(event_id=6, ts=T(0), user_id=3, event_type="a", value=0.5, props="{}"),
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "events.parquet")
+    )
+    return base
+
+
+def test_interval_merge_touching_contained_zero(spark, interval_events_dir):
+    from carpet_spark.ops.timeseries import ts_interval_merge
+
+    got = {
+        r["user_id"]: (r["n_intervals"], r["covered_s"])
+        for r in ts_interval_merge(spark, interval_events_dir).collect()
+    }
+    # user 1: [0,20] merged + [30,35] = 2 intervals, 25 s
+    assert got[1] == (2, 25)
+    # user 2: containment collapses to [0,20]
+    assert got[2] == (1, 20)
+    # user 3: zero-length interval still counts, covers 0 s
+    assert got[3] == (1, 0)
+
+
+def test_attribution_same_instant_touch_is_credited(spark, micro_events_dir):
+    """A view/click at the exact purchase ts must be creditable (touch
+    sorts before conversion at equal ts) — micro_events has no purchases,
+    so build the one case inline."""
+    import datetime as dt
+    import os as _os
+
+    from carpet_spark.ops.analytics import attribution_last_touch
+
+    base = str(micro_events_dir) + "_attr"
+    T = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    rows = [
+        # same-instant click + purchase → credited to 'click'
+        Row(event_id=1, ts=T(10), user_id=1, event_type="click", value=0.0, props="{}"),
+        Row(event_id=2, ts=T(10), user_id=1, event_type="purchase", value=5.0, props="{}"),
+        # purchase with no touch at all → unattributed
+        Row(event_id=3, ts=T(20), user_id=2, event_type="purchase", value=3.0, props="{}"),
+        # touch OUTSIDE the 7-day lookback → unattributed
+        Row(event_id=4, ts=dt.datetime(2024, 1, 1), user_id=3, event_type="view", value=0.0, props="{}"),
+        Row(event_id=5, ts=dt.datetime(2024, 1, 9), user_id=3, event_type="purchase", value=2.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "events.parquet")
+    )
+    got = {
+        r["channel"]: (r["n_conversions"], r["revenue"])
+        for r in attribution_last_touch(spark, base).collect()
+    }
+    assert got["click"] == (1, 5.0)
+    assert got["unattributed"] == (2, 5.0)
+
+
+def test_reconcile_diff_partitions_sum_to_union(spark, sf_dir):
+    """added+removed+changed+unchanged must account for every key on
+    either side exactly once."""
+    from carpet_spark.ops.mutations import reconcile_table_diff
+    from carpet_spark.tables import load
+
+    got = {r["status"]: r["n"] for r in reconcile_table_diff(spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    n = o.count()
+    n_removed_keys = o.filter("o_orderkey % 1009 = 0").count()
+    n_added = o.filter("o_orderkey % 997 = 0").count()
+    assert got.get("removed", 0) == n_removed_keys
+    assert got.get("added", 0) == n_added
+    # every surviving original key is either changed or unchanged
+    assert got.get("changed", 0) + got.get("unchanged", 0) == n - n_removed_keys
+
+
+def test_csv_permissive_quarantine_counts(spark, sf_dir):
+    from carpet_spark.ops.scans import scan_csv_permissive
+    from carpet_spark.tables import load
+
+    row = scan_csv_permissive(spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey % 199 = 0")
+    assert row["n_rows"] == li.count()
+    assert row["n_corrupt"] == li.filter("l_orderkey % 1000 = 0").count()
+    assert row["n_good"] + row["n_corrupt"] == row["n_rows"]
