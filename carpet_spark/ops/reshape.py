@@ -129,3 +129,58 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "sample_balanced_class",
+    oracle="""
+    WITH ranked AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM embeddings
+    ),
+    counts AS (SELECT label, COUNT(*) AS n_before FROM embeddings GROUP BY label),
+    cap AS (SELECT MIN(n_before) AS cap FROM counts)
+    SELECT c.label, c.n_before, COUNT(*) AS n_after,
+           CAST(SUM(r.vec_id) AS BIGINT) AS checksum
+    FROM ranked r JOIN counts c USING (label), cap
+    WHERE r.rk <= cap.cap
+    GROUP BY c.label, c.n_before
+    """,
+)
+def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every label at the minority-class
+    size so a classifier trained on the output sees a uniform label
+    prior — the standard rebalancing step before fine-tuning on skewed
+    labels.  Selection is DETERMINISTIC pseudo-random: rank within each
+    label by md5(vec_id) (a seeded shuffle both engines compute
+    identically — no RNG stream to diverge) and keep rank ≤ min class
+    count.  Output proves the exact same rows were chosen (per-label
+    checksum of kept ids), not just the same counts.
+
+    Scale (100 TB): per-label rank is one hashpartitioning(label)
+    window; the cap is a 1-row broadcast (min over |labels| counts —
+    label cardinality is small by definition here; for millions of
+    classes, cap via a quantile sketch instead).  A skewed majority
+    label bounds its reducer at that label's row count — if one label
+    dominates the corpus, pre-filter with a sampled bernoulli pass
+    before the exact rank."""
+    e = load(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = e.select("label", "vec_id", F.row_number().over(w).alias("rk"))
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    cap = counts.agg(F.min("n_before").alias("cap"))
+    return (
+        ranked.join(F.broadcast(cap))
+        .filter(F.col("rk") <= F.col("cap"))
+        .join(counts, "label")
+        .groupBy("label", "n_before")
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum("vec_id").cast("long").alias("checksum"),
+        )
+    )

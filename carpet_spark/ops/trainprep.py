@@ -1016,3 +1016,50 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_variants").cast("long").alias("n_raw"),
         F.max("n_variants").alias("max_variants"),
     )
+
+
+@register(
+    "text_dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT t) AS n_distinct_norm,
+           (SELECT COUNT(DISTINCT text) FROM documents) AS n_distinct_raw
+    FROM norm
+    """,
+)
+def text_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-dedup (the C4/RefinedWeb 'near-exact' tier between
+    byte-exact and MinHash): lowercase, strip non-alphanumerics, collapse
+    whitespace, THEN digest — catching re-encodes, punctuation edits, and
+    case changes that byte-exact dedup misses.  Reports raw-distinct vs
+    normalized-distinct side by side, the number a pipeline owner uses to
+    decide whether the normalization tier is worth running.
+
+    Engine parity note: Spark's regexp_replace is global by default;
+    DuckDB needs the explicit 'g' flag — a silent first-match-only
+    mismatch otherwise (both patterns here are backtracking-free).
+
+    Scale (100 TB): normalization is codegen string projection;
+    distinct-counting groups 32-byte sha256 digests of the normalized
+    text so full text never shuffles (the oracle counts raw normalized
+    strings — identical modulo cryptographic collision)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        F.sha2(norm, 256).alias("nd"), F.sha2(F.col("text"), 256).alias("rd")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("nd").alias("n_distinct_norm"),
+        F.countDistinct("rd").alias("n_distinct_raw"),
+    )
