@@ -1321,3 +1321,44 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_doc",
         )
     )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+    SELECT dim,
+           round(avg(v), 6) AS mean_v,
+           round(stddev_samp(v), 6) AS std_v,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v
+    FROM (
+      SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding statistics (mean/std/min/max for each of
+    the d coordinates) — the embedding-space health check that catches
+    dead dimensions (std≈0), un-centered spaces (|mean|≫0), and
+    saturated coordinates before they poison cosine similarity;
+    complements emb_norm_stats, which profiles per-VECTOR norms.
+
+    Scale (100 TB): posexplode is a flatMap to n·d skinny rows, but the
+    aggregate collapses them map-side to d partial states per partition
+    — only |partitions|·d tiny rows shuffle, and output is d rows.
+    Min/max/count/moments are all mergeable, so this is one pass with
+    no driver involvement (contrast a naive per-dim loop: d full scans).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
+        (F.col("dim0") + 1).alias("dim"), "v"
+    )
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )

@@ -791,3 +791,88 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(
         F.broadcast(c), ev.user_id == c.c_custkey
     ).select("event_id", "ts", "user_id", "event_type", "c_name", "c_mktsegment")
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch MERGE idiom: Structured Streaming has no built-in
+    upsert sink, so production pipelines materialize a keyed table by
+    merging each micro-batch inside foreachBatch — here latest-event-
+    per-user, the same target as stream_cdc_latest but maintained as a
+    TABLE on storage rather than operator state.  Each batch: reduce the
+    batch to its per-key latest, full-outer-merge with the current
+    target version, write a NEW versioned directory, then commit by
+    advancing a manifest pointer — read-path never sees a half-written
+    version (the same two-phase shape as the Python-datasource sink's
+    task manifest, and what Delta's MERGE does transactionally).
+
+    Scale notes: per-batch work is one |batch-keys| shuffle plus a
+    key-partitioned merge join against the target; versioned-dir +
+    manifest gives atomic swap on any filesystem with atomic rename.
+    Old versions are retained (time travel / vacuum policy out of
+    scope).  Determinism: the (ts DESC, event_id DESC) tie-break makes
+    the final table independent of batch boundaries — the batch oracle
+    is the proof."""
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"upsert_target_{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}",
+    )
+    os.makedirs(target, exist_ok=True)
+    manifest = os.path.join(target, "_LATEST")
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "ts")
+        )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        delta = latest_per_user(batch)
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                cur = sp.read.parquet(f.read().strip())
+            merged = latest_per_user(cur.unionByName(delta))
+        else:
+            merged = delta
+        vdir = os.path.join(target, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        os.replace(tmp, manifest)  # atomic commit
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"ckpt_upsert_{uuid.uuid4().hex}"
+    )
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(manifest) as f:
+        final = spark.read.parquet(f.read().strip())
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+    )

@@ -176,6 +176,7 @@ _R4_QUEUE = (
     "profile_column_entropy", "agg_duplicate_stats",
     "reconcile_table_diff", "dedup_url_canonical",
     "sample_balanced_class", "text_dedup_exact_normalized",
+    "emb_dim_stats", "stream_foreachbatch_upsert",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
