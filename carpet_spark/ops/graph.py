@@ -226,3 +226,59 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen = seen.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return seen
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(o_custkey % 500, o_orderkey % 500) AS a,
+             GREATEST(o_custkey % 500, o_orderkey % 500) AS b
+      FROM orders
+      WHERE (o_custkey % 500) <> (o_orderkey % 500)
+    ),
+    t AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM raw e1
+      JOIN raw e2 ON e2.a = e1.b
+      JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM raw) AS n_edges, n_triangles FROM t
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting — the clustering-coefficient /
+    community-density primitive — via the ORIENTED two-join algorithm:
+    store each undirected edge once as (a<b), build wedges a→b→c with
+    one equi self-join, then close them against the edge set with a
+    second.  Orientation is the whole trick: without it every triangle
+    is found 6 times and the wedge join explodes on high-degree nodes in
+    both directions (edges synthesized deterministically from orders —
+    the fixture has no edge table).
+
+    Scale (100 TB): cost is Σ wedges = Σ_v out-deg(v)², the quantity
+    orientation minimizes — ordering by (degree, id) instead of raw id
+    provably bounds out-degree at O(√|E|) on any graph (the classic
+    MapReduce refinement; id-orientation is used here because the
+    synthetic graph is near-regular, and the ORDER is what the oracle
+    must reproduce).  Both joins are equi-key hash joins — shuffle on
+    wedge midpoint then on (a,b) — never a cartesian; output is one
+    row."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 500
+    y = F.col("o_orderkey") % 500
+    edges = (
+        o.filter(x != y)
+        .select(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+        .distinct()
+    )
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = e1.join(e2, e1.b == e2.b2).select("a", "b", "c")
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = wedges.join(
+        e3, (wedges.a == e3.a3) & (wedges.c == e3.c3)
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri)

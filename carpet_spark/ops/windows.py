@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..exprs import lsum
 from ..registry import register
 from ..tables import load
 
@@ -374,4 +375,52 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med5"),
+    )
+
+
+@register(
+    "win_year_over_year",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT CAST(month AS DATE) AS month, revenue,
+           round(revenue / (LAG(revenue, 12) OVER (ORDER BY month)) - 1.0,
+                 6) AS yoy_pct
+    FROM monthly
+    """,
+)
+def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: monthly revenue with the same-month-last-
+    year comparison via LAG(12) over the month spine — the standard BI
+    trend query.  The first twelve months have no prior-year partner and
+    correctly report NULL (never 0 — a 0 would read as 'flat').
+
+    Determinism: monthly revenue is a fixed-point long sum (exprs.lsum)
+    so both engines divide IDENTICAL doubles; the ratio is rounded, not
+    the operands.  LAG(12) assumes a dense month spine — true for this
+    fixture; a sparse calendar needs a generated spine (ts_gapfill's
+    approach) or a range-based self-join.
+
+    Scale (100 TB): the heavy work is the |months|-key aggregate with
+    map-side partials (billions of orders in, ≤ a few hundred rows
+    out); the unpartitioned LAG window runs over that bounded month
+    spine in one task — a non-issue at any fact-table size, same
+    argument as ts_inflight_orders."""
+    o = load(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(lsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        F.col("month").cast("date").alias("month"),
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0, 6).alias(
+            "yoy_pct"
+        ),
     )

@@ -177,6 +177,7 @@ _R4_QUEUE = (
     "reconcile_table_diff", "dedup_url_canonical",
     "sample_balanced_class", "text_dedup_exact_normalized",
     "emb_dim_stats", "stream_foreachbatch_upsert",
+    "graph_triangle_count", "win_year_over_year",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
