@@ -8,8 +8,9 @@ last ulps; everything money-shaped still goes through decimal.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..exprs import lsum
 from ..registry import register
 from ..tables import load
 
@@ -832,4 +833,53 @@ def agg_duplicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - F.count(F.lit(1)) / n.cast("double"), 6).alias(
             "dup_ratio"
         ),
+    )
+
+
+@register(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM cust
+    )
+    SELECT COUNT(*) AS n_customers,
+           round(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the one-number
+    concentration summary (0 = perfectly even, →1 = one whale) behind
+    'what % of revenue is our top decile' conversations; the scalar
+    companion to dist_cumulative_share's full Pareto curve.  Uses the
+    rank formulation G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n over revenue sorted
+    ascending with a customer-key tie-break (total order, so both
+    engines rank identically).
+
+    Scale (100 TB): the fact scan collapses to |customers| fixed-point
+    sums first (map-side partials); the global ROW_NUMBER then runs
+    over that bounded key space — one task over |customers| rows, the
+    same bounded-axis argument as ts_inflight_orders (for a key space
+    too big for one task, range-partition the sort and offset ranks by
+    partition prefix counts — Spark's sortWithinPartitions +
+    zipWithIndex shape).  Output is one row."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(lsum(F.col("o_totalprice")).alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = cust.select("x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
     )

@@ -1063,3 +1063,63 @@ def text_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("nd").alias("n_distinct_norm"),
         F.countDistinct("rd").alias("n_distinct_raw"),
     )
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+        ORDER BY c DESC, w ASC LIMIT 1000
+      )
+    )
+    SELECT t.lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (w)
+    GROUP BY t.lang
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a top-1000 corpus
+    vocabulary — the tokenizer-fit check run before committing to a
+    vocab size (high OOV in a language = that language will fragment
+    into bytes/unks and train badly).  The vocab cut is deterministic
+    (count DESC, word ASC — a total order, so the 1000-boundary tie
+    never flaps between engines).
+
+    Scale (100 TB): the vocab build is a map-side-combined wordcount
+    followed by a driver-bounded top-k (1000 rows — TakeOrdered, no full
+    sort); membership testing BROADCASTS the vocab so the token stream
+    is tagged map-side with zero shuffle (left join against a 1000-row
+    hash set); the final aggregate is |langs| keys.  The token explode
+    is the only data-volume term and it is flatMap-linear."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(1000)
+        .select("w")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "w", "left"
+    )
+    oov = F.when(F.col("in_v").isNull(), 1).otherwise(0)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov"),
+        F.round(F.sum(oov) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "oov_rate"
+        ),
+    )

@@ -178,6 +178,7 @@ _R4_QUEUE = (
     "sample_balanced_class", "text_dedup_exact_normalized",
     "emb_dim_stats", "stream_foreachbatch_upsert",
     "graph_triangle_count", "win_year_over_year",
+    "text_oov_rate", "agg_gini_coefficient",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
