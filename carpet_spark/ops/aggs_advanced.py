@@ -883,3 +883,43 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "dq_freshness_sla",
+    oracle="""
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events)
+    SELECT event_type,
+           CAST(FLOOR(epoch((SELECT gmax FROM g))) AS BIGINT)
+             - CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS lag_s,
+           CASE WHEN CAST(FLOOR(epoch((SELECT gmax FROM g))) AS BIGINT)
+                     - CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) <= 3600
+                THEN 1 ELSE 0 END AS sla_met
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness monitoring: how far behind the newest event
+    is each event_type's latest record, and does it meet a 1-hour SLA —
+    the 'is this feed stale' page that fronts every ingestion dashboard.
+    Anchored to the global data max (not wall clock) so the check is
+    deterministic; integer-second lags via matching epoch floors.
+
+    Scale (100 TB): two map-side-combined MAX aggregates over the same
+    scan — Catalyst computes the global max as a 1-row broadcast join
+    onto the |event_types|-key aggregate; nothing but (type, max)
+    pairs shuffle.  On a live stream the same query runs incrementally
+    as a streaming agg (stream_tumbling's machinery) with the SLA flag
+    evaluated per micro-batch."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.agg(F.unix_timestamp(F.max("ts")).alias("gmax"))
+    per_type = ev.groupBy("event_type").agg(
+        F.unix_timestamp(F.max("ts")).alias("tmax")
+    )
+    lag_s = F.col("gmax") - F.col("tmax")
+    return per_type.join(F.broadcast(g)).select(
+        "event_type",
+        lag_s.alias("lag_s"),
+        F.when(lag_s <= 3600, 1).otherwise(0).alias("sla_met"),
+    )

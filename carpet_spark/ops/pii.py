@@ -264,3 +264,62 @@ def pii_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "orig_len",
     )
+
+
+@register(
+    "pii_retention_sweep",
+    oracle="""
+    WITH cutoff AS (
+      SELECT MAX(ts) - INTERVAL 7 DAY AS c FROM events
+    ),
+    activity AS (
+      SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE last_ts < (SELECT c FROM cutoff))
+        AS n_users_purged,
+      CAST(COALESCE(SUM(n_events) FILTER (
+        WHERE last_ts < (SELECT c FROM cutoff)), 0) AS BIGINT)
+        AS n_events_purged,
+      COUNT(*) FILTER (WHERE last_ts >= (SELECT c FROM cutoff))
+        AS n_users_kept,
+      CAST(COALESCE(SUM(n_events) FILTER (
+        WHERE last_ts >= (SELECT c FROM cutoff)), 0) AS BIGINT)
+        AS n_events_kept
+    FROM activity
+    """,
+)
+def pii_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-retention sweep accounting (GDPR storage-limitation): find
+    users whose LAST activity predates the retention cutoff (7 days
+    before the newest event — anchored to data time, not wall clock, so
+    the op is deterministic and replayable) and report how many users
+    and events a purge would remove vs keep.  This is the dry-run
+    report; the purge itself is the same plan with the aggregate swapped
+    for an anti-join writer (pii_drop's delete path).
+
+    Scale (100 TB): one |users|-key aggregate over the fact table
+    (map-side combined), a 1-row global-max broadcast for the cutoff,
+    then a single-row reduction — the full text/event payload is never
+    shuffled, only (user, last_ts, count) triples.  The real purge
+    rewrites only partitions containing affected users (dynamic
+    partition overwrite, sink_dynamic_partition_overwrite's shape)."""
+    ev = load(spark, sf_dir, "events")
+    activity = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("c")
+    )
+    purged = F.col("last_ts") < F.col("c")
+    return activity.join(F.broadcast(cutoff)).agg(
+        F.count(F.when(purged, 1)).alias("n_users_purged"),
+        F.coalesce(F.sum(F.when(purged, F.col("n_events"))), F.lit(0))
+        .cast("long")
+        .alias("n_events_purged"),
+        F.count(F.when(~purged, 1)).alias("n_users_kept"),
+        F.coalesce(F.sum(F.when(~purged, F.col("n_events"))), F.lit(0))
+        .cast("long")
+        .alias("n_events_kept"),
+    )

@@ -179,6 +179,7 @@ _R4_QUEUE = (
     "emb_dim_stats", "stream_foreachbatch_upsert",
     "graph_triangle_count", "win_year_over_year",
     "text_oov_rate", "agg_gini_coefficient",
+    "pii_retention_sweep", "dq_freshness_sla",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
