@@ -497,3 +497,73 @@ def test_dist_cumulative_share_is_bucket_parallel(spark, sf_dir):
     window over all customers."""
     plan = explain_str(REGISTRY["dist_cumulative_share"].fn(spark, sf_dir))
     assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_join_array_membership_no_nested_loop(spark, sf_dir):
+    """Membership via explode + equi-join must plan as a BroadcastHashJoin
+    on the token key — the array_contains formulation degrades to
+    BroadcastNestedLoopJoin (|docs|x|terms| probes)."""
+    plan = explain_str(REGISTRY["join_array_membership"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_interval_merge_single_user_exchange(spark, sf_dir):
+    """Both windows and the island groupBy key on user_id — exactly one
+    hashpartitioning(user_id) exchange feeds the whole sweep."""
+    plan = explain_str(REGISTRY["ts_interval_merge"].fn(spark, sf_dir))
+    # tree nodes only ("+- Exchange (3)"); windows + island agg share the
+    # user_id partitioning, leaving just the final user_id-prefix agg
+    assert plan.count("+- Exchange") <= 2, plan
+    assert "Join" not in plan
+
+
+def test_attribution_no_join_single_window(spark, sf_dir):
+    """The as-of-via-window trick: no join operator anywhere; both
+    last() carries fuse into ONE Window over one user_id exchange."""
+    plan = explain_str(REGISTRY["attribution_last_touch"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("+- Window") == 1, plan
+    # one window exchange + one final channel-agg exchange
+    assert plan.count("+- Exchange") == 2, plan
+
+
+def test_text_oov_rate_broadcasts_vocab(spark, sf_dir):
+    """Vocab membership must be a broadcast join (map-side tag), never a
+    shuffled join of the full token stream against the vocab."""
+    plan = explain_str(REGISTRY["text_oov_rate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # vocab top-k, not a full sort
+    assert "SortMergeJoin" not in plan
+
+
+def test_graph_triangle_count_equi_joins_only(spark, sf_dir):
+    """Wedge build + closure are equi-key hash joins; only the final
+    1-row x 1-row count join may be a nested-loop (it is size-2)."""
+    df = REGISTRY["graph_triangle_count"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # the two structural joins must be hash equi-joins
+    assert (
+        plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin") >= 2
+    )
+
+
+def test_agg_duplicate_stats_shuffles_digests_not_text(spark, sf_dir):
+    """The duplication profile groups on sha256 digests — raw text must
+    not appear in any exchange."""
+    plan = explain_str(REGISTRY["agg_duplicate_stats"].fn(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_reconcile_diff_single_key_join(spark, sf_dir):
+    """The snapshot diff is one full-outer key join; the status
+    projection must not introduce extra joins."""
+    plan = explain_str(REGISTRY["reconcile_table_diff"].fn(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
