@@ -80,6 +80,10 @@ def _plan_fingerprint(df) -> str:
     s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
     s = re.sub(r"\b\d+(\.\d+)?\s*(B|KiB|MiB|GiB)\b", "", s)
     s = re.sub(r"\S*\.\.\.", "...", s)
+    # bucketed-table names embed a source-content tag (join_bucketed keys
+    # its cache on path|mtime|size) — normalize so a testdata regen moves
+    # no fingerprint whose plan shape is unchanged
+    s = re.sub(r"\b(b_\w+?_)[0-9a-f]{12}\b", r"\1", s)
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
 
