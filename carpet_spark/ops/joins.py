@@ -948,3 +948,100 @@ def join_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_occurrences"),
         )
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment || '_v0' AS segment_version,
+             DATE '1900-01-01' AS valid_from,
+             DATE '1995-01-01' + CAST(c_custkey % 730 AS INTEGER) AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '_v1',
+             DATE '1995-01-01' + CAST(c_custkey % 730 AS INTEGER),
+             DATE '1995-01-01' + CAST(c_custkey % 730 AS INTEGER) + 730
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_mktsegment || '_v2',
+             DATE '1995-01-01' + CAST(c_custkey % 730 AS INTEGER) + 730,
+             DATE '9999-01-01'
+      FROM customer
+    )
+    SELECT d.segment_version,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN dim d ON d.c_custkey = o.o_custkey
+              AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+              AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    GROUP BY d.segment_version
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of facts against an SCD2 dimension: every order
+    joins the dim VERSION that was valid on its order date ([valid_from,
+    valid_to) half-open, so version boundaries never double-count) — the
+    correctness backbone of any as-was reporting / ML feature pipeline
+    (joining today's dim onto historical facts leaks the future).  The
+    version history is synthesized per customer (three eras with
+    per-customer boundaries) since the fixture dim is versionless;
+    scd2_history builds the same shape from real mutations.
+
+    Scale (100 TB): the join key is the EQUI customer key — Spark plans
+    a plain hash join (broadcast here; shuffled at scale) and evaluates
+    the validity-range predicate as a cheap post-probe filter, since
+    version counts per key are small (3 here; rarely >dozens in
+    practice).  Never a range-only join — without the equi key this
+    degenerates to a nested loop (join_range_binned shows the banded
+    fix for that shape).  One fact shuffle, |versions|-key aggregate."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    b1 = F.date_add(
+        F.lit("1995-01-01").cast("date"), (F.col("c_custkey") % 730).cast("int")
+    )
+    far_past = F.lit("1900-01-01").cast("date")
+    far_future = F.lit("9999-01-01").cast("date")
+    dim = (
+        c.select(
+            "c_custkey",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.col("c_mktsegment"), F.lit("_v0")).alias("sv"),
+                        far_past.alias("vf"),
+                        b1.alias("vt"),
+                    ),
+                    F.struct(
+                        F.concat(F.col("c_mktsegment"), F.lit("_v1")).alias("sv"),
+                        b1.alias("vf"),
+                        F.date_add(b1, 730).alias("vt"),
+                    ),
+                    F.struct(
+                        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("sv"),
+                        F.date_add(b1, 730).alias("vf"),
+                        far_future.alias("vt"),
+                    ),
+                )
+            ).alias("v"),
+        )
+        .select(
+            "c_custkey",
+            F.col("v.sv").alias("segment_version"),
+            F.col("v.vf").alias("valid_from"),
+            F.col("v.vt").alias("valid_to"),
+        )
+    )
+    od = F.col("o_orderdate").cast("date")
+    j = o.join(
+        dim,
+        (dim.c_custkey == o.o_custkey)
+        & (od >= dim.valid_from)
+        & (od < dim.valid_to),
+    )
+    return j.groupBy("segment_version").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        lsum(F.col("o_totalprice")).alias("revenue"),
+    )

@@ -424,3 +424,50 @@ def win_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_pct"
         ),
     )
+
+
+@register(
+    "win_ytd_cumulative",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('year', o_orderdate) AS DATE) AS yr,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT yr, month, revenue,
+           SUM(revenue) OVER (PARTITION BY yr ORDER BY month
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ytd_revenue
+    FROM monthly
+    """,
+)
+def win_ytd_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-to-date running revenue: monthly totals with a cumulative sum
+    that RESETS each January (window partitioned by year) — the YTD pane
+    of every finance dashboard, and the companion to win_year_over_year's
+    cross-year comparison.
+
+    Determinism: monthly values are fixed-point sums (exact multiples of
+    1e-6 — exprs.lsum), and every YTD prefix sum of those stays inside
+    double's exact-integer range at this magnitude, so both engines'
+    left-to-right frame accumulation is bit-equal without rounding.
+
+    Scale (100 TB): the fact scan collapses to |months| rows map-side;
+    the window partitions by year (≤ decades of partitions, 12 rows
+    each) — trivially parallel, no global sort, no skew possible."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("year", "o_orderdate").cast("date").alias("yr"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(lsum(F.col("o_totalprice")).alias("revenue"))
+    w = (
+        Window.partitionBy("yr")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return monthly.select(
+        "yr", "month", "revenue", F.sum("revenue").over(w).alias("ytd_revenue")
+    )

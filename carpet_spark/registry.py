@@ -180,6 +180,7 @@ _R4_QUEUE = (
     "graph_triangle_count", "win_year_over_year",
     "text_oov_rate", "agg_gini_coefficient",
     "pii_retention_sweep", "dq_freshness_sla",
+    "win_ytd_cumulative", "join_point_in_time",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
