@@ -923,3 +923,58 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_s.alias("lag_s"),
         F.when(lag_s <= 3600, 1).otherwise(0).alias("sla_met"),
     )
+
+
+@register(
+    "agg_partial_merge_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+                / 1000000 AS DOUBLE) AS total_value,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def agg_partial_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup via MERGEABLE PARTIALS: aggregate the facts once
+    into daily partial states (count / fixed-point sum / min / max per
+    day+type), then combine partials into the weekly rollup WITHOUT
+    touching the facts again — the state-table pattern behind every
+    incremental materialized view (each new day computes only its own
+    partial; historical weeks re-merge from ~7 tiny rows).  The oracle
+    aggregates the raw facts directly in one pass: hash-equality IS the
+    proof that the two-level merge loses nothing — which holds precisely
+    because every statistic here is an algebraic aggregate (count/sum/
+    min/max merge; a median would NOT and needs a sketch).
+
+    Scale (100 TB): the daily partial table is |days|x|types| rows —
+    the fact scan happens once per new partition ever; weekly/monthly/
+    yearly rollups all derive from partials at log-scale cost.  Exactly
+    Spark's own partial/final HashAggregate contract, materialized
+    across runs instead of across tasks."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum(
+            (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long")))
+            .cast("long")
+        ).alias("p_sum6"),
+        F.min("user_id").alias("p_min"),
+        F.max("user_id").alias("p_max"),
+    )
+    return daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week"),
+        "event_type",
+    ).agg(
+        F.sum("p_n").cast("long").alias("n"),
+        (F.sum("p_sum6").cast("double") / 1e6).alias("total_value"),
+        F.min("p_min").alias("min_user"),
+        F.max("p_max").alias("max_user"),
+    )

@@ -444,3 +444,82 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label", F.round(centered_dot, 6).alias("pc1_score")
     )
+
+
+@register("sim_mmr_rerank")  # rows-only: greedy MMR is iterative, not SQL
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: take the top-30 cosine
+    candidates for the vec_id=0 query, then greedily select 10 maximizing
+    λ·sim(q,d) − (1−λ)·max_sim(d, already-selected) (λ=0.7) — the
+    standard diversity re-rank between retrieval and the LLM context
+    window (near-duplicate passages waste context; MMR spends the k
+    slots on coverage).  Deterministic: candidate cut and every greedy
+    tie break on (score, vec_id).
+
+    Scale (100 TB): the DISTRIBUTED stage is the candidate retrieval
+    (sim_cosine_topk's TakeOrderedAndProject shape, here top-30); the
+    greedy loop is inherently sequential in k but runs over only k×30
+    dot products on 64-dim vectors — so it executes in ONE mapInPandas
+    task over the coalesced candidate set (~8 KB), never on the driver
+    and never over the corpus.  Property contract
+    (tests/test_property.py): first pick equals the cosine argmax, and
+    the selected set's max pairwise similarity is ≤ the plain top-10's
+    (diversity never worsens)."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "embedding",
+        F.round(
+            _dot(F.col("embedding"), F.col("qe"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            ),
+            6,
+        ).alias("q_sim"),
+    )
+    cands = (
+        scored.orderBy(F.col("q_sim").desc(), F.col("vec_id").asc())
+        .limit(30)
+        .coalesce(1)
+    )
+
+    def mmr(batches):
+        lam, k = 0.7, 10
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["q_sim", "vec_id"], ascending=[False, True])
+            ids = pdf["vec_id"].to_numpy()
+            qs = pdf["q_sim"].to_numpy()
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            n = len(ids)
+            selected: list[int] = []
+            max_sim = np.zeros(n)  # max cosine to any selected row
+            picked = np.zeros(n, dtype=bool)
+            for rank in range(min(k, n)):
+                mmr_score = lam * qs - (1 - lam) * (max_sim if selected else 0.0)
+                mmr_score = np.where(picked, -np.inf, mmr_score)
+                # tie-break: highest score, then lowest vec_id (ids are
+                # sorted ascending within equal q_sim after the stable sort)
+                best = int(np.lexsort((ids, -mmr_score))[0])
+                picked[best] = True
+                selected.append(best)
+                max_sim = np.maximum(max_sim, mat @ mat[best])
+                yield pd.DataFrame(
+                    {
+                        "sel_rank": [rank + 1],
+                        "vec_id": [int(ids[best])],
+                        "q_sim": [float(qs[best])],
+                        "mmr_score": [float(mmr_score[best])],
+                    }
+                )
+
+    return cands.mapInPandas(
+        mmr, schema="sel_rank int, vec_id long, q_sim double, mmr_score double"
+    )

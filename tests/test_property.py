@@ -367,3 +367,40 @@ def test_emb_pca_variance_dominates_coordinates(spark, sf_dir):
         [r["embedding"] for r in load(spark, sf_dir, "embeddings").collect()]
     ).astype(float)
     assert scores.var(ddof=1) >= mat.var(axis=0, ddof=1).max() - 1e-9
+
+
+def test_mmr_first_pick_and_diversity(spark, sf_dir):
+    """MMR contract: (1) the first selected row is the plain cosine argmax;
+    (2) the selected set's max pairwise cosine is <= the plain top-10's
+    (diversity never worsens); (3) exactly 10 rows, ranks 1..10."""
+    import numpy as np
+
+    from carpet_spark.registry import REGISTRY
+    from carpet_spark.tables import load
+
+    mmr = (
+        REGISTRY["sim_mmr_rerank"].fn(spark, sf_dir)
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert [r["sel_rank"] for r in mmr] == list(range(1, 11))
+
+    topk = REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    assert mmr[0]["vec_id"] == topk[0]["vec_id"]
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+
+    def max_pairwise(ids):
+        vs = [emb[i] / np.linalg.norm(emb[i]) for i in ids]
+        return max(
+            float(vs[i] @ vs[j])
+            for i in range(len(vs))
+            for j in range(i + 1, len(vs))
+        )
+
+    assert max_pairwise([r["vec_id"] for r in mmr]) <= max_pairwise(
+        [r["vec_id"] for r in topk]
+    ) + 1e-9
