@@ -978,3 +978,57 @@ def agg_partial_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_min").alias("min_user"),
         F.max("p_max").alias("max_user"),
     )
+
+
+@register(
+    "agg_benford_distribution",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           COUNT(*) AS n,
+           round(COUNT(*) / CAST((SELECT COUNT(*) FROM digits) AS DOUBLE),
+                 6) AS pct,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_pct
+    FROM digits
+    GROUP BY digit
+    """,
+)
+def agg_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the classic
+    audit-analytics screen (fabricated or threshold-gamed amounts deviate
+    from the log10(1+1/d) digit law that organic multiplicative data
+    follows).  Digit extraction goes through EXACT integer cents
+    (round(x·100) as bigint → first character) — never float log10 of
+    the raw value, which would misbin at representation boundaries.
+
+    Scale (100 TB): one projection + a 9-key aggregate with map-side
+    partials; the total for pct is the same single-row broadcast the
+    engines already share.  Output: 9 rows, observed vs expected
+    percentages side by side."""
+    o = load(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    total = digits.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("pct"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+                "benford_pct"
+            ),
+        )
+    )

@@ -852,3 +852,55 @@ def fn_ip_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ip").alias("max_ip"),
         )
     )
+
+
+@register(
+    "fn_calendar_dim",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+             CAST(MAX(o_orderdate) AS DATE) AS hi
+      FROM orders
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM bounds
+    )
+    SELECT d,
+           dayofweek(d) AS dow0,
+           CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END AS is_weekend,
+           CAST(date_part('month', d) AS BIGINT) AS month,
+           CAST(date_part('quarter', d) AS BIGINT) AS quarter,
+           CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS is_month_end
+    FROM spine
+    """,
+)
+def fn_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar dimension covering the fact table's date span —
+    the date spine every warehouse joins for fiscal/weekend/month-end
+    logic, built by the engine (sequence + explode) rather than loaded.
+    Day-of-week parity trap: Spark's dayofweek() is 1=Sunday, DuckDB's is
+    0=Sunday — normalized to the 0=Sunday convention explicitly on both
+    sides rather than trusting either default.
+
+    Scale: the spine generates from the AGGREGATED min/max (one row in,
+    |days| rows out — a century is 36,525 rows); never explode per-fact.
+    Joining facts to it is a broadcast by construction."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    dow0 = F.dayofweek("d") - 1
+    return spine.select(
+        "d",
+        dow0.alias("dow0"),
+        F.when(dow0.isin(0, 6), 1).otherwise(0).alias("is_weekend"),
+        F.month("d").cast("long").alias("month"),
+        F.quarter("d").cast("long").alias("quarter"),
+        F.when(F.col("d") == F.last_day("d"), 1).otherwise(0).alias("is_month_end"),
+    )
