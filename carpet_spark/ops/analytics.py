@@ -898,3 +898,70 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsum(F.col("conv_value")).alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_sequence_detect",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us
+      FROM events
+      WHERE event_type IN ('error', 'purchase')
+    )
+    SELECT COUNT(*) AS n_errors,
+           CAST(SUM(CASE WHEN next_purchase_us - us <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+           round(SUM(CASE WHEN next_purchase_us - us <= 3600000000
+                          THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS recovery_rate
+    FROM seq
+    WHERE event_type = 'error'
+    """,
+)
+def agg_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence detection (the MATCH_RECOGNIZE shape): how many
+    errors are followed by a purchase from the SAME user within one hour
+    — error-recovery measurement, and the general template for any
+    A-then-B-within-T pattern (abandon→return, alert→ack).  The forward
+    scan uses min-over-the-following-frame of the conditional purchase
+    timestamp, so every error learns its next purchase in ONE window pass
+    — no self-join of errors against purchases (which fans out per pair
+    and needs a range predicate).
+
+    Determinism: integer microseconds (unix_micros/epoch_us — both
+    engines store µs), total order (ts, event_id), and the strict
+    1-FOLLOWING frame excludes a same-row match by construction.
+
+    Scale (100 TB): the type filter pushes to the scan; one
+    hashpartitioning(user_id) exchange; output is one row.  A hot user
+    bounds the frame at their own event count — same bound as any
+    per-entity window."""
+    ev = load(spark, sf_dir, "events")
+    sub = ev.filter(F.col("event_type").isin("error", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    seq = sub.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).over(w).alias("next_purchase_us"),
+    )
+    errors = seq.filter(F.col("event_type") == "error")
+    recovered = F.when(
+        F.col("next_purchase_us") - F.col("us") <= 3600 * 1000 * 1000, 1
+    ).otherwise(0)
+    return errors.agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum(recovered).cast("long").alias("n_recovered"),
+        F.round(F.sum(recovered) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "recovery_rate"
+        ),
+    )

@@ -1045,3 +1045,59 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         lsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+@register(
+    "join_fanout_safe",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, v AS version, c_mktsegment || '_v' || v AS attr
+      FROM customer, unnest([0, 1, 2]) AS t(v)
+    ),
+    latest AS (
+      SELECT c_custkey, attr FROM dim WHERE version = 2
+    )
+    SELECT (SELECT COUNT(*) FROM orders) AS n_facts,
+           (SELECT COUNT(*) FROM orders o
+              JOIN dim d ON d.c_custkey = o.o_custkey) AS n_naive_rows,
+           (SELECT COUNT(*) FROM orders o
+              JOIN latest l ON l.c_custkey = o.o_custkey) AS n_safe_rows
+    """,
+)
+def join_fanout_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout hygiene: joining facts against a dimension whose key
+    is NOT unique silently multiplies rows (here a 3-version dim triples
+    every order — sums/counts downstream inflate 3x with no error
+    raised).  The fix is structural: reduce the dim to one row per key
+    (latest version — cdc_compact_latest's plan) BEFORE the join, and
+    ASSERT the contract by comparing fact count vs joined count.  The op
+    returns all three counts; a pipeline would alarm on
+    n_safe_rows != n_facts.
+
+    Scale (100 TB): the dedup-before-join order matters twice at scale —
+    the naive join shuffles (and bills) 3x the rows, and the dim dedup
+    is a |dim|-sized aggregate that runs BEFORE the expensive fact
+    shuffle, not after the damage.  Spark cannot infer key uniqueness
+    from data; this guard is how you encode it."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    dim = c.select(
+        "c_custkey",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("version"),
+        "c_mktsegment",
+    ).select(
+        "c_custkey",
+        "version",
+        F.concat("c_mktsegment", F.lit("_v"), F.col("version")).alias("attr"),
+    )
+    latest = dim.filter(F.col("version") == 2).select("c_custkey", "attr")
+    n_facts = o.agg(F.count(F.lit(1)).alias("n_facts"))
+    n_naive = (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .agg(F.count(F.lit(1)).alias("n_naive_rows"))
+    )
+    n_safe = (
+        o.join(latest, o.o_custkey == latest.c_custkey)
+        .agg(F.count(F.lit(1)).alias("n_safe_rows"))
+    )
+    return n_facts.crossJoin(n_naive).crossJoin(n_safe)

@@ -183,6 +183,7 @@ _R4_QUEUE = (
     "win_ytd_cumulative", "join_point_in_time",
     "agg_partial_merge_rollup", "sim_mmr_rerank",
     "fn_calendar_dim", "agg_benford_distribution",
+    "agg_sequence_detect", "join_fanout_safe",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
