@@ -1032,3 +1032,72 @@ def agg_benford_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice AS price,
+             CAST(ROUND(l_quantity) AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, price, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MAX(total) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * cum >= total THEN price END) AS wmedian_price
+    FROM c
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which HALF THE QUANTITY (not half
+    the line items) has been sold — the right central tendency whenever
+    rows carry unequal mass (volume-weighted price, wealth-weighted
+    income).  Formulation: cumulative weight over price-sorted rows, pick
+    the first price whose cumulative weight reaches half the total; the
+    2·cum ≥ total comparison stays in INTEGER weights so the threshold
+    has no float boundary ambiguity.
+
+    Scale (100 TB): one hashpartitioning(returnflag) exchange serves
+    both windows and the final aggregate; the per-flag sort is the real
+    cost (same as any exact percentile — switch to a weighted sketch
+    when groups stop fitting a task).  Ties are totally ordered
+    (price, orderkey, linenumber) so both engines cut at the same row."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.round("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = [F.col("price"), F.col("l_orderkey"), F.col("l_linenumber")]
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt_total = Window.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(wc).alias("cum"),
+        F.sum("wt").over(wt_total).alias("total"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.max("total").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("price"))
+        ).alias("wmedian_price"),
+    )

@@ -965,3 +965,58 @@ def agg_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recovery_rate"
         ),
     )
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('day', e.ts) AS DATE) AS d,
+             f.d0
+      FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT d,
+           CAST(SUM(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN d > d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM daily
+    GROUP BY d
+    """,
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever day) vs RETURNING —
+    the growth-accounting decomposition every DAU chart needs (raw DAU
+    hides whether growth is acquisition or retention).  A user counts
+    once per active day; their first day is the min over all time.
+
+    Scale (100 TB): first-touch is one user_id aggregate; the per-(user,
+    day) distinct rides the SAME user_id partitioning (exchange reuse —
+    the funnel_conversion argument); the final rollup is |days| keys.
+    Nothing driver-side, output bounded by the calendar."""
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d0")
+    )
+    daily = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            "d0",
+        )
+        .distinct()
+    )
+    return daily.groupBy("d").agg(
+        F.sum(F.when(F.col("d") == F.col("d0"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("d") > F.col("d0"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_returning"),
+    )

@@ -184,6 +184,7 @@ _R4_QUEUE = (
     "agg_partial_merge_rollup", "sim_mmr_rerank",
     "fn_calendar_dim", "agg_benford_distribution",
     "agg_sequence_detect", "join_fanout_safe",
+    "agg_weighted_percentile", "agg_new_vs_returning",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
