@@ -84,6 +84,10 @@ def _plan_fingerprint(df) -> str:
     # its cache on path|mtime|size) — normalize so a testdata regen moves
     # no fingerprint whose plan shape is unchanged
     s = re.sub(r"\b(b_\w+?_)[0-9a-f]{12}\b", r"\1", s)
+    # lambda variables print as <name>_<global counter>#<exprid> (x_1, x_2,
+    # …) — the counter depends on how many lambdas the session planned
+    # earlier, so collapse it (no op alias ends in _<digits>, verified)
+    s = re.sub(r"(\w+?)_\d+#", r"\1#", s)
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
 
