@@ -1020,3 +1020,53 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_returning"),
     )
+
+
+@register(
+    "agg_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev_type, next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p
+    FROM pairs
+    """,
+)
+def agg_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral Markov transition matrix: for every consecutive
+    event pair within a user's timeline, count prev_type → next_type and
+    row-normalize to transition probabilities — the input to journey
+    clustering, next-action prediction baselines, and 'where do users go
+    after an error' questions.  Consecutiveness is defined by the total
+    (ts, event_id) order per user.
+
+    Scale (100 TB): one hashpartitioning(user_id) exchange for the lag,
+    then a |types|² aggregate with map-side partials; the row
+    normalization is a window over the TINY aggregated matrix (≤64 rows
+    here), not the fact table.  Output bounded by |types|²."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias("p"),
+    )

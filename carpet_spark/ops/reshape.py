@@ -184,3 +184,60 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vec_id").cast("long").alias("checksum"),
         )
     )
+
+
+@register(
+    "sample_negative_pairs",
+    oracle="""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    ranked AS (
+      SELECT a.anchor_id, e.vec_id AS neg_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.anchor_id
+               ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || '_'
+                            || CAST(e.vec_id AS VARCHAR)), e.vec_id)
+               AS rk
+      FROM anchors a JOIN embeddings e ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, neg_id, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor, pick 5 pseudo-random candidates with a DIFFERENT label —
+    seeded by md5(anchor, candidate) so the pairing is reproducible
+    across runs and engines (no RNG stream), which is what makes
+    contrastive datasets auditable.
+
+    Scale (100 TB): the anchor set is the small side by construction
+    (sampled) and BROADCASTS against the candidate corpus; ranking is a
+    per-anchor window over that join.  The label-mismatch predicate
+    makes the join a (broadcast) theta join — acceptable because
+    |anchors| is bounded; at corpus-scale anchors, sample negatives
+    WITHIN partitions instead (in-batch negatives, the standard trick)
+    so no cross-partition pairing ever materializes."""
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    )
+    cands = e.select(F.col("vec_id").alias("neg_id"), "label")
+    joined = F.broadcast(anchors).join(
+        cands, cands.label != anchors.anchor_label
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit("_"),
+                F.col("neg_id").cast("string"),
+            )
+        ),
+        F.col("neg_id"),
+    )
+    return (
+        joined.select("anchor_id", "neg_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )

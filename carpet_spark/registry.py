@@ -185,6 +185,7 @@ _R4_QUEUE = (
     "fn_calendar_dim", "agg_benford_distribution",
     "agg_sequence_detect", "join_fanout_safe",
     "agg_weighted_percentile", "agg_new_vs_returning",
+    "agg_transition_matrix", "sample_negative_pairs",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
