@@ -1101,3 +1101,28 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cum") >= F.col("total"), F.col("price"))
         ).alias("wmedian_price"),
     )
+
+
+@register(
+    "agg_histogram_2d",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS price_bin,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bin,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint 2-D histogram (price × quantity density grid) — the heatmap
+    companion to agg_histogram's 1-D profile, and the cheap first look at
+    correlation structure / outlier pockets before fitting anything.
+
+    Scale (100 TB): one projection + a |bins_x|×|bins_y|-key aggregate
+    with map-side partials; bin arithmetic is exact integer FLOOR
+    division so both engines bucket identically at every boundary."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("price_bin"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -397,3 +397,87 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("byte_len"),
         F.sha2("content", 256).alias("content_sha"),
     )
+
+
+@register("mm_phash_dedup")  # rows-only: the phash lives in a pandas UDF
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for image payloads: a
+    64-bit block-mean pHash per payload (computed in an Arrow-batched
+    mapInPandas, like every decode in this module — deterministic fake
+    'pixels' from the bytes, real PIL decode slots into the same
+    signature), then the SAME banding trick as dedup_near_simhash: split
+    the 64 bits into 4×16-bit bands — two hashes within Hamming
+    distance 3 MUST agree on ≥1 band (pigeonhole), so candidate pairs
+    come from an EQUI self-join on (band, value), never an all-pairs
+    Hamming scan — and verify candidates exactly with bit_count(XOR).
+
+    Property contract (tests/test_property.py): byte-identical payloads
+    hash identically, so every exact-duplicate pair must surface with
+    hamming 0.
+
+    Scale (100 TB): per-payload hashing is embarrassingly parallel; the
+    shuffle carries (band, 16-bit value, doc_id) triples — never
+    payloads; bucket sizes bound the join fan-out exactly as in the
+    simhash op.  Output is the verified near-dup pair list."""
+    import numpy as np
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.float64
+                )
+                if arr.size == 0:
+                    arr = np.zeros(1)
+                # 64 block means (the fake 8x8 'image'); real decode would
+                # produce the same 64-value vector from downsampled pixels
+                blocks = np.array_split(arr, 64)
+                means = np.array([b.mean() if b.size else 0.0 for b in blocks])
+                bits = means > np.median(means)
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                out_ids.append(int(doc_id))
+                out_hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"doc_id": out_ids, "phash": out_hashes})
+
+    hashed = d.mapInPandas(phash, schema="doc_id long, phash long")
+    bands = hashed.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("phash", i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    left = bands.select(
+        F.col("band"), F.col("val"),
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("h_a"),
+    )
+    right = bands.select(
+        F.col("band"), F.col("val"),
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("h_b"),
+    )
+    pairs = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= 3)

@@ -186,6 +186,7 @@ _R4_QUEUE = (
     "agg_sequence_detect", "join_fanout_safe",
     "agg_weighted_percentile", "agg_new_vs_returning",
     "agg_transition_matrix", "sample_negative_pairs",
+    "agg_histogram_2d", "mm_phash_dedup",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

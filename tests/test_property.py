@@ -404,3 +404,38 @@ def test_mmr_first_pick_and_diversity(spark, sf_dir):
     assert max_pairwise([r["vec_id"] for r in mmr]) <= max_pairwise(
         [r["vec_id"] for r in topk]
     ) + 1e-9
+
+
+def test_phash_dedup_catches_exact_duplicates(spark, tmp_path):
+    """Byte-identical payloads hash identically, so every exact-duplicate
+    pair must appear in mm_phash_dedup's output with hamming 0 — and
+    unrelated payloads must NOT pair at hamming 0 (the fixture corpus has
+    no exact text dups, so this runs on a synthesized micro-corpus)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from carpet_spark.registry import REGISTRY
+
+    base = str(tmp_path / "phash_docs")
+    mk = lambda i, t: Row(doc_id=i, text=t, lang="en", source="w", n_chars=len(t))
+    rows = [
+        mk(0, "alpha beta gamma delta " * 20),
+        mk(1, "alpha beta gamma delta " * 20),   # exact dup of 0
+        mk(2, "epsilon zeta eta theta " * 20),
+        mk(3, "epsilon zeta eta theta " * 20),   # exact dup of 2
+        mk(4, "totally different content here with other words " * 9),
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "documents.parquet")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["mm_phash_dedup"].fn(spark, base).collect()
+    }
+    assert got.get((0, 1)) == 0
+    assert got.get((2, 3)) == 0
+    # unrelated docs must not collide at hamming 0
+    for (a, b), h in got.items():
+        if (a, b) not in {(0, 1), (2, 3)}:
+            assert h > 0, f"unexpected hamming-0 pair {(a, b)}"
