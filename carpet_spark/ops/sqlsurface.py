@@ -169,3 +169,43 @@ def sql_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_sqludf
         """
     )
+
+
+@register(
+    "sql_named_parameters",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice >= 200000.0
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter API): the query text
+    carries ``:threshold`` / ``:status`` placeholders and values bind
+    through ``spark.sql(..., args={...})`` — the injection-safe way to
+    template SQL (string-formatting user input into SQL text is the
+    classic hole; bound parameters are typed literals to the parser, so
+    a malicious value can never become syntax).
+
+    Scale: binding happens at parse time — Catalyst sees constant
+    literals and pushes both predicates into the parquet scan exactly as
+    if they were hard-coded (no plan-cache/soft-parameter penalty)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                    AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+        FROM orders_param
+        WHERE o_totalprice >= :threshold
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": 200000.0, "status": "F"},
+    )

@@ -471,3 +471,63 @@ def win_ytd_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "yr", "month", "revenue", F.sum("revenue").over(w).alias("ytd_revenue")
     )
+
+
+@register(
+    "win_share_of_total",
+    oracle="""
+    WITH nation_rev AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             CAST(CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT regionkey, nation, revenue,
+           round(revenue / SUM(revenue) OVER (PARTITION BY regionkey), 6)
+             AS share_of_region,
+           round(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+    FROM nation_rev
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total decomposition: each nation's revenue as a fraction
+    of its region and of the world — the percent-of-parent column every
+    BI drilldown shows next to the raw number.  Computed with window
+    sums over the AGGREGATED nation table (25 rows), so the two extra
+    'totals' cost nothing; the denominators are sums of exact
+    fixed-point values, making the ratios bit-identical before the
+    final rounding.
+
+    Scale (100 TB): the heavy lifting is the fact aggregate (customer
+    broadcast onto orders, |nations| output); the unpartitioned total
+    window runs over 25 rows — the bounded-axis argument again.  Never
+    compute shares by re-joining the fact table against its own
+    aggregate: the window over the small result is free."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    nation_rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(lsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w_region = Window.partitionBy("regionkey")
+    w_all = Window.partitionBy()
+    return nation_rev.select(
+        "regionkey",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )

@@ -187,6 +187,7 @@ _R4_QUEUE = (
     "agg_weighted_percentile", "agg_new_vs_returning",
     "agg_transition_matrix", "sample_negative_pairs",
     "agg_histogram_2d", "mm_phash_dedup",
+    "sql_named_parameters", "win_share_of_total",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
