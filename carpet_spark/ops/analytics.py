@@ -1070,3 +1070,68 @@ def agg_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias("p"),
     )
+
+
+@register(
+    "agg_top_movers_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT event_type, week, v,
+             LAG(v) OVER (PARTITION BY event_type ORDER BY week) AS prev_v
+      FROM weekly
+    )
+    SELECT event_type, week, v, prev_v,
+           round(v - prev_v, 6) AS delta,
+           ROW_NUMBER() OVER (PARTITION BY week
+                              ORDER BY abs(v - prev_v) DESC, event_type)
+             AS mover_rank
+    FROM deltas
+    WHERE prev_v IS NOT NULL
+    QUALIFY mover_rank <= 3
+    """,
+)
+def agg_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week top movers: for every week, the 3 event types whose
+    total value moved the most vs the prior week — the automated
+    'what changed' digest that replaces eyeballing a wall of weekly
+    charts.  Two windows over the AGGREGATED weekly matrix: LAG along
+    each type's timeline for the delta, then a per-week rank by
+    |delta| (tie-broken by type for a total order).
+
+    Scale (100 TB): the fact table collapses to |types|×|weeks| rows
+    first (map-side partials); both windows and the rank run over that
+    tiny matrix.  Output: ≤3 rows per week.  The oracle's QUALIFY is
+    sugar the DataFrame side expresses as filter-after-window."""
+    ev = load(spark, sf_dir, "events")
+    from ..exprs import lsum
+
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+    ).agg(lsum(F.col("value")).alias("v"))
+    wl = Window.partitionBy("event_type").orderBy("week")
+    deltas = weekly.select(
+        "event_type", "week", "v", F.lag("v").over(wl).alias("prev_v")
+    ).filter(F.col("prev_v").isNotNull())
+    wr = Window.partitionBy("week").orderBy(
+        F.abs(F.col("v") - F.col("prev_v")).desc(), F.col("event_type")
+    )
+    return (
+        deltas.select(
+            "event_type",
+            "week",
+            "v",
+            "prev_v",
+            F.round(F.col("v") - F.col("prev_v"), 6).alias("delta"),
+            F.row_number().over(wr).alias("mover_rank"),
+        )
+        .filter(F.col("mover_rank") <= 3)
+    )

@@ -16,7 +16,7 @@ Dialect notes baked in (probed this session):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
 from ..tables import load
@@ -903,4 +903,70 @@ def fn_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("d").cast("long").alias("month"),
         F.quarter("d").cast("long").alias("quarter"),
         F.when(F.col("d") == F.last_day("d"), 1).otherwise(0).alias("is_month_end"),
+    )
+
+
+@register(
+    "fn_rendezvous_hash_routing",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    weighted AS (
+      SELECT k.user_id, n.node,
+             md5(CAST(k.user_id AS VARCHAR) || '|node' || n.node) AS w
+      FROM keys k, unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS n(node)
+    ),
+    routed AS (
+      SELECT user_id, node,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY w DESC, node) AS rk
+      FROM weighted
+    )
+    SELECT node, COUNT(*) AS n_keys,
+           MIN(user_id) AS min_key, MAX(user_id) AS max_key
+    FROM routed WHERE rk = 1
+    GROUP BY node
+    """,
+)
+def fn_rendezvous_hash_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: route each key to the
+    node with the highest md5(key, node) weight — the consistent-routing
+    scheme where removing one node reassigns ONLY that node's keys
+    (plain `hash(key) % N` reshuffles ~everything when N changes; HRW
+    and jump-hash are why shard maps survive topology changes).  The op
+    reports the per-node key balance, the thing you check before
+    trusting a routing function.
+
+    Determinism: md5 is identical across engines and the (weight DESC,
+    node) order is total — no RNG, fully replayable.
+
+    Scale (100 TB): |keys|×|nodes| weight rows explode from a flatMap
+    (no shuffle), and the per-key argmax is a window over |nodes|=8 rows
+    riding one hashpartitioning(user_id) exchange; for huge node counts
+    compute the max with a map-side aggregate instead of a window."""
+    ev = load(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct()
+    weighted = keys.select(
+        "user_id",
+        F.explode(F.array(*[F.lit(i) for i in range(8)])).alias("node"),
+    ).select(
+        "user_id",
+        "node",
+        F.md5(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|node"),
+                F.col("node").cast("string"),
+            )
+        ).alias("w"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("w").desc(), F.col("node"))
+    routed = weighted.select(
+        "user_id", "node", F.row_number().over(wr).alias("rk")
+    ).filter(F.col("rk") == 1)
+    return routed.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("user_id").alias("min_key"),
+        F.max("user_id").alias("max_key"),
     )

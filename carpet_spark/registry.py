@@ -188,6 +188,7 @@ _R4_QUEUE = (
     "agg_transition_matrix", "sample_negative_pairs",
     "agg_histogram_2d", "mm_phash_dedup",
     "sql_named_parameters", "win_share_of_total",
+    "fn_rendezvous_hash_routing", "agg_top_movers_wow",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
