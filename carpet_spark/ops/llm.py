@@ -1362,3 +1362,68 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+@register(
+    "text_keywords_topk",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS w
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, w, rk FROM (
+      SELECT doc_id, term, w,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, term) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3 AND doc_id % 20 = 0
+    """,
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf weight —
+    the zero-training summarizer behind search snippets, tag suggestion,
+    and corpus browsing (text_tfidf computes the full matrix; this op
+    reduces it to what a UI shows).  Ties in weight break on the term
+    string so the cut is total.
+
+    Scale (100 TB): tf is a (doc, term) aggregate riding the explode;
+    df broadcasts back onto it exactly as in text_tfidf; the top-3 is a
+    per-doc window over that doc's own terms — bounded by document
+    length, shuffle-partitioned by doc_id.  The %20 projection bounds
+    driver output; it prunes AFTER scoring because df needs the full
+    corpus (document frequency over a sample would skew idf)."""
+    d = load(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("w"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term"))
+    return (
+        scored.select("doc_id", "term", "w", F.row_number().over(wd).alias("rk"))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") % 20 == 0))
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..exprs import lsum
 from ..registry import register
 from ..tables import load
 
@@ -614,4 +615,67 @@ def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.col("e1") - F.col("s0")).alias("covered_s"),
+    )
+
+
+@register(
+    "ts_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events
+      GROUP BY 1
+    ),
+    pred AS (
+      SELECT d, v,
+             LAG(v, 7) OVER (ORDER BY d) AS forecast
+      FROM daily
+    )
+    SELECT COUNT(*) AS n_days,
+           round(CAST(SUM(CAST(ROUND(abs(v - forecast) * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000 / COUNT(*), 6) AS mae,
+           round(CAST(SUM(CAST(ROUND(abs(v - forecast) * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000
+                 / (CAST(SUM(CAST(ROUND(abs(v) * 1000000) AS BIGINT))
+                    AS DOUBLE) / 1000000), 6) AS wape
+    FROM pred
+    WHERE forecast IS NOT NULL
+    """,
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's total as the
+    value 7 days earlier (the same-weekday-last-week baseline every
+    forecasting effort must beat) and score MAE and WAPE over the
+    history — the sanity benchmark that decides whether a model earns
+    its complexity.  LAG(7) assumes a dense daily spine (true here; gaps
+    need ts_gapfill first).
+
+    Determinism: daily totals and all error sums are fixed-point
+    (multiples of 1e-6 via round-to-long), so both engines divide
+    identical doubles; only the final ratios round.
+
+    Scale (100 TB): facts collapse to |days| rows map-side; the LAG and
+    the error aggregate run over that bounded spine in one task — the
+    bounded-axis argument (ts_inflight_orders).  Backtesting a model
+    per key (per SKU/store) partitions the same plan by key."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(lsum(F.col("value")).alias("v"))
+    w = Window.orderBy("d")
+    pred = daily.select(
+        "d", "v", F.lag("v", 7).over(w).alias("forecast")
+    ).filter(F.col("forecast").isNotNull())
+    err6 = F.sum(
+        (F.abs(F.col("v") - F.col("forecast")) * 1e6 + 0.5).cast("long")
+    ).cast("double") / 1e6
+    tot6 = F.sum((F.abs(F.col("v")) * 1e6 + 0.5).cast("long")).cast(
+        "double"
+    ) / 1e6
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(err6 / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(err6 / tot6, 6).alias("wape"),
     )

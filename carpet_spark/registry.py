@@ -189,6 +189,7 @@ _R4_QUEUE = (
     "agg_histogram_2d", "mm_phash_dedup",
     "sql_named_parameters", "win_share_of_total",
     "fn_rendezvous_hash_routing", "agg_top_movers_wow",
+    "text_keywords_topk", "ts_seasonal_naive_backtest",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
