@@ -679,3 +679,62 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err6 / F.count(F.lit(1)), 6).alias("mae"),
         F.round(err6 / tot6, 6).alias("wape"),
     )
+
+
+@register(
+    "ts_rolling_active_users",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    covered AS (
+      SELECT DISTINCT user_id, d + k AS cover_d
+      FROM active, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k)
+    ),
+    spine AS (
+      SELECT DISTINCT d FROM active
+    )
+    SELECT s.d, COUNT(*) AS wau
+    FROM spine s JOIN covered c ON c.cover_d = s.d
+    GROUP BY s.d
+    """,
+)
+def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day) — the engagement curve
+    DAU alone understates.  Rolling COUNT(DISTINCT) has no efficient
+    window form (distinct state can't slide), so this uses the standard
+    COVER expansion: each (user, active-day) pair contributes membership
+    to the 7 days it keeps the user 'active' for, then a plain distinct
+    + count per day — turning an unmergeable rolling distinct into two
+    ordinary shuffles with a bounded 7× blow-up of the (user, day)
+    DEDUPED activity set (not of raw events).
+
+    The day spine is restricted to observed activity days (first 6 days
+    correctly count partial windows; trailing days beyond the last
+    event are not reported).
+
+    Scale (100 TB): raw events collapse to |users|×|days| first; the ×7
+    explode and second distinct shuffle that bounded set; the final
+    count is |days| keys.  For 30/90-day windows at extreme user
+    counts, switch to mergeable HLL sketches per day and union them
+    (agg_hll_merge's shape) at ~2% error."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    covered = (
+        active.select(
+            "user_id",
+            F.explode(F.array(*[F.lit(k) for k in range(7)])).alias("k"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("k")).alias("cover_d"))
+        .distinct()
+    )
+    spine = active.select("d").distinct()
+    return (
+        spine.join(covered, spine.d == covered.cover_d)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
