@@ -1126,3 +1126,64 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("price_bin"),
         F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_bin"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "profile_value_patterns",
+    oracle="""
+    WITH pats AS (
+      SELECT 'customer.c_name' AS col,
+             regexp_replace(regexp_replace(regexp_replace(c_name,
+               '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')
+               AS pattern,
+             c_name AS v
+      FROM customer
+      UNION ALL
+      SELECT 'events.props',
+             regexp_replace(regexp_replace(regexp_replace(props,
+               '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g'),
+             props
+      FROM events
+    )
+    SELECT col, pattern, COUNT(*) AS n,
+           COUNT(DISTINCT v) AS n_distinct, MIN(v) AS example
+    FROM pats
+    GROUP BY col, pattern
+    """,
+)
+def profile_value_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-pattern (shape) profiling: map every value to its character-
+    class skeleton (A=upper, a=lower, 9=digit; punctuation kept literal)
+    and count the shapes — the data-quality lens that surfaces mixed
+    formats instantly ('three phone shapes in one column', 'some JSON
+    props carry two-digit keys').  This is also the first step of
+    format-preserving masking: the skeleton is what the mask must keep.
+
+    Scale (100 TB): three chained regexp_replace projections (anchored
+    character classes — no backtracking) in whole-stage codegen, then a
+    |patterns|-key aggregate with map-side partials; example values ride
+    along as MIN, so nothing unaggregated reaches the driver."""
+    shape = lambda c: F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, "[A-Z]", "A"), "[a-z]", "a"),
+        "[0-9]",
+        "9",
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.lit("customer.c_name").alias("col"),
+        shape(F.col("c_name")).alias("pattern"),
+        F.col("c_name").alias("v"),
+    )
+    e = load(spark, sf_dir, "events").select(
+        F.lit("events.props").alias("col"),
+        shape(F.col("props")).alias("pattern"),
+        F.col("props").alias("v"),
+    )
+    return (
+        c.unionByName(e)
+        .groupBy("col", "pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").alias("example"),
+        )
+    )

@@ -738,3 +738,58 @@ def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("wau"))
     )
+
+
+@register(
+    "ts_local_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events
+      GROUP BY 1
+    ),
+    flagged AS (
+      SELECT d, v,
+             LAG(v) OVER (ORDER BY d) AS prev_v,
+             LEAD(v) OVER (ORDER BY d) AS next_v
+      FROM daily
+    )
+    SELECT d, v, round(v - (prev_v + next_v) / 2, 6) AS prominence
+    FROM flagged
+    WHERE v > prev_v AND v > next_v
+    """,
+)
+def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily total series: a day is a peak
+    iff it STRICTLY exceeds both neighbors (plateaus are not peaks;
+    boundary days have a NULL neighbor, and NULL comparisons are not
+    true, so they are correctly excluded) — the spike detector behind
+    'what happened on the 14th' alerting, reported with a simple
+    prominence score (height above the neighbor midpoint).
+
+    Scale (100 TB): facts collapse to the |days| spine map-side; the
+    lag/lead window runs over that bounded axis in one task
+    (ts_inflight_orders' argument).  Per-key peak detection (per SKU /
+    per sensor) is the same plan with the window partitioned by key."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(lsum(F.col("value")).alias("v"))
+    w = Window.orderBy("d")
+    flagged = daily.select(
+        "d",
+        "v",
+        F.lag("v").over(w).alias("prev_v"),
+        F.lead("v").over(w).alias("next_v"),
+    )
+    return flagged.filter(
+        (F.col("v") > F.col("prev_v")) & (F.col("v") > F.col("next_v"))
+    ).select(
+        "d",
+        "v",
+        F.round(
+            F.col("v") - (F.col("prev_v") + F.col("next_v")) / 2, 6
+        ).alias("prominence"),
+    )

@@ -191,6 +191,7 @@ _R4_QUEUE = (
     "fn_rendezvous_hash_routing", "agg_top_movers_wow",
     "text_keywords_topk", "ts_seasonal_naive_backtest",
     "stream_checkpoint_resume", "ts_rolling_active_users",
+    "profile_value_patterns", "ts_local_peaks",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
