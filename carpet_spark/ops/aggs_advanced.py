@@ -1187,3 +1187,138 @@ def profile_value_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").alias("example"),
         )
     )
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+    WITH cont AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS n_ij
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, n_ij,
+             SUM(n_ij) OVER (PARTITION BY event_type) AS n_i,
+             SUM(n_ij) OVER (PARTITION BY dow) AS n_j,
+             SUM(n_ij) OVER () AS n
+      FROM cont
+    ),
+    chi AS (
+      SELECT SUM(pow(n_ij - n_i * n_j / CAST(n AS DOUBLE), 2)
+                 / (n_i * n_j / CAST(n AS DOUBLE))) AS chi2,
+             MAX(n) AS n,
+             COUNT(DISTINCT event_type) AS r,
+             COUNT(DISTINCT dow) AS c
+      FROM tot
+    )
+    SELECT round(chi2, 6) AS chi2,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(sqrt(chi2 / (n * (LEAST(r, c) - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between two categoricals (event type ×
+    day-of-week): the chi-square contingency statistic normalized to
+    [0, 1] — the EDA answer to 'are these columns related' that a
+    correlation matrix can't give for categories (is error traffic
+    weekday-shaped?).
+
+    Scale (100 TB): the fact table collapses to the r×c contingency
+    matrix map-side (≤56 cells here); the marginals are windows over
+    those cells and the statistic is a single-row reduction — the heavy
+    term is one |r×c|-key aggregate regardless of row count.
+    Determinism: counts are exact integers; expected frequencies and χ²
+    are identically-formulated double arithmetic rounded at the end
+    (both engines' dayofweek over DATE agrees: 0=Sunday after Spark's
+    -1 shift)."""
+    ev = load(spark, sf_dir, "events")
+    cont = ev.groupBy(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_ij"))
+    wi = Window.partitionBy("event_type")
+    wj = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    tot = cont.select(
+        "event_type",
+        "dow",
+        "n_ij",
+        F.sum("n_ij").over(wi).alias("n_i"),
+        F.sum("n_ij").over(wj).alias("n_j"),
+        F.sum("n_ij").over(wall).alias("n"),
+    )
+    e = F.col("n_i") * F.col("n_j") / F.col("n").cast("double")
+    chi = tot.agg(
+        F.sum(F.pow(F.col("n_ij") - e, 2) / e).alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    return chi.select(
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "agg_audience_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    i AS (SELECT COUNT(*) AS n_inter FROM a JOIN b USING (user_id))
+    SELECT (SELECT COUNT(*) FROM a) AS n_click,
+           (SELECT COUNT(*) FROM b) AS n_purchase,
+           n_inter,
+           round(n_inter / CAST((SELECT COUNT(*) FROM a)
+                 + (SELECT COUNT(*) FROM b) - n_inter AS DOUBLE), 6)
+             AS jaccard,
+           round(n_inter / CAST((SELECT COUNT(*) FROM a) AS DOUBLE), 6)
+             AS containment_in_click
+    FROM i
+    """,
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between two behavioral segments (clickers vs
+    purchasers): intersection, Jaccard, and containment — the
+    campaign-targeting / identity-resolution overlap report ('how much
+    of segment B is already inside A').
+
+    Scale (100 TB): each segment reduces to a distinct user set
+    (digest-width shuffle); the intersection is one equi join between
+    those REDUCED sets, and all counts are 1-row aggregates combined by
+    broadcast — raw events never pairwise-join.  For many segments at
+    once, switch to per-segment HLL sketches and pairwise sketch
+    intersection (agg_hll_merge's machinery) at bounded memory."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    na = a.agg(F.count(F.lit(1)).alias("n_click"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_purchase"))
+    ni = a.join(b, "user_id").agg(F.count(F.lit(1)).alias("n_inter"))
+    return (
+        ni.crossJoin(na)
+        .crossJoin(nb)
+        .select(
+            "n_click",
+            "n_purchase",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_click") + F.col("n_purchase") - F.col("n_inter"))
+                .cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_inter") / F.col("n_click").cast("double"), 6
+            ).alias("containment_in_click"),
+        )
+    )

@@ -192,6 +192,7 @@ _R4_QUEUE = (
     "text_keywords_topk", "ts_seasonal_naive_backtest",
     "stream_checkpoint_resume", "ts_rolling_active_users",
     "profile_value_patterns", "ts_local_peaks",
+    "agg_cramers_v", "agg_audience_overlap",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
