@@ -1427,3 +1427,56 @@ def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "term", "w", F.row_number().over(wd).alias("rk"))
         .filter((F.col("rk") <= 3) & (F.col("doc_id") % 20 == 0))
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH counts AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r
+      FROM counts
+    ),
+    top AS (
+      SELECT ln(r) AS lx, ln(c) AS ly FROM ranked WHERE r <= 500
+    )
+    SELECT COUNT(*) AS n_points,
+           round(regr_slope(ly, lx), 6) AS zipf_slope,
+           round(regr_r2(ly, lx), 6) AS r2
+    FROM top
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus word-frequency distribution: regress
+    log(frequency) on log(rank) over the top-500 vocabulary — natural
+    language lands near slope −1, and deviation is a cheap corpus-health
+    fingerprint (template spam flattens the tail, boilerplate steepens
+    the head; data-mixing work tracks this per source).
+
+    Scale (100 TB): wordcount with map-side combine → the global rank
+    over the AGGREGATED vocab (TakeOrdered-sized: 500 rows reach the
+    regression) → regr_slope/regr_r2, which are mergeable second-moment
+    aggregates in both engines.  Determinism: the rank order is total
+    (count DESC, word ASC) so both engines regress the same 500 points;
+    outputs round at 6dp."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    top = (
+        counts.select("c", F.row_number().over(wr).alias("r"))
+        .filter(F.col("r") <= 500)
+        .select(F.log(F.col("r")).alias("lx"), F.log(F.col("c")).alias("ly"))
+    )
+    return top.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope("ly", "lx"), 6).alias("zipf_slope"),
+        F.round(F.regr_r2("ly", "lx"), 6).alias("r2"),
+    )

@@ -531,3 +531,71 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM orders
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, SUM(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS equity
+      FROM daily
+    ),
+    dd AS (
+      SELECT d, equity,
+             MAX(equity) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS peak
+      FROM cum
+    )
+    SELECT COUNT(*) AS n_days,
+           round(MAX(peak - equity), 6) AS max_drawdown,
+           round(MAX(CASE WHEN peak > 0
+                          THEN (peak - equity) / peak ELSE 0 END), 6)
+             AS max_drawdown_pct
+    FROM dd
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily-revenue curve: the
+    largest peak-to-trough fall, absolute and as a fraction of the peak
+    — finance's standard worst-case-decline metric, equally useful on
+    any cumulative KPI ('how far below our best have we slipped').
+    Two stacked running windows (cumsum, then running max) and a
+    single-row reduction.
+
+    Determinism: daily values are fixed-point (exprs.lsum) and every
+    prefix sum stays in double's exact-integer range at this magnitude
+    (win_ytd_cumulative's argument), so peak−equity is bit-identical
+    before the final rounding.
+
+    Scale (100 TB): facts collapse to the |days| spine map-side; both
+    running windows traverse that bounded axis in one task — the
+    ts_inflight_orders argument.  Per-portfolio drawdowns partition the
+    same plan by key."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(lsum(F.col("o_totalprice")).alias("v"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select("d", F.sum("v").over(w).alias("equity"))
+    dd = cum.select(
+        "d", "equity", F.max("equity").over(w).alias("peak")
+    )
+    fall = F.col("peak") - F.col("equity")
+    return dd.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.max(fall), 6).alias("max_drawdown"),
+        F.round(
+            F.max(
+                F.when(F.col("peak") > 0, fall / F.col("peak")).otherwise(0.0)
+            ),
+            6,
+        ).alias("max_drawdown_pct"),
+    )

@@ -193,6 +193,7 @@ _R4_QUEUE = (
     "stream_checkpoint_resume", "ts_rolling_active_users",
     "profile_value_patterns", "ts_local_peaks",
     "agg_cramers_v", "agg_audience_overlap",
+    "text_zipf_fit", "win_drawdown",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
