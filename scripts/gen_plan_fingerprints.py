@@ -33,6 +33,12 @@ def main() -> None:
     out = {}
     for name in sorted(REGISTRY):
         try:
+            # earlier eager ops can leave cached relations (localCheckpoint /
+            # cacheTable) that swap later FileScans for InMemoryTableScans —
+            # a cache-state plan change, not a shape change.  Fingerprint
+            # every op against a cache-clean session so the regen is
+            # order-independent and reproducible.
+            spark.catalog.clearCache()
             out[name] = _plan_fingerprint(REGISTRY[name].fn(spark, SF))
         except Exception as e:  # env-gated or eager-failure: record, move on
             out[name] = f"ERROR:{type(e).__name__}"
