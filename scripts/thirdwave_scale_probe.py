@@ -22,8 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark.sql.functions as F
 
-from carpet_spark.ops.analytics import attribution_last_touch
-from carpet_spark.ops.timeseries import ts_interval_merge
+from carpet_spark.ops.analytics import agg_transition_matrix, attribution_last_touch
+from carpet_spark.ops.timeseries import ts_interval_merge, ts_rolling_active_users
 from carpet_spark.session import get_spark
 from carpet_spark.tables import _SOURCE_CACHE
 from scripts.analytics_scale_probe import _STAGES  # noqa: F401  (synth reuse)
@@ -78,6 +78,8 @@ def main() -> None:
             ("interval_merge", lambda: ts_interval_merge(spark, ad).count()),
             ("attribution", lambda: attribution_last_touch(spark, ad).count()),
             ("array_membership", lambda: _membership_shape(spark, d_path).count()),
+            ("rolling_wau", lambda: ts_rolling_active_users(spark, ad).count()),
+            ("transition_matrix", lambda: agg_transition_matrix(spark, ad).count()),
         ):
             best, rows = float("inf"), 0
             for _ in range(2):
