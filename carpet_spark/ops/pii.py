@@ -323,3 +323,74 @@ def pii_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_events_kept"),
     )
+
+
+@register(
+    "pii_vault_tokenize",
+    oracle="""
+    WITH vault AS (
+      SELECT c_name,
+             'tok_' || substr(md5('vault|' || c_name), 1, 16) AS token
+      FROM (SELECT DISTINCT c_name FROM customer)
+    ),
+    tokenized AS (
+      SELECT c.c_custkey, v.token, c.c_acctbal
+      FROM customer c JOIN vault v ON v.c_name = c.c_name
+    ),
+    detok AS (
+      SELECT t.c_custkey, v.c_name, t.c_acctbal
+      FROM tokenized t JOIN vault v ON v.token = t.token
+    )
+    SELECT d.c_custkey, d.c_name,
+           CASE WHEN d.c_name = c.c_name THEN 1 ELSE 0 END AS roundtrip_ok
+    FROM detok d JOIN customer c ON c.c_custkey = d.c_custkey
+    WHERE d.c_custkey % 50 = 0
+    """,
+)
+def pii_vault_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization-vault PII protection: replace each name with an
+    opaque surrogate token via a VAULT table (distinct value → token),
+    hand the tokenized table to analytics, and restore the original only
+    by re-joining the vault — the architecture where raw PII lives in
+    exactly one access-controlled table and everything downstream is
+    pseudonymous (contrast pii_hash: one-way, no restore;
+    pii_encrypt_roundtrip: key-based, value leaves with the data).  The
+    op runs the FULL cycle and proves per-row restoration
+    (roundtrip_ok).
+
+    The derivation here is a keyed digest for determinism; a production
+    vault issues random tokens — same plan, different generator —
+    making the vault table itself the only de-anonymization path.
+
+    Scale (100 TB): the vault is |distinct values| rows (broadcast when
+    small, shuffled join otherwise); tokenize and detokenize are each
+    ONE equi join; analytics never touch the raw column.  Vault writes
+    are append-only upserts (merge_upsert's shape) as new values
+    arrive."""
+    c = load(spark, sf_dir, "customer")
+    vault = c.select("c_name").distinct().select(
+        "c_name",
+        F.concat(
+            F.lit("tok_"),
+            F.substring(F.md5(F.concat(F.lit("vault|"), F.col("c_name"))), 1, 16),
+        ).alias("token"),
+    )
+    tokenized = c.join(F.broadcast(vault), "c_name").select(
+        "c_custkey", "token", "c_acctbal"
+    )
+    detok = tokenized.join(
+        F.broadcast(vault.select("token", F.col("c_name").alias("restored"))),
+        "token",
+    ).select("c_custkey", F.col("restored").alias("c_name"), "c_acctbal")
+    orig = c.select("c_custkey", F.col("c_name").alias("orig_name"))
+    return (
+        detok.join(orig, "c_custkey")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_name") == F.col("orig_name"), 1)
+            .otherwise(0)
+            .alias("roundtrip_ok"),
+        )
+    )

@@ -19,7 +19,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import DoubleType, StringType
 
 from ..registry import register
@@ -321,4 +321,65 @@ def udf_pandas_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id", F.round(calibrate("value"), 6).alias("calibrated")
+    )
+
+
+@register(
+    "udf_pandas_struct",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, value,
+             AVG(value) OVER () AS mu,
+             STDDEV_SAMP(value) OVER () AS sigma
+      FROM events
+      WHERE user_id % 40 = 0
+    )
+    SELECT event_id,
+           round((value - mu) / sigma, 6) AS zscore,
+           round(ln(1.0 + abs(value)), 6) AS log1p_abs,
+           CASE WHEN value >= 0 THEN 1 ELSE -1 END AS sign
+    FROM s
+    """,
+)
+def udf_pandas_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT-returning pandas UDF: one Arrow-batched function computes
+    several derived features and returns them as a single struct column
+    that is then unpacked — the multi-output feature-engineering shape
+    that otherwise needs N separate UDF calls (N serializations of the
+    same input) or a fragile string concat.  The global mean/std feed in
+    as ordinary columns (window over the filtered slice), keeping the
+    UDF itself stateless and per-batch.
+
+    Scale (100 TB): one Python worker round-trip per batch regardless
+    of output arity — the struct adds columns, not passes; everything
+    before and after the UDF stays JVM-side.  The %40 filter pushes to
+    the scan and bounds output."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<zscore: double, log1p_abs: double, sign: int>")
+    def feats(value: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        z = ((value - mu) / sigma).round(6)
+        l = np.log1p(value.abs()).round(6)
+        s = np.where(value >= 0, 1, -1).astype("int32")
+        return pd.DataFrame({"zscore": z, "log1p_abs": l, "sign": s})
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 40 == 0)
+    w = Window.partitionBy()
+    base = ev.select(
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+    )
+    out = base.select(
+        "event_id", feats("value", "mu", "sigma").alias("f")
+    )
+    return out.select(
+        "event_id",
+        F.col("f.zscore").alias("zscore"),
+        F.col("f.log1p_abs").alias("log1p_abs"),
+        F.col("f.sign").alias("sign"),
     )

@@ -194,6 +194,7 @@ _R4_QUEUE = (
     "profile_value_patterns", "ts_local_peaks",
     "agg_cramers_v", "agg_audience_overlap",
     "text_zipf_fit", "win_drawdown",
+    "pii_vault_tokenize", "udf_pandas_struct",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
