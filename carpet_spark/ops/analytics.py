@@ -1135,3 +1135,174 @@ def agg_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("mover_rank") <= 3)
     )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    weekly_rev AS (
+      SELECT f.cohort_week,
+             date_diff('week', f.cohort_week,
+                       CAST(date_trunc('week', e.ts) AS DATE)) AS week_offset,
+             CAST(SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) AS BIGINT)
+               AS rev6
+      FROM events e
+      JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_users
+      FROM first_seen GROUP BY cohort_week
+    )
+    SELECT w.cohort_week, w.week_offset, s.cohort_users,
+           round(CAST(SUM(w.rev6) OVER (PARTITION BY w.cohort_week
+                       ORDER BY w.week_offset
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1000000 / s.cohort_users, 6) AS cum_ltv_per_user
+    FROM weekly_rev w JOIN sizes s ON s.cohort_week = w.cohort_week
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curves by signup cohort: purchase revenue per
+    cohort-week accumulated over cohort age and divided by cohort size —
+    the payback-period chart that decides acquisition spend
+    (retention_cohorts counts the users; this op follows the money).
+
+    Determinism: revenue accumulates as fixed-point LONGS through the
+    running window (integer prefix sums — no float order sensitivity at
+    all) and converts to double exactly once, at the final per-user
+    division.
+
+    Scale (100 TB): first-touch and the (cohort, offset) revenue rollup
+    both ride the user_id partitioning; the running window and size
+    join run over the |cohorts|×|offsets| matrix (tiny).  One fact
+    scan, everything after is bounded."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(
+            F.sum(
+                (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+            ).alias("rev6")
+        )
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        weekly.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            F.round(
+                F.sum("rev6").over(w).cast("double")
+                / 1e6
+                / F.col("cohort_users"),
+                6,
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+@register(
+    "pipeline_training_set_features",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+      FROM events
+    ),
+    feat AS (
+      SELECT event_id, event_type, value,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER w7 AS clicks_7d,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+               OVER w7 AS views_7d,
+             COUNT(*) OVER w7 AS events_7d
+      FROM base
+      WINDOW w7 AS (PARTITION BY user_id ORDER BY s
+                    RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS label_event_id, value AS label_value,
+           clicks_7d, views_7d, events_7d
+    FROM feat
+    WHERE event_type = 'purchase'
+    """,
+)
+def pipeline_training_set_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-set assembly (the feature-store join): for
+    every purchase (the label row), compute behavioral features from
+    STRICTLY-EARLIER activity only — clicks/views/total events in the 7
+    days before the purchase instant — via a per-user RANGE window
+    ending at 1 second PRECEDING.  The frame boundary IS the leakage
+    guard: the label row and anything simultaneous with it can never
+    feed its own features (the classic train-serve skew bug is an
+    inclusive boundary here).
+
+    Scale (100 TB): ONE pass — every feature shares a single
+    hashpartitioning(user_id) exchange and sort; no per-feature join
+    against aggregated snapshot tables, no point-in-time join fan-out
+    (join_point_in_time covers the dimension-versioned variant).  The
+    RANGE frame is O(window contents) per row with Spark's sliding
+    frame state; output is |purchases| rows.
+
+    Note the RANGE key is integer epoch-seconds — both engines agree on
+    FLOOR(epoch) (tables.py §ts), and integer range bounds avoid any
+    interval-arithmetic ambiguity."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("s"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-604800, -1)
+    )
+    feat = base.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w7).alias(
+            "clicks_7d"
+        ),
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w7).alias(
+            "views_7d"
+        ),
+        F.count(F.lit(1)).over(w7).alias("events_7d"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        F.col("value").alias("label_value"),
+        "clicks_7d",
+        "views_7d",
+        "events_7d",
+    )

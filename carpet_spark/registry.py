@@ -195,6 +195,7 @@ _R4_QUEUE = (
     "agg_cramers_v", "agg_audience_overlap",
     "text_zipf_fit", "win_drawdown",
     "pii_vault_tokenize", "udf_pandas_struct",
+    "agg_cohort_ltv", "pipeline_training_set_features",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
