@@ -194,3 +194,41 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(final))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "set_union_by_name_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice,
+           o_orderpriority,
+           NULL AS o_orderstatus
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey,
+           o_orderstatus,
+           o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def set_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: combine two table versions whose columns
+    differ (an old extract without o_orderstatus, a new one without
+    o_orderpriority) by NAME with missing columns null-filled —
+    ``unionByName(allowMissingColumns=True)``.  Positional UNION here
+    would silently zip o_totalprice under o_orderstatus (same arity,
+    different order): the classic schema-drift corruption this operator
+    exists to prevent.
+
+    Scale: a union is plan-level concatenation — zero shuffle, zero
+    compute; the null-fill is a constant projection.  This is the read
+    path for any dataset whose schema grew over time (the write path is
+    scan_schema_evolution's mergeSchema)."""
+    o = load(spark, sf_dir, "orders")
+    v_old = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v_new = o.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return v_old.unionByName(v_new, allowMissingColumns=True)

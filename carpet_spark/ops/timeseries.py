@@ -793,3 +793,52 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v") - (F.col("prev_v") + F.col("next_v")) / 2, 6
         ).alias("prominence"),
     )
+
+
+@register(
+    "ts_window_custom_origin",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(FLOOR((FLOOR(epoch(ts)) - 1800) / 3600) AS BIGINT) AS bucket,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           bucket * 3600 + 1800 AS window_start_s,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+                / 1000000 AS DOUBLE) AS total
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def ts_window_custom_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows with a NON-DEFAULT origin: 1-hour buckets
+    anchored at :30 past the hour (Spark ``window(ts, '1 hour', '1
+    hour', '30 minutes')``) — the offset parameter everyone discovers
+    the hard way when business windows start at 9:30 market open or a
+    22:00 log-rotation boundary, not at midnight UTC.  The oracle pins
+    the EXACT semantics in integer arithmetic: bucket =
+    floor((epoch − offset) / slide), window_start = bucket·slide +
+    offset — which is precisely what Spark's window() computes.
+
+    Scale (100 TB): windowing is a pure projection (no Spark-side
+    session/gap state for tumbling); the aggregate is map-side combined
+    on (type, bucket) — identical cost to any groupBy; in streaming the
+    same expression drives watermark-tracked incremental state."""
+    ev = load(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "1 hour", "30 minutes")
+    return (
+        ev.groupBy("event_type", win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            lsum(F.col("value")).alias("total"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "n",
+            "total",
+        )
+    )
