@@ -970,3 +970,53 @@ def fn_rendezvous_hash_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("user_id").alias("min_key"),
         F.max("user_id").alias("max_key"),
     )
+
+
+@register(
+    "fn_decimal_money_exactness",
+    oracle="""
+    WITH x AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price_d,
+             CAST(l_discount AS DECIMAL(18,2)) AS disc_d
+      FROM lineitem WHERE l_orderkey % 97 = 0
+    )
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(price_d * (1 - disc_d) AS DECIMAL(18,4)))
+                AS VARCHAR) AS exact_revenue,
+           CAST(SUM(ROUND(price_d * (1 - disc_d), 2)) AS VARCHAR)
+             AS rounded_per_line_revenue,
+           CAST(SUM(CAST(price_d * (1 - disc_d) AS DECIMAL(18,4)))
+                - SUM(ROUND(price_d * (1 - disc_d), 2)) AS VARCHAR)
+             AS rounding_drift
+    FROM x
+    """,
+)
+def fn_decimal_money_exactness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic done in DECIMAL, not double: revenue computed at
+    full decimal(18,4) precision vs the same revenue when each line is
+    rounded to cents first — the per-line-rounding drift that finance
+    reconciliation flags (sum-then-round ≠ round-then-sum).  Results
+    return as exact decimal STRINGS so the value hash compares true
+    decimal equality, never a float representation.
+
+    This is the complement to exprs.lsum (fast fixed-point for
+    hash-stable analytics): when the requirement is accounting-grade
+    decimal semantics — scale propagation, banker's-vs-half-up control,
+    audited drift — the DECIMAL type is the tool, at ~12x the codegen
+    cost (SCALE.md 'Aggregation fast path').
+
+    Scale: both sums are ordinary two-phase decimal aggregates —
+    mergeable, map-side combined; decimal(18,s) fits in a long
+    internally so memory matches bigint aggregation."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 97 == 0)
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.col("l_discount").cast("decimal(18,2)")
+    line = (price_d * (F.lit(1) - disc_d)).cast("decimal(18,4)")
+    line_rounded = F.round(price_d * (F.lit(1) - disc_d), 2)
+    return li.select(line.alias("l"), line_rounded.alias("lr")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l").cast("string").alias("exact_revenue"),
+        F.sum("lr").cast("string").alias("rounded_per_line_revenue"),
+        (F.sum("l") - F.sum("lr")).cast("string").alias("rounding_drift"),
+    )

@@ -282,3 +282,65 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(o_custkey % 500, o_orderkey % 500) AS a,
+             GREATEST(o_custkey % 500, o_orderkey % 500) AS b
+      FROM orders
+      WHERE (o_custkey % 500) <> (o_orderkey % 500)
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS degree FROM (
+        SELECT a AS v FROM raw UNION ALL SELECT b FROM raw
+      ) GROUP BY v
+    )
+    SELECT COUNT(*) AS n_nodes,
+           CAST(SUM(degree) / 2 AS BIGINT) AS n_edges,
+           MIN(degree) AS min_deg,
+           MAX(degree) AS max_deg,
+           round(AVG(degree), 6) AS avg_deg,
+           round(quantile_cont(degree, 0.5), 6) AS p50_deg,
+           round(quantile_cont(degree, 0.99), 6) AS p99_deg
+    FROM deg
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution profile of the (synthesized) graph — node and
+    edge counts, min/avg/max and p50/p99 degree — the FIRST query run on
+    any new graph, because every downstream cost model keys on it:
+    wedge counts for triangles scale with Σdeg², join fan-out with max
+    degree, and a p99≫p50 gap says 'salt the hubs before you self-join'
+    (graph_triangle_count's orientation note).
+
+    Scale (100 TB): degrees come from one union + count aggregate over
+    the edge list (map-side combined, |V| rows out); the percentile
+    runs over the |V|-row degree table (exact here; switch to
+    approx_percentile when |V| stops fitting a task, SURVEY §2.E)."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 500
+    y = F.col("o_orderkey") % 500
+    edges = (
+        o.filter(x != y)
+        .select(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        F.min("degree").alias("min_deg"),
+        F.max("degree").alias("max_deg"),
+        F.round(F.avg("degree"), 6).alias("avg_deg"),
+        F.round(F.percentile("degree", F.lit(0.5)), 6).alias("p50_deg"),
+        F.round(F.percentile("degree", F.lit(0.99)), 6).alias("p99_deg"),
+    )
