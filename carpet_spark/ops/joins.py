@@ -1101,3 +1101,76 @@ def join_fanout_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_safe_rows"))
     )
     return n_facts.crossJoin(n_naive).crossJoin(n_safe)
+
+
+@register(
+    "join_ip_range_lookup",
+    oracle="""
+    WITH ips AS (
+      SELECT DISTINCT user_id,
+             (user_id * 2654435761) % 4294967296 AS ip
+      FROM events
+    ),
+    ranges AS (
+      SELECT r AS range_id,
+             r * 16777216 + (r % 7) * 1000 AS r_start,
+             r * 16777216 + (r % 7) * 1000 + 16777216 - 5000 AS r_end,
+             'blk_' || r AS label
+      FROM (SELECT unnest(range(0, 256)) AS r)
+    ),
+    matched AS (
+      SELECT i.user_id, rg.label
+      FROM ips i
+      LEFT JOIN ranges rg
+        ON rg.range_id = CAST(FLOOR(i.ip / 16777216) AS BIGINT)
+       AND i.ip >= rg.r_start AND i.ip <= rg.r_end
+    )
+    SELECT COALESCE(label, 'unassigned') AS label, COUNT(*) AS n_ips
+    FROM matched
+    GROUP BY 1
+    """,
+)
+def join_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-to-range lookup (the geo-IP / threat-intel enrichment shape):
+    assign each address to the non-overlapping [start, end] block that
+    contains it.  The naive predicate ``ip BETWEEN start AND end`` is
+    non-equi → BroadcastNestedLoopJoin, |ips|×|ranges| probes.  The
+    scalable plan derives an EQUI prefix key on BOTH sides — the /8
+    bucket floor(ip / 2^24) for the IP, the containing bucket for the
+    range — so the match becomes a hash join with the range check as a
+    cheap post-probe filter; addresses falling in coverage gaps come
+    back 'unassigned' via the left join.
+
+    Ranges spanning multiple buckets are handled by EXPLODING the range
+    over its covered buckets (not needed here — the synthetic blocks
+    each live inside one bucket; join_range_binned shows the general
+    banded variant).
+
+    Scale (100 TB): the range dim (even full GeoIP is ~10M rows)
+    broadcasts or shuffles on the bucket key; the IP side is one scan +
+    projection; never a nested loop (plan-tested)."""
+    ev = load(spark, sf_dir, "events")
+    ips = ev.select("user_id").distinct().select(
+        "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("ip"),
+    )
+    r = F.col("range_id")
+    ranges = spark.range(256).select(
+        F.col("id").alias("range_id")
+    ).select(
+        "range_id",
+        (r * 16777216 + (r % 7) * 1000).alias("r_start"),
+        (r * 16777216 + (r % 7) * 1000 + 16777216 - 5000).alias("r_end"),
+        F.concat(F.lit("blk_"), r.cast("string")).alias("label"),
+    )
+    bucket = F.floor(F.col("ip") / 16777216).cast("long")
+    matched = ips.withColumn("bucket", bucket).join(
+        F.broadcast(ranges),
+        (F.col("range_id") == F.col("bucket"))
+        & (F.col("ip") >= F.col("r_start"))
+        & (F.col("ip") <= F.col("r_end")),
+        "left",
+    )
+    return matched.groupBy(
+        F.coalesce("label", F.lit("unassigned")).alias("label")
+    ).agg(F.count(F.lit(1)).alias("n_ips"))

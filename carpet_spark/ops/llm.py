@@ -1480,3 +1480,86 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("ly", "lx"), 6).alias("zipf_slope"),
         F.round(F.regr_r2("ly", "lx"), 6).alias("r2"),
     )
+
+
+@register(
+    "eval_confusion_matrix",
+    oracle=f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT lang,
+{_langid_sql_scores()}
+      FROM t
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM s
+    ),
+    cells AS (
+      SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, predicted, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS row_recall
+    FROM cells
+    """,
+)
+def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation confusion matrix: text_langid's predictions
+    crossed against the labeled ``lang`` column, with per-actual-class
+    recall — the standard classifier report, expressed as the generic
+    (label, prediction) → count rollup any model eval reduces to.  The
+    fixture's zh/... docs have no classifier class, so their rows expose
+    exactly how an out-of-scope class smears across predictions — the
+    kind of blind spot a bare accuracy number hides.
+
+    Scale (100 TB): scoring is per-row projection (no shuffle —
+    text_langid's shape); the matrix aggregate is |labels|×|classes|
+    keys map-side combined, and recall normalizes over that tiny matrix
+    via a window.  Evaluation at any corpus size is one pass."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws]) for lang, ws in _LANG_WORDS.items()
+    }
+    scores = {
+        lang: F.size(
+            F.filter(toks, (lambda arr: lambda x: F.array_contains(arr, x))(arr))
+        )
+        for lang, arr in lang_arrays.items()
+    }
+    s = d.select(
+        "lang", *[scores[lang].alias(f"s_{lang}") for lang in _LANG_WORDS]
+    )
+    predicted = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    cells = (
+        s.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wl).cast("double"), 6).alias(
+            "row_recall"
+        ),
+    )

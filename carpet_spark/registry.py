@@ -198,6 +198,7 @@ _R4_QUEUE = (
     "agg_cohort_ltv", "pipeline_training_set_features",
     "ts_window_custom_origin", "set_union_by_name_evolution",
     "fn_decimal_money_exactness", "graph_degree_stats",
+    "eval_confusion_matrix", "join_ip_range_lookup",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
