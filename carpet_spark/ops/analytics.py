@@ -1306,3 +1306,63 @@ def pipeline_training_set_features(spark: SparkSession, sf_dir: str) -> DataFram
         "views_7d",
         "events_7d",
     )
+
+
+@register(
+    "agg_user_path_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY rn), '>') AS path
+      FROM ranked WHERE rn <= 3
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT 20
+    """,
+)
+def agg_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey prefixes: each user's first three events (by the
+    total (ts, event_id) order) concatenated into a path string, counted
+    and top-20'd — the path-analysis view ('what do people actually do
+    first') that funnels, which presume the stages, cannot show.
+
+    Ordering inside the path is pinned by sorting (rn, type) structs
+    before joining — collect_list order under parallel merge is
+    nondeterministic, the same trap agg_collect documents.
+
+    Scale (100 TB): the rank and the path-build share one
+    hashpartitioning(user_id) exchange; rn<=3 caps state at 3 rows per
+    user BEFORE the path aggregate; the final count is |distinct
+    paths| keys and top-20 is a TakeOrdered, not a sort."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+    )
