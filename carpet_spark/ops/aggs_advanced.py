@@ -1322,3 +1322,68 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_in_click"),
         )
     )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH nation_rev AS (
+      SELECT n.n_regionkey AS regionkey, n.n_nationkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                  AS BIGINT) AS rev6
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    , shares AS (
+      SELECT regionkey,
+             rev6 / CAST(SUM(rev6) OVER (PARTITION BY regionkey) AS DOUBLE)
+               AS share
+      FROM nation_rev
+    )
+    SELECT regionkey,
+           COUNT(*) AS n_nations,
+           round(SUM(pow(share, 2)), 6) AS hhi
+    FROM shares
+    GROUP BY regionkey
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per region: the sum of
+    squared revenue shares across that region's nations — the
+    market-concentration scalar (1/n = perfectly even, →1 = monopoly)
+    that pairs with agg_gini_coefficient (population inequality) and
+    dist_cumulative_share (the full curve).
+
+    Determinism: shares divide exact fixed-point longs by their exact
+    partition sum; the ≤|nations| squared terms round at 6dp.
+
+    Scale (100 TB): the fact scan collapses to |nations| rows (dims
+    broadcast); share normalization is a window over ≤25 rows and the
+    HHI itself a |regions|-key aggregate — everything after the first
+    aggregate is driver-trivial."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev6 = F.sum(
+        (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+    ).cast("long")
+    nation_rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"), "n_nationkey"
+        )
+        .agg(rev6.alias("rev6"))
+    )
+    wr = Window.partitionBy("regionkey")
+    share = F.col("rev6") / F.sum("rev6").over(wr).cast("double")
+    return (
+        nation_rev.select("regionkey", share.alias("share"))
+        .groupBy("regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.round(F.sum(F.pow("share", 2)), 6).alias("hhi"),
+        )
+    )

@@ -1563,3 +1563,69 @@ def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_recall"
         ),
     )
+
+
+@register(
+    "emb_outlier_scores",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT dim, AVG(v) AS mu, STDDEV_SAMP(v) AS sigma
+      FROM ex GROUP BY dim
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             SUM(pow((e.v - s.mu) / s.sigma, 2)) AS m2
+      FROM ex e JOIN stats s ON s.dim = e.dim
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, round(m2, 6) AS mahalanobis2
+    FROM scored
+    ORDER BY m2 DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining: top-10 vectors by diagonal
+    Mahalanobis distance (per-dimension z-scores squared and summed) —
+    the cheap first pass for finding mislabeled/corrupted/off-
+    distribution examples before they poison a fine-tune (full-
+    covariance Mahalanobis needs a d×d inverse; the diagonal variant is
+    the standard scalable stand-in and feeds emb_dim_stats' moments).
+
+    Scale (100 TB): per-dimension stats are d mergeable aggregates over
+    the posexplode (emb_dim_stats' plan); the d-row stats table
+    BROADCASTS back onto the exploded stream, so scoring is one more
+    map-side aggregate keyed by vec_id — two passes total, and only the
+    top-10 (TakeOrdered) reaches the driver.
+
+    Float note: the per-vector Σz² sums d=64 terms in engine-dependent
+    order — error ~1e-13 relative, far inside the 6dp rounding."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "v")
+    stats = ex.groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    scored = (
+        ex.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.pow((F.col("v") - F.col("mu")) / F.col("sigma"), 2)).alias(
+                "m2"
+            )
+        )
+    )
+    return (
+        scored.select("vec_id", "label", F.round("m2", 6).alias("mahalanobis2"))
+        .orderBy(F.col("mahalanobis2").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
