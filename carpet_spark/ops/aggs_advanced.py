@@ -1387,3 +1387,58 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.pow("share", 2)), 6).alias("hhi"),
         )
     )
+
+
+@register(
+    "agg_leadtime_sla",
+    oracle="""
+    WITH lt AS (
+      SELECT datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CASE WHEN days <= 30 THEN '0-30'
+                WHEN days <= 60 THEN '31-60'
+                WHEN days <= 90 THEN '61-90'
+                ELSE '90+' END AS bucket,
+           COUNT(*) AS n,
+           round(COUNT(*) / CAST((SELECT COUNT(*) FROM lt) AS DOUBLE), 6)
+             AS pct
+    FROM lt
+    GROUP BY 1
+    """,
+)
+def agg_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time SLA distribution: line items bucketed by
+    days between order and ship date — the fulfillment-performance
+    report ('what fraction ships within 30 days'), and the template for
+    any duration-SLA rollup (ticket resolution, approval latency).
+
+    Scale (100 TB): the only real cost is the fact-fact key join
+    (orders side serves dates; at scale pre-join or denormalize
+    o_orderdate onto lineitem at ingest, as TPC-H's own schema hints);
+    bucketing is integer CASE arithmetic and the aggregate is 4 keys
+    map-side combined, with the total as a 1-row broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(days.alias("days"))
+    bucket = (
+        F.when(F.col("days") <= 30, "0-30")
+        .when(F.col("days") <= 60, "31-60")
+        .when(F.col("days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    total = lt.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        lt.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(total))
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("pct"),
+        )
+    )

@@ -842,3 +842,90 @@ def ts_window_custom_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "ts_change_point_simple",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v6
+      FROM events GROUP BY 1
+    ),
+    pref AS (
+      SELECT d, v6,
+             SUM(v6) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS s6,
+             ROW_NUMBER() OVER (ORDER BY d) AS t,
+             SUM(v6) OVER () AS total6,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    scored AS (
+      SELECT d AS split_day,
+             s6 / 1000000.0 / t AS mean_left,
+             (total6 - s6) / 1000000.0 / (n - t) AS mean_right
+      FROM pref WHERE t < n
+    )
+    SELECT split_day,
+           round(mean_left, 6) AS mean_left,
+           round(mean_right, 6) AS mean_right,
+           round(abs(mean_right - mean_left), 6) AS shift
+    FROM scored
+    ORDER BY abs(mean_right - mean_left) DESC, split_day ASC
+    LIMIT 1
+    """,
+)
+def ts_change_point_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily series: the split that
+    maximizes the before/after mean gap — the 'when did behavior
+    actually change' primitive behind deploy-impact and incident
+    retrospectives (a binary-segmentation step; recurse on each side for
+    multiple change points).  Every candidate split is scored from ONE
+    prefix-sum pass: mean_left = S_t/t, mean_right = (S−S_t)/(n−t) —
+    never n separate re-aggregations.
+
+    Determinism: prefix sums accumulate fixed-point LONGS (exact);
+    scores are identical double ratios; the argmax tie-breaks on the
+    earlier day.
+
+    Scale (100 TB): facts collapse to the |days| spine map-side; the
+    prefix windows and Take(1) run over that bounded axis — the
+    ts_inflight_orders argument.  Per-metric change points partition
+    the same plan by key."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+        ).alias("v6")
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    pref = daily.select(
+        "d",
+        F.sum("v6").over(wc).alias("s6"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+        F.sum("v6").over(wall).alias("total6"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    scored = pref.filter(F.col("t") < F.col("n")).select(
+        F.col("d").alias("split_day"),
+        (F.col("s6") / 1e6 / F.col("t")).alias("mean_left"),
+        (
+            (F.col("total6") - F.col("s6")) / 1e6 / (F.col("n") - F.col("t"))
+        ).alias("mean_right"),
+    )
+    shift = F.abs(F.col("mean_right") - F.col("mean_left"))
+    return (
+        scored.orderBy(shift.desc(), F.col("split_day").asc())
+        .limit(1)
+        .select(
+            "split_day",
+            F.round("mean_left", 6).alias("mean_left"),
+            F.round("mean_right", 6).alias("mean_right"),
+            F.round(shift, 6).alias("shift"),
+        )
+    )
