@@ -1442,3 +1442,172 @@ def agg_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("tot").cast("double"), 6).alias("pct"),
         )
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = s.s_nationkey))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full referential-integrity sweep: orphan counts for every foreign
+    key in the schema in one report — the audit a lakehouse needs
+    because nothing enforces FKs at write time (an upstream partial
+    load shows up here first, as lineitems pointing at missing orders).
+    All six edges of the TPC-H-ish FK graph are checked
+    (lineitem→orders/part/supplier, orders→customer,
+    customer→nation, supplier→nation).
+
+    Scale (100 TB): each check is a LEFT ANTI join on the key — the
+    parent side reduces to its key column (and broadcasts when it
+    fits); the child side streams.  Checks are independent branches of
+    a union, so a cluster runs them concurrently; output is 6 rows.
+    Run it per-partition-increment after each load, not over history."""
+    tables = {
+        t: load(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "part", "supplier", "customer", "nation")
+    }
+
+    def check(fk: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        n_child = child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        orphans = child.join(
+            parent.select(pkey), child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return (
+            n_child.crossJoin(orphans)
+            .select(
+                F.lit(fk).alias("fk"), "n_child_rows", "n_orphans"
+            )
+        )
+
+    li, o, p, s, c, n = (
+        tables["lineitem"], tables["orders"], tables["part"],
+        tables["supplier"], tables["customer"], tables["nation"],
+    )
+    reports = [
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        check("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        check("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        check("supplier.s_nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "agg_abc_classification",
+    oracle="""
+    WITH part_rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+                  AS BIGINT) AS rev6
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT rev6,
+             SUM(rev6) OVER (ORDER BY rev6 DESC, l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                             ROW) AS cum6,
+             SUM(rev6) OVER () AS total6
+      FROM part_rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum6 <= 0.8 * total6 THEN 'A'
+                  WHEN cum6 <= 0.95 * total6 THEN 'B'
+                  ELSE 'C' END AS cls,
+             rev6, total6
+      FROM ranked
+    )
+    SELECT cls, COUNT(*) AS n_parts,
+           round(SUM(rev6) / CAST(MAX(total6) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY cls
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: rank parts by revenue,
+    class A = the head covering 80% of cumulative revenue, B = the next
+    15%, C = the tail — the supply-chain segmentation that decides
+    cycle-count frequency and stocking policy; the categorical readout
+    of dist_cumulative_share's curve.
+
+    Determinism: cumulative and total revenue are exact fixed-point
+    longs, and the 80%/95% thresholds compare long·double products
+    identically; rank ties break on the part key.
+
+    Scale (100 TB): the fact table collapses to |parts| sums first;
+    the global cumulative window runs over that bounded key space (the
+    agg_gini_coefficient argument — range-partition the sort if |parts|
+    outgrows a task); output is 3 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+        ).alias("rev6")
+    )
+    wc = (
+        Window.orderBy(F.col("rev6").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy()
+    ranked = part_rev.select(
+        "rev6",
+        F.sum("rev6").over(wc).alias("cum6"),
+        F.sum("rev6").over(wall).alias("total6"),
+    )
+    cls = (
+        F.when(F.col("cum6") <= 0.8 * F.col("total6"), "A")
+        .when(F.col("cum6") <= 0.95 * F.col("total6"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select(cls.alias("cls"), "rev6", "total6")
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum("rev6") / F.max("total6").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )

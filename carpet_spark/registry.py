@@ -202,6 +202,7 @@ _R4_QUEUE = (
     "agg_user_path_topk", "sample_systematic_every_nth",
     "emb_outlier_scores", "agg_hhi_concentration",
     "ts_change_point_simple", "agg_leadtime_sla",
+    "dq_referential_integrity", "agg_abc_classification",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
