@@ -1366,3 +1366,88 @@ def agg_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@register(
+    "agg_change_contribution",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    halves AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) <
+                       (SELECT lo + (hi - lo) // 2 FROM b)
+                  THEN 'p1' ELSE 'p2' END AS period,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+      FROM events
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN period = 'p1' THEN v6 ELSE 0 END) AS BIGINT)
+               AS p1_6,
+             CAST(SUM(CASE WHEN period = 'p2' THEN v6 ELSE 0 END) AS BIGINT)
+               AS p2_6
+      FROM halves GROUP BY event_type
+    ),
+    tot AS (
+      SELECT SUM(p2_6 - p1_6) AS tdelta6 FROM per
+    )
+    SELECT event_type,
+           round(p1_6 / 1000000.0, 6) AS v_before,
+           round(p2_6 / 1000000.0, 6) AS v_after,
+           round((p2_6 - p1_6) / 1000000.0, 6) AS delta,
+           round((p2_6 - p1_6) / CAST((SELECT tdelta6 FROM tot) AS DOUBLE),
+                 6) AS contribution
+    FROM per
+    """,
+)
+def agg_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting decomposition: split the observation window in
+    half and attribute the TOTAL change in value to each event type —
+    contributions sum to 1, so 'revenue moved X' decomposes exactly into
+    which segments drove it (the follow-up question to
+    agg_top_movers_wow's 'what moved').  The split point is derived from
+    the data's own midpoint, keeping the op replayable.
+
+    Determinism: per-period sums are fixed-point longs; the midpoint is
+    exact integer timestamp arithmetic; contributions divide identical
+    doubles.
+
+    Scale (100 TB): ONE scan — both periods accumulate as conditional
+    sums in the same |types|-key aggregate (no two-pass, no self-join);
+    the midpoint and total-delta are 1-row broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bounds = ev.agg(
+        (
+            F.min(us) + F.floor((F.max(us) - F.min(us)) / 2).cast("long")
+        ).alias("mid_us")
+    )
+    v6 = (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+    halves = ev.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") < F.col("mid_us"), "p1")
+        .otherwise("p2")
+        .alias("period"),
+        v6.alias("v6"),
+    )
+    per = halves.groupBy("event_type").agg(
+        F.sum(F.when(F.col("period") == "p1", F.col("v6")).otherwise(0))
+        .cast("long")
+        .alias("p1_6"),
+        F.sum(F.when(F.col("period") == "p2", F.col("v6")).otherwise(0))
+        .cast("long")
+        .alias("p2_6"),
+    )
+    tot = per.agg(F.sum(F.col("p2_6") - F.col("p1_6")).alias("tdelta6"))
+    return per.join(F.broadcast(tot)).select(
+        "event_type",
+        F.round(F.col("p1_6") / 1e6, 6).alias("v_before"),
+        F.round(F.col("p2_6") / 1e6, 6).alias("v_after"),
+        F.round((F.col("p2_6") - F.col("p1_6")) / 1e6, 6).alias("delta"),
+        F.round(
+            (F.col("p2_6") - F.col("p1_6")) / F.col("tdelta6").cast("double"),
+            6,
+        ).alias("contribution"),
+    )

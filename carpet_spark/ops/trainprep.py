@@ -1123,3 +1123,66 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate"
         ),
     )
+
+
+@register(
+    "text_boilerplate_prefix",
+    oracle="""
+    WITH pre AS (
+      SELECT source,
+             array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')
+               AS prefix5
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, prefix5, COUNT(*) AS c FROM pre GROUP BY 1, 2
+    ),
+    modal AS (
+      SELECT source, prefix5 AS modal_prefix, c,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY c DESC, prefix5 ASC) AS rk,
+             SUM(c) OVER (PARTITION BY source) AS n_docs
+      FROM counts
+    )
+    SELECT source, n_docs, modal_prefix, c AS n_modal,
+           round(c / CAST(n_docs AS DOUBLE), 6) AS boilerplate_ratio
+    FROM modal WHERE rk = 1
+    """,
+)
+def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by modal prefix: per source, the most common
+    first-5-token opening and what fraction of that source's documents
+    share it — a high ratio screams templated pages (cookie banners,
+    nav headers, license stubs) that inflate dedup clusters and waste
+    pretraining tokens; sources flagged here go to dedup_span_corpus
+    for span-level removal.
+
+    Scale (100 TB): the prefix is a bounded projection (5 tokens — the
+    full text never aggregates); counting is a (source, prefix) agg
+    with map-side combine; the modal pick is a per-source window over
+    that count table.  Output: |sources| rows."""
+    d = load(spark, sf_dir, "documents")
+    prefix5 = F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+    counts = d.select("source", prefix5.alias("prefix5")).groupBy(
+        "source", "prefix5"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("prefix5").asc()
+    )
+    ws = Window.partitionBy("source")
+    modal = counts.select(
+        "source",
+        F.col("prefix5").alias("modal_prefix"),
+        "c",
+        F.row_number().over(wm).alias("rk"),
+        F.sum("c").over(ws).alias("n_docs"),
+    )
+    return modal.filter(F.col("rk") == 1).select(
+        "source",
+        "n_docs",
+        "modal_prefix",
+        F.col("c").alias("n_modal"),
+        F.round(F.col("c") / F.col("n_docs").cast("double"), 6).alias(
+            "boilerplate_ratio"
+        ),
+    )

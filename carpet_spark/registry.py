@@ -203,6 +203,7 @@ _R4_QUEUE = (
     "emb_outlier_scores", "agg_hhi_concentration",
     "ts_change_point_simple", "agg_leadtime_sla",
     "dq_referential_integrity", "agg_abc_classification",
+    "agg_change_contribution", "text_boilerplate_prefix",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
