@@ -746,3 +746,61 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_qty"
         ),
     )
+
+
+@register(
+    "scan_versioned_time_travel",
+    oracle="""
+    SELECT 'v0' AS version,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 3 = 0) AS key_checksum
+    UNION ALL
+    SELECT 'v1',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 <> 2),
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 3 <> 2)
+    """,
+)
+def scan_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a versioned table WITHOUT a table format: each
+    write lands a complete snapshot under ``v{N}/`` and commits by
+    atomically advancing a manifest pointer (the
+    stream_foreachbatch_upsert layout); readers resolve either the
+    pinned version or the manifest head — so 'what did the table say
+    yesterday' is answered by reading yesterday's directory, which no
+    in-place overwrite can do.  The op writes v0, appends more rows as
+    v1, then reads BOTH versions back and reports count + key checksum
+    per version — proving v0 is still byte-stable after v1 committed.
+
+    Scale (100 TB): full-snapshot versions suit dimension-sized tables;
+    fact-scale time travel keeps per-version DELTAS and compacts
+    (merge_upsert/cdc shapes) — the manifest mechanism is identical.
+    Retention = deleting old version dirs after a vacuum window."""
+    base = _sink_path(spark, "time_travel")
+    manifest = os.path.join(base, "_LATEST")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+    def commit_version(df: DataFrame, n: int) -> None:
+        vdir = os.path.join(base, f"v{n}")
+        df.write.mode("overwrite").parquet(vdir)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        os.replace(tmp, manifest)
+
+    commit_version(o.filter(F.col("o_orderkey") % 3 == 0), 0)
+    commit_version(o.filter(F.col("o_orderkey") % 3 != 2), 1)
+
+    v0 = spark.read.parquet(os.path.join(base, "v0"))
+    with open(manifest) as f:
+        head = spark.read.parquet(f.read().strip())
+
+    def report(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        )
+
+    return report(v0, "v0").unionByName(report(head, "v1"))

@@ -1186,3 +1186,95 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boilerplate_ratio"
         ),
     )
+
+
+@register(
+    "text_source_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+      WHERE len(t) >= 3
+    ),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY source
+    )
+    SELECT p.src_a, p.src_b, p.n_shared,
+           round(p.n_shared
+                 / CAST(sa.n_grams + sb.n_grams - p.n_shared AS DOUBLE), 6)
+             AS jaccard
+    FROM pair p
+    JOIN sizes sa ON sa.source = p.src_a
+    JOIN sizes sb ON sb.source = p.src_b
+    """,
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: pairwise 3-gram Jaccard between
+    source corpora — the diagnostic that catches mirrored/syndicated
+    content BETWEEN sources (within-source dup is dedup_exact's job;
+    benchmark leakage is decontaminate_ngram's).  A high off-diagonal
+    here means two 'independent' sources are feeding the same pages and
+    the mix weights (sample_domain_mix) double count them.
+
+    Scale (100 TB): each source reduces to its DISTINCT gram set first
+    (map-side dedup; digest the grams at real scale so only 8-byte
+    hashes shuffle); the pair join is gram-keyed — a gram shared by k
+    sources yields C(k,2) pair rows, never a corpus × corpus product;
+    sizes join over |sources| rows.  Output: C(|sources|,2) rows."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = (
+        d.select(
+            "source",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2),
+                            F.element_at(toks, i + 3),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), F.col("g").alias("g2"))
+    pair = (
+        a.join(b, (a.g == b.g2) & (a.src_a < b.src_b))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        pair.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n_grams").alias("na"))), "src_a")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n_grams").alias("nb"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -204,6 +204,7 @@ _R4_QUEUE = (
     "ts_change_point_simple", "agg_leadtime_sla",
     "dq_referential_integrity", "agg_abc_classification",
     "agg_change_contribution", "text_boilerplate_prefix",
+    "scan_versioned_time_travel", "text_source_overlap",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
