@@ -1451,3 +1451,110 @@ def agg_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("contribution"),
     )
+
+
+@register(
+    "agg_survival_km",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             datediff('day', CAST(date_trunc('day', MIN(ts)) AS DATE),
+                      CAST(date_trunc('day', MAX(ts)) AS DATE)) AS dur,
+             CASE WHEN MAX(ts) < (SELECT MAX(ts) - INTERVAL 7 DAY
+                                  FROM events)
+                  THEN 1 ELSE 0 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    ev AS (
+      SELECT dur, COUNT(*) AS d
+      FROM span WHERE churned = 1 GROUP BY dur
+    ),
+    risk AS (
+      SELECT e.dur, e.d,
+             (SELECT COUNT(*) FROM span s WHERE s.dur >= e.dur) AS n_risk
+      FROM ev e
+    )
+    SELECT dur AS duration_days, n_risk, d AS n_churned,
+           round(exp(SUM(ln(1.0 - d / CAST(n_risk AS DOUBLE)))
+                     OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM risk
+    WHERE d < n_risk
+    """,
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for user lifetime: duration = days
+    between a user's first and last activity; users still active in the
+    final 7 days are CENSORED (they haven't churned, they just ran out
+    of observation window — the distinction naive 'average lifetime'
+    math gets wrong, biasing lifetimes down).  S(t) multiplies
+    (1 − dₜ/nₜ) over churn times, computed as exp(Σ ln(·)) so the
+    running product is a window SUM — the standard log-space trick,
+    identical in both engines and rounded at 6dp.  (Curve points where
+    every remaining user churns are dropped: ln(0) — the curve is zero
+    from there by definition.)
+
+    Scale (100 TB): user spans are one user_id aggregate; the event/
+    at-risk tables live on the |distinct durations| axis (≤ observation
+    days), so the KM recursion is bounded-axis window work — the
+    ts_inflight_orders argument.  Cohort-stratified curves partition
+    the same plan."""
+    ev = load(spark, sf_dir, "events")
+    end = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cut")
+    )
+    span = (
+        ev.groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.date_trunc("day", F.max("ts")).cast("date"),
+                F.date_trunc("day", F.min("ts")).cast("date"),
+            ).alias("dur"),
+            F.max("ts").alias("last_ts"),
+        )
+        .join(F.broadcast(end))
+        .select(
+            "dur",
+            F.when(F.col("last_ts") < F.col("cut"), 1).otherwise(0).alias(
+                "churned"
+            ),
+        )
+    )
+    evd = span.filter(F.col("churned") == 1).groupBy("dur").agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # at-risk counts via the complement of the cumulative distribution:
+    # n_risk(t) = total - #users with dur < t  (one pass, no correlated
+    # subquery at scale)
+    totals = span.agg(F.count(F.lit(1)).alias("n_total"))
+    dur_counts = span.groupBy("dur").agg(F.count(F.lit(1)).alias("c"))
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk_axis = dur_counts.select(
+        "dur", F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("n_before")
+    )
+    risk = (
+        evd.join(risk_axis, "dur")
+        .join(F.broadcast(totals))
+        .select(
+            "dur", "d", (F.col("n_total") - F.col("n_before")).alias("n_risk")
+        )
+    )
+    w_km = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.filter(F.col("d") < F.col("n_risk"))
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            F.col("d").alias("n_churned"),
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"))
+                    ).over(w_km)
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )

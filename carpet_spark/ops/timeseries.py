@@ -929,3 +929,72 @@ def ts_change_point_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(shift, 6).alias("shift"),
         )
     )
+
+
+@register(
+    "ts_control_chart_xmr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    ),
+    mr AS (
+      SELECT d, v, abs(v - LAG(v) OVER (ORDER BY d)) AS moving_range
+      FROM daily
+    ),
+    lim AS (
+      SELECT AVG(v) AS xbar, AVG(moving_range) AS mrbar
+      FROM mr WHERE moving_range IS NOT NULL
+    )
+    SELECT m.d, m.v,
+           round(l.xbar, 6) AS center,
+           round(l.xbar + 2.66 * l.mrbar, 6) AS ucl,
+           round(l.xbar - 2.66 * l.mrbar, 6) AS lcl,
+           CASE WHEN m.v > l.xbar + 2.66 * l.mrbar
+                  OR m.v < l.xbar - 2.66 * l.mrbar
+                THEN 1 ELSE 0 END AS out_of_control
+    FROM mr m CROSS JOIN lim l
+    """,
+)
+def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals + moving range) control chart over the daily
+    series: center line x̄, control limits x̄ ± 2.66·m̄R (the Shewhart
+    individuals constant), and a per-day out-of-control flag — SPC's
+    answer to 'is this variation noise or a signal', which thresholds
+    tuned by eye never answer consistently.  The moving range (|vₜ −
+    vₜ₋₁|) estimates short-term variation, so slow drifts still trip the
+    limits.
+
+    Determinism: daily values are fixed-point; x̄/m̄R divide exact sums
+    by counts, the limit arithmetic is formulated identically on both
+    sides, and only displayed columns round — the flag compares the
+    UNROUNDED doubles in both engines.
+
+    Scale (100 TB): facts → |days| spine map-side; LAG and the 1-row
+    limit aggregate run on the bounded axis and broadcast back — per-
+    metric charts partition the same plan by key."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(lsum(F.col("value")).alias("v"))
+    w = Window.orderBy("d")
+    mr = daily.select(
+        "d", "v", F.abs(F.col("v") - F.lag("v").over(w)).alias("moving_range")
+    )
+    lim = mr.filter(F.col("moving_range").isNotNull()).agg(
+        F.avg("v").alias("xbar"), F.avg("moving_range").alias("mrbar")
+    )
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    return mr.crossJoin(F.broadcast(lim)).select(
+        "d",
+        "v",
+        F.round("xbar", 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        F.when((F.col("v") > ucl) | (F.col("v") < lcl), 1)
+        .otherwise(0)
+        .alias("out_of_control"),
+    )

@@ -205,6 +205,7 @@ _R4_QUEUE = (
     "dq_referential_integrity", "agg_abc_classification",
     "agg_change_contribution", "text_boilerplate_prefix",
     "scan_versioned_time_travel", "text_source_overlap",
+    "agg_survival_km", "ts_control_chart_xmr",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
