@@ -1629,3 +1629,103 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mahalanobis2").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(t) AS w FROM toks
+      ) GROUP BY w
+    ),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS c FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+        WHERE len(t) >= 2
+      ) GROUP BY w1, w2
+    ),
+    n AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni
+    )
+    SELECT b.w1, b.w2, b.c AS n_pair,
+           round(ln((b.c * (SELECT n_uni FROM n))
+                    / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+    FROM bi b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    WHERE b.c >= 50
+    ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-20
+    adjacent word pairs (support ≥ 50) whose co-occurrence most exceeds
+    chance — PMI = ln(p(xy)/(p(x)p(y))) — the statistic behind phrase
+    detection ('new york' is a unit, 'of the' is not) and the classic
+    input to tokenizer merge rules and stop-phrase lists.  The support
+    floor matters: PMI is notoriously unstable on rare pairs.
+
+    Scale (100 TB): unigram and bigram counts are two map-side-combined
+    aggregates over the token explode; the unigram table broadcasts
+    back onto the (already support-filtered) bigram table, the corpus
+    size is a 1-row broadcast, and the top-20 is TakeOrdered.  Nothing
+    quadratic anywhere — the bigram space is bounded by the corpus, not
+    vocab²."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        d.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.struct(
+                            F.element_at(toks, i + 1).alias("w1"),
+                            F.element_at(toks, i + 2).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 50)
+    )
+    n = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("c") * F.col("n_uni"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)

@@ -998,3 +998,37 @@ def ts_control_chart_xmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("out_of_control"),
     )
+
+
+@register(
+    "ts_activity_heatmap_dow_hour",
+    oracle="""
+    SELECT dayofweek(CAST(ts AS DATE)) AS dow0,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid — the on-call/staffing
+    heatmap ('when do users actually show up'), and the base rate that
+    anomaly thresholds (ts_zscore_outliers, ts_control_chart_xmr)
+    should be conditioned on before paging anyone at 3am Sunday for
+    being quieter than 3pm Tuesday.  Day-of-week uses the explicit
+    0=Sunday normalization (Spark dayofweek−1 ≡ DuckDB dayofweek —
+    fn_calendar_dim's rule).
+
+    Scale (100 TB): one aggregate, ≤168 keys, map-side combined; the
+    distinct-user count is the only shuffle-weight term (user ids per
+    cell) — swap in approx_count_distinct for a sketch-width shuffle
+    when exactness stops mattering."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow0"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
