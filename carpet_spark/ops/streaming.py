@@ -869,6 +869,12 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(manifest):
+        # an empty source commits no batch — the target is a valid empty
+        # table, not an error (same guard as the sink commit paths)
+        return spark.createDataFrame(
+            [], "user_id long, last_event_id long, last_type string"
+        )
     with open(manifest) as f:
         final = spark.read.parquet(f.read().strip())
     return final.select(
