@@ -1611,3 +1611,104 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1970-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS dnum,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v6
+      FROM events GROUP BY 1
+    ),
+    draws AS (
+      SELECT b.b, d.v6,
+             ((d.dnum * 2654435761 + b.b * 40503 + 12345) % 1000000)
+               / 1000000.0 AS u
+      FROM daily d, (SELECT unnest(range(0, 100)) AS b) b
+    ),
+    weighted AS (
+      SELECT b, v6,
+             CASE WHEN u < 0.367879 THEN 0
+                  WHEN u < 0.735759 THEN 1
+                  WHEN u < 0.919699 THEN 2
+                  WHEN u < 0.981012 THEN 3
+                  ELSE 4 END AS w
+      FROM draws
+    ),
+    means AS (
+      SELECT b,
+             SUM(w * v6) / 1000000.0 / SUM(w) AS m
+      FROM weighted GROUP BY b HAVING SUM(w) > 0
+    ),
+    pt AS (
+      SELECT AVG(v6 / 1000000.0) AS point_mean FROM daily
+    )
+    SELECT COUNT(*) AS n_resamples,
+           round((SELECT point_mean FROM pt), 6) AS point_mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the daily-mean value — 100
+    Poisson(1) resamples of the day series, each day's resample weight
+    drawn from a DETERMINISTIC integer hash of (day, replicate), so the
+    whole CI is replayable across engines and runs (no RNG stream to
+    diverge — the same reasoning as sample_balanced_class).  Poisson
+    bootstrap is the distributed-systems standard precisely because
+    weights are computable per-row with no global coordination.
+
+    Why it matters: a mean without an interval invites false reads of
+    noise; this gives the 95% band from the data's own variability, no
+    normality assumption.
+
+    Scale (100 TB): the fact table collapses to the |days| axis FIRST;
+    the 100× explode applies to that bounded axis (6k rows here), the
+    per-replicate means are one small aggregate, and the percentile
+    runs over 100 values.  Bootstrapping raw rows at scale uses the
+    same weights computed inline — still one pass."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("dnum")
+    ).agg(
+        F.sum(
+            (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+        ).alias("v6")
+    )
+    reps = spark.range(100).select(F.col("id").alias("b"))
+    u = (
+        (F.col("dnum") * F.lit(2654435761) + F.col("b") * 40503 + 12345)
+        % 1000000
+    ) / 1000000.0
+    w = (
+        F.when(u < 0.367879, 0)
+        .when(u < 0.735759, 1)
+        .when(u < 0.919699, 2)
+        .when(u < 0.981012, 3)
+        .otherwise(4)
+    )
+    weighted = daily.crossJoin(F.broadcast(reps)).select(
+        "b", "v6", w.alias("w")
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            (F.sum(F.col("w") * F.col("v6")) / 1e6 / F.sum("w")).alias("m"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+    )
+    pt = daily.agg(F.round(F.avg(F.col("v6") / 1e6), 6).alias("point_mean"))
+    return means.crossJoin(F.broadcast(pt)).agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.max("point_mean").alias("point_mean"),
+        F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
+    )

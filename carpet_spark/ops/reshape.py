@@ -285,3 +285,64 @@ def sample_systematic_every_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").cast("long").alias("key_checksum"),
         lsum(F.col("l_extendedprice")).alias("price_sum"),
     )
+
+
+@register(
+    "sample_time_split",
+    oracle="""
+    WITH cut AS (
+      SELECT MIN(epoch_us(ts))
+             + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) * 4 // 5 AS c
+      FROM events
+    )
+    SELECT CASE WHEN epoch_us(ts) < (SELECT c FROM cut)
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(event_id) AS min_event,
+           MAX(event_id) AS max_event
+    FROM events
+    GROUP BY 1
+    """,
+)
+def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split at the 80% point of the observed time
+    range: everything before the cutoff trains, everything after tests —
+    the ONLY honest split for forecasting and any model that will serve
+    on future data (a random split like sample_hash_split leaks the
+    future into training: the model sees events that happen after its
+    test questions).  The report carries per-split user counts because
+    overlapping users across splits is expected here — it is target
+    leakage, not user leakage, that the time cut prevents.
+
+    Determinism: the cutoff is interval arithmetic on the data's own
+    min/max (×4/5 in exact µs integer terms in both engines) — no wall
+    clock, fully replayable.
+
+    Scale (100 TB): one scan, a 1-row min/max broadcast, a 2-key
+    aggregate.  The split column in production is written as a
+    partition key so train/test reads prune at the directory level."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    cut = ev.agg(
+        (
+            F.min(us) + F.floor((F.max(us) - F.min(us)) * 4 / 5).cast("long")
+        ).alias("cut_us")
+    )
+    return (
+        ev.join(F.broadcast(cut))
+        .select(
+            F.when(F.unix_micros("ts") < F.col("cut_us"), "train")
+            .otherwise("test")
+            .alias("split"),
+            "user_id",
+            "event_id",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )

@@ -207,6 +207,7 @@ _R4_QUEUE = (
     "scan_versioned_time_travel", "text_source_overlap",
     "agg_survival_km", "ts_control_chart_xmr",
     "text_collocations_pmi", "ts_activity_heatmap_dow_hour",
+    "agg_bootstrap_ci", "sample_time_split",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
