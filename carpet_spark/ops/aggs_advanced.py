@@ -1712,3 +1712,67 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("m", F.lit(0.025)), 6).alias("ci_lo"),
         F.round(F.percentile("m", F.lit(0.975)), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_topk_share",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                  AS BIGINT) AS rev6
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev6,
+             ROW_NUMBER() OVER (ORDER BY rev6 DESC, o_custkey) AS rk,
+             SUM(rev6) OVER () AS total6,
+             COUNT(*) OVER () AS n_cust
+      FROM cust
+    )
+    SELECT CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           round(SUM(CASE WHEN rk <= 10 THEN rev6 ELSE 0 END)
+                 / CAST(MAX(total6) AS DOUBLE), 6) AS top10_share,
+           round(SUM(CASE WHEN rk <= 100 THEN rev6 ELSE 0 END)
+                 / CAST(MAX(total6) AS DOUBLE), 6) AS top100_share
+    FROM ranked
+    """,
+)
+def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale concentration KPI: the share of total revenue held by the
+    top-10 and top-100 customers — the number account-management and
+    risk teams actually quote ('our top ten are 4% of revenue'), sitting
+    between agg_gini_coefficient (one abstract scalar) and
+    dist_cumulative_share (the whole curve).  Rank ties break on the
+    customer key.
+
+    Scale (100 TB): facts collapse to |customers| exact fixed-point
+    sums; rank + shares run on that bounded axis (range-partition the
+    sort beyond task scale — the agg_gini note); output is one row."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+        ).alias("rev6")
+    )
+    ranked = cust.select(
+        "rev6",
+        F.row_number()
+        .over(Window.orderBy(F.col("rev6").desc(), F.col("o_custkey")))
+        .alias("rk"),
+        F.sum("rev6").over(Window.partitionBy()).alias("total6"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
+    )
+    return ranked.agg(
+        F.max("n_cust").cast("long").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("rev6")).otherwise(0))
+            / F.max("total6").cast("double"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 100, F.col("rev6")).otherwise(0))
+            / F.max("total6").cast("double"),
+            6,
+        ).alias("top100_share"),
+    )

@@ -1032,3 +1032,68 @@ def ts_activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "ts_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    centered AS (
+      SELECT v,
+             AVG(v) OVER () AS mu,
+             AVG(v) OVER (PARTITION BY dow) AS mu_dow
+      FROM daily
+    )
+    SELECT COUNT(*) AS n_days,
+           round(SUM(pow(v - mu, 2)), 6) AS ss_total,
+           round(SUM(pow(v - mu_dow, 2)), 6) AS ss_residual,
+           round(1.0 - SUM(pow(v - mu_dow, 2)) / SUM(pow(v - mu, 2)), 6)
+             AS seasonality_r2
+    FROM centered
+    """,
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How seasonal is this series, as ONE number: the R² of the
+    day-of-week-means model — the share of daily variance explained by
+    which weekday it is (0 = no weekly rhythm; near 1 = the weekday IS
+    the value).  ts_seasonality_dow shows the profile; this op scores
+    whether that profile matters enough to build into forecasts and
+    anomaly baselines (ts_seasonal_naive_backtest, heatmap
+    conditioning).
+
+    Determinism: daily values are fixed-point; group means divide exact
+    sums; the two sums-of-squares are identically-formulated double
+    sums over the bounded day axis, rounded at 6dp.
+
+    Scale (100 TB): facts collapse to |days| rows map-side; the two
+    window means and the final reduction run on that bounded axis.
+    Fully mergeable — the same decomposition per key (per store/SKU)
+    partitions the plan."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        # grouping key only (never output): Spark 1=Sunday vs DuckDB
+        # 0=Sunday is a bijection, so per-dow means agree
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(lsum(F.col("value")).alias("v"))
+    w_all = Window.partitionBy()
+    w_dow = Window.partitionBy("dow")
+    centered = daily.select(
+        "v",
+        F.avg("v").over(w_all).alias("mu"),
+        F.avg("v").over(w_dow).alias("mu_dow"),
+    )
+    ss_tot = F.sum(F.pow(F.col("v") - F.col("mu"), 2))
+    ss_res = F.sum(F.pow(F.col("v") - F.col("mu_dow"), 2))
+    return centered.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(ss_tot, 6).alias("ss_total"),
+        F.round(ss_res, 6).alias("ss_residual"),
+        F.round(F.lit(1.0) - ss_res / ss_tot, 6).alias("seasonality_r2"),
+    )

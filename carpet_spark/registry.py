@@ -208,6 +208,7 @@ _R4_QUEUE = (
     "agg_survival_km", "ts_control_chart_xmr",
     "text_collocations_pmi", "ts_activity_heatmap_dow_hour",
     "agg_bootstrap_ci", "sample_time_split",
+    "ts_seasonality_strength", "agg_topk_share",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
