@@ -119,15 +119,17 @@ _PRIORITY_WINDOW = (
     "ts_interpolate",
 )
 
-# Round-4+ queue (r02 VERDICT item 3): the 73 ops still unverified after
-# the r3 window (56 carried over + the 17 round-3 additions, slotted into
-# their families), in the order the next windows should take them —
-# trainprep remainder → llm leftovers → mutations → reshape → sqlsurface →
-# graph (the r02 verdict's explicit user-value ordering), then
-# storage-layout scans, join strategies, window/agg extras, function
-# families, ANN, streaming sinks, multimodal.  Next round: promote the
-# first 50 into _PRIORITY_WINDOW; the final 23 plus any r3 failures go in
-# r5 — after which every registered op has a driver CORRECTNESS row.
+# Round-4+ queue (r02 VERDICT item 3): every op without a driver
+# CORRECTNESS row after the r3 window, in the order the next windows
+# should take them — trainprep remainder → llm leftovers → mutations →
+# reshape → sqlsurface → graph (the r02 verdict's explicit user-value
+# ordering), then storage-layout scans, join strategies, window/agg
+# extras, function families, ANN, streaming sinks, multimodal, and the
+# round-3 in-session additions in arrival order (each wave was
+# hash-verified locally at BOTH sf0.01 and sf0.001 on landing).  With 330
+# registered ops, 99 r1+r2-verified and 50 in the r3 window, ~181 remain:
+# promote the first 50 of this queue into _PRIORITY_WINDOW each round —
+# r4 through r7 finish the registry at the current size.
 _R4_QUEUE = (
     "agg_hll_merge",
     "text_token_entropy",
