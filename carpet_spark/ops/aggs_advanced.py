@@ -1776,3 +1776,95 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top100_share"),
     )
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT l_extendedprice AS v,
+             NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                             l_linenumber) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 buckets of equal row count with their
+    value bounds) — the histogram optimizers and monitoring actually
+    want: equi-width bins (agg_histogram) starve on skewed data, one bin
+    holding 90% of rows; equi-depth bounds adapt to the distribution and
+    read directly as deciles.  NTILE over a totally-ordered sort (value,
+    then the unique line key) makes every bucket boundary deterministic.
+
+    Scale (100 TB): an exact global NTILE is a global sort — fine for
+    profiling runs; recurring production profiles use approx_percentile
+    cutpoints instead (one sketch pass) and bucket by comparison, which
+    is this op's documented swap (SURVEY §2.E).  Output: 10 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = li.select(
+        F.col("l_extendedprice").alias("v"), F.ntile(10).over(w).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+
+
+@register(
+    "dq_missingness_patterns",
+    oracle="""
+    WITH masked AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderstatus END AS s,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderpriority END AS p,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE o_totalprice END AS t
+      FROM orders
+    )
+    SELECT concat(CASE WHEN s IS NULL THEN 'S' ELSE '-' END,
+                  CASE WHEN p IS NULL THEN 'P' ELSE '-' END,
+                  CASE WHEN t IS NULL THEN 'T' ELSE '-' END) AS pattern,
+           COUNT(*) AS n
+    FROM masked
+    GROUP BY 1
+    """,
+)
+def dq_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-missingness pattern profile: rows bucketed by WHICH columns are
+    null together (pattern 'SP-' = status+priority both missing) — the
+    DQ lens per-column null rates can't give: correlated missingness
+    usually means one broken upstream join or source, not three
+    independent glitches, and the repair differs accordingly.  Nulls are
+    injected deterministically (the fixture is complete) — on real data
+    drop the injection and profile the raw columns.
+
+    Scale (100 TB): the pattern string is a pure projection over null
+    flags; the aggregate has ≤2^|cols| keys map-side combined.  For
+    wide tables, bit-pack the flags into a long (fn_bitpack_key's
+    technique) instead of a string."""
+    o = load(spark, sf_dir, "orders")
+    s = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    p = F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    t = F.when(F.col("o_orderkey") % 13 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    pattern = F.concat(
+        F.when(s.isNull(), "S").otherwise("-"),
+        F.when(p.isNull(), "P").otherwise("-"),
+        F.when(t.isNull(), "T").otherwise("-"),
+    )
+    return o.select(pattern.alias("pattern")).groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -211,6 +211,7 @@ _R4_QUEUE = (
     "text_collocations_pmi", "ts_activity_heatmap_dow_hour",
     "agg_bootstrap_ci", "sample_time_split",
     "ts_seasonality_strength", "agg_topk_share",
+    "agg_histogram_equidepth", "dq_missingness_patterns",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
