@@ -1868,3 +1868,110 @@ def dq_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(pattern.alias("pattern")).groupBy("pattern").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem
+    )
+    SELECT round(AVG(l_extendedprice), 6) AS raw_mean,
+           round(AVG(CASE WHEN l_extendedprice >= (SELECT lo FROM bounds)
+                           AND l_extendedprice <= (SELECT hi FROM bounds)
+                          THEN l_extendedprice END), 6) AS trimmed_mean,
+           round(AVG(GREATEST((SELECT lo FROM bounds),
+                     LEAST((SELECT hi FROM bounds), l_extendedprice))), 6)
+             AS winsorized_mean,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice
+                                 < (SELECT lo FROM bounds)
+                                 OR l_extendedprice
+                                 > (SELECT hi FROM bounds)) AS BIGINT)
+             AS n_outside
+    FROM lineitem
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust central tendency: the 5–95% trimmed mean (outliers
+    dropped) and winsorized mean (outliers clamped to the bounds) next
+    to the raw mean — the difference between them IS the outlier
+    influence, the first number to check when a mean moves and nobody
+    believes it.  Bounds come from exact percentiles (quantile_cont
+    interpolation, the agg_percentile parity).
+
+    Scale (100 TB): pass 1 computes the two cutpoints (exact here;
+    approx_percentile's mergeable sketch at scale); the cutpoints
+    broadcast as a 1-row join and pass 2 computes all three means +
+    the outside count in ONE aggregate.  Two scans total, no sort of
+    the full data."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    v = F.col("l_extendedprice")
+    inside = (v >= F.col("lo")) & (v <= F.col("hi"))
+    return li.join(F.broadcast(bounds)).agg(
+        F.round(F.avg(v), 6).alias("raw_mean"),
+        F.round(F.avg(F.when(inside, v)), 6).alias("trimmed_mean"),
+        F.round(
+            F.avg(F.greatest(F.col("lo"), F.least(F.col("hi"), v))), 6
+        ).alias("winsorized_mean"),
+        F.count(F.when(~inside, 1)).cast("long").alias("n_outside"),
+    )
+
+
+@register(
+    "agg_behavior_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT user_id,
+             log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS h,
+             COUNT(*) AS n_types
+      FROM cnt GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           round(AVG(h), 6) AS mean_entropy,
+           round(quantile_cont(h, 0.5), 6) AS p50_entropy,
+           CAST(COUNT(*) FILTER (WHERE n_types = 1) AS BIGINT)
+             AS n_single_type
+    FROM ent
+    """,
+)
+def agg_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity profile: Shannon entropy of each user's
+    event-type mix (0 bits = does one thing; log2(k) = uses everything
+    equally), summarized across the user base — the engagement-breadth
+    signal that raw event counts miss (a 1000-event user who only
+    'view's is a different product story from a 100-event power user),
+    and a standard churn-model feature.  Uses profile_column_entropy's
+    single-aggregate H formulation, per user.
+
+    Scale (100 TB): one (user, type) aggregate, one |users| aggregate
+    riding the same partitioning, then a bounded summary (exact median
+    over |users| values — sketch it past task scale).  Nothing about
+    the per-user entropy needs the corpus: it ships as a feature
+    column directly from the second aggregate."""
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c")
+    ent = cnt.groupBy("user_id").agg(
+        (F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n).alias("h"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return ent.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("h"), 6).alias("mean_entropy"),
+        F.round(F.percentile("h", F.lit(0.5)), 6).alias("p50_entropy"),
+        F.count(F.when(F.col("n_types") == 1, 1)).cast("long").alias(
+            "n_single_type"
+        ),
+    )

@@ -212,6 +212,7 @@ _R4_QUEUE = (
     "agg_bootstrap_ci", "sample_time_split",
     "ts_seasonality_strength", "agg_topk_share",
     "agg_histogram_equidepth", "dq_missingness_patterns",
+    "agg_trimmed_mean", "agg_behavior_entropy",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
