@@ -1975,3 +1975,46 @@ def agg_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_single_type"
         ),
     )
+
+
+@register(
+    "agg_generalized_means",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           round(AVG(l_extendedprice), 6) AS arithmetic_mean,
+           round(exp(AVG(ln(l_extendedprice))), 6) AS geometric_mean,
+           round(COUNT(*) / SUM(1.0 / l_extendedprice), 6) AS harmonic_mean,
+           round(sqrt(AVG(l_extendedprice * l_extendedprice)), 6)
+             AS quadratic_mean
+    FROM lineitem
+    WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mean family side by side: arithmetic, geometric (exp of the
+    log-mean — THE mean for growth rates and ratios, where averaging
+    multipliers arithmetically overstates), harmonic (the mean for
+    rates: average speed, price-per-unit), quadratic/RMS (the mean for
+    magnitudes) — each answers a different question and the ordering
+    HM ≤ GM ≤ AM ≤ QM is a built-in sanity check on any run.
+
+    Determinism: every variant reduces to mergeable SUM/COUNT partials
+    (Σln x, Σ1/x, Σx²) — engine-order float drift sits ~1e-13 relative,
+    far inside the 6dp rounding; the >0 guard keeps ln/1-over defined.
+
+    Scale (100 TB): one map-side-combined aggregate per group, exactly
+    like any sum — no sort, no buffering, re-aggregatable upward by
+    re-merging the same partials."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    v = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(v), 6).alias("arithmetic_mean"),
+        F.round(F.exp(F.avg(F.log(v))), 6).alias("geometric_mean"),
+        F.round(F.count(F.lit(1)) / F.sum(F.lit(1.0) / v), 6).alias(
+            "harmonic_mean"
+        ),
+        F.round(F.sqrt(F.avg(v * v)), 6).alias("quadratic_mean"),
+    )

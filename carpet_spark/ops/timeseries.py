@@ -1097,3 +1097,37 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ss_res, 6).alias("ss_residual"),
         F.round(F.lit(1.0) - ss_res / ss_tot, 6).alias("seasonality_r2"),
     )
+
+
+@register(
+    "ts_latency_percentiles_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1
+    """,
+)
+def ts_latency_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly p50/p95/p99 of the error-event value — the SRE latency
+    dashboard shape: means hide tail pain, so SLOs are defined on p95+,
+    tracked per time bucket to catch regressions the moment they ship.
+    Exact percentiles with quantile_cont-matching interpolation
+    (agg_percentile's parity).
+
+    Scale (100 TB): the type filter pushes to the scan; exact per-group
+    percentiles buffer each (hour) group — bounded here; the production
+    swap at scale is approx_percentile's mergeable sketch per bucket,
+    which also enables cross-bucket re-aggregation (hour → day) without
+    touching raw data."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

@@ -213,6 +213,7 @@ _R4_QUEUE = (
     "ts_seasonality_strength", "agg_topk_share",
     "agg_histogram_equidepth", "dq_missingness_patterns",
     "agg_trimmed_mean", "agg_behavior_entropy",
+    "ts_latency_percentiles_hourly", "agg_generalized_means",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
