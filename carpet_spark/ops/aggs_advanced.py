@@ -2018,3 +2018,74 @@ def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sqrt(F.avg(v * v)), 6).alias("quadratic_mean"),
     )
+
+
+@register(
+    "agg_allocation_by_share",
+    oracle="""
+    WITH shares AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+             SUM(CAST(ROUND(l.l_quantity) AS BIGINT))
+               OVER (PARTITION BY l.l_orderkey) AS order_qty,
+             o.o_totalprice
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    alloc AS (
+      SELECT l_orderkey, l_linenumber,
+             round(o_totalprice * qty / CAST(order_qty AS DOUBLE), 6)
+               AS allocated
+      FROM shares
+    )
+    SELECT CAST(SUM(CASE WHEN l_orderkey % 997 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled_lines,
+           round(SUM(CASE WHEN l_orderkey % 997 = 0 THEN allocated
+                          ELSE 0 END), 6) AS sampled_allocated
+    FROM alloc
+    """,
+)
+def agg_allocation_by_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocation join: spread each order's header-level total across its
+    line items in proportion to quantity share — the finance/cost-
+    accounting primitive (freight allocation, overhead absorption,
+    revenue splitting) that naive joins get wrong by either duplicating
+    the header amount per line (the join_fanout_safe trap) or losing
+    lines.  The share denominator is a window sum over the SAME join
+    key, so no second aggregate-and-rejoin pass.
+
+    Integer quantities keep shares exactly comparable; the sampled
+    checksum (every 997th order) pins per-line allocations, not just
+    totals, in the hash.
+
+    Scale (100 TB): one fact-fact key join (header side often
+    broadcastable after projection) and one window riding the SAME
+    hashpartitioning(l_orderkey) — Catalyst reuses the join's exchange;
+    per-line output, no second scan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("long").alias("qty"),
+        "o_totalprice",
+    )
+    w = Window.partitionBy("l_orderkey")
+    alloc = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("o_totalprice")
+            * F.col("qty")
+            / F.sum("qty").over(w).cast("double"),
+            6,
+        ).alias("allocated"),
+    )
+    sampled = F.col("l_orderkey") % 997 == 0
+    return alloc.agg(
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("long").alias(
+            "n_sampled_lines"
+        ),
+        F.round(
+            F.sum(F.when(sampled, F.col("allocated")).otherwise(0.0)), 6
+        ).alias("sampled_allocated"),
+    )

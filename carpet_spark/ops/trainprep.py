@@ -1278,3 +1278,68 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "text_readability_proxy",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS words,
+             len(regexp_extract_all(text, '[aeiou]+')) AS syllables,
+             len(list_filter(string_split(text, ' '),
+                 w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3))
+               AS complex_words
+      FROM documents
+    )
+    SELECT doc_id, words, syllables,
+           round(syllables / CAST(words AS DOUBLE), 6) AS syl_per_word,
+           round(complex_words / CAST(words AS DOUBLE), 6)
+             AS complex_ratio
+    FROM m
+    WHERE doc_id % 20 = 0 AND words > 0
+    """,
+)
+def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring proxy: syllables-per-word (vowel-group count,
+    the standard cheap syllable estimator) and the Gunning-fog style
+    complex-word ratio (≥3 syllables) per document — the quality signal
+    that separates encyclopedic prose from keyword-stuffed spam and
+    drives curriculum ordering in pretrain mixes (easy→hard).  True
+    Flesch–Kincaid also needs sentence counts — this fixture's texts
+    have no sentence punctuation, so the op ships the two per-word
+    terms (plug sentences in via the scan_csv-style split when the data
+    has them).
+
+    Scale (100 TB): everything is per-row regexp/array projection in
+    whole-stage codegen — no shuffle at all before the %20 output
+    filter, which pushes to the scan.  The anchored vowel-class regex
+    cannot backtrack."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    syl = lambda c: F.size(F.expr(f"regexp_extract_all({c}, '[aeiou]+', 0)"))
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("words"),
+        syl("text").alias("syllables"),
+        F.size(
+            F.filter(
+                toks,
+                lambda w: F.size(
+                    F.regexp_extract_all(w, F.lit("[aeiou]+"), F.lit(0))
+                )
+                >= 3,
+            )
+        ).alias("complex_words"),
+    )
+    return m.filter((F.col("doc_id") % 20 == 0) & (F.col("words") > 0)).select(
+        "doc_id",
+        "words",
+        "syllables",
+        F.round(F.col("syllables") / F.col("words").cast("double"), 6).alias(
+            "syl_per_word"
+        ),
+        F.round(
+            F.col("complex_words") / F.col("words").cast("double"), 6
+        ).alias("complex_ratio"),
+    )
