@@ -1558,3 +1558,89 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+@register(
+    "basket_lift_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+    sup AS (
+      SELECT item, COUNT(*) AS c FROM items GROUP BY item
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, p.c_ab,
+           round(p.c_ab / CAST((SELECT n_baskets FROM n) AS DOUBLE), 6)
+             AS support,
+           round(p.c_ab / CAST(sa.c AS DOUBLE), 6) AS confidence_a_to_b,
+           round(p.c_ab * (SELECT n_baskets FROM n)
+                 / (CAST(sa.c AS DOUBLE) * sb.c), 6) AS lift
+    FROM pairs p
+    JOIN sup sa ON sa.item = p.item_a
+    JOIN sup sb ON sb.item = p.item_b
+    WHERE p.c_ab >= 20
+    ORDER BY lift DESC, p.item_a ASC, p.item_b ASC
+    LIMIT 25
+    """,
+)
+def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules with the full readout — support, confidence,
+    LIFT — for the top-25 item pairs by lift (support floor 20 baskets):
+    basket_pair_counts finds frequent pairs; this op answers whether the
+    pairing is real affinity or just two popular items colliding (lift 1
+    = independence; the distinction 'people who buy X buy Y' stories
+    usually skip).  PMI (text_collocations_pmi) is ln(lift) — the same
+    statistic in its NLP costume.
+
+    Scale (100 TB): per-basket item sets dedup first; the pair join is
+    keyed on the BASKET (bounded fan-out per basket: C(k,2), the basket
+    size squared — cap or sample mega-baskets); item supports broadcast
+    onto the support-floored pairs, and the top-25 is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    sup = items.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("item").alias("item_a"))
+    b = items.select(F.col("l_orderkey").alias("k2"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, (a.k == b.k2) & (a.item_a < b.item_b))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 20)
+    )
+    sa = sup.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    sb = sup.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .join(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "c_ab",
+            F.round(F.col("c_ab") / F.col("n_baskets").cast("double"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("c_ab") / F.col("ca").cast("double"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("c_ab")
+                * F.col("n_baskets")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(25)

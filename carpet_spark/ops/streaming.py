@@ -952,3 +952,51 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
         .select("event_id", "user_id", "event_type")
     )
+
+
+@register(
+    "stream_multi_source_union",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS user_checksum
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source streaming topology: two independent file streams
+    (staged as disjoint halves of the events feed — stand-ins for two
+    Kafka topics / two regions) UNIONED into one streaming aggregation —
+    the consolidation shape every multi-region pipeline needs, and
+    where Structured Streaming quietly shines: each source keeps its own
+    offsets in the one checkpoint, and the union is plan-level (no extra
+    shuffle beyond the aggregate's own).
+
+    The identity-style oracle (full per-type counts + user checksum)
+    proves no row was lost or duplicated across the two sources' merge.
+
+    Scale: sources scale independently (each source's file/partition
+    discovery is its own); the downstream agg sees one logical stream.
+    Watermarks propagate as the MIN across sources — a slow source
+    holds back event-time progress, the documented cross-source
+    caveat."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"multi_src_{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}",
+    )
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    schema = ev.schema
+    for tag, pred in (("a", F.col("event_id") % 2 == 0),
+                      ("b", F.col("event_id") % 2 == 1)):
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"src_{tag}")
+        )
+    s1 = spark.readStream.schema(schema).parquet(os.path.join(base, "src_a"))
+    s2 = spark.readStream.schema(schema).parquet(os.path.join(base, "src_b"))
+    merged = s1.unionByName(s2).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").cast("long").alias("user_checksum"),
+    )
+    name = f"multisrc_{uuid.uuid4().hex[:8]}"
+    return _run_available_now(merged, name, mode="complete")

@@ -215,6 +215,7 @@ _R4_QUEUE = (
     "agg_trimmed_mean", "agg_behavior_entropy",
     "ts_latency_percentiles_hourly", "agg_generalized_means",
     "agg_allocation_by_share", "text_readability_proxy",
+    "basket_lift_rules", "stream_multi_source_union",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
