@@ -1644,3 +1644,154 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(25)
+
+
+@register(
+    "agg_net_revenue_retention",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN epoch_us(ts) <
+                           (SELECT lo + (hi - lo) // 2 FROM b)
+                           THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS p1_6,
+             CAST(SUM(CASE WHEN epoch_us(ts) >=
+                           (SELECT lo + (hi - lo) // 2 FROM b)
+                           THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS p2_6
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT
+      round(SUM(CASE WHEN p1_6 > 0 THEN p1_6 ELSE 0 END) / 1e6, 6)
+        AS base_revenue,
+      round(SUM(CASE WHEN p1_6 > 0 THEN p2_6 ELSE 0 END) / 1e6, 6)
+        AS retained_revenue,
+      round(SUM(CASE WHEN p1_6 > 0 THEN p2_6 ELSE 0 END)
+            / CAST(SUM(CASE WHEN p1_6 > 0 THEN p1_6 ELSE 0 END)
+                   AS DOUBLE), 6) AS nrr,
+      round(SUM(CASE WHEN p1_6 > 0 AND p2_6 > p1_6 THEN p2_6 - p1_6
+                     ELSE 0 END) / 1e6, 6) AS expansion,
+      round(SUM(CASE WHEN p1_6 > 0 AND p2_6 < p1_6 AND p2_6 > 0
+                     THEN p1_6 - p2_6 ELSE 0 END) / 1e6, 6) AS contraction,
+      round(SUM(CASE WHEN p1_6 > 0 AND p2_6 = 0 THEN p1_6
+                     ELSE 0 END) / 1e6, 6) AS churned,
+      round(SUM(CASE WHEN p1_6 = 0 AND p2_6 > 0 THEN p2_6
+                     ELSE 0 END) / 1e6, 6) AS new_revenue
+    FROM per
+    """,
+)
+def agg_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue retention with the full bridge: period-2 purchase
+    revenue from period-1 customers over their period-1 base (NRR —
+    the SaaS health number), decomposed into expansion, contraction,
+    churned, and net-new revenue so the single ratio is explainable —
+    the revenue counterpart of retention_cohorts' user counts.  Periods
+    are the exact-microsecond halves of the window
+    (agg_change_contribution's cutoff rule).
+
+    Determinism: per-customer period revenues are fixed-point longs;
+    every bridge term is integer comparison + integer sums, converted
+    once for display.
+
+    Scale (100 TB): ONE scan — both periods accumulate as conditional
+    sums in the per-customer aggregate; the bridge is a single-row
+    reduction over |customers|.  Month-over-month NRR series = the same
+    plan with a month-pair grouping."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    us = F.unix_micros("ts")
+    bounds = ev.agg(
+        (F.min(us) + F.floor((F.max(us) - F.min(us)) / 2).cast("long")).alias(
+            "mid_us"
+        )
+    )
+    v6 = (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+    per = (
+        ev.join(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.col("mid_us"), v6).otherwise(0))
+            .cast("long")
+            .alias("p1_6"),
+            F.sum(F.when(us >= F.col("mid_us"), v6).otherwise(0))
+            .cast("long")
+            .alias("p2_6"),
+        )
+    )
+    p1, p2 = F.col("p1_6"), F.col("p2_6")
+    base = F.sum(F.when(p1 > 0, p1).otherwise(0))
+    retained = F.sum(F.when(p1 > 0, p2).otherwise(0))
+    return per.agg(
+        F.round(base / 1e6, 6).alias("base_revenue"),
+        F.round(retained / 1e6, 6).alias("retained_revenue"),
+        F.round(retained / base.cast("double"), 6).alias("nrr"),
+        F.round(
+            F.sum(F.when((p1 > 0) & (p2 > p1), p2 - p1).otherwise(0)) / 1e6, 6
+        ).alias("expansion"),
+        F.round(
+            F.sum(
+                F.when((p1 > 0) & (p2 < p1) & (p2 > 0), p1 - p2).otherwise(0)
+            )
+            / 1e6,
+            6,
+        ).alias("contraction"),
+        F.round(
+            F.sum(F.when((p1 > 0) & (p2 == 0), p1).otherwise(0)) / 1e6, 6
+        ).alias("churned"),
+        F.round(
+            F.sum(F.when((p1 == 0) & (p2 > 0), p2).otherwise(0)) / 1e6, 6
+        ).alias("new_revenue"),
+    )
+
+
+@register(
+    "agg_user_active_days_hist",
+    oracle="""
+    WITH ad AS (
+      SELECT user_id, COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+               AS active_days
+      FROM events GROUP BY user_id
+    )
+    SELECT CASE WHEN active_days <= 1 THEN '1'
+                WHEN active_days <= 3 THEN '2-3'
+                WHEN active_days <= 7 THEN '4-7'
+                WHEN active_days <= 14 THEN '8-14'
+                ELSE '15+' END AS bucket,
+           COUNT(*) AS n_users,
+           MIN(active_days) AS min_days,
+           MAX(active_days) AS max_days
+    FROM ad
+    GROUP BY 1
+    """,
+)
+def agg_user_active_days_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth distribution: users bucketed by how many DISTINCT
+    days they were active — the habit-formation histogram ('how many of
+    our users actually have a habit') that complements DAU/WAU levels
+    (ts_rolling_active_users) with the per-user depth dimension.
+
+    Scale (100 TB): per-user distinct-day counts ride one
+    hashpartitioning(user_id) exchange (dedup + count in the same agg);
+    the bucket rollup is 5 keys map-side combined."""
+    ev = load(spark, sf_dir, "events")
+    ad = ev.groupBy("user_id").agg(
+        F.countDistinct(F.date_trunc("day", "ts").cast("date")).alias(
+            "active_days"
+        )
+    )
+    bucket = (
+        F.when(F.col("active_days") <= 1, "1")
+        .when(F.col("active_days") <= 3, "2-3")
+        .when(F.col("active_days") <= 7, "4-7")
+        .when(F.col("active_days") <= 14, "8-14")
+        .otherwise("15+")
+    )
+    return ad.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("active_days").alias("min_days"),
+        F.max("active_days").alias("max_days"),
+    )
