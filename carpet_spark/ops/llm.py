@@ -1729,3 +1729,86 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(20)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+      WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.c / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.c / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-dup pairs: |A∩B| / min(|A|,|B|) over
+    3-gram sets — the ASYMMETRIC companion to Jaccard that catches
+    doc-inside-doc relationships (a quoted article inside a longer
+    page, a chunk re-embedded in a digest) which Jaccard dilutes to
+    insignificance when sizes differ 10×.  Same declared-exact role as
+    dedup_near_jaccard (bounded %9 subset): this is the ground truth
+    the banded/minhash family approximates; MinHash estimates Jaccard,
+    and containment needs either this exact form or a HyperLogLog-
+    intersection sketch at scale.
+
+    Scale: distinct gram sets first, pair intersection via the
+    gram-keyed equi join (never doc×doc), sizes broadcast back —
+    dedup_near_jaccard's plan with a different final normalizer."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    toks = F.split("text", " ")
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(toks) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2),
+                            F.element_at(toks, i + 3),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    b = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g2"))
+    inter = (
+        a.join(b, (a.g == b.g2) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("c") / F.least("na", "nb").cast("double")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(cont >= 0.5)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )

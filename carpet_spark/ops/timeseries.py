@@ -1131,3 +1131,77 @@ def ts_latency_percentiles_hourly(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@register(
+    "ts_rsi_indicator",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    ),
+    chg AS (
+      SELECT d, v, v - LAG(v) OVER (ORDER BY d) AS delta
+      FROM daily
+    ),
+    gl AS (
+      SELECT d,
+             AVG(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+               OVER w14 AS avg_gain,
+             AVG(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+               OVER w14 AS avg_loss,
+             COUNT(delta) OVER w14 AS n_window
+      FROM chg
+      WINDOW w14 AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           round(CASE WHEN avg_loss = 0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss)
+                 END, 6) AS rsi14
+    FROM gl
+    WHERE n_window = 14
+    """,
+)
+def ts_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI over the daily series (SMA variant: simple means of
+    gains and losses in the trailing frame — Wilder's original uses a
+    recursive EWMA; ts_ewma holds that machinery) — the bounded 0–100
+    momentum oscillator read as overbought >70 / oversold <30; on
+    operational KPIs it reads as sustained-up vs sustained-down pressure
+    regardless of level.  Rows before a full 14-delta window are
+    withheld (COUNT over the frame) rather than emitting a misleadingly
+    volatile partial value; an all-gain window caps at exactly 100.
+
+    Determinism: deltas difference exact fixed-point dailies; both
+    engines average identical doubles over identical frames and the
+    division guard is the same CASE.
+
+    Scale (100 TB): |days|-axis windows after the map-side collapse —
+    the bounded-axis argument; per-instrument RSI partitions by key."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(lsum(F.col("value")).alias("v"))
+    w = Window.orderBy("d")
+    chg = daily.select(
+        "d", (F.col("v") - F.lag("v").over(w)).alias("delta")
+    )
+    w14 = Window.orderBy("d").rowsBetween(-13, 0)
+    gl = chg.select(
+        "d",
+        F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0.0))
+        .over(w14)
+        .alias("avg_gain"),
+        F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0.0))
+        .over(w14)
+        .alias("avg_loss"),
+        F.count("delta").over(w14).alias("n_window"),
+    )
+    rsi = F.when(F.col("avg_loss") == 0, 100.0).otherwise(
+        100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss"))
+    )
+    return gl.filter(F.col("n_window") == 14).select(
+        "d", F.round(rsi, 6).alias("rsi14")
+    )

@@ -217,6 +217,7 @@ _R4_QUEUE = (
     "agg_allocation_by_share", "text_readability_proxy",
     "basket_lift_rules", "stream_multi_source_union",
     "agg_net_revenue_retention", "agg_user_active_days_hist",
+    "ts_rsi_indicator", "dedup_containment_pairs",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
