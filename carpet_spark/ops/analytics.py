@@ -1795,3 +1795,56 @@ def agg_user_active_days_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("active_days").alias("min_days"),
         F.max("active_days").alias("max_days"),
     )
+
+
+@register(
+    "agg_repeat_purchase_rate",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                  AS BIGINT) AS rev6
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS repeat_rate,
+           round(SUM(CASE WHEN n_orders >= 2 THEN rev6 ELSE 0 END)
+                 / CAST(SUM(rev6) AS DOUBLE), 6) AS repeat_revenue_share
+    FROM per
+    """,
+)
+def agg_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase economics: the share of customers who ordered
+    twice or more, and — the number that actually matters — the share of
+    REVENUE those repeaters represent (repeat customers are routinely a
+    minority of buyers and a majority of revenue; this op states it
+    from the data instead of folklore).  Pairs with
+    agg_net_revenue_retention (period bridge) and agg_cohort_ltv (the
+    curve).
+
+    Scale (100 TB): one |customers| aggregate with fixed-point revenue,
+    one single-row reduction.  Nothing else."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+        ).alias("rev6"),
+    )
+    rep = F.col("n_orders") >= 2
+    return per.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(rep, 1).otherwise(0)).cast("long").alias("n_repeat"),
+        F.round(
+            F.sum(F.when(rep, 1).otherwise(0)) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("repeat_rate"),
+        F.round(
+            F.sum(F.when(rep, F.col("rev6")).otherwise(0))
+            / F.sum("rev6").cast("double"),
+            6,
+        ).alias("repeat_revenue_share"),
+    )

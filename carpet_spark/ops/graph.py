@@ -344,3 +344,89 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("degree", F.lit(0.5)), 6).alias("p50_deg"),
         F.round(F.percentile("degree", F.lit(0.99)), 6).alias("p99_deg"),
     )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(o_custkey % 500, o_orderkey % 500) AS a,
+             GREATEST(o_custkey % 500, o_orderkey % 500) AS b
+      FROM orders
+      WHERE (o_custkey % 500) <> (o_orderkey % 500)
+    ),
+    adj AS (
+      SELECT a AS v, b AS n FROM raw UNION ALL SELECT b, a FROM raw
+    ),
+    deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+    wedge AS (
+      SELECT x.v AS u, y.v AS w, COUNT(*) AS common
+      FROM adj x JOIN adj y ON x.n = y.n AND x.v < y.v
+      GROUP BY 1, 2
+    )
+    SELECT w.u, w.w, w.common,
+           round(w.common / CAST(du.d + dw.d - w.common AS DOUBLE), 6)
+             AS jaccard
+    FROM wedge w
+    JOIN deg du ON du.v = w.u
+    JOIN deg dw ON dw.v = w.w
+    WHERE w.common >= 12
+    ORDER BY jaccard DESC, w.u ASC, w.w ASC
+    LIMIT 25
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap: for node pairs sharing
+    ≥12 common neighbors, the Jaccard of their neighbor sets — the
+    classic 'people you may know' / co-purchase-suggestion score, and
+    the simplest baseline every fancier graph-ML model must beat.
+    Common-neighbor counting is the SAME wedge join as
+    graph_triangle_count (pairs meeting at a shared midpoint), so the
+    scale story carries over: cost = Σ deg², bounded by
+    degree-ordering the adjacency when hubs appear.
+
+    Scale (100 TB): adjacency doubles the edge list (flatMap); the
+    wedge join shuffles on the midpoint; degree tables broadcast onto
+    the support-floored pairs; top-25 is TakeOrdered.  The support
+    floor is what keeps the candidate-pair set from going quadratic —
+    the same role the band threshold plays in LSH dedup."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 500
+    y = F.col("o_orderkey") % 500
+    edges = (
+        o.filter(x != y)
+        .select(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+        .distinct()
+    )
+    adj = edges.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    l = adj.select(F.col("v").alias("u"), "n")
+    r = adj.select(F.col("v").alias("w"), F.col("n").alias("n2"))
+    wedge = (
+        l.join(r, (l.n == r.n2) & (l.u < r.w))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 12)
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("dw"))
+    scored = (
+        wedge.join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(
+            "u",
+            "w",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("du") + F.col("dw") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("u").asc(), F.col("w").asc()
+    ).limit(25)

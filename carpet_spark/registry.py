@@ -218,6 +218,7 @@ _R4_QUEUE = (
     "basket_lift_rules", "stream_multi_source_union",
     "agg_net_revenue_retention", "agg_user_active_days_hist",
     "ts_rsi_indicator", "dedup_containment_pairs",
+    "graph_common_neighbors", "agg_repeat_purchase_rate",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
