@@ -2089,3 +2089,77 @@ def agg_allocation_by_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(sampled, F.col("allocated")).otherwise(0.0)), 6
         ).alias("sampled_allocated"),
     )
+
+
+@register(
+    "dq_json_schema_check",
+    oracle="""
+    WITH feed AS (
+      SELECT CASE
+               WHEN event_id % 101 = 0 THEN substr(props, 1, 3)
+               WHEN event_id % 103 = 0 THEN '{"wrong": true}'
+               ELSE props
+             END AS payload
+      FROM events
+    ),
+    checked AS (
+      SELECT payload,
+             CASE WHEN json_valid(payload) THEN 1 ELSE 0 END AS is_json,
+             CASE WHEN json_valid(payload)
+                       AND json_extract(payload, '$.k') IS NOT NULL
+                       AND TRY_CAST(json_extract_string(payload, '$.k')
+                                    AS BIGINT) IS NOT NULL
+                  THEN 1 ELSE 0 END AS schema_ok
+      FROM feed
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(1 - is_json) AS BIGINT) AS n_malformed,
+           CAST(SUM(is_json * (1 - schema_ok)) AS BIGINT) AS n_wrong_schema,
+           CAST(SUM(schema_ok) AS BIGINT) AS n_valid
+    FROM checked
+    """,
+)
+def dq_json_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-feed schema validation: classify every payload as malformed (not
+    JSON at all), wrong-schema (parses, but the required integer key
+    'k' is missing or mistyped), or valid — the three-way triage every
+    semi-structured ingest needs before from_json silently nulls its
+    way through bad data.  Corruption is injected deterministically
+    (%101 truncates, %103 substitutes keys) since the fixture feed is
+    clean.
+
+    Engine note: Spark get_json_object returns NULL on malformed input
+    (so is_json uses a parse probe) and DuckDB exposes json_valid —
+    different idioms, same classification, hash-proved identical.
+
+    Scale (100 TB): all checks are per-row JSON-path projections in
+    codegen (no UDF); the report is a single-row reduction.  Rows
+    failing triage route to a quarantine sink (scan_csv_permissive's
+    pattern) rather than dying in a cast."""
+    ev = load(spark, sf_dir, "events")
+    payload = (
+        F.when(F.col("event_id") % 101 == 0, F.substring("props", 1, 3))
+        .when(F.col("event_id") % 103 == 0, F.lit('{"wrong": true}'))
+        .otherwise(F.col("props"))
+    )
+    feed = ev.select(payload.alias("payload"))
+    # parse probe: a malformed document nulls EVERY path — probe '$'
+    is_json = F.when(
+        F.get_json_object("payload", "$").isNotNull(), 1
+    ).otherwise(0)
+    k_str = F.get_json_object("payload", "$.k")
+    schema_ok = F.when(
+        (is_json == 1)
+        & k_str.isNotNull()
+        & k_str.try_cast("bigint").isNotNull(),
+        1,
+    ).otherwise(0)
+    checked = feed.select(is_json.alias("is_json"), schema_ok.alias("schema_ok"))
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(1 - F.col("is_json")).cast("long").alias("n_malformed"),
+        F.sum(F.col("is_json") * (1 - F.col("schema_ok")))
+        .cast("long")
+        .alias("n_wrong_schema"),
+        F.sum("schema_ok").cast("long").alias("n_valid"),
+    )

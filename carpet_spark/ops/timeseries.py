@@ -1205,3 +1205,60 @@ def ts_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gl.filter(F.col("n_window") == 14).select(
         "d", F.round(rsi, 6).alias("rsi14")
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT v,
+             LAG(v, 1) OVER (ORDER BY d) AS v1,
+             LAG(v, 7) OVER (ORDER BY d) AS v7,
+             LAG(v, 14) OVER (ORDER BY d) AS v14
+      FROM daily
+    )
+    SELECT round(corr(v, v1), 6) AS acf_1,
+           round(corr(v, v7), 6) AS acf_7,
+           round(corr(v, v14), 6) AS acf_14
+    FROM lagged
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily series at lags 1, 7, and 14 — the
+    memory/seasonality diagnostic read before choosing any forecasting
+    model: high acf_1 says momentum (yesterday predicts today), a
+    spike at acf_7 says weekly rhythm (and that
+    ts_seasonal_naive_backtest's LAG(7) baseline will be strong),
+    nothing anywhere says don't bother forecasting.  Pairs with
+    ts_seasonality_strength's variance-share view of the same
+    structure.
+
+    Determinism: each lag-pair correlation is a mergeable second-moment
+    aggregate (agg_stats' machinery) over pairs both engines align
+    identically (corr ignores the NULL warm-up rows by definition);
+    rounded at 6dp.
+
+    Scale (100 TB): facts → |days| spine map-side; three LAG columns
+    share one window pass and the three corrs one aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(lsum(F.col("value")).alias("v"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 7).over(w).alias("v7"),
+        F.lag("v", 14).over(w).alias("v14"),
+    )
+    return lagged.agg(
+        F.round(F.corr("v", "v1"), 6).alias("acf_1"),
+        F.round(F.corr("v", "v7"), 6).alias("acf_7"),
+        F.round(F.corr("v", "v14"), 6).alias("acf_14"),
+    )

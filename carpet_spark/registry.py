@@ -219,6 +219,7 @@ _R4_QUEUE = (
     "agg_net_revenue_retention", "agg_user_active_days_hist",
     "ts_rsi_indicator", "dedup_containment_pairs",
     "graph_common_neighbors", "agg_repeat_purchase_rate",
+    "ts_autocorrelation", "dq_json_schema_check",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
