@@ -2163,3 +2163,68 @@ def dq_json_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_wrong_schema"),
         F.sum("schema_ok").cast("long").alias("n_valid"),
     )
+
+
+@register(
+    "dq_duplicate_payments",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_totalprice, o_orderdate, o_orderkey,
+             LAG(o_orderdate) OVER w AS prev_date,
+             LAG(o_orderkey) OVER w AS prev_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey, o_totalprice
+                   ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT COUNT(*) AS n_suspect_pairs,
+           CAST(COALESCE(SUM(o_orderkey + prev_key), 0) AS BIGINT)
+             AS pair_checksum
+    FROM seq
+    WHERE prev_date IS NOT NULL
+      AND datediff('day', CAST(prev_date AS DATE),
+                   CAST(o_orderdate AS DATE)) <= 1
+    """,
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge detection: consecutive orders from the SAME customer
+    for the EXACT same amount within one day — the finops/fraud screen
+    for retried payments and double submissions.  Formulated as a LAG
+    window over (customer, amount) so each order compares only against
+    its same-amount predecessor — never a self-join of orders against
+    orders on a fuzzy date predicate (which fans out quadratically per
+    customer and needs a range join).
+
+    The checksum of suspect order-key pairs pins exactly WHICH pairs
+    fired, not just how many.
+
+    Scale (100 TB): one hashpartitioning(custkey, amount) exchange and
+    a single-row reduction.  Amount-tolerance variants ('same ±1%')
+    bucket the amount first (join_range_binned's banding) and keep the
+    same shape."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_totalprice").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = o.select(
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    )
+    suspect = seq.filter(
+        F.col("prev_date").isNotNull()
+        & (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.col("prev_date").cast("date")
+            )
+            <= 1
+        )
+    )
+    return suspect.agg(
+        F.count(F.lit(1)).alias("n_suspect_pairs"),
+        F.coalesce(F.sum(F.col("o_orderkey") + F.col("prev_key")), F.lit(0))
+        .cast("long")
+        .alias("pair_checksum"),
+    )

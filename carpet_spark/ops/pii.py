@@ -394,3 +394,69 @@ def pii_vault_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("roundtrip_ok"),
         )
     )
+
+
+@register(
+    "pii_phone_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT c_custkey,
+             CASE c_custkey % 4
+               WHEN 0 THEN '(' || lpad(CAST(200 + c_custkey % 700 AS VARCHAR), 3, '0')
+                         || ') ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               WHEN 1 THEN lpad(CAST(200 + c_custkey % 700 AS VARCHAR), 3, '0')
+                         || '.' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                         || '.' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               WHEN 2 THEN '+1 ' || lpad(CAST(200 + c_custkey % 700 AS VARCHAR), 3, '0')
+                         || ' ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                         || ' ' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               ELSE '1-' || lpad(CAST(200 + c_custkey % 700 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                         || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             END AS phone
+      FROM customer
+    ),
+    norm AS (
+      SELECT c_custkey, phone,
+             regexp_replace(phone, '[^0-9]', '', 'g') AS digits
+      FROM raw
+    )
+    SELECT c_custkey,
+           '+1' || CASE WHEN length(digits) = 11 THEN substr(digits, 2)
+                        ELSE digits END AS e164
+    FROM norm
+    WHERE c_custkey % 40 = 0
+    """,
+)
+def pii_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phone normalization to E.164: four wild input formats —
+    '(213) 555-0100', '213.555.0100', '+1 213 555 0100', '1-213-555-0100'
+    — all canonicalize to '+12135550100' by stripping non-digits and
+    absorbing the country prefix.  This is entity-resolution
+    plumbing: pii_hash/pii_vault_tokenize key on the NORMALIZED value,
+    otherwise the same person splits into four identities (formats are
+    synthesized per customer; the fixture has no phone column).
+
+    Scale (100 TB): pure codegen string projection — the character-class
+    strip cannot backtrack, the prefix rule is a length CASE, no UDF.
+    The %40 output filter pushes to the scan."""
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    npa = F.lpad((200 + k % 700).cast("string"), 3, "0")
+    nxx = F.lpad((k % 1000).cast("string"), 3, "0")
+    line = F.lpad((k % 10000).cast("string"), 4, "0")
+    phone = (
+        F.when(k % 4 == 0, F.concat(F.lit("("), npa, F.lit(") "), nxx, F.lit("-"), line))
+        .when(k % 4 == 1, F.concat(npa, F.lit("."), nxx, F.lit("."), line))
+        .when(k % 4 == 2, F.concat(F.lit("+1 "), npa, F.lit(" "), nxx, F.lit(" "), line))
+        .otherwise(F.concat(F.lit("1-"), npa, F.lit("-"), nxx, F.lit("-"), line))
+    )
+    digits = F.regexp_replace(phone, "[^0-9]", "")
+    e164 = F.concat(
+        F.lit("+1"),
+        F.when(F.length(digits) == 11, F.substring(digits, 2, 15)).otherwise(
+            digits
+        ),
+    )
+    return c.filter(k % 40 == 0).select("c_custkey", e164.alias("e164"))

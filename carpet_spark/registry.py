@@ -220,6 +220,7 @@ _R4_QUEUE = (
     "ts_rsi_indicator", "dedup_containment_pairs",
     "graph_common_neighbors", "agg_repeat_purchase_rate",
     "ts_autocorrelation", "dq_json_schema_check",
+    "pii_phone_normalize", "dq_duplicate_payments",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
