@@ -1343,3 +1343,52 @@ def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("complex_words") / F.col("words").cast("double"), 6
         ).alias("complex_ratio"),
     )
+
+
+@register(
+    "feature_minmax_scale",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round((l_extendedprice - (SELECT lo FROM b))
+                 / ((SELECT hi FROM b) - (SELECT lo FROM b)), 6) AS scaled
+    FROM lineitem
+    WHERE l_orderkey % 991 = 0
+    """,
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling to [0, 1] — the normalization that
+    distance-based models (k-NN, k-means, the ANN family here) need
+    BEFORE their geometry means anything, complementing
+    feature_quantile_bucketize (ordinal) and udf_pandas_struct's z-score
+    (standardization).  The fit statistics (min/max) come from the FULL
+    column — fitting them on a sample or, worse, per-partition is the
+    classic train-serve skew bug.
+
+    Determinism: both engines subtract and divide the identical raw
+    doubles (no accumulation anywhere), rounded at 6dp.
+
+    Scale (100 TB): pass 1 is a 2-value aggregate; the transform is a
+    broadcast of those 2 values into codegen projection.  Persist the
+    (lo, hi) pair with the model — serving must reuse the TRAINING
+    bounds, never refit."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    return (
+        li.filter(F.col("l_orderkey") % 991 == 0)
+        .join(F.broadcast(b))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")),
+                6,
+            ).alias("scaled"),
+        )
+    )

@@ -221,6 +221,7 @@ _R4_QUEUE = (
     "graph_common_neighbors", "agg_repeat_purchase_rate",
     "ts_autocorrelation", "dq_json_schema_check",
     "pii_phone_normalize", "dq_duplicate_payments",
+    "fn_business_days", "feature_minmax_scale",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

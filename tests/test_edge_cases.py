@@ -264,3 +264,52 @@ def test_csv_permissive_quarantine_counts(spark, sf_dir):
     assert row["n_rows"] == li.count()
     assert row["n_corrupt"] == li.filter("l_orderkey % 1000 = 0").count()
     assert row["n_good"] + row["n_corrupt"] == row["n_rows"]
+
+
+def test_business_days_matches_bruteforce(spark, sf_dir):
+    """The closed-form W(d2)-W(d1) must equal a literal weekday count for
+    every sampled span — a shared Spark/DuckDB formula is a shared bug
+    (the first draft agreed across engines and was wrong ~35% of the
+    time), so this pins the semantics against an independent oracle."""
+    import datetime as dt
+
+    from carpet_spark.ops.functions import fn_business_days
+    from carpet_spark.tables import load
+
+    rows = fn_business_days(spark, sf_dir).collect()
+    assert rows, "op returned no rows"
+
+    from collections import Counter
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey % 499 = 0")
+    o = load(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .selectExpr(
+            "l_orderkey", "l_linenumber",
+            "cast(o_orderdate as date) d1", "cast(l_shipdate as date) d2",
+        )
+        .collect()
+    )
+
+    def brute(d1: dt.date, d2: dt.date) -> int:
+        n, d = 0, d1 + dt.timedelta(days=1)
+        while d <= d2:
+            if d.isoweekday() <= 5:
+                n += 1
+            d += dt.timedelta(days=1)
+        return n
+
+    # (l_orderkey, l_linenumber) is NOT unique in this fixture — compare
+    # full row multisets, not a keyed dict
+    expected = Counter(
+        (r["l_orderkey"], r["l_linenumber"], (r["d2"] - r["d1"]).days,
+         brute(r["d1"], r["d2"]))
+        for r in pairs
+        if r["d2"] >= r["d1"]
+    )
+    got = Counter(
+        (r["l_orderkey"], r["l_linenumber"], r["cal_days"], r["business_days"])
+        for r in rows
+    )
+    assert got == expected
