@@ -1848,3 +1848,70 @@ def agg_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("repeat_revenue_share"),
     )
+
+
+@register(
+    "agg_price_volume_mix",
+    oracle="""
+    WITH half AS (
+      SELECT l_returnflag,
+             CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END AS period,
+             CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             l_extendedprice AS rev
+      FROM lineitem
+    ),
+    per AS (
+      SELECT l_returnflag,
+             CAST(SUM(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT)
+               AS q1,
+             CAST(SUM(CASE WHEN period = 2 THEN q ELSE 0 END) AS BIGINT)
+               AS q2,
+             CAST(SUM(CASE WHEN period = 1
+                      THEN CAST(ROUND(rev * 1000000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS r1_6,
+             CAST(SUM(CASE WHEN period = 2
+                      THEN CAST(ROUND(rev * 1000000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS r2_6
+      FROM half GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((r2_6 - r1_6) / 1e6, 6) AS delta_revenue,
+           round((q2 - q1) * (r1_6 / 1e6 / q1), 6) AS volume_effect,
+           round(q2 * (r2_6 / 1e6 / q2 - r1_6 / 1e6 / q1), 6)
+             AS price_effect
+    FROM per
+    """,
+)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of revenue change between two periods
+    (synthetic halves by order-key parity): Δrevenue splits exactly into
+    a VOLUME effect ((q₂−q₁)·p₁ — more units at old prices) and a PRICE
+    effect (q₂·(p₂−p₁) — new prices on new volume), per segment — the
+    FP&A bridge that ends 'did we sell more or just charge more'
+    debates, and by construction volume + price = Δ exactly (the
+    identity a reviewer should check first).
+
+    Determinism: quantities and revenues accumulate as exact integers;
+    average prices divide identical doubles; effects round at display.
+
+    Scale (100 TB): ONE scan, conditional sums per (segment, period)
+    inside one aggregate — never two passes joined.  Finer mix levels
+    (per SKU, rolled up) reuse the same conditional-sum shape."""
+    li = load(spark, sf_dir, "lineitem")
+    period1 = F.col("l_orderkey") % 2 == 0
+    q = F.round("l_quantity").cast("long")
+    r6 = (F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+    per = li.groupBy("l_returnflag").agg(
+        F.sum(F.when(period1, q).otherwise(0)).cast("long").alias("q1"),
+        F.sum(F.when(~period1, q).otherwise(0)).cast("long").alias("q2"),
+        F.sum(F.when(period1, r6).otherwise(0)).cast("long").alias("r1_6"),
+        F.sum(F.when(~period1, r6).otherwise(0)).cast("long").alias("r2_6"),
+    )
+    p1 = F.col("r1_6") / 1e6 / F.col("q1")
+    p2 = F.col("r2_6") / 1e6 / F.col("q2")
+    return per.select(
+        "l_returnflag",
+        F.round((F.col("r2_6") - F.col("r1_6")) / 1e6, 6).alias("delta_revenue"),
+        F.round((F.col("q2") - F.col("q1")) * p1, 6).alias("volume_effect"),
+        F.round(F.col("q2") * (p2 - p1), 6).alias("price_effect"),
+    )

@@ -1262,3 +1262,80 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("v", "v7"), 6).alias("acf_7"),
         F.round(F.corr("v", "v14"), 6).alias("acf_14"),
     )
+
+
+@register(
+    "dq_flatline_detection",
+    oracle="""
+    WITH coarse AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value / 25) AS BIGINT) AS level
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, level, ts, event_id,
+             CASE WHEN LAG(level) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                       IS DISTINCT FROM level
+                  THEN 1 ELSE 0 END AS new_run
+      FROM coarse
+    ),
+    runs AS (
+      SELECT user_id, level,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM flagged
+    ),
+    lens AS (
+      SELECT user_id, level, COUNT(*) AS run_len
+      FROM runs GROUP BY user_id, level, run_id
+    )
+    SELECT COUNT(*) AS n_flatline_runs,
+           MAX(run_len) AS max_run_len,
+           COUNT(DISTINCT user_id) AS n_users_affected
+    FROM lens
+    WHERE run_len >= 4
+    """,
+)
+def dq_flatline_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-sensor / flatline detection: runs of ≥4 consecutive readings
+    at the SAME (coarsened) level within a user's stream — the telemetry
+    pathology where a frozen gauge keeps reporting its last value and
+    every downstream average quietly drifts.  Values coarsen to
+    25-wide levels first (exact FLOOR division both engines) so the
+    continuous fixture exhibits plateaus; a real sensor feed drops the
+    coarsening.  Detection is the gaps-and-islands sweep
+    (ts_interval_merge's machinery) keyed on value-change flags instead
+    of time gaps.
+
+    Scale (100 TB): one hashpartitioning(user_id) exchange feeds the
+    lag, the run numbering, and the run-length aggregate; output is one
+    summary row.  Per-sensor detail = drop the final rollup."""
+    ev = load(spark, sf_dir, "events")
+    coarse = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / 25).cast("long").alias("level"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = coarse.withColumn(
+        "new_run",
+        F.when(
+            ~F.lag("level").over(w).eqNullSafe(F.col("level")), 1
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    lens = runs.groupBy("user_id", "level", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return lens.filter(F.col("run_len") >= 4).agg(
+        F.count(F.lit(1)).alias("n_flatline_runs"),
+        F.max("run_len").alias("max_run_len"),
+        F.countDistinct("user_id").alias("n_users_affected"),
+    )

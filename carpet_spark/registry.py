@@ -222,6 +222,7 @@ _R4_QUEUE = (
     "ts_autocorrelation", "dq_json_schema_check",
     "pii_phone_normalize", "dq_duplicate_payments",
     "fn_business_days", "feature_minmax_scale",
+    "agg_price_volume_mix", "dq_flatline_detection",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
