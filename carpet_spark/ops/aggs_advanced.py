@@ -2228,3 +2228,45 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pair_checksum"),
     )
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH s AS (
+      SELECT event_id,
+             event_id - LAG(event_id) OVER (ORDER BY event_id) AS step
+      FROM (SELECT DISTINCT event_id FROM events WHERE event_id % 3 <> 0)
+    )
+    SELECT COUNT(*) AS n_gaps,
+           CAST(SUM(step - 1) AS BIGINT) AS n_missing_ids,
+           MAX(step - 1) AS max_gap
+    FROM s
+    WHERE step > 1
+    """,
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit: gaps in a supposedly-gapless ID stream
+    (every third id deterministically withheld to simulate loss — the
+    fixture sequence is complete) — gap count, total missing ids, and
+    the largest hole: the first question after 'did we drop messages',
+    answerable without any reference table because the sequence is its
+    own contract.  LAG over the sorted distinct ids finds every hole in
+    one pass — never a generate-series anti-join, which materializes
+    the full id range.
+
+    Scale (100 TB): the global LAG is a total sort of distinct ids —
+    for an audit extract that is the point; a recurring check instead
+    runs per partition-range (ids are monotone within a day) so each
+    day's gaps localize without a global sort."""
+    ev = load(spark, sf_dir, "events")
+    ids = ev.filter(F.col("event_id") % 3 != 0).select("event_id").distinct()
+    w = Window.orderBy("event_id")
+    s = ids.select(
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("step")
+    ).filter(F.col("step") > 1)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("step") - 1).cast("long").alias("n_missing_ids"),
+        F.max(F.col("step") - 1).alias("max_gap"),
+    )

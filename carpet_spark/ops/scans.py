@@ -804,3 +804,70 @@ def scan_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return report(v0, "v0").unionByName(report(head, "v1"))
+
+
+@register(
+    "scan_highwatermark_incremental",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def scan_highwatermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch incremental ELT via a HIGH WATERMARK: each run processes
+    only days strictly beyond the stored watermark, appends its daily
+    aggregates to the target, then advances the watermark file — the
+    non-streaming sibling of stream_checkpoint_resume and the single
+    most common nightly-job pattern there is.  The op runs the job
+    TWICE (first over the earlier half of days, then over the rest);
+    the identity oracle over per-day aggregates proves run 2 processed
+    exactly the unprocessed days — no re-aggregation of old days
+    (duplicate rows would break the hash), none skipped.
+
+    Scale (100 TB): each run's predicate (day > watermark) prunes at
+    the partition level on a date-partitioned source — run cost is
+    O(new days), never O(history); the watermark itself is one scalar
+    in a state file, atomically replaced (the manifest-commit rule)."""
+    base = _sink_path(spark, "hwm")
+    # fresh pipeline state per invocation: the op DEMONSTRATES the two-run
+    # incremental cycle, so a re-run within one session must not append to
+    # the previous demonstration's target (idempotent rebuild)
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    wm_file = os.path.join(base, "_WATERMARK")
+    out = os.path.join(base, "out")
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    days = sorted(
+        r["day"] for r in ev.select("day").distinct().collect()
+    )  # bounded: the day axis (metadata-scale collect, ann.py rule)
+    mid = days[len(days) // 2]
+
+    def run(upper_bound) -> None:
+        wm = None
+        if os.path.exists(wm_file):
+            with open(wm_file) as f:
+                wm = f.read().strip()
+        batch = ev.filter(F.col("day") <= F.lit(upper_bound))
+        if wm:
+            batch = batch.filter(F.col("day") > F.lit(wm))
+        agg = batch.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        agg.write.mode("append").parquet(out)
+        tmp = wm_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(upper_bound))
+        os.replace(tmp, wm_file)
+
+    run(mid)          # nightly run 1: everything up to the midpoint
+    run(days[-1])     # nightly run 2: only the NEW days
+    return spark.read.parquet(out)
