@@ -460,3 +460,49 @@ def pii_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return c.filter(k % 40 == 0).select("c_custkey", e164.alias("e164"))
+
+
+@register(
+    "pii_consent_filter",
+    oracle="""
+    WITH optout AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_kept,
+           (SELECT COUNT(*) FROM events e2
+             WHERE e2.event_type = e.event_type
+               AND e2.user_id % 17 = 0) AS n_dropped
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM optout o WHERE o.user_id = e.user_id)
+    GROUP BY e.event_type
+    """,
+)
+def pii_consent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consent enforcement: remove every event belonging to an opted-out
+    user (the consent registry is simulated as user_id % 17 — in
+    production it is its own small table) and account for what was
+    dropped per event type — the audit trail a DPO asks for.  The
+    registry applies as a LEFT ANTI join, the only correct shape:
+    filtering by `user_id NOT IN (subquery)` breaks on NULLs and
+    re-evaluates the subquery per partition in naive engines.
+
+    Scale (100 TB): the opt-out registry is tiny by nature → broadcast
+    anti join, zero shuffle of the fact table; the drop accounting
+    reuses the same registry for a conditional count.  Enforcement
+    belongs at INGEST so downstream tables never hold the data —
+    pii_retention_sweep handles the time-based sibling."""
+    ev = load(spark, sf_dir, "events")
+    optout = ev.filter(F.col("user_id") % 17 == 0).select("user_id").distinct()
+    kept = ev.join(F.broadcast(optout), "user_id", "left_anti")
+    dropped = (
+        ev.filter(F.col("user_id") % 17 == 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .join(dropped, "event_type")
+        .select("event_type", "n_kept", "n_dropped")
+    )

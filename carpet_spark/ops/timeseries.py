@@ -1339,3 +1339,63 @@ def dq_flatline_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("max_run_len"),
         F.countDistinct("user_id").alias("n_users_affected"),
     )
+
+
+@register(
+    "ts_percentile_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    ),
+    bands AS (
+      SELECT quantile_cont(v, 0.10) AS p10,
+             quantile_cont(v, 0.50) AS p50,
+             quantile_cont(v, 0.90) AS p90
+      FROM daily
+    )
+    SELECT d, v,
+           round((SELECT p10 FROM bands), 6) AS p10,
+           round((SELECT p50 FROM bands), 6) AS p50,
+           round((SELECT p90 FROM bands), 6) AS p90,
+           CASE WHEN v < (SELECT p10 FROM bands) THEN 'below'
+                WHEN v > (SELECT p90 FROM bands) THEN 'above'
+                ELSE 'normal' END AS band
+    FROM daily
+    """,
+)
+def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Is today normal?' bands: each day positioned against the
+    series' own p10/p50/p90 — the context layer every KPI chart needs
+    (a number without its historical band invites both panic and
+    complacency), and the simplest anomaly flag that self-calibrates to
+    the metric's scale (ts_control_chart_xmr is the variance-based
+    sibling; this one is distribution-based and robust to non-normal
+    series).
+
+    Scale (100 TB): facts → |days| spine map-side; exact band
+    percentiles over that bounded axis broadcast back as one row; band
+    assignment is a scalar CASE.  Rolling bands (trailing-90-day)
+    partition the same percentile over a frame."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(lsum(F.col("value")).alias("v"))
+    bands = daily.agg(
+        F.percentile("v", F.lit(0.10)).alias("p10"),
+        F.percentile("v", F.lit(0.50)).alias("p50"),
+        F.percentile("v", F.lit(0.90)).alias("p90"),
+    )
+    return daily.join(F.broadcast(bands)).select(
+        "d",
+        "v",
+        F.round("p10", 6).alias("p10"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.when(F.col("v") < F.col("p10"), "below")
+        .when(F.col("v") > F.col("p90"), "above")
+        .otherwise("normal")
+        .alias("band"),
+    )

@@ -224,6 +224,7 @@ _R4_QUEUE = (
     "fn_business_days", "feature_minmax_scale",
     "agg_price_volume_mix", "dq_flatline_detection",
     "scan_highwatermark_incremental", "dq_sequence_gaps",
+    "ts_percentile_bands", "pii_consent_filter",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
