@@ -2270,3 +2270,77 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("step") - 1).cast("long").alias("n_missing_ids"),
         F.max(F.col("step") - 1).alias("max_gap"),
     )
+
+
+@register(
+    "agg_rank_stability_spearman",
+    oracle="""
+    WITH per AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CASE WHEN o.o_orderkey % 2 = 0
+                      THEN CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS r1_6,
+             CAST(SUM(CASE WHEN o.o_orderkey % 2 = 1
+                      THEN CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS r2_6
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c_nationkey,
+             ROW_NUMBER() OVER (ORDER BY r1_6 DESC, c_nationkey) AS rk1,
+             ROW_NUMBER() OVER (ORDER BY r2_6 DESC, c_nationkey) AS rk2
+      FROM per
+    )
+    SELECT COUNT(*) AS n_nations,
+           CAST(SUM((rk1 - rk2) * (rk1 - rk2)) AS BIGINT) AS sum_d2,
+           round(1.0 - 6.0 * SUM((rk1 - rk2) * (rk1 - rk2))
+                 / (COUNT(*) * (COUNT(*) * COUNT(*) - 1.0)), 6)
+             AS spearman_rho
+    FROM ranked
+    """,
+)
+def agg_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """League-table stability: Spearman's rank correlation between the
+    nation revenue rankings of two periods (order-key-parity halves) —
+    ρ near 1 says the leaderboard is structural, ρ near 0 says last
+    quarter's ranking was noise and nobody should be promoted over it.
+    Uses the exact-integer formulation ρ = 1 − 6Σd²/(n(n²−1)) over
+    tie-broken ROW_NUMBER ranks, so everything before the final ratio
+    is integer arithmetic.
+
+    Scale (100 TB): facts collapse to |nations| conditional sums in one
+    scan; both rankings and the Σd² reduction run on that bounded axis.
+    Rank stability of customers/SKUs = the same plan at the larger key
+    (range-partition the sorts past task scale)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    r6 = (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+    p1 = F.col("o_orderkey") % 2 == 0
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("r1_6"),
+            F.sum(F.when(~p1, r6).otherwise(0)).cast("long").alias("r2_6"),
+        )
+    )
+    ranked = per.select(
+        "c_nationkey",
+        F.row_number()
+        .over(Window.orderBy(F.col("r1_6").desc(), F.col("c_nationkey")))
+        .alias("rk1"),
+        F.row_number()
+        .over(Window.orderBy(F.col("r2_6").desc(), F.col("c_nationkey")))
+        .alias("rk2"),
+    )
+    d2 = (F.col("rk1") - F.col("rk2")) * (F.col("rk1") - F.col("rk2"))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_nations"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+        F.round(
+            F.lit(1.0) - F.lit(6.0) * F.sum(d2) / (n * (n * n - F.lit(1.0))),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -599,3 +599,57 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_drawdown_pct"),
     )
+
+
+@register(
+    "win_cross_sectional_zscore",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey,
+             o.o_custkey,
+             CAST(CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT c_nationkey, o_custkey, rev,
+             (rev - AVG(rev) OVER (PARTITION BY c_nationkey))
+               / STDDEV_SAMP(rev) OVER (PARTITION BY c_nationkey) AS zs
+      FROM cust
+    )
+    SELECT c_nationkey, o_custkey, round(zs, 6) AS z
+    FROM z
+    WHERE abs(zs) >= 2.0
+    """,
+)
+def win_cross_sectional_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional z-scores: each customer's revenue standardized
+    against their NATION's peer distribution, surfacing the ≥2σ
+    deviants — the relative-standing screen ('big for Brazil' means
+    something different than 'big globally') behind peer benchmarking
+    and per-market outlier review; ts_zscore_outliers is the
+    same statistic along time instead of across peers.
+
+    Determinism: per-customer revenue is fixed-point; both engines
+    standardize identical doubles over identical partitions and the
+    ±2σ cut compares unrounded values in both.
+
+    Scale (100 TB): the fact table collapses to |customers| rows, then
+    ONE hashpartitioning(nation) window computes mean and std together;
+    the deviant filter returns a short list.  Per-(nation, segment)
+    peers = the same window with a wider key."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(lsum(F.col("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    zs = (F.col("rev") - F.avg("rev").over(w)) / F.stddev_samp("rev").over(w)
+    return (
+        cust.select("c_nationkey", "o_custkey", zs.alias("zs"))
+        .filter(F.abs(F.col("zs")) >= 2.0)
+        .select("c_nationkey", "o_custkey", F.round("zs", 6).alias("z"))
+    )

@@ -225,6 +225,7 @@ _R4_QUEUE = (
     "agg_price_volume_mix", "dq_flatline_detection",
     "scan_highwatermark_incremental", "dq_sequence_gaps",
     "ts_percentile_bands", "pii_consent_filter",
+    "win_cross_sectional_zscore", "agg_rank_stability_spearman",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
