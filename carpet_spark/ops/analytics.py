@@ -1915,3 +1915,105 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("q2") - F.col("q1")) * p1, 6).alias("volume_effect"),
         F.round(F.col("q2") * (p2 - p1), 6).alias("price_effect"),
     )
+
+
+@register(
+    "ab_effect_size_cohens_d",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             AVG(value) AS mean,
+             VAR_SAMP(value) AS var
+      FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY event_type
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean - b.mean, 6) AS mean_diff,
+           round(sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var)
+                      / (a.n + b.n - 2)), 6) AS pooled_sd,
+           round((a.mean - b.mean)
+                 / sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var)
+                        / (a.n + b.n - 2)), 6) AS cohens_d
+    FROM (SELECT * FROM s WHERE event_type = 'click') a
+    CROSS JOIN (SELECT * FROM s WHERE event_type = 'view') b
+    """,
+)
+def ab_effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size between the two experiment populations —
+    the magnitude number that must accompany ab_welch_ttest's
+    significance: at scale EVERYTHING is statistically significant, and
+    d (~0.2 small / 0.5 medium / 0.8 large) is what says whether the
+    difference is worth shipping.  Pooled-SD formulation from the same
+    mergeable (n, mean, var) partials as the t-test.
+
+    Scale (100 TB): one 2-key aggregate; the effect size is arithmetic
+    on a 2-row result.  Per-segment effect sizes = the same aggregate
+    with a finer key."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("m_a"), F.col("var").alias("v_a")
+    )
+    b = s.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("m_b"), F.col("var").alias("v_b")
+    )
+    pooled = F.sqrt(
+        ((F.col("n_a") - 1) * F.col("v_a") + (F.col("n_b") - 1) * F.col("v_b"))
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(pooled, 6).alias("pooled_sd"),
+        F.round((F.col("m_a") - F.col("m_b")) / pooled, 6).alias("cohens_d"),
+    )
+
+
+@register(
+    "ab_sample_size_estimate",
+    oracle="""
+    WITH s AS (
+      SELECT VAR_SAMP(value) AS var, AVG(value) AS mean
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT round(sqrt(var), 6) AS baseline_sd,
+           round(mean, 6) AS baseline_mean,
+           CAST(CEIL(16.0 * var / pow(mean * 0.01, 2)) AS BIGINT)
+             AS n_per_arm_1pct,
+           CAST(CEIL(16.0 * var / pow(mean * 0.05, 2)) AS BIGINT)
+             AS n_per_arm_5pct
+    FROM s
+    """,
+)
+def ab_sample_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment sample-size estimate: users per arm needed to
+    detect a 1% and a 5% lift on the baseline metric, via the standard
+    n ≈ 16σ²/δ² rule (80% power, α=0.05, two-sided) with σ and the
+    baseline mean measured from the data — the calculation that belongs
+    BEFORE launch, because an underpowered test's 'no effect' is
+    indistinguishable from 'too small to see' (and the 1%-vs-5% pair
+    shows the brutal 25× sample cost of chasing smaller lifts).
+
+    Scale (100 TB): one 1-row variance aggregate; the estimate is
+    driver-trivial arithmetic.  Variance-reduction techniques (CUPED)
+    would shrink σ² upstream of the same formula."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    s = ev.agg(F.var_samp("value").alias("var"), F.avg("value").alias("mean"))
+    n_for = lambda pct: F.ceil(
+        16.0 * F.col("var") / F.pow(F.col("mean") * pct, 2)
+    ).cast("long")
+    return s.select(
+        F.round(F.sqrt("var"), 6).alias("baseline_sd"),
+        F.round("mean", 6).alias("baseline_mean"),
+        n_for(0.01).alias("n_per_arm_1pct"),
+        n_for(0.05).alias("n_per_arm_5pct"),
+    )

@@ -226,6 +226,7 @@ _R4_QUEUE = (
     "scan_highwatermark_incremental", "dq_sequence_gaps",
     "ts_percentile_bands", "pii_consent_filter",
     "win_cross_sectional_zscore", "agg_rank_stability_spearman",
+    "ab_effect_size_cohens_d", "ab_sample_size_estimate",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
