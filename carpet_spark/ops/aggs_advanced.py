@@ -2344,3 +2344,64 @@ def agg_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "agg_rate_wilson_ci",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events
+    ),
+    w AS (
+      SELECT n, k,
+             k / CAST(n AS DOUBLE) AS p,
+             1.959963985 AS z
+      FROM s
+    )
+    SELECT n, k, round(p, 6) AS rate,
+           round((p + z * z / (2 * n)
+                  - z * sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)))
+                 / (1 + z * z / n), 6) AS ci_lo,
+           round((p + z * z / (2 * n)
+                  + z * sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)))
+                 / (1 + z * z / n), 6) AS ci_hi
+    FROM w
+    """,
+)
+def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval for the purchase rate — the
+    CORRECT interval for proportions: the naive p ± z√(p(1−p)/n) breaks
+    near 0/1 (can go negative, badly undercovers on small counts) while
+    Wilson stays in [0, 1] and covers as advertised — which is why it's
+    the standard for conversion rates, defect rates, and ranked
+    review scores.  agg_bootstrap_ci covers general statistics; this is
+    the closed form the binomial case deserves.
+
+    Scale (100 TB): one conditional-count aggregate and scalar
+    arithmetic; per-segment intervals are the same formula after a
+    keyed aggregate."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    p = F.col("k") / F.col("n").cast("double")
+    z = F.lit(1.959963985)
+    denom = 1 + z * z / F.col("n")
+    center = p + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n")
+        + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    return s.select(
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )

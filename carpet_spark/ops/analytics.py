@@ -2017,3 +2017,70 @@ def ab_sample_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_for(0.01).alias("n_per_arm_1pct"),
         n_for(0.05).alias("n_per_arm_5pct"),
     )
+
+
+@register(
+    "geo_bearing_distance",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (('0x' || substr(md5('lat|' || c_custkey), 1, 8))::BIGINT
+              / 4294967295.0) * 160.0 - 80.0 AS lat,
+             (('0x' || substr(md5('lon|' || c_custkey), 1, 8))::BIGINT
+              / 4294967295.0) * 360.0 - 180.0 AS lon
+      FROM customer WHERE c_custkey % 25 = 0
+    )
+    SELECT c_custkey,
+           round(degrees(atan2(
+             sin(radians(lon - (-74.0060))) * cos(radians(lat)),
+             cos(radians(40.7128)) * sin(radians(lat))
+             - sin(radians(40.7128)) * cos(radians(lat))
+               * cos(radians(lon - (-74.0060)))
+           )) + CASE WHEN degrees(atan2(
+             sin(radians(lon - (-74.0060))) * cos(radians(lat)),
+             cos(radians(40.7128)) * sin(radians(lat))
+             - sin(radians(40.7128)) * cos(radians(lat))
+               * cos(radians(lon - (-74.0060)))
+           )) < 0 THEN 360.0 ELSE 0.0 END, 2) AS bearing_deg
+    FROM pts
+    """,
+)
+def geo_bearing_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial great-circle bearing from the NYC reference to each
+    (derived) customer location, normalized to [0, 360) — the heading
+    component that completes geo_haversine_radius's distance: dispatch
+    and routing need 'which direction', not just 'how far'.  Standard
+    forward-azimuth formula (atan2 of spherical trig), identical libm
+    expressions both sides, rounded to 2 dp (the asin/atan2 ulp rule).
+
+    Scale: pure codegen projection, no shuffle; candidate pruning for
+    bearing-sector queries ('everything northeast') buckets on the
+    geohash prefix first like the radius op documents."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+
+    def unit(prefix: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(prefix + "|"), F.col("c_custkey").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") / F.lit(4294967295.0)
+
+    lat = unit("lat") * 160.0 - 80.0
+    lon = unit("lon") * 360.0 - 180.0
+    lat1, lon1 = F.radians(F.lit(40.7128)), F.lit(-74.0060)
+    dlon = F.radians(lon - lon1)
+    latr = F.radians(lat)
+    theta = F.degrees(
+        F.atan2(
+            F.sin(dlon) * F.cos(latr),
+            F.cos(lat1) * F.sin(latr) - F.sin(lat1) * F.cos(latr) * F.cos(dlon),
+        )
+    )
+    bearing = theta + F.when(theta < 0, 360.0).otherwise(0.0)
+    return c.select("c_custkey", F.round(bearing, 2).alias("bearing_deg"))
