@@ -1812,3 +1812,84 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.5)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
+
+
+@register(
+    "eval_decile_lift",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM scored GROUP BY decile
+    ),
+    tot AS (
+      SELECT SUM(n_pos) AS total_pos, SUM(n) AS total_n FROM per
+    )
+    SELECT decile, n, n_pos,
+           round(n_pos / CAST(n AS DOUBLE), 6) AS response_rate,
+           round((n_pos / CAST(n AS DOUBLE))
+                 / ((SELECT total_pos FROM tot)
+                    / CAST((SELECT total_n FROM tot) AS DOUBLE)), 6)
+             AS lift,
+           round(SUM(n_pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST((SELECT total_pos FROM tot) AS DOUBLE), 6)
+             AS cum_capture
+    FROM per
+    """,
+)
+def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table — THE ranking-model evaluation for targeting:
+    rows sorted by model score (here n_chars standing in for a trained
+    score — quality_train_score slots in directly), cut into deciles,
+    each reporting its positive rate, lift over the base rate, and
+    cumulative capture — 'mail the top 3 deciles, reach 60% of
+    responders' is read straight off it, which a confusion matrix
+    (eval_confusion_matrix) or AUC scalar can't give.  Ties break on
+    doc_id so the decile cut is total.
+
+    Scale (100 TB): the global NTILE is the agg_histogram_equidepth
+    sort (swap in approx cutpoints for recurring runs); everything
+    downstream is a 10-row table.  Per-model comparisons union their
+    lift tables."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").alias("total_pos"), F.sum("n").alias("total_n")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias(
+                "response_rate"
+            ),
+            F.round(
+                (F.col("n_pos") / F.col("n").cast("double"))
+                / (F.col("total_pos") / F.col("total_n").cast("double")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(wcum)
+                / F.col("total_pos").cast("double"),
+                6,
+            ).alias("cum_capture"),
+        )
+    )

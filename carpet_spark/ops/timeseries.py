@@ -1399,3 +1399,78 @@ def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("band"),
     )
+
+
+@register(
+    "ts_pacing_vs_target",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                  AS BIGINT) AS v6
+      FROM orders
+      WHERE year(o_orderdate) = 1997
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT d, v6,
+             SUM(v6) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS c6,
+             SUM(v6) OVER () AS total6,
+             ROW_NUMBER() OVER (ORDER BY d) AS day_n,
+             COUNT(*) OVER () AS n_days
+      FROM daily
+    )
+    SELECT d,
+           round(c6 / 1e6, 6) AS cum_actual,
+           round((total6 / 1e6) * day_n / n_days, 6) AS linear_target,
+           round((c6 * n_days) / (CAST(total6 AS DOUBLE) * day_n), 6)
+             AS pace_ratio
+    FROM cum
+    WHERE day_n % 30 = 0
+    """,
+)
+def ts_pacing_vs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget/quota pacing: cumulative 1997 revenue against the
+    straight-line path to the year's total, with the pace ratio
+    (>1 ahead, <1 behind) sampled every 30 active days — the
+     'are we on track' chart for any period target (here the target is
+    the realized total, making the op self-contained; swap in a planned
+    figure via a 1-row join in production).
+
+    Determinism: integer fixed-point prefix sums; the ratio divides
+    exact longs cast identically.
+
+    Scale (100 TB): facts collapse to the |days| spine; the three
+    windows share its single ordering — the bounded-axis rule.  The
+    day_n sampling bounds output; it must be applied AFTER the windows
+    (pace needs the full cumulative path)."""
+    o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(
+            (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+        ).alias("v6")
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = daily.select(
+        "d",
+        F.sum("v6").over(wc).alias("c6"),
+        F.sum("v6").over(wall).alias("total6"),
+        F.row_number().over(Window.orderBy("d")).alias("day_n"),
+        F.count(F.lit(1)).over(wall).alias("n_days"),
+    )
+    return cum.filter(F.col("day_n") % 30 == 0).select(
+        "d",
+        F.round(F.col("c6") / 1e6, 6).alias("cum_actual"),
+        F.round(
+            (F.col("total6") / 1e6) * F.col("day_n") / F.col("n_days"), 6
+        ).alias("linear_target"),
+        F.round(
+            (F.col("c6") * F.col("n_days"))
+            / (F.col("total6").cast("double") * F.col("day_n")),
+            6,
+        ).alias("pace_ratio"),
+    )

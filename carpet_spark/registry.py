@@ -228,6 +228,7 @@ _R4_QUEUE = (
     "win_cross_sectional_zscore", "agg_rank_stability_spearman",
     "ab_effect_size_cohens_d", "ab_sample_size_estimate",
     "geo_bearing_distance", "agg_rate_wilson_ci",
+    "ts_pacing_vs_target", "eval_decile_lift",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
