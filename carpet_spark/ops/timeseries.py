@@ -1474,3 +1474,90 @@ def ts_pacing_vs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pace_ratio"),
     )
+
+
+@register(
+    "ts_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    ),
+    params AS (
+      SELECT AVG(v) AS mu, STDDEV_SAMP(v) AS sigma FROM daily
+    ),
+    pref AS (
+      SELECT d, v,
+             SUM(v - (SELECT mu FROM params)
+                   - 0.5 * (SELECT sigma FROM params))
+               OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS p
+      FROM daily
+    ),
+    cusum AS (
+      SELECT d, v,
+             p - LEAST(MIN(p) OVER (ORDER BY d ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS s_plus
+      FROM pref
+    )
+    SELECT d, round(v, 6) AS v, round(s_plus, 6) AS s_plus,
+           CASE WHEN s_plus > 4.0 * (SELECT sigma FROM params)
+                THEN 1 ELSE 0 END AS drift_alarm
+    FROM cusum
+    WHERE d >= (SELECT MIN(d) FROM daily) + 5
+    """,
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection on the daily series: the classic
+    sequential test that catches SMALL persistent upward shifts long
+    before a fixed threshold fires (reference value k = σ/2, alarm at
+    4σ — standard tuning).  CUSUM's recursion S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ −
+    μ − k) looks window-inexpressible, but the closed form S⁺ₜ = Pₜ −
+    min(0, min_{j≤t} Pⱼ) over the prefix sums P turns it into TWO
+    ordinary windows — the same de-recursion trick as win_drawdown's
+    running max, so the whole detector stays in exact declarative SQL
+    on both engines (a first 5 warm-up days are withheld while μ,σ are
+    effectively in-sample).
+
+    Scale (100 TB): facts → |days| spine map-side; params are a 1-row
+    broadcast; both windows ride the bounded day axis.  Streaming CUSUM
+    = the same recursion in applyInPandasWithState
+    (stream_stateful_counter's machinery)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(lsum(F.col("value")).alias("v"))
+    params = daily.agg(
+        F.avg("v").alias("mu"), F.stddev_samp("v").alias("sigma")
+    )
+    wd = daily.join(F.broadcast(params))
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pref = wd.select(
+        "d",
+        "v",
+        "sigma",
+        F.sum(
+            F.col("v") - F.col("mu") - 0.5 * F.col("sigma")
+        ).over(wc).alias("p"),
+    )
+    # S+_t = P_t - min(0, min_{j<=t} P_j): the prefix-min MUST include the
+    # current row (P_0 = 0 enters via the least(., 0)) — a draft with the
+    # 1-PRECEDING frame produced NEGATIVE S+ and both engines agreed on
+    # it; the recursion equivalence is pinned in tests/test_edge_cases.py
+    s_plus = F.col("p") - F.least(F.min("p").over(wc), F.lit(0.0))
+    min_d = daily.agg(F.min("d").alias("d0"))
+    return (
+        pref.withColumn("s_plus", s_plus)
+        .join(F.broadcast(min_d))
+        .filter(F.col("d") >= F.date_add(F.col("d0"), 5))
+        .select(
+            "d",
+            F.round("v", 6).alias("v"),
+            F.round("s_plus", 6).alias("s_plus"),
+            F.when(F.col("s_plus") > 4.0 * F.col("sigma"), 1)
+            .otherwise(0)
+            .alias("drift_alarm"),
+        )
+    )

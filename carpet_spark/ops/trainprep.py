@@ -1392,3 +1392,44 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scaled"),
         )
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS words,
+             len(regexp_extract_all(text, '{_TOK_RE}', 1)) AS toks
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           round(SUM(toks) / CAST(SUM(words) AS DOUBLE), 6) AS fertility
+    FROM m
+    GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens divided by
+    whitespace words — the fairness metric for multilingual tokenizers
+    (a language with fertility 2× pays twice the context window and
+    twice the inference cost for the same text; vocab design reviews
+    track exactly this table).  Uses text_bpe_tokens' pre-tokenizer so
+    the two ops share one tokenization definition.
+
+    Scale (100 TB): two regexp/array projections per row, one
+    |langs|-key aggregate of exact integer sums; the ratio divides
+    identical doubles."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all("text", F.lit(_TOK_RE), F.lit(1)))
+    words = F.size(F.split("text", " "))
+    m = d.select("lang", words.alias("words"), toks.alias("toks"))
+    return m.groupBy("lang").agg(
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("toks") / F.sum("words").cast("double"), 6
+        ).alias("fertility"),
+    )

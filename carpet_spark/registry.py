@@ -229,6 +229,7 @@ _R4_QUEUE = (
     "ab_effect_size_cohens_d", "ab_sample_size_estimate",
     "geo_bearing_distance", "agg_rate_wilson_ci",
     "ts_pacing_vs_target", "eval_decile_lift",
+    "ts_cusum_drift", "text_tokenizer_fertility",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

@@ -313,3 +313,37 @@ def test_business_days_matches_bruteforce(spark, sf_dir):
         for r in rows
     )
     assert got == expected
+
+
+def test_cusum_closed_form_matches_recursion(spark, sf_dir):
+    """S+ from the two-window closed form must equal the literal CUSUM
+    recursion replayed in Python over the same daily series — the
+    second shared-formula pin (a draft with the prefix-min excluding
+    the current row went negative and both engines agreed on it)."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.exprs import lsum
+    from carpet_spark.ops.timeseries import ts_cusum_drift
+    from carpet_spark.tables import load
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(lsum(F.col("value")).alias("v"))
+        .orderBy("d")
+        .collect()
+    )
+    vs = [r["v"] for r in daily]
+    mu = sum(vs) / len(vs)
+    var = sum((x - mu) ** 2 for x in vs) / (len(vs) - 1)
+    sigma = var ** 0.5
+    s, expected = 0.0, {}
+    for r, x in zip(daily, vs):
+        s = max(0.0, s + x - mu - 0.5 * sigma)
+        expected[r["d"]] = s
+
+    got = {r["d"]: r["s_plus"] for r in ts_cusum_drift(spark, sf_dir).collect()}
+    assert got, "no rows"
+    for d, s_plus in got.items():
+        assert abs(s_plus - expected[d]) < 1e-4, (d, s_plus, expected[d])
+        assert s_plus >= 0.0
