@@ -871,3 +871,47 @@ def scan_highwatermark_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     run(mid)          # nightly run 1: everything up to the midpoint
     run(days[-1])     # nightly run 2: only the NEW days
     return spark.read.parquet(out)
+
+
+@register(
+    "scan_multiformat_union",
+    oracle="""
+    SELECT 'parquet' AS fmt, r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT 'csv', r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT 'json', r_regionkey, r_name FROM region
+    """,
+)
+def scan_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format lake read: the same table written as parquet, CSV,
+    and JSON-lines, read back through each format's reader and unioned
+    with a provenance column — the migration-period reality of every
+    lake (the old CSV feed keeps landing while the parquet path ramps),
+    where the QUERY layer must not care about the container.  The
+    identity oracle (3× the source with format tags) proves each
+    reader preserved every row and value, including the
+    CSV→schema-cast round trip.
+
+    Scale: each format scans with its own parallelism (CSV/JSON split
+    by line, parquet by row group); the union is plan-level.  The
+    documented endgame is compacting the laggard formats into parquet
+    (sink_compact_small_files) — until then this op IS the read
+    path."""
+    r = load(spark, sf_dir, "region")
+    base = _sink_path(spark, "multifmt")
+    p, cdir, jdir = (os.path.join(base, x) for x in ("p", "c", "j"))
+    r.write.mode("overwrite").parquet(p)
+    r.write.mode("overwrite").option("header", True).csv(cdir)
+    r.write.mode("overwrite").json(jdir)
+    pq = spark.read.parquet(p).select(
+        F.lit("parquet").alias("fmt"), "r_regionkey", "r_name"
+    )
+    cs = (
+        spark.read.schema(r.schema).option("header", True).csv(cdir)
+        .select(F.lit("csv").alias("fmt"), "r_regionkey", "r_name")
+    )
+    js = spark.read.schema(r.schema).json(jdir).select(
+        F.lit("json").alias("fmt"), "r_regionkey", "r_name"
+    )
+    return pq.unionByName(cs).unionByName(js)

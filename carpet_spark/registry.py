@@ -230,6 +230,7 @@ _R4_QUEUE = (
     "geo_bearing_distance", "agg_rate_wilson_ci",
     "ts_pacing_vs_target", "eval_decile_lift",
     "ts_cusum_drift", "text_tokenizer_fertility",
+    "join_record_linkage_scored", "scan_multiformat_union",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
