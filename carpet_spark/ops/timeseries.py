@@ -1561,3 +1561,173 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("drift_alarm"),
         )
     )
+
+
+@register(
+    "ts_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    ),
+    med AS (SELECT quantile_cont(v, 0.5) AS m FROM daily),
+    signs AS (
+      SELECT d, CASE WHEN v > (SELECT m FROM med) THEN 1 ELSE 0 END AS s
+      FROM daily WHERE v <> (SELECT m FROM med)
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY d) IS DISTINCT FROM s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           round(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (pow(n1 + n2, 2) * (n1 + n2 - 1))), 6) AS z_stat
+    FROM agg
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily series: count the runs of
+    above/below-median days and standardize against the expected run
+    count under randomness — too FEW runs means sticky
+    momentum/trending, too MANY means oscillation; |z| < 2 says the
+    'pattern' your eye sees in the chart is noise.  The non-parametric
+    companion to ts_autocorrelation (no linearity assumption), run on
+    model residuals to certify a fit.  Median-equal days drop per the
+    standard treatment.
+
+    Determinism: signs compare exact fixed-point values against the
+    interpolated median; runs count via the LAG flag; the z formula is
+    integer-fed arithmetic rounded at 6dp.
+
+    Scale (100 TB): bounded-day-axis windows after the map-side
+    collapse; single-row output."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(lsum(F.col("value")).alias("v"))
+    med = daily.agg(F.percentile("v", F.lit(0.5)).alias("m"))
+    signs = (
+        daily.join(F.broadcast(med))
+        .filter(F.col("v") != F.col("m"))
+        .select("d", F.when(F.col("v") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    w = Window.orderBy("d")
+    runs = signs.select(
+        "s",
+        F.when(~F.lag("s").over(w).eqNullSafe(F.col("s")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    exp_r = 2.0 * n1 * n2 / (n1 + n2) + 1
+    sd = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (F.pow(n1 + n2, 2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round(exp_r, 6).alias("expected_runs"),
+        F.round((r - exp_r) / sd, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "ts_classical_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT d, dow, v,
+             AVG(v) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND
+                          3 FOLLOWING) AS trend,
+             COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND
+                            3 FOLLOWING) AS win_n
+      FROM daily
+    ),
+    detr AS (
+      SELECT d, dow, v, trend, v - trend AS detrended
+      FROM trended WHERE win_n = 7
+    ),
+    seas AS (
+      SELECT d, v, trend, detrended,
+             AVG(detrended) OVER (PARTITION BY dow) AS seasonal
+      FROM detr
+    )
+    SELECT COUNT(*) AS n_days,
+           round(VAR_SAMP(trend), 6) AS var_trend,
+           round(VAR_SAMP(seasonal), 6) AS var_seasonal,
+           round(VAR_SAMP(detrended - seasonal), 6) AS var_residual
+    FROM seas
+    """,
+)
+def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily series — trend
+    (centered 7-day moving average, full windows only), weekly seasonal
+    (day-of-week means of the detrended values), residual (what's left)
+    — summarized as the three components' variances: the STL-lite that
+    answers 'how much of this chart is trend vs rhythm vs noise' and
+    whose residual feeds ts_runs_test / ts_control_chart_xmr for honest
+    anomaly detection (alarming on raw values means alarming on
+    Mondays).
+
+    Determinism: the centered MA runs over exact fixed-point values
+    with the partial edge windows EXCLUDED (win_n = 7), dow grouping is
+    the bijection rule, and variances round at 6dp.
+
+    Scale (100 TB): bounded day axis end to end after the map-side
+    collapse; per-series decomposition partitions every window by
+    key."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(lsum(F.col("value")).alias("v"))
+    wt = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "dow",
+        "v",
+        F.avg("v").over(wt).alias("trend"),
+        F.count(F.lit(1)).over(wt).alias("win_n"),
+    )
+    detr = trended.filter(F.col("win_n") == 7).select(
+        "d", "dow", "v", "trend", (F.col("v") - F.col("trend")).alias("detrended")
+    )
+    wdow = Window.partitionBy("dow")
+    seas = detr.select(
+        "trend",
+        "detrended",
+        F.avg("detrended").over(wdow).alias("seasonal"),
+    )
+    return seas.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.var_samp("trend"), 6).alias("var_trend"),
+        F.round(F.var_samp("seasonal"), 6).alias("var_seasonal"),
+        F.round(
+            F.var_samp(F.col("detrended") - F.col("seasonal")), 6
+        ).alias("var_residual"),
+    )

@@ -231,6 +231,7 @@ _R4_QUEUE = (
     "ts_pacing_vs_target", "eval_decile_lift",
     "ts_cusum_drift", "text_tokenizer_fertility",
     "join_record_linkage_scored", "scan_multiformat_union",
+    "ts_runs_test", "ts_classical_decompose",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
