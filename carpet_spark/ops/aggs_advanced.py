@@ -2405,3 +2405,211 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH pooled AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
+             event_id
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    counts AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n1,
+             CAST(SUM(1 - g) AS BIGINT) AS n2
+      FROM pooled
+    ),
+    cdf AS (
+      SELECT v,
+             SUM(g) OVER (ORDER BY v, event_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) / CAST((SELECT n1 FROM counts)
+               AS DOUBLE) AS f1,
+             SUM(1 - g) OVER (ORDER BY v, event_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) / CAST((SELECT n2 FROM counts)
+               AS DOUBLE) AS f2
+      FROM pooled
+    )
+    SELECT (SELECT n1 FROM counts) AS n1,
+           (SELECT n2 FROM counts) AS n2,
+           round(MAX(abs(f1 - f2)), 6) AS ks_d,
+           round(MAX(abs(f1 - f2))
+                 / (1.3581 * sqrt(((SELECT n1 FROM counts)
+                    + (SELECT n2 FROM counts))
+                    / (CAST((SELECT n1 FROM counts) AS DOUBLE)
+                       * (SELECT n2 FROM counts)))), 6) AS d_over_crit05
+    FROM cdf
+    """,
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the click and view
+    value distributions: D = max |F₁ − F₂| over the pooled sorted
+    sample, plus D relative to the 5% critical value (>1 rejects
+    equality) — the distribution-level comparison that catches shape
+    changes mean-based tests (ab_welch_ttest) are blind to, computed
+    exactly with two cumulative windows over one sorted pass (the
+    ROWS frame with the event_id tie-break makes both engines step the
+    CDFs identically through tied values; the max over all rows is the
+    supremum over step points).
+
+    Scale (100 TB): the global sort is the cost (same class as the
+    exact NTILE ops); at scale compute D on equi-depth bin boundaries
+    from approx_percentile — the binned KS loses only within-bin
+    resolution.  Output is one row."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    pooled = ev.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("g"),
+        "event_id",
+    )
+    counts = pooled.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(1 - F.col("g")).cast("long").alias("n2"),
+    )
+    w = Window.orderBy("v", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = pooled.join(F.broadcast(counts)).select(
+        "n1",
+        "n2",
+        (F.sum("g").over(w) / F.col("n1").cast("double")).alias("f1"),
+        (F.sum(1 - F.col("g")).over(w) / F.col("n2").cast("double")).alias(
+            "f2"
+        ),
+    )
+    d = F.max(F.abs(F.col("f1") - F.col("f2")))
+    crit = 1.3581 * F.sqrt(
+        (F.max("n1") + F.max("n2"))
+        / (F.max("n1").cast("double") * F.max("n2"))
+    )
+    return cdf.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.round(d, 6).alias("ks_d"),
+        F.round(d / crit, 6).alias("d_over_crit05"),
+    )
+
+
+@register(
+    "agg_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ),
+    tagged AS (
+      SELECT value,
+             CASE WHEN epoch_us(ts) < (SELECT lo + (hi - lo) // 2 FROM b)
+                  THEN 1 ELSE 2 END AS period
+      FROM events
+    ),
+    edges AS (
+      SELECT quantile_cont(value, 0.1) AS e1,
+             quantile_cont(value, 0.2) AS e2,
+             quantile_cont(value, 0.3) AS e3,
+             quantile_cont(value, 0.4) AS e4,
+             quantile_cont(value, 0.5) AS e5,
+             quantile_cont(value, 0.6) AS e6,
+             quantile_cont(value, 0.7) AS e7,
+             quantile_cont(value, 0.8) AS e8,
+             quantile_cont(value, 0.9) AS e9
+      FROM tagged WHERE period = 1
+    ),
+    binned AS (
+      SELECT t.period,
+             CASE WHEN t.value <= e.e1 THEN 1
+                  WHEN t.value <= e.e2 THEN 2
+                  WHEN t.value <= e.e3 THEN 3
+                  WHEN t.value <= e.e4 THEN 4
+                  WHEN t.value <= e.e5 THEN 5
+                  WHEN t.value <= e.e6 THEN 6
+                  WHEN t.value <= e.e7 THEN 7
+                  WHEN t.value <= e.e8 THEN 8
+                  WHEN t.value <= e.e9 THEN 9
+                  ELSE 10 END AS bin
+      FROM tagged t CROSS JOIN edges e
+    ),
+    dist AS (
+      SELECT bin,
+             SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END)
+               / CAST((SELECT COUNT(*) FROM tagged WHERE period = 1)
+                      AS DOUBLE) AS p1,
+             SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END)
+               / CAST((SELECT COUNT(*) FROM tagged WHERE period = 2)
+                      AS DOUBLE) AS p2
+      FROM binned GROUP BY bin
+    )
+    SELECT COUNT(*) AS n_bins,
+           round(SUM((p2 - p1) * ln(p2 / p1)), 6) AS psi
+    FROM dist
+    """,
+)
+def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two halves of the window:
+    decile bins FIT ON PERIOD 1 (the training-time distribution — the
+    binning must never refit, that's the monitoring contract), period-2
+    traffic scored into them, PSI = Σ(p₂−p₁)·ln(p₂/p₁) — THE
+    feature-drift gate of production ML (rule of thumb: <0.1 stable,
+    0.1–0.25 watch, >0.25 retrain).  KS (agg_ks_two_sample) asks 'are
+    they different'; PSI quantifies 'how badly, for scorecards'.
+
+    Determinism: the exact-microsecond midpoint rule; bin edges are
+    interpolated decile values both engines compute identically; bin
+    assignment is a ≤-comparison against 9 broadcast edges.
+
+    Scale (100 TB): edges come from one percentile pass over period 1
+    (sketch at scale), broadcast; binning is a projection; the PSI is a
+    10-row reduction."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    b = ev.agg(
+        (F.min(us) + F.floor((F.max(us) - F.min(us)) / 2).cast("long")).alias(
+            "mid_us"
+        )
+    )
+    tagged = ev.join(F.broadcast(b)).select(
+        "value",
+        F.when(F.unix_micros("ts") < F.col("mid_us"), 1).otherwise(2).alias(
+            "period"
+        ),
+    )
+    p1 = tagged.filter(F.col("period") == 1)
+    edges = p1.agg(
+        *[
+            F.percentile("value", F.lit(0.1 * k)).alias(f"e{k}")
+            for k in range(1, 10)
+        ]
+    )
+    binned = tagged.join(F.broadcast(edges)).select(
+        "period",
+        F.when(F.col("value") <= F.col("e1"), 1)
+        .when(F.col("value") <= F.col("e2"), 2)
+        .when(F.col("value") <= F.col("e3"), 3)
+        .when(F.col("value") <= F.col("e4"), 4)
+        .when(F.col("value") <= F.col("e5"), 5)
+        .when(F.col("value") <= F.col("e6"), 6)
+        .when(F.col("value") <= F.col("e7"), 7)
+        .when(F.col("value") <= F.col("e8"), 8)
+        .when(F.col("value") <= F.col("e9"), 9)
+        .otherwise(10)
+        .alias("bin"),
+    )
+    n1 = tagged.filter(F.col("period") == 1).count()
+    n2 = tagged.filter(F.col("period") == 2).count()
+    dist = binned.groupBy("bin").agg(
+        (
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0)) / float(n1)
+        ).alias("p1"),
+        (
+            F.sum(F.when(F.col("period") == 2, 1).otherwise(0)) / float(n2)
+        ).alias("p2"),
+    )
+    return dist.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.sum((F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))),
+            6,
+        ).alias("psi"),
+    )

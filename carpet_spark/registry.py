@@ -232,6 +232,7 @@ _R4_QUEUE = (
     "ts_cusum_drift", "text_tokenizer_fertility",
     "join_record_linkage_scored", "scan_multiformat_union",
     "ts_runs_test", "ts_classical_decompose",
+    "agg_ks_two_sample", "agg_psi_drift",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
