@@ -2613,3 +2613,66 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+    WITH cont AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS n_ij
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, dow, n_ij,
+             SUM(n_ij) OVER (PARTITION BY event_type) AS n_i,
+             SUM(n_ij) OVER (PARTITION BY dow) AS n_j,
+             SUM(n_ij) OVER () AS n
+      FROM cont
+    )
+    SELECT round(SUM((n_ij / CAST(n AS DOUBLE))
+                     * ln(n_ij * CAST(n AS DOUBLE)
+                          / (CAST(n_i AS DOUBLE) * n_j))), 6) AS mi_nats,
+           round(SUM((n_ij / CAST(n AS DOUBLE))
+                     * ln(n_ij * CAST(n AS DOUBLE)
+                          / (CAST(n_i AS DOUBLE) * n_j)))
+                 / ln(2.0), 6) AS mi_bits
+    FROM tot
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week — the
+    information-theoretic dependence measure feature selection ranks by
+    (MI = 0 ⟺ independent; unlike correlation it catches ANY
+    dependence shape, and unlike Cramér's V it is additive across a
+    feature set in the chain-rule sense).  Same contingency machinery as
+    agg_cramers_v — the two ops are the χ²-school and the
+    information-school readings of one table, worth having side by
+    side.
+
+    Scale (100 TB): the r×c contingency collapse map-side, marginal
+    windows over ≤56 cells, one-row reduction — data volume only
+    touches the first aggregate."""
+    ev = load(spark, sf_dir, "events")
+    cont = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_ij"))
+    wi = Window.partitionBy("event_type")
+    wj = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    tot = cont.select(
+        "n_ij",
+        F.sum("n_ij").over(wi).alias("n_i"),
+        F.sum("n_ij").over(wj).alias("n_j"),
+        F.sum("n_ij").over(wall).alias("n"),
+    )
+    term = (F.col("n_ij") / F.col("n").cast("double")) * F.log(
+        F.col("n_ij")
+        * F.col("n").cast("double")
+        / (F.col("n_i").cast("double") * F.col("n_j"))
+    )
+    return tot.agg(
+        F.round(F.sum(term), 6).alias("mi_nats"),
+        F.round(F.sum(term) / F.log(F.lit(2.0)), 6).alias("mi_bits"),
+    )

@@ -1433,3 +1433,66 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("toks") / F.sum("words").cast("double"), 6
         ).alias("fertility"),
     )
+
+
+@register(
+    "fn_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT tok,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 1024 AS bucket
+      FROM toks
+    ),
+    per AS (
+      SELECT bucket, COUNT(*) AS n_tokens FROM bucketed GROUP BY bucket
+    )
+    SELECT CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS vocab_size,
+           COUNT(*) AS n_buckets_used,
+           MAX(n_tokens) AS max_collisions,
+           round(SUM(CASE WHEN n_tokens > 1 THEN n_tokens ELSE 0 END)
+                 / CAST((SELECT COUNT(*) FROM toks) AS DOUBLE), 6)
+             AS collided_token_share
+    FROM per
+    """,
+)
+def fn_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick audited: map the corpus vocabulary into 1024
+    hash buckets (md5-derived — deterministic across engines, unlike
+    each engine's native hash) and report the collision profile —
+    bucket utilization, the worst pile-up, and the share of tokens that
+    share their bucket with another.  Feature hashing removes the vocab
+    dictionary from training pipelines (sklearn's HashingVectorizer /
+    VW); this op is the due-diligence that sizes 2^k against the real
+    vocabulary BEFORE collisions silently merge features.
+
+    Scale (100 TB): vocab dedup is the only shuffle (digest-width);
+    bucketing is projection; the report reduces 1024 rows.  The SAME
+    bucket expression then embeds in the training projection itself —
+    audit and transform share one definition."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 1024
+    )
+    per = toks.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    vocab = toks.agg(F.count(F.lit(1)).alias("vocab_size"))
+    return per.join(F.broadcast(vocab)).agg(
+        F.max("vocab_size").cast("long").alias("vocab_size"),
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.max("n_tokens").alias("max_collisions"),
+        F.round(
+            F.sum(
+                F.when(F.col("n_tokens") > 1, F.col("n_tokens")).otherwise(0)
+            )
+            / F.max("vocab_size").cast("double"),
+            6,
+        ).alias("collided_token_share"),
+    )

@@ -233,6 +233,7 @@ _R4_QUEUE = (
     "join_record_linkage_scored", "scan_multiformat_union",
     "ts_runs_test", "ts_classical_decompose",
     "agg_ks_two_sample", "agg_psi_drift",
+    "agg_mutual_information", "fn_feature_hashing",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
