@@ -1893,3 +1893,60 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_capture"),
         )
     )
+
+
+@register(
+    "agg_label_balance_report",
+    oracle="""
+    WITH per AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ),
+    tot AS (
+      SELECT SUM(n) AS total, MAX(n) AS maxn, MIN(n) AS minn,
+             COUNT(*) AS k
+      FROM per
+    )
+    SELECT label, n,
+           round(n / CAST((SELECT total FROM tot) AS DOUBLE), 6) AS share,
+           round((SELECT maxn FROM tot)
+                 / CAST((SELECT minn FROM tot) AS DOUBLE), 6)
+             AS imbalance_ratio,
+           round(-SUM(n / CAST((SELECT total FROM tot) AS DOUBLE)
+                      * ln(n / CAST((SELECT total FROM tot) AS DOUBLE)))
+                   OVER () / ln((SELECT k FROM tot)), 6)
+             AS normalized_entropy
+    FROM per
+    """,
+)
+def agg_label_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance audit for the training set: per-class counts and
+    shares, the max/min imbalance ratio, and normalized label entropy
+    (1 = perfectly balanced, →0 = collapsed) — the report that decides
+    whether sample_balanced_class needs to run at all and what a
+    trivial-majority baseline would score.  All three statistics ride
+    the same |labels| aggregate.
+
+    Scale (100 TB): one map-side-combined count per label; everything
+    else is arithmetic over ≤|labels| rows (the entropy window included
+    — the profile_column_entropy formula over the tiny count table)."""
+    e = load(spark, sf_dir, "embeddings")
+    per = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("maxn"),
+        F.min("n").alias("minn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    wall = Window.partitionBy()
+    p = F.col("n") / F.col("total").cast("double")
+    return per.join(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.round(p, 6).alias("share"),
+        F.round(F.col("maxn") / F.col("minn").cast("double"), 6).alias(
+            "imbalance_ratio"
+        ),
+        F.round(
+            -F.sum(p * F.log(p)).over(wall) / F.log(F.col("k")), 6
+        ).alias("normalized_entropy"),
+    )

@@ -1496,3 +1496,64 @@ def fn_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("collided_token_share"),
     )
+
+
+@register(
+    "pipeline_sft_pair_prep",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % 15 = 0
+    ),
+    cut AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             GREATEST(1, CAST(FLOOR(len(toks) * 0.6) AS BIGINT)) AS k
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+           array_to_string(list_slice(toks, 1, k), ' ') AS prompt,
+           array_to_string(list_slice(toks, k + 1, n), ' ') AS response,
+           k AS n_prompt_tok,
+           n - k AS n_response_tok,
+           CASE WHEN n > 64 THEN 1 ELSE 0 END AS needs_truncation
+    FROM cut
+    """,
+)
+def pipeline_sft_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT pair assembly: each document split into a (prompt, response)
+    continuation pair at the 60% token cut — the standard self-
+    supervised formatting for instruction-tuning data factories (real
+    pipelines swap the splitter for template extraction; the CONTRACT —
+    exact token accounting per side, a truncation flag against the
+    context budget, no empty responses — is what this op pins, because
+    silent truncation of responses is the classic SFT data bug).  Docs
+    under 2 tokens are dropped (no valid pair exists).
+
+    Scale (100 TB): pure array projection per row (slice + join — the
+    text splits once); downstream packing is pack_shards' job and
+    dedup/decontamination run BEFORE pairing so both sides of a pair
+    stay in the same decision.  The %15 filter bounds driver output."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 15 == 0)
+    toks = F.split("text", " ")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    k = F.greatest(
+        F.lit(1), F.floor(F.size("toks") * 0.6).cast("long")
+    )
+    cut = base.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("long").alias("n"),
+        k.alias("k"),
+    )
+    return cut.select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("toks"), 1, F.col("k").cast("int")), " "
+        ).alias("prompt"),
+        F.array_join(
+            F.expr("slice(toks, cast(k + 1 as int), cast(n - k as int))"), " "
+        ).alias("response"),
+        F.col("k").alias("n_prompt_tok"),
+        (F.col("n") - F.col("k")).alias("n_response_tok"),
+        F.when(F.col("n") > 64, 1).otherwise(0).alias("needs_truncation"),
+    )

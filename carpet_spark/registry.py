@@ -234,6 +234,7 @@ _R4_QUEUE = (
     "ts_runs_test", "ts_classical_decompose",
     "agg_ks_two_sample", "agg_psi_drift",
     "agg_mutual_information", "fn_feature_hashing",
+    "pipeline_sft_pair_prep", "agg_label_balance_report",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
