@@ -2084,3 +2084,80 @@ def geo_bearing_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bearing = theta + F.when(theta < 0, 360.0).otherwise(0.0)
     return c.select("c_custkey", F.round(bearing, 2).alias("bearing_deg"))
+
+
+@register(
+    "agg_segment_migration",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                      THEN CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS p1_6,
+             CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                      THEN CAST(ROUND(o_totalprice * 1000000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS p2_6
+      FROM orders GROUP BY o_custkey
+    ),
+    banded AS (
+      SELECT CASE WHEN p1_6 >= 500000000000 THEN 'high'
+                  WHEN p1_6 >= 200000000000 THEN 'mid'
+                  WHEN p1_6 > 0 THEN 'low' ELSE 'none' END AS band_from,
+             CASE WHEN p2_6 >= 500000000000 THEN 'high'
+                  WHEN p2_6 >= 200000000000 THEN 'mid'
+                  WHEN p2_6 > 0 THEN 'low' ELSE 'none' END AS band_to
+      FROM per
+    )
+    SELECT band_from, band_to, COUNT(*) AS n_customers,
+           round(COUNT(*) / CAST(SUM(COUNT(*))
+                 OVER (PARTITION BY band_from) AS DOUBLE), 6)
+             AS row_share
+    FROM banded
+    GROUP BY band_from, band_to
+    """,
+)
+def agg_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-band migration matrix between the two (order-key-
+    parity) periods: fixed revenue bands (high/mid/low/none — thresholds
+    FIXED, never refit per period, or migration conflates customer
+    movement with band movement) crossed from→to with row-normalized
+    transition shares — the upgrade/downgrade/churn flow chart CRM
+    reviews run quarterly; agg_transition_matrix is the same shape at
+    event granularity.
+
+    Scale (100 TB): one per-customer conditional-sum scan; the matrix
+    is ≤16 cells and the normalization a window over it."""
+    o = load(spark, sf_dir, "orders")
+    r6 = (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+    p1 = F.col("o_orderkey") % 2 == 0
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("p1_6"),
+        F.sum(F.when(~p1, r6).otherwise(0)).cast("long").alias("p2_6"),
+    )
+
+    def band(c):
+        return (
+            F.when(F.col(c) >= 500000000000, "high")
+            .when(F.col(c) >= 200000000000, "mid")
+            .when(F.col(c) > 0, "low")
+            .otherwise("none")
+        )
+
+    banded = per.select(
+        band("p1_6").alias("band_from"), band("p2_6").alias("band_to")
+    )
+    w = Window.partitionBy("band_from")
+    return (
+        banded.groupBy("band_from", "band_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            "band_from",
+            "band_to",
+            "n_customers",
+            F.round(
+                F.col("n_customers")
+                / F.sum("n_customers").over(w).cast("double"),
+                6,
+            ).alias("row_share"),
+        )
+    )

@@ -1950,3 +1950,72 @@ def agg_label_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum(p * F.log(p)).over(wall) / F.log(F.col("k")), 6
         ).alias("normalized_entropy"),
     )
+
+
+@register(
+    "emb_mixup_pairs",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    b AS (
+      SELECT vec_id - 1 AS join_id, embedding AS emb_b, label AS label_b
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    mixed AS (
+      SELECT a.vec_id, a.label, b.label_b,
+             list_transform(list_zip(a.embedding, b.emb_b),
+               p -> 0.7 * CAST(p[1] AS DOUBLE)
+                    + 0.3 * CAST(p[2] AS DOUBLE)) AS m
+      FROM a JOIN b ON b.join_id = a.vec_id
+    )
+    SELECT vec_id, label, label_b,
+           round(sqrt(list_sum(list_transform(m, x -> x * x))), 6)
+             AS mixed_norm,
+           round(list_sum(m), 6) AS mixed_sum
+    FROM mixed
+    WHERE vec_id % 10 = 0
+    """,
+)
+def emb_mixup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixup augmentation for embeddings: deterministic neighbor pairs
+    interpolated at α=0.7 (m = 0.7a + 0.3b, labels carried as the soft
+    pair) — the vicinal-risk augmentation that regularizes classifiers
+    trained on embedding features; same plumbing serves spherical
+    interpolation by swapping the lambda.  The hash pins scalar
+    WITNESSES of the mixed vectors (norm, coordinate sum) rather than
+    the arrays themselves (the driver canonicalizer rule).
+
+    Scale (100 TB): the pair join is an equi self-join on adjacent ids
+    (any pairing policy is just a different join key — e.g. ANN
+    neighbors from sim_knn_join_topk for manifold-aware mixup);
+    interpolation is a JVM zip_with, no Python."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding", "label"
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("join_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    m = F.zip_with(
+        "embedding",
+        "emb_b",
+        lambda x, y: 0.7 * x.cast("double") + 0.3 * y.cast("double"),
+    )
+    mixed = a.join(b, a.vec_id == b.join_id).select(
+        "vec_id", "label", "label_b", m.alias("m")
+    )
+    sq = F.aggregate(
+        F.transform("m", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return mixed.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        "label",
+        "label_b",
+        F.round(F.sqrt(sq), 6).alias("mixed_norm"),
+        F.round(
+            F.aggregate("m", F.lit(0.0), lambda acc, v: acc + v), 6
+        ).alias("mixed_sum"),
+    )

@@ -235,6 +235,7 @@ _R4_QUEUE = (
     "agg_ks_two_sample", "agg_psi_drift",
     "agg_mutual_information", "fn_feature_hashing",
     "pipeline_sft_pair_prep", "agg_label_balance_report",
+    "emb_mixup_pairs", "agg_segment_migration",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
