@@ -2019,3 +2019,159 @@ def emb_mixup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("m", F.lit(0.0), lambda acc, v: acc + v), 6
         ).alias("mixed_sum"),
     )
+
+
+@register(
+    "eval_roc_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    per AS (
+      SELECT score, COUNT(*) AS cnt,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT pos, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS s2,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           round((s2 - n_pos * (n_pos + 1))
+                 / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc,
+           round((s2 - n_pos * (n_pos + 1))
+                 / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6) AS gini
+    FROM tot
+    """,
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (and Gini = 2·AUC−1) of a score against a binary
+    label via the Mann–Whitney rank identity with midrank tie handling
+    — the scalar that eval_decile_lift's table summarizes and the
+    standard acceptance gate for a trained quality filter
+    (quality_train_score) before it is allowed to drop documents.
+    Score = n_chars, label = lang='en' (the same proxy pair the decile
+    table uses, so the two ops cross-check each other).  All arithmetic
+    stays integral until the final division: doubling the midrank
+    identity (sum over distinct scores of pos·(2·cum_before+cnt+1))
+    avoids the .5 midranks, so both engines divide the same exact
+    BIGINTs.
+
+    Scale (100 TB): grouping by distinct score is the only shuffle
+    (map-side combined); the rank prefix-sum runs over |distinct
+    scores| rows, not rows — for integer-ish scores that is tiny, and
+    for continuous scores the same op runs on a 6-dp quantization
+    exactly as sketch-based AUC estimators do."""
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            F.col("n_chars").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "pos",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    tot = ranked.agg(
+        F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("s2"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    num = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            num / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"), 6
+        ).alias("auc"),
+        F.round(
+            num / (F.col("n_pos") * F.col("n_neg")).cast("double") - 1.0, 6
+        ).alias("gini"),
+    )
+
+
+@register(
+    "eval_calibration_bins",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(n_chars) + 1 AS maxp1 FROM documents
+    ),
+    scored AS (
+      SELECT (n_chars * 1000000) // (SELECT maxp1 FROM mx) AS p6,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    binned AS (
+      SELECT p6 // 100000 AS bin, p6, label FROM scored
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           round(SUM(p6) / (COUNT(*) * 1000000.0), 6) AS mean_pred,
+           round(SUM(label) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate,
+           round(SUM(p6) / (COUNT(*) * 1000000.0)
+                 - SUM(label) / CAST(COUNT(*) AS DOUBLE), 6) AS gap
+    FROM binned
+    GROUP BY bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table: predicted probability binned
+    into ten equal-width buckets, each reporting mean predicted vs
+    observed positive rate and the gap — AUC (eval_roc_auc) says a
+    model RANKS well; this says whether its probabilities can be
+    TRUSTED as probabilities, which is what sampling-by-score
+    pipelines (quality-weighted mixing, sample_importance_weighted)
+    actually consume.  The pseudo-probability is n_chars scaled by
+    max+1, held in 6-dp fixed point via integer division (DIV / //)
+    so binning and the per-bin sums are exact integers on both
+    engines; only the final three ratios divide.
+
+    Scale (100 TB): one global max (map-side partial), one per-row
+    projection, one 10-key map-side-combined aggregate — a single
+    pass; no sort anywhere."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg((F.max("n_chars") + 1).alias("maxp1"))
+    scored = d.join(F.broadcast(mx)).select(
+        F.expr("(n_chars * 1000000) DIV maxp1").alias("p6"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    return (
+        scored.select(F.expr("p6 DIV 100000").alias("bin"), "p6", "label")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.round(F.sum("p6") / (F.count(F.lit(1)) * 1000000.0), 6).alias(
+                "mean_pred"
+            ),
+            F.round(
+                F.sum("label") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("pos_rate"),
+            F.round(
+                F.sum("p6") / (F.count(F.lit(1)) * 1000000.0)
+                - F.sum("label") / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("gap"),
+        )
+    )

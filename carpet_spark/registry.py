@@ -236,6 +236,7 @@ _R4_QUEUE = (
     "agg_mutual_information", "fn_feature_hashing",
     "pipeline_sft_pair_prep", "agg_label_balance_report",
     "emb_mixup_pairs", "agg_segment_migration",
+    "eval_roc_auc", "eval_calibration_bins",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
