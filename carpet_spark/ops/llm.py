@@ -2175,3 +2175,196 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap"),
         )
     )
+
+
+@register(
+    "eval_ndcg_at_k",
+    oracle="""
+    WITH graded AS (
+      SELECT source, doc_id, n_chars,
+             CASE WHEN lang = 'en' THEN 2
+                  WHEN lang IN ('es', 'fr', 'de') THEN 1
+                  ELSE 0 END AS rel
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS r,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY rel DESC, doc_id) AS ideal_r
+      FROM graded
+    ),
+    dcg AS (
+      SELECT source,
+             SUM(CASE WHEN r <= 10
+                 THEN (pow(2, rel) - 1) / log2(r + 1.0) ELSE 0 END) AS dcg,
+             SUM(CASE WHEN ideal_r <= 10
+                 THEN (pow(2, rel) - 1) / log2(ideal_r + 1.0) ELSE 0 END)
+               AS idcg
+      FROM ranked GROUP BY source
+    )
+    SELECT source, round(dcg, 6) AS dcg10, round(idcg, 6) AS idcg10,
+           round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 6)
+             AS ndcg10
+    FROM dcg
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per retrieval group — the ranking metric for a RAG /
+    search stack (pipeline_rag_topk produces exactly the ranked lists
+    this grades): each ``source`` is a query group whose candidates
+    are ranked by the model score (n_chars proxy), graded relevance
+    comes from the label column (en=2, other known langs=1, else 0),
+    and the realized DCG@10 is normalized by the ideal DCG from the
+    relevance-sorted permutation.  Both rankings carry doc_id
+    tie-breaks so the cut at 10 is total; the ≤10-term float sums are
+    rounded at 6 dp per the float-output rule.
+
+    Scale (100 TB): two row_number windows over the same
+    (source)-partitioned shuffle — Catalyst reuses the exchange — and
+    a per-group 10-term reduce; per-query result is one row, so a
+    billion-query eval stays one shuffle of the candidate set."""
+    d = load(spark, sf_dir, "documents")
+    rel = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang").isin("es", "fr", "de"), 1)
+        .otherwise(0)
+    )
+    graded = d.select("source", "doc_id", "n_chars", rel.alias("rel"))
+    wr = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wi = Window.partitionBy("source").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    ranked = graded.select(
+        "source",
+        "rel",
+        F.row_number().over(wr).alias("r"),
+        F.row_number().over(wi).alias("ideal_r"),
+    )
+    gain = F.pow(F.lit(2), F.col("rel")) - 1
+    dcg = ranked.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("r") <= 10, gain / F.log2(F.col("r") + 1.0)).otherwise(
+                0.0
+            )
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ideal_r") <= 10, gain / F.log2(F.col("ideal_r") + 1.0)
+            ).otherwise(0.0)
+        ).alias("idcg"),
+    )
+    return dcg.select(
+        "source",
+        F.round("dcg", 6).alias("dcg10"),
+        F.round("idcg", 6).alias("idcg10"),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("ndcg10"),
+    )
+
+
+@register(
+    "emb_nearest_centroid_assign",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS clabel, dim, AVG(v) AS mu
+      FROM ex GROUP BY label, dim
+    ),
+    d2 AS (
+      SELECT e.vec_id, e.label AS true_label, c.clabel,
+             SUM(pow(e.v - c.mu, 2)) AS d2
+      FROM ex e JOIN cent c ON c.dim = e.dim
+      GROUP BY 1, 2, 3
+    ),
+    assigned AS (
+      SELECT vec_id, true_label, clabel AS assigned_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY d2, clabel) AS rn
+      FROM d2
+    ),
+    cells AS (
+      SELECT true_label, assigned_label, COUNT(*) AS n
+      FROM assigned WHERE rn = 1
+      GROUP BY 1, 2
+    )
+    SELECT true_label, assigned_label, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY true_label)
+                 AS DOUBLE), 6) AS row_share
+    FROM cells
+    """,
+)
+def emb_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) assignment: per-label mean-embedding
+    centroids (emb_label_centroids' shape), every vector assigned to
+    its closest centroid by squared Euclidean distance with a label
+    tie-break, reported as the (true_label, assigned_label) confusion
+    rollup with per-class shares — the cheapest embedding classifier
+    and the standard purity check on labeled embedding spaces before
+    trusting them for semantic dedup or mixing.  Output cells are
+    integer counts, so engine-order float drift in the distance sums
+    cannot move the hash unless two centroids tie to ~1e-12 (labels
+    are macroscopically separated).
+
+    Scale (100 TB): centroids are a |labels|×dim aggregate (map-side
+    combined); assignment broadcasts the packed centroid arrays and
+    computes n×|labels| distances JVM-side via zip_with/aggregate —
+    no explode, no shuffle of the vectors; the argmin is a min(struct)
+    map-side-combinable aggregate keyed by vec_id."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode("emb").alias("dim0", "v")
+    )
+    cent = ex.groupBy(F.col("label").alias("clabel"), "dim0").agg(
+        F.avg("v").alias("mu")
+    )
+    packed = cent.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "mu"))),
+            lambda s: s.mu,
+        ).alias("cmu")
+    )
+    d2 = (
+        e.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "clabel",
+            F.aggregate(
+                F.zip_with("emb", "cmu", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+        )
+    )
+    assigned = (
+        d2.groupBy("vec_id", "true_label")
+        .agg(F.min(F.struct("d2", "clabel")).alias("m"))
+        .select("true_label", F.col("m.clabel").alias("assigned_label"))
+    )
+    cells = assigned.groupBy("true_label", "assigned_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("true_label")
+    return cells.select(
+        "true_label",
+        "assigned_label",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias(
+            "row_share"
+        ),
+    )

@@ -237,6 +237,7 @@ _R4_QUEUE = (
     "pipeline_sft_pair_prep", "agg_label_balance_report",
     "emb_mixup_pairs", "agg_segment_migration",
     "eval_roc_auc", "eval_calibration_bins",
+    "eval_ndcg_at_k", "emb_nearest_centroid_assign",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
