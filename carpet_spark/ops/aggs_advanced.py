@@ -2676,3 +2676,66 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 6).alias("mi_nats"),
         F.round(F.sum(term) / F.log(F.lit(2.0)), 6).alias("mi_bits"),
     )
+
+
+@register(
+    "agg_skyline_pareto",
+    oracle="""
+    WITH levels AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS level_max
+      FROM part GROUP BY p_retailprice
+    ),
+    pref AS (
+      SELECT price, level_max,
+             MAX(level_max) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cheaper_max
+      FROM levels
+    ),
+    sky_levels AS (
+      SELECT price, level_max FROM pref
+      WHERE cheaper_max IS NULL OR level_max > cheaper_max
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    JOIN sky_levels s
+      ON p.p_retailprice = s.price AND p.p_size = s.level_max
+    """,
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the parts not dominated on
+    (minimize p_retailprice, maximize p_size) — A dominates B when it
+    is no worse on both axes and strictly better on one; ties on both
+    axes keep both rows.  The classic 'best tradeoff candidates'
+    operator (cheapest-per-capability sourcing, price/performance
+    shortlists) that engines without a SKYLINE keyword express as an
+    O(n²) NOT EXISTS; here it is the 2-D linear algorithm: collapse to
+    per-price max-size levels, one strict-prefix running max ordered
+    by price, keep levels that rise above every cheaper level, then a
+    semi-join back for the witness rows.
+
+    Scale (100 TB): one map-side-combined aggregate to |distinct
+    prices| levels, one window over levels (tiny), one broadcast-able
+    join back — versus the quadratic anti-join a naive formulation
+    shuffles.  Higher dimensions fall back to the block-nested-loop
+    skyline over this op's pre-filtered frontier candidates."""
+    p = load(spark, sf_dir, "part")
+    levels = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("level_max")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    sky_levels = (
+        levels.select(
+            "price", "level_max", F.max("level_max").over(w).alias("cheaper_max")
+        )
+        .filter(
+            F.col("cheaper_max").isNull()
+            | (F.col("level_max") > F.col("cheaper_max"))
+        )
+        .select("price", "level_max")
+    )
+    return p.join(
+        F.broadcast(sky_levels),
+        (p.p_retailprice == sky_levels.price)
+        & (p.p_size == sky_levels.level_max),
+    ).select("p_partkey", "p_retailprice", "p_size")

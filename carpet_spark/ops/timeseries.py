@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import lsum
+from ..exprs import lsum, sql_lsum
 from ..registry import register
 from ..tables import load
 
@@ -1730,4 +1730,58 @@ def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.var_samp(F.col("detrended") - F.col("seasonal")), 6
         ).alias("var_residual"),
+    )
+
+
+@register(
+    "ts_trend_ols",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS x,
+             {sql_lsum('value')} AS y
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(regr_r2(y, x), 6) AS r2,
+           round(regr_intercept(y, x)
+                 + regr_slope(y, x) * (MAX(x) + 1), 6) AS next_day_fit
+    FROM daily GROUP BY event_type
+    """,
+)
+def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend fit: daily revenue per event type regressed
+    on the day index (slope/intercept/R² via the closed-form regr_*
+    aggregates) plus the one-step-ahead fitted value — the 'is this
+    metric growing and how fast' primitive under every KPI trend arrow,
+    and the linear member of the forecast family next to
+    ts_seasonal_naive_backtest and ts_ewma.  Daily sums are exact
+    fixed-point longs before the regression so both engines regress
+    identical y vectors; the regr_* outputs round at 6 dp.
+
+    Scale (100 TB): the daily rollup map-side combines to |series|×|days|
+    rows; regr_* are single-pass mergeable moment sketches over that —
+    no sort, no second shuffle, no driver collect."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+        )
+        .agg(lsum(F.col("value")).alias("y"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        F.round(
+            F.regr_intercept("y", "x")
+            + F.regr_slope("y", "x") * (F.max("x") + 1),
+            6,
+        ).alias("next_day_fit"),
     )

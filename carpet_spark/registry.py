@@ -238,6 +238,7 @@ _R4_QUEUE = (
     "emb_mixup_pairs", "agg_segment_migration",
     "eval_roc_auc", "eval_calibration_bins",
     "eval_ndcg_at_k", "emb_nearest_centroid_assign",
+    "ts_trend_ols", "agg_skyline_pareto",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
