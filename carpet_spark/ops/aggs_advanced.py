@@ -2739,3 +2739,168 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p.p_retailprice == sky_levels.price)
         & (p.p_size == sky_levels.level_max),
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@register(
+    "dq_cross_field_rules",
+    oracle="""
+    WITH r1 AS (
+      SELECT 'ship_before_order' AS rule,
+             COUNT(*) AS n_checked,
+             CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    r2 AS (
+      SELECT 'discount_out_of_band' AS rule,
+             COUNT(*) AS n_checked,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lineitem
+    ),
+    r3 AS (
+      SELECT 'nonpositive_extendedprice' AS rule,
+             COUNT(*) AS n_checked,
+             CAST(SUM(CASE WHEN l_extendedprice <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lineitem
+    ),
+    r4 AS (
+      SELECT 'bad_order_status' AS rule,
+             COUNT(*) AS n_checked,
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM orders
+    ),
+    allr AS (
+      SELECT * FROM r1 UNION ALL SELECT * FROM r2
+      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+    )
+    SELECT rule, n_checked, n_violations,
+           round(n_violations / CAST(n_checked AS DOUBLE), 6)
+             AS violation_rate
+    FROM allr
+    """,
+)
+def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency rulepack — the DQ checks single-column
+    profiling (dq_expectations) cannot see: a line shipped before its
+    order was placed (needs the orders join), discounts outside the
+    contractual [0, 0.5] band, non-positive prices, and order statuses
+    outside the enum — one row per rule with checked/violation counts
+    and the rate, the shape a DQ dashboard ingests directly.
+
+    Scale (100 TB): each rule is a map-side-combined conditional
+    count over one scan; the only join keys lineitem to orders on
+    orderkey (the co-partitioned fact-fact join join_bucketed
+    pre-buckets at scale).  Rules union as 1-row frames — adding a
+    rule never adds a pass over the data it does not touch."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def pack(rule: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
+    rules = (
+        pack(
+            "ship_before_order",
+            joined,
+            F.col("l_shipdate") < F.col("o_orderdate"),
+        )
+        .unionAll(
+            pack(
+                "discount_out_of_band",
+                l,
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+            )
+        )
+        .unionAll(
+            pack(
+                "nonpositive_extendedprice", l, F.col("l_extendedprice") <= 0
+            )
+        )
+        .unionAll(
+            pack(
+                "bad_order_status",
+                o,
+                ~F.col("o_orderstatus").isin("F", "O", "P"),
+            )
+        )
+    )
+    return rules.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(
+            F.col("n_violations") / F.col("n_checked").cast("double"), 6
+        ).alias("violation_rate"),
+    )
+
+
+@register(
+    "dq_rowcount_anomaly_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT d, n,
+             AVG(n) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS avg7,
+             STDDEV_SAMP(n) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd7,
+             COUNT(*) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_hist
+      FROM daily
+    )
+    SELECT d, n, round(avg7, 6) AS avg7,
+           CASE WHEN n_hist >= 7 AND sd7 > 0
+                THEN round((n - avg7) / sd7, 6) END AS z,
+           CASE WHEN n_hist >= 7 AND sd7 > 0
+                     AND abs((n - avg7) / sd7) > 2.0
+                THEN 1 ELSE 0 END AS anomaly
+    FROM scored
+    """,
+)
+def dq_rowcount_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly monitor: each day's event row count scored
+    against the trailing 7-day mean/stddev (current day excluded so an
+    anomalous day cannot vote on itself), z beyond ±2 flagged — the
+    'did ingestion break last night' check every pipeline runs before
+    trusting downstream aggregates, complementing dq_freshness_sla
+    (is data late) with is-data-COMPLETE.  Warm-up days with under 7
+    history rows emit NULL z and no flag rather than a junk score.
+
+    Scale (100 TB): the daily rollup map-side combines to |days| rows;
+    the trailing window runs over that tiny frame.  Per-source
+    monitoring adds the source key to both the rollup and the window
+    partition — same two-step shape."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    scored = daily.select(
+        "d",
+        "n",
+        F.avg("n").over(w).alias("avg7"),
+        F.stddev_samp("n").over(w).alias("sd7"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    ok = (F.col("n_hist") >= 7) & (F.col("sd7") > 0)
+    z = (F.col("n") - F.col("avg7")) / F.col("sd7")
+    return scored.select(
+        "d",
+        "n",
+        F.round("avg7", 6).alias("avg7"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok & (F.abs(z) > 2.0), 1).otherwise(0).alias("anomaly"),
+    )

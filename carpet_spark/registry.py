@@ -239,6 +239,7 @@ _R4_QUEUE = (
     "eval_roc_auc", "eval_calibration_bins",
     "eval_ndcg_at_k", "emb_nearest_centroid_assign",
     "ts_trend_ols", "agg_skyline_pareto",
+    "dq_cross_field_rules", "dq_rowcount_anomaly_daily",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
