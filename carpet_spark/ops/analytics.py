@@ -2161,3 +2161,154 @@ def agg_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_share"),
         )
     )
+
+
+@register(
+    "ab_two_proportion_ztest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS x
+      FROM per_user GROUP BY variant
+    ),
+    paired AS (
+      SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+      FROM (SELECT * FROM arms WHERE variant = 0) a
+      CROSS JOIN (SELECT * FROM arms WHERE variant = 1) b
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           round(x_a / CAST(n_a AS DOUBLE), 6) AS p_a,
+           round(x_b / CAST(n_b AS DOUBLE), 6) AS p_b,
+           CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+                THEN round((x_a / CAST(n_a AS DOUBLE)
+                            - x_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - (x_a + x_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+    FROM paired
+    """,
+)
+def ab_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on conversion rates — the other
+    half of the experimentation toolkit next to ab_welch_ttest (which
+    compares MEANS): users split into arms by id parity, per-user
+    conversion = any purchase event, and the arms' rates compared with
+    the pooled-variance z statistic that every A/B dashboard's
+    'significant?' badge computes.  Per-user dedup first (MAX of the
+    indicator) so multi-purchase users cannot double-vote; all counts
+    stay integers until the three final divisions, and a degenerate
+    pool (0% or 100%) emits NULL z instead of dividing by zero.
+
+    Scale (100 TB): one user-keyed map-side-combined aggregate (the
+    heavy step, linear in events), then a 2-row arms table crossed —
+    adding arms or metrics widens the tiny side only."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("x"),
+    )
+    a = arms.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = arms.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    paired = a.crossJoin(b)
+    p_a = F.col("x_a") / F.col("n_a").cast("double")
+    p_b = F.col("x_b") / F.col("n_b").cast("double")
+    pool = (F.col("x_a") + F.col("x_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return paired.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.when(
+            (F.col("x_a") + F.col("x_b") > 0)
+            & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+            F.round(z, 6),
+        ).alias("z"),
+    )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           COUNT(*) AS n, round(corr(l_quantity, l_extendedprice), 6) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', COUNT(*),
+           round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax', COUNT(*),
+           round(corr(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', COUNT(*),
+           round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax', COUNT(*),
+           round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', 'l_tax', COUNT(*),
+           round(corr(l_discount, l_tax), 6) FROM lineitem
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    (quantity, extendedprice, discount, tax) — the first exploratory
+    profile on any new numeric table and the multicollinearity check
+    before pipeline_training_set_features feeds a linear model; upper
+    triangle only, emitted as tidy (col_a, col_b, n, r) rows rather
+    than a wide matrix so |cols| can grow without schema changes.
+
+    Scale (100 TB): ONE pass — all six corr() sketches accumulate in
+    the same partial aggregate over a single scan (Catalyst collapses
+    them), then the 1-row result explodes into the tidy rows; the
+    UNION ALL oracle re-reads per pair but Spark does not."""
+    l = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.round(F.corr(a, b), 6).alias(f"r_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    one = l.agg(*aggs)
+    tidy = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n").alias("n"),
+                    F.col(f"r_{i}").alias("r"),
+                )
+                for i, (a, b) in enumerate(pairs)
+            ]
+        )
+    )
+    return one.select(tidy.alias("cell")).select(
+        "cell.col_a", "cell.col_b", "cell.n", "cell.r"
+    )

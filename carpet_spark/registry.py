@@ -240,6 +240,7 @@ _R4_QUEUE = (
     "eval_ndcg_at_k", "emb_nearest_centroid_assign",
     "ts_trend_ols", "agg_skyline_pareto",
     "dq_cross_field_rules", "dq_rowcount_anomaly_daily",
+    "ab_two_proportion_ztest", "agg_corr_matrix",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
