@@ -1557,3 +1557,149 @@ def pipeline_sft_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("k")).alias("n_response_tok"),
         F.when(F.col("n") > 64, 1).otherwise(0).alias("needs_truncation"),
     )
+
+
+@register(
+    "sample_importance_weighted",
+    oracle="""
+    WITH mx AS (SELECT MAX(n_chars) + 1 AS maxp1 FROM documents),
+    scored AS (
+      SELECT doc_id, n_chars,
+             (n_chars * 1000000) // (SELECT maxp1 FROM mx) AS p6,
+             (('0x' || substr(md5('iw|' || doc_id), 1, 8))::BIGINT)
+               % 1000000 AS u6
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           round(p6 / 1000000.0, 6) AS accept_p,
+           round(1000000.0 / p6, 6) AS inv_weight
+    FROM scored WHERE u6 < p6
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance-weighted Bernoulli sampling: each doc
+    accepted with probability proportional to its weight (n_chars /
+    max — a length-proportional token-budget sampler; swap in a
+    quality score unchanged), decided by comparing a seeded
+    md5-uniform draw against the weight in 6-dp fixed point — both the
+    acceptance probability and the uniform are INTEGERS, so the accept
+    set is bit-identical on any engine, any partitioning, any rerun
+    (the property sample_seeded's RNG cannot give).  Survivors carry
+    1/p as the Horvitz–Thompson inverse weight so downstream sums
+    stay unbiased.
+
+    Scale (100 TB): pure per-row projection + filter after one
+    broadcast scalar (max); no shuffle, no state — the sampler
+    composes into any scan."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg((F.max("n_chars") + 1).alias("maxp1"))
+    scored = d.join(F.broadcast(mx)).select(
+        "doc_id",
+        "n_chars",
+        F.expr("(n_chars * 1000000) DIV maxp1").alias("p6"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("iw|"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        ).alias("u6"),
+    )
+    return scored.filter(F.col("u6") < F.col("p6")).select(
+        "doc_id",
+        "n_chars",
+        F.round(F.col("p6") / 1000000.0, 6).alias("accept_p"),
+        F.round(F.lit(1000000.0) / F.col("p6"), 6).alias("inv_weight"),
+    )
+
+
+@register(
+    "agg_token_budget_allocation",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(avail) AS BIGINT) AS total,
+             CAST(SUM(avail) // 2 AS BIGINT) AS budget
+      FROM per
+    ),
+    base AS (
+      SELECT p.source, p.avail, t.budget,
+             CAST((p.avail * t.budget) // t.total AS BIGINT) AS fl,
+             CAST((p.avail * t.budget) % t.total AS BIGINT) AS rem
+      FROM per p CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rn,
+             CAST(SUM(fl) OVER () AS BIGINT) AS sumfl
+      FROM base
+    )
+    SELECT source, avail AS avail_tokens,
+           fl + CASE WHEN rn <= budget - sumfl THEN 1 ELSE 0 END
+             AS alloc_tokens,
+           round((fl + CASE WHEN rn <= budget - sumfl THEN 1 ELSE 0 END)
+                 / CAST(budget AS DOUBLE), 6) AS alloc_share
+    FROM ranked
+    """,
+)
+def agg_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across corpus sources: a global budget
+    (half the available tokens here) split proportionally to each
+    source's whitespace-token supply using LARGEST-REMAINDER rounding,
+    so the integer allocations sum EXACTLY to the budget — the 'how
+    many tokens do we take from each source' planning step a pretrain
+    data mix starts from (sample_domain_mix then enforces the chosen
+    rates row-wise).  Everything is integer arithmetic: floor shares
+    via integer division, the leftover distributed to the largest
+    remainders with a source-name tie-break.
+
+    Scale (100 TB): the token supply is one map-side-combined
+    aggregate over the corpus scan; allocation runs on the |sources|-
+    row table (window over a broadcast-size frame).  avail×budget
+    products need int128/decimal beyond ~9e18 — DuckDB's HUGEINT does
+    this natively; the Spark side documents a decimal(38,0) fallback."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail")
+    )
+    tot = per.agg(
+        F.sum("avail").cast("long").alias("total"),
+        F.expr("CAST(SUM(avail) DIV 2 AS BIGINT)").alias("budget"),
+    )
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        "budget",
+        F.expr("(avail * budget) DIV total").alias("fl"),
+        ((F.col("avail") * F.col("budget")) % F.col("total")).alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), F.col("source"))
+    wall = Window.partitionBy()
+    ranked = base.select(
+        "source",
+        "avail",
+        "budget",
+        "fl",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("fl").over(wall).cast("long").alias("sumfl"),
+    )
+    alloc = F.col("fl") + F.when(
+        F.col("rn") <= F.col("budget") - F.col("sumfl"), 1
+    ).otherwise(0)
+    return ranked.select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("budget").cast("double"), 6).alias(
+            "alloc_share"
+        ),
+    )

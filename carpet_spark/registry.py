@@ -241,6 +241,7 @@ _R4_QUEUE = (
     "ts_trend_ols", "agg_skyline_pareto",
     "dq_cross_field_rules", "dq_rowcount_anomaly_daily",
     "ab_two_proportion_ztest", "agg_corr_matrix",
+    "sample_importance_weighted", "agg_token_budget_allocation",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
