@@ -2368,3 +2368,154 @@ def emb_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                  x -> list_contains({list(_STOPWORDS)}, x))) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+               AS BIGINT) AS n_sym
+      FROM documents
+    ),
+    flags AS (
+      SELECT CASE WHEN n_tok < 30 OR n_tok > 500 THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN n_chars < 3 * n_tok OR n_chars > 12 * n_tok
+                  THEN 1 ELSE 0 END AS f_mwl,
+             CASE WHEN 20 * n_stop < n_tok THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN 10 * n_distinct < 3 * n_tok THEN 1 ELSE 0 END
+               AS f_rep,
+             CASE WHEN 10 * n_sym > n_chars THEN 1 ELSE 0 END AS f_sym
+      FROM feats
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(f_wc) AS BIGINT) AS word_count_band,
+             CAST(SUM(f_mwl) AS BIGINT) AS mean_word_len_band,
+             CAST(SUM(f_stop) AS BIGINT) AS stopword_floor,
+             CAST(SUM(f_rep) AS BIGINT) AS repetition_distinct,
+             CAST(SUM(f_sym) AS BIGINT) AS symbol_ratio_cap,
+             CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_rep + f_sym = 0
+                      THEN 0 ELSE 1 END) AS BIGINT) AS any_rule
+      FROM flags
+    ),
+    tidy AS (
+      SELECT 'word_count_band' AS rule, word_count_band AS n_failed,
+             n_docs FROM agg
+      UNION ALL SELECT 'mean_word_len_band', mean_word_len_band, n_docs
+        FROM agg
+      UNION ALL SELECT 'stopword_floor', stopword_floor, n_docs FROM agg
+      UNION ALL SELECT 'repetition_distinct', repetition_distinct, n_docs
+        FROM agg
+      UNION ALL SELECT 'symbol_ratio_cap', symbol_ratio_cap, n_docs FROM agg
+      UNION ALL SELECT 'any_rule', any_rule, n_docs FROM agg
+    )
+    SELECT rule, n_failed, n_docs,
+           round(n_failed / CAST(n_docs AS DOUBLE), 6) AS fail_rate
+    FROM tidy
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality rulepack — the published pretraining
+    heuristics (word-count band, mean-word-length band, stopword
+    floor, distinct-token repetition filter, symbol-ratio cap) as ONE
+    scan reporting per-rule failure counts plus the combined any-rule
+    kill rate, the triage report run before spending money on learned
+    scoring (quality_train_score); thresholds rescaled to the fixture
+    corpus so both populations are non-trivial.  Every rule compares
+    cross-multiplied INTEGERS (20·stop ≥ tok, not stop/tok ≥ 0.05) —
+    no ratio is ever materialized as a float, so the hash cannot drift.
+
+    Scale (100 TB): per-doc flags are pure projection; the rollup is
+    a 1-row aggregate exploded to tidy rows — one pass, no shuffle of
+    documents."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    feats = d.select(
+        F.size(toks).cast("long").alias("n_tok"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    flags = feats.select(
+        F.when((F.col("n_tok") < 30) | (F.col("n_tok") > 500), 1)
+        .otherwise(0)
+        .alias("f_wc"),
+        F.when(
+            (F.col("n_chars") < 3 * F.col("n_tok"))
+            | (F.col("n_chars") > 12 * F.col("n_tok")),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_mwl"),
+        F.when(20 * F.col("n_stop") < F.col("n_tok"), 1)
+        .otherwise(0)
+        .alias("f_stop"),
+        F.when(10 * F.col("n_distinct") < 3 * F.col("n_tok"), 1)
+        .otherwise(0)
+        .alias("f_rep"),
+        F.when(10 * F.col("n_sym") > F.col("n_chars"), 1)
+        .otherwise(0)
+        .alias("f_sym"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("word_count_band"),
+        F.sum("f_mwl").cast("long").alias("mean_word_len_band"),
+        F.sum("f_stop").cast("long").alias("stopword_floor"),
+        F.sum("f_rep").cast("long").alias("repetition_distinct"),
+        F.sum("f_sym").cast("long").alias("symbol_ratio_cap"),
+        F.sum(
+            F.when(
+                F.col("f_wc")
+                + F.col("f_mwl")
+                + F.col("f_stop")
+                + F.col("f_rep")
+                + F.col("f_sym")
+                == 0,
+                0,
+            ).otherwise(1)
+        )
+        .cast("long")
+        .alias("any_rule"),
+    )
+    rules = (
+        "word_count_band",
+        "mean_word_len_band",
+        "stopword_floor",
+        "repetition_distinct",
+        "symbol_ratio_cap",
+        "any_rule",
+    )
+    tidy = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("rule"), F.col(r).alias("n_failed")
+                )
+                for r in rules
+            ]
+        )
+    )
+    return agg.select(tidy.alias("cell"), "n_docs").select(
+        "cell.rule",
+        "cell.n_failed",
+        "n_docs",
+        F.round(
+            F.col("cell.n_failed") / F.col("n_docs").cast("double"), 6
+        ).alias("fail_rate"),
+    )

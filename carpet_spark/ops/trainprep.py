@@ -1703,3 +1703,145 @@ def agg_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alloc_share"
         ),
     )
+
+
+@register(
+    "dq_sft_format_check",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    cut AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             GREATEST(1, CAST(FLOOR(len(toks) * 0.6) AS BIGINT)) AS k
+      FROM t
+    ),
+    pairs AS (
+      SELECT doc_id, n, k,
+             array_to_string(toks[1:k], ' ') AS prompt,
+             array_to_string(toks[k+1:n], ' ') AS completion
+      FROM cut
+    ),
+    flags AS (
+      SELECT CASE WHEN completion = '' THEN 1 ELSE 0 END AS f_empty,
+             CASE WHEN k > 400 THEN 1 ELSE 0 END AS f_long,
+             CASE WHEN completion <> ''
+                       AND position(completion IN prompt) > 0
+                  THEN 1 ELSE 0 END AS f_echo,
+             CASE WHEN n < 2 THEN 1 ELSE 0 END AS f_short
+      FROM pairs
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_pairs,
+             CAST(SUM(f_empty) AS BIGINT) AS empty_completion,
+             CAST(SUM(f_long) AS BIGINT) AS prompt_too_long,
+             CAST(SUM(f_echo) AS BIGINT) AS completion_echoes_prompt,
+             CAST(SUM(f_short) AS BIGINT) AS too_few_tokens,
+             CAST(SUM(CASE WHEN f_empty + f_long + f_echo + f_short = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS pair_ok
+      FROM flags
+    ),
+    tidy AS (
+      SELECT 'empty_completion' AS chk, empty_completion AS n_flagged,
+             n_pairs FROM agg
+      UNION ALL SELECT 'prompt_too_long', prompt_too_long, n_pairs FROM agg
+      UNION ALL SELECT 'completion_echoes_prompt', completion_echoes_prompt,
+        n_pairs FROM agg
+      UNION ALL SELECT 'too_few_tokens', too_few_tokens, n_pairs FROM agg
+      UNION ALL SELECT 'pair_ok', pair_ok, n_pairs FROM agg
+    )
+    SELECT chk, n_flagged, n_pairs,
+           round(n_flagged / CAST(n_pairs AS DOUBLE), 6) AS rate
+    FROM tidy
+    """,
+)
+def dq_sft_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format gate for SFT pairs: rebuilds the prompt/completion split
+    pipeline_sft_pair_prep ships (first 60% of tokens → prompt, rest →
+    completion) over the FULL corpus and counts the malformed pairs a
+    fine-tune loader must reject — empty completions, over-long
+    prompts, completions textually contained in their prompt (echo
+    pairs teach copying), and under-length docs — plus the surviving
+    pair_ok count.  The checks the prep op's %15 demo sample cannot
+    see at population scale.
+
+    Scale (100 TB): pure projection + one 1-row aggregate exploded to
+    tidy rows; the substring containment is per-row instr(), no
+    join."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    cut = d.select(
+        F.col("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n"),
+        F.greatest(
+            F.lit(1), F.floor(F.size(toks) * 0.6).cast("long")
+        ).alias("k"),
+    )
+    pairs = cut.select(
+        "n",
+        "k",
+        F.array_join(F.slice("toks", 1, F.col("k")), " ").alias("prompt"),
+        F.array_join(
+            F.slice(
+                "toks",
+                (F.col("k") + 1).cast("int"),
+                (F.col("n") - F.col("k")).cast("int"),
+            ),
+            " ",
+        ).alias("completion"),
+    )
+    flags = pairs.select(
+        F.when(F.col("completion") == "", 1).otherwise(0).alias("f_empty"),
+        F.when(F.col("k") > 400, 1).otherwise(0).alias("f_long"),
+        F.when(
+            (F.col("completion") != "")
+            & (F.expr("instr(prompt, completion)") > 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("f_echo"),
+        F.when(F.col("n") < 2, 1).otherwise(0).alias("f_short"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("f_empty").cast("long").alias("empty_completion"),
+        F.sum("f_long").cast("long").alias("prompt_too_long"),
+        F.sum("f_echo").cast("long").alias("completion_echoes_prompt"),
+        F.sum("f_short").cast("long").alias("too_few_tokens"),
+        F.sum(
+            F.when(
+                F.col("f_empty")
+                + F.col("f_long")
+                + F.col("f_echo")
+                + F.col("f_short")
+                == 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pair_ok"),
+    )
+    checks = (
+        "empty_completion",
+        "prompt_too_long",
+        "completion_echoes_prompt",
+        "too_few_tokens",
+        "pair_ok",
+    )
+    tidy = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("chk"), F.col(c).alias("n_flagged"))
+                for c in checks
+            ]
+        )
+    )
+    return agg.select(tidy.alias("cell"), "n_pairs").select(
+        "cell.chk",
+        "cell.n_flagged",
+        "n_pairs",
+        F.round(
+            F.col("cell.n_flagged") / F.col("n_pairs").cast("double"), 6
+        ).alias("rate"),
+    )

@@ -242,6 +242,7 @@ _R4_QUEUE = (
     "dq_cross_field_rules", "dq_rowcount_anomaly_daily",
     "ab_two_proportion_ztest", "agg_corr_matrix",
     "sample_importance_weighted", "agg_token_budget_allocation",
+    "quality_gopher_rules", "dq_sft_format_check",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
