@@ -430,3 +430,111 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("u").asc(), F.col("w").asc()
     ).limit(25)
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 20 = 0
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT DISTINCT pa AS src, pb AS dst FROM pairs
+      UNION SELECT DISTINCT pb, pa FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    labeled AS (
+      SELECT node, MIN(r) AS component_rep FROM reach GROUP BY node
+    )
+    SELECT node, component_rep,
+           COUNT(*) OVER (PARTITION BY component_rep) AS component_size
+    FROM labeled
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone connected components over the part co-purchase graph
+    (sampled parts are adjacent when they appear in the same order) —
+    the generic CC operator that dedup_clusters embeds for its
+    similarity graph, exposed for any edge set: substitute shared
+    devices, shared payment instruments, or citation links and the
+    same loop yields fraud rings / identity clusters / dedup groups.
+    Each node reports its component's min-id representative and the
+    component size; isolated nodes are their own singleton component
+    (the closure oracle covers them via the node self-seed).
+
+    Scale (100 TB): iterative min-label propagation — per round one
+    edge⋈label shuffle and a map-side-combined min, converging in
+    O(diameter) rounds with localCheckpoint lineage cuts and a hard
+    non-convergence error; the driver sees one count per round, never
+    rows.  The recursive-CTE closure oracle is viable only on the
+    bounded fixture; at scale only the loop survives."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        li.select(F.col("l_partkey").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for rnd in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            "graph_connected_components: no convergence in 20 rounds"
+        )
+    from pyspark.sql import Window as _W
+
+    wc = _W.partitionBy("component_rep")
+    return labels.select(
+        "node", F.col("label").alias("component_rep")
+    ).withColumn("component_size", F.count(F.lit(1)).over(wc))

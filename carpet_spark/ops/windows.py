@@ -653,3 +653,90 @@ def win_cross_sectional_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zs")) >= 2.0)
         .select("c_nationkey", "o_custkey", F.round("zs", 6).alias("z"))
     )
+
+
+@register(
+    "win_rolling_regression_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS x,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS y6
+      FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT event_type, x, y6,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y6) OVER w AS BIGINT) AS sy,
+             CAST(SUM(x * y6) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY x
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, x, round(y6 / 1000000.0, 6) AS daily_value,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                THEN round((n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * 1000000.0), 6)
+           END AS slope14
+    FROM sums
+    """,
+)
+def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day OLS slope per series — ts_trend_ols fits ONE
+    line per series; this fits a line per DAY over the trailing
+    window, the local-trend signal momentum dashboards and adaptive
+    alerting use (slope sign flips mark inflection days).  Computed
+    from the closed-form normal equations over window sums where
+    every sum is an exact fixed-point integer (y in 1e-6 units, x a
+    day index): numerator and denominator are exact on both engines
+    and only the final division is float, rounded at 6 dp.  Warm-up
+    rows with n<2 emit NULL.  Long-sum bound: n·Σxy needs
+    |Σvalue|·days ≲ 9.2e12 — decimal accumulators beyond.
+
+    Scale (100 TB): daily rollup map-side combines to |series|×|days|
+    rows; the five window sums share one (series)-partitioned frame
+    over that tiny table — no per-event window, no second shuffle."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+    ).agg(
+        F.sum(
+            (
+                F.signum("value")
+                * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("y6")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(-13, 0)
+    )
+    sums = daily.select(
+        "event_type",
+        "x",
+        "y6",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y6").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y6")).over(w).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "event_type",
+        "x",
+        F.round(F.col("y6") / 1000000.0, 6).alias("daily_value"),
+        F.when(
+            (F.col("n") >= 2) & (den != 0),
+            F.round(num / (den * 1000000.0), 6),
+        ).alias("slope14"),
+    )

@@ -243,6 +243,7 @@ _R4_QUEUE = (
     "ab_two_proportion_ztest", "agg_corr_matrix",
     "sample_importance_weighted", "agg_token_budget_allocation",
     "quality_gopher_rules", "dq_sft_format_check",
+    "graph_connected_components", "win_rolling_regression_slope",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
