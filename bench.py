@@ -91,6 +91,77 @@ def _plan_fingerprint(df) -> str:
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
 
+def _sort_bracket_segments(s: str) -> str:
+    """Canonicalize attribute ORDER inside every bracketed list.
+
+    Spark's RewriteDistinctAggregates (and any rule that iterates an
+    AttributeSet/ExpressionSet) emits grouping/Expand/partitioning
+    attribute lists in exprId-hash order, which varies with how many
+    expressions the JVM session allocated earlier — the plan SHAPE is
+    identical but `key=[a#, b#]` vs `key=[b#, a#]` flips the legacy
+    fingerprint (observed: profile_table's 4-column distinct rewrite).
+    Sorting the top-level comma segments of every [..] / (..) region
+    makes the fingerprint order-insensitive while still moving on any
+    real change (extra exchange, different operator, changed key SET,
+    lost pushdown)."""
+
+    def canon(text: str, i: int, closer: str) -> tuple[str, int]:
+        segs, cur = [], []
+        while i < len(text):
+            c = text[i]
+            if c in "([":
+                inner, i = canon(text, i + 1, ")" if c == "(" else "]")
+                cur.append(c + inner + (")" if c == "(" else "]"))
+            elif c == closer:
+                segs.append("".join(cur))
+                return ",".join(sorted(segs)), i + 1
+            elif c in ")]":  # unbalanced stray closer: treat literally
+                cur.append(c)
+                i += 1
+            elif c == ",":
+                segs.append("".join(cur))
+                cur = []
+                i += 1
+            else:
+                cur.append(c)
+                i += 1
+        segs.append("".join(cur))
+        return ",".join(sorted(segs)) if closer else "".join(segs), i
+
+    out_lines = []
+    for line in s.splitlines():
+        done, i = [], 0
+        while i < len(line):
+            c = line[i]
+            if c in "([":
+                inner, i = canon(line, i + 1, ")" if c == "(" else "]")
+                done.append(c + inner + (")" if c == "(" else "]"))
+            else:
+                done.append(c)
+                i += 1
+        out_lines.append("".join(done))
+    return "\n".join(out_lines)
+
+
+def _plan_fingerprint_v2(df) -> str:
+    """Order-insensitive plan fingerprint: the legacy normalization plus
+    bracket-segment sorting (see _sort_bracket_segments).  PLANS.json pins
+    v2 from r03 on; bench.py keeps emitting the legacy value alongside so
+    BENCH_r03 stays comparable with BENCH_r02's baseline fingerprints."""
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[A-Z]*", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"(file|hdfs|s3a?):[^,\]\s\)]+", r"\1:", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"\b\d+(\.\d+)?\s*(B|KiB|MiB|GiB)\b", "", s)
+    s = re.sub(r"\S*\.\.\.", "...", s)
+    s = re.sub(r"\b(b_\w+?_)[0-9a-f]{12}\b", r"\1", s)
+    s = re.sub(r"(\w+?)_\d+#", r"\1#", s)
+    s = _sort_bracket_segments(s)
+    return hashlib.sha256(s.encode()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
@@ -102,6 +173,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     plans: dict[str, str] = {}
+    plans_v2: dict[str, str] = {}
     for name, op_id in HEADLINE.items():
         fn = REGISTRY[op_id].fn
         # BASELINE.md methodology: warm measurements only — the first full
@@ -116,6 +188,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         plans[name] = _plan_fingerprint(fn(spark, sf_dir))
+        plans_v2[name] = _plan_fingerprint_v2(fn(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -127,6 +200,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "plans": plans,
+                "plans_v2": plans_v2,
                 "load1": load1,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

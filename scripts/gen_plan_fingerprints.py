@@ -11,6 +11,13 @@ change to explain in the commit that moved it.
 Ops whose builders EXECUTE work eagerly (sink roundtrips, iterative
 graph/ANN training) still fingerprint their final returned plan; builders
 that fail (e.g. env-gated) record "ERROR:<type>".
+
+r03 upgrade: pins the ORDER-INSENSITIVE v2 fingerprint
+(bench._plan_fingerprint_v2).  The legacy fingerprint flips when Spark's
+RewriteDistinctAggregates emits grouping lists in exprId-hash order
+(session-allocation dependent — observed on profile_table); v2 sorts
+bracket segments so only real shape changes move it.  One-time full
+rebaseline: every value changed at the v2 switch, by construction.
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _plan_fingerprint
+from bench import _plan_fingerprint_v2
 from carpet_spark.registry import REGISTRY
 from carpet_spark.session import get_spark
 
@@ -39,7 +46,7 @@ def main() -> None:
             # every op against a cache-clean session so the regen is
             # order-independent and reproducible.
             spark.catalog.clearCache()
-            out[name] = _plan_fingerprint(REGISTRY[name].fn(spark, SF))
+            out[name] = _plan_fingerprint_v2(REGISTRY[name].fn(spark, SF))
         except Exception as e:  # env-gated or eager-failure: record, move on
             out[name] = f"ERROR:{type(e).__name__}"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.json")
