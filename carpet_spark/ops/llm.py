@@ -2519,3 +2519,149 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell.n_failed") / F.col("n_docs").cast("double"), 6
         ).alias("fail_rate"),
     )
+
+
+@register(
+    "eval_mrr_recall_at_k",
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             MIN(CASE WHEN rel = 1 THEN r END) AS first_rel_rank,
+             CAST(SUM(CASE WHEN rel = 1 AND r <= 10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS rel_in_top10,
+             CAST(SUM(rel) AS BIGINT) AS n_rel
+      FROM ranked GROUP BY source
+    )
+    SELECT source, first_rel_rank, n_rel,
+           round(CASE WHEN first_rel_rank IS NOT NULL
+                 THEN 1.0 / first_rel_rank ELSE 0 END, 6) AS rr,
+           round(CASE WHEN n_rel > 0
+                 THEN rel_in_top10 / CAST(n_rel AS DOUBLE)
+                 ELSE 0 END, 6) AS recall_at_10,
+           round(rel_in_top10 / 10.0, 6) AS precision_at_10
+    FROM per
+    """,
+)
+def eval_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank, recall@10 and precision@10 per retrieval group
+    — with eval_ndcg_at_k this completes the retrieval-metric suite
+    (graded gain there; binary relevance and first-hit position here,
+    which is what RAG cares about when only the first relevant chunk
+    makes it into the prompt).  Same ranked lists as the NDCG op
+    (score = n_chars, doc_id tie-break), so the two ops cross-check;
+    every metric derives from integer ranks and counts with one final
+    division each.
+
+    Scale (100 TB): one (source)-partitioned row_number window and a
+    per-group conditional-count rollup — single shuffle of the
+    candidate set, one row per query group out."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("r"),
+    )
+    per = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("r"))).alias("first_rel_rank"),
+        F.sum(F.when((F.col("rel") == 1) & (F.col("r") <= 10), 1).otherwise(0))
+        .cast("long")
+        .alias("rel_in_top10"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    return per.select(
+        "source",
+        "first_rel_rank",
+        "n_rel",
+        F.round(
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.lit(1.0) / F.col("first_rel_rank"),
+            ).otherwise(0.0),
+            6,
+        ).alias("rr"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("rel_in_top10") / F.col("n_rel").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("recall_at_10"),
+        F.round(F.col("rel_in_top10") / 10.0, 6).alias("precision_at_10"),
+    )
+
+
+@register(
+    "eval_brier_score",
+    oracle="""
+    WITH mx AS (SELECT MAX(n_chars) + 1 AS maxp1 FROM documents),
+    scored AS (
+      SELECT (n_chars * 1000000) // (SELECT maxp1 FROM mx) AS p6,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM((p6 - y * 1000000) * (p6 - y * 1000000)) AS BIGINT)
+               AS se12
+      FROM scored
+    )
+    SELECT n, n_pos,
+           round(se12 / (n * 1e12), 6) AS brier,
+           round(n_pos * (n - n_pos) / (CAST(n AS DOUBLE) * n * n), 6)
+             AS brier_ref,
+           round(1.0 - (se12 / (n * 1e12))
+                 / (n_pos * (n - n_pos) / (CAST(n AS DOUBLE) * n * n)), 6)
+             AS skill
+    FROM agg
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the pseudo-probability against the binary label,
+    with the base-rate reference Brier and the resulting skill score
+    (1 − BS/BS_ref) — the scalar that says whether a calibrated-looking
+    model (eval_calibration_bins) actually beats always-predicting-
+    the-base-rate.  The squared errors accumulate as exact integers in
+    1e-12 units (p in 6-dp fixed point, label scaled to the same
+    grid), and the reference Brier for a constant p̄ predictor reduces
+    algebraically to pos·(n−pos)/n³ — integers until the final
+    divisions on both engines.
+
+    Scale (100 TB): one scan, one broadcast max, one 1-row aggregate;
+    the integer accumulator bounds at n·1e12 — decimal beyond ~9e6
+    rows per partition sum, documented swap to dsum."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg((F.max("n_chars") + 1).alias("maxp1"))
+    scored = d.join(F.broadcast(mx)).select(
+        F.expr("(n_chars * 1000000) DIV maxp1").alias("p6"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    err = F.col("p6") - F.col("y") * 1000000
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(err * err).cast("long").alias("se12"),
+    )
+    brier = F.col("se12") / (F.col("n") * 1e12)
+    brier_ref = (
+        F.col("n_pos")
+        * (F.col("n") - F.col("n_pos"))
+        / (F.col("n").cast("double") * F.col("n") * F.col("n"))
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        F.round(brier, 6).alias("brier"),
+        F.round(brier_ref, 6).alias("brier_ref"),
+        F.round(1.0 - brier / brier_ref, 6).alias("skill"),
+    )
