@@ -2312,3 +2312,113 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(tidy.alias("cell")).select(
         "cell.col_a", "cell.col_b", "cell.n", "cell.r"
     )
+
+
+@register(
+    "agg_window_funnel_strict",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts >= s1.ts AND e.ts <= s1.ts + INTERVAL 7 DAY
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.ts
+      JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts <= s1.ts + INTERVAL 7 DAY
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts
+      FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts >= s3.ts
+      JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts <= s1.ts + INTERVAL 7 DAY
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    depth AS (
+      SELECT s1.user_id,
+             1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+               + CASE WHEN s4.user_id IS NULL THEN 0 ELSE 1 END
+               AS stage_reached
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s1.user_id = s3.user_id
+      LEFT JOIN s4 ON s1.user_id = s4.user_id
+    )
+    SELECT stage_reached, COUNT(*) AS n_users,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+             AS user_share
+    FROM depth GROUP BY stage_reached
+    """,
+)
+def agg_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline-bounded ordered funnel (ClickHouse windowFunnel
+    semantics): signup → view → click → purchase must occur IN ORDER
+    and ALL within 7 days of the user's first signup — funnel_conversion
+    measures the same ordering with no deadline; the deadline version
+    is what activation metrics actually use ('reached stage 3 within
+    week one'), and the distribution of deepest-stage-reached is the
+    report.  Earliest-qualifying-event recursion (each stage the MIN
+    ts at or after the previous stage, capped at the signup deadline)
+    keeps every step deterministic.
+
+    Scale (100 TB): three self-joins on user_id after per-user MIN
+    rollups — each stage table shrinks monotonically, and all joins
+    key on the same user_id so one partitioning serves the chain;
+    AQE turns the later (small) stages into broadcasts."""
+    e = load(spark, sf_dir, "events")
+
+    def first_at_least(prev: DataFrame, etype: str, s1: DataFrame) -> DataFrame:
+        j = (
+            e.filter(F.col("event_type") == etype)
+            .join(prev.withColumnRenamed("ts", "prev_ts"), "user_id")
+            .join(s1.select("user_id", F.col("ts").alias("dl_ts")), "user_id")
+            .filter(
+                (F.col("ts") >= F.col("prev_ts"))
+                & (F.col("ts") <= F.col("dl_ts") + F.expr("INTERVAL 7 DAY"))
+            )
+        )
+        return j.groupBy("user_id").agg(F.min("ts").alias("ts"))
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    s2 = first_at_least(s1, "view", s1)
+    s3 = first_at_least(s2, "click", s1)
+    s4 = first_at_least(s3, "purchase", s1)
+    depth = (
+        s1.select("user_id")
+        .join(s2.select("user_id", F.lit(1).alias("h2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("h3")), "user_id", "left")
+        .join(s4.select("user_id", F.lit(1).alias("h4")), "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.coalesce("h2", F.lit(0))
+                + F.coalesce("h3", F.lit(0))
+                + F.coalesce("h4", F.lit(0))
+            ).alias("stage_reached")
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        depth.groupBy("stage_reached")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "stage_reached",
+            "n_users",
+            F.round(
+                F.col("n_users") / F.sum("n_users").over(wall).cast("double"),
+                6,
+            ).alias("user_share"),
+        )
+    )

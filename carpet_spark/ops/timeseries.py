@@ -1785,3 +1785,89 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("next_day_fit"),
     )
+
+
+@register(
+    "ts_burstiness_fano",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             datediff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT MAX(h) + 1 AS n_hours FROM hourly
+    ),
+    per AS (
+      SELECT event_type,
+             COUNT(*) AS nonzero_hours,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           (SELECT n_hours FROM span) AS n_hours,
+           sc AS n_events,
+           round(sc / CAST((SELECT n_hours FROM span) AS DOUBLE), 6)
+             AS mean_per_hour,
+           round((sc2 - sc * (sc / CAST((SELECT n_hours FROM span)
+                  AS DOUBLE)))
+                 / ((SELECT n_hours FROM span) - 1)
+                 / (sc / CAST((SELECT n_hours FROM span) AS DOUBLE)), 6)
+             AS fano,
+           round((sqrt((sc2 - sc * (sc / CAST((SELECT n_hours FROM span)
+                        AS DOUBLE))) / ((SELECT n_hours FROM span) - 1))
+                  - sc / CAST((SELECT n_hours FROM span) AS DOUBLE))
+                 / (sqrt((sc2 - sc * (sc / CAST((SELECT n_hours FROM span)
+                          AS DOUBLE))) / ((SELECT n_hours FROM span) - 1))
+                    + sc / CAST((SELECT n_hours FROM span) AS DOUBLE)), 6)
+             AS burstiness
+    FROM per
+    """,
+)
+def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile per event series: the Fano factor
+    (variance-to-mean of hourly counts — 1 for a Poisson process,
+    >1 for bursty arrivals) and the Goh–Barabási burstiness index
+    (σ−μ)/(σ+μ) ∈ (−1, 1) — the dispersion diagnostics that decide
+    whether rate-based capacity planning (ts_latency_percentiles_
+    hourly) can assume Poisson or must provision for bursts.
+    Zero-count hours are counted WITHOUT materializing them: Σc and
+    Σc² over nonzero hours are exact integers and zeros contribute
+    nothing, so mean and variance use the full n_hours span exactly.
+
+    Scale (100 TB): the hourly rollup map-side combines; per-series
+    stats are three integer sums — one pass, one tiny shuffle, no
+    calendar grid join."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (
+            F.floor(
+                (
+                    F.col("ts").cast("double")
+                    - F.lit("2024-01-01 00:00:00").cast("timestamp").cast("double")
+                )
+                / 3600
+            )
+        ).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = hourly.agg((F.max("h") + 1).cast("long").alias("n_hours"))
+    per = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nonzero_hours"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    j = per.crossJoin(F.broadcast(span))
+    mean = F.col("sc") / F.col("n_hours").cast("double")
+    var = (F.col("sc2") - F.col("sc") * mean) / (F.col("n_hours") - 1)
+    sd = F.sqrt(var)
+    return j.select(
+        "event_type",
+        "n_hours",
+        F.col("sc").alias("n_events"),
+        F.round(mean, 6).alias("mean_per_hour"),
+        F.round(var / mean, 6).alias("fano"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )

@@ -245,6 +245,7 @@ _R4_QUEUE = (
     "quality_gopher_rules", "dq_sft_format_check",
     "graph_connected_components", "win_rolling_regression_slope",
     "eval_mrr_recall_at_k", "eval_brier_score",
+    "agg_window_funnel_strict", "ts_burstiness_fano",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
