@@ -2422,3 +2422,126 @@ def agg_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("user_share"),
         )
     )
+
+
+@register(
+    "attribution_position_based",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, ts, event_id, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    paired AS (
+      SELECT c.conv_id, c.v6, t.channel,
+             ROW_NUMBER() OVER (PARTITION BY c.conv_id
+               ORDER BY t.ts, t.event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.conv_id) AS k
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+        AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT channel,
+             (v6 * CASE
+                WHEN k = 1 THEN 1000000
+                WHEN k = 2 THEN 500000
+                WHEN rn = 1 OR rn = k THEN 400000
+                ELSE 200000 // (k - 2) END) // 1000000 AS credit6
+      FROM paired
+    ),
+    unattr AS (
+      SELECT 'unattributed' AS channel, v6 AS credit6
+      FROM conv c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM touch t
+        WHERE t.user_id = c.user_id
+          AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 7 DAY
+      )
+    ),
+    allc AS (
+      SELECT * FROM credited UNION ALL SELECT * FROM unattr
+    )
+    SELECT channel, COUNT(*) AS n_credits,
+           CAST(CAST(SUM(credit6) AS BIGINT) AS DOUBLE) / 1000000
+             AS credited_revenue
+    FROM allc GROUP BY channel
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase's revenue splits 40/20/40 across its 7-day touch path —
+    40% to the first touch, 40% to the last, the middle 20% evenly
+    over interior touches (100% / 50-50 for 1- and 2-touch paths);
+    pathless conversions stay 'unattributed'.  The fractional credits
+    are INTEGER micro-units throughout — per-touch weight in ppm with
+    integer division for the interior split, credit = v6·w DIV 1e6 —
+    so engine-order summation cannot drift and the books reconcile to
+    the penny (truncation dust stays in the conversion, never
+    double-counted).  attribution_last_touch is the degenerate
+    all-to-last special case.
+
+    Scale (100 TB): the conv⋈touch range join is the one fanout
+    (bounded by the 7-day lookback — time-bucket binning co-locates
+    it, join_range_binned's pattern); the per-path window partitions
+    by conversion id, so no key is hotter than one purchase's path."""
+    e = load(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+        (
+            F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+        ).cast("long").alias("v6"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("channel")
+    )
+    joined = conv.join(
+        touch,
+        (conv.user_id == touch.user_id)
+        & (touch.ts < conv.conv_ts)
+        & (touch.ts >= conv.conv_ts - F.expr("INTERVAL 7 DAY")),
+    )
+    wp = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("conv_id")
+    paired = joined.select(
+        "conv_id",
+        "v6",
+        "channel",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    w_ppm = (
+        F.when(F.col("k") == 1, 1000000)
+        .when(F.col("k") == 2, 500000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), 400000)
+        .otherwise(F.expr("200000 DIV (k - 2)"))
+    )
+    credited = paired.withColumn("w_ppm", w_ppm).select(
+        "channel", F.expr("(v6 * w_ppm) DIV 1000000").alias("credit6")
+    )
+    unattr = (
+        conv.join(
+            touch,
+            (conv.user_id == touch.user_id)
+            & (touch.ts < conv.conv_ts)
+            & (touch.ts >= conv.conv_ts - F.expr("INTERVAL 7 DAY")),
+            "left_anti",
+        )
+        .select(F.lit("unattributed").alias("channel"), F.col("v6").alias("credit6"))
+    )
+    return (
+        credited.unionAll(unattr)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            (F.sum("credit6").cast("long").cast("double") / 1000000).alias(
+                "credited_revenue"
+            ),
+        )
+    )

@@ -1845,3 +1845,68 @@ def dq_sft_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell.n_flagged") / F.col("n_pairs").cast("double"), 6
         ).alias("rate"),
     )
+
+
+@register(
+    "pipeline_dpo_pair_prep",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS nd
+      FROM documents
+    ),
+    best AS (SELECT * FROM ranked WHERE rn < nd + 1 - rn),
+    worst AS (SELECT source, rn, doc_id, n_chars FROM ranked)
+    SELECT b.source, b.rn AS pair_idx,
+           b.doc_id AS chosen_doc_id,
+           w.doc_id AS rejected_doc_id,
+           b.n_chars - w.n_chars AS margin_chars
+    FROM best b JOIN worst w
+      ON b.source = w.source AND w.rn = b.nd + 1 - b.rn
+    """,
+)
+def pipeline_dpo_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training:
+    within each source, documents ranked by a quality score (n_chars
+    proxy — quality_train_score slots in) pair best-with-worst,
+    second-best with second-worst, and so on (the max-margin matching
+    that gives the strongest preference signal per pair), emitting
+    (chosen, rejected, margin) rows; odd middles drop, pairs with
+    zero margin survive and are the caller's filter decision.
+    Completes the pair-prep family: pipeline_sft_pair_prep makes
+    (prompt, completion), emb_mixup_pairs makes augmentation pairs,
+    this makes preference pairs.
+
+    Scale (100 TB): one (source)-partitioned rank window, then a
+    self-equi-join on (source, mirrored rank) — same partitioning
+    reused, no second shuffle; pair count is n/2 per group, never
+    quadratic."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wk = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("nd"),
+    )
+    best = ranked.filter(F.col("rn") < F.col("nd") + 1 - F.col("rn")).alias(
+        "b"
+    )
+    worst = ranked.select("source", "rn", "doc_id", "n_chars").alias("w")
+    return best.join(
+        worst,
+        (F.col("b.source") == F.col("w.source"))
+        & (F.col("w.rn") == F.col("b.nd") + 1 - F.col("b.rn")),
+    ).select(
+        F.col("b.source").alias("source"),
+        F.col("b.rn").alias("pair_idx"),
+        F.col("b.doc_id").alias("chosen_doc_id"),
+        F.col("w.doc_id").alias("rejected_doc_id"),
+        (F.col("b.n_chars") - F.col("w.n_chars")).alias("margin_chars"),
+    )

@@ -246,6 +246,7 @@ _R4_QUEUE = (
     "graph_connected_components", "win_rolling_regression_slope",
     "eval_mrr_recall_at_k", "eval_brier_score",
     "agg_window_funnel_strict", "ts_burstiness_fano",
+    "attribution_position_based", "pipeline_dpo_pair_prep",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
