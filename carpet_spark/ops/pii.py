@@ -506,3 +506,81 @@ def pii_consent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dropped, "event_type")
         .select("event_type", "n_kept", "n_dropped")
     )
+
+
+@register(
+    "pii_email_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT c_custkey,
+             replace(c_name, '#', '.')
+               || CASE WHEN c_custkey % 3 = 0 THEN '+Promo' ELSE '' END
+               || '@'
+               || CASE WHEN c_custkey % 2 = 0 THEN 'GoogleMail.com'
+                       ELSE 'Example.COM' END AS raw_email
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    parts AS (
+      SELECT c_custkey, raw_email,
+             split_part(lower(split_part(raw_email, '@', 1)), '+', 1)
+               AS local,
+             lower(split_part(raw_email, '@', 2)) AS domain
+      FROM raw
+    )
+    SELECT c_custkey, raw_email,
+           CASE WHEN domain IN ('gmail.com', 'googlemail.com')
+                THEN replace(local, '.', '') || '@gmail.com'
+                ELSE local || '@' || domain END AS norm_email,
+           CASE WHEN domain IN ('gmail.com', 'googlemail.com')
+                THEN 1 ELSE 0 END AS is_gmail_family
+    FROM parts
+    """,
+)
+def pii_email_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email canonicalization for identity resolution — the join-key
+    cleaner that lets pii_hash / join_record_linkage_scored match the
+    SAME person across 'J.Doe+promo@GoogleMail.com' and
+    'jdoe@gmail.com': case-fold, strip +tag subaddresses, collapse
+    dots and unify domain aliases for the gmail family, preserve dots
+    for everyone else (dots are significant at most providers).
+    Fixture emails synthesize deterministically from c_name/custkey
+    with mixed case, dotted locals, periodic +tags and alternating
+    domains, so every rule exercises both branches.  Completes the
+    normalizer set next to pii_phone_normalize.
+
+    Scale (100 TB): pure string projection, no shuffle; the
+    normalized address is what gets hashed/bucketed downstream, so
+    this runs inside the scan stage of any PII pipeline."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    raw_email = F.concat(
+        F.regexp_replace("c_name", "#", "."),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("+Promo")).otherwise(
+            F.lit("")
+        ),
+        F.lit("@"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("GoogleMail.com")).otherwise(
+            F.lit("Example.COM")
+        ),
+    )
+    raw = c.select("c_custkey", raw_email.alias("raw_email"))
+    local = F.substring_index(
+        F.lower(F.substring_index("raw_email", "@", 1)), "+", 1
+    )
+    domain = F.lower(F.substring_index("raw_email", "@", -1))
+    parts = raw.select(
+        "c_custkey", "raw_email", local.alias("local"), domain.alias("domain")
+    )
+    is_gmail = F.col("domain").isin("gmail.com", "googlemail.com")
+    return parts.select(
+        "c_custkey",
+        "raw_email",
+        F.when(
+            is_gmail,
+            F.concat(
+                F.regexp_replace("local", "\\.", ""), F.lit("@gmail.com")
+            ),
+        )
+        .otherwise(F.concat(F.col("local"), F.lit("@"), F.col("domain")))
+        .alias("norm_email"),
+        F.when(is_gmail, 1).otherwise(0).alias("is_gmail_family"),
+    )

@@ -1871,3 +1871,86 @@ def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var / mean, 6).alias("fano"),
         F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
     )
+
+
+@register(
+    "ts_residual_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT event_type, d, n, isodow(d) AS dow FROM daily
+    ),
+    med AS (
+      SELECT event_type, dow, quantile_cont(n, 0.5) AS dow_med
+      FROM keyed GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT k.event_type, k.d, k.n, m.dow_med,
+             k.n - m.dow_med AS r
+      FROM keyed k JOIN med m
+        ON k.event_type = m.event_type AND k.dow = m.dow
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(abs(r), 0.5) AS mad
+      FROM resid GROUP BY event_type
+    )
+    SELECT r.event_type, r.d, r.n,
+           round(r.dow_med, 6) AS dow_med,
+           round(r.r, 6) AS residual,
+           CASE WHEN m.mad > 0 AND abs(r.r) > 3 * 1.4826 * m.mad
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM resid r JOIN mad m ON r.event_type = m.event_type
+    """,
+)
+def ts_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags: daily counts per series are
+    deseasonalized against their day-of-week MEDIAN (robust to the
+    anomalies being hunted, unlike the mean a z-score uses —
+    ts_zscore_outliers flags raw spikes; this flags days unusual FOR
+    THAT WEEKDAY), then residuals beyond 3 robust sigmas (1.4826·MAD)
+    are flagged.  Exact medians agree across engines on integer
+    counts (the verified percentile/quantile_cont rule); a zero MAD
+    (constant series) suppresses flags instead of dividing.
+
+    Scale (100 TB): the daily rollup map-side combines; medians and
+    MADs aggregate |series|×7 and |series| keys over the tiny daily
+    table, joined back broadcast — one scan of events, everything
+    after is broadcast-size."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    keyed = daily.select(
+        "event_type", "d", "n", (F.weekday("d") + 1).alias("dow")
+    )
+    med = keyed.groupBy("event_type", "dow").agg(
+        F.percentile("n", F.lit(0.5)).alias("dow_med")
+    )
+    resid = keyed.join(F.broadcast(med), ["event_type", "dow"]).select(
+        "event_type",
+        "d",
+        "n",
+        "dow_med",
+        (F.col("n") - F.col("dow_med")).alias("r"),
+    )
+    mad = resid.groupBy("event_type").agg(
+        F.percentile(F.abs("r"), F.lit(0.5)).alias("mad")
+    )
+    return resid.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        F.round("dow_med", 6).alias("dow_med"),
+        F.round("r", 6).alias("residual"),
+        F.when(
+            (F.col("mad") > 0)
+            & (F.abs("r") > 3 * 1.4826 * F.col("mad")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
+    )

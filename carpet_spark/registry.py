@@ -247,6 +247,7 @@ _R4_QUEUE = (
     "eval_mrr_recall_at_k", "eval_brier_score",
     "agg_window_funnel_strict", "ts_burstiness_fano",
     "attribution_position_based", "pipeline_dpo_pair_prep",
+    "pii_email_normalize", "ts_residual_anomaly",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
