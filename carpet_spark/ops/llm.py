@@ -2665,3 +2665,56 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(brier_ref, 6).alias("brier_ref"),
         F.round(1.0 - brier / brier_ref, 6).alias("skill"),
     )
+
+
+@register(
+    "dedup_cluster_size_dist",
+    oracle="""
+    WITH groups AS (
+      SELECT text, COUNT(*) AS n_copies FROM documents GROUP BY text
+    ),
+    dist AS (
+      SELECT n_copies, COUNT(*) AS n_groups,
+             CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs
+      FROM groups GROUP BY n_copies
+    )
+    SELECT n_copies, n_groups, n_docs,
+           round(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6)
+             AS doc_share,
+           round((n_copies - 1) * n_groups
+                 / CAST(SUM(n_docs) OVER () AS DOUBLE), 6)
+             AS removable_share
+    FROM dist
+    """,
+)
+def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the corpus-health summary
+    read BEFORE running dedup_exact/dedup_apply: how many exact-copy
+    groups exist at each multiplicity, what share of documents they
+    hold, and what share of the corpus dedup would actually remove
+    (the (k−1)/k of every k-clique).  A heavy tail here says crawl
+    revisit s are polluting the corpus; a clean n_copies=1 spike says
+    dedup money is better spent on NEAR-dup ops.
+
+    Scale (100 TB): the digest groupBy is dedup_exact's shuffle
+    (sha256 keys, never text); the size distribution is a second tiny
+    aggregate over group cardinalities — |distinct sizes| rows."""
+    d = load(spark, sf_dir, "documents")
+    groups = d.groupBy(F.sha2("text", 256).alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    dist = groups.groupBy("n_copies").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("n_copies") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+    wall = Window.partitionBy()
+    tot = F.sum("n_docs").over(wall).cast("double")
+    return dist.select(
+        "n_copies",
+        "n_groups",
+        "n_docs",
+        F.round(F.col("n_docs") / tot, 6).alias("doc_share"),
+        F.round((F.col("n_copies") - 1) * F.col("n_groups") / tot, 6).alias(
+            "removable_share"
+        ),
+    )

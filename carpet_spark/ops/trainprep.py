@@ -1910,3 +1910,74 @@ def pipeline_dpo_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.doc_id").alias("rejected_doc_id"),
         (F.col("b.n_chars") - F.col("w.n_chars")).alias("margin_chars"),
     )
+
+
+@register(
+    "decontaminate_substring",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+    ),
+    bwin AS (
+      SELECT DISTINCT w AS win
+      FROM bench,
+           unnest(list_transform(
+             range(1, greatest(1, length(text) - 39) + 1, 20),
+             i -> substr(text, i, 40))) AS t(w)
+    ),
+    cwin AS (
+      SELECT doc_id, w AS win
+      FROM corpus,
+           unnest(list_transform(
+             range(1, greatest(1, length(text) - 39) + 1, 20),
+             i -> substr(text, i, 40))) AS t(w)
+    ),
+    hits AS (
+      SELECT c.doc_id, COUNT(DISTINCT c.win) AS n_hit_windows
+      FROM cwin c JOIN bwin b ON c.win = b.win
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_hit_windows FROM hits
+    """,
+)
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring contamination detection: 40-char windows at
+    stride 20 from the held-out benchmark split (doc_id%11) hash-join
+    against the same windows of the training corpus — the
+    character-level complement to decontaminate_ngram's token
+    n-grams, catching verbatim leaks that tokenization differences
+    (whitespace, punctuation splits) would hide.  The stride-20 /
+    width-40 pair guarantees any aligned shared run ≥ 59 chars
+    produces a window hit; output is the contaminated corpus docs
+    with their distinct matched-window counts.
+
+    Scale (100 TB): the corpus explodes to length/stride windows
+    (bounded linear blowup) but ONLY window hashes need to shuffle —
+    and the bench window set is benchmark-sized, so the join
+    broadcasts it; the corpus never shuffles at all.  Same asymmetric
+    shape as decontaminate_ngram."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 11 == 0)
+    corpus = d.filter(F.col("doc_id") % 11 != 0)
+
+    def windows(df: DataFrame) -> DataFrame:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.length("text") - 39), F.lit(20)
+        )
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.substr("text", i, F.lit(40)))
+            ).alias("win"),
+        )
+
+    bwin = windows(bench).select("win").distinct()
+    cwin = windows(corpus)
+    return (
+        cwin.join(F.broadcast(bwin), "win")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("win").alias("n_hit_windows"))
+    )

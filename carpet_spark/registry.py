@@ -248,6 +248,7 @@ _R4_QUEUE = (
     "agg_window_funnel_strict", "ts_burstiness_fano",
     "attribution_position_based", "pipeline_dpo_pair_prep",
     "pii_email_normalize", "ts_residual_anomaly",
+    "decontaminate_substring", "dedup_cluster_size_dist",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
