@@ -2545,3 +2545,99 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_bounce_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    ),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             MIN({'t': ts, 'e': event_id, 'y': event_type}).y AS entry_type
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate,
+           round(AVG(n_events), 6) AS avg_session_events
+    FROM per_session GROUP BY entry_type
+    """,
+)
+def agg_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry point: 30-minute-gap sessions
+    (ts_sessionize's islands), a bounce being the single-event
+    session, rolled up by the session's FIRST event type — the
+    landing-page quality metric: which entry points lose the user
+    immediately vs start multi-event journeys.  Entry selection is a
+    min(struct(ts, event_id, type)) so ties cannot flap the hash.
+
+    Scale (100 TB): one user-partitioned window pass builds session
+    ids (the sessionize shuffle), per-session rollup map-side
+    combines on (user, sid), and the entry-type report is
+    |event_types| rows."""
+    e = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(wo)
+    ordered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            lag_ts.isNull()
+            | (
+                F.col("ts").cast("double") - lag_ts.cast("double")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wcum = wo.rowsBetween(Window.unboundedPreceding, 0)
+    sess = ordered.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_s").over(wcum).alias("sid"),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct("ts", "event_id", "event_type")).alias("first_ev"),
+    )
+    return (
+        per_session.select(
+            F.col("first_ev.event_type").alias("entry_type"), "n_events"
+        )
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+            F.round(
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("bounce_rate"),
+            F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        )
+    )

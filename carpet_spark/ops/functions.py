@@ -1093,3 +1093,75 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cal_days",
         (W(F.col("m2")) - W(F.col("m1"))).alias("business_days"),
     )
+
+
+def _luhn_sql(expr: str) -> str:
+    """Closed-form Luhn sum over a fixed 12-digit number (no loop):
+    digit k (0 = rightmost) via integer div/mod, every odd position
+    doubled with the >9 ? −9 digit-sum fold."""
+    terms = []
+    for k in range(12):
+        d = f"(({expr} // {10 ** k}) % 10)"
+        if k % 2 == 1:
+            terms.append(f"(2*{d} - CASE WHEN 2*{d} > 9 THEN 9 ELSE 0 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+@register(
+    "fn_luhn_check",
+    oracle=f"""
+    WITH acct AS (
+      SELECT c_custkey,
+             CAST(100000000000 + c_custkey * 37 AS BIGINT) AS acct
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    summed AS (
+      SELECT c_custkey, acct,
+             CAST({_luhn_sql('acct')} AS BIGINT) AS luhn_sum
+      FROM acct
+    )
+    SELECT c_custkey, acct, luhn_sum,
+           CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END AS is_valid,
+           CAST((10 - (luhn_sum
+                 - ((acct // 1) % 10)) % 10) % 10 AS BIGINT)
+             AS correct_check_digit
+    FROM summed
+    """,
+)
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation over synthesized 12-digit
+    account numbers — the payment-card / IMEI / account-number
+    integrity check a DQ pipeline runs on identifier columns before
+    trusting joins on them (dq_duplicate_payments' natural
+    companion).  The checksum is a CLOSED FORM: each digit extracted
+    by integer div/mod, odd positions doubled with the digit-sum
+    fold, all twelve terms summed in one expression — no UDF, no
+    loop, pure whole-stage-codegen arithmetic on both engines; also
+    emits the check digit that WOULD make each number valid.
+
+    Scale (100 TB): per-row integer projection, no shuffle — runs
+    inside the scan like every fn_* family op."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    acct = c.select(
+        "c_custkey",
+        (F.lit(100000000000) + F.col("c_custkey") * 37)
+        .cast("long")
+        .alias("acct"),
+    )
+    spark_luhn = _luhn_sql("acct").replace("//", "DIV")
+    summed = acct.select(
+        "c_custkey",
+        "acct",
+        F.expr(f"CAST({spark_luhn} AS BIGINT)").alias("luhn_sum"),
+    )
+    return summed.select(
+        "c_custkey",
+        "acct",
+        "luhn_sum",
+        F.when(F.col("luhn_sum") % 10 == 0, 1).otherwise(0).alias("is_valid"),
+        F.expr(
+            "CAST((10 - (luhn_sum - ((acct DIV 1) % 10)) % 10) % 10 AS BIGINT)"
+        ).alias("correct_check_digit"),
+    )

@@ -249,6 +249,7 @@ _R4_QUEUE = (
     "attribution_position_based", "pipeline_dpo_pair_prep",
     "pii_email_normalize", "ts_residual_anomaly",
     "decontaminate_substring", "dedup_cluster_size_dist",
+    "agg_bounce_rate", "fn_luhn_check",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
