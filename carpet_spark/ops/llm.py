@@ -2718,3 +2718,77 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removable_share"
         ),
     )
+
+
+@register(
+    "emb_pairwise_cosine_hist",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id,
+             round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                      * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})),
+                   6) AS cos6
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 997
+    ),
+    binned AS (
+      SELECT LEAST(19, CAST(FLOOR((cos6 + 1.0) * 10) AS BIGINT)) AS bucket
+      FROM pairs
+    )
+    SELECT bucket,
+           round(bucket / 10.0 - 1.0, 1) AS cos_lo,
+           COUNT(*) AS n_pairs,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+             AS pair_share
+    FROM binned GROUP BY bucket
+    """,
+)
+def emb_pairwise_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health histogram: the distribution of cosine
+    similarity over a deterministic sample of vector pairs (each id
+    paired with id+997 — a fixed co-prime stride, so the sample is
+    reproducible and label-decorrelated).  A healthy isotropic space
+    piles near 0; a collapsed ('cone') embedding model piles near 1
+    and will break both ANN recall and near-dup thresholds — this is
+    the 30-second check before trusting dedup_near_embedding's 0.4
+    cutoff on a new embedding model.  Cosines are rounded to 6 dp
+    BEFORE bucketing (the proven cross-engine cosine parity grain),
+    so the floor() bucket cut sees identical doubles on both sides.
+
+    Scale (100 TB): the stride pairing is an equi self-join on
+    vec_id+997 — a co-partitioned hash join, no cross product; the
+    histogram is a 20-key map-side-combined aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select("vec_id", F.col("embedding").alias("ea"))
+    b = e.select(
+        (F.col("vec_id") - 997).alias("join_id"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, a.vec_id == b.join_id).select(
+        F.round(
+            _dot(F.col("ea"), F.col("eb"))
+            / (
+                F.sqrt(_dot(F.col("ea"), F.col("ea")))
+                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+            ),
+            6,
+        ).alias("cos6")
+    )
+    binned = pairs.select(
+        F.least(
+            F.lit(19), F.floor((F.col("cos6") + 1.0) * 10).cast("long")
+        ).alias("bucket")
+    )
+    wall = Window.partitionBy()
+    return (
+        binned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 10.0 - 1.0, 1).alias("cos_lo"),
+            "n_pairs",
+            F.round(
+                F.col("n_pairs") / F.sum("n_pairs").over(wall).cast("double"),
+                6,
+            ).alias("pair_share"),
+        )
+    )

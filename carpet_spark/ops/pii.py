@@ -584,3 +584,92 @@ def pii_email_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("norm_email"),
         F.when(is_gmail, 1).otherwise(0).alias("is_gmail_family"),
     )
+
+
+@register(
+    "pii_kanon_generalize",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) * 1000 AS bal_bucket
+      FROM customer
+    ),
+    g0 AS (
+      SELECT seg, bal_bucket, COUNT(*) AS n
+      FROM base GROUP BY seg, bal_bucket
+    ),
+    keep0 AS (
+      SELECT seg, CAST(bal_bucket AS VARCHAR) AS bucket_out, n
+      FROM g0 WHERE n >= 5
+    ),
+    rest1 AS (
+      SELECT seg, CAST(SUM(n) AS BIGINT) AS n
+      FROM g0 WHERE n < 5 GROUP BY seg
+    ),
+    keep1 AS (
+      SELECT seg, '*' AS bucket_out, n FROM rest1 WHERE n >= 5
+    ),
+    rest2 AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n FROM rest1 WHERE n < 5
+    ),
+    keep2 AS (
+      SELECT '*' AS seg, '*' AS bucket_out, n FROM rest2 WHERE n > 0
+    ),
+    unioned AS (
+      SELECT seg, bucket_out, n FROM keep0
+      UNION ALL SELECT seg, bucket_out, n FROM keep1
+      UNION ALL SELECT seg, bucket_out, n FROM keep2
+    )
+    SELECT seg, bucket_out, n,
+           CASE WHEN n >= 5 THEN 1 ELSE 0 END AS k_ok
+    FROM unioned
+    """,
+)
+def pii_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity GENERALIZATION (k=5): pii_kanon_check reports which
+    quasi-identifier groups are too small to publish; this op FIXES
+    them by deterministic local recoding — (segment, $1000 balance
+    band) groups of n≥5 publish as-is, under-k groups coarsen the
+    balance band to '*', still-under-k segments collapse fully to
+    ('*','*') — the release-ready generalization ladder every
+    privacy review asks for, as a two-level hierarchy walk with no
+    iteration.  The residual ('*','*') cell can stay under k only if
+    the whole under-k population is smaller than k (flagged k_ok=0
+    for the suppression decision).
+
+    Scale (100 TB): three map-side-combined aggregates over
+    monotonically shrinking remainders; the generalization never
+    touches row payloads, only group keys, so it composes with
+    pii_pipeline's column transforms."""
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.floor(F.col("c_acctbal") / 1000).cast("long") * 1000).alias(
+            "bal_bucket"
+        ),
+    )
+    g0 = base.groupBy("seg", "bal_bucket").agg(F.count(F.lit(1)).alias("n"))
+    keep0 = g0.filter(F.col("n") >= 5).select(
+        "seg", F.col("bal_bucket").cast("string").alias("bucket_out"), "n"
+    )
+    rest1 = (
+        g0.filter(F.col("n") < 5)
+        .groupBy("seg")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    keep1 = rest1.filter(F.col("n") >= 5).select(
+        "seg", F.lit("*").alias("bucket_out"), "n"
+    )
+    rest2 = rest1.filter(F.col("n") < 5).agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    keep2 = rest2.filter(F.col("n") > 0).select(
+        F.lit("*").alias("seg"), F.lit("*").alias("bucket_out"), "n"
+    )
+    unioned = keep0.unionAll(keep1).unionAll(keep2)
+    return unioned.select(
+        "seg",
+        "bucket_out",
+        "n",
+        F.when(F.col("n") >= 5, 1).otherwise(0).alias("k_ok"),
+    )

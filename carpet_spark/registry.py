@@ -250,6 +250,7 @@ _R4_QUEUE = (
     "pii_email_normalize", "ts_residual_anomaly",
     "decontaminate_substring", "dedup_cluster_size_dist",
     "agg_bounce_rate", "fn_luhn_check",
+    "emb_pairwise_cosine_hist", "pii_kanon_generalize",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
