@@ -1268,3 +1268,46 @@ def join_record_linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_correct"),
         F.round(F.avg("score"), 6).alias("avg_best_score"),
     )
+
+
+@register(
+    "join_mark_exists",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l_orderkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2024-06-01 00:00:00'
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           CASE WHEN late.l_orderkey IS NULL THEN 0 ELSE 1 END
+             AS has_late_shipment
+    FROM orders o LEFT JOIN late ON o.o_orderkey = late.l_orderkey
+    """,
+)
+def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join — the operator an `EXISTS(...)` in a SELECT list (as
+    opposed to a WHERE clause) compiles to: EVERY left row survives,
+    carrying a boolean of whether a match exists, unlike join_semi
+    (keeps matches only) or join_anti (keeps non-matches only).  Here
+    each order is marked with whether any of its line items shipped
+    in H2 — the 'flag, don't filter' shape feature engineering uses
+    constantly (has_return, has_support_ticket, ...).
+
+    Scale (100 TB): the mark side reduces to DISTINCT keys before the
+    join (digest-sized), so the left join degenerates to semi-join
+    traffic plus one boolean column; the distinct pre-aggregate
+    map-side combines and AQE broadcasts it when selective."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    late = (
+        li.filter(F.col("l_shipdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey")
+        .distinct()
+        .withColumn("_m", F.lit(1))
+    )
+    return o.join(late, o.o_orderkey == late.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("_m").isNull(), 0).otherwise(1).alias(
+            "has_late_shipment"
+        ),
+    )

@@ -2792,3 +2792,72 @@ def emb_pairwise_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_share"),
         )
     )
+
+
+@register(
+    "text_char_ngram_profile",
+    oracle="""
+    WITH tris AS (
+      SELECT lang, t AS tri
+      FROM documents,
+           unnest(list_transform(
+             range(1, greatest(1, length(text) - 2) + 1),
+             i -> substr(text, i, 3))) AS u(t)
+    ),
+    counts AS (
+      SELECT lang, tri, COUNT(*) AS n FROM tris GROUP BY lang, tri
+    ),
+    ranked AS (
+      SELECT lang, tri, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY n DESC, tri) AS rnk,
+             CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
+      FROM counts
+    )
+    SELECT lang, rnk, tri, n,
+           round(n / CAST(lang_total AS DOUBLE), 6) AS freq_share
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram frequency profile per language: the top-10
+    trigrams with their within-language occurrence shares — the
+    feature table a character-n-gram language identifier trains on
+    (text_langid uses word lists; char n-grams are the
+    script-agnostic upgrade that also covers zh where whitespace
+    tokenization fails), and a quick fingerprint of encoding damage
+    (mojibake floods the profile with bytes no natural language
+    produces).  Rank ties break on the trigram string.
+
+    Scale (100 TB): the explode is linear in characters but the
+    shuffle carries (lang, trigram) pairs map-side combined to the
+    vocabulary size (≤ |alphabet|³ per language, bounded regardless
+    of corpus size); the top-10 window runs over that bounded
+    table."""
+    d = load(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 2))
+    tris = d.select(
+        "lang",
+        F.explode(
+            F.transform(idx, lambda i: F.substr("text", i, F.lit(3)))
+        ).alias("tri"),
+    )
+    counts = tris.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri"))
+    wt = Window.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        "tri",
+        "n",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("n").over(wt).cast("long").alias("lang_total"),
+    )
+    return ranked.filter(F.col("rnk") <= 10).select(
+        "lang",
+        "rnk",
+        "tri",
+        "n",
+        F.round(F.col("n") / F.col("lang_total").cast("double"), 6).alias(
+            "freq_share"
+        ),
+    )

@@ -251,6 +251,7 @@ _R4_QUEUE = (
     "decontaminate_substring", "dedup_cluster_size_dist",
     "agg_bounce_rate", "fn_luhn_check",
     "emb_pairwise_cosine_hist", "pii_kanon_generalize",
+    "join_mark_exists", "text_char_ngram_profile",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
