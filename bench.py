@@ -106,6 +106,9 @@ def _sort_bracket_segments(s: str) -> str:
     lost pushdown)."""
 
     def canon(text: str, i: int, closer: str) -> tuple[str, int]:
+        # segments strip their surrounding whitespace before sorting —
+        # ", a" and "a" must canonicalize identically or the sort order
+        # depends on the original comma spacing
         segs, cur = [], []
         while i < len(text):
             c = text[i]
@@ -113,19 +116,19 @@ def _sort_bracket_segments(s: str) -> str:
                 inner, i = canon(text, i + 1, ")" if c == "(" else "]")
                 cur.append(c + inner + (")" if c == "(" else "]"))
             elif c == closer:
-                segs.append("".join(cur))
+                segs.append("".join(cur).strip())
                 return ",".join(sorted(segs)), i + 1
             elif c in ")]":  # unbalanced stray closer: treat literally
                 cur.append(c)
                 i += 1
             elif c == ",":
-                segs.append("".join(cur))
+                segs.append("".join(cur).strip())
                 cur = []
                 i += 1
             else:
                 cur.append(c)
                 i += 1
-        segs.append("".join(cur))
+        segs.append("".join(cur).strip())
         return ",".join(sorted(segs)) if closer else "".join(segs), i
 
     out_lines = []
@@ -158,6 +161,16 @@ def _plan_fingerprint_v2(df) -> str:
     s = re.sub(r"\S*\.\.\.", "...", s)
     s = re.sub(r"\b(b_\w+?_)[0-9a-f]{12}\b", r"\1", s)
     s = re.sub(r"(\w+?)_\d+#", r"\1#", s)
+    # RewriteDistinctAggregates numbers its distinct groups (gid) in
+    # exprId-hash order too: which count() gets FILTER (gid = 1) vs
+    # (gid = 2) swaps across sessions, and the Expand projections carry
+    # the same arbitrary literals.  Collapse the gid literals and any
+    # bare integers on Expand lines (group-id tags) before sorting.
+    s = re.sub(r"\(gid# = \d+\)", "(gid# = N)", s)
+    s = "\n".join(
+        re.sub(r"\b\d+\b", "N", ln) if "Expand [" in ln else ln
+        for ln in s.splitlines()
+    )
     s = _sort_bracket_segments(s)
     return hashlib.sha256(s.encode()).hexdigest()[:12]
 
