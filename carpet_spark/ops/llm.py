@@ -2861,3 +2861,76 @@ def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq_share"
         ),
     )
+
+
+@register(
+    "eval_pr_auc",
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS r
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, rel, r,
+             CAST(SUM(rel) OVER (PARTITION BY source ORDER BY r
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_rel
+      FROM ranked
+    )
+    SELECT source,
+           CAST(MAX(cum_rel) AS BIGINT) AS n_rel,
+           COUNT(*) AS n_docs,
+           round(SUM(CASE WHEN rel = 1
+                     THEN cum_rel / CAST(r AS DOUBLE) ELSE 0 END)
+                 / MAX(cum_rel), 6) AS average_precision
+    FROM cum GROUP BY source
+    """,
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the area under the precision-recall curve
+    by the standard step interpolation) per retrieval group —
+    eval_roc_auc's AUC is blind to class imbalance; AP is the metric
+    that matters when relevant docs are the rare class, which is every
+    retrieval and quality-filter scenario.  AP = mean over relevant
+    ranks of precision@that-rank; precisions are exact integer ratios
+    (cumulative-relevant / rank) so only the final mean is float.
+
+    Scale (100 TB): one (source)-partitioned rank window plus a
+    cumulative sum over the SAME ordered frame (one shuffle, Catalyst
+    reuses the sort), then a per-group rollup — identical cost shape
+    to eval_ndcg_at_k."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("r"),
+    )
+    wc = Window.partitionBy("source").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = ranked.select(
+        "source",
+        "rel",
+        "r",
+        F.sum("rel").over(wc).cast("long").alias("cum_rel"),
+    )
+    return cum.groupBy("source").agg(
+        F.max("cum_rel").cast("long").alias("n_rel"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rel") == 1,
+                    F.col("cum_rel") / F.col("r").cast("double"),
+                ).otherwise(0.0)
+            )
+            / F.max("cum_rel"),
+            6,
+        ).alias("average_precision"),
+    )

@@ -252,6 +252,7 @@ _R4_QUEUE = (
     "agg_bounce_rate", "fn_luhn_check",
     "emb_pairwise_cosine_hist", "pii_kanon_generalize",
     "join_mark_exists", "text_char_ngram_profile",
+    "eval_pr_auc", "agg_funnel_stage_latency",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
