@@ -2934,3 +2934,66 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("average_precision"),
     )
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id, lang,
+             list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'),
+                              s -> trim(s)),
+               s -> s <> '') AS parts
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id, lang,
+             CAST(len(parts) AS BIGINT) AS n_sentences,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM sents JOIN documents USING (doc_id, lang)
+    )
+    SELECT doc_id, lang, n_sentences, n_words,
+           round(CASE WHEN n_sentences > 0
+                 THEN n_words / CAST(n_sentences AS DOUBLE)
+                 ELSE 0 END, 6) AS words_per_sentence
+    FROM per WHERE doc_id % 4 = 0
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics: per-document sentence count
+    (split on terminal punctuation runs, empty fragments dropped) and
+    mean sentence length in words — the missing axis of the
+    readability picture (text_readability_proxy measures word
+    complexity; grade-level formulas need words-PER-SENTENCE), and a
+    chunking prior for chunk_documents (sentence-bounded chunks beat
+    fixed windows for RAG).  Languages without terminal punctuation
+    conventions (zh in the fixture) surface as 1-sentence docs — the
+    honest behavior of a punctuation segmenter, visible per lang.
+
+    Scale (100 TB): regex split + list ops are pure projection; no
+    shuffle, no explode — the stats compute inline in the scan."""
+    d = load(spark, sf_dir, "documents")
+    parts = F.filter(
+        F.transform(F.split("text", "[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    per = d.select(
+        "doc_id",
+        "lang",
+        F.size(parts).cast("long").alias("n_sentences"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+    return per.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        "lang",
+        "n_sentences",
+        "n_words",
+        F.round(
+            F.when(
+                F.col("n_sentences") > 0,
+                F.col("n_words") / F.col("n_sentences").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("words_per_sentence"),
+    )

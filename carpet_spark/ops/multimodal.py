@@ -481,3 +481,87 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= 3)
+
+
+@register(
+    "mm_exif_strip",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             'EXIF0|GPS:' || CAST(doc_id * 7 % 180 AS VARCHAR)
+               || ',' || CAST(doc_id * 13 % 90 AS VARCHAR)
+               || '|CAM:unit' || CAST(doc_id % 17 AS VARCHAR)
+               || '|END|' AS meta_block,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(meta_block) AS BIGINT) AS bytes_removed,
+           sha256(text) AS clean_sha,
+           CAST(octet_length(encode(text)) AS BIGINT) AS clean_len
+    FROM tagged
+    """,
+)
+def mm_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII metadata stripping on a binary media column: each payload is
+    synthesized with a leading EXIF-like block (GPS coordinates,
+    camera id — exactly the fields privacy review requires removed
+    before media enters a training corpus) terminated by '|END|'; an
+    Arrow mapInPandas pass locates the marker IN THE BYTES and
+    re-emits the payload without the block, reporting bytes removed
+    and the sha256 of the cleaned payload — which the oracle predicts
+    arithmetically, proving the byte surgery was exact (the mm
+    counterpart of pii_text_scrub; ASCII metadata + multi-byte utf-8
+    text payloads both round-trip).
+
+    Scale (100 TB): the strip runs in Arrow batches next to the scan
+    — payloads never visit the driver and never shuffle; only the
+    (doc_id, digest, counts) report leaves the executors."""
+    d = load(spark, sf_dir, "documents")
+    meta_block = F.concat(
+        F.lit("EXIF0|GPS:"),
+        (F.col("doc_id") * 7 % 180).cast("string"),
+        F.lit(","),
+        (F.col("doc_id") * 13 % 90).cast("string"),
+        F.lit("|CAM:unit"),
+        (F.col("doc_id") % 17).cast("string"),
+        F.lit("|END|"),
+    )
+    tagged = d.select(
+        "doc_id",
+        F.encode(F.concat(meta_block, F.col("text")), "utf-8").alias(
+            "payload"
+        ),
+    )
+
+    def strip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        marker = b"|END|"
+        for pdf in batches:
+            removed, cleaned = [], []
+            for b in pdf["payload"]:
+                raw = bytes(b)
+                cut = raw.find(marker)
+                if cut >= 0:
+                    removed.append(cut + len(marker))
+                    cleaned.append(raw[cut + len(marker):])
+                else:
+                    removed.append(0)
+                    cleaned.append(raw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bytes_removed": removed,
+                    "clean_payload": cleaned,
+                }
+            )
+
+    stripped = tagged.mapInPandas(
+        strip_batches,
+        schema="doc_id long, bytes_removed long, clean_payload binary",
+    )
+    return stripped.select(
+        "doc_id",
+        "bytes_removed",
+        F.sha2("clean_payload", 256).alias("clean_sha"),
+        F.length("clean_payload").cast("long").alias("clean_len"),
+    )

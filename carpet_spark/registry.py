@@ -253,6 +253,7 @@ _R4_QUEUE = (
     "emb_pairwise_cosine_hist", "pii_kanon_generalize",
     "join_mark_exists", "text_char_ngram_profile",
     "eval_pr_auc", "agg_funnel_stage_latency",
+    "mm_exif_strip", "text_sentence_stats",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
