@@ -2740,3 +2740,127 @@ def agg_funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("sec", F.lit(0.9)), 6).alias("p90_sec"),
         F.round(F.avg("sec"), 6).alias("avg_sec"),
     )
+
+
+@register(
+    "agg_abc_xyz_class",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+               AS BIGINT) AS r6
+      FROM lineitem GROUP BY l_partkey
+    ),
+    weekly AS (
+      SELECT l_partkey,
+             datediff('week', DATE '2024-01-01',
+                      CAST(date_trunc('day', l_shipdate) AS DATE)) AS wk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             COUNT(*) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS sq2
+      FROM weekly GROUP BY l_partkey
+    ),
+    abc AS (
+      SELECT p.l_partkey, p.r6,
+             CAST(SUM(p.r6) OVER (ORDER BY p.r6 DESC, p.l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum6,
+             CAST(SUM(p.r6) OVER () AS BIGINT) AS tot6
+      FROM per_part p
+    ),
+    classed AS (
+      SELECT a.l_partkey, a.r6,
+             CASE WHEN a.cum6 * 10 <= a.tot6 * 7 THEN 'A'
+                  WHEN a.cum6 * 10 <= a.tot6 * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             CASE WHEN x.n < 2 THEN 'Z'
+                  WHEN 4 * x.n * (x.n * x.sq2 - x.sq * x.sq)
+                       < (x.n - 1) * x.sq * x.sq THEN 'X'
+                  WHEN x.n * (x.n * x.sq2 - x.sq * x.sq)
+                       < (x.n - 1) * x.sq * x.sq THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+    )
+    SELECT abc_class, xyz_class, COUNT(*) AS n_parts,
+           round(CAST(SUM(r6) AS BIGINT)
+                 / CAST(SUM(SUM(r6)) OVER () AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed GROUP BY abc_class, xyz_class
+    """,
+)
+def agg_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification — the planning matrix that
+    crosses value concentration (A = parts inside the top 70% of
+    cumulative revenue, B to 90%, C the tail — agg_abc_classification
+    alone) with demand VARIABILITY (X = weekly-quantity CV < 0.5,
+    Y < 1.0, Z beyond or under 2 observed weeks): AX items get tight
+    automated replenishment, CZ items get made-to-order.  Every
+    classification is an INTEGER inequality — cumulative-share cuts
+    cross-multiplied (cum·10 ≤ tot·7) and the CV thresholds squared
+    into 4n(nΣq²−(Σq)²) < (n−1)(Σq)² form — so no float ever decides
+    a class boundary.
+
+    Scale (100 TB): two map-side-combined rollups (per-part revenue,
+    per-part-week quantity), one window over the per-part table for
+    the cumulative cut, and a 9-cell report."""
+    li = load(spark, sf_dir, "lineitem")
+    r6row = (
+        F.signum("l_extendedprice")
+        * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    wk = F.floor(
+        F.datediff(F.to_date("l_shipdate"), F.lit("2024-01-01")) / 7
+    ).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(r6row).cast("long").alias("r6"))
+    weekly = li.groupBy("l_partkey", wk.alias("wk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q")
+    )
+    xyz = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sq2"),
+    )
+    wcum = Window.orderBy(F.col("r6").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    abc = per_part.select(
+        "l_partkey",
+        "r6",
+        F.sum("r6").over(wcum).cast("long").alias("cum6"),
+        F.sum("r6").over(wall).cast("long").alias("tot6"),
+    )
+    var_num = F.col("n") * (
+        F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")
+    )
+    var_den = (F.col("n") - 1) * F.col("sq") * F.col("sq")
+    classed = abc.join(xyz, "l_partkey").select(
+        "r6",
+        F.when(F.col("cum6") * 10 <= F.col("tot6") * 7, "A")
+        .when(F.col("cum6") * 10 <= F.col("tot6") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(F.col("n") < 2, "Z")
+        .when(4 * var_num < var_den, "X")
+        .when(var_num < var_den, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        classed.groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("r6").cast("long").alias("_r6"))
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            F.round(
+                F.col("_r6") / F.sum("_r6").over(Window.partitionBy()).cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+    )

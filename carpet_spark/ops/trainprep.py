@@ -1981,3 +1981,69 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("win").alias("n_hit_windows"))
     )
+
+
+@register(
+    "text_bpe_merge_round",
+    oracle="""
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS n
+      FROM words,
+           unnest(list_transform(range(1, greatest(1, length(word) - 1) + 1),
+                                 i -> substr(word, i, 2))) AS u(p)
+      WHERE length(word) >= 2
+      GROUP BY p
+    ),
+    ranked AS (
+      SELECT pair, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+      FROM pairs
+    )
+    SELECT rnk, pair, n FROM ranked WHERE rnk <= 10
+    """,
+)
+def text_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE vocabulary induction: corpus words collapse to
+    a (word, frequency) table, every adjacent character pair counts
+    weighted by word frequency, and the top-10 pairs by count are the
+    merge candidates — EXACTLY the statistic the first iteration of
+    byte-pair-encoding training computes (subsequent rounds re-run the
+    same op over re-segmented words; text_bpe_tokens applies a learned
+    vocab, this LEARNS one).  Rank ties break on the pair string.
+
+    Scale (100 TB): the word-frequency collapse is the wordcount
+    shuffle (map-side combined, vocabulary-sized); pair extraction
+    then runs over DISTINCT WORDS — orders of magnitude smaller than
+    the corpus — and the pair table is ≤ |alphabet|², so the per-round
+    cost after round one is corpus-size-independent.  This is why
+    real BPE trainers count words first."""
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("word") - 1))
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(idx, lambda i: F.substr("word", i, F.lit(2)))
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        pairs.select("pair", "n", F.row_number().over(wr).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "pair", "n")
+    )

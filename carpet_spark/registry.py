@@ -254,6 +254,7 @@ _R4_QUEUE = (
     "join_mark_exists", "text_char_ngram_profile",
     "eval_pr_auc", "agg_funnel_stage_latency",
     "mm_exif_strip", "text_sentence_stats",
+    "text_bpe_merge_round", "agg_abc_xyz_class",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
