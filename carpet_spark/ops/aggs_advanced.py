@@ -2904,3 +2904,107 @@ def dq_rowcount_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(z, 6)).alias("z"),
         F.when(ok & (F.abs(z) > 2.0), 1).otherwise(0).alias("anomaly"),
     )
+
+
+@register(
+    "dq_primary_key_check",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders' AS tbl, 'o_orderkey' AS key_cols,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null_keys
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey+l_linenumber', COUNT(*),
+             COUNT(DISTINCT (l_orderkey, l_linenumber)),
+             CAST(SUM(CASE WHEN l_orderkey IS NULL
+                           OR l_linenumber IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'customer', 'c_custkey', COUNT(*),
+             COUNT(DISTINCT c_custkey),
+             CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+      FROM customer
+      UNION ALL
+      SELECT 'events', 'event_id', COUNT(*),
+             COUNT(DISTINCT event_id),
+             CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'documents', 'doc_id', COUNT(*),
+             COUNT(DISTINCT doc_id),
+             CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT)
+      FROM documents
+    )
+    SELECT tbl, key_cols, n_rows, n_distinct, n_null_keys,
+           CASE WHEN n_rows = n_distinct AND n_null_keys = 0
+                THEN 1 ELSE 0 END AS is_valid_pk
+    FROM checks
+    """,
+)
+def dq_primary_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key audit across the warehouse: for each declared or
+    candidate key (simple and composite) the row count, distinct key
+    count, null-key count and the resulting is-it-actually-a-PK
+    verdict — the uniqueness half of referential health that
+    dq_referential_integrity (FK orphans) assumes but never checks;
+    run it BEFORE trusting any merge_upsert or cdc_compact_latest
+    keyed on these columns.
+
+    Scale (100 TB): one map-side-combined distinct-count aggregate
+    per table, unioned as 1-row frames — each table is scanned once
+    with only its key columns read (column pruning keeps the scan
+    narrow)."""
+
+    def check(tbl: str, label: str, cols: list, null_cond) -> DataFrame:
+        t = load(spark, sf_dir, tbl)
+        return t.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(label).alias("key_cols"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(*cols).alias("n_distinct"),
+            F.sum(F.when(null_cond, 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+        )
+
+    checks = (
+        check("orders", "o_orderkey", ["o_orderkey"], F.col("o_orderkey").isNull())
+        .unionAll(
+            check(
+                "lineitem",
+                "l_orderkey+l_linenumber",
+                ["l_orderkey", "l_linenumber"],
+                F.col("l_orderkey").isNull() | F.col("l_linenumber").isNull(),
+            )
+        )
+        .unionAll(
+            check("customer", "c_custkey", ["c_custkey"], F.col("c_custkey").isNull())
+        )
+        .unionAll(
+            check("events", "event_id", ["event_id"], F.col("event_id").isNull())
+        )
+        .unionAll(
+            check("documents", "doc_id", ["doc_id"], F.col("doc_id").isNull())
+        )
+    )
+    return checks.select(
+        "tbl",
+        "key_cols",
+        "n_rows",
+        "n_distinct",
+        "n_null_keys",
+        F.when(
+            (F.col("n_rows") == F.col("n_distinct"))
+            & (F.col("n_null_keys") == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_valid_pk"),
+    )

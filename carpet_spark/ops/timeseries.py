@@ -1954,3 +1954,72 @@ def ts_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "ts_record_highs",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v6
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT event_type, d, v6,
+             MAX(v6) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_best6
+      FROM daily
+    )
+    SELECT event_type, d,
+           round(v6 / 1000000.0, 6) AS daily_value,
+           round(prev_best6 / 1000000.0, 6) AS prev_record,
+           round((v6 - COALESCE(prev_best6, 0)) / 1000000.0, 6)
+             AS improvement
+    FROM flagged
+    WHERE prev_best6 IS NULL OR v6 > prev_best6
+    """,
+)
+def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-high days per series: the days whose daily revenue beat
+    every prior day (strict prefix max on exact fixed-point sums),
+    with the previous record and the improvement — the 'best day
+    ever' feed of ops dashboards and the input to streak/drawdown
+    narratives (win_drawdown is the mirror-image from peaks).  First
+    day of a series is a record by definition (NULL previous).
+
+    Scale (100 TB): daily rollup map-side combines; the prefix max is
+    one window over |series|×|days| rows.  All comparisons are
+    integer micro-units — a record is never declared by float
+    drift."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(
+            (
+                F.signum("value")
+                * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("v6")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = daily.select(
+        "event_type", "d", "v6", F.max("v6").over(w).alias("prev_best6")
+    )
+    return flagged.filter(
+        F.col("prev_best6").isNull() | (F.col("v6") > F.col("prev_best6"))
+    ).select(
+        "event_type",
+        "d",
+        F.round(F.col("v6") / 1000000.0, 6).alias("daily_value"),
+        F.round(F.col("prev_best6") / 1000000.0, 6).alias("prev_record"),
+        F.round(
+            (F.col("v6") - F.coalesce("prev_best6", F.lit(0))) / 1000000.0, 6
+        ).alias("improvement"),
+    )

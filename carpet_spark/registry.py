@@ -255,6 +255,7 @@ _R4_QUEUE = (
     "eval_pr_auc", "agg_funnel_stage_latency",
     "mm_exif_strip", "text_sentence_stats",
     "text_bpe_merge_round", "agg_abc_xyz_class",
+    "dq_primary_key_check", "ts_record_highs",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
