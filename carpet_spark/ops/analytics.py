@@ -2864,3 +2864,78 @@ def agg_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "agg_retention_curve_dayn",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ),
+    span AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS dmax FROM events
+    ),
+    actives AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    curve AS (
+      SELECT n.n,
+             f.user_id,
+             CASE WHEN a.user_id IS NULL THEN 0 ELSE 1 END AS retained
+      FROM firsts f
+      CROSS JOIN (SELECT unnest([1, 3, 7, 14]) AS n) n
+      LEFT JOIN actives a
+        ON a.user_id = f.user_id AND a.d = f.d0 + n.n * INTERVAL 1 DAY
+      WHERE f.d0 + n.n * INTERVAL 1 DAY <= (SELECT dmax FROM span)
+    )
+    SELECT n AS day_n, COUNT(*) AS n_cohort,
+           CAST(SUM(retained) AS BIGINT) AS n_retained,
+           round(SUM(retained) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS retention_rate
+    FROM curve GROUP BY n
+    """,
+)
+def agg_retention_curve_dayn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic day-N retention curve: of users first seen on day 0,
+    what share was active EXACTLY N days later (N = 1, 3, 7, 14),
+    right-censoring excluded — users whose day-N hasn't happened yet
+    are out of that N's denominator, the correctness detail naive
+    retention queries miss.  retention_cohorts gives the
+    cohort×period grid; this is the single curve product reviews
+    quote ('D7 retention is 23%').
+
+    Scale (100 TB): per-user first-day and distinct active-day
+    rollups both map-side combine; the curve join is user-keyed
+    against the small N list — one shuffle on user_id serves it
+    all."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    span = e.agg(F.max(F.to_date("ts")).alias("dmax"))
+    actives = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    ns = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(3), F.lit(7), F.lit(14))).alias("n")
+    )
+    curve = (
+        firsts.crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(span))
+        .filter(F.date_add("d0", F.col("n")) <= F.col("dmax"))
+        .join(
+            actives.withColumnsRenamed({"d": "da", "user_id": "ua"}),
+            (F.col("user_id") == F.col("ua"))
+            & (F.col("da") == F.date_add("d0", F.col("n"))),
+            "left",
+        )
+        .select(
+            "n",
+            F.when(F.col("da").isNull(), 0).otherwise(1).alias("retained"),
+        )
+    )
+    return curve.groupBy(F.col("n").alias("day_n")).agg(
+        F.count(F.lit(1)).alias("n_cohort"),
+        F.sum("retained").cast("long").alias("n_retained"),
+        F.round(
+            F.sum("retained") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("retention_rate"),
+    )

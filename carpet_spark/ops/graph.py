@@ -538,3 +538,123 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "node", F.col("label").alias("component_rep")
     ).withColumn("component_size", F.count(F.lit(1)).over(wc))
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 20 = 0
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT DISTINCT pa AS src, pb AS dst FROM pairs
+      UNION SELECT DISTINCT pb, pa FROM pairs
+    ),
+    deg AS (
+      SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+    ),
+    two_hop AS (
+      SELECT e1.src AS a, e2.dst AS b, e1.dst AS mid
+      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      WHERE e1.src < e2.dst
+    ),
+    candidates AS (
+      SELECT t.a, t.b, t.mid FROM two_hop t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = t.a AND e.dst = t.b
+      )
+    ),
+    scored AS (
+      SELECT c.a, c.b,
+             COUNT(*) AS common_neighbors,
+             round(SUM(1.0 / ln(d.d)), 6) AS adamic_adar
+      FROM candidates c JOIN deg d ON c.mid = d.node
+      GROUP BY c.a, c.b
+    ),
+    ranked AS (
+      SELECT a, b, common_neighbors, adamic_adar,
+             ROW_NUMBER() OVER (ORDER BY adamic_adar DESC, a, b) AS rnk
+      FROM scored
+    )
+    SELECT rnk, a, b, common_neighbors, adamic_adar
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the part co-purchase graph: for
+    node pairs at distance 2 that are NOT yet connected, score
+    Σ 1/ln(deg(common neighbor)) — rare shared neighbors count more
+    than hub neighbors, which is why AA beats raw common-neighbor
+    counts (graph_common_neighbors) for 'you may also need' part
+    recommendations and identity-graph candidate generation; top-20
+    predicted links reported.  Midpoints always have degree ≥ 2
+    (they connect two distinct endpoints), so ln(deg) never hits
+    zero.
+
+    Scale (100 TB): the two-hop expansion is the one fanout —
+    bounded by Σ deg², with hub capping (drop mids above a degree
+    cap) as the documented skew valve; scoring is a map-side
+    combinable aggregate keyed by the candidate pair, and the
+    direct-edge exclusion is an anti join on the same keys."""
+    from pyspark.sql import Window as _W
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    two_hop = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .select(
+            F.col("e1.src").alias("a_"),
+            F.col("e2.dst").alias("b_"),
+            F.col("e1.dst").alias("mid"),
+        )
+    )
+    candidates = two_hop.join(
+        edges.withColumnsRenamed({"src": "a_", "dst": "b_"}),
+        ["a_", "b_"],
+        "left_anti",
+    )
+    scored = (
+        candidates.join(deg, candidates.mid == deg.node)
+        .groupBy("a_", "b_")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("adamic_adar"),
+        )
+    )
+    wr = _W.orderBy(F.col("adamic_adar").desc(), F.col("a_"), F.col("b_"))
+    return (
+        scored.select(
+            F.row_number().over(wr).alias("rnk"),
+            F.col("a_").alias("a"),
+            F.col("b_").alias("b"),
+            "common_neighbors",
+            "adamic_adar",
+        )
+        .filter(F.col("rnk") <= 20)
+    )

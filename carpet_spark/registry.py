@@ -256,6 +256,7 @@ _R4_QUEUE = (
     "mm_exif_strip", "text_sentence_stats",
     "text_bpe_merge_round", "agg_abc_xyz_class",
     "dq_primary_key_check", "ts_record_highs",
+    "agg_retention_curve_dayn", "graph_adamic_adar",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
