@@ -3008,3 +3008,87 @@ def dq_primary_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_valid_pk"),
     )
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag AS flag,
+             quantile_cont(l_extendedprice, 0.05) AS p5,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    clamped AS (
+      SELECT l.l_returnflag AS flag,
+             l.l_extendedprice AS x,
+             LEAST(GREATEST(l.l_extendedprice, b.p5), b.p95) AS xw,
+             CASE WHEN l.l_extendedprice < b.p5
+                  OR l.l_extendedprice > b.p95 THEN 1 ELSE 0 END AS clamped
+      FROM lineitem l JOIN bounds b ON l.l_returnflag = b.flag
+    )
+    SELECT flag, COUNT(*) AS n,
+           CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+           round(CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / COUNT(*), 6) AS raw_mean,
+           round(CAST(SUM(CAST(ROUND(xw * 1000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000 / COUNT(*), 6) AS winsorized_mean
+    FROM clamped GROUP BY flag
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics: per-group means after CLAMPING (not
+    dropping — that's agg_trimmed_mean) values to the exact [p5, p95]
+    band, with the clamp counts — the robust mean that keeps sample
+    size intact, standard for KPI reporting over long-tailed revenue.
+    The clamped values pass through the 6-dp fixed-point accumulator,
+    so both engines sum identical integers even though the clamp
+    bounds are interpolated percentiles (deterministic doubles by the
+    verified percentile rule).
+
+    Scale (100 TB): exact percentiles per group (the one sort-bound
+    step — swap approx_percentile at scale, documented), broadcast
+    bounds join, then a map-side-combined fixed-point mean."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p5"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    clamped = li.join(
+        F.broadcast(bounds), li.l_returnflag == bounds.flag
+    ).select(
+        "flag",
+        F.col("l_extendedprice").alias("x"),
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("p5")), F.col("p95")
+        ).alias("xw"),
+        F.when(
+            (F.col("l_extendedprice") < F.col("p5"))
+            | (F.col("l_extendedprice") > F.col("p95")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clamped"),
+    )
+
+    def fp6(col):
+        return (F.signum(col) * ((F.abs(col) * 1e6 + 0.5).cast("long"))).cast(
+            "long"
+        )
+
+    return clamped.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("clamped").cast("long").alias("n_clamped"),
+        F.round(
+            F.sum(fp6(F.col("x"))).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("raw_mean"),
+        F.round(
+            F.sum(fp6(F.col("xw"))).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    )

@@ -1165,3 +1165,70 @@ def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10 - (luhn_sum - ((acct DIV 1) % 10)) % 10) % 10 AS BIGINT)"
         ).alias("correct_check_digit"),
     )
+
+
+@register(
+    "fn_human_number_parse",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CAST((o_orderkey % 9999) / 10.0 AS VARCHAR)
+               || CASE o_orderkey % 4 WHEN 0 THEN ''
+                  WHEN 1 THEN 'k' WHEN 2 THEN 'M' ELSE 'B' END AS s
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    parsed AS (
+      SELECT o_orderkey, s,
+             CAST(regexp_extract(s, '^[0-9.+-]+') AS DOUBLE) AS num,
+             CASE regexp_extract(s, '[kMB]$')
+                  WHEN 'k' THEN 1000
+                  WHEN 'M' THEN 1000000
+                  WHEN 'B' THEN 1000000000
+                  ELSE 1 END AS mult
+      FROM raw
+    )
+    SELECT o_orderkey, s AS raw_str,
+           CAST(ROUND(num * mult) AS BIGINT) AS parsed_value
+    FROM parsed
+    """,
+)
+def fn_human_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-formatted number parsing ('12.5k', '3M', '1.2B' → exact
+    integers) — the ETL cleaner for scraped metrics columns (view
+    counts, follower counts, file sizes) that arrive as display
+    strings; regex splits the numeric prefix from the magnitude
+    suffix, a CASE maps the multiplier, and ROUND lands the exact
+    integer.  Fixture strings synthesize deterministically from
+    orderkey with one decimal place and a cycling suffix so every
+    multiplier branch exercises.
+
+    Scale (100 TB): pure regexp + arithmetic projection, no
+    shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    raw = o.select(
+        "o_orderkey",
+        F.concat(
+            ((F.col("o_orderkey") % 9999) / 10.0).cast("string"),
+            F.when(F.col("o_orderkey") % 4 == 0, "")
+            .when(F.col("o_orderkey") % 4 == 1, "k")
+            .when(F.col("o_orderkey") % 4 == 2, "M")
+            .otherwise("B"),
+        ).alias("s"),
+    )
+    parsed = raw.select(
+        "o_orderkey",
+        "s",
+        F.regexp_extract("s", "^[0-9.+-]+", 0).cast("double").alias("num"),
+        F.when(F.regexp_extract("s", "[kMB]$", 0) == "k", 1000)
+        .when(F.regexp_extract("s", "[kMB]$", 0) == "M", 1000000)
+        .when(F.regexp_extract("s", "[kMB]$", 0) == "B", 1000000000)
+        .otherwise(1)
+        .alias("mult"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("s").alias("raw_str"),
+        F.round(F.col("num") * F.col("mult"))
+        .cast("long")
+        .alias("parsed_value"),
+    )

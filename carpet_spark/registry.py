@@ -257,6 +257,7 @@ _R4_QUEUE = (
     "text_bpe_merge_round", "agg_abc_xyz_class",
     "dq_primary_key_check", "ts_record_highs",
     "agg_retention_curve_dayn", "graph_adamic_adar",
+    "agg_winsorized_stats", "fn_human_number_parse",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
