@@ -3092,3 +3092,117 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("winsorized_mean"),
     )
+
+
+@register(
+    "dq_drift_report_multi",
+    oracle="""
+    WITH split AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS period,
+             LEAST(9, CAST(FLOOR(o_totalprice / 60000) AS BIGINT))
+               AS price_bucket,
+             o_orderpriority AS prio,
+             isodow(CAST(date_trunc('day', o_orderdate) AS DATE)) AS dow
+      FROM orders
+    ),
+    dims AS (
+      SELECT 'price_decile' AS col, CAST(price_bucket AS VARCHAR) AS cat,
+             period FROM split
+      UNION ALL
+      SELECT 'orderpriority', prio, period FROM split
+      UNION ALL
+      SELECT 'orderdate_dow', CAST(dow AS VARCHAR), period FROM split
+    ),
+    counts AS (
+      SELECT col, cat,
+             CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM dims GROUP BY col, cat
+    ),
+    tots AS (
+      SELECT col, CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             COUNT(*) AS k
+      FROM counts GROUP BY col
+    ),
+    psi AS (
+      SELECT c.col,
+             SUM(((c.ca + 1.0) / (t.na + t.k)
+                  - (c.cb + 1.0) / (t.nb + t.k))
+                 * ln(((c.ca + 1.0) / (t.na + t.k))
+                      / ((c.cb + 1.0) / (t.nb + t.k)))) AS psi_raw,
+             MAX(t.na) AS n_a, MAX(t.nb) AS n_b
+      FROM counts c JOIN tots t ON c.col = t.col
+      GROUP BY c.col
+    )
+    SELECT col, n_a, n_b, round(psi_raw, 6) AS psi,
+           CASE WHEN psi_raw > 0.1 THEN 1 ELSE 0 END AS drift_flag
+    FROM psi
+    """,
+)
+def dq_drift_report_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column drift report: Laplace-smoothed PSI between the two
+    (order-key parity) periods for a numeric column (fixed price
+    deciles), a categorical (order priority) and a derived calendar
+    dimension (weekday) — agg_psi_drift monitors ONE column; a real
+    drift gate sweeps the schema and reports per-column PSI with one
+    flag each (>0.1 = investigate, the standard threshold).  The +1
+    smoothing keeps empty categories finite and deterministic on both
+    engines; all counts are integers until the ≤20-term PSI sum.
+
+    Scale (100 TB): one scan fans the row into |columns| (col, cat)
+    pairs — the union is projection, not re-reads; counting map-side
+    combines to Σ|cardinalities| keys and PSI reduces per column."""
+    o = load(spark, sf_dir, "orders")
+    split = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias(
+            "period"
+        ),
+        F.least(
+            F.lit(9), F.floor(F.col("o_totalprice") / 60000).cast("long")
+        )
+        .cast("string")
+        .alias("price_decile"),
+        F.col("o_orderpriority").alias("orderpriority"),
+        (F.weekday(F.to_date("o_orderdate")) + 1)
+        .cast("string")
+        .alias("orderdate_dow"),
+    )
+    dims = None
+    for colname in ("price_decile", "orderpriority", "orderdate_dow"):
+        part = split.select(
+            F.lit(colname).alias("col"),
+            F.col(colname).alias("cat"),
+            "period",
+        )
+        dims = part if dims is None else dims.unionAll(part)
+    counts = dims.groupBy("col", "cat").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tots = counts.groupBy("col").agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = counts.join(F.broadcast(tots), "col")
+    pa = (F.col("ca") + 1.0) / (F.col("na") + F.col("k"))
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + F.col("k"))
+    psi = j.groupBy("col").agg(
+        F.sum((pa - pb) * F.log(pa / pb)).alias("psi_raw"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )
+    return psi.select(
+        "col",
+        "n_a",
+        "n_b",
+        F.round("psi_raw", 6).alias("psi"),
+        F.when(F.col("psi_raw") > 0.1, 1).otherwise(0).alias("drift_flag"),
+    )

@@ -2997,3 +2997,91 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("words_per_sentence"),
     )
+
+
+@register(
+    "pipeline_corpus_health_report",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT text) AS n_unique_texts,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en
+      FROM documents
+    ),
+    tidy AS (
+      SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM m
+      UNION ALL SELECT 'exact_dup_docs',
+        CAST(n_docs - n_unique_texts AS DOUBLE) FROM m
+      UNION ALL SELECT 'dup_share',
+        (n_docs - n_unique_texts) / CAST(n_docs AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM m
+      UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM m
+      UNION ALL SELECT 'en_share', n_en / CAST(n_docs AS DOUBLE) FROM m
+      UNION ALL SELECT 'mean_chars',
+        sum_chars / CAST(n_docs AS DOUBLE) FROM m
+      UNION ALL SELECT 'mean_tokens',
+        sum_toks / CAST(n_docs AS DOUBLE) FROM m
+    )
+    SELECT metric, round(value, 6) AS value FROM tidy
+    """,
+)
+def pipeline_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-page corpus health report run before ANY training-data
+    job: document and unique-text counts (their gap = exact-dup
+    volume), language and source cardinalities, English share, mean
+    chars and tokens — all from ONE aggregate over one scan, emitted
+    as tidy (metric, value) rows a dashboard or a diff against last
+    week's report consumes directly.  The detailed drill-downs each
+    have their own op (dedup_cluster_size_dist, text_lang_stats,
+    agg_token_budget_allocation); this is the summary that decides
+    which of them to run.
+
+    Scale (100 TB): one pass; the distinct-text count rides the same
+    Expand-based multi-distinct aggregate Catalyst builds for
+    profile_table (swap approx_count_distinct at extreme scale,
+    documented)."""
+    d = load(spark, sf_dir, "documents")
+    m = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_toks"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+    )
+    metrics = [
+        ("n_docs", F.col("n_docs").cast("double")),
+        (
+            "exact_dup_docs",
+            (F.col("n_docs") - F.col("n_unique_texts")).cast("double"),
+        ),
+        (
+            "dup_share",
+            (F.col("n_docs") - F.col("n_unique_texts"))
+            / F.col("n_docs").cast("double"),
+        ),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("en_share", F.col("n_en") / F.col("n_docs").cast("double")),
+        ("mean_chars", F.col("sum_chars") / F.col("n_docs").cast("double")),
+        ("mean_tokens", F.col("sum_toks") / F.col("n_docs").cast("double")),
+    ]
+    tidy = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("metric"), expr.alias("value"))
+                for name, expr in metrics
+            ]
+        )
+    )
+    return m.select(tidy.alias("cell")).select(
+        "cell.metric", F.round("cell.value", 6).alias("value")
+    )

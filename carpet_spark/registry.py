@@ -258,6 +258,7 @@ _R4_QUEUE = (
     "dq_primary_key_check", "ts_record_highs",
     "agg_retention_curve_dayn", "graph_adamic_adar",
     "agg_winsorized_stats", "fn_human_number_parse",
+    "dq_drift_report_multi", "pipeline_corpus_health_report",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
