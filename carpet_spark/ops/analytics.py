@@ -2939,3 +2939,200 @@ def agg_retention_curve_dayn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("retained") / F.count(F.lit(1)).cast("double"), 6
         ).alias("retention_rate"),
     )
+
+
+@register(
+    "feature_standard_scale",
+    oracle="""
+    WITH fp AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS p6,
+             CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS q6
+      FROM lineitem
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(p6) AS BIGINT) AS sp, SUM(CAST(p6 AS HUGEINT) * p6)
+               AS sp2,
+             CAST(SUM(q6) AS BIGINT) AS sq, SUM(CAST(q6 AS HUGEINT) * q6)
+               AS sq2
+      FROM fp
+    )
+    SELECT f.l_orderkey, f.l_linenumber,
+           round((f.p6 - s.sp / CAST(s.n AS DOUBLE))
+                 / sqrt((s.n * CAST(s.sp2 AS DOUBLE) - CAST(s.sp AS DOUBLE)
+                         * s.sp) / (CAST(s.n AS DOUBLE) * (s.n - 1))), 6)
+             AS price_z,
+           round((f.q6 - s.sq / CAST(s.n AS DOUBLE))
+                 / sqrt((s.n * CAST(s.sq2 AS DOUBLE) - CAST(s.sq AS DOUBLE)
+                         * s.sq) / (CAST(s.n AS DOUBLE) * (s.n - 1))), 6)
+             AS qty_z
+    FROM fp f CROSS JOIN stats s
+    WHERE f.l_orderkey % 25 = 0
+    """,
+)
+def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score feature standardization — the other normalizer next to
+    feature_minmax_scale (min-max preserves bounded range; z-scores
+    preserve outlier structure and are what linear models and
+    distance metrics want).  Mean and variance derive from exact
+    fixed-point integer moments (Σx, Σx² over 1e-6-unit longs), so
+    both engines divide identical integers and the per-row z-scores
+    are bit-aligned before the 6-dp round; population stats come from
+    the FULL table while the (bounded) output projects a key sample.
+
+    Scale (100 TB): one moment aggregate (map-side combined,
+    mergeable — the same sketch shape as emb_pca_project's second
+    moments), broadcast to a pure projection.  Σx² of 1e-6-scaled
+    values needs int128/decimal beyond ~3e6 rows — DuckDB HUGEINT
+    native, Spark side documents decimal(38,0)."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def fp6(col):
+        return (
+            F.signum(col) * ((F.abs(col) * 1e6 + 0.5).cast("long"))
+        ).cast("long")
+
+    fp = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fp6(F.col("l_extendedprice")).alias("p6"),
+        fp6(F.col("l_quantity")).alias("q6"),
+    )
+    stats = fp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p6").cast("long").alias("sp"),
+        F.sum(F.col("p6").cast("decimal(38,0)") * F.col("p6")).alias("sp2"),
+        F.sum("q6").cast("long").alias("sq"),
+        F.sum(F.col("q6").cast("decimal(38,0)") * F.col("q6")).alias("sq2"),
+    )
+
+    def z(x, s, s2):
+        mu = F.col(s) / F.col("n").cast("double")
+        var = (
+            F.col("n") * F.col(s2).cast("double")
+            - F.col(s).cast("double") * F.col(s)
+        ) / (F.col("n").cast("double") * (F.col("n") - 1))
+        return F.round((F.col(x) - mu) / F.sqrt(var), 6)
+
+    return (
+        fp.crossJoin(F.broadcast(stats))
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            z("p6", "sp", "sp2").alias("price_z"),
+            z("q6", "sq", "sq2").alias("qty_z"),
+        )
+    )
+
+
+@register(
+    "ab_segment_heterogeneity",
+    oracle="""
+    WITH tagged AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderkey % 2 = 0 THEN 'a' ELSE 'b' END AS arm,
+             CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT) AS v6
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    moments AS (
+      SELECT segment, arm, COUNT(*) AS n,
+             CAST(SUM(v6) AS BIGINT) AS sv,
+             SUM(CAST(v6 AS HUGEINT) * v6) AS sv2
+      FROM tagged GROUP BY segment, arm
+    ),
+    wide AS (
+      SELECT a.segment,
+             a.n AS n_a, a.sv AS sv_a, a.sv2 AS sv2_a,
+             b.n AS n_b, b.sv AS sv_b, b.sv2 AS sv2_b
+      FROM (SELECT * FROM moments WHERE arm = 'a') a
+      JOIN (SELECT * FROM moments WHERE arm = 'b') b
+        ON a.segment = b.segment
+    )
+    SELECT segment, n_a, n_b,
+           round(sv_a / (n_a * 1000000.0), 6) AS mean_a,
+           round(sv_b / (n_b * 1000000.0), 6) AS mean_b,
+           round((sv_a / CAST(n_a AS DOUBLE) - sv_b / CAST(n_b AS DOUBLE))
+                 / 1000000.0, 6) AS diff,
+           round((sv_a / CAST(n_a AS DOUBLE) - sv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(
+                   (n_a * CAST(sv2_a AS DOUBLE) - CAST(sv_a AS DOUBLE) * sv_a)
+                     / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+                   + (n_b * CAST(sv2_b AS DOUBLE) - CAST(sv_b AS DOUBLE) * sv_b)
+                     / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b), 6)
+             AS welch_z
+    FROM wide
+    """,
+)
+def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treatment-effect heterogeneity: the A/B mean comparison
+    (order-key parity arms, order value metric) broken out BY
+    CUSTOMER SEGMENT with a Welch z per segment — the analysis that
+    catches 'flat overall but +8% for BUILDING and −7% for
+    AUTOMOBILE', which the pooled test (ab_welch_ttest) averages
+    away.  Every variance comes from exact integer moments (Σv, Σv²
+    in micro-units), so the z statistics are engine-identical before
+    rounding.
+
+    Scale (100 TB): one (segment, arm) moment rollup — map-side
+    combined, mergeable — then a |segments|-row self-join; adding
+    segments or metrics never adds a pass over the facts."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    v6 = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    tagged = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("arm"),
+        v6.alias("v6"),
+    )
+    moments = tagged.groupBy("segment", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v6").cast("long").alias("sv"),
+        F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("sv2"),
+    )
+    a = moments.filter(F.col("arm") == "a").select(
+        "segment",
+        F.col("n").alias("n_a"),
+        F.col("sv").alias("sv_a"),
+        F.col("sv2").alias("sv2_a"),
+    )
+    b = moments.filter(F.col("arm") == "b").select(
+        F.col("segment").alias("segment_b"),
+        F.col("n").alias("n_b"),
+        F.col("sv").alias("sv_b"),
+        F.col("sv2").alias("sv2_b"),
+    )
+    wide = a.join(b, a.segment == b.segment_b)
+    mean_a = F.col("sv_a") / F.col("n_a").cast("double")
+    mean_b = F.col("sv_b") / F.col("n_b").cast("double")
+
+    def var_over_n(n, sv, sv2):
+        return (
+            (
+                F.col(n) * F.col(sv2).cast("double")
+                - F.col(sv).cast("double") * F.col(sv)
+            )
+            / (F.col(n).cast("double") * (F.col(n) - 1))
+            / F.col(n)
+        )
+
+    return wide.select(
+        "segment",
+        "n_a",
+        "n_b",
+        F.round(F.col("sv_a") / (F.col("n_a") * 1000000.0), 6).alias("mean_a"),
+        F.round(F.col("sv_b") / (F.col("n_b") * 1000000.0), 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / 1000000.0, 6).alias("diff"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(
+                var_over_n("n_a", "sv_a", "sv2_a")
+                + var_over_n("n_b", "sv_b", "sv2_b")
+            ),
+            6,
+        ).alias("welch_z"),
+    )
