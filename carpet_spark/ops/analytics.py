@@ -3136,3 +3136,165 @@ def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_z"),
     )
+
+
+@register(
+    "ab_difference_in_differences",
+    oracle="""
+    WITH tagged AS (
+      SELECT CASE WHEN o_custkey % 2 = 0 THEN 'treat' ELSE 'control' END
+               AS arm,
+             CASE WHEN o_orderdate >= TIMESTAMP '2024-07-01 00:00:00'
+                  THEN 'post' ELSE 'pre' END AS period,
+             CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS v6
+      FROM orders
+    ),
+    cells AS (
+      SELECT arm, period, COUNT(*) AS n,
+             CAST(SUM(v6) AS BIGINT) AS sv,
+             SUM(CAST(v6 AS HUGEINT) * v6) AS sv2
+      FROM tagged GROUP BY arm, period
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm='treat' AND period='pre' THEN sv / (n * 1e6) END)
+          AS m_tp,
+        MAX(CASE WHEN arm='treat' AND period='post' THEN sv / (n * 1e6) END)
+          AS m_tq,
+        MAX(CASE WHEN arm='control' AND period='pre' THEN sv / (n * 1e6) END)
+          AS m_cp,
+        MAX(CASE WHEN arm='control' AND period='post' THEN sv / (n * 1e6) END)
+          AS m_cq,
+        SUM((n * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * sv)
+            / (CAST(n AS DOUBLE) * (n - 1)) / n / 1e12) AS var_sum,
+        CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           round(m_tq - m_tp, 6) AS treat_delta,
+           round(m_cq - m_cp, 6) AS control_delta,
+           round((m_tq - m_tp) - (m_cq - m_cp), 6) AS did_estimate,
+           round(((m_tq - m_tp) - (m_cq - m_cp)) / sqrt(var_sum), 6)
+             AS did_z
+    FROM wide
+    """,
+)
+def ab_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treatment assigned by customer
+    parity, periods split at July 1, outcome = mean order value —
+    DiD = (treat_post − treat_pre) − (control_post − control_pre),
+    the causal workhorse when randomization isn't available and both
+    groups share a trend; the z uses the four-cell independent-
+    variance sum.  All four cell means and variances come from exact
+    integer micro-unit moments, so the estimate is engine-identical
+    before rounding.  Completes the quasi-experimental toolkit next
+    to the randomized tests (ab_welch_ttest, ab_two_proportion_ztest)
+    and per-segment heterogeneity (ab_segment_heterogeneity).
+
+    Scale (100 TB): one (arm, period) moment rollup — four cells —
+    then scalar arithmetic; nothing after the map-side combine is
+    bigger than a row."""
+    o = load(spark, sf_dir, "orders")
+    v6 = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    tagged = o.select(
+        F.when(F.col("o_custkey") % 2 == 0, "treat")
+        .otherwise("control")
+        .alias("arm"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("2024-07-01 00:00:00").cast("timestamp"),
+            "post",
+        )
+        .otherwise("pre")
+        .alias("period"),
+        v6.alias("v6"),
+    )
+    cells = tagged.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v6").cast("long").alias("sv"),
+        F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("sv2"),
+    )
+
+    def cell_mean(arm, period):
+        return F.max(
+            F.when(
+                (F.col("arm") == arm) & (F.col("period") == period),
+                F.col("sv") / (F.col("n") * 1e6),
+            )
+        )
+
+    var_term = (
+        (
+            F.col("n") * F.col("sv2").cast("double")
+            - F.col("sv").cast("double") * F.col("sv")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+        / F.col("n")
+        / 1e12
+    )
+    wide = cells.agg(
+        cell_mean("treat", "pre").alias("m_tp"),
+        cell_mean("treat", "post").alias("m_tq"),
+        cell_mean("control", "pre").alias("m_cp"),
+        cell_mean("control", "post").alias("m_cq"),
+        F.sum(var_term).alias("var_sum"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (F.col("m_tq") - F.col("m_tp")) - (F.col("m_cq") - F.col("m_cp"))
+    return wide.select(
+        "n_total",
+        F.round(F.col("m_tq") - F.col("m_tp"), 6).alias("treat_delta"),
+        F.round(F.col("m_cq") - F.col("m_cp"), 6).alias("control_delta"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(did / F.sqrt(F.col("var_sum")), 6).alias("did_z"),
+    )
+
+
+@register(
+    "agg_price_elasticity",
+    oracle="""
+    WITH obs AS (
+      SELECT p.p_brand AS brand,
+             ln(l.l_quantity) AS ln_q,
+             ln(l.l_extendedprice / l.l_quantity) AS ln_p
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    )
+    SELECT brand, COUNT(*) AS n,
+           round(regr_slope(ln_q, ln_p), 6) AS elasticity,
+           round(regr_r2(ln_q, ln_p), 6) AS r2
+    FROM obs GROUP BY brand
+    """,
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity of demand per brand: the log-log OLS slope
+    of quantity on unit price (elasticity = %Δqty per %Δprice, the
+    number pricing teams move prices by) with its R² — ts_trend_ols
+    regresses a metric on TIME; this is the econometric regression on
+    another VARIABLE, same closed-form regr_* machinery, unit price
+    derived per line as extendedprice/quantity.  Zero quantities and
+    prices are excluded before the logs on both engines.
+
+    Scale (100 TB): broadcast part join for the brand key, then
+    per-brand single-pass regr sketches — one fact scan, one
+    |brands|-key combine."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    obs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log("l_quantity").alias("ln_q"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ln_p"
+            ),
+        )
+    )
+    return obs.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("elasticity"),
+        F.round(F.regr_r2("ln_q", "ln_p"), 6).alias("r2"),
+    )

@@ -260,6 +260,7 @@ _R4_QUEUE = (
     "agg_winsorized_stats", "fn_human_number_parse",
     "dq_drift_report_multi", "pipeline_corpus_health_report",
     "feature_standard_scale", "ab_segment_heterogeneity",
+    "ab_difference_in_differences", "agg_price_elasticity",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
