@@ -3085,3 +3085,63 @@ def pipeline_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame
     return m.select(tidy.alias("cell")).select(
         "cell.metric", F.round("cell.value", 6).alias("value")
     )
+
+
+@register(
+    "text_template_mining",
+    oracle="""
+    WITH templ AS (
+      SELECT regexp_replace(substr(text, 1, 60), '[0-9]+', '<num>', 'g')
+               AS template
+      FROM documents
+    ),
+    counts AS (
+      SELECT template, COUNT(*) AS n FROM templ GROUP BY template
+    ),
+    ranked AS (
+      SELECT template, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, template) AS rnk,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM counts
+    )
+    SELECT rnk, template, n,
+           round(n / CAST(total AS DOUBLE), 6) AS doc_share
+    FROM ranked WHERE rnk <= 15
+    """,
+)
+def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining (Drain-style, one level): document prefixes with
+    numeric runs masked to <num> collapse into templates, ranked by
+    frequency — the log-analytics primitive ('Connection from <num>
+    failed after <num> ms') that also exposes boilerplate families in
+    a crawled corpus (text_boilerplate_prefix finds shared literal
+    prefixes; masking finds shared STRUCTURE with varying numbers).
+    Top-15 templates with corpus share; rank ties break on the
+    template string.
+
+    Scale (100 TB): per-row regex projection, then a map-side-combined
+    count on the (bounded) template vocabulary — wordcount economics
+    over templates."""
+    d = load(spark, sf_dir, "documents")
+    templ = d.select(
+        F.regexp_replace(F.substring("text", 1, 60), "[0-9]+", "<num>").alias(
+            "template"
+        )
+    )
+    counts = templ.groupBy("template").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("template"))
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        "template",
+        "n",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("n").over(wall).cast("long").alias("total"),
+    )
+    return ranked.filter(F.col("rnk") <= 15).select(
+        "rnk",
+        "template",
+        "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+            "doc_share"
+        ),
+    )

@@ -915,3 +915,60 @@ def scan_multiformat_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("json").alias("fmt"), "r_regionkey", "r_name"
     )
     return pq.unionByName(cs).unionByName(js)
+
+
+@register(
+    "scan_jsonl_corrupt_capture",
+    oracle="""
+    SELECT lang, COUNT(*) AS n FROM documents
+    WHERE doc_id % 5 <> 0 GROUP BY lang
+    UNION ALL
+    SELECT '_corrupt', COUNT(*) FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def scan_jsonl_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSONL ingestion with corrupt-record capture: a jsonl
+    file is materialized where every fifth record is deliberately
+    malformed (truncated JSON — the reality of any crawled or
+    vendor-delivered feed), then read back with
+    columnNameOfCorruptRecord so bad lines land in a quarantine
+    column instead of killing the job; the report counts valid rows
+    per language plus the '_corrupt' bucket.  The oracle predicts
+    both populations arithmetically from the source table — proving
+    no record was silently dropped OR mis-parsed (FAILFAST would
+    abort; DROPMALFORMED would lie).
+
+    Scale (100 TB): jsonl splits by line, so the permissive parse is
+    embarrassingly parallel; the corrupt bucket is the operational
+    dead-letter queue, counted in the same pass as the good rows."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = _sink_path(spark, "jsonl_corrupt")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "lang": "tru'),
+            ),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("doc_id long, lang string, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    # Spark refuses plans whose only referenced column is the corrupt-
+    # record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN); one grouped pass
+    # referencing lang AND _bad together counts both populations and is
+    # the cheaper plan anyway.
+    label = F.when(F.col("_bad").isNotNull(), "_corrupt").otherwise(
+        F.col("lang")
+    )
+    return parsed.groupBy(label.alias("lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -261,6 +261,7 @@ _R4_QUEUE = (
     "dq_drift_report_multi", "pipeline_corpus_health_report",
     "feature_standard_scale", "ab_segment_heterogeneity",
     "ab_difference_in_differences", "agg_price_elasticity",
+    "scan_jsonl_corrupt_capture", "text_template_mining",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
