@@ -523,3 +523,98 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.mapInPandas(
         mmr, schema="sel_rank int, vec_id long, q_sim double, mmr_score double"
     )
+
+
+@register(
+    "emb_product_quantize_lite",
+    oracle="""
+    WITH subs AS (
+      SELECT vec_id, s.j AS subspace,
+             list_sum(list_transform(
+               embedding[s.j * 8 + 1 : s.j * 8 + 8],
+               x -> CAST(x AS DOUBLE))) AS ssum
+      FROM embeddings,
+           (SELECT unnest(range(0, 8)) AS j) s
+    ),
+    bits AS (
+      SELECT vec_id, subspace,
+             CASE WHEN ssum > 0 THEN 1 ELSE 0 END AS bit
+      FROM subs
+    ),
+    codes AS (
+      SELECT vec_id,
+             CAST(SUM(bit * (1 << subspace)) AS BIGINT) AS code
+      FROM bits GROUP BY vec_id
+    ),
+    per_sub AS (
+      SELECT subspace,
+             CAST(SUM(CASE WHEN bit = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bit0,
+             CAST(SUM(bit) AS BIGINT) AS n_bit1
+      FROM bits GROUP BY subspace
+    ),
+    ncodes AS (
+      SELECT COUNT(DISTINCT code) AS n_distinct_codes FROM codes
+    )
+    SELECT p.subspace, p.n_bit0, p.n_bit1,
+           round(LEAST(p.n_bit0, p.n_bit1)
+                 / CAST(GREATEST(p.n_bit0, p.n_bit1) AS DOUBLE), 6)
+             AS balance,
+           (SELECT n_distinct_codes FROM ncodes) AS n_distinct_codes
+    FROM per_sub p
+    """,
+)
+def emb_product_quantize_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization structure probe: the 64-dim embedding
+    splits into 8 subspaces of 8 dims, each assigned a 1-bit code
+    (sign of the subvector sum — the degenerate 2-centroid PQ
+    codebook), giving an 8-bit code per vector; the report shows
+    per-subspace code balance and the number of distinct codes in
+    use — the capacity check run BEFORE spending on a real k-means
+    codebook (sim_ann_ivf trains one): skewed bits or few distinct
+    codes mean PQ at that split will not separate this space.
+    Subvector sums reduce in array order on both engines, and every
+    reported quantity is an integer count.
+
+    Scale (100 TB): pure array arithmetic per vector (zip/slice
+    inside the scan, no explode of the corpus), one 8-key and one
+    distinct-count aggregate — the code assignment shape is exactly
+    how a real PQ encoder runs at scale."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    bit_cols = []
+    for j in range(8):
+        ssum = F.aggregate(
+            F.slice("emb", j * 8 + 1, 8), F.lit(0.0), lambda a, x: a + x
+        )
+        bit_cols.append(F.when(ssum > 0, 1).otherwise(0).alias(f"b{j}"))
+    bits_wide = e.select("vec_id", *bit_cols)
+    code = None
+    for j in range(8):
+        term = F.col(f"b{j}") * (1 << j)
+        code = term if code is None else code + term
+    coded = bits_wide.withColumn("code", code.cast("long"))
+    ncodes = coded.agg(F.countDistinct("code").alias("n_distinct_codes"))
+    bits_long = coded.select(
+        F.posexplode(
+            F.array(*[F.col(f"b{j}") for j in range(8)])
+        ).alias("subspace", "bit")
+    )
+    per_sub = bits_long.groupBy("subspace").agg(
+        F.sum(F.when(F.col("bit") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bit0"),
+        F.sum("bit").cast("long").alias("n_bit1"),
+    )
+    return per_sub.crossJoin(F.broadcast(ncodes)).select(
+        "subspace",
+        "n_bit0",
+        "n_bit1",
+        F.round(
+            F.least("n_bit0", "n_bit1")
+            / F.greatest("n_bit0", "n_bit1").cast("double"),
+            6,
+        ).alias("balance"),
+        "n_distinct_codes",
+    )

@@ -2047,3 +2047,65 @@ def text_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("rnk", "pair", "n")
     )
+
+
+@register(
+    "sample_epoch_repeat_factors",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(avail) * 2 AS BIGINT) AS target_total,
+             COUNT(*) AS k
+      FROM per
+    )
+    SELECT p.source, p.avail,
+           LEAST(4000000,
+                 (t.target_total // t.k) * 1000000 // p.avail)
+             AS repeat_ppm,
+           p.avail * LEAST(4000000,
+                 (t.target_total // t.k) * 1000000 // p.avail) // 1000000
+             AS effective_tokens,
+           CASE WHEN (t.target_total // t.k) * 1000000 // p.avail
+                     > 4000000 THEN 1 ELSE 0 END AS capped
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def sample_epoch_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch repeat factors for a uniform source mix: to hit a target
+    of 2× the corpus tokens split EQUALLY across sources, each source
+    repeats at target_share/avail — capped at 4 epochs (the published
+    diminishing-returns ceiling for data repetition), with the cap
+    flagged so the mix designer sees which sources are supply-limited.
+    Factors are integer ppm (micro-epochs), so the plan is
+    deterministic and effective token counts reconcile exactly —
+    agg_token_budget_allocation answers 'how many tokens from each
+    source'; this answers 'how many PASSES over each source' when the
+    target EXCEEDS supply.
+
+    Scale (100 TB): one token-supply rollup, then |sources|-row
+    arithmetic — identical economics to the allocation op."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail")
+    )
+    tot = per.agg(
+        (F.sum("avail") * 2).cast("long").alias("target_total"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    raw_ppm = F.expr("(target_total DIV k) * 1000000 DIV avail")
+    ppm = F.least(F.lit(4000000).cast("long"), raw_ppm)
+    return j.select(
+        "source",
+        "avail",
+        ppm.alias("repeat_ppm"),
+        F.expr(
+            "avail * LEAST(CAST(4000000 AS BIGINT),"
+            " (target_total DIV k) * 1000000 DIV avail) DIV 1000000"
+        ).alias("effective_tokens"),
+        F.when(raw_ppm > 4000000, 1).otherwise(0).alias("capped"),
+    )

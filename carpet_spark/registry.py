@@ -262,6 +262,7 @@ _R4_QUEUE = (
     "feature_standard_scale", "ab_segment_heterogeneity",
     "ab_difference_in_differences", "agg_price_elasticity",
     "scan_jsonl_corrupt_capture", "text_template_mining",
+    "sample_epoch_repeat_factors", "emb_product_quantize_lite",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
