@@ -3298,3 +3298,46 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("ln_q", "ln_p"), 6).alias("elasticity"),
         F.round(F.regr_r2("ln_q", "ln_p"), 6).alias("r2"),
     )
+
+
+@register(
+    "agg_newsvendor_quantile",
+    oracle="""
+    WITH weekly AS (
+      SELECT l_partkey,
+             datediff('week', DATE '2024-01-01',
+                      CAST(date_trunc('day', l_shipdate) AS DATE)) AS wk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem WHERE l_partkey % 50 = 0
+      GROUP BY 1, 2
+    )
+    SELECT l_partkey, COUNT(*) AS n_weeks,
+           round(AVG(q), 6) AS mean_weekly_demand,
+           round(quantile_cont(q, 0.8), 6) AS q_star_80
+    FROM weekly GROUP BY l_partkey
+    """,
+)
+def agg_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking quantity: per (sampled) part, the 0.8
+    quantile of weekly demand — the provably optimal order-up-to
+    level when the critical ratio (underage cost / total cost) is
+    0.8, which is THE inventory decision the ABC×XYZ matrix
+    (agg_abc_xyz_class) routes its AX/AY items into.  Demand
+    aggregates are exact integer weekly sums; the quantile follows
+    the verified percentile rule, so mean and q* hash identically.
+
+    Scale (100 TB): per-(part, week) rollup map-side combines; the
+    per-part quantile runs over ≤ |weeks| values per key — swap
+    approx_percentile for recurring full-catalog runs, documented."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    wk = F.floor(
+        F.datediff(F.to_date("l_shipdate"), F.lit("2024-01-01")) / 7
+    ).cast("long")
+    weekly = li.groupBy("l_partkey", wk.alias("wk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q")
+    )
+    return weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.round(F.avg("q"), 6).alias("mean_weekly_demand"),
+        F.round(F.percentile("q", F.lit(0.8)), 6).alias("q_star_80"),
+    )

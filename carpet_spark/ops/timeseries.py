@@ -2023,3 +2023,64 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("v6") - F.coalesce("prev_best6", F.lit(0))) / 1000000.0, 6
         ).alias("improvement"),
     )
+
+
+@register(
+    "ts_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT event_type, COUNT(*) AS n_gaps,
+           round(AVG(gap_us) / 1e6, 6) AS mean_sec,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 6) AS median_sec,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_sec,
+           round(sqrt((COUNT(*) * SUM(CAST(gap_us AS HUGEINT) * gap_us)
+                       - CAST(SUM(gap_us) AS HUGEINT) * SUM(gap_us))
+                      / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)))
+                 / (SUM(gap_us) / CAST(COUNT(*) AS DOUBLE)), 6) AS cv
+    FROM g GROUP BY event_type
+    """,
+)
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event series: mean / median /
+    p90 gap and the coefficient of variation — CV ≈ 1 is the Poisson
+    signature, CV > 1 confirms the bursty arrivals ts_burstiness_fano
+    sees in COUNTS from the complementary GAP view, and the p90 gap
+    is what staleness SLAs (dq_freshness_sla) should be calibrated
+    from.  Gaps are exact integer microseconds (epoch_us both sides),
+    so percentiles and the moment-based CV hash identically.
+
+    Scale (100 TB): one (series)-partitioned ordered window for the
+    lag — the sessionize shuffle — then per-series scalar rollups;
+    Σgap² runs int128/decimal (HUGEINT / decimal(38,0))."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    n = F.count(F.lit(1))
+    sg = F.sum("gap_us")
+    sg2 = F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us"))
+    mean_us = sg / n.cast("double")
+    var = (
+        n * sg2.cast("double") - sg.cast("double") * sg
+    ) / (n.cast("double") * (n - 1))
+    return gaps.groupBy("event_type").agg(
+        n.alias("n_gaps"),
+        F.round(mean_us / 1e6, 6).alias("mean_sec"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 6).alias(
+            "median_sec"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 6).alias(
+            "p90_sec"
+        ),
+        F.round(F.sqrt(var) / mean_us, 6).alias("cv"),
+    )

@@ -263,6 +263,7 @@ _R4_QUEUE = (
     "ab_difference_in_differences", "agg_price_elasticity",
     "scan_jsonl_corrupt_capture", "text_template_mining",
     "sample_epoch_repeat_factors", "emb_product_quantize_lite",
+    "agg_newsvendor_quantile", "ts_interarrival_stats",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
