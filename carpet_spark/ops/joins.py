@@ -1311,3 +1311,53 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_late_shipment"
         ),
     )
+
+
+@register(
+    "join_basket_containment",
+    oracle="""
+    WITH wanted AS (
+      SELECT unnest(['Brand#13', 'Brand#22']) AS brand
+    ),
+    matched AS (
+      SELECT l.l_orderkey,
+             COUNT(DISTINCT p.p_brand) AS n_matched,
+             COUNT(*) AS n_matched_lines
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN wanted w ON p.p_brand = w.brand
+      GROUP BY l.l_orderkey
+    )
+    SELECT l_orderkey, n_matched_lines
+    FROM matched WHERE n_matched = 2
+    """,
+)
+def join_basket_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-containment (ALL-of) basket join: orders whose line items
+    cover EVERY brand in the query set {Brand#13, Brand#22} — the
+    'baskets containing both A and B' query behind bundle analysis
+    and the relational-division textbook operator, expressed as the
+    scalable group-count idiom (match lines against the wanted set,
+    require distinct-match count = |set|) instead of k self-joins
+    which explode combinatorially as the set grows.
+
+    Scale (100 TB): the wanted set broadcasts into the part join, the
+    fact scan reduces to matching lines BEFORE the per-order
+    aggregate (map-side combined on orderkey), and |set| changes only
+    a literal — same one-shuffle plan for any set size, versus one
+    extra self-join per item in the naive form."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    wanted = ["Brand#13", "Brand#22"]
+    matched = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.col("p_brand").isin(*wanted))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("p_brand").alias("n_matched"),
+            F.count(F.lit(1)).alias("n_matched_lines"),
+        )
+    )
+    return matched.filter(F.col("n_matched") == len(wanted)).select(
+        "l_orderkey", "n_matched_lines"
+    )

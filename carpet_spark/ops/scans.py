@@ -972,3 +972,73 @@ def scan_jsonl_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(label.alias("lang")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "sink_manifest_publish",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic publish via manifest: a slice of orders is written as a
+    fixed-width parquet fileset, then a _MANIFEST is committed listing
+    every data file WITH its row count; the read side consumes ONLY
+    the manifest's files and cross-checks each file's actual rows
+    against the manifest before serving — the publish/subscribe
+    contract that makes a batch output atomic on stores without
+    atomic directory rename (readers never see a half-written
+    fileset; a file/manifest mismatch raises instead of returning
+    partial data).  The returned rollup hash-checks against the
+    source, proving the publish-read cycle lost nothing.
+
+    Scale (100 TB): manifest cost is O(files), not rows; the
+    row-count cross-check rides parquet footer metadata (a count()
+    over one file reads no data pages)."""
+    import json as _json
+    import os as _os
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    out = _sink_path(spark, "manifest_pub")
+    data_dir = _os.path.join(out, "data")
+    o.repartition(4).write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        f
+        for f in _os.listdir(data_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    manifest = []
+    for f in files:
+        path = _os.path.join(data_dir, f)
+        n = spark.read.parquet(path).count()  # footer metadata only
+        manifest.append({"file": f, "rows": n})
+    with open(_os.path.join(out, "_MANIFEST"), "w") as fh:
+        _json.dump(manifest, fh)
+
+    with open(_os.path.join(out, "_MANIFEST")) as fh:
+        listed = _json.load(fh)
+    paths = [_os.path.join(data_dir, m["file"]) for m in listed]
+    back = spark.read.parquet(*paths)
+    for m in listed:
+        actual = spark.read.parquet(
+            _os.path.join(data_dir, m["file"])
+        ).count()
+        if actual != m["rows"]:
+            raise RuntimeError(
+                f"manifest mismatch: {m['file']} has {actual} rows,"
+                f" manifest says {m['rows']}"
+            )
+    r6 = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(r6).cast("long").cast("double") / 1000000)
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -264,6 +264,7 @@ _R4_QUEUE = (
     "scan_jsonl_corrupt_capture", "text_template_mining",
     "sample_epoch_repeat_factors", "emb_product_quantize_lite",
     "agg_newsvendor_quantile", "ts_interarrival_stats",
+    "sink_manifest_publish", "join_basket_containment",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
