@@ -19,7 +19,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import register
 from ..tables import load
@@ -617,4 +617,96 @@ def emb_product_quantize_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("balance"),
         "n_distinct_codes",
+    )
+
+
+@register(
+    "sample_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    cand AS (
+      SELECT vec_id AS cid, label AS clabel, embedding AS ce
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, c.cid, c.clabel,
+             round(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(c.ce[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))))),
+               6) AS cos6
+      FROM q JOIN cand c ON q.qlabel <> c.clabel
+    ),
+    ranked AS (
+      SELECT qid, qlabel, cid AS neg_vec_id, clabel AS neg_label, cos6,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cos6 DESC, cid) AS rnk
+      FROM scored
+    )
+    SELECT qid, rnk, neg_vec_id, cos6, qlabel, neg_label
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label —
+    the negatives that actually move an embedding model, versus the
+    random ones sample_negative_pairs draws (which are trivially easy
+    and teach nothing after epoch one).  Cosines round at the proven
+    6-dp grain before ranking; ties break on candidate id.
+
+    Scale (100 TB): the demo scores queries against a bounded
+    candidate stride; the production path swaps the candidate pool
+    for sim_ann_lsh's banded buckets (mine hard negatives among ANN
+    neighbors only — O(n·k), not O(n²)) with the exact same ranking
+    tail.  Query side broadcasts; per-query top-3 is a window over
+    the candidate fanout."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = e.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("qlabel") != F.col("clabel"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "clabel",
+            F.round(
+                _dot(F.col("qe"), F.col("ce"))
+                / (
+                    F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+                ),
+                6,
+            ).alias("cos6"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos6").desc(), F.col("cid"))
+    return (
+        scored.select(
+            "qid",
+            "qlabel",
+            F.col("cid").alias("neg_vec_id"),
+            F.col("clabel").alias("neg_label"),
+            "cos6",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "rnk", "neg_vec_id", "cos6", "qlabel", "neg_label")
     )

@@ -1042,3 +1042,52 @@ def sink_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "sink_row_hash_audit",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           COUNT(*) AS n_hash_ok
+    FROM orders WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_row_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level integrity audit through a sink: each row is written
+    with a sha256 row_hash over its business columns (pipe-joined,
+    fixed column order); the read side RECOMPUTES the hash from the
+    stored values and counts matches — the tamper/corruption audit
+    trail regulated pipelines attach to every landed file, and the
+    mechanism that catches a bit flip or a sneaky schema-default
+    rewrite that row counts (sink_manifest_publish) cannot see.  The
+    oracle asserts n_hash_ok == n_rows per group from the source —
+    any divergence anywhere in write→read fails the hash gate.
+
+    Scale (100 TB): the row hash computes in the write projection and
+    re-verifies in the read scan — both JVM-side sha256, no shuffle
+    added; auditing cost is one extra column."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 4 == 0)
+    business = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    hashed = o.withColumn(
+        "row_hash",
+        F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in business]), 256),
+    )
+    out = _sink_path(spark, "row_hash_audit")
+    hashed.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    recomputed = F.sha2(
+        F.concat_ws("|", *[F.col(c).cast("string") for c in business]), 256
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(recomputed == F.col("row_hash"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hash_ok"),
+    )

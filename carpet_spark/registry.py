@@ -265,6 +265,7 @@ _R4_QUEUE = (
     "sample_epoch_repeat_factors", "emb_product_quantize_lite",
     "agg_newsvendor_quantile", "ts_interarrival_stats",
     "sink_manifest_publish", "join_basket_containment",
+    "sample_hard_negatives", "sink_row_hash_audit",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
