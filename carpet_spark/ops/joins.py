@@ -1361,3 +1361,119 @@ def join_basket_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.filter(F.col("n_matched") == len(wanted)).select(
         "l_orderkey", "n_matched_lines"
     )
+
+
+@register(
+    "join_nearest_numeric",
+    oracle="""
+    WITH parts AS (
+      SELECT p_partkey, p_retailprice AS price FROM part
+    ),
+    queries AS (
+      SELECT o_orderkey, o_totalprice / 100 AS qprice
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    stream AS (
+      SELECT price AS v, 0 AS kind, p_partkey AS pid,
+             NULL::BIGINT AS oid, NULL::DOUBLE AS qprice
+      FROM parts
+      UNION ALL
+      SELECT qprice, 1, NULL, o_orderkey, qprice FROM queries
+    ),
+    tagged AS (
+      SELECT *,
+             LAST_VALUE(CASE WHEN kind = 0 THEN pid END IGNORE NULLS)
+               OVER w AS prev_pid,
+             LAST_VALUE(CASE WHEN kind = 0 THEN v END IGNORE NULLS)
+               OVER w AS prev_price,
+             FIRST_VALUE(CASE WHEN kind = 0 THEN pid END IGNORE NULLS)
+               OVER w2 AS next_pid,
+             FIRST_VALUE(CASE WHEN kind = 0 THEN v END IGNORE NULLS)
+               OVER w2 AS next_price
+      FROM stream
+      WINDOW w AS (ORDER BY v, kind, COALESCE(pid, oid)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (ORDER BY v, kind, COALESCE(pid, oid)
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT oid AS o_orderkey, round(qprice, 6) AS query_price,
+           CASE WHEN next_price IS NULL THEN prev_pid
+                WHEN prev_price IS NULL THEN next_pid
+                WHEN qprice - prev_price <= next_price - qprice
+                THEN prev_pid ELSE next_pid END AS matched_partkey,
+           round(CASE WHEN next_price IS NULL THEN prev_price
+                WHEN prev_price IS NULL THEN next_price
+                WHEN qprice - prev_price <= next_price - qprice
+                THEN prev_price ELSE next_price END, 6) AS matched_price
+    FROM tagged WHERE kind = 1
+    """,
+)
+def join_nearest_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor join on a NUMERIC axis: each query price
+    matches the catalog part with the closest retail price —
+    join_asof_nearest does this on time; this is the same operator on
+    any ordered domain (price matching, sensor calibration lookup,
+    percentile table interpolation), built with the union-sort trick:
+    both streams interleave in one sorted pass, each query reads the
+    last part before it (LAST_VALUE IGNORE NULLS) and the first after
+    (the reversed frame), and picks the closer, ties to the lower
+    side.  No range fanout, no cross join — two window passes over
+    the union.
+
+    Scale (100 TB): the sort is the cost — range-partition by price
+    so the union sorts locally per partition, with partition-boundary
+    parts replicated one partition over (the standard distributed
+    merge-join trick); query and catalog never cartesian."""
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("v"),
+        F.lit(0).alias("kind"),
+        F.col("p_partkey").alias("pid"),
+        F.lit(None).cast("long").alias("oid"),
+        F.lit(None).cast("double").alias("qprice"),
+    )
+    q = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            (F.col("o_totalprice") / 100).alias("v"),
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("pid"),
+            F.col("o_orderkey").alias("oid"),
+            (F.col("o_totalprice") / 100).alias("qprice"),
+        )
+    )
+    stream = p.unionAll(q)
+    order = [F.col("v"), F.col("kind"), F.coalesce("pid", "oid")]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w2 = Window.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    part_pid = F.when(F.col("kind") == 0, F.col("pid"))
+    part_price = F.when(F.col("kind") == 0, F.col("v"))
+    tagged = stream.select(
+        "kind",
+        "oid",
+        "qprice",
+        F.last(part_pid, ignorenulls=True).over(w).alias("prev_pid"),
+        F.last(part_price, ignorenulls=True).over(w).alias("prev_price"),
+        F.first(part_pid, ignorenulls=True).over(w2).alias("next_pid"),
+        F.first(part_price, ignorenulls=True).over(w2).alias("next_price"),
+    )
+    prefer_prev = (
+        F.col("qprice") - F.col("prev_price")
+        <= F.col("next_price") - F.col("qprice")
+    )
+    return tagged.filter(F.col("kind") == 1).select(
+        F.col("oid").alias("o_orderkey"),
+        F.round("qprice", 6).alias("query_price"),
+        F.when(F.col("next_price").isNull(), F.col("prev_pid"))
+        .when(F.col("prev_price").isNull(), F.col("next_pid"))
+        .when(prefer_prev, F.col("prev_pid"))
+        .otherwise(F.col("next_pid"))
+        .alias("matched_partkey"),
+        F.round(
+            F.when(F.col("next_price").isNull(), F.col("prev_price"))
+            .when(F.col("prev_price").isNull(), F.col("next_price"))
+            .when(prefer_prev, F.col("prev_price"))
+            .otherwise(F.col("next_price")),
+            6,
+        ).alias("matched_price"),
+    )

@@ -266,6 +266,7 @@ _R4_QUEUE = (
     "agg_newsvendor_quantile", "ts_interarrival_stats",
     "sink_manifest_publish", "join_basket_containment",
     "sample_hard_negatives", "sink_row_hash_audit",
+    "join_nearest_numeric", "agg_slo_burn_rate",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
