@@ -3341,3 +3341,56 @@ def agg_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("q"), 6).alias("mean_weekly_demand"),
         F.round(F.percentile("q", F.lit(0.8)), 6).alias("q_star_80"),
     )
+
+
+@register(
+    "ab_sample_ratio_mismatch",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id % 2 AS variant, COUNT(DISTINCT user_id) AS n
+      FROM events GROUP BY user_id % 2
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+             MAX(CASE WHEN variant = 1 THEN n END) AS n_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round((n_a - n_b) * (n_a - n_b)
+                 / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+           CASE WHEN 100 * (n_a - n_b) * (n_a - n_b)
+                     > 384 * (n_a + n_b) THEN 1 ELSE 0 END AS srm_flag
+    FROM wide
+    """,
+)
+def ab_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch (SRM) check — the FIRST test every A/B
+    readout must pass: with a 50/50 assignment, the observed arm
+    sizes get a one-degree chi-square ((n_a−n_b)²/(n_a+n_b) for equal
+    expecteds); exceeding 3.84 (p < 0.05) means the assignment or
+    logging pipeline is broken and every downstream metric
+    (ab_welch_ttest, ab_two_proportion_ztest) is untrustworthy.  The
+    flag is the integer cross-multiplication 100·(Δn)² > 384·N, so
+    the alarm never depends on float rounding.
+
+    Scale (100 TB): one distinct-user count per arm — a map-side
+    combined aggregate and a 2-row compare."""
+    e = load(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+    )
+    dn2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(dn2 / (F.col("n_a") + F.col("n_b")).cast("double"), 6).alias(
+            "chi2"
+        ),
+        F.when(100 * dn2 > 384 * (F.col("n_a") + F.col("n_b")), 1)
+        .otherwise(0)
+        .alias("srm_flag"),
+    )

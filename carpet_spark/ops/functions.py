@@ -1232,3 +1232,83 @@ def fn_human_number_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("parsed_value"),
     )
+
+
+@register(
+    "fn_route_pattern_match",
+    oracle="""
+    WITH paths AS (
+      SELECT CASE event_type
+               WHEN 'purchase' THEN '/api/users/' || user_id
+                 || '/orders/' || event_id
+               WHEN 'view' THEN '/catalog/item/' || (event_id % 500)
+               WHEN 'click' THEN '/catalog/item/' || (event_id % 500)
+                 || '/related'
+               WHEN 'signup' THEN '/account/new'
+               ELSE '/internal/errors/' || (event_id % 50)
+             END AS path
+      FROM events
+    ),
+    routed AS (
+      SELECT regexp_replace(path, '/[0-9]+', '/:id', 'g') AS route,
+             regexp_extract(path, '[0-9]+') AS first_id
+      FROM paths
+    )
+    SELECT route, COUNT(*) AS n_requests,
+           COUNT(DISTINCT first_id) AS n_distinct_first_id
+    FROM routed GROUP BY route
+    """,
+)
+def fn_route_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL route templating: raw request paths collapse to their route
+    patterns (numeric path segments → :id) with request counts and
+    distinct-entity cardinality per route — how API analytics turns
+    ten million distinct URLs into twelve routes, and the
+    prerequisite for any per-endpoint latency/error rollup
+    (agg_slo_burn_rate per route).  Paths synthesize deterministically
+    from events so every template branch exercises, including the
+    nested two-parameter route.
+
+    Scale (100 TB): regex projection + a map-side-combined count on
+    the (tiny) route vocabulary — template-mining economics on URLs."""
+    e = load(spark, sf_dir, "events")
+    path = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("/api/users/"),
+                F.col("user_id").cast("string"),
+                F.lit("/orders/"),
+                F.col("event_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "view",
+            F.concat(
+                F.lit("/catalog/item/"), (F.col("event_id") % 500).cast("string")
+            ),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit("/catalog/item/"),
+                (F.col("event_id") % 500).cast("string"),
+                F.lit("/related"),
+            ),
+        )
+        .when(F.col("event_type") == "signup", F.lit("/account/new"))
+        .otherwise(
+            F.concat(
+                F.lit("/internal/errors/"),
+                (F.col("event_id") % 50).cast("string"),
+            )
+        )
+    )
+    routed = e.select(
+        F.regexp_replace(path, "/[0-9]+", "/:id").alias("route"),
+        F.regexp_extract(path, "[0-9]+", 0).alias("first_id"),
+    )
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.countDistinct("first_id").alias("n_distinct_first_id"),
+    )

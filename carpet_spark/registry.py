@@ -267,6 +267,7 @@ _R4_QUEUE = (
     "sink_manifest_publish", "join_basket_containment",
     "sample_hard_negatives", "sink_row_hash_audit",
     "join_nearest_numeric", "agg_slo_burn_rate",
+    "fn_route_pattern_match", "ab_sample_ratio_mismatch",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
