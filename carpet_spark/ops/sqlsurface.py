@@ -209,3 +209,40 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"threshold": 200000.0, "status": "F"},
     )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+                AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the SQL-dialect convenience (DuckDB-originated,
+    adopted by Spark) where the grouping keys are inferred as every
+    non-aggregate select item, eliminating the classic
+    copy-the-select-list-into-group-by error; this op runs the SAME
+    dialect feature on BOTH engines (Spark SQL executes GROUP BY ALL
+    natively here, DuckDB in the oracle), extending the
+    dialect-parity family (recursive CTE, pipe syntax, LATERAL,
+    named parameters).
+
+    Scale (100 TB): sugar only — Catalyst resolves ALL to the
+    explicit keys at analysis time, so the physical plan is the
+    standard two-phase hash aggregate."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_gba_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+                    AS DOUBLE) / 1000000 AS DOUBLE) AS revenue
+        FROM sql_gba_lineitem
+        GROUP BY ALL
+        """
+    )

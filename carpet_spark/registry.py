@@ -268,6 +268,7 @@ _R4_QUEUE = (
     "sample_hard_negatives", "sink_row_hash_audit",
     "join_nearest_numeric", "agg_slo_burn_rate",
     "fn_route_pattern_match", "ab_sample_ratio_mismatch",
+    "ab_cuped_adjustment", "sql_group_by_all",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
