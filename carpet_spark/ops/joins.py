@@ -1275,7 +1275,7 @@ def join_record_linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH late AS (
       SELECT DISTINCT l_orderkey FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '2024-06-01 00:00:00'
+      WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
     )
     SELECT o.o_orderkey, o.o_orderstatus,
            CASE WHEN late.l_orderkey IS NULL THEN 0 ELSE 1 END
@@ -1289,7 +1289,7 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying a boolean of whether a match exists, unlike join_semi
     (keeps matches only) or join_anti (keeps non-matches only).  Here
     each order is marked with whether any of its line items shipped
-    in H2 — the 'flag, don't filter' shape feature engineering uses
+    in the fixture's later half (1998-06 on) — the 'flag, don't filter' shape feature engineering uses
     constantly (has_return, has_support_ticket, ...).
 
     Scale (100 TB): the mark side reduces to DISTINCT keys before the
@@ -1299,7 +1299,7 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     late = (
-        li.filter(F.col("l_shipdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp"))
         .select("l_orderkey")
         .distinct()
         .withColumn("_m", F.lit(1))

@@ -2097,22 +2097,22 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     )
     SELECT d, total, errors,
-           round(errors / (total * 0.25), 6) AS burn_rate,
-           CASE WHEN 4 * errors > total THEN 1 ELSE 0 END AS burning,
-           CASE WHEN errors * 1000 > total * 325 THEN 1 ELSE 0 END
+           round(errors / (total * 0.2), 6) AS burn_rate,
+           CASE WHEN 5 * errors > total THEN 1 ELSE 0 END AS burning,
+           CASE WHEN errors * 1000 > total * 260 THEN 1 ELSE 0 END
              AS fast_burn
     FROM daily
     """,
 )
 def agg_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SLO error-budget burn rate: daily error share against a 25%
+    """SLO error-budget burn rate: daily error share against a 20%
     error budget, expressed as the burn multiplier SRE alerting pages
     on (burn 1.0 = spending budget exactly at period pace; the 1.3×
     fast-burn threshold is the multiwindow-alert convention) — the
     operational companion to dq_rowcount_anomaly_daily: that op asks
     'is volume weird', this asks 'are we failing too fast to last the
     month'.  Both alert FLAGS are integer cross-multiplications
-    (4·errors > total; 1000·errors > 325·total) so a page never
+    (5·errors > total; 1000·errors > 260·total) so a page never
     depends on float rounding.
 
     Scale (100 TB): one conditional-count daily rollup, map-side
@@ -2129,13 +2129,13 @@ def agg_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "total",
         "errors",
-        F.round(F.col("errors") / (F.col("total") * 0.25), 6).alias(
+        F.round(F.col("errors") / (F.col("total") * 0.2), 6).alias(
             "burn_rate"
         ),
-        F.when(4 * F.col("errors") > F.col("total"), 1)
+        F.when(5 * F.col("errors") > F.col("total"), 1)
         .otherwise(0)
         .alias("burning"),
-        F.when(F.col("errors") * 1000 > F.col("total") * 325, 1)
+        F.when(F.col("errors") * 1000 > F.col("total") * 260, 1)
         .otherwise(0)
         .alias("fast_burn"),
     )
