@@ -3489,3 +3489,101 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_post * (1 - rho * rho) / 1e12, 6).alias("var_adjusted"),
         F.round(rho * rho, 6).alias("var_reduction_share"),
     )
+
+
+@register(
+    "agg_bcg_matrix",
+    oracle="""
+    WITH per AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(ROUND(l.l_extendedprice * 1000000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS r1,
+             CAST(SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '2000-01-01'
+                       AND l.l_shipdate < TIMESTAMP '2001-01-01'
+                  THEN CAST(ROUND(l.l_extendedprice * 1000000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS r2
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    tot AS (
+      SELECT CAST(SUM(r1 + r2) AS BIGINT) AS total, COUNT(*) AS k FROM per
+    )
+    SELECT p.brand,
+           round((p.r1 + p.r2) / CAST(t.total AS DOUBLE), 6) AS rev_share,
+           round(CASE WHEN p.r1 > 0
+                 THEN (p.r2 - p.r1) / CAST(p.r1 AS DOUBLE) END, 6)
+             AS growth,
+           CASE WHEN p.r2 > p.r1
+                     AND (p.r1 + p.r2) * t.k >= t.total THEN 'star'
+                WHEN p.r2 > p.r1 THEN 'question_mark'
+                WHEN (p.r1 + p.r2) * t.k >= t.total THEN 'cash_cow'
+                ELSE 'dog' END AS quadrant
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def agg_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BCG growth-share matrix per brand: year-over-year revenue
+    growth (two equal-length fixture years, so growth sign reflects
+    brand mix, not period length) crossed with relative revenue share
+    classifies every brand
+    as star / cash-cow / question-mark / dog — the portfolio review
+    one-pager.  Both axis cuts are INTEGER comparisons (growing ⟺
+    r2 > r1; above-average share ⟺ (r1+r2)·k ≥ total), so quadrant
+    membership never hangs on float rounding; the reported growth and
+    share ratios round at 6 dp for display.
+
+    Scale (100 TB): one broadcast part join + per-brand conditional
+    fixed-point rollup, then |brands|-row arithmetic against one
+    scalar row."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    r6 = (
+        F.signum("l_extendedprice")
+        * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+
+    def in_year(y: int):
+        return (
+            F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp")
+        ) & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.when(in_year(1996), r6).otherwise(0))
+            .cast("long")
+            .alias("r1"),
+            F.sum(F.when(in_year(2000), r6).otherwise(0))
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+    tot = per.agg(
+        F.sum(F.col("r1") + F.col("r2")).cast("long").alias("total"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    brand_rev = F.col("r1") + F.col("r2")
+    growing = F.col("r2") > F.col("r1")
+    big = brand_rev * F.col("k") >= F.col("total")
+    return j.select(
+        "brand",
+        F.round(brand_rev / F.col("total").cast("double"), 6).alias(
+            "rev_share"
+        ),
+        F.round(
+            F.when(
+                F.col("r1") > 0,
+                (F.col("r2") - F.col("r1")) / F.col("r1").cast("double"),
+            ),
+            6,
+        ).alias("growth"),
+        F.when(growing & big, "star")
+        .when(growing, "question_mark")
+        .when(big, "cash_cow")
+        .otherwise("dog")
+        .alias("quadrant"),
+    )

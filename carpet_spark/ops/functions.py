@@ -1312,3 +1312,81 @@ def fn_route_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_requests"),
         F.countDistinct("first_id").alias("n_distinct_first_id"),
     )
+
+
+@register(
+    "fn_semver_order",
+    oracle="""
+    WITH vers AS (
+      SELECT p_partkey,
+             'v' || (p_partkey % 3) || '.' || (p_partkey % 12)
+               || '.' || (p_partkey % 25) AS version
+      FROM part WHERE p_partkey % 50 = 0
+    ),
+    keyed AS (
+      SELECT p_partkey, version,
+             CAST(split_part(substr(version, 2), '.', 1) AS BIGINT)
+               * 1000000
+             + CAST(split_part(version, '.', 2) AS BIGINT) * 1000
+             + CAST(split_part(version, '.', 3) AS BIGINT) AS sort_key
+      FROM vers
+    )
+    SELECT p_partkey, version,
+           ROW_NUMBER() OVER (ORDER BY sort_key, p_partkey) AS semver_rank,
+           ROW_NUMBER() OVER (ORDER BY version, p_partkey) AS lex_rank,
+           CASE WHEN ROW_NUMBER() OVER (ORDER BY sort_key, p_partkey)
+                     <> ROW_NUMBER() OVER (ORDER BY version, p_partkey)
+                THEN 1 ELSE 0 END AS rank_differs
+    FROM keyed
+    """,
+)
+def fn_semver_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-version ordering: version strings parse into a numeric
+    (major, minor, patch) sort key so v0.9.2 < v0.10.0 — the compare
+    every artifact registry, dependency resolver and release
+    dashboard needs, where naive lexicographic ORDER BY silently
+    mis-sorts ('v0.10.0' < 'v0.9.0' as strings).  Both rankings are
+    emitted with a flag on every row the two orders DISAGREE on, so
+    the op is its own demonstration of why the parse matters.
+
+    Scale (100 TB): the parse is split_part arithmetic in the scan;
+    ranking is one global sort (range-partitioned at scale) — and in
+    practice the numeric sort_key becomes the stored column so the
+    sort happens once at write."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 50 == 0)
+    vers = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("v"),
+            (F.col("p_partkey") % 3).cast("string"),
+            F.lit("."),
+            (F.col("p_partkey") % 12).cast("string"),
+            F.lit("."),
+            (F.col("p_partkey") % 25).cast("string"),
+        ).alias("version"),
+    )
+    keyed = vers.select(
+        "p_partkey",
+        "version",
+        (
+            F.split_part(F.substring("version", 2, 100), F.lit("."), F.lit(1))
+            .cast("long")
+            * 1000000
+            + F.split_part(F.col("version"), F.lit("."), F.lit(2)).cast("long")
+            * 1000
+            + F.split_part(F.col("version"), F.lit("."), F.lit(3)).cast("long")
+        ).alias("sort_key"),
+    )
+    w_sem = Window.orderBy("sort_key", "p_partkey")
+    w_lex = Window.orderBy("version", "p_partkey")
+    return keyed.select(
+        "p_partkey",
+        "version",
+        F.row_number().over(w_sem).alias("semver_rank"),
+        F.row_number().over(w_lex).alias("lex_rank"),
+        F.when(
+            F.row_number().over(w_sem) != F.row_number().over(w_lex), 1
+        )
+        .otherwise(0)
+        .alias("rank_differs"),
+    )
