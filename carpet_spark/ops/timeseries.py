@@ -2139,3 +2139,128 @@ def agg_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("fast_burn"),
     )
+
+
+@register(
+    "ts_diff_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS a6,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS b6
+      FROM events GROUP BY 1
+    ),
+    diffed AS (
+      SELECT d, a6, b6,
+             a6 - LAG(a6) OVER (ORDER BY d) AS da,
+             b6 - LAG(b6) OVER (ORDER BY d) AS db
+      FROM daily
+    )
+    SELECT COUNT(*) AS n_days,
+           round(corr(a6, b6), 6) AS corr_levels,
+           round(corr(da, db), 6) AS corr_diffs
+    FROM diffed
+    """,
+)
+def ts_diff_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spurious-correlation guard: the correlation between two daily
+    revenue series in LEVELS versus in FIRST DIFFERENCES — trending
+    series correlate in levels no matter what (the classic
+    shark-attacks-vs-ice-cream artifact); only the differenced
+    correlation says the series actually co-move day to day, which is
+    what a metrics review needs before claiming 'clicks drive
+    purchases'.  Daily sums are exact fixed-point integers, so both
+    corr() sketches see identical inputs.
+
+    Scale (100 TB): one conditional daily rollup (map-side combined),
+    a lag window over |days| rows, and two corr sketches — nothing
+    downstream of the combine scales with events."""
+    e = load(spark, sf_dir, "events")
+    v6 = (
+        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", v6).otherwise(0))
+        .cast("long")
+        .alias("a6"),
+        F.sum(F.when(F.col("event_type") == "click", v6).otherwise(0))
+        .cast("long")
+        .alias("b6"),
+    )
+    w = Window.orderBy("d")
+    diffed = daily.select(
+        "a6",
+        "b6",
+        (F.col("a6") - F.lag("a6").over(w)).alias("da"),
+        (F.col("b6") - F.lag("b6").over(w)).alias("db"),
+    )
+    return diffed.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.corr("a6", "b6"), 6).alias("corr_levels"),
+        F.round(F.corr("da", "db"), 6).alias("corr_diffs"),
+    )
+
+
+@register(
+    "ts_compound_growth_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v6
+      FROM events GROUP BY 1, 2
+    ),
+    ret AS (
+      SELECT event_type, d, v6,
+             CAST(v6 AS DOUBLE)
+               / LAG(v6) OVER (PARTITION BY event_type ORDER BY d) AS r
+      FROM daily
+    )
+    SELECT event_type, d,
+           round(exp(SUM(ln(r)) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 * 100, 6) AS growth_index
+    FROM ret WHERE r IS NOT NULL
+    """,
+)
+def ts_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound growth index (base 100): each series' daily return
+    ratios compound into a cumulative index via the exp-of-summed-
+    logs identity — the only way to express a running PRODUCT with
+    window aggregates (engines ship cumulative SUM, not product), and
+    the standard form for 'if you indexed this metric at 100 on day
+    one, where is it now' charts and portfolio NAV math.  Returns
+    derive from exact fixed-point daily sums; the log-sum-exp chain
+    is identical expression-for-expression on both engines, rounded
+    at 6 dp.
+
+    Scale (100 TB): daily rollup map-side combines; the cumulative
+    window runs per series over |days| rows.  A zero-revenue day
+    would null the chain (ln 0) — upstream gapfill (ts_gapfill,
+    ts_locf) owns that repair, documented rather than silently
+    patched here."""
+    e = load(spark, sf_dir, "events")
+    v6 = (
+        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(v6).cast("long").alias("v6")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    ret = daily.select(
+        "event_type",
+        "d",
+        (F.col("v6").cast("double") / F.lag("v6").over(w)).alias("r"),
+    )
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ret.filter(F.col("r").isNotNull()).select(
+        "event_type",
+        "d",
+        F.round(F.exp(F.sum(F.log("r")).over(wc)) * 100, 6).alias(
+            "growth_index"
+        ),
+    )

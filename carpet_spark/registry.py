@@ -270,6 +270,7 @@ _R4_QUEUE = (
     "fn_route_pattern_match", "ab_sample_ratio_mismatch",
     "ab_cuped_adjustment", "sql_group_by_all",
     "fn_semver_order", "agg_bcg_matrix",
+    "ts_diff_correlation", "ts_compound_growth_index",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
