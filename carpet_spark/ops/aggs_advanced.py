@@ -3206,3 +3206,139 @@ def dq_drift_report_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("psi_raw", 6).alias("psi"),
         F.when(F.col("psi_raw") > 0.1, 1).otherwise(0).alias("drift_flag"),
     )
+
+
+@register(
+    "agg_reference_percentile_rank",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    ref_bins AS (
+      SELECT bin, COUNT(*) AS c FROM ref GROUP BY bin
+    ),
+    ref_cdf AS (
+      SELECT bin,
+             CAST(SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS n_ref
+      FROM ref_bins
+    ),
+    cur AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderkey % 20 = 0
+    ),
+    matched AS (
+      SELECT c.o_orderkey, c.o_totalprice,
+             COALESCE(MAX(r.cum), 0) AS cum,
+             MAX(r.n_ref) AS n_ref
+      FROM cur c LEFT JOIN ref_cdf r ON r.bin <= c.bin
+      GROUP BY c.o_orderkey, c.o_totalprice
+    ),
+    nref AS (SELECT MAX(n_ref) AS n FROM ref_cdf)
+    SELECT o_orderkey, o_totalprice,
+           round(cum / CAST((SELECT n FROM nref) AS DOUBLE), 6)
+             AS ref_pct_rank
+    FROM matched
+    """,
+)
+def agg_reference_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile rank against a REFERENCE population: each current-
+    period order's value scored by where it would have landed in the
+    pre-1998 distribution ('this order is bigger than 93% of last
+    era's orders') — the normalization behind 'versus historical
+    baseline' scorecards and model-feature stability checks, distinct
+    from percent_rank() which ranks within the SAME population.  The
+    reference collapses to a $1000-binned CDF of integer counts
+    (broadcast-size), so the lookup is deterministic and the rank
+    exact at bin granularity.
+
+    Scale (100 TB): the reference CDF is |bins| rows broadcast; each
+    current row does one binary-search-shaped lookup — here expressed
+    as a ≤-join collapsed by MAX, at scale a broadcast range lookup —
+    so scoring is one pass with no shuffle of the current period."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    ref_bins = (
+        o.filter(F.col("o_orderdate") < cut)
+        .select(F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    ref_cdf = ref_bins.select(
+        "bin",
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n_ref"),
+    )
+    cur = o.filter(
+        (F.col("o_orderdate") >= cut) & (F.col("o_orderkey") % 20 == 0)
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("cbin"),
+    )
+    matched = (
+        cur.join(F.broadcast(ref_cdf), F.col("bin") <= F.col("cbin"), "left")
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.coalesce(F.max("cum"), F.lit(0)).alias("cum"),
+            F.max("n_ref").alias("n_ref"),
+        )
+    )
+    n_ref_all = ref_cdf.agg(F.max("n_ref").alias("n"))
+    return matched.crossJoin(F.broadcast(n_ref_all)).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("cum") / F.col("n").cast("double"), 6).alias(
+            "ref_pct_rank"
+        ),
+    )
+
+
+@register(
+    "dq_rare_categories",
+    oracle="""
+    WITH levels AS (
+      SELECT source || '/' || lang AS level, COUNT(*) AS n
+      FROM documents GROUP BY source || '/' || lang
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM levels)
+    SELECT l.level, l.n,
+           round(l.n / CAST(t.total AS DOUBLE), 6) AS share
+    FROM levels l CROSS JOIN tot t
+    WHERE l.n * 100 < t.total
+    """,
+)
+def dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category report: composite (source/lang) levels holding
+    under 1% of rows — the levels that break one-hot encoders, leak
+    identity under k-anonymity (pii_kanon_generalize collapses them),
+    and destabilize per-segment metrics; surfacing them WITH counts
+    is the prerequisite for the group-into-'other' decision.  The
+    rarity cut is the integer cross-multiplication n·100 < total.
+
+    Scale (100 TB): one map-side-combined level count, one scalar
+    total, a broadcast filter — cardinality-bounded regardless of
+    row count."""
+    d = load(spark, sf_dir, "documents")
+    levels = d.groupBy(
+        F.concat_ws("/", "source", "lang").alias("level")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = levels.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        levels.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * 100 < F.col("total"))
+        .select(
+            "level",
+            "n",
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -271,6 +271,7 @@ _R4_QUEUE = (
     "ab_cuped_adjustment", "sql_group_by_all",
     "fn_semver_order", "agg_bcg_matrix",
     "ts_diff_correlation", "ts_compound_growth_index",
+    "agg_reference_percentile_rank", "dq_rare_categories",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
