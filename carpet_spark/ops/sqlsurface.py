@@ -246,3 +246,44 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON dialect translation: Postgres/DuckDB's
+    `DISTINCT ON (key) ... ORDER BY key, v DESC` (keep one row per
+    key by an ordering) has no Spark keyword — the engine-portable
+    form is the row_number()-over-window idiom this op runs, and the
+    oracle executes the NATIVE DISTINCT ON so the translation is
+    proven row-for-row equivalent (each customer's highest-value
+    order, orderkey tie-break).  The most-asked dialect-migration
+    question there is, answered as a verified op.
+
+    Scale (100 TB): one (key)-partitioned window with a rank-1
+    filter — Catalyst pushes the filter into the window (no full
+    rank materialization), the same plan a native DISTINCT ON
+    compiles to."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -2264,3 +2264,83 @@ def ts_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_index"
         ),
     )
+
+
+@register(
+    "ts_twap_daily",
+    oracle="""
+    WITH seq AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v6,
+             epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type,
+               CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id) AS next_us,
+             event_type
+      FROM events WHERE event_type = 'purchase'
+    ),
+    weighted AS (
+      SELECT d, v6,
+             COALESCE(next_us,
+               epoch_us(CAST(d + 1 AS TIMESTAMP))) - t_us AS dur_us
+      FROM seq
+    )
+    SELECT d,
+           COUNT(*) AS n_obs,
+           round(CAST(SUM(CAST(v6 AS HUGEINT) * dur_us) AS DOUBLE)
+                 / SUM(dur_us) / 1e6, 6) AS twap,
+           round(AVG(v6) / 1e6, 6) AS simple_avg
+    FROM weighted GROUP BY d
+    """,
+)
+def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price (TWAP) per day: each purchase
+    value weighted by how long it remained the latest observation
+    (gap to the next event, the last one running to midnight) —
+    the average that is ROBUST to irregular sampling, unlike the
+    simple mean reported alongside for contrast: a burst of ticks in
+    one minute dominates a simple average but not a TWAP.  Weights
+    are exact integer microseconds and values fixed-point micro-units,
+    so the weighted numerator is an exact int128 sum.
+
+    Scale (100 TB): one (series, day)-partitioned lead window — the
+    sessionize shuffle — then a map-side-combined weighted rollup per
+    day."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    v6 = (
+        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    d = F.to_date("ts")
+    w = Window.partitionBy("event_type", d).orderBy("ts", "event_id")
+    seq = e.select(
+        d.alias("d"),
+        v6.alias("v6"),
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    weighted = seq.select(
+        "d",
+        "v6",
+        (
+            F.coalesce(
+                F.col("next_us"),
+                F.unix_micros(
+                    F.date_add("d", 1).cast("timestamp")
+                ),
+            )
+            - F.col("t_us")
+        ).alias("dur_us"),
+    )
+    return weighted.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.sum(F.col("v6").cast("decimal(38,0)") * F.col("dur_us"))
+            .cast("double")
+            / F.sum("dur_us")
+            / 1e6,
+            6,
+        ).alias("twap"),
+        F.round(F.avg("v6") / 1e6, 6).alias("simple_avg"),
+    )

@@ -272,6 +272,7 @@ _R4_QUEUE = (
     "fn_semver_order", "agg_bcg_matrix",
     "ts_diff_correlation", "ts_compound_growth_index",
     "agg_reference_percentile_rank", "dq_rare_categories",
+    "ts_twap_daily", "sql_distinct_on",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
