@@ -3587,3 +3587,122 @@ def agg_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("dog")
         .alias("quadrant"),
     )
+
+
+@register(
+    "attribution_shapley_two_channel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    coal AS (
+      SELECT has_v, has_c, COUNT(*) AS n,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM per_user GROUP BY has_v, has_c
+    ),
+    rates AS (
+      SELECT
+        COALESCE(MAX(CASE WHEN has_v = 0 AND has_c = 0
+                 THEN n_conv / CAST(n AS DOUBLE) END), 0) AS v_none,
+        COALESCE(MAX(CASE WHEN has_v = 1 AND has_c = 0
+                 THEN n_conv / CAST(n AS DOUBLE) END), 0) AS v_v,
+        COALESCE(MAX(CASE WHEN has_v = 0 AND has_c = 1
+                 THEN n_conv / CAST(n AS DOUBLE) END), 0) AS v_c,
+        COALESCE(MAX(CASE WHEN has_v = 1 AND has_c = 1
+                 THEN n_conv / CAST(n AS DOUBLE) END), 0) AS v_vc
+      FROM coal
+    )
+    SELECT 'view' AS channel,
+           round(((v_v - v_none) + (v_vc - v_c)) / 2, 6) AS shapley_value,
+           round(v_v - v_none, 6) AS marginal_alone,
+           round(v_vc - v_c, 6) AS marginal_with_other
+    FROM rates
+    UNION ALL
+    SELECT 'click',
+           round(((v_c - v_none) + (v_vc - v_v)) / 2, 6),
+           round(v_c - v_none, 6),
+           round(v_vc - v_v, 6)
+    FROM rates
+    """,
+)
+def attribution_shapley_two_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Shapley attribution over two channels: users group
+    by their exact touch coalition (∅, {view}, {click}, {view,click}),
+    each coalition's conversion rate is its characteristic value, and
+    each channel's Shapley value averages its marginal contribution
+    over both join orders — the game-theoretically fair split that
+    position rules (attribution_position_based) only approximate;
+    with two channels the formula is exact and closed-form, which is
+    why 2-3-channel Shapley ships in real MTA products while k-channel
+    needs sampling.  Empty coalitions contribute rate 0 (coalesced)
+    rather than NULL-poisoning the averages.
+
+    Scale (100 TB): one per-user flag rollup + a 4-cell aggregate —
+    the coalition table is 2^k rows, so channels, not data volume,
+    bound the cost."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "has_v"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_c"
+        ),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    coal = per_user.groupBy("has_v", "has_c").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").cast("long").alias("n_conv")
+    )
+
+    def rate(v, c):
+        return F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("has_v") == v) & (F.col("has_c") == c),
+                    F.col("n_conv") / F.col("n").cast("double"),
+                )
+            ),
+            F.lit(0.0),
+        )
+
+    rates = coal.agg(
+        rate(0, 0).alias("v_none"),
+        rate(1, 0).alias("v_v"),
+        rate(0, 1).alias("v_c"),
+        rate(1, 1).alias("v_vc"),
+    )
+    view_row = rates.select(
+        F.lit("view").alias("channel"),
+        F.round(
+            ((F.col("v_v") - F.col("v_none")) + (F.col("v_vc") - F.col("v_c")))
+            / 2,
+            6,
+        ).alias("shapley_value"),
+        F.round(F.col("v_v") - F.col("v_none"), 6).alias("marginal_alone"),
+        F.round(F.col("v_vc") - F.col("v_c"), 6).alias(
+            "marginal_with_other"
+        ),
+    )
+    click_row = rates.select(
+        F.lit("click").alias("channel"),
+        F.round(
+            ((F.col("v_c") - F.col("v_none")) + (F.col("v_vc") - F.col("v_v")))
+            / 2,
+            6,
+        ).alias("shapley_value"),
+        F.round(F.col("v_c") - F.col("v_none"), 6).alias("marginal_alone"),
+        F.round(F.col("v_vc") - F.col("v_v"), 6).alias(
+            "marginal_with_other"
+        ),
+    )
+    return view_row.unionAll(click_row)

@@ -2109,3 +2109,67 @@ def sample_epoch_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("effective_tokens"),
         F.when(raw_ppm > 4000000, 1).otherwise(0).alias("capped"),
     )
+
+
+@register(
+    "sample_weighted_no_replacement",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(((('0x' || substr(md5('aes|' || doc_id), 1, 8))::BIGINT)
+                 % 1000000 + 1) / 1000000.0) / n_chars AS aes_key
+      FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, aes_key,
+             ROW_NUMBER() OVER (ORDER BY aes_key DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT rnk, doc_id, n_chars, round(aes_key, 6) AS aes_key
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def sample_weighted_no_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed-style: the
+    Efraimidis-Spirakis A-ES scheme — each item draws a seeded
+    uniform u and keys on ln(u)/w; the top-k keys ARE a weighted
+    sample without replacement, which is the only known way to do
+    this in one distributed pass (no sequential urn).  The uniform is
+    a seeded md5 integer in (0, 1e6], so the sample is reproducible
+    run-to-run and engine-to-engine; sample_importance_weighted is
+    the WITH-replacement/Bernoulli sibling.  Weights here are
+    n_chars (token-mass-proportional document selection).
+
+    Scale (100 TB): key computation is a per-row projection; top-k
+    over keys is TakeOrderedAndProject (per-partition heaps, k rows
+    to the driver) — the exact shape Spark already optimizes."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u_ppm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("aes|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + 1
+    )
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        (F.log(u_ppm / 1000000.0) / F.col("n_chars")).alias("aes_key"),
+    )
+    w = Window.orderBy(F.col("aes_key").desc(), F.col("doc_id"))
+    return (
+        keyed.select(
+            "doc_id",
+            "n_chars",
+            "aes_key",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "doc_id", "n_chars", F.round("aes_key", 6).alias("aes_key"))
+    )

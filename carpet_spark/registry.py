@@ -273,6 +273,7 @@ _R4_QUEUE = (
     "ts_diff_correlation", "ts_compound_growth_index",
     "agg_reference_percentile_rank", "dq_rare_categories",
     "ts_twap_daily", "sql_distinct_on",
+    "attribution_shapley_two_channel", "sample_weighted_no_replacement",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
