@@ -23,3 +23,4 @@ from . import trainprep  # noqa: F401
 from . import graph  # noqa: F401
 from . import sqlsurface  # noqa: F401
 from . import analytics  # noqa: F401
+from . import markov  # noqa: F401

@@ -1390,3 +1390,66 @@ def fn_semver_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("rank_differs"),
     )
+
+
+@register(
+    "fn_iban_mod97",
+    oracle="""
+    WITH acct AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 7919) % 100000000000000 AS BIGINT) AS bban
+      FROM customer WHERE c_custkey % 8 = 0
+    ),
+    checked AS (
+      SELECT c_custkey, bban,
+             CAST(98 - (bban * 100) % 97 AS BIGINT) AS check_digits
+      FROM acct
+    )
+    SELECT c_custkey, bban, check_digits,
+           CASE WHEN (bban * 100 + check_digits) % 97 = 1
+                THEN 1 ELSE 0 END AS is_valid,
+           CASE WHEN ((bban + 1) * 100 + check_digits) % 97 = 1
+                THEN 1 ELSE 0 END AS corrupted_still_valid
+    FROM checked
+    """,
+)
+def fn_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN-style mod-97 check digits (ISO 7064): the international
+    bank-account integrity scheme next to fn_luhn_check's mod-10 —
+    check digits are 98 − (bban·100 mod 97), and a number is valid
+    iff the full value ≡ 1 (mod 97), which catches ALL single-digit
+    errors and virtually all transpositions (mod-10 misses some).
+    Every row also validates a deliberately corrupted sibling
+    (bban+1) to demonstrate detection — corrupted_still_valid is 0
+    except the ~1-in-97 residue collisions the scheme's guarantee
+    allows.  Pure 64-bit integer arithmetic, no strings, no loops.
+
+    Scale (100 TB): per-row div/mod projection in the scan, exactly
+    like the Luhn op."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 8 == 0)
+    acct = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 100000000000000)
+        .cast("long")
+        .alias("bban"),
+    )
+    checked = acct.select(
+        "c_custkey",
+        "bban",
+        (98 - (F.col("bban") * 100) % 97).cast("long").alias("check_digits"),
+    )
+    return checked.select(
+        "c_custkey",
+        "bban",
+        "check_digits",
+        F.when(
+            (F.col("bban") * 100 + F.col("check_digits")) % 97 == 1, 1
+        )
+        .otherwise(0)
+        .alias("is_valid"),
+        F.when(
+            ((F.col("bban") + 1) * 100 + F.col("check_digits")) % 97 == 1, 1
+        )
+        .otherwise(0)
+        .alias("corrupted_still_valid"),
+    )

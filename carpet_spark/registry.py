@@ -274,6 +274,7 @@ _R4_QUEUE = (
     "agg_reference_percentile_rank", "dq_rare_categories",
     "ts_twap_daily", "sql_distinct_on",
     "attribution_shapley_two_channel", "sample_weighted_no_replacement",
+    "ts_markov_steady_state", "fn_iban_mod97",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
