@@ -3145,3 +3145,197 @@ def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_share"
         ),
     )
+
+
+@register(
+    "eval_cohen_kappa",
+    oracle=f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT lang,
+{_langid_sql_scores()}
+      FROM t
+    ),
+    pred AS (
+      SELECT lang AS actual,
+             CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM s WHERE lang IN ('de', 'en', 'es', 'fr')
+    ),
+    cells AS (
+      SELECT actual, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+               AS BIGINT) AS n_agree
+      FROM cells
+    ),
+    marg AS (
+      SELECT CAST(SUM(ra.na * rp.np) AS BIGINT) AS chance_num
+      FROM (SELECT actual AS k, SUM(n) AS na FROM cells GROUP BY actual) ra
+      JOIN (SELECT predicted AS k, SUM(n) AS np FROM cells
+            GROUP BY predicted) rp
+        ON ra.k = rp.k
+    )
+    SELECT t.n_total, t.n_agree,
+           round(t.n_agree / CAST(t.n_total AS DOUBLE), 6) AS po,
+           round(m.chance_num / (CAST(t.n_total AS DOUBLE) * t.n_total), 6)
+             AS pe,
+           round((t.n_agree / CAST(t.n_total AS DOUBLE)
+                  - m.chance_num / (CAST(t.n_total AS DOUBLE) * t.n_total))
+                 / (1 - m.chance_num
+                    / (CAST(t.n_total AS DOUBLE) * t.n_total)), 6)
+             AS kappa
+    FROM tot t CROSS JOIN marg m
+    """,
+)
+def eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the langid classifier and ground truth —
+    the CHANCE-CORRECTED agreement scalar eval_confusion_matrix's
+    grid summarizes: raw accuracy (p_o) flatters any classifier on an
+    imbalanced label mix, while kappa subtracts the agreement the
+    marginal distributions would produce by luck (p_e = Σ row×column
+    marginals / n²).  Restricted to the four in-scope classes so the
+    score measures the classifier, not out-of-vocabulary labels.
+    All inputs to the three ratios are exact integer cell counts.
+
+    Scale (100 TB): the scoring is text_langid's projection pass; the
+    kappa arithmetic runs on a |classes|² cell table."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("de", "en", "es", "fr")
+    )
+    toks = F.split("text", " ")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws]) for lang, ws in _LANG_WORDS.items()
+    }
+    scores = {
+        lang: F.size(
+            F.filter(toks, (lambda arr: lambda x: F.array_contains(arr, x))(arr))
+        )
+        for lang, arr in lang_arrays.items()
+    }
+    s = d.select(
+        F.col("lang").alias("actual"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _LANG_WORDS],
+    )
+    predicted = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    cells = (
+        s.select("actual", predicted.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ra = cells.groupBy(F.col("actual").alias("k")).agg(
+        F.sum("n").alias("na")
+    )
+    rp = cells.groupBy(F.col("predicted").alias("k")).agg(
+        F.sum("n").alias("np")
+    )
+    marg = (
+        ra.join(rp, "k")
+        .agg(F.sum(F.col("na") * F.col("np")).cast("long").alias("chance_num"))
+    )
+    j = tot.crossJoin(F.broadcast(marg))
+    po = F.col("n_agree") / F.col("n_total").cast("double")
+    pe = F.col("chance_num") / (
+        F.col("n_total").cast("double") * F.col("n_total")
+    )
+    return j.select(
+        "n_total",
+        "n_agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "text_ocr_normalize",
+    oracle="""
+    WITH noisy AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN replace(substr(text, 1, 40), 'o', '0')
+               WHEN 1 THEN replace(substr(text, 1, 40), 'l', '1')
+               WHEN 2 THEN replace(substr(text, 1, 40), 'e', 'c')
+               ELSE substr(text, 1, 40)
+             END AS scanned,
+             substr(text, 1, 40) AS original
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, scanned, original,
+             translate(scanned, '01c', 'ole') AS normalized,
+             translate(original, '01c', 'ole') AS original_norm
+      FROM noisy
+    )
+    SELECT CAST(SUM(CASE WHEN scanned = original THEN 1 ELSE 0 END)
+             AS BIGINT) AS exact_matches,
+           CAST(SUM(CASE WHEN normalized = original_norm THEN 1 ELSE 0 END)
+             AS BIGINT) AS normalized_matches,
+           COUNT(*) AS n_docs
+    FROM norm
+    """,
+)
+def text_ocr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-confusion normalization for record matching: scanned text
+    with the classic glyph confusions (o↔0, l↔1, e↔c) fails exact
+    joins against the source-of-truth; folding BOTH sides through a
+    confusion alphabet (translate to a canonical glyph per confusion
+    class) recovers the matches — the report shows exact matches vs
+    normalized matches over a corpus where 3 of 4 docs carry planted
+    OCR noise, quantifying exactly what the normalization buys.  The
+    same folded form is the join key dedup_url_canonical-style
+    pipelines use for scanned-document linkage.
+
+    Scale (100 TB): translate() is a per-row byte map in the scan;
+    matching on the folded key is a standard digest equi-join."""
+    d = load(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 40)
+    scanned = (
+        F.when(F.col("doc_id") % 4 == 0, F.regexp_replace(head, "o", "0"))
+        .when(F.col("doc_id") % 4 == 1, F.regexp_replace(head, "l", "1"))
+        .when(F.col("doc_id") % 4 == 2, F.regexp_replace(head, "e", "c"))
+        .otherwise(head)
+    )
+    noisy = d.select(
+        scanned.alias("scanned"), head.alias("original")
+    )
+    norm = noisy.select(
+        "scanned",
+        "original",
+        F.translate("scanned", "01c", "ole").alias("normalized"),
+        F.translate("original", "01c", "ole").alias("original_norm"),
+    )
+    return norm.agg(
+        F.sum(F.when(F.col("scanned") == F.col("original"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_matches"),
+        F.sum(
+            F.when(F.col("normalized") == F.col("original_norm"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("normalized_matches"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

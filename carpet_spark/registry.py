@@ -275,6 +275,7 @@ _R4_QUEUE = (
     "ts_twap_daily", "sql_distinct_on",
     "attribution_shapley_two_channel", "sample_weighted_no_replacement",
     "ts_markov_steady_state", "fn_iban_mod97",
+    "eval_cohen_kappa", "text_ocr_normalize",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
