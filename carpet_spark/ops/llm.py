@@ -3339,3 +3339,165 @@ def text_ocr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("normalized_matches"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle="""
+    WITH lex AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS r_lex
+      FROM documents
+    ),
+    sem AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY length(regexp_replace(text, '[^aeiou]', '', 'g'))
+                 DESC, doc_id) AS r_sem
+      FROM documents
+    ),
+    fused AS (
+      SELECT l.source, l.doc_id,
+             round(1.0 / (60 + l.r_lex) + 1.0 / (60 + s.r_sem), 6)
+               AS rrf_score,
+             l.r_lex, s.r_sem
+      FROM lex l JOIN sem s
+        ON l.source = s.source AND l.doc_id = s.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY rrf_score DESC, doc_id) AS fused_rank
+      FROM fused
+    )
+    SELECT source, fused_rank, doc_id, rrf_score, r_lex, r_sem
+    FROM ranked WHERE fused_rank <= 10
+    """,
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60): two retrieval rankings per
+    query group — a 'lexical' scorer (length) and a 'semantic' scorer
+    (vowel mass, standing in for the vector score) — fuse by
+    Σ 1/(k + rank), the score-free fusion that hybrid search (BM25 +
+    embedding retrieval) actually ships because it needs NO score
+    calibration between retrievers, only ranks.  Top-10 fused per
+    group with both source ranks shown; the 1/(60+r) terms are exact
+    rationals of small integers, rounded at 6 dp identically.
+
+    Scale (100 TB): each ranking is one (source)-partitioned window;
+    the fusion is an equi self-join on (source, doc) over already-
+    ranked rows — adding a third retriever adds a column, not a
+    pass."""
+    d = load(spark, sf_dir, "documents")
+    w_lex = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    vowel_mass = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    w_sem = Window.partitionBy("source").orderBy(
+        vowel_mass.desc(), F.col("doc_id")
+    )
+    ranked2 = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w_lex).alias("r_lex"),
+        F.row_number().over(w_sem).alias("r_sem"),
+    )
+    fused = ranked2.select(
+        "source",
+        "doc_id",
+        F.round(
+            1.0 / (60 + F.col("r_lex")) + 1.0 / (60 + F.col("r_sem")), 6
+        ).alias("rrf_score"),
+        "r_lex",
+        "r_sem",
+    )
+    w_f = Window.partitionBy("source").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.select(
+            "source",
+            "doc_id",
+            "rrf_score",
+            "r_lex",
+            "r_sem",
+            F.row_number().over(w_f).alias("fused_rank"),
+        )
+        .filter(F.col("fused_rank") <= 10)
+        .select("source", "fused_rank", "doc_id", "rrf_score", "r_lex", "r_sem")
+    )
+
+
+@register(
+    "eval_profit_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+      FROM documents
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS tp
+      FROM scored GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             CAST(SUM(tp) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tp,
+             CAST(SUM(n - tp) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_fp
+      FROM per
+    ),
+    profit AS (
+      SELECT decile AS take_top_deciles, cum_tp, cum_fp,
+             cum_tp * 10 - cum_fp * 3 AS profit
+      FROM cum
+    )
+    SELECT take_top_deciles, cum_tp, cum_fp, profit,
+           CASE WHEN profit = (SELECT MAX(profit) FROM profit)
+                THEN 1 ELSE 0 END AS is_optimal
+    FROM profit
+    """,
+)
+def eval_profit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit curve over score cutoffs: acting on the top-k deciles of
+    the ranked population earns +10 per true positive and −3 per
+    false positive (the unit economics every targeting decision
+    actually has), so the curve of cumulative profit by cutoff — with
+    the argmax flagged — converts eval_decile_lift's rates into the
+    DECISION: how deep to go down the ranking.  AUC says the model
+    ranks well; this says where to stop.  Profit is pure integer
+    arithmetic on cumulative counts.
+
+    Scale (100 TB): reuses the decile NTILE sort; the curve is a
+    10-row cumulative window and a scalar max."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    scored = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("tp")
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.col("decile").alias("take_top_deciles"),
+        F.sum("tp").over(wc).cast("long").alias("cum_tp"),
+        F.sum(F.col("n") - F.col("tp")).over(wc).cast("long").alias("cum_fp"),
+    )
+    profit = cum.withColumn(
+        "profit", F.col("cum_tp") * 10 - F.col("cum_fp") * 3
+    )
+    wall = Window.partitionBy()
+    return profit.select(
+        "take_top_deciles",
+        "cum_tp",
+        "cum_fp",
+        "profit",
+        F.when(F.col("profit") == F.max("profit").over(wall), 1)
+        .otherwise(0)
+        .alias("is_optimal"),
+    )

@@ -276,6 +276,7 @@ _R4_QUEUE = (
     "attribution_shapley_two_channel", "sample_weighted_no_replacement",
     "ts_markov_steady_state", "fn_iban_mod97",
     "eval_cohen_kappa", "text_ocr_normalize",
+    "sim_rrf_fusion", "eval_profit_curve",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
