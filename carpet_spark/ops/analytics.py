@@ -3706,3 +3706,82 @@ def attribution_shapley_two_channel(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     )
     return view_row.unionAll(click_row)
+
+
+@register(
+    "agg_ar_aging_buckets",
+    oracle="""
+    WITH ref AS (
+      SELECT MAX(o_orderdate) AS asof FROM orders
+    ),
+    aged AS (
+      SELECT o.o_orderstatus,
+             CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT) AS v6,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(r.asof AS DATE)) AS age_days
+      FROM orders o CROSS JOIN ref r WHERE o.o_orderstatus <> 'F'
+    ),
+    bucketed AS (
+      SELECT CASE WHEN age_days <= 365 THEN '0-365'
+                  WHEN age_days <= 730 THEN '366-730'
+                  WHEN age_days <= 1095 THEN '731-1095'
+                  ELSE '1095+' END AS age_bucket,
+             v6
+      FROM aged
+    )
+    SELECT age_bucket, COUNT(*) AS n_orders,
+           CAST(CAST(SUM(v6) AS BIGINT) AS DOUBLE) / 1000000
+             AS outstanding,
+           round(SUM(v6) / CAST(SUM(SUM(v6)) OVER () AS DOUBLE), 6)
+             AS share
+    FROM bucketed GROUP BY age_bucket
+    """,
+)
+def agg_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging: non-finalized orders bucketed by age
+    against the as-of date (the fixture's latest order date), with
+    outstanding value and share per bucket — THE collections report
+    (finance reads '1095+' as 'probably never'), and the same
+    fixed-bucket-by-age shape serves ticket backlogs and inventory
+    age.  Buckets cut on integer day counts; value totals are exact
+    fixed-point sums.
+
+    Scale (100 TB): the as-of scalar broadcasts; aging is a
+    projection and the report a 4-key map-side-combined rollup."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    ref = load(spark, sf_dir, "orders").agg(
+        F.max(F.to_date("o_orderdate")).alias("asof")
+    )
+    v6 = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    aged = o.crossJoin(F.broadcast(ref)).select(
+        v6.alias("v6"),
+        F.datediff(F.col("asof"), F.to_date("o_orderdate")).alias("age_days"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 365, "0-365")
+        .when(F.col("age_days") <= 730, "366-730")
+        .when(F.col("age_days") <= 1095, "731-1095")
+        .otherwise("1095+")
+    )
+    wall = Window.partitionBy()
+    return (
+        aged.select(bucket.alias("age_bucket"), "v6")
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("v6").cast("long").alias("_v6"),
+        )
+        .select(
+            "age_bucket",
+            "n_orders",
+            (F.col("_v6").cast("double") / 1000000).alias("outstanding"),
+            F.round(
+                F.col("_v6")
+                / F.sum("_v6").over(wall).cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )

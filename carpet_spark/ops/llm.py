@@ -3501,3 +3501,88 @@ def eval_profit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_optimal"),
     )
+
+
+@register(
+    "text_script_detect",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0
+                  THEN repeat('\u6570\u636e\u5206\u6790', doc_id % 8 + 4)
+                       || ' ' || substr(text, 1, 60)
+                  ELSE substr(text, 1, 60) END AS body
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             CAST(length(regexp_replace(body, '[^a-zA-Z]', '', 'g'))
+               AS BIGINT) AS n_latin,
+             CAST(length(regexp_replace(body,
+                  '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS n_cjk,
+             CAST(length(regexp_replace(body, '[^0-9]', '', 'g'))
+               AS BIGINT) AS n_digit,
+             CAST(length(body) AS BIGINT) AS n_all
+      FROM planted
+    )
+    SELECT doc_id, lang, n_latin, n_cjk,
+           CASE WHEN n_cjk * 6 > n_all THEN 'cjk'
+                WHEN n_latin * 2 > n_all THEN 'latin'
+                ELSE 'mixed' END AS script,
+           round(n_digit / CAST(n_all AS DOUBLE), 6) AS digit_ratio
+    FROM feats
+    """,
+)
+def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script detection: Latin vs CJK codepoint mass (the Han
+    block via \\x{4e00}-\\x{9fff}, the escape BOTH regex engines --
+    Java and RE2 -- accept) with an integer-comparison script verdict
+    -- the detector that works where word-list langid (text_langid)
+    structurally cannot: CJK text has no whitespace tokens to match,
+    but its SCRIPT is unmistakable, so script-detect is the cheap
+    first router to a different tokenizer and quality pipeline.  The
+    fixture corpus is pure ASCII (its 'zh' docs are synthetic English
+    words), so Han runs are PLANTED deterministically on every fifth
+    doc -- honest about the fixture, and every branch of the verdict
+    exercises.  Script cuts are cross-multiplied integers.
+
+    Scale (100 TB): regexp codepoint-class counting is per-row
+    projection in the scan -- the router costs nothing extra."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    han = "\u6570\u636e\u5206\u6790"
+    body = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.repeat(F.lit(han), (F.col("doc_id") % 8 + 4).cast("int")),
+            F.lit(" "),
+            F.substring("text", 1, 60),
+        ),
+    ).otherwise(F.substring("text", 1, 60))
+    planted = d.select("doc_id", "lang", body.alias("body"))
+    feats = planted.select(
+        "doc_id",
+        "lang",
+        F.length(F.regexp_replace("body", "[^a-zA-Z]", ""))
+        .cast("long")
+        .alias("n_latin"),
+        F.length(F.regexp_replace("body", "[^\\x{4e00}-\\x{9fff}]", ""))
+        .cast("long")
+        .alias("n_cjk"),
+        F.length(F.regexp_replace("body", "[^0-9]", ""))
+        .cast("long")
+        .alias("n_digit"),
+        F.length("body").cast("long").alias("n_all"),
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_latin",
+        "n_cjk",
+        F.when(F.col("n_cjk") * 6 > F.col("n_all"), "cjk")
+        .when(F.col("n_latin") * 2 > F.col("n_all"), "latin")
+        .otherwise("mixed")
+        .alias("script"),
+        F.round(F.col("n_digit") / F.col("n_all").cast("double"), 6).alias(
+            "digit_ratio"
+        ),
+    )

@@ -277,6 +277,7 @@ _R4_QUEUE = (
     "ts_markov_steady_state", "fn_iban_mod97",
     "eval_cohen_kappa", "text_ocr_normalize",
     "sim_rrf_fusion", "eval_profit_curve",
+    "text_script_detect", "agg_ar_aging_buckets",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
