@@ -3586,3 +3586,96 @@ def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit_ratio"
         ),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, b
+      FROM toks,
+           unnest(list_transform(range(1, greatest(1, len(w) - 1) + 1),
+                  i -> w[i] || ' ' || w[i+1])) AS u(b)
+      WHERE len(w) >= 2
+    ),
+    big_counts AS (
+      SELECT b, COUNT(*) AS cb FROM bigrams GROUP BY b
+    ),
+    uni_counts AS (
+      SELECT wd, COUNT(*) AS cw
+      FROM toks, unnest(w) AS u(wd) GROUP BY wd
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM uni_counts),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((bc.cb + 1.0)
+                / (uc.cw + (SELECT v FROM vocab))) AS logp
+      FROM bigrams bg
+      JOIN big_counts bc ON bg.b = bc.b
+      JOIN uni_counts uc ON split_part(bg.b, ' ', 1) = uc.wd
+      WHERE bg.doc_id % 10 = 0
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(AVG(logp), 6) AS avg_logprob,
+           round(exp(-AVG(logp)), 6) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring: a corpus-trained add-1-smoothed
+    bigram LM scores every sampled document — avg log P(wᵢ|wᵢ₋₁) and
+    its exp(−·) perplexity — the context-aware upgrade of
+    text_unigram_logprob that actually penalizes scrambled word SALAD
+    (unigram scores are permutation-invariant; bigram scores are
+    not), which is the standard perplexity-bucket signal for
+    quality-stratified sampling.  Counts are exact integers; the only
+    floats are the per-bigram logs averaged per doc.
+
+    Scale (100 TB): bigram and unigram tables are wordcount-economics
+    aggregates (map-side combined, vocabulary-bounded); scoring joins
+    the (broadcastable) count tables against the sampled docs'
+    exploded bigrams — the LM itself never exceeds vocabulary
+    scale."""
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - 1))
+    bigram_arr = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at(w, i), F.lit(" "), F.element_at(w, (i + 1).cast("int"))
+        ),
+    )
+    bigrams = (
+        d.filter(F.size(w) >= 2)
+        .select("doc_id", F.explode(bigram_arr).alias("b"))
+    )
+    big_counts = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    uni_counts = (
+        d.select(F.explode(w).alias("wd"))
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    vocab = uni_counts.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bigrams.filter(F.col("doc_id") % 10 == 0)
+        .join(F.broadcast(big_counts), "b")
+        .join(
+            F.broadcast(uni_counts),
+            F.substring_index(F.col("b"), " ", 1) == F.col("wd"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))).alias(
+                "logp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("logp")), 6).alias("perplexity"),
+    )

@@ -673,3 +673,93 @@ def pii_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.when(F.col("n") >= 5, 1).otherwise(0).alias("k_ok"),
     )
+
+
+@register(
+    "pii_hash_join_integrity",
+    oracle="""
+    WITH raw_join AS (
+      SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+               AS BIGINT) AS rev6
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    pseudo_join AS (
+      SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+               AS BIGINT) AS rev6
+      FROM (SELECT sha256('k|' || o_custkey) AS ck, o_totalprice
+            FROM orders) o
+      JOIN (SELECT sha256('k|' || c_custkey) AS ck, c_mktsegment
+            FROM customer) c
+        ON o.ck = c.ck
+      GROUP BY c.c_mktsegment
+    )
+    SELECT r.segment, r.n_orders AS n_orders_raw,
+           p.n_orders AS n_orders_pseudo,
+           CASE WHEN r.n_orders = p.n_orders AND r.rev6 = p.rev6
+                THEN 1 ELSE 0 END AS integrity_ok
+    FROM raw_join r JOIN pseudo_join p ON r.segment = p.segment
+    """,
+)
+def pii_hash_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization join-integrity proof: the orders⋈customer
+    rollup computed twice — once on raw keys, once after BOTH sides'
+    keys pass through the salted sha256 pii_hash applies — and
+    compared cell by cell.  This is the acceptance test every privacy
+    review wants before swapping raw identifiers out of a warehouse:
+    pseudonymized keys must preserve JOIN SEMANTICS exactly (equal
+    row counts AND equal revenue per segment), which holds iff the
+    hash is applied with the same salt on both sides and the key
+    domain is collision-free at corpus size.
+
+    Scale (100 TB): runs the same join twice (hashed keys shuffle
+    32-byte digests instead of longs — the pii_hash cost model);
+    the comparison is a |segments|-row join."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    r6 = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    raw = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_raw"),
+            F.sum(r6).cast("long").alias("rev6_raw"),
+        )
+    )
+    ohash = o.select(
+        F.sha2(F.concat(F.lit("k|"), F.col("o_custkey").cast("string")), 256).alias(
+            "ck"
+        ),
+        "o_totalprice",
+    )
+    chash = c.select(
+        F.sha2(F.concat(F.lit("k|"), F.col("c_custkey").cast("string")), 256).alias(
+            "ck"
+        ),
+        "c_mktsegment",
+    )
+    pseudo = (
+        ohash.join(F.broadcast(chash), "ck")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_pseudo"),
+            F.sum(r6).cast("long").alias("rev6_pseudo"),
+        )
+    )
+    return raw.join(pseudo, "segment").select(
+        "segment",
+        "n_orders_raw",
+        "n_orders_pseudo",
+        F.when(
+            (F.col("n_orders_raw") == F.col("n_orders_pseudo"))
+            & (F.col("rev6_raw") == F.col("rev6_pseudo")),
+            1,
+        )
+        .otherwise(0)
+        .alias("integrity_ok"),
+    )
