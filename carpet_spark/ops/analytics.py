@@ -3785,3 +3785,66 @@ def agg_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@register(
+    "agg_basket_size_dist",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_lines AS basket_size,
+           COUNT(*) AS n_orders,
+           CAST(SUM(n_parts) AS BIGINT) AS total_parts,
+           round(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+             AS order_share,
+           round(CAST(SUM(SUM(n_lines)) OVER (ORDER BY n_lines
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)
+                 / SUM(SUM(n_lines)) OVER (), 6) AS cum_line_share
+    FROM per_order GROUP BY n_lines
+    """,
+)
+def agg_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: orders bucketed by line count with
+    distinct-part totals, order share, and the cumulative share of
+    LINES carried by baskets up to each size — the distribution that
+    sizes per-order processing (a packing station tuned for the modal
+    basket), parameterizes basket analysis (basket_pair_counts'
+    candidate fanout is Σ size²), and exposes order-splitting bugs as
+    a spike at size 1.  All quantities are integer counts; the two
+    shares are final single divisions.
+
+    Scale (100 TB): one map-side-combined per-order rollup, then a
+    |distinct sizes|-row aggregate with a cumulative window over that
+    tiny frame."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    sized = per_order.groupBy(F.col("n_lines").alias("basket_size")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_parts").cast("long").alias("total_parts"),
+        F.sum("n_lines").cast("long").alias("_lines"),
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("basket_size").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return sized.select(
+        "basket_size",
+        "n_orders",
+        "total_parts",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(wall).cast("double"),
+            6,
+        ).alias("order_share"),
+        F.round(
+            F.sum("_lines").over(wcum).cast("double")
+            / F.sum("_lines").over(wall),
+            6,
+        ).alias("cum_line_share"),
+    )

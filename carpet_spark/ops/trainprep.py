@@ -2173,3 +2173,82 @@ def sample_weighted_no_replacement(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rnk") <= 20)
         .select("rnk", "doc_id", "n_chars", F.round("aes_key", 6).alias("aes_key"))
     )
+
+
+@register(
+    "sample_group_kfold",
+    oracle="""
+    WITH folded AS (
+      SELECT o_orderkey, o_custkey,
+             (('0x' || substr(md5('fold|' || o_custkey), 1, 8))::BIGINT)
+               % 5 AS fold
+      FROM orders
+    ),
+    per_fold AS (
+      SELECT fold, COUNT(*) AS n_rows,
+             COUNT(DISTINCT o_custkey) AS n_groups
+      FROM folded GROUP BY fold
+    ),
+    leakage AS (
+      SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_groups
+      FROM (SELECT o_custkey, COUNT(DISTINCT fold) AS nf
+            FROM folded GROUP BY o_custkey)
+    )
+    SELECT p.fold, p.n_rows, p.n_groups,
+           round(p.n_rows / CAST(SUM(p.n_rows) OVER () AS DOUBLE), 6)
+             AS row_share,
+           (SELECT leaked_groups FROM leakage) AS leaked_groups
+    FROM per_fold p
+    """,
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment (k=5): every row's fold derives from a
+    seeded hash of its GROUP key (customer), never the row — so all
+    of a customer's orders land in the same fold, the property that
+    prevents the leakage that sinks naive row-level CV when rows
+    within a group are correlated (they always are).  The report
+    shows per-fold row/group counts, shares, and a computed
+    leaked_groups column that is zero BY CONSTRUCTION — the pipeline
+    asserts its own invariant.  Deterministic md5 folding =
+    sample_hash_split's mechanism lifted to the group level.
+
+    Scale (100 TB): fold assignment is a projection; the audit is
+    two map-side-combined aggregates."""
+    o = load(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold|"), F.col("o_custkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+    )
+    folded = o.select("o_orderkey", "o_custkey", fold.alias("fold"))
+    per_fold = folded.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_groups"),
+    )
+    leakage = (
+        folded.groupBy("o_custkey")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(
+            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaked_groups")
+        )
+    )
+    wall = Window.partitionBy()
+    return per_fold.crossJoin(F.broadcast(leakage)).select(
+        "fold",
+        "n_rows",
+        "n_groups",
+        F.round(
+            F.col("n_rows") / F.sum("n_rows").over(wall).cast("double"), 6
+        ).alias("row_share"),
+        "leaked_groups",
+    )
