@@ -3848,3 +3848,125 @@ def agg_basket_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_line_share"),
     )
+
+
+@register(
+    "agg_growth_accounting",
+    oracle="""
+    WITH actives AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(d) AS d0 FROM actives GROUP BY user_id
+    ),
+    labeled AS (
+      SELECT a.d, a.user_id,
+             CASE WHEN f.d0 = a.d THEN 'new'
+                  WHEN y.user_id IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS kind
+      FROM actives a
+      JOIN firsts f ON a.user_id = f.user_id
+      LEFT JOIN actives y
+        ON y.user_id = a.user_id AND y.d = a.d - 1
+    ),
+    churned AS (
+      SELECT y.d + 1 AS d, COUNT(*) AS n_churned
+      FROM actives y
+      LEFT JOIN actives t
+        ON t.user_id = y.user_id AND t.d = y.d + 1
+      WHERE t.user_id IS NULL
+      GROUP BY y.d + 1
+    ),
+    daily AS (
+      SELECT d,
+             CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_resurrected
+      FROM labeled GROUP BY d
+    )
+    SELECT dl.d, dl.n_new, dl.n_retained, dl.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned,
+           dl.n_new + dl.n_resurrected - COALESCE(c.n_churned, 0)
+             AS net_change
+    FROM daily dl LEFT JOIN churned c ON dl.d = c.d
+    """,
+)
+def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU growth accounting: every active user-day decomposes into
+    new (first ever day), retained (also active yesterday), or
+    resurrected (returning after a gap), and yesterday's actives who
+    vanished count as churned — so new + resurrected − churned =
+    net DAU change EXACTLY, the identity that turns a wiggling DAU
+    chart into 'growth stalled because churn doubled, not because
+    acquisition slowed'.  The standard growth-team ledger, all
+    integer set arithmetic on (user, day) pairs.
+
+    Scale (100 TB): the distinct (user, day) table is the one
+    shuffle; yesterday-membership is a self equi-join on
+    (user, d−1) over the same partitioning, and the ledger is a
+    per-day conditional rollup."""
+    e = load(spark, sf_dir, "events")
+    actives = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    firsts = actives.groupBy("user_id").agg(F.min("d").alias("d0"))
+    y = actives.select(
+        F.col("user_id").alias("yu"), F.date_add("d", 1).alias("yd")
+    )
+    labeled = (
+        actives.join(firsts, "user_id")
+        .join(
+            y,
+            (F.col("user_id") == F.col("yu")) & (F.col("d") == F.col("yd")),
+            "left",
+        )
+        .select(
+            "d",
+            F.when(F.col("d0") == F.col("d"), "new")
+            .when(F.col("yu").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("kind"),
+        )
+    )
+    t = actives.select(
+        F.col("user_id").alias("tu"), F.col("d").alias("td")
+    )
+    churned = (
+        actives.join(
+            t,
+            (F.col("user_id") == F.col("tu"))
+            & (F.date_add("d", 1) == F.col("td")),
+            "left_anti",
+        )
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    daily = labeled.groupBy("d").agg(
+        F.sum(F.when(F.col("kind") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("kind") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("kind") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    return daily.join(churned, "d", "left").select(
+        "d",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        (
+            F.col("n_new")
+            + F.col("n_resurrected")
+            - F.coalesce("n_churned", F.lit(0))
+        )
+        .cast("long")
+        .alias("net_change"),
+    )

@@ -3679,3 +3679,94 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("logp"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg("logp")), 6).alias("perplexity"),
     )
+
+
+@register(
+    "eval_regression_metrics",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             isodow(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v6
+      FROM events GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT event_type, d, v6,
+             LAG(v6, 7) OVER (PARTITION BY event_type ORDER BY d)
+               AS forecast6
+      FROM daily
+    ),
+    scored AS (
+      SELECT event_type, v6, forecast6,
+             abs(v6 - forecast6) AS ae6,
+             CAST(v6 - forecast6 AS HUGEINT)
+               * (v6 - forecast6) AS se12
+      FROM pred WHERE forecast6 IS NOT NULL
+    )
+    SELECT event_type, COUNT(*) AS n,
+           round(AVG(ae6) / 1e6, 6) AS mae,
+           round(sqrt(AVG(CAST(se12 AS DOUBLE))) / 1e6, 6) AS rmse,
+           round(CAST(SUM(ae6) AS BIGINT)
+                 / CAST(SUM(abs(v6)) AS DOUBLE), 6) AS wape,
+           round(1.0 - SUM(CAST(se12 AS DOUBLE))
+                 / (CAST(SUM(CAST(v6 AS HUGEINT) * v6) AS DOUBLE)
+                    - CAST(SUM(v6) AS DOUBLE) * SUM(v6) / COUNT(*)), 6)
+             AS r2
+    FROM scored GROUP BY event_type
+    """,
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The regression-metric table (MAE / RMSE / WAPE / R²) for a
+    seasonal-naive forecast (value 7 days ago) per series — the
+    standard sheet every forecast review reads, complementing
+    ts_seasonal_naive_backtest's single WAPE with the full picture:
+    MAE for interpretability, RMSE for tail sensitivity, WAPE for
+    cross-series comparability, R² against the mean predictor as the
+    'is this model better than nothing' floor.  Errors accumulate
+    as exact integers (absolute in 1e-6 units, squared in int128).
+
+    Scale (100 TB): daily rollup map-side combines; the lag-7
+    forecast is one window over |series|×|days| rows and every metric
+    is a mergeable aggregate."""
+    e = load(spark, sf_dir, "events")
+    v6 = (
+        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.sum(v6).cast("long").alias("v6"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    pred = daily.select(
+        "event_type", "v6", F.lag("v6", 7).over(w).alias("forecast6")
+    ).filter(F.col("forecast6").isNotNull())
+    err = F.col("v6") - F.col("forecast6")
+    scored = pred.select(
+        "event_type",
+        "v6",
+        F.abs(err).alias("ae6"),
+        (err.cast("decimal(38,0)") * err).alias("se12"),
+    )
+    stats = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ae6").cast("long").alias("sae"),
+        F.sum("se12").alias("sse"),
+        F.sum(F.abs("v6")).cast("long").alias("sav"),
+        F.sum("v6").cast("long").alias("sv"),
+        F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("svv"),
+    )
+    n = F.col("n")
+    sst = F.col("svv").cast("double") - F.col("sv").cast("double") * F.col(
+        "sv"
+    ) / n
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(F.col("sae") / n / 1e6, 6).alias("mae"),
+        F.round(F.sqrt(F.col("sse").cast("double") / n) / 1e6, 6).alias(
+            "rmse"
+        ),
+        F.round(F.col("sae") / F.col("sav").cast("double"), 6).alias("wape"),
+        F.round(1.0 - F.col("sse").cast("double") / sst, 6).alias("r2"),
+    )

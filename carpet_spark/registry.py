@@ -280,6 +280,7 @@ _R4_QUEUE = (
     "text_script_detect", "agg_ar_aging_buckets",
     "pii_hash_join_integrity", "text_bigram_logprob",
     "sample_group_kfold", "agg_basket_size_dist",
+    "agg_growth_accounting", "eval_regression_metrics",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
