@@ -3970,3 +3970,90 @@ def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("net_change"),
     )
+
+
+@register(
+    "agg_churn_risk_recency",
+    oracle="""
+    WITH per_user_events AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, quantile_cont(gap_us, 0.9) AS p90_gap_us,
+             COUNT(gap_us) AS n_gaps
+      FROM per_user_events GROUP BY user_id
+    ),
+    lasts AS (
+      SELECT user_id, MAX(epoch_us(ts)) AS last_us FROM events
+      GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(epoch_us(ts)) AS now_us FROM events),
+    scored AS (
+      SELECT l.user_id, g.n_gaps,
+             (SELECT now_us FROM horizon) - l.last_us AS silence_us,
+             g.p90_gap_us
+      FROM lasts l JOIN gaps g ON l.user_id = g.user_id
+      WHERE g.n_gaps >= 5
+    )
+    SELECT user_id, n_gaps,
+           round(silence_us / 86400000000.0, 6) AS silent_days,
+           round(p90_gap_us / 86400000000.0, 6) AS p90_gap_days,
+           CASE WHEN silence_us > p90_gap_us THEN 1 ELSE 0 END
+             AS at_risk
+    FROM scored WHERE user_id % 7 = 0
+    """,
+)
+def agg_churn_risk_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized churn-risk flags: a user is at risk when their
+    CURRENT silence exceeds their OWN p90 historical inter-event gap
+    — the per-entity baseline that beats any global 'inactive 14
+    days' rule, because a daily user gone 3 days is a louder alarm
+    than a monthly user gone 20.  Users with under 5 observed gaps
+    are excluded (no stable personal baseline).  Gaps and silences
+    are exact integer microseconds; the flag is an integer compare.
+
+    Scale (100 TB): one user-partitioned lag window (the sessionize
+    shuffle), per-user percentile over own gaps, and a broadcast
+    horizon scalar — all keyed on user_id, one partitioning serves
+    the chain."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps_rows = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap_us"
+        ),
+    )
+    gaps = gaps_rows.groupBy("user_id").agg(
+        F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
+        F.count("gap_us").alias("n_gaps"),
+    )
+    lasts = e.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us")
+    )
+    horizon = e.agg(F.max(F.unix_micros("ts")).alias("now_us"))
+    scored = (
+        lasts.join(gaps, "user_id")
+        .filter(F.col("n_gaps") >= 5)
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "n_gaps",
+            (F.col("now_us") - F.col("last_us")).alias("silence_us"),
+            "p90_gap_us",
+        )
+    )
+    return scored.filter(F.col("user_id") % 7 == 0).select(
+        "user_id",
+        "n_gaps",
+        F.round(F.col("silence_us") / 86400000000.0, 6).alias("silent_days"),
+        F.round(F.col("p90_gap_us") / 86400000000.0, 6).alias(
+            "p90_gap_days"
+        ),
+        F.when(F.col("silence_us") > F.col("p90_gap_us"), 1)
+        .otherwise(0)
+        .alias("at_risk"),
+    )

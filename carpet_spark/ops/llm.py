@@ -3770,3 +3770,56 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sae") / F.col("sav").cast("double"), 6).alias("wape"),
         F.round(1.0 - F.col("sse").cast("double") / sst, 6).alias("r2"),
     )
+
+
+@register(
+    "text_intradoc_dedup",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split_regex(text, '[.!?]+'),
+                              s -> trim(s)),
+               s -> s <> '') AS parts
+      FROM documents WHERE doc_id % 6 = 0
+    )
+    SELECT doc_id,
+           CAST(len(parts) AS BIGINT) AS n_sentences,
+           CAST(len(list_distinct(parts)) AS BIGINT) AS n_distinct,
+           CAST(len(parts) - len(list_distinct(parts)) AS BIGINT)
+             AS n_repeated,
+           round(CASE WHEN len(parts) > 0
+                 THEN len(list_distinct(parts))
+                      / CAST(len(parts) AS DOUBLE) ELSE 1 END, 6)
+             AS unique_ratio
+    FROM sents
+    """,
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document sentence dedup report: repeated sentences WITHIN
+    a document (boilerplate headers, scraper artifacts that loop a
+    paragraph, navigation text injected between sections) counted per
+    doc with the unique ratio — the WITHIN-doc cleanup pass that runs
+    before cross-doc dedup (dedup_exact works at whole-doc grain and
+    cannot see a doc that is 50% self-repetition).  Pure array ops:
+    sentence split, trim, distinct — no explode, no shuffle.
+
+    Scale (100 TB): per-row projection; the actual dedup REWRITE is
+    array_distinct on the same parts array, same cost."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    parts = F.filter(
+        F.transform(F.split("text", "[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    sents = d.select("doc_id", parts.alias("parts"))
+    n = F.size("parts")
+    nd = F.size(F.array_distinct("parts"))
+    return sents.select(
+        "doc_id",
+        n.cast("long").alias("n_sentences"),
+        nd.cast("long").alias("n_distinct"),
+        (n - nd).cast("long").alias("n_repeated"),
+        F.round(
+            F.when(n > 0, nd / n.cast("double")).otherwise(1.0), 6
+        ).alias("unique_ratio"),
+    )

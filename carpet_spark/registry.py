@@ -281,6 +281,7 @@ _R4_QUEUE = (
     "pii_hash_join_integrity", "text_bigram_logprob",
     "sample_group_kfold", "agg_basket_size_dist",
     "agg_growth_accounting", "eval_regression_metrics",
+    "agg_churn_risk_recency", "text_intradoc_dedup",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
