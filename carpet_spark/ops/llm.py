@@ -3823,3 +3823,77 @@ def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n > 0, nd / n.cast("double")).otherwise(1.0), 6
         ).alias("unique_ratio"),
     )
+
+
+@register(
+    "text_trending_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'p1' ELSE 'p2' END AS period,
+             w
+      FROM documents, unnest(string_split(text, ' ')) AS u(w)
+      WHERE w <> ''
+    ),
+    counts AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN period = 'p1' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(SUM(CASE WHEN period = 'p2' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+      FROM toks GROUP BY w
+    ),
+    scored AS (
+      SELECT w, c1, c2,
+             round((c2 + 1.0) / (c1 + 1.0), 6) AS growth
+      FROM counts WHERE c1 + c2 >= 20
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY growth DESC, w) AS rnk
+      FROM scored
+    )
+    SELECT rnk, w AS token, c1, c2, growth
+    FROM ranked WHERE rnk <= 15
+    """,
+)
+def text_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens: word frequencies in the two (doc-parity)
+    periods compared by Laplace-smoothed growth ratio, minimum total
+    support 20, top-15 risers — the 'what's new in this week's crawl'
+    monitor that catches topic drift, emerging spam campaigns
+    (one token exploding 50×), and vocabulary shift before it skews a
+    frozen tokenizer (text_tokenizer_fertility measures the damage;
+    this gives early warning).  Smoothing keeps new-token growth
+    finite; ranks tie-break on the token.
+
+    Scale (100 TB): wordcount economics — one conditional count per
+    vocabulary key, map-side combined; the ranking runs over tokens
+    above the support floor only."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.when(F.col("doc_id") % 2 == 0, "p1").otherwise("p2").alias(
+            "period"
+        ),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("period") == "p1", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("period") == "p2", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    scored = counts.filter(F.col("c1") + F.col("c2") >= 20).select(
+        "w",
+        "c1",
+        "c2",
+        F.round((F.col("c2") + 1.0) / (F.col("c1") + 1.0), 6).alias("growth"),
+    )
+    wr = Window.orderBy(F.col("growth").desc(), F.col("w"))
+    return (
+        scored.select(
+            "w", "c1", "c2", "growth", F.row_number().over(wr).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 15)
+        .select("rnk", F.col("w").alias("token"), "c1", "c2", "growth")
+    )

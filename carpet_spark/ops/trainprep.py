@@ -2252,3 +2252,57 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("row_share"),
         "leaked_groups",
     )
+
+
+@register(
+    "pipeline_next_token_examples",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id % 25 = 0
+    ),
+    examples AS (
+      SELECT doc_id, i,
+             array_to_string(w[i:i+7], ' ') AS context,
+             w[i+8] AS target
+      FROM toks,
+           unnest(range(1, greatest(0, len(w) - 8) + 1, 16)) AS u(i)
+      WHERE len(w) >= 9
+    )
+    SELECT doc_id, i AS start_pos, context, target
+    FROM examples
+    """,
+)
+def pipeline_next_token_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token training-example construction: fixed 8-token context
+    windows with their following token as the target, cut at stride
+    16 across each (sampled) document — the (context, target) pair
+    table that a causal-LM data loader consumes, materialized
+    relationally so dedup/decontamination/quality filters compose on
+    it like on any other table (filter examples whose CONTEXT matches
+    a benchmark n-gram = decontaminate_ngram on this output).  Docs
+    shorter than 9 tokens yield nothing, by construction.
+
+    Scale (100 TB): the window cut is array arithmetic per row
+    (length/stride examples per doc, the token-budget blowup every
+    LM pipeline pays); examples shuffle only if the caller groups
+    them — construction itself is projection."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    w = F.split("text", " ")
+    cut = d.filter(F.size(w) >= 9).select(
+        "doc_id",
+        w.alias("w"),
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.lit(0), F.size(w) - 8),
+                F.lit(16),
+            )
+        ).alias("i"),
+    )
+    return cut.select(
+        "doc_id",
+        F.col("i").alias("start_pos"),
+        F.array_join(F.slice("w", F.col("i"), 8), " ").alias("context"),
+        F.element_at("w", (F.col("i") + 8).cast("int")).alias("target"),
+    )

@@ -282,6 +282,7 @@ _R4_QUEUE = (
     "sample_group_kfold", "agg_basket_size_dist",
     "agg_growth_accounting", "eval_regression_metrics",
     "agg_churn_risk_recency", "text_intradoc_dedup",
+    "text_trending_tokens", "pipeline_next_token_examples",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
