@@ -1453,3 +1453,69 @@ def fn_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("corrupted_still_valid"),
     )
+
+
+@register(
+    "fn_progressive_brackets",
+    oracle="""
+    WITH fp AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS v6
+      FROM orders WHERE o_orderkey % 15 = 0
+    ),
+    taxed AS (
+      SELECT o_orderkey, v6,
+             LEAST(v6, 100000000000) // 10
+             + CASE WHEN v6 > 100000000000
+               THEN (LEAST(v6, 300000000000) - 100000000000) // 5
+               ELSE 0 END
+             + CASE WHEN v6 > 300000000000
+               THEN (v6 - 300000000000) * 3 // 10 ELSE 0 END AS tax6
+      FROM fp
+    )
+    SELECT o_orderkey,
+           round(v6 / 1e6, 6) AS amount,
+           round(tax6 / 1e6, 6) AS tax,
+           round(tax6 / CAST(v6 AS DOUBLE), 6) AS effective_rate
+    FROM taxed
+    """,
+)
+def fn_progressive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive (marginal) bracket computation: 10% on the first
+    100k, 20% on 100k–300k, 30% above — the piecewise-linear marginal
+    schedule behind income tax, tiered pricing, volume discounts and
+    commission plans, written as closed-form LEAST/CASE arithmetic
+    (each bracket taxes only its own slice) rather than a per-row
+    loop.  All slices compute in exact integer micro-units with
+    integer division, so the tax and the effective rate ladder are
+    engine-identical; effective_rate visibly climbing toward the top
+    marginal rate is the sanity check.
+
+    Scale (100 TB): pure codegen arithmetic in the scan; adding a
+    bracket adds a CASE term, never a pass."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
+    v6 = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    fp = o.select("o_orderkey", v6.alias("v6"))
+    b1 = F.expr("LEAST(v6, 100000000000) DIV 10")
+    b2 = F.when(
+        F.col("v6") > 100000000000,
+        F.expr("(LEAST(v6, 300000000000) - 100000000000) DIV 5"),
+    ).otherwise(0)
+    b3 = F.when(
+        F.col("v6") > 300000000000,
+        F.expr("(v6 - 300000000000) * 3 DIV 10"),
+    ).otherwise(0)
+    taxed = fp.select(
+        "o_orderkey", "v6", (b1 + b2 + b3).cast("long").alias("tax6")
+    )
+    return taxed.select(
+        "o_orderkey",
+        F.round(F.col("v6") / 1e6, 6).alias("amount"),
+        F.round(F.col("tax6") / 1e6, 6).alias("tax"),
+        F.round(F.col("tax6") / F.col("v6").cast("double"), 6).alias(
+            "effective_rate"
+        ),
+    )

@@ -3897,3 +3897,76 @@ def text_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 15)
         .select("rnk", F.col("w").alias("token"), "c1", "c2", "growth")
     )
+
+
+@register(
+    "eval_fairness_parity",
+    oracle="""
+    WITH scored AS (
+      SELECT c_mktsegment AS segment,
+             NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+      FROM customer
+    ),
+    per AS (
+      SELECT segment, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN decile = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected
+      FROM scored GROUP BY segment
+    ),
+    best AS (
+      SELECT MAX(n_selected * 1000000 // n) AS best_rate_ppm FROM per
+    )
+    SELECT p.segment, p.n, p.n_selected,
+           round(p.n_selected / CAST(p.n AS DOUBLE), 6) AS selection_rate,
+           round((p.n_selected * 1000000 // p.n)
+                 / CAST((SELECT best_rate_ppm FROM best) AS DOUBLE), 6)
+             AS impact_ratio,
+           CASE WHEN (p.n_selected * 1000000 // p.n) * 5
+                     >= (SELECT best_rate_ppm FROM best) * 4
+                THEN 1 ELSE 0 END AS four_fifths_ok
+    FROM per p
+    """,
+)
+def eval_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demographic-parity audit: selection rate (top decile of the
+    score) per group, each group's impact ratio against the most-
+    selected group, and the four-fifths-rule verdict (EEOC's 80%
+    disparate-impact threshold) — the governance gate any scoring
+    model that touches people must pass before deployment; here
+    market segment stands in for the protected attribute and account
+    balance for the model score.  Rates are held in integer ppm so
+    the 4/5 cut is the cross-multiplication rate·5 ≥ best·4 — a
+    compliance verdict never hangs on float rounding.
+
+    Scale (100 TB): one global NTILE sort (the decile cut), one
+    per-group conditional count, one scalar max — audit cost is the
+    ranking it already shares with eval_decile_lift."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    scored = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    per = scored.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("decile") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_selected"),
+    )
+    rate_ppm = F.expr("n_selected * 1000000 DIV n")
+    best = per.agg(F.max(rate_ppm).alias("best_rate_ppm"))
+    j = per.crossJoin(F.broadcast(best))
+    return j.select(
+        "segment",
+        "n",
+        "n_selected",
+        F.round(F.col("n_selected") / F.col("n").cast("double"), 6).alias(
+            "selection_rate"
+        ),
+        F.round(
+            rate_ppm / F.col("best_rate_ppm").cast("double"), 6
+        ).alias("impact_ratio"),
+        F.when(rate_ppm * 5 >= F.col("best_rate_ppm") * 4, 1)
+        .otherwise(0)
+        .alias("four_fifths_ok"),
+    )
