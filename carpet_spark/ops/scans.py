@@ -1091,3 +1091,46 @@ def sink_row_hash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_hash_ok"),
     )
+
+
+@register(
+    "scan_glob_subset",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST(ts AS DATE) < DATE '2024-01-10'
+    GROUP BY event_type
+    """,
+)
+def scan_glob_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-glob partition subsetting: events land day-partitioned and
+    the reader addresses `day=2024-01-0*` DIRECTLY by glob — no
+    filter, no listing of the other partitions — the ad-hoc ops
+    pattern ('just read the first week's directories') that
+    complements predicate-driven pruning (sink_partition_prune): the
+    subset is chosen by PATH before Spark ever plans, so even the
+    directory listing cost scales with the subset.  basePath keeps
+    the partition column recoverable; the oracle recomputes the same
+    nine days from the source, so a row in a mis-named partition
+    fails the hash.
+
+    Scale (100 TB): glob resolution is a metadata operation on the
+    store listing; the scan itself touches only matching
+    directories."""
+    import os as _os
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = _sink_path(spark, "glob_subset")
+    e.withColumn("day", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(out)
+    subset = spark.read.option("basePath", out).parquet(
+        _os.path.join(out, "day=2024-01-0*")
+    )
+    return subset.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -2344,3 +2344,93 @@ def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         F.round(F.avg("v6") / 1e6, 6).alias("simple_avg"),
     )
+
+
+@register(
+    "ts_dominant_period",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v6
+      FROM events GROUP BY 1, 2
+    ),
+    fanned AS (
+      SELECT dl.event_type, k.lag_k, dl.d, dl.v6
+      FROM daily dl CROSS JOIN (SELECT unnest(range(2, 15)) AS lag_k) k
+    ),
+    lagged AS (
+      SELECT f.event_type, f.lag_k, f.v6, b.v6 AS v6_lag
+      FROM fanned f JOIN daily b
+        ON b.event_type = f.event_type
+        AND b.d = f.d - f.lag_k * INTERVAL 1 DAY
+    ),
+    acf AS (
+      SELECT event_type, lag_k,
+             round(corr(v6, v6_lag), 6) AS r
+      FROM lagged GROUP BY event_type, lag_k
+    ),
+    ranked AS (
+      SELECT event_type, lag_k, r,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY r DESC, lag_k) AS rnk
+      FROM acf
+    )
+    SELECT event_type, lag_k AS dominant_period_days, r AS acf
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-period detection: the lag (2–14 days) whose
+    autocorrelation is highest per series — the data-driven answer to
+    'is this metric weekly?' that every seasonal model
+    (ts_seasonality_dow, ts_classical_decompose, the lag-7 forecast
+    in eval_regression_metrics) currently ASSUMES; running this first
+    turns the assumption into a measurement (a 7-day winner validates
+    the weekly models; anything else flags unusual periodicity).
+    ACF values are corr() over exact fixed-point sums, rounded to the
+    6-dp grain BEFORE the argmax so the winner is engine-stable, lag
+    ties to the shorter period.
+
+    Scale (100 TB): the daily rollup map-side combines; the 13 lag
+    variants fan out over the tiny daily table (|series|×|days|×13
+    rows), each a window + corr sketch."""
+    e = load(spark, sf_dir, "events")
+    v6 = (
+        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(v6).cast("long").alias("v6")
+    )
+    lags = spark.range(2, 15).select(F.col("id").cast("int").alias("lag_k"))
+    fanned = daily.crossJoin(F.broadcast(lags))
+    base = daily.select(
+        F.col("event_type").alias("bt"),
+        F.col("d").alias("bd"),
+        F.col("v6").alias("v6_lag"),
+    )
+    lagged = fanned.join(
+        base,
+        (F.col("event_type") == F.col("bt"))
+        & (F.col("bd") == F.expr("date_sub(d, lag_k)")),
+    ).select("event_type", "lag_k", "v6", "v6_lag")
+    acf = lagged.groupBy("event_type", "lag_k").agg(
+        F.round(F.corr("v6", "v6_lag"), 6).alias("r")
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("r").desc(), F.col("lag_k")
+    )
+    return (
+        acf.select(
+            "event_type",
+            "lag_k",
+            "r",
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("lag_k").alias("dominant_period_days"),
+            F.col("r").alias("acf"),
+        )
+    )

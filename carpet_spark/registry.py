@@ -284,6 +284,7 @@ _R4_QUEUE = (
     "agg_churn_risk_recency", "text_intradoc_dedup",
     "text_trending_tokens", "pipeline_next_token_examples",
     "eval_fairness_parity", "fn_progressive_brackets",
+    "ts_dominant_period", "scan_glob_subset",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
