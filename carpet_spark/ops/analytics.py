@@ -4057,3 +4057,116 @@ def agg_churn_risk_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("at_risk"),
     )
+
+
+@register(
+    "agg_cohort_payback_month",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+      SELECT f.cohort, o.o_custkey,
+             datediff('month', f.cohort,
+                      date_trunc('month', o.o_orderdate)) AS m_idx,
+             CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT) AS v6
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    cohort_size AS (
+      SELECT cohort, COUNT(*) AS n_customers FROM firsts GROUP BY cohort
+    ),
+    cum AS (
+      SELECT m.cohort, m.m_idx,
+             CAST(SUM(SUM(m.v6)) OVER (PARTITION BY m.cohort
+               ORDER BY m.m_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum6
+      FROM monthly m GROUP BY m.cohort, m.m_idx
+    ),
+    payback AS (
+      SELECT c.cohort,
+             MIN(CASE WHEN c.cum6 >= s.n_customers * 150000000000
+                 THEN c.m_idx END) AS payback_month,
+             MAX(c.m_idx) AS months_observed
+      FROM cum c JOIN cohort_size s ON c.cohort = s.cohort
+      GROUP BY c.cohort
+    )
+    SELECT CAST(p.cohort AS DATE) AS cohort, s.n_customers,
+           p.payback_month, p.months_observed
+    FROM payback p JOIN cohort_size s ON p.cohort = s.cohort
+    WHERE EXTRACT(year FROM p.cohort) <= 1996
+    """,
+)
+def agg_cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAC payback by cohort: each first-order-month cohort's
+    cumulative revenue climbs against its acquisition cost (a flat
+    $150k per customer in fixture money), and the payback month is
+    the first month index where the cohort has earned its cost back
+    — THE unit-economics chart under every 'when does a customer
+    become profitable' question; agg_cohort_ltv gives the curve,
+    this extracts the business-defining crossing point.  NULL
+    payback = not yet recovered in the observed window (restricted
+    to cohorts with enough history).  The crossing test is an
+    integer comparison of fixed-point cumulative revenue against
+    n_customers × CAC.
+
+    Scale (100 TB): per-cohort-month rollup map-side combines; the
+    cumulative window and crossing scan run over the tiny
+    cohort×month grid."""
+    o = load(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    v6 = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    monthly = o.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            F.months_between(
+                F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+            )
+        )
+        .cast("long")
+        .alias("m_idx"),
+        v6.alias("v6"),
+    )
+    cohort_size = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    per_month = monthly.groupBy("cohort", "m_idx").agg(
+        F.sum("v6").cast("long").alias("mrev6")
+    )
+    wc = Window.partitionBy("cohort").orderBy("m_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_month.select(
+        "cohort", "m_idx", F.sum("mrev6").over(wc).cast("long").alias("cum6")
+    )
+    payback = (
+        cum.join(cohort_size, "cohort")
+        .groupBy("cohort")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum6")
+                    >= F.col("n_customers") * F.lit(150000000000),
+                    F.col("m_idx"),
+                )
+            ).alias("payback_month"),
+            F.max("m_idx").alias("months_observed"),
+        )
+    )
+    return (
+        payback.join(cohort_size, "cohort")
+        .filter(F.year("cohort") <= 1996)
+        .select(
+            F.to_date("cohort").alias("cohort"),
+            "n_customers",
+            "payback_month",
+            "months_observed",
+        )
+    )

@@ -1519,3 +1519,68 @@ def fn_progressive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_rate"
         ),
     )
+
+
+@register(
+    "fn_number_humanize",
+    oracle="""
+    WITH vals AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice) AS BIGINT) * (o_orderkey % 7 + 1)
+               AS v
+      FROM orders WHERE o_orderkey % 12 = 0
+    )
+    SELECT o_orderkey, v,
+           CASE WHEN v >= 1000000000
+                THEN CAST(v // 100000000 / 10.0 AS VARCHAR) || 'B'
+                WHEN v >= 1000000
+                THEN CAST(v // 100000 / 10.0 AS VARCHAR) || 'M'
+                WHEN v >= 1000
+                THEN CAST(v // 100 / 10.0 AS VARCHAR) || 'k'
+                ELSE CAST(v AS VARCHAR) END AS humanized
+    FROM vals
+    """,
+)
+def fn_number_humanize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number humanization — fn_human_number_parse's inverse: exact
+    integers render as display strings with one decimal and a
+    magnitude suffix (1234567 → '1.2M'), the formatter behind every
+    dashboard tile.  Truncation (integer-divide to the tenths grid,
+    never round-half) keeps the rendered digit identical on both
+    engines regardless of float formatting differences — the
+    deliberate determinism trade a display formatter can make.
+
+    Scale (100 TB): pure integer CASE projection, no shuffle."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 12 == 0)
+    vals = o.select(
+        "o_orderkey",
+        (
+            (
+                F.signum("o_totalprice")
+                * ((F.abs(F.col("o_totalprice")) + 0.5).cast("long"))
+            ).cast("long")
+            * (F.col("o_orderkey") % 7 + 1)
+        ).alias("v"),
+    )
+    return vals.select(
+        "o_orderkey",
+        "v",
+        F.when(
+            F.col("v") >= 1000000000,
+            F.concat(
+                (F.expr("v DIV 100000000") / 10.0).cast("string"), F.lit("B")
+            ),
+        )
+        .when(
+            F.col("v") >= 1000000,
+            F.concat(
+                (F.expr("v DIV 100000") / 10.0).cast("string"), F.lit("M")
+            ),
+        )
+        .when(
+            F.col("v") >= 1000,
+            F.concat((F.expr("v DIV 100") / 10.0).cast("string"), F.lit("k")),
+        )
+        .otherwise(F.col("v").cast("string"))
+        .alias("humanized"),
+    )

@@ -285,6 +285,7 @@ _R4_QUEUE = (
     "text_trending_tokens", "pipeline_next_token_examples",
     "eval_fairness_parity", "fn_progressive_brackets",
     "ts_dominant_period", "scan_glob_subset",
+    "agg_cohort_payback_month", "fn_number_humanize",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
