@@ -107,6 +107,48 @@ def _main_ops() -> None:
         print(f"{name:32s} {kind}")
 
 
+def _main_verify(argv: list[str]) -> None:
+    """`carpet-spark verify OP [OP ...]`: run operators against their
+    DuckDB oracles and report PASS/FAIL — the engine's parity gate as a
+    user-facing command, so an operator can be trusted on a new dataset
+    layout before it goes into a pipeline.
+
+    python -m carpet_spark.cli verify dedup_exact agg_groupby \
+        --sf-dir /root/testdata/sf0.01
+    """
+    p = argparse.ArgumentParser(prog="carpet-spark verify")
+    p.add_argument("ops", nargs="+", help="registered operator ids")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = p.parse_args(argv)
+
+    from .registry import REGISTRY
+    from .session import get_spark
+    from .testing import compare, duck_connect
+
+    unknown = [o for o in args.ops if o not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown ops {unknown}; run: carpet-spark ops")
+    spark = get_spark("carpet_spark_cli")
+    con = duck_connect(args.sf_dir)
+    failed = 0
+    for name in args.ops:
+        op = REGISTRY[name]
+        df = op.fn(spark, args.sf_dir)
+        if op.oracle is None:
+            n = df.count()
+            print(f"ROWS  {name}: {n} rows (no oracle; rows-only contract)")
+            continue
+        try:
+            compare(df, con, op.oracle, name=name)
+            print(f"PASS  {name}")
+        except AssertionError as e:
+            failed += 1
+            print(f"FAIL  {name}: {e}")
+    con.close()
+    if failed:
+        raise SystemExit(1)
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
 
@@ -119,6 +161,10 @@ def main(argv: list[str] | None = None) -> None:
         import carpet_spark.ops  # noqa: F401
 
         return _main_ops()
+    if argv and argv[0] == "verify":
+        import carpet_spark.ops  # noqa: F401
+
+        return _main_verify(argv[1:])
     p = argparse.ArgumentParser(prog="carpet-spark", description=__doc__)
     p.add_argument("input", help="input parquet path/glob")
     p.add_argument("output", help="output parquet directory")
