@@ -4170,3 +4170,192 @@ def agg_cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             "months_observed",
         )
     )
+
+
+@register(
+    "agg_stickiness_dau_mau",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    daily AS (
+      SELECT d, COUNT(*) AS dau FROM active GROUP BY d
+    ),
+    weekly AS (
+      SELECT w, COUNT(*) AS wau FROM (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', d) AS DATE) AS w
+        FROM active
+      ) GROUP BY w
+    ),
+    monthly AS (
+      SELECT m, COUNT(*) AS mau FROM (
+        SELECT DISTINCT user_id, CAST(date_trunc('month', d) AS DATE) AS m
+        FROM active
+      ) GROUP BY m
+    )
+    SELECT dy.d, dy.dau, wk.wau, mo.mau,
+           round(CAST(dy.dau AS DOUBLE) / wk.wau, 6) AS dau_wau,
+           round(CAST(dy.dau AS DOUBLE) / mo.mau, 6) AS dau_mau
+    FROM daily dy
+    JOIN weekly wk ON CAST(date_trunc('week', dy.d) AS DATE) = wk.w
+    JOIN monthly mo ON CAST(date_trunc('month', dy.d) AS DATE) = mo.m
+    """,
+)
+def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stickiness: per day, DAU over the calendar week's WAU and the
+    calendar month's MAU — the engagement ratio product teams watch
+    (DAU/MAU near 1 = daily habit, near 1/30 = monthly chore).
+    Calendar buckets, not rolling windows (ts_rolling_active_users owns
+    the rolling-7d curve): both engines anchor date_trunc('week') to
+    Monday, so the bucket keys agree exactly, and every count is a
+    plain distinct over (user, bucket).
+
+    Scale (100 TB): raw events collapse to the deduped (user, day)
+    activity set first; week/month actives re-dedup that bounded set,
+    not raw events; the three joins are on the tiny |days| axis (the
+    daily side broadcasts after aggregation)."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    daily = active.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    weekly = (
+        active.select("user_id", F.date_trunc("week", "d").cast("date").alias("w"))
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    monthly = (
+        active.select("user_id", F.date_trunc("month", "d").cast("date").alias("m"))
+        .distinct()
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return (
+        daily.join(
+            F.broadcast(weekly),
+            F.date_trunc("week", "d").cast("date") == F.col("w"),
+        )
+        .join(
+            F.broadcast(monthly),
+            F.date_trunc("month", "d").cast("date") == F.col("m"),
+        )
+        .select(
+            "d",
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("dau_wau"),
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias("dau_mau"),
+        )
+    )
+
+
+@register(
+    "ab_mann_whitney_u",
+    oracle="""
+    WITH pool AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS grp,
+             "value" AS v
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    ranked AS (
+      SELECT grp, v,
+             2 * RANK() OVER (ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM pool
+    ),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t3_t
+      FROM (SELECT COUNT(*) AS t FROM pool GROUP BY v)
+    ),
+    sums AS (
+      SELECT CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN grp = 'A' THEN r2 ELSE 0 END) AS BIGINT) AS ra2
+      FROM ranked
+    )
+    SELECT s.n_a, s.n_b,
+           (s.ra2 - s.n_a * (s.n_a + 1)) / 2.0 AS u_a,
+           s.n_a * s.n_b - (s.ra2 - s.n_a * (s.n_a + 1)) / 2.0 AS u_b,
+           t.sum_t3_t,
+           round(
+             ((s.ra2 - s.n_a * (s.n_a + 1)) / 2.0 - s.n_a * s.n_b / 2.0)
+             / sqrt(s.n_a * s.n_b / 12.0
+                    * ((s.n_a + s.n_b + 1)
+                       - CAST(t.sum_t3_t AS DOUBLE)
+                         / ((s.n_a + s.n_b)
+                            * (s.n_a + s.n_b - 1.0)))),
+             6) AS z
+    FROM sums s CROSS JOIN ties t
+    """,
+)
+def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum): the nonparametric two-sample
+    test an experimenter reaches for when ab_welch_ttest's normality
+    assumption is indefensible (heavy-tailed revenue, bounded scores).
+    Groups are click vs error event values; ranks use the standard
+    midrank tie treatment kept EXACT by carrying doubled ranks as
+    integers (r2 = 2*min_rank + ties - 1, so the .5 midranks never
+    touch a float until the final ratio), and the normal approximation
+    applies the tie-corrected variance
+    sigma^2 = nA*nB/12 * ((N+1) - sum(t^3 - t)/(N(N-1))).
+
+    Scale (100 TB): the global rank is the one total sort (range-
+    partitioned at cluster scale, same shape win_rank documents); tie
+    counts and all reductions are single grouped passes — nothing is
+    ever pairwise (the textbook U-by-pair-comparison is O(nA*nB) and
+    never runs here)."""
+    ev = load(spark, sf_dir, "events")
+    pool = ev.filter(F.col("event_type").isin("click", "error")).select(
+        F.when(F.col("event_type") == "click", F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("grp"),
+        F.col("value").alias("v"),
+    )
+    ranked = pool.select(
+        "grp",
+        "v",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("v"))
+            + F.count(F.lit(1)).over(Window.partitionBy("v"))
+            - 1
+        ).alias("r2"),
+    )
+    ties = (
+        pool.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("sum_t3_t")
+        )
+    )
+    sums = ranked.agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("grp") == "A", F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("ra2"),
+    )
+    j = sums.crossJoin(F.broadcast(ties))
+    u_a = (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)) / F.lit(2.0)
+    n_tot = F.col("n_a") + F.col("n_b")
+    sigma = F.sqrt(
+        F.col("n_a") * F.col("n_b") / F.lit(12.0)
+        * (
+            (n_tot + 1)
+            - F.col("sum_t3_t").cast("double") / (n_tot * (n_tot - F.lit(1.0)))
+        )
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (F.col("n_a") * F.col("n_b") - u_a).alias("u_b"),
+        "sum_t3_t",
+        F.round((u_a - F.col("n_a") * F.col("n_b") / F.lit(2.0)) / sigma, 6).alias(
+            "z"
+        ),
+    )

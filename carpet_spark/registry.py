@@ -286,6 +286,7 @@ _R4_QUEUE = (
     "eval_fairness_parity", "fn_progressive_brackets",
     "ts_dominant_period", "scan_glob_subset",
     "agg_cohort_payback_month", "fn_number_humanize",
+    "agg_stickiness_dau_mau", "ab_mann_whitney_u",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
