@@ -1584,3 +1584,56 @@ def fn_number_humanize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("v").cast("string"))
         .alias("humanized"),
     )
+
+
+@register(
+    "fn_uuid_deterministic",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey, md5('cust:' || CAST(c_custkey AS VARCHAR)) AS hx
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT c_custkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3'
+             || substr(hx, 14, 3) || '-'
+             || CASE WHEN substr(hx, 17, 1) IN ('0','4','8','c') THEN '8'
+                     WHEN substr(hx, 17, 1) IN ('1','5','9','d') THEN '9'
+                     WHEN substr(hx, 17, 1) IN ('2','6','a','e') THEN 'a'
+                     ELSE 'b' END
+             || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS entity_uuid
+    FROM h
+    """,
+)
+def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-based deterministic UUIDs (RFC 4122 v3 shape): md5 of a
+    namespace-qualified natural key, reformatted with the version
+    nibble forced to 3 and the variant nibble folded into 8/9/a/b —
+    the idempotent entity-id mint every warehouse needs when the same
+    customer must get the SAME uuid on every run and every cluster
+    (random UUIDs break reruns and joins; fn_surrogate_key covers the
+    integer variant).  The variant fold (d & 0x3 | 0x8) is written as
+    a 16-way CASE so both engines do pure string ops — no hex-int
+    conversion builtins needed.
+
+    Scale (100 TB): embarrassingly parallel projection, whole-stage
+    codegen, no shuffle."""
+    c = load(spark, sf_dir, "customer")
+    hx = F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")))
+    d17 = F.substring(hx, 17, 1)
+    variant = (
+        F.when(d17.isin("0", "4", "8", "c"), F.lit("8"))
+        .when(d17.isin("1", "5", "9", "d"), F.lit("9"))
+        .when(d17.isin("2", "6", "a", "e"), F.lit("a"))
+        .otherwise(F.lit("b"))
+    )
+    return c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(
+            F.substring(hx, 1, 8), F.lit("-"),
+            F.substring(hx, 9, 4), F.lit("-3"),
+            F.substring(hx, 14, 3), F.lit("-"),
+            variant,
+            F.substring(hx, 18, 3), F.lit("-"),
+            F.substring(hx, 21, 12),
+        ).alias("entity_uuid"),
+    )

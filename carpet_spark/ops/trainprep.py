@@ -2306,3 +2306,47 @@ def pipeline_next_token_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice("w", F.col("i"), 8), " ").alias("context"),
         F.element_at("w", (F.col("i") + 8).cast("int")).alias("target"),
     )
+
+
+@register(
+    "sample_reservoir_fixed_n",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rk
+      FROM orders
+    )
+    SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+    FROM tagged WHERE rk <= 20
+    """,
+)
+def sample_reservoir_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample PER GROUP (reservoir semantics, n=20
+    orders per priority class) — the eval-set builder that
+    sample_stratified's fraction semantics can't give you: a fraction
+    keeps group-size skew, a fixed n makes every class equally
+    represented.  Randomness is a deterministic md5 hash-rank of the
+    key, so every engine, every rerun, every SF picks the same rows
+    (seeded RNGs differ across engines; hash order doesn't), with the
+    key itself as the total tie-break.
+
+    Scale (100 TB): per-group top-n by hash rank — AT scale this runs
+    as the salted two-phase plan topk_per_group documents (local top-n
+    per partition, then top-n of candidates), so no reducer ever sees
+    a whole group; n candidates per partition bound the final task."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            F.row_number().over(w).alias("rk"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .filter(F.col("rk") <= 20)
+    )
