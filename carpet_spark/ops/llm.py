@@ -3970,3 +3970,74 @@ def eval_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("four_fifths_ok"),
     )
+
+
+@register(
+    "eval_log_loss",
+    oracle="""
+    WITH mx AS (SELECT MAX(n_chars) + 1 AS maxp1 FROM documents),
+    scored AS (
+      SELECT GREATEST(1, LEAST(999999, (n_chars * 1000000) // maxp1)) AS p6,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents CROSS JOIN mx
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             SUM(y * ln(p6 / 1000000.0)
+                 + (1 - y) * ln(1.0 - p6 / 1000000.0)) AS ll_sum
+      FROM scored
+    )
+    SELECT n, pos,
+           round(-ll_sum / n, 6) AS log_loss,
+           round(-(pos * ln(pos * 1.0 / n)
+                   + (n - pos) * ln((n - pos) * 1.0 / n)) / n, 6)
+             AS baseline_ll,
+           round(1.0 - ll_sum / (pos * ln(pos * 1.0 / n)
+                                 + (n - pos) * ln((n - pos) * 1.0 / n)), 6)
+             AS skill
+    FROM s
+    """,
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (log loss) of the house pseudo-probability against
+    the binary language label, with the base-rate entropy as the
+    reference and the resulting skill score — the metric that punishes
+    CONFIDENT wrongness where eval_brier_score is gentle and
+    eval_roc_auc is blind (ranking can be perfect while probabilities
+    are absurd).  p is the same 6-dp fixed-point score the other eval
+    ops share, clamped to [1e-6, 1-1e-6] so ln never sees 0; the only
+    floats are the ln terms themselves, summed once and rounded at 6dp
+    (both engines' libm ln agree far below that).
+
+    Scale (100 TB): one scan, one broadcast max, one 1-row reduction —
+    the ln projection is whole-stage-codegen JVM code, no shuffle
+    beyond the final combine."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg((F.max("n_chars") + 1).alias("maxp1"))
+    scored = d.join(F.broadcast(mx)).select(
+        F.greatest(
+            F.lit(1), F.least(F.lit(999999), F.expr("(n_chars * 1000000) DIV maxp1"))
+        ).alias("p6"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    p = F.col("p6") / F.lit(1000000.0)
+    s = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(
+            F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(F.lit(1.0) - p)
+        ).alias("ll_sum"),
+    )
+    base_sum = F.col("pos") * F.log(
+        F.col("pos") * F.lit(1.0) / F.col("n")
+    ) + (F.col("n") - F.col("pos")) * F.log(
+        (F.col("n") - F.col("pos")) * F.lit(1.0) / F.col("n")
+    )
+    return s.select(
+        "n",
+        "pos",
+        F.round(-F.col("ll_sum") / F.col("n"), 6).alias("log_loss"),
+        F.round(-base_sum / F.col("n"), 6).alias("baseline_ll"),
+        F.round(F.lit(1.0) - F.col("ll_sum") / base_sum, 6).alias("skill"),
+    )

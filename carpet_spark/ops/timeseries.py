@@ -2434,3 +2434,97 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").alias("acf"),
         )
     )
+
+
+@register(
+    "ts_cross_correlation_lags",
+    oracle="""
+    WITH x AS (
+      SELECT datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS di,
+             CAST(COUNT(*) AS BIGINT) AS xv
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    y AS (
+      SELECT datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS di,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT) AS yv
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lags AS (SELECT k FROM (VALUES (-3),(-2),(-1),(0),(1),(2),(3)) t(k)),
+    paired AS (
+      SELECT l.k, x.xv, y.yv
+      FROM lags l JOIN x ON TRUE JOIN y ON y.di = x.di + l.k
+    ),
+    s AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
+             CAST(SUM(xv * yv) AS BIGINT) AS sxy,
+             CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+             CAST(SUM(yv * yv) AS BIGINT) AS syy
+      FROM paired GROUP BY k
+    )
+    SELECT k AS lag_days, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0)
+                 / sqrt((n * syy - sy * sy) * 1.0), 6) AS xcorr
+    FROM s
+    """,
+)
+def ts_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two business series — daily
+    view traffic vs daily purchase revenue at lags -3..+3 — the 'does
+    traffic LEAD revenue, and by how many days' question behind every
+    marketing-mix argument (ts_diff_correlation owns the lag-0
+    detrended check; this scans the lag axis).  Dates are folded to
+    integer day indices so the lag join is pure integer equality in
+    both engines (no interval-arithmetic type drift), and Pearson
+    inputs are exact integer sums (counts x cent-scaled revenue) with
+    floats only in the final ratio.
+
+    Scale (100 TB): raw events collapse to two |days|-sized series
+    first; the 7-lag pair join and per-lag reductions run on that
+    bounded axis — broadcast both series, never reshuffle facts."""
+    ev = load(spark, sf_dir, "events")
+    di = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    x = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(di.alias("di"))
+        .agg(F.count(F.lit(1)).cast("long").alias("xv"))
+    )
+    y2 = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    y = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(di.alias("di"))
+        .agg(F.sum(y2).cast("long").alias("yv"))
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("k"))
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(x)
+        .join(
+            F.broadcast(y.withColumnRenamed("di", "di_y")),
+            F.col("di") + F.col("k") == F.col("di_y"),
+        )
+        .select("k", "xv", "yv")
+    )
+    s = paired.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("k").alias("lag_days"),
+        "n",
+        F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("xcorr"),
+    )

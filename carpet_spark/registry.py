@@ -288,6 +288,7 @@ _R4_QUEUE = (
     "agg_cohort_payback_month", "fn_number_humanize",
     "agg_stickiness_dau_mau", "ab_mann_whitney_u",
     "fn_uuid_deterministic", "sample_reservoir_fixed_n",
+    "ts_cross_correlation_lags", "eval_log_loss",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
