@@ -4041,3 +4041,128 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-base_sum / F.col("n"), 6).alias("baseline_ll"),
         F.round(F.lit(1.0) - F.col("ll_sum") / base_sum, 6).alias("skill"),
     )
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM d, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    ks AS (SELECT i FROM range(16) t(i)),
+    sigs AS (
+      SELECT doc_id, i,
+             MIN(md5(CAST(i AS VARCHAR) || ':' || tok)) AS sig
+      FROM toks CROSS JOIN ks GROUP BY doc_id, i
+    ),
+    psig AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+      FROM sigs a JOIN sigs b ON a.i = b.i AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.a_id, p.b_id, p.n_match,
+           round(p.n_match / 16.0, 6) AS est_jaccard,
+           round(COALESCE(i.ni, 0) * 1.0
+                 / (sa.sz + sb.sz - COALESCE(i.ni, 0)), 6) AS exact_jaccard,
+           round(abs(p.n_match / 16.0
+                     - COALESCE(i.ni, 0) * 1.0
+                       / (sa.sz + sb.sz - COALESCE(i.ni, 0))), 6) AS abs_err
+    FROM psig p
+    JOIN sizes sa ON sa.doc_id = p.a_id
+    JOIN sizes sb ON sb.doc_id = p.b_id
+    LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATOR audit: for a bounded doc subset, the
+    16-permutation minhash estimate next to the exact token-set
+    Jaccard and the absolute error — the calibration table that tells
+    you what signature width dedup_near_minhash actually needs before
+    you burn a 100 TB pass (E[err] ~ sqrt(J(1-J)/k)).  The 'random'
+    permutations are md5(i:token) and each signature component is the
+    lexicographic MIN of hex digests, so both engines derive
+    bit-identical signatures and the estimator itself — not a mock of
+    it — is what the hash check verifies.
+
+    Scale (100 TB): signatures are one explode(16)+min-combine pass
+    (linear, map-side combined); the pairwise stage here is the
+    declared-exact audit on a sampled subset, same contract as
+    dedup_near_jaccard — production candidate generation stays the
+    banded-LSH equi-join of dedup_near_minhash."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    ks = spark.range(16).select(F.col("id").cast("int").alias("i"))
+    sigs = (
+        toks.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok")))
+            ).alias("sig")
+        )
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("a_id"), F.col("i").alias("ia"), F.col("sig").alias("siga")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("b_id"), F.col("i").alias("ib"), F.col("sig").alias("sigb")
+    )
+    psig = (
+        a.join(b, (F.col("ia") == F.col("ib")) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.sum(F.when(F.col("siga") == F.col("sigb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match")
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ta = toks.select(F.col("doc_id").alias("a_id"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b_id"), "tok")
+    inter = (
+        ta.join(tb, (ta["tok"] == tb["tok"]) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    est = F.col("n_match") / F.lit(16.0)
+    exact = F.coalesce(F.col("ni"), F.lit(0)) * F.lit(1.0) / (
+        F.col("sza") + F.col("szb") - F.coalesce(F.col("ni"), F.lit(0))
+    )
+    return (
+        psig.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("szb"))),
+            "b_id",
+        )
+        .join(F.broadcast(inter), ["a_id", "b_id"], "left")
+        .select(
+            "a_id",
+            "b_id",
+            "n_match",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+    )

@@ -1134,3 +1134,55 @@ def scan_glob_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "scan_fixed_width",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (COBOL/mainframe-extract) text format: suppliers are
+    serialized to a strict columnar byte layout (key 10, nation 4,
+    balance-cents 13 right-aligned; name 25 left-aligned last so
+    spaces inside values stay unambiguous), written through the text
+    sink, then re-parsed by substring offsets and aggregated — the
+    ingest path for the bank/ERP extracts that predate delimiters.
+    The oracle aggregates the SOURCE table, so a single byte lost or
+    mis-sliced anywhere in serialize→write→read→parse fails the hash
+    (the same identity-roundtrip contract the sink_* ops use).
+
+    Scale (100 TB): both directions are embarrassingly parallel row
+    projections; text files split by line, so read parallelism is
+    byte-range like CSV.  Parse is pure substring/cast — whole-stage
+    codegen, no Python."""
+    s = load(spark, sf_dir, "supplier")
+    cents = (
+        F.signum("s_acctbal") * ((F.abs(F.col("s_acctbal")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    lines = s.select(
+        F.concat(
+            F.lpad(F.col("s_suppkey").cast("string"), 10, " "),
+            F.lpad(F.col("s_nationkey").cast("string"), 4, " "),
+            F.lpad(cents.cast("string"), 13, " "),
+            F.rpad(F.col("s_name"), 25, " "),
+        ).alias("value")
+    )
+    out = _sink_path(spark, "scan_fixed_width")
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parsed = back.select(
+        F.trim(F.substring("value", 1, 10)).cast("long").alias("s_suppkey"),
+        F.trim(F.substring("value", 11, 4)).cast("long").alias("s_nationkey"),
+        F.trim(F.substring("value", 15, 13)).cast("long").alias("bal_cents"),
+    )
+    return parsed.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+    )

@@ -289,6 +289,7 @@ _R4_QUEUE = (
     "agg_stickiness_dau_mau", "ab_mann_whitney_u",
     "fn_uuid_deterministic", "sample_reservoir_fixed_n",
     "ts_cross_correlation_lags", "eval_log_loss",
+    "scan_fixed_width", "dedup_minhash_estimate",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
