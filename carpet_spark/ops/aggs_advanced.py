@@ -3342,3 +3342,150 @@ def dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_anova_oneway",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(v) AS BIGINT) AS s_g,
+             SUM(CAST(v AS HUGEINT) * v) AS ss_g
+      FROM x GROUP BY seg
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             SUM(ss_g) AS ss,
+             SUM(CAST(s_g AS DOUBLE) * s_g / n_g) AS sum_sq_over_n
+      FROM per
+    )
+    SELECT k, n,
+           k - 1 AS df_between, n - k AS df_within,
+           round((sum_sq_over_n - CAST(s AS DOUBLE) * s / n)
+                 / (k - 1)
+                 / ((CAST(ss AS DOUBLE) - sum_sq_over_n) / (n - k)), 6)
+             AS f_stat,
+           round((sum_sq_over_n - CAST(s AS DOUBLE) * s / n)
+                 / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+             AS eta_squared
+    FROM tot
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does order value differ across market segments?
+    F = (SSB/(k-1)) / (SSW/(N-k)) plus eta-squared effect size — the
+    'is this grouping real or noise' gate that runs before anyone
+    builds per-segment models (ab_welch_ttest handles two groups;
+    this is the k-group generalization).  Sums of squares accumulate
+    as exact wide integers (cents in HUGEINT/decimal(38,0) — a cents
+    square times row count overflows BIGINT, the classic silent-
+    wraparound trap), and only the final F ratio goes through
+    doubles.
+
+    Scale (100 TB): one fact scan with a broadcast dim join, map-side
+    combined partial sums to |segments| rows, then a 1-row reduction
+    — the textbook two-phase aggregate; no sort, no second pass."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    v = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    x = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), v.alias("v")
+    )
+    per = x.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("v").cast("long").alias("s_g"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss_g"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("ss_g").cast("double").alias("ss"),
+        F.sum(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")).alias(
+            "sum_sq_over_n"
+        ),
+    )
+    ssb = F.col("sum_sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sum_sq_over_n")
+    sst = F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return tot.select(
+        "k",
+        "n",
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        F.round(ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+        F.round(ssb / sst, 6).alias("eta_squared"),
+    )
+
+
+@register(
+    "agg_theil_index",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      FROM per WHERE cents > 0
+    )
+    SELECT t.n,
+           round(SUM((p.cents * 1.0 / t.s)
+                     * ln(p.cents * 1.0 / t.s * t.n)), 6) AS theil_t,
+           round(-SUM(ln(p.cents * 1.0 / t.s * t.n)) / t.n, 6) AS theil_l
+    FROM per p CROSS JOIN tot t
+    WHERE p.cents > 0
+    GROUP BY t.n
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Theil L (mean log deviation) inequality of customer
+    revenue — the decomposable inequality measures economists prefer
+    over Gini (agg_gini_coefficient) because they split exactly into
+    within-group + between-group terms.  Each ln term is computed on
+    the revenue SHARE (exact long total in the denominator), so every
+    float term is O(1/n) and the 6-dp round sits far above both
+    engines' summation error — never ln of a raw magnitude, whose
+    float sum would drift at the rounding boundary.
+
+    Scale (100 TB): per-customer rollup map-side combines; the total
+    is a 1-row broadcast back over the bounded per-customer set; both
+    indices are one more combine."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .filter(F.col("cents") > 0)
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    share = F.col("cents") * F.lit(1.0) / F.col("s")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(F.sum(share * F.log(share * F.col("n"))), 6).alias("theil_t"),
+            F.round(-F.sum(F.log(share * F.col("n"))) / F.col("n").cast("double"), 6).alias(
+                "theil_l"
+            ),
+        )
+        .select("n", "theil_t", "theil_l")
+    )

@@ -290,6 +290,7 @@ _R4_QUEUE = (
     "fn_uuid_deterministic", "sample_reservoir_fixed_n",
     "ts_cross_correlation_lags", "eval_log_loss",
     "scan_fixed_width", "dedup_minhash_estimate",
+    "agg_anova_oneway", "agg_theil_index",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
