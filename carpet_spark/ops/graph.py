@@ -658,3 +658,140 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The module's canonical directed trade edge set (same derivation as
+    graph_pagerank: above-mean-volume nation→nation pairs), shared by the
+    edge-statistics ops below.  localCheckpoint: computed once per call,
+    lineage truncated before self-joins."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("w").alias("total_w")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("n_pairs") > F.col("total_w"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+
+
+@register(
+    "graph_reciprocity",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocal,
+           round(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS reciprocity
+    FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed trade graph: the fraction of
+    nation→nation links whose reverse link also clears the volume
+    threshold — the 'is trade mutual or extractive' scalar, and for
+    any directed behavioral graph (follows, messages, payments) the
+    first structure check before community algorithms that assume
+    symmetry.  Distinct edges make the reverse lookup a 0/1 left
+    join, so the count is exact.
+
+    Scale (100 TB): the heavy part is the same one-fact-shuffle edge
+    derivation pagerank documents; the reciprocity self-join runs on
+    the collapsed |edges| set (equi keys (dst,src) — a plain hash
+    join, broadcast-sized here, shuffle-partitioned at billions of
+    edges)."""
+    e = _trade_edges(spark, sf_dir)
+    r = e.select(F.col("src").alias("rsrc"), F.col("dst").alias("rdst"))
+    j = e.join(
+        r, (F.col("rsrc") == F.col("dst")) & (F.col("rdst") == F.col("src")), "left"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("rsrc").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocal"),
+        F.round(
+            F.sum(F.when(F.col("rsrc").isNotNull(), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+@register(
+    "graph_assortativity_degree",
+    oracle=f"""
+    WITH e AS MATERIALIZED ({_EDGES_SQL}),
+    odeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    ideg AS (SELECT dst, COUNT(*) AS idg FROM e GROUP BY dst),
+    j AS (
+      SELECT o.od AS x, i.idg AS y
+      FROM e JOIN odeg o ON o.src = e.src JOIN ideg i ON i.dst = e.dst
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM j
+    )
+    SELECT m AS n_edges,
+           round((m * sxy - sx * sy)
+                 / sqrt((m * sxx - sx * sx) * 1.0)
+                 / sqrt((m * syy - sy * sy) * 1.0), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity: Pearson correlation between the
+    out-degree of an edge's source and the in-degree of its target —
+    negative means hubs feed the periphery (disassortative, the usual
+    shape of trade and social graphs), positive means a rich club.
+    Degrees are small exact integers, so every Pearson input is an
+    integer sum and floats appear only in the final ratio (the same
+    discipline ts_cross_correlation_lags uses).
+
+    Scale (100 TB): two |verts|-sized degree aggregates joined back to
+    edges on their natural keys — degree tables broadcast below a few
+    hundred million vertices, and the final reduction is one row."""
+    e = _trade_edges(spark, sf_dir)
+    odeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ideg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    j = (
+        e.join(F.broadcast(odeg), "src")
+        .join(F.broadcast(ideg), "dst")
+        .select(F.col("od").alias("x"), F.col("idg").alias("y"))
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("m").alias("n_edges"),
+        F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("assortativity"),
+    )

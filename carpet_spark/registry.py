@@ -291,6 +291,7 @@ _R4_QUEUE = (
     "ts_cross_correlation_lags", "eval_log_loss",
     "scan_fixed_width", "dedup_minhash_estimate",
     "agg_anova_oneway", "agg_theil_index",
+    "graph_reciprocity", "graph_assortativity_degree",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
