@@ -4166,3 +4166,163 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - exact), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "text_js_divergence_sources",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                  THEN 'P' ELSE 'Q' END AS pool,
+             t.tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    cnt AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN pool = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cp,
+             CAST(SUM(CASE WHEN pool = 'Q' THEN 1 ELSE 0 END) AS BIGINT)
+               AS cq
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(cp) AS BIGINT) AS sp, CAST(SUM(cq) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(SUM(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+             CAST(SUM(CASE WHEN cq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_q
+      FROM cnt
+    )
+    SELECT t.n_p, t.n_q, t.n_union,
+           round(SUM(
+             0.5 * CASE WHEN c.cp > 0 THEN (c.cp * 1.0 / t.sp)
+               * ln((c.cp * 1.0 / t.sp)
+                    / ((c.cp * 1.0 / t.sp + c.cq * 1.0 / t.sq) / 2))
+               ELSE 0 END
+             + 0.5 * CASE WHEN c.cq > 0 THEN (c.cq * 1.0 / t.sq)
+               * ln((c.cq * 1.0 / t.sq)
+                    / ((c.cp * 1.0 / t.sp + c.cq * 1.0 / t.sq) / 2))
+               ELSE 0 END), 6) AS jsd_nats
+    FROM cnt c CROSS JOIN tot t
+    GROUP BY t.n_p, t.n_q, t.n_union
+    """,
+)
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the token distributions of two
+    source pools (even- vs odd-numbered sources) — the symmetric,
+    bounded [0, ln2] 'how different are these corpora' scalar used to
+    pick pretraining mixture partners (agg_psi_drift is the binned
+    single-feature cousin; this is the full-vocabulary version).
+    Token probabilities are exact count/total ratios (integer counts,
+    one division each), zero-count terms drop out of their KL half
+    exactly as the limit demands, and every float term is O(p·ln) so
+    the 6-dp round dominates both engines' summation error.
+
+    Scale (100 TB): one explode + map-side-combined token count, one
+    1-row total broadcast back, one reduction — vocabulary-sized
+    state, never corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            F.when(
+                F.substring("source", 4, 10).cast("long") % 2 == 0, F.lit("P")
+            )
+            .otherwise(F.lit("Q"))
+            .alias("pool"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("pool") == "P", 1).otherwise(0)).cast("long").alias("cp"),
+        F.sum(F.when(F.col("pool") == "Q", 1).otherwise(0)).cast("long").alias("cq"),
+    )
+    tot = cnt.agg(
+        F.sum("cp").cast("long").alias("sp"),
+        F.sum("cq").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(F.when(F.col("cp") > 0, 1).otherwise(0)).cast("long").alias("n_p"),
+        F.sum(F.when(F.col("cq") > 0, 1).otherwise(0)).cast("long").alias("n_q"),
+    )
+    p = F.col("cp") * F.lit(1.0) / F.col("sp")
+    q = F.col("cq") * F.lit(1.0) / F.col("sq")
+    m = (p + q) / 2
+    term = F.lit(0.5) * F.when(F.col("cp") > 0, p * F.log(p / m)).otherwise(
+        0.0
+    ) + F.lit(0.5) * F.when(F.col("cq") > 0, q * F.log(q / m)).otherwise(0.0)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .groupBy("n_p", "n_q", "n_union")
+        .agg(F.round(F.sum(term), 6).alias("jsd_nats"))
+        .select("n_p", "n_q", "n_union", "jsd_nats")
+    )
+
+
+@register(
+    "emb_isotropy_score",
+    oracle="""
+    WITH elems AS (
+      SELECT e.vec_id, r.i AS dim_i,
+             CAST(e.embedding[CAST(r.i AS BIGINT) + 1] AS DOUBLE) AS val
+      FROM embeddings e CROSS JOIN range(64) r(i)
+    ),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(val * val)) AS nrm
+      FROM elems GROUP BY vec_id
+    ),
+    unit AS (
+      SELECT el.dim_i, SUM(el.val / n.nrm) AS s_d
+      FROM elems el JOIN norms n ON n.vec_id = el.vec_id
+      GROUP BY el.dim_i
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM norms) AS n,
+             SUM(s_d * s_d) AS s2
+      FROM unit
+    )
+    SELECT n, 64 AS dim,
+           round((s2 - n) / (n * (n - 1.0)), 6) AS avg_pairwise_cos,
+           round(s2 / (CAST(n AS DOUBLE) * n), 6) AS centroid_norm_sq
+    FROM agg
+    """,
+)
+def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy: mean pairwise cosine of the UNIT
+    vectors computed in closed form — avg_cos = (||Σu||² − n)/(n(n−1))
+    — plus the normalized-centroid norm, the two scalars that say
+    whether the space has collapsed toward a cone (high mean cosine =
+    anisotropic = cosine similarity stops discriminating; the check
+    to run before trusting sim_* ops on a new encoder).  The identity
+    turns O(n²) pairwise work into one vector sum, and every per-row
+    and per-dimension reduction keeps values O(1) so 6-dp rounding
+    dominates float summation order on both engines.
+
+    Scale (100 TB): posexplode to (row, dim, val), one combine for
+    row norms, one for the 64 dimension sums — two shuffles of
+    bounded width, a 64-float final state; never a pair join."""
+    e = load(spark, sf_dir, "embeddings")
+    elems = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim_i", "valf")
+    ).select("vec_id", "dim_i", F.col("valf").cast("double").alias("val"))
+    norms = elems.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    unit = (
+        elems.join(norms, "vec_id")
+        .groupBy("dim_i")
+        .agg(F.sum(F.col("val") / F.col("nrm")).alias("s_d"))
+    )
+    n_df = norms.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = unit.agg(F.sum(F.col("s_d") * F.col("s_d")).alias("s2")).crossJoin(
+        F.broadcast(n_df)
+    )
+    return agg.select(
+        "n",
+        F.lit(64).alias("dim"),
+        F.round(
+            (F.col("s2") - F.col("n")) / (F.col("n") * (F.col("n") - F.lit(1.0))), 6
+        ).alias("avg_pairwise_cos"),
+        F.round(F.col("s2") / (F.col("n").cast("double") * F.col("n")), 6).alias(
+            "centroid_norm_sq"
+        ),
+    )

@@ -292,6 +292,7 @@ _R4_QUEUE = (
     "scan_fixed_width", "dedup_minhash_estimate",
     "agg_anova_oneway", "agg_theil_index",
     "graph_reciprocity", "graph_assortativity_degree",
+    "text_js_divergence_sources", "emb_isotropy_score",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
