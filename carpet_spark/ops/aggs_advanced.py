@@ -3489,3 +3489,95 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "theil_t", "theil_l")
     )
+
+
+@register(
+    "agg_kendall_tau",
+    oracle="""
+    WITH per AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CASE WHEN o.o_orderkey % 2 = 0
+                      THEN CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS r1_6,
+             CAST(SUM(CASE WHEN o.o_orderkey % 2 = 1
+                      THEN CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS r2_6
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(SUM(CASE WHEN sign(a.r1_6 - b.r1_6) = sign(a.r2_6 - b.r2_6)
+                            AND a.r1_6 <> b.r1_6 AND a.r2_6 <> b.r2_6
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN sign(a.r1_6 - b.r1_6) = -sign(a.r2_6 - b.r2_6)
+                            AND a.r1_6 <> b.r1_6 AND a.r2_6 <> b.r2_6
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM per a JOIN per b ON a.c_nationkey < b.c_nationkey
+    )
+    SELECT n_pairs, nc, nd,
+           round((nc - nd) * 1.0 / n_pairs, 6) AS kendall_tau
+    FROM pairs
+    """,
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau between the two period revenue rankings of
+    agg_rank_stability_spearman — the pair-concordance view of the
+    same question (tau is the probability a random nation pair keeps
+    its order, minus the probability it flips; more robust to single
+    large rank jumps than Spearman's rho).  The concordance test
+    compares exact integer difference SIGNS (never the cross-product,
+    which overflows 64 bits at 6-dp fixed point), and the pair join
+    runs on the BOUNDED post-aggregation axis (|nations|² pairs) — the same
+    declared-exact contract as dedup_near_jaccard, never on facts.
+
+    Scale (100 TB): facts collapse to |nations| rows first; for a
+    large key axis (customers, SKUs) swap the quadratic pair stage
+    for the merge-sort inversion count (O(n log n)) over the
+    range-partitioned rank arrays."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    r6 = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    p1 = F.col("o_orderkey") % 2 == 0
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("r1_6"),
+            F.sum(F.when(~p1, r6).otherwise(0)).cast("long").alias("r2_6"),
+        )
+    )
+    a = per.select(
+        F.col("c_nationkey").alias("ka"),
+        F.col("r1_6").alias("x1"),
+        F.col("r2_6").alias("y1"),
+    )
+    b = per.select(
+        F.col("c_nationkey").alias("kb"),
+        F.col("r1_6").alias("x2"),
+        F.col("r2_6").alias("y2"),
+    )
+    # sign comparison, NOT the cross-product: 6-dp fixed-point sums can
+    # reach ~1e15, whose pairwise product overflows BIGINT on both engines
+    sx = F.signum((F.col("x1") - F.col("x2")).cast("double"))
+    sy = F.signum((F.col("y1") - F.col("y2")).cast("double"))
+    both_distinct = (F.col("x1") != F.col("x2")) & (F.col("y1") != F.col("y2"))
+    pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb")).agg(
+        F.sum(F.when((sx == sy) & both_distinct, 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(F.when((sx == -sy) & both_distinct, 1).otherwise(0))
+        .cast("long")
+        .alias("nd"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return pairs.select(
+        "n_pairs",
+        "nc",
+        "nd",
+        F.round((F.col("nc") - F.col("nd")) * F.lit(1.0) / F.col("n_pairs"), 6).alias(
+            "kendall_tau"
+        ),
+    )

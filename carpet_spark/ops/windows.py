@@ -740,3 +740,71 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / (den * 1000000.0), 6),
         ).alias("slope14"),
     )
+
+
+@register(
+    "win_weighted_moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, cents,
+             LAG(cents, 1) OVER (ORDER BY d) AS c1,
+             LAG(cents, 2) OVER (ORDER BY d) AS c2,
+             LAG(cents, 3) OVER (ORDER BY d) AS c3,
+             LAG(cents, 4) OVER (ORDER BY d) AS c4
+      FROM daily
+    )
+    SELECT d, cents,
+           round((5 * cents + 4 * c1 + 3 * c2 + 2 * c3 + 1 * c4)
+                 / 15.0 / 100.0, 6) AS wma5
+    FROM lagged WHERE c4 IS NOT NULL
+    """,
+)
+def win_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted 5-day moving average of daily event revenue —
+    the smoother traders call WMA: recency-weighted (5,4,3,2,1)/15, so
+    it reacts ~2x faster than the plain mean win_sliding_frame computes
+    and has none of ts_ewma's infinite tail.  Positional weights have
+    no native frame form, so the window is an explicit literal-offset
+    LAG chain (both engines require literal lag offsets); the weighted
+    numerator stays an exact integer and divides once at the end.
+    Partial windows are dropped (c4 IS NOT NULL) rather than
+    renormalized — the choice that keeps the first days honest.
+
+    Scale (100 TB): facts collapse to the |days| axis first; the lag
+    chain is one window pass over that bounded series (range-partition
+    the sort for multi-year spines; per-key series parallelize freely
+    when a partition key is added)."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "cents",
+        F.lag("cents", 1).over(w).alias("c1"),
+        F.lag("cents", 2).over(w).alias("c2"),
+        F.lag("cents", 3).over(w).alias("c3"),
+        F.lag("cents", 4).over(w).alias("c4"),
+    )
+    num = (
+        5 * F.col("cents")
+        + 4 * F.col("c1")
+        + 3 * F.col("c2")
+        + 2 * F.col("c3")
+        + 1 * F.col("c4")
+    )
+    return lagged.filter(F.col("c4").isNotNull()).select(
+        "d",
+        "cents",
+        F.round(num / F.lit(15.0) / F.lit(100.0), 6).alias("wma5"),
+    )

@@ -293,6 +293,7 @@ _R4_QUEUE = (
     "agg_anova_oneway", "agg_theil_index",
     "graph_reciprocity", "graph_assortativity_degree",
     "text_js_divergence_sources", "emb_isotropy_score",
+    "agg_kendall_tau", "win_weighted_moving_average",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
