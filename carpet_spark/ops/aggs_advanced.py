@@ -3581,3 +3581,59 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kendall_tau"
         ),
     )
+
+
+@register(
+    "agg_chi_square_gof",
+    oracle="""
+    WITH obs AS (
+      SELECT isodow(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT t.n, 6 AS df,
+           round(SUM((o - t.n / 7.0) * (o - t.n / 7.0) / (t.n / 7.0)), 6)
+             AS chi2,
+           CASE WHEN SUM((o - t.n / 7.0) * (o - t.n / 7.0) / (t.n / 7.0))
+                     > 12.591587 THEN 1 ELSE 0 END AS reject_uniform_5pct
+    FROM obs CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def agg_chi_square_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of event weekday load against the
+    uniform-traffic hypothesis — the 'do we actually have a weekly
+    cycle' test that should precede any dow-seasonal model
+    (ts_seasonality_dow describes the profile; this says whether it
+    is statistically real; agg_cramers_v is the two-variable cousin).
+    Weekday keys are ISO (Spark weekday()+1 == DuckDB isodow — the
+    engines' default dayofweek origins DISAGREE, Sunday-1 vs
+    Sunday-0, so neither is used).  Observed counts are exact longs;
+    each chi-square term derives from integers, and the 5% decision
+    compares against the df=6 critical value as a constant.
+
+    Scale (100 TB): a 7-key map-side-combined count and a 1-row
+    reduction — one scan, no sort."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        (F.expr("weekday(date_trunc('day', ts))") + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    exp = F.col("n") / F.lit(7.0)
+    term = (F.col("o") - exp) * (F.col("o") - exp) / exp
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum(term).alias("_chi2_raw"),
+        )
+        .select(
+            "n",
+            F.lit(6).alias("df"),
+            F.round(F.col("_chi2_raw"), 6).alias("chi2"),
+            F.when(F.col("_chi2_raw") > 12.591587, 1)
+            .otherwise(0)
+            .alias("reject_uniform_5pct"),
+        )
+    )

@@ -2528,3 +2528,74 @@ def ts_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("xcorr"),
     )
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT d, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s,
+             SUM(CAST(cents AS HUGEINT) * cents) OVER w AS ss,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           round(cents / 100.0, 6) AS revenue,
+           round(s / 7.0 / 100.0, 6) AS mid,
+           round((s / 7.0 - 2 * sqrt(CAST(ss AS DOUBLE) / 7.0
+                                     - (s / 7.0) * (s / 7.0))) / 100.0, 6)
+             AS lower_band,
+           round((s / 7.0 + 2 * sqrt(CAST(ss AS DOUBLE) / 7.0
+                                     - (s / 7.0) * (s / 7.0))) / 100.0, 6)
+             AS upper_band
+    FROM win WHERE n = 7
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily revenue: rolling 7-day mean ± 2
+    population standard deviations — the volatility envelope behind
+    'is today's number actually unusual' (ts_percentile_bands answers
+    with empirical quantiles; this is the parametric classic,
+    ts_control_chart_xmr its per-observation SPC cousin).  The window
+    carries exact integer Σx and Σx² (cents² in HUGEINT/decimal to
+    dodge the square-sum wraparound), σ uses the population form so
+    neither engine's sample/population default is trusted, and
+    partial leading windows are dropped (n=7) not silently narrower.
+
+    Scale (100 TB): facts collapse to the |days| axis before any
+    window; the rows-frame pass is one sort of a bounded series —
+    add the partition key and the same plan runs per SKU/region."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d",
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("s"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .over(w)
+        .alias("ss"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mean = F.col("s") / F.lit(7.0)
+    sigma = F.sqrt(F.col("ss").cast("double") / F.lit(7.0) - mean * mean)
+    return win.filter(F.col("n") == 7).select(
+        "d",
+        F.round(F.col("cents") / F.lit(100.0), 6).alias("revenue"),
+        F.round(mean / F.lit(100.0), 6).alias("mid"),
+        F.round((mean - 2 * sigma) / F.lit(100.0), 6).alias("lower_band"),
+        F.round((mean + 2 * sigma) / F.lit(100.0), 6).alias("upper_band"),
+    )

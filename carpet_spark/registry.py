@@ -294,6 +294,7 @@ _R4_QUEUE = (
     "graph_reciprocity", "graph_assortativity_degree",
     "text_js_divergence_sources", "emb_isotropy_score",
     "agg_kendall_tau", "win_weighted_moving_average",
+    "ts_bollinger_bands", "agg_chi_square_gof",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
