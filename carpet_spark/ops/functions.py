@@ -1637,3 +1637,83 @@ def fn_uuid_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(hx, 21, 12),
         ).alias("entity_uuid"),
     )
+
+
+@register(
+    "fn_fiscal_calendar_445",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN EXTRACT(month FROM o_orderdate) >= 2
+                  THEN EXTRACT(year FROM o_orderdate)
+                  ELSE EXTRACT(year FROM o_orderdate) - 1 END AS fy
+             , o_orderdate
+      FROM orders
+    ),
+    wk AS (
+      SELECT o_orderkey, cents, fy,
+             LEAST(51, datediff('day',
+                   make_date(CAST(fy AS INTEGER), 2, 1), o_orderdate) // 7)
+               AS fweek
+      FROM base
+    )
+    SELECT fy AS fiscal_year,
+           fweek // 13 + 1 AS fiscal_quarter,
+           (fweek // 13) * 3
+             + CASE WHEN fweek % 13 < 4 THEN 1
+                    WHEN fweek % 13 < 8 THEN 2 ELSE 3 END AS fiscal_period,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM wk
+    GROUP BY 1, 2, 3
+    """,
+)
+def fn_fiscal_calendar_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 fiscal calendar mapping: every order date lands in a
+    fiscal year starting Feb 1, a 13-week quarter, and the 4-4-5
+    period pattern (two 4-week months then a 5-week month) retailers
+    close their books on — the calendar no date_trunc knows, derived
+    entirely from integer day arithmetic (days-since-FY-start // 7,
+    then the week's position inside its 13-week quarter; the 53rd
+    week folds into week 51's period, the standard leap-week
+    treatment).  fn_calendar_dim covers the Gregorian dimension; this
+    is the fiscal overlay, rolled up to prove every period populates.
+
+    Scale (100 TB): pure projection (codegen, no shuffle) plus a
+    |fy x 12| rollup with map-side combine."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    fy = F.when(
+        F.month("o_orderdate") >= 2, F.year("o_orderdate")
+    ).otherwise(F.year("o_orderdate") - 1)
+    base = o.select(cents.alias("cents"), fy.alias("fy"), "o_orderdate")
+    fweek = F.least(
+        F.lit(51),
+        F.floor(
+            F.datediff(
+                "o_orderdate",
+                F.make_date("fy", F.lit(2), F.lit(1)),
+            )
+            / 7
+        ),
+    )
+    wk = base.select("cents", "fy", fweek.cast("long").alias("fweek"))
+    return (
+        wk.groupBy(
+            F.col("fy").alias("fiscal_year"),
+            ((F.col("fweek") / 13).cast("long") + 1).alias("fiscal_quarter"),
+            (
+                (F.col("fweek") / 13).cast("long") * 3
+                + F.when(F.col("fweek") % 13 < 4, 1)
+                .when(F.col("fweek") % 13 < 8, 2)
+                .otherwise(3)
+            ).alias("fiscal_period"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

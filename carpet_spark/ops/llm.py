@@ -4326,3 +4326,72 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_norm_sq"
         ),
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, t.tok, COUNT(*) AS f
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+      GROUP BY doc_id, t.tok
+    ),
+    per_doc AS (
+      SELECT tf.doc_id,
+             CAST(SUM(f) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tf GROUP BY tf.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS tokens,
+           round(AVG(p.n_types * 1.0 / p.n_tokens), 6) AS avg_ttr,
+           round(AVG(p.n_hapax * 1.0 / p.n_types), 6) AS avg_hapax_ratio
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: within-document type-token ratio
+    and hapax-legomena share (tokens occurring exactly once in their
+    document), averaged over each source's docs — the
+    repetition-vs-variety fingerprint that separates template spam
+    (low TTR, no hapax) from natural prose, complementing
+    text_repetition's ngram view.  Within-DOCUMENT frequencies are
+    the right granularity: corpus-level hapax collapses to zero on
+    any corpus whose vocabulary saturates (every word eventually
+    repeats), while per-doc richness keeps discriminating.
+
+    Scale (100 TB): explode → (doc, token) count with map-side
+    combine, collapse to one row per doc, then a |sources| rollup —
+    the same two-shuffle shape text_tokenize_wordcount uses; nothing
+    global, no sort."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.round(
+                F.avg(F.col("n_types") * F.lit(1.0) / F.col("n_tokens")), 6
+            ).alias("avg_ttr"),
+            F.round(
+                F.avg(F.col("n_hapax") * F.lit(1.0) / F.col("n_types")), 6
+            ).alias("avg_hapax_ratio"),
+        )
+    )

@@ -295,6 +295,7 @@ _R4_QUEUE = (
     "text_js_divergence_sources", "emb_isotropy_score",
     "agg_kendall_tau", "win_weighted_moving_average",
     "ts_bollinger_bands", "agg_chi_square_gof",
+    "text_hapax_ratio", "fn_fiscal_calendar_445",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
