@@ -3637,3 +3637,87 @@ def agg_chi_square_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reject_uniform_5pct"),
         )
     )
+
+
+@register(
+    "dq_table_fingerprint",
+    oracle="""
+    WITH canon AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS c_orderkey,
+             o_orderstatus AS c_status,
+             o_orderpriority AS c_priority,
+             strftime(o_orderdate, '%Y-%m-%d') AS c_date,
+             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               AS c_cents
+      FROM orders
+    ),
+    u AS (
+      SELECT 'o_orderkey' AS col_name, c_orderkey AS v FROM canon
+      UNION ALL SELECT 'o_orderstatus', c_status FROM canon
+      UNION ALL SELECT 'o_orderpriority', c_priority FROM canon
+      UNION ALL SELECT 'o_orderdate', c_date FROM canon
+      UNION ALL SELECT 'o_totalprice_cents', c_cents FROM canon
+    )
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(('0x' || substr(md5(COALESCE(v, chr(1))), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS checksum64
+    FROM u GROUP BY col_name
+    """,
+)
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise table fingerprint: one row per audited column with
+    row/null/distinct counts and an ORDER-INSENSITIVE content
+    checksum (sum of the first 8 md5 hex digits per canonicalized
+    value) — the cheap signature two sides of a migration exchange to
+    prove 'same data' without moving it (reconcile_table_diff finds
+    WHICH rows differ; this is the O(columns)-sized handshake that
+    decides whether to bother).  Values canonicalize per type before
+    hashing — money through the cents fixed-point, dates to ISO
+    strings — because raw float/date formatting is exactly where two
+    engines' to-string rules diverge.
+
+    Scale (100 TB): one scan fans out to |audited columns| unioned
+    aggregates, each a map-side-combined sum+distinct; the additive
+    checksum is mergeable across partitions by construction (a
+    commutative sum), which is what makes it a fingerprint you can
+    compute incrementally per partition and roll up."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    canon = o.select(
+        F.col("o_orderkey").cast("string").alias("c_orderkey"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.col("o_orderpriority").alias("c_priority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("c_date"),
+        cents.cast("string").alias("c_cents"),
+    )
+    cols = [
+        ("o_orderkey", "c_orderkey"),
+        ("o_orderstatus", "c_status"),
+        ("o_orderpriority", "c_priority"),
+        ("o_orderdate", "c_date"),
+        ("o_totalprice_cents", "c_cents"),
+    ]
+    parts = None
+    for name, c in cols:
+        sl = canon.select(F.lit(name).alias("col_name"), F.col(c).alias("v"))
+        parts = sl if parts is None else parts.unionAll(sl)
+    return parts.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.sum(
+            F.conv(
+                F.substring(F.md5(F.coalesce(F.col("v"), F.lit("\x01"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("checksum64"),
+    )

@@ -1717,3 +1717,42 @@ def fn_fiscal_calendar_445(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@register(
+    "fn_slugify",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(
+             regexp_replace(lower(p_name || ' ' || p_type),
+                            '[^a-z0-9]+', '-', 'g'),
+             '(^-)|(-$)', '', 'g') AS slug,
+           length(regexp_replace(
+             regexp_replace(lower(p_name || ' ' || p_type),
+                            '[^a-z0-9]+', '-', 'g'),
+             '(^-)|(-$)', '', 'g')) AS slug_len
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+def fn_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL slug mint: product name+type lowercased, every non-
+    alphanumeric RUN collapsed to one hyphen, edge hyphens trimmed —
+    the id every catalog/CMS pipeline derives for URLs and S3 prefixes
+    (fn_url parses URLs; this manufactures the path segment).  Run-
+    collapsing ('+' on the class, not per-char replace) is what keeps
+    'a , b' from becoming 'a---b'; DuckDB needs the explicit 'g' flag
+    where Spark replaces globally by default — the regex-dialect trap
+    this repo's oracle checklist calls out.
+
+    Scale (100 TB): pure projection, whole-stage codegen, no
+    shuffle."""
+    p = load(spark, sf_dir, "part")
+    raw = F.lower(F.concat(F.col("p_name"), F.lit(" "), F.col("p_type")))
+    slug = F.regexp_replace(
+        F.regexp_replace(raw, "[^a-z0-9]+", "-"), "(^-)|(-$)", ""
+    )
+    return p.filter(F.col("p_partkey") % 7 == 0).select(
+        "p_partkey",
+        slug.alias("slug"),
+        F.length(slug).cast("long").alias("slug_len"),
+    )

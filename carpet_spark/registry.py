@@ -296,6 +296,7 @@ _R4_QUEUE = (
     "agg_kendall_tau", "win_weighted_moving_average",
     "ts_bollinger_bands", "agg_chi_square_gof",
     "text_hapax_ratio", "fn_fiscal_calendar_445",
+    "fn_slugify", "dq_table_fingerprint",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
