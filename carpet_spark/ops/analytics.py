@@ -4359,3 +4359,73 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+@register(
+    "agg_runlength_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM seq
+    ),
+    rl AS (
+      SELECT user_id, run_id, event_type, COUNT(*) AS run_len
+      FROM runs GROUP BY user_id, run_id, event_type
+    )
+    SELECT event_type, run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM rl GROUP BY event_type, run_len
+    """,
+)
+def agg_runlength_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length distribution of user event streams: how often does a
+    user fire the SAME event k times in a row (rage-clicks, error
+    loops, retry storms) — the gaps-and-islands classic
+    (boundary-flag → running-sum run ids) rolled up to a
+    |event_types| × |run lengths| histogram, the compact signal
+    agg_sequence_detect's specific-pattern matcher doesn't give.
+    Ordering is (ts, event_id) so equal timestamps break
+    deterministically on both engines; IS DISTINCT FROM makes the
+    first-row boundary null-safe.
+
+    Scale (100 TB): one hashpartitioning(user_id) exchange feeds both
+    window passes (same key, same order — Catalyst reuses the sort),
+    then two map-side-combined rollups on collapsing axes."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = seq.select(
+        "user_id",
+        "event_type",
+        F.sum("boundary").over(wrun).alias("run_id"),
+    )
+    rl = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return rl.groupBy("event_type", "run_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs")
+    )

@@ -2599,3 +2599,66 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean - 2 * sigma) / F.lit(100.0), 6).alias("lower_band"),
         F.round((mean + 2 * sigma) / F.lit(100.0), 6).alias("upper_band"),
     )
+
+
+@register(
+    "ts_velocity_acceleration",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT d, cents,
+             LAG(cents, 1) OVER (ORDER BY d) AS c1,
+             LAG(cents, 2) OVER (ORDER BY d) AS c2
+      FROM daily
+    )
+    SELECT d, cents,
+           cents - c1 AS velocity_cents,
+           cents - 2 * c1 + c2 AS accel_cents,
+           CASE WHEN cents - 2 * c1 + c2 > 0 THEN 'speeding_up'
+                WHEN cents - 2 * c1 + c2 < 0 THEN 'slowing_down'
+                ELSE 'steady' END AS regime
+    FROM lagged WHERE c2 IS NOT NULL
+    """,
+)
+def ts_velocity_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and second discrete derivatives of daily revenue —
+    velocity (day-over-day change) and acceleration (change OF the
+    change, x_t − 2x_{t−1} + x_{t−2}) with a regime label — the
+    growth-review framing ('revenue is up but DEcelerating') that a
+    plain trend line (ts_trend_ols) hides.  Pure integer cent
+    arithmetic on literal-offset lags; the two leading partial rows
+    drop rather than emitting NULL-poisoned derivatives.
+
+    Scale (100 TB): facts collapse to the |days| axis first; one
+    window pass over the bounded series (partition key added →
+    per-entity derivatives at any cardinality)."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "cents",
+        F.lag("cents", 1).over(w).alias("c1"),
+        F.lag("cents", 2).over(w).alias("c2"),
+    )
+    accel = F.col("cents") - 2 * F.col("c1") + F.col("c2")
+    return lagged.filter(F.col("c2").isNotNull()).select(
+        "d",
+        "cents",
+        (F.col("cents") - F.col("c1")).alias("velocity_cents"),
+        accel.alias("accel_cents"),
+        F.when(accel > 0, F.lit("speeding_up"))
+        .when(accel < 0, F.lit("slowing_down"))
+        .otherwise(F.lit("steady"))
+        .alias("regime"),
+    )

@@ -297,6 +297,7 @@ _R4_QUEUE = (
     "ts_bollinger_bands", "agg_chi_square_gof",
     "text_hapax_ratio", "fn_fiscal_calendar_445",
     "fn_slugify", "dq_table_fingerprint",
+    "ts_velocity_acceleration", "agg_runlength_events",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
