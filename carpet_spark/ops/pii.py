@@ -763,3 +763,102 @@ def pii_hash_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("integrity_ok"),
     )
+
+
+@register(
+    "pii_subject_access_export",
+    oracle="""
+    WITH subjects AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 500 = 0
+    ),
+    ord AS (
+      SELECT o.o_custkey AS c_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_records,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             strftime(MIN(o.o_orderdate), '%Y-%m-%d') AS first_seen,
+             strftime(MAX(o.o_orderdate), '%Y-%m-%d') AS last_seen
+      FROM orders o JOIN subjects s ON s.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    li AS (
+      SELECT o.o_custkey AS c_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_records,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             strftime(MIN(l.l_shipdate), '%Y-%m-%d') AS first_seen,
+             strftime(MAX(l.l_shipdate), '%Y-%m-%d') AS last_seen
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN subjects s ON s.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT c_custkey, 'orders' AS source_table, n_records, cents,
+           first_seen, last_seen
+    FROM ord
+    UNION ALL
+    SELECT c_custkey, 'lineitem', n_records, cents, first_seen, last_seen
+    FROM li
+    """,
+)
+def pii_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR/CCPA subject-access export manifest: for each data subject
+    in scope, one row per table holding their data with record count,
+    money total, and first/last activity dates — the inventory a DSAR
+    response starts from and the complement of pii_retention_sweep
+    (which deletes) and pii_consent_filter (which gates).  Every
+    per-table extract hangs off the SAME broadcast subject list, so
+    adding a table is adding one branch, and dates export as ISO
+    strings (the engines' native date-to-string defaults differ).
+
+    Scale (100 TB): the subject list broadcasts to every fact scan
+    (semi-join pushdown — facts never shuffle on the full key space,
+    only matching rows aggregate), and each branch map-side combines
+    to |subjects| rows."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    subjects = c.filter(F.col("c_custkey") % 500 == 0).select("c_custkey")
+    ocents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    lcents = (
+        F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    ord_x = (
+        o.join(F.broadcast(subjects), o.o_custkey == subjects.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(ocents).cast("long").alias("cents"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_seen"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_seen"),
+        )
+        .select(
+            "c_custkey",
+            F.lit("orders").alias("source_table"),
+            "n_records",
+            "cents",
+            "first_seen",
+            "last_seen",
+        )
+    )
+    li_x = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(subjects), F.col("o_custkey") == subjects.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(lcents).cast("long").alias("cents"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_seen"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_seen"),
+        )
+        .select(
+            "c_custkey",
+            F.lit("lineitem").alias("source_table"),
+            "n_records",
+            "cents",
+            "first_seen",
+            "last_seen",
+        )
+    )
+    return ord_x.unionAll(li_x)

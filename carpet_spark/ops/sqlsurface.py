@@ -287,3 +287,42 @@ def sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+@register(
+    "sql_order_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL — the companion dialect feature to GROUP BY ALL
+    (sql_group_by_all): sort by every select item left-to-right
+    without restating the list, the ergonomic default for report
+    queries whose full output IS the sort key.  Runs natively on both
+    engines (Spark 4 and DuckDB agree on the left-to-right ALL
+    expansion), and because the op's result is totally ordered by all
+    columns it is also hash-stable by construction — no tie-break
+    column needed.
+
+    Scale (100 TB): ALL resolves at analysis time; the physical plan
+    is the standard partial-agg → shuffle → final-agg → rangepartition
+    sort, identical to writing the columns out."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sql_oba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM sql_oba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

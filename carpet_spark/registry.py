@@ -298,6 +298,7 @@ _R4_QUEUE = (
     "text_hapax_ratio", "fn_fiscal_calendar_445",
     "fn_slugify", "dq_table_fingerprint",
     "ts_velocity_acceleration", "agg_runlength_events",
+    "sql_order_by_all", "pii_subject_access_export",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
