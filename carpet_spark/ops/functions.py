@@ -1756,3 +1756,122 @@ def fn_slugify(spark: SparkSession, sf_dir: str) -> DataFrame:
         slug.alias("slug"),
         F.length(slug).cast("long").alias("slug_len"),
     )
+
+
+@register(
+    "fn_label_encode",
+    oracle="""
+    WITH pd AS (
+      SELECT o_orderpriority AS cat,
+             DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS code
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    ),
+    sd AS (
+      SELECT o_orderstatus AS cat,
+             DENSE_RANK() OVER (ORDER BY o_orderstatus) - 1 AS code
+      FROM (SELECT DISTINCT o_orderstatus FROM orders)
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, CAST(p.code AS BIGINT)
+             AS priority_code,
+           o.o_orderstatus, CAST(s.code AS BIGINT) AS status_code
+    FROM orders o
+    JOIN pd p ON p.cat = o.o_orderpriority
+    JOIN sd s ON s.cat = o.o_orderstatus
+    WHERE o.o_orderkey % 16 = 0
+    """,
+)
+def fn_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal label encoding: each categorical column gets a dense
+    0-based integer code assigned by LEXICOGRAPHIC category order —
+    the deterministic convention that survives reruns and engines
+    (fit-order or hash-order codes silently reshuffle between runs,
+    poisoning any model trained on yesterday's encoding;
+    fn_feature_hashing is the fixed-width alternative when the
+    vocabulary is unbounded).  The code table is built once from the
+    distinct set and joined back, never computed per row.
+
+    Scale (100 TB): distinct collapses to the tiny category axis, the
+    code assignment windows over that axis only, and the mapping
+    broadcasts back over the fact scan — no fact-sized shuffle."""
+    o = load(spark, sf_dir, "orders")
+
+    def codes(col: str):
+        return (
+            o.select(F.col(col).alias("cat"))
+            .distinct()
+            .select(
+                "cat",
+                (F.dense_rank().over(Window.orderBy("cat")) - 1)
+                .cast("long")
+                .alias("code"),
+            )
+        )
+    pd_ = codes("o_orderpriority")
+    sd = codes("o_orderstatus")
+    return (
+        o.filter(F.col("o_orderkey") % 16 == 0)
+        .join(
+            F.broadcast(pd_.withColumnRenamed("code", "priority_code")),
+            F.col("o_orderpriority") == pd_["cat"],
+        )
+        .drop("cat")
+        .join(
+            F.broadcast(sd.withColumnRenamed("code", "status_code")),
+            F.col("o_orderstatus") == sd["cat"],
+        )
+        .drop("cat")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "priority_code",
+            "o_orderstatus",
+            "status_code",
+        )
+    )
+
+
+@register(
+    "fn_one_hot_encode",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+             AS seg_automobile,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+             AS seg_building,
+           CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END
+             AS seg_furniture,
+           CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END
+             AS seg_household,
+           CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END
+             AS seg_machinery,
+           CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING',
+                'FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END
+             AS seg_other
+    FROM customer WHERE c_custkey % 20 = 0
+    """,
+)
+def fn_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding against a FROZEN category vocabulary (the five
+    known market segments plus an explicit catch-all) — the schema-
+    stable form: a pivot-derived one-hot grows columns whenever a new
+    category appears upstream, breaking every downstream consumer,
+    while a frozen vocabulary routes novelty into seg_other and keeps
+    the contract fixed (fn_label_encode is the ordinal sibling;
+    agg_pivot owns the dynamic-pivot use case).
+
+    Scale (100 TB): pure projection — one CASE per vocabulary entry,
+    whole-stage codegen, no shuffle, no distinct pass."""
+    c = load(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cols = [
+        F.when(F.col("c_mktsegment") == s, 1)
+        .otherwise(0)
+        .alias(f"seg_{s.lower()}")
+        for s in segs
+    ]
+    other = (
+        F.when(~F.col("c_mktsegment").isin(*segs), 1).otherwise(0).alias("seg_other")
+    )
+    return c.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey", *cols, other
+    )

@@ -299,6 +299,7 @@ _R4_QUEUE = (
     "fn_slugify", "dq_table_fingerprint",
     "ts_velocity_acceleration", "agg_runlength_events",
     "sql_order_by_all", "pii_subject_access_export",
+    "fn_label_encode", "fn_one_hot_encode",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
