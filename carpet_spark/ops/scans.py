@@ -1186,3 +1186,85 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         F.sum("bal_cents").cast("long").alias("bal_cents"),
     )
+
+
+@register(
+    "sink_csv_gzip_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+           l_returnflag
+    FROM lineitem WHERE l_quantity >= 48
+    """,
+)
+def sink_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink with gzip codec, read back through an explicit schema —
+    the compressed-flat-file interchange path (partner feeds, legacy
+    loaders) that sink_csv_roundtrip leaves uncompressed.  Money
+    crosses the text boundary as integer cents, never as a float
+    string (engine float-formatting is exactly where text roundtrips
+    rot), and the read supplies the schema instead of inferring it so
+    types are a contract, not a guess.
+
+    Scale (100 TB): gzip is NOT splittable — each .csv.gz file is one
+    read task, so write parallelism (file count) fixes read
+    parallelism; the op keeps Spark's default many-files layout for
+    that reason.  For splittable compressed text choose bzip2; for
+    real scale use parquet+zstd (next op)."""
+    cents = (
+        F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select(
+            "l_orderkey", "l_linenumber", cents.alias("cents"), "l_returnflag"
+        )
+    )
+    out = _sink_path(spark, "sink_csv_gzip")
+    df.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(out)
+    return spark.read.schema(
+        "l_orderkey long, l_linenumber long, cents long, l_returnflag string"
+    ).option("header", True).csv(out)
+
+
+@register(
+    "sink_parquet_zstd_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sink_parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink with zstd compression, read back and aggregated —
+    the codec the 100 TB tier actually stores on (zstd ~ snappy's
+    speed at gzip-class ratios; snappy is only the legacy default),
+    proving the zstd-jni native path works end-to-end in this build.
+    The oracle aggregates the SOURCE slice, so any corruption across
+    encode→decode fails the hash.
+
+    Scale (100 TB): parquet+zstd stays SPLITTABLE (row-group
+    boundaries, unlike the gzip text sink above) — read parallelism
+    is row-group-, not file-, bound; columnar pushdown and pruning
+    are unaffected by the codec choice."""
+    cents = (
+        F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        .select("l_returnflag", cents.alias("cents"))
+    )
+    out = _sink_path(spark, "sink_parquet_zstd")
+    df.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

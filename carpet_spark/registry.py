@@ -300,6 +300,7 @@ _R4_QUEUE = (
     "ts_velocity_acceleration", "agg_runlength_events",
     "sql_order_by_all", "pii_subject_access_export",
     "fn_label_encode", "fn_one_hot_encode",
+    "sink_csv_gzip_roundtrip", "sink_parquet_zstd_roundtrip",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
