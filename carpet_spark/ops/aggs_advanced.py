@@ -3721,3 +3721,68 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("checksum64"),
     )
+
+
+@register(
+    "agg_atkinson_index",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+      FROM per WHERE cents > 0
+    )
+    SELECT t.n,
+           round(1.0 - power(AVG(sqrt(p.cents * 1.0 / t.s * t.n)), 2), 6)
+             AS atkinson_050,
+           round(1.0 - exp(AVG(ln(p.cents * 1.0 / t.s))) * t.n, 6)
+             AS atkinson_100
+    FROM per p CROSS JOIN tot t
+    WHERE p.cents > 0
+    GROUP BY t.n
+    """,
+)
+def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality at ε=0.5 and ε=1 over customer revenue —
+    the welfare-theoretic member of the inequality family
+    (agg_gini_coefficient, agg_theil_index): A(ε) reads directly as
+    'the fraction of total revenue you could discard and be equally
+    well off were it distributed evenly', with ε the inequality
+    aversion.  Both indices are scale-invariant, so they compute on
+    exact revenue SHARES (x/μ = share·n): every sqrt/ln term is O(1)
+    and the 6-dp round dominates summation order on both engines —
+    the same float discipline agg_theil_index establishes.
+
+    Scale (100 TB): per-customer rollup map-side combines; one 1-row
+    broadcast total; one reduction."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        .filter(F.col("cents") > 0)
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    share = F.col("cents") * F.lit(1.0) / F.col("s")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(
+                F.lit(1.0) - F.pow(F.avg(F.sqrt(share * F.col("n"))), 2), 6
+            ).alias("atkinson_050"),
+            F.round(
+                F.lit(1.0) - F.exp(F.avg(F.log(share))) * F.col("n"), 6
+            ).alias("atkinson_100"),
+        )
+        .select("n", "atkinson_050", "atkinson_100")
+    )

@@ -2662,3 +2662,81 @@ def ts_velocity_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("steady"))
         .alias("regime"),
     )
+
+
+@register(
+    "ts_var_cvar",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT d, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, d) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    kth AS (SELECT n, (n * 5 + 99) // 100 AS k FROM ranked LIMIT 1)
+    SELECT k.n AS n_days, k.k,
+           round(MAX(CASE WHEN r.rk = k.k THEN r.cents END) / 100.0, 6)
+             AS var95,
+           round(SUM(CASE WHEN r.rk <= k.k THEN r.cents ELSE 0 END)
+                 / (k.k * 100.0), 6) AS cvar95,
+           MIN(CASE WHEN r.rk = 1 THEN r.d END) AS worst_day
+    FROM ranked r CROSS JOIN kth k
+    GROUP BY k.n, k.k
+    """,
+)
+def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) of daily
+    revenue at 95%: VaR is the k-th worst day (k = ceil(0.05·n),
+    exact order statistic with (cents, date) tie-break), CVaR the
+    mean of the k worst — the tail-risk pair finance reports demand
+    because percentile bands (ts_percentile_bands) say where the
+    tail STARTS but not how bad it IS inside.  Selection and the
+    tail sum are pure integer arithmetic; division happens twice at
+    the end.
+
+    Scale (100 TB): facts collapse to the |days| axis, so the global
+    order statistic runs on a bounded series; at per-entity grain
+    the same plan partitions by entity and the rank is per-group."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.orderBy("cents", "d")
+    ranked = daily.select(
+        "d",
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    kth = ranked.select(
+        "n", ((F.col("n") * 5 + 99) / 100).cast("long").alias("k")
+    ).limit(1)
+    return (
+        ranked.crossJoin(F.broadcast(kth.select(F.col("n").alias("nk"), "k")))
+        .groupBy(F.col("nk").alias("n_days"), "k")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rk") == F.col("k"), F.col("cents")))
+                / F.lit(100.0),
+                6,
+            ).alias("var95"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rk") <= F.col("k"), F.col("cents")).otherwise(0)
+                )
+                / (F.col("k") * F.lit(100.0)),
+                6,
+            ).alias("cvar95"),
+            F.min(F.when(F.col("rk") == 1, F.col("d"))).alias("worst_day"),
+        )
+        .select("n_days", "k", "var95", "cvar95", "worst_day")
+    )

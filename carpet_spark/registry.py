@@ -301,6 +301,7 @@ _R4_QUEUE = (
     "sql_order_by_all", "pii_subject_access_export",
     "fn_label_encode", "fn_one_hot_encode",
     "sink_csv_gzip_roundtrip", "sink_parquet_zstd_roundtrip",
+    "agg_atkinson_index", "ts_var_cvar",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
