@@ -3786,3 +3786,68 @@ def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n", "atkinson_050", "atkinson_100")
     )
+
+
+@register(
+    "agg_kmv_cardinality",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(('0x' || substr(
+               md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_exact
+      FROM h
+    )
+    SELECT n_exact, 64 AS k,
+           round((64 - 1)
+                 / (MAX(CASE WHEN rk = 64 THEN hv END)
+                    / 1152921504606846976.0), 6) AS kmv_estimate,
+           round(abs((64 - 1)
+                 / (MAX(CASE WHEN rk = 64 THEN hv END)
+                    / 1152921504606846976.0) - n_exact) * 1.0 / n_exact, 6)
+             AS rel_err
+    FROM ranked GROUP BY n_exact
+    """,
+)
+def agg_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, audited against
+    the exact count: hash every key to a uniform 60-bit value, keep
+    the k=64 smallest, estimate |D| ≈ (k−1)/h_(k) where h_(k) is the
+    k-th minimum normalized to [0,1) — the OTHER mergeable
+    cardinality sketch besides HLL (agg_approx_distinct /
+    agg_hll_merge), and unlike HLL its state supports set
+    INTERSECTION estimates.  The hash is md5-derived (engine-
+    identical), so estimate, exact count, and relative error all
+    hash-verify — the sketch itself is under test, the same contract
+    as dedup_minhash_estimate.
+
+    Scale (100 TB): per-partition keep-64-smallest merges
+    associatively (a bounded top-k combine, never a global distinct);
+    the exact count here is the audit baseline, not the product
+    path."""
+    ev = load(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = ev.select(hv.alias("hv")).distinct()
+    wr = Window.orderBy("hv")
+    ranked = h.select(
+        "hv",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_exact"),
+    )
+    hk = F.max(F.when(F.col("rk") == 64, F.col("hv")))
+    est = F.lit(63) / (hk / F.lit(1152921504606846976.0))
+    return (
+        ranked.groupBy("n_exact")
+        .agg(
+            F.round(est, 6).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) * F.lit(1.0) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+        .select("n_exact", F.lit(64).alias("k"), "kmv_estimate", "rel_err")
+    )

@@ -710,3 +710,133 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("qid", "rnk", "neg_vec_id", "cos6", "qlabel", "neg_label")
     )
+
+
+@register(
+    "emb_kmeans_pp_init",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, r.i AS i,
+             CAST(ROUND(CAST(embedding[CAST(r.i AS BIGINT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS iv
+      FROM embeddings CROSS JOIN range(64) r(i)
+    ),
+    s1 AS (SELECT MIN(vec_id) AS vid FROM e),
+    d1 AS (
+      SELECT a.vec_id,
+             CAST(SUM((a.iv - b.iv) * (a.iv - b.iv)) AS BIGINT) AS mind
+      FROM e a JOIN e b ON b.i = a.i AND b.vec_id = (SELECT vid FROM s1)
+      GROUP BY a.vec_id
+    ),
+    s2 AS (
+      SELECT vec_id AS vid, mind FROM d1
+      WHERE vec_id <> (SELECT vid FROM s1)
+      ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    d2 AS (
+      SELECT a.vec_id,
+             LEAST(d1.mind,
+                   CAST(SUM((a.iv - b.iv) * (a.iv - b.iv)) AS BIGINT))
+               AS mind
+      FROM e a
+      JOIN e b ON b.i = a.i AND b.vec_id = (SELECT vid FROM s2)
+      JOIN d1 ON d1.vec_id = a.vec_id
+      GROUP BY a.vec_id, d1.mind
+    ),
+    s3 AS (
+      SELECT vec_id AS vid, mind FROM d2
+      WHERE vec_id NOT IN ((SELECT vid FROM s1), (SELECT vid FROM s2))
+      ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    d3 AS (
+      SELECT a.vec_id,
+             LEAST(d2.mind,
+                   CAST(SUM((a.iv - b.iv) * (a.iv - b.iv)) AS BIGINT))
+               AS mind
+      FROM e a
+      JOIN e b ON b.i = a.i AND b.vec_id = (SELECT vid FROM s3)
+      JOIN d2 ON d2.vec_id = a.vec_id
+      GROUP BY a.vec_id, d2.mind
+    ),
+    s4 AS (
+      SELECT vec_id AS vid, mind FROM d3
+      WHERE vec_id NOT IN ((SELECT vid FROM s1), (SELECT vid FROM s2),
+                           (SELECT vid FROM s3))
+      ORDER BY mind DESC, vec_id LIMIT 1
+    )
+    SELECT 1 AS sel_order, (SELECT vid FROM s1) AS vec_id,
+           CAST(0 AS BIGINT) AS dist_to_prior
+    UNION ALL SELECT 2, vid, mind FROM s2
+    UNION ALL SELECT 3, vid, mind FROM s3
+    UNION ALL SELECT 4, vid, mind FROM s4
+    """,
+)
+def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means++-style seeding (farthest-first traversal,
+    k=4): start from the lowest vec_id, then repeatedly pick the point
+    with the LARGEST min-distance to the chosen set — the
+    initialization that makes sim_ann_ivf's Lloyd iterations converge
+    in a couple of rounds instead of tens (bad seeds are the dominant
+    k-means failure mode).  Coordinates quantize to a 1e-6 integer
+    grid first, so every distance is an exact BIGINT and the argmax
+    (dist DESC, vec_id tie-break) is engine-stable — float distances
+    would make near-ties an engine coin-flip.  Each round only
+    computes distances to the NEWEST centroid and folds them in with
+    LEAST, the standard incremental form.
+
+    Scale (100 TB): k bounded rounds, each one equi-join on the dim
+    axis + a |vectors| combine; nothing collects (the argmax is a
+    plan-side limit 1).  At billions of vectors you run this on a
+    uniform sample — farthest-first on a 1% sample is the textbook
+    scalable k-means++ (k-means|| oversampling is the same idea)."""
+    emb = load(spark, sf_dir, "embeddings")
+    iv = (
+        F.signum("valf") * ((F.abs(F.col("valf")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "valf")
+    ).select("vec_id", "i", iv.alias("iv"))
+    e = e.localCheckpoint()
+
+    first = e.groupBy().agg(F.min("vec_id").alias("vid")).select("vid")
+    chosen = first.select(
+        F.lit(1).alias("sel_order"),
+        F.col("vid").alias("vec_id"),
+        F.lit(0).cast("long").alias("dist_to_prior"),
+    )
+    mind = None
+    newest = first
+    for r in range(2, 5):
+        cent = e.join(
+            F.broadcast(newest), e.vec_id == F.col("vid")
+        ).select(F.col("i").alias("ci"), F.col("iv").alias("civ"))
+        d_new = (
+            e.join(F.broadcast(cent), F.col("i") == F.col("ci"))
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("iv") - F.col("civ")) * (F.col("iv") - F.col("civ")))
+                .cast("long")
+                .alias("dnew")
+            )
+        )
+        mind = (
+            d_new
+            if mind is None
+            else d_new.join(mind, "vec_id").select(
+                "vec_id", F.least("dnew", "mind").alias("dnew")
+            )
+        ).withColumnRenamed("dnew", "mind")
+        nxt = (
+            mind.join(chosen.select("vec_id"), "vec_id", "left_anti")
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+        )
+        chosen = chosen.unionAll(
+            nxt.select(
+                F.lit(r).alias("sel_order"),
+                "vec_id",
+                F.col("mind").alias("dist_to_prior"),
+            )
+        )
+        newest = nxt.select(F.col("vec_id").alias("vid"))
+    return chosen

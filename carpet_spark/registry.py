@@ -302,6 +302,7 @@ _R4_QUEUE = (
     "fn_label_encode", "fn_one_hot_encode",
     "sink_csv_gzip_roundtrip", "sink_parquet_zstd_roundtrip",
     "agg_atkinson_index", "ts_var_cvar",
+    "emb_kmeans_pp_init", "agg_kmv_cardinality",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
