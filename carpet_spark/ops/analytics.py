@@ -4429,3 +4429,52 @@ def agg_runlength_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rl.groupBy("event_type", "run_len").agg(
         F.count(F.lit(1)).cast("long").alias("n_runs")
     )
+
+
+@register(
+    "agg_entropy_daily",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT d, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY d)
+    SELECT t.d, t.n AS n_events,
+           round(-SUM((c.cnt * 1.0 / t.n) * ln(c.cnt * 1.0 / t.n)), 6)
+             AS entropy_nats,
+           round(-SUM((c.cnt * 1.0 / t.n) * ln(c.cnt * 1.0 / t.n))
+                 / ln(5.0), 6) AS entropy_norm
+    FROM c JOIN tot t ON t.d = c.d
+    GROUP BY t.d, t.n
+    """,
+)
+def agg_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-mix entropy: Shannon entropy of the event-type
+    distribution per day, normalized by ln(5) to [0,1] — the
+    'behavioral diversity' trendline ops teams watch because incident
+    days collapse the mix toward one event type (error storms drive
+    entropy DOWN long before volume alarms fire);
+    agg_behavior_entropy is the per-user cut, this is the per-day
+    monitor.  Probabilities are exact count ratios; each ln term is
+    O(p), so 6-dp rounding dominates engine float-sum order.
+
+    Scale (100 TB): a |days|×|types| map-side-combined count joined
+    to its |days| margin — bounded state, one scan."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = c.groupBy("d").agg(F.sum("cnt").cast("long").alias("n"))
+    p = F.col("cnt") * F.lit(1.0) / F.col("n")
+    return (
+        c.join(F.broadcast(tot), "d")
+        .groupBy("d", "n")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.round(-F.sum(p * F.log(p)) / F.log(F.lit(5.0)), 6).alias(
+                "entropy_norm"
+            ),
+        )
+        .select("d", F.col("n").alias("n_events"), "entropy_nats", "entropy_norm")
+    )

@@ -808,3 +808,73 @@ def win_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.round(num / F.lit(15.0) / F.lit(100.0), 6).alias("wma5"),
     )
+
+
+@register(
+    "win_rolling_skewness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(ROUND(SUM(CAST(ROUND("value" * 100) AS BIGINT)) / 100.0)
+                  AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT d, v,
+             CAST(SUM(v) OVER w AS BIGINT) AS s1,
+             CAST(SUM(v * v) OVER w AS BIGINT) AS s2,
+             CAST(SUM(v * v * v) OVER w AS BIGINT) AS s3,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           round((CAST(s3 AS DOUBLE) / 7
+                  - 3 * (s1 / 7.0) * (CAST(s2 AS DOUBLE) / 7)
+                  + 2 * (s1 / 7.0) * (s1 / 7.0) * (s1 / 7.0))
+                 / power(CAST(s2 AS DOUBLE) / 7 - (s1 / 7.0) * (s1 / 7.0),
+                         1.5), 6) AS skew7
+    FROM win WHERE n = 7
+    """,
+)
+def win_rolling_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day population skewness of daily revenue — the tail-
+    asymmetry gauge that says whether recent days lean on a few
+    blowouts (positive) or a few craters (negative), the third-moment
+    companion to ts_bollinger_bands' second-moment envelope.  The
+    window carries exact integer Σx, Σx², Σx³ — revenue is
+    re-quantized to WHOLE DOLLARS first because a cents CUBE times a
+    window of rows overflows 64 bits (the same wraparound family
+    agg_anova_oneway documents one power lower) — and the moment
+    formula m₃/σ³ runs in doubles only at the end.
+
+    Scale (100 TB): daily collapse then one rows-frame pass over the
+    bounded series; the three power sums are one shared window."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        ((F.sum(cents).cast("double") / 100.0 + 0.5).cast("long")).alias("v")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d",
+        F.sum("v").over(w).cast("long").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).over(w).cast("long").alias("s3"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    m1 = F.col("s1") / F.lit(7.0)
+    m2 = F.col("s2").cast("double") / 7
+    m3 = F.col("s3").cast("double") / 7
+    return win.filter(F.col("n") == 7).select(
+        "d",
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+            / F.pow(m2 - m1 * m1, 1.5),
+            6,
+        ).alias("skew7"),
+    )

@@ -303,6 +303,7 @@ _R4_QUEUE = (
     "sink_csv_gzip_roundtrip", "sink_parquet_zstd_roundtrip",
     "agg_atkinson_index", "ts_var_cvar",
     "emb_kmeans_pp_init", "agg_kmv_cardinality",
+    "agg_entropy_daily", "win_rolling_skewness",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
