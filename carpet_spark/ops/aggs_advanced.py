@@ -3851,3 +3851,82 @@ def agg_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_exact", F.lit(64).alias("k"), "kmv_estimate", "rel_err")
     )
+
+
+@register(
+    "agg_quantile_normalize",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(ROUND("value" * 100) AS BIGINT) AS cents, event_id,
+             ROW_NUMBER() OVER (ORDER BY "value", event_id) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS na
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT event_id, CAST(ROUND("value" * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY "value", event_id) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nb
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT b.event_id, b.cents AS click_cents,
+           a.cents AS normalized_cents,
+           b.rk AS b_rank, a.rk AS a_rank
+    FROM b JOIN a ON a.rk = (b.rk * a.na + b.nb - 1) // b.nb
+    WHERE b.event_id % 5 = 0
+    """,
+)
+def agg_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: map every click-event value onto the
+    purchase-value distribution by matching empirical ranks (value at
+    the same quantile), the nearest-rank exact form — the
+    distribution-transfer tool (microarray normalization, score
+    calibration across channels) that feature_quantile_bucketize's
+    coarse bins can't do: after mapping, B's distribution IS A's.
+    Target rank is pure integer math, ceil(rB·nA/nB) as
+    (rB·nA + nB − 1) // nB, and ranks tie-break on event_id so both
+    engines pick identical row orderings.
+
+    Scale (100 TB): two global sorts (range-partitioned at scale) and
+    one equi-join on rank — at extreme n, swap exact ranks for
+    percentile-sketch lookups (agg_approx_percentile's shape) with
+    bounded error."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        cents.alias("a_cents"),
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .alias("a_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("na"),
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        cents.alias("click_cents"),
+        F.row_number()
+        .over(Window.orderBy("value", "event_id"))
+        .alias("b_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("nb"),
+    )
+    target = (F.col("b_rank") * F.col("na") + F.col("nb") - 1) / F.col("nb")
+    return (
+        b.join(
+            a,
+            F.col("a_rank") == target.cast("long"),
+        )
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            "click_cents",
+            F.col("a_cents").alias("normalized_cents"),
+            "b_rank",
+            "a_rank",
+        )
+    )

@@ -1875,3 +1875,44 @@ def fn_one_hot_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(F.col("c_custkey") % 20 == 0).select(
         "c_custkey", *cols, other
     )
+
+
+@register(
+    "fn_excel_serial_date",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate,
+           CAST(datediff('day', DATE '1899-12-30', o_orderdate) AS BIGINT)
+             AS excel_serial,
+           DATE '1899-12-30'
+             + CAST(datediff('day', DATE '1899-12-30', o_orderdate)
+                    AS INTEGER) AS rt_date,
+           CAST(datediff('day', DATE '1899-12-30', o_orderdate) % 7
+                AS BIGINT) AS serial_mod7
+    FROM orders WHERE o_orderkey % 64 = 0
+    """,
+)
+def fn_excel_serial_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel serial-date bridge: dates to the 1900 date-system serial
+    number (days since 1899-12-30 — the epoch that silently encodes
+    Excel's phantom 1900-02-29; post-Mar-1900 dates like this
+    fixture's need no correction) and back — the conversion every
+    spreadsheet ingest/export hits, made explicit instead of leaking
+    into ad-hoc +25569 unix-day arithmetic.  Round-trip is part of
+    the hashed result, so an off-by-one in either direction fails
+    the gate.
+
+    Scale (100 TB): pure integer projection, codegen, no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    serial = F.datediff("o_orderdate", F.lit("1899-12-30").cast("date")).cast(
+        "long"
+    )
+    return o.filter(F.col("o_orderkey") % 64 == 0).select(
+        "o_orderkey",
+        "o_orderdate",
+        serial.alias("excel_serial"),
+        F.date_add(F.lit("1899-12-30").cast("date"), serial.cast("int")).alias(
+            "rt_date"
+        ),
+        (serial % 7).alias("serial_mod7"),
+    )

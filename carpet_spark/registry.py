@@ -304,6 +304,7 @@ _R4_QUEUE = (
     "agg_atkinson_index", "ts_var_cvar",
     "emb_kmeans_pp_init", "agg_kmv_cardinality",
     "agg_entropy_daily", "win_rolling_skewness",
+    "agg_quantile_normalize", "fn_excel_serial_date",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
