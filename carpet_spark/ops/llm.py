@@ -4395,3 +4395,72 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_hapax_ratio"),
         )
     )
+
+
+@register(
+    "eval_expected_calibration_error",
+    oracle="""
+    WITH mx AS (SELECT MAX(n_chars) + 1 AS maxp1 FROM documents),
+    scored AS (
+      SELECT (n_chars * 1000000) // maxp1 AS p6,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents CROSS JOIN mx
+    ),
+    bins AS (
+      SELECT p6 // 100000 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(p6) AS BIGINT) AS sum_p6,
+             CAST(SUM(y) AS BIGINT) AS pos
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM bins)
+    SELECT t.n,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(SUM((n_b * 1.0 / t.n)
+                     * abs(sum_p6 / (n_b * 1000000.0)
+                           - pos * 1.0 / n_b)), 6) AS ece,
+           round(MAX(abs(sum_p6 / (n_b * 1000000.0)
+                         - pos * 1.0 / n_b)), 6) AS mce
+    FROM bins CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error: the bin-weighted mean
+    (ECE) and worst-bin (MCE) gap between predicted probability and
+    observed positive rate over ten equal-width bins — the two
+    scalars a model card quotes where eval_calibration_bins prints
+    the whole reliability table (same fixed-point score, same bins,
+    so the numbers reconcile exactly).  Per-bin sums are exact
+    integers; the gap, weight, and rounding happen once per bin.
+
+    Scale (100 TB): a 10-key map-side-combined aggregate plus a 1-row
+    reduction — one scan, no sort."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg((F.max("n_chars") + 1).alias("maxp1"))
+    scored = d.join(F.broadcast(mx)).select(
+        F.expr("(n_chars * 1000000) DIV maxp1").alias("p6"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy(F.expr("p6 DIV 100000").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("p6").cast("long").alias("sum_p6"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    tot = bins.agg(F.sum("n_b").cast("long").alias("n"))
+    gap = F.abs(
+        F.col("sum_p6") / (F.col("n_b") * F.lit(1000000.0))
+        - F.col("pos") * F.lit(1.0) / F.col("n_b")
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.round(F.sum((F.col("n_b") * F.lit(1.0) / F.col("n")) * gap), 6).alias(
+                "ece"
+            ),
+            F.round(F.max(gap), 6).alias("mce"),
+        )
+        .select("n", "n_bins", "ece", "mce")
+    )

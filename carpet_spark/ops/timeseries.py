@@ -2740,3 +2740,94 @@ def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_days", "k", "var95", "cvar95", "worst_day")
     )
+
+
+@register(
+    "ts_underwater_duration",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT d, cents,
+             CASE WHEN cents < MAX(cents) OVER
+                    (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  THEN 1 ELSE 0 END AS uw
+      FROM daily
+    ),
+    runs AS (
+      SELECT d, uw,
+             SUM(CASE WHEN uw = 0 THEN 1 ELSE 0 END) OVER
+               (ORDER BY d ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    rl AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM runs WHERE uw = 1 GROUP BY grp
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(COALESCE(SUM(run_len), 0) AS BIGINT) AS underwater_days,
+           CAST(COALESCE(MAX(run_len), 0) AS BIGINT) AS max_underwater_run,
+           CAST(COUNT(*) AS BIGINT) AS n_drawdown_episodes
+    FROM rl
+    """,
+)
+def ts_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown DURATION analytics: days spent below the running peak
+    of daily revenue, the longest single underwater stretch, and the
+    number of distinct drawdown episodes — the time axis win_drawdown's
+    depth metric ignores (a shallow but month-long slump and a sharp
+    two-day dip have identical max-drawdown, opposite duration).
+    Underwater days group into episodes with the gaps-and-islands
+    running-sum-of-peaks trick (a new at-peak day starts a new group),
+    all in exact integers.
+
+    Scale (100 TB): daily collapse, then two ordered passes over the
+    bounded |days| series (running max, running episode id) and a
+    tiny rollup; per-entity variant adds the partition key."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    flagged = daily.select(
+        "d",
+        F.when(F.col("cents") < F.max("cents").over(wcum), 1)
+        .otherwise(0)
+        .alias("uw"),
+    )
+    runs = flagged.select(
+        "d",
+        "uw",
+        F.sum(F.when(F.col("uw") == 0, 1).otherwise(0)).over(wcum).alias("grp"),
+    )
+    rl = (
+        runs.filter(F.col("uw") == 1)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        rl.agg(
+            F.coalesce(F.sum("run_len"), F.lit(0)).cast("long").alias(
+                "underwater_days"
+            ),
+            F.coalesce(F.max("run_len"), F.lit(0)).cast("long").alias(
+                "max_underwater_run"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_drawdown_episodes"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "underwater_days",
+            "max_underwater_run",
+            "n_drawdown_episodes",
+        )
+    )

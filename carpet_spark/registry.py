@@ -305,6 +305,7 @@ _R4_QUEUE = (
     "emb_kmeans_pp_init", "agg_kmv_cardinality",
     "agg_entropy_daily", "win_rolling_skewness",
     "agg_quantile_normalize", "fn_excel_serial_date",
+    "ts_underwater_duration", "eval_expected_calibration_error",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
