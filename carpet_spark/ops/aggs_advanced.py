@@ -3930,3 +3930,103 @@ def agg_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a_rank",
         )
     )
+
+
+@register(
+    "agg_mood_median_test",
+    oracle="""
+    WITH pool AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS grp,
+             CAST(ROUND("value" * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    med AS (
+      SELECT v AS gm FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk,
+               COUNT(*) OVER () AS n
+        FROM pool
+      ) WHERE rk = (n + 1) // 2
+    ),
+    cnt AS (
+      SELECT
+        CAST(SUM(CASE WHEN grp = 'A' AND v >  m.gm THEN 1 ELSE 0 END)
+             AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN grp = 'A' AND v <= m.gm THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN grp = 'B' AND v >  m.gm THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN grp = 'B' AND v <= m.gm THEN 1 ELSE 0 END)
+             AS BIGINT) AS d,
+        MAX(m.gm) AS median_cents
+      FROM pool CROSS JOIN med m
+    )
+    SELECT median_cents, a, b, c, d,
+           round((a + b + c + d)
+                 * CAST((a * d - b * c) AS DOUBLE)
+                 * (a * d - b * c)
+                 / ((a + b) * 1.0 * (c + d) * (a + c) * (b + d)), 6)
+             AS chi2
+    FROM cnt
+    """,
+)
+def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test on the click-vs-error value pool: classify
+    every observation above/at-or-below the GRAND median (an exact
+    order statistic, rank (N+1)//2) and chi-square the resulting 2×2
+    table — the blunt-but-assumption-free location test that
+    complements ab_mann_whitney_u (rank-sum is more powerful;
+    median-test survives gross outliers and censoring untouched).
+    Counts are exact integers; the chi-square statistic
+    N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) computes its one big product in
+    DOUBLE after an exact integer ad−bc.
+
+    Scale (100 TB): the median is one global order statistic
+    (range-partitioned sort or percentile-sketch swap at extreme n);
+    classification and the 2×2 rollup are a single broadcast-compare
+    pass."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    pool = ev.filter(F.col("event_type").isin("click", "error")).select(
+        F.when(F.col("event_type") == "click", F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("grp"),
+        cents.alias("v"),
+    )
+    ranked = pool.select(
+        "v",
+        F.row_number().over(Window.orderBy("v")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rk") == ((F.col("n") + 1) / 2).cast("long")
+    ).select(F.col("v").alias("gm"))
+    cnt = pool.crossJoin(F.broadcast(med)).agg(
+        F.sum(F.when((F.col("grp") == "A") & (F.col("v") > F.col("gm")), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("grp") == "A") & (F.col("v") <= F.col("gm")), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("grp") == "B") & (F.col("v") > F.col("gm")), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when((F.col("grp") == "B") & (F.col("v") <= F.col("gm")), 1).otherwise(0)).cast("long").alias("d"),
+        F.max("gm").alias("median_cents"),
+    )
+    det = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    return cnt.select(
+        "median_cents",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(
+            (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+            * det
+            * det.cast("double")
+            / (
+                (F.col("a") + F.col("b"))
+                * F.lit(1.0)
+                * (F.col("c") + F.col("d"))
+                * (F.col("a") + F.col("c"))
+                * (F.col("b") + F.col("d"))
+            ),
+            6,
+        ).alias("chi2"),
+    )

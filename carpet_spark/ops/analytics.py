@@ -4478,3 +4478,83 @@ def agg_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("d", F.col("n").alias("n_events"), "entropy_nats", "entropy_norm")
     )
+
+
+@register(
+    "agg_capture_recapture",
+    oracle="""
+    WITH w1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(date_trunc('day', ts) AS DATE)
+            BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(date_trunc('day', ts) AS DATE)
+            BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_pop
+            FROM events)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w1) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM w2) AS n2,
+           CAST(COUNT(*) AS BIGINT) AS m_recaptured,
+           round((SELECT COUNT(*) FROM w1) * 1.0
+                 * (SELECT COUNT(*) FROM w2) / COUNT(*), 6) AS lp_estimate,
+           (SELECT true_pop FROM tot) AS true_population,
+           round(abs((SELECT COUNT(*) FROM w1) * 1.0
+                     * (SELECT COUNT(*) FROM w2) / COUNT(*)
+                     - (SELECT true_pop FROM tot))
+                 / (SELECT true_pop FROM tot), 6) AS rel_err
+    FROM w1 JOIN w2 USING (user_id)
+    """,
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture: estimate the total user
+    population from two observation windows (week-1 actives, week-2
+    actives, and the recaptured overlap: N̂ = n1·n2/m) — the ecology
+    estimator data teams reuse to size what they CANNOT enumerate
+    (true reach beyond tracked sessions, dedup-miss population), here
+    audited against the fixture's enumerable truth the same way
+    agg_kmv_cardinality audits its sketch.  All three inputs are
+    exact distinct counts; the estimate divides once.
+
+    Scale (100 TB): two deduped window scans and a semi-join-sized
+    intersection — user-keyed shuffles of the deduped id sets, never
+    raw events."""
+    ev = load(spark, sf_dir, "events")
+    d = F.date_trunc("day", "ts").cast("date")
+    w1 = (
+        ev.filter(d.between("2024-01-01", "2024-01-07"))
+        .select("user_id")
+        .distinct()
+    )
+    w2 = (
+        ev.filter(d.between("2024-01-08", "2024-01-14"))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = w1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = w2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    m = w1.join(w2, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("m_recaptured")
+    )
+    tot = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("true_population")
+    )
+    est = F.col("n1") * F.lit(1.0) * F.col("n2") / F.col("m_recaptured")
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(m)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            "m_recaptured",
+            F.round(est, 6).alias("lp_estimate"),
+            "true_population",
+            F.round(
+                F.abs(est - F.col("true_population")) / F.col("true_population"),
+                6,
+            ).alias("rel_err"),
+        )
+    )

@@ -306,6 +306,7 @@ _R4_QUEUE = (
     "agg_entropy_daily", "win_rolling_skewness",
     "agg_quantile_normalize", "fn_excel_serial_date",
     "ts_underwater_duration", "eval_expected_calibration_error",
+    "agg_mood_median_test", "agg_capture_recapture",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
