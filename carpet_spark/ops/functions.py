@@ -1916,3 +1916,61 @@ def fn_excel_serial_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (serial % 7).alias("serial_mod7"),
     )
+
+
+@register(
+    "fn_round_half_even",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderkey % 10 = 0
+         OR CAST(ROUND(o_totalprice * 100) AS BIGINT) % 100 = 50
+    )
+    SELECT o_orderkey, cents,
+           cents // 100
+             + CASE WHEN cents % 100 > 50 THEN 1
+                    WHEN cents % 100 = 50 AND (cents // 100) % 2 = 1 THEN 1
+                    ELSE 0 END AS dollars_half_even,
+           (cents + 50) // 100 AS dollars_half_up,
+           CASE WHEN cents % 100 = 50 AND (cents // 100) % 2 = 0
+                THEN 1 ELSE 0 END AS policies_differ
+    FROM v
+    """,
+)
+def fn_round_half_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banker's rounding (IEEE round-half-even) vs round-half-up on
+    money, as explicit integer arithmetic — the policy difference
+    that moves real dollars at scale (half-up systematically inflates
+    by half a unit per boundary case; accounting and IEEE both
+    mandate half-even for that reason), surfaced per row with a
+    policies_differ witness.  Neither engine's ROUND is trusted:
+    DuckDB rounds half away from zero, Java/Spark's BROUND exists
+    but the point is a portable integer formulation (q + carry
+    rules on cents%100) that any engine reproduces bit-for-bit.
+    The filter keeps EVERY exact-boundary row in scope at any SF so
+    the differing class always populates.
+
+    Scale (100 TB): pure integer projection, codegen, no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    v = o.select("o_orderkey", cents.alias("cents")).filter(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("cents") % 100 == 50)
+    )
+    q = F.floor(F.col("cents") / 100).cast("long")
+    r = F.col("cents") % 100
+    return v.select(
+        "o_orderkey",
+        "cents",
+        (
+            q
+            + F.when(r > 50, 1)
+            .when((r == 50) & (q % 2 == 1), 1)
+            .otherwise(0)
+        ).alias("dollars_half_even"),
+        F.floor((F.col("cents") + 50) / 100).cast("long").alias("dollars_half_up"),
+        F.when((r == 50) & (q % 2 == 0), 1).otherwise(0).alias("policies_differ"),
+    )

@@ -2350,3 +2350,84 @@ def sample_reservoir_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 20)
     )
+
+
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(v) AS BIGINT) AS s_h,
+             SUM(CAST(v AS HUGEINT) * v) AS ss_h
+      FROM x GROUP BY seg
+    ),
+    sig AS (
+      SELECT seg, n_h,
+             sqrt(CAST(ss_h AS DOUBLE) / n_h
+                  - (CAST(s_h AS DOUBLE) / n_h)
+                    * (CAST(s_h AS DOUBLE) / n_h)) / 100.0 AS sigma_h
+      FROM per
+    ),
+    tot AS (
+      SELECT SUM(n_h * sigma_h) AS denom, CAST(SUM(n_h) AS BIGINT) AS n
+      FROM sig
+    )
+    SELECT s.seg, s.n_h,
+           round(s.sigma_h, 6) AS sigma_h,
+           CAST(FLOOR(1000 * s.n_h * s.sigma_h / t.denom) AS BIGINT)
+             AS alloc_neyman,
+           CAST(FLOOR(1000.0 * s.n_h / t.n) AS BIGINT)
+             AS alloc_proportional
+    FROM sig s CROSS JOIN tot t
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation: for a fixed
+    budget of 1000 draws, allocate to each market segment
+    proportionally to N_h·σ_h — the design that minimizes estimator
+    variance, put side by side with plain proportional allocation so
+    the difference (volatile strata earn extra samples) is visible.
+    This op emits the DESIGN table; sample_stratified /
+    sample_reservoir_fixed_n execute a design.  σ_h comes from exact
+    wide-integer moments (the agg_anova_oneway discipline), and both
+    allocations use FLOOR so engine rounding can't disagree.
+
+    Scale (100 TB): one fact scan to |strata| moment rows, one
+    broadcast total — the design costs one aggregate regardless of
+    data size."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    v = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    x = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), v.alias("v")
+    )
+    per = x.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("v").cast("long").alias("s_h"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss_h"),
+    )
+    mean = F.col("s_h").cast("double") / F.col("n_h")
+    sigma = F.sqrt(F.col("ss_h").cast("double") / F.col("n_h") - mean * mean) / 100.0
+    sig = per.select("seg", "n_h", sigma.alias("sigma_h"))
+    tot = sig.agg(
+        F.sum(F.col("n_h") * F.col("sigma_h")).alias("denom"),
+        F.sum("n_h").cast("long").alias("n"),
+    )
+    return sig.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_h",
+        F.round("sigma_h", 6).alias("sigma_h"),
+        F.floor(1000 * F.col("n_h") * F.col("sigma_h") / F.col("denom"))
+        .cast("long")
+        .alias("alloc_neyman"),
+        F.floor(F.lit(1000.0) * F.col("n_h") / F.col("n"))
+        .cast("long")
+        .alias("alloc_proportional"),
+    )
