@@ -4030,3 +4030,149 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     )
+
+
+@register(
+    "agg_poisson_rate_ci",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+                  AS BIGINT) AS days
+      FROM events
+    ),
+    k AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT k.event_type, k.n_events, s.days,
+           round(k.n_events * 1.0 / s.days, 6) AS rate_per_day,
+           round(k.n_events * 1.0 / s.days
+                 - 1.96 * sqrt(k.n_events) / s.days, 6) AS ci_lo,
+           round(k.n_events * 1.0 / s.days
+                 + 1.96 * sqrt(k.n_events) / s.days, 6) AS ci_hi
+    FROM k CROSS JOIN span s
+    """,
+)
+def agg_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate with a 95% interval per event type: events/day and
+    the normal-approximation band rate ± 1.96·√k/days — the 'is this
+    alert rate actually elevated' primitive for count data, the
+    Poisson sibling of agg_rate_wilson_ci's binomial interval (valid
+    here because every k is huge; the op documents the exact-gamma
+    swap for k < ~30).  Counts and the day span are exact integers;
+    sqrt and the two divisions are the only float steps.
+
+    Scale (100 TB): one |types|-key map-side-combined count and one
+    distinct-day count — a single scan, no sort."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.agg(
+        F.countDistinct(F.date_trunc("day", "ts").cast("date"))
+        .cast("long")
+        .alias("days")
+    )
+    k = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    rate = F.col("n_events") * F.lit(1.0) / F.col("days")
+    half = F.lit(1.96) * F.sqrt(F.col("n_events")) / F.col("days")
+    return k.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "n_events",
+        "days",
+        F.round(rate, 6).alias("rate_per_day"),
+        F.round(rate - half, 6).alias("ci_lo"),
+        F.round(rate + half, 6).alias("ci_hi"),
+    )
+
+
+@register(
+    "agg_cohen_h",
+    oracle="""
+    WITH splits AS (
+      SELECT 'user_parity' AS split_name,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+      UNION ALL
+      SELECT 'first_vs_second_half',
+             CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                       <= DATE '2024-01-15' THEN 1 ELSE 0 END,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+      FROM events
+      UNION ALL
+      SELECT 'weekend_vs_weekday',
+             CASE WHEN isodow(CAST(date_trunc('day', ts) AS DATE)) >= 6
+                  THEN 1 ELSE 0 END,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+      FROM events
+    ),
+    p AS (
+      SELECT split_name,
+             SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) * 1.0
+               / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS p1,
+             SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) * 1.0
+               / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS p2
+      FROM splits GROUP BY split_name
+    )
+    SELECT split_name, round(p1, 6) AS p1, round(p2, 6) AS p2,
+           round(2 * (asin(sqrt(p1)) - asin(sqrt(p2))), 6) AS cohens_h
+    FROM p
+    """,
+)
+def agg_cohen_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h effect size for proportions — h = 2(arcsin√p1 −
+    arcsin√p2), the variance-stabilized difference that makes 1% vs
+    2% (huge) and 50% vs 51% (trivial) comparable, computed over
+    three natural splits of purchase conversion (user parity, month
+    halves, weekend vs weekday); the proportions companion to
+    ab_effect_size_cohens_d just as agg_cohen_h's arcsine transform
+    underlies power math in ab_sample_size_estimate.  Proportions are
+    exact count ratios; arcsin/sqrt round at 6dp.
+
+    Scale (100 TB): each split is one conditional-sum pass; the
+    union of three is still one scan of events fanned to three
+    grouped aggregates — no shuffle wider than 3 keys."""
+    ev = load(spark, sf_dir, "events")
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    arms = [
+        ("user_parity", F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)),
+        (
+            "first_vs_second_half",
+            F.when(
+                F.date_trunc("day", "ts").cast("date") <= F.lit("2024-01-15"),
+                1,
+            ).otherwise(0),
+        ),
+        (
+            "weekend_vs_weekday",
+            F.when(
+                F.expr("weekday(date_trunc('day', ts))") + 1 >= 6, 1
+            ).otherwise(0),
+        ),
+    ]
+    parts = None
+    for name, arm in arms:
+        sl = ev.select(
+            F.lit(name).alias("split_name"), arm.alias("arm"), conv.alias("conv")
+        )
+        parts = sl if parts is None else parts.unionAll(sl)
+    p = parts.groupBy("split_name").agg(
+        (
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            * F.lit(1.0)
+            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        ).alias("p1"),
+        (
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            * F.lit(1.0)
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        ).alias("p2"),
+    )
+    return p.select(
+        "split_name",
+        F.round("p1", 6).alias("p1"),
+        F.round("p2", 6).alias("p2"),
+        F.round(
+            2 * (F.asin(F.sqrt("p1")) - F.asin(F.sqrt("p2"))), 6
+        ).alias("cohens_h"),
+    )

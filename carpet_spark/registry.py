@@ -308,6 +308,7 @@ _R4_QUEUE = (
     "ts_underwater_duration", "eval_expected_calibration_error",
     "agg_mood_median_test", "agg_capture_recapture",
     "sample_neyman_allocation", "fn_round_half_even",
+    "agg_poisson_rate_ci", "agg_cohen_h",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
