@@ -4558,3 +4558,56 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+@register(
+    "win_new_users_cumulative",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS d, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY first_day
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS pop FROM firsts)
+    SELECT d, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users,
+           round(SUM(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                 * 1.0 / t.pop, 6) AS adoption_pct
+    FROM daily CROSS JOIN tot t
+    """,
+)
+def win_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adoption curve: users counted once at their FIRST-ever
+    activity day, accumulated into cumulative reach and share of the
+    eventually-observed population — the S-curve every launch review
+    plots, distinct from agg_new_vs_returning (which classifies each
+    period's ACTIVITY, counting a user in many periods).  First-touch
+    is an order-free MIN, the curve one running sum over the bounded
+    day axis.
+
+    Scale (100 TB): per-user MIN map-side combines; everything after
+    runs on |days| rows.  The historical backfill trap is real: a
+    truncated retention window silently shifts first_day forward —
+    this op assumes the scan covers the true beginning."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    tot = firsts.agg(F.count(F.lit(1)).cast("long").alias("pop"))
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n_new",
+        F.sum("n_new").over(wc).cast("long").alias("cum_users"),
+        F.round(
+            F.sum("n_new").over(wc) * F.lit(1.0) / F.col("pop"), 6
+        ).alias("adoption_pct"),
+    )

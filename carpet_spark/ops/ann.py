@@ -840,3 +840,108 @@ def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         newest = nxt.select(F.col("vec_id").alias("vid"))
     return chosen
+
+
+@register(
+    "sim_threshold_sweep",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, r.i AS i,
+             CAST(ROUND(CAST(embedding[CAST(r.i AS BIGINT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS iv
+      FROM embeddings CROSS JOIN range(64) r(i)
+      WHERE vec_id % 5 = 0
+    ),
+    nsq AS (
+      SELECT vec_id, SUM(CAST(iv AS HUGEINT) * iv) AS n2
+      FROM e GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(SUM(a.iv * b.iv) AS BIGINT) AS dot
+      FROM e a JOIN e b ON b.i = a.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d.dot, na.n2 AS na2, nb.n2 AS nb2
+      FROM dots d
+      JOIN nsq na ON na.vec_id = d.a_id
+      JOIN nsq nb ON nb.vec_id = d.b_id
+    ),
+    th AS (SELECT t2 FROM (VALUES (400),(625),(900),(1225),(1600)) v(t2))
+    SELECT th.t2 AS threshold_sq_e4,
+           CAST(SUM(CASE WHEN p.dot > 0
+                          AND 10000 * CAST(p.dot AS HUGEINT) * p.dot
+                              > th.t2 * p.na2 * p.nb2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_above,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(SUM(CASE WHEN p.dot > 0
+                          AND 10000 * CAST(p.dot AS HUGEINT) * p.dot
+                              > th.t2 * p.na2 * p.nb2
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS share
+    FROM pairs p CROSS JOIN th
+    GROUP BY th.t2
+    """,
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration sweep: how many vector pairs clear
+    cosine 0.20/0.25/0.30/0.35/0.40 — the curve you read BEFORE
+    choosing dedup_near_embedding's cutoff, because the right
+    threshold is where the pair count stops falling (the noise
+    plateau), not a number from a paper.  Every comparison is EXACT:
+    coordinates quantize to the 1e-6 grid, and cos > t is tested as
+    the integer cross-product 1e4·dot² > t²_e4·‖a‖²·‖b‖² (wide
+    HUGEINT/decimal38 arithmetic) so no float cosine ever sits on the
+    boundary — the same no-coin-flip discipline emb_kmeans_pp_init
+    uses.  Bounded-subset all-pairs by declared role (the audit
+    table); production candidate generation stays banded-LSH.
+
+    Scale (100 TB): at the full corpus this sweep runs on LSH-bucket
+    candidates instead of all pairs — the thresholds then calibrate
+    band/row counts directly."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    iv = (
+        F.signum("valf") * ((F.abs(F.col("valf")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "valf")
+    ).select("vec_id", "i", iv.alias("iv"))
+    nsq = e.groupBy("vec_id").agg(
+        F.sum(F.col("iv").cast("decimal(38,0)") * F.col("iv")).alias("n2")
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("i").alias("ia"), F.col("iv").alias("iva"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("i").alias("ib"), F.col("iv").alias("ivb"))
+    dots = (
+        a.join(b, (F.col("ia") == F.col("ib")) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("iva") * F.col("ivb")).cast("long").alias("dot"))
+    )
+    pairs = (
+        dots.join(
+            F.broadcast(nsq.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("na2"))),
+            "a_id",
+        )
+        .join(
+            F.broadcast(nsq.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("nb2"))),
+            "b_id",
+        )
+    )
+    th = spark.range(0).sql_ctx.sparkSession.createDataFrame(
+        [(400,), (625,), (900,), (1225,), (1600,)], "t2 int"
+    )
+    above = (F.col("dot") > 0) & (
+        F.lit(10000) * F.col("dot").cast("decimal(38,0)") * F.col("dot")
+        > F.col("t2") * F.col("na2") * F.col("nb2")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy(F.col("t2").alias("threshold_sq_e4"))
+        .agg(
+            F.sum(F.when(above, 1).otherwise(0)).cast("long").alias("n_pairs_above"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.when(above, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("share"),
+        )
+    )

@@ -309,6 +309,7 @@ _R4_QUEUE = (
     "agg_mood_median_test", "agg_capture_recapture",
     "sample_neyman_allocation", "fn_round_half_even",
     "agg_poisson_rate_ci", "agg_cohen_h",
+    "win_new_users_cumulative", "sim_threshold_sweep",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
