@@ -4611,3 +4611,63 @@ def win_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_new").over(wc) * F.lit(1.0) / F.col("pop"), 6
         ).alias("adoption_pct"),
     )
+
+
+@register(
+    "agg_recency_decay_score",
+    oracle="""
+    WITH mx AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS maxd FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             datediff('day', CAST(date_trunc('day', ts) AS DATE),
+                      (SELECT maxd FROM mx)) AS age,
+             CASE WHEN event_type = 'purchase' THEN 5 ELSE 1 END AS w
+      FROM events
+    ),
+    scored AS (
+      SELECT user_id,
+             round(SUM(w * power(0.9, age)), 6) AS decay_score,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MIN(age) AS BIGINT) AS days_since_last
+      FROM per GROUP BY user_id
+    )
+    SELECT user_id, decay_score, n_events, days_since_last
+    FROM scored WHERE user_id % 3 = 0
+    """,
+)
+def agg_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed engagement score per user: every event
+    contributes weight·0.9^days_ago (purchases weighted 5×), the
+    recency-sensitive scalar ranking that RFM's hard buckets
+    (rfm_segments) and plain recency (agg_churn_risk_recency)
+    approximate — yesterday's click outranks last month's, smoothly.
+    Ages are exact integer day differences against the observed
+    horizon; each pow term is O(weight) and bounded by 5, so the
+    per-user float sum rounds stably at 6dp on both engines.
+
+    Scale (100 TB): one scan, one broadcast horizon, one
+    map-side-combined per-user reduction — and because the score is
+    a plain sum, yesterday's scores update incrementally as
+    score·0.9 + today's events (the streaming form)."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("maxd")
+    )
+    per = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("maxd", F.date_trunc("day", "ts").cast("date")).alias("age"),
+        F.when(F.col("event_type") == "purchase", 5).otherwise(1).alias("w"),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("w") * F.pow(F.lit(0.9), F.col("age"))), 6).alias(
+                "decay_score"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("age").cast("long").alias("days_since_last"),
+        )
+        .filter(F.col("user_id") % 3 == 0)
+    )

@@ -4464,3 +4464,75 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("n", "n_bins", "ece", "mce")
     )
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    tok_by_bucket AS (
+      SELECT (doc_id // 25 + 1) * 25 AS ckpt,
+             CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM toks GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT tok, MIN((doc_id // 25 + 1) * 25) AS ckpt FROM toks GROUP BY tok
+    ),
+    vocab_by_bucket AS (
+      SELECT ckpt, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen
+      GROUP BY ckpt
+    )
+    SELECT t.ckpt AS docs_processed,
+           CAST(SUM(t.n_toks) OVER (ORDER BY t.ckpt
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY t.ckpt
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+           round(ln(SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY t.ckpt
+                    ROWS UNBOUNDED PRECEDING))
+                 / ln(SUM(t.n_toks) OVER (ORDER BY t.ckpt
+                      ROWS UNBOUNDED PRECEDING)), 6) AS heaps_beta_proxy
+    FROM tok_by_bucket t LEFT JOIN vocab_by_bucket v ON v.ckpt = t.ckpt
+    """,
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law audit): cumulative distinct
+    vocabulary against cumulative tokens at 25-document checkpoints,
+    with the ln V/ln N exponent proxy — the curve that tells a corpus
+    builder whether more data still buys new vocabulary or the
+    collection has saturated (this fixture's tiny synthetic vocab
+    saturates almost immediately — exactly what the curve exposes;
+    text_hapax_ratio is the per-doc complement).  Vocabulary
+    accumulates via each token's FIRST checkpoint (min doc bucket),
+    so no checkpoint recounts the whole prefix.
+
+    Scale (100 TB): token counts and first-seen reductions are
+    map-side-combined single passes; the running sums operate on the
+    bounded checkpoint axis."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    ckpt = (F.floor(F.col("doc_id") / 25) + 1) * 25
+    tok_by_bucket = toks.groupBy(ckpt.cast("long").alias("ckpt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    first_seen = toks.groupBy("tok").agg(
+        F.min(ckpt.cast("long")).alias("ckpt")
+    )
+    vocab_by_bucket = first_seen.groupBy("ckpt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    wc = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+    j = tok_by_bucket.join(F.broadcast(vocab_by_bucket), "ckpt", "left")
+    cum_t = F.sum("n_toks").over(wc)
+    cum_v = F.sum(F.coalesce("n_new", F.lit(0))).over(wc)
+    return j.select(
+        F.col("ckpt").alias("docs_processed"),
+        cum_t.cast("long").alias("cum_tokens"),
+        cum_v.cast("long").alias("vocab_size"),
+        F.round(F.log(cum_v) / F.log(cum_t), 6).alias("heaps_beta_proxy"),
+    )

@@ -310,6 +310,7 @@ _R4_QUEUE = (
     "sample_neyman_allocation", "fn_round_half_even",
     "agg_poisson_rate_ci", "agg_cohen_h",
     "win_new_users_cumulative", "sim_threshold_sweep",
+    "text_heaps_law", "agg_recency_decay_score",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
