@@ -4176,3 +4176,48 @@ def agg_cohen_h(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * (F.asin(F.sqrt("p1")) - F.asin(F.sqrt("p2"))), 6
         ).alias("cohens_h"),
     )
+
+
+@register(
+    "agg_overdispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(AVG(k), 6) AS mean_daily,
+           round(SUM(CAST(k AS HUGEINT) * k) * 1.0 / COUNT(*)
+                 - AVG(k) * AVG(k), 6) AS var_daily,
+           round((SUM(CAST(k AS HUGEINT) * k) * 1.0 / COUNT(*)
+                  - AVG(k) * AVG(k)) / AVG(k), 6) AS dispersion_index
+    FROM daily GROUP BY event_type
+    """,
+)
+def agg_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion (variance-to-mean) index of daily event counts
+    per type: D ≈ 1 is Poisson-consistent, D ≫ 1 is bursty
+    (contagion, bot storms — the regime where agg_poisson_rate_ci's
+    interval is a lie and a negative-binomial model is due), D ≪ 1
+    is suspiciously regular (rate-limited or synthetic traffic —
+    this fixture's uniform generator shows exactly that).  Moments
+    come from exact integer Σk and Σk² (population variance form).
+
+    Scale (100 TB): |types|×|days| map-side-combined count, then a
+    |types|-key moment rollup — one scan, bounded state."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    mean = F.avg("k")
+    var = F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")) * F.lit(1.0) / F.count(
+        F.lit(1)
+    ) - mean * mean
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+    )

@@ -862,3 +862,61 @@ def pii_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ord_x.unionAll(li_x)
+
+
+@register(
+    "pii_small_cell_suppress",
+    oracle="""
+    WITH cells AS (
+      SELECT n.n_name, c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT n_name, segment, n, CAST(0 AS BIGINT) AS n_merged_cells
+      FROM cells WHERE n >= 10
+    ),
+    merged AS (
+      SELECT n_name, 'OTHER' AS segment, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_merged_cells
+      FROM cells WHERE n < 10 GROUP BY n_name
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM merged
+    """,
+)
+def pii_small_cell_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression for published aggregates: nation ×
+    segment customer counts where any cell under k=10 is merged into
+    a per-nation OTHER row (with the merged-cell count disclosed) —
+    the statistical-disclosure-control step census bureaus and health
+    agencies mandate before releasing cross-tabs, complementing
+    pii_kanon_check (which detects risky cells) and
+    pii_kanon_generalize (which coarsens quasi-identifiers) by
+    actually producing the publishable table.
+
+    Scale (100 TB): one map-side-combined cross-tab, split by a
+    threshold predicate into pass-through and per-group re-merge —
+    both on the bounded cell axis, facts scanned once."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    kept = cells.filter(F.col("n") >= 10).select(
+        "n_name", "segment", "n", F.lit(0).cast("long").alias("n_merged_cells")
+    )
+    merged = (
+        cells.filter(F.col("n") < 10)
+        .groupBy("n_name")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_merged_cells"),
+        )
+        .select(
+            "n_name", F.lit("OTHER").alias("segment"), "n", "n_merged_cells"
+        )
+    )
+    return kept.unionAll(merged)
