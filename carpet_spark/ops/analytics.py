@@ -4671,3 +4671,68 @@ def agg_recency_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("user_id") % 3 == 0)
     )
+
+
+@register(
+    "ab_bayesian_shrinkage",
+    oracle="""
+    WITH per AS (
+      SELECT c.c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT c_nationkey, n, k,
+           round(k * 1.0 / n, 6) AS raw_rate,
+           round((k + 2.0) / (n + 4.0), 6) AS post_mean,
+           round((k + 2.0) / (n + 4.0)
+                 - 1.96 * sqrt((k + 2.0) / (n + 4.0)
+                               * (1 - (k + 2.0) / (n + 4.0)) / (n + 5)), 6)
+             AS cred_lo,
+           round((k + 2.0) / (n + 4.0)
+                 + 1.96 * sqrt((k + 2.0) / (n + 4.0)
+                               * (1 - (k + 2.0) / (n + 4.0)) / (n + 5)), 6)
+             AS cred_hi,
+           round(abs(k * 1.0 / n - (k + 2.0) / (n + 4.0)), 6) AS shrinkage
+    FROM per
+    """,
+)
+def ab_bayesian_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-Binomial shrinkage of per-nation completion rates: the
+    Beta(2,2) posterior mean (k+2)/(n+4) with a normal-approximation
+    95% credible band — the estimator that stops a 3-order nation
+    from topping the leaderboard at 100% while a 900-order nation
+    sits at 51% (the small-sample pathology raw rates and even
+    Wilson bounds (agg_rate_wilson_ci) leave to the reader; the
+    shrinkage column shows exactly how far each rate moved).  All
+    inputs are exact counts; the posterior algebra is closed-form.
+
+    Scale (100 TB): one broadcast-dim join and a |nations|-key
+    map-side-combined count — one scan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    pm = (F.col("k") + F.lit(2.0)) / (F.col("n") + F.lit(4.0))
+    half = F.lit(1.96) * F.sqrt(pm * (1 - pm) / (F.col("n") + 5))
+    raw = F.col("k") * F.lit(1.0) / F.col("n")
+    return per.select(
+        "c_nationkey",
+        "n",
+        "k",
+        F.round(raw, 6).alias("raw_rate"),
+        F.round(pm, 6).alias("post_mean"),
+        F.round(pm - half, 6).alias("cred_lo"),
+        F.round(pm + half, 6).alias("cred_hi"),
+        F.round(F.abs(raw - pm), 6).alias("shrinkage"),
+    )

@@ -2831,3 +2831,102 @@ def ts_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_drawdown_episodes",
         )
     )
+
+
+@register(
+    "ts_fourier_weekly_fit",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS di,
+             SUM(CAST(ROUND("value" * 100) AS BIGINT)) / 100.0 AS y
+      FROM events
+      WHERE datediff('day', DATE '2024-01-01',
+                     CAST(date_trunc('day', ts) AS DATE)) < 28
+      GROUP BY 1
+    ),
+    reg AS (
+      SELECT y, sin(2 * pi() * (di % 7) / 7.0) AS s,
+             cos(2 * pi() * (di % 7) / 7.0) AS c
+      FROM daily
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(y) AS a,
+             SUM(y * s) / SUM(s * s) AS b,
+             SUM(y * c) / SUM(c * c) AS cc,
+             SUM(s * s) AS ss2, SUM(c * c) AS sc2,
+             SUM(y * y) - COUNT(*) * AVG(y) * AVG(y) AS sst
+      FROM reg
+    )
+    SELECT n, round(a, 6) AS baseline,
+           round(b, 6) AS sin_coef, round(cc, 6) AS cos_coef,
+           round(sqrt(b * b + cc * cc), 6) AS weekly_amplitude,
+           round((b * b * ss2 + cc * cc * sc2) / sst, 6) AS r2_weekly
+    FROM fit
+    """,
+)
+def ts_fourier_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-harmonic Fourier fit of the weekly cycle: regress daily
+    revenue on sin/cos of the weekday angle over exactly FOUR
+    COMPLETE WEEKS — completeness makes the harmonics orthogonal to
+    the intercept and each other, so OLS collapses to two independent
+    projections (b = Σys/Σs², no 3×3 solve) — yielding baseline,
+    amplitude, and the share of variance the weekly wave explains
+    (ts_seasonality_dow gives the empirical profile;
+    ts_dominant_period finds WHICH period; this quantifies HOW MUCH
+    of the signal that period is).  All y values are exact
+    cents-derived; trig terms are O(1) so sums round stably at 6dp.
+
+    Scale (100 TB): facts collapse to |days|; the fit is one
+    reduction over that axis — per-entity fits add the partition
+    key."""
+    ev = load(spark, sf_dir, "events")
+    di = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    daily = (
+        ev.filter(di < 28)
+        .groupBy(di.alias("di"))
+        .agg(
+            (
+                F.sum(
+                    (
+                        F.signum("value")
+                        * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+                    ).cast("long")
+                )
+                / F.lit(100.0)
+            ).alias("y")
+        )
+    )
+    ang = 2 * F.lit(3.141592653589793) * (F.col("di") % 7) / F.lit(7.0)
+    reg = daily.select("y", F.sin(ang).alias("s"), F.cos(ang).alias("c"))
+    fit = reg.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("y").alias("a"),
+        (F.sum(F.col("y") * F.col("s")) / F.sum(F.col("s") * F.col("s"))).alias("b"),
+        (F.sum(F.col("y") * F.col("c")) / F.sum(F.col("c") * F.col("c"))).alias("cc"),
+        F.sum(F.col("s") * F.col("s")).alias("ss2"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+        (
+            F.sum(F.col("y") * F.col("y"))
+            - F.count(F.lit(1)) * F.avg("y") * F.avg("y")
+        ).alias("sst"),
+    )
+    return fit.select(
+        "n",
+        F.round("a", 6).alias("baseline"),
+        F.round("b", 6).alias("sin_coef"),
+        F.round("cc", 6).alias("cos_coef"),
+        F.round(
+            F.sqrt(F.col("b") * F.col("b") + F.col("cc") * F.col("cc")), 6
+        ).alias("weekly_amplitude"),
+        F.round(
+            (
+                F.col("b") * F.col("b") * F.col("ss2")
+                + F.col("cc") * F.col("cc") * F.col("sc2")
+            )
+            / F.col("sst"),
+            6,
+        ).alias("r2_weekly"),
+    )
