@@ -4221,3 +4221,87 @@ def agg_overdispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_daily"),
         F.round(var / mean, 6).alias("dispersion_index"),
     )
+
+
+@register(
+    "agg_friedman_test",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS di,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events
+      WHERE datediff('day', DATE '2024-01-01',
+                     CAST(date_trunc('day', ts) AS DATE)) < 28
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT di // 7 AS block, di % 7 AS treat,
+             ROW_NUMBER() OVER (PARTITION BY di // 7
+                                ORDER BY cents, di) AS rk
+      FROM daily
+    ),
+    rsum AS (
+      SELECT treat, CAST(SUM(rk) AS BIGINT) AS r_j
+      FROM ranked GROUP BY treat
+    )
+    SELECT 4 AS n_blocks, 7 AS k_treatments,
+           CAST(SUM(r_j * r_j) AS BIGINT) AS sum_r2,
+           round(12.0 / (4 * 7 * 8) * SUM(r_j * r_j) - 3 * 4 * 8, 6)
+             AS friedman_chi2,
+           6 AS df,
+           CASE WHEN 12.0 / (4 * 7 * 8) * SUM(r_j * r_j) - 3 * 4 * 8
+                     > 12.591587 THEN 1 ELSE 0 END AS reject_5pct
+    FROM rsum
+    """,
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test for the weekly cycle: four complete weeks are the
+    BLOCKS, weekdays the TREATMENTS; revenue ranks within each week
+    feed χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1) — the nonparametric
+    repeated-measures ANOVA that asks agg_chi_square_gof's question
+    (is there a weekday effect?) without assuming anything about the
+    revenue distribution, and robustly to week-to-week level shifts
+    (each week re-ranks from scratch, so a growth trend can't fake a
+    weekday effect).  Ranks are exact integers ((cents, di)
+    tie-break); the statistic is one rational expression.
+
+    Scale (100 TB): facts collapse to 28 day rows; the per-block rank
+    is a 7-row window; everything after is a 7-key reduction.  With
+    entities as blocks (millions of stores × 7 weekdays), the same
+    plan partitions ranks by store — still one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    di = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = (
+        ev.filter(di < 28)
+        .groupBy(di.alias("di"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    ranked = daily.select(
+        F.floor(F.col("di") / 7).alias("block"),
+        (F.col("di") % 7).alias("treat"),
+        F.row_number()
+        .over(
+            Window.partitionBy(F.floor(F.col("di") / 7)).orderBy("cents", "di")
+        )
+        .alias("rk"),
+    )
+    rsum = ranked.groupBy("treat").agg(F.sum("rk").cast("long").alias("r_j"))
+    stat = F.lit(12.0) / (4 * 7 * 8) * F.col("sum_r2") - F.lit(3 * 4 * 8)
+    return (
+        rsum.agg(F.sum(F.col("r_j") * F.col("r_j")).cast("long").alias("sum_r2"))
+        .select(
+            F.lit(4).alias("n_blocks"),
+            F.lit(7).alias("k_treatments"),
+            "sum_r2",
+            F.round(stat, 6).alias("friedman_chi2"),
+            F.lit(6).alias("df"),
+            F.when(stat > 12.591587, 1).otherwise(0).alias("reject_5pct"),
+        )
+    )

@@ -945,3 +945,130 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@register(
+    "sim_srp_bucket_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, r.i AS i,
+             CAST(ROUND(CAST(embedding[CAST(r.i AS BIGINT) + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS iv
+      FROM embeddings CROSS JOIN range(64) r(i)
+    ),
+    planes AS (
+      SELECT j.j, i.i,
+             CAST(('0x' || substr(md5('p' || CAST(j.j AS VARCHAR) || ':'
+                                       || CAST(i.i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2001 - 1000 AS w
+      FROM range(8) j(j) CROSS JOIN range(64) i(i)
+    ),
+    bits AS (
+      SELECT e.vec_id, p.j,
+             CASE WHEN SUM(p.w * e.iv) > 0 THEN 1 ELSE 0 END AS bit
+      FROM e JOIN planes p ON p.i = e.i
+      GROUP BY e.vec_id, p.j
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(SUM(bit * power(2, j)) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    hist AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS load FROM buckets
+      GROUP BY bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(MAX(load) AS BIGINT) AS max_load,
+           round(AVG(load), 6) AS avg_load,
+           round(SUM((load - (SELECT COUNT(*) FROM buckets) / 256.0)
+                     * (load - (SELECT COUNT(*) FROM buckets) / 256.0)
+                     / ((SELECT COUNT(*) FROM buckets) / 256.0))
+                 + (256 - COUNT(*))
+                   * ((SELECT COUNT(*) FROM buckets) / 256.0), 6)
+             AS chi2_uniform
+    FROM hist
+    """,
+)
+def sim_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-balance audit with a fully SQL-portable SRP family:
+    hyperplane weights are md5-derived integers in [-1000, 1000]
+    (both engines mint identical planes — unlike sim_ann_lsh's
+    numpy-seeded planes, which force rows-only verification), sign
+    sums are exact BIGINTs, and the 8-bit bucket histogram rolls up
+    to occupancy, max load, and a chi-square against the uniform
+    256-bucket ideal (empty buckets contribute their expected count).
+    Skewed buckets are the failure mode that silently turns an LSH
+    join into a few giant tasks — this is the diagnostic to run
+    before shipping a banding config.
+
+    Scale (100 TB): one dim-axis equi-join against a 512-row
+    broadcast plane table, two bounded combines, a 256-key
+    histogram — linear, no pair work anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    iv = (
+        F.signum("valf") * ((F.abs(F.col("valf")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "valf")
+    ).select("vec_id", "i", iv.alias("iv"))
+    js = spark.range(8).select(F.col("id").cast("int").alias("j"))
+    is_ = spark.range(64).select(F.col("id").cast("int").alias("pi"))
+    planes = js.crossJoin(is_).select(
+        "j",
+        "pi",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("p"),
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col("pi").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).alias("w"),
+    )
+    bits = (
+        e.join(F.broadcast(planes), F.col("i") == F.col("pi"))
+        .groupBy("vec_id", "j")
+        .agg(
+            F.when(F.sum(F.col("w") * F.col("iv")) > 0, 1)
+            .otherwise(0)
+            .alias("bit")
+        )
+    )
+    buckets = bits.groupBy("vec_id").agg(
+        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("j")))
+        .cast("long")
+        .alias("bucket")
+    )
+    hist = buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("load")
+    )
+    nvec = buckets.agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    exp = F.col("nv") / F.lit(256.0)
+    return (
+        hist.crossJoin(F.broadcast(nvec))
+        .groupBy("nv")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+            F.max("load").cast("long").alias("max_load"),
+            F.round(F.avg("load"), 6).alias("avg_load"),
+            F.round(
+                F.sum((F.col("load") - exp) * (F.col("load") - exp) / exp)
+                + (256 - F.count(F.lit(1))) * exp,
+                6,
+            ).alias("chi2_uniform"),
+        )
+        .select("n_buckets_used", "max_load", "avg_load", "chi2_uniform")
+    )

@@ -313,6 +313,7 @@ _R4_QUEUE = (
     "text_heaps_law", "agg_recency_decay_score",
     "pii_small_cell_suppress", "agg_overdispersion_index",
     "ts_fourier_weekly_fit", "ab_bayesian_shrinkage",
+    "sim_srp_bucket_histogram", "agg_friedman_test",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
