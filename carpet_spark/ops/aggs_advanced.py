@@ -4305,3 +4305,77 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(stat > 12.591587, 1).otherwise(0).alias("reject_5pct"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT flag, cents, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents, w
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM x
+    )
+    SELECT flag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 4 * cw >= tw THEN cents END) AS BIGINT)
+             AS wp25_cents,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MIN(CASE WHEN 4 * cw >= 3 * tw THEN cents END) AS BIGINT)
+             AS wp75_cents
+    FROM cum GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median and quartiles: price order statistics where
+    each line item counts by its QUANTITY, per return flag — the
+    'median unit price actually paid' that the unweighted percentile
+    family (agg_percentile, agg_approx_percentile) silently gets
+    wrong whenever volume correlates with price.  Defined as the
+    smallest value whose cumulative weight reaches the quantile of
+    total weight — integer comparisons like 2·cw ≥ tw, no float
+    quantile anywhere, (cents, w) ordering for engine-stable ties.
+
+    Scale (100 TB): one partitioned sort per flag (range-partitioned
+    at scale) carrying a running weight — same cost envelope as any
+    exact percentile; the sketch swap (weighted t-digest) is the
+    documented approximate path."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = (
+        F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        cents.alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    wc = Window.partitionBy("flag").orderBy("cents", "w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("flag")
+    cum = x.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("wp25_cents"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("wp75_cents"),
+    )

@@ -4736,3 +4736,82 @@ def ab_bayesian_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pm + half, 6).alias("cred_hi"),
         F.round(F.abs(raw - pm), 6).alias("shrinkage"),
     )
+
+
+@register(
+    "geo_tile_quadkey",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (('0x' || substr(md5('lat|' || c_custkey), 1, 8))::BIGINT
+              / 4294967295.0) * 160.0 - 80.0 AS lat,
+             (('0x' || substr(md5('lon|' || c_custkey), 1, 8))::BIGINT
+              / 4294967295.0) * 360.0 - 180.0 AS lon
+      FROM customer WHERE c_custkey % 25 = 0
+    ),
+    tiles AS (
+      SELECT c_custkey, lat, lon,
+             CAST(FLOOR((lon + 180.0) / 360.0 * 64) AS BIGINT) AS tx,
+             CAST(FLOOR((1.0 - ln(tan(radians(lat))
+                                  + 1.0 / cos(radians(lat))) / pi())
+                        / 2.0 * 64) AS BIGINT) AS ty
+      FROM pts
+    )
+    SELECT c_custkey, tx, ty,
+           CAST(((ty >> 5) & 1) * 2 + ((tx >> 5) & 1) AS VARCHAR)
+        || CAST(((ty >> 4) & 1) * 2 + ((tx >> 4) & 1) AS VARCHAR)
+        || CAST(((ty >> 3) & 1) * 2 + ((tx >> 3) & 1) AS VARCHAR)
+        || CAST(((ty >> 2) & 1) * 2 + ((tx >> 2) & 1) AS VARCHAR)
+        || CAST(((ty >> 1) & 1) * 2 + ((tx >> 1) & 1) AS VARCHAR)
+        || CAST((ty & 1) * 2 + (tx & 1) AS VARCHAR) AS quadkey
+    FROM tiles
+    """,
+)
+def geo_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator tile coordinates and Bing-style quadkeys at zoom 6
+    for the hash-derived customer points — the spatial bucketing that
+    turns lat/lon proximity into PREFIX-match locality (two points in
+    the same zoom-9 cell share a 9-char quadkey prefix), which is how
+    geo joins become string-prefix equi-joins at scale
+    (geo_cell_join_radius buckets on a flat grid; quadkeys add the
+    hierarchy).  Tile math is the standard mercator projection with
+    exact integer bit-interleave for the key digits.
+
+    Scale (100 TB): pure projection — trig, two floors, six bit ops —
+    codegen, no shuffle; the quadkey becomes the partition/sort key
+    downstream."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 25 == 0)
+    lat = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("lat|"), F.col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967295.0)
+    ) * 160.0 - 80.0
+    lon = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("lon|"), F.col("c_custkey").cast("string"))), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967295.0)
+    ) * 360.0 - 180.0
+    pts = c.select("c_custkey", lat.alias("lat"), lon.alias("lon"))
+    tx = F.floor((F.col("lon") + 180.0) / 360.0 * 64).cast("long")
+    ty = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(
+                F.tan(F.radians("lat")) + F.lit(1.0) / F.cos(F.radians("lat"))
+            )
+            / F.lit(3.141592653589793)
+        )
+        / 2.0
+        * 64
+    ).cast("long")
+    tiles = pts.select("c_custkey", tx.alias("tx"), ty.alias("ty"))
+    digit = lambda k: (
+        (F.shiftright(F.col("ty"), k).bitwiseAND(F.lit(1))) * 2
+        + (F.shiftright(F.col("tx"), k).bitwiseAND(F.lit(1)))
+    ).cast("string")
+    return tiles.select(
+        "c_custkey",
+        "tx",
+        "ty",
+        F.concat(
+            digit(5), digit(4), digit(3), digit(2), digit(1), digit(0)
+        ).alias("quadkey"),
+    )

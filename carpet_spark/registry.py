@@ -314,6 +314,7 @@ _R4_QUEUE = (
     "pii_small_cell_suppress", "agg_overdispersion_index",
     "ts_fourier_weekly_fit", "ab_bayesian_shrinkage",
     "sim_srp_bucket_histogram", "agg_friedman_test",
+    "agg_weighted_median", "geo_tile_quadkey",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
