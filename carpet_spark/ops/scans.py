@@ -1268,3 +1268,50 @@ def sink_parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "scan_csv_dateformat",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderkey % 8 = 0
+    GROUP BY 1
+    """,
+)
+def scan_csv_dateformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-ISO date interchange: orders serialized to CSV with
+    dd/MM/yyyy dates (the European-locale format that silently
+    byte-swaps into MM/dd on naive loaders), read back through an
+    explicit to_date pattern, and aggregated by year — the oracle
+    aggregates the SOURCE, so a day/month transposition anywhere in
+    format→write→read→parse shifts rows across years and fails the
+    hash (an 03/04 vs 04/03 swap is invisible to row counts alone).
+
+    Scale (100 TB): both directions are parallel projections; the
+    date pattern parse is JVM codegen, not a UDF."""
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    df = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 8 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.date_format("o_orderdate", "dd/MM/yyyy").alias("d_eu"),
+            cents.alias("cents"),
+        )
+    )
+    out = _sink_path(spark, "scan_csv_dateformat")
+    df.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("k long, d_eu string, cents long").option(
+        "header", True
+    ).csv(out)
+    return back.select(
+        F.year(F.to_date("d_eu", "dd/MM/yyyy")).alias("yr"), "cents"
+    ).groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -2930,3 +2930,103 @@ def ts_fourier_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2_weekly"),
     )
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS di,
+             SUM(CAST(ROUND("value" * 100) AS BIGINT)) / 100.0 AS y
+      FROM events GROUP BY 1
+    ),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.di - a.di) AS m
+      FROM daily a JOIN daily b ON b.di > a.di
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS np
+      FROM slopes
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(di) AS BIGINT) AS sx, SUM(y) AS sy,
+             SUM(di * y) AS sxy, CAST(SUM(di * di) AS BIGINT) AS sxx
+      FROM daily
+    )
+    SELECT r.np AS n_pairs,
+           round(MAX(CASE WHEN r.rk = (r.np + 1) // 2 THEN r.m END), 6)
+             AS theil_sen_slope,
+           round((o.n * o.sxy - o.sx * o.sy)
+                 / (o.n * o.sxx - o.sx * o.sx), 6) AS ols_slope
+    FROM ranked r CROSS JOIN ols o
+    GROUP BY r.np, o.n, o.sxy, o.sx, o.sy, o.sxx
+    """,
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise day-to-day
+    slopes of the revenue series, next to the OLS slope
+    (ts_trend_ols's estimator) — the comparison that exposes
+    outlier-driven trends: one crazy day can move OLS arbitrarily
+    but shifts the slope median by at most one rank position.  The
+    pair stage runs on the BOUNDED post-aggregation day axis
+    (|days|² pairs, declared-exact like agg_kendall_tau); slopes are
+    identical rational divisions on both engines, and the median is
+    a row_number order statistic.
+
+    Scale (100 TB): facts collapse to |days| first.  For multi-year
+    spines the documented scale path is the repeated-median variant
+    over a windowed pair subset, or OLS on winsorized residuals."""
+    ev = load(spark, sf_dir, "events")
+    di = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(di.alias("di")).agg(
+        (F.sum(cents) / F.lit(100.0)).alias("y")
+    )
+    a = daily.select(F.col("di").alias("dia"), F.col("y").alias("ya"))
+    b = daily.select(F.col("di").alias("dib"), F.col("y").alias("yb"))
+    slopes = a.join(F.broadcast(b), F.col("dib") > F.col("dia")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("dib") - F.col("dia"))).alias("m")
+    )
+    ranked = slopes.select(
+        "m",
+        F.row_number().over(Window.orderBy("m")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("np"),
+    )
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("di").cast("long").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("di") * F.col("y")).alias("sxy"),
+        F.sum(F.col("di") * F.col("di")).cast("long").alias("sxx"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ols))
+        .groupBy("np", "n", "sxy", "sx", "sy", "sxx")
+        .agg(
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rk") == ((F.col("np") + 1) / 2).cast("long"),
+                        F.col("m"),
+                    )
+                ),
+                6,
+            ).alias("theil_sen_slope")
+        )
+        .select(
+            F.col("np").alias("n_pairs"),
+            "theil_sen_slope",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("ols_slope"),
+        )
+    )

@@ -315,6 +315,7 @@ _R4_QUEUE = (
     "ts_fourier_weekly_fit", "ab_bayesian_shrinkage",
     "sim_srp_bucket_histogram", "agg_friedman_test",
     "agg_weighted_median", "geo_tile_quadkey",
+    "scan_csv_dateformat", "ts_theil_sen_slope",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
