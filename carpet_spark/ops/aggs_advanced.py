@@ -4379,3 +4379,85 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wp75_cents"),
     )
+
+
+@register(
+    "dq_benford_second_digit",
+    oracle="""
+    WITH d2 AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 2, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 10
+    ),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d2 GROUP BY digit
+    ),
+    expd AS (
+      SELECT d.digit,
+             SUM(ln(1.0 + 1.0 / (10 * k.k + d.digit)) / ln(10.0)) AS p_exp
+      FROM range(10) d(digit) CROSS JOIN range(1, 10) k(k)
+      GROUP BY d.digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs)
+    SELECT e.digit, COALESCE(o.n, 0) AS observed,
+           round(e.p_exp, 6) AS expected_p,
+           round(COALESCE(o.n, 0) * 1.0 / t.nt, 6) AS observed_p,
+           round((COALESCE(o.n, 0) - t.nt * e.p_exp)
+                 * (COALESCE(o.n, 0) - t.nt * e.p_exp)
+                 / (t.nt * e.p_exp), 6) AS chi2_term
+    FROM expd e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    """,
+)
+def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford SECOND-digit screen: observed second-significant-digit
+    shares of money amounts against the Benford expectation
+    P(d) = Σ_k log10(1 + 1/(10k+d)) — the forensic refinement
+    auditors run AFTER agg_benford_distribution's first-digit test,
+    because round-number invention (psychological pricing, threshold
+    gaming) distorts second digits while leaving first digits
+    plausible.  The expectation is computed from the same closed form
+    on both engines (never a hardcoded table that can drift), digits
+    come from exact integer cents, and per-digit chi-square terms
+    localize WHICH digit misbehaves.
+
+    Scale (100 TB): one projection to a 10-key count plus a constant
+    90-term expectation table — one scan, bounded state."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    d2 = o.select(cents.alias("cents")).filter(F.col("cents") >= 10).select(
+        F.substring(F.col("cents").cast("string"), 2, 1).cast("long").alias("digit")
+    )
+    obs = d2.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ds = spark.range(10).select(F.col("id").cast("long").alias("digit"))
+    ks = spark.range(1, 10).select(F.col("id").cast("long").alias("k"))
+    expd = (
+        ds.crossJoin(ks)
+        .groupBy("digit")
+        .agg(
+            F.sum(
+                F.log(F.lit(1.0) + F.lit(1.0) / (10 * F.col("k") + F.col("digit")))
+                / F.log(F.lit(10.0))
+            ).alias("p_exp")
+        )
+    )
+    tot = obs.agg(F.sum("n").cast("long").alias("nt"))
+    on = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        expd.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            on.alias("observed"),
+            F.round("p_exp", 6).alias("expected_p"),
+            F.round(on * F.lit(1.0) / F.col("nt"), 6).alias("observed_p"),
+            F.round(
+                (on - F.col("nt") * F.col("p_exp"))
+                * (on - F.col("nt") * F.col("p_exp"))
+                / (F.col("nt") * F.col("p_exp")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

@@ -4536,3 +4536,72 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_v.cast("long").alias("vocab_size"),
         F.round(F.log(cum_v) / F.log(cum_t), 6).alias("heaps_beta_proxy"),
     )
+
+
+@register(
+    "eval_topk_overlap",
+    oracle="""
+    WITH by_rev AS (
+      SELECT o_custkey, ROW_NUMBER() OVER (
+        ORDER BY SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) DESC,
+                 o_custkey) AS rk
+      FROM orders GROUP BY o_custkey
+    ),
+    by_cnt AS (
+      SELECT o_custkey, ROW_NUMBER() OVER (
+        ORDER BY COUNT(*) DESC, o_custkey) AS rk
+      FROM orders GROUP BY o_custkey
+    ),
+    a AS (SELECT o_custkey FROM by_rev WHERE rk <= 20),
+    b AS (SELECT o_custkey FROM by_cnt WHERE rk <= 20)
+    SELECT 20 AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           round(COUNT(*) * 1.0 / (40 - COUNT(*)), 6) AS jaccard_at_k
+    FROM a JOIN b USING (o_custkey)
+    """,
+)
+def eval_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k agreement between two ranking functions — the top-20
+    customers by revenue vs by order count: overlap size and
+    Jaccard@k — the cheap sanity metric for 'does the new scorer
+    promote the same head as the old one' before running a full rank
+    correlation (agg_rank_stability_spearman covers the whole list;
+    retrieval cousins live in eval_mrr_recall_at_k).  Both rankings
+    tie-break on the key, so the top-k sets are engine-exact.
+
+    Scale (100 TB): two aggregate+top-k passes (TakeOrderedAndProject
+    shape) and a 20-row join — the full-list sort never happens."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("long").alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    a = (
+        per.select(
+            "o_custkey",
+            F.row_number()
+            .over(Window.orderBy(F.col("rev").desc(), "o_custkey"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("o_custkey")
+    )
+    b = (
+        per.select(
+            "o_custkey",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "o_custkey"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("o_custkey")
+    )
+    return a.join(b, "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap"),
+        F.round(
+            F.count(F.lit(1)) * F.lit(1.0) / (40 - F.count(F.lit(1))), 6
+        ).alias("jaccard_at_k"),
+    ).select(F.lit(20).alias("k"), "n_overlap", "jaccard_at_k")

@@ -316,6 +316,7 @@ _R4_QUEUE = (
     "sim_srp_bucket_histogram", "agg_friedman_test",
     "agg_weighted_median", "geo_tile_quadkey",
     "scan_csv_dateformat", "ts_theil_sen_slope",
+    "eval_topk_overlap", "dq_benford_second_digit",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
