@@ -4605,3 +4605,83 @@ def eval_topk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * F.lit(1.0) / (40 - F.count(F.lit(1))), 6
         ).alias("jaccard_at_k"),
     ).select(F.lit(20).alias("k"), "n_overlap", "jaccard_at_k")
+
+
+@register(
+    "text_ngram_novelty_rate",
+    oracle="""
+    WITH grams AS (
+      SELECT d.doc_id, d.source, d.doc_id % 5 = 0 AS is_test,
+             t.w1 || ' ' || t.w2 || ' ' || t.w3 AS tri
+      FROM documents d, (
+        SELECT doc_id AS did,
+               toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(range(1, len(toks) - 1)) AS r(i)
+      ) t
+      WHERE t.did = d.doc_id
+    ),
+    train_set AS (
+      SELECT DISTINCT tri FROM grams WHERE NOT is_test
+    ),
+    test_grams AS (
+      SELECT source, tri,
+             CASE WHEN tri IN (SELECT tri FROM train_set)
+                  THEN 0 ELSE 1 END AS novel
+      FROM grams WHERE is_test
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_test_trigrams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           round(SUM(novel) * 1.0 / COUNT(*), 6) AS novelty_rate
+    FROM test_grams GROUP BY source
+    """,
+)
+def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty of a held-out split: the share of test-split
+    trigrams never seen in the train split, per source — the
+    generalization-pressure dial corpus builders watch (novelty near
+    0 means the eval set is memorizable; decontaminate_ngram REMOVES
+    known overlap, this MEASURES residual novelty).  Trigrams build
+    from positional token windows; membership is a left-anti
+    semantics against the distinct train set.
+
+    Scale (100 TB): the train trigram set collapses to distinct
+    digests and the test side probes it with a hash semi-join —
+    shuffle on gram keys, never document text; identical shape to
+    decontaminate_ngram's bench-set probe but corpus-vs-corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        F.split("text", " ").alias("w"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        "is_test",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), "
+                "i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
+            )
+        ).alias("tri"),
+    )
+    train_set = grams.filter(~F.col("is_test")).select("tri").distinct()
+    test_grams = grams.filter(F.col("is_test")).join(
+        train_set.withColumn("seen", F.lit(1)), "tri", "left"
+    )
+    return test_grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_trigrams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_rate"),
+    )

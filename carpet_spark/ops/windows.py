@@ -878,3 +878,69 @@ def win_rolling_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew7"),
     )
+
+
+@register(
+    "win_gap_to_leader",
+    oracle="""
+    WITH per AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT seg, o_custkey, cents,
+             MAX(cents) OVER (PARTITION BY seg) AS leader_cents,
+             RANK() OVER (PARTITION BY seg ORDER BY cents DESC) AS seg_rank
+      FROM per
+    )
+    SELECT seg, o_custkey, cents, seg_rank,
+           CAST(leader_cents - cents AS BIGINT) AS gap_cents,
+           round(cents * 1.0 / leader_cents, 6) AS pct_of_leader
+    FROM ranked WHERE o_custkey % 50 = 0
+    """,
+)
+def win_gap_to_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-to-leader: every customer's revenue against their segment's
+    best, as absolute cents behind, share of leader, and rank — the
+    dashboard framing ('62% of the way to #1') that plain ranks
+    (win_rank) and shares of total (win_share_of_total) both miss
+    because the reference point is the MAX, not the sum.  One
+    partition's window computes max and rank off the same sort;
+    integer gaps, one ratio.
+
+    Scale (100 TB): per-customer rollup, then a single
+    hashpartitioning(seg) window — the exchange is on the bounded
+    segment axis; skewed segments salt exactly like win_rank_salted
+    documents."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    wseg = Window.partitionBy("seg")
+    wrank = Window.partitionBy("seg").orderBy(F.col("cents").desc())
+    ranked = per.select(
+        "seg",
+        "o_custkey",
+        "cents",
+        F.max("cents").over(wseg).alias("leader_cents"),
+        F.rank().over(wrank).alias("seg_rank"),
+    )
+    return ranked.filter(F.col("o_custkey") % 50 == 0).select(
+        "seg",
+        "o_custkey",
+        "cents",
+        "seg_rank",
+        (F.col("leader_cents") - F.col("cents")).cast("long").alias("gap_cents"),
+        F.round(F.col("cents") * F.lit(1.0) / F.col("leader_cents"), 6).alias(
+            "pct_of_leader"
+        ),
+    )
