@@ -4815,3 +4815,104 @@ def geo_tile_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             digit(5), digit(4), digit(3), digit(2), digit(1), digit(0)
         ).alias("quadkey"),
     )
+
+
+@register(
+    "agg_delta_method_ratio_ci",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM per
+    )
+    SELECT n,
+           round(sx * 1.0 / sy / 100, 6) AS revenue_per_order,
+           round(sqrt(GREATEST(0.0,
+                 (CAST(sxx AS DOUBLE) / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+                 - 2.0 * (sx * 1.0 / sy)
+                   * (CAST(sxy AS DOUBLE) / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                 + (sx * 1.0 / sy) * (sx * 1.0 / sy)
+                   * (CAST(syy AS DOUBLE) / n - (sy * 1.0 / n) * (sy * 1.0 / n))))
+                 / ((sy * 1.0 / n) * sqrt(n)) / 100, 6) AS se,
+           round(sx * 1.0 / sy / 100
+                 - 1.96 * sqrt(GREATEST(0.0,
+                   (CAST(sxx AS DOUBLE) / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+                   - 2.0 * (sx * 1.0 / sy)
+                     * (CAST(sxy AS DOUBLE) / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                   + (sx * 1.0 / sy) * (sx * 1.0 / sy)
+                     * (CAST(syy AS DOUBLE) / n - (sy * 1.0 / n) * (sy * 1.0 / n))))
+                   / ((sy * 1.0 / n) * sqrt(n)) / 100, 6) AS ci_lo,
+           round(sx * 1.0 / sy / 100
+                 + 1.96 * sqrt(GREATEST(0.0,
+                   (CAST(sxx AS DOUBLE) / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+                   - 2.0 * (sx * 1.0 / sy)
+                     * (CAST(sxy AS DOUBLE) / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                   + (sx * 1.0 / sy) * (sx * 1.0 / sy)
+                     * (CAST(syy AS DOUBLE) / n - (sy * 1.0 / n) * (sy * 1.0 / n))))
+                   / ((sy * 1.0 / n) * sqrt(n)) / 100, 6) AS ci_hi
+    FROM m
+    """,
+)
+def agg_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for a RATIO metric — revenue per order where
+    the randomization unit is the CUSTOMER: the ratio-of-sums
+    estimator Σx/Σy with
+    var ≈ (σx² − 2Rσxy + R²σy²)/(n·ȳ²), the correction every
+    experimentation platform needs because naively treating orders
+    as independent understates variance whenever users contribute
+    multiple orders (ab_welch_ttest on per-order rows would do
+    exactly that).  All five moments are exact wide integers
+    (cents² in HUGEINT/decimal38); the delta algebra runs once in
+    doubles, clamped at zero before the sqrt.
+
+    Scale (100 TB): one per-customer combine, one 1-row moment
+    reduction — the CI costs no more than the mean."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(cents).cast("long").alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    r = F.col("sx") * F.lit(1.0) / F.col("sy")
+    vx = F.col("sxx").cast("double") / n - (F.col("sx") * F.lit(1.0) / n) * (
+        F.col("sx") * F.lit(1.0) / n
+    )
+    cxy = F.col("sxy").cast("double") / n - (F.col("sx") * F.lit(1.0) / n) * (
+        F.col("sy") * F.lit(1.0) / n
+    )
+    vy = F.col("syy").cast("double") / n - (F.col("sy") * F.lit(1.0) / n) * (
+        F.col("sy") * F.lit(1.0) / n
+    )
+    se = (
+        F.sqrt(F.greatest(F.lit(0.0), vx - 2.0 * r * cxy + r * r * vy))
+        / ((F.col("sy") * F.lit(1.0) / n) * F.sqrt(n))
+        / 100
+    )
+    return m.select(
+        "n",
+        F.round(r / 100, 6).alias("revenue_per_order"),
+        F.round(se, 6).alias("se"),
+        F.round(r / 100 - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r / 100 + 1.96 * se, 6).alias("ci_hi"),
+    )

@@ -318,6 +318,7 @@ _R4_QUEUE = (
     "scan_csv_dateformat", "ts_theil_sen_slope",
     "eval_topk_overlap", "dq_benford_second_digit",
     "win_gap_to_leader", "text_ngram_novelty_rate",
+    "agg_delta_method_ratio_ci", "dedup_blocking_quality",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
