@@ -1072,3 +1072,75 @@ def sim_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_buckets_used", "max_load", "avg_load", "chi2_uniform")
     )
+
+
+
+@register(
+    "emb_class_separability",
+    oracle="""
+    WITH elems AS (
+      SELECT e.label, r.i AS dim_i,
+             CAST(e.embedding[CAST(r.i AS BIGINT) + 1] AS DOUBLE) AS v
+      FROM embeddings e CROSS JOIN range(64) r(i)
+    ),
+    per_ld AS (
+      SELECT label, dim_i, CAST(COUNT(*) AS BIGINT) AS n_l,
+             SUM(v) AS s, SUM(v * v) AS ss
+      FROM elems GROUP BY label, dim_i
+    ),
+    per_d AS (
+      SELECT dim_i, CAST(SUM(n_l) AS BIGINT) AS n, SUM(s) AS st,
+             SUM(s * s / n_l) AS sq_over_n, SUM(ss) AS ssd,
+             CAST(COUNT(*) AS BIGINT) AS n_labels
+      FROM per_ld GROUP BY dim_i
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+           CAST(MAX(n_labels) AS BIGINT) AS n_labels,
+           round(SUM(sq_over_n - st * st / n), 6) AS between_ss,
+           round(SUM(ssd - sq_over_n), 6) AS within_ss,
+           round(SUM(sq_over_n - st * st / n)
+                 / SUM(ssd - sq_over_n), 6) AS separability_ratio
+    FROM per_d
+    """,
+)
+def emb_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class separability of the embedding space: between-class vs
+    within-class scatter (summed over dimensions, Fisher/LDA style) —
+    the one-number answer to 'do these embeddings actually know about
+    the labels', worth checking before training a probe or trusting
+    emb_nearest_centroid_assign (ratio near 0 = labels are noise to
+    this encoder).  Everything reduces to per-(label, dim) first and
+    second moments; the scatter decomposition
+    SS_total = SS_within + SS_between falls out of Σs²/n terms, no
+    pairwise distances anywhere.
+
+    Scale (100 TB): posexplode → |labels|×64 moment rows (map-side
+    combined) → 64-row dim rollup → 1-row total.  Nothing scales
+    with vector count after the first combine."""
+    emb = load(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("dim_i", "valf")
+    ).select("label", "dim_i", F.col("valf").cast("double").alias("v"))
+    per_ld = elems.groupBy("label", "dim_i").agg(
+        F.count(F.lit(1)).cast("long").alias("n_l"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    per_d = per_ld.groupBy("dim_i").agg(
+        F.sum("n_l").cast("long").alias("n"),
+        F.sum("s").alias("st"),
+        F.sum(F.col("s") * F.col("s") / F.col("n_l")).alias("sq_over_n"),
+        F.sum("ss").alias("ssd"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    between = F.sum(
+        F.col("sq_over_n") - F.col("st") * F.col("st") / F.col("n")
+    )
+    within = F.sum(F.col("ssd") - F.col("sq_over_n"))
+    return per_d.agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.max("n_labels").cast("long").alias("n_labels"),
+        F.round(between, 6).alias("between_ss"),
+        F.round(within, 6).alias("within_ss"),
+        F.round(between / within, 6).alias("separability_ratio"),
+    )

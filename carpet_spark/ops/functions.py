@@ -1974,3 +1974,70 @@ def fn_round_half_even(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cents") + 50) / 100).cast("long").alias("dollars_half_up"),
         F.when((r == 50) & (q % 2 == 0), 1).otherwise(0).alias("policies_differ"),
     )
+
+
+@register(
+    "fn_target_encode",
+    oracle="""
+    WITH gtot AS (
+      SELECT SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) AS p
+      FROM orders
+    ),
+    prio AS (
+      SELECT o_orderpriority AS cat,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           round((p2.k + 50 * g.p) / (p2.n + 50), 6) AS priority_encoded,
+           round(p2.k * 1.0 / p2.n, 6) AS priority_raw_rate,
+           round(g.p, 6) AS global_rate
+    FROM orders o
+    JOIN prio p2 ON p2.cat = o.o_orderpriority
+    CROSS JOIN gtot g
+    WHERE o.o_orderkey % 32 = 0
+    """,
+)
+def fn_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target (mean) encoding: each category's completion
+    rate shrunk toward the global rate with pseudo-count m=50 —
+    enc = (k_c + m·p)/(n_c + m) — the feature-engineering standard
+    for high-cardinality categoricals where one-hot explodes
+    (fn_one_hot_encode) and ordinal codes lie about order
+    (fn_label_encode); the smoothing is what stops rare categories
+    from memorizing their own label.  Encodings come from exact
+    per-category counts joined back as a broadcast dimension.  The
+    leakage caveat is documented, not hidden: production fits the
+    encoding on a train fold (sample_hash_split) and applies it
+    here-style to the rest.
+
+    Scale (100 TB): one grouped count to |categories| rows, one
+    broadcast join over the fact scan — no per-row state."""
+    o = load(spark, sf_dir, "orders")
+    conv = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    glob = o.agg(
+        (F.sum(conv) * F.lit(1.0) / F.count(F.lit(1))).alias("p")
+    )
+    prio = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(conv).cast("long").alias("k"),
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 32 == 0)
+        .join(F.broadcast(prio), F.col("o_orderpriority") == F.col("cat"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("k") + 50 * F.col("p")) / (F.col("n") + 50), 6
+            ).alias("priority_encoded"),
+            F.round(F.col("k") * F.lit(1.0) / F.col("n"), 6).alias(
+                "priority_raw_rate"
+            ),
+            F.round("p", 6).alias("global_rate"),
+        )
+    )
