@@ -4461,3 +4461,93 @@ def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "agg_mcnemar_test",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(date_trunc('day', ts) AS DATE)
+                           <= DATE '2024-01-15' THEN 1 ELSE 0 END) AS w1,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(date_trunc('day', ts) AS DATE)
+                           > DATE '2024-01-15' THEN 1 ELSE 0 END) AS w2
+      FROM events GROUP BY user_id
+    ),
+    cnt AS (
+      SELECT CAST(SUM(CASE WHEN w1 = 1 AND w2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN w1 = 1 AND w2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN w1 = 0 AND w2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN w1 = 0 AND w2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM per
+    )
+    SELECT a, b, c, d,
+           round(CASE WHEN b + c > 0
+                 THEN (b - c) * (b - c) * 1.0 / (b + c) ELSE 0 END, 6)
+             AS mcnemar_chi2,
+           round(CASE WHEN b + c > 0
+                 THEN (abs(b - c) - 1) * (abs(b - c) - 1) * 1.0 / (b + c)
+                 ELSE 0 END, 6) AS mcnemar_cc_chi2
+    FROM cnt
+    """,
+)
+def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes: did each user
+    purchase in the first vs second half of the month, reduced to
+    the discordant cells (b: converted then lapsed, c: the reverse)
+    with χ² = (b−c)²/(b+c) plus the continuity-corrected variant —
+    the right test for before/after conversion questions where
+    ab_two_proportion_ztest would wrongly treat the halves as
+    independent samples (they share every user).  Everything is
+    exact integer counts; the concordant cells are reported because
+    their size is what gives the test its power context.
+
+    Scale (100 TB): one per-user MAX-flag combine, one 1-row
+    reduction — a single scan."""
+    ev = load(spark, sf_dir, "events")
+    d = F.date_trunc("day", "ts").cast("date")
+    per = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (d <= F.lit("2024-01-15")),
+                1,
+            ).otherwise(0)
+        ).alias("w1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (d > F.lit("2024-01-15")),
+                1,
+            ).otherwise(0)
+        ).alias("w2"),
+    )
+    cnt = per.agg(
+        F.sum(F.when((F.col("w1") == 1) & (F.col("w2") == 1), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when((F.col("w1") == 1) & (F.col("w2") == 0), 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when((F.col("w1") == 0) & (F.col("w2") == 1), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when((F.col("w1") == 0) & (F.col("w2") == 0), 1).otherwise(0)).cast("long").alias("d"),
+    )
+    bc = F.col("b") + F.col("c")
+    diff = F.col("b") - F.col("c")
+    return cnt.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(
+            F.when(bc > 0, diff * diff * F.lit(1.0) / bc).otherwise(0.0), 6
+        ).alias("mcnemar_chi2"),
+        F.round(
+            F.when(
+                bc > 0,
+                (F.abs(diff) - 1) * (F.abs(diff) - 1) * F.lit(1.0) / bc,
+            ).otherwise(0.0),
+            6,
+        ).alias("mcnemar_cc_chi2"),
+    )

@@ -3030,3 +3030,102 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ols_slope"),
         )
     )
+
+
+@register(
+    "ts_partial_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS di,
+             SUM(CAST(ROUND("value" * 100) AS BIGINT)) / 100.0 AS y
+      FROM events GROUP BY 1
+    ),
+    mu AS (SELECT AVG(y) AS m, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    c0 AS (
+      SELECT SUM((y - (SELECT m FROM mu)) * (y - (SELECT m FROM mu))) AS v
+      FROM daily
+    ),
+    r AS (
+      SELECT k.k,
+             SUM((a.y - (SELECT m FROM mu)) * (b.y - (SELECT m FROM mu)))
+               / (SELECT v FROM c0) AS rk
+      FROM range(1, 4) k(k)
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.di = a.di + k.k
+      GROUP BY k.k
+    ),
+    rw AS (
+      SELECT MAX(CASE WHEN k = 1 THEN rk END) AS r1,
+             MAX(CASE WHEN k = 2 THEN rk END) AS r2,
+             MAX(CASE WHEN k = 3 THEN rk END) AS r3
+      FROM r
+    )
+    SELECT (SELECT n FROM mu) AS n_days,
+           round(r1, 6) AS pacf_1,
+           round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS pacf_2,
+           round((r3 - (r1 - (r2 - r1 * r1) / (1 - r1 * r1) * r1) * r2
+                     - (r2 - r1 * r1) / (1 - r1 * r1) * r1)
+                 / (1 - (r1 - (r2 - r1 * r1) / (1 - r1 * r1) * r1) * r1
+                      - (r2 - r1 * r1) / (1 - r1 * r1) * r2), 6) AS pacf_3
+    FROM rw
+    """,
+)
+def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 via the Durbin-Levinson
+    recursion on the sample ACF — the AR-order fingerprint
+    (ts_autocorrelation's ACF says WHAT correlates; PACF says what
+    correlates AFTER shorter lags are regressed out, which is how
+    you pick an AR(p) order and distinguish momentum from
+    pass-through).  The ACF comes from integer-day lag joins of the
+    centered dollar series; the recursion is closed-form algebra on
+    three scalars.
+
+    Scale (100 TB): facts collapse to |days|; the three lag joins
+    run on that bounded axis (broadcast both sides).  The recursion
+    never touches data again."""
+    ev = load(spark, sf_dir, "events")
+    di = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(di.alias("di")).agg(
+        (F.sum(cents) / F.lit(100.0)).alias("y")
+    )
+    mu = daily.agg(F.avg("y").alias("m"), F.count(F.lit(1)).cast("long").alias("n"))
+    centered = daily.crossJoin(F.broadcast(mu)).select(
+        "di", (F.col("y") - F.col("m")).alias("cy"), "n"
+    )
+    c0 = centered.agg(F.sum(F.col("cy") * F.col("cy")).alias("v"))
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    a = centered.select(F.col("di").alias("dia"), F.col("cy").alias("cya"))
+    b = centered.select(F.col("di").alias("dib"), F.col("cy").alias("cyb"))
+    r = (
+        F.broadcast(ks)
+        .crossJoin(a)
+        .join(F.broadcast(b), F.col("dib") == F.col("dia") + F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("cya") * F.col("cyb")).alias("num"))
+        .crossJoin(F.broadcast(c0))
+        .select("k", (F.col("num") / F.col("v")).alias("rk"))
+    )
+    rw = r.agg(
+        F.max(F.when(F.col("k") == 1, F.col("rk"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("rk"))).alias("r2"),
+        F.max(F.when(F.col("k") == 3, F.col("rk"))).alias("r3"),
+    )
+    p2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    p21 = F.col("r1") - p2 * F.col("r1")
+    p3 = (F.col("r3") - p21 * F.col("r2") - p2 * F.col("r1")) / (
+        1 - p21 * F.col("r1") - p2 * F.col("r2")
+    )
+    return rw.crossJoin(F.broadcast(mu.select("n"))).select(
+        F.col("n").alias("n_days"),
+        F.round("r1", 6).alias("pacf_1"),
+        F.round(p2, 6).alias("pacf_2"),
+        F.round(p3, 6).alias("pacf_3"),
+    )

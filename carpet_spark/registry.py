@@ -320,6 +320,7 @@ _R4_QUEUE = (
     "win_gap_to_leader", "text_ngram_novelty_rate",
     "agg_delta_method_ratio_ci", "dedup_blocking_quality",
     "fn_target_encode", "emb_class_separability",
+    "ts_partial_autocorrelation", "agg_mcnemar_test",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
