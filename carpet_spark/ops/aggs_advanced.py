@@ -4468,10 +4468,10 @@ def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (
       SELECT user_id,
-             MAX(CASE WHEN event_type = 'purchase'
+             MAX(CASE WHEN event_type = 'purchase' AND "value" > 90
                        AND CAST(date_trunc('day', ts) AS DATE)
                            <= DATE '2024-01-15' THEN 1 ELSE 0 END) AS w1,
-             MAX(CASE WHEN event_type = 'purchase'
+             MAX(CASE WHEN event_type = 'purchase' AND "value" > 90
                        AND CAST(date_trunc('day', ts) AS DATE)
                            > DATE '2024-01-15' THEN 1 ELSE 0 END) AS w2
       FROM events GROUP BY user_id
@@ -4498,8 +4498,10 @@ def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """McNemar's test for PAIRED binary outcomes: did each user
-    purchase in the first vs second half of the month, reduced to
+    """McNemar's test for PAIRED binary outcomes: did each user make
+    a BIG purchase (value > 90, the top decile — plain purchase
+    saturates to all-yes on this fixture and the test degenerates)
+    in the first vs second half of the month, reduced to
     the discordant cells (b: converted then lapsed, c: the reverse)
     with χ² = (b−c)²/(b+c) plus the continuity-corrected variant —
     the right test for before/after conversion questions where
@@ -4516,13 +4518,16 @@ def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(
                 (F.col("event_type") == "purchase")
+                & (F.col("value") > 90)
                 & (d <= F.lit("2024-01-15")),
                 1,
             ).otherwise(0)
         ).alias("w1"),
         F.max(
             F.when(
-                (F.col("event_type") == "purchase") & (d > F.lit("2024-01-15")),
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 90)
+                & (d > F.lit("2024-01-15")),
                 1,
             ).otherwise(0)
         ).alias("w2"),
