@@ -4556,3 +4556,181 @@ def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcnemar_cc_chi2"),
     )
+
+
+@register(
+    "dq_hash_collision_audit",
+    oracle="""
+    WITH widths AS (
+      SELECT w, CAST(power(16, w) AS BIGINT) AS space
+      FROM (VALUES (3), (4), (6)) v(w)
+    ),
+    hashed AS (
+      SELECT w.w, w.space,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, w.w) AS h
+      FROM customer CROSS JOIN widths w
+    ),
+    per AS (
+      SELECT w, space, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+      FROM hashed GROUP BY w, space
+    )
+    SELECT w AS hex_digits, space, n_keys, n_distinct,
+           n_keys - n_distinct AS collisions,
+           round(n_keys - space * (1.0 - power(1.0 - 1.0 / space, n_keys)),
+                 6) AS expected_collisions
+    FROM per
+    """,
+)
+def dq_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-hash collision audit: how many customer keys collide
+    when the md5 surrogate is cut to 3/4/6 hex digits, against the
+    birthday-problem expectation n − m(1−(1−1/m)ⁿ) — the sizing
+    check to run BEFORE choosing a shortened surrogate key or
+    bucket-id width (fn_surrogate_key mints full-width keys;
+    fn_bitpack_key packs fields exactly; this quantifies what
+    truncation costs).  Observed collisions are exact distinct
+    counts; the expectation is one closed-form float per width,
+    identical on both engines.
+
+    Scale (100 TB): one projection per width (a 3-row broadcast
+    fan-out) into distinct counts — at extreme cardinality the
+    distinct swaps for HLL (agg_approx_distinct) with documented
+    error."""
+    c = load(spark, sf_dir, "customer")
+    widths = spark.createDataFrame([(3,), (4,), (6,)], "w int").select(
+        "w", F.pow(F.lit(16.0), F.col("w")).cast("long").alias("space")
+    )
+    hashed = c.crossJoin(F.broadcast(widths)).select(
+        "w",
+        "space",
+        F.expr("substring(md5(cast(c_custkey as string)), 1, w)").alias("h"),
+    )
+    per = hashed.groupBy("w", "space").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.countDistinct("h").cast("long").alias("n_distinct"),
+    )
+    return per.select(
+        F.col("w").alias("hex_digits"),
+        "space",
+        "n_keys",
+        "n_distinct",
+        (F.col("n_keys") - F.col("n_distinct")).alias("collisions"),
+        F.round(
+            F.col("n_keys")
+            - F.col("space")
+            * (
+                F.lit(1.0)
+                - F.pow(F.lit(1.0) - F.lit(1.0) / F.col("space"), F.col("n_keys"))
+            ),
+            6,
+        ).alias("expected_collisions"),
+    )
+
+
+@register(
+    "agg_wilcoxon_signed_rank",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                            <= DATE '2024-01-15'
+                      THEN CAST(ROUND("value" * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS w1,
+             CAST(SUM(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                            > DATE '2024-01-15'
+                      THEN CAST(ROUND("value" * 100) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS w2
+      FROM events GROUP BY user_id
+    ),
+    diffs AS (
+      SELECT w2 - w1 AS d, abs(w2 - w1) AS ad FROM per WHERE w2 <> w1
+    ),
+    ranked AS (
+      SELECT d,
+             2 * RANK() OVER (ORDER BY ad)
+               + COUNT(*) OVER (PARTITION BY ad) - 1 AS r2
+      FROM diffs
+    ),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t3_t
+      FROM (SELECT COUNT(*) AS t FROM diffs GROUP BY ad)
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS wp2
+      FROM ranked
+    )
+    SELECT s.n, s.wp2 / 2.0 AS w_plus,
+           round((s.wp2 / 2.0 - s.n * (s.n + 1) / 4.0)
+                 / sqrt(s.n * (s.n + 1.0) * (2 * s.n + 1) / 24.0
+                        - t.sum_t3_t / 48.0), 6) AS z
+    FROM s CROSS JOIN ties t
+    """,
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED user revenue (first vs
+    second half of the month): rank the absolute per-user changes,
+    sum the ranks of the increases, and compare against the
+    no-change null — the paired companion to ab_mann_whitney_u
+    (same doubled-rank midrank trick keeping .5 ranks exact) and
+    the magnitude-aware upgrade of agg_mcnemar_test's binary flip
+    counts.  Zero differences drop per the standard treatment; the
+    normal approximation carries the tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+
+    Scale (100 TB): one per-user combine, one global rank of |diff|
+    (range-partitioned sort at scale), two reductions — never
+    pairwise."""
+    ev = load(spark, sf_dir, "events")
+    d = F.date_trunc("day", "ts").cast("date")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(d <= F.lit("2024-01-15"), cents).otherwise(0))
+        .cast("long")
+        .alias("w1"),
+        F.sum(F.when(d > F.lit("2024-01-15"), cents).otherwise(0))
+        .cast("long")
+        .alias("w2"),
+    )
+    diffs = per.filter(F.col("w2") != F.col("w1")).select(
+        (F.col("w2") - F.col("w1")).alias("dd"),
+        F.abs(F.col("w2") - F.col("w1")).alias("ad"),
+    )
+    ranked = diffs.select(
+        "dd",
+        (
+            F.lit(2) * F.rank().over(Window.orderBy("ad"))
+            + F.count(F.lit(1)).over(Window.partitionBy("ad"))
+            - 1
+        ).alias("r2"),
+    )
+    ties = (
+        diffs.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("sum_t3_t")
+        )
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("dd") > 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("wp2"),
+    )
+    wp = F.col("wp2") / F.lit(2.0)
+    sigma = F.sqrt(
+        F.col("n") * (F.col("n") + F.lit(1.0)) * (2 * F.col("n") + 1) / F.lit(24.0)
+        - F.col("sum_t3_t") / F.lit(48.0)
+    )
+    return s.crossJoin(F.broadcast(ties)).select(
+        "n",
+        wp.alias("w_plus"),
+        F.round(
+            (wp - F.col("n") * (F.col("n") + 1) / F.lit(4.0)) / sigma, 6
+        ).alias("z"),
+    )

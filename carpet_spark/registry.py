@@ -321,6 +321,7 @@ _R4_QUEUE = (
     "agg_delta_method_ratio_ci", "dedup_blocking_quality",
     "fn_target_encode", "emb_class_separability",
     "ts_partial_autocorrelation", "agg_mcnemar_test",
+    "dq_hash_collision_audit", "agg_wilcoxon_signed_rank",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
