@@ -4734,3 +4734,137 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (wp - F.col("n") * (F.col("n") + 1) / F.lit(4.0)) / sigma, 6
         ).alias("z"),
     )
+
+
+@register(
+    "agg_contingency_residuals",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+             CAST(COUNT(*) AS BIGINT) AS o_n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT seg, prio, o_n,
+             CAST(SUM(o_n) OVER (PARTITION BY seg) AS BIGINT) AS r_tot,
+             CAST(SUM(o_n) OVER (PARTITION BY prio) AS BIGINT) AS c_tot,
+             CAST(SUM(o_n) OVER () AS BIGINT) AS n_tot
+      FROM cells
+    )
+    SELECT seg, prio, o_n,
+           round(r_tot * 1.0 * c_tot / n_tot, 6) AS expected,
+           round((o_n - r_tot * 1.0 * c_tot / n_tot)
+                 / sqrt(r_tot * 1.0 * c_tot / n_tot
+                        * (1 - r_tot * 1.0 / n_tot)
+                        * (1 - c_tot * 1.0 / n_tot)), 6) AS std_residual
+    FROM margins
+    """,
+)
+def agg_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized (adjusted) residuals of the segment × priority
+    contingency table: per cell, (observed − expected) scaled by the
+    Haberman denominator √(e(1−r/n)(1−c/n)) — the drill-down that
+    says WHICH cells drive a significant association after
+    agg_cramers_v reports THAT one exists (|residual| > 2 ≈ cell
+    significant at 5%).  Margins come from window sums over the
+    bounded cell table; each residual is one float expression over
+    exact counts.
+
+    Scale (100 TB): facts collapse to |rows|×|cols| cells first;
+    margins and residuals never touch facts again."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o_n"))
+    )
+    margins = cells.select(
+        "seg",
+        "prio",
+        "o_n",
+        F.sum("o_n").over(Window.partitionBy("seg")).cast("long").alias("r_tot"),
+        F.sum("o_n").over(Window.partitionBy("prio")).cast("long").alias("c_tot"),
+        F.sum("o_n").over(Window.partitionBy()).cast("long").alias("n_tot"),
+    )
+    e = F.col("r_tot") * F.lit(1.0) * F.col("c_tot") / F.col("n_tot")
+    denom = F.sqrt(
+        e
+        * (1 - F.col("r_tot") * F.lit(1.0) / F.col("n_tot"))
+        * (1 - F.col("c_tot") * F.lit(1.0) / F.col("n_tot"))
+    )
+    return margins.select(
+        "seg",
+        "prio",
+        "o_n",
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("o_n") - e) / denom, 6).alias("std_residual"),
+    )
+
+
+@register(
+    "ab_cochran_armitage_trend",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(k) AS BIGINT) AS kt,
+             CAST(SUM(score * k) AS BIGINT) AS ssk,
+             CAST(SUM(score * n) AS BIGINT) AS ssn,
+             CAST(SUM(score * score * n) AS BIGINT) AS ss2n
+      FROM g
+    )
+    SELECT nt, kt,
+           round((ssk - kt * 1.0 * ssn / nt)
+                 / sqrt((kt * 1.0 / nt) * (1 - kt * 1.0 / nt)
+                        * (ss2n - ssn * 1.0 * ssn / nt)), 6) AS trend_z
+    FROM m
+    """,
+)
+def ab_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the completion rate move
+    MONOTONICALLY across the ordered priority levels (scores 1-5 from
+    the priority prefix)?  The test every ordered-dose question needs
+    — a plain chi-square (agg_chi_square_gof, agg_cramers_v) burns
+    power ignoring the ordering, while the trend statistic
+    z = (Σs·k − K·Σs·n/N) / √(p̄(1−p̄)(Σs²n − (Σsn)²/N)) targets it
+    directly.  Every moment is an exact integer sum; one float
+    expression at the end.
+
+    Scale (100 TB): a |levels|-key map-side-combined count then a
+    1-row reduction — single scan."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("score")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    m = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("k").cast("long").alias("kt"),
+        F.sum(F.col("score") * F.col("k")).cast("long").alias("ssk"),
+        F.sum(F.col("score") * F.col("n")).cast("long").alias("ssn"),
+        F.sum(F.col("score") * F.col("score") * F.col("n"))
+        .cast("long")
+        .alias("ss2n"),
+    )
+    p = F.col("kt") * F.lit(1.0) / F.col("nt")
+    num = F.col("ssk") - F.col("kt") * F.lit(1.0) * F.col("ssn") / F.col("nt")
+    den = F.sqrt(
+        p
+        * (1 - p)
+        * (F.col("ss2n") - F.col("ssn") * F.lit(1.0) * F.col("ssn") / F.col("nt"))
+    )
+    return m.select("nt", "kt", F.round(num / den, 6).alias("trend_z"))
