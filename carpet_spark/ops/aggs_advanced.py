@@ -4868,3 +4868,69 @@ def ab_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("ss2n") - F.col("ssn") * F.lit(1.0) * F.col("ssn") / F.col("nt"))
     )
     return m.select("nt", "kt", F.round(num / den, 6).alias("trend_z"))
+
+
+@register(
+    "agg_price_endings_profile",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) % 100 AS ending,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    per AS (
+      SELECT ending, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY ending
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM per),
+    ranked AS (
+      SELECT ending, n, ROW_NUMBER() OVER (ORDER BY n DESC, ending) AS rk
+      FROM per
+    )
+    SELECT r.ending AS cents_ending, r.n,
+           round(r.n * 1.0 / t.nt, 6) AS share,
+           round(1.0 / 100, 6) AS uniform_share,
+           round(r.n * 1.0 / t.nt - 0.01, 6) AS excess
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rk <= 10 OR r.ending IN (0, 49, 50, 95, 99)
+    """,
+)
+def agg_price_endings_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Psychological price-ending profile: the distribution of cent
+    endings (.99, .95, .49, .00 …) against the uniform 1% baseline —
+    the pricing-forensics cut that detects charm-pricing policies,
+    repricing-bot artifacts, and fabricated amounts
+    (dq_benford_second_digit looks at significant digits; endings
+    are where HUMAN pricing psychology concentrates).  Reports the
+    top-10 endings plus the canonical psychological points whatever
+    their rank, each with its excess over uniform.
+
+    Scale (100 TB): one modulo projection into a 100-key count —
+    single scan, bounded state."""
+    p = load(spark, sf_dir, "part")
+    cents = (
+        F.signum("p_retailprice") * ((F.abs(F.col("p_retailprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = p.select((cents % 100).alias("ending")).groupBy("ending").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("nt"))
+    ranked = per.select(
+        "ending",
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), "ending"))
+        .alias("rk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter((F.col("rk") <= 10) | F.col("ending").isin(0, 49, 50, 95, 99))
+        .select(
+            F.col("ending").alias("cents_ending"),
+            "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("nt"), 6).alias("share"),
+            F.round(F.lit(1.0) / 100, 6).alias("uniform_share"),
+            F.round(F.col("n") * F.lit(1.0) / F.col("nt") - 0.01, 6).alias(
+                "excess"
+            ),
+        )
+    )

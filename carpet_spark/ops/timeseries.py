@@ -3129,3 +3129,82 @@ def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("pacf_2"),
         F.round(p3, 6).alias("pacf_3"),
     )
+
+
+@register(
+    "ts_decline_streak_alert",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT d, cents,
+             CASE WHEN cents < LAG(cents) OVER (ORDER BY d)
+                  THEN 1 ELSE 0 END AS declined
+      FROM daily
+    ),
+    runs AS (
+      SELECT d, cents, declined,
+             SUM(CASE WHEN declined = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    streaks AS (
+      SELECT d, cents, declined,
+             SUM(declined) OVER (PARTITION BY grp ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS streak
+      FROM runs
+    )
+    SELECT d, cents, streak,
+           CASE WHEN streak >= 3 THEN 1 ELSE 0 END AS alert
+    FROM streaks WHERE streak >= 1
+    """,
+)
+def ts_decline_streak_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-decline streak tracker: for every down day, how
+    many days revenue has declined in a row, with an alert at ≥3 —
+    the monitoring rule ops teams actually page on (three declining
+    days is a trend; one bad day is Tuesday), built from the same
+    gaps-and-islands machinery as ts_underwater_duration but against
+    the PREVIOUS DAY, not the running peak — a series can decline
+    for a week while still above an old trough, and vice versa.
+
+    Scale (100 TB): daily collapse then two ordered passes over the
+    bounded day axis; per-metric streams add the partition key."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.orderBy("d")
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    flagged = daily.select(
+        "d",
+        "cents",
+        F.when(F.col("cents") < F.lag("cents").over(w), 1)
+        .otherwise(0)
+        .alias("declined"),
+    )
+    runs = flagged.select(
+        "d",
+        "cents",
+        "declined",
+        F.sum(F.when(F.col("declined") == 0, 1).otherwise(0)).over(wc).alias("grp"),
+    )
+    wg = Window.partitionBy("grp").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    streaks = runs.select(
+        "d", "cents", "declined", F.sum("declined").over(wg).alias("streak")
+    )
+    return streaks.filter(F.col("streak") >= 1).select(
+        "d",
+        "cents",
+        "streak",
+        F.when(F.col("streak") >= 3, 1).otherwise(0).alias("alert"),
+    )
