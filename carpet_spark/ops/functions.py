@@ -2041,3 +2041,53 @@ def fn_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("p", 6).alias("global_rate"),
         )
     )
+
+
+@register(
+    "fn_iso_week_boundaries",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS cal_year,
+           CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CASE WHEN EXTRACT(year FROM o_orderdate)
+                     <> isoyear(o_orderdate) THEN 1 ELSE 0 END
+             AS boundary_mismatch
+    FROM orders
+    WHERE ((EXTRACT(month FROM o_orderdate) = 12
+            AND EXTRACT(day FROM o_orderdate) >= 26)
+        OR (EXTRACT(month FROM o_orderdate) = 1
+            AND EXTRACT(day FROM o_orderdate) <= 7))
+      AND o_orderkey % 3 = 0
+    """,
+)
+def fn_iso_week_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO week-date vs calendar-year disagreement at year boundaries:
+    for order dates in the year-end/new-year window, the calendar
+    year, ISO week-numbering year, and ISO week — with a flag for
+    the rows where they DISAGREE (Dec 29-31 can belong to next
+    year's week 1; Jan 1-3 to last year's week 52/53), the
+    off-by-one that corrupts every 'week 1' report written with
+    year(d) instead of yearofweek(d).  fn_fiscal_calendar_445
+    replaces the calendar; this op audits the standard one.
+
+    Scale (100 TB): pure projection with a pushed-down date-window
+    predicate — codegen, no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    iso_year = F.expr("extract(yearofweek FROM o_orderdate)").cast("long")
+    return o.filter(
+        (
+            ((F.month("o_orderdate") == 12) & (F.dayofmonth("o_orderdate") >= 26))
+            | ((F.month("o_orderdate") == 1) & (F.dayofmonth("o_orderdate") <= 7))
+        )
+        & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year("o_orderdate").cast("long").alias("cal_year"),
+        iso_year.alias("iso_year"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.when(F.year("o_orderdate").cast("long") != iso_year, 1)
+        .otherwise(0)
+        .alias("boundary_mismatch"),
+    )

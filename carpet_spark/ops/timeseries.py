@@ -3209,3 +3209,123 @@ def ts_decline_streak_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streak",
         F.when(F.col("streak") >= 2, 1).otherwise(0).alias("alert"),
     )
+
+
+@register(
+    "agg_hurst_rescaled_range",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS di,
+             SUM(CAST(ROUND("value" * 100) AS BIGINT)) / 100.0 AS y
+      FROM events GROUP BY 1
+    ),
+    ws AS (SELECT w FROM (VALUES (5), (10), (15)) v(w)),
+    blocks AS (
+      SELECT ws.w, d.di // ws.w AS blk, d.di, d.y,
+             AVG(d.y) OVER (PARTITION BY ws.w, d.di // ws.w) AS mu,
+             COUNT(*) OVER (PARTITION BY ws.w, d.di // ws.w) AS bn
+      FROM daily d CROSS JOIN ws
+    ),
+    cum AS (
+      SELECT w, blk, bn,
+             SUM(y - mu) OVER (PARTITION BY w, blk ORDER BY di
+                               ROWS UNBOUNDED PRECEDING) AS z,
+             y, mu
+      FROM blocks WHERE bn = w
+    ),
+    per_block AS (
+      SELECT w, blk,
+             MAX(z) - MIN(z) AS r,
+             sqrt(SUM((y - mu) * (y - mu)) / w) AS s
+      FROM cum GROUP BY w, blk, bn
+    ),
+    rs AS (
+      SELECT w, AVG(r / s) AS avg_rs FROM per_block WHERE s > 0 GROUP BY w
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(ln(w * 1.0)) AS sx,
+             SUM(ln(avg_rs)) AS sy,
+             SUM(ln(w * 1.0) * ln(avg_rs)) AS sxy,
+             SUM(ln(w * 1.0) * ln(w * 1.0)) AS sxx
+      FROM rs
+    )
+    SELECT np AS n_window_sizes,
+           round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6)
+             AS hurst_exponent
+    FROM fit
+    """,
+)
+def agg_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis: split the
+    daily series into blocks of 5/10/15 days, compute each block's
+    range-of-cumulative-deviations over its standard deviation, and
+    fit ln(R/S) against ln(window) — H ≈ 0.5 is a random walk, > 0.5
+    trending/persistent, < 0.5 mean-reverting (the regime diagnosis
+    behind ts_decline_streak_alert's empirical observation that
+    declines don't chain on this fixture).  Blocks drop when
+    incomplete; the log-log fit is closed-form OLS on three points.
+
+    Scale (100 TB): facts collapse to |days| then everything
+    windows over (window_size, block) partitions of that bounded
+    axis — the fan-out is 3×, not data-sized."""
+    ev = load(spark, sf_dir, "events")
+    di = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(di.alias("di")).agg(
+        (F.sum(cents) / F.lit(100.0)).alias("y")
+    )
+    ws = spark.createDataFrame([(5,), (10,), (15,)], "w int")
+    blk = F.floor(F.col("di") / F.col("w"))
+    wb = Window.partitionBy("w", blk)
+    blocks = daily.crossJoin(F.broadcast(ws)).select(
+        "w",
+        blk.alias("blk"),
+        "di",
+        "y",
+        F.avg("y").over(wb).alias("mu"),
+        F.count(F.lit(1)).over(wb).alias("bn"),
+    )
+    wcum = Window.partitionBy("w", "blk").orderBy("di").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = blocks.filter(F.col("bn") == F.col("w")).select(
+        "w",
+        "blk",
+        F.sum(F.col("y") - F.col("mu")).over(wcum).alias("z"),
+        "y",
+        "mu",
+    )
+    per_block = cum.groupBy("w", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(
+            F.sum((F.col("y") - F.col("mu")) * (F.col("y") - F.col("mu")))
+            / F.col("w")
+        ).alias("s"),
+    )
+    rs = (
+        per_block.filter(F.col("s") > 0)
+        .groupBy("w")
+        .agg(F.avg(F.col("r") / F.col("s")).alias("avg_rs"))
+    )
+    lx = F.log(F.col("w") * F.lit(1.0))
+    ly = F.log("avg_rs")
+    fit = rs.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    return fit.select(
+        F.col("np").alias("n_window_sizes"),
+        F.round(
+            (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("hurst_exponent"),
+    )

@@ -324,6 +324,7 @@ _R4_QUEUE = (
     "dq_hash_collision_audit", "agg_wilcoxon_signed_rank",
     "agg_contingency_residuals", "ab_cochran_armitage_trend",
     "agg_price_endings_profile", "ts_decline_streak_alert",
+    "agg_hurst_rescaled_range", "fn_iso_week_boundaries",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
