@@ -2431,3 +2431,101 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_proportional"),
     )
+
+
+@register(
+    "sample_ipw_ess",
+    oracle="""
+    WITH pop AS (
+      SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_pop
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    samp AS (
+      SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_samp
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE o.o_orderpriority = '1-URGENT'
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_pop) AS BIGINT) AS np_tot FROM pop
+    ),
+    stot AS (
+      SELECT CAST(SUM(n_samp) AS BIGINT) AS ns_tot FROM samp
+    ),
+    w AS (
+      SELECT p.seg, p.n_pop, s.n_samp,
+             (p.n_pop * 1.0 / t.np_tot) / (s.n_samp * 1.0 / st.ns_tot)
+               AS wt
+      FROM pop p JOIN samp s ON s.seg = p.seg
+      CROSS JOIN tot t CROSS JOIN stot st
+    ),
+    ess AS (
+      SELECT SUM(n_samp * wt) * SUM(n_samp * wt)
+             / SUM(n_samp * wt * wt) AS ess_val,
+             CAST(SUM(n_samp) AS BIGINT) AS n_total
+      FROM w
+    )
+    SELECT w.seg, w.n_pop, w.n_samp, round(w.wt, 6) AS ipw_weight,
+           round((SELECT ess_val FROM ess), 6) AS effective_sample_size,
+           (SELECT n_total FROM ess) AS raw_sample_size
+    FROM w
+    """,
+)
+def sample_ipw_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-probability weights that rebalance a biased slice (the
+    urgent-priority orders) back to the full population's segment
+    mix, with the Kish effective sample size (Σw)²/Σw² that says how
+    much statistical power the reweighting costs — the
+    survey-weighting core of every observational comparison
+    (ab_cuped_adjustment reduces variance WITHIN an experiment; IPW
+    corrects composition when you never randomized).  Weights are
+    ratios of exact count shares; ESS folds the per-segment weights
+    with their multiplicities.
+
+    Scale (100 TB): two broadcast-dim grouped counts and a
+    |segments|-row weight table — the reweighting itself is then a
+    broadcast join of this table onto any downstream metric scan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    pop = base.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop")
+    )
+    samp = (
+        base.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_samp"))
+    )
+    tot = pop.agg(F.sum("n_pop").cast("long").alias("np_tot"))
+    stot = samp.agg(F.sum("n_samp").cast("long").alias("ns_tot"))
+    w = (
+        pop.join(samp, "seg")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(stot))
+        .select(
+            "seg",
+            "n_pop",
+            "n_samp",
+            (
+                (F.col("n_pop") * F.lit(1.0) / F.col("np_tot"))
+                / (F.col("n_samp") * F.lit(1.0) / F.col("ns_tot"))
+            ).alias("wt"),
+        )
+    )
+    ess = w.agg(
+        (
+            F.sum(F.col("n_samp") * F.col("wt"))
+            * F.sum(F.col("n_samp") * F.col("wt"))
+            / F.sum(F.col("n_samp") * F.col("wt") * F.col("wt"))
+        ).alias("ess_val"),
+        F.sum("n_samp").cast("long").alias("n_total"),
+    )
+    return w.crossJoin(F.broadcast(ess)).select(
+        "seg",
+        "n_pop",
+        "n_samp",
+        F.round("wt", 6).alias("ipw_weight"),
+        F.round("ess_val", 6).alias("effective_sample_size"),
+        F.col("n_total").alias("raw_sample_size"),
+    )

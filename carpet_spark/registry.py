@@ -325,6 +325,7 @@ _R4_QUEUE = (
     "agg_contingency_residuals", "ab_cochran_armitage_trend",
     "agg_price_endings_profile", "ts_decline_streak_alert",
     "agg_hurst_rescaled_range", "fn_iso_week_boundaries",
+    "graph_k_core_peel", "sample_ipw_ess",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
