@@ -810,7 +810,7 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0
       ) GROUP BY x
     ),
-    v1 AS (SELECT vtx FROM d1 WHERE deg >= 3),
+    v1 AS (SELECT vtx FROM d1 WHERE deg >= 14),
     e1 AS (
       SELECT e0.u, e0.v FROM e0
       JOIN v1 a ON a.vtx = e0.u JOIN v1 b ON b.vtx = e0.v
@@ -820,7 +820,7 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u AS x FROM e1 UNION ALL SELECT v FROM e1
       ) GROUP BY x
     ),
-    v2 AS (SELECT vtx FROM d2 WHERE deg >= 3),
+    v2 AS (SELECT vtx FROM d2 WHERE deg >= 14),
     e2 AS (
       SELECT e1.u, e1.v FROM e1
       JOIN v2 a ON a.vtx = e1.u JOIN v2 b ON b.vtx = e1.v
@@ -830,7 +830,7 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT u AS x FROM e2 UNION ALL SELECT v FROM e2
       ) GROUP BY x
     ),
-    v3 AS (SELECT vtx FROM d3 WHERE deg >= 3),
+    v3 AS (SELECT vtx FROM d3 WHERE deg >= 14),
     e3 AS (
       SELECT e2.u, e2.v FROM e2
       JOIN v3 a ON a.vtx = e2.u JOIN v3 b ON b.vtx = e2.v
@@ -845,8 +845,8 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core peeling of the undirected trade graph: repeatedly drop
-    vertices with degree < 3 and the edges that hang off them,
+    """14-core peeling of the undirected trade graph: repeatedly drop
+    vertices with degree < 14 and the edges that hang off them,
     reporting surviving vertex/edge counts per round — the
     cohesive-subgraph extraction (k-core) that separates the densely
     interlocked trading core from hangers-on, where one thresholded
@@ -876,7 +876,7 @@ def graph_k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("x")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= 3).select(F.col("x").alias("vtx"))
+        keep = deg.filter(F.col("deg") >= 14).select(F.col("x").alias("vtx"))
         e = (
             e.join(keep.withColumnRenamed("vtx", "u"), "u")
             .join(keep.withColumnRenamed("vtx", "v"), "v")
