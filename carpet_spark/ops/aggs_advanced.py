@@ -4934,3 +4934,64 @@ def agg_price_endings_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dq_penny_drift_audit",
+    oracle="""
+    WITH x AS (
+      SELECT c.c_nationkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(o.o_totalprice) AS BIGINT) AS rounded_dollars
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS exact_cents,
+           CAST(SUM(rounded_dollars) * 100 AS BIGINT)
+             AS sum_of_rounded_cents,
+           CAST(SUM(rounded_dollars) * 100 - SUM(cents) AS BIGINT)
+             AS drift_cents,
+           round((SUM(rounded_dollars) * 100 - SUM(cents)) * 1.0
+                 / COUNT(*), 6) AS drift_cents_per_order
+    FROM x GROUP BY c_nationkey
+    """,
+)
+def dq_penny_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Penny-drift audit: per nation, the exact cents total against
+    the total of per-row ROUNDED dollars — the reconciliation gap
+    that appears whenever a report rounds rows before summing (the
+    classic 'sum of the rounded ≠ round of the sum' bug, and the
+    mechanism of salami-slicing fraud).  Drift per order near zero
+    means rounding errors cancel as they should; a systematic bias
+    means someone's rounding isn't symmetric (fn_round_half_even
+    shows exactly which policy choice causes that).  Everything is
+    exact integer arithmetic.
+
+    Scale (100 TB): one broadcast-dim join, one map-side-combined
+    rollup — a single scan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    rdollars = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) + 0.5).cast("long"))
+    ).cast("long")
+    x = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_nationkey", cents.alias("cents"), rdollars.alias("rounded_dollars")
+    )
+    return x.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("exact_cents"),
+        (F.sum("rounded_dollars") * 100).cast("long").alias("sum_of_rounded_cents"),
+        (F.sum("rounded_dollars") * 100 - F.sum("cents"))
+        .cast("long")
+        .alias("drift_cents"),
+        F.round(
+            (F.sum("rounded_dollars") * 100 - F.sum("cents"))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("drift_cents_per_order"),
+    )

@@ -326,6 +326,7 @@ _R4_QUEUE = (
     "agg_price_endings_profile", "ts_decline_streak_alert",
     "agg_hurst_rescaled_range", "fn_iso_week_boundaries",
     "graph_k_core_peel", "sample_ipw_ess",
+    "fn_checkdigit_ean13", "dq_penny_drift_audit",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
