@@ -3329,3 +3329,138 @@ def agg_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hurst_exponent"),
     )
+
+
+@register(
+    "ts_day_percentile_vs_history",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT cur.d, cur.cents,
+             CAST(COUNT(h.d) AS BIGINT) AS n_history,
+             CAST(SUM(CASE WHEN h.cents < cur.cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_below,
+             CAST(SUM(CASE WHEN h.cents = cur.cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_equal
+      FROM daily cur JOIN daily h ON h.d < cur.d
+      GROUP BY cur.d, cur.cents
+    )
+    SELECT d, cents, n_history,
+           round((n_below + 0.5 * n_equal) / n_history, 6)
+             AS pct_vs_history
+    FROM scored WHERE n_history >= 7
+    """,
+)
+def ts_day_percentile_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Today was a p87 day': each day's revenue expressed as its
+    midrank percentile among ALL prior days — the anomaly framing
+    humans actually parse (z-scores assume normality,
+    ts_percentile_bands uses a fixed trailing window; this uses the
+    full expanding history, which is how 'best day since launch'
+    claims are checked).  The expanding comparison runs as a
+    bounded self-join on the day axis with exact integer compares;
+    days with under a week of history are withheld rather than
+    reported on 2-day baselines.
+
+    Scale (100 TB): facts collapse to |days| first; the |days|²/2
+    expanding pair set stays trivial for years of dailies (for
+    per-entity×minute grids, swap to a mergeable quantile sketch
+    probed per row)."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    cur = daily.select(F.col("d").alias("dc"), F.col("cents").alias("vc"))
+    h = daily.select(F.col("d").alias("dh"), F.col("cents").alias("vh"))
+    scored = (
+        cur.join(F.broadcast(h), F.col("dh") < F.col("dc"))
+        .groupBy("dc", "vc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_history"),
+            F.sum(F.when(F.col("vh") < F.col("vc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_below"),
+            F.sum(F.when(F.col("vh") == F.col("vc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_equal"),
+        )
+    )
+    return scored.filter(F.col("n_history") >= 7).select(
+        F.col("dc").alias("d"),
+        F.col("vc").alias("cents"),
+        "n_history",
+        F.round(
+            (F.col("n_below") + 0.5 * F.col("n_equal")) / F.col("n_history"), 6
+        ).alias("pct_vs_history"),
+    )
+
+
+@register(
+    "agg_log_return_volatility",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    rets AS (
+      SELECT ln(cents * 1.0 / LAG(cents) OVER (ORDER BY d)) AS r
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(r) AS BIGINT) AS n, AVG(r) AS mu,
+             SUM(r * r) AS srr
+      FROM rets WHERE r IS NOT NULL
+    )
+    SELECT n,
+           round(mu, 6) AS mean_log_return,
+           round(sqrt(srr / n - mu * mu), 6) AS daily_vol,
+           round(sqrt(srr / n - mu * mu) * sqrt(365.0), 6)
+             AS annualized_vol
+    FROM m
+    """,
+)
+def agg_log_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-return volatility of daily revenue: mean daily log return
+    and the population standard deviation, annualized by √365 — the
+    finance-standard variability scalar that is scale-free and
+    time-additive where raw-level dispersion (ts_bollinger_bands)
+    is neither; the number that makes this series comparable to any
+    other series.  Returns are ln of exact integer cent ratios;
+    each term is O(0.1), so 6-dp rounding dominates engine float
+    order.
+
+    Scale (100 TB): daily collapse, one lag pass, one 1-row moment
+    reduction — per-entity vol surfaces add the partition key."""
+    ev = load(spark, sf_dir, "events")
+    cents = (
+        F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.orderBy("d")
+    rets = daily.select(
+        F.log(F.col("cents") * F.lit(1.0) / F.lag("cents").over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    m = rets.agg(
+        F.count("r").cast("long").alias("n"),
+        F.avg("r").alias("mu"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+    )
+    vol = F.sqrt(F.col("srr") / F.col("n") - F.col("mu") * F.col("mu"))
+    return m.select(
+        "n",
+        F.round("mu", 6).alias("mean_log_return"),
+        F.round(vol, 6).alias("daily_vol"),
+        F.round(vol * F.sqrt(F.lit(365.0)), 6).alias("annualized_vol"),
+    )

@@ -327,6 +327,7 @@ _R4_QUEUE = (
     "agg_hurst_rescaled_range", "fn_iso_week_boundaries",
     "graph_k_core_peel", "sample_ipw_ess",
     "fn_checkdigit_ean13", "dq_penny_drift_audit",
+    "ts_day_percentile_vs_history", "agg_log_return_volatility",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
