@@ -4916,3 +4916,47 @@ def agg_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r / 100 - 1.96 * se, 6).alias("ci_lo"),
         F.round(r / 100 + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_customer_tenure_dist",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             datediff('day', MIN(o_orderdate), MAX(o_orderdate)) AS span,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT span // 365 AS tenure_years,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(AVG(n_orders), 6) AS avg_orders,
+           CAST(MIN(span) AS BIGINT) AS min_span_days,
+           CAST(MAX(span) AS BIGINT) AS max_span_days
+    FROM per GROUP BY 1
+    """,
+)
+def agg_customer_tenure_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer tenure distribution: first-to-last-order span bucketed
+    into whole years, with how many customers land in each bucket
+    and how order volume grows with tenure — the base-rate table
+    behind every LTV extrapolation (agg_cohort_ltv projects value
+    over time; this shows how much OBSERVED lifetime the data
+    actually contains, the check that stops a 7-year LTV claim built
+    on 18 months of history).  Spans are exact day differences;
+    buckets are integer division.
+
+    Scale (100 TB): one per-customer min/max/count combine, one
+    bounded rollup — single scan."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("span"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    return per.groupBy(
+        F.floor(F.col("span") / 365).cast("long").alias("tenure_years")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.avg("n_orders"), 6).alias("avg_orders"),
+        F.min("span").cast("long").alias("min_span_days"),
+        F.max("span").cast("long").alias("max_span_days"),
+    )

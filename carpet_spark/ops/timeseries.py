@@ -3464,3 +3464,71 @@ def agg_log_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vol, 6).alias("daily_vol"),
         F.round(vol * F.sqrt(F.lit(365.0)), 6).alias("annualized_vol"),
     )
+
+
+@register(
+    "ts_month_seasonal_index",
+    oracle="""
+    WITH monthly AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr,
+             EXTRACT(month FROM o_orderdate) AS mo,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1993 AND 1997
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT yr, mo,
+             cents * 1.0 / SUM(cents) OVER (PARTITION BY yr) AS share
+      FROM monthly
+    )
+    SELECT mo AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_years,
+           round(AVG(share) * 12, 6) AS seasonal_index,
+           round(MIN(share) * 12, 6) AS min_index,
+           round(MAX(share) * 12, 6) AS max_index
+    FROM shares GROUP BY mo
+    """,
+)
+def ts_month_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index over five complete years of
+    orders: each month's share of its year's revenue, averaged
+    across years and scaled so 1.0 = a seasonally flat month — the
+    annual-cycle complement to the weekday family
+    (ts_seasonality_dow, ts_fourier_weekly_fit work the events
+    month; THIS uses the multi-year order history, the only fixture
+    axis long enough to see an annual cycle), with min/max across
+    years exposing how stable each month's index is.  Within-year
+    shares make the index level-proof: a growth trend cannot fake
+    seasonality.
+
+    Scale (100 TB): facts collapse to |years|×12 cells in one
+    map-side-combined pass; everything after is bounded."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    monthly = (
+        o.filter(F.year("o_orderdate").between(1993, 1997))
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    shares = monthly.select(
+        "yr",
+        "mo",
+        (
+            F.col("cents")
+            * F.lit(1.0)
+            / F.sum("cents").over(Window.partitionBy("yr"))
+        ).alias("share"),
+    )
+    return shares.groupBy(F.col("mo").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+        F.round(F.avg("share") * 12, 6).alias("seasonal_index"),
+        F.round(F.min("share") * 12, 6).alias("min_index"),
+        F.round(F.max("share") * 12, 6).alias("max_index"),
+    )
