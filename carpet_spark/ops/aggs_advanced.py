@@ -4995,3 +4995,82 @@ def dq_penny_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drift_cents_per_order"),
     )
+
+
+@register(
+    "agg_hhi_yearly_trend",
+    oracle="""
+    WITH per AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr, c.c_nationkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE EXTRACT(year FROM o.o_orderdate) BETWEEN 1993 AND 1997
+      GROUP BY 1, 2
+    ),
+    shares AS (
+      SELECT yr, c_nationkey,
+             cents * 1.0 / SUM(cents) OVER (PARTITION BY yr) AS s
+      FROM per
+    ),
+    hhi AS (
+      SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_nations,
+             SUM(s * s) AS h
+      FROM shares GROUP BY yr
+    )
+    SELECT yr, n_nations,
+           round(h, 6) AS hhi,
+           round((h - 1.0 / n_nations) / (1 - 1.0 / n_nations), 6)
+             AS hhi_normalized,
+           round(h - LAG(h) OVER (ORDER BY yr), 6) AS hhi_delta
+    FROM hhi
+    """,
+)
+def agg_hhi_yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration TREND: the Herfindahl-Hirschman index of
+    nation revenue shares per year, normalized for the number of
+    players, with year-over-year deltas — the question regulators
+    and strategy decks actually ask ('is this market concentrating?')
+    where agg_hhi_concentration's single snapshot can't answer it.
+    Shares are within-year exact ratios, so a growing market doesn't
+    masquerade as a concentrating one.
+
+    Scale (100 TB): facts collapse to |years|×|nations| cells; the
+    share window, HHI rollup, and lag all run on that bounded
+    grid."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = (
+        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = (
+        o.filter(F.year("o_orderdate").between(1993, 1997))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), "c_nationkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    shares = per.select(
+        "yr",
+        (
+            F.col("cents")
+            * F.lit(1.0)
+            / F.sum("cents").over(Window.partitionBy("yr"))
+        ).alias("s"),
+    )
+    hhi = shares.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum(F.col("s") * F.col("s")).alias("h"),
+    )
+    return hhi.select(
+        "yr",
+        "n_nations",
+        F.round("h", 6).alias("hhi"),
+        F.round(
+            (F.col("h") - F.lit(1.0) / F.col("n_nations"))
+            / (1 - F.lit(1.0) / F.col("n_nations")),
+            6,
+        ).alias("hhi_normalized"),
+        F.round(
+            F.col("h") - F.lag("h").over(Window.orderBy("yr")), 6
+        ).alias("hhi_delta"),
+    )

@@ -1315,3 +1315,50 @@ def scan_csv_dateformat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@register(
+    "sink_tsv_roundtrip",
+    oracle="""
+    SELECT n_name, r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def sink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tab-separated-values roundtrip: the supplier→nation→region
+    denormalization written as TSV (sep='\\t' — the format half of
+    bioinformatics and most spreadsheet exports actually use, where
+    commas inside names make plain CSV ambiguous), read back through
+    an explicit schema and re-aggregated against a source-side
+    oracle.  Money crosses as integer cents per the repo's text
+    interchange rule.
+
+    Scale (100 TB): same parallel projection properties as the CSV
+    sinks; uncompressed text splits by line so read parallelism is
+    byte-range."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    cents = (
+        F.signum("s_acctbal") * ((F.abs(F.col("s_acctbal")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    df = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_name", "r_name", cents.alias("bal_cents"))
+    )
+    out = _sink_path(spark, "sink_tsv")
+    df.write.mode("overwrite").option("header", True).option("sep", "\t").csv(out)
+    back = spark.read.schema(
+        "n_name string, r_name string, bal_cents long"
+    ).option("header", True).option("sep", "\t").csv(out)
+    return back.groupBy("n_name", "r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+    )

@@ -329,6 +329,7 @@ _R4_QUEUE = (
     "fn_checkdigit_ean13", "dq_penny_drift_audit",
     "ts_day_percentile_vs_history", "agg_log_return_volatility",
     "ts_month_seasonal_index", "agg_customer_tenure_dist",
+    "sink_tsv_roundtrip", "agg_hhi_yearly_trend",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
