@@ -414,20 +414,20 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_expectations",
     oracle="""
     SELECT 'l_discount_in_range' AS rule, COUNT(*) AS n_rows,
-           SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.10 THEN 1 ELSE 0 END)
-             AS n_violations
+           CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.10 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_violations
     FROM lineitem
     UNION ALL
     SELECT 'l_quantity_positive', COUNT(*),
-           SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'l_returnflag_accepted', COUNT(*),
-           SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'l_shipdate_complete', COUNT(*),
-           SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'o_orderkey_unique', COUNT(*) ,

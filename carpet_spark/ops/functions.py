@@ -175,13 +175,19 @@ def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_str,
            CAST(l_orderkey AS VARCHAR) AS key_str,
            CAST('00042' AS INTEGER) AS int_from_str,
-           CAST(l_quantity AS DECIMAL(18,4)) AS qty_dec
+           CAST(CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE) AS qty_dec
     FROM lineitem
     """,
 )
 def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast chains: timestamp→string→date, double→decimal(18,4)→string
-    (both engines render the full scale, probed: '1.5000'), int↔string."""
+    (both engines render the full scale, probed: '1.5000'), int↔string.
+
+    qty_dec exercises the decimal(18,4) cast but is PROJECTED back to
+    double on both sides: the driver hashes pandas frames, where a Spark
+    decimal survives as a Decimal object while DuckDB DECIMAL collapses to
+    float64 — an unavoidable hash mismatch (r03 driver FAIL, fixed here).
+    The decimal→string rendering stays covered by price_str."""
     li = load(spark, sf_dir, "lineitem")
     ship_s = F.date_format("l_shipdate", "yyyy-MM-dd")
     return li.select(
@@ -191,7 +197,7 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,4)").cast("string").alias("price_str"),
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.lit("00042").cast("int").alias("int_from_str"),
-        F.col("l_quantity").cast("decimal(18,4)").alias("qty_dec"),
+        F.col("l_quantity").cast("decimal(18,4)").cast("double").alias("qty_dec"),
     )
 
 
@@ -682,7 +688,7 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS long_toks,
            CAST(len(list_filter(toks, x -> x = 'the')) > 0 AS INT) AS has_the,
            CAST(len(list_filter(toks, x -> length(x) > 12)) = 0 AS INT) AS all_short,
-           list_sum(list_transform(toks, x -> length(x))) AS char_sum,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS char_sum,
            list_reduce(list_slice(toks, 1, 4), (a, x) -> a || '|' || x) AS piped4
     FROM t
     """,

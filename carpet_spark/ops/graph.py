@@ -81,7 +81,8 @@ def _pagerank_oracle() -> str:
             f"  FROM verts)"
         )
     return (
-        base + ",\n" + ",\n".join(steps) + f"\nSELECT v AS nationkey, rank AS pr_fixed"
+        base + ",\n" + ",\n".join(steps)
+        + f"\nSELECT v AS nationkey, CAST(rank AS BIGINT) AS pr_fixed"
         f" FROM r{_N_ITER}"
     )
 

@@ -480,7 +480,7 @@ def ts_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INTEGER), -1 FROM orders
     ),
     daily AS (
-      SELECT d, SUM(delta) AS net FROM deltas GROUP BY d
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d
     )
     SELECT d, net,
            CAST(SUM(net) OVER (ORDER BY d
@@ -3154,8 +3154,8 @@ def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     streaks AS (
       SELECT d, cents, declined,
-             SUM(declined) OVER (PARTITION BY grp ORDER BY d
-                                 ROWS UNBOUNDED PRECEDING) AS streak
+             CAST(SUM(declined) OVER (PARTITION BY grp ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS streak
       FROM runs
     )
     SELECT d, cents, streak,

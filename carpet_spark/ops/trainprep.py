@@ -181,8 +181,8 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
       SELECT user_id, ts, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -253,7 +253,7 @@ _NORM_SQL = (
     )
     SELECT vec_id, label, l2_norm,
            list_min(qv) AS q_min, list_max(qv) AS q_max,
-           list_sum(qv) AS q_sum
+           CAST(list_sum(qv) AS INTEGER) AS q_sum
     FROM q
     """,
 )
@@ -301,7 +301,7 @@ _TOK_RE = "([a-z]+|[0-9]+|[^a-z0-9 ])"
       FROM documents
     )
     SELECT source, COUNT(*) AS n_docs,
-           SUM(n_tok) AS total_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
            MAX(n_tok) AS max_tokens,
            CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM t GROUP BY source
@@ -890,7 +890,7 @@ def quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.doc_id,
            COUNT(*) AS n_spans,
-           SUM(CASE WHEN p.nd > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+           CAST(SUM(CASE WHEN p.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
            ROUND(SUM(CASE WHEN p.nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
              AS dup_frac
     FROM spans s JOIN per p USING (dig)
@@ -1141,7 +1141,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, prefix5 AS modal_prefix, c,
              ROW_NUMBER() OVER (PARTITION BY source
                                 ORDER BY c DESC, prefix5 ASC) AS rk,
-             SUM(c) OVER (PARTITION BY source) AS n_docs
+             CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
       FROM counts
     )
     SELECT source, n_docs, modal_prefix, c AS n_modal,

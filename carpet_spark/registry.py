@@ -61,62 +61,66 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # was audited this round for array/map-typed output columns (none — the
 # driver canonicalizer cannot hash those, SURVEY §7.5).
 _PRIORITY_WINDOW = (
-    # --- the 13 §2 stragglers: first, cheap, scalar-only outputs ---
-    "fn_array",  # r02 FAIL → fixed (array_join witnesses, VERDICT item 1)
-    "fn_cond",
+    # --- r4 leads with the 12 type-class fixes (r03 VERDICT item 1): the 5
+    #     driver-confirmed hash failures, then the 7 latent ops the schema
+    #     sweep flagged — all now cast BIGINT/DOUBLE on the oracle side and
+    #     re-verified green under the driver-faithful pandas harness
+    #     (testing.py compare) at sf0.01 AND sf0.001 ---
     "fn_cast",
-    "fn_map",
-    "agg_stats",
-    "agg_collect",
-    "agg_grouping_sets",
-    "win_range_frame",
-    "win_ntile_pct",
-    "win_first_last",
-    "agg_approx_distinct",      # rows-only by design (HLL sketch)
-    "stream_dedup_watermark",   # rows-only by design (streaming identity)
-    "stream_late_data",         # rows-only by design (streaming identity)
-    # --- headline bench queries never driver-verified ---
-    "q3_top_orders",
-    "distinct_users",
-    # --- TPC-H suite (tpch.py), numeric order ---
-    "q2_min_cost_supplier",
-    "q4_priority_check",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
     "q12_late_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # --- trainprep family (all hash-oracled; agg_hll_merge is rows-only
-    #     and queued for r4 instead) ---
-    "text_clean_html",
-    "pii_text_scrub",
-    "sample_hash_split",
     "ts_sessionize",
     "emb_quantize",
     "text_bpe_tokens",
-    "dedup_cross_corpus",
-    "pack_shards",
-    "shuffle_deterministic",
-    "chunk_documents",
-    "sample_domain_mix",
-    # --- timeseries family, complete ---
-    "ts_gapfill",
-    "ts_ohlc",
-    "ts_locf",
+    "dedup_span_corpus",
+    "dq_expectations",
+    "fn_lambda",
+    "graph_pagerank",
+    "text_boilerplate_prefix",
+    "ts_decline_streak_alert",
+    "ts_inflight_orders",
+    # --- DATE canary (r03 VERDICT item 8): a driver-proven-green DATE op
+    #     stays early in every window so a driver-side tightening of
+    #     date-vs-timestamp canonicalization is caught immediately ---
     "ts_rollup_multi",
-    "ts_interpolate",
+    # --- continue the r4 queue: llm/trainprep leftovers -> analytics ->
+    #     mutations -> reshape -> sqlsurface -> graph (r02 ordering) ---
+    "agg_hll_merge",
+    "text_token_entropy",
+    "quality_train_score",
+    "pipeline_rag_topk",
+    "funnel_conversion",
+    "retention_cohorts",
+    "ab_welch_ttest",
+    "win_activity_streaks",
+    "basket_pair_counts",
+    "conversion_lag_stats",
+    "emb_norm_stats",
+    "rfm_segments",
+    "feature_quantile_bucketize",
+    "geo_haversine_radius",
+    "geo_cell_join_radius",
+    "dist_cumulative_share",
+    "text_fingerprint",
+    "dedup_apply",
+    "text_repetition",
+    "dedup_keep_best",
+    "dedup_survivorship",
+    "text_quality_score",
+    "merge_upsert",
+    "cdc_compact_latest",
+    "scd2_history",
+    "agg_pivot",
+    "unpivot_melt",
+    "sample_stratified",
+    "sample_seeded",
+    "sql_recursive_cte",
+    "sql_lateral_topn",
+    "sql_pipe_syntax",
+    "sql_udf_registered",
+    "graph_bfs_hops",
+    "sink_partition_prune",
+    "scan_dpp",
+    "scan_schema_evolution",
 )
 
 # Round-4+ queue (r02 VERDICT item 3): every op without a driver
@@ -378,7 +382,61 @@ _R02_VERIFIED = frozenset(
     }
 )
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED
+# The 45 ops the driver hash- or rows-verified green in round 3
+# (CORRECTNESS_r03 keys minus the 5 hash failures, which lead the r4
+# window after their type-class fixes) — parked at the tail.
+_R03_VERIFIED = frozenset(
+    {
+        "fn_array",
+        "fn_cond",
+        "fn_map",
+        "agg_stats",
+        "agg_collect",
+        "agg_grouping_sets",
+        "win_range_frame",
+        "win_ntile_pct",
+        "win_first_last",
+        "agg_approx_distinct",
+        "stream_dedup_watermark",
+        "stream_late_data",
+        "q3_top_orders",
+        "distinct_users",
+        "q2_min_cost_supplier",
+        "q4_priority_check",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q11_important_stock",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
+        "q17_small_qty_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q20_excess_suppliers",
+        "q21_waiting_suppliers",
+        "q22_dormant_customers",
+        "text_clean_html",
+        "pii_text_scrub",
+        "sample_hash_split",
+        "dedup_cross_corpus",
+        "pack_shards",
+        "shuffle_deterministic",
+        "chunk_documents",
+        "sample_domain_mix",
+        "ts_gapfill",
+        "ts_ohlc",
+        "ts_locf",
+        "ts_rollup_multi",
+        "ts_interpolate",
+    }
+)
+
+
+_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED
 
 
 def _ordered_names() -> list[str]:
