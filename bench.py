@@ -103,7 +103,15 @@ def _sort_bracket_segments(s: str) -> str:
     Sorting the top-level comma segments of every [..] / (..) region
     makes the fingerprint order-insensitive while still moving on any
     real change (extra exchange, different operator, changed key SET,
-    lost pushdown)."""
+    lost pushdown).
+
+    Order-SENSITIVE plan lines are exempt (r03 ADVICE): Sort /
+    TakeOrderedAndProject / Window carry ORDER BY key lists whose order
+    is semantic, and join operators carry pairwise-corresponding
+    left/right key lists — sorting those would hide a real reordering
+    regression.  The exprId-hash instability this function exists for
+    (RewriteDistinctAggregates attribute sets) only affects grouping /
+    Expand / partitioning lines, which still sort."""
 
     def canon(text: str, i: int, closer: str) -> tuple[str, int]:
         # segments strip their surrounding whitespace before sorting —
@@ -131,8 +139,15 @@ def _sort_bracket_segments(s: str) -> str:
         segs.append("".join(cur).strip())
         return ",".join(sorted(segs)) if closer else "".join(segs), i
 
+    order_sensitive = (
+        "Sort [", "TakeOrderedAndProject", "Window [", "WindowGroupLimit",
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+    )
     out_lines = []
     for line in s.splitlines():
+        if any(tok in line for tok in order_sensitive):
+            out_lines.append(line)
+            continue
         done, i = [], 0
         while i < len(line):
             c = line[i]

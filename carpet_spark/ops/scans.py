@@ -334,6 +334,68 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- JSON-lines Python Data Source sink (module-level so the two-phase
+# task-commit protocol is unit-testable; regression tests in
+# tests/test_edge_cases.py cover commit([.., None]) from empty/failed
+# task attempts) ---
+import json as _json
+import uuid as _uuid
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql.datasource import (
+    DataSource as _DataSource,
+    DataSourceWriter as _DataSourceWriter,
+    WriterCommitMessage as _WriterCommitMessage,
+)
+
+
+@_dataclass
+class PartCommit(_WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class JsonLinesWriter(_DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        # unique per task ATTEMPT: a retried/speculative attempt writes
+        # a fresh file and only the attempt that reaches commit() is
+        # manifested
+        part = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return PartCommit(path=part, rows=n)
+
+    def commit(self, messages):
+        manifest = os.path.join(self.path, "_MANIFEST")
+        with open(manifest, "w") as f:
+            for m in messages:
+                # a task that wrote nothing can commit None — same
+                # guard as abort() and the streaming sink's commit()
+                if m is not None:
+                    f.write(m.path + "\n")
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonLinesDataSource(_DataSource):
+    @classmethod
+    def name(cls):
+        return "jsonlines"
+
+    def writer(self, schema, overwrite):
+        return JsonLinesWriter(self.options)
+
+
 @register(
     "sink_python_datasource_roundtrip",
     oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier",
@@ -352,60 +414,6 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     100 TB design: writes are executor-local and embarrassingly parallel
     (one part per task, no shuffle); the only driver-side work is the
     O(|tasks|) manifest."""
-    import json
-    import uuid as _uuid
-    from dataclasses import dataclass
-
-    from pyspark.sql.datasource import (
-        DataSource,
-        DataSourceWriter,
-        WriterCommitMessage,
-    )
-
-    @dataclass
-    class PartCommit(WriterCommitMessage):
-        path: str
-        rows: int
-
-    class JsonLinesWriter(DataSourceWriter):
-        def __init__(self, options):
-            self.path = options["path"]
-
-        def write(self, iterator):
-            os.makedirs(self.path, exist_ok=True)
-            # unique per task ATTEMPT: a retried/speculative attempt writes
-            # a fresh file and only the attempt that reaches commit() is
-            # manifested
-            part = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
-            n = 0
-            with open(part, "w") as f:
-                for row in iterator:
-                    f.write(json.dumps(row.asDict()) + "\n")
-                    n += 1
-            return PartCommit(path=part, rows=n)
-
-        def commit(self, messages):
-            manifest = os.path.join(self.path, "_MANIFEST")
-            with open(manifest, "w") as f:
-                for m in messages:
-                    # a task that wrote nothing can commit None — same
-                    # guard as abort() and the streaming sink's commit()
-                    if m is not None:
-                        f.write(m.path + "\n")
-
-        def abort(self, messages):
-            for m in messages:
-                if m is not None and os.path.exists(m.path):
-                    os.remove(m.path)
-
-    class JsonLinesDataSource(DataSource):
-        @classmethod
-        def name(cls):
-            return "jsonlines"
-
-        def writer(self, schema, overwrite):
-            return JsonLinesWriter(self.options)
-
     spark.dataSource.register(JsonLinesDataSource)
     out = _sink_path(spark, "pyds_jsonl")
     sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")

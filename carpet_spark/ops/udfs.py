@@ -226,6 +226,44 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arrow_l2_batches(batches):
+    """mapInArrow kernel for udf_arrow_map — module-level so the
+    null/ragged fallback is unit-testable (tests/test_edge_cases.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        if len(batch) == 0:
+            continue
+        emb = batch.column("embedding")
+        # flatten+reshape only when the batch is provably rectangular
+        # (no nulls, equal lengths); otherwise fall back to a per-list
+        # offset walk so a null or ragged vector can't silently
+        # misalign the flattened buffer
+        lengths = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
+        if emb.null_count == 0 and len(set(lengths.tolist())) == 1:
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat = flat.reshape(len(emb), -1)
+            out = np.sqrt((mat * mat).sum(axis=1))
+        else:
+            out = np.array(
+                [
+                    np.nan
+                    if v is None
+                    else np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2))
+                    for v in emb.to_pylist()
+                ]
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("vec_id"),
+                batch.column("label"),
+                pa.array(out),
+            ],
+            names=["vec_id", "label", "l2_norm"],
+        )
+
+
 @register(
     "udf_arrow_map",
     oracle="""
@@ -246,47 +284,10 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow wire format avoids both pickling and pandas boxing (the two
     costs udf_scalar and udf_pandas pay respectively), and the op is a
     pure narrow map — zero shuffle at any scale."""
-    import numpy as np
-    import pyarrow as pa
-
-    def norms(batches):
-        for batch in batches:
-            if len(batch) == 0:
-                continue
-            emb = batch.column("embedding")
-            # flatten+reshape only when the batch is provably rectangular
-            # (no nulls, equal lengths); otherwise fall back to a per-list
-            # offset walk so a null or ragged vector can't silently
-            # misalign the flattened buffer
-            lengths = np.diff(emb.offsets.to_numpy(zero_copy_only=False))
-            if emb.null_count == 0 and len(set(lengths.tolist())) == 1:
-                flat = (
-                    emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-                )
-                mat = flat.reshape(len(emb), -1)
-                out = np.sqrt((mat * mat).sum(axis=1))
-            else:
-                out = np.array(
-                    [
-                        np.nan
-                        if v is None
-                        else np.sqrt(
-                            np.sum(np.asarray(v, dtype=np.float64) ** 2)
-                        )
-                        for v in emb.to_pylist()
-                    ]
-                )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column("vec_id"),
-                    batch.column("label"),
-                    pa.array(out),
-                ],
-                names=["vec_id", "label", "l2_norm"],
-            )
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    out = emb.mapInArrow(norms, schema="vec_id long, label int, l2_norm double")
+    out = emb.mapInArrow(
+        _arrow_l2_batches, schema="vec_id long, label int, l2_norm double"
+    )
     return out.select("vec_id", "label", F.round("l2_norm", 6).alias("l2_norm"))
 
 

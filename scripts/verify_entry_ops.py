@@ -61,7 +61,8 @@ def main() -> None:
     flagship = entry.entry(spark)
     rows = flagship.collect()
     print(f"entry() smoke: {len(rows)} rows, schema={[f.name for f in flagship.schema]}")
-    assert len(rows) >= 0 and len(flagship.columns) > 0
+    if len(rows) == 0 or len(flagship.columns) == 0:
+        raise SystemExit("entry() smoke FAILED: empty result")
     spark.stop()
     sys.exit(1 if failed else 0)
 

@@ -347,3 +347,67 @@ def test_cusum_closed_form_matches_recursion(spark, sf_dir):
     for d, s_plus in got.items():
         assert abs(s_plus - expected[d]) < 1e-4, (d, s_plus, expected[d])
         assert s_plus >= 0.0
+
+
+# --- r03 ADVICE regressions -------------------------------------------------
+
+
+def test_jsonlines_commit_tolerates_none_messages(tmp_path):
+    """A task that wrote nothing (or a failed attempt) can surface as a
+    None commit message — commit() must manifest only the real parts and
+    abort() must not raise (r03 ADVICE: scans.py JsonLinesWriter)."""
+    from carpet_spark.ops.scans import JsonLinesWriter, PartCommit
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+    part = os.path.join(out, "part-test.jsonl")
+    with open(part, "w") as f:
+        f.write('{"a": 1}\n')
+
+    w = JsonLinesWriter({"path": out})
+    w.commit([PartCommit(path=part, rows=1), None])
+    with open(os.path.join(out, "_MANIFEST")) as f:
+        manifested = [line.strip() for line in f if line.strip()]
+    assert manifested == [part]
+
+    w.abort([None, PartCommit(path=part, rows=1)])
+    assert not os.path.exists(part)
+
+
+def test_arrow_l2_batches_null_and_ragged():
+    """The flatten+reshape fast path must NOT fire for batches with null
+    or ragged embedding lists; the fallback walks per-list offsets so
+    values never misalign (r03 ADVICE: udfs.py udf_arrow_map)."""
+    import math
+
+    import pyarrow as pa
+
+    from carpet_spark.ops.udfs import _arrow_l2_batches
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2, 3, 4], type=pa.int64()),
+            pa.array([0, 1, 0, 1], type=pa.int32()),
+            pa.array([[3.0, 4.0], None, [5.0, 12.0, 0.0], [8.0, 6.0]],
+                     type=pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "label", "embedding"],
+    )
+    (out,) = list(_arrow_l2_batches([batch]))
+    norms = out.column("l2_norm").to_pylist()
+    assert norms[0] == pytest.approx(5.0)
+    assert norms[1] is None or math.isnan(norms[1])
+    assert norms[2] == pytest.approx(13.0)
+    assert norms[3] == pytest.approx(10.0)
+
+    # rectangular batch still takes the vectorized path and agrees
+    rect = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2], type=pa.int64()),
+            pa.array([0, 1], type=pa.int32()),
+            pa.array([[3.0, 4.0], [6.0, 8.0]], type=pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "label", "embedding"],
+    )
+    (out2,) = list(_arrow_l2_batches([rect]))
+    assert out2.column("l2_norm").to_pylist() == pytest.approx([5.0, 10.0])
