@@ -4800,3 +4800,190 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+@register(
+    "eval_f1_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    per AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos FROM per),
+    suffix AS (
+      SELECT score AS thr,
+             CAST(SUM(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(SUM(cnt - pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+      FROM per
+    )
+    SELECT thr, tp, fp, n_pos - tp AS fn,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+           round(tp / CAST(n_pos AS DOUBLE), 6) AS recall,
+           round(2.0 * tp / CAST(2 * tp + fp + (n_pos - tp) AS DOUBLE), 6) AS f1
+    FROM suffix CROSS JOIN tot
+    """,
+)
+def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 at EVERY observed decision threshold in one
+    pass — the curve a quality-filter owner reads to pick the operating
+    point (eval_roc_auc scores the ranking; this op picks the cut).
+    Score = n_chars, label = lang='en' (the module's standard proxy pair,
+    so the sweep cross-checks the AUC op).  Predict positive when
+    score >= thr: TP/FP are suffix sums over per-score counts, so every
+    division is of exact BIGINTs.  TP+FP >= 1 by construction (the
+    threshold row itself is predicted positive) — no zero denominators.
+
+    Scale (100 TB): one map-side-combined groupBy on distinct scores,
+    then windows over |distinct scores| rows — never per-row state.  For
+    continuous scores, quantize to 6 dp first (same contract as
+    eval_roc_auc)."""
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            F.col("n_chars").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    suffix = per.select(
+        F.col("score").alias("thr"),
+        F.sum("pos").over(wd).cast("long").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wd).cast("long").alias("fp"),
+    )
+    tot = per.agg(F.sum("pos").cast("long").alias("n_pos"))
+    return suffix.crossJoin(F.broadcast(tot)).select(
+        "thr", "tp", "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")).cast("double"), 6)
+        .alias("precision"),
+        F.round(F.col("tp") / F.col("n_pos").cast("double"), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("tp")
+            / (2 * F.col("tp") + F.col("fp") + F.col("n_pos") - F.col("tp")).cast("double"),
+            6,
+        ).alias("f1"),
+    )
+
+
+@register(
+    "eval_mcc_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    per AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY score
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg
+      FROM per
+    ),
+    suffix AS (
+      SELECT score AS thr,
+             CAST(SUM(pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(SUM(cnt - pos) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+      FROM per
+    ),
+    cm AS (
+      SELECT thr, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn, n_pos, n_neg
+      FROM suffix CROSS JOIN tot
+    )
+    SELECT thr, tp, fp, fn, tn,
+           CASE WHEN tn + fn = 0 THEN NULL
+                ELSE round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                     / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                            * (tn + fp) * (tn + fn)), 6) END AS mcc,
+           round(0.5 * (tp / CAST(n_pos AS DOUBLE)
+                        + tn / CAST(n_neg AS DOUBLE)), 6) AS balanced_acc,
+           round(tp / CAST(n_pos AS DOUBLE)
+                 + tn / CAST(n_neg AS DOUBLE) - 1.0, 6) AS youden_j
+    FROM cm
+    """,
+)
+def eval_mcc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation, balanced accuracy, and Youden's J at every
+    observed threshold — the class-imbalance-robust companions to
+    eval_f1_threshold_sweep (F1 ignores TN entirely; MCC is the single
+    scalar that needs all four confusion cells to be good).  Same proxy
+    pair and suffix-sum construction as the F1 sweep.  MCC is NULL at the
+    all-predicted-positive threshold (tn+fn = 0), guarded identically in
+    both engines; the sqrt product is computed in double (each factor
+    <= n, product can exceed BIGINT at corpus scale — doubles are exact
+    for the factors and IEEE multiplication is deterministic, then
+    round-6 absorbs the final ulp).
+
+    Scale (100 TB): identical to the F1 sweep — distinct-score groupBy
+    plus bounded windows; nothing per-row after the first aggregate."""
+    d = load(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            F.col("n_chars").alias("score"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+    )
+    wd = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    suffix = per.select(
+        F.col("score").alias("thr"),
+        F.sum("pos").over(wd).cast("long").alias("tp"),
+        F.sum(F.col("cnt") - F.col("pos")).over(wd).cast("long").alias("fp"),
+    )
+    tot = per.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    cm = suffix.crossJoin(F.broadcast(tot)).select(
+        "thr", "tp", "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        (F.col("n_neg") - F.col("fp")).alias("tn"),
+        "n_pos", "n_neg",
+    )
+    tpd, tnd = F.col("tp").cast("double"), F.col("tn").cast("double")
+    denom = F.sqrt(
+        (F.col("tp") + F.col("fp")).cast("double")
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return cm.select(
+        "thr", "tp", "fp", "fn", "tn",
+        F.when(
+            (F.col("tn") + F.col("fn")) == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round((tpd * F.col("tn") - F.col("fp").cast("double") * F.col("fn")) / denom, 6)
+        ).alias("mcc"),
+        F.round(
+            0.5 * (tpd / F.col("n_pos") + tnd / F.col("n_neg")), 6
+        ).alias("balanced_acc"),
+        F.round(
+            tpd / F.col("n_pos") + tnd / F.col("n_neg") - 1.0, 6
+        ).alias("youden_j"),
+    )

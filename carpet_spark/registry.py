@@ -354,6 +354,8 @@ _R4_QUEUE = (
     "ts_day_percentile_vs_history", "agg_log_return_volatility",
     "ts_month_seasonal_index", "agg_customer_tenure_dist",
     "sink_tsv_roundtrip", "agg_hhi_yearly_trend",
+    # --- round-4 in-session additions (wave order) ---
+    "eval_f1_threshold_sweep", "eval_mcc_sweep",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
