@@ -895,3 +895,221 @@ def graph_k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(o_custkey % 500, o_orderkey % 500) AS a,
+             GREATEST(o_custkey % 500, o_orderkey % 500) AS b
+      FROM orders
+      WHERE (o_custkey % 500) <> (o_orderkey % 500)
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM raw e1
+      JOIN raw e2 ON e2.a = e1.b
+      JOIN raw e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY v
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS v FROM raw UNION ALL SELECT b FROM raw
+      ) GROUP BY v
+    )
+    SELECT d.v AS node, d.degree,
+           COALESCE(t.t, 0) AS n_tri,
+           round(2.0 * COALESCE(t.t, 0)
+                 / (d.degree * (d.degree - 1.0)), 6) AS clustering
+    FROM deg d LEFT JOIN tv t ON t.v = d.v
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient — 2·tri(v) / (deg(v)·(deg(v)−1)),
+    the 'how clique-like is this node's neighborhood' score behind
+    community detection, spam-account triage, and graph-health dashboards.
+    Reuses graph_triangle_count's oriented enumeration (each triangle found
+    exactly once with a<b<c), then credits all three corners and joins
+    against undirected degrees; nodes with deg ≥ 2 and no triangles report
+    0, not a dropped row.
+
+    Scale (100 TB): the oriented wedge join bounds cost at Σ out-deg² (the
+    quantity orientation minimizes, O(|E|^1.5) worst case); per-vertex
+    credit is a map-side-combinable count on vertex ids, and the final
+    left join runs on |V| rows."""
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 500
+    y = F.col("o_orderkey") % 500
+    edges = (
+        o.filter(x != y)
+        .select(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+        .distinct()
+    )
+    e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = edges.join(e2, edges.b == e2.b2).select("a", "b", "c")
+    e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = wedges.join(e3, (wedges.a == e3.a3) & (wedges.c == e3.c3)).select(
+        "a", "b", "c"
+    )
+    tv = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return (
+        deg.join(tv, "v", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            F.col("v").alias("node"),
+            "degree",
+            F.coalesce(F.col("t"), F.lit(0).cast("long")).alias("n_tri"),
+            F.round(
+                2.0 * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1.0))),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 20 = 0
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT DISTINCT pa AS src, pb AS dst FROM pairs
+      UNION SELECT DISTINCT pb, pa FROM pairs
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    two_hop AS (
+      SELECT e1.src AS a, e2.dst AS b
+      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      WHERE e1.src < e2.dst
+    ),
+    candidates AS (
+      SELECT t.a, t.b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM two_hop t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.src = t.a AND e.dst = t.b
+      )
+      GROUP BY t.a, t.b
+    ),
+    scored AS (
+      SELECT c.a, c.b, c.common,
+             round(c.common / CAST(da.d + db.d - c.common AS DOUBLE), 6)
+               AS jaccard
+      FROM candidates c
+      JOIN deg da ON da.node = c.a
+      JOIN deg db ON db.node = c.b
+    ),
+    ranked AS (
+      SELECT a, b, common, jaccard,
+             ROW_NUMBER() OVER (ORDER BY jaccard DESC, a, b) AS rnk
+      FROM scored
+    )
+    SELECT rnk, a, b, common, jaccard FROM ranked WHERE rnk <= 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard link prediction on the part co-purchase graph:
+    for non-adjacent distance-2 pairs, |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    degree-normalized sibling of graph_common_neighbors and
+    graph_adamic_adar (same candidate set, so the three scores are
+    directly comparable per pair); top-20 predicted links.  The union size
+    is computed as da+db−common, all exact BIGINTs — no neighbor-set
+    materialization.
+
+    Scale (100 TB): identical skeleton to adamic_adar — the two-hop
+    expansion bounded by Σ deg² with hub capping as the skew valve, an
+    anti join to drop existing edges, then two |V|-row degree joins;
+    ranking is a global top-k over candidate pairs
+    (TakeOrderedAndProject, never a full sort at the final limit)."""
+    from pyspark.sql import Window as _W
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    two_hop = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .select(F.col("e1.src").alias("a_"), F.col("e2.dst").alias("b_"))
+    )
+    candidates = (
+        two_hop.join(
+            edges.withColumnsRenamed({"src": "a_", "dst": "b_"}),
+            ["a_", "b_"],
+            "left_anti",
+        )
+        .groupBy("a_", "b_")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    da = deg.withColumnsRenamed({"node": "a_", "d": "da"})
+    db = deg.withColumnsRenamed({"node": "b_", "d": "db"})
+    scored = (
+        candidates.join(da, "a_")
+        .join(db, "b_")
+        .select(
+            "a_", "b_", "common",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    wr = _W.orderBy(F.col("jaccard").desc(), F.col("a_"), F.col("b_"))
+    return (
+        scored.select(
+            F.row_number().over(wr).alias("rnk"),
+            F.col("a_").alias("a"),
+            F.col("b_").alias("b"),
+            "common",
+            "jaccard",
+        )
+        .filter(F.col("rnk") <= 20)
+    )

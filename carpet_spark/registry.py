@@ -356,6 +356,7 @@ _R4_QUEUE = (
     "sink_tsv_roundtrip", "agg_hhi_yearly_trend",
     # --- round-4 in-session additions (wave order) ---
     "eval_f1_threshold_sweep", "eval_mcc_sweep",
+    "graph_clustering_coefficient", "graph_jaccard_neighbors",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
