@@ -4960,3 +4960,108 @@ def agg_customer_tenure_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("span").cast("long").alias("min_span_days"),
         F.max("span").cast("long").alias("max_span_days"),
     )
+
+
+@register(
+    "feature_robust_scale",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.50) AS med,
+             quantile_cont(cents, 0.75) AS q3
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.value,
+           round((c.cents - s.med) / (s.q3 - s.q1), 6) + 0.0 AS robust_z
+    FROM c JOIN stats s USING (event_type)
+    """,
+)
+def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per event_type — the outlier-immune
+    standardization (vs mean/std, which one 490-dollar event drags) every
+    feature pipeline applies before distance-based models.  Exactness: the
+    quartiles are computed on integer CENTS at p ∈ {.25,.5,.75}, where the
+    interpolation fraction is a power-of-2-exact binary value — a+(b−a)·f
+    over ints is bit-exact in both engines, so the only float op is the
+    final division (then round-6, +0.0 normalizing any −0.0).
+
+    Scale (100 TB): one aggregate computes 3 quantiles per type (swap in
+    approx_percentile's mergeable sketch beyond memory), broadcast back as
+    a |types|-row table; scaling is a narrow map projection."""
+    e = load(spark, sf_dir, "events")
+    cents = (F.col("value") * 100 + F.lit(0.5)).cast("long")  # value > 0
+    c = e.select("event_id", "event_type", "value", cents.alias("cents"))
+    stats = c.groupBy("event_type").agg(
+        F.percentile("cents", 0.25).alias("q1"),
+        F.percentile("cents", 0.50).alias("med"),
+        F.percentile("cents", 0.75).alias("q3"),
+    )
+    return c.join(F.broadcast(stats), "event_type").select(
+        "event_id", "event_type", "value",
+        (
+            F.round((F.col("cents") - F.col("med")) / (F.col("q3") - F.col("q1")), 6)
+            + 0.0
+        ).alias("robust_z"),
+    )
+
+
+@register(
+    "feature_cyclical_encode",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(EXTRACT(dow FROM ts) AS INTEGER) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour, n_events,
+           round(sin(2 * pi() * hour / 24.0), 6) + 0.0 AS sin_hour,
+           round(cos(2 * pi() * hour / 24.0), 6) + 0.0 AS cos_hour,
+           round(sin(2 * pi() * dow / 7.0), 6) + 0.0 AS sin_dow,
+           round(cos(2 * pi() * dow / 7.0), 6) + 0.0 AS cos_dow
+    FROM g
+    """,
+)
+def feature_cyclical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sin/cos cyclical encoding of hour-of-day and day-of-week — the
+    standard trick that keeps 23:00 adjacent to 00:00 for any model with a
+    distance metric (raw hour puts them 23 apart).  Computed on the
+    distinct (dow,hour) grid with event counts, which is both the feature
+    lookup table a pipeline broadcasts AND a load heatmap.  Engine parity:
+    both sides build the identical argument double left-to-right
+    (2·π·h/24), libm-vs-JVM sin differ by ≤1 ulp which round-6 absorbs,
+    and +0.0 normalizes the −0.0 that rounding a negative tiny (e.g.
+    cos(3π/2)) produces.  DOW convention pinned to Sunday=0 on both sides
+    (Spark's dayofweek is 1-based).
+
+    Scale (100 TB): one map-side-combined groupBy onto a ≤168-row grid;
+    the trig runs on the grid, not the events."""
+    import math
+
+    e = load(spark, sf_dir, "events")
+    g = (
+        e.select(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    two_pi = F.lit(2.0) * math.pi
+
+    def enc(fn, col, period):
+        return F.round(fn(two_pi * F.col(col) / period), 6) + 0.0
+
+    return g.select(
+        "dow", "hour", "n_events",
+        enc(F.sin, "hour", 24.0).alias("sin_hour"),
+        enc(F.cos, "hour", 24.0).alias("cos_hour"),
+        enc(F.sin, "dow", 7.0).alias("sin_dow"),
+        enc(F.cos, "dow", 7.0).alias("cos_dow"),
+    )
