@@ -326,3 +326,112 @@ def sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "sql_exists_correlated",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              AND o.o_orderdate < TIMESTAMP '1994-01-01'
+          )
+    """,
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in SQL text — the subquery shape
+    analysts write ('customers with a big order but no old finished
+    one') that Catalyst must decorrelate into a left-semi plus a
+    left-anti hash join; running it through spark.sql pins that
+    rewrite path, the SQL twin of join_semi/join_anti's DataFrame API.
+    acctbal_cents uses explicit half-away rounding on both sides — a raw
+    CAST would round in DuckDB but truncate in Spark, and 2-dp money
+    times 100 lands a ulp BELOW the integer for values like 0.29 (21
+    such customers at sf0.001).
+
+    Scale (100 TB): both subqueries decorrelate to equi-key hash joins
+    on o_custkey (no per-row subquery execution); the two probes share
+    the orders scan and the semi/anti sides carry only the join key."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sqlx")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqlx")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(signum(c.c_acctbal)
+                    * CAST(abs(c.c_acctbal) * 100 + 0.5 AS BIGINT)
+                    AS BIGINT) AS acctbal_cents
+        FROM customer_sqlx c
+        WHERE EXISTS (
+                SELECT 1 FROM orders_sqlx o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders_sqlx o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                  AND o.o_orderdate < TIMESTAMP '1994-01-01'
+              )
+        """
+    )
+
+
+@register(
+    "sql_values_dim_join",
+    oracle="""
+    WITH prio_dim(prio, weight, tier) AS (
+      VALUES ('1-URGENT',        4, 'expedite'),
+             ('2-HIGH',          3, 'expedite'),
+             ('3-MEDIUM',        2, 'standard'),
+             ('4-NOT SPECIFIED', 1, 'standard'),
+             ('5-LOW',           0, 'deferred')
+    )
+    SELECT d.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(d.weight) AS BIGINT) AS weight_sum,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN prio_dim d ON d.prio = o.o_orderpriority
+    GROUP BY d.tier
+    """,
+)
+def sql_values_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES dimension joined against a fact table — the
+    'mapping table in the query text' idiom (priority→weight→tier)
+    analysts use when the lookup is too small and too volatile to
+    deserve a real table.  Exercises the VALUES row constructor with
+    column aliases in SQL text and the join-prune path.
+
+    Scale (100 TB): the 5-row VALUES relation becomes a broadcast local
+    relation — the fact scan never shuffles for the join, and the
+    rollup is a map-side-combined 3-group aggregate.  revenue stays in
+    exact integer cents (house money rule)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqlv")
+    return spark.sql(
+        """
+        WITH prio_dim AS (
+          SELECT * FROM VALUES
+             ('1-URGENT',        4, 'expedite'),
+             ('2-HIGH',          3, 'expedite'),
+             ('3-MEDIUM',        2, 'standard'),
+             ('4-NOT SPECIFIED', 1, 'standard'),
+             ('5-LOW',           0, 'deferred')
+          AS prio_dim(prio, weight, tier)
+        )
+        SELECT d.tier,
+               COUNT(*) AS n_orders,
+               CAST(SUM(d.weight) AS BIGINT) AS weight_sum,
+               SUM(CAST(signum(o.o_totalprice)
+                        * CAST(abs(o.o_totalprice) * 100 + 0.5 AS BIGINT)
+                        AS BIGINT)) AS revenue_cents
+        FROM orders_sqlv o
+        JOIN prio_dim d ON d.prio = o.o_orderpriority
+        GROUP BY d.tier
+        """
+    )

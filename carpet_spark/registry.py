@@ -358,6 +358,7 @@ _R4_QUEUE = (
     "eval_f1_threshold_sweep", "eval_mcc_sweep",
     "graph_clustering_coefficient", "graph_jaccard_neighbors",
     "feature_robust_scale", "feature_cyclical_encode",
+    "sql_exists_correlated", "sql_values_dim_join",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
