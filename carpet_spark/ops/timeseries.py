@@ -3532,3 +3532,167 @@ def ts_month_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("share") * 12, 6).alias("min_index"),
         F.round(F.max("share") * 12, 6).alias("max_index"),
     )
+
+
+_DAILY_ORDERS_SQL = """
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+"""
+
+
+def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue in exact integer cents + order counts — the
+    shared single-series base for the price-style indicator ops below
+    (same construction as ts_decline_streak_alert's daily axis)."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    return o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(cents).cast("long").alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+
+
+@register(
+    "ts_macd_indicator",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    c AS (SELECT d, cents / 100.0 AS close FROM daily),
+    ema AS (
+      SELECT d, close,
+             list_reduce(list(close) OVER w60,
+               (a, x) -> a * (1.0 - 2.0/13.0) + x * (2.0/13.0)) AS ema12,
+             list_reduce(list(close) OVER w60,
+               (a, x) -> a * (1.0 - 2.0/27.0) + x * (2.0/27.0)) AS ema26
+      FROM c
+      WINDOW w60 AS (ORDER BY d ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+    ),
+    m AS (SELECT d, close, ema12 - ema26 AS macd FROM ema),
+    sig AS (
+      SELECT d, close, macd,
+             list_reduce(list(macd) OVER w27,
+               (a, x) -> a * 0.8 + x * 0.2) AS signal
+      FROM m
+      WINDOW w27 AS (ORDER BY d ROWS BETWEEN 26 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, round(close, 6) AS close,
+           round(macd, 6) + 0.0 AS macd,
+           round(signal, 6) + 0.0 AS signal,
+           round(macd - signal, 6) + 0.0 AS histogram
+    FROM sig
+    """,
+)
+def ts_macd_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD (12/26 EMA spread) with a 9-period signal line and histogram
+    over the daily revenue series — the classic momentum crossover read
+    ('histogram flips sign' = trend change) applied to an operational KPI.
+    EMAs use the module's bounded-fold definition (ts_ewma): a left fold
+    over the trailing 60-row frame with the exact alpha literals, so both
+    engines execute the identical IEEE operation sequence; the signal line
+    is a second 27-row fold over the derived MACD values.  Early rows are
+    warm-up values of the truncated definition — identical on both sides,
+    kept (not withheld) so the series starts at day one.
+
+    Scale (100 TB): the fact table collapses to the |days| axis first;
+    both folds are O(frame) per row on that bounded axis.  Per-instrument
+    MACD adds a partitionBy key to the same windows."""
+    daily = _daily_orders(spark, sf_dir)
+    c = daily.select("d", (F.col("cents") / 100.0).alias("close"))
+    w60 = Window.orderBy("d").rowsBetween(-59, 0)
+
+    def fold(col, alpha, w):
+        vals = F.collect_list(col).over(w)
+        return F.aggregate(
+            F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+            F.element_at(vals, 1),
+            lambda a, x: a * (F.lit(1.0) - alpha) + x * alpha,
+        )
+
+    ema = c.select(
+        "d", "close",
+        fold("close", F.lit(2.0) / 13.0, w60).alias("ema12"),
+        fold("close", F.lit(2.0) / 27.0, w60).alias("ema26"),
+    )
+    m = ema.select("d", "close", (F.col("ema12") - F.col("ema26")).alias("macd"))
+    w27 = Window.orderBy("d").rowsBetween(-26, 0)
+    sig = m.select(
+        "d", "close", "macd", fold("macd", F.lit(0.2), w27).alias("signal")
+    )
+    return sig.select(
+        "d",
+        F.round("close", 6).alias("close"),
+        (F.round("macd", 6) + 0.0).alias("macd"),
+        (F.round("signal", 6) + 0.0).alias("signal"),
+        (F.round(F.col("macd") - F.col("signal"), 6) + 0.0).alias("histogram"),
+    )
+
+
+@register(
+    "ts_stochastic_oscillator",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    k AS (
+      SELECT d,
+             MIN(cents) OVER w14 AS low14,
+             MAX(cents) OVER w14 AS high14,
+             COUNT(*) OVER w14 AS n_win,
+             cents
+      FROM daily
+      WINDOW w14 AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    pk AS (
+      SELECT d,
+             CASE WHEN high14 = low14 THEN 50.0
+                  ELSE 100.0 * (cents - low14) / CAST(high14 - low14 AS DOUBLE)
+             END AS pct_k
+      FROM k WHERE n_win = 14
+    )
+    SELECT d, round(pct_k, 6) AS pct_k,
+           round(AVG(pct_k) OVER (ORDER BY d
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS pct_d
+    FROM pk
+    """,
+)
+def ts_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over the daily revenue series: where
+    today sits inside the trailing 14-day [low, high] channel (0 = at the
+    low, 100 = at the high), smoothed by a 3-day %D — the bounded
+    mean-reversion gauge that complements ts_rsi_indicator's momentum
+    view.  %K divides exact BIGINT channel arithmetic (flat channels pin
+    50.0 by convention, same CASE both engines); rows without a full
+    14-day window are withheld, and %D averages the identical three
+    doubles in identical frame order.
+
+    Scale (100 TB): same bounded-|days|-axis argument as RSI — min/max
+    windows after the map-side daily collapse, never over raw orders."""
+    daily = _daily_orders(spark, sf_dir)
+    w14 = Window.orderBy("d").rowsBetween(-13, 0)
+    k = daily.select(
+        "d", "cents",
+        F.min("cents").over(w14).alias("low14"),
+        F.max("cents").over(w14).alias("high14"),
+        F.count(F.lit(1)).over(w14).alias("n_win"),
+    )
+    pk = k.filter(F.col("n_win") == 14).select(
+        "d",
+        F.when(F.col("high14") == F.col("low14"), F.lit(50.0))
+        .otherwise(
+            100.0
+            * (F.col("cents") - F.col("low14"))
+            / (F.col("high14") - F.col("low14")).cast("double")
+        )
+        .alias("pct_k"),
+    )
+    w3 = Window.orderBy("d").rowsBetween(-2, 0)
+    return pk.select(
+        "d",
+        F.round("pct_k", 6).alias("pct_k"),
+        F.round(F.avg("pct_k").over(w3), 6).alias("pct_d"),
+    )

@@ -359,6 +359,7 @@ _R4_QUEUE = (
     "graph_clustering_coefficient", "graph_jaccard_neighbors",
     "feature_robust_scale", "feature_cyclical_encode",
     "sql_exists_correlated", "sql_values_dim_join",
+    "ts_macd_indicator", "ts_stochastic_oscillator",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
