@@ -3696,3 +3696,94 @@ def ts_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pct_k", 6).alias("pct_k"),
         F.round(F.avg("pct_k").over(w3), 6).alias("pct_d"),
     )
+
+
+@register(
+    "ts_donchian_breakout",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    ch AS (
+      SELECT d, cents,
+             MAX(cents) OVER w20 AS high20,
+             MIN(cents) OVER w20 AS low20,
+             COUNT(*) OVER w20 AS n_prior
+      FROM daily
+      WINDOW w20 AS (ORDER BY d ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, cents, high20, low20,
+           CASE WHEN cents > high20 THEN 1 ELSE 0 END AS breakout_up,
+           CASE WHEN cents < low20 THEN 1 ELSE 0 END AS breakout_down
+    FROM ch WHERE n_prior = 20
+    """,
+)
+def ts_donchian_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel breakouts: the trailing 20-day high/low band
+    EXCLUDING today (frame ends at 1 PRECEDING — including today would
+    make an up-breakout definitionally impossible), with flags for closes
+    escaping the channel — the classic turtle-trading signal, read on
+    operational series as 'today beat/undershot everything in the last
+    four weeks'.  All-integer cents arithmetic; rows without 20 full
+    prior days are withheld.
+
+    Scale (100 TB): min/max windows on the collapsed |days| axis; the
+    breakout flags are a narrow projection."""
+    daily = _daily_orders(spark, sf_dir)
+    w20 = Window.orderBy("d").rowsBetween(-20, -1)
+    ch = daily.select(
+        "d", "cents",
+        F.max("cents").over(w20).alias("high20"),
+        F.min("cents").over(w20).alias("low20"),
+        F.count(F.lit(1)).over(w20).alias("n_prior"),
+    )
+    return ch.filter(F.col("n_prior") == 20).select(
+        "d", "cents", "high20", "low20",
+        F.when(F.col("cents") > F.col("high20"), 1).otherwise(0).alias("breakout_up"),
+        F.when(F.col("cents") < F.col("low20"), 1).otherwise(0).alias("breakout_down"),
+    )
+
+
+@register(
+    "ts_obv_indicator",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    chg AS (
+      SELECT d, cents, n_orders,
+             CASE WHEN cents > LAG(cents) OVER (ORDER BY d) THEN 1
+                  WHEN cents < LAG(cents) OVER (ORDER BY d) THEN -1
+                  ELSE 0 END AS direction
+      FROM daily
+    )
+    SELECT d, cents, direction,
+           CAST(SUM(direction * n_orders) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS obv
+    FROM chg
+    """,
+)
+def ts_obv_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume: the running sum of daily order COUNT signed by
+    the revenue direction (up-day adds volume, down-day subtracts) — the
+    divergence detector ('revenue flat but OBV falling = fewer, larger
+    orders propping it up').  The first day has no prior close and signs
+    0 in both engines (LAG null compares unknown → ELSE branch).
+    All-integer arithmetic end to end; the oracle running SUM is cast
+    BIGINT (DuckDB widens to HUGEINT — the r4 type-lint class).
+
+    Scale (100 TB): lag + running sum on the |days| axis after the
+    map-side collapse; per-segment OBV adds a partition key."""
+    daily = _daily_orders(spark, sf_dir)
+    w = Window.orderBy("d")
+    chg = daily.select(
+        "d", "cents", "n_orders",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.col("cents") < F.lag("cents").over(w), -1)
+        .otherwise(0)
+        .alias("direction"),
+    )
+    return chg.select(
+        "d", "cents", "direction",
+        F.sum(F.col("direction") * F.col("n_orders"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("obv"),
+    )

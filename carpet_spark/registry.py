@@ -360,6 +360,7 @@ _R4_QUEUE = (
     "feature_robust_scale", "feature_cyclical_encode",
     "sql_exists_correlated", "sql_values_dim_join",
     "ts_macd_indicator", "ts_stochastic_oscillator",
+    "ts_donchian_breakout", "ts_obv_indicator",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
