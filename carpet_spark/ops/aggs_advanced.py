@@ -5074,3 +5074,131 @@ def agg_hhi_yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h") - F.lag("h").over(Window.orderBy("yr")), 6
         ).alias("hhi_delta"),
     )
+
+
+@register(
+    "agg_cr_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr, c.c_nationkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE EXTRACT(year FROM o.o_orderdate) BETWEEN 1993 AND 1997
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT yr, cents,
+             ROW_NUMBER() OVER (PARTITION BY yr
+                                ORDER BY cents DESC, c_nationkey) AS rk,
+             CAST(SUM(cents) OVER (PARTITION BY yr) AS BIGINT) AS total
+      FROM per
+    )
+    SELECT yr,
+           CAST(COUNT(*) AS BIGINT) AS n_players,
+           round(CAST(SUM(CASE WHEN rk <= 4 THEN cents ELSE 0 END) AS BIGINT)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS cr4,
+           round(CAST(SUM(CASE WHEN rk <= 8 THEN cents ELSE 0 END) AS BIGINT)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS cr8
+    FROM ranked GROUP BY yr
+    """,
+)
+def agg_cr_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR4/CR8 concentration ratios — the share of yearly revenue held by
+    the top-4 and top-8 nations — the antitrust-style headline number
+    that pairs with agg_hhi_yearly_trend (HHI weights ALL players
+    quadratically; CR-k answers 'how big are just the leaders').
+    Ranking uses the (cents DESC, nationkey) total order so ties place
+    identically in both engines; every sum is exact integer cents until
+    the two final divisions.
+
+    Scale (100 TB): facts collapse to |years|x|nations| cells; ranking,
+    totals, and the CR rollup all run on that bounded grid."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per = (
+        o.filter(F.year("o_orderdate").between(1993, 1997))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), "c_nationkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    wy = Window.partitionBy("yr")
+    ranked = per.select(
+        "yr", "cents",
+        F.row_number()
+        .over(wy.orderBy(F.col("cents").desc(), "c_nationkey"))
+        .alias("rk"),
+        F.sum("cents").over(wy).cast("long").alias("total"),
+    )
+    return ranked.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_players"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 4, F.col("cents")).otherwise(0)).cast("long")
+            / F.max("total").cast("double"),
+            6,
+        ).alias("cr4"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 8, F.col("cents")).otherwise(0)).cast("long")
+            / F.max("total").cast("double"),
+            6,
+        ).alias("cr8"),
+    )
+
+
+@register(
+    "agg_quartile_dispersion",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.50) AS med,
+             quantile_cont(cents, 0.75) AS q3
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(med / 100.0, 6) AS median,
+           round((q3 - q1) / 100.0, 6) AS iqr,
+           round((q3 - q1) / (q3 + q1), 6) AS qcd,
+           round((q3 + q1 - 2 * med) / (q3 - q1), 6) AS bowley_skew
+    FROM q
+    """,
+)
+def agg_quartile_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-based robust dispersion per event_type: IQR, the quartile
+    coefficient of dispersion (IQR / midhinge — the scale-free robust
+    'coefficient of variation'), and Bowley's quartile skewness — the
+    outlier-immune distribution summary that mean/std (agg_stats) can't
+    give on heavy-tailed money columns.  Same exactness trick as
+    feature_robust_scale: quartiles interpolate on integer cents at
+    power-of-2-exact quarter fractions, bit-identical cross-engine; the
+    three ratios are the only float ops.
+
+    Scale (100 TB): one aggregate per type (approx_percentile's mergeable
+    sketch is the drop-in beyond memory); output is |types| rows."""
+    e = load(spark, sf_dir, "events")
+    cents = (F.col("value") * 100 + F.lit(0.5)).cast("long")  # value > 0
+    q = e.select("event_type", cents.alias("cents")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("cents", 0.25).alias("q1"),
+        F.percentile("cents", 0.50).alias("med"),
+        F.percentile("cents", 0.75).alias("q3"),
+    )
+    return q.select(
+        "event_type", "n",
+        F.round(F.col("med") / 100.0, 6).alias("median"),
+        F.round((F.col("q3") - F.col("q1")) / 100.0, 6).alias("iqr"),
+        F.round((F.col("q3") - F.col("q1")) / (F.col("q3") + F.col("q1")), 6).alias("qcd"),
+        F.round(
+            (F.col("q3") + F.col("q1") - 2 * F.col("med")) / (F.col("q3") - F.col("q1")),
+            6,
+        ).alias("bowley_skew"),
+    )

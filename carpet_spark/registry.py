@@ -361,6 +361,7 @@ _R4_QUEUE = (
     "sql_exists_correlated", "sql_values_dim_join",
     "ts_macd_indicator", "ts_stochastic_oscillator",
     "ts_donchian_breakout", "ts_obv_indicator",
+    "agg_cr_concentration", "agg_quartile_dispersion",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
