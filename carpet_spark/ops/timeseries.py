@@ -3787,3 +3787,131 @@ def ts_obv_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("obv"),
     )
+
+
+_DAILY_EVENTS_HLC_SQL = """
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(ROUND(MAX(value) * 100) AS BIGINT) AS high_c,
+             CAST(ROUND(MIN(value) * 100) AS BIGINT) AS low_c,
+             CAST(ROUND(arg_max(value,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 20, '0')) * 100) AS BIGINT)
+               AS close_c
+      FROM events GROUP BY 1
+"""
+
+
+def _daily_events_hlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily high/low/close of the events value stream in exact integer
+    cents — ts_ohlc's bar construction collapsed to the day grain (close
+    tie-breaks on the unique (ts, event_id) order)."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    cents = lambda c: (c * 100 + F.lit(0.5)).cast("long")  # value > 0
+    return ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        cents(F.max("value")).alias("high_c"),
+        cents(F.min("value")).alias("low_c"),
+        cents(F.max_by("value", key)).alias("close_c"),
+    )
+
+
+@register(
+    "ts_pivot_points_daily",
+    oracle=f"""
+    WITH hlc AS ({_DAILY_EVENTS_HLC_SQL}),
+    prev AS (
+      SELECT d,
+             LAG(high_c) OVER (ORDER BY d) AS ph,
+             LAG(low_c) OVER (ORDER BY d) AS pl,
+             LAG(close_c) OVER (ORDER BY d) AS pc
+      FROM hlc
+    )
+    SELECT d,
+           round((ph + pl + pc) / 300.0, 6) AS pivot,
+           round((2 * ((ph + pl + pc) / 3.0) - pl) / 100.0, 6) AS r1,
+           round((2 * ((ph + pl + pc) / 3.0) - ph) / 100.0, 6) AS s1,
+           round(((ph + pl + pc) / 3.0 + (ph - pl)) / 100.0, 6) AS r2,
+           round(((ph + pl + pc) / 3.0 - (ph - pl)) / 100.0, 6) AS s2
+    FROM prev WHERE ph IS NOT NULL
+    """,
+)
+def ts_pivot_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot levels (P, R1/S1, R2/S2) for each day
+    from the PREVIOUS day's high/low/close of the event value stream —
+    the pre-computed support/resistance lines a monitoring dashboard
+    draws before the day starts.  H/L/C are exact integer cents
+    (ts_ohlc's deterministic close tie-break); each level is one or two
+    exact-int operations followed by a single double division, the same
+    expression text in both engines.
+
+    Scale (100 TB): events collapse map-side to the |days| axis; the lag
+    and level projection run on ~30 rows per month of history."""
+    hlc = _daily_events_hlc(spark, sf_dir)
+    w = Window.orderBy("d")
+    prev = hlc.select(
+        "d",
+        F.lag("high_c").over(w).alias("ph"),
+        F.lag("low_c").over(w).alias("pl"),
+        F.lag("close_c").over(w).alias("pc"),
+    )
+    psum = F.col("ph") + F.col("pl") + F.col("pc")
+    third = psum / 3.0
+    return prev.filter(F.col("ph").isNotNull()).select(
+        "d",
+        F.round(psum / 300.0, 6).alias("pivot"),
+        F.round((2 * third - F.col("pl")) / 100.0, 6).alias("r1"),
+        F.round((2 * third - F.col("ph")) / 100.0, 6).alias("s1"),
+        F.round((third + (F.col("ph") - F.col("pl"))) / 100.0, 6).alias("r2"),
+        F.round((third - (F.col("ph") - F.col("pl"))) / 100.0, 6).alias("s2"),
+    )
+
+
+@register(
+    "ts_range_expansion",
+    oracle=f"""
+    WITH hlc AS ({_DAILY_EVENTS_HLC_SQL}),
+    r AS (
+      SELECT d, high_c - low_c AS range_c,
+             AVG(high_c - low_c) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS avg_range7,
+             COUNT(*) OVER (ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+      FROM hlc
+    )
+    SELECT d, range_c,
+           round(avg_range7, 6) AS avg_range7,
+           round(range_c / avg_range7, 6) AS expansion_ratio,
+           CASE WHEN range_c > 1.5 * avg_range7 THEN 1 ELSE 0 END
+             AS is_expansion
+    FROM r WHERE n_prior = 7
+    """,
+)
+def ts_range_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily range-expansion detector: today's high−low span vs the
+    trailing 7-day average span (excluding today), flagging days whose
+    range exceeds 1.5× the recent norm — the volatility-regime trigger
+    (for markets: breakout days; for ops metrics: instability onset).
+    Ranges are exact integer cents; the trailing average divides an exact
+    integer sum by the pinned count of 7, and the 1.5× comparison runs on
+    the same doubles in both engines.
+
+    Scale (100 TB): the usual bounded-|days|-axis windows after map-side
+    collapse; per-series expansion adds a partition key."""
+    hlc = _daily_events_hlc(spark, sf_dir)
+    w7 = Window.orderBy("d").rowsBetween(-7, -1)
+    r = hlc.select(
+        "d",
+        (F.col("high_c") - F.col("low_c")).alias("range_c"),
+        F.avg(F.col("high_c") - F.col("low_c")).over(w7).alias("avg_range7"),
+        F.count(F.lit(1)).over(w7).alias("n_prior"),
+    )
+    return r.filter(F.col("n_prior") == 7).select(
+        "d", "range_c",
+        F.round("avg_range7", 6).alias("avg_range7"),
+        F.round(F.col("range_c") / F.col("avg_range7"), 6).alias("expansion_ratio"),
+        F.when(F.col("range_c") > 1.5 * F.col("avg_range7"), 1)
+        .otherwise(0)
+        .alias("is_expansion"),
+    )
