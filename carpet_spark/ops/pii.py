@@ -920,3 +920,102 @@ def pii_small_cell_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept.unionAll(merged)
+
+
+@register(
+    "pii_date_shift_consistent",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST((user_id * 2654435761) % 29 - 14 AS BIGINT) AS shift_days,
+           CAST(date_trunc('day', ts) AS DATE) AS orig_d,
+           CAST(date_trunc('day', ts)
+                + CAST((user_id * 2654435761) % 29 - 14 AS INTEGER) AS DATE)
+             AS shifted_d
+    FROM events
+    """,
+)
+def pii_date_shift_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent per-subject date shifting — the standard clinical /
+    research de-identification move: every record of a user moves by the
+    SAME deterministic offset in [-14, +14] (Knuth multiplicative hash of
+    the subject id), so within-user intervals, orderings, and
+    day-of-study analyses survive while absolute dates are useless to a
+    re-identifier.  user_id·2654435761 stays far inside BIGINT and the
+    mod/offset arithmetic is integer-exact in both engines; DATE + int
+    days stays DATE (the DuckDB DATE+INTERVAL→TIMESTAMP trap avoided).
+
+    Scale (100 TB): a pure narrow projection — no shuffle, no lookup
+    table to secure (vs a random-offset vault), safe under retries
+    because the shift is a function of the key."""
+    e = load(spark, sf_dir, "events")
+    shift = (F.col("user_id") * F.lit(2654435761)) % 29 - 14
+    orig_d = F.date_trunc("day", "ts").cast("date")
+    return e.select(
+        "event_id", "user_id",
+        shift.cast("long").alias("shift_days"),
+        orig_d.alias("orig_d"),
+        F.date_add(orig_d, shift.cast("int")).alias("shifted_d"),
+    )
+
+
+@register(
+    "pii_generalize_timestamp",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, ts,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_key,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_key
+      FROM events
+    ),
+    hc AS (
+      SELECT event_type, hour_key, COUNT(*) AS n FROM base GROUP BY 1, 2
+    ),
+    dc AS (
+      SELECT event_type, day_key, COUNT(*) AS n FROM base GROUP BY 1, 2
+    )
+    SELECT b.event_id, b.event_type,
+           CASE WHEN hc.n >= 5 THEN 'hour'
+                WHEN dc.n >= 5 THEN 'day'
+                ELSE 'suppressed' END AS granularity,
+           CASE WHEN hc.n >= 5 THEN b.hour_key
+                WHEN dc.n >= 5 THEN b.day_key
+                ELSE NULL END AS gen_ts
+    FROM base b
+    JOIN hc ON hc.event_type = b.event_type AND hc.hour_key = b.hour_key
+    JOIN dc ON dc.event_type = b.event_type AND dc.day_key = b.day_key
+    """,
+)
+def pii_generalize_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymous timestamp generalization (k=5): each event's time is
+    published at the finest granularity whose (event_type, bucket) group
+    still holds ≥ k events — hour if the hourly cell is big enough, else
+    day, else suppressed — the generalization-ladder pattern of
+    k-anonymity applied to the time dimension (pii_kanon_generalize holds
+    the categorical version).  Group sizes come from two aggregates
+    joined back on the bucket keys; the ladder CASE is identical text in
+    both engines, and generalized values are pre-formatted strings so the
+    output type is uniform across rungs.
+
+    Scale (100 TB): two map-side-combined counts on bounded bucket grids
+    plus two broadcast-able joins back; no per-row state.  The k
+    threshold and ladder ([hour, day, suppress]) are policy knobs."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour_key"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_key"),
+    )
+    hc = base.groupBy("event_type", "hour_key").agg(F.count(F.lit(1)).alias("hn"))
+    dc = base.groupBy("event_type", "day_key").agg(F.count(F.lit(1)).alias("dn"))
+    j = base.join(hc, ["event_type", "hour_key"]).join(dc, ["event_type", "day_key"])
+    return j.select(
+        "event_id", "event_type",
+        F.when(F.col("hn") >= 5, "hour")
+        .when(F.col("dn") >= 5, "day")
+        .otherwise("suppressed")
+        .alias("granularity"),
+        F.when(F.col("hn") >= 5, F.col("hour_key"))
+        .when(F.col("dn") >= 5, F.col("day_key"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("gen_ts"),
+    )

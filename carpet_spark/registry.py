@@ -363,6 +363,7 @@ _R4_QUEUE = (
     "ts_donchian_breakout", "ts_obv_indicator",
     "agg_cr_concentration", "agg_quartile_dispersion",
     "ts_pivot_points_daily", "ts_range_expansion",
+    "pii_date_shift_consistent", "pii_generalize_timestamp",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
