@@ -4987,3 +4987,89 @@ def eval_mcc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             tpd / F.col("n_pos") + tnd / F.col("n_neg") - 1.0, 6
         ).alias("youden_j"),
     )
+
+
+@register(
+    "text_shingle_jaccard_langs",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split(text, ' ') AS t FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT lang, t[k] || ' ' || t[k+1] || ' ' || t[k+2] AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS k)
+    ),
+    sizes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY lang
+    ),
+    common AS (
+      SELECT a.lang AS la, b.lang AS lb, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM tri a JOIN tri b ON a.g = b.g AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT c.la, c.lb, sa.n AS na, sb.n AS nb, c.n_common,
+           round(c.n_common / CAST(sa.n + sb.n - c.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.lang = c.la
+    JOIN sizes sb ON sb.lang = c.lb
+    """,
+)
+def text_shingle_jaccard_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram-shingle Jaccard between language slices — the
+    cross-slice contamination check a pretraining pipeline runs on its
+    language labels (an anomalously high pair means mislabeled docs or
+    copy-paste leakage across slices).  Shingles, not unigrams: the
+    fixture (like any tiny closed vocabulary) saturates unigram overlap
+    at 1.0 for every pair — probed before landing — while distinct
+    3-gram SETS discriminate (0.065-0.117 here, en-pairs highest).  The
+    intersection is one equi-join on the shingle; union is na+nb−common,
+    exact BIGINTs.
+
+    Scale (100 TB): the shuffle carries distinct shingle sets (the same
+    objects MinHash sketches in dedup_near_minhash — this op is the
+    exact small-L counterpart); pair counts aggregate map-side, and for
+    many slices all O(L²) pairs fall out of the one join."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), n - 3)
+    tri = (
+        toks.filter(n >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda k: F.concat_ws(
+                        " ",
+                        F.col("t")[k],
+                        F.col("t")[k + 1],
+                        F.col("t")[k + 2],
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = tri.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = tri.alias("a"), tri.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(F.col("a.lang").alias("la"), F.col("b.lang").alias("lb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.withColumnsRenamed({"lang": "la", "n": "na"})
+    sb = sizes.withColumnsRenamed({"lang": "lb", "n": "nb"})
+    return (
+        common.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .select(
+            "la", "lb", "na", "nb", "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -944,3 +944,80 @@ def win_gap_to_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_leader"
         ),
     )
+
+
+@register(
+    "win_session_position",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0
+                  ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    pos AS (
+      SELECT user_id, event_id, event_type, session_id,
+             ROW_NUMBER() OVER ws AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, session_id) AS BIGINT)
+               AS sess_len
+      FROM numbered
+      WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, event_type, session_id, pos, sess_len,
+           CASE WHEN sess_len = 1 THEN 'only'
+                WHEN pos = 1 THEN 'first'
+                WHEN pos = sess_len THEN 'last'
+                ELSE 'middle' END AS pos_class
+    FROM pos
+    """,
+)
+def win_session_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event's position within its 30-minute-gap session — ordinal,
+    session length, and the first/middle/last/only class — the base
+    table for entry/exit-page analysis and bounce attribution
+    (agg_bounce_rate summarizes; this op exposes the per-event labels).
+    Reuses ts_sessionize's gaps-and-islands session ids, then one more
+    window pass partitioned by (user, session).
+
+    Scale (100 TB): all three windows and the position pass share ONE
+    hashpartitioning(user_id) exchange (the finer (user, session)
+    partition is a subdivision of it — Spark reuses the exchange);
+    per-partition sorts are user-local."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        <= 1_800_000_000
+    )
+    numbered = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(F.when(gap_ok, 0).otherwise(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pos = numbered.select(
+        "user_id", "event_id", "event_type", "session_id",
+        F.row_number().over(ws).alias("pos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "session_id"))
+        .cast("long")
+        .alias("sess_len"),
+    )
+    return pos.select(
+        "user_id", "event_id", "event_type", "session_id", "pos", "sess_len",
+        F.when(F.col("sess_len") == 1, "only")
+        .when(F.col("pos") == 1, "first")
+        .when(F.col("pos") == F.col("sess_len"), "last")
+        .otherwise("middle")
+        .alias("pos_class"),
+    )

@@ -364,6 +364,7 @@ _R4_QUEUE = (
     "agg_cr_concentration", "agg_quartile_dispersion",
     "ts_pivot_points_daily", "ts_range_expansion",
     "pii_date_shift_consistent", "pii_generalize_timestamp",
+    "text_shingle_jaccard_langs", "win_session_position",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
