@@ -5202,3 +5202,60 @@ def agg_quartile_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bowley_skew"),
     )
+
+
+@register(
+    "dq_timeliness_lag_profile",
+    oracle="""
+    WITH lags AS (
+      SELECT o.o_orderpriority AS prio,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+           round(quantile_cont(lag_days, 0.25), 6) AS p25_lag,
+           round(quantile_cont(lag_days, 0.50), 6) AS p50_lag,
+           round(quantile_cont(lag_days, 0.75), 6) AS p75_lag,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag,
+           round(CAST(SUM(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS frac_over_60d
+    FROM lags GROUP BY prio
+    """,
+)
+def dq_timeliness_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-timeliness profile: the ship-after-order lag distribution per
+    order priority — quartiles, extremes, and the share breaching a 60-day
+    SLA — the freshness companion to dq_freshness_sla (that op checks the
+    pipeline's own lag; this one profiles the business process lag inside
+    the data, where an URGENT order shipping in 90 days is a data-quality
+    red flag even though every field validates).  Lags are exact integer
+    day diffs, so the quartiles interpolate bit-identically (quarter
+    fractions are power-of-2 exact).
+
+    Scale (100 TB): one equi-join on orderkey (both sides shuffle-keyed)
+    feeding a per-priority aggregate — 5 output rows; approx_percentile
+    is the sketch drop-in past memory."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lags = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lag_days"),
+    )
+    return lags.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("lag_days").cast("long").alias("min_lag"),
+        F.round(F.percentile("lag_days", 0.25), 6).alias("p25_lag"),
+        F.round(F.percentile("lag_days", 0.50), 6).alias("p50_lag"),
+        F.round(F.percentile("lag_days", 0.75), 6).alias("p75_lag"),
+        F.max("lag_days").cast("long").alias("max_lag"),
+        F.round(
+            F.sum(F.when(F.col("lag_days") > 60, 1).otherwise(0)).cast("long")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_over_60d"),
+    )

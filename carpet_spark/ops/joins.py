@@ -1477,3 +1477,76 @@ def join_nearest_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("matched_price"),
     )
+
+
+@register(
+    "join_temporal_validity_intersect",
+    oracle="""
+    WITH ov AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS v_start,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 30 + 1 AS INTEGER) AS v_end
+      FROM orders
+    ),
+    months AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+      FROM orders
+    ),
+    promos AS (
+      SELECT m AS promo_start, m + 10 AS promo_end
+      FROM months
+      WHERE EXTRACT(month FROM m) % 3 = 0
+    )
+    SELECT o.o_orderkey, o.v_start, o.v_end, p.promo_start,
+           GREATEST(o.v_start, p.promo_start) AS ov_start,
+           LEAST(o.v_end, p.promo_end) AS ov_end,
+           CAST(date_diff('day', GREATEST(o.v_start, p.promo_start),
+                          LEAST(o.v_end, p.promo_end)) AS BIGINT)
+             AS overlap_days
+    FROM ov o JOIN promos p
+      ON o.v_start < p.promo_end AND p.promo_start < o.v_end
+    """,
+)
+def join_temporal_validity_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity-interval intersection join: order in-flight windows
+    [orderdate, orderdate + synthetic duration) against a promo calendar
+    (first 10 days of every third month), emitting the clipped overlap
+    span per pair — the SCD2-×-calendar shape behind 'which promo was
+    live while this order was open' attribution and bitemporal joins.
+    All endpoints are DATEs with integer-day arithmetic (DATE + int stays
+    DATE on both engines); the half-open overlap predicate and
+    GREATEST/LEAST clipping are identical text.
+
+    Scale (100 TB): the calendar side is tiny and broadcast — the fact
+    table never shuffles; for two LARGE interval tables the documented
+    plan is the binned-range equi-join (join_range_binned) keyed on
+    overlapping month bins, turning the theta join into equi-key."""
+    o = load(spark, sf_dir, "orders")
+    ov = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("v_start"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30 + 1).cast("int"),
+        ).alias("v_end"),
+    )
+    months = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m")
+    ).distinct()
+    promos = months.filter(F.month("m") % 3 == 0).select(
+        F.col("m").alias("promo_start"), F.date_add("m", 10).alias("promo_end")
+    )
+    j = ov.join(
+        F.broadcast(promos),
+        (F.col("v_start") < F.col("promo_end"))
+        & (F.col("promo_start") < F.col("v_end")),
+    )
+    ov_start = F.greatest("v_start", "promo_start")
+    ov_end = F.least("v_end", "promo_end")
+    return j.select(
+        "o_orderkey", "v_start", "v_end", "promo_start",
+        ov_start.alias("ov_start"),
+        ov_end.alias("ov_end"),
+        F.datediff(ov_end, ov_start).cast("long").alias("overlap_days"),
+    )

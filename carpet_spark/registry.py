@@ -365,6 +365,7 @@ _R4_QUEUE = (
     "ts_pivot_points_daily", "ts_range_expansion",
     "pii_date_shift_consistent", "pii_generalize_timestamp",
     "text_shingle_jaccard_langs", "win_session_position",
+    "join_temporal_validity_intersect", "dq_timeliness_lag_profile",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
