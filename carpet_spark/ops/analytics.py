@@ -5065,3 +5065,161 @@ def feature_cyclical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc(F.sin, "dow", 7.0).alias("sin_dow"),
         enc(F.cos, "dow", 7.0).alias("cos_dow"),
     )
+
+
+@register(
+    "agg_interpurchase_time_cv",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000 AS gap_s
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    st AS (
+      SELECT user_id,
+             CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_s) AS BIGINT) AS s1,
+             CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY user_id
+    ),
+    cv AS (
+      SELECT user_id, n_gaps,
+             round(s1 / CAST(n_gaps AS DOUBLE) / 86400, 6) AS mean_gap_days,
+             CASE WHEN s1 = 0 THEN NULL
+                  ELSE sqrt((n_gaps * s2 - s1 * s1)
+                            / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+                       / (s1 / CAST(n_gaps AS DOUBLE)) END AS cv_raw
+      FROM st WHERE n_gaps >= 2
+    )
+    SELECT user_id, n_gaps, mean_gap_days,
+           round(cv_raw, 6) AS cv,
+           CASE WHEN cv_raw < 0.5 THEN 'regular'
+                WHEN cv_raw < 1.0 THEN 'moderate'
+                ELSE 'bursty' END AS regularity
+    FROM cv
+    """,
+)
+def agg_interpurchase_time_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-time coefficient of variation per user — the
+    regularity segmentation behind replenishment detection (cv << 1 =
+    clockwork/subscription-like, cv ≈ 1 = Poisson-random, cv >> 1 =
+    bursty), which ts_interarrival_stats' global view can't give per
+    customer.  Gaps are exact integer seconds (µs diff floor-divided —
+    the ts_sessionize precision rule); the variance numerator
+    n·Σx²−(Σx)² stays inside BIGINT because gaps are in seconds, not
+    µs (µs squares would overflow — the fixed-point cross-product trap);
+    only the final sqrt/divisions are float.  Users need ≥2 gaps; the
+    classification thresholds compare the UNrounded cv so the class and
+    the reported value can't disagree.
+
+    Scale (100 TB): one user-partitioned lag window plus a
+    map-side-combinable moment aggregate — the canonical two-pass-free
+    CV shape; output is |users with 3+ purchases| rows."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = p.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) over "
+            "(partition by user_id order by ts, event_id))) DIV 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    st = gaps.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.sum("gap_s").cast("long").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("s2"),
+    )
+    n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
+    cv_raw = F.when(
+        s1 == 0, F.lit(None).cast("double")
+    ).otherwise(
+        F.sqrt((n * s2 - s1 * s1) / (n * (n - 1)).cast("double"))
+        / (s1 / n.cast("double"))
+    )
+    return (
+        st.filter(n >= 2)
+        .withColumn("cv_raw", cv_raw)
+        .select(
+            "user_id", "n_gaps",
+            F.round(s1 / n.cast("double") / 86400, 6).alias("mean_gap_days"),
+            F.round("cv_raw", 6).alias("cv"),
+            F.when(F.col("cv_raw") < 0.5, "regular")
+            .when(F.col("cv_raw") < 1.0, "moderate")
+            .otherwise("bursty")
+            .alias("regularity"),
+        )
+    )
+
+
+@register(
+    "agg_weekday_weekend_split",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CASE WHEN EXTRACT(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END AS wknd
+      FROM events
+    ),
+    daycnt AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN wknd = 1 THEN d END) AS BIGINT)
+               AS wknd_days,
+             CAST(COUNT(DISTINCT CASE WHEN wknd = 0 THEN d END) AS BIGINT)
+               AS wkdy_days
+      FROM base
+    )
+    SELECT event_type,
+           CAST(SUM(1 - wknd) AS BIGINT) AS n_weekday,
+           CAST(SUM(wknd) AS BIGINT) AS n_weekend,
+           round(CAST(SUM(wknd) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS weekend_share,
+           round((CAST(SUM(wknd) AS BIGINT) / CAST(MAX(dc.wknd_days) AS DOUBLE))
+                 / (CAST(SUM(1 - wknd) AS BIGINT)
+                    / CAST(MAX(dc.wkdy_days) AS DOUBLE)), 6)
+             AS weekend_daily_index
+    FROM base CROSS JOIN daycnt dc
+    GROUP BY event_type
+    """,
+)
+def agg_weekday_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday/weekend behavior split per event_type: volumes, the
+    weekend share, and the per-day weekend index (weekend events per
+    weekend day ÷ weekday events per weekday day — 1.0 = no weekly
+    rhythm), normalized by the OBSERVED day counts rather than an
+    assumed 2/7 so partial months don't fake a weekday bias.  The
+    Sunday=0 DOW convention is pinned on both sides.
+
+    Scale (100 TB): the day-count scalar is one tiny aggregate cross-
+    joined (broadcast) into a map-side-combined per-type rollup."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", "value",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("wknd"),
+    )
+    daycnt = base.agg(
+        F.countDistinct(F.when(F.col("wknd") == 1, F.col("d")))
+        .cast("long")
+        .alias("wknd_days"),
+        F.countDistinct(F.when(F.col("wknd") == 0, F.col("d")))
+        .cast("long")
+        .alias("wkdy_days"),
+    )
+    g = base.crossJoin(F.broadcast(daycnt)).groupBy("event_type").agg(
+        F.sum(1 - F.col("wknd")).cast("long").alias("n_weekday"),
+        F.sum("wknd").cast("long").alias("n_weekend"),
+        F.round(
+            F.sum("wknd").cast("long") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("weekend_share"),
+        F.round(
+            (F.sum("wknd").cast("long") / F.max("wknd_days").cast("double"))
+            / (F.sum(1 - F.col("wknd")).cast("long") / F.max("wkdy_days").cast("double")),
+            6,
+        ).alias("weekend_daily_index"),
+    )
+    return g

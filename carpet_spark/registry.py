@@ -366,6 +366,7 @@ _R4_QUEUE = (
     "pii_date_shift_consistent", "pii_generalize_timestamp",
     "text_shingle_jaccard_langs", "win_session_position",
     "join_temporal_validity_intersect", "dq_timeliness_lag_profile",
+    "agg_interpurchase_time_cv", "agg_weekday_weekend_split",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
