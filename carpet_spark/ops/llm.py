@@ -5073,3 +5073,73 @@ def text_shingle_jaccard_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "emb_centroid_drift_report",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    lab AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*) AS c,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM dims GROUP BY label, dim
+    ),
+    gcent AS (
+      SELECT dim,
+             CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*) AS g
+      FROM dims GROUP BY dim
+    )
+    SELECT l.label, MAX(l.n) AS n_vecs,
+           round(sqrt(CAST(SUM(CAST(round((l.c - g.g) * (l.c - g.g), 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE)), 6)
+             AS l2_drift,
+           round(MAX(abs(l.c - g.g)), 6) AS max_dim_shift
+    FROM lab l JOIN gcent g ON g.dim = l.dim
+    GROUP BY l.label
+    """,
+)
+def emb_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: each label's centroid distance from the
+    GLOBAL centroid (L2 + worst single dimension) — the report a serving
+    pipeline tracks per slice/day to catch encoder drift or slice
+    collapse before retrieval quality dies (emb_label_centroids exposes
+    the raw centroids; this op reduces them to the alarm numbers).
+    Determinism: per-dim means use the module's round6→decimal order-
+    exact summation; the 64 per-dim squared diffs are rounded to 12 dp
+    (identical doubles in, identical out) and decimal-summed so the dim
+    reduction is order-free too — only the final sqrt is float.
+
+    Scale (100 TB): posexplode is map-side-combined down to
+    |labels|×dims cells; everything after runs on that grid."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    dsum6 = F.sum(
+        F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+    ).cast("double")
+    lab = dims.groupBy("label", "dim").agg(
+        (dsum6 / F.count(F.lit(1))).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    glob = dims.groupBy("dim").agg(
+        (dsum6 / F.count(F.lit(1))).alias("g")
+    )
+    j = lab.join(F.broadcast(glob), "dim")
+    diff = F.col("c") - F.col("g")
+    return j.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.round(
+            F.sqrt(
+                F.sum(F.round(diff * diff, 12).cast("decimal(28,12)")).cast("double")
+            ),
+            6,
+        ).alias("l2_drift"),
+        F.round(F.max(F.abs(diff)), 6).alias("max_dim_shift"),
+    )

@@ -3915,3 +3915,73 @@ def ts_range_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_expansion"),
     )
+
+
+@register(
+    "ts_holt_linear_smoothing",
+    oracle=f"""
+    WITH RECURSIVE numbered AS (
+      SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM (SELECT d, cents / 100.0 AS v FROM ({_DAILY_ORDERS_SQL}) daily) c
+    ),
+    holt(rn, d, v, l, b) AS (
+      SELECT rn, d, v, v AS l, CAST(0 AS DOUBLE) AS b
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.rn, n.d, n.v,
+             CAST(0.3 AS DOUBLE) * n.v
+               + CAST(0.7 AS DOUBLE) * (h.l + h.b) AS l,
+             CAST(0.1 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * n.v
+                   + CAST(0.7 AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST(0.9 AS DOUBLE) * h.b AS b
+      FROM holt h JOIN numbered n ON n.rn = h.rn + 1
+    )
+    SELECT d, round(v, 6) AS v,
+           round(l, 6) + 0.0 AS level,
+           round(b, 6) + 0.0 AS trend,
+           round(l + b, 6) + 0.0 AS forecast_next
+    FROM holt
+    """,
+)
+def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the daily
+    revenue series — level + trend state and the one-step-ahead
+    forecast — the next rung up from ts_ewma (which cannot track a
+    trending series without lag).  α=0.3, β=0.1, seeded l₁=x₁, b₁=0,
+    run from the series start (the classic textbook recursion).
+
+    Engine parity: Spark computes the recurrence as a left fold with a
+    STRUCT {{level, trend}} accumulator over the expanding frame; the
+    oracle walks the identical recurrence with a recursive CTE — NOT
+    ``list_reduce``, whose struct-accumulator folds mis-evaluate the
+    second field in DuckDB 1.0 (probed: a 3-element fold returns
+    b=0.1167 where the hand recursion gives 0.051; scalar folds like
+    ts_ewma's are unaffected).  Both sides execute the same IEEE
+    operation sequence, so even deep-recursion values hash equal.
+
+    Scale (100 TB): the expanding fold is O(axis²) on the collapsed
+    |days| axis — bounded by calendar length, never by table size; for
+    per-key smoothing at scale the applyInPandas sequential pass is the
+    documented swap-in (same argument as ts_ewma's unbounded variant)."""
+    daily = _daily_orders(spark, sf_dir)
+    c = daily.select("d", (F.col("cents") / 100.0).alias("v"))
+    wexp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    vals = F.collect_list("v").over(wexp)
+    seed = F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b"))
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+
+    def step(acc, x):
+        new_l = F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])
+        new_b = F.lit(0.1) * (new_l - acc["l"]) + F.lit(0.9) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(rest, seed, step)
+    h = c.select("d", "v", st.alias("st"))
+    return h.select(
+        "d",
+        F.round("v", 6).alias("v"),
+        (F.round(F.col("st")["l"], 6) + 0.0).alias("level"),
+        (F.round(F.col("st")["b"], 6) + 0.0).alias("trend"),
+        (F.round(F.col("st")["l"] + F.col("st")["b"], 6) + 0.0).alias("forecast_next"),
+    )

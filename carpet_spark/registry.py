@@ -367,6 +367,7 @@ _R4_QUEUE = (
     "text_shingle_jaccard_langs", "win_session_position",
     "join_temporal_validity_intersect", "dq_timeliness_lag_profile",
     "agg_interpurchase_time_cv", "agg_weekday_weekend_split",
+    "ts_holt_linear_smoothing", "emb_centroid_drift_report",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
