@@ -29,6 +29,10 @@ ROWS_ONLY_BY_DESIGN = {
     "agg_approx_distinct",
     "stream_dedup_watermark",
     "stream_late_data",
+    # r4 window additions — approximate/RNG/model-backed by nature:
+    "agg_hll_merge",        # HLL sketch estimate (property-tested bounds)
+    "sample_seeded",        # Spark-internal RNG; determinism ≠ cross-engine
+    "quality_train_score",  # MLlib LR scores; no closed-form SQL oracle
 }
 
 
