@@ -155,81 +155,70 @@ _PRIORITY_WINDOW = (
 # promote the first 50 of this queue into _PRIORITY_WINDOW each round —
 # r4 through r7 finish the registry at the current size.
 _R4_QUEUE = (
-    "agg_hll_merge",
-    "text_token_entropy",
-    "quality_train_score",
-    "dedup_span_corpus", "pipeline_rag_topk",
-    "funnel_conversion", "retention_cohorts", "ab_welch_ttest",
-    "win_activity_streaks", "basket_pair_counts", "conversion_lag_stats",
-    "emb_norm_stats", "rfm_segments", "feature_quantile_bucketize",
-    "geo_haversine_radius", "geo_cell_join_radius", "dist_cumulative_share",
-    "text_fingerprint", "dedup_apply", "text_repetition", "dedup_keep_best",
-    "dedup_survivorship",
-    "text_quality_score",
-    "merge_upsert", "cdc_compact_latest", "scd2_history",
-    "agg_pivot", "unpivot_melt", "sample_stratified", "sample_seeded",
-    "sql_recursive_cte", "sql_lateral_topn", "sql_pipe_syntax",
-    "sql_udf_registered",
-    "graph_pagerank", "graph_bfs_hops",
-    "sink_partition_prune", "scan_dpp", "scan_schema_evolution",
-    "sink_sorted_skip", "scan_file_metadata", "scan_binary_files",
-    "sink_jsonl_sharded", "sink_compact_small_files",
-    "sink_csv_quoted_multiline", "sink_dynamic_partition_overwrite",
-    "pii_encrypt_roundtrip", "scan_recursive_dir",
-    "join_skew_aqe", "join_bloom_runtime_filter", "join_range_binned",
-    "join_fuzzy_blocked", "join_asof_forward", "join_asof_nearest",
-    "join_asof_tolerance", "join_null_safe_keys",
-    "win_pct_change", "win_time_range", "win_rank_salted",
-    "ts_zscore_outliers", "ts_ewma", "win_running_distinct",
-    "ts_seasonality_dow", "ts_inflight_orders",
-    "agg_approx_percentile", "agg_mode", "profile_table", "agg_histogram",
-    "dq_expectations", "agg_bitmap_distinct", "agg_weighted_avg",
-    "profile_key_skew", "pii_noisy_count_laplace", "agg_mad_outliers",
-    "agg_higher_moments",
-    "agg_listagg", "agg_approx_topk", "agg_observe_metrics",
-    "fn_explode", "fn_bitwise", "fn_regex", "fn_fuzzy", "fn_url",
-    "fn_struct", "fn_interval", "fn_xml", "fn_collation", "fn_try_safe",
-    "fn_lambda", "fn_surrogate_key", "fn_bitpack_key",
-    "topk_per_group", "udf_pandas_iter",
-    "sim_knn_join_topk", "sim_ann_ivf", "emb_pca_project",
-    "stream_pretrain_prep", "stream_sink_exactly_once", "stream_static_join",
-    "stream_python_datasource_sink",
-    "mm_image_resize", "mm_image_features", "mm_video_keyframes",
-    # --- round-3 second-session additions ---
-    "join_array_membership", "ts_interval_merge",
-    "attribution_last_touch", "win_rolling_median",
-    "scan_csv_permissive", "fn_ip_subnet",
-    "profile_column_entropy", "agg_duplicate_stats",
-    "reconcile_table_diff", "dedup_url_canonical",
-    "sample_balanced_class", "text_dedup_exact_normalized",
-    "emb_dim_stats", "stream_foreachbatch_upsert",
-    "graph_triangle_count", "win_year_over_year",
-    "text_oov_rate", "agg_gini_coefficient",
-    "pii_retention_sweep", "dq_freshness_sla",
-    "win_ytd_cumulative", "join_point_in_time",
-    "agg_partial_merge_rollup", "sim_mmr_rerank",
-    "fn_calendar_dim", "agg_benford_distribution",
-    "agg_sequence_detect", "join_fanout_safe",
-    "agg_weighted_percentile", "agg_new_vs_returning",
-    "agg_transition_matrix", "sample_negative_pairs",
-    "agg_histogram_2d", "mm_phash_dedup",
-    "sql_named_parameters", "win_share_of_total",
-    "fn_rendezvous_hash_routing", "agg_top_movers_wow",
-    "text_keywords_topk", "ts_seasonal_naive_backtest",
-    "stream_checkpoint_resume", "ts_rolling_active_users",
-    "profile_value_patterns", "ts_local_peaks",
-    "agg_cramers_v", "agg_audience_overlap",
-    "text_zipf_fit", "win_drawdown",
-    "pii_vault_tokenize", "udf_pandas_struct",
-    "agg_cohort_ltv", "pipeline_training_set_features",
-    "ts_window_custom_origin", "set_union_by_name_evolution",
-    "fn_decimal_money_exactness", "graph_degree_stats",
-    "eval_confusion_matrix", "join_ip_range_lookup",
-    "agg_user_path_topk", "sample_systematic_every_nth",
-    "emb_outlier_scores", "agg_hhi_concentration",
-    "ts_change_point_simple", "agg_leadtime_sla",
-    "dq_referential_integrity", "agg_abc_classification",
-    "agg_change_contribution", "text_boilerplate_prefix",
+    "sink_sorted_skip", "scan_file_metadata",
+    "scan_binary_files", "sink_jsonl_sharded",
+    "sink_compact_small_files", "sink_csv_quoted_multiline",
+    "sink_dynamic_partition_overwrite", "pii_encrypt_roundtrip",
+    "scan_recursive_dir", "join_skew_aqe",
+    "join_bloom_runtime_filter", "join_range_binned",
+    "join_fuzzy_blocked", "join_asof_forward",
+    "join_asof_nearest", "join_asof_tolerance",
+    "join_null_safe_keys", "win_pct_change",
+    "win_time_range", "win_rank_salted",
+    "ts_zscore_outliers", "ts_ewma",
+    "win_running_distinct", "ts_seasonality_dow",
+    "agg_approx_percentile", "agg_mode",
+    "profile_table", "agg_histogram",
+    "agg_bitmap_distinct", "agg_weighted_avg",
+    "profile_key_skew", "pii_noisy_count_laplace",
+    "agg_mad_outliers", "agg_higher_moments",
+    "agg_listagg", "agg_approx_topk",
+    "agg_observe_metrics", "fn_explode",
+    "fn_bitwise", "fn_regex",
+    "fn_fuzzy", "fn_url",
+    "fn_struct", "fn_interval",
+    "fn_xml", "fn_collation",
+    "fn_try_safe", "fn_surrogate_key",
+    "fn_bitpack_key", "topk_per_group",
+    "udf_pandas_iter", "sim_knn_join_topk",
+    "sim_ann_ivf", "emb_pca_project",
+    "stream_pretrain_prep", "stream_sink_exactly_once",
+    "stream_static_join", "stream_python_datasource_sink",
+    "mm_image_resize", "mm_image_features",
+    "mm_video_keyframes", "join_array_membership",
+    "ts_interval_merge", "attribution_last_touch",
+    "win_rolling_median", "scan_csv_permissive",
+    "fn_ip_subnet", "profile_column_entropy",
+    "agg_duplicate_stats", "reconcile_table_diff",
+    "dedup_url_canonical", "sample_balanced_class",
+    "text_dedup_exact_normalized", "emb_dim_stats",
+    "stream_foreachbatch_upsert", "graph_triangle_count",
+    "win_year_over_year", "text_oov_rate",
+    "agg_gini_coefficient", "pii_retention_sweep",
+    "dq_freshness_sla", "win_ytd_cumulative",
+    "join_point_in_time", "agg_partial_merge_rollup",
+    "sim_mmr_rerank", "fn_calendar_dim",
+    "agg_benford_distribution", "agg_sequence_detect",
+    "join_fanout_safe", "agg_weighted_percentile",
+    "agg_new_vs_returning", "agg_transition_matrix",
+    "sample_negative_pairs", "agg_histogram_2d",
+    "mm_phash_dedup", "sql_named_parameters",
+    "win_share_of_total", "fn_rendezvous_hash_routing",
+    "agg_top_movers_wow", "text_keywords_topk",
+    "ts_seasonal_naive_backtest", "stream_checkpoint_resume",
+    "ts_rolling_active_users", "profile_value_patterns",
+    "ts_local_peaks", "agg_cramers_v",
+    "agg_audience_overlap", "text_zipf_fit",
+    "win_drawdown", "pii_vault_tokenize",
+    "udf_pandas_struct", "agg_cohort_ltv",
+    "pipeline_training_set_features", "ts_window_custom_origin",
+    "set_union_by_name_evolution", "fn_decimal_money_exactness",
+    "graph_degree_stats", "eval_confusion_matrix",
+    "join_ip_range_lookup", "agg_user_path_topk",
+    "sample_systematic_every_nth", "emb_outlier_scores",
+    "agg_hhi_concentration", "ts_change_point_simple",
+    "agg_leadtime_sla", "dq_referential_integrity",
+    "agg_abc_classification", "agg_change_contribution",
     "scan_versioned_time_travel", "text_source_overlap",
     "agg_survival_km", "ts_control_chart_xmr",
     "text_collocations_pmi", "ts_activity_heatmap_dow_hour",
@@ -347,27 +336,26 @@ _R4_QUEUE = (
     "ts_partial_autocorrelation", "agg_mcnemar_test",
     "dq_hash_collision_audit", "agg_wilcoxon_signed_rank",
     "agg_contingency_residuals", "ab_cochran_armitage_trend",
-    "agg_price_endings_profile", "ts_decline_streak_alert",
-    "agg_hurst_rescaled_range", "fn_iso_week_boundaries",
-    "graph_k_core_peel", "sample_ipw_ess",
-    "fn_checkdigit_ean13", "dq_penny_drift_audit",
-    "ts_day_percentile_vs_history", "agg_log_return_volatility",
-    "ts_month_seasonal_index", "agg_customer_tenure_dist",
-    "sink_tsv_roundtrip", "agg_hhi_yearly_trend",
-    # --- round-4 in-session additions (wave order) ---
-    "eval_f1_threshold_sweep", "eval_mcc_sweep",
-    "graph_clustering_coefficient", "graph_jaccard_neighbors",
-    "feature_robust_scale", "feature_cyclical_encode",
-    "sql_exists_correlated", "sql_values_dim_join",
-    "ts_macd_indicator", "ts_stochastic_oscillator",
-    "ts_donchian_breakout", "ts_obv_indicator",
-    "agg_cr_concentration", "agg_quartile_dispersion",
-    "ts_pivot_points_daily", "ts_range_expansion",
-    "pii_date_shift_consistent", "pii_generalize_timestamp",
-    "text_shingle_jaccard_langs", "win_session_position",
-    "join_temporal_validity_intersect", "dq_timeliness_lag_profile",
-    "agg_interpurchase_time_cv", "agg_weekday_weekend_split",
-    "ts_holt_linear_smoothing", "emb_centroid_drift_report",
+    "agg_price_endings_profile", "agg_hurst_rescaled_range",
+    "fn_iso_week_boundaries", "graph_k_core_peel",
+    "sample_ipw_ess", "fn_checkdigit_ean13",
+    "dq_penny_drift_audit", "ts_day_percentile_vs_history",
+    "agg_log_return_volatility", "ts_month_seasonal_index",
+    "agg_customer_tenure_dist", "sink_tsv_roundtrip",
+    "agg_hhi_yearly_trend", "eval_f1_threshold_sweep",
+    "eval_mcc_sweep", "graph_clustering_coefficient",
+    "graph_jaccard_neighbors", "feature_robust_scale",
+    "feature_cyclical_encode", "sql_exists_correlated",
+    "sql_values_dim_join", "ts_macd_indicator",
+    "ts_stochastic_oscillator", "ts_donchian_breakout",
+    "ts_obv_indicator", "agg_cr_concentration",
+    "agg_quartile_dispersion", "ts_pivot_points_daily",
+    "ts_range_expansion", "pii_date_shift_consistent",
+    "pii_generalize_timestamp", "text_shingle_jaccard_langs",
+    "win_session_position", "join_temporal_validity_intersect",
+    "dq_timeliness_lag_profile", "agg_interpurchase_time_cv",
+    "agg_weekday_weekend_split", "ts_holt_linear_smoothing",
+    "emb_centroid_drift_report",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
