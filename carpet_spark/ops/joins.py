@@ -1550,3 +1550,63 @@ def join_temporal_validity_intersect(spark: SparkSession, sf_dir: str) -> DataFr
         ov_end.alias("ov_end"),
         F.datediff(ov_end, ov_start).cast("long").alias("overlap_days"),
     )
+
+
+@register(
+    "join_late_arriving_dim",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 37 <> 0
+    ),
+    enriched AS (
+      SELECT o.o_orderkey, o.o_totalprice,
+             COALESCE(d.c_custkey, -1) AS dim_key,
+             COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+             CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END AS is_late
+      FROM orders o LEFT JOIN dim d ON d.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(is_late) AS BIGINT) AS n_late_arriving,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM enriched GROUP BY segment
+    """,
+)
+def join_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling: facts whose dimension row hasn't
+    landed yet (simulated: every 37th customer withheld) are routed to
+    the -1 / 'UNKNOWN' surrogate instead of being dropped or stalling
+    the load — the inferred-member pattern every warehouse ETL needs so
+    revenue totals stay complete while the dim catches up.  The rollup
+    reports the UNKNOWN bucket alongside real segments plus the
+    late-arriving count per segment (always 0 for real segments, total
+    for UNKNOWN — the reconciliation number a backfill job consumes).
+
+    Scale (100 TB): a broadcast-able dim LEFT join (facts never lose
+    rows), COALESCE surrogates in the projection, map-side-combined
+    rollup.  The backfill pass is the same join run later with the
+    arrived dim rows — idempotent because the surrogate is a function of
+    NULL-ness, not load order."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    dim = c.filter(F.col("c_custkey") % 37 != 0).select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    enriched = o.join(
+        F.broadcast(dim), o.o_custkey == dim.c_custkey, "left"
+    ).select(
+        cents.alias("cents"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        F.when(F.col("c_custkey").isNull(), 1).otherwise(0).alias("is_late"),
+    )
+    return enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("is_late").cast("long").alias("n_late_arriving"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

@@ -1021,3 +1021,83 @@ def win_session_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("middle")
         .alias("pos_class"),
     )
+
+
+@register(
+    "win_views_per_purchase",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(COALESCE(
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS seg_id
+      FROM events
+    ),
+    purchases AS (
+      SELECT user_id, event_id, seg_id FROM seg WHERE event_type = 'purchase'
+    ),
+    counts AS (
+      SELECT user_id, seg_id,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_views,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clicks
+      FROM seg WHERE event_type <> 'purchase'
+      GROUP BY user_id, seg_id
+    )
+    SELECT p.user_id, p.event_id AS purchase_event_id,
+           COALESCE(c.n_views, 0) AS views_before,
+           COALESCE(c.n_clicks, 0) AS clicks_before
+    FROM purchases p
+    LEFT JOIN counts c ON c.user_id = p.user_id AND c.seg_id = p.seg_id
+    """,
+)
+def win_views_per_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Browsing depth per conversion: for every purchase, the number of
+    views and clicks the user made SINCE their previous purchase — the
+    per-conversion engagement-cost metric behind 'how much browsing does
+    a sale take' (conversion_lag_stats measures time-to-convert; this op
+    measures actions-to-convert).  Gaps-and-islands: a prefix count of
+    PRIOR purchases segments each user's timeline; non-purchase events
+    aggregate per segment and join back to the purchase that closes it
+    (purchases with an empty preceding segment report 0 via the left
+    join).
+
+    Scale (100 TB): the window, the segment aggregate, and the join all
+    key on user_id — one hashpartitioning reused end-to-end; segment
+    counts combine map-side."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("seg_id"),
+    ).withColumn("seg_id", F.coalesce(F.col("seg_id"), F.lit(0).cast("long")))
+    purchases = seg.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), "seg_id"
+    )
+    counts = (
+        seg.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "seg_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_views"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks"),
+        )
+    )
+    return purchases.join(counts, ["user_id", "seg_id"], "left").select(
+        "user_id", "purchase_event_id",
+        F.coalesce("n_views", F.lit(0).cast("long")).alias("views_before"),
+        F.coalesce("n_clicks", F.lit(0).cast("long")).alias("clicks_before"),
+    )
