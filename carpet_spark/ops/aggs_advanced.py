@@ -5259,3 +5259,55 @@ def dq_timeliness_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_over_60d"),
     )
+
+
+@register(
+    "profile_temporal_coverage",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', o_orderdate) AS DATE) AS d
+      FROM orders
+    ),
+    gaps AS (
+      SELECT d, d - LAG(d) OVER (ORDER BY d) AS gap_days FROM days
+    )
+    SELECT MIN(d) AS first_day,
+           MAX(d) AS last_day,
+           CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT)
+             AS span_days,
+           CAST(COUNT(*) AS BIGINT) AS observed_days,
+           CAST(date_diff('day', MIN(d), MAX(d)) + 1 - COUNT(*) AS BIGINT)
+             AS missing_days,
+           round(COUNT(*) / CAST(date_diff('day', MIN(d), MAX(d)) + 1
+                                 AS DOUBLE), 6) AS coverage,
+           CAST(MAX(gap_days) AS BIGINT) AS longest_gap_days
+    FROM gaps
+    """,
+)
+def profile_temporal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-axis continuity profile of the orders table: span, observed
+    vs missing days, coverage ratio, and the longest gap — the first
+    question asked of any time-partitioned dataset ('do we actually have
+    every day?') and the guard a backfill scheduler reads before
+    declaring a range complete.  dq_sequence_gaps lists individual holes;
+    this op is the one-row summary a freshness dashboard polls.
+
+    Scale (100 TB): the fact table collapses to DISTINCT days map-side
+    (bounded by calendar length); the gap window and summary run on that
+    axis.  Per-partition coverage adds the partition key to both."""
+    o = load(spark, sf_dir, "orders")
+    days = o.select(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).distinct()
+    w = Window.orderBy("d")
+    gaps = days.select("d", F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days"))
+    span = F.datediff(F.max("d"), F.min("d")) + 1
+    return gaps.agg(
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+        span.cast("long").alias("span_days"),
+        F.count(F.lit(1)).cast("long").alias("observed_days"),
+        (span - F.count(F.lit(1))).cast("long").alias("missing_days"),
+        F.round(F.count(F.lit(1)) / span.cast("double"), 6).alias("coverage"),
+        F.max("gap_days").cast("long").alias("longest_gap_days"),
+    )

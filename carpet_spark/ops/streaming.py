@@ -1000,3 +1000,55 @@ def stream_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = f"multisrc_{uuid.uuid4().hex[:8]}"
     return _run_available_now(merged, name, mode="complete")
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS wstart, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT wstart, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY wstart
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM hourly
+    )
+    SELECT wstart, rnk, event_type, n_events FROM ranked WHERE rnk <= 3
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 'trending now': top-3 event types per tumbling hour —
+    the leaderboard shape (trending hashtags, hot products, noisiest
+    services) run as a REAL readStream: the file source feeds a windowed
+    count in complete mode (availableNow drives it to completion into
+    the memory sink), and the rank-and-cut runs batch-side on the
+    finalized windows — ranking inside the stream would need arbitrary
+    stateful processing for no gain when the consumer is a dashboard
+    reading closed windows.  Ties break on event_type so the top-3 set
+    is deterministic in both engines.
+
+    Scale (100 TB/day): the streaming agg keeps |windows|×|types| state
+    rows (bounded); in production the memory sink becomes a Delta/
+    foreachBatch sink and complete mode becomes update+watermark with
+    the same downstream rank."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    done = _run_available_now(agg, f"wtopk_{uuid.uuid4().hex[:8]}", mode="complete")
+    wr = Window.partitionBy("wstart").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        done.select(
+            F.col("w.start").alias("wstart"), "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("wstart", "rnk", "event_type", "n_events")
+    )

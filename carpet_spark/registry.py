@@ -356,7 +356,8 @@ _R4_QUEUE = (
     "dq_timeliness_lag_profile", "agg_interpurchase_time_cv",
     "agg_weekday_weekend_split", "ts_holt_linear_smoothing",
     "emb_centroid_drift_report", "join_late_arriving_dim",
-    "win_views_per_purchase",
+    "win_views_per_purchase", "stream_windowed_topk",
+    "profile_temporal_coverage",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
