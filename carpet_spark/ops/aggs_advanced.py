@@ -5311,3 +5311,136 @@ def profile_temporal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)) / span.cast("double"), 6).alias("coverage"),
         F.max("gap_days").cast("long").alias("longest_gap_days"),
     )
+
+
+@register(
+    "agg_share_of_parent_hierarchy",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           round(cents / CAST(SUM(cents) OVER (PARTITION BY region)
+                              AS DOUBLE), 6) AS share_of_region,
+           round(SUM(cents) OVER (PARTITION BY region)
+                 / CAST(SUM(cents) OVER () AS DOUBLE), 6) AS region_share_of_total,
+           round(cents / CAST(SUM(cents) OVER () AS DOUBLE), 6)
+             AS share_of_total
+    FROM rev
+    """,
+)
+def agg_share_of_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent down a dimension hierarchy: each nation's share
+    of its region, each region's share of the total, and the through
+    share — the drill-down table every BI hierarchy widget renders
+    (win_share_of_total is the flat version; this op layers the parent
+    levels).  Revenue stays exact integer cents; the three shares are
+    windowed integer sums divided once.
+
+    Scale (100 TB): facts collapse to the |region|x|nation| grid before
+    any window; both partition windows and the grand total run on that
+    bounded grid (the grand-total window is a 2-row broadcast exchange,
+    not a single-reducer pass over facts)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region", "nation", "cents",
+        F.round(F.col("cents") / F.sum("cents").over(wr).cast("double"), 6)
+        .alias("share_of_region"),
+        F.round(
+            F.sum("cents").over(wr) / F.sum("cents").over(wt).cast("double"), 6
+        ).alias("region_share_of_total"),
+        F.round(F.col("cents") / F.sum("cents").over(wt).cast("double"), 6)
+        .alias("share_of_total"),
+    )
+
+
+@register(
+    "agg_littles_law_check",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS arr,
+             CAST(o_orderkey % 30 + 1 AS BIGINT) AS dur_days
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(arr) AS d0,
+             MAX(arr + CAST(dur_days AS INTEGER)) AS d1
+      FROM iv
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(date_diff('day', MAX(b.d0), MAX(b.d1)) AS BIGINT)
+             AS horizon_days,
+           round(COUNT(*) / CAST(date_diff('day', MAX(b.d0), MAX(b.d1))
+                                 AS DOUBLE), 6) AS arrival_rate_per_day,
+           round(CAST(SUM(dur_days) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_duration_days,
+           round((COUNT(*) / CAST(date_diff('day', MAX(b.d0), MAX(b.d1))
+                                  AS DOUBLE))
+                 * (CAST(SUM(dur_days) AS BIGINT)
+                    / CAST(COUNT(*) AS DOUBLE)), 6)
+             AS littles_law_wip,
+           round(CAST(SUM(dur_days) AS BIGINT)
+                 / CAST(date_diff('day', MAX(b.d0), MAX(b.d1)) AS DOUBLE), 6)
+             AS observed_avg_inflight
+    FROM iv CROSS JOIN bounds b
+    """,
+)
+def agg_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law consistency check on the order in-flight system:
+    L = λ·W computed two ways — arrival rate × average duration vs the
+    time-average of work-in-progress (Σ order-days ÷ horizon) — the
+    queueing sanity test an ops team runs to validate its WIP dashboards
+    (ts_inflight_orders draws the daily curve; this op checks its level
+    is arithmetically consistent).  The two WIP estimates agree exactly
+    here because every interval lies inside the horizon — a mismatch in
+    production means truncated intervals or clock skew.  All sums are
+    exact BIGINT order-days; divisions are the only float ops.
+
+    Scale (100 TB): one aggregate over the interval table plus a 1-row
+    bounds cross join — no per-day expansion needed for the check."""
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderdate").cast("date").alias("arr"),
+        (F.col("o_orderkey") % 30 + 1).cast("long").alias("dur_days"),
+    )
+    bounds = iv.agg(
+        F.min("arr").alias("d0"),
+        F.max(F.date_add(F.col("arr"), F.col("dur_days").cast("int"))).alias("d1"),
+    )
+    j = iv.crossJoin(F.broadcast(bounds))
+    horizon = F.datediff(F.max("d1"), F.max("d0")).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    sdur = F.sum("dur_days").cast("long")
+    lam = n / horizon.cast("double")
+    wbar = sdur / n.cast("double")
+    return j.agg(
+        n.alias("n_orders"),
+        horizon.alias("horizon_days"),
+        F.round(lam, 6).alias("arrival_rate_per_day"),
+        F.round(wbar, 6).alias("avg_duration_days"),
+        F.round(lam * wbar, 6).alias("littles_law_wip"),
+        F.round(sdur / horizon.cast("double"), 6).alias("observed_avg_inflight"),
+    )

@@ -357,7 +357,8 @@ _R4_QUEUE = (
     "agg_weekday_weekend_split", "ts_holt_linear_smoothing",
     "emb_centroid_drift_report", "join_late_arriving_dim",
     "win_views_per_purchase", "stream_windowed_topk",
-    "profile_temporal_coverage",
+    "profile_temporal_coverage", "agg_share_of_parent_hierarchy",
+    "agg_littles_law_check",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
