@@ -5143,3 +5143,73 @@ def emb_centroid_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("l2_drift"),
         F.round(F.max(F.abs(diff)), 6).alias("max_dim_shift"),
     )
+
+
+@register(
+    "text_vocab_coverage_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+             CAST(SUM(c) OVER () AS BIGINT) AS total
+      FROM freq
+    ),
+    ks AS (SELECT unnest([1, 5, 10, 25]) AS k)
+    SELECT k,
+           CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT)
+                 / CAST(MAX(total) AS DOUBLE), 6) AS coverage
+    FROM ranked CROSS JOIN ks
+    GROUP BY k
+    """,
+)
+def text_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary concentration curve: what fraction of all token
+    instances the top-k most frequent types cover, at k ∈ {1,5,10,25} —
+    the Zipf-concentration summary a tokenizer team reads to size a
+    vocabulary (text_zipf_fit estimates the exponent; this op gives the
+    deployable coverage numbers).  Ranking breaks count ties on the
+    token so every k-cut is deterministic; counts stay exact BIGINTs.
+
+    Scale (100 TB): token counts combine map-side to |vocab| rows
+    (Heaps-sublinear); the rank window and the k-grid cross join run on
+    that vocabulary axis only."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "w"))
+        .alias("rk"),
+        F.sum("c").over(Window.partitionBy()).cast("long").alias("total"),
+    )
+    ks = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (5,), (10,), (25,)], "k int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= F.col("k"), F.col("c")).otherwise(0))
+                .cast("long")
+                / F.max("total").cast("double"),
+                6,
+            ).alias("coverage"),
+        )
+    )

@@ -3985,3 +3985,53 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("st")["b"], 6) + 0.0).alias("trend"),
         (F.round(F.col("st")["l"] + F.col("st")["b"], 6) + 0.0).alias("forecast_next"),
     )
+
+
+@register(
+    "ts_week_over_week_same_dow",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL})
+    SELECT a.d, a.cents,
+           b.cents AS cents_prev_week,
+           CASE WHEN b.d IS NULL THEN NULL
+                ELSE a.cents - b.cents END AS wow_delta,
+           CASE WHEN b.d IS NULL OR b.cents = 0 THEN NULL
+                ELSE round((a.cents - b.cents) / CAST(b.cents AS DOUBLE), 6)
+           END AS wow_pct
+    FROM daily a LEFT JOIN daily b ON b.d = a.d - 7
+    """,
+)
+def ts_week_over_week_same_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week comparison against the SAME weekday (this Monday vs
+    last Monday) — the only honest WoW for anything with a weekly rhythm
+    (a naive LAG(7 rows) silently compares different weekdays whenever a
+    day is missing, and this axis has 6 holes — profile_temporal_coverage
+    counts them).  Implemented as a calendar self-join on d−7, so a
+    missing prior week yields NULL (identically in both engines) rather
+    than a shifted comparison; deltas are exact integer cents.
+
+    Scale (100 TB): the self-join runs on the collapsed |days| axis;
+    per-segment WoW adds the segment to both join keys."""
+    daily = _daily_orders(spark, sf_dir).select("d", "cents")
+    b = daily.select(
+        F.col("d").alias("bd"), F.col("cents").alias("cents_prev_week")
+    )
+    j = daily.join(b, F.col("bd") == F.date_sub(F.col("d"), 7), "left")
+    return j.select(
+        "d", "cents", "cents_prev_week",
+        F.when(F.col("bd").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.col("cents") - F.col("cents_prev_week"))
+        .alias("wow_delta"),
+        F.when(
+            F.col("bd").isNull() | (F.col("cents_prev_week") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("cents") - F.col("cents_prev_week"))
+                / F.col("cents_prev_week").cast("double"),
+                6,
+            )
+        )
+        .alias("wow_pct"),
+    )

@@ -358,7 +358,8 @@ _R4_QUEUE = (
     "emb_centroid_drift_report", "join_late_arriving_dim",
     "win_views_per_purchase", "stream_windowed_topk",
     "profile_temporal_coverage", "agg_share_of_parent_hierarchy",
-    "agg_littles_law_check",
+    "agg_littles_law_check", "text_vocab_coverage_topk",
+    "ts_week_over_week_same_dow",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
