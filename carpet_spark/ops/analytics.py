@@ -5223,3 +5223,207 @@ def agg_weekday_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weekend_daily_index"),
     )
     return g
+
+
+@register(
+    "agg_adstock_decay_correlation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) ELSE 0 END)
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS clicks,
+             CAST(CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 1000000) AS BIGINT) ELSE 0 END)
+                  AS DOUBLE) / 1000000 AS DOUBLE) AS purch
+      FROM events GROUP BY 1
+    ),
+    ad AS (
+      SELECT d, clicks, purch,
+             list_reduce(list(clicks) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (a, x) -> x + 0.5 * a) AS adstock
+      FROM daily
+    ),
+    mu AS (
+      SELECT CAST(ROUND(adstock * 1000000) AS BIGINT) AS ax,
+             CAST(ROUND(purch * 1000000) AS BIGINT) AS py,
+             CAST(ROUND(clicks * 1000000) AS BIGINT) AS cx
+      FROM ad
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(ax) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(py) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(ax AS HUGEINT) * py) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(ax AS HUGEINT) * ax) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(py AS HUGEINT) * py) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(cx) AS BIGINT) AS DOUBLE) AS rx,
+             CAST(SUM(CAST(cx AS HUGEINT) * py) AS DOUBLE) AS rxy,
+             CAST(SUM(CAST(cx AS HUGEINT) * cx) AS DOUBLE) AS rxx
+      FROM mu
+    )
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_adstock,
+           round((n * rxy - rx * sy)
+                 / (sqrt(n * rxx - rx * rx) * sqrt(n * syy - sy * sy)), 6)
+             AS corr_raw
+    FROM s
+    """,
+)
+def agg_adstock_decay_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adstock (geometric carry-over, λ=0.5) of daily click value
+    correlated with daily purchase value, next to the raw same-day
+    correlation — the media-mix-modeling transform that answers 'does
+    accounting for lagged ad effect explain revenue better'.  The
+    adstock recursion is a SCALAR window fold (safe in both engines —
+    only struct folds are broken, see ts_holt_linear_smoothing); the
+    correlation moments quantize the series to exact integer micro-units
+    and cross-multiply in HUGEINT/decimal(38,0) (int64 would overflow —
+    the fixed-point cross-product trap), casting to double only for the
+    final closed-form Pearson expression, identical text on both sides.
+
+    Scale (100 TB): events collapse map-side to the |days| axis; fold
+    and moments run on that axis.  Per-channel adstock adds a partition
+    key to the window and a group key to the moments."""
+    e = load(spark, sf_dir, "events")
+    from ..exprs import lsum as _lsum
+
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        _lsum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0))
+        .alias("clicks"),
+        _lsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))
+        .alias("purch"),
+    )
+    wexp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    vals = F.collect_list("clicks").over(wexp)
+    adstock = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda a, x: x + F.lit(0.5) * a,
+    )
+    ad = daily.select("d", "clicks", "purch", adstock.alias("adstock"))
+    mu = ad.select(
+        (F.col("adstock") * 1_000_000 + F.lit(0.5)).cast("long").alias("ax"),
+        (F.col("purch") * 1_000_000 + F.lit(0.5)).cast("long").alias("py"),
+        (F.col("clicks") * 1_000_000 + F.lit(0.5)).cast("long").alias("cx"),
+    )
+
+    def wide(col):
+        return F.col(col).cast("decimal(38,0)")
+
+    s = mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ax").cast("long").cast("double").alias("sx"),
+        F.sum("py").cast("long").cast("double").alias("sy"),
+        F.sum(wide("ax") * F.col("py")).cast("double").alias("sxy"),
+        F.sum(wide("ax") * F.col("ax")).cast("double").alias("sxx"),
+        F.sum(wide("py") * F.col("py")).cast("double").alias("syy"),
+        F.sum("cx").cast("long").cast("double").alias("rx"),
+        F.sum(wide("cx") * F.col("py")).cast("double").alias("rxy"),
+        F.sum(wide("cx") * F.col("cx")).cast("double").alias("rxx"),
+    )
+    n = F.col("n")
+    return s.select(
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_adstock"),
+        F.round(
+            (n * F.col("rxy") - F.col("rx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("rxx") - F.col("rx") * F.col("rx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr_raw"),
+    )
+
+
+@register(
+    "agg_next_basket_pairs",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey)
+               AS next_orderkey
+      FROM orders
+    ),
+    cur_cat AS (
+      SELECT DISTINCT s.o_custkey, s.o_orderkey, s.next_orderkey,
+             l.l_partkey % 50 AS cat_a
+      FROM seq s JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+      WHERE s.next_orderkey IS NOT NULL
+    ),
+    pairs AS (
+      SELECT c.cat_a, l2.l_partkey % 50 AS cat_b
+      FROM cur_cat c JOIN lineitem l2 ON l2.l_orderkey = c.next_orderkey
+    ),
+    counted AS (
+      SELECT cat_a, cat_b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT cat_a, cat_b, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, cat_a, cat_b) AS rnk
+      FROM counted
+    )
+    SELECT rnk, cat_a, cat_b, n FROM ranked WHERE rnk <= 20
+    """,
+)
+def agg_next_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-basket transitions: which part CATEGORY a customer's next
+    order contains, given a category in the current order — the
+    sequential sibling of basket_pair_counts (same basket) and the
+    candidate generator for next-purchase recommendation.  Category =
+    partkey mod 50 (item-level pairs are all count-1 on this fixture —
+    category-level transitions concentrate).  Orders sequence per
+    customer via LEAD with the (date, orderkey) total order; the current
+    side is DISTINCT per (order, category) so one order with three
+    same-category items doesn't triple-count the transition; top-20 with
+    deterministic tie-break.
+
+    Scale (100 TB): the LEAD window keys on custkey; both basket joins
+    are equi-key on orderkey; pair counts combine map-side onto the
+    bounded category² grid."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    ).filter(F.col("next_orderkey").isNotNull())
+    cur_cat = (
+        seq.join(li, seq.o_orderkey == li.l_orderkey)
+        .select(
+            "o_custkey", "o_orderkey", "next_orderkey",
+            (F.col("l_partkey") % 50).alias("cat_a"),
+        )
+        .distinct()
+    )
+    li2 = li.select(
+        F.col("l_orderkey").alias("next_orderkey"),
+        (F.col("l_partkey") % 50).alias("cat_b"),
+    )
+    counted = (
+        cur_cat.join(li2, "next_orderkey")
+        .groupBy("cat_a", "cat_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "cat_a", "cat_b")
+    return (
+        counted.select(
+            F.row_number().over(wr).alias("rnk"), "cat_a", "cat_b", "n"
+        )
+        .filter(F.col("rnk") <= 20)
+    )

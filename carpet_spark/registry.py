@@ -359,7 +359,8 @@ _R4_QUEUE = (
     "win_views_per_purchase", "stream_windowed_topk",
     "profile_temporal_coverage", "agg_share_of_parent_hierarchy",
     "agg_littles_law_check", "text_vocab_coverage_topk",
-    "ts_week_over_week_same_dow",
+    "ts_week_over_week_same_dow", "agg_adstock_decay_correlation",
+    "agg_next_basket_pairs",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
