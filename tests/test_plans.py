@@ -567,3 +567,61 @@ def test_reconcile_diff_single_key_join(spark, sf_dir):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- round-4 wave ops: plans that must survive 100x ------------------------
+
+
+def test_temporal_intersect_broadcasts_calendar(spark, sf_dir):
+    """The theta (overlap) join must run as a broadcast nested-loop against
+    the tiny calendar side, never a CartesianProduct over facts."""
+    plan = explain_str(REGISTRY["join_temporal_validity_intersect"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_values_dim_join_broadcasts(spark, sf_dir):
+    """The 5-row inline VALUES dimension must broadcast — a shuffle join
+    here would shuffle the whole fact table for a lookup."""
+    plan = explain_str(REGISTRY["sql_values_dim_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_share_of_parent_all_dims_broadcast(spark, sf_dir):
+    """customer/nation/region are all dimensions: every join broadcasts and
+    the windows run on the collapsed region x nation grid."""
+    plan = explain_str(REGISTRY["agg_share_of_parent_hierarchy"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_session_position_single_user_exchange(spark, sf_dir):
+    """All session windows partition by user_id (or a subdivision) — the
+    plan must contain exactly one user_id hashpartitioning exchange."""
+    plan = explain_str(REGISTRY["win_session_position"].fn(spark, sf_dir))
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, "no hash exchange found"
+    assert all("user_id" in e for e in exchanges), exchanges
+
+
+def test_late_arriving_dim_left_broadcast(spark, sf_dir):
+    """The dim LEFT join must broadcast the dim side so facts never
+    shuffle for the surrogate routing."""
+    plan = explain_str(REGISTRY["join_late_arriving_dim"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_indicator_ops_collapse_before_windows(spark, sf_dir):
+    """Daily-axis indicator ops must aggregate facts map-side BEFORE any
+    window: partial aggregation present, and no window directly over the
+    raw fact scan."""
+    for name in ("ts_macd_indicator", "ts_donchian_breakout", "ts_obv_indicator"):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+        assert "HashAggregate" in plan, name
+        # formatted explain prints top-down, so the Window must appear
+        # ABOVE the daily-collapse aggregate (i.e. aggregate is its child)
+        assert plan.index("Window") < plan.index("HashAggregate"), name
