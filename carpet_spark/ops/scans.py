@@ -1370,3 +1370,41 @@ def sink_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         F.sum("bal_cents").cast("long").alias("bal_cents"),
     )
+
+
+@register(
+    "sink_parquet_bloom_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_extendedprice
+    FROM lineitem
+    WHERE l_partkey IN (42, 420, 777)
+    """,
+)
+def sink_parquet_bloom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter authoring: write lineitem with a bloom filter
+    on l_partkey (``parquet.bloom.filter.enabled#l_partkey``) plus
+    dictionary fallback disabled for that column, then read back a
+    point-set probe — the storage feature that turns needle-in-haystack
+    key lookups into row-group skips when min/max stats are too wide to
+    prune (high-cardinality keys scattered across the range).  The
+    result set is the exact IN-list filter, so the hash check proves the
+    bloom path returns complete results (a bloom filter may only skip,
+    never drop).
+
+    Scale (100 TB): bloom filters are per-row-group and cost ~1 byte/key
+    at write; reads probe the filter before decoding any page.  The
+    write here is the fixture slice; production writers set the same
+    options on the real table."""
+    out = _sink_path(spark, "sink_bloom")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    (
+        li.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "20000")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(
+        F.col("l_partkey").isin(42, 420, 777)
+    )

@@ -4035,3 +4035,49 @@ def ts_week_over_week_same_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("wow_pct"),
     )
+
+
+@register(
+    "ts_intraday_volume_curve",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM hourly)
+    SELECT hr, n,
+           round(n / CAST(total AS DOUBLE), 6) AS share,
+           round(CAST(SUM(n) OVER (ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / CAST(total AS DOUBLE), 6) AS cum_share,
+           round(n / CAST(total AS DOUBLE) * 24, 6) AS pace_index
+    FROM hourly CROSS JOIN tot
+    """,
+)
+def ts_intraday_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled intraday volume curve: each hour-of-day's share of total
+    events, the cumulative curve, and a pace index (share x 24; 1.0 =
+    flat) — the profile a pacing/budget system multiplies daily targets
+    by (ts_pacing_vs_target consumes exactly this shape) and an on-call
+    rota reads for staffing.  Pooled counts, not an average of daily
+    shares: exact integer ratios with no order-dependent float
+    accumulation, and low-volume days don't get equal weight with
+    heavy ones.
+
+    Scale (100 TB): one map-side-combined 24-group count; the window
+    and shares run on 24 rows."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = hourly.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.crossJoin(F.broadcast(tot)).select(
+        "hr", "n",
+        F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        F.round(
+            F.sum("n").over(w).cast("long") / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
+        F.round(F.col("n") / F.col("total").cast("double") * 24, 6).alias("pace_index"),
+    )

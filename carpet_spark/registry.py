@@ -360,7 +360,8 @@ _R4_QUEUE = (
     "profile_temporal_coverage", "agg_share_of_parent_hierarchy",
     "agg_littles_law_check", "text_vocab_coverage_topk",
     "ts_week_over_week_same_dow", "agg_adstock_decay_correlation",
-    "agg_next_basket_pairs",
+    "agg_next_basket_pairs", "sink_parquet_bloom_roundtrip",
+    "ts_intraday_volume_curve",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
