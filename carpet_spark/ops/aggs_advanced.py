@@ -5444,3 +5444,97 @@ def agg_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lam * wbar, 6).alias("littles_law_wip"),
         F.round(sdur / horizon.cast("double"), 6).alias("observed_avg_inflight"),
     )
+
+
+_SCHEMA_CONTRACT = (
+    # (column, expected_type_category) — deliberately drifted from the
+    # actual orders schema so every status branch populates: o_clerk is
+    # missing from the table, o_totalprice is contracted DECIMAL but
+    # lands DOUBLE, and o_orderpriority arrives uncontracted.
+    ("o_orderkey", "integer"),
+    ("o_custkey", "integer"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "decimal"),
+    ("o_orderdate", "timestamp"),
+    ("o_clerk", "string"),
+)
+
+
+@register(
+    "dq_schema_contract_check",
+    oracle="""
+    WITH contract(column_name, expected_type) AS (
+      VALUES ('o_orderkey', 'integer'), ('o_custkey', 'integer'),
+             ('o_orderstatus', 'string'), ('o_totalprice', 'decimal'),
+             ('o_orderdate', 'timestamp'), ('o_clerk', 'string')
+    ),
+    actual AS (
+      SELECT column_name,
+             CASE WHEN column_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT')
+                    THEN 'integer'
+                  WHEN column_type IN ('FLOAT','DOUBLE') THEN 'double'
+                  WHEN column_type LIKE 'DECIMAL%' THEN 'decimal'
+                  WHEN column_type = 'VARCHAR' THEN 'string'
+                  WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+                  WHEN column_type = 'DATE' THEN 'date'
+                  ELSE lower(column_type) END AS actual_type
+      FROM (DESCRIBE SELECT * FROM orders)
+    )
+    SELECT COALESCE(c.column_name, a.column_name) AS column_name,
+           c.expected_type, a.actual_type,
+           CASE WHEN a.column_name IS NULL THEN 'missing'
+                WHEN c.column_name IS NULL THEN 'unexpected'
+                WHEN c.expected_type = a.actual_type THEN 'ok'
+                ELSE 'type_mismatch' END AS status
+    FROM contract c FULL OUTER JOIN actual a
+      ON a.column_name = c.column_name
+    """,
+)
+def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract enforcement: the table's ACTUAL schema diffed
+    against a declared column/type contract, reporting ok /
+    type_mismatch / missing / unexpected per column — the check a data
+    contract gate runs before letting a producer's push through
+    (dq_expectations validates VALUES; this op validates SHAPE, which
+    breaks consumers faster).  Types compare as coarse categories
+    (integer/double/decimal/string/timestamp/date) so width-only
+    differences don't page anyone.  The demo contract is deliberately
+    drifted: one missing column, one decimal-vs-double mismatch, one
+    uncontracted arrival — all four statuses populate.
+
+    Scale (100 TB): pure metadata — the schema comes from the catalog
+    (Spark: analyzed plan; oracle: DESCRIBE), no data is read; the diff
+    is a full-outer join of two ~|columns|-row relations."""
+    o = load(spark, sf_dir, "orders")
+
+    def cat(t: str) -> str:
+        t = t.lower()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return "integer"
+        if t in ("float", "double"):
+            return "double"
+        if t.startswith("decimal"):
+            return "decimal"
+        if t == "string":
+            return "string"
+        if t.startswith("timestamp"):
+            return "timestamp"
+        return t
+
+    actual = spark.createDataFrame(
+        [(n, cat(t)) for n, t in o.dtypes], "column_name string, actual_type string"
+    )
+    contract = spark.createDataFrame(
+        list(_SCHEMA_CONTRACT), "column_name string, expected_type string"
+    )
+    j = contract.alias("c").join(
+        actual.alias("a"), on="column_name", how="full_outer"
+    )
+    return j.select(
+        "column_name", "expected_type", "actual_type",
+        F.when(F.col("actual_type").isNull(), "missing")
+        .when(F.col("expected_type").isNull(), "unexpected")
+        .when(F.col("expected_type") == F.col("actual_type"), "ok")
+        .otherwise("type_mismatch")
+        .alias("status"),
+    )

@@ -4081,3 +4081,58 @@ def ts_intraday_volume_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_share"),
         F.round(F.col("n") / F.col("total").cast("double") * 24, 6).alias("pace_index"),
     )
+
+
+@register(
+    "ts_timezone_shift_report",
+    oracle="""
+    WITH both_zones AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d_utc,
+             CAST(date_trunc('day', ts + INTERVAL 8 HOUR) AS DATE) AS d_sgt
+      FROM events
+    ),
+    u AS (SELECT d_utc AS d, CAST(COUNT(*) AS BIGINT) AS n_utc
+          FROM both_zones GROUP BY 1),
+    s AS (SELECT d_sgt AS d, CAST(COUNT(*) AS BIGINT) AS n_shifted
+          FROM both_zones GROUP BY 1)
+    SELECT COALESCE(u.d, s.d) AS d,
+           COALESCE(u.n_utc, 0) AS n_utc,
+           COALESCE(s.n_shifted, 0) AS n_shifted,
+           COALESCE(s.n_shifted, 0) - COALESCE(u.n_utc, 0) AS shift_delta
+    FROM u FULL OUTER JOIN s ON s.d = u.d
+    """,
+)
+def ts_timezone_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-bucket sensitivity to the reporting timezone: the same events
+    bucketed by UTC day vs a UTC+8 business day, with the per-day delta
+    — the report that settles 'why don't our dailies match the regional
+    team's' (events near midnight swap days under the offset; the
+    totals reconcile, the days don't).  A fixed +8 offset keeps both
+    engines' arithmetic identical (named-zone conversion would pull in
+    ICU/JVM tzdata differences — intentionally out of scope here).
+
+    Scale (100 TB): two map-side day counts and a |days| full-outer
+    join; adding more zones is one more branch of the same shape."""
+    e = load(spark, sf_dir, "events")
+    bz = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("d_utc"),
+        F.date_trunc("day", F.col("ts") + F.expr("INTERVAL 8 HOURS"))
+        .cast("date")
+        .alias("d_sgt"),
+    )
+    u = bz.groupBy(F.col("d_utc").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_utc")
+    )
+    s = bz.groupBy(F.col("d_sgt").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shifted")
+    )
+    j = u.join(s, "d", "full_outer")
+    return j.select(
+        "d",
+        F.coalesce("n_utc", F.lit(0).cast("long")).alias("n_utc"),
+        F.coalesce("n_shifted", F.lit(0).cast("long")).alias("n_shifted"),
+        (
+            F.coalesce("n_shifted", F.lit(0).cast("long"))
+            - F.coalesce("n_utc", F.lit(0).cast("long"))
+        ).alias("shift_delta"),
+    )
