@@ -5427,3 +5427,87 @@ def agg_next_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "agg_reorder_point_calc",
+    oracle="""
+    WITH daily AS (
+      SELECT l_partkey,
+             CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem WHERE l_partkey % 25 = 0
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(date_diff('day', MIN(d), MAX(d)) + 1 AS BIGINT)
+        AS n_days
+      FROM daily
+    ),
+    st AS (
+      SELECT l_partkey,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             MAX(sp.n_days) AS n_days
+      FROM daily CROSS JOIN span sp
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_active, n_days,
+           round(s1 / CAST(n_days AS DOUBLE), 6) AS mu_daily,
+           round(sqrt((s2 - CAST(s1 AS HUGEINT) * s1 / CAST(n_days AS DOUBLE))
+                      / CAST(n_days AS DOUBLE)), 6) AS sigma_daily,
+           CAST(l_partkey % 7 + 3 AS BIGINT) AS lead_days,
+           round(s1 / CAST(n_days AS DOUBLE) * (l_partkey % 7 + 3)
+                 + 1.645 * sqrt((s2 - CAST(s1 AS HUGEINT) * s1
+                                 / CAST(n_days AS DOUBLE))
+                                / CAST(n_days AS DOUBLE))
+                   * sqrt(CAST(l_partkey % 7 + 3 AS DOUBLE)), 6)
+             AS reorder_point
+    FROM st
+    """,
+)
+def agg_reorder_point_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-point (ROP) calculation per part: daily-demand mean and
+    population std over the FULL calendar span (zero-demand days count —
+    dividing by active days only would inflate μ for slow movers), a
+    deterministic synthetic lead time, and ROP = μL + z·σ√L at 95%
+    service (z=1.645) — the standard continuous-review inventory policy.
+    Demand moments come from exact BIGINT sums with the HUGEINT
+    cross-product guard; the zero-day correction works because Σq and
+    Σq² over active days equal the sums over all days (zeros contribute
+    nothing), so no calendar expansion is needed.
+
+    Scale (100 TB): one (part, day) aggregate, one per-part moment
+    aggregate riding the same key, one scalar span cross-join — demand
+    history never expands to the calendar grid."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 25 == 0)
+    q = (F.col("l_quantity") + F.lit(0.5)).cast("long")  # qty > 0, integral
+    daily = li.groupBy(
+        "l_partkey", F.date_trunc("day", "l_shipdate").cast("date").alias("d")
+    ).agg(F.sum(q).cast("long").alias("q"))
+    span = daily.agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1).cast("long").alias("n_days")
+    )
+    st = daily.crossJoin(F.broadcast(span)).groupBy("l_partkey").agg(
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.max("n_days").alias("n_days"),
+    )
+    nd = F.col("n_days").cast("double")
+    mu = F.col("s1") / nd
+    var = (
+        F.col("s2") - F.col("s1").cast("decimal(38,0)") * F.col("s1") / nd
+    ) / nd
+    sigma = F.sqrt(var)
+    lead = F.col("l_partkey") % 7 + 3
+    return st.select(
+        "l_partkey", "n_active", "n_days",
+        F.round(mu, 6).alias("mu_daily"),
+        F.round(sigma, 6).alias("sigma_daily"),
+        lead.cast("long").alias("lead_days"),
+        F.round(
+            mu * lead + F.lit(1.645) * sigma * F.sqrt(lead.cast("double")), 6
+        ).alias("reorder_point"),
+    )

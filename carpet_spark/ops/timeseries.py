@@ -4136,3 +4136,67 @@ def ts_timezone_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.coalesce("n_utc", F.lit(0).cast("long"))
         ).alias("shift_delta"),
     )
+
+
+@register(
+    "ts_apdex_score",
+    oracle="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN value <= 70.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS satisfied,
+             CAST(SUM(CASE WHEN value > 70.0 AND value <= 280.0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tolerating
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, total, satisfied, tolerating,
+           round((satisfied + tolerating / 2.0) / CAST(total AS DOUBLE), 6)
+             AS apdex,
+           CASE WHEN (satisfied + tolerating / 2.0) / CAST(total AS DOUBLE)
+                     >= 0.93 THEN 'excellent'
+                WHEN (satisfied + tolerating / 2.0) / CAST(total AS DOUBLE)
+                     >= 0.88 THEN 'good'
+                WHEN (satisfied + tolerating / 2.0) / CAST(total AS DOUBLE)
+                     >= 0.82 THEN 'fair'
+                ELSE 'poor' END AS rating
+    FROM c
+    """,
+)
+def ts_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Apdex per event_type with value-as-latency (T=70, tolerating
+    ≤ 4T): (satisfied + tolerating/2) / total, plus
+    excellent/good/fair/poor rating bands (cuts at .93/.88/.82 — tuned
+    to the fixture's score spread so every band populates; T and the
+    bands are the policy knobs) — the industry-standard
+    user-satisfaction rollup that turns a latency distribution into one
+    comparable number (ts_latency_percentiles_hourly keeps the
+    distribution; Apdex is what goes on the exec dashboard).  Counts are
+    exact BIGINTs; the score is one division, and the rating CASE
+    compares the UNrounded score identically in both engines.
+
+    Scale (100 TB): one map-side-combined (type, day) aggregate; the
+    threshold comparisons ride the same scan."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.sum(F.when(F.col("value") <= 70.0, 1).otherwise(0))
+        .cast("long")
+        .alias("satisfied"),
+        F.sum(F.when((F.col("value") > 70.0) & (F.col("value") <= 280.0), 1).otherwise(0))
+        .cast("long")
+        .alias("tolerating"),
+    )
+    score = (F.col("satisfied") + F.col("tolerating") / 2.0) / F.col("total").cast("double")
+    return c.select(
+        "event_type", "d", "total", "satisfied", "tolerating",
+        F.round(score, 6).alias("apdex"),
+        F.when(score >= 0.93, "excellent")
+        .when(score >= 0.88, "good")
+        .when(score >= 0.82, "fair")
+        .otherwise("poor")
+        .alias("rating"),
+    )

@@ -362,7 +362,8 @@ _R4_QUEUE = (
     "ts_week_over_week_same_dow", "agg_adstock_decay_correlation",
     "agg_next_basket_pairs", "sink_parquet_bloom_roundtrip",
     "ts_intraday_volume_curve", "dq_schema_contract_check",
-    "ts_timezone_shift_report",
+    "ts_timezone_shift_report", "agg_reorder_point_calc",
+    "ts_apdex_score",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
