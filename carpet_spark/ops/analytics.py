@@ -5511,3 +5511,254 @@ def agg_reorder_point_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
             mu * lead + F.lit(1.645) * sigma * F.sqrt(lead.cast("double")), 6
         ).alias("reorder_point"),
     )
+
+
+_MK_CHANNELS = ("click", "error", "signup", "view")  # alphabetical, fixed
+_MK_DSTS = ("click", "conv", "error", "null", "signup", "view")
+_MK_ITERS = 60
+
+
+def _markov_edges_sql() -> str:
+    """Transition edges (src, dst, cnt) of the first-purchase journey
+    chain: start → channels → conv (first purchase) / null (no purchase)."""
+    return """
+      seqd AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS rn,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS state
+        FROM events
+      ),
+      lim AS (
+        SELECT user_id,
+               COALESCE(MIN(CASE WHEN state = 'conv' THEN rn END),
+                        MAX(rn)) AS last_rn,
+               MIN(CASE WHEN state = 'conv' THEN rn END) IS NOT NULL
+                 AS converted
+        FROM seqd GROUP BY user_id
+      ),
+      kept AS (
+        SELECT s.user_id, s.rn, s.state, l.last_rn, l.converted
+        FROM seqd s JOIN lim l USING (user_id)
+        WHERE s.rn <= l.last_rn
+      ),
+      hops AS (
+        SELECT user_id,
+               COALESCE(LAG(state) OVER (PARTITION BY user_id ORDER BY rn),
+                        'start') AS src,
+               state AS dst
+        FROM kept
+        UNION ALL
+        SELECT user_id, state AS src, 'null' AS dst
+        FROM kept WHERE NOT converted AND rn = last_rn
+      ),
+      edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hops GROUP BY src, dst
+      )
+    """
+
+
+def _markov_oracle() -> str:
+    srcs = ("start",) + _MK_CHANNELS
+    # pivoted per-variant transition probabilities: SUM(CASE...) per cell —
+    # the removal redirect merges at most TWO edges per cell (dst=c plus the
+    # existing dst=null), and two-operand IEEE addition is commutative, so
+    # the pivot is order-free
+    cells = ",\n".join(
+        f"             SUM(CASE WHEN src = '{s}' AND rdst = '{d}' "
+        f"THEN prob ELSE 0.0 END) AS p_{s}_{d}"
+        for s in srcs
+        for d in _MK_DSTS
+    )
+    # one fold expression per transient state, fixed alphabetical dst order
+    def fold(s: str, prev: str) -> str:
+        terms = []
+        for d in _MK_DSTS:
+            if d == "conv":
+                pd = "1.0"
+            elif d == "null":
+                pd = "0.0"
+            else:
+                pd = f"{prev}.p_{d}"
+            terms.append(f"pr.p_{s}_{d} * {pd}")
+        return " + ".join(terms)
+
+    folds = ",\n".join(
+        f"             {fold(s, 'w')} AS p_{s}" for s in srcs
+    )
+    # CAST the base-case literals: a bare 0.0 types as DECIMAL(2,1) and
+    # DuckDB unifies the WHOLE recursion to it, quantizing every iterate
+    base_cols = ", ".join(f"CAST(0 AS DOUBLE) AS p_{s}" for s in srcs)
+    variants = ", ".join(
+        ["('base', NULL)"] + [f"('{c}', '{c}')" for c in _MK_CHANNELS]
+    )
+    pivots = ", ".join(
+        f"MAX(CASE WHEN variant = '{v}' THEN p_start END) AS ps_{v}"
+        for v in ("base",) + _MK_CHANNELS
+    )
+    re_terms = {
+        c: f"(ps_base - ps_{c}) / ps_base" for c in _MK_CHANNELS
+    }
+    denom = " + ".join(f"re_{c}" for c in _MK_CHANNELS)
+    per_channel = "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS channel, round(ps_{c}, 6) AS conv_prob_without,"
+        f" round(ps_base, 6) AS base_conv_prob,"
+        f" round(re_{c}, 6) AS removal_effect,"
+        f" round(re_{c} / ({denom}), 6) AS attribution_share FROM wide"
+        for c in _MK_CHANNELS
+    )
+    return f"""
+    WITH RECURSIVE
+    {_markov_edges_sql().strip()},
+    totals AS (
+      SELECT src, CAST(SUM(cnt) AS BIGINT) AS total FROM edges GROUP BY src
+    ),
+    variants(variant, removed) AS (VALUES {variants}),
+    redge AS (
+      SELECT v.variant, e.src,
+             CASE WHEN e.dst = v.removed THEN 'null' ELSE e.dst END AS rdst,
+             e.cnt / CAST(t.total AS DOUBLE) AS prob
+      FROM edges e JOIN totals t USING (src)
+      CROSS JOIN variants v
+    ),
+    probs AS (
+      SELECT variant,
+{cells}
+      FROM redge GROUP BY variant
+    ),
+    walk(variant, it, {", ".join("p_" + s for s in srcs)}) AS (
+      SELECT variant, 0, {base_cols} FROM probs
+      UNION ALL
+      SELECT w.variant, w.it + 1,
+{folds}
+      FROM walk w JOIN probs pr ON pr.variant = w.variant
+      WHERE w.it < {_MK_ITERS}
+    ),
+    finals AS (SELECT variant, p_start FROM walk WHERE it = {_MK_ITERS}),
+    pivoted AS (
+      SELECT {pivots} FROM finals
+    ),
+    wide AS (
+      SELECT *,
+             {", ".join(f"{expr} AS re_{c}" for c, expr in re_terms.items())}
+      FROM pivoted
+    )
+{per_channel}
+    """
+
+
+@register("attribution_markov_removal", oracle=_markov_oracle())
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution: model user journeys
+    (start → channel → … → first purchase / no purchase) as a first-order
+    Markov chain, compute the absorbing conversion probability from
+    'start' by fixed-point iteration, then re-run it with each channel's
+    inbound edges redirected to 'null' — a channel's attribution is how
+    much conversion collapses without it, normalized across channels.
+    The data-driven alternative to positional rules
+    (attribution_last_touch / attribution_position_based), which cannot
+    see that a channel mid-path is load-bearing.
+
+    Engine parity: transition probabilities are exact-count ratios; the
+    60 fixed-point iterations run over a WIDE state vector (one column
+    per transient state) so every inner product is an explicit
+    fixed-order expression — Spark's driver-side float loop and the
+    oracle's recursive CTE execute the identical IEEE sequence.  The
+    removal redirect merges at most two edges per cell (two-operand
+    addition is commutative-exact), keeping the pivot order-free.
+
+    Scale (100 TB): journeys reduce to ≤|states|² edge counts via one
+    window + one aggregate (the documented bounded-collect exception,
+    registry.py: the chain solve touches a ≤36-cell matrix, never data);
+    everything before the collect is distributed."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = e.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    lim = seqd.groupBy("user_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("state") == "conv", F.col("rn"))), F.max("rn")
+        ).alias("last_rn"),
+        F.min(F.when(F.col("state") == "conv", F.col("rn"))).isNotNull().alias(
+            "converted"
+        ),
+    )
+    kept = seqd.join(lim, "user_id").filter(F.col("rn") <= F.col("last_rn"))
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    hops = kept.select(
+        F.coalesce(F.lag("state").over(wk), F.lit("start")).alias("src"),
+        F.col("state").alias("dst"),
+    ).unionByName(
+        kept.filter(~F.col("converted") & (F.col("rn") == F.col("last_rn"))).select(
+            F.col("state").alias("src"), F.lit("null").alias("dst")
+        )
+    )
+    edges = {
+        (r["src"], r["dst"]): r["cnt"]
+        for r in hops.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    totals: dict[str, int] = {}
+    for (s, _), c in edges.items():
+        totals[s] = totals.get(s, 0) + c
+    srcs = ("start",) + _MK_CHANNELS
+
+    def solve(removed: str | None) -> float:
+        P = {
+            s: {d: 0.0 for d in _MK_DSTS} for s in srcs
+        }
+        for (s, d), c in sorted(edges.items()):
+            if s not in P:
+                continue  # 'conv'/'null' never source transitions
+            rd = "null" if d == removed else d
+            P[s][rd] = P[s][rd] + c / float(totals[s])
+        p = {s: 0.0 for s in srcs}
+        for _ in range(_MK_ITERS):
+            nxt = {}
+            for s in srcs:
+                acc = None
+                for d in _MK_DSTS:
+                    pd = (
+                        1.0
+                        if d == "conv"
+                        else 0.0
+                        if d == "null"
+                        else p[d]
+                        if d in p
+                        else 0.0
+                    )
+                    term = P[s][d] * pd
+                    acc = term if acc is None else acc + term
+                nxt[s] = acc
+            p = nxt
+        return p["start"]
+
+    base = solve(None)
+    removed_p = {c: solve(c) for c in _MK_CHANNELS}
+    re = {c: (base - removed_p[c]) / base for c in _MK_CHANNELS}
+    denom = re["click"] + re["error"] + re["signup"] + re["view"]
+    rows = [
+        (c, removed_p[c], base, re[c], re[c] / denom) for c in _MK_CHANNELS
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "channel string, conv_prob_without double, base_conv_prob double, "
+        "removal_effect double, attribution_share double",
+    )
+    # rounding happens IN Spark (half-up, matching the oracle's round())
+    # — python's round() is banker's and would diverge at .5 boundaries
+    return raw.select(
+        "channel",
+        F.round("conv_prob_without", 6).alias("conv_prob_without"),
+        F.round("base_conv_prob", 6).alias("base_conv_prob"),
+        F.round("removal_effect", 6).alias("removal_effect"),
+        F.round("attribution_share", 6).alias("attribution_share"),
+    )

@@ -363,7 +363,7 @@ _R4_QUEUE = (
     "agg_next_basket_pairs", "sink_parquet_bloom_roundtrip",
     "ts_intraday_volume_curve", "dq_schema_contract_check",
     "ts_timezone_shift_report", "agg_reorder_point_calc",
-    "ts_apdex_score",
+    "ts_apdex_score", "attribution_markov_removal",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
