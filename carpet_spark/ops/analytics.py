@@ -5762,3 +5762,137 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("removal_effect", 6).alias("removal_effect"),
         F.round("attribution_share", 6).alias("attribution_share"),
     )
+
+
+@register(
+    "attribution_time_decay",
+    oracle="""
+    WITH seqd AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    convs AS (
+      SELECT user_id, rn AS conv_rn, ts AS conv_ts,
+             COALESCE(LAG(rn) OVER (PARTITION BY user_id ORDER BY rn), 0)
+               AS prev_conv_rn
+      FROM seqd WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT s.user_id, c.conv_rn, s.event_type,
+             1.0 / (1.0 + (epoch_us(c.conv_ts) - epoch_us(s.ts))
+                          / 3600000000.0) AS w
+      FROM seqd s
+      JOIN convs c ON c.user_id = s.user_id
+                  AND s.rn > c.prev_conv_rn AND s.rn < c.conv_rn
+      WHERE s.event_type <> 'purchase'
+    ),
+    normed AS (
+      SELECT user_id, conv_rn, event_type,
+             CAST(round(w, 9) AS DECIMAL(18,9)) AS wq
+      FROM touches
+    ),
+    shares AS (
+      SELECT user_id, conv_rn, event_type,
+             CAST(SUM(wq) AS DOUBLE)
+               / CAST(SUM(SUM(wq)) OVER (PARTITION BY user_id, conv_rn)
+                      AS DOUBLE) AS share
+      FROM normed GROUP BY user_id, conv_rn, event_type
+    )
+    SELECT event_type AS channel,
+           CAST(COUNT(DISTINCT user_id || '#' || conv_rn) AS BIGINT)
+             AS n_conversions_touched,
+           round(CAST(SUM(CAST(round(share, 9) AS DECIMAL(18,9)))
+                      AS DOUBLE), 6) AS credit,
+           round(CAST(SUM(CAST(round(share, 9) AS DECIMAL(18,9))) AS DOUBLE)
+                 / (SELECT CAST(SUM(CAST(round(share, 9) AS DECIMAL(18,9)))
+                           AS DOUBLE) FROM shares), 6) AS credit_share
+    FROM shares GROUP BY event_type
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every non-purchase touch
+    between two purchases credits the LATER purchase with weight
+    1/(1+Δhours) — recency-weighted, then normalized per conversion so
+    each conversion distributes exactly one unit of credit; channel
+    totals and shares roll up across conversions.  Between last-touch
+    (all credit to the final touch) and linear (equal credit), this is
+    the standard middle ground; the hyperbolic kernel is chosen over
+    exp(−Δt/τ) because it is division-only — bit-exact in both engines —
+    and the swap is one line.
+
+    Determinism: raw weights are exact double arithmetic; per-conversion
+    and per-channel reductions quantize to 9 dp and sum in DECIMAL so no
+    float accumulation order leaks into the hash (round-6 output).
+
+    Scale (100 TB): touches join conversions per user (one user-keyed
+    shuffle); per-conversion normalization is a window over the same
+    key; channel rollup is map-side-combined."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("rn")
+    convs = seqd.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("rn").alias("conv_rn"),
+        F.col("ts").alias("conv_ts"),
+        F.coalesce(F.lag("rn").over(wc), F.lit(0)).alias("prev_conv_rn"),
+    )
+    s, c = seqd.alias("s"), convs.alias("c")
+    touches = (
+        s.join(
+            c,
+            (F.col("s.user_id") == F.col("c.user_id"))
+            & (F.col("s.rn") > F.col("c.prev_conv_rn"))
+            & (F.col("s.rn") < F.col("c.conv_rn")),
+        )
+        .filter(F.col("s.event_type") != "purchase")
+        .select(
+            F.col("s.user_id").alias("user_id"),
+            F.col("c.conv_rn").alias("conv_rn"),
+            F.col("s.event_type").alias("event_type"),
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + (
+                        F.unix_micros(F.col("c.conv_ts"))
+                        - F.unix_micros(F.col("s.ts"))
+                    )
+                    / F.lit(3600000000.0)
+                )
+            ).alias("w"),
+        )
+    )
+    normed = touches.select(
+        "user_id", "conv_rn", "event_type",
+        F.round("w", 9).cast("decimal(18,9)").alias("wq"),
+    )
+    grp = normed.groupBy("user_id", "conv_rn", "event_type").agg(
+        F.sum("wq").alias("swq")
+    )
+    wconv = Window.partitionBy("user_id", "conv_rn")
+    shares = grp.select(
+        "user_id", "conv_rn", "event_type",
+        (
+            F.col("swq").cast("double")
+            / F.sum("swq").over(wconv).cast("double")
+        ).alias("share"),
+    )
+    sq = F.round("share", 9).cast("decimal(18,9)")
+    per_channel = shares.groupBy(F.col("event_type").alias("channel")).agg(
+        F.countDistinct(
+            F.concat_ws("#", F.col("user_id"), F.col("conv_rn"))
+        ).cast("long").alias("n_conversions_touched"),
+        F.sum(sq).cast("double").alias("credit_raw"),
+    )
+    tot = shares.agg(F.sum(sq).cast("double").alias("total_credit"))
+    return per_channel.crossJoin(F.broadcast(tot)).select(
+        "channel", "n_conversions_touched",
+        F.round("credit_raw", 6).alias("credit"),
+        F.round(F.col("credit_raw") / F.col("total_credit"), 6).alias("credit_share"),
+    )

@@ -384,3 +384,122 @@ def udf_pandas_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.log1p_abs").alias("log1p_abs"),
         F.col("f.sign").alias("sign"),
     )
+
+
+@register(
+    "udf_pandas_grouped_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT event_type, d, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS x
+      FROM daily
+    ),
+    moments AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+             MAX(d) AS last_d
+      FROM xy GROUP BY event_type
+    ),
+    fitted AS (
+      SELECT event_type, n, last_d,
+             (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+             (sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+               / CAST(n AS DOUBLE) AS a
+      FROM moments
+    ),
+    hs AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS h)
+    SELECT f.event_type, h.h,
+           f.last_d + CAST(h.h AS INTEGER) AS target_d,
+           round(f.b, 6) AS slope_cents_per_day,
+           round(f.a + f.b * (f.n - 1 + h.h), 6) AS forecast_cents
+    FROM fitted f CROSS JOIN hs h
+    """,
+)
+def udf_pandas_grouped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend forecast via applyInPandas: each event_type's
+    daily value series gets an OLS line fit INSIDE a grouped-map pandas
+    UDF and projects 7 days ahead — the 'one small model per group'
+    shape (per-SKU demand, per-tenant load) that pushes scikit-style
+    fitting to executors instead of looping on the driver.
+
+    Engine parity: the UDF computes the closed-form OLS from exact
+    PYTHON-int moment sums (arbitrary precision, no numpy overflow) and
+    divides once — the oracle computes the identical closed form from
+    exact BIGINT/HUGEINT sums, and int/int division is correctly
+    rounded in both, so slopes and forecasts hash equal.
+
+    Scale (100 TB): groups process in parallel, each bounded by its own
+    |days| axis; the daily collapse happens BEFORE the UDF so pandas
+    sees ≤|days| rows per group, never raw events."""
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    import datetime as _dtm
+
+    e = load(spark, sf_dir, "events")
+    cents = (F.col("value") * 100 + F.lit(0.5)).cast("long")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("y"))
+
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("h", IntegerType()),
+            StructField("target_d", DateType()),
+            StructField("slope_cents_per_day", DoubleType()),
+            StructField("forecast_cents", DoubleType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        n = len(pdf)
+        ys = [int(v) for v in pdf["y"]]
+        sx = sum(range(n))
+        sy = sum(ys)
+        sxy = sum(i * y for i, y in enumerate(ys))
+        sxx = sum(i * i for i in range(n))
+        b = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        a = (sy - b * sx) / float(n)
+        last_d = pdf["d"].iloc[-1]
+        et = pdf["event_type"].iloc[0]
+        rows = [
+            (
+                et,
+                h,
+                last_d + _dtm.timedelta(days=h),
+                b,
+                a + b * (n - 1 + h),
+            )
+            for h in range(1, 8)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "h", "target_d",
+                "slope_cents_per_day", "forecast_cents",
+            ],
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(fit, schema)
+    return out.select(
+        "event_type", "h", "target_d",
+        F.round("slope_cents_per_day", 6).alias("slope_cents_per_day"),
+        F.round("forecast_cents", 6).alias("forecast_cents"),
+    )

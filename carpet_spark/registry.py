@@ -364,6 +364,7 @@ _R4_QUEUE = (
     "ts_intraday_volume_curve", "dq_schema_contract_check",
     "ts_timezone_shift_report", "agg_reorder_point_calc",
     "ts_apdex_score", "attribution_markov_removal",
+    "udf_pandas_grouped_forecast", "attribution_time_decay",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
