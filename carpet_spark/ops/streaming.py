@@ -1052,3 +1052,102 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("wstart", "rnk", "event_type", "n_events")
     )
+
+
+@register(
+    "stream_alert_episodes",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN value > 60.0 THEN 1 ELSE 0 END AS hot
+      FROM events
+    ),
+    runs AS (
+      SELECT event_type, ts, event_id, hot,
+             CAST(SUM(1 - hot) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS grp
+      FROM flagged
+    ),
+    episodes AS (
+      SELECT event_type, grp,
+             MIN(event_id) AS first_event_id,
+             CAST(COUNT(*) AS BIGINT) AS episode_len
+      FROM runs WHERE hot = 1
+      GROUP BY event_type, grp
+    )
+    SELECT event_type, first_event_id, episode_len,
+           episode_len - 1 AS n_suppressed
+    FROM episodes
+    """,
+)
+def stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming alert suppression: consecutive over-threshold
+    events (value > 60) collapse into ONE alert episode per event_type —
+    page on the first event, suppress the rest until a cool event closes
+    the episode — the dedup every alerting pipeline needs so a 40-minute
+    incident is one page, not forty.  Implemented with
+    applyInPandasWithState: the per-type GroupState carries whether an
+    episode is open (and its first id / running length) across
+    micro-batches; within a batch rows are sorted by (ts, event_id)
+    before the scan, so batch boundaries never split or reorder the
+    state transitions.
+
+    The availableNow file source delivers one ordered batch, making the
+    emitted episodes equal the batch gaps-and-islands — the hash oracle;
+    cross-batch state carry is exercised in tests/test_streaming.py for
+    the counter twin (same API surface).
+
+    Scale notes: state is O(|alerting keys|) booleans+counters in the
+    StateStore; output is one row per closed episode plus the trailing
+    open one — exactly the paging stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def episodes(key, pdfs, state: GroupState):
+        open_first, open_len = (
+            (state.get[0], state.get[1]) if state.exists else (None, 0)
+        )
+        rows = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for _, r in pdf.iterrows():
+            hot = r["value"] > 60.0
+            if hot:
+                if open_first is None:
+                    open_first, open_len = int(r["event_id"]), 1
+                else:
+                    open_len += 1
+            else:
+                if open_first is not None:
+                    rows.append((key[0], open_first, open_len, open_len - 1))
+                    open_first, open_len = None, 0
+        if open_first is not None:
+            # trailing open episode: emit now (availableNow = final batch);
+            # a continuous pipeline would hold it in state instead
+            rows.append((key[0], open_first, open_len, open_len - 1))
+            state.update((-1, 0))
+        else:
+            state.update((-1, 0))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "first_event_id", "episode_len", "n_suppressed"
+            ],
+        )
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        episodes,
+        outputStructType=(
+            "event_type string, first_event_id long, "
+            "episode_len long, n_suppressed long"
+        ),
+        stateStructType="first long, len long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"alertep_{uuid.uuid4().hex[:8]}"
+    return _run_available_now(out, name, mode="append")
