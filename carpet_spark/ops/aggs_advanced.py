@@ -5538,3 +5538,89 @@ def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("type_mismatch")
         .alias("status"),
     )
+
+
+@register(
+    "agg_forecast_reconciliation_topdown",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MAX(m) AS last_m FROM monthly),
+    t3 AS (
+      SELECT nation, CAST(SUM(cents) AS BIGINT) AS t3_cents
+      FROM monthly CROSS JOIN bounds
+      WHERE m > last_m - INTERVAL 3 MONTH
+      GROUP BY nation
+    ),
+    top AS (
+      SELECT CAST(SUM(t3_cents) AS BIGINT) AS total_t3,
+             CAST(floor(SUM(t3_cents) / 3) AS BIGINT) AS top_forecast_cents
+      FROM t3
+    )
+    SELECT tr.nation, tr.t3_cents,
+           round(tr.t3_cents / CAST(tp.total_t3 AS DOUBLE), 6) AS share,
+           tp.top_forecast_cents,
+           round(tp.top_forecast_cents
+                 * (tr.t3_cents / CAST(tp.total_t3 AS DOUBLE)), 6)
+             AS reconciled_forecast_cents
+    FROM t3 tr CROSS JOIN top tp
+    """,
+)
+def agg_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down hierarchical forecast reconciliation: forecast the TOTAL
+    (trailing-3-month mean) once, then disaggregate to nations by their
+    trailing revenue shares — the coherence guarantee (child forecasts
+    sum exactly to the parent) that independently-fitted per-nation
+    models never give, and the standard baseline in the hierarchical
+    forecasting literature before MinT-style optimal reconciliation.
+    All revenue stays exact integer cents; shares and the disaggregation
+    are the only float ops (share of an exact total × an exact top
+    forecast).
+
+    Scale (100 TB): facts collapse to the nation×month grid; the
+    trailing filter, shares, and disaggregation all run on that grid
+    with one broadcast scalar."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    bounds = monthly.agg(F.max("m").alias("last_m"))
+    trailing = (
+        monthly.crossJoin(F.broadcast(bounds))
+        .filter(F.col("m") > F.add_months(F.col("last_m"), -3))
+        .groupBy("nation")
+        .agg(F.sum("cents").cast("long").alias("t3_cents"))
+    )
+    top = trailing.agg(
+        F.sum("t3_cents").cast("long").alias("total_t3"),
+        F.floor(F.sum("t3_cents") / 3).cast("long").alias("top_forecast_cents"),
+    )
+    share = F.col("t3_cents") / F.col("total_t3").cast("double")
+    return trailing.crossJoin(F.broadcast(top)).select(
+        "nation", "t3_cents",
+        F.round(share, 6).alias("share"),
+        "top_forecast_cents",
+        F.round(F.col("top_forecast_cents") * share, 6).alias(
+            "reconciled_forecast_cents"
+        ),
+    )

@@ -2529,3 +2529,107 @@ def sample_ipw_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ess_val", 6).alias("effective_sample_size"),
         F.col("n_total").alias("raw_sample_size"),
     )
+
+
+@register(
+    "dq_split_leakage_check",
+    oracle="""
+    WITH splits AS (
+      SELECT doc_id, text,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1
+                       < 13
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT split, doc_id,
+             t[k] || ' ' || t[k+1] || ' ' || t[k+2] || ' ' || t[k+3] || ' '
+               || t[k+4] || ' ' || t[k+5] || ' ' || t[k+6] || ' '
+               || t[k+7] || ' ' || t[k+8] AS g
+      FROM (SELECT split, doc_id, string_split(text, ' ') AS t FROM splits),
+           LATERAL (SELECT unnest(range(1, len(t) - 7)) AS k)
+    ),
+    train_g AS (SELECT DISTINCT g FROM shingles WHERE split = 'train'),
+    leaked AS (
+      SELECT DISTINCT s.doc_id
+      FROM shingles s JOIN train_g tg ON tg.g = s.g
+      WHERE s.split = 'test'
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test
+      FROM splits
+    )
+    SELECT n_train, n_test,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM leaked) AS n_test_leaked,
+           round((SELECT COUNT(*) FROM leaked) / CAST(n_test AS DOUBLE), 6)
+             AS leakage_rate
+    FROM counts
+    """,
+)
+def dq_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split integrity: after the standard content-hash split
+    (sample_hash_split's md5 convention, 13/16 train), count test documents
+    that share ANY 9-token shingle with the training side — the
+    contamination audit every eval pipeline must run, because a clean
+    doc_id split does NOT imply clean content separation (near-dup docs
+    land on both sides and inflate eval scores).  Exact shingle
+    intersection, not MinHash: this is the oracle-grade version of what
+    dedup_near_minhash approximates, bounded here by the distinct
+    shingle vocabulary.
+
+    Scale (100 TB): distinct (split, doc, shingle) triples shuffle once
+    on the shingle (the dedup_span_corpus digest pattern — hash the
+    shingle to 16 bytes at scale); the train-side set semi-joins the
+    test side.  The leakage rate drives the go/no-go, the leaked doc
+    list (one filter away) drives the quarantine."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1), 16, 10
+    ).cast("long")
+    splits = d.select(
+        "doc_id", "text",
+        F.when(bucket < 13, "train").otherwise("test").alias("split"),
+    )
+    toks = splits.select("split", "doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), n - 9)
+    shingles = (
+        toks.filter(n >= 9)
+        .select(
+            "split", "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda k: F.concat_ws(
+                        " ", *[F.col("t")[k + i] for i in range(9)]
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    train_g = shingles.filter(F.col("split") == "train").select("g").distinct()
+    leaked = (
+        shingles.filter(F.col("split") == "test")
+        .join(train_g, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    counts = splits.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    nleak = leaked.agg(F.count(F.lit(1)).cast("long").alias("n_test_leaked"))
+    return counts.crossJoin(F.broadcast(nleak)).select(
+        "n_train", "n_test", "n_test_leaked",
+        F.round(F.col("n_test_leaked") / F.col("n_test").cast("double"), 6)
+        .alias("leakage_rate"),
+    )
