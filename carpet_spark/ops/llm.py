@@ -5213,3 +5213,203 @@ def text_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+_BM25_TERMS = ("spark", "join", "filter")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             {", ".join(
+               f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+               for i, t in enumerate(_BM25_TERMS))}
+      FROM docs
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl,
+             {", ".join(
+               f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS df{i}"
+               for i in range(len(_BM25_TERMS)))}
+      FROM stats
+    ),
+    scored AS (
+      SELECT s.doc_id, s.dl,
+             {" + ".join(
+               f"ln((c.n_docs - c.df{i} + 0.5) / (c.df{i} + 0.5) + 1.0)"
+               f" * (s.tf{i} * ({_BM25_K1} + 1.0))"
+               f" / (s.tf{i} + {_BM25_K1} * (1.0 - {_BM25_B}"
+               f" + {_BM25_B} * s.dl / (c.total_dl / CAST(c.n_docs AS DOUBLE))))"
+               for i in range(len(_BM25_TERMS)))}
+               AS score
+      FROM stats s CROSS JOIN corpus c
+    ),
+    ranked AS (
+      SELECT doc_id, dl, round(score, 6) AS bm25,
+             ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT rnk, doc_id, dl, bm25 FROM ranked WHERE rnk <= 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed query term set
+    — the lexical half of hybrid search (sim_rrf_fusion fuses rankings;
+    this op PRODUCES the keyword ranking; sim_cosine_topk produces the
+    dense one).  Per-term TF/DF/length stats are exact BIGINTs; the
+    score sums its three per-term contributions in FIXED textual order
+    (explicit `+`, never an order-free SUM over terms) so both engines
+    execute the identical IEEE sequence; ranking uses the round-6 score
+    with doc_id tie-break.
+
+    Scale (100 TB): doc stats are one narrow map pass; corpus stats are
+    one tiny aggregate broadcast back; top-k is TakeOrderedAndProject.
+    Real query workloads swap the literal terms for a broadcast query
+    table and group the same expressions by query id."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def _eq(term):
+        # NB: a (x, t=t) default-arg lambda would have TWO parameters and
+        # pyspark would bind the second to the ELEMENT INDEX
+        return lambda x: x == term
+
+    stats = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    corpus = stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    j = stats.crossJoin(F.broadcast(corpus))
+    avgdl = F.col("total_dl") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1.0
+        )
+        term = (
+            idf
+            * (F.col(f"tf{i}") * (_BM25_K1 + 1.0))
+            / (
+                F.col(f"tf{i}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+            )
+        )
+        score = term if score is None else score + term
+    scored = j.select("doc_id", "dl", score.alias("score"))
+    wr = Window.orderBy(F.round("score", 6).desc(), "doc_id")
+    return (
+        scored.select(
+            F.row_number().over(wr).alias("rnk"),
+            "doc_id", "dl",
+            F.round("score", 6).alias("bm25"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@register(
+    "emb_matryoshka_truncation_quality",
+    oracle="""
+    WITH per AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding[1:16],
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n16,
+             sqrt(list_sum(list_transform(embedding[1:32],
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n32,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n64
+      FROM embeddings
+    ),
+    ratios AS (
+      SELECT vec_id,
+             CAST(round(n16 / n64, 9) AS DECIMAL(18,9)) AS c16,
+             CAST(round(n32 / n64, 9) AS DECIMAL(18,9)) AS c32
+      FROM per
+    ),
+    ks AS (SELECT unnest([16, 32]) AS k)
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(SUM(CASE WHEN k = 16 THEN c16 ELSE c32 END) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_cos_vs_full,
+           round(CAST(MIN(CASE WHEN k = 16 THEN c16 ELSE c32 END)
+                      AS DOUBLE), 6) AS worst_cos_vs_full,
+           round(CAST(SUM(CASE WHEN (CASE WHEN k = 16 THEN c16 ELSE c32 END)
+                               >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS frac_above_06
+    FROM ratios CROSS JOIN ks
+    GROUP BY k
+    """,
+)
+def emb_matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation quality: how much of each embedding
+    survives keeping only the first 16 / 32 of 64 dims — the cosine
+    between the truncated (zero-padded) and full vector equals
+    ‖prefix‖/‖full‖, so the whole report reduces to norm ratios: mean,
+    worst case, and the fraction clearing a 0.6 floor per budget.  The
+    go/no-go table for serving truncated vectors at lower memory
+    (emb_pca_project is the learned alternative; this is the
+    zero-training one MRL-trained models make viable).
+
+    Determinism: norms fold in fixed array order (identical IEEE
+    sequence), ratios round to 9 dp and sum in DECIMAL so the corpus
+    reduction is order-free; the 0.6 floor compares the quantized
+    ratio on both sides.
+
+    Scale (100 TB): one narrow map over vectors (three fixed-length
+    folds), then a map-side-combined 2-row summary."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def norm(sl):
+        sq = F.transform(sl, lambda x: x.cast("double") * x.cast("double"))
+        return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x))
+
+    per = e.select(
+        "vec_id",
+        norm(F.slice("embedding", 1, 16)).alias("n16"),
+        norm(F.slice("embedding", 1, 32)).alias("n32"),
+        norm(F.col("embedding")).alias("n64"),
+    )
+    ratios = per.select(
+        F.round(F.col("n16") / F.col("n64"), 9).cast("decimal(18,9)").alias("c16"),
+        F.round(F.col("n32") / F.col("n64"), 9).cast("decimal(18,9)").alias("c32"),
+    )
+    ks = e.sparkSession.createDataFrame([(16,), (32,)], "k int")
+    cc = F.when(F.col("k") == 16, F.col("c16")).otherwise(F.col("c32"))
+    return (
+        ratios.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.sum(cc).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_cos_vs_full"
+            ),
+            F.round(F.min(cc).cast("double"), 6).alias("worst_cos_vs_full"),
+            F.round(
+                F.sum(F.when(cc >= 0.6, 1).otherwise(0)).cast("long")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("frac_above_06"),
+        )
+    )
