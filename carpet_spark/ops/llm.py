@@ -5413,3 +5413,141 @@ def emb_matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("frac_above_06"),
         )
     )
+
+
+@register(
+    "sim_hybrid_weighted_fusion",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0
+      FROM docs
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0
+      FROM stats
+    ),
+    lex AS (
+      SELECT s.doc_id,
+             round(ln((c.n_docs - c.df0 + 0.5) / (c.df0 + 0.5) + 1.0)
+                   * (s.tf0 * 2.2)
+                   / (s.tf0 + 1.2 * (0.25
+                      + 0.75 * s.dl / (c.total_dl / CAST(c.n_docs AS DOUBLE)))),
+                   6) AS bm25
+      FROM stats s CROSS JOIN corpus c
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             round({{dot_ab}}
+                   / (sqrt({{dot_aa}}) * sqrt({{dot_qq}})), 6) AS cos
+      FROM embeddings e CROSS JOIN q
+    ),
+    joined AS (
+      SELECT l.doc_id, l.bm25, d.cos
+      FROM lex l JOIN dense d USING (doc_id)
+    ),
+    bounds AS (
+      SELECT MIN(bm25) AS b0, MAX(bm25) AS b1,
+             MIN(cos) AS c0, MAX(cos) AS c1
+      FROM joined
+    ),
+    fused AS (
+      SELECT j.doc_id, j.bm25, j.cos,
+             round(0.6 * ((j.bm25 - b.b0) / (b.b1 - b.b0))
+                   + 0.4 * ((j.cos - b.c0) / (b.c1 - b.c0)), 6) AS hybrid
+      FROM joined j CROSS JOIN bounds b
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY hybrid DESC, doc_id) AS rnk,
+           doc_id, bm25, cos, hybrid
+    FROM fused
+    QUALIFY rnk <= 15
+    """.format(
+        dot_ab=_DOT_SQL.format(a="e.embedding", b="q.qe"),
+        dot_aa=_DOT_SQL.format(a="e.embedding", b="e.embedding"),
+        dot_qq=_DOT_SQL.format(a="q.qe", b="q.qe"),
+    ),
+)
+def sim_hybrid_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by weighted score fusion: a single-term BM25
+    lexical score and the cosine-to-query dense score, each min-max
+    normalized over the corpus, combined 0.6/0.4 — the score-level
+    alternative to sim_rrf_fusion's rank-level fusion (score fusion
+    preserves margins; rank fusion is immune to score-scale drift —
+    shipping engines expose both).  Documents join embeddings on
+    doc_id = vec_id (multimodal_enrich's pairing); all scores round-6
+    before normalization so min/max anchors are identical doubles in
+    both engines; top-15 with doc_id tie-break.
+
+    Scale (100 TB): the lexical and dense branches are each one narrow
+    pass plus one broadcast scalar; the min-max bounds are a second tiny
+    aggregate; the fusion is a map projection into
+    TakeOrderedAndProject."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    toks = F.split("text", " ")
+    stats = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == "spark")).cast("long").alias("tf0"),
+    )
+    corpus = stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        F.sum(F.when(F.col("tf0") > 0, 1).otherwise(0)).cast("long").alias("df0"),
+    )
+    jl = stats.crossJoin(F.broadcast(corpus))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df0") + 0.5) / (F.col("df0") + 0.5) + 1.0
+    )
+    lex = jl.select(
+        "doc_id",
+        F.round(
+            idf
+            * (F.col("tf0") * 2.2)
+            / (
+                F.col("tf0")
+                + 1.2
+                * (0.25 + 0.75 * F.col("dl") / (F.col("total_dl") / F.col("n_docs").cast("double")))
+            ),
+            6,
+        ).alias("bm25"),
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dense = e.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _dot(F.col("embedding"), F.col("qe"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    joined = lex.join(dense, "doc_id")
+    bounds = joined.agg(
+        F.min("bm25").alias("b0"), F.max("bm25").alias("b1"),
+        F.min("cos").alias("c0"), F.max("cos").alias("c1"),
+    )
+    fused = joined.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", "bm25", "cos",
+        F.round(
+            0.6 * ((F.col("bm25") - F.col("b0")) / (F.col("b1") - F.col("b0")))
+            + 0.4 * ((F.col("cos") - F.col("c0")) / (F.col("c1") - F.col("c0"))),
+            6,
+        ).alias("hybrid"),
+    )
+    wr = Window.orderBy(F.col("hybrid").desc(), "doc_id")
+    return (
+        fused.select(
+            F.row_number().over(wr).alias("rnk"), "doc_id", "bm25", "cos", "hybrid"
+        )
+        .filter(F.col("rnk") <= 15)
+    )

@@ -367,7 +367,7 @@ _R4_QUEUE = (
     "udf_pandas_grouped_forecast", "attribution_time_decay",
     "stream_alert_episodes", "dq_split_leakage_check",
     "agg_forecast_reconciliation_topdown", "text_bm25_topk",
-    "emb_matryoshka_truncation_quality",
+    "emb_matryoshka_truncation_quality", "sim_hybrid_weighted_fusion",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
