@@ -2633,3 +2633,119 @@ def dq_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_test_leaked") / F.col("n_test").cast("double"), 6)
         .alias("leakage_rate"),
     )
+
+
+@register(
+    "pipeline_rag_context_pack",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'spark')) AS BIGINT) AS tf0
+      FROM docs
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0
+      FROM stats
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.dl,
+             ROW_NUMBER() OVER (ORDER BY
+               round(ln((c.n_docs - c.df0 + 0.5) / (c.df0 + 0.5) + 1.0)
+                     * (s.tf0 * 2.2)
+                     / (s.tf0 + 1.2 * (0.25 + 0.75 * s.dl
+                        / (c.total_dl / CAST(c.n_docs AS DOUBLE)))), 6) DESC,
+               s.doc_id) AS rnk
+      FROM stats s CROSS JOIN corpus c
+    ),
+    top AS (SELECT doc_id, dl, rnk FROM ranked WHERE rnk <= 24),
+    packed AS (
+      SELECT doc_id, dl, rnk,
+             CAST(FLOOR(CAST(SUM(dl) OVER (ORDER BY rnk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - dl
+               AS DOUBLE) / 400) AS BIGINT) AS context_id
+      FROM top
+    )
+    SELECT context_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens,
+           CAST(MIN(rnk) AS BIGINT) AS best_rank,
+           string_agg(CAST(doc_id AS VARCHAR), '+' ORDER BY rnk) AS doc_ids
+    FROM packed GROUP BY context_id
+    """,
+)
+def pipeline_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context assembly: rank documents by BM25 relevance
+    (text_bm25_topk's scorer), take the top-24, and pack them
+    relevance-first into ~400-token context windows using pack_shards'
+    running-total DIV convention — the retrieval→context step between
+    'search found documents' and 'prompt fits the model', with the
+    most relevant material landing in the first window (what the model
+    attends to best).  Each context row reports its docs in rank order
+    (deterministic '+'-joined ids), token load, and best rank.
+
+    Scale (100 TB): ranking is TakeOrderedAndProject over the scored
+    scan; packing runs on the top-k rows only.  Per-query packing
+    partitions the same windows by query id."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stats = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        F.size(F.filter(toks, lambda x: x == "spark")).cast("long").alias("tf0"),
+    )
+    corpus = stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+        F.sum(F.when(F.col("tf0") > 0, 1).otherwise(0)).cast("long").alias("df0"),
+    )
+    j = stats.crossJoin(F.broadcast(corpus))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df0") + 0.5) / (F.col("df0") + 0.5) + 1.0
+    )
+    score = F.round(
+        idf
+        * (F.col("tf0") * 2.2)
+        / (
+            F.col("tf0")
+            + 1.2
+            * (0.25 + 0.75 * F.col("dl") / (F.col("total_dl") / F.col("n_docs").cast("double")))
+        ),
+        6,
+    )
+    ranked = j.select(
+        "doc_id", "dl",
+        F.row_number().over(Window.orderBy(score.desc(), "doc_id")).alias("rnk"),
+    )
+    top = ranked.filter(F.col("rnk") <= 24)
+    wcum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    packed = top.select(
+        "doc_id", "dl", "rnk",
+        F.floor(
+            (F.sum("dl").over(wcum) - F.col("dl")).cast("double") / 400
+        ).cast("long").alias("context_id"),
+    )
+    return packed.groupBy("context_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+        F.min("rnk").cast("long").alias("best_rank"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rnk").alias("rnk"),
+                            F.col("doc_id").cast("string").alias("did"),
+                        )
+                    )
+                ),
+                lambda s: s["did"],
+            ),
+            "+",
+        ).alias("doc_ids"),
+    )
