@@ -5624,3 +5624,105 @@ def agg_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> Dat
             "reconciled_forecast_cents"
         ),
     )
+
+
+@register(
+    "agg_price_index_laspeyres",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey,
+             EXTRACT(year FROM l_shipdate) AS yr,
+             CAST(SUM(CAST(ROUND(l_extendedprice / l_quantity * 100)
+                      AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT))
+                  AS BIGINT) AS val_cents,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    unitp AS (
+      SELECT l_partkey, yr, qty,
+             val_cents / CAST(qty AS DOUBLE) AS p_cents
+      FROM py
+    ),
+    paired AS (
+      SELECT b.l_partkey,
+             b.p_cents AS p0, c.p_cents AS p1,
+             b.qty AS q0, c.qty AS q1
+      FROM unitp b JOIN unitp c
+        ON c.l_partkey = b.l_partkey AND b.yr = 1996 AND c.yr = 1997
+    ),
+    q AS (
+      SELECT l_partkey,
+             CAST(round(p0, 6) AS DECIMAL(18,6)) AS p0q,
+             CAST(round(p1, 6) AS DECIMAL(18,6)) AS p1q,
+             q0, q1
+      FROM paired
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(p1q * q0) AS DOUBLE)
+                 / CAST(SUM(p0q * q0) AS DOUBLE), 6) AS laspeyres,
+           round(CAST(SUM(p1q * q1) AS DOUBLE)
+                 / CAST(SUM(p0q * q1) AS DOUBLE), 6) AS paasche,
+           round(sqrt((CAST(SUM(p1q * q0) AS DOUBLE)
+                       / CAST(SUM(p0q * q0) AS DOUBLE))
+                      * (CAST(SUM(p1q * q1) AS DOUBLE)
+                         / CAST(SUM(p0q * q1) AS DOUBLE))), 6) AS fisher
+    FROM q
+    """,
+)
+def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices 1996→1997 over the
+    parts traded in BOTH years — the standard inflation/price-change
+    decomposition (Laspeyres weights by base-year quantities, Paasche by
+    current, Fisher is their geometric mean) any pricing or econ team
+    computes from transaction data.  Unit prices come from exact integer
+    value/quantity cents; the four weighted sums quantize unit
+    prices to 6 dp and multiply into DECIMAL so every accumulation is
+    order-exact (a raw double SUM would expose map-side combine order);
+    only the final ratios are float.
+
+    Scale (100 TB): facts collapse to part×year cells; the pairing join
+    and index sums run on |parts| rows."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    unit_cents = (
+        F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("long")
+    qty = (F.col("l_quantity") + F.lit(0.5)).cast("long")
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    ).agg(
+        F.sum(unit_cents * qty).cast("long").alias("val_cents"),
+        F.sum(qty).cast("long").alias("qty"),
+    )
+    unitp = py.select(
+        "l_partkey", "yr", "qty",
+        (F.col("val_cents") / F.col("qty").cast("double")).alias("p_cents"),
+    )
+    b = unitp.filter(F.col("yr") == 1996).select(
+        "l_partkey", F.col("p_cents").alias("p0"), F.col("qty").alias("q0")
+    )
+    c = unitp.filter(F.col("yr") == 1997).select(
+        "l_partkey", F.col("p_cents").alias("p1"), F.col("qty").alias("q1")
+    )
+    paired = b.join(c, "l_partkey").select(
+        F.round("p0", 6).cast("decimal(18,6)").alias("p0q"),
+        F.round("p1", 6).cast("decimal(18,6)").alias("p1q"),
+        "q0", "q1",
+    )
+    lasp = (
+        F.sum(F.col("p1q") * F.col("q0")).cast("double")
+        / F.sum(F.col("p0q") * F.col("q0")).cast("double")
+    )
+    paas = (
+        F.sum(F.col("p1q") * F.col("q1")).cast("double")
+        / F.sum(F.col("p0q") * F.col("q1")).cast("double")
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

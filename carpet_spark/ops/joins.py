@@ -1610,3 +1610,107 @@ def join_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_late").cast("long").alias("n_late_arriving"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+@register(
+    "join_match_waterfall",
+    oracle="""
+    WITH sys_b AS (
+      -- the "other system": every 7th key is lost, every 5th name is
+      -- case-mangled, so each match rung has real work
+      SELECT c_custkey AS b_key,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END
+               AS b_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN c_name || '~zz'
+                  WHEN c_custkey % 5 = 0 THEN upper(c_name)
+                  ELSE c_name END AS b_name,
+             c_mktsegment AS b_segment
+      FROM customer
+    ),
+    l1 AS (
+      SELECT a.c_custkey, b.b_key, 1 AS level
+      FROM customer a JOIN sys_b b ON b.b_custkey = a.c_custkey
+    ),
+    rest1 AS (
+      SELECT * FROM sys_b WHERE b_key NOT IN (SELECT b_key FROM l1)
+    ),
+    l2 AS (
+      SELECT a.c_custkey, b.b_key, 2 AS level
+      FROM customer a JOIN rest1 b ON b.b_name = a.c_name
+    ),
+    rest2 AS (
+      SELECT * FROM rest1 WHERE b_key NOT IN (SELECT b_key FROM l2)
+    ),
+    l3 AS (
+      SELECT a.c_custkey, b.b_key, 3 AS level
+      FROM customer a JOIN rest2 b ON lower(b.b_name) = lower(a.c_name)
+    ),
+    matched AS (
+      SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(MIN(b_key) AS BIGINT) AS min_key,
+           CAST(MAX(b_key) AS BIGINT) AS max_key
+    FROM matched GROUP BY level
+    UNION ALL
+    SELECT 0 AS level,
+           CAST(COUNT(*) AS BIGINT), CAST(MIN(b_key) AS BIGINT),
+           CAST(MAX(b_key) AS BIGINT)
+    FROM sys_b
+    WHERE b_key NOT IN (SELECT b_key FROM matched)
+    """,
+)
+def join_match_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfall (cascade) entity matching: records from a second system
+    try to match on successively weaker rungs — exact key, exact name,
+    case-insensitive name — each rung consuming its matches so a record
+    resolves at the STRONGEST rung it can (the standard MDM/identity-
+    resolution ladder; join_record_linkage_scored scores candidate
+    pairs, this op routes records).  The second system is derived
+    deterministically (every 7th key lost, every 5th name case-mangled, every 11th name corrupted beyond the ladder)
+    so every rung and the unmatched残 bucket (level 0) all populate.
+
+    Scale (100 TB): each rung is an equi-key hash join; the
+    consumed-set exclusion is a left-anti join on the prior rungs'
+    keys (NOT IN over a bounded key set — at scale, anti-join the
+    rung outputs instead, same plan shape).  The ladder runs k joins
+    for k rungs, never a cross product."""
+    c = load(spark, sf_dir, "customer")
+    sys_b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("b_custkey"),
+        F.when(F.col("c_custkey") % 11 == 0, F.concat(F.col("c_name"), F.lit("~zz")))
+        .when(F.col("c_custkey") % 5 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("b_name"),
+        F.col("c_mktsegment").alias("b_segment"),
+    )
+    a = c.select("c_custkey", "c_name")
+    l1 = sys_b.join(a, sys_b.b_custkey == a.c_custkey).select(
+        "c_custkey", "b_key", F.lit(1).alias("level")
+    )
+    rest1 = sys_b.join(l1.select("b_key"), "b_key", "left_anti")
+    l2 = rest1.join(a, rest1.b_name == a.c_name).select(
+        "c_custkey", "b_key", F.lit(2).alias("level")
+    )
+    rest2 = rest1.join(l2.select("b_key"), "b_key", "left_anti")
+    l3 = rest2.join(a, F.lower(rest2.b_name) == F.lower(a.c_name)).select(
+        "c_custkey", "b_key", F.lit(3).alias("level")
+    )
+    matched = l1.unionByName(l2).unionByName(l3)
+    unmatched = sys_b.join(matched.select("b_key"), "b_key", "left_anti")
+    summary = matched.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.min("b_key").cast("long").alias("min_key"),
+        F.max("b_key").cast("long").alias("max_key"),
+    )
+    un = unmatched.agg(
+        F.lit(0).alias("level"),
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.min("b_key").cast("long").alias("min_key"),
+        F.max("b_key").cast("long").alias("max_key"),
+    )
+    return summary.unionByName(un)

@@ -368,7 +368,8 @@ _R4_QUEUE = (
     "stream_alert_episodes", "dq_split_leakage_check",
     "agg_forecast_reconciliation_topdown", "text_bm25_topk",
     "emb_matryoshka_truncation_quality", "sim_hybrid_weighted_fusion",
-    "pipeline_rag_context_pack",
+    "pipeline_rag_context_pack", "agg_price_index_laspeyres",
+    "join_match_waterfall",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
