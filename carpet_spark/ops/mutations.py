@@ -213,3 +213,207 @@ def reconcile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(status.alias("status")).groupBy("status").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "cdc_scd2_apply_batch",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             LEAD(ts) OVER w AS valid_to
+      FROM events WHERE ts < TIMESTAMP '2024-01-15'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    batch AS (
+      SELECT user_id, event_type AS new_state, ts AS change_ts
+      FROM (
+        SELECT user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND user_id % 3 = 0
+      ) WHERE rn = 1
+    ),
+    closed AS (
+      SELECT d.user_id, d.state, d.valid_from,
+             CASE WHEN d.valid_to IS NULL AND b.user_id IS NOT NULL
+                  THEN b.change_ts ELSE d.valid_to END AS valid_to,
+             CASE WHEN d.valid_to IS NULL AND b.user_id IS NOT NULL
+                  THEN 'closed'
+                  WHEN d.valid_to IS NULL THEN 'current'
+                  ELSE 'history' END AS row_status
+      FROM dim d LEFT JOIN batch b ON b.user_id = d.user_id
+    ),
+    inserted AS (
+      SELECT user_id, new_state AS state, change_ts AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to,
+             'inserted' AS row_status
+      FROM batch
+    )
+    SELECT * FROM closed
+    UNION ALL
+    SELECT * FROM inserted
+    """,
+)
+def cdc_scd2_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC batch to a live SCD2 dimension: the dim is the
+    pre-day-15 event history (scd2_history's build), the batch is the FIRST
+    post-day-15 change for every THIRD key (a realistic partial delta —
+    most keys don't change in one batch); applying it closes the open row of
+    every changed key at the change timestamp and inserts the new
+    current row, while history rows and unchanged keys pass through
+    untagged — the exact merge a warehouse runs nightly on dimension
+    deltas (merge_upsert is the type-1 flavor; this is the versioned
+    one).  Every row carries its outcome (history / current / closed /
+    inserted) so the run is auditable.
+
+    Scale (100 TB): the dim-batch join keys on user_id (batch side
+    broadcast-able — it's latest-per-key, |keys| rows max); the SCD2
+    build shares the same key partitioning."""
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("ts") < cutoff)
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    batch = (
+        e.filter((F.col("ts") >= cutoff) & (F.col("user_id") % 3 == 0))
+        .select(
+            "user_id",
+            F.col("event_type").alias("new_state"),
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "new_state", F.col("ts").alias("change_ts"))
+    )
+    j = dim.join(F.broadcast(batch), "user_id", "left")
+    open_changed = F.col("valid_to").isNull() & F.col("change_ts").isNotNull()
+    closed = j.select(
+        "user_id", "state", "valid_from",
+        F.when(open_changed, F.col("change_ts")).otherwise(F.col("valid_to")).alias(
+            "valid_to"
+        ),
+        F.when(open_changed, "closed")
+        .when(F.col("valid_to").isNull(), "current")
+        .otherwise("history")
+        .alias("row_status"),
+    )
+    inserted = batch.select(
+        "user_id",
+        F.col("new_state").alias("state"),
+        F.col("change_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit("inserted").alias("row_status"),
+    )
+    return closed.unionByName(inserted)
+
+
+@register(
+    "dq_scd2_interval_audit",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    ),
+    corrupted AS (
+      -- deliberate fault injection: every 13th row's valid_to slides an
+      -- hour late (overlap with the successor), every 17th an hour early
+      -- (gap before the successor) — the audit must catch exactly these
+      SELECT user_id, rn, valid_from,
+             CASE WHEN valid_to IS NULL THEN NULL
+                  WHEN rn % 13 = 0 THEN valid_to + INTERVAL 1 HOUR
+                  WHEN rn % 17 = 0 THEN valid_to - INTERVAL 1 HOUR
+                  ELSE valid_to END AS valid_to
+      FROM dim
+    ),
+    seq AS (
+      SELECT user_id, rn, valid_from, valid_to,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY rn)
+               AS next_from
+      FROM corrupted
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN valid_to IS NOT NULL AND next_from IS NOT NULL
+                         AND valid_to > next_from THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlaps,
+           CAST(SUM(CASE WHEN valid_to IS NOT NULL AND next_from IS NOT NULL
+                         AND valid_to < next_from THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                         AND valid_to <= valid_from THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inverted,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open
+    FROM seq
+    """,
+)
+def dq_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval-integrity audit: per key, consecutive validity
+    intervals must tile time exactly — valid_to equal to the successor's
+    valid_from, no overlaps, no gaps, no inverted rows, exactly one open
+    row — the dimension-health check every warehouse runs after a merge
+    like cdc_scd2_apply_batch.  The fixture dim is built correct and then
+    deterministically corrupted (every 13th close slides late → overlap,
+    every 17th early → gap) so the audit provably CATCHES faults instead
+    of vacuously passing on clean data.
+
+    Scale (100 TB): one key-partitioned window pass and a global count
+    rollup — the audit costs one scan of the dimension."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = e.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp")).select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("rn"),
+    )
+    corrupted = dim.select(
+        "user_id", "rn", "valid_from",
+        F.when(F.col("valid_to").isNull(), None)
+        .when(
+            F.col("rn") % 13 == 0, F.col("valid_to") + F.expr("INTERVAL 1 HOUR")
+        )
+        .when(
+            F.col("rn") % 17 == 0, F.col("valid_to") - F.expr("INTERVAL 1 HOUR")
+        )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("rn")
+    seq = corrupted.select(
+        "user_id", "rn", "valid_from", "valid_to",
+        F.lead("valid_from").over(wseq).alias("next_from"),
+    )
+    both = F.col("valid_to").isNotNull() & F.col("next_from").isNotNull()
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(both & (F.col("valid_to") > F.col("next_from")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlaps"),
+        F.sum(F.when(both & (F.col("valid_to") < F.col("next_from")), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps"),
+        F.sum(
+            F.when(
+                F.col("valid_to").isNotNull()
+                & (F.col("valid_to") <= F.col("valid_from")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_inverted"),
+        F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+    )

@@ -369,7 +369,8 @@ _R4_QUEUE = (
     "agg_forecast_reconciliation_topdown", "text_bm25_topk",
     "emb_matryoshka_truncation_quality", "sim_hybrid_weighted_fusion",
     "pipeline_rag_context_pack", "agg_price_index_laspeyres",
-    "join_match_waterfall",
+    "join_match_waterfall", "cdc_scd2_apply_batch",
+    "dq_scd2_interval_audit",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
