@@ -5896,3 +5896,218 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("credit_raw", 6).alias("credit"),
         F.round(F.col("credit_raw") / F.col("total_credit"), 6).alias("credit_share"),
     )
+
+
+@register(
+    "agg_queueing_mm1_metrics",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS arr,
+             CAST(o_orderkey % 30 + 1 AS BIGINT) AS dur_days
+      FROM orders
+    ),
+    bounds AS (
+      SELECT CAST(date_diff('day', MIN(arr),
+                            MAX(arr + CAST(dur_days AS INTEGER))) AS BIGINT)
+        AS horizon
+      FROM iv
+    ),
+    rates AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(b.horizon) AS horizon,
+             COUNT(*) / CAST(MAX(b.horizon) AS DOUBLE) AS lam,
+             CAST(SUM(dur_days) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS es
+      FROM iv CROSS JOIN bounds b
+    )
+    SELECT n, horizon,
+           round(lam, 6) AS arrival_rate,
+           round(1.0 / es, 6) AS service_rate,
+           round(lam * es, 6) AS offered_load,
+           round(lam * es / 128.0, 6) AS per_server_util,
+           CASE WHEN lam * es / 128.0 >= 1.0 THEN NULL
+                ELSE round((lam * es / 128.0) * (lam * es / 128.0)
+                           / (1.0 - lam * es / 128.0), 6)
+           END AS lq_per_server,
+           CASE WHEN lam * es / 128.0 >= 1.0 THEN NULL
+                ELSE round((lam * es / 128.0) * es
+                           / (1.0 - lam * es / 128.0), 6)
+           END AS wq_days_per_server
+    FROM rates
+    """,
+)
+def agg_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M/M/1 queueing summary of the order in-flight system: arrival
+    rate λ, service rate μ=1/E[S], utilization ρ=λ·E[S], and the
+    steady-state queue length Lq = ρ²/(1−ρ) and wait Wq = ρ·E[S]/(1−ρ)
+    — the capacity-planning companion to agg_littles_law_check (Little's
+    law is model-free accounting; queueing adds the variability penalty
+    that says WHY 85% utilization hurts).  The offered load here is
+    ρ ≈ 95, so the report models a c = 128 server pool under random
+    routing and gives PER-SERVER M/M/1 utilization, queue length, and
+    wait (the pessimistic bound — a shared queue does strictly better);
+    the ρ ≥ 1 instability guard is identical in both engines, and all
+    rates derive from exact integer order-days.
+
+    Scale (100 TB): one aggregate over the interval table plus a scalar
+    bound — same shape as the Little's-law check."""
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderdate").cast("date").alias("arr"),
+        (F.col("o_orderkey") % 30 + 1).cast("long").alias("dur_days"),
+    )
+    bounds = iv.agg(
+        F.datediff(
+            F.max(F.date_add(F.col("arr"), F.col("dur_days").cast("int"))),
+            F.min("arr"),
+        )
+        .cast("long")
+        .alias("horizon")
+    )
+    j = iv.crossJoin(F.broadcast(bounds))
+    n = F.count(F.lit(1)).cast("long")
+    horizon = F.max("horizon")
+    lam = n / horizon.cast("double")
+    es = F.sum("dur_days").cast("long") / n.cast("double")
+    rho = lam * es
+    rho_c = lam * es / 128.0
+    return j.agg(
+        n.alias("n"),
+        horizon.alias("horizon"),
+        F.round(lam, 6).alias("arrival_rate"),
+        F.round(F.lit(1.0) / es, 6).alias("service_rate"),
+        F.round(rho, 6).alias("offered_load"),
+        F.round(rho_c, 6).alias("per_server_util"),
+        F.when(rho_c >= 1.0, F.lit(None).cast("double"))
+        .otherwise(F.round(rho_c * rho_c / (F.lit(1.0) - rho_c), 6))
+        .alias("lq_per_server"),
+        F.when(rho_c >= 1.0, F.lit(None).cast("double"))
+        .otherwise(F.round(rho_c * es / (F.lit(1.0) - rho_c), 6))
+        .alias("wq_days_per_server"),
+    )
+
+
+@register(
+    "ab_sequential_obf",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1
+                       < 8
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(CEIL(EXTRACT(day FROM ts) / 7.0) AS INTEGER) AS wk,
+             CASE WHEN event_type = 'purchase' AND value > 90
+                  THEN 1 ELSE 0 END AS conv_event
+      FROM events
+    ),
+    per_user AS (
+      SELECT arm, look, user_id, MAX(conv_event) AS converted
+      FROM base CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS look) ks
+      WHERE wk <= look
+      GROUP BY arm, look, user_id
+    ),
+    looks AS (
+      SELECT look, arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM per_user GROUP BY look, arm
+    ),
+    wide AS (
+      SELECT look,
+             MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+             MAX(CASE WHEN arm = 'A' THEN conv END) AS ca,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN arm = 'B' THEN conv END) AS cb
+      FROM looks GROUP BY look
+    ),
+    z AS (
+      SELECT look, na, ca, nb, cb,
+             (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
+             / sqrt((ca + cb) / CAST(na + nb AS DOUBLE)
+                    * (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                    * (1.0 / na + 1.0 / nb)) AS zstat,
+             CAST(CASE look WHEN 1 THEN 4.049 WHEN 2 THEN 2.863
+                       WHEN 3 THEN 2.337 ELSE 2.024 END AS DOUBLE)
+               AS obf_bound
+      FROM wide
+    )
+    SELECT look, na, ca, nb, cb,
+           round(zstat, 6) AS zstat, obf_bound,
+           CASE WHEN abs(zstat) >= obf_bound THEN 1 ELSE 0 END AS crossed
+    FROM z
+    """,
+)
+def ab_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming boundaries:
+    the experiment is 'peeked' at four weekly looks, each computing the
+    cumulative two-proportion z on users seen SO FAR, compared against
+    the OBF spending boundaries (4.049 / 2.863 / 2.337 / 2.024 for K=4,
+    α=0.05 two-sided) — the statistically-licensed way to stop early
+    that naive repeated ab_two_proportion_ztest peeking is not.  Arms
+    come from the house md5 user split (8/16 → A); conversion = a
+    >90-value purchase (top-decile tightening so neither arm saturates —
+    the saturated-outcome trap).  Each look's z uses exact cumulative
+    counts; the boundary constants are literals on both sides.
+
+    Scale (100 TB): the look expansion is a 4-row broadcast cross join;
+    per-(look, arm) counts combine map-side; the z table is 4 rows."""
+    e = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 32, 1), 16, 10)
+        .cast("long")
+        < 8,
+        "A",
+    ).otherwise("B")
+    looks = e.sparkSession.createDataFrame([(1,), (2,), (3,), (4,)], "look int")
+    base = e.select(
+        "user_id",
+        arm.alias("arm"),
+        F.ceil(F.dayofmonth("ts") / 7.0).cast("int").alias("wk"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+        )
+        .otherwise(0)
+        .alias("conv_event"),
+    )
+    per_user = (
+        base.crossJoin(F.broadcast(looks))
+        .filter(F.col("wk") <= F.col("look"))
+        .groupBy("arm", "look", "user_id")
+        .agg(F.max("conv_event").alias("converted"))
+    )
+    lk = per_user.groupBy("look", "arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = lk.groupBy("look").agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca") / F.col("na").cast("double")
+    pb = F.col("cb") / F.col("nb").cast("double")
+    pp = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb")).cast("double")
+    z = (pa - pb) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    bound = (
+        F.when(F.col("look") == 1, 4.049)
+        .when(F.col("look") == 2, 2.863)
+        .when(F.col("look") == 3, 2.337)
+        .otherwise(2.024)
+    )
+    scored = wide.select(
+        "look", "na", "ca", "nb", "cb",
+        z.alias("zraw"),
+        bound.alias("obf_bound"),
+    )
+    return scored.select(
+        "look", "na", "ca", "nb", "cb",
+        F.round("zraw", 6).alias("zstat"),
+        "obf_bound",
+        F.when(F.abs(F.col("zraw")) >= F.col("obf_bound"), 1)
+        .otherwise(0)
+        .alias("crossed"),
+    )

@@ -370,7 +370,8 @@ _R4_QUEUE = (
     "emb_matryoshka_truncation_quality", "sim_hybrid_weighted_fusion",
     "pipeline_rag_context_pack", "agg_price_index_laspeyres",
     "join_match_waterfall", "cdc_scd2_apply_batch",
-    "dq_scd2_interval_audit",
+    "dq_scd2_interval_audit", "agg_queueing_mm1_metrics",
+    "ab_sequential_obf",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
