@@ -435,3 +435,45 @@ def sql_values_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.tier
         """
     )
+
+
+@register(
+    "sql_named_window_clause",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS seq,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS cum_cents,
+           CAST(COUNT(*) OVER w_unordered AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING),
+           w_unordered AS (PARTITION BY o_custkey)
+    """,
+)
+def sql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL WINDOW clause: two named window specs declared once and
+    referenced by three OVER clauses — the dialect feature that keeps a
+    12-window analytics query readable and guarantees every aggregate
+    uses the SAME frame (copy-pasted inline specs drift; a named spec
+    can't).  Semantically identical to win_running's DataFrame API —
+    what this op pins is the SQL-text surface through spark.sql.
+
+    Scale (100 TB): both named specs partition by o_custkey, so the
+    plan runs one hash exchange shared by all three window functions —
+    same single-shuffle shape the DataFrame twin is plan-tested for."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqlw")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER w AS seq,
+               SUM(CAST(signum(o_totalprice)
+                        * CAST(abs(o_totalprice) * 100 + 0.5 AS BIGINT)
+                        AS BIGINT)) OVER w AS cum_cents,
+               COUNT(*) OVER w_unordered AS n_orders
+        FROM orders_sqlw
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING),
+               w_unordered AS (PARTITION BY o_custkey)
+        """
+    )

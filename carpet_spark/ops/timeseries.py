@@ -4200,3 +4200,118 @@ def ts_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("poor")
         .alias("rating"),
     )
+
+
+@register(
+    "ts_effective_sample_size",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    led AS (
+      SELECT cents AS x,
+             LEAD(cents, 1) OVER w AS x1,
+             LEAD(cents, 2) OVER w AS x2,
+             LEAD(cents, 3) OVER w AS x3,
+             LEAD(cents, 4) OVER w AS x4,
+             LEAD(cents, 5) OVER w AS x5
+      FROM daily WINDOW w AS (ORDER BY d)
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+             CAST(SUM(CASE WHEN x1 IS NULL THEN NULL
+                      ELSE CAST(x AS HUGEINT) * x1 END) AS DOUBLE) AS p1,
+             CAST(SUM(CASE WHEN x2 IS NULL THEN NULL
+                      ELSE CAST(x AS HUGEINT) * x2 END) AS DOUBLE) AS p2,
+             CAST(SUM(CASE WHEN x3 IS NULL THEN NULL
+                      ELSE CAST(x AS HUGEINT) * x3 END) AS DOUBLE) AS p3,
+             CAST(SUM(CASE WHEN x4 IS NULL THEN NULL
+                      ELSE CAST(x AS HUGEINT) * x4 END) AS DOUBLE) AS p4,
+             CAST(SUM(CASE WHEN x5 IS NULL THEN NULL
+                      ELSE CAST(x AS HUGEINT) * x5 END) AS DOUBLE) AS p5,
+             CAST(COUNT(x1) AS BIGINT) AS n1, CAST(COUNT(x2) AS BIGINT) AS n2,
+             CAST(COUNT(x3) AS BIGINT) AS n3, CAST(COUNT(x4) AS BIGINT) AS n4,
+             CAST(COUNT(x5) AS BIGINT) AS n5
+      FROM led
+    ),
+    rho AS (
+      SELECT n,
+             (p1 / n1 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+             / (s2 / n - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               AS r1,
+             (p2 / n2 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+             / (s2 / n - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               AS r2,
+             (p3 / n3 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+             / (s2 / n - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               AS r3,
+             (p4 / n4 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+             / (s2 / n - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               AS r4,
+             (p5 / n5 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+             / (s2 / n - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               AS r5
+      FROM m
+    )
+    SELECT n,
+           round(r1, 6) AS rho1, round(r2, 6) AS rho2, round(r3, 6) AS rho3,
+           round(r4, 6) AS rho4, round(r5, 6) AS rho5,
+           round(n / (1.0 + 2.0 * (r1 + r2 + r3 + r4 + r5)), 6) AS n_eff,
+           round(n / (1.0 + 2.0 * (r1 + r2 + r3 + r4 + r5))
+                 / CAST(n AS DOUBLE), 6) AS independence_ratio
+    FROM rho
+    """,
+)
+def ts_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation-adjusted effective sample size of the daily
+    revenue series: Neff = n / (1 + 2·Σρ₁..₅) — the honest 'how many
+    independent observations do I really have' number that every CI and
+    t-test on autocorrelated daily KPIs silently needs (with ρ summed
+    over the first five lags; monitor use truncates the sum where ρ
+    turns negligible).  Lag products pair via LEAD columns and
+    accumulate in HUGEINT/decimal(38,0) (cents² overflows int64);
+    the five ρ terms add in FIXED textual order into the Neff formula.
+
+    Scale (100 TB): the usual bounded-|days|-axis argument — one window
+    pass and a one-row moment rollup; per-series Neff adds a partition
+    key and a group key."""
+    daily = _daily_orders(spark, sf_dir)
+    w = Window.orderBy("d")
+    led = daily.select(
+        F.col("cents").alias("x"),
+        *[F.lead("cents", k).over(w).alias(f"x{k}") for k in range(1, 6)],
+    )
+    wide = F.col("x").cast("decimal(38,0)")
+    m = led.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(wide * F.col("x")).cast("double").alias("s2"),
+        *[
+            F.sum(
+                F.when(F.col(f"x{k}").isNull(), None).otherwise(
+                    wide * F.col(f"x{k}")
+                )
+            )
+            .cast("double")
+            .alias(f"p{k}")
+            for k in range(1, 6)
+        ],
+        *[
+            F.count(F.col(f"x{k}")).cast("long").alias(f"n{k}")
+            for k in range(1, 6)
+        ],
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    var = F.col("s2") / F.col("n") - mean * mean
+
+    def rho(k):
+        return (F.col(f"p{k}") / F.col(f"n{k}") - mean * mean) / var
+
+    rsum = rho(1) + rho(2) + rho(3) + rho(4) + rho(5)
+    neff = F.col("n") / (F.lit(1.0) + 2.0 * rsum)
+    return m.select(
+        "n",
+        *[F.round(rho(k), 6).alias(f"rho{k}") for k in range(1, 6)],
+        F.round(neff, 6).alias("n_eff"),
+        F.round(neff / F.col("n").cast("double"), 6).alias("independence_ratio"),
+    )
