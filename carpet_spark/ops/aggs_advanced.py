@@ -5726,3 +5726,75 @@ def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+@register(
+    "agg_hill_tail_index",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rk
+      FROM orders
+    ),
+    kth AS (SELECT cents AS x_k1 FROM ranked WHERE rk = 101),
+    terms AS (
+      SELECT r.rk,
+             CAST(round(ln(r.cents / CAST(k.x_k1 AS DOUBLE)), 9)
+                  AS DECIMAL(18,9)) AS t
+      FROM ranked r CROSS JOIN kth k
+      WHERE r.rk <= 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 6) AS hill_gamma,
+           round(COUNT(*) / CAST(SUM(t) AS DOUBLE), 6) AS tail_alpha
+    FROM terms
+    """,
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index over the top k=100
+    order statistics: γ̂ = (1/k)·Σ ln(x_i / x_(k+1)) and α = 1/γ̂ — the
+    standard answer to 'how heavy is the revenue tail' (α ≤ 2 means
+    infinite variance and every mean-based KPI is fragile; text_zipf_fit
+    is the rank-frequency cousin for tokens).  The top-(k+1) order
+    statistics come from a deterministic (value DESC, orderkey) rank;
+    each log ratio computes from exact integer cents, rounds to 9 dp,
+    and sums in DECIMAL so the k-term reduction is order-free.
+
+    Scale (100 TB): the only global structure needed is the top-101
+    rows — TakeOrderedAndProject, never a full sort; the estimator
+    arithmetic runs on k rows."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    ranked = o.select(
+        cents.alias("cents"),
+        F.row_number()
+        .over(Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("rk"),
+    )
+    kth = ranked.filter(F.col("rk") == 101).select(
+        F.col("cents").alias("x_k1")
+    )
+    terms = (
+        ranked.filter(F.col("rk") <= 100)
+        .crossJoin(F.broadcast(kth))
+        .select(
+            F.round(
+                F.log(F.col("cents") / F.col("x_k1").cast("double")), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("t")
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.round(F.sum("t").cast("double") / F.count(F.lit(1)), 6).alias(
+            "hill_gamma"
+        ),
+        F.round(F.count(F.lit(1)) / F.sum("t").cast("double"), 6).alias(
+            "tail_alpha"
+        ),
+    )

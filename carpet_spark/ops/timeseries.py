@@ -4315,3 +4315,72 @@ def ts_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(neff, 6).alias("n_eff"),
         F.round(neff / F.col("n").cast("double"), 6).alias("independence_ratio"),
     )
+
+
+@register(
+    "ts_seasonal_adjustment_dow",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    dowd AS (
+      SELECT d, cents, CAST(EXTRACT(dow FROM d) AS INTEGER) AS dow
+      FROM daily
+    ),
+    idx AS (
+      SELECT dow,
+             CAST(SUM(cents) AS BIGINT) AS dow_cents,
+             CAST(COUNT(*) AS BIGINT) AS dow_days
+      FROM dowd GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(SUM(dow_cents) AS BIGINT) AS all_cents,
+             CAST(SUM(dow_days) AS BIGINT) AS all_days
+      FROM idx
+    ),
+    factors AS (
+      SELECT i.dow,
+             (i.dow_cents / CAST(i.dow_days AS DOUBLE))
+             / (t.all_cents / CAST(t.all_days AS DOUBLE)) AS factor
+      FROM idx i CROSS JOIN tot t
+    )
+    SELECT d.d, d.cents,
+           round(f.factor, 6) AS dow_factor,
+           round(d.cents / f.factor, 6) AS adjusted_cents
+    FROM dowd d JOIN factors f ON f.dow = d.dow
+    """,
+)
+def ts_seasonal_adjustment_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal adjustment of the daily revenue series: each
+    day divides by its weekday's multiplicative factor (that weekday's
+    mean ÷ the overall daily mean), producing the deseasonalized series
+    every 'are we actually up or is it just Tuesday' question needs
+    (ts_seasonality_dow MEASURES the profile; this op APPLIES it).
+    Factors are ratios of exact integer sums — one division each — and
+    the adjustment is one more; Sunday=0 convention pinned.
+
+    Scale (100 TB): the factor table is 7 rows broadcast back onto the
+    |days| axis; per-segment adjustment adds the segment key to both
+    aggregates and the join."""
+    daily = _daily_orders(spark, sf_dir)
+    dowd = daily.select(
+        "d", "cents", (F.dayofweek("d") - 1).alias("dow")
+    )
+    idx = dowd.groupBy("dow").agg(
+        F.sum("cents").cast("long").alias("dow_cents"),
+        F.count(F.lit(1)).cast("long").alias("dow_days"),
+    )
+    tot = idx.agg(
+        F.sum("dow_cents").cast("long").alias("all_cents"),
+        F.sum("dow_days").cast("long").alias("all_days"),
+    )
+    factors = idx.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        (
+            (F.col("dow_cents") / F.col("dow_days").cast("double"))
+            / (F.col("all_cents") / F.col("all_days").cast("double"))
+        ).alias("factor"),
+    )
+    return dowd.join(F.broadcast(factors), "dow").select(
+        "d", "cents",
+        F.round("factor", 6).alias("dow_factor"),
+        F.round(F.col("cents") / F.col("factor"), 6).alias("adjusted_cents"),
+    )

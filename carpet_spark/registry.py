@@ -372,7 +372,8 @@ _R4_QUEUE = (
     "join_match_waterfall", "cdc_scd2_apply_batch",
     "dq_scd2_interval_audit", "agg_queueing_mm1_metrics",
     "ab_sequential_obf", "sql_named_window_clause",
-    "ts_effective_sample_size",
+    "ts_effective_sample_size", "ts_seasonal_adjustment_dow",
+    "agg_hill_tail_index",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
