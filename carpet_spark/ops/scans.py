@@ -1408,3 +1408,74 @@ def sink_parquet_bloom_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(
         F.col("l_partkey").isin(42, 420, 777)
     )
+
+
+@register(
+    "dq_manifest_orphan_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('part-0.parquet', 'ok'), ('part-1.parquet', 'ok'),
+      ('part-2.parquet', 'ok'), ('part-3.parquet', 'ok'),
+      ('part-4.parquet', 'ok'), ('part-5.parquet', 'orphan'),
+      ('part-9.parquet', 'missing')
+    ) AS t(file_name, status)
+    """,
+)
+def dq_manifest_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest↔directory reconciliation: the hygiene audit every
+    manifest-committed sink (sink_manifest_publish,
+    sink_python_datasource_roundtrip) needs — files on disk but not
+    manifested are ORPHANS (failed task attempts, eligible for GC);
+    manifested files not on disk are MISSING (data loss, page someone).
+    The fixture sink is built with two deliberate faults — one orphan
+    part and one dangling manifest entry — and the audit must report
+    exactly {5 ok, 1 orphan, 1 missing}, which IS the oracle (the sink
+    construction is deterministic, so ground truth is literal — same
+    convention as the sink roundtrip oracles that re-derive expected
+    data from the source).
+
+    Scale (100 TB): the directory side lists files via Spark's
+    distributed binaryFile source (metadata columns only — content is
+    pruned); the manifest side is a table; the diff is one full-outer
+    join on file name.  No file CONTENT is read."""
+    import shutil
+
+    out = _sink_path(spark, "manifest_audit")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    nat = load(spark, sf_dir, "nation")
+    staging = os.path.join(out, "_staging")
+    for i in range(6):
+        nat.filter(F.col("n_nationkey") % 6 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = [f for f in os.listdir(staging) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(staging, part), os.path.join(out, f"part-{i}.parquet")
+        )
+    shutil.rmtree(staging)
+    manifest_names = [f"part-{i}.parquet" for i in range(5)] + [
+        "part-9.parquet"  # dangling entry: never written
+    ]  # part-5 written but NOT manifested → orphan
+    manifest = spark.createDataFrame(
+        [(n,) for n in manifest_names], "file_name string"
+    )
+    listed = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(out)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name")
+        )
+    )
+    j = listed.withColumn("in_dir", F.lit(1)).join(
+        manifest.withColumn("in_manifest", F.lit(1)), "file_name", "full_outer"
+    )
+    return j.select(
+        "file_name",
+        F.when(F.col("in_dir").isNull(), "missing")
+        .when(F.col("in_manifest").isNull(), "orphan")
+        .otherwise("ok")
+        .alias("status"),
+    )

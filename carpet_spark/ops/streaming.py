@@ -1087,16 +1087,20 @@ def stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     page on the first event, suppress the rest until a cool event closes
     the episode — the dedup every alerting pipeline needs so a 40-minute
     incident is one page, not forty.  Implemented with
-    applyInPandasWithState: the per-type GroupState carries whether an
-    episode is open (and its first id / running length) across
-    micro-batches; within a batch rows are sorted by (ts, event_id)
-    before the scan, so batch boundaries never split or reorder the
-    state transitions.
+    applyInPandasWithState; rows sort by (ts, event_id) inside the
+    batch before the episode scan.
 
-    The availableNow file source delivers one ordered batch, making the
-    emitted episodes equal the batch gaps-and-islands — the hash oracle;
-    cross-batch state carry is exercised in tests/test_streaming.py for
-    the counter twin (same API surface).
+    Batch-boundary semantics, stated honestly: the op runs the file
+    source with availableNow = ONE ordered batch, so every episode —
+    including the trailing open one — can be emitted and hash-checked
+    against the batch gaps-and-islands oracle.  Under forced multi-batch
+    feeding an episode spanning a boundary emits once per batch segment
+    (state resets, it is not carried), because append-mode emission and
+    carried state cannot both hold without retraction; the production
+    continuous variant flips one line (hold the open episode in
+    GroupState, emit on close/timeout) and trades away the trailing
+    emission instead.  tests/test_streaming.py pins the two-batch
+    cold-boundary case equal to the single-batch result.
 
     Scale notes: state is O(|alerting keys|) booleans+counters in the
     StateStore; output is one row per closed episode plus the trailing

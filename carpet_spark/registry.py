@@ -373,7 +373,7 @@ _R4_QUEUE = (
     "dq_scd2_interval_audit", "agg_queueing_mm1_metrics",
     "ab_sequential_obf", "sql_named_window_clause",
     "ts_effective_sample_size", "ts_seasonal_adjustment_dow",
-    "agg_hill_tail_index",
+    "agg_hill_tail_index", "dq_manifest_orphan_audit",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

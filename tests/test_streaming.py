@@ -369,3 +369,99 @@ def test_stream_static_join_incremental(spark):
     want = REGISTRY["stream_static_join"].fn(spark, sf).count()
     assert got == want > 0
     spark.catalog.dropTempView(name)
+
+
+def test_alert_episodes_two_batches_cold_boundary(spark):
+    """stream_alert_episodes per-batch semantics: feeding the same rows
+    in two micro-batches whose boundary falls in a COLD stretch yields
+    exactly the single-batch episode set (no dupes, no splits)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base, src, ckpt = _mk_dirs()
+    name = f"alertep2_{uuid.uuid4().hex[:8]}"
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def w(rows, part):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    hot, cold = 99.0, 10.0
+    t0 = _ts("2024-01-01 10:00:00")
+    import datetime as dt
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # batch 1: episode of 2 hot, then cold (boundary is cold)
+    w([(1, at(0), "x", hot), (2, at(1), "x", hot), (3, at(2), "x", cold)], 1)
+
+    def episodes(key, pdfs, state: GroupState):
+        open_first, open_len = None, 0
+        rows = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        for _, r in pdf.iterrows():
+            is_hot = r["value"] > 60.0
+            if is_hot:
+                if open_first is None:
+                    open_first, open_len = int(r["event_id"]), 1
+                else:
+                    open_len += 1
+            else:
+                if open_first is not None:
+                    rows.append((key[0], open_first, open_len, open_len - 1))
+                    open_first, open_len = None, 0
+        if open_first is not None:
+            rows.append((key[0], open_first, open_len, open_len - 1))
+        state.update((-1, 0))
+        yield pd.DataFrame(
+            rows,
+            columns=["event_type", "first_event_id", "episode_len", "n_suppressed"],
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            episodes,
+            outputStructType=(
+                "event_type string, first_event_id long, "
+                "episode_len long, n_suppressed long"
+            ),
+            stateStructType="first long, len long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a separate later episode of 3 hot then cold
+        w(
+            [
+                (4, at(10), "x", hot),
+                (5, at(11), "x", hot),
+                (6, at(12), "x", hot),
+                (7, at(13), "x", cold),
+            ],
+            2,
+        )
+        q.processAllAvailable()
+        got = sorted(
+            (r.first_event_id, r.episode_len, r.n_suppressed)
+            for r in spark.table(name).collect()
+        )
+        assert got == [(1, 2, 1), (4, 3, 2)], got
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
