@@ -5798,3 +5798,73 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tail_alpha"
         ),
     )
+
+
+@register(
+    "agg_margin_waterfall",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS gross_c,
+             CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)
+               AS disc_c,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                  AS BIGINT) AS tax_c
+      FROM lineitem
+    ),
+    tot AS (
+      SELECT CAST(SUM(gross_c) AS BIGINT) AS gross,
+             CAST(SUM(disc_c) AS BIGINT) AS disc,
+             CAST(SUM(tax_c) AS BIGINT) AS tax
+      FROM per
+    )
+    SELECT 1 AS step, 'gross_revenue' AS component,
+           gross AS delta_cents, gross AS running_cents FROM tot
+    UNION ALL
+    SELECT 2, 'discounts', -disc, gross - disc FROM tot
+    UNION ALL
+    SELECT 3, 'tax', -tax, gross - disc - tax FROM tot
+    """,
+)
+def agg_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue→net waterfall: gross extended price, minus discounts,
+    minus tax — the three-step bridge chart every finance review opens
+    with, as (step, component, delta, running) rows ready for a
+    waterfall renderer.  Every component rounds per-row to exact integer
+    cents BEFORE summing (the reconciliation property: steps add to the
+    final number to the cent, which per-aggregate float rounding cannot
+    guarantee), using the house half-away rule on both engines.
+
+    Scale (100 TB): one narrow map projection and one global integer
+    rollup; per-segment waterfalls add a group key and the same three
+    rows per segment."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def cents(col):
+        return (col * 100 + F.lit(0.5)).cast("long")  # all components >= 0
+
+    per = li.select(
+        cents(F.col("l_extendedprice")).alias("gross_c"),
+        cents(F.col("l_extendedprice") * F.col("l_discount")).alias("disc_c"),
+        cents(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+        ).alias("tax_c"),
+    )
+    tot = per.agg(
+        F.sum("gross_c").cast("long").alias("gross"),
+        F.sum("disc_c").cast("long").alias("disc"),
+        F.sum("tax_c").cast("long").alias("tax"),
+    )
+    g, d, t = F.col("gross"), F.col("disc"), F.col("tax")
+    s1 = tot.select(
+        F.lit(1).alias("step"), F.lit("gross_revenue").alias("component"),
+        g.alias("delta_cents"), g.alias("running_cents"),
+    )
+    s2 = tot.select(
+        F.lit(2).alias("step"), F.lit("discounts").alias("component"),
+        (-d).alias("delta_cents"), (g - d).alias("running_cents"),
+    )
+    s3 = tot.select(
+        F.lit(3).alias("step"), F.lit("tax").alias("component"),
+        (-t).alias("delta_cents"), (g - d - t).alias("running_cents"),
+    )
+    return s1.unionByName(s2).unionByName(s3)

@@ -6111,3 +6111,84 @@ def ab_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("crossed"),
     )
+
+
+@register(
+    "eval_offpolicy_ips",
+    oracle="""
+    WITH logged AS (
+      SELECT o_orderkey,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1))
+                       - 1 < 8
+                  THEN 'promo' ELSE 'no_promo' END AS logged_action,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'promo' ELSE 'no_promo' END AS target_action,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS reward
+      FROM orders
+    ),
+    w AS (
+      SELECT reward,
+             CASE WHEN logged_action = target_action THEN 2 ELSE 0 END AS wt
+      FROM logged
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           round(CAST(SUM(CAST(reward * wt AS BIGINT)) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS ips_value,
+           round(CAST(SUM(CAST(reward * wt AS BIGINT)) AS BIGINT)
+                 / CAST(SUM(CAST(wt AS BIGINT)) AS DOUBLE), 6) AS snips_value,
+           round(CAST(SUM(reward) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS logged_policy_value
+    FROM w
+    """,
+)
+def eval_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation by inverse propensity scoring: estimate what
+    a TARGET promo policy ('promo to urgent/high-priority orders') would
+    earn from logs collected under a DIFFERENT logged policy (a uniform
+    50/50 hash assignment, so the propensity is exactly 0.5 and the IPS
+    weight is exactly 2 on matching actions) — the counterfactual
+    answer-without-an-experiment every bandit/recommender team needs,
+    with the self-normalized SNIPS variant alongside (lower variance,
+    slight bias) and the logged policy's own value as the baseline.
+    Every term is an exact integer (rewards 0/1, weights 0/2) until the
+    final divisions.
+
+    Scale (100 TB): a narrow map projection and one global rollup;
+    per-segment policy values add a group key."""
+    o = load(spark, sf_dir, "orders")
+    logged_action = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 32, 1), 16, 10
+        ).cast("long")
+        < 8,
+        "promo",
+    ).otherwise("no_promo")
+    target_action = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "promo"
+    ).otherwise("no_promo")
+    w = o.select(
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("reward"),
+        F.when(logged_action == target_action, 2).otherwise(0).alias("wt"),
+    )
+    return w.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("wt") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_matched"),
+        F.round(
+            F.sum((F.col("reward") * F.col("wt")).cast("long")).cast("long")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("ips_value"),
+        F.round(
+            F.sum((F.col("reward") * F.col("wt")).cast("long")).cast("long")
+            / F.sum(F.col("wt").cast("long")).cast("double"),
+            6,
+        ).alias("snips_value"),
+        F.round(
+            F.sum("reward").cast("long") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("logged_policy_value"),
+    )

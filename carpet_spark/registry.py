@@ -374,6 +374,7 @@ _R4_QUEUE = (
     "ab_sequential_obf", "sql_named_window_clause",
     "ts_effective_sample_size", "ts_seasonal_adjustment_dow",
     "agg_hill_tail_index", "dq_manifest_orphan_audit",
+    "agg_margin_waterfall", "eval_offpolicy_ips",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
