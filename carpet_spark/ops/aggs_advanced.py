@@ -5868,3 +5868,96 @@ def agg_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-t).alias("delta_cents"), (g - d - t).alias("running_cents"),
     )
     return s1.unionByName(s2).unionByName(s3)
+
+
+@register(
+    "dq_balance_reconciliation_three_way",
+    oracle="""
+    WITH o_side AS (
+      SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        AS order_header_cents
+      FROM orders
+    ),
+    l_gross AS (
+      SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        AS line_gross_cents
+      FROM lineitem
+    ),
+    l_net AS (
+      SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS line_net_cents
+      FROM lineitem
+    )
+    SELECT o.order_header_cents, g.line_gross_cents, n.line_net_cents,
+           g.line_gross_cents - o.order_header_cents AS gross_vs_header,
+           n.line_net_cents - o.order_header_cents AS net_vs_header,
+           round(abs(g.line_gross_cents - o.order_header_cents)
+                 / CAST(o.order_header_cents AS DOUBLE), 6)
+             AS gross_gap_ratio,
+           CASE WHEN g.line_gross_cents = o.order_header_cents
+                     OR n.line_net_cents = o.order_header_cents
+                THEN 'reconciled' ELSE 'unreconciled' END AS verdict
+    FROM o_side o CROSS JOIN l_gross g CROSS JOIN l_net n
+    """,
+)
+def dq_balance_reconciliation_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way ledger reconciliation: order-header totals vs the
+    line-item gross rollup vs the discounted net rollup, with exact-cent
+    deltas and a reconciled/unreconciled verdict — the close-of-books
+    check that catches dropped lines, double-posting, and 'which total
+    does the header actually store' ambiguity.  On this fixture the
+    sides genuinely do NOT reconcile (header totals are synthesized
+    independently of lines) and the op's whole point is to say so with
+    the exact gap instead of letting two dashboards silently disagree.
+    All sums are per-row-rounded integer cents (agg_margin_waterfall's
+    reconciliation property).
+
+    Scale (100 TB): three map-side-combined global sums — one scan each
+    of two tables; per-order reconciliation (find WHICH orders break)
+    is the same op grouped by orderkey."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def cents(col):
+        return (col * 100 + F.lit(0.5)).cast("long")
+
+    oh = o.agg(
+        F.sum(
+            (
+                F.signum("o_totalprice")
+                * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("order_header_cents")
+    )
+    lg = li.agg(
+        F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("line_gross_cents")
+    )
+    ln = li.agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("line_net_cents")
+    )
+    j = oh.crossJoin(lg).crossJoin(ln)
+    return j.select(
+        "order_header_cents", "line_gross_cents", "line_net_cents",
+        (F.col("line_gross_cents") - F.col("order_header_cents")).alias(
+            "gross_vs_header"
+        ),
+        (F.col("line_net_cents") - F.col("order_header_cents")).alias(
+            "net_vs_header"
+        ),
+        F.round(
+            F.abs(F.col("line_gross_cents") - F.col("order_header_cents"))
+            / F.col("order_header_cents").cast("double"),
+            6,
+        ).alias("gross_gap_ratio"),
+        F.when(
+            (F.col("line_gross_cents") == F.col("order_header_cents"))
+            | (F.col("line_net_cents") == F.col("order_header_cents")),
+            "reconciled",
+        )
+        .otherwise("unreconciled")
+        .alias("verdict"),
+    )

@@ -1714,3 +1714,64 @@ def join_match_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("b_key").cast("long").alias("max_key"),
     )
     return summary.unionByName(un)
+
+
+@register(
+    "join_fx_asof_convert",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+      FROM orders
+    ),
+    rates AS (
+      SELECT m,
+             CAST(1000000 + ((EXTRACT(year FROM m) * 12
+                   + EXTRACT(month FROM m)) % 7) * 10000 AS BIGINT)
+               AS rate_micro
+      FROM months
+    )
+    SELECT o.o_orderkey,
+           CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+           r.rate_micro,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS usd_cents,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) * r.rate_micro
+             // 1000000 AS fx_cents
+    FROM orders o
+    JOIN rates r ON r.m = CAST(date_trunc('month', o.o_orderdate) AS DATE)
+    """,
+)
+def join_fx_asof_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Currency conversion against a monthly rate table: each order
+    converts at its order month's rate — the effective-dated lookup
+    every multi-currency ledger runs (the general as-of machinery lives
+    in the join_asof family; month-granular rates make it an exact
+    equi-join on the truncated month, the common production shortcut).
+    Rates are exact integer micro-units (1.00–1.06 cycling
+    deterministically by month index) and conversion is integer
+    multiply-then-floor-divide — cent-exact, no float drift, auditable.
+
+    Scale (100 TB): the rate table is |months| rows broadcast; facts
+    never shuffle.  Daily rates swap the equi-join for join_asof's
+    backward match, same shape."""
+    o = load(spark, sf_dir, "orders")
+    m = F.date_trunc("month", "o_orderdate").cast("date")
+    months = o.select(m.alias("m")).distinct()
+    rates = months.select(
+        "m",
+        (
+            F.lit(1000000)
+            + ((F.year("m") * 12 + F.month("m")) % 7) * 10000
+        ).cast("long").alias("rate_micro"),
+    )
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    return (
+        o.select("o_orderkey", m.alias("m"), cents.alias("usd_cents"))
+        .join(F.broadcast(rates), "m")
+        .select(
+            "o_orderkey", "m", "rate_micro", "usd_cents",
+            F.expr("usd_cents * rate_micro DIV 1000000").alias("fx_cents"),
+        )
+    )

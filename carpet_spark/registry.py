@@ -375,6 +375,7 @@ _R4_QUEUE = (
     "ts_effective_sample_size", "ts_seasonal_adjustment_dow",
     "agg_hill_tail_index", "dq_manifest_orphan_audit",
     "agg_margin_waterfall", "eval_offpolicy_ips",
+    "join_fx_asof_convert", "dq_balance_reconciliation_three_way",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
