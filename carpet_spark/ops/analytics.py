@@ -6192,3 +6192,141 @@ def eval_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("reward").cast("long") / F.count(F.lit(1)).cast("double"), 6
         ).alias("logged_policy_value"),
     )
+
+
+@register(
+    "agg_repeat_rate_by_first_value",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS pn,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_purch
+      FROM events WHERE event_type = 'purchase'
+    ),
+    firsts AS (
+      SELECT user_id, n_purch,
+             CASE WHEN value < 15 THEN 'low'
+                  WHEN value < 60 THEN 'mid'
+                  ELSE 'high' END AS first_value_bucket
+      FROM purch WHERE pn = 1
+    )
+    SELECT first_value_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(CASE WHEN n_purch >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS repeat_rate,
+           round(CAST(SUM(n_purch) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_purchases,
+           CAST(MAX(n_purch) AS BIGINT) AS max_purchases
+    FROM firsts GROUP BY first_value_bucket
+    """,
+)
+def agg_repeat_rate_by_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the first purchase predict loyalty?  Users bucket by their
+    FIRST purchase value (low/mid/high with fixed cuts at 15 and 60) and
+    each bucket reports repeat rate and purchase depth — the
+    'whale-first-order' question behind onboarding-offer design
+    (agg_churn_risk_recency looks backward from today; this op looks
+    forward from acquisition).  First purchase resolves on the unique
+    (ts, event_id) order; all counts are exact.
+
+    Scale (100 TB): one user-partitioned window pass (first purchase +
+    per-user count share the partition) and a 3-row rollup."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purch = p.select(
+        "user_id", "value",
+        F.row_number().over(w).alias("pn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .cast("long")
+        .alias("n_purch"),
+    )
+    firsts = purch.filter(F.col("pn") == 1).select(
+        "n_purch",
+        F.when(F.col("value") < 15, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+        .alias("first_value_bucket"),
+    )
+    return firsts.groupBy("first_value_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(
+            F.sum(F.when(F.col("n_purch") >= 2, 1).otherwise(0)).cast("long")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("repeat_rate"),
+        F.round(
+            F.sum("n_purch").cast("long") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_purchases"),
+        F.max("n_purch").cast("long").alias("max_purchases"),
+    )
+
+
+@register(
+    "agg_unit_economics_summary",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           round(CAST(SUM(cents) AS BIGINT)
+                 / CAST(SUM(n_orders) AS DOUBLE) / 100, 6) AS avg_order_value,
+           round(CAST(SUM(n_orders) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS orders_per_customer,
+           round(CAST(SUM(cents) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE) / 100, 6) AS revenue_per_customer,
+           round((CAST(SUM(cents) AS BIGINT)
+                  / CAST(SUM(n_orders) AS DOUBLE) / 100)
+                 * (CAST(SUM(n_orders) AS BIGINT) / CAST(COUNT(*) AS DOUBLE))
+                 * 0.25, 6) AS ltv_proxy_25pct_margin
+    FROM per_cust GROUP BY segment
+    """,
+)
+def agg_unit_economics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-economics table per market segment: average order value,
+    order frequency per customer, revenue per customer, and an LTV
+    proxy at an assumed 25% contribution margin (AOV × frequency ×
+    margin) — the four numbers every growth model starts from
+    (agg_cohort_ltv tracks realized LTV over time; this is the
+    steady-state cross-section).  All revenue stays exact integer cents
+    through the per-customer rollup; the ratios divide once each and
+    the LTV proxy composes them in fixed order.
+
+    Scale (100 TB): one (segment, customer) aggregate riding the
+    customer join's partitioning, then a |segments|-row rollup."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+    )
+    aov = F.sum("cents").cast("long") / F.sum("n_orders").cast("double") / 100
+    freq = F.sum("n_orders").cast("long") / F.count(F.lit(1)).cast("double")
+    return per_cust.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.round(aov, 6).alias("avg_order_value"),
+        F.round(freq, 6).alias("orders_per_customer"),
+        F.round(
+            F.sum("cents").cast("long") / F.count(F.lit(1)).cast("double") / 100,
+            6,
+        ).alias("revenue_per_customer"),
+        F.round(aov * freq * 0.25, 6).alias("ltv_proxy_25pct_margin"),
+    )

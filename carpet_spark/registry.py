@@ -376,6 +376,7 @@ _R4_QUEUE = (
     "agg_hill_tail_index", "dq_manifest_orphan_audit",
     "agg_margin_waterfall", "eval_offpolicy_ips",
     "join_fx_asof_convert", "dq_balance_reconciliation_three_way",
+    "agg_repeat_rate_by_first_value", "agg_unit_economics_summary",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
