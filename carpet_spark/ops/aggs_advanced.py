@@ -5961,3 +5961,81 @@ def dq_balance_reconciliation_three_way(spark: SparkSession, sf_dir: str) -> Dat
         .otherwise("unreconciled")
         .alias("verdict"),
     )
+
+
+@register(
+    "profile_candidate_keys",
+    oracle="""
+    WITH stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_orderkey,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_custkey,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d_totalprice,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_orderdate,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_priority
+      FROM orders
+    )
+    SELECT col, n_distinct, n,
+           round(n_distinct / CAST(n AS DOUBLE), 6) AS uniqueness,
+           CASE WHEN n_distinct = n THEN 1 ELSE 0 END AS is_candidate_key
+    FROM (
+      SELECT 'o_orderkey' AS col, d_orderkey AS n_distinct, n FROM stats
+      UNION ALL SELECT 'o_custkey', d_custkey, n FROM stats
+      UNION ALL SELECT 'o_orderstatus', d_status, n FROM stats
+      UNION ALL SELECT 'o_totalprice', d_totalprice, n FROM stats
+      UNION ALL SELECT 'o_orderdate', d_orderdate, n FROM stats
+      UNION ALL SELECT 'o_orderpriority', d_priority, n FROM stats
+    )
+    """,
+)
+def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: per-column uniqueness ratios over orders
+    with an is_candidate_key verdict (distinct == rows) — the profiling
+    step BEFORE dq_primary_key_check can even be configured (that op
+    validates a KNOWN key; this one finds the candidates, and near-1
+    ratios flag almost-keys whose duplicates are usually bugs).  One
+    wide aggregate computes all six distinct counts in a single scan,
+    then unpivots to a column-per-row report.
+
+    Scale (100 TB): multiple COUNT(DISTINCT) in one aggregate plan as
+    Expand + two-phase aggregation — one scan, |columns| output rows;
+    swap approx_count_distinct at extreme cardinalities."""
+    o = load(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("o_orderkey").cast("long").alias("d_orderkey"),
+        F.countDistinct("o_custkey").cast("long").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").cast("long").alias("d_status"),
+        F.countDistinct("o_totalprice").cast("long").alias("d_totalprice"),
+        F.countDistinct("o_orderdate").cast("long").alias("d_orderdate"),
+        F.countDistinct("o_orderpriority").cast("long").alias("d_priority"),
+    )
+    cols = [
+        ("o_orderkey", "d_orderkey"),
+        ("o_custkey", "d_custkey"),
+        ("o_orderstatus", "d_status"),
+        ("o_totalprice", "d_totalprice"),
+        ("o_orderdate", "d_orderdate"),
+        ("o_orderpriority", "d_priority"),
+    ]
+    parts = [
+        stats.select(
+            F.lit(name).alias("col"),
+            F.col(d).alias("n_distinct"),
+            "n",
+        )
+        for name, d in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "col", "n_distinct", "n",
+        F.round(F.col("n_distinct") / F.col("n").cast("double"), 6).alias(
+            "uniqueness"
+        ),
+        F.when(F.col("n_distinct") == F.col("n"), 1).otherwise(0).alias(
+            "is_candidate_key"
+        ),
+    )

@@ -1019,3 +1019,70 @@ def pii_generalize_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
         .alias("gen_ts"),
     )
+
+
+@register(
+    "pii_l_diversity_check",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 2000) AS INTEGER) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l_distinct < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l2,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l3,
+           CAST(SUM(CASE WHEN l_distinct < 2 THEN group_size ELSE 0 END)
+                AS BIGINT) AS rows_exposed_l2,
+           round(CAST(SUM(CASE WHEN l_distinct < 2 THEN group_size ELSE 0 END)
+                      AS BIGINT) / CAST(SUM(group_size) AS DOUBLE), 6)
+             AS exposure_rate_l2,
+           CAST(MIN(l_distinct) AS BIGINT) AS min_l
+    FROM cells
+    """,
+)
+def pii_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: within each quasi-identifier group (nation ×
+    account-balance bucket), how many DISTINCT values of the sensitive
+    attribute (market segment) appear — k-anonymity (pii_kanon_check)
+    stops homogeneity attacks only if every group is also l-diverse; a
+    group of 40 indistinguishable people who ALL share one segment
+    leaks the segment despite k=40.  Reports groups below l=2 and l=3,
+    the rows exposed, and the worst group.  Bucket boundaries use
+    explicit FLOOR (the DuckDB-rounds/Spark-truncates cast trap).
+
+    Scale (100 TB): one (QI-group) aggregate with a distinct count —
+    the same shape as the k-anonymity check, combinable map-side."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l_distinct"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("l_distinct") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_l2"),
+        F.sum(F.when(F.col("l_distinct") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_l3"),
+        F.sum(F.when(F.col("l_distinct") < 2, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_exposed_l2"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_distinct") < 2, F.col("group_size")).otherwise(0)
+            ).cast("long")
+            / F.sum("group_size").cast("double"),
+            6,
+        ).alias("exposure_rate_l2"),
+        F.min("l_distinct").cast("long").alias("min_l"),
+    )

@@ -377,6 +377,7 @@ _R4_QUEUE = (
     "agg_margin_waterfall", "eval_offpolicy_ips",
     "join_fx_asof_convert", "dq_balance_reconciliation_three_way",
     "agg_repeat_rate_by_first_value", "agg_unit_economics_summary",
+    "pii_l_diversity_check", "profile_candidate_keys",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
