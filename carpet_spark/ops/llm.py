@@ -5551,3 +5551,109 @@ def sim_hybrid_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 15)
     )
+
+
+@register(
+    "emb_hubness_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round({{dot_ab}}
+                   / (sqrt({{dot_aa}}) * sqrt({{dot_bb}})), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+    ),
+    topk AS (
+      SELECT qid, nid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rnk
+      FROM pairs
+    ),
+    hub AS (
+      SELECT nid, CAST(COUNT(*) AS BIGINT) AS appearances
+      FROM topk WHERE rnk <= 5
+      GROUP BY nid
+    ),
+    base AS (
+      SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT CAST(b.n_vecs AS BIGINT) AS n_vecs,
+           CAST(MAX(h.appearances) AS BIGINT) AS max_hubness,
+           round(CAST(SUM(CASE WHEN h.appearances >= 10 THEN 1 ELSE 0 END)
+                      AS BIGINT) / CAST(b.n_vecs AS DOUBLE), 6)
+             AS frac_hubs_10plus,
+           round(CAST(b.n_vecs - COUNT(*) AS BIGINT)
+                 / CAST(b.n_vecs AS DOUBLE), 6) AS frac_antihubs,
+           round(CAST(SUM(CAST(h.appearances AS HUGEINT) * h.appearances)
+                      AS DOUBLE) / (5.0 * 5.0 * b.n_vecs), 6)
+             AS hubness_concentration
+    FROM hub h CROSS JOIN base b
+    GROUP BY b.n_vecs
+    """.format(
+        dot_ab=_DOT_SQL.format(a="a.embedding", b="b.embedding"),
+        dot_aa=_DOT_SQL.format(a="a.embedding", b="a.embedding"),
+        dot_bb=_DOT_SQL.format(a="b.embedding", b="b.embedding"),
+    ),
+)
+def emb_hubness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness diagnostic of the embedding space: over a deterministic
+    1-in-5 probe subset, compute each vector's cosine top-5 and count
+    how often each vector APPEARS in others' top-5 — high-dimensional
+    spaces grow 'hubs' (vectors that are everyone's neighbor) and
+    anti-hubs (no one's), a known ANN-quality pathology that silently
+    skews retrieval diversity.  Reports max hubness, the share of 10+
+    hubs, the anti-hub share, and the k-occurrence concentration
+    (E[N_k²]/k² normalized — 1/n·Σa²/k²·... grows with hub skew).
+    Rankings use round-6 cosines with nid tie-break.
+
+    Scale (100 TB): all-pairs on the PROBE subset only (the standard
+    hubness-audit practice — the diagnostic needs a sample, not the
+    corpus); production swaps the exact top-5 for the ANN index's own
+    neighbor lists (ops/ann.py) and this op then audits the index
+    itself."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("qid") != F.col("nid")).select(
+        "qid", "nid",
+        F.round(
+            _dot(F.col("ea"), F.col("eb"))
+            / (
+                F.sqrt(_dot(F.col("ea"), F.col("ea")))
+                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    topk = pairs.select(
+        "qid", "nid", F.row_number().over(wr).alias("rnk")
+    ).filter(F.col("rnk") <= 5)
+    hub = topk.groupBy("nid").agg(
+        F.count(F.lit(1)).cast("long").alias("appearances")
+    )
+    base = e.agg(F.countDistinct("vec_id").cast("long").alias("n_vecs"))
+    j = hub.crossJoin(F.broadcast(base))
+    return j.groupBy("n_vecs").agg(
+        F.max("appearances").cast("long").alias("max_hubness"),
+        F.round(
+            F.sum(F.when(F.col("appearances") >= 10, 1).otherwise(0)).cast("long")
+            / F.max("n_vecs").cast("double"),
+            6,
+        ).alias("frac_hubs_10plus"),
+        F.round(
+            (F.max("n_vecs") - F.count(F.lit(1))).cast("long")
+            / F.max("n_vecs").cast("double"),
+            6,
+        ).alias("frac_antihubs"),
+        F.round(
+            F.sum(F.col("appearances").cast("decimal(38,0)") * F.col("appearances"))
+            .cast("double")
+            / (F.lit(5.0) * 5.0 * F.max("n_vecs")),
+            6,
+        ).alias("hubness_concentration"),
+    ).select(
+        F.col("n_vecs"), "max_hubness", "frac_hubs_10plus",
+        "frac_antihubs", "hubness_concentration",
+    )

@@ -346,3 +346,85 @@ def sample_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event"),
         )
     )
+
+
+@register(
+    "sample_pps_systematic",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    cum AS (
+      SELECT o_custkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_hi,
+             CAST(SUM(cents) OVER (ORDER BY o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS cum_lo_n
+      FROM rev
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+    pts AS (
+      SELECT k, (2 * k + 1) * t.total // 40 AS point
+      FROM (SELECT unnest(range(0, 20)) AS k) ks CROSS JOIN tot t
+    )
+    SELECT p.k AS sample_idx, c.o_custkey, c.cents,
+           round(c.cents * 20 / CAST(t.total AS DOUBLE), 6)
+             AS inclusion_prob
+    FROM pts p
+    JOIN cum c ON p.point >= COALESCE(c.cum_lo_n, 0) AND p.point < c.cum_hi
+    CROSS JOIN tot t
+    """,
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: 20 evenly
+    spaced points on the cumulative-revenue axis each select the
+    customer whose revenue interval contains them — big customers enter
+    the sample with probability ∝ their revenue, the design survey
+    statisticians and auditors (monetary-unit sampling) use so a 20-unit
+    sample still covers most of the money.  Deterministic by
+    construction (fixed key order, midpoint offsets (2k+1)·T/40, exact
+    integer cumulative cents); reported inclusion probabilities are the
+    size-proportional n·w/T.
+
+    Scale (100 TB): the cumulative axis uses the distributed prefix-sum
+    pattern (dist_cumulative_share) at scale; point selection is a
+    20-row broadcast range join."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).cast("long").alias("cents"))
+    w = Window.orderBy("o_custkey")
+    cum = rev.select(
+        "o_custkey", "cents",
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_hi"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .cast("long")
+        .alias("cum_lo_n"),
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    ks = o.sparkSession.createDataFrame([(k,) for k in range(20)], "k int")
+    pts = ks.crossJoin(F.broadcast(tot)).select(
+        "k", F.expr("(2 * k + 1) * total DIV 40").alias("point"), "total"
+    )
+    j = F.broadcast(pts).join(
+        cum,
+        (F.col("point") >= F.coalesce(F.col("cum_lo_n"), F.lit(0)))
+        & (F.col("point") < F.col("cum_hi")),
+    )
+    return j.select(
+        F.col("k").alias("sample_idx"), "o_custkey", "cents",
+        F.round(F.col("cents") * 20 / F.col("total").cast("double"), 6).alias(
+            "inclusion_prob"
+        ),
+    )
