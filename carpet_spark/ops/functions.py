@@ -2161,3 +2161,95 @@ def fn_checkdigit_ean13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("body"), cd.cast("string")).alias("ean13"),
         cd.cast("long").alias("check_digit"),
     )
+
+
+@register(
+    "fn_largest_remainder_allocation",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+    quota AS (
+      SELECT r.nation, r.cents,
+             CAST(r.cents AS HUGEINT) * 100000000 // t.total AS floor_alloc,
+             (CAST(r.cents AS HUGEINT) * 100000000) % t.total AS remainder
+      FROM rev r CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT nation, cents,
+             CAST(floor_alloc AS BIGINT) AS floor_alloc,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, nation) AS rem_rank,
+             CAST(100000000 - SUM(floor_alloc) OVER () AS BIGINT) AS leftover
+      FROM quota
+    )
+    SELECT nation, cents, floor_alloc,
+           CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS extra_cent,
+           floor_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+             AS final_alloc
+    FROM ranked
+    """,
+)
+def fn_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: split a 1,000,000.00
+    budget across nations proportionally to revenue so the integer-cent
+    pieces sum EXACTLY to the budget — floor every quota, then hand the
+    leftover cents to the largest remainders (nation tie-break) — the
+    penny-allocation algorithm behind invoice line rounding, seat
+    apportionment, and budget splits, where naive per-row rounding
+    drifts off the total (dq_penny_drift_audit detects that drift; this
+    op prevents it).  Quotas multiply in HUGEINT/decimal so cents ×
+    budget never overflows; every step is integer arithmetic.
+
+    Scale (100 TB): shares collapse to the |groups| grid; the remainder
+    rank and leftover are windows over that grid.  Allocating within
+    millions of parent groups partitions the same windows by parent."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total"))
+    budget = F.lit(100000000).cast("decimal(38,0)")
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "nation", "cents",
+        (F.col("cents").cast("decimal(38,0)") * budget / F.col("total"))
+        .cast("decimal(38,0)")
+        .alias("_unused"),
+        F.expr(
+            "CAST((CAST(cents AS DECIMAL(38,0)) * 100000000) DIV total AS LONG)"
+        ).alias("floor_alloc"),
+        F.expr(
+            "CAST((CAST(cents AS DECIMAL(38,0)) * 100000000) % total AS LONG)"
+        ).alias("remainder"),
+    ).drop("_unused")
+    wall = Window.partitionBy()
+    ranked = quota.select(
+        "nation", "cents", "floor_alloc",
+        F.row_number()
+        .over(Window.orderBy(F.col("remainder").desc(), "nation"))
+        .alias("rem_rank"),
+        (F.lit(100000000) - F.sum("floor_alloc").over(wall))
+        .cast("long")
+        .alias("leftover"),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "nation", "cents", "floor_alloc",
+        extra.alias("extra_cent"),
+        (F.col("floor_alloc") + extra).alias("final_alloc"),
+    )
