@@ -6330,3 +6330,103 @@ def agg_unit_economics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue_per_customer"),
         F.round(aov * freq * 0.25, 6).alias("ltv_proxy_25pct_margin"),
     )
+
+
+@register(
+    "agg_demand_intermittency_sbc",
+    oracle="""
+    WITH demand AS (
+      SELECT l_partkey,
+             CAST(date_trunc('day', l_shipdate) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem WHERE l_partkey % 25 = 0
+      GROUP BY 1, 2
+    ),
+    gaps AS (
+      SELECT l_partkey, d, q,
+             date_diff('day', LAG(d) OVER (PARTITION BY l_partkey ORDER BY d),
+                       d) AS gap
+      FROM demand
+    ),
+    st AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_demands,
+             CAST(SUM(gap) AS BIGINT) AS gap_sum,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(q) AS BIGINT) AS q_sum,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS q_sq
+      FROM gaps GROUP BY l_partkey
+      HAVING COUNT(gap) >= 2
+    ),
+    scored AS (
+      SELECT l_partkey, n_demands,
+             gap_sum / CAST(n_gaps AS DOUBLE) AS adi,
+             (q_sq / CAST(n_demands AS DOUBLE)
+              - (q_sum / CAST(n_demands AS DOUBLE))
+                * (q_sum / CAST(n_demands AS DOUBLE)))
+             / ((q_sum / CAST(n_demands AS DOUBLE))
+                * (q_sum / CAST(n_demands AS DOUBLE))) AS cv2
+      FROM st
+    )
+    SELECT l_partkey, n_demands,
+           round(adi, 6) AS adi, round(cv2, 6) AS cv2,
+           CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+                WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+                WHEN adi < 1.32 THEN 'erratic'
+                ELSE 'lumpy' END AS sbc_class
+    FROM scored
+    """,
+)
+def agg_demand_intermittency_sbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand classification per part: average demand
+    interval (ADI) and the squared coefficient of variation of demand
+    sizes split parts into smooth / intermittent / erratic / lumpy —
+    the standard gate that decides WHICH forecaster a part gets
+    (Croston-family for intermittent/lumpy, exponential smoothing for
+    smooth/erratic; agg_reorder_point_calc's normal ROP is only valid
+    in the smooth cell).  On this sparse fixture slice ADI ≈ 60-90, so
+    only the two high-ADI classes are REACHABLE — exactly the reading
+    the classifier should give for slow movers.  All moments are exact
+    BIGINT/HUGEINT sums; the class CASE compares unrounded values
+    identically in both engines.
+
+    Scale (100 TB): one (part, day) collapse, one lag window, one
+    per-part moment aggregate — all sharing the part key."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 25 == 0)
+    q = (F.col("l_quantity") + F.lit(0.5)).cast("long")
+    demand = li.groupBy(
+        "l_partkey", F.date_trunc("day", "l_shipdate").cast("date").alias("d")
+    ).agg(F.sum(q).cast("long").alias("q"))
+    w = Window.partitionBy("l_partkey").orderBy("d")
+    gaps = demand.select(
+        "l_partkey", "q",
+        F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap"),
+    )
+    st = (
+        gaps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_demands"),
+            F.sum("gap").cast("long").alias("gap_sum"),
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum("q").cast("long").alias("q_sum"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q"))
+            .cast("long")
+            .alias("q_sq"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    adi = F.col("gap_sum") / F.col("n_gaps").cast("double")
+    mean_q = F.col("q_sum") / F.col("n_demands").cast("double")
+    cv2 = (F.col("q_sq") / F.col("n_demands").cast("double") - mean_q * mean_q) / (
+        mean_q * mean_q
+    )
+    return st.select(
+        "l_partkey", "n_demands",
+        F.round(adi, 6).alias("adi"),
+        F.round(cv2, 6).alias("cv2"),
+        F.when((adi < 1.32) & (cv2 < 0.49), "smooth")
+        .when((adi >= 1.32) & (cv2 < 0.49), "intermittent")
+        .when(adi < 1.32, "erratic")
+        .otherwise("lumpy")
+        .alias("sbc_class"),
+    )

@@ -5657,3 +5657,80 @@ def emb_hubness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_vecs"), "max_hubness", "frac_hubs_10plus",
         "frac_antihubs", "hubness_concentration",
     )
+
+
+@register(
+    "text_mattr_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, lang,
+             CAST(len(list_distinct(t[k:k+49])) AS BIGINT) AS n_types
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 48)) AS k)
+      WHERE len(t) >= 50
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(n_types) AS BIGINT) AS type_sum
+      FROM wins GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(type_sum) AS BIGINT)
+                 / (50.0 * SUM(n_windows)), 6) AS mattr_50,
+           round(MIN(type_sum / (50.0 * n_windows)), 6) AS min_doc_mattr,
+           round(MAX(type_sum / (50.0 * n_windows)), 6) AS max_doc_mattr
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR (moving-average type-token ratio, window 50) per language:
+    the length-invariant lexical-diversity score — raw TTR collapses as
+    documents grow (text_hapax_ratio and text_heaps_law measure that
+    growth), while averaging distinct-type counts over every 50-token
+    sliding window makes scores comparable across document lengths, the
+    reason corpus-quality pipelines report MATTR.  Window type counts
+    are exact integers; each ratio divides by the pinned 50·windows.
+
+    Scale (100 TB): the window explode is a narrow map (len−49 windows
+    per doc, each counting a bounded 50-token set); per-doc and
+    per-lang rollups combine map-side."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    idx = F.sequence(F.lit(0), n - 50)
+    wins = (
+        toks.filter(n >= 50)
+        .select(
+            "doc_id", "lang",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda k: F.size(F.array_distinct(F.slice("t", k + 1, 50))),
+                )
+            ).alias("n_types_i"),
+        )
+        .select(
+            "doc_id", "lang", F.col("n_types_i").cast("long").alias("n_types")
+        )
+    )
+    per_doc = wins.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("n_types").cast("long").alias("type_sum"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("type_sum").cast("long") / (F.lit(50.0) * F.sum("n_windows")),
+            6,
+        ).alias("mattr_50"),
+        F.round(
+            F.min(F.col("type_sum") / (F.lit(50.0) * F.col("n_windows"))), 6
+        ).alias("min_doc_mattr"),
+        F.round(
+            F.max(F.col("type_sum") / (F.lit(50.0) * F.col("n_windows"))), 6
+        ).alias("max_doc_mattr"),
+    )

@@ -379,7 +379,8 @@ _R4_QUEUE = (
     "agg_repeat_rate_by_first_value", "agg_unit_economics_summary",
     "pii_l_diversity_check", "profile_candidate_keys",
     "sample_pps_systematic", "emb_hubness_topk",
-    "fn_largest_remainder_allocation",
+    "fn_largest_remainder_allocation", "agg_demand_intermittency_sbc",
+    "text_mattr_lexical_diversity",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
