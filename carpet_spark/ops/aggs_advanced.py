@@ -6039,3 +6039,83 @@ def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_candidate_key"
         ),
     )
+
+
+@register(
+    "dq_benford_mad_conformity",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS d1
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT d1, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+      FROM digits GROUP BY d1
+    ),
+    dev AS (
+      SELECT d1,
+             CAST(round(abs(c / CAST(n AS DOUBLE)
+                            - log10(1.0 + 1.0 / d1)), 9)
+                  AS DECIMAL(18,9)) AS ad
+      FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_digits,
+           round(CAST(SUM(ad) AS DOUBLE) / COUNT(*), 6) AS mad,
+           CASE WHEN CAST(SUM(ad) AS DOUBLE) / COUNT(*) < 0.006
+                  THEN 'close_conformity'
+                WHEN CAST(SUM(ad) AS DOUBLE) / COUNT(*) < 0.012
+                  THEN 'acceptable_conformity'
+                WHEN CAST(SUM(ad) AS DOUBLE) / COUNT(*) < 0.015
+                  THEN 'marginally_acceptable'
+                ELSE 'nonconformity' END AS nigrini_class
+    FROM dev
+    """,
+)
+def dq_benford_mad_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford conformity VERDICT via Nigrini's MAD bands: the mean
+    absolute deviation of observed first-digit frequencies from
+    log10(1+1/d), classified against the published thresholds
+    (0.006 / 0.012 / 0.015) — agg_benford_distribution shows the
+    digit table; auditors act on this one number ('nonconformity' =
+    open the forensic review).  First digits come from exact integer
+    cents; per-digit deviations round to 9 dp and sum in DECIMAL so the
+    9-term reduction is order-free; the class CASE compares the same
+    expression in both engines.
+
+    Scale (100 TB): a 9-cell digit histogram (map-side combined) and a
+    constant-size verdict — cost is one scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    digits = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("d1")
+    )
+    obs = digits.groupBy("d1").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    obs = obs.withColumn(
+        "n", F.sum("c").over(Window.partitionBy()).cast("long")
+    )
+    dev = obs.select(
+        F.round(
+            F.abs(
+                F.col("c") / F.col("n").cast("double")
+                - F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d1"))
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("ad")
+    )
+    mad = F.sum("ad").cast("double") / F.count(F.lit(1))
+    return dev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_digits"),
+        F.round(mad, 6).alias("mad"),
+        F.when(mad < 0.006, "close_conformity")
+        .when(mad < 0.012, "acceptable_conformity")
+        .when(mad < 0.015, "marginally_acceptable")
+        .otherwise("nonconformity")
+        .alias("nigrini_class"),
+    )

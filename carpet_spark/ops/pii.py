@@ -1086,3 +1086,75 @@ def pii_l_diversity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exposure_rate_l2"),
         F.min("l_distinct").cast("long").alias("min_l"),
     )
+
+
+@register(
+    "pii_kanon_utility_curve",
+    oracle="""
+    WITH cells AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000) AS INTEGER) AS bal_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM customer
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(group_size) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM cells
+    ),
+    ks AS (SELECT unnest([2, 3, 5, 10]) AS k)
+    SELECT ks.k,
+           CAST(SUM(CASE WHEN c.group_size < ks.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS groups_suppressed,
+           CAST(SUM(CASE WHEN c.group_size < ks.k THEN c.group_size ELSE 0 END)
+                AS BIGINT) AS rows_suppressed,
+           round(CAST(SUM(CASE WHEN c.group_size >= ks.k
+                          THEN c.group_size ELSE 0 END) AS BIGINT)
+                 / CAST(MAX(t.n_rows) AS DOUBLE), 6) AS utility_retained,
+           round(CAST(SUM(CASE WHEN c.group_size >= ks.k THEN 1 ELSE 0 END)
+                      AS BIGINT) / CAST(MAX(t.n_groups) AS DOUBLE), 6)
+             AS group_coverage
+    FROM cells c CROSS JOIN tot t CROSS JOIN ks
+    GROUP BY ks.k
+    """,
+)
+def pii_kanon_utility_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy-utility frontier of small-cell suppression: at each
+    candidate k ∈ {2,3,5,10}, how many quasi-identifier groups and rows
+    would k-anonymity suppression delete and what fraction of the data
+    survives — the curve a privacy officer and an analyst negotiate
+    over BEFORE fixing k (pii_small_cell_suppress applies one k; this
+    op prices all of them).  Exact counts throughout; the k grid is a
+    4-row broadcast cross join.
+
+    Scale (100 TB): one QI-group size aggregate reused across every k —
+    the frontier costs no more than a single suppression pass."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+    tot = cells.agg(
+        F.sum("group_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    ks = c.sparkSession.createDataFrame([(2,), (3,), (5,), (10,)], "k int")
+    j = cells.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ks))
+    small = F.col("group_size") < F.col("k")
+    return j.groupBy("k").agg(
+        F.sum(F.when(small, 1).otherwise(0)).cast("long").alias("groups_suppressed"),
+        F.sum(F.when(small, F.col("group_size")).otherwise(0))
+        .cast("long")
+        .alias("rows_suppressed"),
+        F.round(
+            F.sum(F.when(~small, F.col("group_size")).otherwise(0)).cast("long")
+            / F.max("n_rows").cast("double"),
+            6,
+        ).alias("utility_retained"),
+        F.round(
+            F.sum(F.when(~small, 1).otherwise(0)).cast("long")
+            / F.max("n_groups").cast("double"),
+            6,
+        ).alias("group_coverage"),
+    )

@@ -380,7 +380,8 @@ _R4_QUEUE = (
     "pii_l_diversity_check", "profile_candidate_keys",
     "sample_pps_systematic", "emb_hubness_topk",
     "fn_largest_remainder_allocation", "agg_demand_intermittency_sbc",
-    "text_mattr_lexical_diversity",
+    "text_mattr_lexical_diversity", "dq_benford_mad_conformity",
+    "pii_kanon_utility_curve",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
