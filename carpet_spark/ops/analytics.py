@@ -6430,3 +6430,118 @@ def agg_demand_intermittency_sbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("lumpy")
         .alias("sbc_class"),
     )
+
+
+@register(
+    "ab_interaction_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1
+                       < 8 THEN 1 ELSE 0 END AS exp1,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 31, 1)) - 1
+                       < 8 THEN 1 ELSE 0 END AS exp2,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    cells AS (
+      SELECT exp1, exp2,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM assigned GROUP BY exp1, exp2
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN exp1 = 0 AND exp2 = 0 THEN n END) AS n00,
+             MAX(CASE WHEN exp1 = 0 AND exp2 = 0 THEN conv END) AS c00,
+             MAX(CASE WHEN exp1 = 0 AND exp2 = 1 THEN n END) AS n01,
+             MAX(CASE WHEN exp1 = 0 AND exp2 = 1 THEN conv END) AS c01,
+             MAX(CASE WHEN exp1 = 1 AND exp2 = 0 THEN n END) AS n10,
+             MAX(CASE WHEN exp1 = 1 AND exp2 = 0 THEN conv END) AS c10,
+             MAX(CASE WHEN exp1 = 1 AND exp2 = 1 THEN n END) AS n11,
+             MAX(CASE WHEN exp1 = 1 AND exp2 = 1 THEN conv END) AS c11
+      FROM cells
+    )
+    SELECT n00, c00, n01, c01, n10, c10, n11, c11,
+           round((c11 / CAST(n11 AS DOUBLE) - c10 / CAST(n10 AS DOUBLE))
+                 - (c01 / CAST(n01 AS DOUBLE) - c00 / CAST(n00 AS DOUBLE)), 6)
+             AS interaction_effect,
+           round(((c11 / CAST(n11 AS DOUBLE) - c10 / CAST(n10 AS DOUBLE))
+                  - (c01 / CAST(n01 AS DOUBLE) - c00 / CAST(n00 AS DOUBLE)))
+                 / sqrt(c11 / CAST(n11 AS DOUBLE)
+                        * (1 - c11 / CAST(n11 AS DOUBLE)) / n11
+                        + c10 / CAST(n10 AS DOUBLE)
+                          * (1 - c10 / CAST(n10 AS DOUBLE)) / n10
+                        + c01 / CAST(n01 AS DOUBLE)
+                          * (1 - c01 / CAST(n01 AS DOUBLE)) / n01
+                        + c00 / CAST(n00 AS DOUBLE)
+                          * (1 - c00 / CAST(n00 AS DOUBLE)) / n00), 6)
+             AS interaction_z
+    FROM wide
+    """,
+)
+def ab_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-experiment interaction check: with two overlapping
+    50/50 experiments (independent md5 characters → orthogonal splits),
+    the difference-in-differences of conversion across the 2×2 arm grid
+    estimates the interaction effect, with a four-cell pooled z — the
+    platform guardrail that says whether two teams' experiments can
+    read their results independently or stepped on each other.
+    Conversion uses the top-decile tightening (saturated-outcome trap);
+    all cells are exact counts and the z expression is identical text
+    in both engines.
+
+    Scale (100 TB): one per-user aggregate (both assignments are
+    hash-derived in the same pass) onto a 4-cell grid."""
+    e = load(spark, sf_dir, "events")
+    md5u = F.md5(F.col("user_id").cast("string"))
+    exp1 = F.when(
+        F.conv(F.substring(md5u, 32, 1), 16, 10).cast("long") < 8, 1
+    ).otherwise(0)
+    exp2 = F.when(
+        F.conv(F.substring(md5u, 31, 1), 16, 10).cast("long") < 8, 1
+    ).otherwise(0)
+    assigned = e.groupBy("user_id").agg(
+        F.first(exp1).alias("exp1"),
+        F.first(exp2).alias("exp2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    cells = assigned.groupBy("exp1", "exp2").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+
+    def cell(e1, e2, col):
+        return F.max(
+            F.when((F.col("exp1") == e1) & (F.col("exp2") == e2), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(0, 0, "n").alias("n00"), cell(0, 0, "conv").alias("c00"),
+        cell(0, 1, "n").alias("n01"), cell(0, 1, "conv").alias("c01"),
+        cell(1, 0, "n").alias("n10"), cell(1, 0, "conv").alias("c10"),
+        cell(1, 1, "n").alias("n11"), cell(1, 1, "conv").alias("c11"),
+    )
+
+    def p(c, n):
+        return F.col(c) / F.col(n).cast("double")
+
+    eff = (p("c11", "n11") - p("c10", "n10")) - (p("c01", "n01") - p("c00", "n00"))
+    se = F.sqrt(
+        p("c11", "n11") * (1 - p("c11", "n11")) / F.col("n11")
+        + p("c10", "n10") * (1 - p("c10", "n10")) / F.col("n10")
+        + p("c01", "n01") * (1 - p("c01", "n01")) / F.col("n01")
+        + p("c00", "n00") * (1 - p("c00", "n00")) / F.col("n00")
+    )
+    return wide.select(
+        "n00", "c00", "n01", "c01", "n10", "c10", "n11", "c11",
+        F.round(eff, 6).alias("interaction_effect"),
+        F.round(eff / se, 6).alias("interaction_z"),
+    )

@@ -4384,3 +4384,65 @@ def ts_seasonal_adjustment_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("factor", 6).alias("dow_factor"),
         F.round(F.col("cents") / F.col("factor"), 6).alias("adjusted_cents"),
     )
+
+
+@register(
+    "ts_load_duration_curve",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, d) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    deciles AS (SELECT unnest(range(1, 11)) AS decile)
+    SELECT d.decile,
+           round(d.decile / 10.0, 6) AS exceedance_frac,
+           MAX(r.n) AS n_days,
+           CAST(MAX(CASE WHEN r.rk = GREATEST(1, (d.decile * r.n) // 10)
+                         THEN r.cents END) AS BIGINT) AS load_cents
+    FROM deciles d CROSS JOIN ranked r
+    GROUP BY d.decile
+    """,
+)
+def ts_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve of daily revenue: sort days by load
+    descending and read the level exceeded X% of the time at each
+    decile — the utility-industry curve that sizes capacity ('what load
+    do we exceed only 10% of days') and, on business KPIs, separates
+    baseload from peaks better than a histogram.  Pure rank arithmetic
+    on exact integer cents with a deterministic (load DESC, date)
+    order; the decile index floor-divides identically in both engines.
+
+    Scale (100 TB): ranks on the collapsed |days| axis; for raw-event
+    load curves at scale the exact rank swaps to approx_percentile's
+    sketch, same 10-row output."""
+    daily = _daily_orders(spark, sf_dir)
+    ranked = daily.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.col("cents").desc(), "d"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    deciles = daily.sparkSession.createDataFrame(
+        [(i,) for i in range(1, 11)], "decile int"
+    )
+    j = F.broadcast(deciles).crossJoin(ranked)
+    target = F.greatest(F.lit(1), F.expr("(decile * n) DIV 10"))
+    return (
+        j.withColumn("is_target", F.col("rk") == target)
+        .groupBy("decile")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.max(F.when(F.col("is_target"), F.col("cents")))
+            .cast("long")
+            .alias("load_cents"),
+        )
+        .select(
+            "decile",
+            F.round(F.col("decile") / 10.0, 6).alias("exceedance_frac"),
+            "n_days", "load_cents",
+        )
+    )

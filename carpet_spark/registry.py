@@ -381,7 +381,8 @@ _R4_QUEUE = (
     "sample_pps_systematic", "emb_hubness_topk",
     "fn_largest_remainder_allocation", "agg_demand_intermittency_sbc",
     "text_mattr_lexical_diversity", "dq_benford_mad_conformity",
-    "pii_kanon_utility_curve",
+    "pii_kanon_utility_curve", "ab_interaction_check",
+    "ts_load_duration_curve",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
