@@ -6119,3 +6119,82 @@ def dq_benford_mad_conformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("nonconformity")
         .alias("nigrini_class"),
     )
+
+
+@register(
+    "agg_dso_days_sales_outstanding",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS arr,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 30 + 1 AS INTEGER) AS paid,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    snapd AS (SELECT MAX(arr) AS snap FROM iv),
+    measures AS (
+      SELECT CAST(SUM(CASE WHEN iv.arr <= a.snap AND iv.paid > a.snap
+                           THEN iv.cents ELSE 0 END) AS BIGINT) AS ar_cents,
+             CAST(SUM(CASE WHEN iv.arr > a.snap - 90 AND iv.arr <= a.snap
+                           THEN iv.cents ELSE 0 END) AS BIGINT)
+               AS rev90_cents,
+             CAST(SUM(CASE WHEN iv.arr <= a.snap AND iv.paid > a.snap
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_open
+      FROM iv CROSS JOIN snapd a
+    )
+    SELECT ar_cents, rev90_cents, n_open,
+           round(ar_cents / (rev90_cents / 90.0), 6) AS dso_days,
+           round(ar_cents / CAST(rev90_cents AS DOUBLE), 6)
+             AS ar_to_rev90_ratio
+    FROM measures
+    """,
+)
+def agg_dso_days_sales_outstanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days Sales Outstanding at the latest order date: open receivables
+    (orders arrived but not yet 'paid' — the synthetic duration closes
+    them) divided by the trailing-90-day daily revenue run-rate — the
+    cash-conversion KPI finance tracks weekly (agg_ar_aging_buckets
+    shows WHERE the AR sits; DSO says how many days of sales it
+    represents).  Snapshot, AR, and run-rate all come from one pass of
+    exact integer cents with DATE+int arithmetic; the two ratios are
+    the only float ops.
+
+    Scale (100 TB): a scalar snapshot cross-joined into one
+    map-side-combined conditional rollup."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    iv = o.select(
+        F.col("o_orderdate").cast("date").alias("arr"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 30 + 1).cast("int"),
+        ).alias("paid"),
+        cents.alias("cents"),
+    )
+    asof = iv.agg(F.max("arr").alias("snap"))
+    j = iv.crossJoin(F.broadcast(asof))
+    open_ar = (F.col("arr") <= F.col("snap")) & (F.col("paid") > F.col("snap"))
+    in90 = (F.col("arr") > F.date_sub(F.col("snap"), 90)) & (
+        F.col("arr") <= F.col("snap")
+    )
+    m = j.agg(
+        F.sum(F.when(open_ar, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("ar_cents"),
+        F.sum(F.when(in90, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("rev90_cents"),
+        F.sum(F.when(open_ar, 1).otherwise(0)).cast("long").alias("n_open"),
+    )
+    return m.select(
+        "ar_cents", "rev90_cents", "n_open",
+        F.round(
+            F.col("ar_cents") / (F.col("rev90_cents") / 90.0), 6
+        ).alias("dso_days"),
+        F.round(
+            F.col("ar_cents") / F.col("rev90_cents").cast("double"), 6
+        ).alias("ar_to_rev90_ratio"),
+    )

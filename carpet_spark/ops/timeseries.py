@@ -4446,3 +4446,93 @@ def ts_load_duration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days", "load_cents",
         )
     )
+
+
+@register(
+    "ts_forecaster_bakeoff",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    feats AS (
+      SELECT a.d, a.cents,
+             b.cents AS naive_dow,
+             CAST(SUM(a2.cents) AS BIGINT) AS trail_sum,
+             CAST(COUNT(a2.cents) AS BIGINT) AS trail_n
+      FROM daily a
+      LEFT JOIN daily b ON b.d = a.d - 7
+      LEFT JOIN daily a2 ON a2.d >= a.d - 7 AND a2.d < a.d
+      GROUP BY a.d, a.cents, b.cents
+    ),
+    scored AS (
+      SELECT d, cents, naive_dow,
+             trail_sum / CAST(trail_n AS DOUBLE) AS trail_mean
+      FROM feats
+      WHERE naive_dow IS NOT NULL AND trail_n = 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(abs(cents - naive_dow)) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE) / 100, 6) AS mae_naive_dow,
+           round(CAST(SUM(CAST(round(abs(cents - trail_mean), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) / 100, 6) AS mae_trailing_mean,
+           CASE WHEN CAST(SUM(abs(cents - naive_dow)) AS BIGINT)
+                     * COUNT(*)
+                     < CAST(SUM(CAST(round(abs(cents - trail_mean), 6)
+                                     AS DECIMAL(28,6))) AS DOUBLE)
+                       * COUNT(*)
+                THEN 'naive_dow' ELSE 'trailing_mean' END AS winner
+    FROM scored
+    """,
+)
+def ts_forecaster_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-forecaster bake-off on the daily revenue series:
+    same-weekday naive (value 7 calendar days ago — the WoW-honest
+    baseline) vs trailing-7-day mean, scored by MAE over every day with
+    both forecasts available — the comparison a forecasting team runs
+    BEFORE reaching for models, because a model that can't beat the
+    winning baseline here ships nothing
+    (ts_seasonal_naive_backtest scores one method; this op picks
+    between two).  Naive errors are exact integer cents; trailing-mean
+    errors round to 6 dp and sum in DECIMAL so the reduction is
+    order-free; the winner CASE compares identical expressions.
+
+    Scale (100 TB): calendar self-joins on the collapsed |days| axis;
+    per-series bake-offs add the series key to the joins and rollup."""
+    daily = _daily_orders(spark, sf_dir).select("d", "cents")
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("d").alias("bd"), F.col("cents").alias("naive_dow")
+    )
+    t = daily.select(F.col("d").alias("td"), F.col("cents").alias("tc"))
+    feats = (
+        a.join(b, F.col("bd") == F.date_sub(F.col("a.d"), 7), "left")
+        .join(
+            t,
+            (F.col("td") >= F.date_sub(F.col("a.d"), 7))
+            & (F.col("td") < F.col("a.d")),
+            "left",
+        )
+        .groupBy(F.col("a.d").alias("d"), F.col("a.cents").alias("cents"), "naive_dow")
+        .agg(
+            F.sum("tc").cast("long").alias("trail_sum"),
+            F.count("tc").cast("long").alias("trail_n"),
+        )
+    )
+    scored = feats.filter(
+        F.col("naive_dow").isNotNull() & (F.col("trail_n") == 7)
+    ).select(
+        "cents", "naive_dow",
+        (F.col("trail_sum") / F.col("trail_n").cast("double")).alias("trail_mean"),
+    )
+    nerr = F.sum(F.abs(F.col("cents") - F.col("naive_dow"))).cast("long")
+    terr = F.sum(
+        F.round(F.abs(F.col("cents") - F.col("trail_mean")), 6).cast("decimal(28,6)")
+    ).cast("double")
+    cnt = F.count(F.lit(1))
+    return scored.agg(
+        cnt.cast("long").alias("n_days"),
+        F.round(nerr / cnt.cast("double") / 100, 6).alias("mae_naive_dow"),
+        F.round(terr / cnt / 100, 6).alias("mae_trailing_mean"),
+        F.when(nerr * cnt < terr * cnt, "naive_dow")
+        .otherwise("trailing_mean")
+        .alias("winner"),
+    )

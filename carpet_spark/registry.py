@@ -382,7 +382,8 @@ _R4_QUEUE = (
     "fn_largest_remainder_allocation", "agg_demand_intermittency_sbc",
     "text_mattr_lexical_diversity", "dq_benford_mad_conformity",
     "pii_kanon_utility_curve", "ab_interaction_check",
-    "ts_load_duration_curve",
+    "ts_load_duration_curve", "ts_forecaster_bakeoff",
+    "agg_dso_days_sales_outstanding",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
