@@ -6545,3 +6545,116 @@ def ab_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eff, 6).alias("interaction_effect"),
         F.round(eff / se, 6).alias("interaction_z"),
     )
+
+
+@register(
+    "eval_qini_uplift_curve",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1
+                       < 8 THEN 1 ELSE 0 END AS treated,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS converted,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS score
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT treated, converted,
+             NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+      FROM users
+    ),
+    per AS (
+      SELECT decile,
+             CAST(SUM(treated) AS BIGINT) AS n_t,
+             CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+             CAST(SUM(treated * converted) AS BIGINT) AS conv_t,
+             CAST(SUM((1 - treated) * converted) AS BIGINT) AS conv_c
+      FROM ranked GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile,
+             CAST(SUM(n_t) OVER w AS BIGINT) AS cn_t,
+             CAST(SUM(n_c) OVER w AS BIGINT) AS cn_c,
+             CAST(SUM(conv_t) OVER w AS BIGINT) AS cc_t,
+             CAST(SUM(conv_c) OVER w AS BIGINT) AS cc_c
+      FROM per
+      WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT decile, cn_t, cn_c, cc_t, cc_c,
+           round(cc_t - cc_c * (cn_t / CAST(cn_c AS DOUBLE)), 6) AS qini,
+           round(cc_t / CAST(cn_t AS DOUBLE)
+                 - cc_c / CAST(cn_c AS DOUBLE), 6) AS cum_uplift_rate
+    FROM cum
+    """,
+)
+def eval_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift-model evaluation: users ranked by a
+    targeting score (click volume as the deterministic proxy) into
+    deciles, with the cumulative incremental conversions
+    Qini(k) = conv_T(k) − conv_C(k)·N_T(k)/N_C(k) at each cut — the
+    standard 'did the model target the persuadables' evaluation that
+    plain AUC cannot answer because uplift is a counterfactual quantity
+    (eval_offpolicy_ips values a POLICY; Qini evaluates the RANKING).
+    Treatment is the house md5 split; with a random treatment the curve
+    should hug the diagonal — the null calibration every uplift harness
+    needs before trusting a real model's lift.  All cells are exact
+    counts; NTILE uses the (score DESC, user_id) total order.
+
+    Scale (100 TB): one per-user aggregate, a global NTILE (swap to the
+    distributed quantile-cut pattern past memory), and a 10-row
+    cumulative window."""
+    e = load(spark, sf_dir, "events")
+    treated = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 32, 1), 16, 10)
+        .cast("long")
+        < 8,
+        1,
+    ).otherwise(0)
+    users = e.groupBy("user_id").agg(
+        F.first(treated).alias("treated"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+    )
+    ranked = users.select(
+        "treated", "converted",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "user_id"))
+        .alias("decile"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+        F.sum(F.col("treated") * F.col("converted")).cast("long").alias("conv_t"),
+        F.sum((1 - F.col("treated")) * F.col("converted"))
+        .cast("long")
+        .alias("conv_c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        F.sum("n_t").over(w).cast("long").alias("cn_t"),
+        F.sum("n_c").over(w).cast("long").alias("cn_c"),
+        F.sum("conv_t").over(w).cast("long").alias("cc_t"),
+        F.sum("conv_c").over(w).cast("long").alias("cc_c"),
+    )
+    return cum.select(
+        "decile", "cn_t", "cn_c", "cc_t", "cc_c",
+        F.round(
+            F.col("cc_t") - F.col("cc_c") * (F.col("cn_t") / F.col("cn_c").cast("double")),
+            6,
+        ).alias("qini"),
+        F.round(
+            F.col("cc_t") / F.col("cn_t").cast("double")
+            - F.col("cc_c") / F.col("cn_c").cast("double"),
+            6,
+        ).alias("cum_uplift_rate"),
+    )

@@ -383,7 +383,7 @@ _R4_QUEUE = (
     "text_mattr_lexical_diversity", "dq_benford_mad_conformity",
     "pii_kanon_utility_curve", "ab_interaction_check",
     "ts_load_duration_curve", "ts_forecaster_bakeoff",
-    "agg_dso_days_sales_outstanding",
+    "agg_dso_days_sales_outstanding", "eval_qini_uplift_curve",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
