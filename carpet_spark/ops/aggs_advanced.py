@@ -6198,3 +6198,73 @@ def agg_dso_days_sales_outstanding(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("ar_cents") / F.col("rev90_cents").cast("double"), 6
         ).alias("ar_to_rev90_ratio"),
     )
+
+
+@register(
+    "dq_join_fanout_estimate",
+    oracle="""
+    WITH lk AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+      FROM lineitem GROUP BY 1
+    ),
+    ok AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS co
+      FROM orders GROUP BY 1
+    ),
+    prod AS (
+      SELECT COALESCE(l.k, o.k) AS k,
+             COALESCE(l.cl, 0) AS cl, COALESCE(o.co, 0) AS co,
+             COALESCE(l.cl, 0) * COALESCE(o.co, 0) AS fanout
+      FROM lk l FULL OUTER JOIN ok o ON o.k = l.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(fanout) AS BIGINT) AS est_output_rows,
+           CAST(MAX(fanout) AS BIGINT) AS max_key_fanout,
+           CAST(SUM(CASE WHEN cl = 0 OR co = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dangling_keys,
+           round(CAST(MAX(fanout) AS BIGINT)
+                 / (CAST(SUM(fanout) AS BIGINT)
+                    / CAST(COUNT(*) AS DOUBLE)), 6) AS skew_ratio
+    FROM prod
+    """,
+)
+def dq_join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fanout pre-flight: from per-key counts on both sides of the
+    planned orders⋈lineitem join, the EXACT output size (Σ cl·co), the
+    worst single key's contribution, dangling-key counts, and the skew
+    ratio (max key vs mean) — the guard a pipeline runs before a join
+    that might explode (join_fanout_safe enforces a cap at run time;
+    this op prices the join from metadata-sized histograms first, and a
+    skew_ratio in the tens says 'salt this key', join_salted's cue).
+
+    Scale (100 TB): two map-side-combined key histograms and a key-
+    keyed outer join — the estimate costs two narrow scans, never the
+    join itself."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cl")
+    )
+    ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("co")
+    )
+    prod = lk.join(ok, "k", "full_outer").select(
+        F.coalesce("cl", F.lit(0).cast("long")).alias("cl"),
+        F.coalesce("co", F.lit(0).cast("long")).alias("co"),
+    ).withColumn("fanout", F.col("cl") * F.col("co"))
+    return prod.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("fanout").cast("long").alias("est_output_rows"),
+        F.max("fanout").cast("long").alias("max_key_fanout"),
+        F.sum(F.when((F.col("cl") == 0) | (F.col("co") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dangling_keys"),
+        F.round(
+            F.max("fanout").cast("long")
+            / (
+                F.sum("fanout").cast("long")
+                / F.count(F.lit(1)).cast("double")
+            ),
+            6,
+        ).alias("skew_ratio"),
+    )

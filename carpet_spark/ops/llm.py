@@ -5734,3 +5734,71 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("type_sum") / (F.lit(50.0) * F.col("n_windows"))), 6
         ).alias("max_doc_mattr"),
     )
+
+
+@register(
+    "text_blocklist_screen",
+    oracle="""
+    WITH bl(phrase) AS (
+      VALUES ('slow join'), ('dup dup'), ('error error'),
+             ('spark spark'), ('big table scan')
+    ),
+    hits AS (
+      SELECT b.phrase, d.doc_id, d.source
+      FROM documents d JOIN bl b
+        ON d.text LIKE '%' || b.phrase || '%'
+    ),
+    per_phrase AS (
+      SELECT b.phrase,
+             CAST(COALESCE(COUNT(h.doc_id), 0) AS BIGINT) AS n_docs_hit
+      FROM bl b LEFT JOIN hits h ON h.phrase = b.phrase
+      GROUP BY b.phrase
+    ),
+    summary AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_flagged
+      FROM hits
+    )
+    SELECT p.phrase, p.n_docs_hit, s.docs_flagged,
+           round(p.n_docs_hit
+                 / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6)
+             AS hit_rate
+    FROM per_phrase p CROSS JOIN summary s
+    """,
+)
+def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-safety / policy blocklist screen: phrase-level hit counts
+    and the total flagged-document count for a small blocklist applied
+    as substring containment — the triage report run BEFORE
+    decontaminate_substring-style removal, so the policy owner sees
+    what each phrase actually catches and can tune it (a phrase
+    catching 40% of the corpus is a bad phrase, not a bad corpus).
+    Zero-hit phrases stay in the report (left join from the
+    blocklist) — a phrase that catches nothing is tuning signal too.
+
+    Scale (100 TB): the blocklist broadcasts (it is always tiny) and
+    containment runs as a narrow scan per phrase; for thousands of
+    phrases the Aho-Corasick-style explode+join in
+    decontaminate_ngram is the swap-in."""
+    d = load(spark, sf_dir, "documents")
+    phrases = ["slow join", "dup dup", "error error", "spark spark", "big table scan"]
+    bl = d.sparkSession.createDataFrame([(p,) for p in phrases], "phrase string")
+    hits = d.join(
+        F.broadcast(bl), F.col("text").contains(F.col("phrase"))
+    ).select("phrase", "doc_id")
+    per_phrase = bl.join(hits, "phrase", "left").groupBy("phrase").agg(
+        F.count("doc_id").cast("long").alias("n_docs_hit")
+    )
+    summary = hits.agg(
+        F.countDistinct("doc_id").cast("long").alias("docs_flagged")
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        per_phrase.crossJoin(F.broadcast(summary))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "phrase", "n_docs_hit", "docs_flagged",
+            F.round(
+                F.col("n_docs_hit") / F.col("n_total").cast("double"), 6
+            ).alias("hit_rate"),
+        )
+    )
