@@ -6268,3 +6268,85 @@ def dq_join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "dq_survivorship_bias_probe",
+    oracle="""
+    WITH survivors AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 2001
+    ),
+    per AS (
+      SELECT o.o_custkey,
+             s.o_custkey IS NOT NULL AS survived,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o LEFT JOIN survivors s ON s.o_custkey = o.o_custkey
+      GROUP BY o.o_custkey, s.o_custkey IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN survived THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_survivors,
+           round(CAST(SUM(cents) AS BIGINT)
+                 / CAST(SUM(n_orders) AS DOUBLE) / 100, 6) AS aov_all,
+           round(CAST(SUM(CASE WHEN survived THEN cents ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(CASE WHEN survived THEN n_orders ELSE 0 END)
+                        AS DOUBLE) / 100, 6) AS aov_survivors,
+           round((CAST(SUM(CASE WHEN survived THEN cents ELSE 0 END) AS BIGINT)
+                  / CAST(SUM(CASE WHEN survived THEN n_orders ELSE 0 END)
+                         AS DOUBLE))
+                 / (CAST(SUM(cents) AS BIGINT)
+                    / CAST(SUM(n_orders) AS DOUBLE)) - 1.0, 6)
+             AS survivor_bias_pct
+    FROM per
+    """,
+)
+def dq_survivorship_bias_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-bias probe: average order value computed over ALL
+    customers vs only those still active in the final year — the audit
+    that catches the classic dashboard lie ('our AOV grew!' because the
+    churned cheap customers left the denominator).  The reported bias
+    percentage is exactly the error an analyst inherits by filtering to
+    currently-active accounts.  All sums exact integer cents; three
+    ratios at the end.
+
+    Scale (100 TB): survivor membership is one distinct-key set
+    (broadcast-able), the rollup one customer-keyed aggregate."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    survivors = (
+        o.filter(F.year("o_orderdate") == 2001)
+        .select("o_custkey")
+        .distinct()
+        .withColumn("survived_flag", F.lit(1))
+    )
+    per = (
+        o.join(F.broadcast(survivors), "o_custkey", "left")
+        .groupBy("o_custkey", F.col("survived_flag").isNotNull().alias("survived"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+    )
+    surv_cents = F.sum(F.when(F.col("survived"), F.col("cents")).otherwise(0)).cast(
+        "long"
+    )
+    surv_orders = F.sum(
+        F.when(F.col("survived"), F.col("n_orders")).otherwise(0)
+    ).cast("double")
+    aov_all = F.sum("cents").cast("long") / F.sum("n_orders").cast("double")
+    aov_surv = surv_cents / surv_orders
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("survived"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_survivors"),
+        F.round(aov_all / 100, 6).alias("aov_all"),
+        F.round(aov_surv / 100, 6).alias("aov_survivors"),
+        F.round(aov_surv / aov_all - 1.0, 6).alias("survivor_bias_pct"),
+    )

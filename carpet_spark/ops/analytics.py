@@ -6658,3 +6658,81 @@ def eval_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_uplift_rate"),
     )
+
+
+@register(
+    "ab_mde_current_power",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1
+                       < 8 THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(SUM(converted) AS BIGINT) AS conv,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned
+    )
+    SELECT na, nb,
+           round(conv / CAST(n AS DOUBLE), 6) AS pooled_p,
+           round((1.959964 + 0.841621)
+                 * sqrt(conv / CAST(n AS DOUBLE)
+                        * (1.0 - conv / CAST(n AS DOUBLE))
+                        * (1.0 / na + 1.0 / nb)), 6)
+             AS mde_absolute,
+           round((1.959964 + 0.841621)
+                 * sqrt(conv / CAST(n AS DOUBLE)
+                        * (1.0 - conv / CAST(n AS DOUBLE))
+                        * (1.0 / na + 1.0 / nb))
+                 / (conv / CAST(n AS DOUBLE)), 6) AS mde_relative
+    FROM arms
+    """,
+)
+def ab_mde_current_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at CURRENT sample sizes: given the
+    pooled conversion rate and the arms as they stand, the smallest
+    absolute (and relative) lift detectable at α=0.05 two-sided with
+    80% power — (z₀.₉₇₅+z₀.₈)·√(p(1−p)(1/nₐ+1/n_b)) — the
+    'is this experiment even capable of seeing the effect we care
+    about' answer mid-flight (ab_sample_size_estimate plans BEFORE
+    launch; this op reads the running experiment).  z constants are
+    double literals; counts exact.
+
+    Scale (100 TB): one per-user aggregate onto a one-row summary."""
+    e = load(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 32, 1), 16, 10)
+        .cast("long")
+        < 8,
+        "A",
+    ).otherwise("B")
+    assigned = e.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum("converted").cast("long").alias("conv"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    p = F.col("conv") / F.col("n").cast("double")
+    mde = (F.lit(1.959964) + 0.841621) * F.sqrt(
+        p * (F.lit(1.0) - p) * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    return arms.select(
+        "na", "nb",
+        F.round(p, 6).alias("pooled_p"),
+        F.round(mde, 6).alias("mde_absolute"),
+        F.round(mde / p, 6).alias("mde_relative"),
+    )

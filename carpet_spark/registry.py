@@ -385,6 +385,7 @@ _R4_QUEUE = (
     "ts_load_duration_curve", "ts_forecaster_bakeoff",
     "agg_dso_days_sales_outstanding", "eval_qini_uplift_curve",
     "dq_join_fanout_estimate", "text_blocklist_screen",
+    "dq_survivorship_bias_probe", "ab_mde_current_power",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
