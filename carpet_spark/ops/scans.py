@@ -1479,3 +1479,83 @@ def dq_manifest_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("status"),
     )
+
+
+@register(
+    "scan_delimiter_sniff",
+    oracle="""
+    WITH lines AS (
+      SELECT CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|'
+             || CAST(s_nationkey AS VARCHAR) AS line
+      FROM supplier
+    ),
+    cands(delim) AS (VALUES (','), ('|'), (';'), ('#')),
+    counts AS (
+      SELECT c.delim,
+             CAST(SUM(len(l.line) - len(replace(l.line, c.delim, '')))
+                  AS BIGINT) AS total_hits,
+             CAST(SUM(CASE WHEN l.line LIKE '%' || c.delim || '%'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS lines_with_hits,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lines l CROSS JOIN cands c
+      GROUP BY c.delim
+    )
+    SELECT delim, total_hits, lines_with_hits, n_lines,
+           round(total_hits / CAST(n_lines AS DOUBLE), 6) AS hits_per_line,
+           CASE WHEN ROW_NUMBER() OVER (ORDER BY total_hits DESC, delim) = 1
+                THEN 1 ELSE 0 END AS chosen
+    FROM counts
+    """,
+)
+def scan_delimiter_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter sniffing for schemaless ingestion: write a
+    pipe-delimited supplier extract (integer and name columns only, so
+    the bytes are reproducible), read it back as raw text, and score
+    each candidate delimiter by total occurrences and line coverage —
+    the detector a landing-zone service runs before committing to a
+    parse (scan_csv_permissive handles the rows a WRONG guess mangles;
+    this op makes the right guess).  Scoring over ALL lines, not a
+    head sample, keeps the op order-independent and the hash stable;
+    '|' wins at exactly 2 hits/line with 100% coverage while '#'
+    (inside every supplier name) shows why coverage alone is not
+    enough.
+
+    Scale (100 TB): candidate scoring is a narrow map over lines with a
+    4-row rollup; production sniffs a bounded sample split per file."""
+    out = _sink_path(spark, "sniff_src")
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    (
+        sup.write.mode("overwrite")
+        .option("sep", "|")
+        .option("header", "false")
+        .csv(out)
+    )
+    lines = spark.read.text(out).select(F.col("value").alias("line"))
+    cands = spark.createDataFrame(
+        [(",",), ("|",), (";",), ("#",)], "delim string"
+    )
+    j = lines.crossJoin(F.broadcast(cands))
+    counts = j.groupBy("delim").agg(
+        F.sum(
+            F.length("line")
+            - F.length(F.expr("replace(line, delim, '')"))
+        )
+        .cast("long")
+        .alias("total_hits"),
+        F.sum(F.when(F.expr("contains(line, delim)"), 1).otherwise(0))
+        .cast("long")
+        .alias("lines_with_hits"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.col("total_hits").desc(), "delim")
+    return counts.select(
+        "delim", "total_hits", "lines_with_hits", "n_lines",
+        F.round(
+            F.col("total_hits") / F.col("n_lines").cast("double"), 6
+        ).alias("hits_per_line"),
+        F.when(F.row_number().over(wr) == 1, 1).otherwise(0).alias("chosen"),
+    )

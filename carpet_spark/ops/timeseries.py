@@ -4536,3 +4536,55 @@ def ts_forecaster_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("trailing_mean")
         .alias("winner"),
     )
+
+
+@register(
+    "ts_calendarized_run_rate",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    monthly AS (
+      SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN EXTRACT(dow FROM d) IN (0, 6)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS obs_bdays
+      FROM daily GROUP BY 1
+    )
+    SELECT m, cents, obs_bdays,
+           round(cents / CAST(obs_bdays AS DOUBLE) / 100, 6)
+             AS rev_per_bday,
+           round(cents / CAST(obs_bdays AS DOUBLE) * 21 / 100, 6)
+             AS calendarized_month
+    FROM monthly WHERE obs_bdays > 0
+    """,
+)
+def ts_calendarized_run_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendarized monthly run rate: revenue per OBSERVED business day,
+    scaled to a standard 21-business-day month — the FP&A normalization
+    that makes a 19-business-day February comparable to a 23-day March
+    and a partial current month comparable to closed ones (raw monthly
+    totals conflate demand with calendar; fn_business_days holds the
+    general day-count machinery, Sunday=0 weekend convention here).
+    Revenue stays exact integer cents; two divisions per month.
+
+    Scale (100 TB): rides the daily collapse; the monthly rollup and
+    normalization run on the |months| axis."""
+    daily = _daily_orders(spark, sf_dir)
+    monthly = daily.groupBy(
+        F.date_trunc("month", "d").cast("date").alias("m")
+    ).agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum(
+            F.when((F.dayofweek("d") - 1).isin(0, 6), 0).otherwise(1)
+        )
+        .cast("long")
+        .alias("obs_bdays"),
+    )
+    return monthly.filter(F.col("obs_bdays") > 0).select(
+        "m", "cents", "obs_bdays",
+        F.round(
+            F.col("cents") / F.col("obs_bdays").cast("double") / 100, 6
+        ).alias("rev_per_bday"),
+        F.round(
+            F.col("cents") / F.col("obs_bdays").cast("double") * 21 / 100, 6
+        ).alias("calendarized_month"),
+    )

@@ -386,6 +386,7 @@ _R4_QUEUE = (
     "agg_dso_days_sales_outstanding", "eval_qini_uplift_curve",
     "dq_join_fanout_estimate", "text_blocklist_screen",
     "dq_survivorship_bias_probe", "ab_mde_current_power",
+    "ts_calendarized_run_rate", "scan_delimiter_sniff",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
