@@ -6350,3 +6350,81 @@ def dq_survivorship_bias_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(aov_surv / 100, 6).alias("aov_survivors"),
         F.round(aov_surv / aov_all - 1.0, 6).alias("survivor_bias_pct"),
     )
+
+
+@register(
+    "dq_fx_triangulation_audit",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi
+      FROM orders
+    ),
+    rates AS (
+      -- consistent by construction: r_ac = r_ab * r_bc in exact micro
+      -- units — then every 13th month's direct a->c rate is corrupted
+      -- by +1%, which triangulation must catch
+      SELECT m,
+             CAST(1000000 + (mi % 7) * 10000 AS BIGINT) AS r_ab,
+             CAST(1000000 + (mi % 5) * 20000 AS BIGINT) AS r_bc,
+             CAST(
+               (CAST(1000000 + (mi % 7) * 10000 AS HUGEINT)
+                * (1000000 + (mi % 5) * 20000)) // 1000000
+               * (CASE WHEN mi % 13 = 0 THEN 101 ELSE 100 END) // 100
+               AS BIGINT) AS r_ac
+      FROM months
+    )
+    SELECT m, r_ab, r_bc, r_ac,
+           CAST((CAST(r_ab AS HUGEINT) * r_bc) // 1000000 AS BIGINT)
+             AS r_ac_implied,
+           CAST(r_ac - (CAST(r_ab AS HUGEINT) * r_bc) // 1000000 AS BIGINT)
+             AS drift_micro,
+           CASE WHEN r_ac <> CAST((CAST(r_ab AS HUGEINT) * r_bc) // 1000000
+                                  AS BIGINT)
+                THEN 1 ELSE 0 END AS violation
+    FROM rates
+    """,
+)
+def dq_fx_triangulation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FX cross-rate triangulation audit: for each month, the direct
+    a→c rate must equal a→b × b→c (in exact integer micro-units) — the
+    arbitrage-consistency check every treasury data feed needs, because
+    a stale leg silently mis-converts everything priced through it.
+    The rate table is built consistent by construction and every 13th
+    month's direct rate is corrupted by +1%, so the audit provably
+    CATCHES the injected violations (and only those).  All arithmetic
+    is integer multiply/floor-divide in HUGEINT/decimal — no float in
+    the consistency test.
+
+    Scale (100 TB): the audit runs on the |months| rate grid —
+    metadata-sized regardless of fact volume."""
+    o = load(spark, sf_dir, "orders")
+    months = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+    ).distinct()
+    r_ab = (F.lit(1000000) + (F.col("mi") % 7) * 10000).cast("long")
+    r_bc = (F.lit(1000000) + (F.col("mi") % 5) * 20000).cast("long")
+    rates = months.select(
+        "m",
+        r_ab.alias("r_ab"),
+        r_bc.alias("r_bc"),
+        F.expr(
+            "CAST((CAST(1000000 + (mi % 7) * 10000 AS DECIMAL(38,0))"
+            " * (1000000 + (mi % 5) * 20000)) DIV 1000000"
+            " * (CASE WHEN mi % 13 = 0 THEN 101 ELSE 100 END) DIV 100"
+            " AS LONG)"
+        ).alias("r_ac"),
+    )
+    implied = F.expr(
+        "CAST((CAST(r_ab AS DECIMAL(38,0)) * r_bc) DIV 1000000 AS LONG)"
+    )
+    return rates.select(
+        "m", "r_ab", "r_bc", "r_ac",
+        implied.alias("r_ac_implied"),
+        (F.col("r_ac") - implied).cast("long").alias("drift_micro"),
+        F.when(F.col("r_ac") != implied, 1).otherwise(0).alias("violation"),
+    )

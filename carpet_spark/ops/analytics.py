@@ -6736,3 +6736,78 @@ def ab_mde_current_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 6).alias("mde_absolute"),
         F.round(mde / p, 6).alias("mde_relative"),
     )
+
+
+@register(
+    "ab_bucketing_uniformity",
+    oracle="""
+    WITH users AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    buckets AS (
+      SELECT strpos('0123456789abcdef',
+                    substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1
+               AS bucket
+      FROM users
+    ),
+    counts AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM buckets GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k FROM counts)
+    SELECT t.n AS n_users, t.k AS n_buckets,
+           CAST(MIN(c.c) AS BIGINT) AS min_bucket,
+           CAST(MAX(c.c) AS BIGINT) AS max_bucket,
+           round(CAST(SUM(CAST(round((c.c - t.n / 16.0)
+                                      * (c.c - t.n / 16.0)
+                                      / (t.n / 16.0), 9) AS DECIMAL(18,9)))
+                      AS DOUBLE), 6) AS chi_square,
+           CASE WHEN CAST(SUM(CAST(round((c.c - t.n / 16.0)
+                                         * (c.c - t.n / 16.0)
+                                         / (t.n / 16.0), 9)
+                                   AS DECIMAL(18,9))) AS DOUBLE) > 30.578
+                THEN 'nonuniform' ELSE 'uniform' END AS verdict
+    FROM counts c CROSS JOIN tot t
+    GROUP BY t.n, t.k
+    """,
+)
+def ab_bucketing_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing-uniformity audit of the house md5 assignment: the 16
+    hash buckets behind every hash-split experiment, checked with a
+    chi-square against the uniform expectation (df=15 critical value
+    30.578 at α=0.01) — the root-cause probe to run the moment
+    ab_sample_ratio_mismatch fires, separating 'the hash is fine, the
+    pipeline drops users' from 'the hash itself is skewed' (it never
+    should be, which is exactly why it must be CHECKED, not assumed).
+    Per-bucket chi terms round to 9 dp and sum in DECIMAL; the verdict
+    compares the same sum on both engines.
+
+    Scale (100 TB): one distinct-user pass onto a 16-cell histogram."""
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 32, 1), 16, 10
+    ).cast("long")
+    counts = users.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("k")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    exp = F.col("n") / 16.0
+    term = F.round((F.col("c") - exp) * (F.col("c") - exp) / exp, 9).cast(
+        "decimal(18,9)"
+    )
+    chi = F.sum(term)
+    return j.groupBy("n", "k").agg(
+        F.min("c").cast("long").alias("min_bucket"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.round(chi.cast("double"), 6).alias("chi_square"),
+        F.when(chi.cast("double") > 30.578, "nonuniform")
+        .otherwise("uniform")
+        .alias("verdict"),
+    ).select(
+        F.col("n").alias("n_users"), F.col("k").alias("n_buckets"),
+        "min_bucket", "max_bucket", "chi_square", "verdict",
+    )

@@ -387,6 +387,7 @@ _R4_QUEUE = (
     "dq_join_fanout_estimate", "text_blocklist_screen",
     "dq_survivorship_bias_probe", "ab_mde_current_power",
     "ts_calendarized_run_rate", "scan_delimiter_sniff",
+    "dq_fx_triangulation_audit", "ab_bucketing_uniformity",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
