@@ -5802,3 +5802,85 @@ def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hit_rate"),
         )
     )
+
+
+@register(
+    "eval_langid_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+{_langid_sql_scores()}
+      FROM t
+    ),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM s
+    )
+    SELECT true_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(COUNT(*) AS BIGINT)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY true_lang)
+                        AS DOUBLE), 6) AS row_share,
+           CASE WHEN true_lang = predicted_lang THEN 1 ELSE 0 END AS correct
+    FROM pred GROUP BY true_lang, predicted_lang
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the engine's OWN language-ID heuristic
+    (text_langid's stopword-argmax scorer, reused verbatim) against the
+    labeled lang column: per (true, predicted) counts and row-normalized
+    shares — the eval that tells you WHERE the classifier fails (zh has
+    no stopword list, so it must misroute somewhere — visible here, not
+    in an aggregate accuracy number).  Dogfooding note: evaluating an
+    in-engine operator against labels is the pattern every model op in
+    this registry should support.
+
+    Scale (100 TB): per-row scoring is a narrow map; the matrix is a
+    |langs|² rollup with a row-marginal window."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lang_arrays = {
+        lang: F.array(*[F.lit(w) for w in ws]) for lang, ws in _LANG_WORDS.items()
+    }
+    scores = {
+        lang: F.size(
+            F.filter(toks, (lambda arr: lambda x: F.array_contains(arr, x))(arr))
+        )
+        for lang, arr in lang_arrays.items()
+    }
+    s = d.select(
+        F.col("lang").alias("true_lang"),
+        *[scores[lang].alias(f"s_{lang}") for lang in _LANG_WORDS],
+    )
+    predicted = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr")),
+            "de",
+        )
+        .when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_fr")), "en")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr")
+    )
+    pred = s.select("true_lang", predicted.alias("predicted_lang"))
+    g = pred.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("true_lang")
+    return g.select(
+        "true_lang", "predicted_lang", "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias(
+            "row_share"
+        ),
+        F.when(F.col("true_lang") == F.col("predicted_lang"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )

@@ -388,6 +388,7 @@ _R4_QUEUE = (
     "dq_survivorship_bias_probe", "ab_mde_current_power",
     "ts_calendarized_run_rate", "scan_delimiter_sniff",
     "dq_fx_triangulation_audit", "ab_bucketing_uniformity",
+    "eval_langid_confusion",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
