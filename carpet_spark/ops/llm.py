@@ -5884,3 +5884,71 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("correct"),
     )
+
+
+@register(
+    "emb_mean_pooling_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    tokvec AS (
+      -- deterministic per-token 4-dim integer 'embedding': byte slices
+      -- of md5(token) — the stand-in for a real token-embedding lookup,
+      -- exact in both engines
+      SELECT doc_id,
+             CAST(strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1
+                  AS BIGINT) AS v0,
+             CAST(strpos('0123456789abcdef', substr(md5(w), 9, 1)) - 1
+                  AS BIGINT) AS v1,
+             CAST(strpos('0123456789abcdef', substr(md5(w), 17, 1)) - 1
+                  AS BIGINT) AS v2,
+             CAST(strpos('0123456789abcdef', substr(md5(w), 25, 1)) - 1
+                  AS BIGINT) AS v3
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(v0) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS p0,
+           round(CAST(SUM(v1) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS p1,
+           round(CAST(SUM(v2) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS p2,
+           round(CAST(SUM(v3) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6) AS p3
+    FROM tokvec GROUP BY doc_id
+    """,
+)
+def emb_mean_pooling_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooling plumbing for sentence embeddings: explode a document
+    into tokens, look up each token's vector, and average per dimension
+    — the exact dataflow a sentence-transformer pooling layer runs,
+    with a deterministic md5-derived 4-dim integer token 'embedding'
+    standing in for the real lookup table (same honesty contract as the
+    multimodal decode stubs: the PLUMBING — explode, per-dim sums,
+    count-normalize, map-side combine — is real and hash-verified; the
+    vectors are fakes the container can't avoid).  Swap the tokvec CTE
+    for a broadcast embedding-table join and the op is production
+    mean-pooling.
+
+    Scale (100 TB): explode is a narrow map; per-(doc, dim) sums
+    combine map-side so the shuffle carries |docs|×dims cells."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+
+    def comp(pos):
+        return F.conv(F.substring(F.md5("w"), pos, 1), 16, 10).cast("long")
+
+    tokvec = toks.select(
+        "doc_id",
+        comp(1).alias("v0"), comp(9).alias("v1"),
+        comp(17).alias("v2"), comp(25).alias("v3"),
+    )
+    cnt = F.count(F.lit(1))
+    return tokvec.groupBy("doc_id").agg(
+        cnt.cast("long").alias("n_tokens"),
+        *[
+            F.round(
+                F.sum(f"v{i}").cast("long") / cnt.cast("double"), 6
+            ).alias(f"p{i}")
+            for i in range(4)
+        ],
+    )

@@ -4588,3 +4588,60 @@ def ts_calendarized_run_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents") / F.col("obs_bdays").cast("double") * 21 / 100, 6
         ).alias("calendarized_month"),
     )
+
+
+@register(
+    "ts_peak_dow_shift",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    per AS (
+      SELECT CAST(EXTRACT(year FROM d) AS INTEGER) AS yr,
+             CAST(EXTRACT(dow FROM d) AS INTEGER) AS dow,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM daily GROUP BY 1, 2
+    ),
+    peaks AS (
+      SELECT yr, dow AS peak_dow, cents AS peak_cents,
+             ROW_NUMBER() OVER (PARTITION BY yr
+                                ORDER BY cents DESC, dow) AS rk
+      FROM per
+    )
+    SELECT yr, peak_dow, peak_cents,
+           LAG(peak_dow) OVER (ORDER BY yr) AS prev_peak_dow,
+           CASE WHEN LAG(peak_dow) OVER (ORDER BY yr) IS NULL THEN NULL
+                WHEN LAG(peak_dow) OVER (ORDER BY yr) <> peak_dow THEN 1
+                ELSE 0 END AS peak_shifted
+    FROM peaks WHERE rk = 1
+    """,
+)
+def ts_peak_dow_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-peak migration detector: each year's highest-revenue
+    weekday (deterministic (cents DESC, dow) argmax) compared with the
+    previous year's — a shifted peak is an operational signal (staffing
+    rotas, batch windows, and campaign timing are all anchored to 'our
+    busy day', and nobody notices when it quietly moves).  Exact
+    integer cents; Sunday=0 convention.
+
+    Scale (100 TB): the year×dow grid is at most 7 rows per year; rank
+    and lag run on that grid."""
+    daily = _daily_orders(spark, sf_dir)
+    per = daily.groupBy(
+        F.year("d").alias("yr"), (F.dayofweek("d") - 1).alias("dow")
+    ).agg(F.sum("cents").cast("long").alias("cents"))
+    wr = Window.partitionBy("yr").orderBy(F.col("cents").desc(), "dow")
+    peaks = per.select(
+        "yr",
+        F.col("dow").alias("peak_dow"),
+        F.col("cents").alias("peak_cents"),
+        F.row_number().over(wr).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    wy = Window.orderBy("yr")
+    prev = F.lag("peak_dow").over(wy)
+    return peaks.select(
+        "yr", "peak_dow", "peak_cents",
+        prev.alias("prev_peak_dow"),
+        F.when(prev.isNull(), F.lit(None).cast("int"))
+        .when(prev != F.col("peak_dow"), 1)
+        .otherwise(0)
+        .alias("peak_shifted"),
+    )

@@ -388,7 +388,8 @@ _R4_QUEUE = (
     "dq_survivorship_bias_probe", "ab_mde_current_power",
     "ts_calendarized_run_rate", "scan_delimiter_sniff",
     "dq_fx_triangulation_audit", "ab_bucketing_uniformity",
-    "eval_langid_confusion",
+    "eval_langid_confusion", "emb_mean_pooling_tokens",
+    "ts_peak_dow_shift",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
