@@ -6811,3 +6811,87 @@ def ab_bucketing_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_users"), F.col("k").alias("n_buckets"),
         "min_bucket", "max_bucket", "chi_square", "verdict",
     )
+
+
+@register(
+    "ab_itt_vs_perprotocol",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(user_id AS VARCHAR)), 32, 1)) - 1
+                       < 8 THEN 1 ELSE 0 END AS assigned_treat,
+             CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       >= 13 THEN 1 ELSE 0 END AS engaged,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(assigned_treat) AS BIGINT) AS n_assigned,
+           CAST(SUM(assigned_treat * engaged) AS BIGINT) AS n_exposed,
+           round(CAST(SUM(assigned_treat * engaged) AS BIGINT)
+                 / CAST(SUM(assigned_treat) AS DOUBLE), 6) AS exposure_rate,
+           round(CAST(SUM(assigned_treat * converted) AS BIGINT)
+                 / CAST(SUM(assigned_treat) AS DOUBLE), 6)
+             AS itt_conversion,
+           round(CAST(SUM(assigned_treat * engaged * converted) AS BIGINT)
+                 / CAST(SUM(assigned_treat * engaged) AS DOUBLE), 6)
+             AS perprotocol_conversion,
+           round(CAST(SUM(assigned_treat * converted) AS BIGINT)
+                 / CAST(SUM(assigned_treat) AS DOUBLE)
+                 / (CAST(SUM(assigned_treat * engaged) AS BIGINT)
+                    / CAST(SUM(assigned_treat) AS DOUBLE)), 6)
+             AS late_estimate
+    FROM users
+    """,
+)
+def ab_itt_vs_perprotocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intention-to-treat vs per-protocol readout: assigned-arm
+    conversion (unbiased but diluted by the never-exposed), exposed-only
+    conversion (undiluted but selection-biased), the exposure rate
+    connecting them, and the one-sided-noncompliance LATE estimate
+    (ITT ÷ exposure rate) — the three numbers an experiment review must
+    see TOGETHER, because reading per-protocol alone is the most common
+    way to ship a false win.  Exposure = 13+ clicks (the engagement bar is set above the fixture's
+    mean so ~40% of assigned users genuinely fail it — an any-click
+    definition saturates at 100% and collapses the three estimates);
+    all cells exact counts.
+
+    Scale (100 TB): one per-user aggregate onto a one-row summary."""
+    e = load(spark, sf_dir, "events")
+    treat = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 32, 1), 16, 10)
+        .cast("long")
+        < 8,
+        1,
+    ).otherwise(0)
+    users = e.groupBy("user_id").agg(
+        F.first(treat).alias("assigned_treat"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)) >= 13,
+            1,
+        )
+        .otherwise(0)
+        .alias("engaged"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    at = F.sum("assigned_treat").cast("long")
+    ex = F.sum(F.col("assigned_treat") * F.col("engaged")).cast("long")
+    cv = F.sum(F.col("assigned_treat") * F.col("converted")).cast("long")
+    exv = F.sum(
+        F.col("assigned_treat") * F.col("engaged") * F.col("converted")
+    ).cast("long")
+    itt = cv / at.cast("double")
+    erate = ex / at.cast("double")
+    return users.agg(
+        at.alias("n_assigned"),
+        ex.alias("n_exposed"),
+        F.round(erate, 6).alias("exposure_rate"),
+        F.round(itt, 6).alias("itt_conversion"),
+        F.round(exv / ex.cast("double"), 6).alias("perprotocol_conversion"),
+        F.round(itt / erate, 6).alias("late_estimate"),
+    )

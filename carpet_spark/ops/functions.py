@@ -2253,3 +2253,47 @@ def fn_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFra
         extra.alias("extra_cent"),
         (F.col("floor_alloc") + extra).alias("final_alloc"),
     )
+
+
+@register(
+    "fn_month_boundary_features",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) - 1
+             AS days_from_month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                CAST(date_trunc('month', o_orderdate) AS DATE)
+                + INTERVAL 1 MONTH - INTERVAL 1 DAY) AS INTEGER)
+             AS days_to_month_end,
+           CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                     CAST(date_trunc('month', o_orderdate) AS DATE)
+                     + INTERVAL 1 MONTH - INTERVAL 1 DAY) < 7
+                THEN 1 ELSE 0 END AS is_month_end_week,
+           CASE WHEN EXTRACT(day FROM o_orderdate) <= 7
+                THEN 1 ELSE 0 END AS is_month_start_week
+    FROM orders
+    """,
+)
+def fn_month_boundary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-boundary calendar features: days from month start, days to
+    month end, and start/end-week flags — the payday/close-of-books
+    features every demand and payments model wants (fn_calendar_dim
+    builds the full dimension; these are the four columns a feature
+    pipeline projects inline without a join).  DuckDB's month-end needs
+    the +1 MONTH −1 DAY idiom (its DATE+INTERVAL returns TIMESTAMP —
+    compared as day diffs, not materialized as a date column) while
+    Spark has last_day(); both produce identical integer day counts.
+
+    Scale (100 TB): a pure narrow projection."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    to_end = F.datediff(F.last_day(d), d)
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        (F.dayofmonth(d) - 1).cast("int").alias("days_from_month_start"),
+        to_end.cast("int").alias("days_to_month_end"),
+        F.when(to_end < 7, 1).otherwise(0).alias("is_month_end_week"),
+        F.when(F.dayofmonth(d) <= 7, 1).otherwise(0).alias("is_month_start_week"),
+    )

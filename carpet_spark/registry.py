@@ -389,7 +389,8 @@ _R4_QUEUE = (
     "ts_calendarized_run_rate", "scan_delimiter_sniff",
     "dq_fx_triangulation_audit", "ab_bucketing_uniformity",
     "eval_langid_confusion", "emb_mean_pooling_tokens",
-    "ts_peak_dow_shift",
+    "ts_peak_dow_shift", "fn_month_boundary_features",
+    "ab_itt_vs_perprotocol",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
