@@ -6428,3 +6428,154 @@ def dq_fx_triangulation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_ac") - implied).cast("long").alias("drift_micro"),
         F.when(F.col("r_ac") != implied, 1).otherwise(0).alias("violation"),
     )
+
+
+@register(
+    "agg_month_end_lift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    flagged AS (
+      SELECT d, cents,
+             CASE WHEN date_diff('day', d,
+                       CAST(date_trunc('month', d) AS DATE)
+                       + INTERVAL 1 MONTH - INTERVAL 1 DAY) < 7
+                  THEN 1 ELSE 0 END AS me_week
+      FROM daily
+    )
+    SELECT CAST(SUM(me_week) AS BIGINT) AS n_me_days,
+           CAST(SUM(1 - me_week) AS BIGINT) AS n_other_days,
+           round(CAST(SUM(CASE WHEN me_week = 1 THEN cents ELSE 0 END)
+                      AS BIGINT)
+                 / CAST(SUM(me_week) AS DOUBLE) / 100, 6) AS me_rev_per_day,
+           round(CAST(SUM(CASE WHEN me_week = 0 THEN cents ELSE 0 END)
+                      AS BIGINT)
+                 / CAST(SUM(1 - me_week) AS DOUBLE) / 100, 6)
+             AS other_rev_per_day,
+           round((CAST(SUM(CASE WHEN me_week = 1 THEN cents ELSE 0 END)
+                       AS BIGINT) / CAST(SUM(me_week) AS DOUBLE))
+                 / (CAST(SUM(CASE WHEN me_week = 0 THEN cents ELSE 0 END)
+                         AS BIGINT) / CAST(SUM(1 - me_week) AS DOUBLE))
+                 - 1.0, 6) AS month_end_lift
+    FROM flagged
+    """,
+)
+def agg_month_end_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-end lift: revenue per day in the last week of the month vs
+    all other days, as a single lift percentage — the payday/close-
+    of-quarter effect quantified (fn_month_boundary_features builds the
+    flag; this op prices it), the number a demand planner multiplies
+    into month-end staffing.  Per-day normalization keeps the 7-vs-23
+    day-count asymmetry from faking a lift; exact integer cents with
+    two divisions and one ratio.
+
+    Scale (100 TB): rides the daily collapse; the lift is a one-row
+    conditional rollup."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(cents).cast("long").alias("cents"))
+    me = F.when(F.datediff(F.last_day(F.col("d")), F.col("d")) < 7, 1).otherwise(0)
+    flagged = daily.select("d", "cents", me.alias("me_week"))
+    me_cents = F.sum(F.when(F.col("me_week") == 1, F.col("cents")).otherwise(0)).cast(
+        "long"
+    )
+    ot_cents = F.sum(F.when(F.col("me_week") == 0, F.col("cents")).otherwise(0)).cast(
+        "long"
+    )
+    me_days = F.sum("me_week").cast("double")
+    ot_days = F.sum(1 - F.col("me_week")).cast("double")
+    return flagged.agg(
+        F.sum("me_week").cast("long").alias("n_me_days"),
+        F.sum(1 - F.col("me_week")).cast("long").alias("n_other_days"),
+        F.round(me_cents / me_days / 100, 6).alias("me_rev_per_day"),
+        F.round(ot_cents / ot_days / 100, 6).alias("other_rev_per_day"),
+        F.round((me_cents / me_days) / (ot_cents / ot_days) - 1.0, 6).alias(
+            "month_end_lift"
+        ),
+    )
+
+
+@register(
+    "dq_event_order_audit",
+    oracle="""
+    WITH skewed AS (
+      -- inject client clock skew: every 97th event's timestamp reads 2h
+      -- early — the audit must find exactly the inversions this creates
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 97 = 0 THEN ts - INTERVAL 2 HOUR
+                  ELSE ts END AS ts
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      FROM skewed
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inversions,
+           CAST(COUNT(DISTINCT CASE WHEN prev_ts > ts THEN user_id END)
+                AS BIGINT) AS n_affected_users,
+           round(CAST(SUM(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS inversion_rate,
+           CAST(MAX(CASE WHEN prev_ts > ts
+                    THEN (epoch_us(prev_ts) - epoch_us(ts)) // 1000000 END)
+                AS BIGINT) AS max_skew_seconds
+    FROM seq
+    """,
+)
+def dq_event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-ordering audit: per user, ingestion order (event_id) and
+    event time must agree — inversions mean client clock skew or
+    out-of-order ingestion, and every sessionization and funnel op
+    upstream silently miscounts on them.  The fixture is clean (probed:
+    zero natural inversions), so the audit injects deterministic skew
+    (every 97th event reads 2h early) and must report exactly the
+    inversions that creates, with the affected-user count and worst
+    skew — proving the check catches what it claims to.
+
+    Scale (100 TB): one user-keyed lag window and a global rollup."""
+    e = load(spark, sf_dir, "events")
+    skewed = e.select(
+        "user_id", "event_id",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.col("ts") - F.expr("INTERVAL 2 HOURS"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = skewed.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    inv = F.col("prev_ts") > F.col("ts")
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(inv, 1).otherwise(0)).cast("long").alias("n_inversions"),
+        F.countDistinct(F.when(inv, F.col("user_id")))
+        .cast("long")
+        .alias("n_affected_users"),
+        F.round(
+            F.sum(F.when(inv, 1).otherwise(0)).cast("long")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("inversion_rate"),
+        F.max(
+            F.when(
+                inv,
+                F.expr("(unix_micros(prev_ts) - unix_micros(ts)) DIV 1000000"),
+            )
+        )
+        .cast("long")
+        .alias("max_skew_seconds"),
+    )

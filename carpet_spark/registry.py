@@ -390,7 +390,8 @@ _R4_QUEUE = (
     "dq_fx_triangulation_audit", "ab_bucketing_uniformity",
     "eval_langid_confusion", "emb_mean_pooling_tokens",
     "ts_peak_dow_shift", "fn_month_boundary_features",
-    "ab_itt_vs_perprotocol",
+    "ab_itt_vs_perprotocol", "agg_month_end_lift",
+    "dq_event_order_audit",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
