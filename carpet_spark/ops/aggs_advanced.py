@@ -6579,3 +6579,126 @@ def dq_event_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_skew_seconds"),
     )
+
+
+@register(
+    "agg_discount_response_curve",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN l_discount < 0.005 THEN '0_none'
+                  WHEN l_discount < 0.055 THEN '1_low'
+                  ELSE '2_high' END AS discount_band,
+             CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS net_cents
+      FROM lineitem
+    )
+    SELECT discount_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           round(CAST(SUM(qty) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_qty,
+           round(CAST(SUM(net_cents) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE) / 100, 6) AS avg_net_value,
+           round(CAST(SUM(net_cents) AS BIGINT)
+                 / CAST(SUM(qty) AS DOUBLE) / 100, 6) AS net_per_unit
+    FROM b GROUP BY discount_band
+    """,
+)
+def agg_discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-depth response curve: line volume, average quantity, and
+    net value per unit across none / low / high discount bands — the
+    merchandising table that answers 'does discounting move units or
+    just give margin away' before agg_price_elasticity fits a single
+    elasticity number to it.  Band edges sit at 0.005/0.055 (between
+    the fixture's discrete discount steps, so float representation of
+    0.05 can't straddle a boundary); quantities and net cents are
+    per-row exact integers.
+
+    Scale (100 TB): a 3-band conditional rollup riding one scan."""
+    li = load(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") < 0.005, "0_none")
+        .when(F.col("l_discount") < 0.055, "1_low")
+        .otherwise("2_high")
+    )
+    qty = (F.col("l_quantity") + F.lit(0.5)).cast("long")
+    net = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    b = li.select(band.alias("discount_band"), qty.alias("qty"), net.alias("net_cents"))
+    return b.groupBy("discount_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum("qty").cast("long") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_qty"),
+        F.round(
+            F.sum("net_cents").cast("long") / F.count(F.lit(1)).cast("double") / 100,
+            6,
+        ).alias("avg_net_value"),
+        F.round(
+            F.sum("net_cents").cast("long") / F.sum("qty").cast("double") / 100, 6
+        ).alias("net_per_unit"),
+    )
+
+
+@register(
+    "dq_doc_embedding_coverage",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    e AS (SELECT vec_id FROM embeddings),
+    j AS (
+      SELECT COALESCE(d.doc_id, e.vec_id) AS id,
+             d.doc_id IS NOT NULL AS has_doc,
+             e.vec_id IS NOT NULL AS has_vec
+      FROM d FULL OUTER JOIN e ON e.vec_id = d.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(SUM(CASE WHEN has_doc AND has_vec THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_paired,
+           CAST(SUM(CASE WHEN has_doc AND NOT has_vec THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_missing_vec,
+           CAST(SUM(CASE WHEN has_vec AND NOT has_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS vecs_missing_doc,
+           round(CAST(SUM(CASE WHEN has_doc AND has_vec THEN 1 ELSE 0 END)
+                      AS BIGINT)
+                 / CAST(SUM(CASE WHEN has_doc THEN 1 ELSE 0 END) AS DOUBLE),
+                 6) AS doc_coverage
+    FROM j
+    """,
+)
+def dq_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document↔embedding coverage audit for the retrieval stack: every
+    doc should have a vector (un-embedded docs are silently
+    unsearchable by the dense path — sim_cosine_topk and the hybrid
+    fusion just never return them) and every vector should have a doc
+    (orphan vectors surface retrievals that 404) — the
+    dq_referential_integrity pattern applied to the multimodal pairing
+    (doc_id = vec_id, multimodal_enrich's convention).  Exact counts
+    from one full-outer key join.
+
+    Scale (100 TB): a key-keyed outer join of two id projections —
+    narrow scans, no payloads."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    j = d.join(e, d.doc_id == e.vec_id, "full_outer").select(
+        F.col("doc_id").isNotNull().alias("has_doc"),
+        F.col("vec_id").isNotNull().alias("has_vec"),
+    )
+    paired = F.sum(F.when(F.col("has_doc") & F.col("has_vec"), 1).otherwise(0)).cast(
+        "long"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+        paired.alias("n_paired"),
+        F.sum(F.when(F.col("has_doc") & ~F.col("has_vec"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_missing_vec"),
+        F.sum(F.when(F.col("has_vec") & ~F.col("has_doc"), 1).otherwise(0))
+        .cast("long")
+        .alias("vecs_missing_doc"),
+        F.round(
+            paired
+            / F.sum(F.when(F.col("has_doc"), 1).otherwise(0)).cast("double"),
+            6,
+        ).alias("doc_coverage"),
+    )
