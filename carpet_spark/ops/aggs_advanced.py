@@ -6702,3 +6702,114 @@ def dq_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doc_coverage"),
     )
+
+
+@register(
+    "agg_dormant_skus",
+    oracle="""
+    WITH bounds AS (
+      SELECT MAX(CAST(l_shipdate AS DATE)) AS maxd FROM lineitem
+    ),
+    per AS (
+      SELECT l.l_partkey,
+             MAX(CAST(l.l_shipdate AS DATE)) AS last_ship,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS lifetime_cents
+      FROM lineitem l
+      GROUP BY l.l_partkey
+    )
+    SELECT p.l_partkey, p.last_ship, p.n_lines,
+           CAST(date_diff('day', p.last_ship, b.maxd) AS BIGINT)
+             AS days_dormant,
+           round(p.lifetime_cents / 100.0, 6) AS lifetime_value
+    FROM per p CROSS JOIN bounds b
+    WHERE date_diff('day', p.last_ship, b.maxd) > 365
+    """,
+)
+def agg_dormant_skus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant-SKU report: parts with no shipment in over a year
+    (relative to the data's own horizon, not wall clock — so the report
+    is reproducible), with dormancy age and lifetime value — the
+    write-off / delist candidate list merchandising reviews quarterly
+    (q22_dormant_customers is the demand-side twin; this is supply-
+    side).  Exact day diffs and integer cents.
+
+    Scale (100 TB): one per-part aggregate plus a scalar horizon —
+    the filter prunes to the dormant tail before any reporting."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    per = li.groupBy("l_partkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(cents).cast("long").alias("lifetime_cents"),
+    )
+    bounds = li.agg(F.max(F.col("l_shipdate").cast("date")).alias("maxd"))
+    j = per.crossJoin(F.broadcast(bounds))
+    dorm = F.datediff(F.col("maxd"), F.col("last_ship"))
+    return j.filter(dorm > 365).select(
+        "l_partkey", "last_ship", "n_lines",
+        dorm.cast("long").alias("days_dormant"),
+        F.round(F.col("lifetime_cents") / 100.0, 6).alias("lifetime_value"),
+    )
+
+
+@register(
+    "agg_time_to_nth_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    purch AS (
+      SELECT e.user_id, e.ts,
+             ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS pn
+      FROM events e WHERE e.event_type = 'purchase'
+    ),
+    nth AS (
+      SELECT p.user_id,
+             (epoch_us(p.ts) - epoch_us(f.first_ts)) // 3600000000 AS hrs
+      FROM purch p JOIN firsts f ON f.user_id = p.user_id
+      WHERE p.pn = 5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users_reached,
+           CAST(MIN(hrs) AS BIGINT) AS min_hours,
+           round(quantile_cont(hrs, 0.25), 6) AS p25_hours,
+           round(quantile_cont(hrs, 0.50), 6) AS p50_hours,
+           round(quantile_cont(hrs, 0.75), 6) AS p75_hours,
+           CAST(MAX(hrs) AS BIGINT) AS max_hours
+    FROM nth
+    """,
+)
+def agg_time_to_nth_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Milestone velocity: hours from a user's FIRST event to their FIFTH
+    purchase, summarized as quartiles — the activation metric growth
+    teams target ('get users to 5 purchases in week one') where
+    time-to-FIRST conversion (conversion_lag_stats) misses the habit-
+    formation part of the curve.  Durations are exact integer hours
+    (floor-divided epoch µs, the cross-engine-safe form) so the
+    quartiles interpolate bit-identically.
+
+    Scale (100 TB): first-event timestamps and the purchase rank window
+    both key on user_id; the summary is one bounded aggregate."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.row_number().over(w).alias("pn"))
+        .filter(F.col("pn") == 5)
+    )
+    nth = purch.join(firsts, "user_id").select(
+        F.expr(
+            "(unix_micros(ts) - unix_micros(first_ts)) DIV 3600000000"
+        ).alias("hrs")
+    )
+    return nth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_reached"),
+        F.min("hrs").cast("long").alias("min_hours"),
+        F.round(F.percentile("hrs", 0.25), 6).alias("p25_hours"),
+        F.round(F.percentile("hrs", 0.50), 6).alias("p50_hours"),
+        F.round(F.percentile("hrs", 0.75), 6).alias("p75_hours"),
+        F.max("hrs").cast("long").alias("max_hours"),
+    )
