@@ -6813,3 +6813,80 @@ def agg_time_to_nth_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("hrs", 0.75), 6).alias("p75_hours"),
         F.max("hrs").cast("long").alias("max_hours"),
     )
+
+
+@register(
+    "agg_mixed_discount_baskets",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             CASE WHEN l_discount < 0.005 THEN 0
+                  WHEN l_discount < 0.055 THEN 1
+                  ELSE 2 END AS band,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS net_cents
+      FROM lineitem
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             CAST(COUNT(DISTINCT band) AS BIGINT) AS n_bands,
+             CAST(SUM(net_cents) AS BIGINT) AS net_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lines GROUP BY l_orderkey
+    )
+    SELECT n_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(SUM(net_cents) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE) / 100, 6) AS avg_order_value,
+           round(CAST(SUM(n_lines) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_lines,
+           round(CAST(COUNT(*) AS BIGINT)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS order_share
+    FROM per_order GROUP BY n_bands
+    """,
+)
+def agg_mixed_discount_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-mix composition of baskets: how many distinct discount
+    bands each order combines (full-price only, single-band discounted,
+    or mixed), with order value and size per mix class — the
+    cross-subsidy question ('are discounted lines riding along in
+    otherwise full-price baskets?') that a line-level discount table
+    (agg_discount_response_curve) cannot see because it forgets basket
+    boundaries.  Same band edges as the response curve so the two
+    reports compose; exact integer cents and counts.
+
+    Scale (100 TB): one per-order aggregate (band distinct-count
+    combines map-side), then a 3-row rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_discount") < 0.005, 0)
+        .when(F.col("l_discount") < 0.055, 1)
+        .otherwise(2)
+    )
+    net = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    per_order = li.select(
+        "l_orderkey", band.alias("band"), net.alias("net_cents")
+    ).groupBy("l_orderkey").agg(
+        F.countDistinct("band").cast("long").alias("n_bands"),
+        F.sum("net_cents").cast("long").alias("net_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    g = per_order.groupBy("n_bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum("net_cents").cast("long") / F.count(F.lit(1)).cast("double") / 100,
+            6,
+        ).alias("avg_order_value"),
+        F.round(
+            F.sum("n_lines").cast("long") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_lines"),
+    )
+    tot = Window.partitionBy()
+    return g.select(
+        "n_bands", "n_orders", "avg_order_value", "avg_lines",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(tot).cast("double"), 6
+        ).alias("order_share"),
+    )

@@ -417,3 +417,85 @@ def dq_scd2_interval_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_open"),
     )
+
+
+@register(
+    "dq_cdc_scd2_consistency",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type AS cur_state
+      FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    scd2_open AS (
+      SELECT user_id, event_type AS open_state
+      FROM (
+        SELECT user_id, event_type,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM events
+      ) WHERE valid_to IS NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN l.cur_state = s.open_state THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN l.cur_state <> s.open_state THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree,
+           CAST(COUNT(DISTINCT l.cur_state) AS BIGINT) AS n_states_seen,
+           round(CAST(SUM(CASE WHEN l.cur_state = s.open_state
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS agreement_rate
+    FROM latest l JOIN scd2_open s ON s.user_id = l.user_id
+    """,
+)
+def dq_cdc_scd2_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-derivation reconciliation: the type-1 'latest per key'
+    snapshot (cdc_compact_latest's descending-rank path) must agree
+    with the SCD2 open row (scd2_history's lead-is-null path) on every
+    key — two independently-coded pipelines that answer the same
+    question, which is exactly how real warehouses catch tie-break and
+    boundary bugs (a DESC rank and an ASC lead disagree the moment a
+    tie-break is inconsistent).  Agreement here is the assertion, not
+    a degenerate output: the counts, state cardinality, and rate give
+    the hash structure and the reviewer the context.
+
+    Scale (100 TB): both derivations share the user_id partitioning;
+    the reconciliation is one key-keyed join."""
+    e = load(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        e.select(
+            "user_id", F.col("event_type").alias("cur_state"),
+            F.row_number().over(wd).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scd2_open = (
+        e.select(
+            "user_id", F.col("event_type").alias("open_state"),
+            F.lead("ts").over(wa).alias("valid_to"),
+        )
+        .filter(F.col("valid_to").isNull())
+        .drop("valid_to")
+    )
+    j = latest.join(scd2_open, "user_id")
+    agree = F.col("cur_state") == F.col("open_state")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(agree, 1).otherwise(0)).cast("long").alias("n_agree"),
+        F.sum(F.when(~agree, 1).otherwise(0)).cast("long").alias("n_disagree"),
+        F.countDistinct("cur_state").cast("long").alias("n_states_seen"),
+        F.round(
+            F.sum(F.when(agree, 1).otherwise(0)).cast("long")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("agreement_rate"),
+    )
