@@ -6890,3 +6890,70 @@ def agg_mixed_discount_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders") / F.sum("n_orders").over(tot).cast("double"), 6
         ).alias("order_share"),
     )
+
+
+@register(
+    "agg_return_rate_drivers",
+    oracle="""
+    WITH lines AS (
+      SELECT CASE WHEN l_discount < 0.005 THEN '0_none'
+                  WHEN l_discount < 0.055 THEN '1_low'
+                  ELSE '2_high' END AS discount_band,
+             CASE WHEN l_quantity < 17 THEN '0_small'
+                  WHEN l_quantity < 34 THEN '1_mid'
+                  ELSE '2_large' END AS qty_band,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+      FROM lineitem
+    )
+    SELECT discount_band, qty_band,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(returned) AS BIGINT) AS n_returned,
+           round(CAST(SUM(returned) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS return_rate,
+           round(CAST(SUM(returned) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                 / (CAST(SUM(SUM(returned)) OVER () AS BIGINT)
+                    / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)) - 1.0, 6)
+             AS lift_vs_overall
+    FROM lines GROUP BY discount_band, qty_band
+    """,
+)
+def agg_return_rate_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate driver matrix: the R-flag rate across discount band ×
+    quantity band cells with each cell's lift vs the overall rate — the
+    returns-triage table that says whether deep discounts or bulk lines
+    drive returns (they'd better not: a +20% lift cell is a policy or
+    quality problem with an address).  All counts exact; the lift
+    divides two exact ratios.
+
+    Scale (100 TB): a 9-cell conditional rollup with window totals on
+    the cell grid — one scan."""
+    li = load(spark, sf_dir, "lineitem")
+    dband = (
+        F.when(F.col("l_discount") < 0.005, "0_none")
+        .when(F.col("l_discount") < 0.055, "1_low")
+        .otherwise("2_high")
+    )
+    qband = (
+        F.when(F.col("l_quantity") < 17, "0_small")
+        .when(F.col("l_quantity") < 34, "1_mid")
+        .otherwise("2_large")
+    )
+    lines = li.select(
+        dband.alias("discount_band"), qband.alias("qty_band"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("returned"),
+    )
+    g = lines.groupBy("discount_band", "qty_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("returned").cast("long").alias("n_returned"),
+    )
+    tot = Window.partitionBy()
+    rate = F.col("n_returned") / F.col("n_lines").cast("double")
+    overall = (
+        F.sum("n_returned").over(tot).cast("long")
+        / F.sum("n_lines").over(tot).cast("double")
+    )
+    return g.select(
+        "discount_band", "qty_band", "n_lines", "n_returned",
+        F.round(rate, 6).alias("return_rate"),
+        F.round(rate / overall - 1.0, 6).alias("lift_vs_overall"),
+    )

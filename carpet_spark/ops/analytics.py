@@ -6895,3 +6895,91 @@ def ab_itt_vs_perprotocol(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exv / ex.cast("double"), 6).alias("perprotocol_conversion"),
         F.round(itt / erate, 6).alias("late_estimate"),
     )
+
+
+@register(
+    "agg_cart_abandonment_by_dow",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE THEN 0
+                  ELSE 1 END AS new_session,
+             event_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(EXTRACT(dow FROM MIN(ts)) AS INTEGER) AS dow,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS has_click,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS has_purchase
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT dow,
+           CAST(SUM(has_click) AS BIGINT) AS n_cart_sessions,
+           CAST(SUM(has_click * (1 - has_purchase)) AS BIGINT) AS n_abandoned,
+           round(CAST(SUM(has_click * (1 - has_purchase)) AS BIGINT)
+                 / CAST(SUM(has_click) AS DOUBLE), 6) AS abandonment_rate
+    FROM per_session
+    WHERE has_click = 1
+    GROUP BY dow
+    """,
+)
+def agg_cart_abandonment_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart-abandonment rate by day of week: sessions that clicked (the
+    cart proxy) but never purchased before the 30-minute gap closed the
+    session — the conversion-leak dashboard cut by weekday, where a
+    weekend spike usually means a checkout dependency with weekend-only
+    degradation (agg_bounce_rate counts the no-engagement exits; this op
+    counts the engaged-then-lost ones, the expensive kind).  Sessions
+    reuse ts_sessionize's gaps-and-islands ids; the dow comes from the
+    session's first event; all counts exact, Sunday=0.
+
+    Scale (100 TB): session assembly shares the user_id exchange;
+    the rollup is a 7-row conditional aggregate."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = (
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        <= 1_800_000_000
+    )
+    sess = e.select(
+        "user_id", "ts", "event_type",
+        F.sum(F.when(gap_ok, 0).otherwise(1))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        (F.dayofweek(F.min("ts")) - 1).alias("dow"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    return (
+        per_session.filter(F.col("has_click") == 1)
+        .groupBy("dow")
+        .agg(
+            F.sum("has_click").cast("long").alias("n_cart_sessions"),
+            F.sum(F.col("has_click") * (1 - F.col("has_purchase")))
+            .cast("long")
+            .alias("n_abandoned"),
+            F.round(
+                F.sum(F.col("has_click") * (1 - F.col("has_purchase"))).cast("long")
+                / F.sum("has_click").cast("double"),
+                6,
+            ).alias("abandonment_rate"),
+        )
+    )

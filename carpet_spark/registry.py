@@ -394,7 +394,8 @@ _R4_QUEUE = (
     "dq_event_order_audit", "agg_discount_response_curve",
     "dq_doc_embedding_coverage", "agg_dormant_skus",
     "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
-    "agg_mixed_discount_baskets",
+    "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
+    "agg_return_rate_drivers",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
