@@ -6957,3 +6957,84 @@ def agg_return_rate_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("return_rate"),
         F.round(rate / overall - 1.0, 6).alias("lift_vs_overall"),
     )
+
+
+@register(
+    "agg_supplier_concentration_tiers",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    tops AS (
+      SELECT l_partkey,
+             CAST(SUM(cents) AS BIGINT) AS part_cents,
+             CAST(MAX(cents) AS BIGINT) / CAST(SUM(cents) AS DOUBLE)
+               AS top_share
+      FROM ps GROUP BY l_partkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(top_share, 0.5) AS med,
+             quantile_cont(top_share, 0.75) AS p75
+      FROM tops
+    )
+    SELECT CASE WHEN t.top_share >= c.p75 THEN '2_top_quartile'
+                WHEN t.top_share >= c.med THEN '1_above_median'
+                ELSE '0_below_median' END AS concentration_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(t.part_cents) AS BIGINT) / 100.0, 6)
+             AS value_at_tier,
+           round(CAST(SUM(t.part_cents) AS BIGINT)
+                 / CAST(SUM(SUM(t.part_cents)) OVER () AS DOUBLE), 6)
+             AS value_share
+    FROM tops t CROSS JOIN cuts c
+    GROUP BY concentration_tier
+    """,
+)
+def agg_supplier_concentration_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration tiers: each part's TOP-supplier value share
+    (how much of the part's spend rides on one supplier) tiered against
+    the dataset's own median and 75th percentile — the procurement-risk
+    cut that works at any scale because the tiers are relative (a fixed
+    'single-sourced' class is empty on this many-supplier fixture —
+    probed — and relative concentration is what a buyer actually ranks).
+    Quantile cuts interpolate at binary-exact 0.5/0.75 fractions over
+    identical share doubles; value sums are exact cents.
+
+    Scale (100 TB): one (part, supplier) aggregate, one per-part
+    rollup, a 2-number quantile broadcast, and a 3-row tier summary."""
+    li = load(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    tops = ps.groupBy("l_partkey").agg(
+        F.sum("cents").cast("long").alias("part_cents"),
+        (F.max("cents").cast("long") / F.sum("cents").cast("double")).alias(
+            "top_share"
+        ),
+    )
+    cuts = tops.agg(
+        F.percentile("top_share", 0.5).alias("med"),
+        F.percentile("top_share", 0.75).alias("p75"),
+    )
+    j = tops.crossJoin(F.broadcast(cuts))
+    tier = (
+        F.when(F.col("top_share") >= F.col("p75"), "2_top_quartile")
+        .when(F.col("top_share") >= F.col("med"), "1_above_median")
+        .otherwise("0_below_median")
+    )
+    g = j.groupBy(tier.alias("concentration_tier")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("part_cents").cast("long").alias("cents"),
+    )
+    tot = Window.partitionBy()
+    return g.select(
+        "concentration_tier", "n_parts",
+        F.round(F.col("cents") / 100.0, 6).alias("value_at_tier"),
+        F.round(
+            F.col("cents") / F.sum("cents").over(tot).cast("double"), 6
+        ).alias("value_share"),
+    )

@@ -5952,3 +5952,85 @@ def emb_mean_pooling_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
+
+
+@register(
+    "eval_rec_catalog_coverage",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round({{dot_ab}}
+                   / (sqrt({{dot_aa}}) * sqrt({{dot_bb}})), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0
+    ),
+    topk AS (
+      SELECT qid, nid,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, nid) AS rnk
+      FROM pairs
+    ),
+    ks AS (SELECT unnest([1, 3, 5]) AS k),
+    cat AS (
+      SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_catalog
+      FROM embeddings WHERE vec_id % 5 = 0
+    )
+    SELECT ks.k,
+           CAST(COUNT(DISTINCT CASE WHEN t.rnk <= ks.k THEN t.nid END)
+                AS BIGINT) AS n_recommended,
+           MAX(c.n_catalog) AS n_catalog,
+           round(CAST(COUNT(DISTINCT CASE WHEN t.rnk <= ks.k THEN t.nid END)
+                      AS BIGINT) / CAST(MAX(c.n_catalog) AS DOUBLE), 6)
+             AS catalog_coverage
+    FROM topk t CROSS JOIN ks CROSS JOIN cat c
+    GROUP BY ks.k
+    """.format(
+        dot_ab=_DOT_SQL.format(a="a.embedding", b="b.embedding"),
+        dot_aa=_DOT_SQL.format(a="a.embedding", b="a.embedding"),
+        dot_bb=_DOT_SQL.format(a="b.embedding", b="b.embedding"),
+    ),
+)
+def eval_rec_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage of the similarity recommender: what fraction of
+    the catalog ever appears in ANY top-k neighbor list, at k ∈ {1,3,5}
+    — the aggregate diversity metric that pairs with emb_hubness_topk's
+    per-item view (hubs concentrate recommendations; coverage says how
+    much of the catalog those hubs crowd OUT — low coverage at small k
+    is the filter-bubble smell).  Same deterministic probe subset and
+    round-6 ranking as the hubness op, so the two reports reconcile.
+
+    Scale (100 TB): all-pairs on the probe subset only; production
+    reads the ANN index's neighbor lists (ops/ann.py) instead."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("qid") != F.col("nid")).select(
+        "qid", "nid",
+        F.round(
+            _dot(F.col("ea"), F.col("eb"))
+            / (
+                F.sqrt(_dot(F.col("ea"), F.col("ea")))
+                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+            ),
+            6,
+        ).alias("cos"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nid")
+    topk = pairs.select("qid", "nid", F.row_number().over(wr).alias("rnk"))
+    ks = e.sparkSession.createDataFrame([(1,), (3,), (5,)], "k int")
+    cat = e.agg(F.countDistinct("vec_id").cast("long").alias("n_catalog"))
+    j = topk.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(cat))
+    return j.groupBy("k").agg(
+        F.countDistinct(
+            F.when(F.col("rnk") <= F.col("k"), F.col("nid"))
+        )
+        .cast("long")
+        .alias("n_recommended"),
+        F.max("n_catalog").alias("n_catalog"),
+        F.round(
+            F.countDistinct(F.when(F.col("rnk") <= F.col("k"), F.col("nid")))
+            .cast("long")
+            / F.max("n_catalog").cast("double"),
+            6,
+        ).alias("catalog_coverage"),
+    )

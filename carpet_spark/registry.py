@@ -395,7 +395,8 @@ _R4_QUEUE = (
     "dq_doc_embedding_coverage", "agg_dormant_skus",
     "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
     "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
-    "agg_return_rate_drivers",
+    "agg_return_rate_drivers", "agg_supplier_concentration_tiers",
+    "eval_rec_catalog_coverage",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
