@@ -6983,3 +6983,77 @@ def agg_cart_abandonment_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abandonment_rate"),
         )
     )
+
+
+@register(
+    "ab_days_to_power",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_d,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 90
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    span AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS conv,
+             CAST(date_diff('day', MIN(first_d), MAX(first_d)) + 1 AS BIGINT)
+               AS accrual_days
+      FROM assigned
+    )
+    SELECT n_users, accrual_days,
+           round(n_users / CAST(accrual_days AS DOUBLE), 6)
+             AS users_per_day,
+           round(conv / CAST(n_users AS DOUBLE), 6) AS pooled_p,
+           round(2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                 * (conv / CAST(n_users AS DOUBLE))
+                 * (1.0 - conv / CAST(n_users AS DOUBLE))
+                 / (0.05 * 0.05), 6) AS n_per_arm_needed,
+           round(2.0 * (2.0 * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                 * (conv / CAST(n_users AS DOUBLE))
+                 * (1.0 - conv / CAST(n_users AS DOUBLE))
+                 / (0.05 * 0.05))
+                 / (n_users / CAST(accrual_days AS DOUBLE)), 6)
+             AS days_to_power
+    FROM span
+    """,
+)
+def ab_days_to_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment-duration planning: at the observed user accrual rate
+    and pooled conversion, how many days until the experiment can
+    detect a 5-point absolute lift at 80% power (n per arm =
+    2(z₀.₉₇₅+z₀.₈)²p(1−p)/MDE², doubled for two arms, divided by the
+    accrual rate) — the 'when can we read this' answer that pairs with
+    ab_mde_current_power's 'what can we read NOW' (one inverts the
+    other, so the two ops cross-check).  Accrual spans first-seen
+    dates; all inputs exact counts, z constants double literals.
+
+    Scale (100 TB): one per-user aggregate onto a one-row summary."""
+    e = load(spark, sf_dir, "events")
+    assigned = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("first_d"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    span = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("conv"),
+        (F.datediff(F.max("first_d"), F.min("first_d")) + 1)
+        .cast("long")
+        .alias("accrual_days"),
+    )
+    p = F.col("conv") / F.col("n_users").cast("double")
+    z2 = (F.lit(1.959964) + 0.841621) * (F.lit(1.959964) + 0.841621)
+    n_arm = 2.0 * z2 * p * (F.lit(1.0) - p) / (0.05 * 0.05)
+    rate = F.col("n_users") / F.col("accrual_days").cast("double")
+    return span.select(
+        "n_users", "accrual_days",
+        F.round(rate, 6).alias("users_per_day"),
+        F.round(p, 6).alias("pooled_p"),
+        F.round(n_arm, 6).alias("n_per_arm_needed"),
+        F.round(2.0 * n_arm / rate, 6).alias("days_to_power"),
+    )

@@ -4645,3 +4645,67 @@ def ts_peak_dow_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("peak_shifted"),
     )
+
+
+@register(
+    "ts_event_study_window",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    ev AS (
+      SELECT d AS event_d FROM daily
+      ORDER BY cents DESC, d LIMIT 1
+    ),
+    win AS (
+      SELECT a.d, a.cents,
+             CAST(date_diff('day', e.event_d, a.d) AS INTEGER) AS offset_days
+      FROM daily a CROSS JOIN ev e
+      WHERE date_diff('day', e.event_d, a.d) BETWEEN -30 AND 5
+    ),
+    base AS (
+      SELECT CAST(SUM(cents) AS BIGINT) AS b_cents,
+             CAST(COUNT(*) AS BIGINT) AS b_days
+      FROM win WHERE offset_days BETWEEN -30 AND -6
+    )
+    SELECT w.offset_days, w.cents,
+           round(b.b_cents / CAST(b.b_days AS DOUBLE) / 100, 6)
+             AS baseline_per_day,
+           round(w.cents / (b.b_cents / CAST(b.b_days AS DOUBLE)) - 1.0, 6)
+             AS abnormal_pct
+    FROM win w CROSS JOIN base b
+    WHERE w.offset_days BETWEEN -5 AND 5
+    """,
+)
+def ts_event_study_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study window: daily revenue in the ±5 days around the
+    series' own peak day, expressed as abnormal percentage vs the
+    [-30,-6] pre-event baseline mean — the standard event-study frame
+    (launch, outage, campaign) with the event date chosen
+    deterministically from the data (its maximum-revenue day, ties to
+    the earlier date) so the whole analysis reproduces.  Exact integer
+    cents; the baseline and abnormal ratios are the only float ops.
+
+    Scale (100 TB): the event date is a 1-row top-1; the window and
+    baseline run on the collapsed |days| axis."""
+    daily = _daily_orders(spark, sf_dir)
+    ev = (
+        daily.orderBy(F.col("cents").desc(), "d")
+        .limit(1)
+        .select(F.col("d").alias("event_d"))
+    )
+    win = daily.crossJoin(F.broadcast(ev)).select(
+        "d", "cents",
+        F.datediff(F.col("d"), F.col("event_d")).cast("int").alias("offset_days"),
+    ).filter(F.col("offset_days").between(-30, 5))
+    base = win.filter(F.col("offset_days").between(-30, -6)).agg(
+        F.sum("cents").cast("long").alias("b_cents"),
+        F.count(F.lit(1)).cast("long").alias("b_days"),
+    )
+    j = win.filter(F.col("offset_days").between(-5, 5)).crossJoin(
+        F.broadcast(base)
+    )
+    baseline = F.col("b_cents") / F.col("b_days").cast("double")
+    return j.select(
+        "offset_days", "cents",
+        F.round(baseline / 100, 6).alias("baseline_per_day"),
+        F.round(F.col("cents") / baseline - 1.0, 6).alias("abnormal_pct"),
+    )

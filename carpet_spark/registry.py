@@ -396,7 +396,8 @@ _R4_QUEUE = (
     "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
     "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
     "agg_return_rate_drivers", "agg_supplier_concentration_tiers",
-    "eval_rec_catalog_coverage",
+    "eval_rec_catalog_coverage", "ts_event_study_window",
+    "ab_days_to_power",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
