@@ -4709,3 +4709,97 @@ def ts_event_study_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(baseline / 100, 6).alias("baseline_per_day"),
         F.round(F.col("cents") / baseline - 1.0, 6).alias("abnormal_pct"),
     )
+
+
+@register(
+    "ts_daily_health_score",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s_rev,
+             CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS ss_rev,
+             CAST(SUM(n_orders) AS BIGINT) AS s_cnt,
+             CAST(SUM(CAST(n_orders AS HUGEINT) * n_orders) AS DOUBLE)
+               AS ss_cnt
+      FROM daily
+    ),
+    z AS (
+      SELECT d.d, d.cents, d.n_orders,
+             (d.cents - m.s_rev / CAST(m.n AS DOUBLE))
+             / sqrt(m.ss_rev / m.n - (m.s_rev / CAST(m.n AS DOUBLE))
+                    * (m.s_rev / CAST(m.n AS DOUBLE))) AS z_rev,
+             (d.n_orders - m.s_cnt / CAST(m.n AS DOUBLE))
+             / sqrt(m.ss_cnt / m.n - (m.s_cnt / CAST(m.n AS DOUBLE))
+                    * (m.s_cnt / CAST(m.n AS DOUBLE))) AS z_cnt
+      FROM daily d CROSS JOIN m
+    )
+    SELECT d, cents, n_orders,
+           round(z_rev, 6) AS z_revenue,
+           round(z_cnt, 6) AS z_orders,
+           round(0.6 * z_rev + 0.4 * z_cnt, 6) AS health_score,
+           CASE WHEN 0.6 * z_rev + 0.4 * z_cnt < -2.0 THEN 'critical'
+                WHEN 0.6 * z_rev + 0.4 * z_cnt < -1.0 THEN 'warning'
+                ELSE 'healthy' END AS status
+    FROM z
+    """,
+)
+def ts_daily_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite daily health score: revenue and order-count z-scores
+    (population moments from exact HUGEINT sums) blended 0.6/0.4 into
+    one number with critical/warning/healthy bands — the single-line
+    exec dashboard that fronts the per-metric ops (a day can look fine
+    on revenue while order count collapses — the blend catches the
+    mix).  The blend and band CASE use identical fixed-order
+    expressions in both engines; only the sqrt/divisions are float.
+
+    Scale (100 TB): one daily collapse, a one-row moment aggregate
+    broadcast back, and a narrow scoring projection."""
+    o = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
+    ).cast("long")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(cents).cast("long").alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s_rev"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("double")
+        .alias("ss_rev"),
+        F.sum("n_orders").cast("long").alias("s_cnt"),
+        F.sum(F.col("n_orders").cast("decimal(38,0)") * F.col("n_orders"))
+        .cast("double")
+        .alias("ss_cnt"),
+    )
+    j = daily.crossJoin(F.broadcast(m))
+    mean_rev = F.col("s_rev") / F.col("n").cast("double")
+    mean_cnt = F.col("s_cnt") / F.col("n").cast("double")
+    z_rev = (F.col("cents") - mean_rev) / F.sqrt(
+        F.col("ss_rev") / F.col("n") - mean_rev * mean_rev
+    )
+    z_cnt = (F.col("n_orders") - mean_cnt) / F.sqrt(
+        F.col("ss_cnt") / F.col("n") - mean_cnt * mean_cnt
+    )
+    blend = 0.6 * z_rev + 0.4 * z_cnt
+    return j.select(
+        "d", "cents", "n_orders",
+        F.round(z_rev, 6).alias("z_revenue"),
+        F.round(z_cnt, 6).alias("z_orders"),
+        F.round(blend, 6).alias("health_score"),
+        F.when(blend < -2.0, "critical")
+        .when(blend < -1.0, "warning")
+        .otherwise("healthy")
+        .alias("status"),
+    )

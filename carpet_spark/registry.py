@@ -397,7 +397,7 @@ _R4_QUEUE = (
     "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
     "agg_return_rate_drivers", "agg_supplier_concentration_tiers",
     "eval_rec_catalog_coverage", "ts_event_study_window",
-    "ab_days_to_power",
+    "ab_days_to_power", "ts_daily_health_score",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
