@@ -81,66 +81,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # was audited this round for array/map-typed output columns (none — the
 # driver canonicalizer cannot hash those, SURVEY §7.5).
 _PRIORITY_WINDOW = (
-    # --- r4 leads with the 12 type-class fixes (r03 VERDICT item 1): the 5
-    #     driver-confirmed hash failures, then the 7 latent ops the schema
-    #     sweep flagged — all now cast BIGINT/DOUBLE on the oracle side and
-    #     re-verified green under the driver-faithful pandas harness
-    #     (testing.py compare) at sf0.01 AND sf0.001 ---
-    "fn_cast",
-    "q12_late_priority",
-    "ts_sessionize",
-    "emb_quantize",
-    "text_bpe_tokens",
-    "dedup_span_corpus",
-    "dq_expectations",
-    "fn_lambda",
-    "graph_pagerank",
-    "text_boilerplate_prefix",
-    "ts_decline_streak_alert",
-    "ts_inflight_orders",
     # --- DATE canary (r03 VERDICT item 8): a driver-proven-green DATE op
     #     stays early in every window so a driver-side tightening of
     #     date-vs-timestamp canonicalization is caught immediately ---
     "ts_rollup_multi",
-    # --- continue the r4 queue: llm/trainprep leftovers -> analytics ->
-    #     mutations -> reshape -> sqlsurface -> graph (r02 ordering) ---
-    "agg_hll_merge",
-    "text_token_entropy",
-    "quality_train_score",
-    "pipeline_rag_topk",
-    "funnel_conversion",
-    "retention_cohorts",
-    "ab_welch_ttest",
-    "win_activity_streaks",
-    "basket_pair_counts",
-    "conversion_lag_stats",
-    "emb_norm_stats",
-    "rfm_segments",
-    "feature_quantile_bucketize",
-    "geo_haversine_radius",
-    "geo_cell_join_radius",
-    "dist_cumulative_share",
-    "text_fingerprint",
-    "dedup_apply",
-    "text_repetition",
-    "dedup_keep_best",
-    "dedup_survivorship",
-    "text_quality_score",
-    "merge_upsert",
-    "cdc_compact_latest",
-    "scd2_history",
-    "agg_pivot",
-    "unpivot_melt",
-    "sample_stratified",
-    "sample_seeded",
-    "sql_recursive_cte",
-    "sql_lateral_topn",
-    "sql_pipe_syntax",
-    "sql_udf_registered",
-    "graph_bfs_hops",
-    "sink_partition_prune",
-    "scan_dpp",
-    "scan_schema_evolution",
+    # --- r5 window (r04 VERDICT item 1): the next 49 never-driver-sampled
+    #     ops, promoted from the queue head in order — storage-layout
+    #     sinks/scans, join strategies (AQE skew, bloom, as-of variants),
+    #     window/agg extras, then the fn_* families (struct / interval /
+    #     xml / collation give the driver its first struct- and
+    #     exotic-type-shaped samples).  Each was locally re-verified under
+    #     the driver-faithful pandas harness at sf0.01 AND sf0.001 before
+    #     promotion. ---
+    "sink_sorted_skip",
+    "scan_file_metadata",
+    "scan_binary_files",
+    "sink_jsonl_sharded",
+    "sink_compact_small_files",
+    "sink_csv_quoted_multiline",
+    "sink_dynamic_partition_overwrite",
+    "pii_encrypt_roundtrip",
+    "scan_recursive_dir",
+    "join_skew_aqe",
+    "join_bloom_runtime_filter",
+    "join_range_binned",
+    "join_fuzzy_blocked",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_null_safe_keys",
+    "win_pct_change",
+    "win_time_range",
+    "win_rank_salted",
+    "ts_zscore_outliers",
+    "ts_ewma",
+    "win_running_distinct",
+    "ts_seasonality_dow",
+    "agg_approx_percentile",
+    "agg_mode",
+    "profile_table",
+    "agg_histogram",
+    "agg_bitmap_distinct",
+    "agg_weighted_avg",
+    "profile_key_skew",
+    "pii_noisy_count_laplace",
+    "agg_mad_outliers",
+    "agg_higher_moments",
+    "agg_listagg",
+    "agg_approx_topk",
+    "agg_observe_metrics",
+    "fn_explode",
+    "fn_bitwise",
+    "fn_regex",
+    "fn_fuzzy",
+    "fn_url",
+    "fn_struct",
+    "fn_interval",
+    "fn_xml",
+    "fn_collation",
+    "fn_try_safe",
+    "fn_surrogate_key",
+    "fn_bitpack_key",
 )
 
 # Round-4+ queue (r02 VERDICT item 3): every op without a driver
@@ -155,31 +156,7 @@ _PRIORITY_WINDOW = (
 # promote the first 50 of this queue into _PRIORITY_WINDOW each round —
 # r4 through r7 finish the registry at the current size.
 _R4_QUEUE = (
-    "sink_sorted_skip", "scan_file_metadata",
-    "scan_binary_files", "sink_jsonl_sharded",
-    "sink_compact_small_files", "sink_csv_quoted_multiline",
-    "sink_dynamic_partition_overwrite", "pii_encrypt_roundtrip",
-    "scan_recursive_dir", "join_skew_aqe",
-    "join_bloom_runtime_filter", "join_range_binned",
-    "join_fuzzy_blocked", "join_asof_forward",
-    "join_asof_nearest", "join_asof_tolerance",
-    "join_null_safe_keys", "win_pct_change",
-    "win_time_range", "win_rank_salted",
-    "ts_zscore_outliers", "ts_ewma",
-    "win_running_distinct", "ts_seasonality_dow",
-    "agg_approx_percentile", "agg_mode",
-    "profile_table", "agg_histogram",
-    "agg_bitmap_distinct", "agg_weighted_avg",
-    "profile_key_skew", "pii_noisy_count_laplace",
-    "agg_mad_outliers", "agg_higher_moments",
-    "agg_listagg", "agg_approx_topk",
-    "agg_observe_metrics", "fn_explode",
-    "fn_bitwise", "fn_regex",
-    "fn_fuzzy", "fn_url",
-    "fn_struct", "fn_interval",
-    "fn_xml", "fn_collation",
-    "fn_try_safe", "fn_surrogate_key",
-    "fn_bitpack_key", "topk_per_group",
+    "topk_per_group",
     "udf_pandas_iter", "sim_knn_join_topk",
     "sim_ann_ivf", "emb_pca_project",
     "stream_pretrain_prep", "stream_sink_exactly_once",
@@ -500,7 +477,32 @@ _R03_VERIFIED = frozenset(
 )
 
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED
+# The 50 ops the driver sampled green in round 4 (CORRECTNESS_r04 keys —
+# 47 hash-pass + 3 rows-only by design) — parked at the tail.
+_R04_VERIFIED = frozenset(
+    {
+        "ab_welch_ttest", "agg_hll_merge", "agg_pivot",
+        "basket_pair_counts", "cdc_compact_latest", "conversion_lag_stats",
+        "dedup_apply", "dedup_keep_best", "dedup_span_corpus",
+        "dedup_survivorship", "dist_cumulative_share", "dq_expectations",
+        "emb_norm_stats", "emb_quantize", "feature_quantile_bucketize",
+        "fn_cast", "fn_lambda", "funnel_conversion",
+        "geo_cell_join_radius", "geo_haversine_radius", "graph_bfs_hops",
+        "graph_pagerank", "merge_upsert", "pipeline_rag_topk",
+        "q12_late_priority", "quality_train_score", "retention_cohorts",
+        "rfm_segments", "sample_seeded", "sample_stratified",
+        "scan_dpp", "scan_schema_evolution", "scd2_history",
+        "sink_partition_prune", "sql_lateral_topn", "sql_pipe_syntax",
+        "sql_recursive_cte", "sql_udf_registered", "text_boilerplate_prefix",
+        "text_bpe_tokens", "text_fingerprint", "text_quality_score",
+        "text_repetition", "text_token_entropy", "ts_decline_streak_alert",
+        "ts_inflight_orders", "ts_rollup_multi", "ts_sessionize",
+        "unpivot_melt", "win_activity_streaks",
+    }
+)
+
+
+_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
 
 
 def _ordered_names() -> list[str]:

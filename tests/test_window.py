@@ -29,10 +29,12 @@ ROWS_ONLY_BY_DESIGN = {
     "agg_approx_distinct",
     "stream_dedup_watermark",
     "stream_late_data",
-    # r4 window additions — approximate/RNG/model-backed by nature:
+    # r4 window (rotated out, kept documented) — approximate/RNG/model-backed:
     "agg_hll_merge",        # HLL sketch estimate (property-tested bounds)
     "sample_seeded",        # Spark-internal RNG; determinism ≠ cross-engine
     "quality_train_score",  # MLlib LR scores; no closed-form SQL oracle
+    # r5 window addition:
+    "agg_approx_percentile",  # approx_percentile sketch; property-tested
 }
 
 
