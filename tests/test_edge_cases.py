@@ -411,3 +411,200 @@ def test_arrow_l2_batches_null_and_ragged():
     )
     (out2,) = list(_arrow_l2_batches([rect]))
     assert out2.column("l2_norm").to_pylist() == pytest.approx([5.0, 10.0])
+
+
+# --- r04 VERDICT item 2: third pins for identical-sequence oracles ----------
+#
+# attribution_markov_removal and ts_holt_linear_smoothing verify Spark
+# against a DuckDB oracle that walks the SAME non-trivial recurrence — the
+# SURVEY §5 shared-formula rule (the fn_business_days lesson: both engines
+# once agreed on a wrong formula) requires each to also carry an
+# independent brute-force or invariant pin.
+
+
+def test_markov_attribution_invariants(spark, sf_dir):
+    """Independent pins for the Markov removal-effect recursion:
+
+    1. Flow conservation — for an absorbing chain whose transition
+       probabilities are MLE edge-count ratios, the absorption probability
+       into 'conv' from 'start' equals the EMPIRICAL converter fraction
+       C/U exactly (every visit to a transient state has one outgoing
+       edge, so U·p_start = C by summing p over observed visits).  This
+       identity is a property of the estimator, not of the fixed-point
+       iteration the oracle replays — a genuinely third mechanism.
+    2. Removal monotonicity — redirecting a channel's inbound edges to the
+       absorbing 'null' can only shed conversion mass, so
+       conv_prob_without ≤ base_conv_prob and removal_effect ∈ [0, 1].
+    3. Shares are a normalization: non-negative, sum to 1.
+    """
+    import pyspark.sql.functions as F
+
+    from carpet_spark.ops.analytics import attribution_markov_removal
+    from carpet_spark.tables import load
+
+    rows = attribution_markov_removal(spark, sf_dir).collect()
+    assert len(rows) == 4, rows
+
+    conv = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("int")).alias("c"))
+        .agg(F.sum("c").alias("converters"), F.count(F.lit(1)).alias("users"))
+        .collect()[0]
+    )
+    empirical = conv["converters"] / conv["users"]
+
+    share_sum = 0.0
+    for r in rows:
+        base = r["base_conv_prob"]
+        assert abs(base - empirical) < 1e-3, (base, empirical)
+        assert 0.0 <= r["conv_prob_without"] <= base + 1e-9, r
+        assert -1e-9 <= r["removal_effect"] <= 1.0 + 1e-9, r
+        # removal_effect is definitionally (base - without) / base
+        assert r["removal_effect"] == pytest.approx(
+            (base - r["conv_prob_without"]) / base, abs=2e-6
+        )
+        assert r["attribution_share"] >= -1e-9
+        share_sum += r["attribution_share"]
+    assert abs(share_sum - 1.0) < 1e-5, share_sum
+
+
+def test_holt_matches_hand_computed_series(spark, tmp_path):
+    """Holt level/trend reproduce a hand-computed 5-point series
+    (α=0.3, β=0.1, l₁=x₁, b₁=0) on a purpose-built orders fixture —
+    independent of both the Spark struct fold and the oracle's recursive
+    CTE, which execute the same IEEE sequence and could share a bug."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from carpet_spark.ops.timeseries import ts_holt_linear_smoothing
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0]
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderdate=dt.date(2024, 1, 1) + dt.timedelta(days=i),
+                o_totalprice=v)
+            for i, v in enumerate(vals)
+        ]
+    )
+    fix = str(tmp_path / "holt_fixture")
+    os.makedirs(fix, exist_ok=True)
+    orders.coalesce(1).write.mode("overwrite").parquet(f"{fix}/orders.parquet")
+
+    got = {
+        r["d"].isoformat(): (r["level"], r["trend"], r["forecast_next"])
+        for r in ts_holt_linear_smoothing(spark, fix).collect()
+    }
+    assert len(got) == 5
+
+    # hand recursion (worked to full precision on paper, asserted at 6dp):
+    #   t2: l = .3*12 + .7*10        = 10.6      b = .1*.6       = 0.06
+    #   t3: l = .3*11 + .7*10.66     = 10.762    b = .0162+.054  = 0.0702
+    #   t4: l = .3*15 + .7*10.8322   = 12.08254  b = 0.195234
+    #   t5: l = .3*14 + .7*12.277774 = 12.794442 b = 0.246901
+    hand = {
+        "2024-01-01": (10.0, 0.0),
+        "2024-01-02": (10.6, 0.06),
+        "2024-01-03": (10.762, 0.0702),
+        "2024-01-04": (12.08254, 0.195234),
+        "2024-01-05": (12.794442, 0.246901),
+    }
+    for d, (l_exp, b_exp) in hand.items():
+        l_got, b_got, f_got = got[d]
+        assert l_got == pytest.approx(l_exp, abs=1e-6), (d, l_got, l_exp)
+        assert b_got == pytest.approx(b_exp, abs=1e-6), (d, b_got, b_exp)
+        assert f_got == pytest.approx(l_exp + b_exp, abs=2e-6), (d, f_got)
+
+
+def test_macd_matches_python_replay(spark, sf_dir):
+    """MACD/signal/histogram must match a literal Python replay of the
+    bounded-fold EMA definition over the same daily closes — the Spark
+    expression and the DuckDB oracle fold the identical sequence, so a
+    transcribed-wrong alpha or frame would agree across engines."""
+    from carpet_spark.ops.timeseries import _daily_orders, ts_macd_indicator
+
+    daily = sorted(
+        (r["d"], r["cents"] / 100.0)
+        for r in _daily_orders(spark, sf_dir).collect()
+    )
+    closes = [v for _, v in daily]
+
+    def fold(xs, alpha):
+        a = xs[0]
+        for x in xs[1:]:
+            a = a * (1.0 - alpha) + x * alpha
+        return a
+
+    ema12 = [fold(closes[max(0, i - 59): i + 1], 2.0 / 13.0)
+             for i in range(len(closes))]
+    ema26 = [fold(closes[max(0, i - 59): i + 1], 2.0 / 27.0)
+             for i in range(len(closes))]
+    macd = [a - b for a, b in zip(ema12, ema26)]
+    signal = [fold(macd[max(0, i - 26): i + 1], 0.2)
+              for i in range(len(macd))]
+
+    got = {r["d"]: r for r in ts_macd_indicator(spark, sf_dir).collect()}
+    assert len(got) == len(daily)
+    for (d, close), m, s in zip(daily, macd, signal):
+        r = got[d]
+        assert r["close"] == pytest.approx(close, abs=1e-6)
+        assert r["macd"] == pytest.approx(m, abs=2e-6), (d, r["macd"], m)
+        assert r["signal"] == pytest.approx(s, abs=2e-6)
+        assert r["histogram"] == pytest.approx(m - s, abs=3e-6)
+
+
+def test_adstock_matches_python_replay(spark, sf_dir):
+    """Adstock-vs-raw Pearson must match a Python replay of the λ=0.5
+    carry-over recursion and the closed-form correlation over the same
+    daily series (same shared-formula rationale as the MACD pin); also
+    pins the sanity property |corr| ≤ 1."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from carpet_spark.exprs import lsum
+    from carpet_spark.ops.analytics import agg_adstock_decay_correlation
+    from carpet_spark.tables import load
+
+    daily = sorted(
+        (r["d"], r["clicks"], r["purch"])
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(
+            lsum(
+                F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)
+            ).alias("clicks"),
+            lsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+            ).alias("purch"),
+        )
+        .collect()
+    )
+    adstock, a = [], None
+    for _, clicks, _p in daily:
+        a = clicks if a is None else clicks + 0.5 * a
+        adstock.append(a)
+
+    def q(x):  # micro-unit quantization, matching (x*1e6 + .5).cast("long")
+        return int(x * 1_000_000 + 0.5)
+
+    ax = [q(v) for v in adstock]
+    cx = [q(c) for _, c, _p in daily]
+    py = [q(p) for _, _c, p in daily]
+
+    def pearson(xs, ys):
+        n = len(xs)
+        sx, sy = float(sum(xs)), float(sum(ys))
+        sxy = float(sum(x * y for x, y in zip(xs, ys)))
+        sxx = float(sum(x * x for x in xs))
+        syy = float(sum(y * y for y in ys))
+        return (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+
+    row = agg_adstock_decay_correlation(spark, sf_dir).collect()[0]
+    assert row["n"] == len(daily)
+    assert abs(row["corr_adstock"]) <= 1.0 and abs(row["corr_raw"]) <= 1.0
+    assert row["corr_adstock"] == pytest.approx(pearson(ax, py), abs=2e-6)
+    assert row["corr_raw"] == pytest.approx(pearson(cx, py), abs=2e-6)
