@@ -784,7 +784,13 @@ def scan_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): full-snapshot versions suit dimension-sized tables;
     fact-scale time travel keeps per-version DELTAS and compacts
     (merge_upsert/cdc shapes) — the manifest mechanism is identical.
-    Retention = deleting old version dirs after a vacuum window."""
+    Retention = deleting old version dirs after a vacuum window.
+
+    Limitation: the pointer protocol is SINGLE-WRITER — two concurrent
+    committers race the ``os.replace`` and the last one silently wins
+    (no conflict detection or retry, unlike Delta/Iceberg optimistic
+    commits).  Serialize writers externally, or back this op with a
+    real table format on clusters that have one (USAGE.md)."""
     base = _sink_path(spark, "time_travel")
     manifest = os.path.join(base, "_LATEST")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -1006,7 +1012,12 @@ def sink_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (100 TB): manifest cost is O(files), not rows; the
     row-count cross-check rides parquet footer metadata (a count()
-    over one file reads no data pages)."""
+    over one file reads no data pages).
+
+    Limitation: manifest commit is SINGLE-WRITER — concurrent
+    publishers to the same target last-write-win the manifest swap
+    with no conflict detection; serialize writers externally or use a
+    real table format (USAGE.md)."""
     import json as _json
     import os as _os
 

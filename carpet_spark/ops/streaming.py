@@ -824,7 +824,12 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Old versions are retained (time travel / vacuum policy out of
     scope).  Determinism: the (ts DESC, event_id DESC) tie-break makes
     the final table independent of batch boundaries — the batch oracle
-    is the proof."""
+    is the proof.
+
+    Limitation: the manifest pointer is SINGLE-WRITER — safe here
+    because one streaming query owns the target (Spark's own
+    checkpoint lock enforces that), but two independent writers to
+    one target would race the swap last-write-wins (USAGE.md)."""
     target = os.path.join(
         tempfile.gettempdir(),
         f"upsert_target_{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}",
