@@ -272,9 +272,104 @@ _ALLOWED_CROSS = {
 }
 
 
+def _split_top(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 (``<>``/``()``/``[]`` aware)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+def _spark_children(t: str) -> dict[str, str] | None:
+    """Element/field types of a Spark ``simpleString`` container type.
+
+    ``array<e>`` → {"[]": e}; ``map<k,v>`` → {".key": k, ".value": v};
+    ``struct<a:ta,b:tb>`` → {"a": ta, ...}.  None for scalars.
+    """
+    t = t.strip()
+    low = t.lower()
+    if low.startswith("array<") and t.endswith(">"):
+        return {"[]": t[6:-1]}
+    if low.startswith("map<") and t.endswith(">"):
+        k, v = _split_top(t[4:-1])
+        return {".key": k, ".value": v}
+    if low.startswith("struct<") and t.endswith(">"):
+        out = {}
+        for field in _split_top(t[7:-1]):
+            name, _, ftype = field.partition(":")
+            out[name.strip().lower()] = ftype.strip()
+        return out
+    return None
+
+
+def _duck_children(t: str) -> dict[str, str] | None:
+    """Element/field types of a DuckDB ``DESCRIBE`` container type.
+
+    ``E[]`` → {"[]": E}; ``MAP(K, V)`` → {".key": K, ".value": V};
+    ``STRUCT(a TA, b TB)`` → {"a": TA, ...}.  None for scalars.
+    """
+    t = t.strip()
+    up = t.upper()
+    if up.endswith("[]"):
+        return {"[]": t[:-2]}
+    if up.startswith("MAP(") and t.endswith(")"):
+        k, v = _split_top(t[4:-1])
+        return {".key": k, ".value": v}
+    if up.startswith("STRUCT(") and t.endswith(")"):
+        out = {}
+        for field in _split_top(t[7:-1]):
+            field = field.strip()
+            if field.startswith('"'):
+                close = field.index('"', 1)
+                name, ftype = field[1:close], field[close + 1:]
+            else:
+                name, _, ftype = field.partition(" ")
+            out[name.strip().lower()] = ftype.strip()
+        return out
+    return None
+
+
+def _category_issues(prefix: str, s_type: str, d_type: str) -> list[str]:
+    """Category mismatches for one column, recursing into LIST/STRUCT/MAP
+    element types (r04 VERDICT item 6: a list<int> vs DOUBLE[] pair is a
+    driver hash-fail the flat categories cannot see)."""
+    sc, dc = _spark_category(s_type), _duck_category(d_type)
+    if "NULL" in (sc, dc) or (sc, dc) in _ALLOWED_CROSS:
+        return []
+    if sc != dc:
+        return [f"{prefix}: spark {sc}({s_type}) vs duck {dc}({d_type})"]
+    s_kids, d_kids = _spark_children(s_type), _duck_children(d_type)
+    if not s_kids or not d_kids:
+        return []
+    issues = []
+    for key in sorted(set(s_kids) | set(d_kids)):
+        if key not in s_kids or key not in d_kids:
+            issues.append(
+                f"{prefix}.{key}: field missing on one side "
+                f"(spark={key in s_kids})"
+            )
+            continue
+        issues.extend(
+            _category_issues(f"{prefix}.{key}" if key != "[]" else f"{prefix}[]",
+                             s_kids[key], d_kids[key])
+        )
+    return issues
+
+
 def type_align_issues(spark_df, con, sql: str) -> list[str]:
     """Return a list of ``col: spark_cat(type) vs duck_cat(type)`` strings
-    for every output column whose post-pandas category mismatches.
+    for every output column whose post-pandas category mismatches —
+    including element/field types inside arrays, structs, and maps.
     Schema-only: builds the Spark plan and runs DuckDB DESCRIBE, no data.
     """
     s_types = {f.name.lower(): f.dataType.simpleString() for f in spark_df.schema.fields}
@@ -287,8 +382,5 @@ def type_align_issues(spark_df, con, sql: str) -> list[str]:
         if col not in s_types or col not in d_types:
             issues.append(f"{col}: missing on one side (spark={col in s_types})")
             continue
-        sc, dc = _spark_category(s_types[col]), _duck_category(d_types[col])
-        if sc == dc or "NULL" in (sc, dc) or (sc, dc) in _ALLOWED_CROSS:
-            continue
-        issues.append(f"{col}: spark {sc}({s_types[col]}) vs duck {dc}({d_types[col]})")
+        issues.extend(_category_issues(col, s_types[col], d_types[col]))
     return issues

@@ -37,3 +37,51 @@ def test_registry_type_alignment(spark):
         f"{len(flagged)} ops with driver-hash-fatal type misalignment "
         f"(cast the oracle side, usually SUM→BIGINT): {flagged}"
     )
+
+
+def test_nested_element_type_mismatch_is_caught(spark):
+    """r04 VERDICT item 6 seeded fixture: list<int> vs DOUBLE[] must flag
+    — pandas materializes both as object-dtype lists of int vs float, so
+    the driver hash diverges even though the flat category is LIST on
+    both sides.  Likewise a struct field and a map value."""
+    import duckdb
+
+    con = duckdb.connect()
+    df = spark.range(1).selectExpr(
+        "array(1, 2) AS xs",
+        "named_struct('a', 1, 'b', 2.0) AS st",
+        "map('k', 1) AS mp",
+    )
+    issues = type_align_issues(
+        df,
+        con,
+        "SELECT [1.0, 2.0] AS xs,"
+        " {'a': 1.0, 'b': 2.0} AS st,"
+        " MAP(['k'], [1.5]) AS mp",
+    )
+    con.close()
+    assert any(i.startswith("xs[]") and "INT" in i and "FLT" in i for i in issues), issues
+    assert any(i.startswith("st.a") for i in issues), issues
+    assert any(i.startswith("mp..value") for i in issues), issues
+
+
+def test_nested_matching_types_stay_clean(spark):
+    """The recursion must not false-positive on aligned nested types,
+    including the benign DATE-in-list case and nested containers."""
+    import duckdb
+
+    con = duckdb.connect()
+    df = spark.range(1).selectExpr(
+        "array(cast(1.5 as double), cast(2.5 as double)) AS xs",
+        "named_struct('a', 1, 'b', array('x')) AS st",
+        "map('k', 1) AS mp",
+    )
+    issues = type_align_issues(
+        df,
+        con,
+        "SELECT [1.5, 2.5] AS xs,"
+        " {'a': 1, 'b': ['x']} AS st,"
+        " MAP(['k'], [1]) AS mp",
+    )
+    con.close()
+    assert issues == [], issues
