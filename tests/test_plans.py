@@ -625,3 +625,69 @@ def test_indicator_ops_collapse_before_windows(spark, sf_dir):
         # formatted explain prints top-down, so the Window must appear
         # ABOVE the daily-collapse aggregate (i.e. aggregate is its child)
         assert plan.index("Window") < plan.index("HashAggregate"), name
+
+
+# --- r04 VERDICT item 7: plan pins for the heaviest round-4 shapes ----------
+#
+# The retrieval stack (BM25, fusions, RAG packing), the match waterfall, and
+# SCD2 batch-apply all run joins over full-width documents/orders inputs —
+# exactly the shapes where a silent SortMergeJoin or cartesian regression is
+# invisible at sf0.01 and fatal at 100 TB.  The only nested-loop joins
+# allowed are 1-row scalar binds (corpus stats / normalization bounds),
+# which broadcast a single row and are scale-free.
+
+
+def test_bm25_topk_scalar_bind_and_take_ordered(spark, sf_dir):
+    plan = explain_str(REGISTRY["text_bm25_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan       # top-k never full-sorts
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # corpus-stats bind: ONE nested-loop join, broadcasting one row
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_rrf_fusion_is_join_free(spark, sf_dir):
+    """RRF fuses two rankings computed from the same scored base via
+    windows — no join, no cartesian, bounded exchanges."""
+    plan = explain_str(REGISTRY["sim_rrf_fusion"].fn(spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct", "ShuffledHashJoin"):
+        assert node not in plan, node
+    assert plan.count("Exchange") <= 4
+
+
+def test_hybrid_fusion_broadcast_only(spark, sf_dir):
+    plan = explain_str(REGISTRY["sim_hybrid_weighted_fusion"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # scalar binds only (corpus stats + min/max normalization bounds)
+    assert plan.count("BroadcastNestedLoopJoin") <= 10
+
+
+def test_rag_context_pack_no_wide_join(spark, sf_dir):
+    plan = explain_str(REGISTRY["pipeline_rag_context_pack"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_match_waterfall_equi_joins_only(spark, sf_dir):
+    """Every waterfall rung (and its consumed-set anti-join) is an
+    EQUI-key join — hash or sort-merge as the sides' sizes dictate
+    (both sides are entity-table-scale, so SMJ is legitimate at sf0.01+)
+    — and never a nested loop or cross product regardless of rung
+    count."""
+    plan = explain_str(REGISTRY["join_match_waterfall"].fn(spark, sf_dir))
+    assert "Join" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_apply_batch_equi_joins_only(spark, sf_dir):
+    plan = explain_str(REGISTRY["cdc_scd2_apply_batch"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
