@@ -6034,3 +6034,89 @@ def eval_rec_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("catalog_coverage"),
     )
+
+
+@register(
+    "text_watermark_greenlist_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(t) - 1 AS BIGINT) AS n_pairs,
+             CAST(len(list_filter(
+               list_transform(range(1, len(t)),
+                 i -> substring(md5(t[i] || '|' || t[i + 1]), 1, 1)),
+               h -> h <= '7')) AS BIGINT) AS n_green
+      FROM toks WHERE len(t) >= 21
+    )
+    SELECT doc_id, n_pairs, n_green,
+           round(n_green / CAST(n_pairs AS DOUBLE), 6) AS green_frac,
+           round((n_green / CAST(n_pairs AS DOUBLE) - 0.5)
+                 * sqrt(CAST(n_pairs AS DOUBLE)) / 0.5, 6) AS z_score,
+           CASE WHEN (n_green / CAST(n_pairs AS DOUBLE) - 0.5)
+                     * sqrt(CAST(n_pairs AS DOUBLE)) / 0.5 > 2.0
+                THEN 1 ELSE 0 END AS is_suspect
+    FROM scored
+    """,
+)
+def text_watermark_greenlist_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenlist watermark detection (Kirchenbauer-style, public
+    algorithm): a watermarking LLM biases each token toward a 'green
+    list' seeded by the previous token, so watermarked text shows a
+    green-token fraction significantly above the ½ a human corpus
+    produces.  Per document: hash every adjacent token pair
+    (md5(prev|next), first hex nibble < 8 → green — a keyless ½-rate
+    stand-in for the published seeded PRF), the green fraction, its
+    one-sided z-score against the null Binomial(n_pairs, ½), and the
+    z > 2 suspect flag (~2.3% false-positive rate on clean text, so
+    both branches populate on a human corpus).  Docs with <20 pairs
+    are withheld — the z-test is meaningless there.  This is the
+    screening pass a training-data pipeline runs to keep synthetic
+    (watermarked) model output from feeding back into pretraining.
+
+    Engine parity: md5 hex is identical in both engines; counts are
+    exact integers, and the z expression computes on the same doubles
+    in the same order.  The pair walk guards the Spark descending-
+    sequence trap (n<2 never reaches F.sequence: the length filter
+    runs first, and the sequence end is clamped).
+
+    Scale (100 TB): stateless narrow map over documents — no shuffle,
+    no join; the per-doc token walk is O(tokens) inside one JVM
+    higher-order-function chain (never a Python UDF).  A real seeded
+    watermark key swaps the md5 expression only."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    with_n = d.select("doc_id", toks.alias("t"), F.size(toks).alias("n_toks"))
+    eligible = with_n.filter(F.col("n_toks") >= 21)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("n_toks") - 1, F.lit(1))),
+        lambda i: F.substring(
+            F.md5(
+                F.concat(
+                    F.element_at(F.col("t"), i),
+                    F.lit("|"),
+                    F.element_at(F.col("t"), i + F.lit(1)),
+                )
+            ),
+            1,
+            1,
+        ),
+    )
+    scored = eligible.select(
+        "doc_id",
+        (F.col("n_toks") - 1).cast("long").alias("n_pairs"),
+        F.size(F.filter(hashes, lambda h: h <= F.lit("7")))
+        .cast("long")
+        .alias("n_green"),
+    )
+    frac = F.col("n_green") / F.col("n_pairs").cast("double")
+    z = (frac - 0.5) * F.sqrt(F.col("n_pairs").cast("double")) / 0.5
+    return scored.select(
+        "doc_id", "n_pairs", "n_green",
+        F.round(frac, 6).alias("green_frac"),
+        F.round(z, 6).alias("z_score"),
+        F.when(z > 2.0, 1).otherwise(0).alias("is_suspect"),
+    )

@@ -4803,3 +4803,123 @@ def ts_daily_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("healthy")
         .alias("status"),
     )
+
+
+@register(
+    "ts_ar1_forecast_backtest",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    lagged AS (
+      SELECT d, cents AS y,
+             LAG(cents) OVER (ORDER BY d) AS x
+      FROM daily
+    ),
+    pairs AS (SELECT y, x FROM lagged WHERE x IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx
+      FROM pairs
+    ),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM s
+    ),
+    err AS (
+      SELECT f.n, f.a, f.b,
+             CAST(SUM(CAST(FLOOR(ABS(p.y - (f.a + f.b * p.x)) * 10000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS ar1_abs_q,
+             CAST(SUM(ABS(p.y - p.x)) AS BIGINT) AS naive_abs_c
+      FROM pairs p CROSS JOIN fit f
+      GROUP BY f.n, f.a, f.b
+    )
+    SELECT n AS n_pairs,
+           round(b, 6) AS phi,
+           round(a / 100.0, 6) AS intercept_dollars,
+           round(ar1_abs_q / 10000.0 / n / 100.0, 6) AS mae_ar1,
+           round(naive_abs_c / CAST(n AS DOUBLE) / 100.0, 6) AS mae_naive,
+           CASE WHEN ar1_abs_q / 10000.0 < CAST(naive_abs_c AS DOUBLE)
+                THEN 'ar1' ELSE 'naive' END AS winner
+    FROM err
+    """,
+)
+def ts_ar1_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) one-step forecast backtest on the daily revenue series: fit
+    y_t = a + φ·y_{t-1} by OLS over all consecutive-observation pairs,
+    then score the fitted forecast's MAE against the naive carry-forward
+    (y_t ≈ y_{t-1}) — the first autoregressive rung above
+    ts_forecaster_bakeoff's model-free baselines, and the honest check
+    that fitting φ actually beats persistence before anyone ships an AR
+    model.  φ≈1 recovers the naive forecaster; φ<1 pulls toward the
+    mean (the intercept absorbs it).
+
+    Engine parity: the OLS moments are exact HUGEINT/decimal(38,0)
+    cross-products of integer cents (int64 would overflow — the
+    fixed-point cross-product trap), converted to double only inside
+    the closed-form slope/intercept, which is textually identical on
+    both sides.  AR1 errors quantize at 1e4 per cent via FLOOR(x+0.5)
+    (DuckDB CAST rounds where Spark truncates — the documented
+    binning trap); naive errors are exact integer cents.
+
+    Scale (100 TB): the fact table collapses map-side to the |days|
+    axis; one window lag, one aggregate, and a 1-row broadcast bind
+    for the fit — the same scalar-bind shape as text_bm25_topk.
+    Per-series AR(1) adds the series key to the window, the moment
+    groupBy, and the bind join."""
+    daily = _daily_orders(spark, sf_dir)
+    wlag = Window.orderBy("d")
+    lagged = daily.select(
+        F.col("cents").alias("y"), F.lag("cents").over(wlag).alias("x")
+    )
+    pairs = lagged.filter(F.col("x").isNotNull())
+
+    def wide(col):
+        return F.col(col).cast("decimal(38,0)")
+
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").cast("double").alias("sx"),
+        F.sum("y").cast("long").cast("double").alias("sy"),
+        F.sum(wide("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(wide("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select("n", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / n).alias("a"))
+    err = (
+        pairs.crossJoin(F.broadcast(fit))
+        .groupBy("n", "a", "b")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+                    * 10000
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("ar1_abs_q"),
+            F.sum(F.abs(F.col("y") - F.col("x"))).cast("long").alias("naive_abs_c"),
+        )
+    )
+    return err.select(
+        F.col("n").alias("n_pairs"),
+        F.round("b", 6).alias("phi"),
+        F.round(F.col("a") / 100.0, 6).alias("intercept_dollars"),
+        F.round(F.col("ar1_abs_q") / 10000.0 / F.col("n") / 100.0, 6).alias("mae_ar1"),
+        F.round(F.col("naive_abs_c") / F.col("n").cast("double") / 100.0, 6).alias(
+            "mae_naive"
+        ),
+        F.when(
+            F.col("ar1_abs_q") / 10000.0 < F.col("naive_abs_c").cast("double"),
+            "ar1",
+        )
+        .otherwise("naive")
+        .alias("winner"),
+    )

@@ -375,6 +375,8 @@ _R4_QUEUE = (
     "agg_return_rate_drivers", "agg_supplier_concentration_tiers",
     "eval_rec_catalog_coverage", "ts_event_study_window",
     "ab_days_to_power", "ts_daily_health_score",
+    # --- round-5 in-session additions (arrival order) ---
+    "text_watermark_greenlist_score", "ts_ar1_forecast_backtest",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
