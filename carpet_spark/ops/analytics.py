@@ -7057,3 +7057,87 @@ def ab_days_to_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_arm, 6).alias("n_per_arm_needed"),
         F.round(2.0 * n_arm / rate, 6).alias("days_to_power"),
     )
+
+
+@register(
+    "agg_eoq_order_quantity",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+             CAST(l_shipdate AS DATE) AS sd
+      FROM lineitem WHERE l_partkey % 97 = 0
+    ),
+    span AS (
+      SELECT CAST(date_diff('day', MIN(sd), MAX(sd)) + 1 AS BIGINT)
+               AS span_days
+      FROM li
+    ),
+    demand AS (
+      SELECT l_partkey AS part_key,
+             CAST(SUM(qty) AS BIGINT) AS total_qty
+      FROM li GROUP BY 1
+    )
+    SELECT d.part_key, d.total_qty, s.span_days,
+           round(d.total_qty * 365.0 / s.span_days, 6) AS annual_demand,
+           round(sqrt(2.0 * (d.total_qty * 365.0 / s.span_days) * 100.0
+                      / (0.2 * p.p_retailprice)), 6) AS eoq_units,
+           round((d.total_qty * 365.0 / s.span_days)
+                 / sqrt(2.0 * (d.total_qty * 365.0 / s.span_days) * 100.0
+                        / (0.2 * p.p_retailprice)), 6) AS orders_per_year,
+           round(365.0 * sqrt(2.0 * (d.total_qty * 365.0 / s.span_days)
+                              * 100.0 / (0.2 * p.p_retailprice))
+                 / (d.total_qty * 365.0 / s.span_days), 6) AS cycle_days
+    FROM demand d
+    CROSS JOIN span s
+    JOIN part p ON p.p_partkey = d.part_key
+    """,
+)
+def agg_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic order quantity per part: annualize each part's observed
+    demand over the data's shipping span, then EOQ = √(2·D·S / H) with
+    order cost S=$100 and holding cost H=20% of retail price — the
+    classical inventory sizing rule, plus the implied orders/year and
+    reorder cycle length (the planner-facing numbers;
+    agg_reorder_point_calc sets WHEN to order, this op sets HOW MUCH).
+    A mod-97 part subset keeps the demo output bounded; production
+    drops the filter.
+
+    Engine parity: demand sums are exact BIGINTs (FLOOR(q+0.5) dodges
+    the CAST-rounds-vs-truncates trap on whole-number double
+    quantities); the span is a single exact day count; EOQ and its
+    derivatives compute on identical doubles in identical textual
+    order, rounded at 6 dp.
+
+    Scale (100 TB): one map-side-combined groupBy on l_partkey, a
+    1-row span bind (broadcast), and an equi-join against the part
+    dimension (broadcast at dimension scale).  No other shuffle."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select(
+            "l_partkey",
+            F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+            F.col("l_shipdate").cast("date").alias("sd"),
+        )
+    )
+    span = li.agg(
+        (F.datediff(F.max("sd"), F.min("sd")) + 1).cast("long").alias("span_days")
+    )
+    demand = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum("qty").cast("long").alias("total_qty")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    d_ann = F.col("total_qty") * 365.0 / F.col("span_days")
+    eoq = F.sqrt(2.0 * d_ann * 100.0 / (0.2 * F.col("p_retailprice")))
+    return (
+        demand.crossJoin(F.broadcast(span))
+        .join(p, F.col("p_partkey") == F.col("part_key"))
+        .select(
+            "part_key", "total_qty", "span_days",
+            F.round(d_ann, 6).alias("annual_demand"),
+            F.round(eoq, 6).alias("eoq_units"),
+            F.round(d_ann / eoq, 6).alias("orders_per_year"),
+            F.round(365.0 * eoq / d_ann, 6).alias("cycle_days"),
+        )
+    )

@@ -4923,3 +4923,100 @@ def ts_ar1_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("naive")
         .alias("winner"),
     )
+
+
+@register(
+    "ts_sharpe_sortino_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    lagged AS (
+      SELECT cents, LAG(cents) OVER (ORDER BY d) AS prev
+      FROM daily
+    ),
+    rets AS (
+      SELECT CAST(FLOOR((cents - prev) / CAST(prev AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT) AS rq
+      FROM lagged WHERE prev IS NOT NULL AND prev <> 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(rq) AS BIGINT) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(rq AS HUGEINT) * rq) AS DOUBLE) AS srr,
+             CAST(SUM(CASE WHEN rq < 0 THEN CAST(rq AS HUGEINT) * rq
+                           ELSE 0 END) AS DOUBLE) AS sdd,
+             CAST(SUM(CASE WHEN rq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS downside_days
+      FROM rets
+    )
+    SELECT n AS n_days,
+           round(sr / 1000000.0 / n, 6) AS mean_daily_ret,
+           round(sqrt((srr - sr * sr / n) / (n - 1)) / 1000000.0, 6)
+             AS vol_daily,
+           round((sr / n) / sqrt((srr - sr * sr / n) / (n - 1))
+                 * sqrt(365.0), 6) AS sharpe_annual,
+           round((sr / n) / sqrt(sdd / n) * sqrt(365.0), 6)
+             AS sortino_annual,
+           downside_days
+    FROM s
+    """,
+)
+def ts_sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios of the daily revenue return
+    series — risk-adjusted 'performance' of any daily KPI (finance
+    reads it on prices; ops teams read it on revenue or volume to
+    compare stability across segments: same growth, less whiplash,
+    higher Sharpe).  Sortino divides by DOWNSIDE deviation only
+    (√(Σ min(r,0)²/n)) — the variant that stops punishing upside
+    surprises, alongside the count of down days.
+
+    Engine parity: simple returns quantize to exact 1e-6 integers via
+    FLOOR(x+0.5) (identical half-up in both engines; CAST-vs-cast
+    rounding trap avoided); all moments are exact HUGEINT/decimal
+    sums of those integers, and the closed-form ratios run on the
+    same doubles in the same textual order.
+
+    Scale (100 TB): map-side collapse to the |days| axis, one lag
+    window, one aggregate.  Per-segment ratios add the segment key
+    to the groupBys and the window."""
+    daily = _daily_orders(spark, sf_dir)
+    lagged = daily.select(
+        "cents", F.lag("cents").over(Window.orderBy("d")).alias("prev")
+    )
+    rets = lagged.filter(
+        F.col("prev").isNotNull() & (F.col("prev") != 0)
+    ).select(
+        F.floor(
+            (F.col("cents") - F.col("prev")) / F.col("prev").cast("double")
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("rq")
+    )
+    rqw = F.col("rq").cast("decimal(38,0)")
+    s = rets.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rq").cast("long").cast("double").alias("sr"),
+        F.sum(rqw * F.col("rq")).cast("double").alias("srr"),
+        F.sum(F.when(F.col("rq") < 0, rqw * F.col("rq")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("sdd"),
+        F.sum(F.when(F.col("rq") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("downside_days"),
+    )
+    n = F.col("n")
+    sd = F.sqrt((F.col("srr") - F.col("sr") * F.col("sr") / n) / (n - 1))
+    dd = F.sqrt(F.col("sdd") / n)
+    return s.select(
+        n.alias("n_days"),
+        F.round(F.col("sr") / 1_000_000.0 / n, 6).alias("mean_daily_ret"),
+        F.round(sd / 1_000_000.0, 6).alias("vol_daily"),
+        F.round((F.col("sr") / n) / sd * F.sqrt(F.lit(365.0)), 6).alias(
+            "sharpe_annual"
+        ),
+        F.round((F.col("sr") / n) / dd * F.sqrt(F.lit(365.0)), 6).alias(
+            "sortino_annual"
+        ),
+        "downside_days",
+    )

@@ -377,6 +377,7 @@ _R4_QUEUE = (
     "ab_days_to_power", "ts_daily_health_score",
     # --- round-5 in-session additions (arrival order) ---
     "text_watermark_greenlist_score", "ts_ar1_forecast_backtest",
+    "ts_sharpe_sortino_daily", "agg_eoq_order_quantity",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
