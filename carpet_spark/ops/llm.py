@@ -6120,3 +6120,116 @@ def text_watermark_greenlist_score(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(z, 6).alias("z_score"),
         F.when(z > 2.0, 1).otherwise(0).alias("is_suspect"),
     )
+
+
+@register(
+    "text_code_detect_heuristic",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[{}\\[\\]();=<>#]', '', 'g'))
+                  AS BIGINT) AS n_symbols,
+             string_split(text, ' ') AS toks
+      FROM documents WHERE length(text) > 0
+    ),
+    rates AS (
+      SELECT doc_id, n_chars, n_symbols,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len(list_filter(toks, x -> x IN
+               ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS BIGINT)
+               AS n_stop
+      FROM feat WHERE len(toks) > 0
+    ),
+    scored AS (
+      SELECT doc_id, n_chars, n_symbols, n_tokens,
+             n_symbols / CAST(n_chars AS DOUBLE) AS sym_r,
+             1.0 - n_distinct / CAST(n_tokens AS DOUBLE) AS dup_r,
+             n_stop / CAST(n_tokens AS DOUBLE) AS stop_r
+      FROM rates
+    ),
+    sc AS (
+      SELECT *, 10.0 * sym_r + dup_r - stop_r AS score FROM scored
+    ),
+    thr AS (SELECT quantile_cont(score, 0.9) AS p90 FROM sc)
+    SELECT s.doc_id, s.n_chars, s.n_tokens,
+           round(s.sym_r, 6) AS symbol_ratio,
+           round(s.dup_r, 6) AS dup_token_ratio,
+           round(s.stop_r, 6) AS stopword_ratio,
+           round(s.score, 6) + 0.0 AS codelike_score,
+           CASE WHEN s.score > t.p90 THEN 1 ELSE 0 END AS is_codelike
+    FROM sc s CROSS JOIN thr t
+    """,
+)
+def text_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose screening: a composite code-likeness score per
+    document — code-indicative symbol density ({}[]();=<>#, weighted
+    10x), token repetition (code reuses identifiers far more than
+    prose reuses words), and NEGATIVE stopword density (code has
+    almost none) — flagged against the corpus's own 90th percentile.
+    The cheap first-pass router a pretraining pipeline uses to send
+    documents down the code or natural-language branch (each gets
+    different dedup, quality, and tokenizer settings).  The composite
+    + relative threshold keeps both branches populated even on a
+    prose-only corpus where the symbol term is uniformly zero (an
+    absolute symbol cutoff would flag nothing here — the
+    degenerate-population trap); on real mixed corpora the 10x symbol
+    term dominates exactly as intended.
+
+    Engine parity: symbol counts are exact length deltas (DuckDB
+    regexp_replace takes the 'g' flag — Spark is global by default);
+    repetition and stopword rates are exact int/int doubles
+    (array_distinct ≡ list_distinct on space-split tokens); the
+    threshold is the exact interpolated percentile both engines
+    define identically (percentile ≡ quantile_cont), bound via a
+    1-row broadcast.
+
+    Scale (100 TB): one narrow map over documents (JVM higher-order
+    functions, no Python) plus a percentile aggregate on the scalar
+    score (swap in approx_percentile's mergeable sketch at full
+    scale, as the exact-percentile family documents); no join but
+    the 1-row bind, no text shuffle."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split("text", " ")
+    rates = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[{}\[\]();=<>#]", ""))
+        )
+        .cast("long")
+        .alias("n_symbols"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(
+            F.filter(
+                toks,
+                lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"),
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = rates.select(
+        "doc_id", "n_chars", "n_symbols", "n_tokens",
+        (F.col("n_symbols") / F.col("n_chars").cast("double")).alias("sym_r"),
+        (1.0 - F.col("n_distinct") / F.col("n_tokens").cast("double")).alias(
+            "dup_r"
+        ),
+        (F.col("n_stop") / F.col("n_tokens").cast("double")).alias("stop_r"),
+    )
+    sc = scored.withColumn(
+        "score", 10.0 * F.col("sym_r") + F.col("dup_r") - F.col("stop_r")
+    )
+    thr = sc.agg(F.expr("percentile(score, 0.9)").alias("p90"))
+    return sc.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "n_chars", "n_tokens",
+        F.round("sym_r", 6).alias("symbol_ratio"),
+        F.round("dup_r", 6).alias("dup_token_ratio"),
+        F.round("stop_r", 6).alias("stopword_ratio"),
+        (F.round("score", 6) + 0.0).alias("codelike_score"),
+        F.when(F.col("score") > F.col("p90"), 1).otherwise(0).alias("is_codelike"),
+    )

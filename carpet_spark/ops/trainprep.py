@@ -2749,3 +2749,89 @@ def pipeline_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "+",
         ).alias("doc_ids"),
     )
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM counts),
+    quant AS (
+      SELECT c.source, c.n_docs, c.n_tokens, t.n_total,
+             CAST(FLOOR(sqrt(c.n_tokens / CAST(t.n_total AS DOUBLE))
+                        * 1000000000000 + 0.5) AS BIGINT) AS tq
+      FROM counts c CROSS JOIN tot t
+    ),
+    denom AS (SELECT CAST(SUM(tq) AS BIGINT) AS dq FROM quant)
+    SELECT q.source, q.n_docs, q.n_tokens,
+           round(q.n_tokens / CAST(q.n_total AS DOUBLE), 6) AS raw_share,
+           round(q.tq / CAST(d.dq AS DOUBLE), 6) AS temp_weight,
+           round(q.tq / CAST(d.dq AS DOUBLE) * q.n_total / q.n_tokens, 6)
+             AS sampling_epochs,
+           CASE WHEN q.tq / CAST(d.dq AS DOUBLE) * q.n_total / q.n_tokens
+                     > 1.0 THEN 1 ELSE 0 END AS upsampled
+    FROM quant q CROSS JOIN denom d
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (T=2, i.e. weight ∝ share^½) —
+    the standard multilingual/multi-domain pretraining reweighting
+    (mBERT/XLM-R recipe): small sources are upsampled toward, but not
+    onto, a uniform mix, so the head domain stops drowning the tail
+    without tiny domains overfitting.  Shares are TOKEN shares, as in
+    the published recipe (and because this fixture's per-source doc
+    counts are exactly uniform — a doc-count mixture would output
+    twenty identical rows and prove nothing: the degenerate-population
+    trap).  Per source: token count, raw share, tempered mixture
+    weight, the implied sampling epochs at a corpus-sized token
+    budget, and the upsampled flag (>1 epoch — below-average sources
+    under √ temperature, so both branches populate).
+    sample_domain_mix applies hand-set rates; this op COMPUTES
+    principled rates from the corpus itself.
+
+    Engine parity: exponent ½ is deliberate — sqrt is IEEE
+    correctly-rounded in both engines (pow(x, 0.7) is not, and a
+    1-ulp libm disagreement under the quantizer would flip a hash),
+    and the tempered terms quantize to exact 1e12 integers before the
+    (order-free) integer denominator sum.
+
+    Scale (100 TB): one map-side-combined groupBy on source, then
+    two 1-row scalar binds — the per-source table is dimension-sized.
+    The weights feed sample_epoch_repeat_factors / domain-mix filters
+    downstream; token counting is the only pass over text."""
+    counts = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    tot = counts.agg(F.sum("n_tokens").cast("long").alias("n_total"))
+    quant = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", "n_total",
+        F.floor(
+            F.sqrt(F.col("n_tokens") / F.col("n_total").cast("double"))
+            * 1_000_000_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    denom = quant.agg(F.sum("tq").cast("long").alias("dq"))
+    w = F.col("tq") / F.col("dq").cast("double")
+    epochs = w * F.col("n_total") / F.col("n_tokens")
+    return quant.crossJoin(F.broadcast(denom)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_total").cast("double"), 6).alias(
+            "raw_share"
+        ),
+        F.round(w, 6).alias("temp_weight"),
+        F.round(epochs, 6).alias("sampling_epochs"),
+        F.when(epochs > 1.0, 1).otherwise(0).alias("upsampled"),
+    )
