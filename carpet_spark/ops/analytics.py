@@ -7141,3 +7141,142 @@ def agg_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(365.0 * eoq / d_ann, 6).alias("cycle_days"),
         )
     )
+
+
+@register(
+    "agg_inventory_turns_gmroi",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
+                  AS BIGINT) AS rev_micro,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+             CAST(l_shipdate AS DATE) AS sd
+      FROM lineitem
+    ),
+    span AS (
+      SELECT CAST(date_diff('day', MIN(sd), MAX(sd)) + 1 AS BIGINT)
+               AS span_days
+      FROM li
+    ),
+    sold AS (
+      SELECT p.p_brand AS brand,
+             CAST(SUM(l.rev_micro) AS BIGINT) AS rev_micro,
+             CAST(SUM(CAST(ROUND(l.qty * 0.8 * p.p_retailprice * 1000000)
+                           AS BIGINT)) AS BIGINT) AS cogs_micro
+      FROM li l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    inv AS (
+      SELECT p_brand AS brand,
+             CAST(SUM(CAST(ROUND(p_size * p_retailprice * 0.8 * 1000000)
+                           AS BIGINT)) AS BIGINT) AS inv_micro
+      FROM part GROUP BY 1
+    )
+    SELECT s.brand,
+           round(s.rev_micro / 1000000.0, 6) AS revenue,
+           round(s.cogs_micro / 1000000.0, 6) AS cogs,
+           round((s.rev_micro - s.cogs_micro) / 1000000.0, 6)
+             AS gross_margin,
+           round(i.inv_micro / 1000000.0, 6) AS avg_inventory_cost,
+           round(s.cogs_micro * 365.0 / sp.span_days / i.inv_micro, 6)
+             AS inventory_turns,
+           round((s.rev_micro - s.cogs_micro) * 365.0 / sp.span_days
+                 / i.inv_micro, 6) AS gmroi
+    FROM sold s
+    JOIN inv i ON i.brand = s.brand
+    CROSS JOIN span sp
+    """,
+)
+def agg_inventory_turns_gmroi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory turns and GMROI per brand — the two numbers a
+    merchandising review runs on: annualized COGS over average
+    inventory at cost (how many times the shelf cycles per year), and
+    annualized gross margin over the same base (margin dollars earned
+    per inventory dollar parked).  Cost is modeled at 80% of retail;
+    on-hand units per part are proxied by p_size (a deterministic
+    1–50 stand-in — swap in a real stock snapshot table at
+    production, same plan).  agg_eoq_order_quantity sizes the orders;
+    this op scores how hard the resulting inventory works.
+
+    Engine parity: revenue/COGS/inventory are exact 1e6 fixed-point
+    integer sums (the lsum discipline — money-shaped factors, so
+    ROUND lands mid-integer-safe); the turns/GMROI ratios divide the
+    same exact integers by the same exact span, rounded at 6 dp.
+
+    Scale (100 TB): lineitem aggregates map-side per partkey-free
+    brand only AFTER the part join — the join is fact⋈dimension
+    (broadcast part at real scale), then one brand-keyed groupBy
+    (≤ brand-cardinality groups), a dimension-only inventory rollup,
+    and 1-row span/brand binds.  No fact-fact shuffle."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.signum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * (
+                (
+                    F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * 1_000_000
+                    + 0.5
+                ).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("rev_micro"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    span = li.agg(
+        (F.datediff(F.max("sd"), F.min("sd")) + 1).cast("long").alias("span_days")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice")
+    cogs_line = (
+        F.signum(F.col("qty") * 0.8 * F.col("p_retailprice"))
+        * (
+            (F.abs(F.col("qty") * 0.8 * F.col("p_retailprice")) * 1_000_000 + 0.5).cast(
+                "long"
+            )
+        )
+    ).cast("long")
+    sold = (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum("rev_micro").cast("long").alias("rev_micro"),
+            F.sum(cogs_line).cast("long").alias("cogs_micro"),
+        )
+    )
+    inv_line = (
+        F.signum(F.col("p_size") * F.col("p_retailprice") * 0.8)
+        * (
+            (F.abs(F.col("p_size") * F.col("p_retailprice") * 0.8) * 1_000_000 + 0.5).cast(
+                "long"
+            )
+        )
+    ).cast("long")
+    inv = p.groupBy(F.col("p_brand").alias("ibrand")).agg(
+        F.sum(inv_line).cast("long").alias("inv_micro")
+    )
+    j = (
+        sold.join(inv, F.col("ibrand") == F.col("brand"))
+        .crossJoin(F.broadcast(span))
+    )
+    return j.select(
+        "brand",
+        F.round(F.col("rev_micro") / 1_000_000.0, 6).alias("revenue"),
+        F.round(F.col("cogs_micro") / 1_000_000.0, 6).alias("cogs"),
+        F.round((F.col("rev_micro") - F.col("cogs_micro")) / 1_000_000.0, 6).alias(
+            "gross_margin"
+        ),
+        F.round(F.col("inv_micro") / 1_000_000.0, 6).alias("avg_inventory_cost"),
+        F.round(
+            F.col("cogs_micro") * 365.0 / F.col("span_days") / F.col("inv_micro"), 6
+        ).alias("inventory_turns"),
+        F.round(
+            (F.col("rev_micro") - F.col("cogs_micro"))
+            * 365.0
+            / F.col("span_days")
+            / F.col("inv_micro"),
+            6,
+        ).alias("gmroi"),
+    )

@@ -5020,3 +5020,104 @@ def ts_sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "downside_days",
     )
+
+
+@register(
+    "ts_token_bucket_throttle",
+    oracle="""
+    WITH RECURSIVE numbered AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    tb(user_id, rn, tokens, nthr) AS (
+      SELECT user_id, rn, CAST(1 AS DOUBLE), CAST(0 AS BIGINT)
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.user_id, n.rn,
+             CASE WHEN LEAST(2.0, t.tokens + n.gap_us / 7200000000.0) >= 1.0
+                  THEN LEAST(2.0, t.tokens + n.gap_us / 7200000000.0) - 1.0
+                  ELSE LEAST(2.0, t.tokens + n.gap_us / 7200000000.0) END,
+             t.nthr + CASE WHEN LEAST(2.0, t.tokens
+                                 + n.gap_us / 7200000000.0) >= 1.0
+                           THEN 0 ELSE 1 END
+      FROM tb t JOIN numbered n
+        ON n.user_id = t.user_id AND n.rn = t.rn + 1
+    ),
+    final AS (
+      SELECT user_id, MAX(rn) AS n, MAX(nthr) AS n_throttled
+      FROM tb GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n_throttled AS BIGINT) AS n_throttled,
+           round(n_throttled / CAST(n AS DOUBLE), 6) AS throttle_rate
+    FROM final
+    """,
+)
+def ts_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limit replay per user: capacity 2 tokens,
+    refill 1 token / 2 h, one token per event — replaying the exact
+    limiter an API gateway runs, to answer 'which users WOULD have
+    been throttled under this policy, and how hard' before the policy
+    ships (the offline what-if every rate-limit change needs; params
+    are probed so both branches populate on this fixture — a 1/min
+    refill never throttles a median-7h-gap stream).  Per user: event
+    count, throttled count, throttle rate; the first event always
+    admits from a full bucket.
+
+    Engine parity: the bucket recurrence is a per-user left fold with
+    a STRUCT accumulator in Spark (F.aggregate structs are correct;
+    DuckDB list_reduce struct folds are NOT — the probed
+    ts_holt_linear_smoothing bug — so the oracle walks the identical
+    recurrence with WITH RECURSIVE over row-numbered events).  Gaps
+    are exact integer microseconds (unix_micros ≡ epoch_us); the
+    refill divide and ≥1 comparisons run on the same doubles in the
+    same order, and nthr monotonically accumulates in exact BIGINT.
+
+    Scale (100 TB): one shuffle on user_id, then per-user O(events)
+    folds inside JVM codegen — no cross-user state, so the plan is
+    embarrassingly parallel; for unbounded per-user histories the
+    applyInPandas sequential pass is the documented swap-in, and the
+    streaming twin is applyInPandasWithState holding (tokens,
+    last_ts) per key."""
+    lst = F.sort_array(
+        F.collect_list(
+            F.struct(F.unix_micros("ts").alias("us"), F.col("event_id").alias("eid"))
+        )
+    )
+    per_user = load(spark, sf_dir, "events").groupBy("user_id").agg(lst.alias("evs"))
+    seed = F.struct(
+        F.lit(2.0).alias("tokens"),
+        F.lit(0).cast("long").alias("nthr"),
+        F.lit(-1).cast("long").alias("prev"),
+    )
+
+    def step(acc, x):
+        avail = F.when(acc["prev"] < 0, F.lit(2.0)).otherwise(
+            F.least(
+                F.lit(2.0),
+                acc["tokens"] + (x["us"] - acc["prev"]) / F.lit(7200000000.0),
+            )
+        )
+        admitted = avail >= 1.0
+        return F.struct(
+            F.when(admitted, avail - 1.0).otherwise(avail).alias("tokens"),
+            (acc["nthr"] + F.when(admitted, 0).otherwise(1)).alias("nthr"),
+            x["us"].alias("prev"),
+        )
+
+    folded = per_user.select(
+        "user_id",
+        F.size("evs").cast("long").alias("n_events"),
+        F.aggregate(F.col("evs"), seed, step).alias("st"),
+    )
+    return folded.select(
+        "user_id", "n_events",
+        F.col("st")["nthr"].alias("n_throttled"),
+        F.round(F.col("st")["nthr"] / F.col("n_events").cast("double"), 6).alias(
+            "throttle_rate"
+        ),
+    )

@@ -379,6 +379,7 @@ _R4_QUEUE = (
     "text_watermark_greenlist_score", "ts_ar1_forecast_backtest",
     "ts_sharpe_sortino_daily", "agg_eoq_order_quantity",
     "sample_temperature_mixture", "text_code_detect_heuristic",
+    "ts_token_bucket_throttle", "agg_inventory_turns_gmroi",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
