@@ -5121,3 +5121,216 @@ def ts_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "throttle_rate"
         ),
     )
+
+
+@register(
+    "ts_holt_winters_additive",
+    oracle=f"""
+    WITH RECURSIVE numbered AS (
+      SELECT d, v, cents, ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM (SELECT d, cents, cents / 100.0 AS v
+            FROM ({_DAILY_ORDERS_SQL}) daily) c
+    ),
+    init AS (
+      SELECT CAST(SUM(CASE WHEN rn <= 7 THEN cents ELSE 0 END) AS BIGINT)
+               / 700.0 AS l0
+      FROM numbered
+    ),
+    hw(rn, d, v, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+      SELECT n.rn, n.d, n.v, i.l0, CAST(0 AS DOUBLE),
+             (SELECT v FROM numbered WHERE rn = 1) - i.l0,
+             (SELECT v FROM numbered WHERE rn = 2) - i.l0,
+             (SELECT v FROM numbered WHERE rn = 3) - i.l0,
+             (SELECT v FROM numbered WHERE rn = 4) - i.l0,
+             (SELECT v FROM numbered WHERE rn = 5) - i.l0,
+             (SELECT v FROM numbered WHERE rn = 6) - i.l0,
+             (SELECT v FROM numbered WHERE rn = 7) - i.l0
+      FROM numbered n CROSS JOIN init i WHERE n.rn = 7
+      UNION ALL
+      SELECT n.rn, n.d, n.v,
+             CAST(0.3 AS DOUBLE) * (n.v - h.s1)
+               + CAST(0.7 AS DOUBLE) * (h.l + h.b),
+             CAST(0.1 AS DOUBLE)
+               * ((CAST(0.3 AS DOUBLE) * (n.v - h.s1)
+                   + CAST(0.7 AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST(0.9 AS DOUBLE) * h.b,
+             h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+             CAST(0.2 AS DOUBLE)
+               * (n.v - (CAST(0.3 AS DOUBLE) * (n.v - h.s1)
+                         + CAST(0.7 AS DOUBLE) * (h.l + h.b)))
+               + CAST(0.8 AS DOUBLE) * h.s1
+      FROM hw h JOIN numbered n ON n.rn = h.rn + 1
+    )
+    SELECT d, round(v, 6) AS v,
+           round(l, 6) + 0.0 AS level,
+           round(b, 6) + 0.0 AS trend,
+           round(s7, 6) + 0.0 AS seasonal,
+           (round(l, 6) + 0.0) + (round(b, 6) + 0.0)
+             + (round(s1, 6) + 0.0) AS forecast_next
+    FROM hw WHERE rn >= 8
+    """,
+)
+def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing over the daily
+    revenue series — level + trend + a period-7 seasonal cycle
+    (α=0.3, β=0.1, γ=0.2), the next rung above
+    ts_holt_linear_smoothing for any series with a weekly rhythm (a
+    trend-only smoother lags every Monday dip).  Seasonality is
+    POSITIONAL (every 7th observation), the textbook formulation over
+    an observation sequence; init is the classic first-season recipe
+    (l = mean of obs 1–7, b = 0, sᵢ = yᵢ − l), recursion starts at
+    observation 8.  Output per day: level, trend, the seasonal index
+    just updated for this position, and the one-step-ahead forecast
+    (l + b + next position's seasonal).
+
+    Engine parity: Spark folds a STRUCT {{level, trend, s[7]}}
+    accumulator with an array-rotate per step (F.aggregate struct
+    folds are correct; DuckDB list_reduce struct folds are NOT — the
+    probed ts_holt_linear_smoothing bug — so the oracle walks the
+    identical recurrence with WITH RECURSIVE carrying the 7 seasonal
+    lanes as explicit columns).  Both sides execute the same IEEE
+    sequence; a literal Python replay pins the formula independently
+    (tests/test_edge_cases.py, the shared-formula rule).
+
+    Scale (100 TB): O(|days|²) expanding fold on the collapsed
+    calendar axis — bounded by time, not data; per-key smoothing at
+    scale swaps in the applyInPandas sequential pass (same argument
+    as ts_ewma/ts_holt)."""
+    daily = _daily_orders(spark, sf_dir)
+    c = daily.select("d", "cents", (F.col("cents") / 100.0).alias("v"))
+    wexp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    vals = F.collect_list("v").over(wexp)
+    valsc = F.collect_list("cents").over(wexp)
+    n = F.size(vals)
+    # init level from EXACT integer cents (summing seven doubles would
+    # hinge on addition order — the one place the two engines differ)
+    l0 = (
+        F.element_at(valsc, 1) + F.element_at(valsc, 2)
+        + F.element_at(valsc, 3) + F.element_at(valsc, 4)
+        + F.element_at(valsc, 5) + F.element_at(valsc, 6)
+        + F.element_at(valsc, 7)
+    ) / 700.0
+    # seed state after observation 7: s = [y1-l0 .. y7-l0] (s[1] is the
+    # next position due, i.e. position 1's seasonal)
+    seed = F.struct(
+        l0.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(7)),
+            lambda i: F.element_at(vals, i) - l0,
+        ).alias("s"),
+    )
+    rest = F.slice(vals, 8, F.greatest(n - 7, F.lit(0)))
+
+    def step(acc, x):
+        s_due = F.element_at(acc["s"], 1)
+        new_l = F.lit(0.3) * (x - s_due) + F.lit(0.7) * (acc["l"] + acc["b"])
+        new_b = F.lit(0.1) * (new_l - acc["l"]) + F.lit(0.9) * acc["b"]
+        new_s = F.lit(0.2) * (x - new_l) + F.lit(0.8) * s_due
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            F.concat(F.slice(acc["s"], 2, 6), F.array(new_s)).alias("s"),
+        )
+
+    st = F.aggregate(rest, seed, step)
+    h = c.select("d", "v", n.alias("rn"), st.alias("st")).filter(F.col("rn") >= 8)
+    return h.select(
+        "d",
+        F.round("v", 6).alias("v"),
+        (F.round(F.col("st")["l"], 6) + 0.0).alias("level"),
+        (F.round(F.col("st")["b"], 6) + 0.0).alias("trend"),
+        (F.round(F.element_at(F.col("st")["s"], 7), 6) + 0.0).alias("seasonal"),
+        # sum of ALREADY-ROUNDED components: round(l+b+s) itself can land
+        # on a .5 ulp boundary where the engines' decimal conversions
+        # disagree by 1e-6 (hit once at sf0.001)
+        (
+            (F.round(F.col("st")["l"], 6) + 0.0)
+            + (F.round(F.col("st")["b"], 6) + 0.0)
+            + (F.round(F.element_at(F.col("st")["s"], 1), 6) + 0.0)
+        ).alias("forecast_next"),
+    )
+
+
+@register(
+    "ts_hampel_despike",
+    oracle=f"""
+    WITH daily AS ({_DAILY_ORDERS_SQL}),
+    framed AS (
+      SELECT d, cents,
+             list_sort(list(cents) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS lst,
+             COUNT(*) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n_win
+      FROM daily
+    ),
+    med AS (
+      SELECT d, cents, lst[4] AS med7
+      FROM framed WHERE n_win = 7
+    ),
+    mad AS (
+      SELECT d, cents, med7,
+             list_sort(list_transform(
+               (SELECT lst FROM framed f WHERE f.d = med.d),
+               x -> abs(x - med7)))[4] AS mad7
+      FROM med
+    )
+    SELECT d, cents,
+           CAST(med7 AS BIGINT) AS med7,
+           CAST(mad7 AS BIGINT) AS mad7,
+           CASE WHEN 10000 * abs(cents - med7) > 44478 * mad7
+                THEN 1 ELSE 0 END AS is_spike,
+           CAST(CASE WHEN 10000 * abs(cents - med7) > 44478 * mad7
+                     THEN med7 ELSE cents END AS BIGINT) AS despiked
+    FROM mad
+    """,
+)
+def ts_hampel_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over the daily revenue series: a centered 7-day
+    window's median and MAD, flagging |x − median| > 3·1.4826·MAD and
+    replacing flagged days with the window median — the standard
+    robust despiker (a rolling MEAN filter drags the spike into its
+    neighbors; the Hampel median filter doesn't), used before any
+    smoothing/forecasting op so one flash-sale day can't bend the
+    trend.  Edge days without a full 7-day frame are withheld (their
+    median is over a shorter window and not comparable).
+
+    Engine parity: everything is exact integer cents — the 7-element
+    frame median is the sorted list's 4th element (no interpolation),
+    the MAD is the median of integer absolute deviations, and the
+    3·1.4826·MAD threshold compares as the integer cross-product
+    10000·|x−med| > 44478·MAD (the house integer-threshold rule: no
+    float literal ever meets a hash).
+
+    Scale (100 TB): map-side collapse to the |days| axis, then one
+    ordered window with a 7-row frame — O(1) state per row.
+    Per-series despiking adds the series key to the partitionBy."""
+    daily = _daily_orders(spark, sf_dir)
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    framed = daily.select(
+        "d", "cents",
+        F.sort_array(F.collect_list("cents").over(w7)).alias("lst"),
+        F.count(F.lit(1)).over(w7).alias("n_win"),
+    ).filter(F.col("n_win") == 7)
+    med = F.element_at(F.col("lst"), 4)
+    with_med = framed.select("d", "cents", "lst", med.alias("med7"))
+    mad = F.element_at(
+        F.sort_array(
+            F.transform(F.col("lst"), lambda x: F.abs(x - F.col("med7")))
+        ),
+        4,
+    )
+    scored = with_med.select("d", "cents", "med7", mad.alias("mad7"))
+    spike = (10000 * F.abs(F.col("cents") - F.col("med7"))) > (
+        44478 * F.col("mad7")
+    )
+    return scored.select(
+        "d", "cents",
+        F.col("med7").cast("long").alias("med7"),
+        F.col("mad7").cast("long").alias("mad7"),
+        F.when(spike, 1).otherwise(0).alias("is_spike"),
+        F.when(spike, F.col("med7"))
+        .otherwise(F.col("cents"))
+        .cast("long")
+        .alias("despiked"),
+    )

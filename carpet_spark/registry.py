@@ -380,6 +380,7 @@ _R4_QUEUE = (
     "ts_sharpe_sortino_daily", "agg_eoq_order_quantity",
     "sample_temperature_mixture", "text_code_detect_heuristic",
     "ts_token_bucket_throttle", "agg_inventory_turns_gmroi",
+    "ts_holt_winters_additive", "ts_hampel_despike",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

@@ -608,3 +608,44 @@ def test_adstock_matches_python_replay(spark, sf_dir):
     assert abs(row["corr_adstock"]) <= 1.0 and abs(row["corr_raw"]) <= 1.0
     assert row["corr_adstock"] == pytest.approx(pearson(ax, py), abs=2e-6)
     assert row["corr_raw"] == pytest.approx(pearson(cx, py), abs=2e-6)
+
+
+def test_holt_winters_matches_python_replay(spark, sf_dir):
+    """Holt-Winters additive output must match a literal Python replay of
+    the triple recurrence (α=.3, β=.1, γ=.2, period 7, first-season
+    init) over the same daily series — the same shared-formula rule as
+    the Holt/MACD pins: the Spark struct fold and the recursive-CTE
+    oracle execute one transcription of the formula, so only an
+    independent replay can catch a transcription error."""
+    from carpet_spark.ops.timeseries import (
+        _daily_orders,
+        ts_holt_winters_additive,
+    )
+
+    daily = sorted(
+        (r["d"], r["cents"]) for r in _daily_orders(spark, sf_dir).collect()
+    )
+    v = [c / 100.0 for _, c in daily]
+    l = sum(c for _, c in daily[:7]) / 700.0
+    b = 0.0
+    s = [x - l for x in v[:7]]
+    expected = {}
+    for t in range(7, len(v)):
+        s_due = s[0]
+        new_l = 0.3 * (v[t] - s_due) + 0.7 * (l + b)
+        new_b = 0.1 * (new_l - l) + 0.9 * b
+        new_s = 0.2 * (v[t] - new_l) + 0.8 * s_due
+        l, b = new_l, new_b
+        s = s[1:] + [new_s]
+        expected[daily[t][0]] = (l, b, new_s, s[0])
+
+    got = {
+        r["d"]: r for r in ts_holt_winters_additive(spark, sf_dir).collect()
+    }
+    assert len(got) == len(expected) and got, (len(got), len(expected))
+    for d, (l_e, b_e, s_e, due_e) in expected.items():
+        r = got[d]
+        assert r["level"] == pytest.approx(l_e, abs=1e-5), (d, r["level"], l_e)
+        assert r["trend"] == pytest.approx(b_e, abs=1e-5)
+        assert r["seasonal"] == pytest.approx(s_e, abs=1e-5)
+        assert r["forecast_next"] == pytest.approx(l_e + b_e + due_e, abs=3e-5)
