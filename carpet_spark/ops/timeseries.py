@@ -4825,8 +4825,9 @@ def ts_daily_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fit AS (
       SELECT n,
-             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
-             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+             (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS b,
+             (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+               / n AS a
       FROM s
     ),
     err AS (
@@ -4888,8 +4889,12 @@ def ts_ar1_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(wide("x") * F.col("x")).cast("double").alias("sxx"),
     )
     n = F.col("n")
-    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # NULLIF guard on the OLS denominator (r05 ADVICE): a constant series
+    # makes n·sxx − sx² = 0 — Spark's non-ANSI x/0 is already NULL, but
+    # DuckDB IEEE division yields inf, so the oracle carries NULLIF and the
+    # Spark side mirrors it explicitly to keep both engines at NULL.
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     fit = s.select("n", b.alias("b"), ((F.col("sy") - b * F.col("sx")) / n).alias("a"))
     err = (
@@ -4950,11 +4955,11 @@ def ts_ar1_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_days,
            round(sr / 1000000.0 / n, 6) AS mean_daily_ret,
-           round(sqrt((srr - sr * sr / n) / (n - 1)) / 1000000.0, 6)
+           round(sqrt((srr - sr * sr / n) / NULLIF(n - 1, 0)) / 1000000.0, 6)
              AS vol_daily,
-           round((sr / n) / sqrt((srr - sr * sr / n) / (n - 1))
+           round((sr / n) / NULLIF(sqrt((srr - sr * sr / n) / NULLIF(n - 1, 0)), 0)
                  * sqrt(365.0), 6) AS sharpe_annual,
-           round((sr / n) / sqrt(sdd / n) * sqrt(365.0), 6)
+           round((sr / n) / NULLIF(sqrt(sdd / n), 0) * sqrt(365.0), 6)
              AS sortino_annual,
            downside_days
     FROM s
@@ -5006,18 +5011,25 @@ def ts_sharpe_sortino_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("downside_days"),
     )
     n = F.col("n")
-    sd = F.sqrt((F.col("srr") - F.col("sr") * F.col("sr") / n) / (n - 1))
+    # NULLIF guards on the risk denominators (r05 ADVICE): an all-upside
+    # series has sdd = 0 (and a constant one sd = 0, n = 1 makes n−1 = 0) —
+    # Spark non-ANSI x/0 is NULL but DuckDB IEEE division yields inf/nan,
+    # so both sides carry the same explicit NULLIF and agree on NULL.
+    sd = F.sqrt(
+        (F.col("srr") - F.col("sr") * F.col("sr") / n)
+        / F.nullif((n - 1).cast("double"), F.lit(0.0))
+    )
     dd = F.sqrt(F.col("sdd") / n)
     return s.select(
         n.alias("n_days"),
         F.round(F.col("sr") / 1_000_000.0 / n, 6).alias("mean_daily_ret"),
         F.round(sd / 1_000_000.0, 6).alias("vol_daily"),
-        F.round((F.col("sr") / n) / sd * F.sqrt(F.lit(365.0)), 6).alias(
-            "sharpe_annual"
-        ),
-        F.round((F.col("sr") / n) / dd * F.sqrt(F.lit(365.0)), 6).alias(
-            "sortino_annual"
-        ),
+        F.round(
+            (F.col("sr") / n) / F.nullif(sd, F.lit(0.0)) * F.sqrt(F.lit(365.0)), 6
+        ).alias("sharpe_annual"),
+        F.round(
+            (F.col("sr") / n) / F.nullif(dd, F.lit(0.0)) * F.sqrt(F.lit(365.0)), 6
+        ).alias("sortino_annual"),
         "downside_days",
     )
 

@@ -234,12 +234,19 @@ def _spark_category(t: str) -> str:
 
 
 #: post-pandas dtype category for a DuckDB DESCRIBE column_type
-def _duck_category(t: str) -> str:
+#: ``nested=True`` = the type sits INSIDE a list/struct/map (r05 ADVICE):
+#: ``.df()`` collapses top-level DECIMAL/HUGEINT to float64, but inside a
+#: container it keeps ``decimal.Decimal`` / ``int`` objects — so nested
+#: DECIMAL must compare as DEC (vs Spark double → mismatch) and nested
+#: HUGEINT as INT.
+def _duck_category(t: str, nested: bool = False) -> str:
     t = t.upper()
     if t.endswith("[]"):
         return "LIST"
-    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
-        return "FLT"  # .df() collapses both to float64
+    if t.startswith("DECIMAL"):
+        return "DEC" if nested else "FLT"  # top-level .df() → float64
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "INT" if nested else "FLT"  # top-level .df() → float64
     if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         return "INT"
@@ -339,11 +346,16 @@ def _duck_children(t: str) -> dict[str, str] | None:
     return None
 
 
-def _category_issues(prefix: str, s_type: str, d_type: str) -> list[str]:
+def _category_issues(
+    prefix: str, s_type: str, d_type: str, nested: bool = False
+) -> list[str]:
     """Category mismatches for one column, recursing into LIST/STRUCT/MAP
     element types (r04 VERDICT item 6: a list<int> vs DOUBLE[] pair is a
-    driver hash-fail the flat categories cannot see)."""
-    sc, dc = _spark_category(s_type), _duck_category(d_type)
+    driver hash-fail the flat categories cannot see).  ``nested`` marks
+    that we are already inside a container, where DuckDB materialization
+    differs from top level (r05 ADVICE: nested DECIMAL stays Decimal,
+    nested HUGEINT stays int — they never collapse to float64)."""
+    sc, dc = _spark_category(s_type), _duck_category(d_type, nested=nested)
     if "NULL" in (sc, dc) or (sc, dc) in _ALLOWED_CROSS:
         return []
     if sc != dc:
@@ -361,7 +373,7 @@ def _category_issues(prefix: str, s_type: str, d_type: str) -> list[str]:
             continue
         issues.extend(
             _category_issues(f"{prefix}.{key}" if key != "[]" else f"{prefix}[]",
-                             s_kids[key], d_kids[key])
+                             s_kids[key], d_kids[key], nested=True)
         )
     return issues
 

@@ -55,9 +55,9 @@ def test_nested_element_type_mismatch_is_caught(spark):
     issues = type_align_issues(
         df,
         con,
-        "SELECT [1.0, 2.0] AS xs,"
-        " {'a': 1.0, 'b': 2.0} AS st,"
-        " MAP(['k'], [1.5]) AS mp",
+        "SELECT [CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)] AS xs,"
+        " {'a': CAST(1.0 AS DOUBLE), 'b': CAST(2.0 AS DOUBLE)} AS st,"
+        " MAP(['k'], [CAST(1.5 AS DOUBLE)]) AS mp",
     )
     con.close()
     assert any(i.startswith("xs[]") and "INT" in i and "FLT" in i for i in issues), issues
@@ -67,7 +67,10 @@ def test_nested_element_type_mismatch_is_caught(spark):
 
 def test_nested_matching_types_stay_clean(spark):
     """The recursion must not false-positive on aligned nested types,
-    including the benign DATE-in-list case and nested containers."""
+    including the benign DATE-in-list case, nested containers, and the
+    nested-materialization cases r05 ADVICE called out: inside a list
+    ``.df()`` keeps HUGEINT as int (→ INT, matches Spark bigint) and
+    DECIMAL as Decimal (→ DEC, matches Spark decimal)."""
     import duckdb
 
     con = duckdb.connect()
@@ -75,13 +78,39 @@ def test_nested_matching_types_stay_clean(spark):
         "array(cast(1.5 as double), cast(2.5 as double)) AS xs",
         "named_struct('a', 1, 'b', array('x')) AS st",
         "map('k', 1) AS mp",
+        "array(cast(1 as bigint)) AS hs",
+        "array(cast(1.5 as decimal(4,1))) AS ds",
     )
     issues = type_align_issues(
         df,
         con,
-        "SELECT [1.5, 2.5] AS xs,"
+        "SELECT [CAST(1.5 AS DOUBLE), CAST(2.5 AS DOUBLE)] AS xs,"
         " {'a': 1, 'b': ['x']} AS st,"
-        " MAP(['k'], [1]) AS mp",
+        " MAP(['k'], [1]) AS mp,"
+        " [CAST(1 AS HUGEINT)] AS hs,"
+        " [CAST(1.5 AS DECIMAL(4,1))] AS ds",
     )
     con.close()
     assert issues == [], issues
+
+
+def test_nested_decimal_vs_double_is_caught(spark):
+    """r05 ADVICE: a DuckDB DECIMAL[] against a Spark double[] must flag —
+    nested DECIMAL materializes as Decimal objects, never float64, so the
+    driver hash diverges even though TOP-LEVEL decimal would collapse to
+    float64 and compare clean.  Likewise nested HUGEINT vs Spark double."""
+    import duckdb
+
+    con = duckdb.connect()
+    df = spark.range(1).selectExpr(
+        "array(cast(1.5 as double)) AS ds",
+        "array(cast(2.0 as double)) AS hs",
+    )
+    issues = type_align_issues(
+        df,
+        con,
+        "SELECT [1.5] AS ds, [CAST(2 AS HUGEINT)] AS hs",
+    )
+    con.close()
+    assert any(i.startswith("ds[]") and "DEC" in i and "FLT" in i for i in issues), issues
+    assert any(i.startswith("hs[]") and "INT" in i and "FLT" in i for i in issues), issues
