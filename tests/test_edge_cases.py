@@ -742,3 +742,142 @@ def test_token_bucket_matches_python_replay(spark, tmp_path):
         n_got, thr_got, rate_got = got[user]
         assert (n_got, thr_got) == (n_exp, thr_exp), (user, got[user], expected[user])
         assert rate_got == pytest.approx(thr_exp / n_exp, abs=1e-6)
+
+
+# --- r6 identical-sequence sweep pins (r5 VERDICT item 4): the remaining
+# ops whose oracle recursion/fold could share a transcription bug with the
+# Spark side each get a third, independent mechanism — a closed form, a
+# hand-built fixture with known answers, or a Python replay.
+
+
+def test_recursive_cte_matches_closed_form(spark, sf_dir):
+    """sql_recursive_cte walks parent(k) = k div 2 to the root on BOTH
+    engines with near-identical SQL — the closed form is the independent
+    pin: halvings from k to 1 is bit_length(k) − 1, plus the final step
+    to 0, so depth_to_root = bit_length(k) and chain_len = depth + 1."""
+    rows = REGISTRY["sql_recursive_cte"].fn(spark, sf_dir).collect()
+    assert rows, "anchor selected no customers"
+    for r in rows:
+        k = r["start_key"]
+        assert r["depth_to_root"] == int(k).bit_length(), r
+        assert r["chain_len"] == r["depth_to_root"] + 1, r
+
+
+def test_fn_lambda_matches_python_replay(spark, sf_dir):
+    """fn_lambda's six higher-order expressions (including the seeded
+    string fold piped4, a fold transcribed into both engines) must match
+    a plain-Python replay over the same split semantics."""
+    from carpet_spark.tables import load
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    got = {r["doc_id"]: r for r in REGISTRY["fn_lambda"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        toks = text.split(" ")  # F.split keeps empty tokens; str.split(' ') too
+        r = got[doc_id]
+        assert r["upper5"] == " ".join(t.upper() for t in toks[:5]), doc_id
+        assert r["long_toks"] == " ".join(t for t in toks if len(t) > 5), doc_id
+        assert r["has_the"] == int("the" in toks), doc_id
+        assert r["all_short"] == int(all(len(t) <= 12 for t in toks)), doc_id
+        assert r["char_sum"] == sum(len(t) for t in toks), doc_id
+        assert r["piped4"] == "|".join(toks[:4]), doc_id
+
+
+def test_bfs_hops_on_hand_built_graph(spark, tmp_path):
+    """graph_bfs_hops on a hand-built temporal-adjacency fixture: a
+    9-node path (hop i = distance i, nodes past the 6-hop cap absent), a
+    disconnected pair (absent), and a consecutive-duplicate user (no
+    self-edge).  Both engines cap at 6, so only a known-answer fixture
+    can prove the cap and the frontier expansion are right."""
+    import datetime as dt
+
+    base = str(tmp_path / "bfs_fixture")
+    os.makedirs(base, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # path 0-1-2-...-8 via consecutive appearances in event_type 'c'
+    # (with one duplicated consecutive user: must NOT create a self-edge)
+    seq = [0, 0, 1, 2, 3, 4, 5, 6, 7, 8]
+    rows += [
+        Row(event_id=i, ts=t0 + dt.timedelta(minutes=i), user_id=u,
+            event_type="c", value=1.0, props="{}")
+        for i, u in enumerate(seq)
+    ]
+    # disconnected pair in its own timeline
+    rows += [
+        Row(event_id=100 + i, ts=t0 + dt.timedelta(minutes=i), user_id=100 + i,
+            event_type="x", value=1.0, props="{}")
+        for i in range(2)
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/events.parquet"
+    )
+    got = {
+        r["user_id"]: r["hops"]
+        for r in REGISTRY["graph_bfs_hops"].fn(spark, base).collect()
+    }
+    assert got == {i: i for i in range(7)}, got  # 7,8 beyond the 6-hop cap
+
+
+def test_connected_components_on_hand_built_graph(spark, tmp_path):
+    """graph_connected_components on a hand-built co-purchase fixture
+    with known components: {20,40,60} bridged through two orders,
+    {80,100}, an isolated sampled part 120 (singleton via the node
+    self-seed), and unsampled partkeys that must be filtered out."""
+    base = str(tmp_path / "cc_fixture")
+    os.makedirs(base, exist_ok=True)
+    orders = {
+        1: [20, 40, 33],   # 33 not % 20 == 0 -> dropped
+        2: [40, 60],       # bridges 60 into {20,40}
+        3: [80, 100],
+        4: [120],          # isolated sampled node
+        5: [7, 9],         # fully unsampled order
+    }
+    rows = [
+        Row(l_orderkey=ok, l_partkey=pk)
+        for ok, parts in orders.items()
+        for pk in parts
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/lineitem.parquet"
+    )
+    got = {
+        r["node"]: (r["component_rep"], r["component_size"])
+        for r in REGISTRY["graph_connected_components"].fn(spark, base).collect()
+    }
+    assert got == {
+        20: (20, 3), 40: (20, 3), 60: (20, 3),
+        80: (80, 2), 100: (80, 2),
+        120: (120, 1),
+    }, got
+
+
+def test_dedup_apply_materializes_cluster_winners(spark, sf_dir):
+    """dedup_apply must equal documents minus every cluster's non-min
+    members: exactly one survivor per cluster (the min doc_id rep), all
+    docs outside the similarity graph untouched — checked against the
+    dedup_clusters labels it composes, which are themselves
+    precision/recall-tested against exact Jaccard elsewhere."""
+    from carpet_spark.tables import load
+
+    labels = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in REGISTRY["dedup_clusters"].fn(spark, sf_dir).collect()
+    }
+    all_docs = {
+        r["doc_id"] for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    kept = {r["doc_id"] for r in REGISTRY["dedup_apply"].fn(spark, sf_dir).collect()}
+
+    losers = {d for d, rep in labels.items() if rep != d}
+    assert kept == all_docs - losers
+    # per cluster: the unique survivor is the min doc_id
+    by_rep: dict = {}
+    for d, rep in labels.items():
+        by_rep.setdefault(rep, []).append(d)
+    for rep, members in by_rep.items():
+        survivors = set(members) & kept
+        assert survivors == {min(members)}, (rep, sorted(members), survivors)
