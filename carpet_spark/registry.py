@@ -80,68 +80,67 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # other possible driver behavior) still maximizes coverage.  Every op here
 # was audited this round for array/map-typed output columns (none — the
 # driver canonicalizer cannot hash those, SURVEY §7.5).
+# Round-6 window (r05 VERDICT item 1): 50 NEVER-driver-sampled ops,
+# prioritizing the shapes under-represented in the 242 sampled so far —
+# the queue head (ANN/streaming/pandas-UDF iterators), the mm_* binary
+# family, the r4 retrieval stack, the recursive-CTE / identical-sequence
+# fold class (every one now carries an independent replay/closed-form
+# pin, tests/test_edge_cases.py), all 10 r5 additions, and struct/exotic
+# output shapes.  fn_calendar_dim leads as the DATE canary (r03 VERDICT
+# item 8) — it is itself never-sampled, so the canary slot no longer
+# spends a repeat.  Every op re-verified under the driver-faithful pandas
+# harness at sf0.01 AND sf0.001 before promotion.
 _PRIORITY_WINDOW = (
-    # --- DATE canary (r03 VERDICT item 8): a driver-proven-green DATE op
-    #     stays early in every window so a driver-side tightening of
-    #     date-vs-timestamp canonicalization is caught immediately ---
-    "ts_rollup_multi",
-    # --- r5 window (r04 VERDICT item 1): the next 49 never-driver-sampled
-    #     ops, promoted from the queue head in order — storage-layout
-    #     sinks/scans, join strategies (AQE skew, bloom, as-of variants),
-    #     window/agg extras, then the fn_* families (struct / interval /
-    #     xml / collation give the driver its first struct- and
-    #     exotic-type-shaped samples).  Each was locally re-verified under
-    #     the driver-faithful pandas harness at sf0.01 AND sf0.001 before
-    #     promotion. ---
-    "sink_sorted_skip",
-    "scan_file_metadata",
-    "scan_binary_files",
-    "sink_jsonl_sharded",
-    "sink_compact_small_files",
-    "sink_csv_quoted_multiline",
-    "sink_dynamic_partition_overwrite",
-    "pii_encrypt_roundtrip",
-    "scan_recursive_dir",
-    "join_skew_aqe",
-    "join_bloom_runtime_filter",
-    "join_range_binned",
-    "join_fuzzy_blocked",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_null_safe_keys",
-    "win_pct_change",
-    "win_time_range",
-    "win_rank_salted",
-    "ts_zscore_outliers",
-    "ts_ewma",
-    "win_running_distinct",
-    "ts_seasonality_dow",
-    "agg_approx_percentile",
-    "agg_mode",
-    "profile_table",
-    "agg_histogram",
-    "agg_bitmap_distinct",
-    "agg_weighted_avg",
-    "profile_key_skew",
-    "pii_noisy_count_laplace",
-    "agg_mad_outliers",
-    "agg_higher_moments",
-    "agg_listagg",
-    "agg_approx_topk",
-    "agg_observe_metrics",
-    "fn_explode",
-    "fn_bitwise",
-    "fn_regex",
-    "fn_fuzzy",
-    "fn_url",
-    "fn_struct",
-    "fn_interval",
-    "fn_xml",
-    "fn_collation",
-    "fn_try_safe",
-    "fn_surrogate_key",
-    "fn_bitpack_key",
+    "fn_calendar_dim",
+    "topk_per_group",
+    "udf_pandas_iter",
+    "sim_knn_join_topk",
+    "sim_ann_ivf",
+    "emb_pca_project",
+    "stream_pretrain_prep",
+    "stream_sink_exactly_once",
+    "stream_static_join",
+    "stream_python_datasource_sink",
+    "join_array_membership",
+    "ts_interval_merge",
+    "attribution_last_touch",
+    "win_rolling_median",
+    "scan_csv_permissive",
+    "mm_image_resize",
+    "mm_image_features",
+    "mm_video_keyframes",
+    "mm_phash_dedup",
+    "mm_exif_strip",
+    "text_bm25_topk",
+    "sim_rrf_fusion",
+    "sim_hybrid_weighted_fusion",
+    "pipeline_rag_context_pack",
+    "emb_matryoshka_truncation_quality",
+    "ts_holt_linear_smoothing",
+    "ts_markov_steady_state",
+    "attribution_markov_removal",
+    "graph_connected_components",
+    "fn_business_days",
+    "ts_macd_indicator",
+    "agg_adstock_decay_correlation",
+    "ts_cusum_drift",
+    "ts_holt_winters_additive",
+    "ts_token_bucket_throttle",
+    "ts_hampel_despike",
+    "text_watermark_greenlist_score",
+    "ts_ar1_forecast_backtest",
+    "ts_sharpe_sortino_daily",
+    "agg_eoq_order_quantity",
+    "sample_temperature_mixture",
+    "text_code_detect_heuristic",
+    "agg_inventory_turns_gmroi",
+    "udf_pandas_struct",
+    "fn_decimal_money_exactness",
+    "fn_ip_subnet",
+    "profile_column_entropy",
+    "agg_duplicate_stats",
+    "reconcile_table_diff",
+    "dedup_url_canonical",
 )
 
 # Round-4+ queue (r02 VERDICT item 3): every op without a driver
@@ -156,62 +155,48 @@ _PRIORITY_WINDOW = (
 # promote the first 50 of this queue into _PRIORITY_WINDOW each round —
 # r4 through r7 finish the registry at the current size.
 _R4_QUEUE = (
-    "topk_per_group",
-    "udf_pandas_iter", "sim_knn_join_topk",
-    "sim_ann_ivf", "emb_pca_project",
-    "stream_pretrain_prep", "stream_sink_exactly_once",
-    "stream_static_join", "stream_python_datasource_sink",
-    "mm_image_resize", "mm_image_features",
-    "mm_video_keyframes", "join_array_membership",
-    "ts_interval_merge", "attribution_last_touch",
-    "win_rolling_median", "scan_csv_permissive",
-    "fn_ip_subnet", "profile_column_entropy",
-    "agg_duplicate_stats", "reconcile_table_diff",
-    "dedup_url_canonical", "sample_balanced_class",
-    "text_dedup_exact_normalized", "emb_dim_stats",
-    "stream_foreachbatch_upsert", "graph_triangle_count",
-    "win_year_over_year", "text_oov_rate",
-    "agg_gini_coefficient", "pii_retention_sweep",
-    "dq_freshness_sla", "win_ytd_cumulative",
-    "join_point_in_time", "agg_partial_merge_rollup",
-    "sim_mmr_rerank", "fn_calendar_dim",
+    "sample_balanced_class", "text_dedup_exact_normalized",
+    "emb_dim_stats", "stream_foreachbatch_upsert",
+    "graph_triangle_count", "win_year_over_year",
+    "text_oov_rate", "agg_gini_coefficient",
+    "pii_retention_sweep", "dq_freshness_sla",
+    "win_ytd_cumulative", "join_point_in_time",
+    "agg_partial_merge_rollup", "sim_mmr_rerank",
     "agg_benford_distribution", "agg_sequence_detect",
     "join_fanout_safe", "agg_weighted_percentile",
     "agg_new_vs_returning", "agg_transition_matrix",
     "sample_negative_pairs", "agg_histogram_2d",
-    "mm_phash_dedup", "sql_named_parameters",
-    "win_share_of_total", "fn_rendezvous_hash_routing",
-    "agg_top_movers_wow", "text_keywords_topk",
-    "ts_seasonal_naive_backtest", "stream_checkpoint_resume",
-    "ts_rolling_active_users", "profile_value_patterns",
-    "ts_local_peaks", "agg_cramers_v",
-    "agg_audience_overlap", "text_zipf_fit",
-    "win_drawdown", "pii_vault_tokenize",
-    "udf_pandas_struct", "agg_cohort_ltv",
+    "sql_named_parameters", "win_share_of_total",
+    "fn_rendezvous_hash_routing", "agg_top_movers_wow",
+    "text_keywords_topk", "ts_seasonal_naive_backtest",
+    "stream_checkpoint_resume", "ts_rolling_active_users",
+    "profile_value_patterns", "ts_local_peaks",
+    "agg_cramers_v", "agg_audience_overlap",
+    "text_zipf_fit", "win_drawdown",
+    "pii_vault_tokenize", "agg_cohort_ltv",
     "pipeline_training_set_features", "ts_window_custom_origin",
-    "set_union_by_name_evolution", "fn_decimal_money_exactness",
-    "graph_degree_stats", "eval_confusion_matrix",
-    "join_ip_range_lookup", "agg_user_path_topk",
-    "sample_systematic_every_nth", "emb_outlier_scores",
-    "agg_hhi_concentration", "ts_change_point_simple",
-    "agg_leadtime_sla", "dq_referential_integrity",
-    "agg_abc_classification", "agg_change_contribution",
-    "scan_versioned_time_travel", "text_source_overlap",
-    "agg_survival_km", "ts_control_chart_xmr",
-    "text_collocations_pmi", "ts_activity_heatmap_dow_hour",
-    "agg_bootstrap_ci", "sample_time_split",
-    "ts_seasonality_strength", "agg_topk_share",
-    "agg_histogram_equidepth", "dq_missingness_patterns",
-    "agg_trimmed_mean", "agg_behavior_entropy",
-    "ts_latency_percentiles_hourly", "agg_generalized_means",
-    "agg_allocation_by_share", "text_readability_proxy",
-    "basket_lift_rules", "stream_multi_source_union",
-    "agg_net_revenue_retention", "agg_user_active_days_hist",
-    "ts_rsi_indicator", "dedup_containment_pairs",
-    "graph_common_neighbors", "agg_repeat_purchase_rate",
-    "ts_autocorrelation", "dq_json_schema_check",
-    "pii_phone_normalize", "dq_duplicate_payments",
-    "fn_business_days", "feature_minmax_scale",
+    "set_union_by_name_evolution", "graph_degree_stats",
+    "eval_confusion_matrix", "join_ip_range_lookup",
+    "agg_user_path_topk", "sample_systematic_every_nth",
+    "emb_outlier_scores", "agg_hhi_concentration",
+    "ts_change_point_simple", "agg_leadtime_sla",
+    "dq_referential_integrity", "agg_abc_classification",
+    "agg_change_contribution", "scan_versioned_time_travel",
+    "text_source_overlap", "agg_survival_km",
+    "ts_control_chart_xmr", "text_collocations_pmi",
+    "ts_activity_heatmap_dow_hour", "agg_bootstrap_ci",
+    "sample_time_split", "ts_seasonality_strength",
+    "agg_topk_share", "agg_histogram_equidepth",
+    "dq_missingness_patterns", "agg_trimmed_mean",
+    "agg_behavior_entropy", "ts_latency_percentiles_hourly",
+    "agg_generalized_means", "agg_allocation_by_share",
+    "text_readability_proxy", "basket_lift_rules",
+    "stream_multi_source_union", "agg_net_revenue_retention",
+    "agg_user_active_days_hist", "ts_rsi_indicator",
+    "dedup_containment_pairs", "graph_common_neighbors",
+    "agg_repeat_purchase_rate", "ts_autocorrelation",
+    "dq_json_schema_check", "pii_phone_normalize",
+    "dq_duplicate_payments", "feature_minmax_scale",
     "agg_price_volume_mix", "dq_flatline_detection",
     "scan_highwatermark_incremental", "dq_sequence_gaps",
     "ts_percentile_bands", "pii_consent_filter",
@@ -219,21 +204,20 @@ _R4_QUEUE = (
     "ab_effect_size_cohens_d", "ab_sample_size_estimate",
     "geo_bearing_distance", "agg_rate_wilson_ci",
     "ts_pacing_vs_target", "eval_decile_lift",
-    "ts_cusum_drift", "text_tokenizer_fertility",
-    "join_record_linkage_scored", "scan_multiformat_union",
-    "ts_runs_test", "ts_classical_decompose",
-    "agg_ks_two_sample", "agg_psi_drift",
-    "agg_mutual_information", "fn_feature_hashing",
-    "pipeline_sft_pair_prep", "agg_label_balance_report",
-    "emb_mixup_pairs", "agg_segment_migration",
-    "eval_roc_auc", "eval_calibration_bins",
-    "eval_ndcg_at_k", "emb_nearest_centroid_assign",
-    "ts_trend_ols", "agg_skyline_pareto",
-    "dq_cross_field_rules", "dq_rowcount_anomaly_daily",
-    "ab_two_proportion_ztest", "agg_corr_matrix",
-    "sample_importance_weighted", "agg_token_budget_allocation",
-    "quality_gopher_rules", "dq_sft_format_check",
-    "graph_connected_components", "win_rolling_regression_slope",
+    "text_tokenizer_fertility", "join_record_linkage_scored",
+    "scan_multiformat_union", "ts_runs_test",
+    "ts_classical_decompose", "agg_ks_two_sample",
+    "agg_psi_drift", "agg_mutual_information",
+    "fn_feature_hashing", "pipeline_sft_pair_prep",
+    "agg_label_balance_report", "emb_mixup_pairs",
+    "agg_segment_migration", "eval_roc_auc",
+    "eval_calibration_bins", "eval_ndcg_at_k",
+    "emb_nearest_centroid_assign", "ts_trend_ols",
+    "agg_skyline_pareto", "dq_cross_field_rules",
+    "dq_rowcount_anomaly_daily", "ab_two_proportion_ztest",
+    "agg_corr_matrix", "sample_importance_weighted",
+    "agg_token_budget_allocation", "quality_gopher_rules",
+    "dq_sft_format_check", "win_rolling_regression_slope",
     "eval_mrr_recall_at_k", "eval_brier_score",
     "agg_window_funnel_strict", "ts_burstiness_fano",
     "attribution_position_based", "pipeline_dpo_pair_prep",
@@ -243,87 +227,85 @@ _R4_QUEUE = (
     "emb_pairwise_cosine_hist", "pii_kanon_generalize",
     "join_mark_exists", "text_char_ngram_profile",
     "eval_pr_auc", "agg_funnel_stage_latency",
-    "mm_exif_strip", "text_sentence_stats",
-    "text_bpe_merge_round", "agg_abc_xyz_class",
-    "dq_primary_key_check", "ts_record_highs",
-    "agg_retention_curve_dayn", "graph_adamic_adar",
-    "agg_winsorized_stats", "fn_human_number_parse",
-    "dq_drift_report_multi", "pipeline_corpus_health_report",
-    "feature_standard_scale", "ab_segment_heterogeneity",
-    "ab_difference_in_differences", "agg_price_elasticity",
-    "scan_jsonl_corrupt_capture", "text_template_mining",
-    "sample_epoch_repeat_factors", "emb_product_quantize_lite",
-    "agg_newsvendor_quantile", "ts_interarrival_stats",
-    "sink_manifest_publish", "join_basket_containment",
-    "sample_hard_negatives", "sink_row_hash_audit",
-    "join_nearest_numeric", "agg_slo_burn_rate",
-    "fn_route_pattern_match", "ab_sample_ratio_mismatch",
-    "ab_cuped_adjustment", "sql_group_by_all",
-    "fn_semver_order", "agg_bcg_matrix",
-    "ts_diff_correlation", "ts_compound_growth_index",
-    "agg_reference_percentile_rank", "dq_rare_categories",
-    "ts_twap_daily", "sql_distinct_on",
-    "attribution_shapley_two_channel", "sample_weighted_no_replacement",
-    "ts_markov_steady_state", "fn_iban_mod97",
+    "text_sentence_stats", "text_bpe_merge_round",
+    "agg_abc_xyz_class", "dq_primary_key_check",
+    "ts_record_highs", "agg_retention_curve_dayn",
+    "graph_adamic_adar", "agg_winsorized_stats",
+    "fn_human_number_parse", "dq_drift_report_multi",
+    "pipeline_corpus_health_report", "feature_standard_scale",
+    "ab_segment_heterogeneity", "ab_difference_in_differences",
+    "agg_price_elasticity", "scan_jsonl_corrupt_capture",
+    "text_template_mining", "sample_epoch_repeat_factors",
+    "emb_product_quantize_lite", "agg_newsvendor_quantile",
+    "ts_interarrival_stats", "sink_manifest_publish",
+    "join_basket_containment", "sample_hard_negatives",
+    "sink_row_hash_audit", "join_nearest_numeric",
+    "agg_slo_burn_rate", "fn_route_pattern_match",
+    "ab_sample_ratio_mismatch", "ab_cuped_adjustment",
+    "sql_group_by_all", "fn_semver_order",
+    "agg_bcg_matrix", "ts_diff_correlation",
+    "ts_compound_growth_index", "agg_reference_percentile_rank",
+    "dq_rare_categories", "ts_twap_daily",
+    "sql_distinct_on", "attribution_shapley_two_channel",
+    "sample_weighted_no_replacement", "fn_iban_mod97",
     "eval_cohen_kappa", "text_ocr_normalize",
-    "sim_rrf_fusion", "eval_profit_curve",
-    "text_script_detect", "agg_ar_aging_buckets",
-    "pii_hash_join_integrity", "text_bigram_logprob",
-    "sample_group_kfold", "agg_basket_size_dist",
-    "agg_growth_accounting", "eval_regression_metrics",
-    "agg_churn_risk_recency", "text_intradoc_dedup",
-    "text_trending_tokens", "pipeline_next_token_examples",
-    "eval_fairness_parity", "fn_progressive_brackets",
-    "ts_dominant_period", "scan_glob_subset",
-    "agg_cohort_payback_month", "fn_number_humanize",
-    "agg_stickiness_dau_mau", "ab_mann_whitney_u",
-    "fn_uuid_deterministic", "sample_reservoir_fixed_n",
-    "ts_cross_correlation_lags", "eval_log_loss",
-    "scan_fixed_width", "dedup_minhash_estimate",
-    "agg_anova_oneway", "agg_theil_index",
-    "graph_reciprocity", "graph_assortativity_degree",
-    "text_js_divergence_sources", "emb_isotropy_score",
-    "agg_kendall_tau", "win_weighted_moving_average",
-    "ts_bollinger_bands", "agg_chi_square_gof",
-    "text_hapax_ratio", "fn_fiscal_calendar_445",
-    "fn_slugify", "dq_table_fingerprint",
-    "ts_velocity_acceleration", "agg_runlength_events",
-    "sql_order_by_all", "pii_subject_access_export",
-    "fn_label_encode", "fn_one_hot_encode",
-    "sink_csv_gzip_roundtrip", "sink_parquet_zstd_roundtrip",
-    "agg_atkinson_index", "ts_var_cvar",
-    "emb_kmeans_pp_init", "agg_kmv_cardinality",
-    "agg_entropy_daily", "win_rolling_skewness",
-    "agg_quantile_normalize", "fn_excel_serial_date",
-    "ts_underwater_duration", "eval_expected_calibration_error",
-    "agg_mood_median_test", "agg_capture_recapture",
-    "sample_neyman_allocation", "fn_round_half_even",
-    "agg_poisson_rate_ci", "agg_cohen_h",
-    "win_new_users_cumulative", "sim_threshold_sweep",
-    "text_heaps_law", "agg_recency_decay_score",
-    "pii_small_cell_suppress", "agg_overdispersion_index",
-    "ts_fourier_weekly_fit", "ab_bayesian_shrinkage",
-    "sim_srp_bucket_histogram", "agg_friedman_test",
-    "agg_weighted_median", "geo_tile_quadkey",
-    "scan_csv_dateformat", "ts_theil_sen_slope",
-    "eval_topk_overlap", "dq_benford_second_digit",
-    "win_gap_to_leader", "text_ngram_novelty_rate",
-    "agg_delta_method_ratio_ci", "dedup_blocking_quality",
-    "fn_target_encode", "emb_class_separability",
-    "ts_partial_autocorrelation", "agg_mcnemar_test",
-    "dq_hash_collision_audit", "agg_wilcoxon_signed_rank",
-    "agg_contingency_residuals", "ab_cochran_armitage_trend",
-    "agg_price_endings_profile", "agg_hurst_rescaled_range",
-    "fn_iso_week_boundaries", "graph_k_core_peel",
-    "sample_ipw_ess", "fn_checkdigit_ean13",
-    "dq_penny_drift_audit", "ts_day_percentile_vs_history",
-    "agg_log_return_volatility", "ts_month_seasonal_index",
-    "agg_customer_tenure_dist", "sink_tsv_roundtrip",
-    "agg_hhi_yearly_trend", "eval_f1_threshold_sweep",
-    "eval_mcc_sweep", "graph_clustering_coefficient",
-    "graph_jaccard_neighbors", "feature_robust_scale",
-    "feature_cyclical_encode", "sql_exists_correlated",
-    "sql_values_dim_join", "ts_macd_indicator",
+    "eval_profit_curve", "text_script_detect",
+    "agg_ar_aging_buckets", "pii_hash_join_integrity",
+    "text_bigram_logprob", "sample_group_kfold",
+    "agg_basket_size_dist", "agg_growth_accounting",
+    "eval_regression_metrics", "agg_churn_risk_recency",
+    "text_intradoc_dedup", "text_trending_tokens",
+    "pipeline_next_token_examples", "eval_fairness_parity",
+    "fn_progressive_brackets", "ts_dominant_period",
+    "scan_glob_subset", "agg_cohort_payback_month",
+    "fn_number_humanize", "agg_stickiness_dau_mau",
+    "ab_mann_whitney_u", "fn_uuid_deterministic",
+    "sample_reservoir_fixed_n", "ts_cross_correlation_lags",
+    "eval_log_loss", "scan_fixed_width",
+    "dedup_minhash_estimate", "agg_anova_oneway",
+    "agg_theil_index", "graph_reciprocity",
+    "graph_assortativity_degree", "text_js_divergence_sources",
+    "emb_isotropy_score", "agg_kendall_tau",
+    "win_weighted_moving_average", "ts_bollinger_bands",
+    "agg_chi_square_gof", "text_hapax_ratio",
+    "fn_fiscal_calendar_445", "fn_slugify",
+    "dq_table_fingerprint", "ts_velocity_acceleration",
+    "agg_runlength_events", "sql_order_by_all",
+    "pii_subject_access_export", "fn_label_encode",
+    "fn_one_hot_encode", "sink_csv_gzip_roundtrip",
+    "sink_parquet_zstd_roundtrip", "agg_atkinson_index",
+    "ts_var_cvar", "emb_kmeans_pp_init",
+    "agg_kmv_cardinality", "agg_entropy_daily",
+    "win_rolling_skewness", "agg_quantile_normalize",
+    "fn_excel_serial_date", "ts_underwater_duration",
+    "eval_expected_calibration_error", "agg_mood_median_test",
+    "agg_capture_recapture", "sample_neyman_allocation",
+    "fn_round_half_even", "agg_poisson_rate_ci",
+    "agg_cohen_h", "win_new_users_cumulative",
+    "sim_threshold_sweep", "text_heaps_law",
+    "agg_recency_decay_score", "pii_small_cell_suppress",
+    "agg_overdispersion_index", "ts_fourier_weekly_fit",
+    "ab_bayesian_shrinkage", "sim_srp_bucket_histogram",
+    "agg_friedman_test", "agg_weighted_median",
+    "geo_tile_quadkey", "scan_csv_dateformat",
+    "ts_theil_sen_slope", "eval_topk_overlap",
+    "dq_benford_second_digit", "win_gap_to_leader",
+    "text_ngram_novelty_rate", "agg_delta_method_ratio_ci",
+    "dedup_blocking_quality", "fn_target_encode",
+    "emb_class_separability", "ts_partial_autocorrelation",
+    "agg_mcnemar_test", "dq_hash_collision_audit",
+    "agg_wilcoxon_signed_rank", "agg_contingency_residuals",
+    "ab_cochran_armitage_trend", "agg_price_endings_profile",
+    "agg_hurst_rescaled_range", "fn_iso_week_boundaries",
+    "graph_k_core_peel", "sample_ipw_ess",
+    "fn_checkdigit_ean13", "dq_penny_drift_audit",
+    "ts_day_percentile_vs_history", "agg_log_return_volatility",
+    "ts_month_seasonal_index", "agg_customer_tenure_dist",
+    "sink_tsv_roundtrip", "agg_hhi_yearly_trend",
+    "eval_f1_threshold_sweep", "eval_mcc_sweep",
+    "graph_clustering_coefficient", "graph_jaccard_neighbors",
+    "feature_robust_scale", "feature_cyclical_encode",
+    "sql_exists_correlated", "sql_values_dim_join",
     "ts_stochastic_oscillator", "ts_donchian_breakout",
     "ts_obv_indicator", "agg_cr_concentration",
     "agg_quartile_dispersion", "ts_pivot_points_daily",
@@ -331,56 +313,47 @@ _R4_QUEUE = (
     "pii_generalize_timestamp", "text_shingle_jaccard_langs",
     "win_session_position", "join_temporal_validity_intersect",
     "dq_timeliness_lag_profile", "agg_interpurchase_time_cv",
-    "agg_weekday_weekend_split", "ts_holt_linear_smoothing",
-    "emb_centroid_drift_report", "join_late_arriving_dim",
-    "win_views_per_purchase", "stream_windowed_topk",
-    "profile_temporal_coverage", "agg_share_of_parent_hierarchy",
-    "agg_littles_law_check", "text_vocab_coverage_topk",
-    "ts_week_over_week_same_dow", "agg_adstock_decay_correlation",
+    "agg_weekday_weekend_split", "emb_centroid_drift_report",
+    "join_late_arriving_dim", "win_views_per_purchase",
+    "stream_windowed_topk", "profile_temporal_coverage",
+    "agg_share_of_parent_hierarchy", "agg_littles_law_check",
+    "text_vocab_coverage_topk", "ts_week_over_week_same_dow",
     "agg_next_basket_pairs", "sink_parquet_bloom_roundtrip",
     "ts_intraday_volume_curve", "dq_schema_contract_check",
     "ts_timezone_shift_report", "agg_reorder_point_calc",
-    "ts_apdex_score", "attribution_markov_removal",
-    "udf_pandas_grouped_forecast", "attribution_time_decay",
-    "stream_alert_episodes", "dq_split_leakage_check",
-    "agg_forecast_reconciliation_topdown", "text_bm25_topk",
-    "emb_matryoshka_truncation_quality", "sim_hybrid_weighted_fusion",
-    "pipeline_rag_context_pack", "agg_price_index_laspeyres",
-    "join_match_waterfall", "cdc_scd2_apply_batch",
-    "dq_scd2_interval_audit", "agg_queueing_mm1_metrics",
-    "ab_sequential_obf", "sql_named_window_clause",
-    "ts_effective_sample_size", "ts_seasonal_adjustment_dow",
-    "agg_hill_tail_index", "dq_manifest_orphan_audit",
-    "agg_margin_waterfall", "eval_offpolicy_ips",
-    "join_fx_asof_convert", "dq_balance_reconciliation_three_way",
-    "agg_repeat_rate_by_first_value", "agg_unit_economics_summary",
-    "pii_l_diversity_check", "profile_candidate_keys",
-    "sample_pps_systematic", "emb_hubness_topk",
-    "fn_largest_remainder_allocation", "agg_demand_intermittency_sbc",
-    "text_mattr_lexical_diversity", "dq_benford_mad_conformity",
-    "pii_kanon_utility_curve", "ab_interaction_check",
-    "ts_load_duration_curve", "ts_forecaster_bakeoff",
-    "agg_dso_days_sales_outstanding", "eval_qini_uplift_curve",
-    "dq_join_fanout_estimate", "text_blocklist_screen",
-    "dq_survivorship_bias_probe", "ab_mde_current_power",
-    "ts_calendarized_run_rate", "scan_delimiter_sniff",
-    "dq_fx_triangulation_audit", "ab_bucketing_uniformity",
-    "eval_langid_confusion", "emb_mean_pooling_tokens",
-    "ts_peak_dow_shift", "fn_month_boundary_features",
-    "ab_itt_vs_perprotocol", "agg_month_end_lift",
-    "dq_event_order_audit", "agg_discount_response_curve",
-    "dq_doc_embedding_coverage", "agg_dormant_skus",
-    "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
-    "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
-    "agg_return_rate_drivers", "agg_supplier_concentration_tiers",
-    "eval_rec_catalog_coverage", "ts_event_study_window",
-    "ab_days_to_power", "ts_daily_health_score",
-    # --- round-5 in-session additions (arrival order) ---
-    "text_watermark_greenlist_score", "ts_ar1_forecast_backtest",
-    "ts_sharpe_sortino_daily", "agg_eoq_order_quantity",
-    "sample_temperature_mixture", "text_code_detect_heuristic",
-    "ts_token_bucket_throttle", "agg_inventory_turns_gmroi",
-    "ts_holt_winters_additive", "ts_hampel_despike",
+    "ts_apdex_score", "udf_pandas_grouped_forecast",
+    "attribution_time_decay", "stream_alert_episodes",
+    "dq_split_leakage_check", "agg_forecast_reconciliation_topdown",
+    "agg_price_index_laspeyres", "join_match_waterfall",
+    "cdc_scd2_apply_batch", "dq_scd2_interval_audit",
+    "agg_queueing_mm1_metrics", "ab_sequential_obf",
+    "sql_named_window_clause", "ts_effective_sample_size",
+    "ts_seasonal_adjustment_dow", "agg_hill_tail_index",
+    "dq_manifest_orphan_audit", "agg_margin_waterfall",
+    "eval_offpolicy_ips", "join_fx_asof_convert",
+    "dq_balance_reconciliation_three_way", "agg_repeat_rate_by_first_value",
+    "agg_unit_economics_summary", "pii_l_diversity_check",
+    "profile_candidate_keys", "sample_pps_systematic",
+    "emb_hubness_topk", "fn_largest_remainder_allocation",
+    "agg_demand_intermittency_sbc", "text_mattr_lexical_diversity",
+    "dq_benford_mad_conformity", "pii_kanon_utility_curve",
+    "ab_interaction_check", "ts_load_duration_curve",
+    "ts_forecaster_bakeoff", "agg_dso_days_sales_outstanding",
+    "eval_qini_uplift_curve", "dq_join_fanout_estimate",
+    "text_blocklist_screen", "dq_survivorship_bias_probe",
+    "ab_mde_current_power", "ts_calendarized_run_rate",
+    "scan_delimiter_sniff", "dq_fx_triangulation_audit",
+    "ab_bucketing_uniformity", "eval_langid_confusion",
+    "emb_mean_pooling_tokens", "ts_peak_dow_shift",
+    "fn_month_boundary_features", "ab_itt_vs_perprotocol",
+    "agg_month_end_lift", "dq_event_order_audit",
+    "agg_discount_response_curve", "dq_doc_embedding_coverage",
+    "agg_dormant_skus", "agg_time_to_nth_purchase",
+    "dq_cdc_scd2_consistency", "agg_mixed_discount_baskets",
+    "agg_cart_abandonment_by_dow", "agg_return_rate_drivers",
+    "agg_supplier_concentration_tiers", "eval_rec_catalog_coverage",
+    "ts_event_study_window", "ab_days_to_power",
+    "ts_daily_health_score",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
@@ -508,7 +481,32 @@ _R04_VERIFIED = frozenset(
 )
 
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
+# The 50 ops the driver sampled green in round 5 (CORRECTNESS_r05 keys —
+# 49 hash-pass + 1 rows-only by design) — parked at the tail.
+_R05_VERIFIED = frozenset(
+    {
+        "agg_approx_percentile", "agg_approx_topk", "agg_bitmap_distinct",
+        "agg_higher_moments", "agg_histogram", "agg_listagg",
+        "agg_mad_outliers", "agg_mode", "agg_observe_metrics",
+        "agg_weighted_avg", "fn_bitpack_key", "fn_bitwise",
+        "fn_collation", "fn_explode", "fn_fuzzy",
+        "fn_interval", "fn_regex", "fn_struct",
+        "fn_surrogate_key", "fn_try_safe", "fn_url",
+        "fn_xml", "join_asof_forward", "join_asof_nearest",
+        "join_asof_tolerance", "join_bloom_runtime_filter", "join_fuzzy_blocked",
+        "join_null_safe_keys", "join_range_binned", "join_skew_aqe",
+        "pii_encrypt_roundtrip", "pii_noisy_count_laplace", "profile_key_skew",
+        "profile_table", "scan_binary_files", "scan_file_metadata",
+        "scan_recursive_dir", "sink_compact_small_files", "sink_csv_quoted_multiline",
+        "sink_dynamic_partition_overwrite", "sink_jsonl_sharded", "sink_sorted_skip",
+        "ts_ewma", "ts_rollup_multi", "ts_seasonality_dow",
+        "ts_zscore_outliers", "win_pct_change", "win_rank_salted",
+        "win_running_distinct", "win_time_range",
+    }
+)
+
+
+_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
 
 
 def _ordered_names() -> list[str]:

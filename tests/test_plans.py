@@ -691,3 +691,108 @@ def test_scd2_apply_batch_equi_joins_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- r05 VERDICT item 5: plan pins for the round-5 ops ----------------------
+#
+# The fold-based r5 ops all read a full-width fact table (orders / lineitem /
+# events / documents); each pins the "collapse first, fold JVM-side" shape:
+# no row-at-a-time or Pandas Python evaluation in the plan, facts aggregated
+# before any window/fold, scalar statistics bound by 1-row broadcasts, and
+# dimension joins broadcast — the properties that keep them linear at 100 TB.
+
+_PY_EVAL_NODES = (
+    "BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+    "MapInPandas", "FlatMapCoGroupsInPandas",
+)
+
+
+def _assert_jvm_only(plan: str, name: str) -> None:
+    for node in _PY_EVAL_NODES:
+        assert node not in plan, f"{name}: Python evaluation node {node} in plan"
+
+
+def test_token_bucket_single_user_exchange_jvm_fold(spark, sf_dir):
+    """ts_token_bucket_throttle: one hashpartitioning exchange on user_id,
+    then the bucket recurrence folds per-user structs inside JVM codegen —
+    no join, no Python UDF, no second shuffle."""
+    import re
+
+    plan = explain_str(REGISTRY["ts_token_bucket_throttle"].fn(spark, sf_dir))
+    _assert_jvm_only(plan, "ts_token_bucket_throttle")
+    assert "Join" not in plan
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges and all("user_id" in e for e in exchanges), exchanges
+
+
+def test_daily_axis_fold_ops_collapse_first(spark, sf_dir):
+    """The r5 daily-axis ops (AR(1) backtest, Sharpe/Sortino, Holt-Winters,
+    Hampel) must collapse orders to the |days| axis map-side BEFORE any
+    window/fold: partial HashAggregate present, any join is a broadcast
+    scalar bind (never sort-merge / cartesian), all folds JVM-side."""
+    for name in (
+        "ts_ar1_forecast_backtest",
+        "ts_sharpe_sortino_daily",
+        "ts_holt_winters_additive",
+        "ts_hampel_despike",
+    ):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+        _assert_jvm_only(plan, name)
+        assert "HashAggregate" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if "Window" in plan:
+            # formatted explain prints top-down: a HashAggregate (the daily
+            # collapse) must sit BELOW the Window — the window never runs
+            # directly over the raw fact scan.  (A further aggregate above
+            # the window, e.g. the AR(1) moment sums, is fine.)
+            assert "HashAggregate" in plan[plan.index("Window"):], name
+
+
+def test_eoq_broadcasts_part_and_span(spark, sf_dir):
+    """agg_eoq_order_quantity: part is a broadcast dim join, the day-span
+    statistic a 1-row broadcast bind — the lineitem side never sort-merge
+    shuffles against either."""
+    plan = explain_str(REGISTRY["agg_eoq_order_quantity"].fn(spark, sf_dir))
+    _assert_jvm_only(plan, "agg_eoq_order_quantity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one 1-row span bind; formatted explain prints the node twice
+    # (tree line + details header)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_inventory_turns_fact_join_broadcast(spark, sf_dir):
+    """agg_inventory_turns_gmroi: the full-width lineitem⋈part join is
+    broadcast (part is the dim side); the later brand-axis joins run on
+    ≤|brands| aggregated rows, so any strategy is scale-free — but the
+    plan must never degenerate to a cartesian product."""
+    plan = explain_str(REGISTRY["agg_inventory_turns_gmroi"].fn(spark, sf_dir))
+    _assert_jvm_only(plan, "agg_inventory_turns_gmroi")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_document_scoring_ops_are_narrow(spark, sf_dir):
+    """text_watermark_greenlist_score / text_code_detect_heuristic walk
+    each document's tokens inside one JVM projection — no Python UDF and
+    no join of the full-width documents table (scalar binds excepted)."""
+    for name in ("text_watermark_greenlist_score", "text_code_detect_heuristic"):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_dir))
+        _assert_jvm_only(plan, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_temperature_mixture_broadcast_binds_only(spark, sf_dir):
+    """sample_temperature_mixture: one source-keyed groupBy then two 1-row
+    broadcast binds (total count, temperature-mass denominator) — never a
+    shuffle join on the aggregated axis."""
+    plan = explain_str(REGISTRY["sample_temperature_mixture"].fn(spark, sf_dir))
+    _assert_jvm_only(plan, "sample_temperature_mixture")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # three 1-row binds (total count, temperature mass, epoch base), each
+    # printed twice by formatted explain — never a data-scale nested loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 6

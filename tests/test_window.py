@@ -35,6 +35,11 @@ ROWS_ONLY_BY_DESIGN = {
     "quality_train_score",  # MLlib LR scores; no closed-form SQL oracle
     # r5 window addition:
     "agg_approx_percentile",  # approx_percentile sketch; property-tested
+    # r6 window additions — approximate/model-backed by design:
+    "sim_knn_join_topk",  # ANN-tier knn join; recall property-tested vs brute
+    "sim_ann_ivf",        # IVF buckets from trained centroids; recall-tested
+    "emb_pca_project",    # power-iteration PCA basis; variance property-tested
+    "mm_phash_dedup",     # perceptual-hash bands over the fake decoder
 }
 
 
