@@ -334,6 +334,110 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scan_python_datasource_pushdown",
+    oracle="""
+    SELECT i AS id,
+           CAST(i % 8 AS INT) AS part,
+           md5(CAST(i AS VARCHAR)) AS payload
+    FROM range(0, 10000) t(i)
+    WHERE i % 8 = 3 AND i >= 2000 AND i < 9000
+    """,
+)
+def scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pushdown INTO a Python Data Source (Spark 4.1
+    ``DataSourceReader.pushFilters``): the connector receives the query's
+    conjunctive filters at planning time, claims the ones it can evaluate
+    natively — ``part = k`` prunes input splits in ``partitions()``, the
+    ``id`` range bounds each split's generator in ``read()`` — and
+    returns the rest for Spark to re-apply.  This is the API a database /
+    REST / index-backed connector uses so a selective query never
+    materializes the full source.
+
+    The op queries the synthetic (id, part, md5(id)) source of
+    scan_python_datasource with ``part = 3 AND 2000 <= id < 9000``; with
+    pushdown the scan plans ONE input split generating 875 rows instead
+    of 8 splits × 10 000 rows (plan-asserted in tests/test_plans.py:
+    PushedFilters lists all three, one source partition).  Correctness
+    does not depend on the conf: unclaimed filters are Spark's to apply,
+    so the result is identical either way — only the scanned volume
+    changes.
+
+    100 TB design: pushFilters is the difference between "scan the
+    source and filter" and "ask the source for the slice" — split-level
+    pruning (partitions()) scales the task count with selectivity, and
+    generator bounds (read()) cap per-task I/O; both happen before any
+    row reaches Spark."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
+
+    n_rows, n_parts = 10_000, 8
+
+    class PushdownReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", n_rows))
+            self.parts = int(options.get("parts", n_parts))
+            self.part_eq: int | None = None
+            self.id_lo, self.id_hi = 0, self.rows
+
+        def pushFilters(self, filters):
+            # Claim part-equality (split pruning) and id bounds (generator
+            # bounds); yield everything else back as residual.  Contract:
+            # returned filters must be the input objects by reference.
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("part",):
+                    self.part_eq = int(f.value)
+                elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("id",):
+                    self.id_lo = max(self.id_lo, int(f.value))
+                elif isinstance(f, LessThan) and f.attribute == ("id",):
+                    self.id_hi = min(self.id_hi, int(f.value))
+                else:
+                    yield f
+
+        def partitions(self):
+            ps = range(self.parts) if self.part_eq is None else [self.part_eq]
+            return [InputPartition(p) for p in ps]
+
+        def read(self, partition):
+            import hashlib
+
+            p = partition.value
+            start = self.id_lo + ((p - self.id_lo) % self.parts)
+            for i in range(start, self.id_hi, self.parts):
+                yield i, p, hashlib.md5(str(i).encode()).hexdigest()
+
+    class PushdownDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synpush"
+
+        def schema(self):
+            return "id bigint, part int, payload string"
+
+        def reader(self, schema):
+            return PushdownReader(self.options)
+
+    # Python-source pushdown is opt-in (4.1 default off); per-source only —
+    # sources that don't override pushFilters keep identical plans.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PushdownDataSource)
+    return (
+        spark.read.format("synpush")
+        .option("rows", str(n_rows))
+        .option("parts", str(n_parts))
+        .load()
+        .filter(
+            (F.col("part") == 3) & (F.col("id") >= 2000) & (F.col("id") < 9000)
+        )
+    )
+
+
 # --- JSON-lines Python Data Source sink (module-level so the two-phase
 # task-commit protocol is unit-testable; regression tests in
 # tests/test_edge_cases.py cover commit([.., None]) from empty/failed

@@ -354,6 +354,8 @@ _R4_QUEUE = (
     "agg_supplier_concentration_tiers", "eval_rec_catalog_coverage",
     "ts_event_study_window", "ab_days_to_power",
     "ts_daily_health_score",
+    # --- round-6 in-session additions (arrival order) ---
+    "scan_python_datasource_pushdown",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

@@ -796,3 +796,17 @@ def test_temperature_mixture_broadcast_binds_only(spark, sf_dir):
     # three 1-row binds (total count, temperature mass, epoch base), each
     # printed twice by formatted explain — never a data-scale nested loop
     assert plan.count("BroadcastNestedLoopJoin") <= 6
+
+
+def test_python_datasource_pushdown_prunes_splits(spark, sf_dir):
+    """scan_python_datasource_pushdown: all three filters reach the Python
+    source (PushedFilters in the scan node) and split pruning holds — the
+    scan plans exactly ONE input partition (part = 3) instead of 8."""
+    df = REGISTRY["scan_python_datasource_pushdown"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = pushed[0]
+    for frag in ("EqualTo(part,3)", "GreaterThanOrEqual(id,2000)", "LessThan(id,9000)"):
+        assert frag in line, line
+    assert df.rdd.getNumPartitions() == 1
