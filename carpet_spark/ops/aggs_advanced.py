@@ -3444,8 +3444,8 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.n,
            round(SUM((p.cents * 1.0 / t.s)
-                     * ln(p.cents * 1.0 / t.s * t.n)), 6) AS theil_t,
-           round(-SUM(ln(p.cents * 1.0 / t.s * t.n)) / t.n, 6) AS theil_l
+                     * ln(p.cents * 1.0 / t.s * t.n)), 6) + 0.0 AS theil_t,
+           round(-SUM(ln(p.cents * 1.0 / t.s * t.n)) / t.n, 6) + 0.0 AS theil_l
     FROM per p CROSS JOIN tot t
     WHERE p.cents > 0
     GROUP BY t.n
@@ -3482,10 +3482,17 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         per.crossJoin(F.broadcast(tot))
         .groupBy("n")
         .agg(
-            F.round(F.sum(share * F.log(share * F.col("n"))), 6).alias("theil_t"),
-            F.round(-F.sum(F.log(share * F.col("n"))) / F.col("n").cast("double"), 6).alias(
-                "theil_l"
+            # + 0.0 canonicalizes IEEE -0.0 (a perfectly equal distribution
+            # rounds to ±0.0 differently per engine — degenerate-sweep find)
+            (F.round(F.sum(share * F.log(share * F.col("n"))), 6) + 0.0).alias(
+                "theil_t"
             ),
+            (
+                F.round(
+                    -F.sum(F.log(share * F.col("n"))) / F.col("n").cast("double"), 6
+                )
+                + 0.0
+            ).alias("theil_l"),
         )
         .select("n", "theil_t", "theil_l")
     )

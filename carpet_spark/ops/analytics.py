@@ -4441,10 +4441,10 @@ def agg_runlength_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT d, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY d)
     SELECT t.d, t.n AS n_events,
-           round(-SUM((c.cnt * 1.0 / t.n) * ln(c.cnt * 1.0 / t.n)), 6)
+           round(-SUM((c.cnt * 1.0 / t.n) * ln(c.cnt * 1.0 / t.n)), 6) + 0.0
              AS entropy_nats,
            round(-SUM((c.cnt * 1.0 / t.n) * ln(c.cnt * 1.0 / t.n))
-                 / ln(5.0), 6) AS entropy_norm
+                 / ln(5.0), 6) + 0.0 AS entropy_norm
     FROM c JOIN tot t ON t.d = c.d
     GROUP BY t.d, t.n
     """,
@@ -4471,8 +4471,10 @@ def agg_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(tot), "d")
         .groupBy("d", "n")
         .agg(
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
-            F.round(-F.sum(p * F.log(p)) / F.log(F.lit(5.0)), 6).alias(
+            # + 0.0 canonicalizes IEEE -0.0 (a one-type day has entropy
+            # -1·ln(1) = -0.0 on one engine — degenerate-sweep find)
+            (F.round(-F.sum(p * F.log(p)), 6) + 0.0).alias("entropy_nats"),
+            (F.round(-F.sum(p * F.log(p)) / F.log(F.lit(5.0)), 6) + 0.0).alias(
                 "entropy_norm"
             ),
         )

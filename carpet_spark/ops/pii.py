@@ -503,8 +503,15 @@ def pii_consent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kept.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_kept"))
-        .join(dropped, "event_type")
-        .select("event_type", "n_kept", "n_dropped")
+        # LEFT join + 0-fill: an event type with nothing dropped must still
+        # report n_dropped = 0, not vanish from the audit (degenerate-sweep
+        # find: an inner join here loses every fully-consented type)
+        .join(dropped, "event_type", "left")
+        .select(
+            "event_type",
+            "n_kept",
+            F.coalesce("n_dropped", F.lit(0).cast("long")).alias("n_dropped"),
+        )
     )
 
 

@@ -1087,8 +1087,21 @@ def scan_jsonl_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     label = F.when(F.col("_bad").isNotNull(), "_corrupt").otherwise(
         F.col("lang")
     )
-    return parsed.groupBy(label.alias("lang")).agg(
-        F.count(F.lit(1)).alias("n")
+    counts = parsed.groupBy(label.alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # The '_corrupt' bucket must exist even when NOTHING is corrupt (the
+    # dead-letter queue reports 0, it doesn't vanish — degenerate-sweep
+    # find, and what the oracle's ungrouped COUNT(*) branch always emits):
+    # union a 0-row and re-aggregate, which is a no-op when the bucket is
+    # already populated.
+    zero = spark.range(1).select(
+        F.lit("_corrupt").alias("lang"), F.lit(0).cast("long").alias("n")
+    )
+    return (
+        counts.unionByName(zero)
+        .groupBy("lang")
+        .agg(F.sum("n").cast("long").alias("n"))
     )
 
 

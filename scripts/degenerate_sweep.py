@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Degenerate-fixture parity sweep (r6): the latent-bug hunter for the
+class the r5 advisor caught twice (ts_sharpe_sortino_daily with no
+downside days, ts_ar1_forecast_backtest on a constant series).
+
+Full-SF parity proves Spark == DuckDB only on branches the fixture
+POPULATES.  This sweep re-runs every hash-oracled op on a purpose-built
+degenerate dataset where the unpopulated branches fire:
+
+- orders: one day, one constant price (zero variance, single-point axes,
+  n-1 = 0 for anything daily);
+- lineitem: one shipdate, constant quantity/price/discount, one flag;
+- events: one user, one event_type (no purchases/signups -> empty
+  subpopulations), constant value, one day;
+- documents: two IDENTICAL tiny docs (full-duplicate corpus, one token
+  type, zero diversity);
+- embeddings: a ZERO vector + constant vectors (zero norms, zero
+  variance);
+- dimensions collapsed to single groups (one region, one brand...).
+
+An op that crashes, or whose engines disagree, here has a latent
+divergence a real corpus WILL eventually hit (empty segment, flat
+series, all-dup shard).  Cross-engine rule under test: Spark non-ANSI
+x/0 = NULL vs DuckDB IEEE inf/nan, log(0), empty-aggregate NULLs, etc.
+
+Usage: python scripts/degenerate_sweep.py [--only op1,op2]
+Writes the fixture under /tmp and prints PASS/DIVERGE/ERROR per op plus
+a summary; exits 0 always (it is a survey, not a gate).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIX = "/tmp/carpet_degenerate_fixture"
+
+
+def build_fixture() -> str:
+    os.makedirs(FIX, exist_ok=True)
+    D = dt.datetime(1996, 6, 15)          # inside every TPC-H date cut
+    E = dt.datetime(2024, 1, 5, 12, 0, 0)  # inside the events month
+
+    def write(name, cols, schema):
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), f"{FIX}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0], "r_name": ["AMERICA"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1], "n_name": ["BRAZIL", "CANADA"], "n_regionkey": [0, 0]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()), ("n_regionkey", pa.int32())])
+    write("customer",
+          {"c_custkey": [1, 2, 3], "c_name": ["Customer#1"] * 3,
+           "c_nationkey": [0, 0, 0], "c_acctbal": [100.0] * 3,
+           "c_mktsegment": ["BUILDING"] * 3},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1, 2], "s_name": ["Supplier#1", "Supplier#2"],
+           "s_nationkey": [0, 1], "s_acctbal": [50.0, 50.0]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1, 2, 3], "p_name": ["green part"] * 3,
+           "p_brand": ["Brand#11"] * 3, "p_type": ["ECONOMY BRASS"] * 3,
+           "p_size": [10, 10, 10], "p_retailprice": [900.0] * 3},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    n_orders = 6
+    write("orders",
+          {"o_orderkey": list(range(1, n_orders + 1)),
+           "o_custkey": [1, 1, 2, 2, 3, 3],
+           "o_orderstatus": ["F"] * n_orders,
+           "o_totalprice": [1000.0] * n_orders,       # CONSTANT series
+           "o_orderdate": [D] * n_orders,             # ONE day
+           "o_orderpriority": ["3-MEDIUM"] * n_orders},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
+    n_li = 6
+    write("lineitem",
+          {"l_orderkey": [1, 1, 2, 3, 4, 5],
+           "l_partkey": [1, 2, 1, 2, 3, 3],
+           "l_suppkey": [1, 2, 1, 2, 1, 2],
+           "l_linenumber": [1, 2, 1, 1, 1, 1],
+           "l_quantity": [5.0] * n_li,                 # constant
+           "l_extendedprice": [500.0] * n_li,
+           "l_discount": [0.0] * n_li,                 # zero discount
+           "l_tax": [0.0] * n_li,
+           "l_returnflag": ["N"] * n_li,               # one flag
+           "l_linestatus": ["O"] * n_li,
+           "l_shipdate": [D] * n_li},                  # ONE day
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    n_ev = 3
+    write("events",
+          {"event_id": [1, 2, 3],
+           "ts": [E, E + dt.timedelta(minutes=1), E + dt.timedelta(minutes=2)],
+           "user_id": [7, 7, 7],                       # ONE user
+           "event_type": ["click"] * n_ev,             # no purchase/signup/view
+           "value": [10.0] * n_ev,                     # constant
+           "props": ['{"k": 1}'] * n_ev},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    text = "alpha alpha alpha"
+    write("documents",
+          {"doc_id": [1, 2], "text": [text, text],     # identical docs
+           "lang": ["en", "en"], "source": ["src0", "src0"],
+           "n_chars": [len(text)] * 2},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    dim = 64
+    write("embeddings",
+          {"vec_id": [1, 2], "embedding": [[0.0] * dim, [0.5] * dim],  # zero norm
+           "label": [0, 0]},
+          [("vec_id", pa.int64()),
+           ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return FIX
+
+
+def main() -> None:
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+
+    fix = build_fixture()
+    from carpet_spark.registry import REGISTRY
+    from carpet_spark.session import get_spark
+    from carpet_spark.testing import compare, duck_connect
+
+    spark = get_spark("degenerate_sweep")
+    con = duck_connect(fix)
+
+    names = sorted(n for n, op in REGISTRY.items() if op.oracle is not None)
+    if only:
+        names = [n for n in names if n in only]
+    passed, diverged, errored = [], [], []
+    for n in names:
+        op = REGISTRY[n]
+        try:
+            compare(op.fn(spark, fix), con, op.oracle, name=n)
+            passed.append(n)
+            print(f"PASS     {n}", flush=True)
+        except AssertionError as e:
+            diverged.append(n)
+            print(f"DIVERGE  {n}: {str(e)[:400]}", flush=True)
+        except Exception as e:  # noqa: BLE001 — crashes are findings too
+            errored.append(n)
+            msg = traceback.format_exception_only(type(e), e)[-1].strip()
+            print(f"ERROR    {n}: {msg[:300]}", flush=True)
+    print(f"\nSUMMARY: {len(passed)} pass, {len(diverged)} diverge, "
+          f"{len(errored)} error out of {len(names)}")
+    if diverged:
+        print("DIVERGED:", ",".join(diverged))
+    if errored:
+        print("ERRORED:", ",".join(errored))
+
+
+if __name__ == "__main__":
+    main()
