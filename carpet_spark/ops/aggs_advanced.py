@@ -4832,8 +4832,9 @@ def agg_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nt, kt,
            round((ssk - kt * 1.0 * ssn / nt)
-                 / sqrt((kt * 1.0 / nt) * (1 - kt * 1.0 / nt)
-                        * (ss2n - ssn * 1.0 * ssn / nt)), 6) AS trend_z
+                 / NULLIF(sqrt((kt * 1.0 / nt) * (1 - kt * 1.0 / nt)
+                               * (ss2n - ssn * 1.0 * ssn / nt)), 0), 6)
+             AS trend_z
     FROM m
     """,
 )
@@ -4874,7 +4875,12 @@ def ab_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1 - p)
         * (F.col("ss2n") - F.col("ssn") * F.lit(1.0) * F.col("ssn") / F.col("nt"))
     )
-    return m.select("nt", "kt", F.round(num / den, 6).alias("trend_z"))
+    # NULLIF guard (degenerate sweep): a saturated rate (p̄ ∈ {0,1}) or a
+    # single dose level zeroes the denominator — ANSI Spark would throw,
+    # DuckDB would emit inf; both sides now agree on NULL.
+    return m.select(
+        "nt", "kt", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("trend_z")
+    )
 
 
 @register(

@@ -3056,11 +3056,11 @@ def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((sv_a / CAST(n_a AS DOUBLE) - sv_b / CAST(n_b AS DOUBLE))
                  / 1000000.0, 6) AS diff,
            round((sv_a / CAST(n_a AS DOUBLE) - sv_b / CAST(n_b AS DOUBLE))
-                 / sqrt(
+                 / NULLIF(sqrt(
                    (n_a * CAST(sv2_a AS DOUBLE) - CAST(sv_a AS DOUBLE) * sv_a)
-                     / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+                     / (CAST(n_a AS DOUBLE) * NULLIF(n_a - 1, 0)) / n_a
                    + (n_b * CAST(sv2_b AS DOUBLE) - CAST(sv_b AS DOUBLE) * sv_b)
-                     / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b), 6)
+                     / (CAST(n_b AS DOUBLE) * NULLIF(n_b - 1, 0)) / n_b), 0), 6)
              AS welch_z
     FROM wide
     """,
@@ -3110,13 +3110,19 @@ def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_a = F.col("sv_a") / F.col("n_a").cast("double")
     mean_b = F.col("sv_b") / F.col("n_b").cast("double")
 
+    # NULLIF guards (degenerate sweep): a 1-order or zero-variance segment
+    # zeroes (n−1) or the pooled s.e. — ANSI Spark throws, DuckDB infs;
+    # both sides now agree on NULL.
     def var_over_n(n, sv, sv2):
         return (
             (
                 F.col(n) * F.col(sv2).cast("double")
                 - F.col(sv).cast("double") * F.col(sv)
             )
-            / (F.col(n).cast("double") * (F.col(n) - 1))
+            / (
+                F.col(n).cast("double")
+                * F.nullif((F.col(n) - 1).cast("double"), F.lit(0.0))
+            )
             / F.col(n)
         )
 
@@ -3129,9 +3135,12 @@ def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean_a - mean_b) / 1000000.0, 6).alias("diff"),
         F.round(
             (mean_a - mean_b)
-            / F.sqrt(
-                var_over_n("n_a", "sv_a", "sv2_a")
-                + var_over_n("n_b", "sv_b", "sv2_b")
+            / F.nullif(
+                F.sqrt(
+                    var_over_n("n_a", "sv_a", "sv2_a")
+                    + var_over_n("n_b", "sv_b", "sv2_b")
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("welch_z"),
@@ -3422,13 +3431,13 @@ def ab_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     th AS (
       SELECT n, sx, sy,
              (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               / NULLIF(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx, 0)
                AS theta,
              (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)
-               / (CAST(n AS DOUBLE) * (n - 1)) AS var_post,
+               / (CAST(n AS DOUBLE) * NULLIF(n - 1, 0)) AS var_post,
              (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-               / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+               / NULLIF(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                      * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 0)
                AS rho
       FROM mom
     )
@@ -3479,9 +3488,13 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
     varx_n = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx")
     vary_n = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy")
-    theta = cov_n / varx_n
-    var_post = vary_n / (n.cast("double") * (n - 1))
-    rho = cov_n / F.sqrt(varx_n * vary_n)
+    # NULLIF guards (degenerate sweep): a constant pre- or post-period
+    # zeroes var(pre)/var(post) and n=1 zeroes (n−1) — both sides NULL.
+    theta = cov_n / F.nullif(varx_n, F.lit(0.0))
+    var_post = vary_n / (
+        n.cast("double") * F.nullif((n - 1).cast("double"), F.lit(0.0))
+    )
+    rho = cov_n / F.nullif(F.sqrt(varx_n * vary_n), F.lit(0.0))
     return mom.select(
         "n",
         F.round(theta, 6).alias("theta"),
@@ -4282,11 +4295,11 @@ def agg_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.sum_t3_t,
            round(
              ((s.ra2 - s.n_a * (s.n_a + 1)) / 2.0 - s.n_a * s.n_b / 2.0)
-             / sqrt(s.n_a * s.n_b / 12.0
+             / NULLIF(sqrt(s.n_a * s.n_b / 12.0
                     * ((s.n_a + s.n_b + 1)
                        - CAST(t.sum_t3_t AS DOUBLE)
-                         / ((s.n_a + s.n_b)
-                            * (s.n_a + s.n_b - 1.0)))),
+                         / NULLIF((s.n_a + s.n_b)
+                            * (s.n_a + s.n_b - 1.0), 0))), 0),
              6) AS z
     FROM sums s CROSS JOIN ties t
     """,
@@ -4342,11 +4355,14 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = sums.crossJoin(F.broadcast(ties))
     u_a = (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1)) / F.lit(2.0)
     n_tot = F.col("n_a") + F.col("n_b")
+    # NULLIF guards (degenerate sweep): an empty arm (n_a·n_b = 0) or a
+    # one-row pool (N(N−1) = 0) zeroes sigma — both sides agree on NULL.
     sigma = F.sqrt(
         F.col("n_a") * F.col("n_b") / F.lit(12.0)
         * (
             (n_tot + 1)
-            - F.col("sum_t3_t").cast("double") / (n_tot * (n_tot - F.lit(1.0)))
+            - F.col("sum_t3_t").cast("double")
+            / F.nullif(n_tot * (n_tot - F.lit(1.0)), F.lit(0.0))
         )
     )
     return j.select(
@@ -4355,9 +4371,11 @@ def ab_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_a.alias("u_a"),
         (F.col("n_a") * F.col("n_b") - u_a).alias("u_b"),
         "sum_t3_t",
-        F.round((u_a - F.col("n_a") * F.col("n_b") / F.lit(2.0)) / sigma, 6).alias(
-            "z"
-        ),
+        F.round(
+            (u_a - F.col("n_a") * F.col("n_b") / F.lit(2.0))
+            / F.nullif(sigma, F.lit(0.0)),
+            6,
+        ).alias("z"),
     )
 
 
@@ -6686,13 +6704,13 @@ def eval_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((1.959964 + 0.841621)
                  * sqrt(conv / CAST(n AS DOUBLE)
                         * (1.0 - conv / CAST(n AS DOUBLE))
-                        * (1.0 / na + 1.0 / nb)), 6)
+                        * (1.0 / NULLIF(na, 0) + 1.0 / NULLIF(nb, 0))), 6)
              AS mde_absolute,
            round((1.959964 + 0.841621)
                  * sqrt(conv / CAST(n AS DOUBLE)
                         * (1.0 - conv / CAST(n AS DOUBLE))
-                        * (1.0 / na + 1.0 / nb))
-                 / (conv / CAST(n AS DOUBLE)), 6) AS mde_relative
+                        * (1.0 / NULLIF(na, 0) + 1.0 / NULLIF(nb, 0)))
+                 / NULLIF(conv / CAST(n AS DOUBLE), 0), 6) AS mde_relative
     FROM arms
     """,
 )
@@ -6728,15 +6746,22 @@ def ab_mde_current_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("long").alias("conv"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+    # NULLIF guards (degenerate sweep): an empty arm zeroes 1/nₐ or 1/n_b
+    # and zero conversions zero the relative base — both sides NULL.
     p = F.col("conv") / F.col("n").cast("double")
     mde = (F.lit(1.959964) + 0.841621) * F.sqrt(
-        p * (F.lit(1.0) - p) * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / F.nullif(F.col("na").cast("double"), F.lit(0.0))
+            + F.lit(1.0) / F.nullif(F.col("nb").cast("double"), F.lit(0.0))
+        )
     )
     return arms.select(
         "na", "nb",
         F.round(p, 6).alias("pooled_p"),
         F.round(mde, 6).alias("mde_absolute"),
-        F.round(mde / p, 6).alias("mde_relative"),
+        F.round(mde / F.nullif(p, F.lit(0.0)), 6).alias("mde_relative"),
     )
 
 
@@ -6832,17 +6857,18 @@ def ab_bucketing_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(assigned_treat) AS BIGINT) AS n_assigned,
            CAST(SUM(assigned_treat * engaged) AS BIGINT) AS n_exposed,
            round(CAST(SUM(assigned_treat * engaged) AS BIGINT)
-                 / CAST(SUM(assigned_treat) AS DOUBLE), 6) AS exposure_rate,
+                 / CAST(NULLIF(SUM(assigned_treat), 0) AS DOUBLE), 6)
+             AS exposure_rate,
            round(CAST(SUM(assigned_treat * converted) AS BIGINT)
-                 / CAST(SUM(assigned_treat) AS DOUBLE), 6)
+                 / CAST(NULLIF(SUM(assigned_treat), 0) AS DOUBLE), 6)
              AS itt_conversion,
            round(CAST(SUM(assigned_treat * engaged * converted) AS BIGINT)
-                 / CAST(SUM(assigned_treat * engaged) AS DOUBLE), 6)
+                 / CAST(NULLIF(SUM(assigned_treat * engaged), 0) AS DOUBLE), 6)
              AS perprotocol_conversion,
            round(CAST(SUM(assigned_treat * converted) AS BIGINT)
-                 / CAST(SUM(assigned_treat) AS DOUBLE)
-                 / (CAST(SUM(assigned_treat * engaged) AS BIGINT)
-                    / CAST(SUM(assigned_treat) AS DOUBLE)), 6)
+                 / CAST(NULLIF(SUM(assigned_treat), 0) AS DOUBLE)
+                 / NULLIF(CAST(SUM(assigned_treat * engaged) AS BIGINT)
+                    / CAST(NULLIF(SUM(assigned_treat), 0) AS DOUBLE), 0), 6)
              AS late_estimate
     FROM users
     """,
@@ -6887,15 +6913,19 @@ def ab_itt_vs_perprotocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     exv = F.sum(
         F.col("assigned_treat") * F.col("engaged") * F.col("converted")
     ).cast("long")
-    itt = cv / at.cast("double")
-    erate = ex / at.cast("double")
+    # NULLIF guards (degenerate sweep): an all-control assignment or a
+    # zero-exposure arm zeroes every denominator — both sides NULL.
+    itt = cv / F.nullif(at.cast("double"), F.lit(0.0))
+    erate = ex / F.nullif(at.cast("double"), F.lit(0.0))
     return users.agg(
         at.alias("n_assigned"),
         ex.alias("n_exposed"),
         F.round(erate, 6).alias("exposure_rate"),
         F.round(itt, 6).alias("itt_conversion"),
-        F.round(exv / ex.cast("double"), 6).alias("perprotocol_conversion"),
-        F.round(itt / erate, 6).alias("late_estimate"),
+        F.round(exv / F.nullif(ex.cast("double"), F.lit(0.0)), 6).alias(
+            "perprotocol_conversion"
+        ),
+        F.round(itt / F.nullif(erate, F.lit(0.0)), 6).alias("late_estimate"),
     )
 
 
