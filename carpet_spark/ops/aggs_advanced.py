@@ -689,10 +689,12 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag, n,
            ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
-                 / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skewness_g1,
+                 / NULLIF(pow(s2 / n - pow(s1 / n, 2), 1.5), 0), 6)
+             AS skewness_g1,
            ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
                   + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
-                 / pow(s2 / n - pow(s1 / n, 2), 2) - 3.0, 6) AS kurtosis_g2
+                 / NULLIF(pow(s2 / n - pow(s1 / n, 2), 2), 0) - 3.0, 6)
+             AS kurtosis_g2
     FROM s
     """,
 )
@@ -719,9 +721,15 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     m1, m2, m3, m4 = (F.col(c) / n for c in ("s1", "s2", "s3", "s4"))
+    # NULLIF guards (degenerate sweep): a constant column has var = 0 —
+    # ANSI Spark throws, DuckDB infs; both sides agree on NULL.
     var = m2 - F.pow(m1, 2)
-    g1 = (m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5)
-    g2 = (m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4)) / F.pow(var, 2) - 3.0
+    g1 = (m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.nullif(
+        F.pow(var, 1.5), F.lit(0.0)
+    )
+    g2 = (m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4)) / F.nullif(
+        F.pow(var, 2), F.lit(0.0)
+    ) - 3.0
     return s.select(
         "l_returnflag",
         "n",
@@ -1214,7 +1222,7 @@ def profile_value_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT round(chi2, 6) AS chi2,
            CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-           round(sqrt(chi2 / (n * (LEAST(r, c) - 1))), 6) AS cramers_v
+           round(sqrt(chi2 / NULLIF(n * (LEAST(r, c) - 1), 0)), 6) AS cramers_v
     FROM chi
     """,
 )
@@ -1259,8 +1267,17 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi.select(
         F.round("chi2", 6).alias("chi2"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        # NULLIF guard (degenerate sweep): a 1×c or r×1 table zeroes
+        # min(r,c)−1 — both sides agree on NULL.
         F.round(
-            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("r", "c") - 1))), 6
+            F.sqrt(
+                F.col("chi2")
+                / F.nullif(
+                    (F.col("n") * (F.least("r", "c") - 1)).cast("double"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
         ).alias("cramers_v"),
     )
 
@@ -2424,11 +2441,11 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf AS (
       SELECT v,
              SUM(g) OVER (ORDER BY v, event_id ROWS BETWEEN UNBOUNDED
-               PRECEDING AND CURRENT ROW) / CAST((SELECT n1 FROM counts)
-               AS DOUBLE) AS f1,
+               PRECEDING AND CURRENT ROW)
+               / CAST(NULLIF((SELECT n1 FROM counts), 0) AS DOUBLE) AS f1,
              SUM(1 - g) OVER (ORDER BY v, event_id ROWS BETWEEN UNBOUNDED
-               PRECEDING AND CURRENT ROW) / CAST((SELECT n2 FROM counts)
-               AS DOUBLE) AS f2
+               PRECEDING AND CURRENT ROW)
+               / CAST(NULLIF((SELECT n2 FROM counts), 0) AS DOUBLE) AS f2
       FROM pooled
     )
     SELECT (SELECT n1 FROM counts) AS n1,
@@ -2437,8 +2454,8 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(MAX(abs(f1 - f2))
                  / (1.3581 * sqrt(((SELECT n1 FROM counts)
                     + (SELECT n2 FROM counts))
-                    / (CAST((SELECT n1 FROM counts) AS DOUBLE)
-                       * (SELECT n2 FROM counts)))), 6) AS d_over_crit05
+                    / NULLIF(CAST((SELECT n1 FROM counts) AS DOUBLE)
+                       * (SELECT n2 FROM counts), 0))), 6) AS d_over_crit05
     FROM cdf
     """,
 )
@@ -2472,18 +2489,24 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("v", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # NULLIF guards (degenerate sweep): an empty sample (n1 or n2 = 0)
+    # zeroes the CDF and critical-value denominators — both sides NULL.
     cdf = pooled.join(F.broadcast(counts)).select(
         "n1",
         "n2",
-        (F.sum("g").over(w) / F.col("n1").cast("double")).alias("f1"),
-        (F.sum(1 - F.col("g")).over(w) / F.col("n2").cast("double")).alias(
-            "f2"
-        ),
+        (
+            F.sum("g").over(w)
+            / F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+        ).alias("f1"),
+        (
+            F.sum(1 - F.col("g")).over(w)
+            / F.nullif(F.col("n2").cast("double"), F.lit(0.0))
+        ).alias("f2"),
     )
     d = F.max(F.abs(F.col("f1") - F.col("f2")))
     crit = 1.3581 * F.sqrt(
         (F.max("n1") + F.max("n2"))
-        / (F.max("n1").cast("double") * F.max("n2"))
+        / F.nullif(F.max("n1").cast("double") * F.max("n2"), F.lit(0.0))
     )
     return cdf.agg(
         F.max("n1").alias("n1"),
@@ -3369,11 +3392,12 @@ def dq_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k, n,
            k - 1 AS df_between, n - k AS df_within,
            round((sum_sq_over_n - CAST(s AS DOUBLE) * s / n)
-                 / (k - 1)
-                 / ((CAST(ss AS DOUBLE) - sum_sq_over_n) / (n - k)), 6)
+                 / NULLIF(k - 1, 0)
+                 / NULLIF((CAST(ss AS DOUBLE) - sum_sq_over_n)
+                          / NULLIF(n - k, 0), 0), 6)
              AS f_stat,
            round((sum_sq_over_n - CAST(s AS DOUBLE) * s / n)
-                 / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+                 / NULLIF(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n, 0), 6)
              AS eta_squared
     FROM tot
     """,
@@ -3414,6 +3438,9 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_sq_over_n"
         ),
     )
+    # NULLIF guards (degenerate sweep): a single segment (k−1 = 0), one
+    # row per group (n−k = 0), or constant values (SSW = SST = 0) zero
+    # the F/eta denominators — both sides agree on NULL.
     ssb = F.col("sum_sq_over_n") - F.col("s").cast("double") * F.col("s") / F.col("n")
     ssw = F.col("ss") - F.col("sum_sq_over_n")
     sst = F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
@@ -3422,10 +3449,17 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("k") - 1).alias("df_between"),
         (F.col("n") - F.col("k")).alias("df_within"),
-        F.round(ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
-            "f_stat"
-        ),
-        F.round(ssb / sst, 6).alias("eta_squared"),
+        F.round(
+            ssb
+            / F.nullif((F.col("k") - 1).cast("double"), F.lit(0.0))
+            / F.nullif(
+                ssw
+                / F.nullif((F.col("n") - F.col("k")).cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / F.nullif(sst, F.lit(0.0)), 6).alias("eta_squared"),
     )
 
 
@@ -4116,9 +4150,9 @@ def agg_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT split_name,
              SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) * 1.0
-               / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS p1,
+               / NULLIF(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END), 0) AS p1,
              SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) * 1.0
-               / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS p2
+               / NULLIF(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END), 0) AS p2
       FROM splits GROUP BY split_name
     )
     SELECT split_name, round(p1, 6) AS p1, round(p2, 6) AS p2,
@@ -4163,16 +4197,24 @@ def agg_cohen_h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("split_name"), arm.alias("arm"), conv.alias("conv")
         )
         parts = sl if parts is None else parts.unionAll(sl)
+    # NULLIF guards (degenerate sweep): a single-day or single-arm corpus
+    # empties one side of a split — both sides agree on NULL.
     p = parts.groupBy("split_name").agg(
         (
             F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
             * F.lit(1.0)
-            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            / F.nullif(
+                F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("p1"),
         (
             F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
             * F.lit(1.0)
-            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            / F.nullif(
+                F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("double"),
+                F.lit(0.0),
+            )
         ).alias("p2"),
     )
     return p.select(
@@ -4762,9 +4804,9 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT seg, prio, o_n,
            round(r_tot * 1.0 * c_tot / n_tot, 6) AS expected,
            round((o_n - r_tot * 1.0 * c_tot / n_tot)
-                 / sqrt(r_tot * 1.0 * c_tot / n_tot
+                 / NULLIF(sqrt(r_tot * 1.0 * c_tot / n_tot
                         * (1 - r_tot * 1.0 / n_tot)
-                        * (1 - c_tot * 1.0 / n_tot)), 6) AS std_residual
+                        * (1 - c_tot * 1.0 / n_tot)), 0), 6) AS std_residual
     FROM margins
     """,
 )
@@ -4804,12 +4846,16 @@ def agg_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (1 - F.col("r_tot") * F.lit(1.0) / F.col("n_tot"))
         * (1 - F.col("c_tot") * F.lit(1.0) / F.col("n_tot"))
     )
+    # NULLIF guard (degenerate sweep): a full-margin row/column
+    # (r_tot = n or c_tot = n) zeroes the Haberman denominator — NULL.
     return margins.select(
         "seg",
         "prio",
         "o_n",
         F.round(e, 6).alias("expected"),
-        F.round((F.col("o_n") - e) / denom, 6).alias("std_residual"),
+        F.round((F.col("o_n") - e) / F.nullif(denom, F.lit(0.0)), 6).alias(
+            "std_residual"
+        ),
     )
 
 
@@ -5033,7 +5079,7 @@ def dq_penny_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT yr, n_nations,
            round(h, 6) AS hhi,
-           round((h - 1.0 / n_nations) / (1 - 1.0 / n_nations), 6)
+           round((h - 1.0 / n_nations) / NULLIF(1 - 1.0 / n_nations, 0), 6)
              AS hhi_normalized,
            round(h - LAG(h) OVER (ORDER BY yr), 6) AS hhi_delta
     FROM hhi
@@ -5078,9 +5124,11 @@ def agg_hhi_yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yr",
         "n_nations",
         F.round("h", 6).alias("hhi"),
+        # NULLIF guard (degenerate sweep): a one-player market makes the
+        # normalization 0/0 — both sides agree on NULL.
         F.round(
             (F.col("h") - F.lit(1.0) / F.col("n_nations"))
-            / (1 - F.lit(1.0) / F.col("n_nations")),
+            / F.nullif(1 - F.lit(1.0) / F.col("n_nations"), F.lit(0.0)),
             6,
         ).alias("hhi_normalized"),
         F.round(
