@@ -21,7 +21,10 @@ from ..tables import load
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 6) AS sd_qty,
            round(var_samp(l_quantity), 6) AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice)
+                 / NULLIF(stddev_samp(l_quantity)
+                          * stddev_samp(l_extendedprice), 0), 6)
+             AS corr_qty_price,
            round(covar_pop(l_quantity, l_discount), 6) AS covar_qty_disc
     FROM lineitem
     GROUP BY l_returnflag
@@ -29,12 +32,25 @@ from ..tables import load
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates — single-pass Welford-style merge in both
-    engines; 2-phase partial/final agg in Spark so it scales like any sum."""
+    engines; 2-phase partial/final agg in Spark so it scales like any sum.
+
+    Pearson is composed as covar_samp/(sd·sd) with a NULLIF guard instead
+    of the corr() built-in: Spark 4's corr() THROWS DIVIDE_BY_ZERO under
+    ANSI on a zero-variance group while DuckDB's returns NULL
+    (degenerate-sweep find); the composed form is null-safe in both
+    engines and runs the identical final expression text."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(
+            F.covar_samp("l_quantity", "l_extendedprice")
+            / F.nullif(
+                F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("corr_qty_price"),
         F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
     )
 
@@ -640,9 +656,9 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events CROSS JOIN med GROUP BY m
     )
     SELECT event_id, value,
-           ROUND(abs(value - m) / (1.4826 * mad), 4) AS robust_z
+           ROUND(abs(value - m) / (1.4826 * NULLIF(mad, 0)), 4) AS robust_z
     FROM events CROSS JOIN mad
-    WHERE abs(value - m) / (1.4826 * mad) > 3.0
+    WHERE abs(value - m) / (1.4826 * NULLIF(mad, 0)) > 3.0
     """,
 )
 def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,7 +681,12 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad"),
         )
     )
-    rz = F.abs(F.col("value") - F.col("m")) / (1.4826 * F.col("mad"))
+    # NULLIF guard (degenerate sweep): a constant series has MAD = 0 —
+    # robust_z becomes NULL on both sides, so no row flags (a flat series
+    # has no outliers) instead of ANSI-throw vs DuckDB-inf.
+    rz = F.abs(F.col("value") - F.col("m")) / (
+        1.4826 * F.nullif(F.col("mad"), F.lit(0.0))
+    )
     return (
         ev.crossJoin(F.broadcast(mad))
         .filter(rz > 3.0)
@@ -2312,7 +2333,7 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_nations,
            CAST(SUM((rk1 - rk2) * (rk1 - rk2)) AS BIGINT) AS sum_d2,
            round(1.0 - 6.0 * SUM((rk1 - rk2) * (rk1 - rk2))
-                 / (COUNT(*) * (COUNT(*) * COUNT(*) - 1.0)), 6)
+                 / NULLIF(COUNT(*) * (COUNT(*) * COUNT(*) - 1.0), 0), 6)
              AS spearman_rho
     FROM ranked
     """,
@@ -2356,8 +2377,13 @@ def agg_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         n.alias("n_nations"),
         F.sum(d2).cast("long").alias("sum_d2"),
+        # NULLIF guard (degenerate sweep): one ranked entity zeroes
+        # n(n²−1) — both sides agree on NULL.
         F.round(
-            F.lit(1.0) - F.lit(6.0) * F.sum(d2) / (n * (n * n - F.lit(1.0))),
+            F.lit(1.0)
+            - F.lit(6.0)
+            * F.sum(d2)
+            / F.nullif(n * (n * n - F.lit(1.0)), F.lit(0.0)),
             6,
         ).alias("spearman_rho"),
     )
@@ -4005,7 +4031,7 @@ def agg_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((a + b + c + d)
                  * CAST((a * d - b * c) AS DOUBLE)
                  * (a * d - b * c)
-                 / ((a + b) * 1.0 * (c + d) * (a + c) * (b + d)), 6)
+                 / NULLIF((a + b) * 1.0 * (c + d) * (a + c) * (b + d), 0), 6)
              AS chi2
     FROM cnt
     """,
@@ -4057,16 +4083,19 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         "c",
         "d",
+        # NULLIF guard (degenerate sweep): an empty group or a one-sided
+        # median split zeroes a margin — both sides agree on NULL.
         F.round(
             (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
             * det
             * det.cast("double")
-            / (
+            / F.nullif(
                 (F.col("a") + F.col("b"))
                 * F.lit(1.0)
                 * (F.col("c") + F.col("d"))
                 * (F.col("a") + F.col("c"))
-                * (F.col("b") + F.col("d"))
+                * (F.col("b") + F.col("d")),
+                F.lit(0.0),
             ),
             6,
         ).alias("chi2"),
@@ -5228,8 +5257,8 @@ def agg_cr_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n,
            round(med / 100.0, 6) AS median,
            round((q3 - q1) / 100.0, 6) AS iqr,
-           round((q3 - q1) / (q3 + q1), 6) AS qcd,
-           round((q3 + q1 - 2 * med) / (q3 - q1), 6) AS bowley_skew
+           round((q3 - q1) / NULLIF(q3 + q1, 0), 6) AS qcd,
+           round((q3 + q1 - 2 * med) / NULLIF(q3 - q1, 0), 6) AS bowley_skew
     FROM q
     """,
 )
@@ -5257,9 +5286,16 @@ def agg_quartile_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         F.round(F.col("med") / 100.0, 6).alias("median"),
         F.round((F.col("q3") - F.col("q1")) / 100.0, 6).alias("iqr"),
-        F.round((F.col("q3") - F.col("q1")) / (F.col("q3") + F.col("q1")), 6).alias("qcd"),
+        # NULLIF guards (degenerate sweep): a constant distribution has
+        # q3 = q1 (Bowley 0/0) and an all-zero one a zero midhinge — NULL.
         F.round(
-            (F.col("q3") + F.col("q1") - 2 * F.col("med")) / (F.col("q3") - F.col("q1")),
+            (F.col("q3") - F.col("q1"))
+            / F.nullif(F.col("q3") + F.col("q1"), F.lit(0.0)),
+            6,
+        ).alias("qcd"),
+        F.round(
+            (F.col("q3") + F.col("q1") - 2 * F.col("med"))
+            / F.nullif(F.col("q3") - F.col("q1"), F.lit(0.0)),
             6,
         ).alias("bowley_skew"),
     )
@@ -6512,15 +6548,17 @@ def dq_fx_triangulation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(1 - me_week) AS BIGINT) AS n_other_days,
            round(CAST(SUM(CASE WHEN me_week = 1 THEN cents ELSE 0 END)
                       AS BIGINT)
-                 / CAST(SUM(me_week) AS DOUBLE) / 100, 6) AS me_rev_per_day,
+                 / CAST(NULLIF(SUM(me_week), 0) AS DOUBLE) / 100, 6)
+             AS me_rev_per_day,
            round(CAST(SUM(CASE WHEN me_week = 0 THEN cents ELSE 0 END)
                       AS BIGINT)
-                 / CAST(SUM(1 - me_week) AS DOUBLE) / 100, 6)
+                 / CAST(NULLIF(SUM(1 - me_week), 0) AS DOUBLE) / 100, 6)
              AS other_rev_per_day,
            round((CAST(SUM(CASE WHEN me_week = 1 THEN cents ELSE 0 END)
-                       AS BIGINT) / CAST(SUM(me_week) AS DOUBLE))
-                 / (CAST(SUM(CASE WHEN me_week = 0 THEN cents ELSE 0 END)
-                         AS BIGINT) / CAST(SUM(1 - me_week) AS DOUBLE))
+                       AS BIGINT) / CAST(NULLIF(SUM(me_week), 0) AS DOUBLE))
+                 / NULLIF(CAST(SUM(CASE WHEN me_week = 0 THEN cents ELSE 0 END)
+                         AS BIGINT)
+                         / CAST(NULLIF(SUM(1 - me_week), 0) AS DOUBLE), 0)
                  - 1.0, 6) AS month_end_lift
     FROM flagged
     """,
@@ -6552,16 +6590,19 @@ def agg_month_end_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ot_cents = F.sum(F.when(F.col("me_week") == 0, F.col("cents")).otherwise(0)).cast(
         "long"
     )
-    me_days = F.sum("me_week").cast("double")
-    ot_days = F.sum(1 - F.col("me_week")).cast("double")
+    # NULLIF guards (degenerate sweep): a span with no month-end (or no
+    # other) days zeroes a day count — both sides agree on NULL.
+    me_days = F.nullif(F.sum("me_week").cast("double"), F.lit(0.0))
+    ot_days = F.nullif(F.sum(1 - F.col("me_week")).cast("double"), F.lit(0.0))
     return flagged.agg(
         F.sum("me_week").cast("long").alias("n_me_days"),
         F.sum(1 - F.col("me_week")).cast("long").alias("n_other_days"),
         F.round(me_cents / me_days / 100, 6).alias("me_rev_per_day"),
         F.round(ot_cents / ot_days / 100, 6).alias("other_rev_per_day"),
-        F.round((me_cents / me_days) / (ot_cents / ot_days) - 1.0, 6).alias(
-            "month_end_lift"
-        ),
+        F.round(
+            (me_cents / me_days) / F.nullif(ot_cents / ot_days, F.lit(0.0)) - 1.0,
+            6,
+        ).alias("month_end_lift"),
     )
 
 
@@ -6972,8 +7013,8 @@ def agg_mixed_discount_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(SUM(returned) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 6)
              AS return_rate,
            round(CAST(SUM(returned) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
-                 / (CAST(SUM(SUM(returned)) OVER () AS BIGINT)
-                    / CAST(SUM(COUNT(*)) OVER () AS DOUBLE)) - 1.0, 6)
+                 / NULLIF(CAST(SUM(SUM(returned)) OVER () AS BIGINT)
+                    / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 0) - 1.0, 6)
              AS lift_vs_overall
     FROM lines GROUP BY discount_band, qty_band
     """,
@@ -7013,10 +7054,14 @@ def agg_return_rate_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_returned").over(tot).cast("long")
         / F.sum("n_lines").over(tot).cast("double")
     )
+    # NULLIF guard (degenerate sweep): a zero-return corpus zeroes the
+    # overall rate — lift is NULL on both sides.
     return g.select(
         "discount_band", "qty_band", "n_lines", "n_returned",
         F.round(rate, 6).alias("return_rate"),
-        F.round(rate / overall - 1.0, 6).alias("lift_vs_overall"),
+        F.round(rate / F.nullif(overall, F.lit(0.0)) - 1.0, 6).alias(
+            "lift_vs_overall"
+        ),
     )
 
 

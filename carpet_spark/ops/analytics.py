@@ -2254,24 +2254,68 @@ def ab_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_corr_matrix",
     oracle="""
-    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-           COUNT(*) AS n, round(corr(l_quantity, l_extendedprice), 6) AS r
-    FROM lineitem
+    WITH q AS (
+      SELECT
+             CAST(ROUND(l_quantity * 1000000) AS BIGINT) AS q0,
+             CAST(ROUND(l_extendedprice * 1000000) AS BIGINT) AS q1,
+             CAST(ROUND(l_discount * 1000000) AS BIGINT) AS q2,
+             CAST(ROUND(l_tax * 1000000) AS BIGINT) AS q3
+      FROM lineitem
+    ),
+    m AS (
+      SELECT
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(q0) AS BIGINT) AS DOUBLE) AS s0,
+             CAST(SUM(CAST(q0 AS HUGEINT) * q0) AS DOUBLE) AS s00,
+             CAST(CAST(SUM(q1) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(q1 AS HUGEINT) * q1) AS DOUBLE) AS s11,
+             CAST(CAST(SUM(q2) AS BIGINT) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(q2 AS HUGEINT) * q2) AS DOUBLE) AS s22,
+             CAST(CAST(SUM(q3) AS BIGINT) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(q3 AS HUGEINT) * q3) AS DOUBLE) AS s33,
+             CAST(SUM(CAST(q0 AS HUGEINT) * q1) AS DOUBLE) AS s01,
+             CAST(SUM(CAST(q0 AS HUGEINT) * q2) AS DOUBLE) AS s02,
+             CAST(SUM(CAST(q0 AS HUGEINT) * q3) AS DOUBLE) AS s03,
+             CAST(SUM(CAST(q1 AS HUGEINT) * q2) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(q1 AS HUGEINT) * q3) AS DOUBLE) AS s13,
+             CAST(SUM(CAST(q2 AS HUGEINT) * q3) AS DOUBLE) AS s23
+      FROM q
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+           round((n * s01 - s0 * s1)
+                 / NULLIF(sqrt(n * s00 - s0 * s0)
+                          * sqrt(n * s11 - s1 * s1), 0), 6) AS r
+    FROM m
     UNION ALL
-    SELECT 'l_quantity', 'l_discount', COUNT(*),
-           round(corr(l_quantity, l_discount), 6) FROM lineitem
+    SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, n,
+           round((n * s02 - s0 * s2)
+                 / NULLIF(sqrt(n * s00 - s0 * s0)
+                          * sqrt(n * s22 - s2 * s2), 0), 6) AS r
+    FROM m
     UNION ALL
-    SELECT 'l_quantity', 'l_tax', COUNT(*),
-           round(corr(l_quantity, l_tax), 6) FROM lineitem
+    SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, n,
+           round((n * s03 - s0 * s3)
+                 / NULLIF(sqrt(n * s00 - s0 * s0)
+                          * sqrt(n * s33 - s3 * s3), 0), 6) AS r
+    FROM m
     UNION ALL
-    SELECT 'l_extendedprice', 'l_discount', COUNT(*),
-           round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n,
+           round((n * s12 - s1 * s2)
+                 / NULLIF(sqrt(n * s11 - s1 * s1)
+                          * sqrt(n * s22 - s2 * s2), 0), 6) AS r
+    FROM m
     UNION ALL
-    SELECT 'l_extendedprice', 'l_tax', COUNT(*),
-           round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+    SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, n,
+           round((n * s13 - s1 * s3)
+                 / NULLIF(sqrt(n * s11 - s1 * s1)
+                          * sqrt(n * s33 - s3 * s3), 0), 6) AS r
+    FROM m
     UNION ALL
-    SELECT 'l_discount', 'l_tax', COUNT(*),
-           round(corr(l_discount, l_tax), 6) FROM lineitem
+    SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, n,
+           round((n * s23 - s2 * s3)
+                 / NULLIF(sqrt(n * s22 - s2 * s2)
+                          * sqrt(n * s33 - s3 * s3), 0), 6) AS r
+    FROM m
     """,
 )
 def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2282,30 +2326,70 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle only, emitted as tidy (col_a, col_b, n, r) rows rather
     than a wide matrix so |cols| can grow without schema changes.
 
-    Scale (100 TB): ONE pass — all six corr() sketches accumulate in
-    the same partial aggregate over a single scan (Catalyst collapses
-    them), then the 1-row result explodes into the tidy rows; the
-    UNION ALL oracle re-reads per pair but Spark does not."""
+    Engine parity + degenerate safety: Pearson is computed from exact
+    fixed-point moments (1e-6 quantized values, HUGEINT/decimal(38,0)
+    cross-products — the fixed-point cross-product trap) with NULLIF on
+    the variance product, NOT the engines' corr() built-ins: Spark 4's
+    corr() THROWS DIVIDE_BY_ZERO under ANSI on a constant column while
+    DuckDB's returns NULL (degenerate-sweep find) — a real empty-segment
+    job-killer at scale.
+
+    Scale (100 TB): ONE pass — all 15 moment sums accumulate in the same
+    partial aggregate over a single scan, then the 1-row result explodes
+    into the tidy rows; the UNION ALL oracle re-reads per pair but Spark
+    does not."""
     l = load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    pairs = [
-        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
-    ]
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.round(F.corr(a, b), 6).alias(f"r_{i}")
-        for i, (a, b) in enumerate(pairs)
-    ]
-    one = l.agg(*aggs)
+    q = l.select(
+        *[
+            (
+                F.signum(c) * ((F.abs(F.col(c)) * 1_000_000 + 0.5).cast("long"))
+            )
+            .cast("long")
+            .alias(f"q{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(4):
+        aggs.append(F.sum(f"q{i}").cast("long").cast("double").alias(f"s{i}"))
+        aggs.append(
+            F.sum(F.col(f"q{i}").cast(dec) * F.col(f"q{i}"))
+            .cast("double")
+            .alias(f"s{i}{i}")
+        )
+    pairs = [(i, j) for i in range(4) for j in range(4) if i < j]
+    for i, j in pairs:
+        aggs.append(
+            F.sum(F.col(f"q{i}").cast(dec) * F.col(f"q{j}"))
+            .cast("double")
+            .alias(f"s{i}{j}")
+        )
+    one = q.agg(*aggs)
+    n = F.col("n")
+
+    def r(i, j):
+        return F.round(
+            (n * F.col(f"s{i}{j}") - F.col(f"s{i}") * F.col(f"s{j}"))
+            / F.nullif(
+                F.sqrt(n * F.col(f"s{i}{i}") - F.col(f"s{i}") * F.col(f"s{i}"))
+                * F.sqrt(n * F.col(f"s{j}{j}") - F.col(f"s{j}") * F.col(f"s{j}")),
+                F.lit(0.0),
+            ),
+            6,
+        )
+
     tidy = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(a).alias("col_a"),
-                    F.lit(b).alias("col_b"),
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
                     F.col("n").alias("n"),
-                    F.col(f"r_{i}").alias("r"),
+                    r(i, j).alias("r"),
                 )
-                for i, (a, b) in enumerate(pairs)
+                for i, j in pairs
             ]
         )
     )
@@ -4519,12 +4603,13 @@ def agg_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM w2) AS n2,
            CAST(COUNT(*) AS BIGINT) AS m_recaptured,
            round((SELECT COUNT(*) FROM w1) * 1.0
-                 * (SELECT COUNT(*) FROM w2) / COUNT(*), 6) AS lp_estimate,
+                 * (SELECT COUNT(*) FROM w2) / NULLIF(COUNT(*), 0), 6)
+             AS lp_estimate,
            (SELECT true_pop FROM tot) AS true_population,
            round(abs((SELECT COUNT(*) FROM w1) * 1.0
-                     * (SELECT COUNT(*) FROM w2) / COUNT(*)
+                     * (SELECT COUNT(*) FROM w2) / NULLIF(COUNT(*), 0)
                      - (SELECT true_pop FROM tot))
-                 / (SELECT true_pop FROM tot), 6) AS rel_err
+                 / NULLIF((SELECT true_pop FROM tot), 0), 6) AS rel_err
     FROM w1 JOIN w2 USING (user_id)
     """,
 )
@@ -4561,7 +4646,14 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ev.agg(
         F.countDistinct("user_id").cast("long").alias("true_population")
     )
-    est = F.col("n1") * F.lit(1.0) * F.col("n2") / F.col("m_recaptured")
+    # NULLIF guards (degenerate sweep): zero recaptures (disjoint windows)
+    # zero the Lincoln-Petersen denominator — both sides agree on NULL.
+    est = (
+        F.col("n1")
+        * F.lit(1.0)
+        * F.col("n2")
+        / F.nullif(F.col("m_recaptured").cast("double"), F.lit(0.0))
+    )
     return (
         n1.crossJoin(n2)
         .crossJoin(m)
@@ -4573,7 +4665,8 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est, 6).alias("lp_estimate"),
             "true_population",
             F.round(
-                F.abs(est - F.col("true_population")) / F.col("true_population"),
+                F.abs(est - F.col("true_population"))
+                / F.nullif(F.col("true_population").cast("double"), F.lit(0.0)),
                 6,
             ).alias("rel_err"),
         )
@@ -5198,9 +5291,10 @@ def agg_interpurchase_time_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(wknd) AS BIGINT) AS n_weekend,
            round(CAST(SUM(wknd) AS BIGINT)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS weekend_share,
-           round((CAST(SUM(wknd) AS BIGINT) / CAST(MAX(dc.wknd_days) AS DOUBLE))
-                 / (CAST(SUM(1 - wknd) AS BIGINT)
-                    / CAST(MAX(dc.wkdy_days) AS DOUBLE)), 6)
+           round((CAST(SUM(wknd) AS BIGINT)
+                  / CAST(NULLIF(MAX(dc.wknd_days), 0) AS DOUBLE))
+                 / NULLIF(CAST(SUM(1 - wknd) AS BIGINT)
+                    / CAST(NULLIF(MAX(dc.wkdy_days), 0) AS DOUBLE), 0), 6)
              AS weekend_daily_index
     FROM base CROSS JOIN daycnt dc
     GROUP BY event_type
@@ -5236,9 +5330,19 @@ def agg_weekday_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("wknd").cast("long") / F.count(F.lit(1)).cast("double"), 6
         ).alias("weekend_share"),
+        # NULLIF guards (degenerate sweep): a span with no weekend (or no
+        # weekday) days, or zero weekday events, zeroes the index base —
+        # both sides agree on NULL.
         F.round(
-            (F.sum("wknd").cast("long") / F.max("wknd_days").cast("double"))
-            / (F.sum(1 - F.col("wknd")).cast("long") / F.max("wkdy_days").cast("double")),
+            (
+                F.sum("wknd").cast("long")
+                / F.nullif(F.max("wknd_days").cast("double"), F.lit(0.0))
+            )
+            / F.nullif(
+                F.sum(1 - F.col("wknd")).cast("long")
+                / F.nullif(F.max("wkdy_days").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            ),
             6,
         ).alias("weekend_daily_index"),
     )
@@ -5285,10 +5389,12 @@ def agg_weekday_weekend_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n,
            round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                 / NULLIF(sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy), 0), 6)
              AS corr_adstock,
            round((n * rxy - rx * sy)
-                 / (sqrt(n * rxx - rx * rx) * sqrt(n * syy - sy * sy)), 6)
+                 / NULLIF(sqrt(n * rxx - rx * rx)
+                          * sqrt(n * syy - sy * sy), 0), 6)
              AS corr_raw
     FROM s
     """,
@@ -5348,21 +5454,25 @@ def agg_adstock_decay_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(wide("cx") * F.col("cx")).cast("double").alias("rxx"),
     )
     n = F.col("n")
+    # NULLIF guards (degenerate sweep): a constant series zeroes either
+    # Pearson variance — both sides agree on NULL.
     return s.select(
         "n",
         F.round(
             (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
+            / F.nullif(
                 F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
             ),
             6,
         ).alias("corr_adstock"),
         F.round(
             (n * F.col("rxy") - F.col("rx") * F.col("sy"))
-            / (
+            / F.nullif(
                 F.sqrt(n * F.col("rxx") - F.col("rx") * F.col("rx"))
-                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0.0),
             ),
             6,
         ).alias("corr_raw"),

@@ -1913,7 +1913,7 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS imbalance_ratio,
            round(-SUM(n / CAST((SELECT total FROM tot) AS DOUBLE)
                       * ln(n / CAST((SELECT total FROM tot) AS DOUBLE)))
-                   OVER () / ln((SELECT k FROM tot)), 6)
+                   OVER () / NULLIF(ln((SELECT k FROM tot)), 0), 6)
              AS normalized_entropy
     FROM per
     """,
@@ -1946,8 +1946,12 @@ def agg_label_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("maxn") / F.col("minn").cast("double"), 6).alias(
             "imbalance_ratio"
         ),
+        # NULLIF guard (degenerate sweep): a single-class set has
+        # ln(k) = 0 — normalized entropy is NULL on both sides.
         F.round(
-            -F.sum(p * F.log(p)).over(wall) / F.log(F.col("k")), 6
+            -F.sum(p * F.log(p)).over(wall)
+            / F.nullif(F.log(F.col("k")), F.lit(0.0)),
+            6,
         ).alias("normalized_entropy"),
     )
 
