@@ -6714,9 +6714,11 @@ def ab_interaction_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
     )
     SELECT decile, cn_t, cn_c, cc_t, cc_c,
-           round(cc_t - cc_c * (cn_t / CAST(cn_c AS DOUBLE)), 6) AS qini,
-           round(cc_t / CAST(cn_t AS DOUBLE)
-                 - cc_c / CAST(cn_c AS DOUBLE), 6) AS cum_uplift_rate
+           round(cc_t - cc_c * (cn_t / CAST(NULLIF(cn_c, 0) AS DOUBLE)), 6)
+             AS qini,
+           round(cc_t / CAST(NULLIF(cn_t, 0) AS DOUBLE)
+                 - cc_c / CAST(NULLIF(cn_c, 0) AS DOUBLE), 6)
+             AS cum_uplift_rate
     FROM cum
     """,
 )
@@ -6776,15 +6778,19 @@ def eval_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("conv_t").over(w).cast("long").alias("cc_t"),
         F.sum("conv_c").over(w).cast("long").alias("cc_c"),
     )
+    # NULLIF guards (degenerate sweep): an all-treated (or all-control)
+    # prefix zeroes a cumulative arm count — both sides agree on NULL.
     return cum.select(
         "decile", "cn_t", "cn_c", "cc_t", "cc_c",
         F.round(
-            F.col("cc_t") - F.col("cc_c") * (F.col("cn_t") / F.col("cn_c").cast("double")),
+            F.col("cc_t")
+            - F.col("cc_c")
+            * (F.col("cn_t") / F.nullif(F.col("cn_c").cast("double"), F.lit(0.0))),
             6,
         ).alias("qini"),
         F.round(
-            F.col("cc_t") / F.col("cn_t").cast("double")
-            - F.col("cc_c") / F.col("cn_c").cast("double"),
+            F.col("cc_t") / F.nullif(F.col("cn_t").cast("double"), F.lit(0.0))
+            - F.col("cc_c") / F.nullif(F.col("cn_c").cast("double"), F.lit(0.0)),
             6,
         ).alias("cum_uplift_rate"),
     )

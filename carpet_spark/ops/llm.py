@@ -2053,9 +2053,9 @@ def emb_mixup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_pos, n_neg,
            round((s2 - n_pos * (n_pos + 1))
-                 / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc,
+                 / CAST(NULLIF(2 * n_pos * n_neg, 0) AS DOUBLE), 6) AS auc,
            round((s2 - n_pos * (n_pos + 1))
-                 / CAST(n_pos * n_neg AS DOUBLE) - 1.0, 6) AS gini
+                 / CAST(NULLIF(n_pos * n_neg, 0) AS DOUBLE) - 1.0, 6) AS gini
     FROM tot
     """,
 )
@@ -2102,15 +2102,26 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
     )
+    # NULLIF guards (degenerate sweep): a single-class label set zeroes
+    # n_pos*n_neg — AUC/Gini are undefined, NULL on both sides.
     num = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
     return tot.select(
         "n_pos",
         "n_neg",
         F.round(
-            num / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"), 6
+            num
+            / F.nullif(
+                (2 * F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0)
+            ),
+            6,
         ).alias("auc"),
         F.round(
-            num / (F.col("n_pos") * F.col("n_neg")).cast("double") - 1.0, 6
+            num
+            / F.nullif(
+                (F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0)
+            )
+            - 1.0,
+            6,
         ).alias("gini"),
     )
 
@@ -2625,7 +2636,8 @@ def eval_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(n_pos * (n - n_pos) / (CAST(n AS DOUBLE) * n * n), 6)
              AS brier_ref,
            round(1.0 - (se12 / (n * 1e12))
-                 / (n_pos * (n - n_pos) / (CAST(n AS DOUBLE) * n * n)), 6)
+                 / NULLIF(n_pos * (n - n_pos)
+                          / (CAST(n AS DOUBLE) * n * n), 0), 6)
              AS skill
     FROM agg
     """,
@@ -2667,7 +2679,9 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         F.round(brier, 6).alias("brier"),
         F.round(brier_ref, 6).alias("brier_ref"),
-        F.round(1.0 - brier / brier_ref, 6).alias("skill"),
+        # NULLIF guard (degenerate sweep): a single-class label set has
+        # reference Brier 0 — skill is NULL on both sides.
+        F.round(1.0 - brier / F.nullif(brier_ref, F.lit(0.0)), 6).alias("skill"),
     )
 
 
@@ -3991,16 +4005,20 @@ def eval_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(y * ln(p6 / 1000000.0)
                  + (1 - y) * ln(1.0 - p6 / 1000000.0)) AS ll_sum
       FROM scored
+    ),
+    base AS (
+      SELECT n, pos, ll_sum,
+             CASE WHEN pos > 0 THEN pos * ln(pos * 1.0 / n) ELSE 0 END
+             + CASE WHEN n - pos > 0
+                    THEN (n - pos) * ln((n - pos) * 1.0 / n) ELSE 0 END
+               AS base_sum
+      FROM s
     )
     SELECT n, pos,
            round(-ll_sum / n, 6) AS log_loss,
-           round(-(pos * ln(pos * 1.0 / n)
-                   + (n - pos) * ln((n - pos) * 1.0 / n)) / n, 6)
-             AS baseline_ll,
-           round(1.0 - ll_sum / (pos * ln(pos * 1.0 / n)
-                                 + (n - pos) * ln((n - pos) * 1.0 / n)), 6)
-             AS skill
-    FROM s
+           round(-base_sum / n, 6) + 0.0 AS baseline_ll,
+           round(1.0 - ll_sum / NULLIF(base_sum, 0), 6) AS skill
+    FROM base
     """,
 )
 def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4033,17 +4051,26 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(F.lit(1.0) - p)
         ).alias("ll_sum"),
     )
-    base_sum = F.col("pos") * F.log(
-        F.col("pos") * F.lit(1.0) / F.col("n")
-    ) + (F.col("n") - F.col("pos")) * F.log(
-        (F.col("n") - F.col("pos")) * F.lit(1.0) / F.col("n")
-    )
+    # Degenerate-sweep guards: a single-class label set hits ln(0) in the
+    # base-rate entropy (DuckDB ERRORS on log of zero; Spark yields NULL)
+    # — apply the 0·ln(0) = 0 convention with identical CASE branches, and
+    # NULLIF the skill base; + 0.0 canonicalizes the resulting -0.0.
+    base_sum = F.when(
+        F.col("pos") > 0,
+        F.col("pos") * F.log(F.col("pos") * F.lit(1.0) / F.col("n")),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("n") - F.col("pos") > 0,
+        (F.col("n") - F.col("pos"))
+        * F.log((F.col("n") - F.col("pos")) * F.lit(1.0) / F.col("n")),
+    ).otherwise(F.lit(0.0))
     return s.select(
         "n",
         "pos",
         F.round(-F.col("ll_sum") / F.col("n"), 6).alias("log_loss"),
-        F.round(-base_sum / F.col("n"), 6).alias("baseline_ll"),
-        F.round(F.lit(1.0) - F.col("ll_sum") / base_sum, 6).alias("skill"),
+        (F.round(-base_sum / F.col("n"), 6) + 0.0).alias("baseline_ll"),
+        F.round(
+            F.lit(1.0) - F.col("ll_sum") / F.nullif(base_sum, F.lit(0.0)), 6
+        ).alias("skill"),
     )
 
 
@@ -4273,6 +4300,7 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms AS (
       SELECT vec_id, sqrt(SUM(val * val)) AS nrm
       FROM elems GROUP BY vec_id
+      HAVING sqrt(SUM(val * val)) > 0
     ),
     unit AS (
       SELECT el.dim_i, SUM(el.val / n.nrm) AS s_d
@@ -4285,7 +4313,7 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM unit
     )
     SELECT n, 64 AS dim,
-           round((s2 - n) / (n * (n - 1.0)), 6) AS avg_pairwise_cos,
+           round((s2 - n) / NULLIF(n * (n - 1.0), 0), 6) AS avg_pairwise_cos,
            round(s2 / (CAST(n AS DOUBLE) * n), 6) AS centroid_norm_sq
     FROM agg
     """,
@@ -4308,8 +4336,12 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     elems = e.select(
         "vec_id", F.posexplode("embedding").alias("dim_i", "valf")
     ).select("vec_id", "dim_i", F.col("valf").cast("double").alias("val"))
-    norms = elems.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    # zero-norm vectors are excluded — they have no direction, and their
+    # val/nrm division would ANSI-throw (degenerate-sweep find)
+    norms = (
+        elems.groupBy("vec_id")
+        .agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
+        .filter(F.col("nrm") > 0)
     )
     unit = (
         elems.join(norms, "vec_id")
@@ -4323,8 +4355,11 @@ def emb_isotropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n",
         F.lit(64).alias("dim"),
+        # NULLIF guard: a single normalizable vector has no pairs — NULL.
         F.round(
-            (F.col("s2") - F.col("n")) / (F.col("n") * (F.col("n") - F.lit(1.0))), 6
+            (F.col("s2") - F.col("n"))
+            / F.nullif(F.col("n") * (F.col("n") - F.lit(1.0)), F.lit(0.0)),
+            6,
         ).alias("avg_pairwise_cos"),
         F.round(F.col("s2") / (F.col("n").cast("double") * F.col("n")), 6).alias(
             "centroid_norm_sq"
@@ -4917,12 +4952,13 @@ def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT thr, tp, fp, fn, tn,
            CASE WHEN tn + fn = 0 THEN NULL
                 ELSE round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
-                     / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
-                            * (tn + fp) * (tn + fn)), 6) END AS mcc,
-           round(0.5 * (tp / CAST(n_pos AS DOUBLE)
-                        + tn / CAST(n_neg AS DOUBLE)), 6) AS balanced_acc,
-           round(tp / CAST(n_pos AS DOUBLE)
-                 + tn / CAST(n_neg AS DOUBLE) - 1.0, 6) AS youden_j
+                     / NULLIF(sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                            * (tn + fp) * (tn + fn)), 0), 6) END AS mcc,
+           round(0.5 * (tp / CAST(NULLIF(n_pos, 0) AS DOUBLE)
+                        + tn / CAST(NULLIF(n_neg, 0) AS DOUBLE)), 6)
+             AS balanced_acc,
+           round(tp / CAST(NULLIF(n_pos, 0) AS DOUBLE)
+                 + tn / CAST(NULLIF(n_neg, 0) AS DOUBLE) - 1.0, 6) AS youden_j
     FROM cm
     """,
 )
@@ -4979,16 +5015,31 @@ def eval_mcc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cm.select(
         "thr", "tp", "fp", "fn", "tn",
+        # NULLIF guards (degenerate sweep): a single-class corpus zeroes
+        # n_pos or n_neg (and degenerate thresholds the MCC product) —
+        # both sides agree on NULL.
         F.when(
             (F.col("tn") + F.col("fn")) == 0, F.lit(None).cast("double")
         ).otherwise(
-            F.round((tpd * F.col("tn") - F.col("fp").cast("double") * F.col("fn")) / denom, 6)
+            F.round(
+                (tpd * F.col("tn") - F.col("fp").cast("double") * F.col("fn"))
+                / F.nullif(denom, F.lit(0.0)),
+                6,
+            )
         ).alias("mcc"),
         F.round(
-            0.5 * (tpd / F.col("n_pos") + tnd / F.col("n_neg")), 6
+            0.5
+            * (
+                tpd / F.nullif(F.col("n_pos").cast("double"), F.lit(0.0))
+                + tnd / F.nullif(F.col("n_neg").cast("double"), F.lit(0.0))
+            ),
+            6,
         ).alias("balanced_acc"),
         F.round(
-            tpd / F.col("n_pos") + tnd / F.col("n_neg") - 1.0, 6
+            tpd / F.nullif(F.col("n_pos").cast("double"), F.lit(0.0))
+            + tnd / F.nullif(F.col("n_neg").cast("double"), F.lit(0.0))
+            - 1.0,
+            6,
         ).alias("youden_j"),
     )
 
@@ -5348,8 +5399,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ratios AS (
       SELECT vec_id,
-             CAST(round(n16 / n64, 9) AS DECIMAL(18,9)) AS c16,
-             CAST(round(n32 / n64, 9) AS DECIMAL(18,9)) AS c32
+             CAST(round(n16 / NULLIF(n64, 0), 9) AS DECIMAL(18,9)) AS c16,
+             CAST(round(n32 / NULLIF(n64, 0), 9) AS DECIMAL(18,9)) AS c32
       FROM per
     ),
     ks AS (SELECT unnest([16, 32]) AS k)
@@ -5395,9 +5446,15 @@ def emb_matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataF
         norm(F.slice("embedding", 1, 32)).alias("n32"),
         norm(F.col("embedding")).alias("n64"),
     )
+    # NULLIF guard (degenerate sweep): a zero vector has no direction —
+    # its ratio is NULL on both sides (skipped by SUM/MIN identically).
     ratios = per.select(
-        F.round(F.col("n16") / F.col("n64"), 9).cast("decimal(18,9)").alias("c16"),
-        F.round(F.col("n32") / F.col("n64"), 9).cast("decimal(18,9)").alias("c32"),
+        F.round(F.col("n16") / F.nullif(F.col("n64"), F.lit(0.0)), 9)
+        .cast("decimal(18,9)")
+        .alias("c16"),
+        F.round(F.col("n32") / F.nullif(F.col("n64"), F.lit(0.0)), 9)
+        .cast("decimal(18,9)")
+        .alias("c32"),
     )
     ks = e.sparkSession.createDataFrame([(16,), (32,)], "k int")
     cc = F.when(F.col("k") == 16, F.col("c16")).otherwise(F.col("c32"))

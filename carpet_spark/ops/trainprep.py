@@ -246,14 +246,17 @@ _NORM_SQL = (
       SELECT vec_id, label, embedding, {_NORM_SQL} AS nrm FROM embeddings
     ),
     q AS (
-      SELECT vec_id, label, round(nrm, 6) AS l2_norm,
+      SELECT vec_id, label, round(nrm, 6) AS l2_norm, nrm,
              list_transform(range(1, 65),
-               i -> CAST(round(CAST(embedding[i] AS DOUBLE) / nrm * 127) AS INT)) AS qv
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE)
+                               / NULLIF(nrm, 0) * 127) AS INT)) AS qv
       FROM n
     )
     SELECT vec_id, label, l2_norm,
-           list_min(qv) AS q_min, list_max(qv) AS q_max,
-           CAST(list_sum(qv) AS INTEGER) AS q_sum
+           CASE WHEN nrm = 0 THEN NULL ELSE list_min(qv) END AS q_min,
+           CASE WHEN nrm = 0 THEN NULL ELSE list_max(qv) END AS q_max,
+           CASE WHEN nrm = 0 THEN NULL
+                ELSE CAST(list_sum(qv) AS INTEGER) END AS q_sum
     FROM q
     """,
 )
@@ -270,16 +273,28 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding")
     sq = F.zip_with(v, v, lambda x, y: x.cast("double") * y.cast("double"))
     nrm = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
-    qv = F.transform(v, lambda x: F.round(x.cast("double") / F.col("nrm") * 127).cast("int"))
+    # NULLIF guard (degenerate sweep): a zero vector cannot be unit-scaled
+    # — its quantized stats are NULL by construction on both sides (the
+    # explicit CASE keeps the two engines' NULL-in-list fold semantics out
+    # of the comparison entirely).
+    qv = F.transform(
+        v,
+        lambda x: F.round(
+            x.cast("double") / F.nullif(F.col("nrm"), F.lit(0.0)) * 127
+        ).cast("int"),
+    )
+    live = F.col("nrm") > 0
     return (
         e.withColumn("nrm", nrm)
         .withColumn("qv", qv)
         .select(
             "vec_id", "label",
             round6(F.col("nrm")).alias("l2_norm"),
-            F.array_min("qv").alias("q_min"),
-            F.array_max("qv").alias("q_max"),
-            F.aggregate("qv", F.lit(0), lambda acc, x: acc + x).alias("q_sum"),
+            F.when(live, F.array_min("qv")).alias("q_min"),
+            F.when(live, F.array_max("qv")).alias("q_max"),
+            F.when(
+                live, F.aggregate("qv", F.lit(0), lambda acc, x: acc + x)
+            ).alias("q_sum"),
         )
     )
 
