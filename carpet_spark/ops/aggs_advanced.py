@@ -6389,13 +6389,13 @@ def dq_join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(SUM(cents) AS BIGINT)
                  / CAST(SUM(n_orders) AS DOUBLE) / 100, 6) AS aov_all,
            round(CAST(SUM(CASE WHEN survived THEN cents ELSE 0 END) AS BIGINT)
-                 / CAST(SUM(CASE WHEN survived THEN n_orders ELSE 0 END)
-                        AS DOUBLE) / 100, 6) AS aov_survivors,
+                 / CAST(NULLIF(SUM(CASE WHEN survived THEN n_orders ELSE 0 END),
+                               0) AS DOUBLE) / 100, 6) AS aov_survivors,
            round((CAST(SUM(CASE WHEN survived THEN cents ELSE 0 END) AS BIGINT)
-                  / CAST(SUM(CASE WHEN survived THEN n_orders ELSE 0 END)
-                         AS DOUBLE))
-                 / (CAST(SUM(cents) AS BIGINT)
-                    / CAST(SUM(n_orders) AS DOUBLE)) - 1.0, 6)
+                  / CAST(NULLIF(SUM(CASE WHEN survived THEN n_orders ELSE 0 END),
+                                0) AS DOUBLE))
+                 / NULLIF(CAST(SUM(cents) AS BIGINT)
+                    / CAST(SUM(n_orders) AS DOUBLE), 0) - 1.0, 6)
              AS survivor_bias_pct
     FROM per
     """,
@@ -6433,9 +6433,14 @@ def dq_survivorship_bias_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv_cents = F.sum(F.when(F.col("survived"), F.col("cents")).otherwise(0)).cast(
         "long"
     )
-    surv_orders = F.sum(
-        F.when(F.col("survived"), F.col("n_orders")).otherwise(0)
-    ).cast("double")
+    # NULLIF guards (degenerate sweep): a span with no final-year actives
+    # has zero survivor orders — survivor AOV and bias are NULL.
+    surv_orders = F.nullif(
+        F.sum(F.when(F.col("survived"), F.col("n_orders")).otherwise(0)).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
     aov_all = F.sum("cents").cast("long") / F.sum("n_orders").cast("double")
     aov_surv = surv_cents / surv_orders
     return per.agg(
@@ -6445,7 +6450,9 @@ def dq_survivorship_bias_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_survivors"),
         F.round(aov_all / 100, 6).alias("aov_all"),
         F.round(aov_surv / 100, 6).alias("aov_survivors"),
-        F.round(aov_surv / aov_all - 1.0, 6).alias("survivor_bias_pct"),
+        F.round(aov_surv / F.nullif(aov_all, F.lit(0.0)) - 1.0, 6).alias(
+            "survivor_bias_pct"
+        ),
     )
 
 

@@ -5091,7 +5091,8 @@ def agg_customer_tenure_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c GROUP BY event_type
     )
     SELECT c.event_id, c.event_type, c.value,
-           round((c.cents - s.med) / (s.q3 - s.q1), 6) + 0.0 AS robust_z
+           round((c.cents - s.med) / NULLIF(s.q3 - s.q1, 0), 6) + 0.0
+             AS robust_z
     FROM c JOIN stats s USING (event_type)
     """,
 )
@@ -5117,8 +5118,14 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.join(F.broadcast(stats), "event_type").select(
         "event_id", "event_type", "value",
+        # NULLIF guard (degenerate sweep): a constant type has IQR = 0 —
+        # robust_z is NULL on both sides.
         (
-            F.round((F.col("cents") - F.col("med")) / (F.col("q3") - F.col("q1")), 6)
+            F.round(
+                (F.col("cents") - F.col("med"))
+                / F.nullif(F.col("q3") - F.col("q1"), F.lit(0.0)),
+                6,
+            )
             + 0.0
         ).alias("robust_z"),
     )

@@ -587,13 +587,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-                 / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
-                    * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6)
+                 / NULLIF(sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}), 0), 6)
              AS cos_sim
     FROM s a JOIN s b ON a.vec_id < b.vec_id
     WHERE round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-                / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
-                   * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) >= 0.3
+                / NULLIF(sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                   * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}), 0), 6) >= 0.3
     """,
 )
 def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,9 +605,15 @@ def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # NULLIF guard (degenerate sweep): a zero-norm vector has no cosine —
+    # NULL on both sides, so the >= threshold drops the pair identically.
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        / F.nullif(
+            F.sqrt(_dot(F.col("ea"), F.col("ea")))
+            * F.sqrt(_dot(F.col("eb"), F.col("eb"))),
+            F.lit(0.0),
+        ),
         6,
     )
     return (
@@ -812,13 +818,13 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-                 / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
-                    * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6)
+                 / NULLIF(sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}), 0), 6)
              AS cos_sim
     FROM j a JOIN j b ON a.doc_id < b.doc_id
     WHERE round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
-                / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
-                   * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6) >= 0.4
+                / NULLIF(sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                   * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}), 0), 6) >= 0.4
     """,
 )
 def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,9 +838,15 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
     a = j.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"))
     b = j.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    # NULLIF guard (degenerate sweep): zero-norm vectors drop out — NULL
+    # cosine fails the threshold identically on both engines.
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        / F.nullif(
+            F.sqrt(_dot(F.col("ea"), F.col("ea")))
+            * F.sqrt(_dot(F.col("eb"), F.col("eb"))),
+            F.lit(0.0),
+        ),
         6,
     )
     return (
@@ -4226,13 +4238,13 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.n_p, t.n_q, t.n_union,
            round(SUM(
-             0.5 * CASE WHEN c.cp > 0 THEN (c.cp * 1.0 / t.sp)
-               * ln((c.cp * 1.0 / t.sp)
-                    / ((c.cp * 1.0 / t.sp + c.cq * 1.0 / t.sq) / 2))
+             0.5 * CASE WHEN c.cp > 0 THEN (c.cp * 1.0 / NULLIF(t.sp, 0))
+               * ln((c.cp * 1.0 / NULLIF(t.sp, 0))
+                    / ((c.cp * 1.0 / NULLIF(t.sp, 0) + c.cq * 1.0 / NULLIF(t.sq, 0)) / 2))
                ELSE 0 END
-             + 0.5 * CASE WHEN c.cq > 0 THEN (c.cq * 1.0 / t.sq)
-               * ln((c.cq * 1.0 / t.sq)
-                    / ((c.cp * 1.0 / t.sp + c.cq * 1.0 / t.sq) / 2))
+             + 0.5 * CASE WHEN c.cq > 0 THEN (c.cq * 1.0 / NULLIF(t.sq, 0))
+               * ln((c.cq * 1.0 / NULLIF(t.sq, 0))
+                    / ((c.cp * 1.0 / NULLIF(t.sp, 0) + c.cq * 1.0 / NULLIF(t.sq, 0)) / 2))
                ELSE 0 END), 6) AS jsd_nats
     FROM cnt c CROSS JOIN tot t
     GROUP BY t.n_p, t.n_q, t.n_union
@@ -4275,8 +4287,10 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cp") > 0, 1).otherwise(0)).cast("long").alias("n_p"),
         F.sum(F.when(F.col("cq") > 0, 1).otherwise(0)).cast("long").alias("n_q"),
     )
-    p = F.col("cp") * F.lit(1.0) / F.col("sp")
-    q = F.col("cq") * F.lit(1.0) / F.col("sq")
+    # NULLIF guards (degenerate sweep): a single-pool corpus empties one
+    # distribution (sp or sq = 0) — JSD is undefined, NULL on both sides.
+    p = F.col("cp") * F.lit(1.0) / F.nullif(F.col("sp").cast("double"), F.lit(0.0))
+    q = F.col("cq") * F.lit(1.0) / F.nullif(F.col("sq").cast("double"), F.lit(0.0))
     m = (p + q) / 2
     term = F.lit(0.5) * F.when(F.col("cp") > 0, p * F.log(p / m)).otherwise(
         0.0

@@ -1053,7 +1053,8 @@ def ts_activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_days,
            round(SUM(pow(v - mu, 2)), 6) AS ss_total,
            round(SUM(pow(v - mu_dow, 2)), 6) AS ss_residual,
-           round(1.0 - SUM(pow(v - mu_dow, 2)) / SUM(pow(v - mu, 2)), 6)
+           round(1.0 - SUM(pow(v - mu_dow, 2))
+                 / NULLIF(SUM(pow(v - mu, 2)), 0), 6)
              AS seasonality_r2
     FROM centered
     """,
@@ -1095,7 +1096,11 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.round(ss_tot, 6).alias("ss_total"),
         F.round(ss_res, 6).alias("ss_residual"),
-        F.round(F.lit(1.0) - ss_res / ss_tot, 6).alias("seasonality_r2"),
+        # NULLIF guard (degenerate sweep): a constant series has zero
+        # total variance — R² is undefined, NULL on both sides.
+        F.round(
+            F.lit(1.0) - ss_res / F.nullif(ss_tot, F.lit(0.0)), 6
+        ).alias("seasonality_r2"),
     )
 
 
@@ -2852,8 +2857,8 @@ def ts_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fit AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(y) AS a,
-             SUM(y * s) / SUM(s * s) AS b,
-             SUM(y * c) / SUM(c * c) AS cc,
+             SUM(y * s) / NULLIF(SUM(s * s), 0) AS b,
+             SUM(y * c) / NULLIF(SUM(c * c), 0) AS cc,
              SUM(s * s) AS ss2, SUM(c * c) AS sc2,
              SUM(y * y) - COUNT(*) * AVG(y) * AVG(y) AS sst
       FROM reg
@@ -2861,7 +2866,8 @@ def ts_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n, round(a, 6) AS baseline,
            round(b, 6) AS sin_coef, round(cc, 6) AS cos_coef,
            round(sqrt(b * b + cc * cc), 6) AS weekly_amplitude,
-           round((b * b * ss2 + cc * cc * sc2) / sst, 6) AS r2_weekly
+           round((b * b * ss2 + cc * cc * sc2) / NULLIF(sst, 0), 6)
+             AS r2_weekly
     FROM fit
     """,
 )
@@ -2904,8 +2910,16 @@ def ts_fourier_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = reg.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg("y").alias("a"),
-        (F.sum(F.col("y") * F.col("s")) / F.sum(F.col("s") * F.col("s"))).alias("b"),
-        (F.sum(F.col("y") * F.col("c")) / F.sum(F.col("c") * F.col("c"))).alias("cc"),
+        # NULLIF guards (degenerate sweep): a 1-day or single-phase axis
+        # zeroes a projection base or the total variance — NULL both sides.
+        (
+            F.sum(F.col("y") * F.col("s"))
+            / F.nullif(F.sum(F.col("s") * F.col("s")), F.lit(0.0))
+        ).alias("b"),
+        (
+            F.sum(F.col("y") * F.col("c"))
+            / F.nullif(F.sum(F.col("c") * F.col("c")), F.lit(0.0))
+        ).alias("cc"),
         F.sum(F.col("s") * F.col("s")).alias("ss2"),
         F.sum(F.col("c") * F.col("c")).alias("sc2"),
         (
@@ -2926,7 +2940,7 @@ def ts_fourier_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b") * F.col("b") * F.col("ss2")
                 + F.col("cc") * F.col("cc") * F.col("sc2")
             )
-            / F.col("sst"),
+            / F.nullif(F.col("sst"), F.lit(0.0)),
             6,
         ).alias("r2_weekly"),
     )
@@ -4733,11 +4747,11 @@ def ts_event_study_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT d.d, d.cents, d.n_orders,
              (d.cents - m.s_rev / CAST(m.n AS DOUBLE))
-             / sqrt(m.ss_rev / m.n - (m.s_rev / CAST(m.n AS DOUBLE))
-                    * (m.s_rev / CAST(m.n AS DOUBLE))) AS z_rev,
+             / NULLIF(sqrt(m.ss_rev / m.n - (m.s_rev / CAST(m.n AS DOUBLE))
+                    * (m.s_rev / CAST(m.n AS DOUBLE))), 0) AS z_rev,
              (d.n_orders - m.s_cnt / CAST(m.n AS DOUBLE))
-             / sqrt(m.ss_cnt / m.n - (m.s_cnt / CAST(m.n AS DOUBLE))
-                    * (m.s_cnt / CAST(m.n AS DOUBLE))) AS z_cnt
+             / NULLIF(sqrt(m.ss_cnt / m.n - (m.s_cnt / CAST(m.n AS DOUBLE))
+                    * (m.s_cnt / CAST(m.n AS DOUBLE))), 0) AS z_cnt
       FROM daily d CROSS JOIN m
     )
     SELECT d, cents, n_orders,
@@ -4786,11 +4800,14 @@ def ts_daily_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = daily.crossJoin(F.broadcast(m))
     mean_rev = F.col("s_rev") / F.col("n").cast("double")
     mean_cnt = F.col("s_cnt") / F.col("n").cast("double")
-    z_rev = (F.col("cents") - mean_rev) / F.sqrt(
-        F.col("ss_rev") / F.col("n") - mean_rev * mean_rev
+    # NULLIF guards (degenerate sweep): a flat or single-day history has
+    # zero variance — z-scores are NULL on both sides (status reads
+    # 'healthy': no evidence of deviation on a flat baseline).
+    z_rev = (F.col("cents") - mean_rev) / F.nullif(
+        F.sqrt(F.col("ss_rev") / F.col("n") - mean_rev * mean_rev), F.lit(0.0)
     )
-    z_cnt = (F.col("n_orders") - mean_cnt) / F.sqrt(
-        F.col("ss_cnt") / F.col("n") - mean_cnt * mean_cnt
+    z_cnt = (F.col("n_orders") - mean_cnt) / F.nullif(
+        F.sqrt(F.col("ss_cnt") / F.col("n") - mean_cnt * mean_cnt), F.lit(0.0)
     )
     blend = 0.6 * z_rev + 0.4 * z_cnt
     return j.select(

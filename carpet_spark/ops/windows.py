@@ -615,7 +615,8 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT c_nationkey, o_custkey, rev,
              (rev - AVG(rev) OVER (PARTITION BY c_nationkey))
-               / STDDEV_SAMP(rev) OVER (PARTITION BY c_nationkey) AS zs
+               / NULLIF(STDDEV_SAMP(rev) OVER (PARTITION BY c_nationkey), 0)
+               AS zs
       FROM cust
     )
     SELECT c_nationkey, o_custkey, round(zs, 6) AS z
@@ -647,7 +648,11 @@ def win_cross_sectional_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(lsum(F.col("o_totalprice")).alias("rev"))
     )
     w = Window.partitionBy("c_nationkey")
-    zs = (F.col("rev") - F.avg("rev").over(w)) / F.stddev_samp("rev").over(w)
+    # NULLIF guard (degenerate sweep): a constant peer group has sd = 0 —
+    # z is NULL on both sides, so no deviant flags on a flat cross-section.
+    zs = (F.col("rev") - F.avg("rev").over(w)) / F.nullif(
+        F.stddev_samp("rev").over(w), F.lit(0.0)
+    )
     return (
         cust.select("c_nationkey", "o_custkey", zs.alias("zs"))
         .filter(F.abs(F.col("zs")) >= 2.0)
