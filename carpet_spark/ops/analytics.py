@@ -5735,15 +5735,19 @@ def _markov_oracle() -> str:
         f"MAX(CASE WHEN variant = '{v}' THEN p_start END) AS ps_{v}"
         for v in ("base",) + _MK_CHANNELS
     )
+    # NULLIF guards (degenerate sweep): a zero-conversion chain has
+    # ps_base = 0 (removal effects undefined) and a no-effect chain a
+    # zero share denominator — NULL on both sides.
     re_terms = {
-        c: f"(ps_base - ps_{c}) / ps_base" for c in _MK_CHANNELS
+        c: f"(ps_base - ps_{c}) / NULLIF(ps_base, 0)" for c in _MK_CHANNELS
     }
     denom = " + ".join(f"re_{c}" for c in _MK_CHANNELS)
     per_channel = "\n    UNION ALL\n".join(
         f"    SELECT '{c}' AS channel, round(ps_{c}, 6) AS conv_prob_without,"
         f" round(ps_base, 6) AS base_conv_prob,"
         f" round(re_{c}, 6) AS removal_effect,"
-        f" round(re_{c} / ({denom}), 6) AS attribution_share FROM wide"
+        f" round(re_{c} / NULLIF({denom}, 0), 6) AS attribution_share"
+        f" FROM wide"
         for c in _MK_CHANNELS
     )
     return f"""
@@ -5880,10 +5884,26 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = solve(None)
     removed_p = {c: solve(c) for c in _MK_CHANNELS}
-    re = {c: (base - removed_p[c]) / base for c in _MK_CHANNELS}
-    denom = re["click"] + re["error"] + re["signup"] + re["view"]
+    # degenerate-sweep guard: base = 0 (no conversions) leaves removal
+    # effects undefined; a zero effect sum leaves shares undefined —
+    # None mirrors the oracle's NULLIF exactly
+    re = {
+        c: (base - removed_p[c]) / base if base != 0.0 else None
+        for c in _MK_CHANNELS
+    }
+    if any(v is None for v in re.values()):
+        denom = None
+    else:
+        denom = re["click"] + re["error"] + re["signup"] + re["view"]
     rows = [
-        (c, removed_p[c], base, re[c], re[c] / denom) for c in _MK_CHANNELS
+        (
+            c,
+            removed_p[c],
+            base,
+            re[c],
+            re[c] / denom if re[c] is not None and denom else None,
+        )
+        for c in _MK_CHANNELS
     ]
     raw = spark.createDataFrame(
         rows,

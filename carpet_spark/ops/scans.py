@@ -80,7 +80,10 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _sink_path(spark, "sink_parquet")
     df.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: an EMPTY slice writes a file-less partitioned dir,
+    # where schema inference fails (degenerate-sweep find) — the roundtrip
+    # must return the same empty relation instead of erroring
+    back = spark.read.schema(df.schema).parquet(out)
     # partition column comes back typed as read; normalize column order
     return back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
 

@@ -2394,8 +2394,8 @@ def sample_reservoir_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.seg, s.n_h,
            round(s.sigma_h, 6) AS sigma_h,
-           CAST(FLOOR(1000 * s.n_h * s.sigma_h / t.denom) AS BIGINT)
-             AS alloc_neyman,
+           CAST(FLOOR(1000 * s.n_h * s.sigma_h / NULLIF(t.denom, 0))
+                AS BIGINT) AS alloc_neyman,
            CAST(FLOOR(1000.0 * s.n_h / t.n) AS BIGINT)
              AS alloc_proportional
     FROM sig s CROSS JOIN tot t
@@ -2439,7 +2439,14 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         "n_h",
         F.round("sigma_h", 6).alias("sigma_h"),
-        F.floor(1000 * F.col("n_h") * F.col("sigma_h") / F.col("denom"))
+        # NULLIF guard (degenerate sweep): all-constant strata have
+        # Σ N_h·σ_h = 0 — Neyman allocation is undefined, NULL both sides.
+        F.floor(
+            1000
+            * F.col("n_h")
+            * F.col("sigma_h")
+            / F.nullif(F.col("denom"), F.lit(0.0))
+        )
         .cast("long")
         .alias("alloc_neyman"),
         F.floor(F.lit(1000.0) * F.col("n_h") / F.col("n"))
@@ -2580,8 +2587,8 @@ def sample_ipw_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_train, n_test,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM leaked) AS n_test_leaked,
-           round((SELECT COUNT(*) FROM leaked) / CAST(n_test AS DOUBLE), 6)
-             AS leakage_rate
+           round((SELECT COUNT(*) FROM leaked)
+                 / CAST(NULLIF(n_test, 0) AS DOUBLE), 6) AS leakage_rate
     FROM counts
     """,
 )
@@ -2645,8 +2652,13 @@ def dq_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     nleak = leaked.agg(F.count(F.lit(1)).cast("long").alias("n_test_leaked"))
     return counts.crossJoin(F.broadcast(nleak)).select(
         "n_train", "n_test", "n_test_leaked",
-        F.round(F.col("n_test_leaked") / F.col("n_test").cast("double"), 6)
-        .alias("leakage_rate"),
+        # NULLIF guard (degenerate sweep): a split with no test docs has
+        # no leakage rate — NULL on both sides.
+        F.round(
+            F.col("n_test_leaked")
+            / F.nullif(F.col("n_test").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("leakage_rate"),
     )
 
 

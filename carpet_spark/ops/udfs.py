@@ -412,8 +412,10 @@ def udf_pandas_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fitted AS (
       SELECT event_type, n, last_d,
-             (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
-             (sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             (n * sxy - sx * sy)
+               / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) AS b,
+             (sy - (n * sxy - sx * sy)
+                   / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE) * sx)
                / CAST(n AS DOUBLE) AS a
       FROM moments
     ),
@@ -475,8 +477,11 @@ def udf_pandas_grouped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         sy = sum(ys)
         sxy = sum(i * y for i, y in enumerate(ys))
         sxx = sum(i * i for i in range(n))
-        b = (n * sxy - sx * sy) / float(n * sxx - sx * sx)
-        a = (sy - b * sx) / float(n)
+        # degenerate-sweep guard: a 1-point series has no slope — emit
+        # NULL slope/forecast, matching the oracle's NULLIF'd closed form
+        den = n * sxx - sx * sx
+        b = (n * sxy - sx * sy) / float(den) if den else None
+        a = (sy - b * sx) / float(n) if b is not None else None
         last_d = pdf["d"].iloc[-1]
         et = pdf["event_type"].iloc[0]
         rows = [
@@ -485,7 +490,7 @@ def udf_pandas_grouped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h,
                 last_d + _dtm.timedelta(days=h),
                 b,
-                a + b * (n - 1 + h),
+                a + b * (n - 1 + h) if b is not None else None,
             )
             for h in range(1, 8)
         ]
