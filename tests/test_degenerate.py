@@ -1,0 +1,48 @@
+"""Degenerate-fixture parity suite (r6): every hash-oracled op re-run on
+purpose-built degenerate data where the branches the real fixture always
+populates go empty or flat — flat series (zero variance), one-day axes,
+single-class labels, empty subpopulations (no purchases, one arm), fully
+duplicate documents, and zero-norm embeddings.
+
+This is the gate for the bug class the r5 advisor caught twice and the
+r6 sweep then found 51 times: ANSI Spark THROWS on x/0 (a job-killer on
+any empty segment at 100 TB) while DuckDB emits IEEE inf/nan, and a
+perfectly balanced statistic rounds to -0.0 on one engine.  A regression
+here means an op will crash or silently diverge the first time a real
+segment degenerates.  scripts/degenerate_sweep.py is the standalone
+runner with the same fixture.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from degenerate_sweep import build_fixture  # noqa: E402
+
+from carpet_spark.registry import REGISTRY  # noqa: E402
+from carpet_spark.testing import compare, duck_connect  # noqa: E402
+
+HASH_OPS = sorted(n for n, op in REGISTRY.items() if op.oracle is not None)
+
+
+@pytest.fixture(scope="module")
+def degen_dir():
+    return build_fixture()
+
+
+@pytest.fixture(scope="module")
+def degen_duck(degen_dir):
+    con = duck_connect(degen_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_OPS)
+def test_degenerate_parity(spark, degen_duck, degen_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, degen_dir), degen_duck, op.oracle, name=name)
