@@ -74,14 +74,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(
             dot(F.col("embedding"), F.col("qe"))
-            / (
+            / F.nullif(  # zero-norm vector: cosine undefined -> NULL, not ANSI x/0
                 F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                * F.sqrt(dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(dot(F.col("qe"), F.col("qe"))),
+                F.lit(0.0),
             ),
             6,
         ).alias("cos_sim"),
     )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+    return (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 # Banded SRP for PAIR generation (semantic dedup).  Band survival for a
@@ -166,7 +171,13 @@ def semantic_pair_dedup(
     eb = j.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"))
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        # zero-norm side: cosine undefined -> NULL (the >= threshold filter
+        # then drops the pair); unguarded this is an ANSI DIVIDE_BY_ZERO
+        # job-killer on the first all-zero embedding in a 100 TB corpus
+        / F.nullif(
+            F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb"))),
+            F.lit(0.0),
+        ),
         6,
     )
     return (
@@ -236,9 +247,10 @@ def knn_join_topk(
             "label",
             F.round(
                 _dot(F.col("qv"), F.col("iv"))
-                / (
+                / F.nullif(  # zero-norm query or item: undefined -> NULL, filtered below
                     F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("iv"), F.col("iv")))
+                    * F.sqrt(_dot(F.col("iv"), F.col("iv"))),
+                    F.lit(0.0),
                 ),
                 6,
             ).alias("cos_sim"),
@@ -248,7 +260,8 @@ def knn_join_topk(
 
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "label", "cos_sim", "rank")
     )
@@ -299,6 +312,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = (
         e.filter(F.col("vec_id") < _NLIST).orderBy("vec_id").select("embedding").collect()
     )
+    out_schema = "vec_id long, label int, cos_sim double"
+    if not seed_rows:  # no seedable vectors: empty result, stable schema
+        return spark.createDataFrame([], out_schema)
     centroids = np.array([r[0] for r in seed_rows], dtype=np.float64)
 
     for _ in range(_ITERS):
@@ -356,9 +372,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="vec_id long, label int, embedding array<float>, cluster int",
     )
 
-    qvec = np.array(
-        e.filter(F.col("vec_id") == 0).select("embedding").first()[0], dtype=np.float64
-    )
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None or qrow[0] is None:  # query vector absent: empty result
+        return spark.createDataFrame([], out_schema)
+    qvec = np.array(qrow[0], dtype=np.float64)
     probe = np.argsort(((centroids - qvec) ** 2).sum(axis=1))[:_NPROBE].tolist()
 
     def dot(a, b):
@@ -371,14 +388,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(
             dot(F.col("embedding"), qcol)
-            / (
+            / F.nullif(  # zero-norm query or item: undefined -> NULL, filtered below
                 F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                * F.lit(float(np.sqrt((qvec * qvec).sum())))
+                * F.lit(float(np.sqrt((qvec * qvec).sum()))),
+                F.lit(0.0),
             ),
             6,
         ).alias("cos_sim"),
     )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+    return (
+        scored.filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
 
 
 @register("emb_pca_project")  # rows-only: eigendecomposition not SQL-expressible
@@ -419,6 +441,10 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials, "n long, s array<double>, ss array<double>"
     ).collect()  # bounded: one ~33 KB summary row per partition
     n = sum(r["n"] for r in rows)
+    if n < 2:  # covariance undefined on <2 vectors: NULL scores, stable schema
+        return e.select(
+            "vec_id", "label", F.lit(None).cast("double").alias("pc1_score")
+        )
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
     ss = np.sum([np.array(r["ss"]).reshape(_DIM, _DIM) for r in rows], axis=0)
     mean = s / n
@@ -475,15 +501,17 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.round(
             _dot(F.col("embedding"), F.col("qe"))
-            / (
+            / F.nullif(  # zero-norm vector: undefined -> NULL, excluded from candidates
                 F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot(F.col("qe"), F.col("qe"))),
+                F.lit(0.0),
             ),
             6,
         ).alias("q_sim"),
     )
     cands = (
-        scored.orderBy(F.col("q_sim").desc(), F.col("vec_id").asc())
+        scored.filter(F.col("q_sim").isNotNull())
+        .orderBy(F.col("q_sim").desc(), F.col("vec_id").asc())
         .limit(30)
         .coalesce(1)
     )

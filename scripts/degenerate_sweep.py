@@ -49,7 +49,11 @@ def build_fixture() -> str:
     E = dt.datetime(2024, 1, 5, 12, 0, 0)  # inside the events month
 
     def write(name, cols, schema):
-        pq.write_table(pa.table(cols, schema=pa.schema(schema)), f"{FIX}/{name}.parquet")
+        # Atomic publish: concurrent sessions (pytest + an interactive
+        # sweep) share /tmp; a reader must never see a half-written file.
+        tmp = f"{FIX}/.{name}.parquet.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), tmp)
+        os.replace(tmp, f"{FIX}/{name}.parquet")
 
     write("region", {"r_regionkey": [0], "r_name": ["AMERICA"]},
           [("r_regionkey", pa.int32()), ("r_name", pa.string())])

@@ -28,6 +28,7 @@ from carpet_spark.registry import REGISTRY  # noqa: E402
 from carpet_spark.testing import compare, duck_connect  # noqa: E402
 
 HASH_OPS = sorted(n for n, op in REGISTRY.items() if op.oracle is not None)
+ROWS_ONLY_OPS = sorted(n for n, op in REGISTRY.items() if op.oracle is None)
 
 
 @pytest.fixture(scope="module")
@@ -46,3 +47,15 @@ def degen_duck(degen_dir):
 def test_degenerate_parity(spark, degen_duck, degen_dir, name):
     op = REGISTRY[name]
     compare(op.fn(spark, degen_dir), degen_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_degenerate_rows_only_smoke(spark, degen_dir, name):
+    """The 16 rows-only ops have no oracle to diverge from, but they can
+    still CRASH on degenerate data — and two did when this gate was added
+    (zero-norm embeddings hit an unguarded ANSI cosine division in
+    dedup_near_embedding_ann; a missing vec_id=0 query row made
+    sim_ann_ivf subscript None).  Each op must materialize crash-free;
+    semantic contracts stay in test_property.py / test_streaming.py."""
+    df = REGISTRY[name].fn(spark, degen_dir)
+    assert df.count() >= 0
