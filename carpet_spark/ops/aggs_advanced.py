@@ -510,7 +510,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.lit("lineitem_orderkey_referential").alias("rule"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("o_orderkey").isNull().cast("int")).alias("n_violations"),
+            # COALESCE (empty sweep): the oracle's NOT-EXISTS count is 0
+            # on an empty lineitem, so the null-probe SUM must be too.
+            F.coalesce(
+                F.sum(F.col("o_orderkey").isNull().cast("int")), F.lit(0)
+            ).alias("n_violations"),
         )
     )
     return li_report.unionByName(uniq).unionByName(orphans)
@@ -1312,10 +1316,11 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT COUNT(*) FROM a) AS n_click,
            (SELECT COUNT(*) FROM b) AS n_purchase,
            n_inter,
-           round(n_inter / CAST((SELECT COUNT(*) FROM a)
-                 + (SELECT COUNT(*) FROM b) - n_inter AS DOUBLE), 6)
+           round(n_inter / NULLIF(CAST((SELECT COUNT(*) FROM a)
+                 + (SELECT COUNT(*) FROM b) - n_inter AS DOUBLE), 0), 6)
              AS jaccard,
-           round(n_inter / CAST((SELECT COUNT(*) FROM a) AS DOUBLE), 6)
+           round(n_inter / NULLIF(CAST((SELECT COUNT(*) FROM a) AS DOUBLE), 0),
+                 6)
              AS containment_in_click
     FROM i
     """,
@@ -1349,14 +1354,24 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_click",
             "n_purchase",
             "n_inter",
+            # NULLIF guard (empty sweep): both segments empty zeroes the
+            # union and the click count — both engines agree on NULL.
             F.round(
                 F.col("n_inter")
-                / (F.col("n_click") + F.col("n_purchase") - F.col("n_inter"))
-                .cast("double"),
+                / F.nullif(
+                    (
+                        F.col("n_click")
+                        + F.col("n_purchase")
+                        - F.col("n_inter")
+                    ).cast("double"),
+                    F.lit(0.0),
+                ),
                 6,
             ).alias("jaccard"),
             F.round(
-                F.col("n_inter") / F.col("n_click").cast("double"), 6
+                F.col("n_inter")
+                / F.nullif(F.col("n_click").cast("double"), F.lit(0.0)),
+                6,
             ).alias("containment_in_click"),
         )
     )
@@ -2400,17 +2415,18 @@ def agg_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     w AS (
       SELECT n, k,
-             k / CAST(n AS DOUBLE) AS p,
+             NULLIF(CAST(n AS DOUBLE), 0) AS nd,
+             k / NULLIF(CAST(n AS DOUBLE), 0) AS p,
              1.959963985 AS z
       FROM s
     )
     SELECT n, k, round(p, 6) AS rate,
-           round((p + z * z / (2 * n)
-                  - z * sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)))
-                 / (1 + z * z / n), 6) AS ci_lo,
-           round((p + z * z / (2 * n)
-                  + z * sqrt(p * (1 - p) / n + z * z / (4.0 * n * n)))
-                 / (1 + z * z / n), 6) AS ci_hi
+           round((p + z * z / (2 * nd)
+                  - z * sqrt(p * (1 - p) / nd + z * z / (4.0 * nd * nd)))
+                 / (1 + z * z / nd), 6) AS ci_lo,
+           round((p + z * z / (2 * nd)
+                  + z * sqrt(p * (1 - p) / nd + z * z / (4.0 * nd * nd)))
+                 / (1 + z * z / nd), 6) AS ci_hi
     FROM w
     """,
 )
@@ -2433,14 +2449,14 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k"),
     )
-    p = F.col("k") / F.col("n").cast("double")
+    # NULLIF guard (empty sweep): an empty events slice zeroes n and
+    # every /n term — both engines agree on NULL intervals.
+    nd = F.nullif(F.col("n").cast("double"), F.lit(0.0))
+    p = F.col("k") / nd
     z = F.lit(1.959963985)
-    denom = 1 + z * z / F.col("n")
-    center = p + z * z / (2 * F.col("n"))
-    half = z * F.sqrt(
-        p * (1 - p) / F.col("n")
-        + z * z / (4.0 * F.col("n") * F.col("n"))
-    )
+    denom = 1 + z * z / nd
+    center = p + z * z / (2 * nd)
+    half = z * F.sqrt(p * (1 - p) / nd + z * z / (4.0 * nd * nd))
     return s.select(
         "n",
         "k",
@@ -6074,7 +6090,7 @@ def dq_balance_reconciliation_three_way(spark: SparkSession, sf_dir: str) -> Dat
       FROM orders
     )
     SELECT col, n_distinct, n,
-           round(n_distinct / CAST(n AS DOUBLE), 6) AS uniqueness,
+           round(n_distinct / NULLIF(CAST(n AS DOUBLE), 0), 6) AS uniqueness,
            CASE WHEN n_distinct = n THEN 1 ELSE 0 END AS is_candidate_key
     FROM (
       SELECT 'o_orderkey' AS col, d_orderkey AS n_distinct, n FROM stats
@@ -6129,9 +6145,13 @@ def profile_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(p)
     return out.select(
         "col", "n_distinct", "n",
-        F.round(F.col("n_distinct") / F.col("n").cast("double"), 6).alias(
-            "uniqueness"
-        ),
+        # NULLIF on n (empty sweep): an empty table has no uniqueness
+        # ratio to report — both engines agree on NULL.
+        F.round(
+            F.col("n_distinct")
+            / F.nullif(F.col("n").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("uniqueness"),
         F.when(F.col("n_distinct") == F.col("n"), 1).otherwise(0).alias(
             "is_candidate_key"
         ),

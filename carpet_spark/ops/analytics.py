@@ -5882,6 +5882,18 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = nxt
         return p["start"]
 
+    if not edges:
+        # Empty-sweep guard: with no observed journeys the chain never
+        # materializes — every probability is undefined (NULL), matching
+        # the oracle's pivot over an empty recursion (not a 0.0 fold
+        # over an all-zero matrix).
+        rows = [(c, None, None, None, None) for c in _MK_CHANNELS]
+        return spark.createDataFrame(
+            rows,
+            "channel string, conv_prob_without double, "
+            "base_conv_prob double, removal_effect double, "
+            "attribution_share double",
+        )
     base = solve(None)
     removed_p = {c: solve(c) for c in _MK_CHANNELS}
     # degenerate-sweep guard: base = 0 (no conversions) leaves removal

@@ -1009,13 +1009,14 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
            CAST(MAX(load) AS BIGINT) AS max_load,
            round(AVG(load), 6) AS avg_load,
-           round(SUM((load - (SELECT COUNT(*) FROM buckets) / 256.0)
-                     * (load - (SELECT COUNT(*) FROM buckets) / 256.0)
-                     / ((SELECT COUNT(*) FROM buckets) / 256.0))
-                 + (256 - COUNT(*))
-                   * ((SELECT COUNT(*) FROM buckets) / 256.0), 6)
+           round(SUM((load - v.nv / 256.0)
+                     * (load - v.nv / 256.0)
+                     / (v.nv / 256.0))
+                 + (256 - COUNT(*)) * (v.nv / 256.0), 6)
              AS chi2_uniform
-    FROM hist
+    FROM hist CROSS JOIN
+         (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM buckets) v
+    GROUP BY v.nv
     """,
 )
 def sim_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

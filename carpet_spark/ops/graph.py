@@ -120,6 +120,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("v")
     )
     n = verts.count()  # scalar graph metadata, like ann.py's k-means state
+    # Empty-sweep guard: with zero vertices every frame below is empty,
+    # so the two n-divisors are dead literals — clamp to avoid the
+    # driver-side ZeroDivisionError an empty vertex slice would raise.
+    n = n or 1
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = edges.join(deg, "src").localCheckpoint()
 

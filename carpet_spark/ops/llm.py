@@ -3048,14 +3048,15 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 'exact_dup_docs',
         CAST(n_docs - n_unique_texts AS DOUBLE) FROM m
       UNION ALL SELECT 'dup_share',
-        (n_docs - n_unique_texts) / CAST(n_docs AS DOUBLE) FROM m
+        (n_docs - n_unique_texts) / NULLIF(CAST(n_docs AS DOUBLE), 0) FROM m
       UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM m
       UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM m
-      UNION ALL SELECT 'en_share', n_en / CAST(n_docs AS DOUBLE) FROM m
+      UNION ALL SELECT 'en_share',
+        n_en / NULLIF(CAST(n_docs AS DOUBLE), 0) FROM m
       UNION ALL SELECT 'mean_chars',
-        sum_chars / CAST(n_docs AS DOUBLE) FROM m
+        sum_chars / NULLIF(CAST(n_docs AS DOUBLE), 0) FROM m
       UNION ALL SELECT 'mean_tokens',
-        sum_toks / CAST(n_docs AS DOUBLE) FROM m
+        sum_toks / NULLIF(CAST(n_docs AS DOUBLE), 0) FROM m
     )
     SELECT metric, round(value, 6) AS value FROM tidy
     """,
@@ -3096,14 +3097,26 @@ def pipeline_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame
         (
             "dup_share",
             (F.col("n_docs") - F.col("n_unique_texts"))
-            / F.col("n_docs").cast("double"),
+            / F.nullif(F.col("n_docs").cast("double"), F.lit(0.0)),
         ),
         ("n_langs", F.col("n_langs").cast("double")),
         ("n_sources", F.col("n_sources").cast("double")),
-        ("en_share", F.col("n_en") / F.col("n_docs").cast("double")),
-        ("mean_chars", F.col("sum_chars") / F.col("n_docs").cast("double")),
-        ("mean_tokens", F.col("sum_toks") / F.col("n_docs").cast("double")),
-    ]
+        (
+            "en_share",
+            F.col("n_en")
+            / F.nullif(F.col("n_docs").cast("double"), F.lit(0.0)),
+        ),
+        (
+            "mean_chars",
+            F.col("sum_chars")
+            / F.nullif(F.col("n_docs").cast("double"), F.lit(0.0)),
+        ),
+        (
+            "mean_tokens",
+            F.col("sum_toks")
+            / F.nullif(F.col("n_docs").cast("double"), F.lit(0.0)),
+        ),
+    ]  # NULLIF on n_docs (empty sweep): empty corpus slice -> NULL shares
     tidy = F.explode(
         F.array(
             *[
@@ -4027,8 +4040,8 @@ def eval_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT n, pos,
-           round(-ll_sum / n, 6) AS log_loss,
-           round(-base_sum / n, 6) + 0.0 AS baseline_ll,
+           round(-ll_sum / NULLIF(n, 0), 6) AS log_loss,
+           round(-base_sum / NULLIF(n, 0), 6) + 0.0 AS baseline_ll,
            round(1.0 - ll_sum / NULLIF(base_sum, 0), 6) AS skill
     FROM base
     """,
@@ -4078,8 +4091,14 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n",
         "pos",
-        F.round(-F.col("ll_sum") / F.col("n"), 6).alias("log_loss"),
-        (F.round(-base_sum / F.col("n"), 6) + 0.0).alias("baseline_ll"),
+        # NULLIF on n (empty sweep): an empty corpus slice zeroes n while
+        # base_sum's 0·ln(0) branches still yield a non-null 0.0.
+        F.round(
+            -F.col("ll_sum") / F.nullif(F.col("n"), F.lit(0)), 6
+        ).alias("log_loss"),
+        (
+            F.round(-base_sum / F.nullif(F.col("n"), F.lit(0)), 6) + 0.0
+        ).alias("baseline_ll"),
         F.round(
             F.lit(1.0) - F.col("ll_sum") / F.nullif(base_sum, F.lit(0.0)), 6
         ).alias("skill"),
@@ -4771,10 +4790,11 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT blk, COUNT(*) AS n FROM norm GROUP BY blk)
     )
     SELECT c.n_docs, t.true_pairs, f.found_pairs, c.cand_pairs,
-           round(f.found_pairs * 1.0 / t.true_pairs, 6)
+           round(f.found_pairs * 1.0 / NULLIF(t.true_pairs, 0), 6)
              AS pair_completeness,
            round(1.0 - c.cand_pairs * 2.0
-                 / (c.n_docs * (c.n_docs - 1.0)), 6) AS reduction_ratio
+                 / NULLIF(c.n_docs * (c.n_docs - 1.0), 0), 6)
+             AS reduction_ratio
     FROM tp t CROSS JOIN found f CROSS JOIN cand c
     """,
 )
@@ -4841,14 +4861,23 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_pairs",
             "found_pairs",
             "cand_pairs",
+            # NULLIF guards (empty sweep): a dup-free corpus zeroes
+            # true_pairs and a 0/1-doc slice zeroes n(n−1) — both
+            # engines agree on NULL for the undefined ratios.
             F.round(
-                F.col("found_pairs") * F.lit(1.0) / F.col("true_pairs"), 6
+                F.col("found_pairs")
+                * F.lit(1.0)
+                / F.nullif(F.col("true_pairs"), F.lit(0)),
+                6,
             ).alias("pair_completeness"),
             F.round(
                 F.lit(1.0)
                 - F.col("cand_pairs")
                 * F.lit(2.0)
-                / (F.col("n_docs") * (F.col("n_docs") - F.lit(1.0))),
+                / F.nullif(
+                    F.col("n_docs") * (F.col("n_docs") - F.lit(1.0)),
+                    F.lit(0.0),
+                ),
                 6,
             ).alias("reduction_ratio"),
         )
@@ -5835,7 +5864,8 @@ def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.phrase, p.n_docs_hit, s.docs_flagged,
            round(p.n_docs_hit
-                 / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6)
+                 / NULLIF(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE),
+                          0), 6)
              AS hit_rate
     FROM per_phrase p CROSS JOIN summary s
     """,
@@ -5872,8 +5902,12 @@ def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select(
             "phrase", "n_docs_hit", "docs_flagged",
+            # NULLIF on n_total (empty sweep): the blocklist rows survive
+            # an empty corpus (left join) but the rate is undefined.
             F.round(
-                F.col("n_docs_hit") / F.col("n_total").cast("double"), 6
+                F.col("n_docs_hit")
+                / F.nullif(F.col("n_total").cast("double"), F.lit(0.0)),
+                6,
             ).alias("hit_rate"),
         )
     )

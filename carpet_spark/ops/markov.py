@@ -109,6 +109,9 @@ def ts_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     states = p.select(F.col("i").alias("s")).distinct().localCheckpoint(eager=True)
     n_states = states.count()
+    # Empty-sweep guard: zero states means every frame below is empty and
+    # the seed literal is dead — clamp the Python-side divisor.
+    n_states = n_states or 1
     dist = states.select(
         "s", F.lit(_MK_SCALE // n_states).cast("long").alias("mass")
     )

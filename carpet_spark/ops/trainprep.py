@@ -859,9 +859,18 @@ def quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCols=["f_ntok", "f_avg_len", "f_marker", "f_distinct"],
         outputCol="features",
     )
-    model = LogisticRegression(maxIter=25, regParam=0.01).fit(
-        va.transform(feats.filter(F.col("in_train")))
-    )
+    train = va.transform(feats.filter(F.col("in_train")))
+    if train.isEmpty():
+        # Empty-sweep guard: LBFGS throws on a zero-row fit ("Nothing has
+        # been added to this summarizer"); with no training rows there is
+        # no model, so the score table is empty with the same schema.
+        return feats.filter(F.lit(False)).select(
+            "doc_id",
+            F.col("label").cast("int").alias("weak_label"),
+            F.lit(0).alias("pred"),
+            F.col("in_train").cast("int").alias("in_train"),
+        )
+    model = LogisticRegression(maxIter=25, regParam=0.01).fit(train)
     # Persist + reload before scoring — the production pattern, and a real
     # correctness requirement: the freshly-fitted model's trainingSummary
     # holds a SparkSession reference, and the scoring closure serializes
@@ -1469,7 +1478,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_buckets_used,
            MAX(n_tokens) AS max_collisions,
            round(SUM(CASE WHEN n_tokens > 1 THEN n_tokens ELSE 0 END)
-                 / CAST((SELECT COUNT(*) FROM toks) AS DOUBLE), 6)
+                 / NULLIF(CAST((SELECT COUNT(*) FROM toks) AS DOUBLE), 0), 6)
              AS collided_token_share
     FROM per
     """,
@@ -1499,15 +1508,24 @@ def fn_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens")
     )
     vocab = toks.agg(F.count(F.lit(1)).alias("vocab_size"))
-    return per.join(F.broadcast(vocab)).agg(
-        F.max("vocab_size").cast("long").alias("vocab_size"),
+    # Aggregate the bucket profile FIRST, then bind the vocab scalar by
+    # cross join (empty-sweep rule): joining the scalar INTO the bucket
+    # rows loses it when the bucket set is empty, so vocab_size read
+    # back as NULL instead of 0 on an empty corpus.
+    persum = per.agg(
         F.count(F.lit(1)).alias("n_buckets_used"),
         F.max("n_tokens").alias("max_collisions"),
+        F.sum(
+            F.when(F.col("n_tokens") > 1, F.col("n_tokens")).otherwise(0)
+        ).alias("collided"),
+    )
+    return vocab.crossJoin(F.broadcast(persum)).select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        "n_buckets_used",
+        "max_collisions",
         F.round(
-            F.sum(
-                F.when(F.col("n_tokens") > 1, F.col("n_tokens")).otherwise(0)
-            )
-            / F.max("vocab_size").cast("double"),
+            F.col("collided")
+            / F.nullif(F.col("vocab_size").cast("double"), F.lit(0.0)),
             6,
         ).alias("collided_token_share"),
     )

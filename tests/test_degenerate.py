@@ -59,3 +59,53 @@ def test_degenerate_rows_only_smoke(spark, degen_dir, name):
     semantic contracts stay in test_property.py / test_streaming.py."""
     df = REGISTRY[name].fn(spark, degen_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Empty-fixture regime (r6): 0-row copies of every table with the exact
+# production schemas.  Beyond flat/degenerate: at 100 TB an empty
+# date-slice / partition / tenant is ROUTINE, and this gate caught 14
+# crashes (ANSI x/0, collect()[0] on no rows, schema inference over
+# file-less partitioned dirs, globs matching nothing) plus 5 silent
+# divergences when first run.  Spark's ROLLUP/CUBE family is the one
+# documented engine-inherent exception (see EMPTY_EXPECTED_DIVERGE).
+# ---------------------------------------------------------------------------
+
+from degenerate_sweep import EMPTY_EXPECTED_DIVERGE, build_empty_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def empty_dir():
+    return build_empty_fixture()
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_dir):
+    con = duck_connect(empty_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in HASH_OPS if n not in EMPTY_EXPECTED_DIVERGE]
+)
+def test_empty_parity(spark, empty_duck, empty_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, empty_dir), empty_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", sorted(EMPTY_EXPECTED_DIVERGE))
+def test_empty_rollup_family_zero_rows(spark, empty_dir, name):
+    """Pin the documented Spark-side behavior for the allowlisted ops:
+    ROLLUP/CUBE/GROUPING SETS over an empty input yield ZERO rows in
+    Spark (Expand-based implementation) where ANSI engines emit the one
+    grand-total row.  If Spark ever adopts the ANSI row, this pin fails
+    and the ops graduate into test_empty_parity."""
+    assert REGISTRY[name].fn(spark, empty_dir).count() == 0
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_empty_rows_only_smoke(spark, empty_dir, name):
+    """Rows-only ops must also survive the empty regime crash-free."""
+    df = REGISTRY[name].fn(spark, empty_dir)
+    assert df.count() >= 0
