@@ -2599,15 +2599,15 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist AS (
       SELECT bin,
              SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END)
-               / CAST((SELECT COUNT(*) FROM tagged WHERE period = 1)
-                      AS DOUBLE) AS p1,
+               / NULLIF(CAST((SELECT COUNT(*) FROM tagged WHERE period = 1)
+                             AS DOUBLE), 0) AS p1,
              SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END)
-               / CAST((SELECT COUNT(*) FROM tagged WHERE period = 2)
-                      AS DOUBLE) AS p2
+               / NULLIF(CAST((SELECT COUNT(*) FROM tagged WHERE period = 2)
+                             AS DOUBLE), 0) AS p2
       FROM binned GROUP BY bin
     )
     SELECT COUNT(*) AS n_bins,
-           round(SUM((p2 - p1) * ln(p2 / p1)), 6) AS psi
+           round(SUM((p2 - p1) * ln(p2 / NULLIF(p1, 0))), 6) AS psi
     FROM dist
     """,
 )
@@ -2663,18 +2663,26 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1 = tagged.filter(F.col("period") == 1).count()
     n2 = tagged.filter(F.col("period") == 2).count()
+    # NULLIF guards (degenerate sweep): a one-period table zeroes the other
+    # period's count, and a bin all of whose mass is in period 2 zeroes p1 —
+    # ANSI Spark throws, DuckDB infs; both sides now agree on NULL psi.
     dist = binned.groupBy("bin").agg(
         (
-            F.sum(F.when(F.col("period") == 1, 1).otherwise(0)) / float(n1)
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+            / F.nullif(F.lit(float(n1)), F.lit(0.0))
         ).alias("p1"),
         (
-            F.sum(F.when(F.col("period") == 2, 1).otherwise(0)) / float(n2)
+            F.sum(F.when(F.col("period") == 2, 1).otherwise(0))
+            / F.nullif(F.lit(float(n2)), F.lit(0.0))
         ).alias("p2"),
     )
     return dist.agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.round(
-            F.sum((F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))),
+            F.sum(
+                (F.col("p2") - F.col("p1"))
+                * F.log(F.col("p2") / F.nullif(F.col("p1"), F.lit(0.0)))
+            ),
             6,
         ).alias("psi"),
     )

@@ -1876,8 +1876,10 @@ def agg_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            round((r2_6 - r1_6) / 1e6, 6) AS delta_revenue,
-           round((q2 - q1) * (r1_6 / 1e6 / q1), 6) AS volume_effect,
-           round(q2 * (r2_6 / 1e6 / q2 - r1_6 / 1e6 / q1), 6)
+           round((q2 - q1) * (r1_6 / 1e6 / NULLIF(CAST(q1 AS DOUBLE), 0)), 6)
+             AS volume_effect,
+           round(q2 * (r2_6 / 1e6 / NULLIF(CAST(q2 AS DOUBLE), 0)
+                       - r1_6 / 1e6 / NULLIF(CAST(q1 AS DOUBLE), 0)), 6)
              AS price_effect
     FROM per
     """,
@@ -1907,8 +1909,11 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(period1, r6).otherwise(0)).cast("long").alias("r1_6"),
         F.sum(F.when(~period1, r6).otherwise(0)).cast("long").alias("r2_6"),
     )
-    p1 = F.col("r1_6") / 1e6 / F.col("q1")
-    p2 = F.col("r2_6") / 1e6 / F.col("q2")
+    # NULLIF guards (degenerate sweep): a segment with all its volume in
+    # one period zeroes the other period's quantity — ANSI Spark throws,
+    # DuckDB infs; both sides now agree on NULL effects.
+    p1 = F.col("r1_6") / 1e6 / F.nullif(F.col("q1").cast("double"), F.lit(0.0))
+    p2 = F.col("r2_6") / 1e6 / F.nullif(F.col("q2").cast("double"), F.lit(0.0))
     return per.select(
         "l_returnflag",
         F.round((F.col("r2_6") - F.col("r1_6")) / 1e6, 6).alias("delta_revenue"),
@@ -3259,7 +3264,8 @@ def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         MAX(CASE WHEN arm='control' AND period='post' THEN sv / (n * 1e6) END)
           AS m_cq,
         SUM((n * CAST(sv2 AS DOUBLE) - CAST(sv AS DOUBLE) * sv)
-            / (CAST(n AS DOUBLE) * (n - 1)) / n / 1e12) AS var_sum,
+            / (CAST(n AS DOUBLE) * NULLIF(CAST(n - 1 AS DOUBLE), 0))
+            / n / 1e12) AS var_sum,
         CAST(SUM(n) AS BIGINT) AS n_total
       FROM cells
     )
@@ -3267,8 +3273,8 @@ def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(m_tq - m_tp, 6) AS treat_delta,
            round(m_cq - m_cp, 6) AS control_delta,
            round((m_tq - m_tp) - (m_cq - m_cp), 6) AS did_estimate,
-           round(((m_tq - m_tp) - (m_cq - m_cp)) / sqrt(var_sum), 6)
-             AS did_z
+           round(((m_tq - m_tp) - (m_cq - m_cp))
+                 / NULLIF(sqrt(var_sum), 0), 6) AS did_z
     FROM wide
     """,
 )
@@ -3318,12 +3324,18 @@ def ab_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # NULLIF guards (degenerate sweep): a 1-order cell zeroes (n−1), and a
+    # zero-variance table zeroes sqrt(var_sum) — ANSI Spark throws, DuckDB
+    # infs; both sides now agree on NULL.
     var_term = (
         (
             F.col("n") * F.col("sv2").cast("double")
             - F.col("sv").cast("double") * F.col("sv")
         )
-        / (F.col("n").cast("double") * (F.col("n") - 1))
+        / (
+            F.col("n").cast("double")
+            * F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+        )
         / F.col("n")
         / 1e12
     )
@@ -3341,7 +3353,9 @@ def ab_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m_tq") - F.col("m_tp"), 6).alias("treat_delta"),
         F.round(F.col("m_cq") - F.col("m_cp"), 6).alias("control_delta"),
         F.round(did, 6).alias("did_estimate"),
-        F.round(did / F.sqrt(F.col("var_sum")), 6).alias("did_z"),
+        F.round(
+            did / F.nullif(F.sqrt(F.col("var_sum")), F.lit(0.0)), 6
+        ).alias("did_z"),
     )
 
 

@@ -1128,7 +1128,7 @@ def sim_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(SUM(sq_over_n - st * st / n), 6) AS between_ss,
            round(SUM(ssd - sq_over_n), 6) AS within_ss,
            round(SUM(sq_over_n - st * st / n)
-                 / SUM(ssd - sq_over_n), 6) AS separability_ratio
+                 / NULLIF(SUM(ssd - sq_over_n), 0), 6) AS separability_ratio
     FROM per_d
     """,
 )
@@ -1171,5 +1171,10 @@ def emb_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_labels").cast("long").alias("n_labels"),
         F.round(between, 6).alias("between_ss"),
         F.round(within, 6).alias("within_ss"),
-        F.round(between / within, 6).alias("separability_ratio"),
+        # NULLIF guard (degenerate sweep): one vector per (label, dim)
+        # zeroes the within-class SS — ANSI Spark throws, DuckDB infs;
+        # both sides now agree on a NULL ratio.
+        F.round(
+            between / F.nullif(within, F.lit(0.0)), 6
+        ).alias("separability_ratio"),
     )

@@ -55,7 +55,7 @@ _ZSTATS_SQL = """
              sqrt((CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
                    - COUNT(*) * pow(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
                                     / COUNT(*), 2))
-                  / (COUNT(*) - 1)) AS sigma
+                  / NULLIF(CAST(COUNT(*) - 1 AS DOUBLE), 0)) AS sigma
       FROM events
 """
 
@@ -84,12 +84,22 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     n = F.count(F.lit(1))
+    # NULLIF guard (degenerate sweep): a 1-row table zeroes (n−1) — ANSI
+    # Spark throws, DuckDB infs.  The sigma-is-NULL gate keeps the output
+    # NULL (not the pandas NaN the UDF would emit) to match the oracle.
     stats = ev.agg(
         (sum_dec / n).alias("mu"),
-        F.sqrt((sumsq_dec - n * F.pow(sum_dec / n, 2)) / (n - 1)).alias("sigma"),
+        F.sqrt(
+            (sumsq_dec - n * F.pow(sum_dec / n, 2))
+            / F.nullif((n - 1).cast("double"), F.lit(0.0))
+        ).alias("sigma"),
     )
     return ev.crossJoin(F.broadcast(stats)).select(
-        "event_id", F.round(z("value", "mu", "sigma"), 6).alias("zscore")
+        "event_id",
+        F.when(
+            F.col("sigma").isNotNull(),
+            F.round(z("value", "mu", "sigma"), 6),
+        ).alias("zscore"),
     )
 
 

@@ -157,6 +157,90 @@ def build_empty_fixture() -> str:
     return EMPTY_FIX
 
 
+SINGLE_FIX = "/tmp/carpet_single_fixture"
+
+
+def build_single_fixture() -> str:
+    """ONE row per table, referentially consistent.  The regime between
+    degenerate (flat-but-populated) and empty: n=1 zeroes every n-1
+    sample-variance denominator, makes every LAG/LEAD NULL, collapses
+    every window partition to a single row, and gives OLS/correlation
+    exactly one point — branches the 6-row flat fixture never reaches."""
+    import pyarrow as pa
+
+    os.makedirs(SINGLE_FIX, exist_ok=True)
+    D = dt.datetime(1996, 6, 15)
+    E = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def write(name, cols, schema):
+        tmp = f"{SINGLE_FIX}/.{name}.parquet.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), tmp)
+        os.replace(tmp, f"{SINGLE_FIX}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0], "r_name": ["AMERICA"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0], "n_name": ["BRAZIL"], "n_regionkey": [0]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    write("customer",
+          {"c_custkey": [1], "c_name": ["Customer#1"], "c_nationkey": [0],
+           "c_acctbal": [100.0], "c_mktsegment": ["BUILDING"]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1], "s_name": ["Supplier#1"], "s_nationkey": [0],
+           "s_acctbal": [50.0]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1], "p_name": ["green part"],
+           "p_brand": ["Brand#11"], "p_type": ["ECONOMY BRASS"],
+           "p_size": [10], "p_retailprice": [900.0]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    write("orders",
+          {"o_orderkey": [1], "o_custkey": [1], "o_orderstatus": ["F"],
+           "o_totalprice": [1000.0], "o_orderdate": [D],
+           "o_orderpriority": ["3-MEDIUM"]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")),
+           ("o_orderpriority", pa.string())])
+    write("lineitem",
+          {"l_orderkey": [1], "l_partkey": [1], "l_suppkey": [1],
+           "l_linenumber": [1], "l_quantity": [5.0],
+           "l_extendedprice": [500.0], "l_discount": [0.0], "l_tax": [0.0],
+           "l_returnflag": ["N"], "l_linestatus": ["O"], "l_shipdate": [D]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    write("events",
+          {"event_id": [1], "ts": [E], "user_id": [7],
+           "event_type": ["click"], "value": [10.0],
+           "props": ['{"k": 1}']},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    text = "alpha beta gamma"
+    write("documents",
+          {"doc_id": [1], "text": [text], "lang": ["en"],
+           "source": ["src0"], "n_chars": [len(text)]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    write("embeddings",
+          {"vec_id": [1], "embedding": [[0.5] * 64], "label": [0]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return SINGLE_FIX
+
+
 # Engine-inherent empty-input divergence, documented rather than papered
 # over: ANSI SQL gives GROUP BY ROLLUP/CUBE/GROUPING SETS a grand-total
 # () grouping set that emits ONE row even over an empty table (DuckDB,
@@ -179,7 +263,12 @@ def main() -> None:
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
-    fix = build_empty_fixture() if "--empty" in sys.argv else build_fixture()
+    if "--empty" in sys.argv:
+        fix = build_empty_fixture()
+    elif "--single" in sys.argv:
+        fix = build_single_fixture()
+    else:
+        fix = build_fixture()
     from carpet_spark.registry import REGISTRY
     from carpet_spark.session import get_spark
     from carpet_spark.testing import compare, duck_connect

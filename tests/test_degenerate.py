@@ -109,3 +109,42 @@ def test_empty_rows_only_smoke(spark, empty_dir, name):
     """Rows-only ops must also survive the empty regime crash-free."""
     df = REGISTRY[name].fn(spark, empty_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Single-row regime (r6): exactly ONE referentially-consistent row per
+# table.  The regime between flat-but-populated and empty: n=1 zeroes
+# every (n-1) sample-variance denominator, makes every LAG/LEAD NULL,
+# collapses every window partition to one row, and gives OLS/correlation
+# exactly one point — branches neither of the other regimes reaches.
+# First run caught 5 ANSI DIVIDE_BY_ZERO crashes (diff-in-diff (n-1),
+# price-volume one-sided periods, PSI one-period split, class
+# separability within-SS=0, udf_pandas stddev (n-1)).
+# ---------------------------------------------------------------------------
+
+from degenerate_sweep import build_single_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def single_dir():
+    return build_single_fixture()
+
+
+@pytest.fixture(scope="module")
+def single_duck(single_dir):
+    con = duck_connect(single_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_OPS)
+def test_single_row_parity(spark, single_duck, single_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, single_dir), single_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_single_row_rows_only_smoke(spark, single_dir, name):
+    """Rows-only ops must also survive the single-row regime crash-free."""
+    df = REGISTRY[name].fn(spark, single_dir)
+    assert df.count() >= 0
