@@ -374,11 +374,22 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: binaryFile scans parallelize per file (and honor
     maxPartitionBytes for large files); at 100 TB this is the pattern for
     slurping image/audio shards off object storage before decode."""
+    import hashlib as _hashlib
     import os as _os
 
     from .scans import _sink_path
 
-    src = _sink_path(spark, "binfiles")
+    # Staging keyed by the SOURCE fixture (path + mtime + size, like the
+    # bucketed-join prep in joins.py) — a per-application key alone goes
+    # stale when one session runs the op against several fixtures (real
+    # sf, then the degenerate/empty/single regimes) and the second call
+    # would read the first fixture's files.
+    doc_path = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(doc_path)
+    tag = _hashlib.sha256(
+        f"{_os.path.abspath(doc_path)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    src = _sink_path(spark, f"binfiles_{tag}")
     if not _os.path.isdir(src):
         _os.makedirs(src, exist_ok=True)
         rows = (
