@@ -241,6 +241,127 @@ def build_single_fixture() -> str:
     return SINGLE_FIX
 
 
+NULLS_FIX = "/tmp/carpet_nulls_fixture"
+
+
+def build_nulls_fixture() -> str:
+    """Populated tables with NULLs salted into every non-key metric/text
+    column (keys, dates, and timestamps stay non-NULL so joins and time
+    axes hold).  The production fixture has NO NULLs anywhere, so every
+    op's NULL path is untested by full-SF parity — yet at 100 TB a NULL
+    metric is routine.  Cross-engine rules under test: NULL-propagating
+    arithmetic (agree), aggregate NULL-skipping (agree), Spark concat vs
+    DuckDB concat (DuckDB skips NULLs, Spark propagates), greatest/least,
+    and ASC NULL ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) in
+    window/topk ops."""
+    os.makedirs(NULLS_FIX, exist_ok=True)
+    D = dt.datetime(1996, 6, 15)
+    E = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def write(name, cols, schema):
+        tmp = f"{NULLS_FIX}/.{name}.parquet.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), tmp)
+        os.replace(tmp, f"{NULLS_FIX}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0, 1], "r_name": ["AMERICA", "ASIA"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1], "n_name": ["BRAZIL", "CHINA"],
+           "n_regionkey": [0, 1]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    write("customer",
+          {"c_custkey": [1, 2, 3, 4],
+           "c_name": ["Customer#1", None, "Customer#3", "Customer#4"],
+           "c_nationkey": [0, 0, 1, 1],
+           "c_acctbal": [100.0, None, 250.0, None],
+           "c_mktsegment": ["BUILDING", "BUILDING", None, "MACHINERY"]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1, 2], "s_name": ["Supplier#1", "Supplier#2"],
+           "s_nationkey": [0, 1], "s_acctbal": [50.0, None]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1, 2, 3],
+           "p_name": ["green part", None, "red part"],
+           "p_brand": ["Brand#11", "Brand#12", "Brand#11"],
+           "p_type": ["ECONOMY BRASS", "PROMO STEEL", None],
+           "p_size": [10, None, 20],
+           "p_retailprice": [900.0, 800.0, None]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    n_o = 8
+    write("orders",
+          {"o_orderkey": list(range(1, n_o + 1)),
+           "o_custkey": [1, 1, 2, 2, 3, 3, 4, 4],
+           "o_orderstatus": ["F", "O", "F", "O", "F", "O", "F", "O"],
+           "o_totalprice": [1000.0, None, 1200.0, 800.0,
+                            None, 1500.0, 900.0, 1100.0],
+           "o_orderdate": [D + dt.timedelta(days=k) for k in range(n_o)],
+           "o_orderpriority": ["3-MEDIUM", "1-URGENT", None, "3-MEDIUM",
+                               "2-HIGH", None, "1-URGENT", "3-MEDIUM"]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")),
+           ("o_orderpriority", pa.string())])
+    n_li = 10
+    write("lineitem",
+          {"l_orderkey": [1, 1, 2, 3, 4, 5, 6, 7, 8, 8],
+           "l_partkey": [1, 2, 1, 2, 3, 3, 1, 2, 3, 1],
+           "l_suppkey": [1, 2, 1, 2, 1, 2, 1, 2, 1, 2],
+           "l_linenumber": [1, 2, 1, 1, 1, 1, 1, 1, 1, 2],
+           "l_quantity": [5.0, None, 3.0, 7.0, None, 2.0, 4.0, 6.0, 1.0, 8.0],
+           "l_extendedprice": [500.0, 300.0, None, 700.0, 200.0,
+                               None, 400.0, 600.0, 100.0, 800.0],
+           "l_discount": [0.05, 0.0, 0.1, None, 0.02, 0.0, 0.07, None, 0.0, 0.04],
+           "l_tax": [0.02, None, 0.0, 0.03, 0.0, 0.01, None, 0.02, 0.0, 0.05],
+           "l_returnflag": ["N", "N", "A", None, "R", "N", "A", "R", "N", None],
+           "l_linestatus": ["O", "F", "O", "F", "O", "F", "O", "F", "O", "F"],
+           "l_shipdate": [D + dt.timedelta(days=k) for k in range(n_li)]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    n_ev = 8
+    write("events",
+          {"event_id": list(range(1, n_ev + 1)),
+           "ts": [E + dt.timedelta(minutes=17 * k) for k in range(n_ev)],
+           "user_id": [7, 7, 8, 8, 9, 9, 7, 8],
+           "event_type": ["click", "view", None, "click",
+                          "purchase", None, "view", "click"],
+           "value": [10.0, None, 30.0, None, 50.0, 20.0, None, 40.0],
+           "props": ['{"k": 1}', None, '{"k": 3}', '{"k": 4}',
+                     None, '{"k": 6}', '{"k": 7}', None]},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    t1, t3 = "alpha beta gamma", "delta epsilon"
+    write("documents",
+          {"doc_id": [1, 2, 3, 4],
+           "text": [t1, None, t3, t1],
+           "lang": ["en", "de", None, "en"],
+           "source": ["src0", "src1", "src0", "src1"],
+           "n_chars": [len(t1), None, len(t3), len(t1)]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    dim = 64
+    write("embeddings",
+          {"vec_id": [0, 1, 2, 3],
+           "embedding": [[0.5] * dim, None, [0.25] * dim,
+                         [v / 100.0 for v in range(dim)]],
+           "label": [0, 1, None, 0]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return NULLS_FIX
+
+
 # Engine-inherent empty-input divergence, documented rather than papered
 # over: ANSI SQL gives GROUP BY ROLLUP/CUBE/GROUPING SETS a grand-total
 # () grouping set that emits ONE row even over an empty table (DuckDB,
@@ -267,6 +388,8 @@ def main() -> None:
         fix = build_empty_fixture()
     elif "--single" in sys.argv:
         fix = build_single_fixture()
+    elif "--nulls" in sys.argv:
+        fix = build_nulls_fixture()
     else:
         fix = build_fixture()
     from carpet_spark.registry import REGISTRY
