@@ -42,6 +42,15 @@ def _decode_image_fake(data: bytes) -> tuple[int, int, int]:
     return 64 + n % 577, 64 + (n * 31) % 577, 3
 
 
+def _nullable_long(values: list) -> pd.Series:
+    """A pandas column that Arrow converts to a NULLABLE long: object dtype
+    keeps Python ints and Nones intact (a float64 coercion would NaN the
+    Nones and then fail the long cast).  NULL payloads are routine at
+    100 TB — every mm_* op propagates payload NULL -> metadata NULL,
+    matching the oracles' SQL NULL arithmetic."""
+    return pd.Series(values, dtype="object")
+
+
 @register(
     "mm_image_meta",
     oracle="""
@@ -49,7 +58,7 @@ def _decode_image_fake(data: bytes) -> tuple[int, int, int]:
            octet_length(encode(text)) AS byte_len,
            64 + octet_length(encode(text)) % 577 AS width,
            64 + (octet_length(encode(text)) * 31) % 577 AS height,
-           3 AS channels
+           CASE WHEN text IS NULL THEN NULL ELSE 3 END AS channels
     FROM documents
     """,
 )
@@ -67,14 +76,20 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _decode_image_real if REAL_DECODERS_AVAILABLE else _decode_image_fake
         for pdf in batches:
-            meta = [decode(bytes(b)) for b in pdf["img_data"]]
+            meta = [
+                decode(bytes(b)) if b is not None else (None, None, None)
+                for b in pdf["img_data"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": [len(bytes(b)) for b in pdf["img_data"]],
-                    "width": [m[0] for m in meta],
-                    "height": [m[1] for m in meta],
-                    "channels": [m[2] for m in meta],
+                    "byte_len": _nullable_long(
+                        [len(bytes(b)) if b is not None else None
+                         for b in pdf["img_data"]]
+                    ),
+                    "width": _nullable_long([m[0] for m in meta]),
+                    "height": _nullable_long([m[1] for m in meta]),
+                    "channels": _nullable_long([m[2] for m in meta]),
                 }
             )
 
@@ -180,18 +195,24 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {"doc_id": [], "src_width": [], "src_height": [],
                     "out_width": [], "out_height": []}
             for doc_id, raw in zip(pdf["doc_id"], pdf["img_data"]):
-                w, h, _ = decode(bytes(raw))
-                mx = max(w, h)
-                if mx <= _RESIZE_BOX:
-                    ow, oh = w, h
+                if raw is None:
+                    w = h = ow = oh = None
                 else:
-                    ow, oh = w * _RESIZE_BOX // mx, h * _RESIZE_BOX // mx
+                    w, h, _ = decode(bytes(raw))
+                    mx = max(w, h)
+                    if mx <= _RESIZE_BOX:
+                        ow, oh = w, h
+                    else:
+                        ow, oh = w * _RESIZE_BOX // mx, h * _RESIZE_BOX // mx
                 rows["doc_id"].append(doc_id)
                 rows["src_width"].append(w)
                 rows["src_height"].append(h)
                 rows["out_width"].append(ow)
                 rows["out_height"].append(oh)
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(
+                {k: (_nullable_long(v) if k != "doc_id" else v)
+                 for k, v in rows.items()}
+            )
 
     return d.mapInPandas(
         resize_batches,
@@ -233,15 +254,21 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             return [int(hx[i : i + 8], 16) for i in (0, 8, 16, 24)]
 
         for pdf in batches:
-            feats = [_features_fake(bytes(b)) for b in pdf["img_data"]]
+            feats = [
+                _features_fake(bytes(b)) if b is not None else [None] * 4
+                for b in pdf["img_data"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": [len(bytes(b)) for b in pdf["img_data"]],
-                    "f0": [f[0] for f in feats],
-                    "f1": [f[1] for f in feats],
-                    "f2": [f[2] for f in feats],
-                    "f3": [f[3] for f in feats],
+                    "byte_len": _nullable_long(
+                        [len(bytes(b)) if b is not None else None
+                         for b in pdf["img_data"]]
+                    ),
+                    "f0": _nullable_long([f[0] for f in feats]),
+                    "f1": _nullable_long([f[1] for f in feats]),
+                    "f2": _nullable_long([f[2] for f in feats]),
+                    "f3": _nullable_long([f[3] for f in feats]),
                 }
             )
 
@@ -280,6 +307,8 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_len": []}
             for doc_id, raw in zip(pdf["doc_id"], pdf["audio_data"]):
+                if raw is None:  # NULL payload -> zero frames (oracle:
+                    continue     # unnest(range(1, NULL+1)) emits no rows)
                 data = bytes(raw)
                 for i in range(0, len(data), _FRAME):
                     out["doc_id"].append(doc_id)
@@ -329,6 +358,8 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_len": [], "byte_offset": []}
             for doc_id, raw in zip(pdf["doc_id"], pdf["video_data"]):
+                if raw is None:  # NULL payload -> zero keyframes
+                    continue
                 data = bytes(raw)
                 nf = (len(data) + _FRAME - 1) // _FRAME
                 for fi in range(1, nf + 1):
@@ -353,7 +384,7 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
            octet_length(encode(text)) AS byte_len,
            sha256(text) AS content_sha
     FROM documents
-    WHERE doc_id < 20
+    WHERE doc_id < 20 AND text IS NOT NULL
     """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,16 +422,28 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     src = _sink_path(spark, f"binfiles_{tag}")
     if not _os.path.isdir(src):
-        _os.makedirs(src, exist_ok=True)
+        # Atomic publish: stage into a tmp dir and rename — a crashed prep
+        # must not leave a half-written dir that the isdir() check would
+        # treat as complete on the next call.
+        stage = f"{src}.tmp.{_os.getpid()}"
+        _os.makedirs(stage, exist_ok=True)
         rows = (
             load(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") < 20)
+            # a filesystem cannot hold a NULL file: NULL-text docs have no
+            # .bin to scan (oracle filters the same rows)
+            .filter((F.col("doc_id") < 20) & F.col("text").isNotNull())
             .select("doc_id", "text")
             .collect()  # bounded: 20 fixture rows, prep only
         )
         for r in rows:
-            with open(_os.path.join(src, f"doc_{r.doc_id}.bin"), "wb") as f:
+            with open(_os.path.join(stage, f"doc_{r.doc_id}.bin"), "wb") as f:
                 f.write(r.text.encode("utf-8"))
+        try:
+            _os.rename(stage, src)
+        except OSError:  # concurrent prep won the rename — use theirs
+            import shutil as _shutil
+
+            _shutil.rmtree(stage, ignore_errors=True)
 
     files = spark.read.format("binaryFile").load(src)
     return files.select(
@@ -440,6 +483,8 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out_ids, out_hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL payload: nothing to hash, and a
+                    continue         # missing image cannot be a near-dup
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
                     np.float64
                 )
@@ -507,7 +552,8 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           CAST(length(meta_block) AS BIGINT) AS bytes_removed,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(length(meta_block) AS BIGINT) END AS bytes_removed,
            sha256(text) AS clean_sha,
            CAST(octet_length(encode(text)) AS BIGINT) AS clean_len
     FROM tagged
@@ -550,6 +596,10 @@ def mm_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             removed, cleaned = [], []
             for b in pdf["payload"]:
+                if b is None:  # NULL text -> NULL payload (concat
+                    removed.append(None)  # propagates) -> NULL report
+                    cleaned.append(None)
+                    continue
                 raw = bytes(b)
                 cut = raw.find(marker)
                 if cut >= 0:
@@ -561,8 +611,8 @@ def mm_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "bytes_removed": removed,
-                    "clean_payload": cleaned,
+                    "bytes_removed": _nullable_long(removed),
+                    "clean_payload": pd.Series(cleaned, dtype="object"),
                 }
             )
 

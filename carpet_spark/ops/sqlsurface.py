@@ -132,7 +132,8 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_udf_registered",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice >= 200000 THEN 'platinum'
+           CASE WHEN o_totalprice IS NULL THEN NULL
+                WHEN o_totalprice >= 200000 THEN 'platinum'
                 WHEN o_totalprice >= 100000 THEN 'gold'
                 ELSE 'standard' END AS tier,
            upper(substr(o_orderpriority, 3)) AS prio
@@ -153,6 +154,8 @@ def sql_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import StringType
 
     def tier(p: float) -> str:
+        if p is None:  # NULL price -> NULL tier (an unknown amount has no
+            return None  # tier; the oracle's CASE does the same)
         if p >= 200000:
             return "platinum"
         if p >= 100000:

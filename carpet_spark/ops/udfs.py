@@ -43,6 +43,8 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType=StringType())
     def clean_text(s: str) -> str:
+        if s is None:  # NULL text: the concat input is NULL -> NULL out,
+            return None  # matching the oracle's NULL-propagating pipeline
         return re.sub(r"\s+", " ", s.lower()).strip()
 
     d = load(spark, sf_dir, "documents")
@@ -110,7 +112,8 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            round(value - CAST(SUM(CAST(value AS DECIMAL(28,6)))
                               OVER (PARTITION BY event_type) AS DOUBLE)
-                         / COUNT(*) OVER (PARTITION BY event_type), 6) AS demeaned
+                         / COUNT(value) OVER (PARTITION BY event_type), 6)
+             AS demeaned
     FROM events
     """,
 )
@@ -122,8 +125,16 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift in the last ulp and flake the hash)."""
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        dec_sum = sum((Decimal(repr(v)) for v in pdf["value"]), Decimal(0))
-        mu = float(dec_sum) / len(pdf)
+        # NULL values arrive as NaN: exclude them from the mean — the
+        # SQL mean is SUM(value)/COUNT(value), both NULL-skipping (the
+        # oracle's COUNT(value), not COUNT(*)).  NULL value rows then
+        # demean to NaN -> Arrow null, matching value - NULL = NULL.
+        vals = [v for v in pdf["value"] if not pd.isna(v)]
+        if vals:
+            dec_sum = sum((Decimal(repr(v)) for v in vals), Decimal(0))
+            mu = float(dec_sum) / len(vals)
+        else:
+            mu = float("nan")  # all-NULL group: demeaned is NULL everywhere
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
@@ -145,8 +156,9 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_split",
     oracle="""
     WITH t AS (SELECT c_custkey,
-                      string_split(c_mktsegment || ',' || c_name || ',' ||
-                                   CAST(c_nationkey AS VARCHAR), ',') AS parts
+                      string_split(concat_ws(',', c_mktsegment, c_name,
+                                             CAST(c_nationkey AS VARCHAR)),
+                                   ',') AS parts
                FROM customer)
     SELECT c_custkey,
            unnest(parts) AS part,
@@ -206,8 +218,12 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     one customer's orders."""
 
     def merge(key, orders_pdf: pd.DataFrame, cust_pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL prices arrive as NaN — exclude them exactly as SQL SUM does
+        # (a Decimal('NaN') would otherwise poison the whole group's sum)
         dec_sum = sum(
-            (Decimal(repr(v)) for v in orders_pdf["o_totalprice"]), Decimal(0)
+            (Decimal(repr(v)) for v in orders_pdf["o_totalprice"]
+             if not pd.isna(v)),
+            Decimal(0),
         )
         return pd.DataFrame(
             {
@@ -254,21 +270,25 @@ def _arrow_l2_batches(batches):
         if emb.null_count == 0 and len(set(lengths.tolist())) == 1:
             flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             mat = flat.reshape(len(emb), -1)
-            out = np.sqrt((mat * mat).sum(axis=1))
+            out = pa.array(np.sqrt((mat * mat).sum(axis=1)))
         else:
-            out = np.array(
+            # NULL vectors must come out as Arrow NULLS, not NaN — mapInArrow
+            # has no pandas NaN->null conversion, and sqrt(NULL) is NULL in
+            # the oracle (a NaN here fails the native-type compare)
+            out = pa.array(
                 [
-                    np.nan
+                    None
                     if v is None
-                    else np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2))
+                    else float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2)))
                     for v in emb.to_pylist()
-                ]
+                ],
+                type=pa.float64(),
             )
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("vec_id"),
                 batch.column("label"),
-                pa.array(out),
+                out,
             ],
             names=["vec_id", "label", "l2_norm"],
         )
@@ -409,6 +429,7 @@ def udf_pandas_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, d, y,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) - 1 AS x
       FROM daily
+      WHERE y IS NOT NULL
     ),
     moments AS (
       SELECT event_type,
@@ -465,9 +486,15 @@ def udf_pandas_grouped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "events")
     cents = (F.col("value") * 100 + F.lit(0.5)).cast("long")
-    daily = e.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(F.sum(cents).cast("long").alias("y"))
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+        )
+        .agg(F.sum(cents).cast("long").alias("y"))
+        # a day whose values were ALL NULL has no observation — drop it
+        # from the fit on both sides (the x indices must stay aligned)
+        .where(F.col("y").isNotNull())
+    )
 
     schema = StructType(
         [
