@@ -2607,7 +2607,7 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM binned GROUP BY bin
     )
     SELECT COUNT(*) AS n_bins,
-           round(SUM((p2 - p1) * ln(p2 / NULLIF(p1, 0))), 6) AS psi
+           round(SUM((p2 - p1) * ln(NULLIF(p2, 0) / NULLIF(p1, 0))), 6) AS psi
     FROM dist
     """,
 )
@@ -2681,7 +2681,13 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(
                 (F.col("p2") - F.col("p1"))
-                * F.log(F.col("p2") / F.nullif(F.col("p1"), F.lit(0.0)))
+                # NULLIF on BOTH proportions: ln(0) is a hard error in
+                # DuckDB (and -inf in IEEE) when a bin has zero period-2
+                # mass — the empty-bin term drops out as NULL on both sides
+                * F.log(
+                    F.nullif(F.col("p2"), F.lit(0.0))
+                    / F.nullif(F.col("p1"), F.lit(0.0))
+                )
             ),
             6,
         ).alias("psi"),

@@ -1672,8 +1672,8 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(SUM(CASE WHEN p1_6 > 0 THEN p2_6 ELSE 0 END) / 1e6, 6)
         AS retained_revenue,
       round(SUM(CASE WHEN p1_6 > 0 THEN p2_6 ELSE 0 END)
-            / CAST(SUM(CASE WHEN p1_6 > 0 THEN p1_6 ELSE 0 END)
-                   AS DOUBLE), 6) AS nrr,
+            / NULLIF(CAST(SUM(CASE WHEN p1_6 > 0 THEN p1_6 ELSE 0 END)
+                          AS DOUBLE), 0), 6) AS nrr,
       round(SUM(CASE WHEN p1_6 > 0 AND p2_6 > p1_6 THEN p2_6 - p1_6
                      ELSE 0 END) / 1e6, 6) AS expansion,
       round(SUM(CASE WHEN p1_6 > 0 AND p2_6 < p1_6 AND p2_6 > 0
@@ -1728,7 +1728,10 @@ def agg_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.agg(
         F.round(base / 1e6, 6).alias("base_revenue"),
         F.round(retained / 1e6, 6).alias("retained_revenue"),
-        F.round(retained / base.cast("double"), 6).alias("nrr"),
+        # NULLIF guard (NULL-regime sweep): a window with no period-1
+        # revenue zeroes the base — ANSI Spark throws, DuckDB infs;
+        # NRR is undefined (NULL) with no base on both sides
+        F.round(retained / F.nullif(base.cast("double"), F.lit(0.0)), 6).alias("nrr"),
         F.round(
             F.sum(F.when((p1 > 0) & (p2 > p1), p2 - p1).otherwise(0)) / 1e6, 6
         ).alias("expansion"),
@@ -5680,6 +5683,7 @@ def _markov_edges_sql() -> str:
                CASE WHEN event_type = 'purchase' THEN 'conv'
                     ELSE event_type END AS state
         FROM events
+        WHERE event_type IS NOT NULL
       ),
       lim AS (
         SELECT user_id,
@@ -5828,7 +5832,9 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + one aggregate (the documented bounded-collect exception,
     registry.py: the chain solve touches a ≤36-cell matrix, never data);
     everything before the collect is distributed."""
-    e = load(spark, sf_dir, "events")
+    # NULL-type events are not journey touchpoints: an unlabeled state
+    # can be neither a channel nor an absorber (oracle filters the same)
+    e = load(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seqd = e.select(
         "user_id",
@@ -6206,9 +6212,9 @@ def agg_queueing_mm1_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT look, na, ca, nb, cb,
              (ca / CAST(na AS DOUBLE) - cb / CAST(nb AS DOUBLE))
-             / sqrt((ca + cb) / CAST(na + nb AS DOUBLE)
-                    * (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE))
-                    * (1.0 / na + 1.0 / nb)) AS zstat,
+             / NULLIF(sqrt((ca + cb) / CAST(na + nb AS DOUBLE)
+                           * (1.0 - (ca + cb) / CAST(na + nb AS DOUBLE))
+                           * (1.0 / na + 1.0 / nb)), 0) AS zstat,
              CAST(CASE look WHEN 1 THEN 4.049 WHEN 2 THEN 2.863
                        WHEN 3 THEN 2.337 ELSE 2.024 END AS DOUBLE)
                AS obf_bound
@@ -6271,9 +6277,14 @@ def ab_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = F.col("ca") / F.col("na").cast("double")
     pb = F.col("cb") / F.col("nb").cast("double")
     pp = (F.col("ca") + F.col("cb")) / (F.col("na") + F.col("nb")).cast("double")
-    z = (pa - pb) / F.sqrt(
-        pp * (F.lit(1.0) - pp)
-        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    # NULLIF guard (NULL-regime sweep): a saturated or zero-conversion
+    # pooled rate zeroes the variance — z is undefined, not a crash
+    z = (pa - pb) / F.nullif(
+        F.sqrt(
+            pp * (F.lit(1.0) - pp)
+            * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        ),
+        F.lit(0.0),
     )
     bound = (
         F.when(F.col("look") == 1, 4.049)

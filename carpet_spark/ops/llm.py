@@ -4735,9 +4735,14 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "is_test",
         F.explode(
+            # the size(w) >= 3 gate matters: sequence(1, 0) DESCENDS in
+            # Spark ([1, 0], default step -1), so a 2-token or NULL doc
+            # would index past the array instead of yielding no trigrams
             F.expr(
+                "CASE WHEN size(w) >= 3 THEN "
                 "transform(sequence(1, size(w) - 2), "
-                "i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))"
+                "i -> concat(w[i-1], ' ', w[i], ' ', w[i+1])) "
+                "ELSE array() END"
             )
         ).alias("tri"),
     )
@@ -5564,8 +5569,9 @@ def emb_matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataF
     ),
     fused AS (
       SELECT j.doc_id, j.bm25, j.cos,
-             round(0.6 * ((j.bm25 - b.b0) / (b.b1 - b.b0))
-                   + 0.4 * ((j.cos - b.c0) / (b.c1 - b.c0)), 6) AS hybrid
+             round(0.6 * ((j.bm25 - b.b0) / NULLIF(b.b1 - b.b0, 0))
+                   + 0.4 * ((j.cos - b.c0) / NULLIF(b.c1 - b.c0, 0)), 6)
+               AS hybrid
       FROM joined j CROSS JOIN bounds b
     )
     SELECT ROW_NUMBER() OVER (ORDER BY hybrid DESC, doc_id) AS rnk,
@@ -5640,11 +5646,16 @@ def sim_hybrid_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bm25").alias("b0"), F.max("bm25").alias("b1"),
         F.min("cos").alias("c0"), F.max("cos").alias("c1"),
     )
+    # NULLIF guards (NULL-regime sweep): a signal with zero spread (every
+    # bm25 identical, or every cos identical) has no min-max scale — its
+    # component is undefined (NULL), not a crash, on both sides
     fused = joined.crossJoin(F.broadcast(bounds)).select(
         "doc_id", "bm25", "cos",
         F.round(
-            0.6 * ((F.col("bm25") - F.col("b0")) / (F.col("b1") - F.col("b0")))
-            + 0.4 * ((F.col("cos") - F.col("c0")) / (F.col("c1") - F.col("c0"))),
+            0.6 * ((F.col("bm25") - F.col("b0"))
+                   / F.nullif(F.col("b1") - F.col("b0"), F.lit(0.0)))
+            + 0.4 * ((F.col("cos") - F.col("c0"))
+                     / F.nullif(F.col("c1") - F.col("c0"), F.lit(0.0))),
             6,
         ).alias("hybrid"),
     )

@@ -1332,21 +1332,24 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         F.signum("s_acctbal") * ((F.abs(F.col("s_acctbal")) * 100 + 0.5).cast("long"))
     ).cast("long")
+    # NULL convention of fixed-width extracts: an all-spaces field (a NULL
+    # anywhere in concat would otherwise null the whole LINE and the text
+    # sink would emit an empty record that breaks the byte layout)
     lines = s.select(
         F.concat(
-            F.lpad(F.col("s_suppkey").cast("string"), 10, " "),
-            F.lpad(F.col("s_nationkey").cast("string"), 4, " "),
-            F.lpad(cents.cast("string"), 13, " "),
-            F.rpad(F.col("s_name"), 25, " "),
+            F.lpad(F.coalesce(F.col("s_suppkey").cast("string"), F.lit("")), 10, " "),
+            F.lpad(F.coalesce(F.col("s_nationkey").cast("string"), F.lit("")), 4, " "),
+            F.lpad(F.coalesce(cents.cast("string"), F.lit("")), 13, " "),
+            F.rpad(F.coalesce(F.col("s_name"), F.lit("")), 25, " "),
         ).alias("value")
     )
     out = _sink_path(spark, "scan_fixed_width")
     lines.write.mode("overwrite").text(out)
     back = spark.read.text(out)
     parsed = back.select(
-        F.trim(F.substring("value", 1, 10)).cast("long").alias("s_suppkey"),
-        F.trim(F.substring("value", 11, 4)).cast("long").alias("s_nationkey"),
-        F.trim(F.substring("value", 15, 13)).cast("long").alias("bal_cents"),
+        F.nullif(F.trim(F.substring("value", 1, 10)), F.lit("")).cast("long").alias("s_suppkey"),
+        F.nullif(F.trim(F.substring("value", 11, 4)), F.lit("")).cast("long").alias("s_nationkey"),
+        F.nullif(F.trim(F.substring("value", 15, 13)), F.lit("")).cast("long").alias("bal_cents"),
     )
     return parsed.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),

@@ -2046,8 +2046,8 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(gap_us, 0.9) / 1e6, 6) AS p90_sec,
            round(sqrt((COUNT(*) * SUM(CAST(gap_us AS HUGEINT) * gap_us)
                        - CAST(SUM(gap_us) AS HUGEINT) * SUM(gap_us))
-                      / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1)))
-                 / (SUM(gap_us) / CAST(COUNT(*) AS DOUBLE)), 6) AS cv
+                      / NULLIF(CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1), 0))
+                 / NULLIF(SUM(gap_us) / CAST(COUNT(*) AS DOUBLE), 0), 6) AS cv
     FROM g GROUP BY event_type
     """,
 )
@@ -2075,9 +2075,13 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sg = F.sum("gap_us")
     sg2 = F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us"))
     mean_us = sg / n.cast("double")
+    # NULLIF guards (NULL-regime sweep): a series with exactly ONE gap
+    # zeroes the (n-1) sample-variance denominator, and an all-zero-gap
+    # series zeroes the CV's mean — the CV is undefined (NULL), not a
+    # crash, on both sides
     var = (
         n * sg2.cast("double") - sg.cast("double") * sg
-    ) / (n.cast("double") * (n - 1))
+    ) / F.nullif(n.cast("double") * (n - 1), F.lit(0.0))
     return gaps.groupBy("event_type").agg(
         n.alias("n_gaps"),
         F.round(mean_us / 1e6, 6).alias("mean_sec"),
@@ -2087,7 +2091,7 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 6).alias(
             "p90_sec"
         ),
-        F.round(F.sqrt(var) / mean_us, 6).alias("cv"),
+        F.round(F.sqrt(var) / F.nullif(mean_us, F.lit(0.0)), 6).alias("cv"),
     )
 
 
@@ -2471,8 +2475,8 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT k AS lag_days, n,
            round((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * 1.0)
-                 / sqrt((n * syy - sy * sy) * 1.0), 6) AS xcorr
+                 / NULLIF(sqrt((n * sxx - sx * sx) * 1.0), 0)
+                 / NULLIF(sqrt((n * syy - sy * sy) * 1.0), 0), 6) AS xcorr
     FROM s
     """,
 )
@@ -2528,10 +2532,16 @@ def ts_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # NULLIF guards (NULL-regime sweep): a 1-pair lag or a constant series
+    # zeroes a variance leg — the correlation is undefined (NULL) there
     return s.select(
         F.col("k").alias("lag_days"),
         "n",
-        F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("xcorr"),
+        F.round(
+            num / F.nullif(F.sqrt(dx), F.lit(0.0))
+            / F.nullif(F.sqrt(dy), F.lit(0.0)),
+            6,
+        ).alias("xcorr"),
     )
 
 
