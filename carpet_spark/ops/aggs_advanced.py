@@ -561,8 +561,17 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("sum(bitmap_count(bm))").alias(alias))
         )
 
-    return bitmap_distinct("l_partkey", "n_parts").join(
-        bitmap_distinct("l_suppkey", "n_supps"), "l_returnflag"
+    # null-safe join key: GROUP BY keeps the NULL-flag group, and a plain
+    # equi-join between the two per-key count tables would silently drop
+    # it (NULL = NULL is never true) where the oracle's single GROUP BY
+    # keeps the row
+    parts = bitmap_distinct("l_partkey", "n_parts")
+    supps = bitmap_distinct("l_suppkey", "n_supps").withColumnRenamed(
+        "l_returnflag", "rf2"
+    )
+    return (
+        parts.join(supps, parts["l_returnflag"].eqNullSafe(supps["rf2"]))
+        .drop("rf2")
     )
 
 
@@ -1839,6 +1848,7 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
                              l_linenumber) AS bucket
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     )
     SELECT bucket, COUNT(*) AS n,
            MIN(v) AS lo, MAX(v) AS hi
@@ -1858,7 +1868,12 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiling runs; recurring production profiles use approx_percentile
     cutpoints instead (one sketch pass) and bucket by comparison, which
     is this op's documented swap (SURVEY §2.E).  Output: 10 rows."""
-    li = load(spark, sf_dir, "lineitem")
+    # NULL prices have no position in a value distribution — excluded on
+    # both sides (Spark's ASC NULLS FIRST would otherwise stuff them into
+    # bucket 1 while the oracle's NULLS LAST pushes them to bucket 10)
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+    )
     w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
     b = li.select(
         F.col("l_extendedprice").alias("v"), F.ntile(10).over(w).alias("bucket")
@@ -2760,9 +2775,13 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_skyline_pareto",
     oracle="""
-    WITH levels AS (
+    WITH graded AS (
+      SELECT * FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    ),
+    levels AS (
       SELECT p_retailprice AS price, MAX(p_size) AS level_max
-      FROM part GROUP BY p_retailprice
+      FROM graded GROUP BY p_retailprice
     ),
     pref AS (
       SELECT price, level_max,
@@ -2776,7 +2795,7 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE cheaper_max IS NULL OR level_max > cheaper_max
     )
     SELECT p.p_partkey, p.p_retailprice, p.p_size
-    FROM part p
+    FROM graded p
     JOIN sky_levels s
       ON p.p_retailprice = s.price AND p.p_size = s.level_max
     """,
@@ -2798,7 +2817,12 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back — versus the quadratic anti-join a naive formulation
     shuffles.  Higher dimensions fall back to the block-nested-loop
     skyline over this op's pre-filtered frontier candidates."""
-    p = load(spark, sf_dir, "part")
+    # a part with an unknown price or size cannot enter the dominance
+    # order — excluded on both sides (a NULL axis would otherwise make
+    # the running-max prefix and the witness join disagree cross-engine)
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     levels = p.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("level_max")
     )
@@ -4035,7 +4059,8 @@ def agg_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pool AS (
       SELECT CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS grp,
              CAST(ROUND("value" * 100) AS BIGINT) AS v
-      FROM events WHERE event_type IN ('click', 'error')
+      FROM events
+      WHERE event_type IN ('click', 'error') AND "value" IS NOT NULL
     ),
     med AS (
       SELECT v AS gm FROM (
@@ -4085,7 +4110,13 @@ def agg_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
     ).cast("long")
-    pool = ev.filter(F.col("event_type").isin("click", "error")).select(
+    # a NULL value is no observation: it cannot rank against the median
+    # (and Spark/DuckDB disagree on where NULLs sort, so the grand-median
+    # row number would shift cross-engine)
+    pool = ev.filter(
+        F.col("event_type").isin("click", "error")
+        & F.col("value").isNotNull()
+    ).select(
         F.when(F.col("event_type") == "click", F.lit("A"))
         .otherwise(F.lit("B"))
         .alias("grp"),
@@ -4423,6 +4454,7 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
              CAST(l_quantity AS BIGINT) AS w
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
     ),
     cum AS (
       SELECT flag, cents, w,
@@ -4456,7 +4488,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale) carrying a running weight — same cost envelope as any
     exact percentile; the sketch swap (weighted t-digest) is the
     documented approximate path."""
-    li = load(spark, sf_dir, "lineitem")
+    # a line with an unknown price or quantity carries no weighted mass —
+    # excluded on both sides (NULL cents would also sort differently
+    # cross-engine and shift every cumulative weight after it)
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     cents = (
         F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 100 + 0.5).cast("long"))
     ).cast("long")

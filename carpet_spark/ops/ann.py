@@ -39,11 +39,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRP bucket (single-probe).  Bucket assignment runs as an Arrow-batched
     mapInPandas (one matmul per batch); scoring reuses the exact cosine but
     only over the bucket's candidates."""
-    e = load(spark, sf_dir, "embeddings")
+    # NULL vectors have no bucket (and would make the batch matrix ragged)
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = _planes()
         for pdf in batches:
+            if not len(pdf):
+                continue
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
             bits = (vecs @ planes.T) > 0
             bucket = (bits * (1 << np.arange(_N_PLANES))).sum(axis=1)
@@ -123,6 +126,11 @@ def banded_signatures(
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a NULL vector has no signature (and would make the batch
+            # matrix ragged) — drop it before vectorizing
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
             bits = (vecs @ planes.T) > 0
             sigs = []
@@ -307,7 +315,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroids ← vec_id 0.._NLIST-1), so cell assignment is reproducible
     across runs and executors.  Top-10 by cosine for the vec_id=0 query;
     recall vs the exact scan is asserted in tests/test_property.py."""
-    e = load(spark, sf_dir, "embeddings")
+    # NULL vectors can be neither seeds, training points, nor candidates
+    # (they would make every numpy batch matrix ragged)
+    e = load(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
 
     seed_rows = (
         e.filter(F.col("vec_id") < _NLIST).orderBy("vec_id").select("embedding").collect()
@@ -427,6 +437,10 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n, s, ss = 0, np.zeros(_DIM), np.zeros((_DIM, _DIM))
         for pdf in batches:
+            # NULL vectors contribute no moments (vstack would be ragged)
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf):
+                continue
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             n += m.shape[0]
             s += m.sum(axis=0)
@@ -748,6 +762,9 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(CAST(embedding[CAST(r.i AS BIGINT) + 1] AS DOUBLE)
                         * 1000000) AS BIGINT) AS iv
       FROM embeddings CROSS JOIN range(64) r(i)
+      -- a NULL vector has no dimension rows: excluded, exactly as the
+      -- Spark side's posexplode(NULL) emits nothing for it
+      WHERE embedding IS NOT NULL
     ),
     s1 AS (SELECT MIN(vec_id) AS vid FROM e),
     d1 AS (
@@ -983,6 +1000,9 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(CAST(embedding[CAST(r.i AS BIGINT) + 1] AS DOUBLE)
                         * 1000000) AS BIGINT) AS iv
       FROM embeddings CROSS JOIN range(64) r(i)
+      -- a NULL vector has no dimension rows: excluded, exactly as the
+      -- Spark side's posexplode(NULL) emits nothing for it
+      WHERE embedding IS NOT NULL
     ),
     planes AS (
       SELECT j.j, i.i,
@@ -1111,6 +1131,10 @@ def sim_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.label, r.i AS dim_i,
              CAST(e.embedding[CAST(r.i AS BIGINT) + 1] AS DOUBLE) AS v
       FROM embeddings e CROSS JOIN range(64) r(i)
+      -- scatter needs labeled, observed vectors: NULL embeddings have no
+      -- dimension rows in Spark (posexplode) and an unlabeled vector
+      -- belongs to no class
+      WHERE e.embedding IS NOT NULL AND e.label IS NOT NULL
     ),
     per_ld AS (
       SELECT label, dim_i, CAST(COUNT(*) AS BIGINT) AS n_l,
@@ -1146,7 +1170,9 @@ def emb_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): posexplode → |labels|×64 moment rows (map-side
     combined) → 64-row dim rollup → 1-row total.  Nothing scales
     with vector count after the first combine."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
     elems = emb.select(
         "label", F.posexplode("embedding").alias("dim_i", "valf")
     ).select("label", "dim_i", F.col("valf").cast("double").alias("v"))

@@ -21,7 +21,7 @@ from ..tables import load
            l_linenumber AS line_no,
            l_extendedprice * (1 - l_discount) AS net_price,
            CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
-           l_returnflag || '/' || l_linestatus AS flag_status
+           concat_ws('/', l_returnflag, l_linestatus) AS flag_status
     FROM lineitem
     """,
 )
@@ -29,7 +29,9 @@ def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rename + arithmetic + cast.  Per-row double arithmetic is IEEE-exact
     and engine-independent (no aggregation ordering involved); float→int
     conversion uses FLOOR on both sides because bare CAST truncates in Spark
-    but rounds in DuckDB."""
+    but rounds in DuckDB.  The status concat is concat_ws on BOTH sides:
+    Spark's concat_ws skips NULL args where `||` would null the whole
+    string — the oracle must spell the same NULL-skipping semantics."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey"),

@@ -300,13 +300,18 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(props->>'$.k' AS INTEGER) AS k_int,
            CAST(props->>'$.k' AS INTEGER) * 2 AS k_doubled,
-           to_json(struct_pack(t := event_type, u := user_id)) AS packed
+           CASE WHEN event_type IS NULL
+                THEN to_json(struct_pack(u := user_id))
+                ELSE to_json(struct_pack(t := event_type, u := user_id))
+           END AS packed
     FROM events
     """,
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extract (props is a JSON string column) + struct→JSON pack;
-    both engines emit compact JSON with insertion-ordered fields (probed)."""
+    both engines emit compact JSON with insertion-ordered fields (probed).
+    Spark's to_json OMITS null struct fields where DuckDB serializes
+    "t":null — the oracle drops the field explicitly for NULL types."""
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.select(
@@ -530,8 +535,11 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(props->>'$.k' AS BIGINT) AS k_int,
-           json_object('k', CAST(props->>'$.k' AS BIGINT)) AS vjson,
-           'OBJECT<k: BIGINT>' AS vschema
+           CASE WHEN props IS NULL THEN NULL
+                ELSE json_object('k', CAST(props->>'$.k' AS BIGINT))
+           END AS vjson,
+           CASE WHEN props IS NULL THEN NULL
+                ELSE 'OBJECT<k: BIGINT>' END AS vschema
     FROM events
     """,
 )
@@ -577,14 +585,25 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB design: from_xml is a JVM-side expression inside codegen (one
     StAX parse per row, no Python); the op is a pure narrow projection."""
     c = load(spark, sf_dir, "customer")
+    # NULL fields OMIT their element (the XML null convention) — inlining
+    # a NULL into concat would null the whole document and lose the row's
+    # non-null fields; from_xml reads a missing element back as NULL, so
+    # NULL round-trips to NULL
     xml = F.concat(
         F.lit("<c><k>"),
         F.col("c_custkey").cast("string"),
-        F.lit("</k><n>"),
-        F.col("c_name"),
-        F.lit("</n><b>"),
-        F.col("c_acctbal").cast("string"),
-        F.lit("</b></c>"),
+        F.lit("</k>"),
+        F.when(
+            F.col("c_name").isNotNull(),
+            F.concat(F.lit("<n>"), F.col("c_name"), F.lit("</n>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_acctbal").isNotNull(),
+            F.concat(
+                F.lit("<b>"), F.col("c_acctbal").cast("string"), F.lit("</b>")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</c>"),
     )
     parsed = F.from_xml(xml, "k LONG, n STRING, b DOUBLE")
     return c.select(
@@ -684,8 +703,11 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            array_to_string(list_transform(list_slice(toks, 1, 5), x -> upper(x)), ' ')
              AS upper5,
-           COALESCE(array_to_string(list_filter(toks, x -> length(x) > 5), ' '), '')
-             AS long_toks,
+           CASE WHEN toks IS NULL THEN NULL
+                ELSE COALESCE(
+                  array_to_string(list_filter(toks, x -> length(x) > 5), ' '),
+                  '')
+           END AS long_toks,
            CAST(len(list_filter(toks, x -> x = 'the')) > 0 AS INT) AS has_the,
            CAST(len(list_filter(toks, x -> length(x) > 12)) = 0 AS INT) AS all_short,
            CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS char_sum,

@@ -2044,6 +2044,7 @@ def emb_mixup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n_chars AS score,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
       FROM documents
+      WHERE n_chars IS NOT NULL
     ),
     per AS (
       SELECT score, COUNT(*) AS cnt,
@@ -2089,7 +2090,10 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores| rows, not rows — for integer-ish scores that is tiny, and
     for continuous scores the same op runs on a 6-dp quantization
     exactly as sketch-based AUC estimators do."""
-    d = load(spark, sf_dir, "documents")
+    # an unscored document has no rank: NULL scores are excluded on both
+    # sides (they would also sort to opposite ends cross-engine and skew
+    # every cum_before after them)
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
     per = (
         d.select(
             F.col("n_chars").alias("score"),
@@ -2305,6 +2309,9 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(1, len(embedding) + 1)) AS dim,
              unnest(embedding) AS v
       FROM embeddings
+      -- a NULL vector can be neither a centroid contributor nor an
+      -- assignee (Spark's posexplode emits nothing for it)
+      WHERE embedding IS NOT NULL
     ),
     cent AS (
       SELECT label AS clabel, dim, AVG(v) AS mu
@@ -2350,8 +2357,15 @@ def emb_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes n×|labels| distances JVM-side via zip_with/aggregate —
     no explode, no shuffle of the vectors; the argmin is a min(struct)
     map-side-combinable aggregate keyed by vec_id."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    e = (
+        load(spark, sf_dir, "embeddings")
+        # NULL vectors join the assignment crossJoin with a NULL distance
+        # otherwise — they are neither centroid contributors nor assignees
+        .where(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("emb"),
+        )
     )
     ex = e.select(
         "vec_id", "label", F.posexplode("emb").alias("dim0", "v")
@@ -3143,7 +3157,7 @@ def pipeline_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     ranked AS (
       SELECT template, n,
-             ROW_NUMBER() OVER (ORDER BY n DESC, template) AS rnk,
+             ROW_NUMBER() OVER (ORDER BY n DESC, template NULLS LAST) AS rnk,
              CAST(SUM(n) OVER () AS BIGINT) AS total
       FROM counts
     )
@@ -3172,7 +3186,9 @@ def text_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = templ.groupBy("template").agg(F.count(F.lit(1)).alias("n"))
-    wr = Window.orderBy(F.col("n").desc(), F.col("template"))
+    # NULLS LAST: Spark ASC would rank the NULL-text "template" ahead of
+    # real templates on count ties (oracle pins the same order)
+    wr = Window.orderBy(F.col("n").desc(), F.col("template").asc_nulls_last())
     wall = Window.partitionBy()
     ranked = counts.select(
         "template",

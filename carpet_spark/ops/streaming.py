@@ -348,7 +348,10 @@ def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["ts_us"], pdf["event_id"], pdf["event_type"]
             ):
                 if (ts, eid) > (best_ts, best_id):
-                    best_ts, best_id, best_type = int(ts), int(eid), str(etype)
+                    # keep a NULL event_type as NULL — str(None) would
+                    # smuggle the literal string 'None' into the state
+                    best_ts, best_id = int(ts), int(eid)
+                    best_type = None if etype is None else str(etype)
         state.update((best_ts, best_id, best_type))
         yield pd.DataFrame(
             {
@@ -1018,7 +1021,8 @@ def stream_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT wstart, event_type, n_events,
              ROW_NUMBER() OVER (PARTITION BY wstart
-                                ORDER BY n_events DESC, event_type) AS rnk
+                                ORDER BY n_events DESC, event_type NULLS LAST)
+               AS rnk
       FROM hourly
     )
     SELECT wstart, rnk, event_type, n_events FROM ranked WHERE rnk <= 3
@@ -1045,8 +1049,10 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     done = _run_available_now(agg, f"wtopk_{uuid.uuid4().hex[:8]}", mode="complete")
+    # NULLS LAST tie-break: Spark ASC would rank the NULL type ahead of
+    # named types on count ties (oracle pins the same order)
     wr = Window.partitionBy("wstart").orderBy(
-        F.col("n_events").desc(), "event_type"
+        F.col("n_events").desc(), F.col("event_type").asc_nulls_last()
     )
     return (
         done.select(

@@ -91,7 +91,13 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial min_by/max_by combine map-side, so shuffle volume is
     O(groups), not O(events), at any table size."""
     ev = load(spark, sf_dir, "events")
-    key = F.struct("ts", "event_id")
+    # NULL-masked key: a NULL tick is not a price — open/close must come
+    # from the first/last OBSERVED value, exactly as DuckDB's arg_min/
+    # arg_max skip NULL values (Spark's min_by alone would return a NULL
+    # close whenever the bar's last tick happens to be NULL)
+    key = F.when(
+        F.col("value").isNotNull(), F.struct("ts", "event_id")
+    )
     return ev.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
@@ -379,13 +385,19 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_ewma",
     oracle="""
+    WITH framed AS (
+      SELECT event_id, user_id, ts, value,
+             list_filter(
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+               x -> x IS NOT NULL) AS obs
+      FROM events
+    )
     SELECT event_id, user_id, ts, value,
-           ROUND(list_reduce(
-             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
-             (a, x) -> a * 0.8 + x * 0.2
-           ), 6) AS ewma
-    FROM events
+           CASE WHEN len(obs) = 0 THEN NULL
+                ELSE ROUND(list_reduce(obs, (a, x) -> a * 0.8 + x * 0.2), 6)
+           END AS ewma
+    FROM framed
     """,
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,10 +423,15 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-49, 0)
     )
+    # collect_list SKIPS NULL values, so the fold runs over the frame's
+    # OBSERVED ticks only (a NULL reading does not move the average) —
+    # the oracle list_filters to the same sequence.  try_element_at: a
+    # frame whose ticks are ALL NULL has no seed -> ewma NULL, not an
+    # ANSI index error.
     vals = F.collect_list("value").over(w)
     ewma = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
+        F.try_element_at(vals, F.lit(1)),
         lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
     )
     return ev.select(
@@ -3588,7 +3605,10 @@ def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_macd_indicator",
     oracle=f"""
     WITH daily AS ({_DAILY_ORDERS_SQL}),
-    c AS (SELECT d, cents / 100.0 AS close FROM daily),
+    -- a day with no observed revenue has no close: it must not enter the
+    -- EMA fold (a NULL would poison the recurrence from there on)
+    c AS (SELECT d, cents / 100.0 AS close FROM daily
+          WHERE cents IS NOT NULL),
     ema AS (
       SELECT d, close,
              list_reduce(list(close) OVER w60,
@@ -3628,7 +3648,9 @@ def ts_macd_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
     both folds are O(frame) per row on that bounded axis.  Per-instrument
     MACD adds a partitionBy key to the same windows."""
     daily = _daily_orders(spark, sf_dir)
-    c = daily.select("d", (F.col("cents") / 100.0).alias("close"))
+    c = daily.where(F.col("cents").isNotNull()).select(
+        "d", (F.col("cents") / 100.0).alias("close")
+    )
     w60 = Window.orderBy("d").rowsBetween(-59, 0)
 
     def fold(col, alpha, w):
@@ -3946,7 +3968,8 @@ def ts_range_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE numbered AS (
       SELECT d, v, ROW_NUMBER() OVER (ORDER BY d) AS rn
-      FROM (SELECT d, cents / 100.0 AS v FROM ({_DAILY_ORDERS_SQL}) daily) c
+      FROM (SELECT d, cents / 100.0 AS v FROM ({_DAILY_ORDERS_SQL}) daily
+            WHERE cents IS NOT NULL) c
     ),
     holt(rn, d, v, l, b) AS (
       SELECT rn, d, v, v AS l, CAST(0 AS DOUBLE) AS b
@@ -3989,7 +4012,11 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key smoothing at scale the applyInPandas sequential pass is the
     documented swap-in (same argument as ts_ewma's unbounded variant)."""
     daily = _daily_orders(spark, sf_dir)
-    c = daily.select("d", (F.col("cents") / 100.0).alias("v"))
+    # a day with no observed revenue has no value to smooth: it must not
+    # enter the recurrence (a NULL would poison level/trend from there on)
+    c = daily.where(F.col("cents").isNotNull()).select(
+        "d", (F.col("cents") / 100.0).alias("v")
+    )
     wexp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     vals = F.collect_list("v").over(wexp)
     seed = F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b"))
@@ -5168,7 +5195,8 @@ def ts_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE numbered AS (
       SELECT d, v, cents, ROW_NUMBER() OVER (ORDER BY d) AS rn
       FROM (SELECT d, cents, cents / 100.0 AS v
-            FROM ({_DAILY_ORDERS_SQL}) daily) c
+            FROM ({_DAILY_ORDERS_SQL}) daily
+            WHERE cents IS NOT NULL) c
     ),
     init AS (
       SELECT CAST(SUM(CASE WHEN rn <= 7 THEN cents ELSE 0 END) AS BIGINT)
@@ -5236,7 +5264,13 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale swaps in the applyInPandas sequential pass (same argument
     as ts_ewma/ts_holt)."""
     daily = _daily_orders(spark, sf_dir)
-    c = daily.select("d", "cents", (F.col("cents") / 100.0).alias("v"))
+    # a day with no observed revenue is no observation: it must not enter
+    # the recurrence or the positional-seasonality numbering (a NULL would
+    # poison level/trend/seasonal from there on, and collect_list's
+    # NULL-skipping would silently misalign rn against the row axis)
+    c = daily.where(F.col("cents").isNotNull()).select(
+        "d", "cents", (F.col("cents") / 100.0).alias("v")
+    )
     wexp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     vals = F.collect_list("v").over(wexp)
     valsc = F.collect_list("cents").over(wexp)

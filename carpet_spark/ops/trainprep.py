@@ -795,7 +795,9 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda st: st.acc
         + F.when(st.run > 0, run_term(st.run)).otherwise(F.lit(0.0)),
     )
-    return d.select(
+    # NULL-text docs have no token distribution — no row, matching the
+    # oracle where unnest(split(NULL)) emits nothing for them
+    return d.where(F.col("text").isNotNull()).select(
         "doc_id",
         n.cast("long").alias("n_tok"),
         F.round(entropy, 6).alias("token_entropy"),
@@ -1164,7 +1166,8 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     modal AS (
       SELECT source, prefix5 AS modal_prefix, c,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY c DESC, prefix5 ASC) AS rk,
+                                ORDER BY c DESC, prefix5 ASC NULLS LAST)
+               AS rk,
              CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
       FROM counts
     )
@@ -1190,8 +1193,10 @@ def text_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.select("source", prefix5.alias("prefix5")).groupBy(
         "source", "prefix5"
     ).agg(F.count(F.lit(1)).alias("c"))
+    # NULLS LAST tie-break matches the oracle: Spark ASC defaults to
+    # NULLS FIRST, which would crown a NULL-text "prefix" as modal on ties
     wm = Window.partitionBy("source").orderBy(
-        F.col("c").desc(), F.col("prefix5").asc()
+        F.col("c").desc(), F.col("prefix5").asc_nulls_last()
     )
     ws = Window.partitionBy("source")
     modal = counts.select(

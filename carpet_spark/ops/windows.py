@@ -53,14 +53,16 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_lag_lead",
     oracle=f"""
     SELECT o_orderkey, o_custkey, o_totalprice,
-           COALESCE(LAG(o_totalprice, 1) OVER ({_ORDER_SQL}), -1.0) AS prev_price,
-           COALESCE(LEAD(o_totalprice, 1) OVER ({_ORDER_SQL}), -1.0) AS next_price
+           LAG(o_totalprice, 1, -1.0) OVER ({_ORDER_SQL}) AS prev_price,
+           LEAD(o_totalprice, 1, -1.0) OVER ({_ORDER_SQL}) AS next_price
     FROM orders
     """,
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead with explicit defaults (DuckDB's default arg and Spark's
-    agree, but COALESCE keeps the NULL contract visible on both sides)."""
+    """lag/lead with explicit defaults via the native 3-arg form on BOTH
+    engines: the default fires only PAST the partition edge — a NULL
+    *value* in the neighbor row stays NULL (a COALESCE emulation would
+    rewrite those too, which the NULL regime exposed)."""
     o = load(spark, sf_dir, "orders")
     w = _win()
     return o.select(

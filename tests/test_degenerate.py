@@ -148,3 +148,43 @@ def test_single_row_rows_only_smoke(spark, single_dir, name):
     """Rows-only ops must also survive the single-row regime crash-free."""
     df = REGISTRY[name].fn(spark, single_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# NULL-bearing regime (r6): populated tables with NULLs salted into every
+# non-key metric/text column (keys, dates, timestamps stay non-NULL).  The
+# production fixture has NO NULLs anywhere, so full-SF parity never
+# exercises an op's NULL path — yet at 100 TB a NULL metric is routine.
+# First survey: 30 divergences + 19 crashes out of 674 — bytes(None) in
+# mapInPandas decoders, Decimal(NaN) poisoning group sums, Spark-vs-DuckDB
+# NULL placement under ASC/DESC ordering, concat vs concat_ws NULL
+# propagation, to_json null-field emission, NULL-poisoned recurrences, and
+# another layer of ANSI x/0 sites.
+# ---------------------------------------------------------------------------
+
+from degenerate_sweep import build_nulls_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def nulls_dir():
+    return build_nulls_fixture()
+
+
+@pytest.fixture(scope="module")
+def nulls_duck(nulls_dir):
+    con = duck_connect(nulls_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_OPS)
+def test_nulls_parity(spark, nulls_duck, nulls_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, nulls_dir), nulls_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_nulls_rows_only_smoke(spark, nulls_dir, name):
+    """Rows-only ops must also survive the NULL regime crash-free."""
+    df = REGISTRY[name].fn(spark, nulls_dir)
+    assert df.count() >= 0
