@@ -72,6 +72,19 @@ def _fp_long(col: Column) -> Column:
     return (F.signum(col) * scaled).cast("long")
 
 
+def fp_scaled_long(col: Column, factor: int) -> Column:
+    """round-half-away-from-zero(x*factor) as a long — the SIGNED
+    fixed-point conversion at an explicit scale (cents: factor=100).
+
+    The unsigned shortcut ``(x*factor + 0.5).cast(long)`` silently
+    truncation-rounds NEGATIVE amounts one unit high (cast-to-long
+    truncates toward zero, so -N.5 becomes -N instead of ROUND's -(N+1))
+    — found by the extreme-value regime on refund-shaped rows.  Always
+    use this form for any column that can carry a negative amount."""
+    scaled = (F.abs(col) * factor + F.lit(0.5)).cast("long")
+    return (F.signum(col) * scaled).cast("long")
+
+
 def lsum(col: Column) -> Column:
     """Fixed-point sum: round(x*1e6) as long, sum, /1e6 — exact ≤ 9.2e12."""
     return (F.sum(_fp_long(col)) / F.lit(float(_FP))).cast("double")

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import lsum
+from ..exprs import fp_scaled_long, lsum
 from ..registry import register
 from ..tables import load
 
@@ -263,14 +263,19 @@ _PROFILE_COLS = ("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
 
 @register(
     "profile_table",
+    # floating-point min/max render through DECIMAL(38,6): bare
+    # double->string switches to scientific notation in Spark above ~1e7
+    # ("4.5E10") where DuckDB prints positional ("45000000000.0") — the
+    # fixed-scale decimal prints identically on both engines at any
+    # magnitude (extreme regime)
     oracle="\nUNION ALL\n".join(
         f"""
     SELECT '{c}' AS column_name,
            COUNT(*) AS n_rows,
            COUNT(*) - COUNT({c}) AS n_null,
            COUNT(DISTINCT {c}) AS n_distinct,
-           CAST(MIN({c}) AS VARCHAR) AS min_val,
-           CAST(MAX({c}) AS VARCHAR) AS max_val
+           CAST({'CAST(MIN(' + c + ') AS DECIMAL(38,6))' if c == 'o_totalprice' else 'MIN(' + c + ')'} AS VARCHAR) AS min_val,
+           CAST({'CAST(MAX(' + c + ') AS DECIMAL(38,6))' if c == 'o_totalprice' else 'MAX(' + c + ')'} AS VARCHAR) AS max_val
     FROM orders
     """
         for c in _PROFILE_COLS
@@ -290,12 +295,21 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     aggs = []
     for c in _PROFILE_COLS:
+        is_float = c == "o_totalprice"
+
+        def render(col):
+            return (
+                col.cast("decimal(38,6)").cast("string")
+                if is_float
+                else col.cast("string")
+            )
+
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            render(F.min(c)).alias(f"{c}__min"),
+            render(F.max(c)).alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
     stack_args = ", ".join(
@@ -579,11 +593,15 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted_avg",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,6)))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)))
+                         AS VARCHAR) AS DOUBLE)
              AS wavg_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+                         AS VARCHAR) AS DOUBLE)
              AS effective_rate
     FROM lineitem
     GROUP BY l_returnflag
@@ -2050,10 +2068,10 @@ def agg_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           round(AVG(l_extendedprice), 6) AS arithmetic_mean,
-           round(exp(AVG(ln(l_extendedprice))), 6) AS geometric_mean,
-           round(COUNT(*) / SUM(1.0 / l_extendedprice), 6) AS harmonic_mean,
-           round(sqrt(AVG(l_extendedprice * l_extendedprice)), 6)
+           round(AVG(l_extendedprice), 2) AS arithmetic_mean,
+           round(exp(AVG(ln(l_extendedprice))), 2) AS geometric_mean,
+           round(COUNT(*) / SUM(1.0 / l_extendedprice), 2) AS harmonic_mean,
+           round(sqrt(AVG(l_extendedprice * l_extendedprice)), 2)
              AS quadratic_mean
     FROM lineitem
     WHERE l_extendedprice > 0
@@ -2079,12 +2097,16 @@ def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("l_extendedprice")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(v), 6).alias("arithmetic_mean"),
-        F.round(F.exp(F.avg(F.log(v))), 6).alias("geometric_mean"),
-        F.round(F.count(F.lit(1)) / F.sum(F.lit(1.0) / v), 6).alias(
+        # round(x, 2), not 6 (extreme regime): at x ~ 1e10 the 6dp round
+        # itself diverges cross-engine — x*1e6 crosses 2^53, where DuckDB's
+        # multiply/nearbyint round drifts an ulp from Spark's BigDecimal
+        # rounding; 2dp (money precision) stays exact to |x| ~ 9e13
+        F.round(F.avg(v), 2).alias("arithmetic_mean"),
+        F.round(F.exp(F.avg(F.log(v))), 2).alias("geometric_mean"),
+        F.round(F.count(F.lit(1)) / F.sum(F.lit(1.0) / v), 2).alias(
             "harmonic_mean"
         ),
-        F.round(F.sqrt(F.avg(v * v)), 6).alias("quadratic_mean"),
+        F.round(F.sqrt(F.avg(v * v)), 2).alias("quadratic_mean"),
     )
 
 
@@ -5342,7 +5364,7 @@ def agg_quartile_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): one aggregate per type (approx_percentile's mergeable
     sketch is the drop-in beyond memory); output is |types| rows."""
     e = load(spark, sf_dir, "events")
-    cents = (F.col("value") * 100 + F.lit(0.5)).cast("long")  # value > 0
+    cents = fp_scaled_long(F.col("value"), 100)
     q = e.select("event_type", cents.alias("cents")).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.percentile("cents", 0.25).alias("q1"),
@@ -5851,9 +5873,9 @@ def agg_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.year("l_shipdate").isin(1996, 1997)
     )
-    unit_cents = (
-        F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
-    ).cast("long")
+    unit_cents = fp_scaled_long(
+        F.col("l_extendedprice") / F.col("l_quantity"), 100
+    )
     qty = (F.col("l_quantity") + F.lit(0.5)).cast("long")
     py = li.groupBy(
         "l_partkey", F.year("l_shipdate").alias("yr")
@@ -6004,7 +6026,9 @@ def agg_margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
 
     def cents(col):
-        return (col * 100 + F.lit(0.5)).cast("long")  # all components >= 0
+        # house half-away-from-zero rule — a refund (negative) line under
+        # the unsigned +0.5 shortcut truncation-rounds a cent HIGH
+        return (F.signum(col) * ((F.abs(col) * 100 + 0.5).cast("long"))).cast("long")
 
     per = li.select(
         cents(F.col("l_extendedprice")).alias("gross_c"),
@@ -6083,7 +6107,9 @@ def dq_balance_reconciliation_three_way(spark: SparkSession, sf_dir: str) -> Dat
     li = load(spark, sf_dir, "lineitem")
 
     def cents(col):
-        return (col * 100 + F.lit(0.5)).cast("long")
+        # house half-away-from-zero rule (see agg_margin_waterfall): the
+        # unsigned +0.5 shortcut rounds refund lines a cent high
+        return (F.signum(col) * ((F.abs(col) * 100 + 0.5).cast("long"))).cast("long")
 
     oh = o.agg(
         F.sum(
@@ -6802,9 +6828,9 @@ def agg_discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("2_high")
     )
     qty = (F.col("l_quantity") + F.lit(0.5)).cast("long")
-    net = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
-    ).cast("long")
+    net = fp_scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 100
+    )
     b = li.select(band.alias("discount_band"), qty.alias("qty"), net.alias("net_cents"))
     return b.groupBy("discount_band").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -6918,7 +6944,7 @@ def agg_dormant_skus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): one per-part aggregate plus a scalar horizon —
     the filter prunes to the dormant tail before any reporting."""
     li = load(spark, sf_dir, "lineitem")
-    cents = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cents = fp_scaled_long(F.col("l_extendedprice"), 100)
     per = li.groupBy("l_partkey").agg(
         F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
         F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -7043,9 +7069,9 @@ def agg_mixed_discount_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("l_discount") < 0.055, 1)
         .otherwise(2)
     )
-    net = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
-    ).cast("long")
+    net = fp_scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 100
+    )
     per_order = li.select(
         "l_orderkey", band.alias("band"), net.alias("net_cents")
     ).groupBy("l_orderkey").agg(
@@ -7190,7 +7216,7 @@ def agg_supplier_concentration_tiers(spark: SparkSession, sf_dir: str) -> DataFr
     Scale (100 TB): one (part, supplier) aggregate, one per-part
     rollup, a 2-number quantile broadcast, and a 3-row tier summary."""
     li = load(spark, sf_dir, "lineitem")
-    cents = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cents = fp_scaled_long(F.col("l_extendedprice"), 100)
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(cents).cast("long").alias("cents")
     )

@@ -5126,7 +5126,9 @@ def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile's mergeable sketch beyond memory), broadcast back as
     a |types|-row table; scaling is a narrow map projection."""
     e = load(spark, sf_dir, "events")
-    cents = (F.col("value") * 100 + F.lit(0.5)).cast("long")  # value > 0
+    from ..exprs import fp_scaled_long
+
+    cents = fp_scaled_long(F.col("value"), 100)
     c = e.select("event_id", "event_type", "value", cents.alias("cents"))
     stats = c.groupBy("event_type").agg(
         F.percentile("cents", 0.25).alias("q1"),
@@ -7361,7 +7363,7 @@ def agg_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH li AS (
       SELECT l_partkey,
              CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000000)
-                  AS BIGINT) AS rev_micro,
+                  AS HUGEINT) AS rev_micro,
              CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
              CAST(l_shipdate AS DATE) AS sd
       FROM lineitem
@@ -7373,16 +7375,16 @@ def agg_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sold AS (
       SELECT p.p_brand AS brand,
-             CAST(SUM(l.rev_micro) AS BIGINT) AS rev_micro,
-             CAST(SUM(CAST(ROUND(l.qty * 0.8 * p.p_retailprice * 1000000)
-                           AS BIGINT)) AS BIGINT) AS cogs_micro
+             SUM(l.rev_micro) AS rev_micro,
+             SUM(CAST(ROUND(l.qty * 0.8 * p.p_retailprice * 1000000)
+                      AS HUGEINT)) AS cogs_micro
       FROM li l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY 1
     ),
     inv AS (
       SELECT p_brand AS brand,
-             CAST(SUM(CAST(ROUND(p_size * p_retailprice * 0.8 * 1000000)
-                           AS BIGINT)) AS BIGINT) AS inv_micro
+             SUM(CAST(ROUND(p_size * p_retailprice * 0.8 * 1000000)
+                      AS HUGEINT)) AS inv_micro
       FROM part GROUP BY 1
     )
     SELECT s.brand,
@@ -7421,19 +7423,15 @@ def agg_inventory_turns_gmroi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast part at real scale), then one brand-keyed groupBy
     (≤ brand-cardinality groups), a dimension-only inventory rollup,
     and 1-row span/brand binds.  No fact-fact shuffle."""
+    # int128-class micros (extreme regime): a ~1e10 price at 1e6 fixed
+    # point is ~1e16 per line and ~1e20 after the qty factor — every
+    # micro column runs decimal(38,0) (HUGEINT on the oracle side);
+    # round() and HUGEINT/decimal casts agree because both engines round
+    # the SAME double half away from zero
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey",
-        (
-            F.signum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            * (
-                (
-                    F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                    * 1_000_000
-                    + 0.5
-                ).cast("long")
-            )
-        )
-        .cast("long")
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1_000_000)
+        .cast("decimal(38,0)")
         .alias("rev_micro"),
         F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
         F.col("l_shipdate").cast("date").alias("sd"),
@@ -7442,32 +7440,22 @@ def agg_inventory_turns_gmroi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.datediff(F.max("sd"), F.min("sd")) + 1).cast("long").alias("span_days")
     )
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_retailprice")
-    cogs_line = (
-        F.signum(F.col("qty") * 0.8 * F.col("p_retailprice"))
-        * (
-            (F.abs(F.col("qty") * 0.8 * F.col("p_retailprice")) * 1_000_000 + 0.5).cast(
-                "long"
-            )
-        )
-    ).cast("long")
+    cogs_line = F.round(
+        F.col("qty") * 0.8 * F.col("p_retailprice") * 1_000_000
+    ).cast("decimal(38,0)")
     sold = (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.sum("rev_micro").cast("long").alias("rev_micro"),
-            F.sum(cogs_line).cast("long").alias("cogs_micro"),
+            F.sum("rev_micro").alias("rev_micro"),
+            F.sum(cogs_line).alias("cogs_micro"),
         )
     )
-    inv_line = (
-        F.signum(F.col("p_size") * F.col("p_retailprice") * 0.8)
-        * (
-            (F.abs(F.col("p_size") * F.col("p_retailprice") * 0.8) * 1_000_000 + 0.5).cast(
-                "long"
-            )
-        )
-    ).cast("long")
+    inv_line = F.round(
+        F.col("p_size") * F.col("p_retailprice") * 0.8 * 1_000_000
+    ).cast("decimal(38,0)")
     inv = p.groupBy(F.col("p_brand").alias("ibrand")).agg(
-        F.sum(inv_line).cast("long").alias("inv_micro")
+        F.sum(inv_line).alias("inv_micro")
     )
     j = (
         sold.join(inv, F.col("ibrand") == F.col("brand"))

@@ -769,7 +769,7 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 AS (SELECT MIN(vec_id) AS vid FROM e),
     d1 AS (
       SELECT a.vec_id,
-             CAST(SUM((a.iv - b.iv) * (a.iv - b.iv)) AS BIGINT) AS mind
+             SUM(CAST(a.iv - b.iv AS HUGEINT) * (a.iv - b.iv)) AS mind
       FROM e a JOIN e b ON b.i = a.i AND b.vec_id = (SELECT vid FROM s1)
       GROUP BY a.vec_id
     ),
@@ -781,7 +781,7 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 AS (
       SELECT a.vec_id,
              LEAST(d1.mind,
-                   CAST(SUM((a.iv - b.iv) * (a.iv - b.iv)) AS BIGINT))
+                   SUM(CAST(a.iv - b.iv AS HUGEINT) * (a.iv - b.iv)))
                AS mind
       FROM e a
       JOIN e b ON b.i = a.i AND b.vec_id = (SELECT vid FROM s2)
@@ -796,7 +796,7 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     d3 AS (
       SELECT a.vec_id,
              LEAST(d2.mind,
-                   CAST(SUM((a.iv - b.iv) * (a.iv - b.iv)) AS BIGINT))
+                   SUM(CAST(a.iv - b.iv AS HUGEINT) * (a.iv - b.iv)))
                AS mind
       FROM e a
       JOIN e b ON b.i = a.i AND b.vec_id = (SELECT vid FROM s3)
@@ -810,10 +810,10 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY mind DESC, vec_id LIMIT 1
     )
     SELECT 1 AS sel_order, (SELECT vid FROM s1) AS vec_id,
-           CAST(0 AS BIGINT) AS dist_to_prior
-    UNION ALL SELECT 2, vid, mind FROM s2
-    UNION ALL SELECT 3, vid, mind FROM s3
-    UNION ALL SELECT 4, vid, mind FROM s4
+           CAST(0 AS DOUBLE) AS dist_to_prior
+    UNION ALL SELECT 2, vid, CAST(mind AS DOUBLE) FROM s2
+    UNION ALL SELECT 3, vid, CAST(mind AS DOUBLE) FROM s3
+    UNION ALL SELECT 4, vid, CAST(mind AS DOUBLE) FROM s4
     """,
 )
 def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,7 +847,7 @@ def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen = first.select(
         F.lit(1).alias("sel_order"),
         F.col("vid").alias("vec_id"),
-        F.lit(0).cast("long").alias("dist_to_prior"),
+        F.lit(0.0).alias("dist_to_prior"),
     )
     mind = None
     newest = first
@@ -855,13 +855,18 @@ def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = e.join(
             F.broadcast(newest), e.vec_id == F.col("vid")
         ).select(F.col("i").alias("ci"), F.col("iv").alias("civ"))
+        # int128-class distances (extreme regime): 1e-6-grid coordinates
+        # of a ~1e6-magnitude component square past int64 — the distance
+        # sum runs decimal(38,0) (HUGEINT on the oracle side); only the
+        # REPORT column converts to double (the argmax compares exactly)
         d_new = (
             e.join(F.broadcast(cent), F.col("i") == F.col("ci"))
             .groupBy("vec_id")
             .agg(
-                F.sum((F.col("iv") - F.col("civ")) * (F.col("iv") - F.col("civ")))
-                .cast("long")
-                .alias("dnew")
+                F.sum(
+                    (F.col("iv") - F.col("civ")).cast("decimal(38,0)")
+                    * (F.col("iv") - F.col("civ"))
+                ).alias("dnew")
             )
         )
         mind = (
@@ -880,7 +885,7 @@ def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt.select(
                 F.lit(r).alias("sel_order"),
                 "vec_id",
-                F.col("mind").alias("dist_to_prior"),
+                F.col("mind").cast("double").alias("dist_to_prior"),
             )
         )
         newest = nxt.select(F.col("vec_id").alias("vid"))

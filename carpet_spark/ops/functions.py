@@ -104,10 +104,13 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CEIL(l_discount * 100.0) AS BIGINT) AS cl,
            abs(l_extendedprice - 30000.0) AS ab,
            round(pow(l_quantity, 2.0), 6) AS pw,
-           sqrt(l_extendedprice) AS sq,
+           CASE WHEN l_extendedprice >= 0
+                THEN sqrt(l_extendedprice) END AS sq,
            round(exp(l_discount), 6) AS ex,
-           round(ln(l_extendedprice), 6) AS l1,
-           round(log10(l_extendedprice), 6) AS l10,
+           CASE WHEN l_extendedprice > 0
+                THEN round(ln(l_extendedprice), 6) END AS l1,
+           CASE WHEN l_extendedprice > 0
+                THEN round(log10(l_extendedprice), 6) END AS l10,
            CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
            l_orderkey % 7 AS pm,
            greatest(l_quantity, l_tax * 100.0) AS gr,
@@ -124,10 +127,20 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_discount") * 100.0).alias("cl"),
         F.abs(F.col("l_extendedprice") - 30000.0).alias("ab"),
         F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("pw"),
-        F.sqrt("l_extendedprice").alias("sq"),
+        # domain guards (extreme regime): sqrt/ln of a negative price is
+        # NaN-in-Spark but a hard ERROR in DuckDB — NULL on both sides
+        F.when(
+            F.col("l_extendedprice") >= 0, F.sqrt("l_extendedprice")
+        ).alias("sq"),
         F.round(F.exp("l_discount"), 6).alias("ex"),
-        F.round(F.log("l_extendedprice"), 6).alias("l1"),
-        F.round(F.log10("l_extendedprice"), 6).alias("l10"),
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.round(F.log("l_extendedprice"), 6),
+        ).alias("l1"),
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.round(F.log10("l_extendedprice"), 6),
+        ).alias("l10"),
         F.signum(F.col("l_discount") - 0.05).alias("sg"),
         F.pmod("l_orderkey", F.lit(7)).alias("pm"),
         F.greatest(F.col("l_quantity"), F.col("l_tax") * 100.0).alias("gr"),
@@ -298,8 +311,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
     SELECT event_id,
-           CAST(props->>'$.k' AS INTEGER) AS k_int,
-           CAST(props->>'$.k' AS INTEGER) * 2 AS k_doubled,
+           CAST(props->>'$.k' AS BIGINT) AS k_int,
+           CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
            CASE WHEN event_type IS NULL
                 THEN to_json(struct_pack(u := user_id))
                 ELSE to_json(struct_pack(t := event_type, u := user_id))
@@ -313,11 +326,14 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's to_json OMITS null struct fields where DuckDB serializes
     "t":null — the oracle drops the field explicitly for NULL types."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # BIGINT extraction (extreme regime): a JSON int beyond 2^31 must not
+    # overflow the cast, and beyond 2^53 must not round-trip through a
+    # double — both paths here stay integral end-to-end
+    k = F.get_json_object("props", "$.k").cast("long")
     return ev.select(
         "event_id",
         k.alias("k_int"),
-        (F.from_json("props", "k INT")["k"] * 2).alias("k_doubled"),
+        (F.from_json("props", "k LONG")["k"] * 2).alias("k_doubled"),
         F.to_json(
             F.struct(F.col("event_type").alias("t"), F.col("user_id").alias("u"))
         ).alias("packed"),

@@ -2929,7 +2929,7 @@ def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            round(SUM(CASE WHEN rel = 1
                      THEN cum_rel / CAST(r AS DOUBLE) ELSE 0 END)
-                 / MAX(cum_rel), 6) AS average_precision
+                 / NULLIF(MAX(cum_rel), 0), 6) AS average_precision
     FROM cum GROUP BY source
     """,
 )
@@ -2967,6 +2967,8 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("source").agg(
         F.max("cum_rel").cast("long").alias("n_rel"),
         F.count(F.lit(1)).alias("n_docs"),
+        # NULLIF guard (extreme regime): a group with zero relevant docs
+        # has no AP — NULL, not a crash, on both sides
         F.round(
             F.sum(
                 F.when(
@@ -2974,7 +2976,7 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cum_rel") / F.col("r").cast("double"),
                 ).otherwise(0.0)
             )
-            / F.max("cum_rel"),
+            / F.nullif(F.max("cum_rel"), F.lit(0)),
             6,
         ).alias("average_precision"),
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import lsum, sql_lsum
+from ..exprs import fp_scaled_long, lsum, sql_lsum
 from ..registry import register
 from ..tables import load
 
@@ -2485,15 +2485,16 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(xv) AS BIGINT) AS sx, CAST(SUM(yv) AS BIGINT) AS sy,
-             CAST(SUM(xv * yv) AS BIGINT) AS sxy,
-             CAST(SUM(xv * xv) AS BIGINT) AS sxx,
-             CAST(SUM(yv * yv) AS BIGINT) AS syy
+             SUM(CAST(xv AS HUGEINT) * yv) AS sxy,
+             SUM(CAST(xv AS HUGEINT) * xv) AS sxx,
+             SUM(CAST(yv AS HUGEINT) * yv) AS syy
       FROM paired GROUP BY k
     )
     SELECT k AS lag_days, n,
-           round((n * sxy - sx * sy)
-                 / NULLIF(sqrt((n * sxx - sx * sx) * 1.0), 0)
-                 / NULLIF(sqrt((n * syy - sy * sy) * 1.0), 0), 6) AS xcorr
+           round((n * sxy - CAST(sx AS HUGEINT) * sy)
+                 / NULLIF(sqrt((n * sxx - CAST(sx AS HUGEINT) * sx) * 1.0), 0)
+                 / NULLIF(sqrt((n * syy - CAST(sy AS HUGEINT) * sy) * 1.0), 0),
+                 6) AS xcorr
     FROM s
     """,
 )
@@ -2538,17 +2539,22 @@ def ts_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "xv", "yv")
     )
+    # int128-class cross-products (extreme regime): cent-scaled daily
+    # revenue squares past int64 — the moment sums run decimal(38,0)
+    # (HUGEINT on the oracle side), doubles only in the final ratio
     s = paired.groupBy("k").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("xv").cast("long").alias("sx"),
         F.sum("yv").cast("long").alias("sy"),
-        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
-        F.sum(F.col("xv") * F.col("xv")).cast("long").alias("sxx"),
-        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+        F.sum(F.col("xv").cast("decimal(38,0)") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv").cast("decimal(38,0)") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv").cast("decimal(38,0)") * F.col("yv")).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    num = F.col("n") * F.col("sxy") - sxd * F.col("sy")
+    dx = (F.col("n") * F.col("sxx") - sxd * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - syd * F.col("sy")).cast("double")
     # NULLIF guards (NULL-regime sweep): a 1-pair lag or a constant series
     # zeroes a variance leg — the correlation is undefined (NULL) there
     return s.select(
@@ -3853,7 +3859,7 @@ def _daily_events_hlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks on the unique (ts, event_id) order)."""
     ev = load(spark, sf_dir, "events")
     key = F.struct("ts", "event_id")
-    cents = lambda c: (c * 100 + F.lit(0.5)).cast("long")  # value > 0
+    cents = lambda c: fp_scaled_long(c, 100)
     return ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(
@@ -4395,7 +4401,7 @@ def ts_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.d, d.cents,
            round(f.factor, 6) AS dow_factor,
-           round(d.cents / f.factor, 6) AS adjusted_cents
+           round(d.cents / f.factor, 2) AS adjusted_cents
     FROM dowd d JOIN factors f ON f.dow = d.dow
     """,
 )
@@ -4433,7 +4439,10 @@ def ts_seasonal_adjustment_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dowd.join(F.broadcast(factors), "dow").select(
         "d", "cents",
         F.round("factor", 6).alias("dow_factor"),
-        F.round(F.col("cents") / F.col("factor"), 6).alias("adjusted_cents"),
+        # round 2, not 6 (extreme regime): cents-scale values push x*1e6
+        # past 2^53 where the engines' round(x, 6) implementations drift
+        # an ulp apart; 2dp on a cents column is still 1e-4 dollars
+        F.round(F.col("cents") / F.col("factor"), 2).alias("adjusted_cents"),
     )
 
 

@@ -485,7 +485,9 @@ def udf_pandas_grouped_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dtm
 
     e = load(spark, sf_dir, "events")
-    cents = (F.col("value") * 100 + F.lit(0.5)).cast("long")
+    from ..exprs import fp_scaled_long
+
+    cents = fp_scaled_long(F.col("value"), 100)
     daily = (
         e.groupBy(
             "event_type", F.date_trunc("day", "ts").cast("date").alias("d")

@@ -829,8 +829,8 @@ def win_weighted_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     win AS (
       SELECT d, v,
              CAST(SUM(v) OVER w AS BIGINT) AS s1,
-             CAST(SUM(v * v) OVER w AS BIGINT) AS s2,
-             CAST(SUM(v * v * v) OVER w AS BIGINT) AS s3,
+             SUM(CAST(v AS HUGEINT) * v) OVER w AS s2,
+             SUM(CAST(v AS HUGEINT) * v * v) OVER w AS s3,
              COUNT(*) OVER w AS n
       FROM daily
       WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -867,11 +867,15 @@ def win_rolling_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.sum(cents).cast("double") / 100.0 + 0.5).cast("long")).alias("v")
     )
     w = Window.orderBy("d").rowsBetween(-6, 0)
+    # int128-class moments (extreme regime): a ~1e10-dollar day squares
+    # past int64 and cubes to ~1e29 — the square and cube sums run in
+    # decimal(38,0) (HUGEINT on the oracle side), doubles only at the end
+    vdec = F.col("v").cast("decimal(38,0)")
     win = daily.select(
         "d",
         F.sum("v").over(w).cast("long").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("s2"),
-        F.sum(F.col("v") * F.col("v") * F.col("v")).over(w).cast("long").alias("s3"),
+        F.sum(vdec * F.col("v")).over(w).alias("s2"),
+        F.sum(vdec * F.col("v") * F.col("v")).over(w).alias("s3"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
     m1 = F.col("s1") / F.lit(7.0)

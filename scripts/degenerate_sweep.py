@@ -362,6 +362,148 @@ def build_nulls_fixture() -> str:
     return NULLS_FIX
 
 
+EXTREME_FIX = "/tmp/carpet_extreme_fixture"
+
+
+def build_extreme_fixture() -> str:
+    """Extreme-magnitude + exotic-text regime: the 100 TB numerics test.
+
+    Money columns carry ~1e10-dollar values (cents ~1e12): any op that
+    squares or cross-multiplies cent-scaled BIGINTs WITHOUT a decimal(38)
+    / HUGEINT lift overflows int64 ((1e12)^2 = 1e24 >> 9.2e18) — ANSI
+    Spark throws ARITHMETIC_OVERFLOW while DuckDB silently auto-widens to
+    HUGEINT, so an unguarded moment is either a job-killer or a silent
+    cross-engine divergence.  At 100 TB even modest per-row values reach
+    these magnitudes in aggregates, so this is the 'would the numerics
+    survive scale' gate.  All values are exact binary fractions (.0 /
+    .25 / .5) so cents conversion and double arithmetic stay bit-exact —
+    any divergence is an overflow or widening bug, never float noise.
+    One negative money value exercises every signum/ROUND-of-negative
+    path.
+
+    documents carries the exotic-text battery: a 4-byte emoji + ZWJ
+    sequence, CJK, a combining-accent cluster, an RTL word, and a ~40 kB
+    document — the length()/substr()/regex semantics probe (code points
+    vs graphemes vs bytes) plus a token-pipeline stressor."""
+    os.makedirs(EXTREME_FIX, exist_ok=True)
+    D = dt.datetime(1996, 6, 15)
+    E = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def write(name, cols, schema):
+        tmp = f"{EXTREME_FIX}/.{name}.parquet.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), tmp)
+        os.replace(tmp, f"{EXTREME_FIX}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0, 1], "r_name": ["AMERICA", "ASIA"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1], "n_name": ["BRAZIL", "CHINA"],
+           "n_regionkey": [0, 1]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    write("customer",
+          {"c_custkey": [1, 2, 3, 4],
+           "c_name": ["Customer#1", "Customer#2", "Customer#3", "Customer#4"],
+           "c_nationkey": [0, 0, 1, 1],
+           "c_acctbal": [1.0e10, -2.5e9, 5.0e9, 0.25],
+           "c_mktsegment": ["BUILDING", "BUILDING", "MACHINERY", "MACHINERY"]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1, 2], "s_name": ["Supplier#1", "Supplier#2"],
+           "s_nationkey": [0, 1], "s_acctbal": [7.5e9, -1.25e9]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1, 2, 3],
+           "p_name": ["green part", "red part", "blue part"],
+           "p_brand": ["Brand#11", "Brand#12", "Brand#11"],
+           "p_type": ["ECONOMY BRASS", "PROMO STEEL", "STANDARD TIN"],
+           "p_size": [10, 2000000000, 20],
+           "p_retailprice": [9.0e9, 800.0, 0.5]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    n_o = 8
+    write("orders",
+          {"o_orderkey": list(range(1, n_o + 1)),
+           "o_custkey": [1, 1, 2, 2, 3, 3, 4, 4],
+           "o_orderstatus": ["F", "O", "F", "O", "F", "O", "F", "O"],
+           "o_totalprice": [1.0e10, 2.5e10, 5.0e9, -7.5e9,
+                            1.25e10, 3.0e10, 0.25, 4.5e10],
+           "o_orderdate": [D + dt.timedelta(days=k) for k in range(n_o)],
+           "o_orderpriority": ["3-MEDIUM", "1-URGENT", "2-HIGH", "3-MEDIUM",
+                               "2-HIGH", "1-URGENT", "1-URGENT", "3-MEDIUM"]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")),
+           ("o_orderpriority", pa.string())])
+    n_li = 10
+    write("lineitem",
+          {"l_orderkey": [1, 1, 2, 3, 4, 5, 6, 7, 8, 8],
+           "l_partkey": [1, 2, 1, 2, 3, 3, 1, 2, 3, 1],
+           "l_suppkey": [1, 2, 1, 2, 1, 2, 1, 2, 1, 2],
+           "l_linenumber": [1, 2, 1, 1, 1, 1, 1, 1, 1, 2],
+           "l_quantity": [50000.0, 25000.0, 10000.0, 75000.0, 5000.0,
+                          60000.0, 40000.0, 30000.0, 1.0, 80000.0],
+           "l_extendedprice": [5.0e9, 2.5e9, 7.5e9, 1.0e10, 2.0e9,
+                               -3.0e9, 4.0e9, 6.0e9, 0.5, 8.0e9],
+           "l_discount": [0.05, 0.0, 0.1, 0.25, 0.02,
+                          0.0, 0.07, 0.5, 0.0, 0.04],
+           "l_tax": [0.02, 0.0, 0.0, 0.03, 0.0, 0.01, 0.05, 0.02, 0.0, 0.05],
+           "l_returnflag": ["N", "N", "A", "R", "R", "N", "A", "R", "N", "A"],
+           "l_linestatus": ["O", "F", "O", "F", "O", "F", "O", "F", "O", "F"],
+           "l_shipdate": [D + dt.timedelta(days=k) for k in range(n_li)]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    n_ev = 8
+    write("events",
+          {"event_id": list(range(1, n_ev + 1)),
+           "ts": [E + dt.timedelta(minutes=17 * k) for k in range(n_ev)],
+           "user_id": [7, 7, 8, 8, 9, 9, 7, 8],
+           "event_type": ["click", "view", "purchase", "click",
+                          "purchase", "error", "view", "click"],
+           "value": [1.0e9, 2.5e9, 5.0e8, -7.5e8,
+                     1.25e9, 3.0e9, 0.25, 4.5e9],
+           "props": ['{"k": 9007199254740993}', '{"k": 2}', '{"k": 3}',
+                     '{"k": -9007199254740993}', '{"k": 5}', '{"k": 6}',
+                     '{"k": 7}', '{"k": 8}']},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    t_emoji = ("family \U0001F468‍\U0001F469‍\U0001F467 emoji "
+               "\U0001F600 test")  # ZWJ family sequence + 4-byte emoji
+    t_cjk = "数据 处理 引擎 测试 pipeline"
+    t_combining = "café naïve résumé word"
+    t_rtl = "hello שלום world مرحبا end"
+    t_long = ("alpha beta gamma delta epsilon zeta eta theta " * 1000).strip()
+    texts = [t_emoji, t_cjk, t_combining, t_rtl, t_long]
+    write("documents",
+          {"doc_id": [1, 2, 3, 4, 5],
+           "text": texts,
+           "lang": ["en", "zh", "fr", "he", "en"],
+           "source": ["src0", "src1", "src0", "src1", "src0"],
+           "n_chars": [len(t) for t in texts]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    dim = 64
+    write("embeddings",
+          {"vec_id": [0, 1, 2, 3],
+           "embedding": [[1.0e6] * dim, [-5.0e5] * dim,
+                         [2.5e5 * ((-1) ** v) for v in range(dim)],
+                         [float(v) * 1.0e4 for v in range(dim)]],
+           "label": [0, 1, 0, 1]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return EXTREME_FIX
+
+
 # Engine-inherent empty-input divergence, documented rather than papered
 # over: ANSI SQL gives GROUP BY ROLLUP/CUBE/GROUPING SETS a grand-total
 # () grouping set that emits ONE row even over an empty table (DuckDB,
@@ -390,6 +532,8 @@ def main() -> None:
         fix = build_single_fixture()
     elif "--nulls" in sys.argv:
         fix = build_nulls_fixture()
+    elif "--extreme" in sys.argv:
+        fix = build_extreme_fixture()
     else:
         fix = build_fixture()
     from carpet_spark.registry import REGISTRY
