@@ -188,3 +188,43 @@ def test_nulls_rows_only_smoke(spark, nulls_dir, name):
     """Rows-only ops must also survive the NULL regime crash-free."""
     df = REGISTRY[name].fn(spark, nulls_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Extreme-value regime (r6): ~1e10-dollar money columns (squares and 1e6
+# fixed-point micros overflow int64 — the magnitudes 100 TB aggregates
+# actually reach), one negative amount per money column (refund shape),
+# 2^53+1 JSON integers, ZWJ-emoji/CJK/combining/RTL text, and a ~40 kB
+# document.  First sweep: 10 silent divergences + 7 crashes — unlifted
+# int64 moments (ANSI ARITHMETIC_OVERFLOW vs DuckDB auto-HUGEINT), the
+# unsigned cents shortcut rounding refunds a cent high, double->string
+# scientific notation, sqrt/ln-of-negative, and round(x,6) itself
+# drifting cross-engine once x*1e6 crosses 2^53.
+# ---------------------------------------------------------------------------
+
+from degenerate_sweep import build_extreme_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def extreme_dir():
+    return build_extreme_fixture()
+
+
+@pytest.fixture(scope="module")
+def extreme_duck(extreme_dir):
+    con = duck_connect(extreme_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_OPS)
+def test_extreme_parity(spark, extreme_duck, extreme_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, extreme_dir), extreme_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_extreme_rows_only_smoke(spark, extreme_dir, name):
+    """Rows-only ops must also survive the extreme regime crash-free."""
+    df = REGISTRY[name].fn(spark, extreme_dir)
+    assert df.count() >= 0
