@@ -881,3 +881,43 @@ def test_dedup_apply_materializes_cluster_winners(spark, sf_dir):
     for rep, members in by_rep.items():
         survivors = set(members) & kept
         assert survivors == {min(members)}, (rep, sorted(members), survivors)
+
+
+def test_fp_scaled_long_rounds_half_away_from_zero(spark):
+    """Pin the signed fixed-point conversion against Python's exact
+    half-away-from-zero reference — including NEGATIVE amounts, where the
+    unsigned shortcut ``(x*100 + 0.5).cast(long)`` silently rounds a
+    half-cent HIGH (cast-to-long truncates toward zero, so -2999999999.5
+    becomes -2999999999 instead of ROUND's -3000000000).  The extreme
+    regime found this live in nine money ops; this pin keeps the helper
+    honest in isolation."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.exprs import fp_scaled_long
+
+    cases = [
+        30000000.005,      # half-cent boundary, positive
+        -30000000.005,     # half-cent boundary, negative (the bug class)
+        -29999999.995,
+        1.0e10, -1.0e10,   # extreme-regime magnitudes
+        0.25, -0.25, 0.0,
+        123.456, -123.456,
+    ]
+
+    def ref(x: float, factor: int) -> int:
+        import math
+
+        y = abs(x) * factor + 0.5
+        return int(math.copysign(math.floor(y), x)) if x != 0 else 0
+
+    df = spark.createDataFrame([(v,) for v in cases], "x double")
+    got = {
+        r["x"]: (r["c100"], r["c1m"])
+        for r in df.select(
+            "x",
+            fp_scaled_long(F.col("x"), 100).alias("c100"),
+            fp_scaled_long(F.col("x"), 1_000_000).alias("c1m"),
+        ).collect()
+    }
+    for v in cases:
+        assert got[v] == (ref(v, 100), ref(v, 1_000_000)), (v, got[v])
