@@ -1650,7 +1650,12 @@ def basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_net_revenue_retention",
     oracle="""
     WITH b AS (
+      -- bounds over the PURCHASE stream, the analyzed population (the
+      -- Spark side filters first) — an all-events midpoint lands on a
+      -- different cut whenever the first/last event is not a purchase
+      -- (boundary-regime finding)
       SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+      WHERE event_type = 'purchase'
     ),
     per AS (
       SELECT user_id,
@@ -3625,7 +3630,8 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(SUM(r1 + r2) AS BIGINT) AS total, COUNT(*) AS k FROM per
     )
     SELECT p.brand,
-           round((p.r1 + p.r2) / CAST(t.total AS DOUBLE), 6) AS rev_share,
+           round((p.r1 + p.r2) / NULLIF(CAST(t.total AS DOUBLE), 0), 6)
+             AS rev_share,
            round(CASE WHEN p.r1 > 0
                  THEN (p.r2 - p.r1) / CAST(p.r1 AS DOUBLE) END, 6)
              AS growth,
@@ -3685,9 +3691,12 @@ def agg_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = brand_rev * F.col("k") >= F.col("total")
     return j.select(
         "brand",
-        F.round(brand_rev / F.col("total").cast("double"), 6).alias(
-            "rev_share"
-        ),
+        # NULLIF guard (boundary regime): a window with zero revenue in
+        # BOTH comparison years zeroes the portfolio total — shares are
+        # undefined (NULL), not a crash, on both sides
+        F.round(
+            brand_rev / F.nullif(F.col("total").cast("double"), F.lit(0.0)), 6
+        ).alias("rev_share"),
         F.round(
             F.when(
                 F.col("r1") > 0,

@@ -504,6 +504,169 @@ def build_extreme_fixture() -> str:
     return EXTREME_FIX
 
 
+BOUNDARY_FIX = "/tmp/carpet_boundary_fixture"
+
+
+def build_boundary_fixture() -> str:
+    """Exact-boundary regime: every value sits ON an edge some op compares
+    against — the `>` vs `>=` transcription-mismatch detector.  A Spark
+    expression and its oracle SQL that disagree by one comparison operator
+    agree everywhere EXCEPT at equality, and the production fixture's
+    continuous values essentially never land exactly on a cut.
+
+    Edges planted: timestamps exactly on hour / 15-minute window
+    boundaries and IDENTICAL-timestamp ties (tie-break exercises);
+    event gaps of exactly 30 minutes (the session_window gap);
+    values exactly 60.0 / 90.0 / 0.0 (alert + conversion thresholds);
+    shipdates exactly on the TPC-H cut dates ('1997-01-01',
+    '1997-12-31', '1998-09-02') and l_shipdate == o_orderdate (the
+    ship-before-order DQ rule's equality case); quantities exactly
+    1 / 25 / 48 / 50 (IN-lists and >= cuts); discounts exactly
+    0.05 / 0.09 / 0.5 (BETWEEN and band edges); prices exactly on
+    100k/200k tier cuts and histogram bucket edges (multiples of
+    30000); acctbal exactly 0; identical documents and a text whose
+    length sits on prefix cuts; identical embeddings (cos exactly 1)
+    and orthogonal ones (cos exactly 0)."""
+    os.makedirs(BOUNDARY_FIX, exist_ok=True)
+    E = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def write(name, cols, schema):
+        tmp = f"{BOUNDARY_FIX}/.{name}.parquet.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), tmp)
+        os.replace(tmp, f"{BOUNDARY_FIX}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0, 1], "r_name": ["AMERICA", "ASIA"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1], "n_name": ["BRAZIL", "CHINA"],
+           "n_regionkey": [0, 1]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    write("customer",
+          {"c_custkey": [1, 2, 3, 4],
+           "c_name": ["Customer#1", "Customer#2", "Customer#3", "Customer#4"],
+           "c_nationkey": [0, 0, 1, 1],
+           "c_acctbal": [0.0, 100.0, -100.0, 0.0],
+           "c_mktsegment": ["BUILDING", "BUILDING", "MACHINERY", "AUTOMOBILE"]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1, 2], "s_name": ["Supplier#1", "Supplier#2"],
+           "s_nationkey": [0, 1], "s_acctbal": [0.0, 50.0]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1, 2, 3],
+           "p_name": ["green part", "red part", "blue part"],
+           "p_brand": ["Brand#11", "Brand#12", "Brand#11"],
+           "p_type": ["ECONOMY BRASS", "PROMO STEEL", "STANDARD TIN"],
+           "p_size": [1, 10, 50],
+           "p_retailprice": [900.0, 900.0, 30000.0]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    # order dates: exactly on the q1/q6-style cut dates + one pair sharing
+    # a date (tie) — all within the TPC-H era every op assumes
+    OD = [dt.datetime(1997, 1, 1), dt.datetime(1997, 12, 31),
+          dt.datetime(1998, 9, 2), dt.datetime(1997, 6, 15),
+          dt.datetime(1997, 6, 15), dt.datetime(1998, 1, 1),
+          dt.datetime(1997, 3, 31), dt.datetime(1997, 10, 1)]
+    write("orders",
+          {"o_orderkey": list(range(1, 9)),
+           "o_custkey": [1, 1, 2, 2, 3, 3, 4, 4],
+           "o_orderstatus": ["F", "O", "F", "O", "F", "O", "F", "O"],
+           # exactly on the big/mid tier cuts (200000 / 100000), equal
+           # pair (rank tie), and a zero
+           "o_totalprice": [200000.0, 100000.0, 200000.0, 0.0,
+                            150000.0, 150000.0, 100000.0, 250000.0],
+           "o_orderdate": OD,
+           "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "1-URGENT",
+                               "2-HIGH", "3-MEDIUM", "1-URGENT", "2-HIGH"]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")),
+           ("o_orderpriority", pa.string())])
+    # lineitem: shipdates ON the filter cuts and EQUAL to the parent
+    # order's date (ship-before-order equality case)
+    LSD = [dt.datetime(1997, 1, 1), dt.datetime(1997, 12, 31),
+           dt.datetime(1998, 9, 2), dt.datetime(1997, 6, 15),
+           dt.datetime(1997, 6, 15), dt.datetime(1998, 1, 1),
+           dt.datetime(1997, 3, 31), dt.datetime(1997, 10, 1),
+           dt.datetime(1997, 1, 1), dt.datetime(1997, 12, 31)]
+    write("lineitem",
+          {"l_orderkey": [1, 1, 2, 3, 4, 5, 6, 7, 8, 8],
+           "l_partkey": [1, 2, 1, 2, 3, 3, 1, 2, 3, 1],
+           "l_suppkey": [1, 2, 1, 2, 1, 2, 1, 2, 1, 2],
+           "l_linenumber": [1, 2, 1, 1, 1, 1, 1, 1, 1, 2],
+           # exactly the isin(1, 25, 50) members and the >= 48 cut
+           "l_quantity": [1.0, 25.0, 50.0, 48.0, 2.0, 25.0, 1.0, 50.0,
+                          48.0, 24.0],
+           # histogram-edge multiples of 30000 and an exact duplicate pair
+           "l_extendedprice": [30000.0, 60000.0, 30000.0, 90000.0, 500.0,
+                               60000.0, 30000.0, 120000.0, 90000.0, 500.0],
+           # exactly on the 0.05 / 0.09 / 0.5 cuts and 0
+           "l_discount": [0.05, 0.09, 0.5, 0.0, 0.05, 0.09, 0.0, 0.5,
+                          0.05, 0.0],
+           "l_tax": [0.0, 0.02, 0.0, 0.05, 0.0, 0.02, 0.0, 0.05, 0.0, 0.0],
+           "l_returnflag": ["N", "A", "R", "N", "A", "R", "N", "A", "R", "N"],
+           "l_linestatus": ["O", "F", "O", "F", "O", "F", "O", "F", "O", "F"],
+           "l_shipdate": LSD},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    # events: exact hour/15-min window boundaries, an identical-ts tie,
+    # a gap of exactly 30 minutes (session_window edge), values exactly
+    # on the 60.0 alert and 90.0 conversion thresholds and 0
+    TS = [E,                                   # 12:00:00 (hour boundary)
+          E,                                   # identical ts (tie on id)
+          E + dt.timedelta(minutes=15),        # slide boundary
+          E + dt.timedelta(minutes=45),        # 30-min gap from :15
+          E + dt.timedelta(hours=1),           # 13:00:00 boundary
+          E + dt.timedelta(hours=1, minutes=30),
+          E + dt.timedelta(hours=2),           # another exact boundary
+          E + dt.timedelta(hours=2)]           # tie at 14:00
+    write("events",
+          {"event_id": list(range(1, 9)),
+           "ts": TS,
+           "user_id": [7, 7, 7, 7, 8, 8, 9, 9],
+           "event_type": ["click", "view", "purchase", "click",
+                          "purchase", "error", "view", "purchase"],
+           "value": [60.0, 90.0, 90.0, 0.0, 60.0, 90.0, 0.0, 91.0],
+           "props": [f'{{"k": {k}}}' for k in range(1, 9)]},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    t1 = "alpha beta gamma delta"        # len 22 (crosses the 20-char blk)
+    t2 = "alpha beta gamma delta"        # exact duplicate (dedup boundary)
+    t3 = "epsilon zeta"                  # distinct
+    t4 = "alpha beta gamma delta extra"  # shared 20-char prefix with t1/t2
+    write("documents",
+          {"doc_id": [1, 2, 3, 4],
+           "text": [t1, t2, t3, t4],
+           "lang": ["en", "en", "de", "en"],
+           "source": ["src0", "src0", "src1", "src1"],
+           "n_chars": [len(t1), len(t2), len(t3), len(t4)]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    dim = 64
+    v_unit = [1.0] + [0.0] * (dim - 1)
+    v_orth = [0.0, 1.0] + [0.0] * (dim - 2)   # cos exactly 0 vs v_unit
+    write("embeddings",
+          {"vec_id": [0, 1, 2, 3],
+           # identical pair (cos exactly 1), orthogonal (cos exactly 0)
+           "embedding": [v_unit, v_unit, v_orth,
+                         [0.5] * dim],
+           "label": [0, 0, 1, 1]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return BOUNDARY_FIX
+
+
 # Engine-inherent empty-input divergence, documented rather than papered
 # over: ANSI SQL gives GROUP BY ROLLUP/CUBE/GROUPING SETS a grand-total
 # () grouping set that emits ONE row even over an empty table (DuckDB,
@@ -534,6 +697,8 @@ def main() -> None:
         fix = build_nulls_fixture()
     elif "--extreme" in sys.argv:
         fix = build_extreme_fixture()
+    elif "--boundary" in sys.argv:
+        fix = build_boundary_fixture()
     else:
         fix = build_fixture()
     from carpet_spark.registry import REGISTRY

@@ -228,3 +228,45 @@ def test_extreme_rows_only_smoke(spark, extreme_dir, name):
     """Rows-only ops must also survive the extreme regime crash-free."""
     df = REGISTRY[name].fn(spark, extreme_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Exact-boundary regime (r6): every value ON an edge some op compares
+# against — timestamps on hour/15-min window boundaries with identical-ts
+# ties, event gaps of exactly the 30-min session threshold, values exactly
+# on the 60/90 alert/conversion cuts, shipdates equal to the TPC-H filter
+# dates and to o_orderdate, quantities/discounts/prices on IN-list and
+# band edges, identical docs/vectors, orthogonal vectors.  The `>` vs `>=`
+# transcription-mismatch detector: a Spark expression and its oracle that
+# differ by one comparison operator agree everywhere EXCEPT at equality.
+# First sweep caught a live one: agg_net_revenue_retention's oracle took
+# period bounds over ALL events while the Spark side bounded the purchase
+# stream — invisible until an event sat between the two midpoints.
+# ---------------------------------------------------------------------------
+
+from degenerate_sweep import build_boundary_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def boundary_dir():
+    return build_boundary_fixture()
+
+
+@pytest.fixture(scope="module")
+def boundary_duck(boundary_dir):
+    con = duck_connect(boundary_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_OPS)
+def test_boundary_parity(spark, boundary_duck, boundary_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, boundary_dir), boundary_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_boundary_rows_only_smoke(spark, boundary_dir, name):
+    """Rows-only ops must also survive the boundary regime crash-free."""
+    df = REGISTRY[name].fn(spark, boundary_dir)
+    assert df.count() >= 0
