@@ -504,6 +504,34 @@ def build_extreme_fixture() -> str:
     return EXTREME_FIX
 
 
+SHUFFLED_FIX = "/tmp/carpet_shuffled_fixture"
+
+
+def build_shuffled_fixture() -> str:
+    """Row-order-scrambled copy of the PRODUCTION sf0.001 tables: same
+    rows, same values, deterministically shuffled order (seeded per
+    table).  At 100 TB row order within a scan is arbitrary — splits,
+    compaction, and shuffle all destroy it — so any op whose result
+    depends on FILE order (a first()/limit without a total order, a
+    collect_list outside an ordered frame, an implicit 'insertion order'
+    assumption) is a latent nondeterminism bug this regime exposes:
+    its oracle reads the SAME shuffled file, so only order-dependence
+    inside the op itself can diverge the hash."""
+    import numpy as np
+
+    os.makedirs(SHUFFLED_FIX, exist_ok=True)
+    for i, t in enumerate(
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        tbl = pq.read_table(f"{_SRC_SF}/{t}.parquet")
+        perm = np.random.default_rng(1000 + i).permutation(tbl.num_rows)
+        tmp = f"{SHUFFLED_FIX}/.{t}.parquet.tmp.{os.getpid()}"
+        pq.write_table(tbl.take(perm), tmp)
+        os.replace(tmp, f"{SHUFFLED_FIX}/{t}.parquet")
+    return SHUFFLED_FIX
+
+
 BOUNDARY_FIX = "/tmp/carpet_boundary_fixture"
 
 
@@ -699,6 +727,8 @@ def main() -> None:
         fix = build_extreme_fixture()
     elif "--boundary" in sys.argv:
         fix = build_boundary_fixture()
+    elif "--shuffled" in sys.argv:
+        fix = build_shuffled_fixture()
     else:
         fix = build_fixture()
     from carpet_spark.registry import REGISTRY

@@ -270,3 +270,41 @@ def test_boundary_rows_only_smoke(spark, boundary_dir, name):
     """Rows-only ops must also survive the boundary regime crash-free."""
     df = REGISTRY[name].fn(spark, boundary_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Shuffled-row-order regime (r6): the production sf0.001 tables with rows
+# deterministically scrambled — same data, arbitrary order, exactly what
+# splits/compaction/shuffle do to row order at 100 TB.  Both engines read
+# the SAME shuffled file, so a hash divergence can only come from
+# order-dependence inside an op (first()/limit without a total order, a
+# collect_list outside an ordered frame).  First run: 674/674 green —
+# this gate keeps the unique-tie-break discipline (SURVEY §7.4.2) honest.
+# ---------------------------------------------------------------------------
+
+from degenerate_sweep import build_shuffled_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def shuffled_dir():
+    return build_shuffled_fixture()
+
+
+@pytest.fixture(scope="module")
+def shuffled_duck(shuffled_dir):
+    con = duck_connect(shuffled_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_OPS)
+def test_shuffled_parity(spark, shuffled_duck, shuffled_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, shuffled_dir), shuffled_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_shuffled_rows_only_smoke(spark, shuffled_dir, name):
+    """Rows-only ops must also survive arbitrary row order crash-free."""
+    df = REGISTRY[name].fn(spark, shuffled_dir)
+    assert df.count() >= 0
