@@ -2510,7 +2510,10 @@ def agg_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT value AS v,
              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS g,
              event_id
+      -- a NULL value cannot enter an empirical CDF (and would sort
+      -- NULLS-FIRST in Spark vs NULLS-LAST here, shifting every step)
       FROM events WHERE event_type IN ('click', 'view')
+        AND value IS NOT NULL
     ),
     counts AS (
       SELECT CAST(SUM(g) AS BIGINT) AS n1,
@@ -2555,6 +2558,9 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolution.  Output is one row."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
+        # NULL values can't enter the empirical CDF (NULLS-FIRST vs
+        # NULLS-LAST sort divergence in the cumulative window)
+        & F.col("value").isNotNull()
     )
     pooled = ev.select(
         F.col("value").alias("v"),

@@ -1397,8 +1397,11 @@ def agg_user_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(p1_6 / 1000000.0, 6) AS v_before,
            round(p2_6 / 1000000.0, 6) AS v_after,
            round((p2_6 - p1_6) / 1000000.0, 6) AS delta,
+           -- + 0.0 canonicalizes IEEE -0.0: a zero delta over a NEGATIVE
+           -- total delta rounds to -0.0 here vs 0.0 in Spark (nulls-sweep
+           -- find: an all-NULL-value event_type group has delta 0)
            round((p2_6 - p1_6) / CAST((SELECT tdelta6 FROM tot) AS DOUBLE),
-                 6) AS contribution
+                 6) + 0.0 AS contribution
     FROM per
     """,
 )
@@ -1446,9 +1449,12 @@ def agg_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p1_6") / 1e6, 6).alias("v_before"),
         F.round(F.col("p2_6") / 1e6, 6).alias("v_after"),
         F.round((F.col("p2_6") - F.col("p1_6")) / 1e6, 6).alias("delta"),
-        F.round(
-            (F.col("p2_6") - F.col("p1_6")) / F.col("tdelta6").cast("double"),
-            6,
+        (
+            F.round(
+                (F.col("p2_6") - F.col("p1_6")) / F.col("tdelta6").cast("double"),
+                6,
+            )
+            + 0.0  # canonicalize IEEE -0.0 (oracle twin)
         ).alias("contribution"),
     )
 

@@ -313,8 +313,11 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(props->>'$.k' AS BIGINT) AS k_int,
            CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
-           CASE WHEN event_type IS NULL
+           CASE WHEN event_type IS NULL AND user_id IS NULL THEN '{}'
+                WHEN event_type IS NULL
                 THEN to_json(struct_pack(u := user_id))
+                WHEN user_id IS NULL
+                THEN to_json(struct_pack(t := event_type))
                 ELSE to_json(struct_pack(t := event_type, u := user_id))
            END AS packed
     FROM events
@@ -324,7 +327,10 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extract (props is a JSON string column) + struct→JSON pack;
     both engines emit compact JSON with insertion-ordered fields (probed).
     Spark's to_json OMITS null struct fields where DuckDB serializes
-    "t":null — the oracle drops the field explicitly for NULL types."""
+    "t":null — the oracle drops the field explicitly for EVERY null key
+    (t, u, or both — r6 ADVICE: the original only masked t because no
+    fixture salts NULL user_id; the symmetric CASE removes the latent
+    asymmetry)."""
     ev = load(spark, sf_dir, "events")
     # BIGINT extraction (extreme regime): a JSON int beyond 2^31 must not
     # overflow the cast, and beyond 2^53 must not round-trip through a

@@ -1,11 +1,19 @@
 """Multimodal columns — binary payloads with typed metadata (task brief).
 
 Image/audio/video are opaque ``binary`` columns processed by Arrow-batched
-``mapInPandas`` UDFs.  The codec libraries (PIL/ffmpeg/librosa) are NOT in
-this container, so the decode step is STUBBED (``_decode_image_real`` raises
-NotImplementedError) behind a deterministic fake that derives metadata from
-the bytes — the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and hash-verified against DuckDB.
+``mapInPandas`` UDFs.  Two decode tiers (r06 VERDICT item 2):
+
+1. **REAL pure-Python decoders** for the trivially parseable raster
+   formats — binary PPM/PGM (``P6``/``P5`` header + raw pixels) and
+   uncompressed 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+   bottom-up BGR rows with 4-byte stride padding).  ``mm_image_resize``
+   (PPM) and ``mm_image_features`` (BMP) run genuine bytes→pixels decode
+   end to end, and their DuckDB oracles recompute the pixel statistics in
+   closed form — a single mis-parsed header field, stride byte, or
+   BGR↔RGB swap fails the value hash.
+2. **Deterministic fake** for formats that genuinely need a codec library
+   (JPEG/PNG/ffmpeg/librosa are NOT in this container): metadata derived
+   from the payload bytes, same UDF plumbing, clearly marked.
 
 Scale notes: mapInPandas streams Arrow record batches through one Python
 worker per core — no row-at-a-time pickling; binary payloads never pass
@@ -15,6 +23,7 @@ metadata, so column pruning skips the payload when only metadata is read.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -24,15 +33,165 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 from ..tables import load
 
-REAL_DECODERS_AVAILABLE = False  # flip when PIL/soundfile exist in the image
+# Pure-Python PPM/PGM/BMP decode needs no codec library; JPEG/PNG would.
+REAL_DECODERS_AVAILABLE = True
+_CODEC_FORMATS = ("jpeg", "png", "gif", "webp")  # still require PIL
 
 
-def _decode_image_real(data: bytes) -> tuple[int, int, int]:
-    """Real decoder — requires PIL, not present in this container."""
+# ---------------------------------------------------------------------------
+# Real pure-Python raster codecs (PPM/PGM + 24-bit BMP).  Vendored here —
+# dependency-free — so the decode tier is genuinely executable in this
+# container.  Both decoders return pixels in LOGICAL order: top-down rows,
+# RGB (or single-channel gray) samples — regardless of the on-disk layout.
+# ---------------------------------------------------------------------------
+
+
+def _ppm_token(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited header token, skipping '#' comments."""
+    n = len(data)
+    while pos < n:
+        c = data[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            while pos < n and data[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < n and data[pos : pos + 1] not in b" \t\r\n":
+        pos += 1
+    if start == pos:
+        raise ValueError("truncated PPM header")
+    return data[start:pos], pos
+
+
+def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
+    """Binary PPM (P6, 3-channel) / PGM (P5, 1-channel) decoder.
+
+    Parses the full netpbm header grammar (arbitrary whitespace, '#'
+    comments) and the raw maxval<=255 sample plane.  Returns
+    (width, height, channels, pixels) with pixels in row-major order."""
+    magic = data[:2]
+    if magic == b"P6":
+        channels = 3
+    elif magic == b"P5":
+        channels = 1
+    else:
+        raise ValueError(f"not a binary PPM/PGM: magic={magic!r}")
+    tok_w, pos = _ppm_token(data, 2)
+    tok_h, pos = _ppm_token(data, pos)
+    tok_max, pos = _ppm_token(data, pos)
+    w, h, maxval = int(tok_w), int(tok_h), int(tok_max)
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header from raster
+    need = w * h * channels
+    pixels = data[pos : pos + need]
+    if len(pixels) != need:
+        raise ValueError(f"PPM raster truncated: {len(pixels)} < {need}")
+    return w, h, channels, pixels
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Uncompressed 24-bit BMP decoder (BITMAPINFOHEADER).
+
+    Handles bottom-up (positive height) and top-down (negative height)
+    row order, per-row 4-byte stride padding, and the on-disk BGR sample
+    order.  Returns (width, height, 3, pixels) with pixels re-laid-out in
+    logical top-down RGB order."""
+    if data[:2] != b"BM":
+        raise ValueError(f"not a BMP: magic={data[:2]!r}")
+    if len(data) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size})")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is vendored (bpp={bpp}, "
+            f"compression={compression}); other depths need PIL"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(data) < data_offset + h * stride:
+        raise ValueError("BMP raster truncated")
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        src_row = y if top_down else h - 1 - y
+        base = data_offset + src_row * stride
+        row = data[base : base + w * 3]
+        dst = y * w * 3
+        end = dst + w * 3
+        # BGR on disk -> RGB logical
+        out[dst + 0 : end : 3] = row[2::3]
+        out[dst + 1 : end : 3] = row[1::3]
+        out[dst + 2 : end : 3] = row[0::3]
+    return w, h, 3, bytes(out)
+
+
+def _decode_image_real(data: bytes) -> tuple[int, int, int, bytes]:
+    """Sniff + decode a raster payload with the vendored pure-Python
+    codecs.  Raises NotImplementedError only for formats that genuinely
+    need a codec library (JPEG/PNG/...)."""
+    magic = bytes(data[:2])
+    if magic in (b"P6", b"P5"):
+        return _decode_ppm(data)
+    if magic == b"BM":
+        return _decode_bmp(data)
     raise NotImplementedError(
-        "image decoding requires PIL/pillow (not installed); "
-        "the deterministic fake below exercises the same plumbing"
+        f"no pure-Python decoder for payload magic {magic!r}; "
+        f"{'/'.join(_CODEC_FORMATS)} require PIL (not installed)"
     )
+
+
+# Synthetic-image geometry shared by the encoders, the Spark ops, and the
+# DuckDB oracles: dims/seed are pure functions of the source byte length L,
+# pixel i (logical top-down RGB order) is (seed + i) % 256.  Width spans
+# 40..339 so the 224-box resize sees BOTH the no-op and the shrink branch.
+def _synth_dims(L: int) -> tuple[int, int, int]:
+    return 40 + (L * 3) % 300, 30 + (L * 11) % 300, L % 256
+
+
+def _encode_ppm_synth(text_bytes: bytes) -> bytes:
+    """Deterministic P6 payload from a document's bytes (fixture synth —
+    at scale real PPM shards arrive from object storage instead).  A '#'
+    comment is planted in the header so the decoder's comment-skip path
+    executes on every payload."""
+    w, h, seed = _synth_dims(len(text_bytes))
+    n = w * h * 3
+    reps = bytes(range(256)) * ((seed + n) // 256 + 2)
+    pixels = reps[seed : seed + n]
+    return b"P6\n# synthetic fixture image\n%d %d\n255\n" % (w, h) + pixels
+
+
+def _encode_bmp_synth(text_bytes: bytes) -> bytes:
+    """Deterministic bottom-up 24-bit BMP from a document's bytes; logical
+    pixel i is (seed + i) % 256, written in BGR bottom-up padded rows so
+    the decoder must undo all three layout transforms."""
+    w, h, seed = _synth_dims(len(text_bytes))
+    stride = ((w * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - w * 3)
+    ramp = bytes(range(256)) * ((seed + w * h * 3) // 256 + 2)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up on disk
+        base = seed + y * w * 3
+        logical = ramp[base : base + w * 3]  # RGB triplets for this row
+        row = bytearray(w * 3)
+        row[0::3] = logical[2::3]  # B
+        row[1::3] = logical[1::3]  # G
+        row[2::3] = logical[0::3]  # R
+        rows.append(bytes(row) + pad)
+    pixdata = b"".join(rows)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixdata), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixdata), 2835, 2835, 0, 0
+    )
+    return header + info + pixdata
 
 
 def _decode_image_fake(data: bytes) -> tuple[int, int, int]:
@@ -65,16 +224,18 @@ def _nullable_long(values: list) -> pd.Series:
 def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary image column → decoded metadata via mapInPandas.
 
-    The binary column is synthesized (utf-8 payload of text — the corpus
-    has no real images); decode is the deterministic fake.  The oracle
-    recomputes the same metadata arithmetically — proving the Arrow
-    round-trip preserved every byte."""
+    The binary column here is raw utf-8 payload of text — standing in for
+    a codec-library format (JPEG/PNG) the container cannot decode — so
+    this op keeps the deterministic FAKE decode tier; the REAL pure-Python
+    decode tier lives in mm_image_resize (PPM) / mm_image_features (BMP).
+    The oracle recomputes the same metadata arithmetically — proving the
+    Arrow round-trip preserved every byte."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("img_data")
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _decode_image_real if REAL_DECODERS_AVAILABLE else _decode_image_fake
+        decode = _decode_image_fake  # payload is not PPM/BMP (see docstring)
         for pdf in batches:
             meta = [
                 decode(bytes(b)) if b is not None else (None, None, None)
@@ -157,48 +318,84 @@ def mm_binary_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_BOX = 224  # target fit-box for mm_image_resize (ImageNet-ish)
 
 
+# Closed-form SQL for sum_{i=0}^{n-1} (seed + i) % 256: any 256
+# consecutive ramp values sum to 32640; the sub-cycle remainder is a
+# <256-element unnest.  Shared by the resize (PPM) and features (BMP)
+# oracles — the arithmetic twin of the REAL pixel sums the decoders emit.
+_PIXSUM_SQL = (
+    "CAST((n // 256) * 32640 + COALESCE(list_sum(list_transform("
+    "range(n % 256), j -> (a + j) % 256)), 0) AS BIGINT)"
+)
+_SYNTH_DIMS_SQL = """
+        SELECT doc_id,
+               40 + (octet_length(encode(text)) * 3) % 300 AS w,
+               30 + (octet_length(encode(text)) * 11) % 300 AS h,
+               octet_length(encode(text)) % 256 AS a
+        FROM documents WHERE text IS NOT NULL
+"""
+
+
 @register(
     "mm_image_resize",
     oracle=f"""
-    WITH m AS (
-        SELECT doc_id,
-               64 + octet_length(encode(text)) % 577 AS w,
-               64 + (octet_length(encode(text)) * 31) % 577 AS h
-        FROM documents
-    )
+    WITH d AS ({_SYNTH_DIMS_SQL}),
+    s AS (SELECT doc_id, w, h, a, w * h * 3 AS n FROM d)
     SELECT doc_id, w AS src_width, h AS src_height,
            CASE WHEN greatest(w, h) <= {_RESIZE_BOX} THEN w
                 ELSE CAST(w * {_RESIZE_BOX} // greatest(w, h) AS BIGINT) END
              AS out_width,
            CASE WHEN greatest(w, h) <= {_RESIZE_BOX} THEN h
                 ELSE CAST(h * {_RESIZE_BOX} // greatest(w, h) AS BIGINT) END
-             AS out_height
-    FROM m
+             AS out_height,
+           {_PIXSUM_SQL} AS pixel_sum
+    FROM s
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+    FROM documents WHERE text IS NULL
     """,
 )
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing for a binary image column: decode (deterministic
-    fake — real codec stubbed, see module docstring), compute
-    aspect-preserving fit into a 224x224 box with pure integer arithmetic
-    (``w * 224 // max(w, h)``, exact in both engines), emit new dims.  The
-    actual pixel resample is part of the stubbed codec; the batched UDF
-    shape (binary in, per-row metadata out) is exactly what a real
-    PIL.thumbnail worker would use.  Scale: mapInPandas, one Arrow batch
-    per core, payloads never on the driver."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("img_data")
-    )
+    """REAL bytes→pixels resize pipeline over a binary PPM column
+    (r06 VERDICT item 2 — the decode tier is no longer a stub).
+
+    Stage 1 synthesizes a deterministic P6 payload per document (at scale
+    real shards arrive from object storage; the synth stands in for the
+    fixture's lack of image files).  Stage 2 — the op under test — runs
+    the vendored pure-Python PPM decoder on the raw bytes (header grammar
+    with comments, raster plane), computes the aspect-preserving fit into
+    a 224x224 box with pure integer arithmetic (``w * 224 // max(w, h)``,
+    exact in both engines), and emits the REAL decoded pixel sum.  The
+    oracle recomputes dims and pixel sum in closed form from the source
+    byte length — a mis-parsed width, a truncated raster, or an off-by-one
+    in the comment skip fails the value hash.  Dims span 40..339 so both
+    fit-box branches execute.  Scale: mapInPandas, one Arrow batch per
+    core, payloads never on the driver."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "img_data": [
+                        _encode_ppm_synth(t.encode("utf-8")) if t is not None else None
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _decode_image_real if REAL_DECODERS_AVAILABLE else _decode_image_fake
         for pdf in batches:
             rows = {"doc_id": [], "src_width": [], "src_height": [],
-                    "out_width": [], "out_height": []}
+                    "out_width": [], "out_height": [], "pixel_sum": []}
             for doc_id, raw in zip(pdf["doc_id"], pdf["img_data"]):
                 if raw is None:
-                    w = h = ow = oh = None
+                    w = h = ow = oh = psum = None
                 else:
-                    w, h, _ = decode(bytes(raw))
+                    w, h, _ch, pixels = _decode_image_real(bytes(raw))
+                    psum = sum(pixels)
                     mx = max(w, h)
                     if mx <= _RESIZE_BOX:
                         ow, oh = w, h
@@ -209,70 +406,94 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["src_height"].append(h)
                 rows["out_width"].append(ow)
                 rows["out_height"].append(oh)
+                rows["pixel_sum"].append(psum)
             yield pd.DataFrame(
                 {k: (_nullable_long(v) if k != "doc_id" else v)
                  for k, v in rows.items()}
             )
 
-    return d.mapInPandas(
+    return imgs.mapInPandas(
         resize_batches,
         schema="doc_id long, src_width long, src_height long, "
-        "out_width long, out_height long",
+        "out_width long, out_height long, pixel_sum long",
     )
 
 
 @register(
     "mm_image_features",
-    oracle="""
+    oracle=f"""
+    WITH d AS ({_SYNTH_DIMS_SQL}),
+    s AS (SELECT doc_id, w, h, a, w * h * 3 AS n,
+                 ((w * 3 + 3) // 4) * 4 AS stride
+          FROM d)
     SELECT doc_id,
-           octet_length(encode(text)) AS byte_len,
-           CAST(('0x' || substring(sha256(text), 1, 8)) AS BIGINT)  AS f0,
-           CAST(('0x' || substring(sha256(text), 9, 8)) AS BIGINT)  AS f1,
-           CAST(('0x' || substring(sha256(text), 17, 8)) AS BIGINT) AS f2,
-           CAST(('0x' || substring(sha256(text), 25, 8)) AS BIGINT) AS f3
-    FROM documents
+           54 + h * stride AS byte_len,
+           {_PIXSUM_SQL} AS f0,
+           a AS f1,
+           (a + n - 1) % 256 AS f2,
+           CASE WHEN a + n >= 256 THEN 255 ELSE a + n - 1 END AS f3
+    FROM s
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+    FROM documents WHERE text IS NULL
     """,
 )
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over a binary column: the real extractor (a CNN /
-    CLIP embedding) is stubbed with the codecs; the deterministic fake
-    derives a 4-long feature vector from sha256 slices of the payload —
-    computed in PYTHON inside mapInPandas, so the hash-match against the
-    oracle proves every byte survived the Arrow batch transfer both ways.
-    The batch shape (binary in, fixed-width vector out) is the real
-    embedding-worker contract; swap ``_features_fake`` for a model call
-    when codecs/weights exist."""
-    import hashlib
+    """REAL bytes→pixels feature extraction over a binary BMP column
+    (r06 VERDICT item 2).  Stage 1 synthesizes an uncompressed 24-bit BMP
+    per document — bottom-up BGR rows with 4-byte stride padding, the
+    layout every real .bmp on disk uses.  Stage 2 — the op under test —
+    runs the vendored pure-Python BMP decoder (header parse, row-order
+    flip, padding strip, BGR→RGB swap) and derives a 4-long feature
+    vector from the DECODED pixels: f0 = pixel sum, f1 = first pixel,
+    f2 = last pixel, f3 = max pixel.  The oracle recomputes each in
+    closed form from the source byte length, and byte_len pins the full
+    on-disk size (54-byte headers + h*stride raster) — any layout
+    mis-handle fails the value hash.  The batch shape (binary in,
+    fixed-width vector out) is the real embedding-worker contract; swap
+    the feature lambda for a model call when weights exist."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("img_data")
-    )
-
-    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _features_fake(data: bytes) -> list[int]:
-            hx = hashlib.sha256(data).hexdigest()
-            return [int(hx[i : i + 8], 16) for i in (0, 8, 16, 24)]
-
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _features_fake(bytes(b)) if b is not None else [None] * 4
-                for b in pdf["img_data"]
-            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": _nullable_long(
-                        [len(bytes(b)) if b is not None else None
-                         for b in pdf["img_data"]]
-                    ),
-                    "f0": _nullable_long([f[0] for f in feats]),
-                    "f1": _nullable_long([f[1] for f in feats]),
-                    "f2": _nullable_long([f[2] for f in feats]),
-                    "f3": _nullable_long([f[3] for f in feats]),
+                    "img_data": [
+                        _encode_bmp_synth(t.encode("utf-8")) if t is not None else None
+                        for t in pdf["text"]
+                    ],
                 }
             )
 
-    return d.mapInPandas(
+    imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "byte_len": [], "f0": [], "f1": [],
+                    "f2": [], "f3": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["img_data"]):
+                if raw is None:
+                    blen = f0 = f1 = f2 = f3 = None
+                else:
+                    data = bytes(raw)
+                    _w, _h, _ch, pixels = _decode_image_real(data)
+                    blen = len(data)
+                    f0, f1, f2, f3 = (
+                        sum(pixels), pixels[0], pixels[-1], max(pixels),
+                    )
+                rows["doc_id"].append(doc_id)
+                rows["byte_len"].append(blen)
+                rows["f0"].append(f0)
+                rows["f1"].append(f1)
+                rows["f2"].append(f2)
+                rows["f3"].append(f3)
+            yield pd.DataFrame(
+                {k: (_nullable_long(v) if k != "doc_id" else v)
+                 for k, v in rows.items()}
+            )
+
+    return imgs.mapInPandas(
         feature_batches,
         schema="doc_id long, byte_len long, f0 long, f1 long, f2 long, f3 long",
     )
@@ -444,6 +665,12 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil as _shutil
 
             _shutil.rmtree(stage, ignore_errors=True)
+            # r6 ADVICE: only a concurrent winner justifies swallowing the
+            # OSError — if src still doesn't exist the rename failed for a
+            # real reason (EXDEV, permissions) and the binaryFile read
+            # below would die with an unrelated path-not-found; re-raise.
+            if not _os.path.isdir(src):
+                raise
 
     files = spark.read.format("binaryFile").load(src)
     return files.select(

@@ -1614,8 +1614,9 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
            round(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
            round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
-                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-                        / (pow(n1 + n2, 2) * (n1 + n2 - 1))), 6) AS z_stat
+                 / NULLIF(sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / NULLIF(pow(n1 + n2, 2) * (n1 + n2 - 1), 0)), 0),
+                 6) AS z_stat
     FROM agg
     """,
 )
@@ -1659,16 +1660,22 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
     exp_r = 2.0 * n1 * n2 / (n1 + n2) + 1
+    # inner NULLIF: with exactly one usable sign (n1+n2 = 1, e.g. a
+    # NULL-heavy slice) the variance denominator is 0 — ANSI would throw
+    # 0/0 where DuckDB emits nan; both sides yield NULL instead
     sd = F.sqrt(
         2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
-        / (F.pow(n1 + n2, 2) * (n1 + n2 - 1))
+        / F.nullif(F.pow(n1 + n2, 2) * (n1 + n2 - 1), F.lit(0.0))
     )
     return agg.select(
         r.alias("n_runs"),
         n1.alias("n_above"),
         n2.alias("n_below"),
         F.round(exp_r, 6).alias("expected_runs"),
-        F.round((r - exp_r) / sd, 6).alias("z_stat"),
+        # sd = 0 when one side of the median is empty (n1*n2 = 0, e.g. a
+        # NULL-heavy slice leaving one usable day) — z is undefined; NULL
+        # on both engines (oracle NULLIF), never ANSI DIVIDE_BY_ZERO
+        F.when(sd != 0, F.round((r - exp_r) / sd, 6)).alias("z_stat"),
     )
 
 
@@ -2710,6 +2717,10 @@ def ts_velocity_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(ROUND("value" * 100) AS BIGINT)) AS BIGINT)
                AS cents
       FROM events GROUP BY 1
+      -- an all-NULL day has no observed P&L: it must not enter the order
+      -- statistic (NULL cents ranks NULLS-FIRST in Spark vs NULLS-LAST
+      -- here, flipping worst_day/var95) nor inflate n
+      HAVING SUM(CAST(ROUND("value" * 100) AS BIGINT)) IS NOT NULL
     ),
     ranked AS (
       SELECT d, cents,
@@ -2745,9 +2756,13 @@ def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
     ).cast("long")
-    daily = ev.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(F.sum(cents).cast("long").alias("cents"))
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(F.sum(cents).cast("long").alias("cents"))
+        # all-NULL days carry no observed P&L — exclude from the order
+        # statistic (NULLS-FIRST vs NULLS-LAST rank flip) and from n
+        .filter(F.col("cents").isNotNull())
+    )
     w = Window.orderBy("cents", "d")
     ranked = daily.select(
         "d",
@@ -2987,6 +3002,11 @@ def ts_fourier_weekly_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(date_trunc('day', ts) AS DATE)) AS di,
              SUM(CAST(ROUND("value" * 100) AS BIGINT)) / 100.0 AS y
       FROM events GROUP BY 1
+      -- all-NULL days have no observed level: they enter neither the
+      -- pair slopes (a NULL m would rank NULLS-FIRST in Spark vs
+      -- NULLS-LAST here) nor the OLS sums (COUNT would mix a 4-day n
+      -- with 3-day sums)
+      HAVING SUM(CAST(ROUND("value" * 100) AS BIGINT)) IS NOT NULL
     ),
     slopes AS (
       SELECT (b.y - a.y) / (b.di - a.di) AS m
@@ -3033,8 +3053,13 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         F.signum("value") * ((F.abs(F.col("value")) * 100 + 0.5).cast("long"))
     ).cast("long")
-    daily = ev.groupBy(di.alias("di")).agg(
-        (F.sum(cents) / F.lit(100.0)).alias("y")
+    daily = (
+        ev.groupBy(di.alias("di"))
+        .agg((F.sum(cents) / F.lit(100.0)).alias("y"))
+        # all-NULL days carry no level — drop them BEFORE pairing (a NULL
+        # slope ranks NULLS-FIRST in Spark vs NULLS-LAST in DuckDB) and
+        # before the OLS moment sums (oracle HAVING twin)
+        .filter(F.col("y").isNotNull())
     )
     a = daily.select(F.col("di").alias("dia"), F.col("y").alias("ya"))
     b = daily.select(F.col("di").alias("dib"), F.col("y").alias("yb"))
@@ -3858,7 +3883,12 @@ def _daily_events_hlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents — ts_ohlc's bar construction collapsed to the day grain (close
     tie-breaks on the unique (ts, event_id) order)."""
     ev = load(spark, sf_dir, "events")
-    key = F.struct("ts", "event_id")
+    # NULL-masked close key (r6 ADVICE): DuckDB arg_max skips NULL values,
+    # so a day whose LAST tick has a NULL value must close on the last
+    # NON-NULL value.  Spark max_by skips NULL *keys*, so masking the key
+    # where value IS NULL reproduces arg_max's semantics exactly — the
+    # same fix ts_ohlc carries for its bar-grain close.
+    key = F.when(F.col("value").isNotNull(), F.struct("ts", "event_id"))
     cents = lambda c: fp_scaled_long(c, 100)
     return ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("d")

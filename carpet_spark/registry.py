@@ -80,67 +80,68 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # other possible driver behavior) still maximizes coverage.  Every op here
 # was audited this round for array/map-typed output columns (none — the
 # driver canonicalizer cannot hash those, SURVEY §7.5).
-# Round-6 window (r05 VERDICT item 1): 50 NEVER-driver-sampled ops,
-# prioritizing the shapes under-represented in the 242 sampled so far —
-# the queue head (ANN/streaming/pandas-UDF iterators), the mm_* binary
-# family, the r4 retrieval stack, the recursive-CTE / identical-sequence
-# fold class (every one now carries an independent replay/closed-form
-# pin, tests/test_edge_cases.py), all 10 r5 additions, and struct/exotic
-# output shapes.  fn_calendar_dim leads as the DATE canary (r03 VERDICT
-# item 8) — it is itself never-sampled, so the canary slot no longer
-# spends a repeat.  Every op re-verified under the driver-faithful pandas
-# harness at sf0.01 AND sf0.001 before promotion.
+# Round-7 window (r06 VERDICT item 1): 50 NEVER-driver-sampled ops,
+# prioritizing the shapes the r6 judge called out explicitly — the
+# decontamination + trainprep pipeline family (SFT/DPO/next-token/corpus
+# health), the whole graph family (k-core peel, triangle/clustering,
+# link-prediction scores), and the eval_* metric suite (21 ops: ROC/PR
+# AUC, calibration, ranking, fairness, uplift) — topped up from the
+# never-sampled queue head (sampling/dedup-normalize/stream-upsert and
+# the lone never-sampled rows-only op, sim_mmr_rerank, so every rows-only
+# op finally has a driver row).  Every op re-verified under the
+# driver-faithful pandas harness at sf0.01 AND sf0.001 before promotion
+# (scripts/driver_window_probe.py timings keep the window cheap).
 _PRIORITY_WINDOW = (
-    "fn_calendar_dim",
-    "topk_per_group",
-    "udf_pandas_iter",
-    "sim_knn_join_topk",
-    "sim_ann_ivf",
-    "emb_pca_project",
-    "stream_pretrain_prep",
-    "stream_sink_exactly_once",
-    "stream_static_join",
-    "stream_python_datasource_sink",
-    "join_array_membership",
-    "ts_interval_merge",
-    "attribution_last_touch",
-    "win_rolling_median",
-    "scan_csv_permissive",
-    "mm_image_resize",
-    "mm_image_features",
-    "mm_video_keyframes",
-    "mm_phash_dedup",
-    "mm_exif_strip",
-    "text_bm25_topk",
-    "sim_rrf_fusion",
-    "sim_hybrid_weighted_fusion",
-    "pipeline_rag_context_pack",
-    "emb_matryoshka_truncation_quality",
-    "ts_holt_linear_smoothing",
-    "ts_markov_steady_state",
-    "attribution_markov_removal",
-    "graph_connected_components",
-    "fn_business_days",
-    "ts_macd_indicator",
-    "agg_adstock_decay_correlation",
-    "ts_cusum_drift",
-    "ts_holt_winters_additive",
-    "ts_token_bucket_throttle",
-    "ts_hampel_despike",
-    "text_watermark_greenlist_score",
-    "ts_ar1_forecast_backtest",
-    "ts_sharpe_sortino_daily",
-    "agg_eoq_order_quantity",
-    "sample_temperature_mixture",
-    "text_code_detect_heuristic",
-    "agg_inventory_turns_gmroi",
-    "udf_pandas_struct",
-    "fn_decimal_money_exactness",
-    "fn_ip_subnet",
-    "profile_column_entropy",
-    "agg_duplicate_stats",
-    "reconcile_table_diff",
-    "dedup_url_canonical",
+    "decontaminate_substring",
+    "pipeline_sft_pair_prep",
+    "pipeline_dpo_pair_prep",
+    "pipeline_training_set_features",
+    "pipeline_next_token_examples",
+    "pipeline_corpus_health_report",
+    "graph_k_core_peel",
+    "graph_triangle_count",
+    "graph_degree_stats",
+    "graph_common_neighbors",
+    "graph_adamic_adar",
+    "graph_reciprocity",
+    "graph_assortativity_degree",
+    "graph_clustering_coefficient",
+    "graph_jaccard_neighbors",
+    "eval_confusion_matrix",
+    "eval_decile_lift",
+    "eval_roc_auc",
+    "eval_calibration_bins",
+    "eval_ndcg_at_k",
+    "eval_mrr_recall_at_k",
+    "eval_brier_score",
+    "eval_pr_auc",
+    "eval_cohen_kappa",
+    "eval_profit_curve",
+    "eval_regression_metrics",
+    "eval_fairness_parity",
+    "eval_log_loss",
+    "eval_expected_calibration_error",
+    "eval_topk_overlap",
+    "eval_f1_threshold_sweep",
+    "eval_mcc_sweep",
+    "eval_langid_confusion",
+    "eval_qini_uplift_curve",
+    "eval_offpolicy_ips",
+    "eval_rec_catalog_coverage",
+    "sample_balanced_class",
+    "text_dedup_exact_normalized",
+    "emb_dim_stats",
+    "stream_foreachbatch_upsert",
+    "win_year_over_year",
+    "text_oov_rate",
+    "agg_gini_coefficient",
+    "pii_retention_sweep",
+    "dq_freshness_sla",
+    "win_ytd_cumulative",
+    "join_point_in_time",
+    "agg_partial_merge_rollup",
+    "sim_mmr_rerank",
+    "agg_benford_distribution",
 )
 
 # Round-4+ queue (r02 VERDICT item 3): every op without a driver
@@ -508,7 +509,39 @@ _R05_VERIFIED = frozenset(
 )
 
 
-_DRIVER_VERIFIED = _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED | _R05_VERIFIED
+# The 50 ops the driver sampled green in round 6 (CORRECTNESS_r06 keys —
+# 46 hash-pass + 4 rows-only by design) — parked at the tail.
+_R06_VERIFIED = frozenset(
+    {
+        "agg_adstock_decay_correlation", "agg_duplicate_stats",
+        "agg_eoq_order_quantity", "agg_inventory_turns_gmroi",
+        "attribution_last_touch", "attribution_markov_removal",
+        "dedup_url_canonical", "emb_matryoshka_truncation_quality",
+        "emb_pca_project", "fn_business_days", "fn_calendar_dim",
+        "fn_decimal_money_exactness", "fn_ip_subnet",
+        "graph_connected_components", "join_array_membership",
+        "mm_exif_strip", "mm_image_features", "mm_image_resize",
+        "mm_phash_dedup", "mm_video_keyframes", "pipeline_rag_context_pack",
+        "profile_column_entropy", "reconcile_table_diff",
+        "sample_temperature_mixture", "scan_csv_permissive", "sim_ann_ivf",
+        "sim_hybrid_weighted_fusion", "sim_knn_join_topk", "sim_rrf_fusion",
+        "stream_pretrain_prep", "stream_python_datasource_sink",
+        "stream_sink_exactly_once", "stream_static_join", "text_bm25_topk",
+        "text_code_detect_heuristic", "text_watermark_greenlist_score",
+        "topk_per_group", "ts_ar1_forecast_backtest", "ts_cusum_drift",
+        "ts_hampel_despike", "ts_holt_linear_smoothing",
+        "ts_holt_winters_additive", "ts_interval_merge", "ts_macd_indicator",
+        "ts_markov_steady_state", "ts_sharpe_sortino_daily",
+        "ts_token_bucket_throttle", "udf_pandas_iter", "udf_pandas_struct",
+        "win_rolling_median",
+    }
+)
+
+
+_DRIVER_VERIFIED = (
+    _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED
+)
 
 
 def _ordered_names() -> list[str]:

@@ -328,16 +328,28 @@ def build_nulls_fixture() -> str:
            ("l_discount", pa.float64()), ("l_tax", pa.float64()),
            ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
            ("l_shipdate", pa.timestamp("us"))])
-    n_ev = 8
+    # Multi-DAY event axis with NULL-closing days (r6 ADVICE): days 1 and
+    # 2 END on a NULL value (the arg_max-skips-NULLs vs max_by-unmasked-key
+    # divergence only fires when a day's LAST tick is NULL), day 3 closes
+    # non-NULL, and day 4 is ALL-NULL (arg_max/max_by must both yield NULL).
+    n_ev = 10
+    EVT = [E, E + dt.timedelta(minutes=17), E + dt.timedelta(minutes=34),
+           E + dt.timedelta(days=1), E + dt.timedelta(days=1, hours=1),
+           E + dt.timedelta(days=1, hours=2),
+           E + dt.timedelta(days=2), E + dt.timedelta(days=2, hours=1),
+           E + dt.timedelta(days=3), E + dt.timedelta(days=3, hours=1)]
     write("events",
           {"event_id": list(range(1, n_ev + 1)),
-           "ts": [E + dt.timedelta(minutes=17 * k) for k in range(n_ev)],
-           "user_id": [7, 7, 8, 8, 9, 9, 7, 8],
+           "ts": EVT,
+           "user_id": [7, 7, 8, 8, 9, 9, 7, 8, 9, 7],
            "event_type": ["click", "view", None, "click",
-                          "purchase", None, "view", "click"],
-           "value": [10.0, None, 30.0, None, 50.0, 20.0, None, 40.0],
+                          "purchase", None, "view", "click", "view", None],
+           "value": [10.0, 30.0, None,          # day 1: last tick NULL
+                     None, 50.0, None,          # day 2: last tick NULL
+                     None, 40.0,                # day 3: closes non-NULL
+                     None, None],               # day 4: all NULL
            "props": ['{"k": 1}', None, '{"k": 3}', '{"k": 4}',
-                     None, '{"k": 6}', '{"k": 7}', None]},
+                     None, '{"k": 6}', '{"k": 7}', None, '{"k": 9}', None]},
           [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
            ("user_id", pa.int64()), ("event_type", pa.string()),
            ("value", pa.float64()), ("props", pa.string())])
