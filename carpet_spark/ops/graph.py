@@ -760,8 +760,9 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m AS n_edges,
            round((m * sxy - sx * sy)
-                 / sqrt((m * sxx - sx * sx) * 1.0)
-                 / sqrt((m * syy - sy * sy) * 1.0), 6) AS assortativity
+                 / NULLIF(sqrt((m * sxx - sx * sx) * 1.0), 0)
+                 / NULLIF(sqrt((m * syy - sy * sy) * 1.0), 0), 6)
+             AS assortativity
     FROM s
     """,
 )
@@ -798,7 +799,15 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     dy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return s.select(
         F.col("m").alias("n_edges"),
-        F.round(num / F.sqrt(dx) / F.sqrt(dy), 6).alias("assortativity"),
+        # NULLIF guards (skew sweep): a graph where every source has the
+        # same out-degree (one hot supplier) zeroes a variance axis — the
+        # correlation is undefined; NULL on both engines, never ANSI x/0
+        F.round(
+            num
+            / F.nullif(F.sqrt(dx), F.lit(0.0))
+            / F.nullif(F.sqrt(dy), F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
     )
 
 

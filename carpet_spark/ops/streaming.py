@@ -175,12 +175,24 @@ def _run_available_now(
     return spark.table(query_name)
 
 
-@register("stream_dedup_watermark")  # rows-only: streaming-only semantics
+@register(
+    "stream_dedup_watermark",
+    # promoted rows-only -> hash (r06 VERDICT item 6, the stream_sliding /
+    # stream_interval_join precedent): availableNow delivers the file in
+    # ONE ordered batch, the first batch's watermark is epoch-zero so
+    # nothing can be dropped as late, and event_id is unique in every
+    # fixture — the emitted result provably equals the identity projection,
+    # which IS the batch oracle.  Incremental duplicate-drop behavior
+    # stays pinned in tests/test_streaming.py with multi-batch feeds.
+    oracle="SELECT event_id, ts, user_id, event_type, value FROM events",
+)
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming run: dropDuplicatesWithinWatermark on
     event_id with a 1-hour watermark, driven to completion via availableNow
     into a memory sink.  On the (already-unique) events table this is an
-    identity; injected-duplicate behavior is asserted in
+    identity — hash-checked against the batch projection (ns→µs ts
+    normalization matches DuckDB's own truncation, the scan_events_ns
+    contract); injected-duplicate behavior is asserted in
     tests/test_streaming.py."""
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     deduped = stream.dropDuplicatesWithinWatermark(["event_id"])
@@ -191,12 +203,26 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("stream_late_data")  # rows-only: streaming-only semantics
+@register(
+    "stream_late_data",
+    # promoted rows-only -> hash (r06 VERDICT item 6): one availableNow
+    # batch + epoch-zero initial watermark means no row can be late, and
+    # complete-mode emission surfaces every window — the result provably
+    # equals the batch tumbling aggregate, which IS the oracle.
+    # Genuinely-late drops stay pinned in tests/test_streaming.py with
+    # out-of-order micro-batch feeds.
+    oracle="""
+    SELECT date_trunc('hour', ts) AS wstart, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming aggregate (1h tumbling, 1h allowed lateness)
     driven by availableNow.  With a single ordered file nothing is late, so
-    this equals the batch tumbling agg; genuinely-late drops are exercised
-    in tests/test_streaming.py with out-of-order micro-batches."""
+    this equals the batch tumbling agg — hash-checked against it;
+    genuinely-late drops are exercised in tests/test_streaming.py with
+    out-of-order micro-batches."""
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -1081,8 +1107,15 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged
     ),
     episodes AS (
+      -- first alert = the FIRST ROW IN (ts, event_id) ORDER, not the
+      -- minimum id: ids are not monotone in event time (skew-sweep find —
+      -- two interleaved producers), so MIN(event_id) can name a LATER
+      -- alert than the one that actually paged
       SELECT event_type, grp,
-             MIN(event_id) AS first_event_id,
+             arg_min(event_id,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS first_event_id,
              CAST(COUNT(*) AS BIGINT) AS episode_len
       FROM runs WHERE hot = 1
       GROUP BY event_type, grp

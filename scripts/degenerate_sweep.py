@@ -707,6 +707,197 @@ def build_boundary_fixture() -> str:
     return BOUNDARY_FIX
 
 
+SKEW_FIX = "/tmp/carpet_skew_fixture"
+
+
+def build_skew_fixture() -> str:
+    """Skewed-distribution regime (r06 VERDICT item 3): one key holds
+    ~50% of the rows in every fact table — the distribution class the
+    seven other regimes never pin, and the one that actually breaks jobs
+    at 100 TB (a hot user, a viral SKU, a fanout order).
+
+    Planted hot keys: user 7 owns half the events and one DAY holds half
+    the traffic; customer 1 owns half the orders; order 1 carries a
+    30-line fanout and part/supplier 1 appear in half the lineitems; one
+    document text repeats 10× from one dominant source; embedding label 0
+    covers half the vectors including an identical cluster.
+
+    What it gates: (a) the salted/AQE skew-join ops' skew branches run on
+    data that IS skewed, not on uniform rows; (b) join fanout paths (a
+    30-row multiplier through order 1) keep exact parity; (c) share/topk/
+    concentration ops see a dominant-mass distribution (HHI, gini, ABC
+    classification hit their concentrated branches).  Both engines read
+    the SAME file, so any divergence is op-internal.  All money/value
+    columns are exact binary fractions (.0/.25/.5/.75) so divergences are
+    logic, never float noise; every dimension value stays inside the
+    production domain (event types, priorities, flags, brands)."""
+    os.makedirs(SKEW_FIX, exist_ok=True)
+    D0 = dt.datetime(1996, 1, 1)
+    E0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write(name, cols, schema):
+        tmp = f"{SKEW_FIX}/.{name}.parquet.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), tmp)
+        os.replace(tmp, f"{SKEW_FIX}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0, 1], "r_name": ["AMERICA", "ASIA"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1, 2], "n_name": ["BRAZIL", "CHINA", "CANADA"],
+           "n_regionkey": [0, 1, 0]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    n_cust = 10
+    write("customer",
+          {"c_custkey": list(range(1, n_cust + 1)),
+           "c_name": [f"Customer#{k}" for k in range(1, n_cust + 1)],
+           "c_nationkey": [k % 3 for k in range(n_cust)],
+           "c_acctbal": [100.0 + 25.25 * k for k in range(n_cust)],
+           "c_mktsegment": [["BUILDING", "MACHINERY", "AUTOMOBILE",
+                             "HOUSEHOLD", "FURNITURE"][k % 5]
+                            for k in range(n_cust)]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    n_supp = 4
+    write("supplier",
+          {"s_suppkey": list(range(1, n_supp + 1)),
+           "s_name": [f"Supplier#{k}" for k in range(1, n_supp + 1)],
+           "s_nationkey": [k % 3 for k in range(n_supp)],
+           "s_acctbal": [50.0 + 12.5 * k for k in range(n_supp)]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    n_part = 6
+    write("part",
+          {"p_partkey": list(range(1, n_part + 1)),
+           "p_name": [f"{c} part" for c in
+                      ("green", "red", "blue", "ivory", "plum", "tan")],
+           "p_brand": [f"Brand#{10 + k % 3}" for k in range(n_part)],
+           "p_type": [["ECONOMY BRASS", "PROMO STEEL", "STANDARD TIN"][k % 3]
+                      for k in range(n_part)],
+           "p_size": [5 * (k + 1) for k in range(n_part)],
+           "p_retailprice": [900.0 + 50.25 * k for k in range(n_part)]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    # orders: 120 rows, customer 1 owns the first 60 (50%); the hot
+    # half also concentrates on ONE order date (1997-06-15)
+    n_o = 120
+    HOT_D = dt.datetime(1997, 6, 15)
+    o_cust = [1] * 60 + [2 + k % (n_cust - 1) for k in range(60)]
+    o_date = [HOT_D if k < 60 else D0 + dt.timedelta(days=7 * k % 900)
+              for k in range(n_o)]
+    write("orders",
+          {"o_orderkey": list(range(1, n_o + 1)),
+           "o_custkey": o_cust,
+           "o_orderstatus": [["F", "O", "P"][k % 3] for k in range(n_o)],
+           "o_totalprice": [1000.0 + 250.25 * (k % 40) for k in range(n_o)],
+           "o_orderdate": o_date,
+           "o_orderpriority": [["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                "4-NOT SPECIFIED", "5-LOW"][k % 5]
+                               for k in range(n_o)]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")),
+           ("o_orderpriority", pa.string())])
+    # lineitem: 240 rows — order 1 carries a 30-line fanout; part 1 and
+    # supplier 1 each appear in ~50% of lines
+    li_ok, li_pk, li_sk, li_ln = [], [], [], []
+    per_order_count: dict[int, int] = {}
+    for i in range(240):
+        ok = 1 if i < 30 else 2 + (i - 30) % (n_o - 1)
+        per_order_count[ok] = per_order_count.get(ok, 0) + 1
+        li_ok.append(ok)
+        li_ln.append(per_order_count[ok])
+        li_pk.append(1 if i % 2 == 0 else 2 + i % (n_part - 1))
+        li_sk.append(1 if i % 2 == 0 else 2 + i % (n_supp - 1))
+    odate_by_key = {k + 1: o_date[k] for k in range(n_o)}
+    write("lineitem",
+          {"l_orderkey": li_ok,
+           "l_partkey": li_pk,
+           "l_suppkey": li_sk,
+           "l_linenumber": li_ln,
+           "l_quantity": [1.0 + (i % 50) for i in range(240)],
+           "l_extendedprice": [500.0 + 125.25 * (i % 80) for i in range(240)],
+           "l_discount": [[0.0, 0.02, 0.05, 0.09][i % 4] for i in range(240)],
+           "l_tax": [[0.0, 0.02, 0.05][i % 3] for i in range(240)],
+           "l_returnflag": [["N", "A", "R"][i % 3] for i in range(240)],
+           "l_linestatus": [["O", "F"][i % 2] for i in range(240)],
+           "l_shipdate": [odate_by_key[li_ok[i]] + dt.timedelta(days=i % 60)
+                          for i in range(240)]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    # events: 400 rows — user 7 owns 50%, day 2024-01-05 holds 50%,
+    # 'click' takes ~60% of types; all five production types present
+    n_ev = 400
+    ev_user = [7 if k % 2 == 0 else 8 + k % 12 for k in range(n_ev)]
+    ev_type = [("click" if k % 5 < 3 else
+                ["view", "purchase", "signup", "error"][k % 4])
+               for k in range(n_ev)]
+    HOT_E = dt.datetime(2024, 1, 5)
+    ev_ts = [HOT_E + dt.timedelta(minutes=7 * (k // 2))
+             if k % 2 == 0
+             else E0 + dt.timedelta(days=k % 29, minutes=11 * k % 1440)
+             for k in range(n_ev)]
+    write("events",
+          {"event_id": list(range(1, n_ev + 1)),
+           "ts": ev_ts,
+           "user_id": ev_user,
+           "event_type": ev_type,
+           "value": [0.25 * (1 + k % 400) for k in range(n_ev)],
+           "props": [f'{{"k": {k}}}' for k in range(1, n_ev + 1)]},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    # documents: 40 rows — one text repeats 10x (dup cluster), src0
+    # supplies 50%, 'en' dominates lang
+    base_texts = [
+        f"{w} corpus shard {i} with tokens alpha beta gamma"
+        for i, w in enumerate(
+            ("spark", "duck", "arrow", "delta", "iceberg", "hudi",
+             "flink", "trino", "presto", "hive", "pig", "drill",
+             "impala", "kudu", "beam", "samza", "storm", "heron",
+             "kafka", "pulsar", "nifi", "airflow", "dagster", "prefect",
+             "dbt", "великий", "数据", "café", "datum", "tensor")
+        )
+    ]
+    hot_text = "the viral duplicate document body repeated verbatim"
+    d_texts = [hot_text] * 10 + base_texts
+    nd = len(d_texts)
+    write("documents",
+          {"doc_id": list(range(1, nd + 1)),
+           "text": d_texts,
+           "lang": [("en" if k % 4 < 3 else ["de", "fr", "es", "zh"][k % 4])
+                    for k in range(nd)],
+           "source": [("src0" if k % 2 == 0 else f"src{1 + k % 6}")
+                      for k in range(nd)],
+           "n_chars": [len(t) for t in d_texts]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    # embeddings: 60 rows — label 0 covers 50% including an identical
+    # 12-vector cluster (the ANN hot bucket)
+    dim = 64
+    hot_vec = [0.5 if j % 2 == 0 else -0.25 for j in range(dim)]
+    vecs, labels = [], []
+    for k in range(60):
+        if k < 12:
+            vecs.append(list(hot_vec))
+            labels.append(0)
+        else:
+            vecs.append([0.25 * ((k * 7 + j * 3) % 9 - 4) for j in range(dim)])
+            labels.append(0 if k < 30 else 1 + k % 9)
+    write("embeddings",
+          {"vec_id": list(range(60)), "embedding": vecs, "label": labels},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return SKEW_FIX
+
+
 # Engine-inherent empty-input divergence, documented rather than papered
 # over: ANSI SQL gives GROUP BY ROLLUP/CUBE/GROUPING SETS a grand-total
 # () grouping set that emits ONE row even over an empty table (DuckDB,
@@ -741,6 +932,8 @@ def main() -> None:
         fix = build_boundary_fixture()
     elif "--shuffled" in sys.argv:
         fix = build_shuffled_fixture()
+    elif "--skew" in sys.argv:
+        fix = build_skew_fixture()
     else:
         fix = build_fixture()
     from carpet_spark.registry import REGISTRY

@@ -29,6 +29,80 @@ stream_tumbling stream_sliding stream_session stream_dedup_watermark stream_late
 udf_scalar udf_pandas udaf_grouped_pandas udtf_split""".split())
 
 
+# (name, why no DuckDB hash oracle is possible, compensating test) — the
+# generator fails if this list drifts from the registry's rows-only set.
+ROWS_ONLY_RATIONALE = [
+    ("agg_approx_distinct",
+     "HLL sketch: Spark's HyperLogLog++ and DuckDB's approx_count_distinct "
+     "use different sketch params/bias tables — estimates legitimately "
+     "differ within their error bounds",
+     "±5% vs exact COUNT(DISTINCT), tests/test_property.py"),
+    ("agg_approx_percentile",
+     "KLL/GK sketch: engine-specific quantile summaries give different "
+     "(both valid) answers at the same accuracy parameter",
+     "rank-error bound vs exact percentile, tests/test_property.py"),
+    ("agg_hll_merge",
+     "merges Spark-native hll_sketch_agg binary sketches; DuckDB cannot "
+     "parse the datasketches binary format",
+     "merged estimate vs exact distinct, tests/test_property.py"),
+    ("dedup_near_embedding_ann",
+     "SRP-LSH candidate recall is probabilistic (seeded hyperplanes drawn "
+     "in Python); precision is exact but the PAIR SET depends on bucket "
+     "collisions",
+     "precision=1 + recall floor vs exact cosine, tests/test_property.py"),
+    ("dedup_near_minhash",
+     "LSH recall for 0.7<=j<1 is probabilistic by design — the banded "
+     "collision set is not a deterministic function expressible in SQL",
+     "precision=1 + measured recall vs dedup_near_jaccard, "
+     "tests/test_property.py"),
+    ("dedup_near_simhash",
+     "48-bit signatures built from xxhash64(token) — no xxhash64 in "
+     "DuckDB, so the signature (hence the pair set) is not reproducible "
+     "oracle-side",
+     "exact-dup pairs must surface at hamming 0, tests/test_property.py"),
+    ("emb_pca_project",
+     "eigendecomposition of the covariance (numpy LAPACK) — eigenvector "
+     "sign/order and near-degenerate eigenvalue splits are solver-specific",
+     "projection preserves pairwise distances + explained-variance "
+     "monotone, tests/test_property.py"),
+    ("mm_phash_dedup",
+     "64-bit block-mean perceptual hash computed over decoded pixels in "
+     "the Arrow UDF; no SQL twin for the 2-D block fold",
+     "byte-identical payloads must pair at hamming 0, "
+     "tests/test_property.py"),
+    ("quality_train_score",
+     "MLlib LogisticRegression fit — iterative L-BFGS weights are "
+     "solver/partitioning-specific beyond fixed-point tolerance",
+     "AUC floor + monotone score/label agreement, tests/test_property.py"),
+    ("sample_seeded",
+     "exercises Spark's native Bernoulli sampler (XORShift per-partition "
+     "streams) — the §2-adjacent API surface itself; DuckDB's "
+     "reservoir/system sampling is a different RNG by definition "
+     "(deterministic hash-based splits live in sample_hash_split, which "
+     "IS hash-checked)",
+     "seed-stable + fraction tolerance, tests/test_property.py"),
+    ("sim_ann_ivf",
+     "k-means training (distributed Lloyd from a seeded init) converges "
+     "to centroids whose exact values depend on float reduction order; "
+     "cell assignment flips on ties",
+     "recall vs brute-force top-k, tests/test_property.py"),
+    ("sim_ann_lsh",
+     "SRP hyperplanes drawn from a seeded numpy RNG inside the UDF — not "
+     "reproducible in SQL; bucket recall probabilistic",
+     "recall floor vs brute force, tests/test_property.py"),
+    ("sim_knn_join_topk",
+     "banded-signature candidate generation (seeded SRP) — approximate "
+     "by design, pair set not SQL-reproducible",
+     "per-query recall floor vs exact k-NN, tests/test_property.py"),
+    ("sim_mmr_rerank",
+     "greedy sequential max-marginal-relevance — each pick depends on "
+     "float argmax over running state; a SQL reformulation would need "
+     "k correlated subqueries with tie semantics Spark evaluates in "
+     "Python",
+     "relevance/diversity trade-off invariants, tests/test_property.py"),
+]
+
+
 def main() -> None:
     lines = [
         "# COVERAGE — operator registry vs SURVEY.md §2 "
@@ -61,6 +135,34 @@ def main() -> None:
         f"SURVEY §2 ids not implemented: "
         f"{sorted(missing) if missing else 'NONE — full coverage.'}"
     )
+    # Rows-only rationale (r06 VERDICT item 6): every op without a hash
+    # oracle carries an explicit promotion-or-impossibility note, and the
+    # generator REFUSES to regenerate if an undocumented rows-only op
+    # appears — a new rows-only op must state its reason here.
+    lines.append("")
+    lines.append("## Rows-only ops: why no hash oracle (r7 sweep)")
+    lines.append("")
+    lines.append(
+        "Two former rows-only ops were PROMOTED to hash in r7 "
+        "(`stream_dedup_watermark`, `stream_late_data`: one availableNow "
+        "batch + epoch-zero initial watermark makes the emitted result "
+        "provably equal to the batch twin — the stream_sliding/"
+        "stream_interval_join precedent).  Each remaining op:"
+    )
+    lines.append("")
+    lines.append("| op | why rows-only | compensating test |")
+    lines.append("|---|---|---|")
+    for name, why, test in ROWS_ONLY_RATIONALE:
+        lines.append(f"| `{name}` | {why} | {test} |")
+    documented = {n for n, _, _ in ROWS_ONLY_RATIONALE}
+    rows_only = {n for n, o in REGISTRY.items() if o.oracle is None}
+    undocumented = rows_only - documented
+    stale = documented - rows_only
+    if undocumented or stale:
+        raise SystemExit(
+            f"rows-only rationale out of date: undocumented={sorted(undocumented)} "
+            f"stale={sorted(stale)} — update ROWS_ONLY_RATIONALE"
+        )
     with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"COVERAGE.md: {len(REGISTRY)} ops, missing={sorted(missing) or 'none'}")
