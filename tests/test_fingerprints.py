@@ -64,3 +64,55 @@ def test_headline_plan_fingerprint_pinned(spark, sf_dir, name):
         "commit message; if not, diff .explain('formatted') vs the last "
         "good commit."
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-20 most EXPENSIVE registry ops (r06 VERDICT item 5): the bench set
+# pins the headline queries, but a plan regression in the heaviest
+# non-bench ops (iterative graph kernels, Python data sources, streaming
+# joins, pandas cogroups) would otherwise surface only as a slow driver
+# round.  Ranked by measured Spark-side wall time over the full-registry
+# probe at sf0.01 (scripts/driver_window_probe.py 690, r7: 459 s total);
+# fingerprints are the order-insensitive v2 form, pinned from PLANS.json
+# at the same commit.  Re-pin HERE and regenerate PLANS.json in the same
+# commit when a plan change is intentional.
+# ---------------------------------------------------------------------------
+
+from bench import _plan_fingerprint_v2  # noqa: E402
+
+EXPENSIVE_PINNED = [
+    ("graph_k_core_peel", "9eebd4710506"),            # 7.40s
+    ("decontaminate_substring", "a70a993d9516"),      # 7.26s
+    ("graph_pagerank", "904c43197a93"),               # 5.26s
+    ("stream_foreachbatch_upsert", "924e6d1d904e"),   # 4.65s
+    ("scan_python_datasource_pushdown", "612948376226"),  # 4.64s
+    ("dedup_near_embedding_ann", "0c3b164e49ca"),     # 4.62s
+    ("sim_mmr_rerank", "95e6e2857198"),               # 4.57s
+    ("sink_python_datasource_roundtrip", "cda8daa486c8"),  # 4.45s
+    ("quality_train_score", "89bdfa0ea98e"),          # 4.12s
+    ("udf_cogrouped_pandas", "10502ae8ff51"),         # 3.97s
+    ("dq_primary_key_check", "d3e3fbab875d"),         # 3.79s
+    ("agg_abc_xyz_class", "9670a55e57ae"),            # 3.75s
+    ("ts_partial_autocorrelation", "ab5b3195235f"),   # 3.67s
+    ("stream_interval_join", "ff48a261270e"),         # 3.63s
+    ("graph_bfs_hops", "f11fa21b5f6d"),               # 3.54s
+    ("eval_rec_catalog_coverage", "160f5900c4d8"),    # 3.15s
+    ("stream_multi_source_union", "617b4e992d85"),    # 3.13s
+    ("emb_kmeans_pp_init", "e92174a4bd1c"),           # 3.08s
+    ("dedup_clusters", "d879a457a638"),               # 2.98s
+    ("sink_manifest_publish", "01d6c9c239a9"),        # 2.98s
+]
+
+
+@pytest.mark.parametrize(
+    "name,pinned", EXPENSIVE_PINNED, ids=[n for n, _ in EXPENSIVE_PINNED]
+)
+def test_expensive_plan_fingerprint_pinned(spark, sf_dir, name, pinned):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    got = _plan_fingerprint_v2(df)
+    assert got == pinned, (
+        f"{name}: physical plan changed (v2 fingerprint {got} != pinned "
+        f"{pinned}). If intentional, re-pin here AND regenerate PLANS.json "
+        "in the same commit; if not, diff .explain('formatted') vs the "
+        "last good commit."
+    )
