@@ -156,14 +156,7 @@ _PRIORITY_WINDOW = (
 # promote the first 50 of this queue into _PRIORITY_WINDOW each round —
 # r4 through r7 finish the registry at the current size.
 _R4_QUEUE = (
-    "sample_balanced_class", "text_dedup_exact_normalized",
-    "emb_dim_stats", "stream_foreachbatch_upsert",
-    "graph_triangle_count", "win_year_over_year",
-    "text_oov_rate", "agg_gini_coefficient",
-    "pii_retention_sweep", "dq_freshness_sla",
-    "win_ytd_cumulative", "join_point_in_time",
-    "agg_partial_merge_rollup", "sim_mmr_rerank",
-    "agg_benford_distribution", "agg_sequence_detect",
+    "agg_sequence_detect",
     "join_fanout_safe", "agg_weighted_percentile",
     "agg_new_vs_returning", "agg_transition_matrix",
     "sample_negative_pairs", "agg_histogram_2d",
@@ -175,9 +168,8 @@ _R4_QUEUE = (
     "agg_cramers_v", "agg_audience_overlap",
     "text_zipf_fit", "win_drawdown",
     "pii_vault_tokenize", "agg_cohort_ltv",
-    "pipeline_training_set_features", "ts_window_custom_origin",
-    "set_union_by_name_evolution", "graph_degree_stats",
-    "eval_confusion_matrix", "join_ip_range_lookup",
+    "ts_window_custom_origin",
+    "set_union_by_name_evolution", "join_ip_range_lookup",
     "agg_user_path_topk", "sample_systematic_every_nth",
     "emb_outlier_scores", "agg_hhi_concentration",
     "ts_change_point_simple", "agg_leadtime_sla",
@@ -194,8 +186,7 @@ _R4_QUEUE = (
     "text_readability_proxy", "basket_lift_rules",
     "stream_multi_source_union", "agg_net_revenue_retention",
     "agg_user_active_days_hist", "ts_rsi_indicator",
-    "dedup_containment_pairs", "graph_common_neighbors",
-    "agg_repeat_purchase_rate", "ts_autocorrelation",
+    "dedup_containment_pairs", "agg_repeat_purchase_rate", "ts_autocorrelation",
     "dq_json_schema_check", "pii_phone_normalize",
     "dq_duplicate_payments", "feature_minmax_scale",
     "agg_price_volume_mix", "dq_flatline_detection",
@@ -204,36 +195,30 @@ _R4_QUEUE = (
     "win_cross_sectional_zscore", "agg_rank_stability_spearman",
     "ab_effect_size_cohens_d", "ab_sample_size_estimate",
     "geo_bearing_distance", "agg_rate_wilson_ci",
-    "ts_pacing_vs_target", "eval_decile_lift",
-    "text_tokenizer_fertility", "join_record_linkage_scored",
+    "ts_pacing_vs_target", "text_tokenizer_fertility", "join_record_linkage_scored",
     "scan_multiformat_union", "ts_runs_test",
     "ts_classical_decompose", "agg_ks_two_sample",
     "agg_psi_drift", "agg_mutual_information",
-    "fn_feature_hashing", "pipeline_sft_pair_prep",
-    "agg_label_balance_report", "emb_mixup_pairs",
-    "agg_segment_migration", "eval_roc_auc",
-    "eval_calibration_bins", "eval_ndcg_at_k",
-    "emb_nearest_centroid_assign", "ts_trend_ols",
+    "fn_feature_hashing", "agg_label_balance_report", "emb_mixup_pairs",
+    "agg_segment_migration", "emb_nearest_centroid_assign", "ts_trend_ols",
     "agg_skyline_pareto", "dq_cross_field_rules",
     "dq_rowcount_anomaly_daily", "ab_two_proportion_ztest",
     "agg_corr_matrix", "sample_importance_weighted",
     "agg_token_budget_allocation", "quality_gopher_rules",
     "dq_sft_format_check", "win_rolling_regression_slope",
-    "eval_mrr_recall_at_k", "eval_brier_score",
     "agg_window_funnel_strict", "ts_burstiness_fano",
-    "attribution_position_based", "pipeline_dpo_pair_prep",
-    "pii_email_normalize", "ts_residual_anomaly",
-    "decontaminate_substring", "dedup_cluster_size_dist",
+    "attribution_position_based", "pii_email_normalize", "ts_residual_anomaly",
+    "dedup_cluster_size_dist",
     "agg_bounce_rate", "fn_luhn_check",
     "emb_pairwise_cosine_hist", "pii_kanon_generalize",
     "join_mark_exists", "text_char_ngram_profile",
-    "eval_pr_auc", "agg_funnel_stage_latency",
+    "agg_funnel_stage_latency",
     "text_sentence_stats", "text_bpe_merge_round",
     "agg_abc_xyz_class", "dq_primary_key_check",
     "ts_record_highs", "agg_retention_curve_dayn",
-    "graph_adamic_adar", "agg_winsorized_stats",
+    "agg_winsorized_stats",
     "fn_human_number_parse", "dq_drift_report_multi",
-    "pipeline_corpus_health_report", "feature_standard_scale",
+    "feature_standard_scale",
     "ab_segment_heterogeneity", "ab_difference_in_differences",
     "agg_price_elasticity", "scan_jsonl_corrupt_capture",
     "text_template_mining", "sample_epoch_repeat_factors",
@@ -249,23 +234,21 @@ _R4_QUEUE = (
     "dq_rare_categories", "ts_twap_daily",
     "sql_distinct_on", "attribution_shapley_two_channel",
     "sample_weighted_no_replacement", "fn_iban_mod97",
-    "eval_cohen_kappa", "text_ocr_normalize",
-    "eval_profit_curve", "text_script_detect",
+    "text_ocr_normalize",
+    "text_script_detect",
     "agg_ar_aging_buckets", "pii_hash_join_integrity",
     "text_bigram_logprob", "sample_group_kfold",
     "agg_basket_size_dist", "agg_growth_accounting",
-    "eval_regression_metrics", "agg_churn_risk_recency",
+    "agg_churn_risk_recency",
     "text_intradoc_dedup", "text_trending_tokens",
-    "pipeline_next_token_examples", "eval_fairness_parity",
     "fn_progressive_brackets", "ts_dominant_period",
     "scan_glob_subset", "agg_cohort_payback_month",
     "fn_number_humanize", "agg_stickiness_dau_mau",
     "ab_mann_whitney_u", "fn_uuid_deterministic",
     "sample_reservoir_fixed_n", "ts_cross_correlation_lags",
-    "eval_log_loss", "scan_fixed_width",
+    "scan_fixed_width",
     "dedup_minhash_estimate", "agg_anova_oneway",
-    "agg_theil_index", "graph_reciprocity",
-    "graph_assortativity_degree", "text_js_divergence_sources",
+    "agg_theil_index", "text_js_divergence_sources",
     "emb_isotropy_score", "agg_kendall_tau",
     "win_weighted_moving_average", "ts_bollinger_bands",
     "agg_chi_square_gof", "text_hapax_ratio",
@@ -279,7 +262,7 @@ _R4_QUEUE = (
     "agg_kmv_cardinality", "agg_entropy_daily",
     "win_rolling_skewness", "agg_quantile_normalize",
     "fn_excel_serial_date", "ts_underwater_duration",
-    "eval_expected_calibration_error", "agg_mood_median_test",
+    "agg_mood_median_test",
     "agg_capture_recapture", "sample_neyman_allocation",
     "fn_round_half_even", "agg_poisson_rate_ci",
     "agg_cohen_h", "win_new_users_cumulative",
@@ -289,8 +272,7 @@ _R4_QUEUE = (
     "ab_bayesian_shrinkage", "sim_srp_bucket_histogram",
     "agg_friedman_test", "agg_weighted_median",
     "geo_tile_quadkey", "scan_csv_dateformat",
-    "ts_theil_sen_slope", "eval_topk_overlap",
-    "dq_benford_second_digit", "win_gap_to_leader",
+    "ts_theil_sen_slope", "dq_benford_second_digit", "win_gap_to_leader",
     "text_ngram_novelty_rate", "agg_delta_method_ratio_ci",
     "dedup_blocking_quality", "fn_target_encode",
     "emb_class_separability", "ts_partial_autocorrelation",
@@ -298,13 +280,11 @@ _R4_QUEUE = (
     "agg_wilcoxon_signed_rank", "agg_contingency_residuals",
     "ab_cochran_armitage_trend", "agg_price_endings_profile",
     "agg_hurst_rescaled_range", "fn_iso_week_boundaries",
-    "graph_k_core_peel", "sample_ipw_ess",
+    "sample_ipw_ess",
     "fn_checkdigit_ean13", "dq_penny_drift_audit",
     "ts_day_percentile_vs_history", "agg_log_return_volatility",
     "ts_month_seasonal_index", "agg_customer_tenure_dist",
     "sink_tsv_roundtrip", "agg_hhi_yearly_trend",
-    "eval_f1_threshold_sweep", "eval_mcc_sweep",
-    "graph_clustering_coefficient", "graph_jaccard_neighbors",
     "feature_robust_scale", "feature_cyclical_encode",
     "sql_exists_correlated", "sql_values_dim_join",
     "ts_stochastic_oscillator", "ts_donchian_breakout",
@@ -331,7 +311,7 @@ _R4_QUEUE = (
     "sql_named_window_clause", "ts_effective_sample_size",
     "ts_seasonal_adjustment_dow", "agg_hill_tail_index",
     "dq_manifest_orphan_audit", "agg_margin_waterfall",
-    "eval_offpolicy_ips", "join_fx_asof_convert",
+    "join_fx_asof_convert",
     "dq_balance_reconciliation_three_way", "agg_repeat_rate_by_first_value",
     "agg_unit_economics_summary", "pii_l_diversity_check",
     "profile_candidate_keys", "sample_pps_systematic",
@@ -340,20 +320,18 @@ _R4_QUEUE = (
     "dq_benford_mad_conformity", "pii_kanon_utility_curve",
     "ab_interaction_check", "ts_load_duration_curve",
     "ts_forecaster_bakeoff", "agg_dso_days_sales_outstanding",
-    "eval_qini_uplift_curve", "dq_join_fanout_estimate",
+    "dq_join_fanout_estimate",
     "text_blocklist_screen", "dq_survivorship_bias_probe",
     "ab_mde_current_power", "ts_calendarized_run_rate",
     "scan_delimiter_sniff", "dq_fx_triangulation_audit",
-    "ab_bucketing_uniformity", "eval_langid_confusion",
-    "emb_mean_pooling_tokens", "ts_peak_dow_shift",
+    "ab_bucketing_uniformity", "emb_mean_pooling_tokens", "ts_peak_dow_shift",
     "fn_month_boundary_features", "ab_itt_vs_perprotocol",
     "agg_month_end_lift", "dq_event_order_audit",
     "agg_discount_response_curve", "dq_doc_embedding_coverage",
     "agg_dormant_skus", "agg_time_to_nth_purchase",
     "dq_cdc_scd2_consistency", "agg_mixed_discount_baskets",
     "agg_cart_abandonment_by_dow", "agg_return_rate_drivers",
-    "agg_supplier_concentration_tiers", "eval_rec_catalog_coverage",
-    "ts_event_study_window", "ab_days_to_power",
+    "agg_supplier_concentration_tiers", "ts_event_study_window", "ab_days_to_power",
     "ts_daily_health_score",
     # --- round-6 in-session additions (arrival order) ---
     "scan_python_datasource_pushdown",

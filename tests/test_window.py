@@ -40,6 +40,8 @@ ROWS_ONLY_BY_DESIGN = {
     "sim_ann_ivf",        # IVF buckets from trained centroids; recall-tested
     "emb_pca_project",    # power-iteration PCA basis; variance property-tested
     "mm_phash_dedup",     # perceptual-hash bands over the fake decoder
+    # r7 window addition — the last never-sampled rows-only op:
+    "sim_mmr_rerank",     # greedy float-argmax rerank; invariants property-tested
 }
 
 
