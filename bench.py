@@ -182,6 +182,13 @@ def _plan_fingerprint_v2(df) -> str:
     # the same arbitrary literals.  Collapse the gid literals and any
     # bare integers on Expand lines (group-id tags) before sorting.
     s = re.sub(r"\(gid# = \d+\)", "(gid# = N)", s)
+    # Range(start, end, splits=N, step): splits = session default
+    # parallelism — an environment knob (SPARK_GRAFT_CPUS), not a plan
+    # shape.  Without this, any op built on spark.range() fingerprints
+    # differently at local[8] vs local[32] (r7 find: the sharded suite
+    # runs workers at cpus//n_shards and ts_partial_autocorrelation's
+    # pin flipped).
+    s = re.sub(r"splits=\d+", "splits=", s)
     s = "\n".join(
         re.sub(r"\b\d+\b", "N", ln) if "Expand [" in ln else ln
         for ln in s.splitlines()

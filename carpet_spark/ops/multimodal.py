@@ -499,6 +499,86 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_image_channel_stats",
+    oracle=f"""
+    WITH d AS ({_SYNTH_DIMS_SQL}),
+    s AS (SELECT doc_id, w, h, a, w * h AS npx FROM d)
+    SELECT doc_id, npx AS n_px,
+           CAST((npx // 256) * 32640 + COALESCE(list_sum(list_transform(
+             range(npx % 256), j -> (a + 0 + 3 * j) % 256)), 0) AS BIGINT)
+             AS r_sum,
+           CAST((npx // 256) * 32640 + COALESCE(list_sum(list_transform(
+             range(npx % 256), j -> (a + 1 + 3 * j) % 256)), 0) AS BIGINT)
+             AS g_sum,
+           CAST((npx // 256) * 32640 + COALESCE(list_sum(list_transform(
+             range(npx % 256), j -> (a + 2 + 3 * j) % 256)), 0) AS BIGINT)
+             AS b_sum
+    FROM s
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL
+    FROM documents WHERE text IS NULL
+    """,
+)
+def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel (R/G/B) pixel sums over REAL decoded BMP payloads — the
+    channel-statistics pass a vision-data pipeline runs before
+    normalization (mean/std per channel).  The channel split only exists
+    AFTER a correct decode: the BMP rows are stored bottom-up in BGR with
+    stride padding, so r_sum/g_sum/b_sum verify the decoder's layout
+    transforms sample-accurately (a BGR swap or padding slip moves sums
+    between channels).  The oracle recomputes each channel in closed form
+    over the synthetic ramp: channel c's samples are (a + 3j + c) mod 256
+    for j in [0, w*h); since gcd(3, 256) = 1 the stride-3 walk covers all
+    residues, so full 256-length cycles contribute 32640 each and the
+    sub-cycle remainder is a <256-element unnest.
+
+    Scale (100 TB): identical shape to mm_image_features — Arrow-batched
+    mapInPandas, payloads never on the driver; at production the channel
+    sums feed a global mean/std aggregate for dataset normalization."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "img_data": [
+                        _encode_bmp_synth(t.encode("utf-8")) if t is not None else None
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "n_px": [], "r_sum": [], "g_sum": [],
+                    "b_sum": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["img_data"]):
+                if raw is None:
+                    npx = rs = gs = bs = None
+                else:
+                    w, h, _ch, px = _decode_image_real(bytes(raw))
+                    npx = w * h
+                    rs, gs, bs = sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
+                rows["doc_id"].append(doc_id)
+                rows["n_px"].append(npx)
+                rows["r_sum"].append(rs)
+                rows["g_sum"].append(gs)
+                rows["b_sum"].append(bs)
+            yield pd.DataFrame(
+                {k: (_nullable_long(v) if k != "doc_id" else v)
+                 for k, v in rows.items()}
+            )
+
+    return imgs.mapInPandas(
+        stat_batches,
+        schema="doc_id long, n_px long, r_sum long, g_sum long, b_sum long",
+    )
+
+
 _FRAME = 1024
 
 

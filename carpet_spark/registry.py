@@ -335,6 +335,8 @@ _R4_QUEUE = (
     "ts_daily_health_score",
     # --- round-6 in-session additions (arrival order) ---
     "scan_python_datasource_pushdown",
+    # --- round-7 in-session additions (arrival order) ---
+    "mm_image_channel_stats",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

@@ -53,6 +53,12 @@ def get_spark(app_name: str = "carpet_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python-worker spawn must survive a loaded host: the default 15 s
+        # connect-back window flakes ("Python worker failed to connect
+        # back") when several local JVMs fork workers concurrently — seen
+        # once in the 8-way sharded suite; on a busy production node the
+        # same knob prevents spurious task failures.
+        .config("spark.python.authenticate.socketTimeout", "120s")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")

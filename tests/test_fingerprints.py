@@ -93,7 +93,9 @@ EXPENSIVE_PINNED = [
     ("udf_cogrouped_pandas", "10502ae8ff51"),         # 3.97s
     ("dq_primary_key_check", "d3e3fbab875d"),         # 3.79s
     ("agg_abc_xyz_class", "9670a55e57ae"),            # 3.75s
-    ("ts_partial_autocorrelation", "ab5b3195235f"),   # 3.67s
+    # splits=N normalized out of the v2 form in r7 (Range parallelism is
+    # an env knob, not plan shape) — this is the only range-built pin
+    ("ts_partial_autocorrelation", "cb5d30830af9"),   # 3.67s
     ("stream_interval_join", "ff48a261270e"),         # 3.63s
     ("graph_bfs_hops", "f11fa21b5f6d"),               # 3.54s
     ("eval_rec_catalog_coverage", "160f5900c4d8"),    # 3.15s
