@@ -160,19 +160,39 @@ def _run_available_now(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> DataFrame:
     """Drive a streaming query to completion with the availableNow trigger
-    and return the materialized memory-sink table."""
+    and return the materialized memory-sink table.
+
+    One bounded retry for the transient worker-spawn failure class
+    ("Python worker failed to connect back"): on an oversubscribed host
+    (the 8-way sharded suite; any busy production node) forking the
+    Python planner/reader workers can miss the connect-back window even
+    with the raised socket timeout (session.py).  The failed attempt's
+    memory sink and checkpoint are discarded and the query re-runs from
+    scratch, so the retry cannot double-emit; any other failure re-raises
+    immediately — correctness errors must never be retried away."""
     spark = stream_df.sparkSession
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_{query_name}_{uuid.uuid4().hex}")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    last_exc: Exception | None = None
+    for attempt in range(2):
+        ckpt = os.path.join(
+            tempfile.gettempdir(), f"ckpt_{query_name}_{uuid.uuid4().hex}"
+        )
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+            return spark.table(query_name)
+        except Exception as e:  # noqa: BLE001 — filtered to one message below
+            if "failed to connect back" not in str(e) or attempt == 1:
+                raise
+            last_exc = e
+            q.stop()
+    raise last_exc  # unreachable; keeps type-checkers honest
 
 
 @register(

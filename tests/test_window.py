@@ -27,8 +27,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # rows-only driver check.  Anything else in the window must carry an oracle.
 ROWS_ONLY_BY_DESIGN = {
     "agg_approx_distinct",
-    "stream_dedup_watermark",
-    "stream_late_data",
+    # stream_dedup_watermark / stream_late_data were in this set through
+    # r6; r7 promoted both to hash oracles (single availableNow batch +
+    # epoch-zero watermark == batch twin), so they no longer need the
+    # allowance.
     # r4 window (rotated out, kept documented) — approximate/RNG/model-backed:
     "agg_hll_merge",        # HLL sketch estimate (property-tested bounds)
     "sample_seeded",        # Spark-internal RNG; determinism ≠ cross-engine
