@@ -1,0 +1,109 @@
+"""Unit tests for the vendored pure-Python raster codecs (r7): the decode
+tier under mm_image_resize / mm_image_features / mm_image_channel_stats.
+
+The op-level hash oracles prove end-to-end parity on the SYNTHETIC
+payloads; these tests pin the codec grammar itself — including branches
+the synth encoders never emit (P5 grayscale, top-down BMP, header
+comments in odd positions, truncation/garbage error paths) — so the
+decoders stay honest general-purpose parsers, not synth-shaped ones.
+"""
+
+import struct
+
+import pytest
+
+from carpet_spark.ops.multimodal import (
+    _decode_bmp,
+    _decode_image_real,
+    _decode_ppm,
+    _encode_bmp_synth,
+    _encode_ppm_synth,
+    _synth_dims,
+)
+
+
+def _ramp(seed: int, n: int) -> bytes:
+    return bytes((seed + i) % 256 for i in range(n))
+
+
+@pytest.mark.parametrize("length", [0, 1, 17, 255, 256, 1000, 40000])
+def test_synth_roundtrip_both_formats(length):
+    payload_src = b"x" * length
+    w, h, seed = _synth_dims(length)
+    expected = _ramp(seed, w * h * 3)
+    for enc in (_encode_ppm_synth, _encode_bmp_synth):
+        dw, dh, ch, px = _decode_image_real(enc(payload_src))
+        assert (dw, dh, ch) == (w, h, 3)
+        assert px == expected
+
+
+def test_ppm_header_grammar_whitespace_and_comments():
+    # arbitrary whitespace runs + comments between EVERY token, CR/LF mix
+    px = _ramp(7, 2 * 3 * 3)
+    data = b"P6 # c1\n\t 2 # c2 with spaces\n\r\n3 \t# c3\n 255\n" + px
+    assert _decode_ppm(data) == (2, 3, 3, px)
+
+
+def test_pgm_p5_single_channel():
+    px = _ramp(3, 4 * 2)
+    data = b"P5\n4 2\n255\n" + px
+    assert _decode_ppm(data) == (4, 2, 1, px)
+    # and via the sniffing front door
+    assert _decode_image_real(data) == (4, 2, 1, px)
+
+
+def test_ppm_rejects_bad_magic_maxval_truncation():
+    with pytest.raises(ValueError, match="magic"):
+        _decode_ppm(b"P3\n1 1\n255\n abc")  # ASCII PPM is not binary P6
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(b"P6\n4 4\n255\n" + b"\0" * 5)
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        _decode_ppm(b"P6\n4 4")
+
+
+def _bmp_bytes(w, h, top_down, pixels_rgb):
+    """Hand-rolled BMP with explicit control of row order for the test."""
+    stride = ((w * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - w * 3)
+    rows = []
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixels_rgb[y][x]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + pad)
+    pix = b"".join(rows)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(pix), 2835, 2835, 0, 0,
+    )
+    return hdr + info + pix
+
+
+def test_bmp_bottom_up_and_top_down_decode_identically():
+    w, h = 3, 2  # stride padding exercised: 3*3=9 -> stride 12
+    pixels = [[(10 * y + x, 100 + x, 200 - y) for x in range(w)]
+              for y in range(h)]
+    logical = bytes(v for row in pixels for p in row for v in p)
+    for td in (False, True):
+        dw, dh, ch, px = _decode_bmp(_bmp_bytes(w, h, td, pixels))
+        assert (dw, dh, ch) == (w, h, 3)
+        assert px == logical
+
+
+def test_bmp_rejects_unsupported_depths_and_garbage():
+    good = _encode_bmp_synth(b"q")
+    with pytest.raises(ValueError, match="magic"):
+        _decode_bmp(b"XX" + good[2:])
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)  # 8-bit palette BMP
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        _decode_bmp(bytes(bad_bpp))
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_bmp(good[:100])
+    with pytest.raises(NotImplementedError, match="PIL"):
+        _decode_image_real(b"\x89PNG\r\n\x1a\n")
