@@ -4987,11 +4987,16 @@ def agg_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ab_cochran_armitage_trend",
     oracle="""
     WITH g AS (
-      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
+      -- TRY_CAST (hostile-strings sweep): a malformed priority ('comma,
+      -- inside') has no dose score — excluded on BOTH engines instead of
+      -- crashing the ANSI cast
+      SELECT TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
                   AS BIGINT) AS k
-      FROM orders GROUP BY 1
+      FROM orders
+      WHERE TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) IS NOT NULL
+      GROUP BY 1
     ),
     m AS (
       SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(k) AS BIGINT) AS kt,
@@ -5021,8 +5026,11 @@ def ab_cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): a |levels|-key map-side-combined count then a
     1-row reduction — single scan."""
     o = load(spark, sf_dir, "orders")
-    g = o.groupBy(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("score")
+    # try_cast + filter (hostile-strings sweep): malformed priorities have
+    # no dose score — drop them on both engines, never ANSI-crash
+    score = F.substring("o_orderpriority", 1, 1).try_cast("long")
+    g = o.filter(score.isNotNull()).groupBy(
+        score.alias("score")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))

@@ -5897,6 +5897,13 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             if s not in P:
                 continue  # 'conv'/'null' never source transitions
             rd = "null" if d == removed else d
+            if rd not in _MK_DSTS:
+                # out-of-taxonomy state (hostile-strings sweep: an exotic
+                # event_type is not a modeled channel): its transition
+                # mass drops, exactly as the oracle's fixed CASE pivot
+                # never matches it — totals still include it, so the
+                # remaining probabilities stay sub-stochastic identically
+                continue
             P[s][rd] = P[s][rd] + c / float(totals[s])
         p = {s: 0.0 for s in srcs}
         for _ in range(_MK_ITERS):

@@ -244,7 +244,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tok"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
-        F.element_at(toks, 2).alias("tok2"),
+        # try_element_at (hostile-strings sweep): a 1-token doc (empty
+        # text splits to ['']) must yield NULL like DuckDB's toks[2],
+        # not ANSI INVALID_ARRAY_INDEX
+        F.try_element_at(toks, F.lit(2)).alias("tok2"),
         F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("vocab"),
         F.array_join(
             F.flatten(F.array(F.slice(toks, 1, 2), F.slice(toks, 3, 2))), " "
@@ -436,9 +439,16 @@ def fn_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_url",
     oracle="""
     WITH u AS (
+      -- sanitize the free-text columns into URL-safe tokens (hostile-
+      -- strings sweep: quotes/spaces/CJK in source made Java's URI parser
+      -- throw INVALID_URL) — this op is scoped to parse_url on
+      -- WELL-FORMED URLs; 'g' = replace ALL matches (DuckDB defaults to
+      -- first-only, Spark to all)
       SELECT doc_id,
-             'https://' || source || '.example.com/docs/' || doc_id
-               || '?lang=' || lang || '&v=2' AS url
+             'https://s' || regexp_replace(source, '[^A-Za-z0-9_-]', '', 'g')
+               || '.example.com/docs/' || doc_id
+               || '?lang=l' || regexp_replace(lang, '[^A-Za-z0-9_-]', '', 'g')
+               || '&v=2' AS url
       FROM documents
     )
     SELECT doc_id, url,
@@ -457,13 +467,15 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchored regexes — agreement proves parse_url's components match their
     regex definitions on well-formed URLs."""
     d = load(spark, sf_dir, "documents")
+    # URL-safe sanitization mirrored in the oracle (hostile-strings sweep)
+    safe = lambda c: F.regexp_replace(c, "[^A-Za-z0-9_-]", "")
     url = F.concat(
-        F.lit("https://"),
-        F.col("source"),
+        F.lit("https://s"),
+        safe(F.col("source")),
         F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
-        F.lit("?lang="),
-        F.col("lang"),
+        F.lit("?lang=l"),
+        safe(F.col("lang")),
         F.lit("&v=2"),
     )
     return d.select(
@@ -557,10 +569,19 @@ def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(props->>'$.k' AS BIGINT) AS k_int,
+           -- mirror variant's compact re-serialization for BOTH payload
+           -- shapes ({"k":..} and {"k":..,"s":".."} — hostile-strings
+           -- sweep); json_object applies standard JSON escaping exactly
+           -- as Spark's to_json(variant) does
            CASE WHEN props IS NULL THEN NULL
+                WHEN json_extract(props, '$.s') IS NOT NULL
+                THEN json_object('k', CAST(props->>'$.k' AS BIGINT),
+                                 's', props->>'$.s')
                 ELSE json_object('k', CAST(props->>'$.k' AS BIGINT))
            END AS vjson,
            CASE WHEN props IS NULL THEN NULL
+                WHEN json_extract(props, '$.s') IS NOT NULL
+                THEN 'OBJECT<k: BIGINT, s: STRING>'
                 ELSE 'OBJECT<k: BIGINT>' END AS vschema
     FROM events
     """,
@@ -591,7 +612,11 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_xml",
     oracle="""
     SELECT c_custkey AS custkey,
-           c_name AS name,
+           -- from_xml strips SURROUNDING whitespace from element text
+           -- (StAX ignoreSurroundingSpaces — hostile-strings sweep:
+           -- '  padded  ' reads back as 'padded'); interior whitespace
+           -- survives, so the oracle trims the same character set
+           trim(c_name, ' ' || chr(9) || chr(10) || chr(13)) AS name,
            c_acctbal AS bal,
            c_custkey AS xp_key
     FROM customer
@@ -723,7 +748,12 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     SELECT doc_id,
-           array_to_string(list_transform(list_slice(toks, 1, 5), x -> upper(x)), ' ')
+           -- ß pre-fold (hostile-strings sweep): Java's toUpperCase maps
+           -- ß -> "SS" (1:2 expansion) where DuckDB maps it to the
+           -- capital sharp-s 'ẞ'; folding ß before upper() reproduces the
+           -- JVM mapping for the one divergent class in the battery
+           array_to_string(list_transform(list_slice(toks, 1, 5),
+                           x -> upper(replace(x, 'ß', 'ss'))), ' ')
              AS upper5,
            CASE WHEN toks IS NULL THEN NULL
                 ELSE COALESCE(

@@ -4252,7 +4252,10 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_js_divergence_sources",
     oracle="""
     WITH toks AS (
-      SELECT CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+      -- TRY_CAST (hostile-strings sweep): a non-numeric source suffix has
+      -- no pool number — NULL % 2 = 0 is false, so it lands in the ELSE
+      -- pool 'Q' identically on both engines (never an ANSI cast crash)
+      SELECT CASE WHEN TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0
                   THEN 'P' ELSE 'Q' END AS pool,
              t.tok
       FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
@@ -4304,8 +4307,11 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = (
         d.select(
+            # try_cast: non-numeric suffix -> NULL -> ELSE pool 'Q'
+            # (oracle TRY_CAST twin; hostile-strings sweep)
             F.when(
-                F.substring("source", 4, 10).cast("long") % 2 == 0, F.lit("P")
+                F.substring("source", 4, 10).try_cast("long") % 2 == 0,
+                F.lit("P"),
             )
             .otherwise(F.lit("Q"))
             .alias("pool"),

@@ -686,6 +686,9 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(text) AS content_sha
     FROM documents
     WHERE doc_id < 20 AND text IS NOT NULL
+      -- binaryFile SKIPS zero-byte files (no splits to plan — probed,
+      -- hostile-strings sweep): an empty document's .bin never surfaces
+      AND octet_length(encode(text)) > 0
     """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,7 +700,11 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fixture prep writes 20 .bin files (utf-8 bytes of the first 20
     documents — bounded, deterministic, driver-side by necessity: Spark
-    has no binary-file WRITER, which is exactly why the reader matters);
+    has no binary-file WRITER, which is exactly why the reader matters).
+    Zero-byte files are SKIPPED by the binaryFile source (no splits to
+    plan — probed); the oracle excludes empty-text docs to match, and a
+    pipeline that must not lose empty markers should ship them as
+    metadata rows, not payload files;
     the op under test is the distributed binaryFile SCAN, whose content
     bytes are re-hashed and checked against the oracle's sha256 of the
     source text — any corruption in the file write/read path fails the

@@ -702,25 +702,27 @@ def sink_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = d.select("doc_id", tricky.alias("tricky"), "lang")
     out = _sink_path(spark, "sink_csv_quoted")
-    (
-        df.write.mode("overwrite")
-        .option("header", True)
-        .option("quote", '"')
-        .option("escape", '"')
+    # nullValue sentinel (hostile-strings sweep): with defaults, CSV
+    # conflates '' and NULL — the writer emits both as an empty field and
+    # the reader maps it back to NULL, silently corrupting empty-string
+    # cells.  Writing NULL as an explicit \N sentinel leaves the quoted
+    # "" form to mean empty string, making the round-trip bijective
+    # (probed: '' -> '' and NULL -> NULL with this one option pair).
+    csv_opts = {
+        "header": True,
+        "quote": '"',
+        "escape": '"',
+        "nullValue": "\\N",
         # the CSV WRITER trims by default (ignore*WhiteSpace=true) — a
         # silent data change; disabled on both ends for true round-trip
-        .option("ignoreLeadingWhiteSpace", False)
-        .option("ignoreTrailingWhiteSpace", False)
-        .csv(out)
-    )
+        "ignoreLeadingWhiteSpace": False,
+        "ignoreTrailingWhiteSpace": False,
+    }
+    df.write.mode("overwrite").options(**csv_opts).csv(out)
     return (
         spark.read.schema(df.schema)
-        .option("header", True)
+        .options(**csv_opts)
         .option("multiLine", True)
-        .option("quote", '"')
-        .option("escape", '"')
-        .option("ignoreLeadingWhiteSpace", False)
-        .option("ignoreTrailingWhiteSpace", False)
         .csv(out)
     )
 
@@ -728,12 +730,22 @@ def sink_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_dynamic_partition_overwrite",
     oracle="""
+    WITH keyed AS (
+      -- '(empty)' sentinel (hostile-strings sweep): Hive's partition
+      -- layout maps '' to __HIVE_DEFAULT_PARTITION__, which reads back
+      -- as NULL — a silent ''→NULL corruption.  An explicit sentinel
+      -- keeps the round-trip bijective; genuinely-NULL priorities keep
+      -- Hive's NULL convention (the nulls regime pins that path).
+      SELECT CASE WHEN o_orderpriority = '' THEN '(empty)'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    )
     SELECT o_orderpriority,
            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN COUNT(*) + 1000000 ELSE COUNT(*) END AS n,
            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                 THEN 'v2' ELSE 'v1' END AS version
-    FROM orders GROUP BY o_orderpriority
+    FROM keyed GROUP BY o_orderpriority
     """,
 )
 def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,7 +765,15 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     Scale: partition-granular replacement IS the idempotent-backfill
     primitive (re-run yesterday's batch without touching history);
     per-partition file layout makes it an O(changed partitions) commit."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").withColumn(
+        # '(empty)' sentinel: '' is not a representable Hive partition
+        # value (it aliases __HIVE_DEFAULT_PARTITION__ = NULL on read);
+        # oracle applies the same mapping
+        "o_orderpriority",
+        F.when(F.col("o_orderpriority") == "", "(empty)").otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
     base = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).select(
         "o_orderpriority", "n", F.lit("v1").alias("version")
     )

@@ -1755,9 +1755,17 @@ def agg_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ),
     pairs AS (
+      -- guarded COALESCE (hostile-strings sweep, fn_lambda's pattern):
+      -- array_to_string([]) is NULL here where Spark's array_join gives
+      -- '' — an EMPTY doc's empty completion must FLAG — but a NULL doc
+      -- must stay NULL on both engines (nulls regime)
       SELECT doc_id, n, k,
-             array_to_string(toks[1:k], ' ') AS prompt,
-             array_to_string(toks[k+1:n], ' ') AS completion
+             CASE WHEN toks IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string(toks[1:k], ' '), '')
+             END AS prompt,
+             CASE WHEN toks IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string(toks[k+1:n], ' '), '')
+             END AS completion
       FROM cut
     ),
     flags AS (

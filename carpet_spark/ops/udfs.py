@@ -30,7 +30,13 @@ from ..tables import load
     "udf_scalar",
     oracle=r"""
     SELECT doc_id,
-           trim(regexp_replace(lower('  ' || upper(text) || '   '), '\s+', ' ', 'g'))
+           -- ß pre-fold (hostile-strings sweep): Java upper('ß') = 'SS'
+           -- (then Python lower -> 'ss') while DuckDB upper('ß') = 'ẞ'
+           -- (lower -> 'ß'); folding before the case round-trip mirrors
+           -- the JVM+Python pipeline exactly
+           trim(regexp_replace(
+             lower('  ' || upper(replace(text, 'ß', 'ss')) || '   '),
+             '\s+', ' ', 'g'))
              AS cleaned
     FROM documents
     """,

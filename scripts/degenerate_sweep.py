@@ -707,6 +707,194 @@ def build_boundary_fixture() -> str:
     return BOUNDARY_FIX
 
 
+HOSTILE_FIX = "/tmp/carpet_hostile_fixture"
+
+
+def build_hostile_fixture() -> str:
+    """Hostile-strings regime (r7, ninth fixture): every string column
+    carries the values that break naive serialization and collation —
+    embedded commas / double quotes / single quotes / newlines / tabs /
+    backslashes, leading+trailing spaces, the empty string, numeric
+    look-alikes ("123"), CSV-injection shapes ("=cmd"), non-ASCII
+    (umlauts, CJK, emoji), and an RTL word.  Keys and numerics stay clean
+    so joins/aggregates still exercise their normal paths; what changes
+    is that STRING values flow through group keys, ORDER BY / rank
+    tie-breaks, LIKE/regex, concat, JSON/CSV sink roundtrips, and the
+    text pipeline.
+
+    Bug classes this gates, none reachable by the other eight regimes:
+    CSV quote/escape handling in sink roundtrips (a quote+newline cell
+    must survive write→read bit-exactly on BOTH engines), cross-engine
+    string ORDERING of non-ASCII (Spark UTF8_BINARY vs DuckDB binary
+    collation — should agree; any rank divergence is a real op bug),
+    upper()/lower() on non-ASCII, regex/LIKE metacharacter leakage when
+    data strings reach pattern positions, and JSON escaping of quotes /
+    control chars / astral-plane emoji."""
+    os.makedirs(HOSTILE_FIX, exist_ok=True)
+    D = dt.datetime(1996, 6, 15)
+    E = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def write(name, cols, schema):
+        tmp = f"{HOSTILE_FIX}/.{name}.parquet.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), tmp)
+        os.replace(tmp, f"{HOSTILE_FIX}/{name}.parquet")
+
+    # the hostile battery — reused across columns so every class appears
+    HS = [
+        'comma, inside',            # CSV delimiter
+        'quo"te " twice"',          # CSV quote escaping
+        "line\nbreak",              # embedded newline (CSV record split)
+        "tab\tchar",                # embedded tab
+        "back\\slash",              # escape char
+        "O'Brien's",                # single quotes (SQL literal shape)
+        "  padded  ",               # leading/trailing spaces
+        "",                         # empty string (vs NULL distinction)
+        "123",                      # numeric look-alike
+        "=SUM(A1:A9)",              # CSV-injection shape
+        "späte Größe",              # umlauts (upper/lower divergence bait)
+        "数据引擎",                  # CJK
+        "emoji 🎉 cell",            # astral-plane (surrogate pair in UTF-16)
+        "شمال east",                # RTL + LTR mix
+        "percent%under_score",      # LIKE metacharacters as DATA
+        "dot.star.*regex",          # regex metacharacters as DATA
+    ]
+
+    write("region", {"r_regionkey": [0, 1],
+                     "r_name": ["AMERICA", HS[10]]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1, 2],
+           "n_name": ["BRAZIL", HS[11], HS[5]],
+           "n_regionkey": [0, 1, 1]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    n_c = 8
+    write("customer",
+          {"c_custkey": list(range(1, n_c + 1)),
+           "c_name": HS[:n_c],
+           "c_nationkey": [k % 3 for k in range(n_c)],
+           "c_acctbal": [100.0 + 25.0 * k for k in range(n_c)],
+           # two in-domain segments + hostile extras (else-branch fodder)
+           "c_mktsegment": ["BUILDING", "MACHINERY", HS[0], HS[2],
+                            HS[7], HS[8], HS[12], HS[14]]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1, 2], "s_name": [HS[1], HS[9]],
+           "s_nationkey": [0, 1], "s_acctbal": [50.0, 75.0]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1, 2, 3, 4],
+           "p_name": [HS[15], HS[4], "green part", HS[13]],
+           "p_brand": ["Brand#11", HS[8], "Brand#12", HS[6]],
+           "p_type": ["ECONOMY BRASS", HS[3], HS[10], "PROMO STEEL"],
+           "p_size": [10, 20, 30, 40],
+           "p_retailprice": [900.0, 800.0, 700.0, 600.0]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    n_o = 10
+    write("orders",
+          {"o_orderkey": list(range(1, n_o + 1)),
+           "o_custkey": [1 + k % n_c for k in range(n_o)],
+           "o_orderstatus": ["F", "O", "P", "F", "O", "F", "O", "P", "F", "O"],
+           "o_totalprice": [1000.0 + 250.0 * k for k in range(n_o)],
+           "o_orderdate": [D + dt.timedelta(days=11 * k) for k in range(n_o)],
+           # three in-domain priorities + hostile extras
+           "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", HS[0],
+                               HS[2], HS[6], HS[7], HS[11], HS[12], HS[15]]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")),
+           ("o_orderpriority", pa.string())])
+    n_li = 12
+    write("lineitem",
+          {"l_orderkey": [1, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 10],
+           "l_partkey": [1 + k % 4 for k in range(n_li)],
+           "l_suppkey": [1 + k % 2 for k in range(n_li)],
+           "l_linenumber": [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2],
+           "l_quantity": [5.0 + k for k in range(n_li)],
+           "l_extendedprice": [500.0 + 125.0 * k for k in range(n_li)],
+           "l_discount": [[0.0, 0.05, 0.09][k % 3] for k in range(n_li)],
+           "l_tax": [[0.0, 0.02][k % 2] for k in range(n_li)],
+           "l_returnflag": [["N", "A", "R"][k % 3] for k in range(n_li)],
+           "l_linestatus": [["O", "F"][k % 2] for k in range(n_li)],
+           "l_shipdate": [D + dt.timedelta(days=11 * (k % 10) + 3)
+                          for k in range(n_li)]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    # events: in-domain types on half the rows (type-filter ops keep
+    # their populations), hostile types + hostile JSON props on the rest
+    n_ev = 16
+    types = ["click", "view", "purchase", "signup", "error",
+             "click", "view", "purchase",
+             HS[1], HS[2], HS[6], HS[7], HS[10], HS[12], HS[13], HS[15]]
+    props = [
+        '{"k": 1}', '{"k": 2}', '{"k": 3}', '{"k": 4}',
+        '{"k": 5}', '{"k": 6}', '{"k": 7}', '{"k": 8}',
+        '{"k": 9, "s": "quo\\"te"}',
+        '{"k": 10, "s": "line\\nbreak"}',
+        '{"k": 11, "s": "back\\\\slash"}',
+        '{"k": 12, "s": ""}',
+        '{"k": 13, "s": "späte"}',
+        '{"k": 14, "s": "🎉"}',
+        '{"k": 15, "s": "数据"}',
+        '{"k": 16, "s": "percent%"}',
+    ]
+    write("events",
+          {"event_id": list(range(1, n_ev + 1)),
+           "ts": [E + dt.timedelta(minutes=13 * k) for k in range(n_ev)],
+           "user_id": [7 + k % 4 for k in range(n_ev)],
+           "event_type": types,
+           "value": [10.0 + 5.0 * k for k in range(n_ev)],
+           "props": props},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    # documents: hostile bodies AND hostile group keys (lang, source)
+    d_texts = [
+        "alpha beta gamma",
+        'he said "alpha, beta"\nthen left',
+        "tab\tseparated\ttokens here",
+        "  leading and trailing  ",
+        "",
+        "O'Brien's 'quoted' tale",
+        "späte Größe STRASSE",
+        "数据 处理 引擎",
+        "emoji 🎉 in 🎉 body",
+        "back\\slash \\n literal",
+        "percent%under_score dot.star.*",
+        "=SUM(A1:A9) injection body",
+    ]
+    nd = len(d_texts)
+    write("documents",
+          {"doc_id": list(range(1, nd + 1)),
+           "text": d_texts,
+           "lang": ["en", "en", HS[7], HS[6], "de", HS[0],
+                    "de", "zh", HS[12], "en", HS[14], "en"],
+           "source": ["src0", HS[1], "src1", HS[2], "src0", HS[9],
+                      "src1", HS[11], "src0", HS[4], "src1", HS[5]],
+           "n_chars": [len(t) for t in d_texts]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    dim = 64
+    write("embeddings",
+          {"vec_id": list(range(4)),
+           "embedding": [[0.25 * ((k + j) % 5 - 2) for j in range(dim)]
+                         for k in range(4)],
+           "label": [0, 1, 0, 1]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return HOSTILE_FIX
+
+
 SKEW_FIX = "/tmp/carpet_skew_fixture"
 
 
@@ -934,6 +1122,8 @@ def main() -> None:
         fix = build_shuffled_fixture()
     elif "--skew" in sys.argv:
         fix = build_skew_fixture()
+    elif "--hostile" in sys.argv:
+        fix = build_hostile_fixture()
     else:
         fix = build_fixture()
     from carpet_spark.registry import REGISTRY

@@ -347,3 +347,45 @@ def test_skew_rows_only_smoke(spark, skew_dir, name):
     """Rows-only ops must also survive the skewed regime crash-free."""
     df = REGISTRY[name].fn(spark, skew_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Hostile-strings regime (r7): every string column carries the values that
+# break naive serialization and collation — embedded commas/quotes/
+# newlines/tabs/backslashes, padded and EMPTY strings, numeric look-alikes,
+# CSV-injection shapes, umlauts/CJK/emoji/RTL, LIKE and regex
+# metacharacters as data.  First sweep: 13 real findings — ANSI cast
+# crashes on non-numeric prefixes (TRY_CAST class), element_at past a
+# 1-token array, Java URI rejecting unsanitized hosts, out-of-taxonomy
+# Markov states, DuckDB array_to_string([]) = NULL vs Spark '' (two ops),
+# Java vs ICU ß case-mapping (two ops), from_xml surrounding-space strip,
+# variant payload-shape assumptions, CSV ''-vs-NULL conflation, Hive
+# ''-partition aliasing NULL, and binaryFile skipping zero-byte files.
+# ---------------------------------------------------------------------------
+
+from degenerate_sweep import build_hostile_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def hostile_dir():
+    return build_hostile_fixture()
+
+
+@pytest.fixture(scope="module")
+def hostile_duck(hostile_dir):
+    con = duck_connect(hostile_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_OPS)
+def test_hostile_parity(spark, hostile_duck, hostile_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, hostile_dir), hostile_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_hostile_rows_only_smoke(spark, hostile_dir, name):
+    """Rows-only ops must also survive hostile strings crash-free."""
+    df = REGISTRY[name].fn(spark, hostile_dir)
+    assert df.count() >= 0
