@@ -901,8 +901,8 @@ SKEW_FIX = "/tmp/carpet_skew_fixture"
 def build_skew_fixture() -> str:
     """Skewed-distribution regime (r06 VERDICT item 3): one key holds
     ~50% of the rows in every fact table — the distribution class the
-    seven other regimes never pin, and the one that actually breaks jobs
-    at 100 TB (a hot user, a viral SKU, a fanout order).
+    other fixed-shape regimes never pin, and the one that actually breaks
+    jobs at 100 TB (a hot user, a viral SKU, a fanout order).
 
     Planted hot keys: user 7 owns half the events and one DAY holds half
     the traffic; customer 1 owns half the orders; order 1 carries a

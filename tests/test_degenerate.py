@@ -313,8 +313,8 @@ def test_shuffled_rows_only_smoke(spark, shuffled_dir, name):
 # ---------------------------------------------------------------------------
 # Skewed-distribution regime (r7): one key holds ~50% of the rows in every
 # fact table — a hot user, a viral SKU, a 30-line fanout order, a dominant
-# source, an identical-vector ANN bucket.  The distribution class the seven
-# other regimes never pin, and the one that actually breaks jobs at 100 TB.
+# source, an identical-vector ANN bucket.  The distribution class the other
+# fixed-shape regimes never pin, and the one that actually breaks jobs at 100 TB.
 # First sweep: 672/674 — caught a zero-variance ANSI x/0 in degree
 # assortativity (every source had the same out-degree) and a live oracle
 # bug in stream_alert_episodes (MIN(event_id) is not "the alert that paged"
