@@ -1450,7 +1450,7 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
     ).cast("long")
     nation_rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_regionkey").alias("regionkey"), "n_nationkey"
@@ -2408,7 +2408,7 @@ def agg_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
     p1 = F.col("o_orderkey") % 2 == 0
     per = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
         .agg(
             F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("r1_6"),
@@ -3529,7 +3529,7 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
     ).cast("long")
-    x = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"), v.alias("v")
     )
     per = x.groupBy("seg").agg(
@@ -3691,7 +3691,7 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     p1 = F.col("o_orderkey") % 2 == 0
     per = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
         .agg(
             F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("r1_6"),
@@ -4949,7 +4949,7 @@ def agg_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     cells = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("prio"),
@@ -5169,7 +5169,7 @@ def dq_penny_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rdollars = (
         F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) + 0.5).cast("long"))
     ).cast("long")
-    x = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_nationkey", cents.alias("cents"), rdollars.alias("rounded_dollars")
     )
     return x.groupBy("c_nationkey").agg(
@@ -5236,7 +5236,7 @@ def agg_hhi_yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     per = (
         o.filter(F.year("o_orderdate").between(1993, 1997))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.year("o_orderdate").alias("yr"), "c_nationkey")
         .agg(F.sum(cents).cast("long").alias("cents"))
     )
@@ -5315,7 +5315,7 @@ def agg_cr_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     per = (
         o.filter(F.year("o_orderdate").between(1993, 1997))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.year("o_orderdate").alias("yr"), "c_nationkey")
         .agg(F.sum(cents).cast("long").alias("cents"))
     )
@@ -5557,7 +5557,7 @@ def agg_share_of_parent_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame
         * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
     ).cast("long")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -5796,7 +5796,7 @@ def agg_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> Dat
         * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
     ).cast("long")
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),

@@ -3187,7 +3187,7 @@ def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum("o_totalprice")
         * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
     ).cast("long")
-    tagged = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    tagged = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("arm"),
         v6.alias("v6"),
@@ -3404,7 +3404,7 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     obs = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
         .select(
             F.col("p_brand").alias("brand"),
@@ -3676,7 +3676,7 @@ def agg_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
 
     per = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.sum(F.when(in_year(1996), r6).otherwise(0))
@@ -4859,7 +4859,7 @@ def ab_bayesian_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     per = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -6528,7 +6528,7 @@ def agg_unit_economics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
     ).cast("long")
     per_cust = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),

@@ -2292,7 +2292,7 @@ def fn_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFra
         * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
     ).cast("long")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(cents).cast("long").alias("cents"))

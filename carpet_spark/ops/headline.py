@@ -32,15 +32,17 @@ from ..tables import load
 )
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (FIXTURES.md constants): BUILDING customers' orders
-    before 1998-03-15, top-10 orders by revenue.  customer broadcasts into
-    orders, the filtered orders broadcast-join into lineitem under AQE; the
-    only wide op is the final groupBy on l_orderkey."""
+    before 1998-03-15, top-10 orders by revenue.  No forced hints: the
+    BUILDING-segment customers are a constant FRACTION (~1/5) of an
+    unbounded table, so Catalyst/AQE decides — broadcast while it fits,
+    sort-merge at 100 TB (r7 VERDICT finding 1).  The only wide op is the
+    final groupBy on l_orderkey; top-10 runs as TakeOrderedAndProject."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(lsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())

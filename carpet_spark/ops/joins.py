@@ -28,11 +28,14 @@ from ..tables import load
     """,
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi inner join orders⋈customer.  customer is the dim side →
-    broadcast-hash join, zero shuffle of orders."""
+    """Equi inner join orders⋈customer.  No forced hint: Catalyst's size
+    stats broadcast customer while it fits the threshold (zero shuffle of
+    orders); at 100 TB, where customer is a multi-billion-row table, the
+    planner falls back to sort-merge with AQE skew splitting instead of
+    an executor-OOM broadcast."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "o_totalprice", "o_orderdate",
         "c_custkey", "c_name", "c_mktsegment",
     )
@@ -167,7 +170,9 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi + range predicate: hash join on partkey, band as post-join
-    filter — the scalable shape (pure theta would be nested-loop)."""
+    filter — the scalable shape (pure theta would be nested-loop).  The
+    equi component means no broadcast is required: stats pick
+    broadcast-hash at small SF, sort-merge at scale."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     cond = (
@@ -175,7 +180,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (li.l_extendedprice >= p.p_retailprice * 0.9)
         & (li.l_extendedprice <= p.p_retailprice * 1.1)
     )
-    return li.join(F.broadcast(p), cond, "inner").select(
+    return li.join(p, cond, "inner").select(
         "l_orderkey", "l_linenumber", "p_partkey", "p_retailprice", "l_extendedprice"
     )
 
@@ -190,13 +195,16 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure band (non-equi) join → BroadcastNestedLoopJoin with the small
-    supplier side broadcast.  At scale this shape demands binning the band
-    into an equi key first; kept here as the semantic baseline."""
+    """Pure band (non-equi) join → BroadcastNestedLoopJoin; Catalyst
+    builds on whichever side its stats say is smaller (supplier here) —
+    no forced hint, so a grown side never OOMs an executor.  At scale
+    this shape demands binning the band into an equi key first
+    (join_range_binned is that path); kept here as the semantic
+    baseline."""
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     cond = (c.c_acctbal >= s.s_acctbal - 10.0) & (c.c_acctbal <= s.s_acctbal + 10.0)
-    return c.join(F.broadcast(s), cond, "inner").select(
+    return c.join(s, cond, "inner").select(
         "s_suppkey", "s_acctbal", "c_custkey", "c_acctbal"
     )
 
@@ -221,8 +229,12 @@ def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table join.  Join order: dims first (region→nation
     filter prunes to one region before touching facts), lineitem joined to
-    the already-filtered orders.  All dim sides broadcast; the only shuffle
-    is lineitem⋈orders (largest two)."""
+    the already-filtered orders.  Explicit broadcast hints only on the TRUE
+    dims (region: 5 rows, nation: 25 rows — constant at every SF); customer
+    and supplier are left to Catalyst/AQE, which still broadcasts them at
+    any scale where they fit the threshold but falls back to sort-merge at
+    100 TB, where customer is ~1/7 the row count of lineitem and a forced
+    broadcast would OOM the executors (r7 VERDICT finding 1)."""
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
@@ -233,8 +245,8 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -1242,7 +1254,7 @@ def join_record_linkage_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("true_key"),
     )
     cand = dirty.join(
-        F.broadcast(c), dirty.nk == c.c_nationkey
+        c, dirty.nk == c.c_nationkey
     ).select(
         "rec_id",
         "true_key",
@@ -1350,7 +1362,7 @@ def join_basket_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     wanted = ["Brand#13", "Brand#22"]
     matched = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(F.col("p_brand").isin(*wanted))
         .groupBy("l_orderkey")
         .agg(
@@ -1599,7 +1611,7 @@ def join_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
     ).cast("long")
     enriched = o.join(
-        F.broadcast(dim), o.o_custkey == dim.c_custkey, "left"
+        dim, o.o_custkey == dim.c_custkey, "left"
     ).select(
         cents.alias("cents"),
         F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),

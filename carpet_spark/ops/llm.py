@@ -4310,7 +4310,10 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             # try_cast: non-numeric suffix -> NULL -> ELSE pool 'Q'
             # (oracle TRY_CAST twin; hostile-strings sweep)
             F.when(
-                F.substring("source", 4, 10).try_cast("long") % 2 == 0,
+                # uncapped substring to EOS — exact twin of the oracle's
+                # substr(source, 4); a length-capped form would diverge on
+                # a numeric suffix longer than the cap (r7 ADVICE)
+                F.expr("substring(source, 4)").try_cast("long") % 2 == 0,
                 F.lit("P"),
             )
             .otherwise(F.lit("Q"))

@@ -33,9 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import register
 from ..tables import load
 
-# Pure-Python PPM/PGM/BMP decode needs no codec library; JPEG/PNG would.
-REAL_DECODERS_AVAILABLE = True
-_CODEC_FORMATS = ("jpeg", "png", "gif", "webp")  # still require PIL
+# Formats the vendored decoders below CANNOT handle (they need a codec
+# library like PIL); PPM/PGM/BMP decode is pure-Python and always works.
+_CODEC_FORMATS = ("jpeg", "png", "gif", "webp")
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +85,14 @@ def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
     w, h, maxval = int(tok_w), int(tok_h), int(tok_max)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
-    pos += 1  # exactly ONE whitespace byte separates header from raster
+    # Exactly ONE whitespace byte separates header from raster per spec,
+    # but CRLF-terminated headers (out-of-spec, seen in the wild) use two —
+    # treat a '\r\n' pair as the single separator so the raster isn't
+    # shifted by one byte.
+    if data[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     need = w * h * channels
     pixels = data[pos : pos + need]
     if len(pixels) != need:

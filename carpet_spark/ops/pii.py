@@ -731,7 +731,7 @@ def pii_hash_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
     ).cast("long")
     raw = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders_raw"),
@@ -751,7 +751,7 @@ def pii_hash_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     pseudo = (
-        ohash.join(F.broadcast(chash), "ck")
+        ohash.join(chash, "ck")
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders_pseudo"),

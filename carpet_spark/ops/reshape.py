@@ -119,14 +119,42 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "sample_rank")
 
 
-@register("sample_seeded")  # rows-only: RNG streams differ across engines
+@register(
+    "sample_seeded",
+    # promoted rows-only -> hash (r7 VERDICT item 4): seeded Bernoulli
+    # reformulated as a deterministic hash-threshold filter both engines
+    # compute bit-identically.
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE md5('42|' || CAST(l_orderkey AS VARCHAR) || '_'
+              || CAST(l_linenumber AS VARCHAR))
+          < '19999999999999999999999999999999'
+    """,
+)
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli 10% sample with a fixed seed — reproducible within Spark
-    (same seed → same rows per partition split) but engine-specific RNG, so
-    no hash oracle; the size bound is asserted in tests.  At 100 TB
-    sampling is the front door to profiling/sketching without a full scan."""
+    """Seeded ~10% Bernoulli sample, engine-portable: instead of an RNG
+    stream (which no two engines share), each row's keep/drop coin is
+    md5(seed || primary key) compared against the 10%-quantile of the
+    hex space ('1999…' = 0x1999…/0xffff… ≈ 0.1) — the same seeded
+    selection every engine reproduces bit-identically, which is what
+    makes a sampled eval slice auditable.  Changing the seed literal
+    reshuffles the sample; the fraction is the threshold prefix.
+
+    Scale (100 TB): a pure narrow projection+filter — no shuffle, no
+    state, trivially parallel; the hash cost is the whole overhead.
+    This is the front door to profiling/sketching without a full scan
+    (sample_hash_split is the multi-way variant)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select(
+    coin = F.md5(
+        F.concat(
+            F.lit("42|"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return li.filter(coin < "19999999999999999999999999999999").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
 

@@ -187,8 +187,12 @@ def _run_available_now(
         try:
             q.awaitTermination()
             return spark.table(query_name)
-        except Exception as e:  # noqa: BLE001 — filtered to one message below
-            if "failed to connect back" not in str(e) or attempt == 1:
+        except Exception as e:  # noqa: BLE001 — filtered to one message class below
+            # Spark 4.1.2 emits two messages for the same transient
+            # worker-spawn failure: "... failed to connect back" and
+            # "Timed out while waiting for the Python worker to connect
+            # back" — match the shared suffix so both retry.
+            if "connect back" not in str(e) or attempt == 1:
                 raise
             last_exc = e
             q.stop()
@@ -831,14 +835,15 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory — unlike stream-stream joins (stream_interval_join) whose
     state the watermark must bound.
 
-    This is the deterministic batch twin (same plan shape: broadcast hash
-    join, no shuffle of the stream side); the incremental run is exercised
-    in tests/test_streaming.py.  At 100 TB the static side is a true dim
-    table — broadcast if small, else a bucketed storage join."""
+    This is the deterministic batch twin (same plan shape); the
+    incremental run is exercised in tests/test_streaming.py.  No forced
+    hint: at 100 TB the static side is a true dim table — Catalyst
+    broadcasts it while it fits the threshold, else a bucketed storage
+    join; forcing the broadcast would OOM on a grown dim."""
     ev = load(spark, sf_dir, "events")
     c = load(spark, sf_dir, "customer")
     return ev.join(
-        F.broadcast(c), ev.user_id == c.c_custkey
+        c, ev.user_id == c.c_custkey
     ).select("event_id", "ts", "user_id", "event_type", "c_name", "c_mktsegment")
 
 

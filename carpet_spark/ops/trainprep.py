@@ -2451,7 +2451,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
     ).cast("long")
-    x = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"), v.alias("v")
     )
     per = x.groupBy("seg").agg(
@@ -2541,7 +2541,7 @@ def sample_ipw_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast join of this table onto any downstream metric scan."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    base = o.join(c, o.o_custkey == c.c_custkey)
     pop = base.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         F.count(F.lit(1)).cast("long").alias("n_pop")
     )

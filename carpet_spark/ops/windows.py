@@ -512,7 +512,7 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     nation_rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_regionkey").alias("regionkey"),
@@ -645,7 +645,7 @@ def win_cross_sectional_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     cust = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "o_custkey")
         .agg(lsum(F.col("o_totalprice")).alias("rev"))
     )
@@ -932,7 +932,7 @@ def win_gap_to_leader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 100 + 0.5).cast("long"))
     ).cast("long")
     per = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
         .agg(F.sum(cents).cast("long").alias("cents"))
     )

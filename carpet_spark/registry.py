@@ -80,68 +80,69 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # other possible driver behavior) still maximizes coverage.  Every op here
 # was audited this round for array/map-typed output columns (none — the
 # driver canonicalizer cannot hash those, SURVEY §7.5).
-# Round-7 window (r06 VERDICT item 1): 50 NEVER-driver-sampled ops,
-# prioritizing the shapes the r6 judge called out explicitly — the
-# decontamination + trainprep pipeline family (SFT/DPO/next-token/corpus
-# health), the whole graph family (k-core peel, triangle/clustering,
-# link-prediction scores), and the eval_* metric suite (21 ops: ROC/PR
-# AUC, calibration, ranking, fairness, uplift) — topped up from the
-# never-sampled queue head (sampling/dedup-normalize/stream-upsert and
-# the lone never-sampled rows-only op, sim_mmr_rerank, so every rows-only
-# op finally has a driver row).  Every op re-verified under the
-# driver-faithful pandas harness at sf0.01 AND sf0.001 before promotion
+# Round-8 window (r07 VERDICT items 1+4): leads with the THREE
+# re-samples the judge explicitly demanded — stream_dedup_watermark and
+# stream_late_data (rows-only at their last driver appearance in r3;
+# promoted to hash oracles in r7, parity verified locally, never
+# driver-banked as hash rows) and sample_seeded (promoted to a hash
+# oracle THIS round: seeded Bernoulli reformulated as a deterministic
+# md5-threshold filter both engines compute identically) — then 47
+# never-driver-sampled ops straight off the queue head, preserving the
+# r02-verdict user-value ordering.  All 50 carry hash oracles (first
+# all-hash window).  Every op re-verified under the driver-faithful
+# pandas harness at sf0.01 AND sf0.001 before promotion
 # (scripts/driver_window_probe.py timings keep the window cheap).
 _PRIORITY_WINDOW = (
-    "decontaminate_substring",
-    "pipeline_sft_pair_prep",
-    "pipeline_dpo_pair_prep",
-    "pipeline_training_set_features",
-    "pipeline_next_token_examples",
-    "pipeline_corpus_health_report",
-    "graph_k_core_peel",
-    "graph_triangle_count",
-    "graph_degree_stats",
-    "graph_common_neighbors",
-    "graph_adamic_adar",
-    "graph_reciprocity",
-    "graph_assortativity_degree",
-    "graph_clustering_coefficient",
-    "graph_jaccard_neighbors",
-    "eval_confusion_matrix",
-    "eval_decile_lift",
-    "eval_roc_auc",
-    "eval_calibration_bins",
-    "eval_ndcg_at_k",
-    "eval_mrr_recall_at_k",
-    "eval_brier_score",
-    "eval_pr_auc",
-    "eval_cohen_kappa",
-    "eval_profit_curve",
-    "eval_regression_metrics",
-    "eval_fairness_parity",
-    "eval_log_loss",
-    "eval_expected_calibration_error",
-    "eval_topk_overlap",
-    "eval_f1_threshold_sweep",
-    "eval_mcc_sweep",
-    "eval_langid_confusion",
-    "eval_qini_uplift_curve",
-    "eval_offpolicy_ips",
-    "eval_rec_catalog_coverage",
-    "sample_balanced_class",
-    "text_dedup_exact_normalized",
-    "emb_dim_stats",
-    "stream_foreachbatch_upsert",
-    "win_year_over_year",
-    "text_oov_rate",
-    "agg_gini_coefficient",
-    "pii_retention_sweep",
-    "dq_freshness_sla",
-    "win_ytd_cumulative",
-    "join_point_in_time",
-    "agg_partial_merge_rollup",
-    "sim_mmr_rerank",
-    "agg_benford_distribution",
+    "stream_dedup_watermark",
+    "stream_late_data",
+    "sample_seeded",
+    "agg_sequence_detect",
+    "join_fanout_safe",
+    "agg_weighted_percentile",
+    "agg_new_vs_returning",
+    "agg_transition_matrix",
+    "sample_negative_pairs",
+    "agg_histogram_2d",
+    "sql_named_parameters",
+    "win_share_of_total",
+    "fn_rendezvous_hash_routing",
+    "agg_top_movers_wow",
+    "text_keywords_topk",
+    "ts_seasonal_naive_backtest",
+    "stream_checkpoint_resume",
+    "ts_rolling_active_users",
+    "profile_value_patterns",
+    "ts_local_peaks",
+    "agg_cramers_v",
+    "agg_audience_overlap",
+    "text_zipf_fit",
+    "win_drawdown",
+    "pii_vault_tokenize",
+    "agg_cohort_ltv",
+    "ts_window_custom_origin",
+    "set_union_by_name_evolution",
+    "join_ip_range_lookup",
+    "agg_user_path_topk",
+    "sample_systematic_every_nth",
+    "emb_outlier_scores",
+    "agg_hhi_concentration",
+    "ts_change_point_simple",
+    "agg_leadtime_sla",
+    "dq_referential_integrity",
+    "agg_abc_classification",
+    "agg_change_contribution",
+    "scan_versioned_time_travel",
+    "text_source_overlap",
+    "agg_survival_km",
+    "ts_control_chart_xmr",
+    "text_collocations_pmi",
+    "ts_activity_heatmap_dow_hour",
+    "agg_bootstrap_ci",
+    "sample_time_split",
+    "ts_seasonality_strength",
+    "agg_topk_share",
+    "agg_histogram_equidepth",
+    "dq_missingness_patterns",
 )
 
 # Round-4+ queue (r02 VERDICT item 3): every op without a driver
@@ -156,31 +157,7 @@ _PRIORITY_WINDOW = (
 # promote the first 50 of this queue into _PRIORITY_WINDOW each round —
 # r4 through r7 finish the registry at the current size.
 _R4_QUEUE = (
-    "agg_sequence_detect",
-    "join_fanout_safe", "agg_weighted_percentile",
-    "agg_new_vs_returning", "agg_transition_matrix",
-    "sample_negative_pairs", "agg_histogram_2d",
-    "sql_named_parameters", "win_share_of_total",
-    "fn_rendezvous_hash_routing", "agg_top_movers_wow",
-    "text_keywords_topk", "ts_seasonal_naive_backtest",
-    "stream_checkpoint_resume", "ts_rolling_active_users",
-    "profile_value_patterns", "ts_local_peaks",
-    "agg_cramers_v", "agg_audience_overlap",
-    "text_zipf_fit", "win_drawdown",
-    "pii_vault_tokenize", "agg_cohort_ltv",
-    "ts_window_custom_origin",
-    "set_union_by_name_evolution", "join_ip_range_lookup",
-    "agg_user_path_topk", "sample_systematic_every_nth",
-    "emb_outlier_scores", "agg_hhi_concentration",
-    "ts_change_point_simple", "agg_leadtime_sla",
-    "dq_referential_integrity", "agg_abc_classification",
-    "agg_change_contribution", "scan_versioned_time_travel",
-    "text_source_overlap", "agg_survival_km",
-    "ts_control_chart_xmr", "text_collocations_pmi",
-    "ts_activity_heatmap_dow_hour", "agg_bootstrap_ci",
-    "sample_time_split", "ts_seasonality_strength",
-    "agg_topk_share", "agg_histogram_equidepth",
-    "dq_missingness_patterns", "agg_trimmed_mean",
+    "agg_trimmed_mean",
     "agg_behavior_entropy", "ts_latency_percentiles_hourly",
     "agg_generalized_means", "agg_allocation_by_share",
     "text_readability_proxy", "basket_lift_rules",
@@ -336,8 +313,7 @@ _R4_QUEUE = (
     # --- round-6 in-session additions (arrival order) ---
     "scan_python_datasource_pushdown",
     # --- round-7 in-session additions (arrival order) ---
-    "mm_image_channel_stats",
-)
+    "mm_image_channel_stats",)
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
 # keys) — parked at the tail of the ordering.
@@ -518,9 +494,39 @@ _R06_VERIFIED = frozenset(
 )
 
 
+# The 50 ops the driver sampled green in round 7 (CORRECTNESS_r07 keys —
+# 49 hash-pass + 1 rows-only by design, sim_mmr_rerank) — parked at the
+# tail.
+_R07_VERIFIED = frozenset(
+    {
+        "decontaminate_substring", "pipeline_sft_pair_prep",
+        "pipeline_dpo_pair_prep", "pipeline_training_set_features",
+        "pipeline_next_token_examples", "pipeline_corpus_health_report",
+        "graph_k_core_peel", "graph_triangle_count", "graph_degree_stats",
+        "graph_common_neighbors", "graph_adamic_adar", "graph_reciprocity",
+        "graph_assortativity_degree", "graph_clustering_coefficient",
+        "graph_jaccard_neighbors", "eval_confusion_matrix",
+        "eval_decile_lift", "eval_roc_auc", "eval_calibration_bins",
+        "eval_ndcg_at_k", "eval_mrr_recall_at_k", "eval_brier_score",
+        "eval_pr_auc", "eval_cohen_kappa", "eval_profit_curve",
+        "eval_regression_metrics", "eval_fairness_parity", "eval_log_loss",
+        "eval_expected_calibration_error", "eval_topk_overlap",
+        "eval_f1_threshold_sweep", "eval_mcc_sweep", "eval_langid_confusion",
+        "eval_qini_uplift_curve", "eval_offpolicy_ips",
+        "eval_rec_catalog_coverage", "sample_balanced_class",
+        "text_dedup_exact_normalized", "emb_dim_stats",
+        "stream_foreachbatch_upsert", "win_year_over_year", "text_oov_rate",
+        "agg_gini_coefficient", "pii_retention_sweep", "dq_freshness_sla",
+        "win_ytd_cumulative", "join_point_in_time",
+        "agg_partial_merge_rollup", "sim_mmr_rerank",
+        "agg_benford_distribution",
+    }
+)
+
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED | _R06_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED
 )
 
 

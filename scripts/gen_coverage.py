@@ -74,13 +74,9 @@ ROWS_ONLY_RATIONALE = [
      "MLlib LogisticRegression fit — iterative L-BFGS weights are "
      "solver/partitioning-specific beyond fixed-point tolerance",
      "AUC floor + monotone score/label agreement, tests/test_property.py"),
-    ("sample_seeded",
-     "exercises Spark's native Bernoulli sampler (XORShift per-partition "
-     "streams) — the §2-adjacent API surface itself; DuckDB's "
-     "reservoir/system sampling is a different RNG by definition "
-     "(deterministic hash-based splits live in sample_hash_split, which "
-     "IS hash-checked)",
-     "seed-stable + fraction tolerance, tests/test_property.py"),
+    # sample_seeded: promoted to a hash oracle in r8 (seeded Bernoulli
+    # reformulated as a deterministic md5-threshold filter; r7 VERDICT
+    # item 4) — no longer rows-only.
     ("sim_ann_ivf",
      "k-means training (distributed Lloyd from a seeded init) converges "
      "to centroids whose exact values depend on float reduction order; "
@@ -88,7 +84,15 @@ ROWS_ONLY_RATIONALE = [
      "recall vs brute-force top-k, tests/test_property.py"),
     ("sim_ann_lsh",
      "SRP hyperplanes drawn from a seeded numpy RNG inside the UDF — not "
-     "reproducible in SQL; bucket recall probabilistic",
+     "reproducible in SQL; bucket recall probabilistic.  Promotion "
+     "attempted in r8 (r7 VERDICT item 4): the FINAL scoring stage is "
+     "exact cosine, but its input candidate set is the SRP buckets, so "
+     "any hash oracle would have to re-derive the buckets — i.e. "
+     "re-implement seeded numpy Gaussian sampling + a 16×dim matrix "
+     "product in DuckDB SQL, which it cannot express over array "
+     "columns; swapping the planes for SQL-computable ±1 hash planes "
+     "would change the op's recall characteristics (different LSH "
+     "family), so the property test remains the right check",
      "recall floor vs brute force, tests/test_property.py"),
     ("sim_knn_join_topk",
      "banded-signature candidate generation (seeded SRP) — approximate "

@@ -48,6 +48,7 @@ def main() -> int:
         env = dict(os.environ)
         env["CARPET_SHARD"] = f"{i}/{n}"
         env.setdefault("SPARK_GRAFT_CPUS", str(per_worker))
+        env["CARPET_DURATIONS_OUT"] = f"/tmp/carpet_durations_{i}_of_{n}.json"
         log = f"/tmp/carpet_shard_{i}_of_{n}.log"
         f = open(log, "w")
         p = subprocess.Popen(
@@ -58,7 +59,7 @@ def main() -> int:
         procs.append((i, p, log, f))
         print(f"shard {i}/{n} -> pid {p.pid}  log {log}", flush=True)
 
-    total_pass = total_fail = 0
+    total_pass = total_fail = total_skip = 0
     rc = 0
     for i, p, log, f in procs:
         code = p.wait()
@@ -70,17 +71,76 @@ def main() -> int:
         nfail = int(mf.group(1)) if mf else 0
         me = re.search(r"(\d+) error", tail)
         nerr = int(me.group(1)) if me else 0
+        ms = re.search(r"(\d+) skipped", tail)
+        nskip = int(ms.group(1)) if ms else 0
         total_pass += npass
         total_fail += nfail + nerr
-        status = "OK" if code in (0, 5) and nfail + nerr == 0 else "FAIL"
+        total_skip += nskip
+        # exit 5 = "no tests collected" and npass == 0 both mean the shard
+        # ran NOTHING — a mis-sharded worker must fail the gate, not pass
+        # it silently (r7 ADVICE).
+        status = "OK" if code == 0 and nfail + nerr == 0 and npass > 0 else "FAIL"
         if status == "FAIL":
             rc = 1
         print(f"shard {i}/{n}: exit {code}  {npass} passed "
-              f"{nfail} failed {nerr} errors  [{status}]", flush=True)
+              f"{nfail} failed {nerr} errors {nskip} skipped  [{status}]",
+              flush=True)
 
     dt = time.time() - t0
-    print(f"TOTAL: {total_pass} passed, {total_fail} failed/errored "
-          f"across {n} shards in {dt / 60:.1f} min")
+    print(f"TOTAL: {total_pass} passed, {total_fail} failed/errored, "
+          f"{total_skip} skipped across {n} shards in {dt / 60:.1f} min")
+
+    # Reconciliation: the union of the shards must equal one unsharded
+    # collection — catches double-counted or silently-dropped tests.
+    col = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q",
+         "-p", "no:cacheprovider", *extra],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    mc = re.search(r"(\d+) tests? collected", col.stdout)
+    if mc:
+        n_collected = int(mc.group(1))
+        n_ran = total_pass + total_fail + total_skip
+        if n_ran != n_collected:
+            print(f"SHARD MISMATCH: shards ran {n_ran} tests but an "
+                  f"unsharded collection finds {n_collected}", flush=True)
+            rc = 1
+        else:
+            print(f"reconciled: {n_ran} == {n_collected} collected", flush=True)
+    else:
+        print("WARNING: could not parse unsharded collection count", flush=True)
+        rc = rc or 1
+
+    # Merge the per-shard duration recordings into the balanced-sharding
+    # input for the NEXT run (r07 VERDICT item 3).  Only on a green gate:
+    # a failed run under-records its crashed shard and would skew the
+    # balance.
+    if rc == 0:
+        import json
+        merged = {}
+        dur_file = os.path.join(REPO, "scripts", "test_durations.json")
+        try:
+            with open(dur_file) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+        n_new = 0
+        for i in range(n):
+            try:
+                with open(f"/tmp/carpet_durations_{i}_of_{n}.json") as f:
+                    shard_dur = json.load(f)
+            except (OSError, ValueError):
+                continue
+            n_new += len(shard_dur)
+            merged.update(shard_dur)
+        if n_new:
+            tmp = f"{dur_file}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(merged, f, sort_keys=True)
+            os.replace(tmp, dur_file)
+            print(f"recorded {n_new} test durations -> {dur_file} "
+                  f"({len(merged)} total); next run shards duration-balanced",
+                  flush=True)
     return rc
 
 

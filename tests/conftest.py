@@ -1,3 +1,4 @@
+import json
 import os
 import sys
 
@@ -11,26 +12,76 @@ from carpet_spark.testing import duck_connect
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_DURATIONS_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "scripts", "test_durations.json",
+)
+
 
 def pytest_collection_modifyitems(config, items):
     """Deterministic test sharding (r06 VERDICT item 4): CARPET_SHARD=i/N
-    keeps every N-th collected item starting at i.  Collection order is
+    partitions the collected items across N workers.  Collection order is
     identical in every worker, so the N shards partition the suite exactly
-    — same total test count, no overlap — and round-robin assignment
-    spreads the big parametrized parity blocks evenly.  Driven by
+    — same total test count, no overlap.  Driven by
     scripts/run_tests_sharded.py; a plain `pytest tests/` (no env var)
     is unaffected.  pytest-xdist is not in the container, hence env-var
     sharding over separate processes (each with its own SparkSession and
-    DuckDB connection) instead of -n."""
+    DuckDB connection) instead of -n.
+
+    Assignment (r07 VERDICT item 3): when scripts/test_durations.json
+    exists (recorded by the previous sharded run), shards are
+    DURATION-BALANCED with greedy longest-processing-time — heaviest test
+    to the currently-lightest shard — so the gate's wall time is the mean
+    shard, not the unluckiest one.  Unknown tests cost the recorded
+    median.  Every worker computes the identical assignment from the same
+    file + same collection order.  Fallback without the file: round-robin
+    by collection index."""
     shard = os.environ.get("CARPET_SHARD")
     if not shard:
         return
     idx, count = (int(x) for x in shard.split("/"))
+    durations = {}
+    try:
+        with open(_DURATIONS_FILE) as f:
+            durations = json.load(f)
+    except (OSError, ValueError):
+        durations = {}
     keep, dropped = [], []
-    for i, item in enumerate(items):
-        (keep if i % count == idx else dropped).append(item)
+    if durations:
+        vals = sorted(durations.values())
+        default = vals[len(vals) // 2] if vals else 0.5
+        cost = [float(durations.get(it.nodeid, default)) for it in items]
+        loads = [0.0] * count
+        assign = [0] * len(items)
+        for i in sorted(range(len(items)), key=lambda i: (-cost[i], i)):
+            k = min(range(count), key=lambda j: (loads[j], j))
+            assign[i] = k
+            loads[k] += cost[i]
+        for i, item in enumerate(items):
+            (keep if assign[i] == idx else dropped).append(item)
+    else:
+        for i, item in enumerate(items):
+            (keep if i % count == idx else dropped).append(item)
     items[:] = keep
     config.hook.pytest_deselected(items=dropped)
+
+
+# --- per-test duration recording (feeds the balanced sharding above) ----
+_DUR_OUT = os.environ.get("CARPET_DURATIONS_OUT")
+_DUR_ACC: dict[str, float] = {}
+
+
+def pytest_runtest_logreport(report):
+    if _DUR_OUT and report.when in ("setup", "call", "teardown"):
+        _DUR_ACC[report.nodeid] = _DUR_ACC.get(report.nodeid, 0.0) + report.duration
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _DUR_OUT and _DUR_ACC:
+        tmp = f"{_DUR_OUT}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(_DUR_ACC, f)
+        os.replace(tmp, _DUR_OUT)
 
 
 @pytest.fixture(scope="session")

@@ -33,7 +33,8 @@ ROWS_ONLY_BY_DESIGN = {
     # allowance.
     # r4 window (rotated out, kept documented) — approximate/RNG/model-backed:
     "agg_hll_merge",        # HLL sketch estimate (property-tested bounds)
-    "sample_seeded",        # Spark-internal RNG; determinism ≠ cross-engine
+    # sample_seeded was in this set through r7; r8 promoted it to a hash
+    # oracle (seeded Bernoulli reformulated as an md5-threshold filter).
     "quality_train_score",  # MLlib LR scores; no closed-form SQL oracle
     # r5 window addition:
     "agg_approx_percentile",  # approx_percentile sketch; property-tested
