@@ -24,3 +24,4 @@ from . import graph  # noqa: F401
 from . import sqlsurface  # noqa: F401
 from . import analytics  # noqa: F401
 from . import markov  # noqa: F401
+from . import avro  # noqa: F401

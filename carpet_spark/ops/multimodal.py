@@ -217,6 +217,41 @@ def _nullable_long(values: list) -> pd.Series:
     return pd.Series(values, dtype="object")
 
 
+# Output-batch byte bound for payload-emitting UDFs.  Spark bounds the
+# JVM->Python INPUT batches by bytes (spark.sql.execution.arrow.
+# maxBytesPerBatch, 64 MB default) but Python->JVM OUTPUT batches only by
+# records — a UDF that turns a 300-byte text row into a ~100 KB raster
+# payload amplifies a modest input batch into a multi-hundred-MB Arrow
+# output buffer, and 32 concurrent tasks then exhaust the JVM's direct
+# memory (found by scripts/mm_scale_probe.py at 10x volume: netty
+# OutOfDirectMemoryError at 8 GB).  Every binary-emitting UDF below
+# yields through _bounded_slices so no single output batch exceeds this,
+# independent of cluster conf.  Sizing: netty's pooled allocator holds
+# several buffers per in-flight task (input batch being written, output
+# batch being read, arena slack), so the working set is ~3-4x bound x
+# concurrent tasks — 32 MB keeps 32 tasks inside the 8 GB direct-memory
+# cap with headroom (64 MB was measured to brush the cap at 10x volume;
+# the probe's error log shows the allocator full at 8.59/8.59 GB).
+_MAX_OUT_BATCH_BYTES = 32 << 20
+
+
+def _bounded_slices(pdf: pd.DataFrame, payload_col: str):
+    """Yield row-slices of ``pdf`` whose cumulative ``payload_col`` bytes
+    stay under _MAX_OUT_BATCH_BYTES (always >=1 row per slice), so the
+    Arrow output batch size is bounded by construction."""
+    start, acc = 0, 0
+    payloads = pdf[payload_col]
+    for i in range(len(pdf)):
+        v = payloads.iloc[i]
+        sz = len(v) if v is not None else 0
+        if acc + sz > _MAX_OUT_BATCH_BYTES and i > start:
+            yield pdf.iloc[start:i]
+            start, acc = i, 0
+        acc += sz
+    if len(pdf) > start:
+        yield pdf.iloc[start:]
+
+
 @register(
     "mm_image_meta",
     oracle="""
@@ -381,7 +416,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "img_data": [
@@ -390,6 +425,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                 }
             )
+            yield from _bounded_slices(out, "img_data")
 
     imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
 
@@ -463,7 +499,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "img_data": [
@@ -472,6 +508,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                 }
             )
+            yield from _bounded_slices(out, "img_data")
 
     imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
 
@@ -547,7 +584,7 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "img_data": [
@@ -556,6 +593,7 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                 }
             )
+            yield from _bounded_slices(out, "img_data")
 
     imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
 
@@ -929,13 +967,14 @@ def mm_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     removed.append(0)
                     cleaned.append(raw)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "bytes_removed": _nullable_long(removed),
                     "clean_payload": pd.Series(cleaned, dtype="object"),
                 }
             )
+            yield from _bounded_slices(out, "clean_payload")
 
     stripped = tagged.mapInPandas(
         strip_batches,

@@ -39,6 +39,22 @@ def _win():
     """,
 )
 def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number over (custkey, price-desc) — also the
+    bench's `window_rank` query.
+
+    Bench-plan decision, pinned by measurement (r07 VERDICT item 6): the
+    bench deliberately runs THIS naive single-window plan, not the salted
+    two-phase rewrite.  scripts/skew_scale_probe.py at 40M rows with a
+    50%-hot group measured plain rank 3.2 s vs salted two-phase 3.7 s on
+    local[32] (SCALE.md "Skew mitigation, measured"): on one host the
+    straggler partition still fits a core, so the extra shuffle the
+    two-phase plan adds only costs.  The §2 oracle also pins FULL rank
+    output (every row, exact ties), which the salted rewrite cannot
+    produce — it is a top-k pattern.  At 100 TB the switch point is
+    executor memory, not wall-clock: when one custkey's partition
+    approaches spill, move to `win_rank_salted` / `topk_per_group`
+    (same file / ops/sorts.py), whose max task is bounded at
+    n/(groups×64)."""
     o = load(spark, sf_dir, "orders")
     w = _win()
     return o.select(

@@ -313,7 +313,10 @@ _R4_QUEUE = (
     # --- round-6 in-session additions (arrival order) ---
     "scan_python_datasource_pushdown",
     # --- round-7 in-session additions (arrival order) ---
-    "mm_image_channel_stats",)
+    "mm_image_channel_stats",
+    # --- round-8 in-session additions (arrival order) ---
+    "scan_avro", "sink_avro_roundtrip",
+)
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
 # keys) — parked at the tail of the ordering.

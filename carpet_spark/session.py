@@ -25,6 +25,18 @@ RUNTIME_CONFS = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
 }
 
+# NOTE on Arrow batch sizing: Python->JVM OUTPUT batches are unbounded by
+# default, so a payload-amplifying UDF (300-byte text row -> ~100 KB
+# raster) can turn one bounded input batch into a multi-hundred-MB output
+# buffer and exhaust JVM direct memory across 32 concurrent tasks (found
+# by scripts/mm_scale_probe.py at 10x raster volume).  The binary-emitting
+# UDFs self-bound via ops/multimodal._bounded_slices.  Spark 4.1's
+# spark.sql.execution.arrow.maxBytesPerOutputBatch conf was tried as a
+# global guard and REVERTED: enabling it trips an
+# ArrayIndexOutOfBoundsException in MapInBatchEvaluator's writeSizedBatch
+# on chained mapInPandas plans (ArrowColumnVector.getChild(0) on an empty
+# struct) — bound amplifying outputs in the UDF, not via that conf.
+
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     for k, v in RUNTIME_CONFS.items():

@@ -1,0 +1,142 @@
+"""Unit tests for the vendored Avro OCF codec (carpet_spark/ops/avro.py)
+— same discipline as tests/test_codecs.py for the raster decoders: the
+codec is hand-written from the public spec, so every encoding rule it
+implements gets a direct test, independent of the Spark plumbing (which
+tests/test_oracle_parity.py covers through the two registered ops).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from carpet_spark.ops.avro import (  # noqa: E402
+    _read_long,
+    _write_long,
+    read_ocf,
+    write_ocf,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": "double"},
+        {"name": "d", "type": "boolean"},
+        {"name": "e", "type": "bytes"},
+    ],
+}
+
+
+def _rows(n):
+    return [
+        (
+            i if i % 2 else -i,               # both zigzag signs
+            None if i % 5 == 0 else f"s{i}",  # union null + value branches
+            i * 0.5,
+            i % 3 == 0,
+            struct.pack(">q", i),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("n", [-1, 0, 1, -2, 2, 63, 64, -64, -65,
+                               2**31, -(2**31), 2**62, -(2**63), 2**63 - 1])
+def test_zigzag_varint_roundtrip(n):
+    buf = io.BytesIO()
+    _write_long(buf, n)
+    got, pos = _read_long(buf.getvalue(), 0)
+    assert got == n
+    assert pos == len(buf.getvalue())
+
+
+def test_zigzag_spec_examples():
+    """The spec's table: 0->0x00, -1->0x01, 1->0x02, -2->0x03, 2->0x04,
+    -64->0x7f, 64->0x80 0x01."""
+    for n, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                    (-2, b"\x03"), (2, b"\x04"), (-64, b"\x7f"),
+                    (64, b"\x80\x01")]:
+        buf = io.BytesIO()
+        _write_long(buf, n)
+        assert buf.getvalue() == want, n
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_roundtrip(tmp_path, codec):
+    rows = _rows(3000)
+    p = str(tmp_path / f"t_{codec}.avro")
+    n = write_ocf(p, SCHEMA, iter(rows), codec=codec, block_rows=257)
+    schema, back = read_ocf(p)
+    assert n == 3000
+    assert schema == SCHEMA
+    assert back == rows
+
+
+def test_ocf_multiblock_boundaries(tmp_path):
+    """Row counts that do and don't divide block_rows evenly."""
+    for n in (0, 1, 256, 257, 513):
+        rows = _rows(n)
+        p = str(tmp_path / f"b{n}.avro")
+        write_ocf(p, SCHEMA, iter(rows), block_rows=256)
+        _, back = read_ocf(p)
+        assert back == rows, n
+
+
+def test_deflate_actually_compresses(tmp_path):
+    rows = [(i, "x" * 200, 0.0, False, b"") for i in range(2000)]
+    pn = str(tmp_path / "n.avro")
+    pd_ = str(tmp_path / "d.avro")
+    write_ocf(pn, SCHEMA, iter(rows), codec="null")
+    write_ocf(pd_, SCHEMA, iter(rows), codec="deflate")
+    import os
+    assert os.path.getsize(pd_) < os.path.getsize(pn) / 5
+    assert read_ocf(pd_)[1] == read_ocf(pn)[1] == rows
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "bad.avro"
+    p.write_bytes(b"PAR1 not avro")
+    with pytest.raises(ValueError, match="magic"):
+        read_ocf(str(p))
+
+
+def test_sync_marker_mismatch_rejected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    write_ocf(p, SCHEMA, iter(_rows(10)))
+    data = bytearray(Path(p).read_bytes())
+    data[-1] ^= 0xFF  # corrupt the final sync marker
+    Path(p).write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="sync"):
+        read_ocf(p)
+
+
+def test_unsupported_codec_rejected(tmp_path):
+    p = str(tmp_path / "t.avro")
+    with pytest.raises(NotImplementedError, match="codec"):
+        write_ocf(p, SCHEMA, iter([]), codec="snappy")
+
+
+def test_unsupported_type_rejected(tmp_path):
+    bad = {"type": "record", "name": "t",
+           "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+    with pytest.raises(NotImplementedError):
+        write_ocf(str(tmp_path / "t.avro"), bad, iter([]))
+
+
+def test_logical_type_rides_base_type(tmp_path):
+    sch = {"type": "record", "name": "t", "fields": [
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}}]}
+    rows = [(1_700_000_000_000_000,), (0,), (-62135596800000000,)]
+    p = str(tmp_path / "ts.avro")
+    write_ocf(p, sch, iter(rows))
+    assert read_ocf(p)[1] == rows
