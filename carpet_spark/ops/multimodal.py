@@ -235,6 +235,31 @@ def _nullable_long(values: list) -> pd.Series:
 _MAX_OUT_BATCH_BYTES = 32 << 20
 
 
+_ENC_CHUNK_ROWS = 256  # ~28 MB of synth payload at the fixture's mean size
+
+
+def _encode_frames(pdf: pd.DataFrame, encoder):
+    """Payload-amplifying encode, memory-bounded END TO END: build the
+    payload column in small row chunks (never the whole input batch — a
+    64 MB text batch is ~10k rows, whose payloads would be ~1 GB of
+    Python bytes PER WORKER before any Arrow slicing; 32 workers of that
+    was the measured 4.5x per-byte throughput collapse at 100x raster
+    volume), then hand each chunk to _bounded_slices for the Arrow-batch
+    byte cap."""
+    for s in range(0, len(pdf), _ENC_CHUNK_ROWS):
+        sub = pdf.iloc[s : s + _ENC_CHUNK_ROWS]
+        out = pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"],
+                "img_data": [
+                    encoder(t.encode("utf-8")) if t is not None else None
+                    for t in sub["text"]
+                ],
+            }
+        )
+        yield from _bounded_slices(out, "img_data")
+
+
 def _bounded_slices(pdf: pd.DataFrame, payload_col: str):
     """Yield row-slices of ``pdf`` whose cumulative ``payload_col`` bytes
     stay under _MAX_OUT_BATCH_BYTES (always >=1 row per slice), so the
@@ -416,16 +441,7 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "img_data": [
-                        _encode_ppm_synth(t.encode("utf-8")) if t is not None else None
-                        for t in pdf["text"]
-                    ],
-                }
-            )
-            yield from _bounded_slices(out, "img_data")
+            yield from _encode_frames(pdf, _encode_ppm_synth)
 
     imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
 
@@ -499,16 +515,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "img_data": [
-                        _encode_bmp_synth(t.encode("utf-8")) if t is not None else None
-                        for t in pdf["text"]
-                    ],
-                }
-            )
-            yield from _bounded_slices(out, "img_data")
+            yield from _encode_frames(pdf, _encode_bmp_synth)
 
     imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
 
@@ -584,16 +591,7 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "img_data": [
-                        _encode_bmp_synth(t.encode("utf-8")) if t is not None else None
-                        for t in pdf["text"]
-                    ],
-                }
-            )
-            yield from _bounded_slices(out, "img_data")
+            yield from _encode_frames(pdf, _encode_bmp_synth)
 
     imgs = d.mapInPandas(encode_batches, schema="doc_id long, img_data binary")
 

@@ -107,3 +107,49 @@ def test_bmp_rejects_unsupported_depths_and_garbage():
         _decode_bmp(good[:100])
     with pytest.raises(NotImplementedError, match="PIL"):
         _decode_image_real(b"\x89PNG\r\n\x1a\n")
+
+
+# ---------------------------------------------------------------------------
+# Arrow output-batch bounding (r8): payload-amplifying UDFs must cap both
+# the Python-side working set (_encode_frames chunks the input BEFORE
+# building payloads) and the per-yield Arrow batch bytes (_bounded_slices).
+# ---------------------------------------------------------------------------
+
+import pandas as pd  # noqa: E402
+
+from carpet_spark.ops.multimodal import (  # noqa: E402
+    _MAX_OUT_BATCH_BYTES,
+    _bounded_slices,
+    _encode_frames,
+)
+
+
+def test_bounded_slices_respects_byte_cap_and_loses_nothing():
+    big = b"x" * (_MAX_OUT_BATCH_BYTES // 3)
+    pdf = pd.DataFrame({"doc_id": range(10),
+                        "img_data": [big] * 9 + [None]})
+    slices = list(_bounded_slices(pdf, "img_data"))
+    assert sum(len(s) for s in slices) == 10
+    assert pd.concat(slices)["doc_id"].tolist() == list(range(10))
+    for s in slices:
+        payload = sum(len(v) for v in s["img_data"] if v is not None)
+        assert payload <= _MAX_OUT_BATCH_BYTES
+
+
+def test_bounded_slices_oversized_single_row_still_emits():
+    pdf = pd.DataFrame({"doc_id": [1],
+                        "img_data": [b"y" * (_MAX_OUT_BATCH_BYTES + 5)]})
+    slices = list(_bounded_slices(pdf, "img_data"))
+    assert len(slices) == 1 and len(slices[0]) == 1
+
+
+def test_encode_frames_chunks_and_preserves_order_and_nulls():
+    texts = ["a" * (20 + i % 580) for i in range(700)]
+    texts[13] = None
+    pdf = pd.DataFrame({"doc_id": range(700), "text": texts})
+    frames = list(_encode_frames(pdf, lambda b: b"P" + b))
+    assert len(frames) >= 3  # 700 rows > 2 chunks of 256
+    cat = pd.concat(frames)
+    assert cat["doc_id"].tolist() == list(range(700))
+    assert cat["img_data"].iloc[13] is None
+    assert bytes(cat["img_data"].iloc[0]) == b"P" + texts[0].encode()
