@@ -47,7 +47,11 @@ def pytest_collection_modifyitems(config, items):
     except (OSError, ValueError):
         durations = {}
     keep, dropped = [], []
-    if durations:
+    known = sum(1 for it in items if it.nodeid in durations)
+    # Balance only when the recording covers (almost) the whole suite: a
+    # sparse file makes LPT degenerate — one recorded 33 s test vs a tiny
+    # median default sent 1 test to a shard and ~1120 to each other.
+    if durations and known >= 0.9 * len(items):
         vals = sorted(durations.values())
         default = vals[len(vals) // 2] if vals else 0.5
         cost = [float(durations.get(it.nodeid, default)) for it in items]
