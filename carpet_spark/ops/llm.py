@@ -248,20 +248,65 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near_simhash")  # rows-only: hash family not portable to SQL
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM tok
+),
+per_bit AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN range(48) t(b)
+  GROUP BY doc_id, b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS sig
+  FROM per_bit GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sig, i AS band, (sig >> CAST(12 * i AS INT)) & 4095 AS bucket
+  FROM sig CROSS JOIN range(4) t(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
+@register(
+    "dedup_near_simhash",
+    # promoted rows-only -> hash (r8, following the r7 VERDICT item-4
+    # playbook): the signature's bit source moved from xxhash64 (no SQL
+    # twin) to the first 48 bits of md5 — same SimHash construction and
+    # banding guarantees, but every stage is now reproducible oracle-side.
+    oracle=_SIMHASH_ORACLE,
+)
 def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 48-bit signature from token hashes, banded
+    """SimHash near-dup pairs: 48-bit signature from per-token hash bits
+    (bit j of md5's first 12 hex chars — portable: both engines compute
+    md5 identically, so the whole pipeline hash-matches DuckDB), banded
     4x12 bits so any pair with hamming distance ≤ 3 must share a band
     (pigeonhole); exact hamming filter on candidates.
 
     Signature build is a single groupBy with 48 conditional sums (map-side
     combinable — no row blowup); at sf0.01 all texts are distinct so the
-    result is empty; the sf0.1 duplicate groups (hamming 0) are asserted in
-    tests/test_property.py."""
+    result is empty; the degenerate fixture's fully-duplicate documents and
+    the sf0.1 duplicate groups (hamming 0) exercise the non-empty path
+    (tests/test_degenerate.py, tests/test_property.py)."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+    )
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -55,11 +55,10 @@ ROWS_ONLY_RATIONALE = [
      "collision set is not a deterministic function expressible in SQL",
      "precision=1 + measured recall vs dedup_near_jaccard, "
      "tests/test_property.py"),
-    ("dedup_near_simhash",
-     "48-bit signatures built from xxhash64(token) — no xxhash64 in "
-     "DuckDB, so the signature (hence the pair set) is not reproducible "
-     "oracle-side",
-     "exact-dup pairs must surface at hamming 0, tests/test_property.py"),
+    # dedup_near_simhash: promoted to a hash oracle in r8 — the bit
+    # source moved from xxhash64 (no SQL twin) to the first 48 bits of
+    # md5, making every stage (per-bit sums, signature, 4x12 banding,
+    # hamming filter) reproducible in DuckDB.  No longer rows-only.
     ("emb_pca_project",
      "eigendecomposition of the covariance (numpy LAPACK) — eigenvector "
      "sign/order and near-degenerate eigenvalue splits are solver-specific",
