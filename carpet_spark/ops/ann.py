@@ -486,7 +486,66 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_mmr_rerank")  # rows-only: greedy MMR is iterative, not SQL
+_MMR_ORACLE = """
+WITH RECURSIVE q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id = 0
+),
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id, e,
+         round(list_dot_product(e, qe)
+               / nullif(sqrt(list_dot_product(e, e))
+                        * sqrt(list_dot_product(qe, qe)), 0.0), 6) AS q_sim
+  FROM base, q
+),
+cands AS (
+  SELECT vec_id, q_sim,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ne
+  FROM scored WHERE q_sim IS NOT NULL
+  ORDER BY q_sim DESC, vec_id ASC LIMIT 30
+),
+rec AS (
+  SELECT CAST(1 AS INT) AS sel_rank, b.vec_id, b.q_sim, b.score AS mmr_score,
+         [b.vec_id] AS sel_ids, [b.ne] AS sel_embs
+  FROM (SELECT vec_id, q_sim, ne, round(0.7 * q_sim - (1 - 0.7) * 0.0, 6) AS score
+        FROM cands ORDER BY score DESC, vec_id ASC LIMIT 1) b
+  UNION ALL
+  SELECT CAST(r.sel_rank + 1 AS INT), b.vec_id, b.q_sim, b.score,
+         list_append(r.sel_ids, b.vec_id), list_append(r.sel_embs, b.ne)
+  FROM rec r, LATERAL (
+    SELECT c.vec_id, c.q_sim, c.ne,
+           round(0.7 * c.q_sim - (1 - 0.7) * greatest(0.0, list_max(
+             list_transform(r.sel_embs,
+                            s -> round(list_dot_product(c.ne, s), 6)))), 6)
+             AS score
+    FROM cands c
+    WHERE NOT list_contains(r.sel_ids, c.vec_id)
+    ORDER BY score DESC, c.vec_id ASC LIMIT 1
+  ) b
+  WHERE r.sel_rank < 10
+)
+SELECT sel_rank, vec_id, q_sim, mmr_score FROM rec
+"""
+
+
+@register(
+    "sim_mmr_rerank",
+    # promoted rows-only -> hash (r8, the third promotion this round):
+    # the greedy loop's float semantics are pinned at 6 decimal places
+    # (every pairwise cosine rounds before entering max_sim, matching
+    # the already-6dp q_sim), which makes every argmax input a number
+    # BOTH engines derive identically from identical 6dp operands with
+    # the identical IEEE expression 0.7*q_sim - (1-0.7)*max_sim — so
+    # DuckDB's recursive CTE (one row per greedy step, selected set
+    # carried as list columns, LATERAL argmax with the same
+    # score-desc/vec_id tie-break) reproduces the pick sequence and the
+    # scores bit-for-bit.
+    oracle=_MMR_ORACLE,
+)
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking: take the top-30 cosine
     candidates for the vec_id=0 query, then greedily select 10 maximizing
@@ -542,17 +601,31 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             n = len(ids)
             selected: list[int] = []
-            max_sim = np.zeros(n)  # max cosine to any selected row
+            # max 6dp-rounded cosine to any selected row, FLOORED AT 0 by
+            # the zeros init (all-negative neighborhoods contribute no
+            # diversity penalty) — the oracle mirrors with greatest(0, ...)
+            max_sim = np.zeros(n)
             picked = np.zeros(n, dtype=bool)
             for rank in range(min(k, n)):
-                mmr_score = lam * qs - (1 - lam) * (max_sim if selected else 0.0)
+                # the score itself lives on the 6dp grid too: DuckDB's
+                # decimal literal folding gives (1 - 0.7) = exactly 0.3
+                # while Python floats give 0.30000000000000004 — a last-ulp
+                # mmr_score divergence unless both sides round
+                mmr_score = np.round(
+                    lam * qs - (1 - lam) * (max_sim if selected else 0.0), 6
+                )
                 mmr_score = np.where(picked, -np.inf, mmr_score)
                 # tie-break: highest score, then lowest vec_id (ids are
                 # sorted ascending within equal q_sim after the stable sort)
                 best = int(np.lexsort((ids, -mmr_score))[0])
                 picked[best] = True
                 selected.append(best)
-                max_sim = np.maximum(max_sim, mat @ mat[best])
+                # round each pairwise cosine to 6dp BEFORE it enters the
+                # running max: pins the greedy semantics at the same grid
+                # as q_sim, so the oracle's fold-order dot products agree
+                # exactly (summation-order noise is ~1e-15, far under the
+                # 5e-7 rounding boundary)
+                max_sim = np.maximum(max_sim, np.round(mat @ mat[best], 6))
                 yield pd.DataFrame(
                     {
                         "sel_rank": [rank + 1],

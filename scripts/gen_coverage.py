@@ -97,12 +97,11 @@ ROWS_ONLY_RATIONALE = [
      "banded-signature candidate generation (seeded SRP) — approximate "
      "by design, pair set not SQL-reproducible",
      "per-query recall floor vs exact k-NN, tests/test_property.py"),
-    ("sim_mmr_rerank",
-     "greedy sequential max-marginal-relevance — each pick depends on "
-     "float argmax over running state; a SQL reformulation would need "
-     "k correlated subqueries with tie semantics Spark evaluates in "
-     "Python",
-     "relevance/diversity trade-off invariants, tests/test_property.py"),
+    # sim_mmr_rerank: promoted to a hash oracle in r8 — greedy MMR pinned
+    # to a 6dp float grid (every pairwise cosine and score rounds before
+    # the argmax) is reproducible in a DuckDB recursive CTE (one row per
+    # greedy step, selected set carried as list columns, LATERAL argmax
+    # with the identical tie-break).  No longer rows-only.
 ]
 
 

@@ -44,7 +44,8 @@ ROWS_ONLY_BY_DESIGN = {
     "emb_pca_project",    # power-iteration PCA basis; variance property-tested
     "mm_phash_dedup",     # perceptual-hash bands over the fake decoder
     # r7 window addition — the last never-sampled rows-only op:
-    "sim_mmr_rerank",     # greedy float-argmax rerank; invariants property-tested
+    # sim_mmr_rerank was here through r7; r8 promoted it to a hash oracle
+    # (6dp-grid greedy + DuckDB recursive-CTE twin).
 }
 
 
