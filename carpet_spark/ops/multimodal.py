@@ -810,7 +810,81 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_phash_dedup")  # rows-only: the phash lives in a pandas UDF
+_PHASH_ORACLE = """
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         greatest(octet_length(encode(text)), 1) AS n,
+         octet_length(encode(text)) AS rawn
+  FROM documents WHERE text IS NOT NULL
+),
+bytes AS (
+  SELECT doc_id, unnest(range(n)) AS j, n, rawn, hx FROM d
+),
+byteval AS (  -- empty text hashes one zero byte, mirroring np.zeros(1)
+  SELECT doc_id, j, n,
+         CASE WHEN rawn = 0 THEN 0
+              ELSE ('0x' || substr(hx, CAST(j * 2 + 1 AS INT), 2))::INT
+         END AS v
+  FROM bytes
+),
+blk AS (  -- np.array_split(arr, 64): first (n % 64) blocks get n//64 + 1
+  SELECT doc_id,
+         CASE WHEN j < (n % 64) * (n // 64 + 1)
+              THEN j // (n // 64 + 1)
+              ELSE (n % 64) + (j - (n % 64) * (n // 64 + 1)) // (n // 64)
+         END AS b, v
+  FROM byteval
+),
+means AS (  -- all 64 blocks, empty ones at mean 0.0 (b.mean() if b.size)
+  SELECT ids.doc_id, g.b, COALESCE(AVG(CAST(blk.v AS DOUBLE)), 0.0) AS m
+  FROM (SELECT DISTINCT doc_id FROM d) ids
+  CROSS JOIN range(64) g(b)
+  LEFT JOIN blk ON blk.doc_id = ids.doc_id AND blk.b = g.b
+  GROUP BY ids.doc_id, g.b
+),
+med AS (SELECT doc_id, median(m) AS md FROM means GROUP BY doc_id),
+hash_u AS (  -- unsigned 64-bit hash in HUGEINT; block 0 is the MSB
+  SELECT means.doc_id,
+         SUM(CASE WHEN m > md THEN CAST(1 AS HUGEINT) << CAST(63 - b AS INT)
+                  ELSE 0 END) AS uh
+  FROM means JOIN med USING (doc_id)
+  GROUP BY means.doc_id
+),
+hashes AS (
+  SELECT doc_id, uh,
+         CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+                   THEN uh - (CAST(1 AS HUGEINT) << 64)
+                   ELSE uh END AS BIGINT) AS phash
+  FROM hash_u
+),
+bands AS (
+  SELECT doc_id, phash, t.i AS band,
+         CAST((uh >> CAST(16 * t.i AS INT)) & 65535 AS BIGINT) AS val
+  FROM hashes CROSS JOIN range(4) t(i)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.phash AS h_a, b.phash AS h_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3
+"""
+
+
+@register(
+    "mm_phash_dedup",
+    # promoted rows-only -> hash (r8, fourth promotion this round): the
+    # block-mean phash over the deterministic payload bytes is EXACT
+    # arithmetic end to end (integer byte sums -> one float64 division
+    # per block mean -> median of 64 doubles -> strict > threshold), so
+    # the oracle recomputes the full 64-bit hash from hex-extracted
+    # bytes, replicates np.array_split's block boundaries, and runs the
+    # same 4x16 banding + hamming<=3 verify.  Verified bit-identical on
+    # all 500 sf0.01 hashes before registration.
+    oracle=_PHASH_ORACLE,
+)
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate detection for image payloads: a
     64-bit block-mean pHash per payload (computed in an Arrow-batched

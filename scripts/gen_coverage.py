@@ -64,11 +64,12 @@ ROWS_ONLY_RATIONALE = [
      "sign/order and near-degenerate eigenvalue splits are solver-specific",
      "projection preserves pairwise distances + explained-variance "
      "monotone, tests/test_property.py"),
-    ("mm_phash_dedup",
-     "64-bit block-mean perceptual hash computed over decoded pixels in "
-     "the Arrow UDF; no SQL twin for the 2-D block fold",
-     "byte-identical payloads must pair at hamming 0, "
-     "tests/test_property.py"),
+    # mm_phash_dedup: promoted to a hash oracle in r8 — the block-mean
+    # phash over the deterministic payload bytes is exact arithmetic end
+    # to end, so the oracle recomputes the 64-bit hash from hex-extracted
+    # bytes (np.array_split block boundaries, float64 means, median
+    # threshold) plus the 4x16 banding and hamming verify.  No longer
+    # rows-only.
     ("quality_train_score",
      "MLlib LogisticRegression fit — iterative L-BFGS weights are "
      "solver/partitioning-specific beyond fixed-point tolerance",

@@ -42,7 +42,8 @@ ROWS_ONLY_BY_DESIGN = {
     "sim_knn_join_topk",  # ANN-tier knn join; recall property-tested vs brute
     "sim_ann_ivf",        # IVF buckets from trained centroids; recall-tested
     "emb_pca_project",    # power-iteration PCA basis; variance property-tested
-    "mm_phash_dedup",     # perceptual-hash bands over the fake decoder
+    # mm_phash_dedup was here through r7; r8 promoted it to a hash oracle
+    # (exact byte-level block-mean recomputation in SQL).
     # r7 window addition — the last never-sampled rows-only op:
     # sim_mmr_rerank was here through r7; r8 promoted it to a hash oracle
     # (6dp-grid greedy + DuckDB recursive-CTE twin).
