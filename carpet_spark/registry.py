@@ -145,6 +145,15 @@ _PRIORITY_WINDOW = (
     "dq_missingness_patterns",
 )
 
+# Round-9 note: force-include `dedup_near_simhash`, `sim_mmr_rerank`,
+# and `mm_phash_dedup` at the HEAD of the r9 window — all three were
+# promoted from rows-only to hash oracles in r8 (md5 bit source /
+# 6dp-grid recursive-CTE twin / exact byte-level recomputation) AFTER
+# their last driver sample, so their upgrades are invisible until
+# resampled (the same reasoning the r7 verdict applied to the two
+# streaming promotions, which lead the r8 window).  `sample_seeded` and
+# the two avro ops are already hash-checked in the r8 window / queue.
+
 # Round-4+ queue (r02 VERDICT item 3): every op without a driver
 # CORRECTNESS row after the r3 window, in the order the next windows
 # should take them — trainprep remainder → llm leftovers → mutations →
