@@ -204,10 +204,8 @@ def write_ocf(path: str, schema: dict, rows, codec: str = "null",
     return n_total
 
 
-def read_ocf(path: str):
-    """Parse an Avro OCF; returns (schema_dict, list of row tuples)."""
-    with open(path, "rb") as f:
-        data = f.read()
+def _parse_header(data: bytes):
+    """Parse the OCF header; returns (schema, codec, sync, body_start)."""
     if data[:4] != _MAGIC:
         raise ValueError(f"not an Avro OCF: magic={data[:4]!r}")
     pos = 4
@@ -228,10 +226,13 @@ def read_ocf(path: str):
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro codec not vendored: {codec}")
     sync = data[pos : pos + 16]
-    pos += 16
+    return schema, codec, sync, pos + 16
+
+
+def _iter_blocks(data: bytes, pos: int, stop: int, schema, codec, sync):
+    """Decode every block whose header starts in [pos, stop)."""
     _, codecs = _record_codecs(schema)
-    rows = []
-    while pos < len(data):
+    while pos < stop:
         n_block, pos = _read_long(data, pos)
         payload, pos = _read_bytes(data, pos)
         if data[pos : pos + 16] != sync:
@@ -245,8 +246,41 @@ def read_ocf(path: str):
             for _, dec in codecs:
                 v, p = dec(payload, p)
                 row.append(v)
-            rows.append(tuple(row))
-    return schema, rows
+            yield tuple(row)
+
+
+def read_ocf(path: str):
+    """Parse an Avro OCF; returns (schema_dict, list of row tuples)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    schema, codec, sync, pos = _parse_header(data)
+    return schema, list(_iter_blocks(data, pos, len(data), schema, codec, sync))
+
+
+def read_ocf_range(path: str, start: int, end: int):
+    """Rows from every block whose header begins in [start, end) — the
+    standard Avro split protocol (the format is splittable by design:
+    blocks are delimited by the header's 16-byte sync marker, so a split
+    SEEKS to the first sync at/after ``start`` and decodes blocks until
+    its block-start passes ``end``; the next split picks up from there,
+    so every block belongs to exactly one split).  A sync-pattern
+    collision inside a payload is the same 2^-128 event every Avro
+    reader accepts."""
+    with open(path, "rb") as f:
+        data = f.read()
+    schema, codec, sync, body = _parse_header(data)
+    if end <= body:
+        return schema, iter(())  # split entirely inside the header
+    if start <= body:
+        pos = body  # first split: blocks begin right after the header sync
+    else:
+        # seek: first sync whose 16 bytes START at/after start-16 (so a
+        # block beginning exactly at `start` is ours, its predecessor not)
+        hit = data.find(sync, max(body, start - 16))
+        if hit < 0:
+            return schema, iter(())
+        pos = hit + 16
+    return schema, _iter_blocks(data, pos, min(end, len(data)), schema, codec, sync)
 
 
 # ---------------------------------------------------------------------------
@@ -261,21 +295,36 @@ def _register_avro_source(spark: SparkSession, spark_schema: str) -> None:
         def __init__(self, options):
             self.path = options["path"]
             self.schema_str = options["sparkschema"]
+            # Block-level splitting by sync marker (the format is
+            # splittable by design): files above this size fan out to one
+            # partition per byte range, so read parallelism scales with
+            # bytes, not file count — a single multi-GB avro file no
+            # longer serializes onto one task.
+            self.split_bytes = int(options.get("split_bytes", 32 << 20))
 
         def partitions(self):
-            files = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(".avro")
-            )
+            parts = []
+            for f in sorted(os.listdir(self.path)):
+                if not f.endswith(".avro"):
+                    continue
+                p = os.path.join(self.path, f)
+                size = os.path.getsize(p)
+                if size <= self.split_bytes:
+                    parts.append(InputPartition((p, 0, size)))
+                else:
+                    for s in range(0, size, self.split_bytes):
+                        parts.append(
+                            InputPartition((p, s, min(s + self.split_bytes, size)))
+                        )
             # empty dir (routine at 100 TB: an empty date-slice) -> one
             # no-op partition; the API requires >=1
-            return [InputPartition(f) for f in files] or [InputPartition(None)]
+            return parts or [InputPartition(None)]
 
         def read(self, partition):
             if partition.value is None:
                 return
-            _, rows = read_ocf(partition.value)
+            p, start, end = partition.value
+            _, rows = read_ocf_range(p, start, end)
             yield from rows
 
     class AvroScanSource(DataSource):
@@ -292,14 +341,19 @@ def _register_avro_source(spark: SparkSession, spark_schema: str) -> None:
     spark.dataSource.register(AvroScanSource)
 
 
-def _read_avro_dir(spark: SparkSession, path: str, spark_schema: str) -> DataFrame:
+def _read_avro_dir(
+    spark: SparkSession, path: str, spark_schema: str,
+    split_bytes: int | None = None,
+) -> DataFrame:
     _register_avro_source(spark, spark_schema)
-    return (
+    reader = (
         spark.read.format("carpetavro")
         .option("path", path)
         .option("sparkschema", spark_schema)
-        .load()
     )
+    if split_bytes is not None:
+        reader = reader.option("split_bytes", str(split_bytes))
+    return reader.load()
 
 
 # Every non-key field is a ["null", T] union: NULL prices/dates/priorities

@@ -214,3 +214,63 @@ def test_vendored_reader_reads_java_written_files(spark, tmp_path, codec):
     writer.close()
     _, back = read_ocf(p)
     assert back == rows
+
+
+# ---------------------------------------------------------------------------
+# Block-level splitting (r8): the OCF is splittable by sync marker — a
+# byte-range read [start, end) must decode exactly the blocks whose
+# header starts in the range, so consecutive ranges partition the file
+# with no duplicates and no gaps, at ANY split size (including splits
+# landing mid-block, mid-sync, and inside the header).
+# ---------------------------------------------------------------------------
+
+from carpet_spark.ops.avro import read_ocf_range  # noqa: E402
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("split", [1, 7, 64, 333, 4096, 10**9])
+def test_range_reads_partition_exactly(tmp_path, codec, split):
+    rows = _rows(2000)
+    p = str(tmp_path / f"s_{codec}.avro")
+    write_ocf(p, SCHEMA, iter(rows), codec=codec, block_rows=111)
+    import os
+    size = os.path.getsize(p)
+    got = []
+    for s in range(0, size, split):
+        _, it = read_ocf_range(p, s, min(s + split, size))
+        got.extend(it)
+    assert got == rows, f"split={split}: {len(got)} vs {len(rows)}"
+
+
+def test_range_read_inside_header_is_empty(tmp_path):
+    p = str(tmp_path / "h.avro")
+    write_ocf(p, SCHEMA, iter(_rows(10)))
+    _, it = read_ocf_range(p, 0, 4)  # magic only
+    assert list(it) == []
+
+
+def test_full_range_equals_read_ocf(tmp_path):
+    rows = _rows(500)
+    p = str(tmp_path / "f.avro")
+    write_ocf(p, SCHEMA, iter(rows), block_rows=37)
+    import os
+    _, it = read_ocf_range(p, 0, os.path.getsize(p))
+    assert list(it) == read_ocf(p)[1] == rows
+
+
+def test_spark_reads_single_large_file_in_parallel_splits(spark, tmp_path):
+    """One big OCF + a small split_bytes must fan out to multiple input
+    partitions AND return the exact multiset — the single-multi-GB-file
+    shape the r8 SCALE.md trade-off note promised."""
+    from carpet_spark.ops.avro import _read_avro_dir
+
+    sch = {"type": "record", "name": "big", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    rows = [(i, f"v{i}" * 10) for i in range(20000)]
+    d = tmp_path / "bigdir"
+    d.mkdir()
+    write_ocf(str(d / "one.avro"), sch, iter(rows), block_rows=100)
+    df = _read_avro_dir(spark, str(d), "a long, b string", split_bytes=64 << 10)
+    assert df.rdd.getNumPartitions() > 5
+    got = sorted((r.a, r.b) for r in df.collect())
+    assert got == rows
