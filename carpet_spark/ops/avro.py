@@ -19,10 +19,12 @@ Scale notes (100 TB): the writer runs INSIDE ``mapInPandas`` — each
 Arrow batch becomes one ``.avro`` shard written by the executor that
 holds it, so write parallelism is the upstream partitioning and payload
 bytes never visit the driver.  The reader plans one InputPartition per
-file; a production variant would add block-level splits using the sync
-marker (the format is splittable by design — scan for the 16-byte sync)
-— per-file parallelism is the honest baseline for the file counts a
-shard-per-batch writer produces.
+file up to ``split_bytes`` (32 MB default) and then one per BYTE RANGE
+beyond it, seeking to the sync marker (``read_ocf_range``) — so read
+parallelism scales with bytes, not file count.  Reader-schema
+resolution (``resolve_reader``) handles mixed-generation datasets:
+name-matched fields, writer-only fields skipped, reader-only fields
+defaulted — the Kafka-consumer contract.
 """
 
 from __future__ import annotations
@@ -229,9 +231,56 @@ def _parse_header(data: bytes):
     return schema, codec, sync, pos + 16
 
 
-def _iter_blocks(data: bytes, pos: int, stop: int, schema, codec, sync):
+def resolve_reader(writer_schema: dict, reader_schema: dict):
+    """Schema-resolution decoder (Avro spec "Schema Resolution", the
+    subset a tabular pipeline needs): fields match by NAME regardless of
+    position; writer-only fields are decoded and DISCARDED (the bytes
+    must still be parsed to advance); reader-only fields take their
+    declared ``default``.  Returns decode(payload, pos) -> (row, pos)
+    emitting values in READER field order."""
+    wfields = writer_schema["fields"]
+    wcodecs = [_field_codec(f["type"]) for f in wfields]
+    wpos = {f["name"]: i for i, f in enumerate(wfields)}
+    out_plan = []  # per reader field: ("w", writer_idx) or ("d", default)
+    for rf in reader_schema["fields"]:
+        if rf["name"] in wpos:
+            out_plan.append(("w", wpos[rf["name"]]))
+        elif "default" in rf:
+            out_plan.append(("d", rf["default"]))
+        else:
+            raise ValueError(
+                f"reader field {rf['name']!r} missing from writer schema "
+                "and has no default"
+            )
+
+    def decode(payload: bytes, pos: int):
+        wvals = []
+        for _, dec in wcodecs:
+            v, pos = dec(payload, pos)
+            wvals.append(v)
+        row = tuple(
+            wvals[e] if kind == "w" else e for kind, e in out_plan
+        )
+        return row, pos
+
+    return decode
+
+
+def _iter_blocks(data: bytes, pos: int, stop: int, schema, codec, sync,
+                 reader_schema: dict | None = None):
     """Decode every block whose header starts in [pos, stop)."""
-    _, codecs = _record_codecs(schema)
+    if reader_schema is not None:
+        decode_row = resolve_reader(schema, reader_schema)
+    else:
+        codecs = [_field_codec(f["type"]) for f in schema["fields"]]
+
+        def decode_row(payload: bytes, p: int):
+            row = []
+            for _, dec in codecs:
+                v, p = dec(payload, p)
+                row.append(v)
+            return tuple(row), p
+
     while pos < stop:
         n_block, pos = _read_long(data, pos)
         payload, pos = _read_bytes(data, pos)
@@ -242,22 +291,24 @@ def _iter_blocks(data: bytes, pos: int, stop: int, schema, codec, sync):
             payload = zlib.decompress(payload, wbits=-15)
         p = 0
         for _ in range(n_block):
-            row = []
-            for _, dec in codecs:
-                v, p = dec(payload, p)
-                row.append(v)
-            yield tuple(row)
+            row, p = decode_row(payload, p)
+            yield row
 
 
-def read_ocf(path: str):
-    """Parse an Avro OCF; returns (schema_dict, list of row tuples)."""
+def read_ocf(path: str, reader_schema: dict | None = None):
+    """Parse an Avro OCF; returns (writer_schema, list of row tuples).
+    With ``reader_schema``, rows come out schema-RESOLVED (see
+    resolve_reader)."""
     with open(path, "rb") as f:
         data = f.read()
     schema, codec, sync, pos = _parse_header(data)
-    return schema, list(_iter_blocks(data, pos, len(data), schema, codec, sync))
+    return schema, list(
+        _iter_blocks(data, pos, len(data), schema, codec, sync, reader_schema)
+    )
 
 
-def read_ocf_range(path: str, start: int, end: int):
+def read_ocf_range(path: str, start: int, end: int,
+                   reader_schema: dict | None = None):
     """Rows from every block whose header begins in [start, end) — the
     standard Avro split protocol (the format is splittable by design:
     blocks are delimited by the header's 16-byte sync marker, so a split
@@ -280,7 +331,9 @@ def read_ocf_range(path: str, start: int, end: int):
         if hit < 0:
             return schema, iter(())
         pos = hit + 16
-    return schema, _iter_blocks(data, pos, min(end, len(data)), schema, codec, sync)
+    return schema, _iter_blocks(
+        data, pos, min(end, len(data)), schema, codec, sync, reader_schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +354,8 @@ def _register_avro_source(spark: SparkSession, spark_schema: str) -> None:
             # bytes, not file count — a single multi-GB avro file no
             # longer serializes onto one task.
             self.split_bytes = int(options.get("split_bytes", 32 << 20))
+            rs = options.get("reader_schema")
+            self.reader_schema = json.loads(rs) if rs else None
 
         def partitions(self):
             parts = []
@@ -324,7 +379,7 @@ def _register_avro_source(spark: SparkSession, spark_schema: str) -> None:
             if partition.value is None:
                 return
             p, start, end = partition.value
-            _, rows = read_ocf_range(p, start, end)
+            _, rows = read_ocf_range(p, start, end, self.reader_schema)
             yield from rows
 
     class AvroScanSource(DataSource):
@@ -344,6 +399,7 @@ def _register_avro_source(spark: SparkSession, spark_schema: str) -> None:
 def _read_avro_dir(
     spark: SparkSession, path: str, spark_schema: str,
     split_bytes: int | None = None,
+    reader_schema: dict | None = None,
 ) -> DataFrame:
     _register_avro_source(spark, spark_schema)
     reader = (
@@ -353,6 +409,8 @@ def _read_avro_dir(
     )
     if split_bytes is not None:
         reader = reader.option("split_bytes", str(split_bytes))
+    if reader_schema is not None:
+        reader = reader.option("reader_schema", json.dumps(reader_schema))
     return reader.load()
 
 
@@ -521,4 +579,91 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id", "flag", "val", "name",
         F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
+    )
+
+
+_EVO_N = 1000  # rows per writer-schema generation
+
+_EVO_V1 = {
+    "type": "record",
+    "name": "ev1",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+    ],
+}
+# v2 widened AND reordered (score added; name now leads; an extra field
+# the reader never asked for) — the three resolution rules in one file.
+_EVO_V2 = {
+    "type": "record",
+    "name": "ev2",
+    "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": ["null", "double"]},
+        {"name": "id", "type": "long"},
+        {"name": "extra_tag", "type": "string"},
+    ],
+}
+_EVO_READER = {
+    "type": "record",
+    "name": "ev",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": ["null", "double"], "default": None},
+    ],
+}
+
+
+@register(
+    "scan_avro_schema_evolution",
+    oracle=f"""
+    SELECT i AS id, 'row-' || CAST(i AS VARCHAR) AS name,
+           CAST(NULL AS DOUBLE) AS score
+    FROM range(0, {_EVO_N}) t(i)
+    UNION ALL
+    SELECT i, 'row-' || CAST(i AS VARCHAR), CAST(i AS DOUBLE) * 0.5
+    FROM range({_EVO_N}, {2 * _EVO_N}) t(i)
+    """,
+)
+def scan_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro's signature capability — schema RESOLUTION on read: one
+    dataset holding files written under two schema generations (v1:
+    ``id, name``; v2: widened with a nullable ``score``, REORDERED so
+    ``name`` leads, plus an ``extra_tag`` the reader never asked for),
+    read under a single reader schema.  Per the spec's resolution rules
+    (resolve_reader): fields match by name not position, the
+    reader-only ``score`` takes its declared default (null) for v1
+    rows, and v2's ``extra_tag`` is decoded-and-discarded.  This is the
+    every-day Kafka-consumer contract — topics carry years of schema
+    generations and every consumer reads them through today's schema —
+    and the avro twin of the parquet ``scan_schema_evolution``
+    (mergeSchema) op.
+
+    Scale (100 TB): resolution is a per-file DECODE-time plan (one name
+    match when the file opens), so mixed-generation datasets cost
+    nothing extra to scan; partition/split parallelism is unchanged."""
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"carpet_avro_evo_{_EVO_N}",
+    )
+    os.makedirs(out, exist_ok=True)
+    p1 = os.path.join(out, "gen1.avro")
+    if not os.path.exists(p1):  # deterministic content: write once
+        write_ocf(
+            p1, _EVO_V1,
+            ((i, f"row-{i}") for i in range(_EVO_N)),
+            block_rows=128,
+        )
+    p2 = os.path.join(out, "gen2.avro")
+    if not os.path.exists(p2):
+        write_ocf(
+            p2, _EVO_V2,
+            ((f"row-{i}", i * 0.5, i, f"tag{i % 3}")
+             for i in range(_EVO_N, 2 * _EVO_N)),
+            codec="deflate", block_rows=128,
+        )
+    return _read_avro_dir(
+        spark, out, "id long, name string, score double",
+        reader_schema=_EVO_READER,
     )

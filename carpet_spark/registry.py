@@ -324,7 +324,7 @@ _R4_QUEUE = (
     # --- round-7 in-session additions (arrival order) ---
     "mm_image_channel_stats",
     # --- round-8 in-session additions (arrival order) ---
-    "scan_avro", "sink_avro_roundtrip",
+    "scan_avro", "sink_avro_roundtrip", "scan_avro_schema_evolution",
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01

@@ -274,3 +274,57 @@ def test_spark_reads_single_large_file_in_parallel_splits(spark, tmp_path):
     assert df.rdd.getNumPartitions() > 5
     got = sorted((r.a, r.b) for r in df.collect())
     assert got == rows
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (r8): reader schema vs writer schema per the spec —
+# name matching across reordered fields, writer-only fields skipped,
+# reader-only fields defaulted.
+# ---------------------------------------------------------------------------
+
+from carpet_spark.ops.avro import resolve_reader  # noqa: E402
+
+
+def test_resolution_reorder_skip_default(tmp_path):
+    writer = {"type": "record", "name": "w", "fields": [
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "extra", "type": "double"},
+        {"name": "a", "type": "long"}]}
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": ["null", "long"], "default": None},
+        {"name": "d", "type": "string", "default": "dflt"}]}
+    rows = [(None if i % 3 == 0 else f"s{i}", i * 1.5, i) for i in range(100)]
+    p = str(tmp_path / "w.avro")
+    write_ocf(p, writer, iter(rows), block_rows=7)
+    _, got = read_ocf(p, reader_schema=reader)
+    want = [(i, None if i % 3 == 0 else f"s{i}", None, "dflt") for i in range(100)]
+    assert got == want
+
+
+def test_resolution_missing_field_without_default_rejected():
+    writer = {"type": "record", "name": "w",
+              "fields": [{"name": "a", "type": "long"}]}
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "zz", "type": "long"}]}
+    with pytest.raises(ValueError, match="zz"):
+        resolve_reader(writer, reader)
+
+
+def test_resolution_composes_with_range_splits(tmp_path):
+    writer = {"type": "record", "name": "w", "fields": [
+        {"name": "x", "type": "long"}, {"name": "drop", "type": "string"}]}
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "long"},
+        {"name": "tag", "type": "string", "default": "t"}]}
+    rows = [(i, "junk" * 5) for i in range(1000)]
+    p = str(tmp_path / "s.avro")
+    write_ocf(p, writer, iter(rows), block_rows=19)
+    import os
+    size = os.path.getsize(p)
+    got = []
+    for s in range(0, size, 137):
+        _, it = read_ocf_range(p, s, min(s + 137, size), reader_schema=reader)
+        got.extend(it)
+    assert got == [(i, "t") for i in range(1000)]
