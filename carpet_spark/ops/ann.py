@@ -511,14 +511,14 @@ cands AS (
 rec AS (
   SELECT CAST(1 AS INT) AS sel_rank, b.vec_id, b.q_sim, b.score AS mmr_score,
          [b.vec_id] AS sel_ids, [b.ne] AS sel_embs
-  FROM (SELECT vec_id, q_sim, ne, round(0.7 * q_sim - (1 - 0.7) * 0.0, 6) AS score
+  FROM (SELECT vec_id, q_sim, ne, round(0.7 * q_sim - CAST(0.3 AS DOUBLE) * 0.0, 6) AS score
         FROM cands ORDER BY score DESC, vec_id ASC LIMIT 1) b
   UNION ALL
   SELECT CAST(r.sel_rank + 1 AS INT), b.vec_id, b.q_sim, b.score,
          list_append(r.sel_ids, b.vec_id), list_append(r.sel_embs, b.ne)
   FROM rec r, LATERAL (
     SELECT c.vec_id, c.q_sim, c.ne,
-           round(0.7 * c.q_sim - (1 - 0.7) * greatest(0.0, list_max(
+           round(0.7 * c.q_sim - CAST(0.3 AS DOUBLE) * greatest(0.0, list_max(
              list_transform(r.sel_embs,
                             s -> round(list_dot_product(c.ne, s), 6)))), 6)
              AS score
@@ -590,7 +590,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mmr(batches):
-        lam, k = 0.7, 10
+        lam, one_minus_lam, k = 0.7, 0.3, 10
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -611,8 +611,18 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # decimal literal folding gives (1 - 0.7) = exactly 0.3
                 # while Python floats give 0.30000000000000004 — a last-ulp
                 # mmr_score divergence unless both sides round
+                # literal 0.3, NOT (1 - lam): Python's (1-0.7) is
+                # 0.30000000000000004 while DuckDB constant-folds (1-0.7)
+                # in exact DECIMAL to 0.3 -- a 1-ulp pre-round divergence
+                # that a 7th-decimal midpoint score would round APART.
+                # With the identical double(0.3) on both sides the
+                # pre-round values are bit-identical, so the rounding
+                # agrees unconditionally (no float64 equals an exact
+                # 5e-7 grid midpoint, so round-half modes can't differ
+                # either).
                 mmr_score = np.round(
-                    lam * qs - (1 - lam) * (max_sim if selected else 0.0), 6
+                    lam * qs
+                    - one_minus_lam * (max_sim if selected else 0.0), 6
                 )
                 mmr_score = np.where(picked, -np.inf, mmr_score)
                 # tie-break: highest score, then lowest vec_id (ids are

@@ -29,6 +29,7 @@ defaulted — the Kafka-consumer contract.
 
 from __future__ import annotations
 
+import hashlib
 import io
 import json
 import os
@@ -45,6 +46,11 @@ from ..registry import register
 from ..tables import load
 
 _MAGIC = b"Obj\x01"
+
+# Bump when write_ocf's output bytes change for identical input — the
+# scan fixtures' write-once cache keys include it so no host ever reads
+# shards from an older writer.
+_AVRO_WRITER_VERSION = 1
 
 
 # ---------------------------------------------------------------------------
@@ -316,11 +322,24 @@ def read_ocf_range(path: str, start: int, end: int,
     its block-start passes ``end``; the next split picks up from there,
     so every block belongs to exactly one split).  A sync-pattern
     collision inside a payload is the same 2^-128 event every Avro
-    reader accepts."""
-    with open(path, "rb") as f:
+    reader accepts.
+
+    I/O is mmap-backed, NOT a whole-file read: the OS pages in only the
+    header plus the split's own byte range (and the tail of its last
+    block), so N range-partitions over one large file cost O(file)
+    aggregate I/O and O(range) memory per task — a whole-file
+    ``f.read()`` per partition would be O(N x file) aggregate and a
+    file-sized buffer in every task, defeating the split's purpose."""
+    import mmap
+
+    f = open(path, "rb")
+    try:
+        data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    except ValueError:  # zero-length file: mmap refuses, bytes suffice
         data = f.read()
     schema, codec, sync, body = _parse_header(data)
     if end <= body:
+        f.close()
         return schema, iter(())  # split entirely inside the header
     if start <= body:
         pos = body  # first split: blocks begin right after the header sync
@@ -329,11 +348,20 @@ def read_ocf_range(path: str, start: int, end: int,
         # block beginning exactly at `start` is ours, its predecessor not)
         hit = data.find(sync, max(body, start - 16))
         if hit < 0:
+            f.close()
             return schema, iter(())
         pos = hit + 16
-    return schema, _iter_blocks(
-        data, pos, min(end, len(data)), schema, codec, sync, reader_schema
-    )
+    def rows():
+        # the generator owns the mapping: keep the file open until drained
+        try:
+            yield from _iter_blocks(
+                data, pos, min(end, len(data)), schema, codec, sync,
+                reader_schema,
+            )
+        finally:
+            f.close()
+
+    return schema, rows()
 
 
 # ---------------------------------------------------------------------------
@@ -356,13 +384,20 @@ def _register_avro_source(spark: SparkSession, spark_schema: str) -> None:
             self.split_bytes = int(options.get("split_bytes", 32 << 20))
             rs = options.get("reader_schema")
             self.reader_schema = json.loads(rs) if rs else None
+            fl = options.get("files")
+            self.files = json.loads(fl) if fl else None
 
         def partitions(self):
+            if self.files is not None:
+                names = self.files  # manifest-committed explicit list
+            else:
+                names = [
+                    os.path.join(self.path, f)
+                    for f in sorted(os.listdir(self.path))
+                    if f.endswith(".avro")
+                ]
             parts = []
-            for f in sorted(os.listdir(self.path)):
-                if not f.endswith(".avro"):
-                    continue
-                p = os.path.join(self.path, f)
+            for p in names:
                 size = os.path.getsize(p)
                 if size <= self.split_bytes:
                     parts.append(InputPartition((p, 0, size)))
@@ -400,6 +435,7 @@ def _read_avro_dir(
     spark: SparkSession, path: str, spark_schema: str,
     split_bytes: int | None = None,
     reader_schema: dict | None = None,
+    files: list[str] | None = None,
 ) -> DataFrame:
     _register_avro_source(spark, spark_schema)
     reader = (
@@ -411,7 +447,57 @@ def _read_avro_dir(
         reader = reader.option("split_bytes", str(split_bytes))
     if reader_schema is not None:
         reader = reader.option("reader_schema", json.dumps(reader_schema))
+    if files is not None:
+        reader = reader.option("files", json.dumps(files))
     return reader.load()
+
+
+def _py_converter(ftype):
+    """pandas-cell -> avro-value converter for one schema field type:
+    unwraps [null, T] unions, maps NaN/NaT to None, coerces the pandas
+    dtype (numpy scalar / object) to the plain Python type the encoders
+    expect."""
+    if isinstance(ftype, dict):
+        ftype = ftype["type"]
+    if isinstance(ftype, list):
+        inner = _py_converter([t for t in ftype if t != "null"][0])
+
+        def conv(v):
+            return None if v is None or pd.isna(v) else inner(v)
+
+        return conv
+    base = {"long": int, "int": int, "double": float, "float": float,
+            "boolean": bool, "string": str, "bytes": bytes}[ftype]
+    return lambda v: base(v)
+
+
+def write_pandas_shards(df: DataFrame, out_dir: str, schema: dict,
+                        codec: str = "deflate") -> DataFrame:
+    """Executor-side OCF shard writer: one ``.avro`` file per non-empty
+    Arrow batch inside ``mapInPandas`` — payload rows never visit the
+    driver.  Returns the (path, n_rows) MANIFEST DataFrame; collecting it
+    is the task-commit protocol: Spark surfaces exactly ONE successful
+    attempt's output per partition, so reading the collected manifest
+    paths (instead of listing the directory) makes retried/speculative
+    tasks' orphan shards invisible — the same pointer-publish discipline
+    as sink_manifest_publish.  ``df``'s columns must match the schema's
+    field names/order."""
+    fields = [f["name"] for f in schema["fields"]]
+    convs = [_py_converter(f["type"]) for f in schema["fields"]]
+
+    def write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+            rows = (
+                tuple(c(v) for c, v in zip(convs, vals))
+                for vals in zip(*(pdf[name] for name in fields))
+            )
+            n = write_ocf(path, schema, rows, codec=codec)
+            yield pd.DataFrame({"path": [path], "n_rows": [n]})
+
+    return df.mapInPandas(write_shards, schema="path string, n_rows long")
 
 
 # Every non-key field is a ["null", T] union: NULL prices/dates/priorities
@@ -473,32 +559,21 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out, exist_ok=True)
     for old in os.listdir(out):  # rerun within a session: replace the shards
         os.unlink(os.path.join(out, old))
-    schema = _ROUNDTRIP_SCHEMA
 
-    def write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def _nn(v, conv):  # pandas hands NULLs over as None/NaN/NaT
-            return None if v is None or pd.isna(v) else conv(v)
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            path = os.path.join(out, f"part-{uuid.uuid4().hex}.avro")
-            rows = (
-                (int(k), _nn(s, str), _nn(p, float), _nn(us, int), _nn(pr, str))
-                for k, s, p, us, pr in zip(
-                    pdf["o_orderkey"], pdf["o_orderstatus"],
-                    pdf["o_totalprice"], pdf["o_odate_us"], pdf["o_priority"],
-                )
-            )
-            n = write_ocf(path, schema, rows, codec="deflate")
-            yield pd.DataFrame({"path": [path], "n_rows": [n]})
-
-    o.mapInPandas(write_shards, schema="path string, n_rows long").count()
+    # Manifest commit: the collect is BOUNDED (one row per shard) and is
+    # the read-side commit protocol — only shards from the one successful
+    # attempt per partition are listed, so a retried/speculative task's
+    # orphan files are never read (they'd duplicate rows under a plain
+    # directory listing).  Storage note: this local run shares /tmp; on a
+    # cluster ``out`` must be shared storage (DFS/NFS), like any sink.
+    manifest = write_pandas_shards(o, out, _ROUNDTRIP_SCHEMA).collect()
+    files = sorted(r.path for r in manifest)
 
     back = _read_avro_dir(
         spark, out,
         "o_orderkey long, o_orderstatus string, o_totalprice double, "
         "o_odate_us long, o_priority string",
+        files=files,
     )
     return back.select(
         "o_orderkey",
@@ -550,9 +625,15 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): file-per-partition parallel scan; the fixture write
     below is a bounded {_SCAN_N}-row prep step (1k rows/file), not part
     of the measured plan."""
+    # fixture dir keyed by a CONTENT fingerprint (schema + geometry +
+    # writer version), not just the row count: the write-once fast path
+    # must never serve stale shards after a schema/generator/codec change
+    fp = hashlib.md5(
+        json.dumps([_SCAN_SCHEMA, _SCAN_N, _SCAN_FILES, _AVRO_WRITER_VERSION])
+        .encode()
+    ).hexdigest()[:10]
     out = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"),
-        f"carpet_avro_scan_{_SCAN_N}_{_SCAN_FILES}",
+        os.environ.get("TMPDIR", "/tmp"), f"carpet_avro_scan_{fp}"
     )
     os.makedirs(out, exist_ok=True)
     per = _SCAN_N // _SCAN_FILES
@@ -643,9 +724,11 @@ def scan_avro_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): resolution is a per-file DECODE-time plan (one name
     match when the file opens), so mixed-generation datasets cost
     nothing extra to scan; partition/split parallelism is unchanged."""
+    fp = hashlib.md5(
+        json.dumps([_EVO_V1, _EVO_V2, _EVO_N, _AVRO_WRITER_VERSION]).encode()
+    ).hexdigest()[:10]
     out = os.path.join(
-        os.environ.get("TMPDIR", "/tmp"),
-        f"carpet_avro_evo_{_EVO_N}",
+        os.environ.get("TMPDIR", "/tmp"), f"carpet_avro_evo_{fp}"
     )
     os.makedirs(out, exist_ok=True)
     p1 = os.path.join(out, "gen1.avro")

@@ -85,15 +85,21 @@ def _decode_ppm(data: bytes) -> tuple[int, int, int, bytes]:
     w, h, maxval = int(tok_w), int(tok_h), int(tok_max)
     if maxval <= 0 or maxval > 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
-    # Exactly ONE whitespace byte separates header from raster per spec,
-    # but CRLF-terminated headers (out-of-spec, seen in the wild) use two —
-    # treat a '\r\n' pair as the single separator so the raster isn't
-    # shifted by one byte.
-    if data[pos : pos + 2] == b"\r\n":
+    need = w * h * channels
+    # Exactly ONE whitespace byte separates header from raster per spec;
+    # CRLF-terminated headers (out-of-spec, seen in the wild) use two.
+    # Consume the pair ONLY when doing so leaves exactly the raster
+    # length — a spec-valid file whose separator is a lone '\r' and
+    # whose FIRST PIXEL is 0x0A must not lose that pixel to the
+    # heuristic (r8 review finding).
+    if (
+        data[pos : pos + 2] == b"\r\n"
+        and len(data) - (pos + 2) == need
+        and len(data) - (pos + 1) != need
+    ):
         pos += 2
     else:
         pos += 1
-    need = w * h * channels
     pixels = data[pos : pos + need]
     if len(pixels) != need:
         raise ValueError(f"PPM raster truncated: {len(pixels)} < {need}")

@@ -18,15 +18,15 @@ import os
 import shutil
 import sys
 import time
-import uuid
-from typing import Iterator
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import pandas as pd
 import pyspark.sql.functions as F
 
-from carpet_spark.ops.avro import _ROUNDTRIP_SCHEMA, _read_avro_dir, write_ocf
+from carpet_spark.ops.avro import (
+    _ROUNDTRIP_SCHEMA,
+    _read_avro_dir,
+    write_pandas_shards,
+)
 from carpet_spark.session import get_spark
 
 N1 = 150_000
@@ -53,28 +53,11 @@ def main() -> None:
         out = f"/tmp/carpet_avro_scale_x{mult}"
         shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out)
-        schema = _ROUNDTRIP_SCHEMA
 
-        def write_shards(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            def _nn(v, conv):
-                return None if v is None or pd.isna(v) else conv(v)
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                path = os.path.join(out, f"part-{uuid.uuid4().hex}.avro")
-                rows = (
-                    (int(k), _nn(s, str), _nn(p, float), _nn(us, int), _nn(pr, str))
-                    for k, s, p, us, pr in zip(
-                        pdf["o_orderkey"], pdf["o_orderstatus"],
-                        pdf["o_totalprice"], pdf["o_odate_us"], pdf["o_priority"],
-                    )
-                )
-                m = write_ocf(path, schema, rows, codec="deflate")
-                yield pd.DataFrame({"path": [path], "n_rows": [m]})
-
+        # the REGISTERED op's write path (carpet_spark.ops.avro
+        # .write_pandas_shards), so the numbers measure what ships
         t0 = time.perf_counter()
-        manifest = src.mapInPandas(write_shards, schema="path string, n_rows long")
+        manifest = write_pandas_shards(src, out, _ROUNDTRIP_SCHEMA)
         wrote = manifest.agg(F.sum("n_rows")).collect()[0][0]
         t_write = time.perf_counter() - t0
         shards = len(os.listdir(out))

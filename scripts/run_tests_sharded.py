@@ -73,6 +73,10 @@ def main() -> int:
         nerr = int(me.group(1)) if me else 0
         ms = re.search(r"(\d+) skipped", tail)
         nskip = int(ms.group(1)) if ms else 0
+        # xfailed/xpassed count toward the collection reconciliation too
+        mx = re.search(r"(\d+) xfailed", tail)
+        mp = re.search(r"(\d+) xpassed", tail)
+        nskip += (int(mx.group(1)) if mx else 0) + (int(mp.group(1)) if mp else 0)
         total_pass += npass
         total_fail += nfail + nerr
         total_skip += nskip

@@ -76,7 +76,11 @@ _DUR_ACC: dict[str, float] = {}
 
 
 def pytest_runtest_logreport(report):
-    if _DUR_OUT and report.when in ("setup", "call", "teardown"):
+    # call phase ONLY: session/module fixture setup (SparkSession startup,
+    # fixture builds) would otherwise be attributed to whichever test runs
+    # first in a shard, planting ~30 s phantom costs that anchor the LPT
+    # balance around arbitrary tests (r8 review finding).
+    if _DUR_OUT and report.when == "call":
         _DUR_ACC[report.nodeid] = _DUR_ACC.get(report.nodeid, 0.0) + report.duration
 
 
