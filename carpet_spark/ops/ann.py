@@ -591,6 +591,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def mmr(batches):
         lam, one_minus_lam, k = 0.7, 0.3, 10
+
+        def _round6_half_away(x):
+            # round-half-AWAY-from-zero at 6dp — the mode BOTH SQL engines
+            # use (DuckDB ROUND, Spark F.round); np.round is half-to-even
+            # and disagrees on exact 6dp midpoints (odd multiples of 2^-7
+            # such as 0.0078125 are representable midpoints).
+            return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -616,13 +623,15 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # in exact DECIMAL to 0.3 -- a 1-ulp pre-round divergence
                 # that a 7th-decimal midpoint score would round APART.
                 # With the identical double(0.3) on both sides the
-                # pre-round values are bit-identical, so the rounding
-                # agrees unconditionally (no float64 equals an exact
-                # 5e-7 grid midpoint, so round-half modes can't differ
-                # either).
-                mmr_score = np.round(
+                # pre-round values are bit-identical — and _round6_half_away
+                # below resolves exact 6dp midpoints (odd multiples of
+                # 2^-7 ARE representable, e.g. 0.0078125) the same
+                # half-away-from-zero direction as DuckDB's ROUND and
+                # Spark's F.round, where np.round's half-to-even would
+                # split a hash apart.
+                mmr_score = _round6_half_away(
                     lam * qs
-                    - one_minus_lam * (max_sim if selected else 0.0), 6
+                    - one_minus_lam * (max_sim if selected else 0.0)
                 )
                 mmr_score = np.where(picked, -np.inf, mmr_score)
                 # tie-break: highest score, then lowest vec_id (ids are
@@ -635,7 +644,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # as q_sim, so the oracle's fold-order dot products agree
                 # exactly (summation-order noise is ~1e-15, far under the
                 # 5e-7 rounding boundary)
-                max_sim = np.maximum(max_sim, np.round(mat @ mat[best], 6))
+                max_sim = np.maximum(
+                    max_sim, _round6_half_away(mat @ mat[best])
+                )
                 yield pd.DataFrame(
                     {
                         "sel_rank": [rank + 1],

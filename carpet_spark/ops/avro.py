@@ -361,7 +361,40 @@ def read_ocf_range(path: str, start: int, end: int,
         finally:
             f.close()
 
-    return schema, rows()
+    return schema, _ClosingRows(rows(), f)
+
+
+class _ClosingRows:
+    """Iterator wrapper guaranteeing the fd is released even when the
+    caller never drains the rows (task killed mid-plan, early error):
+    a never-started generator's ``close()`` skips its ``finally`` block,
+    so the bare generator alone would leak the fd until GC.  ``close()``
+    here (and ``__del__`` as a backstop) always closes the underlying
+    file; ``file.close()`` is idempotent, so the drained-generator path
+    double-closing is harmless."""
+
+    __slots__ = ("_gen", "_file")
+
+    def __init__(self, gen, file):
+        self._gen, self._file = gen, file
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._gen)
+
+    def close(self):
+        try:
+            self._gen.close()
+        finally:
+            self._file.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -466,7 +499,26 @@ def _py_converter(ftype):
             return None if v is None or pd.isna(v) else inner(v)
 
         return conv
-    base = {"long": int, "int": int, "double": float, "float": float,
+    if ftype in ("long", "int"):
+        # Nullable integer columns reach pandas as float64 (Arrow null
+        # int64 -> NaN float), and float64 only carries 53 bits of
+        # mantissa: a bare int(v) would SILENTLY round values with
+        # |v| > 2^53 (e.g. high-bit hash keys) before encoding.  Refuse
+        # loudly instead — callers with full-range longs must keep the
+        # column integer-typed (e.g. astype("Int64")) upstream.
+        def conv_int(v):
+            if isinstance(v, float):
+                if not v.is_integer() or not -2.0**53 <= v <= 2.0**53:
+                    raise ValueError(
+                        f"float {v!r} cannot round-trip to Avro {ftype}: "
+                        "non-integral or beyond float64's 2^53 exact-integer "
+                        "range (nullable int columns arrive as float64 — "
+                        "cast to pandas Int64 upstream for full-range longs)"
+                    )
+            return int(v)
+
+        return conv_int
+    base = {"double": float, "float": float,
             "boolean": bool, "string": str, "bytes": bytes}[ftype]
     return lambda v: base(v)
 

@@ -105,7 +105,17 @@ def main() -> int:
     if mc:
         n_collected = int(mc.group(1))
         n_ran = total_pass + total_fail + total_skip
-        if n_ran != n_collected:
+        if total_fail > 0:
+            # pytest reports a test that fails in call AND errors in
+            # teardown as both "1 failed" and "1 error", so on a red run
+            # n_ran can legitimately exceed the collection count — a
+            # strict compare would misdiagnose the failure as a sharding
+            # bug.  The gate is already failing (rc=1 above); reconcile
+            # strictly only when every shard is green.
+            print(f"reconciliation skipped on red run: {n_ran} counted vs "
+                  f"{n_collected} collected (fail/error overlap possible)",
+                  flush=True)
+        elif n_ran != n_collected:
             print(f"SHARD MISMATCH: shards ran {n_ran} tests but an "
                   f"unsharded collection finds {n_collected}", flush=True)
             rc = 1
