@@ -69,9 +69,11 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     6 groups → broadcast-sized result; the scan is the cost.  Filter pushes
     down to parquet row-group stats (l_shipdate max/min per row group).
-    Sums use the fixed-point long path (exprs.lsum — ~12x faster than the
-    decimal accumulator, exact within its documented |sum| <= 9.2e12 bound;
-    swap back to dsum for beyond-bound scale)."""
+    Sums use the fixed-point long path (exprs.lsum — primitive-long
+    accumulators, hi/lo-split so the merge is exact to ~2.2e12 rows per
+    group: a full 100 TB Q1 (~4e11 lineitem rows) fits with ~5x headroom;
+    beyond that the ANSI overflow aborts loudly and dsum is the unbounded
+    decimal path)."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
     )

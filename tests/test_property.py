@@ -173,9 +173,9 @@ def test_ann_ivf_query_first_and_recall(spark, sf_dir):
 
 def test_lsum_matches_dsum_on_money_columns(spark, sf_dir):
     """The fixed-point long sum (exprs.lsum) must be bit-identical to the
-    decimal path (exprs.dsum) for every money-shaped bench column while the
-    scaled accumulator is within its 9.2e12 bound — this is the contract
-    that lets the Q1 flagship use the 12x-faster path."""
+    decimal path (exprs.dsum) for every money-shaped bench column within
+    the hi/lo split's ~2.2e12 rows/group bound — this is the contract
+    that lets the Q1 flagship use the fast primitive-long path."""
     import pyspark.sql.functions as F
 
     from carpet_spark.exprs import dsum, lsum
@@ -204,6 +204,30 @@ def test_lsum_matches_dsum_on_money_columns(spark, sf_dir):
         dsum(F.col("c_acctbal")).alias("d"), lsum(F.col("c_acctbal")).alias("l")
     ).collect()[0]
     assert neg["d"] == neg["l"], (neg["d"], neg["l"])
+
+
+def test_lsum_exact_beyond_single_long_accumulator_bound(spark):
+    """r8 VERDICT "What's wrong #1" regression: a SINGLE long accumulator
+    for Σ round(x·1e6) overflows at |Σx| > 9.2e12 — the 100 TB Q1 shape.
+    The r9 hi/lo-split escalation (exprs._fp_split_sum) must return the
+    EXACT sum where the old path would have ANSI-aborted: 1.1M rows of
+    9e6 puts the scaled sum at 9.9e18 > 2^63."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.exprs import lsum
+
+    n, v = 1_100_000, 9_000_000.0
+    df = spark.range(n).select(F.lit(v).alias("x"))
+    got = df.agg(lsum(F.col("x")).alias("s")).collect()[0]["s"]
+    assert got == v * n, (got, v * n)  # 9.9e12 < 2^53: double holds it exactly
+
+    # signed variant: alternating ±9e6 with one extra positive row — the
+    # hi/lo parts go strongly negative too and must still merge exactly
+    df2 = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(v)).otherwise(F.lit(-v)).alias("x")
+    )
+    got2 = df2.agg(lsum(F.col("x")).alias("s")).collect()[0]["s"]
+    assert got2 == 0.0, got2
 
 
 def test_embedding_ann_dedup_precision_and_recall(spark, sf_dir):
