@@ -80,79 +80,72 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # other possible driver behavior) still maximizes coverage.  Every op here
 # was audited this round for array/map-typed output columns (none — the
 # driver canonicalizer cannot hash those, SURVEY §7.5).
-# Round-8 window (r07 VERDICT items 1+4): leads with the THREE
-# re-samples the judge explicitly demanded — stream_dedup_watermark and
-# stream_late_data (rows-only at their last driver appearance in r3;
-# promoted to hash oracles in r7, parity verified locally, never
-# driver-banked as hash rows) and sample_seeded (promoted to a hash
-# oracle THIS round: seeded Bernoulli reformulated as a deterministic
-# md5-threshold filter both engines compute identically) — then 47
-# never-driver-sampled ops straight off the queue head, preserving the
-# r02-verdict user-value ordering.  All 50 carry hash oracles (first
-# all-hash window).  Every op re-verified under the driver-faithful
-# pandas harness at sf0.01 AND sf0.001 before promotion
-# (scripts/driver_window_probe.py timings keep the window cheap).
+# Round-9 window (r08 VERDICT item 1): leads with the SIX force-includes
+# the judge demanded — dedup_near_simhash, sim_mmr_rerank, mm_phash_dedup
+# (all three promoted from rows-only to hash oracles in r8 AFTER their
+# last driver sample, so the upgrades are invisible until resampled:
+# md5-bit simhash / 6dp-grid recursive-CTE MMR twin / exact byte-level
+# phash recomputation) and the three r8 Avro ops (scan_avro,
+# sink_avro_roundtrip, scan_avro_schema_evolution — spec-conformant
+# against the bundled Apache Avro jars but never externally banked) —
+# then 44 never-driver-sampled ops straight off the queue head,
+# preserving the r02-verdict user-value ordering.  3 deliberate
+# re-samples, 47 first-time samples (cumulative driver coverage 389 →
+# 436 of 694 when green).  All 50 carry hash oracles (third consecutive
+# all-hash window).  Probed under the driver-faithful pandas harness at
+# sf0.01 AND sf0.001 before shipping (scripts/driver_window_probe.py).
 _PRIORITY_WINDOW = (
-    "stream_dedup_watermark",
-    "stream_late_data",
-    "sample_seeded",
-    "agg_sequence_detect",
-    "join_fanout_safe",
-    "agg_weighted_percentile",
-    "agg_new_vs_returning",
-    "agg_transition_matrix",
-    "sample_negative_pairs",
-    "agg_histogram_2d",
-    "sql_named_parameters",
-    "win_share_of_total",
-    "fn_rendezvous_hash_routing",
-    "agg_top_movers_wow",
-    "text_keywords_topk",
-    "ts_seasonal_naive_backtest",
-    "stream_checkpoint_resume",
-    "ts_rolling_active_users",
-    "profile_value_patterns",
-    "ts_local_peaks",
-    "agg_cramers_v",
-    "agg_audience_overlap",
-    "text_zipf_fit",
-    "win_drawdown",
-    "pii_vault_tokenize",
-    "agg_cohort_ltv",
-    "ts_window_custom_origin",
-    "set_union_by_name_evolution",
-    "join_ip_range_lookup",
-    "agg_user_path_topk",
-    "sample_systematic_every_nth",
-    "emb_outlier_scores",
-    "agg_hhi_concentration",
-    "ts_change_point_simple",
-    "agg_leadtime_sla",
-    "dq_referential_integrity",
-    "agg_abc_classification",
-    "agg_change_contribution",
-    "scan_versioned_time_travel",
-    "text_source_overlap",
-    "agg_survival_km",
-    "ts_control_chart_xmr",
-    "text_collocations_pmi",
-    "ts_activity_heatmap_dow_hour",
-    "agg_bootstrap_ci",
-    "sample_time_split",
-    "ts_seasonality_strength",
-    "agg_topk_share",
-    "agg_histogram_equidepth",
-    "dq_missingness_patterns",
+    "dedup_near_simhash",
+    "sim_mmr_rerank",
+    "mm_phash_dedup",
+    "scan_avro",
+    "sink_avro_roundtrip",
+    "scan_avro_schema_evolution",
+    "agg_trimmed_mean",
+    "agg_behavior_entropy",
+    "ts_latency_percentiles_hourly",
+    "agg_generalized_means",
+    "agg_allocation_by_share",
+    "text_readability_proxy",
+    "basket_lift_rules",
+    "stream_multi_source_union",
+    "agg_net_revenue_retention",
+    "agg_user_active_days_hist",
+    "ts_rsi_indicator",
+    "dedup_containment_pairs",
+    "agg_repeat_purchase_rate",
+    "ts_autocorrelation",
+    "dq_json_schema_check",
+    "pii_phone_normalize",
+    "dq_duplicate_payments",
+    "feature_minmax_scale",
+    "agg_price_volume_mix",
+    "dq_flatline_detection",
+    "scan_highwatermark_incremental",
+    "dq_sequence_gaps",
+    "ts_percentile_bands",
+    "pii_consent_filter",
+    "win_cross_sectional_zscore",
+    "agg_rank_stability_spearman",
+    "ab_effect_size_cohens_d",
+    "ab_sample_size_estimate",
+    "geo_bearing_distance",
+    "agg_rate_wilson_ci",
+    "ts_pacing_vs_target",
+    "text_tokenizer_fertility",
+    "join_record_linkage_scored",
+    "scan_multiformat_union",
+    "ts_runs_test",
+    "ts_classical_decompose",
+    "agg_ks_two_sample",
+    "agg_psi_drift",
+    "agg_mutual_information",
+    "fn_feature_hashing",
+    "agg_label_balance_report",
+    "emb_mixup_pairs",
+    "agg_segment_migration",
+    "emb_nearest_centroid_assign",
 )
-
-# Round-9 note: force-include `dedup_near_simhash`, `sim_mmr_rerank`,
-# and `mm_phash_dedup` at the HEAD of the r9 window — all three were
-# promoted from rows-only to hash oracles in r8 (md5 bit source /
-# 6dp-grid recursive-CTE twin / exact byte-level recomputation) AFTER
-# their last driver sample, so their upgrades are invisible until
-# resampled (the same reasoning the r7 verdict applied to the two
-# streaming promotions, which lead the r8 window).  `sample_seeded` and
-# the two avro ops are already hash-checked in the r8 window / queue.
 
 # Round-4+ queue (r02 VERDICT item 3): every op without a driver
 # CORRECTNESS row after the r3 window, in the order the next windows
@@ -166,27 +159,7 @@ _PRIORITY_WINDOW = (
 # promote the first 50 of this queue into _PRIORITY_WINDOW each round —
 # r4 through r7 finish the registry at the current size.
 _R4_QUEUE = (
-    "agg_trimmed_mean",
-    "agg_behavior_entropy", "ts_latency_percentiles_hourly",
-    "agg_generalized_means", "agg_allocation_by_share",
-    "text_readability_proxy", "basket_lift_rules",
-    "stream_multi_source_union", "agg_net_revenue_retention",
-    "agg_user_active_days_hist", "ts_rsi_indicator",
-    "dedup_containment_pairs", "agg_repeat_purchase_rate", "ts_autocorrelation",
-    "dq_json_schema_check", "pii_phone_normalize",
-    "dq_duplicate_payments", "feature_minmax_scale",
-    "agg_price_volume_mix", "dq_flatline_detection",
-    "scan_highwatermark_incremental", "dq_sequence_gaps",
-    "ts_percentile_bands", "pii_consent_filter",
-    "win_cross_sectional_zscore", "agg_rank_stability_spearman",
-    "ab_effect_size_cohens_d", "ab_sample_size_estimate",
-    "geo_bearing_distance", "agg_rate_wilson_ci",
-    "ts_pacing_vs_target", "text_tokenizer_fertility", "join_record_linkage_scored",
-    "scan_multiformat_union", "ts_runs_test",
-    "ts_classical_decompose", "agg_ks_two_sample",
-    "agg_psi_drift", "agg_mutual_information",
-    "fn_feature_hashing", "agg_label_balance_report", "emb_mixup_pairs",
-    "agg_segment_migration", "emb_nearest_centroid_assign", "ts_trend_ols",
+    "ts_trend_ols",
     "agg_skyline_pareto", "dq_cross_field_rules",
     "dq_rowcount_anomaly_daily", "ab_two_proportion_ztest",
     "agg_corr_matrix", "sample_importance_weighted",
@@ -323,8 +296,8 @@ _R4_QUEUE = (
     "scan_python_datasource_pushdown",
     # --- round-7 in-session additions (arrival order) ---
     "mm_image_channel_stats",
-    # --- round-8 in-session additions (arrival order) ---
-    "scan_avro", "sink_avro_roundtrip", "scan_avro_schema_evolution",
+    # (the three round-8 Avro additions moved to the r9 window head as
+    # force-includes per the r8 verdict)
 )
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
@@ -536,9 +509,39 @@ _R07_VERIFIED = frozenset(
 )
 
 
+# The 50 ops the driver sampled green in round 8 (CORRECTNESS_r08 keys —
+# a PERFECT 50/50 hash-pass window, including the three deliberate
+# re-samples stream_dedup_watermark / stream_late_data / sample_seeded
+# now hash-banked) — parked at the tail.
+_R08_VERIFIED = frozenset(
+    {
+        "stream_dedup_watermark", "stream_late_data", "sample_seeded",
+        "agg_sequence_detect", "join_fanout_safe", "agg_weighted_percentile",
+        "agg_new_vs_returning", "agg_transition_matrix",
+        "sample_negative_pairs", "agg_histogram_2d", "sql_named_parameters",
+        "win_share_of_total", "fn_rendezvous_hash_routing",
+        "agg_top_movers_wow", "text_keywords_topk",
+        "ts_seasonal_naive_backtest", "stream_checkpoint_resume",
+        "ts_rolling_active_users", "profile_value_patterns", "ts_local_peaks",
+        "agg_cramers_v", "agg_audience_overlap", "text_zipf_fit",
+        "win_drawdown", "pii_vault_tokenize", "agg_cohort_ltv",
+        "ts_window_custom_origin", "set_union_by_name_evolution",
+        "join_ip_range_lookup", "agg_user_path_topk",
+        "sample_systematic_every_nth", "emb_outlier_scores",
+        "agg_hhi_concentration", "ts_change_point_simple", "agg_leadtime_sla",
+        "dq_referential_integrity", "agg_abc_classification",
+        "agg_change_contribution", "scan_versioned_time_travel",
+        "text_source_overlap", "agg_survival_km", "ts_control_chart_xmr",
+        "text_collocations_pmi", "ts_activity_heatmap_dow_hour",
+        "agg_bootstrap_ci", "sample_time_split", "ts_seasonality_strength",
+        "agg_topk_share", "agg_histogram_equidepth", "dq_missingness_patterns",
+    }
+)
+
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
-    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED
+    | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
 )
 
 
