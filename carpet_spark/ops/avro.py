@@ -107,7 +107,9 @@ def _field_codec(ftype):
         ftype = ftype["type"]
     if isinstance(ftype, list):  # ["null", T] union
         if len(ftype) != 2 or "null" not in ftype:
-            raise NotImplementedError(f"only [null, T] unions: {ftype}")
+            raise NotImplementedError(
+                f"only [null, T] unions: {ftype} — see COVERAGE.md 'Format-support ceilings'"
+            )
         inner = [t for t in ftype if t != "null"][0]
         enc_i, dec_i = _field_codec(inner)
 
@@ -151,7 +153,9 @@ def _field_codec(ftype):
                 *_read_bytes(data, pos)
             ),
         )
-    raise NotImplementedError(f"avro type not vendored: {ftype}")
+    raise NotImplementedError(
+        f"avro type not vendored: {ftype} — see COVERAGE.md 'Format-support ceilings'"
+    )
 
 
 def _record_codecs(schema: dict):
@@ -165,7 +169,9 @@ def write_ocf(path: str, schema: dict, rows, codec: str = "null",
     """Write an Avro Object Container File; returns the row count.
     ``rows`` is an iterable of tuples in schema field order."""
     if codec not in ("null", "deflate"):
-        raise NotImplementedError(f"avro codec not vendored: {codec}")
+        raise NotImplementedError(
+            f"avro codec not vendored: {codec} — see COVERAGE.md 'Format-support ceilings'"
+        )
     _, codecs = _record_codecs(schema)
     sync = uuid.uuid5(uuid.NAMESPACE_OID, os.path.basename(path)).bytes
     out = io.BytesIO()
@@ -232,7 +238,9 @@ def _parse_header(data: bytes):
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
-        raise NotImplementedError(f"avro codec not vendored: {codec}")
+        raise NotImplementedError(
+            f"avro codec not vendored: {codec} — see COVERAGE.md 'Format-support ceilings'"
+        )
     sync = data[pos : pos + 16]
     return schema, codec, sync, pos + 16
 

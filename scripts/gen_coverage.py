@@ -166,6 +166,48 @@ def main() -> None:
             f"rows-only rationale out of date: undocumented={sorted(undocumented)} "
             f"stale={sorted(stale)} — update ROWS_ONLY_RATIONALE"
         )
+    lines.append("")
+    lines.append("## Format-support ceilings (environment-bounded, r9)")
+    lines.append("")
+    lines.append(
+        "Recorded decisions, not omissions — each is the honest ceiling of "
+        "an OFFLINE container (no pip/apt), and the code fails LOUDLY at "
+        "the boundary with a NotImplementedError that references this "
+        "section:"
+    )
+    lines.append("")
+    lines.append(
+        "- **Avro `snappy` codec** (carpet_spark/ops/avro.py): the vendored "
+        "OCF codec ships `null` and `deflate` (zlib is stdlib).  Snappy — "
+        "Kafka's common default — requires python-snappy, which is not "
+        "installed and not installable offline; there is no stdlib snappy "
+        "decoder, and vendoring a from-scratch one would be a compression "
+        "library, not an analytics operator.  A file written with "
+        "`avro.codec: snappy` raises at header parse with the codec named.  "
+        "On a real cluster: `pip install python-snappy` and add one "
+        "decompress branch next to the deflate one (the block framing is "
+        "already codec-agnostic)."
+    )
+    lines.append(
+        "- **Avro nested types** (record/array/map/enum/fixed, multi-branch "
+        "unions): the vendored codec covers the primitive tabular subset "
+        "+ `[null, T]` unions + timestamp-micros — the shape a DataFrame "
+        "column can hold without a struct flattening convention.  Nested "
+        "Avro is well-specified but its faithful mapping to Spark types "
+        "(and to the DuckDB oracle's column model) is a design decision "
+        "beyond the r8 exception's scope; files carrying them raise at "
+        "schema parse with the offending type named.  The production path "
+        "for nested Avro remains the official `spark-avro` package, which "
+        "this source intentionally mirrors at the API level (path + "
+        "reader-schema options) to keep the swap mechanical."
+    )
+    lines.append(
+        "- **JPEG/PNG decode** (carpet_spark/ops/multimodal.py:127-159): no "
+        "PIL in the container; mm_* ops use real vendored PPM/PGM/BMP "
+        "decoders plus a clearly-labeled deterministic fake-pixel path for "
+        "other formats (documented since r7; listed here so every "
+        "environment ceiling lives in one section)."
+    )
     with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"COVERAGE.md: {len(REGISTRY)} ops, missing={sorted(missing) or 'none'}")

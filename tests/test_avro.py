@@ -328,3 +328,82 @@ def test_resolution_composes_with_range_splits(tmp_path):
         _, it = read_ocf_range(p, s, min(s + 137, size), reader_schema=reader)
         got.extend(it)
     assert got == [(i, "t") for i in range(1000)]
+
+
+# ---------------------------------------------------------------------------
+# Hostile binary payloads (r9, r8 VERDICT item 3): bytes fields carrying
+# the file's OWN 16-byte sync marker, the OCF magic, NUL/0xFF runs, and
+# newline soup.  write_ocf's sync is deterministic per basename
+# (uuid5(NAMESPACE_OID, basename)), so the test embeds the real marker
+# BEFORE writing.  With deflate the on-disk stream is compressed, so the
+# embedded marker does not appear verbatim and ranged reads stay exact at
+# every split size; with codec=null the payload IS verbatim on disk —
+# the sequential full-file walker must still be immune (it trusts block
+# counts and only VERIFIES the sync at block ends, never searches), which
+# is the same 2^-128 acceptance every Avro reader makes for seeks.
+# ---------------------------------------------------------------------------
+
+
+def _hostile_binary_rows(sync: bytes, n: int = 400):
+    battery = [
+        sync,                            # the file's own sync marker, alone
+        b"x" * 7 + sync + b"y" * 9,      # marker mid-payload
+        sync * 3,                        # repeated marker
+        b"Obj\x01",                      # OCF magic
+        b"\x00" * 32,                    # NUL run
+        b"\xff" * 32,                    # 0xFF run (varint continuation bait)
+        b"\n\r\n\t",                     # newline soup
+        b"",                             # empty bytes
+    ]
+    return [
+        (
+            i,
+            None if i % 7 == 0 else f"h{i}",
+            i * 0.25,
+            i % 2 == 0,
+            battery[i % len(battery)],
+        )
+        for i in range(n)
+    ]
+
+
+def test_deflate_roundtrip_with_sync_collision_payloads(tmp_path):
+    import os
+    import uuid as _uuid
+
+    name = "hostile_sync.avro"
+    p = str(tmp_path / name)
+    sync = _uuid.uuid5(_uuid.NAMESPACE_OID, name).bytes
+    rows = _hostile_binary_rows(sync)
+    write_ocf(p, SCHEMA, iter(rows), codec="deflate", block_rows=53)
+    # full sequential read
+    assert read_ocf(p)[1] == rows
+    # ranged reads partition exactly at every split size — the compressed
+    # stream carries no verbatim marker bytes, so seeks cannot mis-hit
+    size = os.path.getsize(p)
+    for split in (13, 256, 1777, 10**9):
+        got = []
+        for s in range(0, size, split):
+            _, it = read_ocf_range(p, s, min(s + split, size))
+            got.extend(it)
+        assert got == rows, f"split={split}: {len(got)} vs {len(rows)}"
+
+
+def test_null_codec_sequential_read_immune_to_collisions(tmp_path):
+    import os
+    import uuid as _uuid
+
+    name = "hostile_sync_null.avro"
+    p = str(tmp_path / name)
+    sync = _uuid.uuid5(_uuid.NAMESPACE_OID, name).bytes
+    rows = _hostile_binary_rows(sync)
+    write_ocf(p, SCHEMA, iter(rows), codec="null", block_rows=53)
+    raw = open(p, "rb").read()
+    # the hazard is REAL in this file: the marker appears verbatim inside
+    # payload bytes, far more often than the 16-byte block delimiters
+    assert raw.count(sync) > len(rows) // len(_hostile_binary_rows(sync, 8))
+    # ...and the sequential walker reads it back exactly anyway
+    assert read_ocf(p)[1] == rows
+    # single full-range read takes the pos=body path (no find()) — exact too
+    _, it = read_ocf_range(p, 0, os.path.getsize(p))
+    assert list(it) == rows
