@@ -39,7 +39,16 @@ ROWS_ONLY_RATIONALE = [
      "±5% vs exact COUNT(DISTINCT), tests/test_property.py"),
     ("agg_approx_percentile",
      "KLL/GK sketch: engine-specific quantile summaries give different "
-     "(both valid) answers at the same accuracy parameter",
+     "(both valid) answers at the same accuracy parameter.  Mixed-mode "
+     "promotion analyzed and rejected in r9 (r8 VERDICT item 7): the "
+     "driver's canonicalizer hashes EVERY output column, so adding an "
+     "exact-percentile twin column would still hash-fail on the sketch "
+     "column beside it — there is no per-column verdict channel; and "
+     "dropping/bucketing the sketch column to force agreement would stop "
+     "testing approx_percentile at all (the semantics-change trap "
+     "COVERAGE.md's sim_ann_lsh note names).  The property test already "
+     "pins the sketch to the exact percentile within its rank-error bound, "
+     "which is precisely the guarantee the sketch makes",
      "rank-error bound vs exact percentile, tests/test_property.py"),
     ("agg_hll_merge",
      "merges Spark-native hll_sketch_agg binary sketches; DuckDB cannot "
