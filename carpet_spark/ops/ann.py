@@ -593,11 +593,20 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam, one_minus_lam, k = 0.7, 0.3, 10
 
         def _round6_half_away(x):
-            # round-half-AWAY-from-zero at 6dp — the mode BOTH SQL engines
-            # use (DuckDB ROUND, Spark F.round); np.round is half-to-even
-            # and disagrees on exact 6dp midpoints (odd multiples of 2^-7
-            # such as 0.0078125 are representable midpoints).
-            return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+            # round-half-AWAY-from-zero on the correctly-rounded scaled
+            # double a = fl(|x|*1e6) — the same quantity DuckDB's ROUND
+            # rounds, so the two agree on every reachable input (verified
+            # on exact 6dp midpoints such as 0.0078125, binade-boundary
+            # neighborhoods, and a random battery).  np.round is
+            # half-to-even and disagrees on exact midpoints; the naive
+            # floor(a + 0.5) form additionally double-rounds UP when a is
+            # the predecessor of 0.5 (the one double where ulp(a) <
+            # ulp(a+0.5) puts a representable point inside the hazard
+            # window) — the frac comparison below is exact for a < 2^52
+            # and has neither failure mode.
+            a = np.abs(x) * 1e6
+            fl = np.floor(a)
+            return np.copysign(fl + (a - fl >= 0.5), x) / 1e6
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -342,10 +342,16 @@ def read_ocf_range(path: str, start: int, end: int,
 
     f = open(path, "rb")
     try:
-        data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-    except ValueError:  # zero-length file: mmap refuses, bytes suffice
-        data = f.read()
-    schema, codec, sync, body = _parse_header(data)
+        try:
+            data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file: mmap refuses, bytes suffice
+            data = f.read()
+        schema, codec, sync, body = _parse_header(data)
+    except BaseException:
+        # header mmap/parse failed (corrupt file, unvendored codec):
+        # release the fd before re-raising — no generator owns it yet
+        f.close()
+        raise
     if end <= body:
         f.close()
         return schema, iter(())  # split entirely inside the header
@@ -516,7 +522,9 @@ def _py_converter(ftype):
         # column integer-typed (e.g. astype("Int64")) upstream.
         def conv_int(v):
             if isinstance(v, float):
-                if not v.is_integer() or not -2.0**53 <= v <= 2.0**53:
+                # STRICT bound: ±2^53 itself is ambiguous (2^53 + 1
+                # already rounded to it upstream), so refuse it too
+                if not v.is_integer() or not -2.0**53 < v < 2.0**53:
                     raise ValueError(
                         f"float {v!r} cannot round-trip to Avro {ftype}: "
                         "non-integral or beyond float64's 2^53 exact-integer "

@@ -344,8 +344,8 @@ def test_resolution_composes_with_range_splits(tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _hostile_binary_rows(sync: bytes, n: int = 400):
-    battery = [
+def _hostile_battery(sync: bytes):
+    return [
         sync,                            # the file's own sync marker, alone
         b"x" * 7 + sync + b"y" * 9,      # marker mid-payload
         sync * 3,                        # repeated marker
@@ -355,6 +355,10 @@ def _hostile_binary_rows(sync: bytes, n: int = 400):
         b"\n\r\n\t",                     # newline soup
         b"",                             # empty bytes
     ]
+
+
+def _hostile_binary_rows(sync: bytes, n: int = 400):
+    battery = _hostile_battery(sync)
     return [
         (
             i,
@@ -401,7 +405,10 @@ def test_null_codec_sequential_read_immune_to_collisions(tmp_path):
     raw = open(p, "rb").read()
     # the hazard is REAL in this file: the marker appears verbatim inside
     # payload bytes, far more often than the 16-byte block delimiters
-    assert raw.count(sync) > len(rows) // len(_hostile_binary_rows(sync, 8))
+    # rows cycle through the battery, and 3 of its entries embed the
+    # marker (one of them 3x) -> >= 5 verbatim hits per battery cycle,
+    # far above the ~len(rows)/53 genuine block delimiters
+    assert raw.count(sync) > len(rows) // len(_hostile_battery(sync))
     # ...and the sequential walker reads it back exactly anyway
     assert read_ocf(p)[1] == rows
     # single full-range read takes the pos=body path (no find()) — exact too

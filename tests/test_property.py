@@ -221,13 +221,16 @@ def test_lsum_exact_beyond_single_long_accumulator_bound(spark):
     got = df.agg(lsum(F.col("x")).alias("s")).collect()[0]["s"]
     assert got == v * n, (got, v * n)  # 9.9e12 < 2^53: double holds it exactly
 
-    # signed variant: alternating ±9e6 with one extra positive row — the
-    # hi/lo parts go strongly negative too and must still merge exactly
-    df2 = spark.range(n).select(
+    # signed variant: alternating ±9e6 over an ODD row count, so the two
+    # signs imbalance by exactly one row — Σhi carries a large negative
+    # partial and Σlo a large positive one (lo is always in [0, 2^22) in
+    # the two's-complement split) and the decimal merge must still
+    # produce the exact +9e6
+    df2 = spark.range(n + 1).select(
         F.when(F.col("id") % 2 == 0, F.lit(v)).otherwise(F.lit(-v)).alias("x")
     )
     got2 = df2.agg(lsum(F.col("x")).alias("s")).collect()[0]["s"]
-    assert got2 == 0.0, got2
+    assert got2 == v, (got2, v)
 
 
 def test_embedding_ann_dedup_precision_and_recall(spark, sf_dir):
