@@ -110,12 +110,32 @@ def _fp_split_sum(col: Column) -> Column:
     per-row ops — arithmetic shift is floor-division by 2^22 and the
     mask is the matching two's-complement remainder in [0, 2^22), so
     fp == hi·2^22 + lo holds for every sign."""
-    fp = _fp_long(col)
+    return fp_split_sum_of(_fp_long(col))
+
+
+def fp_split_sum_of(fp: Column) -> Column:
+    """Exact Σ of an ALREADY fixed-point-scaled long column as
+    decimal(38,0) — the building block behind lsum for ops that
+    construct their own per-row scaled long (conditional sums,
+    second-level rollups, ratio numerators).  Same hi/lo contract as
+    _fp_split_sum: exact to ~2.2e12 rows per group at |fp| ≲ 1.1e11."""
     hi = F.shiftright(fp, 22)
     lo = fp.bitwiseAND(F.lit(_SPLIT - 1))
     return (
         F.sum(hi).cast("decimal(38,0)") * F.lit(_SPLIT)
         + F.sum(lo).cast("decimal(38,0)")
+    )
+
+
+def fp_split_sum_over(fp: Column, w) -> Column:
+    """Windowed twin of fp_split_sum_of: exact Σ fp OVER w as
+    decimal(38,0) — for running/share-of-total shapes where the frame
+    can hold a scale-proportional row count."""
+    hi = F.shiftright(fp, 22)
+    lo = fp.bitwiseAND(F.lit(_SPLIT - 1))
+    return (
+        F.sum(hi).over(w).cast("decimal(38,0)") * F.lit(_SPLIT)
+        + F.sum(lo).over(w).cast("decimal(38,0)")
     )
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import fp_scaled_long, lsum
+from ..exprs import fp_scaled_long, fp_split_sum_of, fp_split_sum_over, lsum
 from ..registry import register
 from ..tables import load
 
@@ -1017,15 +1017,21 @@ def agg_partial_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's own partial/final HashAggregate contract, materialized
     across runs instead of across tasks."""
     ev = load(spark, sf_dir, "events")
+    # partial sums carry the hi/lo-split exact decimal(38,0) total
+    # (exprs.fp_split_sum_of): a day×type partial at 100 TB holds ~1e9
+    # rows and the weekly re-merge adds partials, so both levels stay
+    # exact without a single-long accumulator's 9.2e18 cliff — and
+    # decimal partials still MERGE algebraically, which is the whole
+    # point of the op
+    fp6 = (
+        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+    ).cast("long")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("p_n"),
-        F.sum(
-            (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long")))
-            .cast("long")
-        ).alias("p_sum6"),
+        fp_split_sum_of(fp6).alias("p_sum6"),
         F.min("user_id").alias("p_min"),
         F.max("user_id").alias("p_max"),
     )
@@ -1446,9 +1452,17 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
-    rev6 = F.sum(
-        (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
-    ).cast("long")
+    # per-nation revenue is a scale-proportional group (~6e9 rows at
+    # 100 TB x fp<=5.5e11 o_totalprice overflows a single long) — the
+    # hi/lo-split exact decimal sum has no cliff; the window sum adds
+    # <=25 exact decimals and the share divides their double images,
+    # bit-identical to the previous long->double promotion
+    rev6 = fp_split_sum_of(
+        (
+            F.signum("o_totalprice")
+            * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
+        ).cast("long")
+    )
     nation_rev = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -1458,7 +1472,7 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(rev6.alias("rev6"))
     )
     wr = Window.partitionBy("regionkey")
-    share = F.col("rev6") / F.sum("rev6").over(wr).cast("double")
+    share = F.col("rev6").cast("double") / F.sum("rev6").over(wr).cast("double")
     return (
         nation_rev.select("regionkey", share.alias("share"))
         .groupBy("regionkey")
@@ -1661,6 +1675,10 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_gini_coefficient argument — range-partition the sort if |parts|
     outgrows a task); output is 3 rows."""
     li = load(spark, sf_dir, "lineitem")
+    # per-part sums stay single-long (≈30 rows/part at any SF ⇒
+    # rev6 ≤ ~3e12, far under 2^63); every sum OVER the part space —
+    # cumulative, total, per-class — is scale-proportional and uses the
+    # hi/lo-split exact decimal form instead (exprs.fp_split_sum_*)
     part_rev = li.groupBy("l_partkey").agg(
         F.sum(
             (F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))).cast("long")
@@ -1673,8 +1691,8 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.partitionBy()
     ranked = part_rev.select(
         "rev6",
-        F.sum("rev6").over(wc).alias("cum6"),
-        F.sum("rev6").over(wall).alias("total6"),
+        fp_split_sum_over(F.col("rev6"), wc).alias("cum6"),
+        fp_split_sum_over(F.col("rev6"), wall).alias("total6"),
     )
     cls = (
         F.when(F.col("cum6") <= 0.8 * F.col("total6"), "A")
@@ -1687,7 +1705,9 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.round(
-                F.sum("rev6") / F.max("total6").cast("double"), 6
+                fp_split_sum_of(F.col("rev6")).cast("double")
+                / F.max("total6").cast("double"),
+                6,
             ).alias("revenue_share"),
         )
     )
@@ -1758,8 +1778,15 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1970-01-01").cast("date"),
         ).alias("dnum")
     ).agg(
-        F.sum(
-            (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+        # per-day exact decimal total (hi/lo split): the replicate-level
+        # Σ(w·v6) below adds ~1000 day totals of up to ~2e18 each at
+        # 100 TB — a single-long accumulator would overflow there, while
+        # decimal products/sums stay exact
+        fp_split_sum_of(
+            (
+                F.signum("value")
+                * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+            ).cast("long")
         ).alias("v6")
     )
     reps = spark.range(100).select(F.col("id").alias("b"))
@@ -1835,12 +1862,16 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
         ).alias("rev6")
     )
+    # per-customer rev6 stays single-long (~10 orders/customer); the
+    # grand total over the whole customer axis is scale-proportional —
+    # hi/lo-split exact decimal (the top-10/top-100 numerators sum ≤100
+    # bounded longs and stay single-long)
     ranked = cust.select(
         "rev6",
         F.row_number()
         .over(Window.orderBy(F.col("rev6").desc(), F.col("o_custkey")))
         .alias("rk"),
-        F.sum("rev6").over(Window.partitionBy()).alias("total6"),
+        fp_split_sum_over(F.col("rev6"), Window.partitionBy()).alias("total6"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("n_cust"),
     )
     return ranked.agg(
@@ -2411,8 +2442,11 @@ def agg_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
         .agg(
-            F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("r1_6"),
-            F.sum(F.when(~p1, r6).otherwise(0)).cast("long").alias("r2_6"),
+            # per-nation groups are scale-proportional (~6e9 orders each
+            # at 100 TB) — hi/lo-split exact decimal sums; downstream
+            # only orders/compares/differences them, sign-preserving
+            fp_split_sum_of(F.when(p1, r6).otherwise(0)).alias("r1_6"),
+            fp_split_sum_of(F.when(~p1, r6).otherwise(0)).alias("r2_6"),
         )
     )
     ranked = per.select(
@@ -3207,17 +3241,19 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         )
 
+    # the flag axis has ~3 GLOBAL groups over lineitem — exact decimal
+    # split sums (a single long overflows at ~8.7e7 rows/group)
     return clamped.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("clamped").cast("long").alias("n_clamped"),
         F.round(
-            F.sum(fp6(F.col("x"))).cast("double")
+            fp_split_sum_of(fp6(F.col("x"))).cast("double")
             / 1000000
             / F.count(F.lit(1)),
             6,
         ).alias("raw_mean"),
         F.round(
-            F.sum(fp6(F.col("xw"))).cast("double")
+            fp_split_sum_of(fp6(F.col("xw"))).cast("double")
             / 1000000
             / F.count(F.lit(1)),
             6,
@@ -3694,8 +3730,11 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey")
         .agg(
-            F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("r1_6"),
-            F.sum(F.when(~p1, r6).otherwise(0)).cast("long").alias("r2_6"),
+            # per-nation groups are scale-proportional (~6e9 orders each
+            # at 100 TB) — hi/lo-split exact decimal sums; downstream
+            # only orders/compares/differences them, sign-preserving
+            fp_split_sum_of(F.when(p1, r6).otherwise(0)).alias("r1_6"),
+            fp_split_sum_of(F.when(~p1, r6).otherwise(0)).alias("r2_6"),
         )
     )
     a = per.select(
