@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..exprs import fp_split_sum_of, fp_split_sum_over
 from ..registry import register
 from ..tables import load
 
@@ -1200,8 +1201,14 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("week_offset"),
         )
         .agg(
-            F.sum(
-                (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+            # cohort-week cells are scale-proportional and the running
+            # LTV window re-adds ~100 of them — exact decimal split sum
+            # (window F.sum over decimals is then exact by itself)
+            fp_split_sum_of(
+                (
+                    F.signum("value")
+                    * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
+                ).cast("long")
             ).alias("rev6")
         )
     )
@@ -1435,13 +1442,16 @@ def agg_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("period"),
         v6.alias("v6"),
     )
+    # |types| groups over ALL events — exact decimal split sums; the
+    # deltas/ratios below difference exact decimals then go double at
+    # the same points as the previous long arithmetic
     per = halves.groupBy("event_type").agg(
-        F.sum(F.when(F.col("period") == "p1", F.col("v6")).otherwise(0))
-        .cast("long")
-        .alias("p1_6"),
-        F.sum(F.when(F.col("period") == "p2", F.col("v6")).otherwise(0))
-        .cast("long")
-        .alias("p2_6"),
+        fp_split_sum_of(
+            F.when(F.col("period") == "p1", F.col("v6")).otherwise(0)
+        ).alias("p1_6"),
+        fp_split_sum_of(
+            F.when(F.col("period") == "p2", F.col("v6")).otherwise(0)
+        ).alias("p2_6"),
     )
     tot = per.agg(F.sum(F.col("p2_6") - F.col("p1_6")).alias("tdelta6"))
     return per.join(F.broadcast(tot)).select(
@@ -1733,31 +1743,45 @@ def agg_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p2_6"),
         )
     )
+    # per-user partials stay single-long (bounded rows/user at any SF);
+    # every bridge term sums those longs over the WHOLE customer base —
+    # exact decimal split sums, converted to double at the same /1e6
+    # display points as before
     p1, p2 = F.col("p1_6"), F.col("p2_6")
-    base = F.sum(F.when(p1 > 0, p1).otherwise(0))
-    retained = F.sum(F.when(p1 > 0, p2).otherwise(0))
+    base = fp_split_sum_of(F.when(p1 > 0, p1).otherwise(0))
+    retained = fp_split_sum_of(F.when(p1 > 0, p2).otherwise(0))
     return per.agg(
         F.round(base / 1e6, 6).alias("base_revenue"),
         F.round(retained / 1e6, 6).alias("retained_revenue"),
         # NULLIF guard (NULL-regime sweep): a window with no period-1
         # revenue zeroes the base — ANSI Spark throws, DuckDB infs;
         # NRR is undefined (NULL) with no base on both sides
-        F.round(retained / F.nullif(base.cast("double"), F.lit(0.0)), 6).alias("nrr"),
         F.round(
-            F.sum(F.when((p1 > 0) & (p2 > p1), p2 - p1).otherwise(0)) / 1e6, 6
+            retained.cast("double")
+            / F.nullif(base.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("nrr"),
+        F.round(
+            fp_split_sum_of(F.when((p1 > 0) & (p2 > p1), p2 - p1).otherwise(0))
+            / 1e6,
+            6,
         ).alias("expansion"),
         F.round(
-            F.sum(
+            fp_split_sum_of(
                 F.when((p1 > 0) & (p2 < p1) & (p2 > 0), p1 - p2).otherwise(0)
             )
             / 1e6,
             6,
         ).alias("contraction"),
         F.round(
-            F.sum(F.when((p1 > 0) & (p2 == 0), p1).otherwise(0)) / 1e6, 6
+            fp_split_sum_of(F.when((p1 > 0) & (p2 == 0), p1).otherwise(0))
+            / 1e6,
+            6,
         ).alias("churned"),
         F.round(
-            F.sum(F.when((p1 == 0) & (p2 > 0), p2).otherwise(0)) / 1e6, 6
+            fp_split_sum_of(F.when((p1 == 0) & (p2 > 0), p2).otherwise(0))
+            / 1e6,
+            6,
         ).alias("new_revenue"),
     )
 
@@ -1857,8 +1881,12 @@ def agg_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("repeat_rate"),
         F.round(
-            F.sum(F.when(rep, F.col("rev6")).otherwise(0))
-            / F.sum("rev6").cast("double"),
+            # revenue numerator/denominator sum per-customer longs over
+            # the WHOLE base — exact decimal split sums
+            fp_split_sum_of(F.when(rep, F.col("rev6")).otherwise(0)).cast(
+                "double"
+            )
+            / fp_split_sum_of(F.col("rev6")).cast("double"),
             6,
         ).alias("repeat_revenue_share"),
     )
@@ -1917,11 +1945,14 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     period1 = F.col("l_orderkey") % 2 == 0
     q = F.round("l_quantity").cast("long")
     r6 = (F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+    # 3 returnflag groups over ALL of lineitem: quantity sums stay long
+    # (q<=50/row keeps Σ under 2^63 past 1e17 rows) but the 1e6-scaled
+    # revenue sums need the exact decimal split
     per = li.groupBy("l_returnflag").agg(
         F.sum(F.when(period1, q).otherwise(0)).cast("long").alias("q1"),
         F.sum(F.when(~period1, q).otherwise(0)).cast("long").alias("q2"),
-        F.sum(F.when(period1, r6).otherwise(0)).cast("long").alias("r1_6"),
-        F.sum(F.when(~period1, r6).otherwise(0)).cast("long").alias("r2_6"),
+        fp_split_sum_of(F.when(period1, r6).otherwise(0)).alias("r1_6"),
+        fp_split_sum_of(F.when(~period1, r6).otherwise(0)).alias("r2_6"),
     )
     # NULLIF guards (degenerate sweep): a segment with all its volume in
     # one period zeroes the other period's quantity — ANSI Spark throws,
@@ -2643,7 +2674,9 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_credits"),
-            (F.sum("credit6").cast("long").cast("double") / 1000000).alias(
+            # per-channel credit totals span the whole conversion volume
+            # (3 channel groups) — exact decimal split sum
+            (fp_split_sum_of(F.col("credit6")).cast("double") / 1000000).alias(
                 "credited_revenue"
             ),
         )
@@ -2932,11 +2965,14 @@ def agg_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     wall = Window.partitionBy()
+    # cumulative/total revenue windows run over the WHOLE part axis —
+    # exact decimal split sums (the integer cross-multiplied class cuts
+    # compare decimals exactly; per-part partials stay single-long)
     abc = per_part.select(
         "l_partkey",
         "r6",
-        F.sum("r6").over(wcum).cast("long").alias("cum6"),
-        F.sum("r6").over(wall).cast("long").alias("tot6"),
+        fp_split_sum_over(F.col("r6"), wcum).alias("cum6"),
+        fp_split_sum_over(F.col("r6"), wall).alias("tot6"),
     )
     var_num = F.col("n") * (
         F.col("n") * F.col("sq2") - F.col("sq") * F.col("sq")
@@ -2956,13 +2992,17 @@ def agg_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         classed.groupBy("abc_class", "xyz_class")
-        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("r6").cast("long").alias("_r6"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            fp_split_sum_of(F.col("r6")).alias("_r6"),
+        )
         .select(
             "abc_class",
             "xyz_class",
             "n_parts",
             F.round(
-                F.col("_r6") / F.sum("_r6").over(Window.partitionBy()).cast("double"),
+                F.col("_r6").cast("double")
+                / F.sum("_r6").over(Window.partitionBy()).cast("double"),
                 6,
             ).alias("revenue_share"),
         )
@@ -3102,11 +3142,13 @@ def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp6(F.col("l_extendedprice")).alias("p6"),
         fp6(F.col("l_quantity")).alias("q6"),
     )
+    # GLOBAL first moments over all of lineitem — exact decimal split
+    # sums (the second moments were already decimal(38,0) products)
     stats = fp.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("p6").cast("long").alias("sp"),
+        fp_split_sum_of(F.col("p6")).alias("sp"),
         F.sum(F.col("p6").cast("decimal(38,0)") * F.col("p6")).alias("sp2"),
-        F.sum("q6").cast("long").alias("sq"),
+        fp_split_sum_of(F.col("q6")).alias("sq"),
         F.sum(F.col("q6").cast("decimal(38,0)") * F.col("q6")).alias("sq2"),
     )
 
@@ -3194,7 +3236,7 @@ def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     moments = tagged.groupBy("segment", "arm").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v6").cast("long").alias("sv"),
+        fp_split_sum_of(F.col("v6")).alias("sv"),  # arm/segment cells are scale-proportional: exact decimal split
         F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("sv2"),
     )
     a = moments.filter(F.col("arm") == "a").select(
@@ -3326,7 +3368,7 @@ def ab_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = tagged.groupBy("arm", "period").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v6").cast("long").alias("sv"),
+        fp_split_sum_of(F.col("v6")).alias("sv"),  # arm/segment cells are scale-proportional: exact decimal split
         F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("sv2"),
     )
 
@@ -3590,8 +3632,10 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     mom = per_user.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("pre6").cast("long").alias("sx"),
-        F.sum("post6").cast("long").alias("sy"),
+        # first moments add per-user longs over the WHOLE user base —
+        # exact decimal split (second moments already int128-style)
+        fp_split_sum_of(F.col("pre6")).alias("sx"),
+        fp_split_sum_of(F.col("post6")).alias("sy"),
         F.sum(F.col("pre6").cast(dec) * F.col("pre6")).alias("sxx"),
         F.sum(F.col("pre6").cast(dec) * F.col("post6")).alias("sxy"),
         F.sum(F.col("post6").cast(dec) * F.col("post6")).alias("syy"),
@@ -3679,16 +3723,15 @@ def agg_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.sum(F.when(in_year(1996), r6).otherwise(0))
-            .cast("long")
-            .alias("r1"),
-            F.sum(F.when(in_year(2000), r6).otherwise(0))
-            .cast("long")
-            .alias("r2"),
+            # per-brand cells are scale-proportional (25-ish brands over
+            # the whole fact table) — exact decimal split sums; all
+            # downstream axis cuts compare decimals exactly
+            fp_split_sum_of(F.when(in_year(1996), r6).otherwise(0)).alias("r1"),
+            fp_split_sum_of(F.when(in_year(2000), r6).otherwise(0)).alias("r2"),
         )
     )
     tot = per.agg(
-        F.sum(F.col("r1") + F.col("r2")).cast("long").alias("total"),
+        F.sum(F.col("r1") + F.col("r2")).alias("total"),
         F.count(F.lit(1)).alias("k"),
     )
     j = per.crossJoin(F.broadcast(tot))
@@ -3901,14 +3944,16 @@ def agg_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("age_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("v6").cast("long").alias("_v6"),
+            # 4 GLOBAL age buckets over all open orders — exact decimal
+            # split sum (the share window then adds 4 exact decimals)
+            fp_split_sum_of(F.col("v6")).alias("_v6"),
         )
         .select(
             "age_bucket",
             "n_orders",
             (F.col("_v6").cast("double") / 1000000).alias("outstanding"),
             F.round(
-                F.col("_v6")
+                F.col("_v6").cast("double")
                 / F.sum("_v6").over(wall).cast("double"),
                 6,
             ).alias("share"),
@@ -4266,14 +4311,18 @@ def agg_cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort_size = firsts.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+    # cohort-month cells are scale-proportional — exact decimal split
+    # sums; the cumulative window then adds exact decimals, and the
+    # crossing test below multiplies n_customers in decimal too (the
+    # long literal product alone would overflow at ~2e8 customers/cohort)
     per_month = monthly.groupBy("cohort", "m_idx").agg(
-        F.sum("v6").cast("long").alias("mrev6")
+        fp_split_sum_of(F.col("v6")).alias("mrev6")
     )
     wc = Window.partitionBy("cohort").orderBy("m_idx").rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = per_month.select(
-        "cohort", "m_idx", F.sum("mrev6").over(wc).cast("long").alias("cum6")
+        "cohort", "m_idx", F.sum("mrev6").over(wc).alias("cum6")
     )
     payback = (
         cum.join(cohort_size, "cohort")
@@ -4282,7 +4331,8 @@ def agg_cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(
                 F.when(
                     F.col("cum6")
-                    >= F.col("n_customers") * F.lit(150000000000),
+                    >= F.col("n_customers").cast("decimal(38,0)")
+                    * F.lit(150000000000),
                     F.col("m_idx"),
                 )
             ).alias("payback_month"),
