@@ -1857,15 +1857,15 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums; rank + shares run on that bounded axis (range-partition the
     sort beyond task scale — the agg_gini note); output is one row."""
     o = load(spark, sf_dir, "orders")
+    # per-customer rev6 stays single-long (~10 orders/customer); the
+    # grand total over the whole customer axis is scale-proportional —
+    # hi/lo-split exact decimal (the top-10/top-100 numerators sum ≤100
+    # bounded longs and stay single-long)
     cust = o.groupBy("o_custkey").agg(
         F.sum(
             (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
         ).alias("rev6")
     )
-    # per-customer rev6 stays single-long (~10 orders/customer); the
-    # grand total over the whole customer axis is scale-proportional —
-    # hi/lo-split exact decimal (the top-10/top-100 numerators sum ≤100
-    # bounded longs and stay single-long)
     ranked = cust.select(
         "rev6",
         F.row_number()

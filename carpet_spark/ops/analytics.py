@@ -1868,6 +1868,9 @@ def agg_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
+        # per-customer partials stay single-long (~10 orders/customer
+        # at any SF ⇒ rev6 ≤ ~5e12 ≪ 2^63); the whole-base sums below
+        # use the hi/lo split
         F.sum(
             (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
         ).alias("rev6"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import davg, sql_davg
+from ..exprs import davg, fp_split_sum_of, sql_davg
 from ..registry import register
 from ..tables import load
 
@@ -3840,9 +3840,14 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 = (
         F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
     ).cast("long")
+    # (series, day) cells sum scale-proportional event slices — hi/lo
+    # split (exact decimal); the per-series error sums below then run
+    # over decimals and are exact by themselves (sums of decimal(38,0)
+    # stay decimal(38,0); binding term is Σv6² ≈ 1e37 < 1e38 at 100 TB,
+    # loud decimal overflow beyond)
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("d")
-    ).agg(F.sum(v6).cast("long").alias("v6"))
+    ).agg(fp_split_sum_of(v6).alias("v6"))
     w = Window.partitionBy("event_type").orderBy("d")
     pred = daily.select(
         "event_type", "v6", F.lag("v6", 7).over(w).alias("forecast6")
@@ -3852,28 +3857,30 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "v6",
         F.abs(err).alias("ae6"),
-        (err.cast("decimal(38,0)") * err).alias("se12"),
+        (err * err).alias("se12"),
     )
     stats = scored.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("ae6").cast("long").alias("sae"),
+        F.sum("ae6").alias("sae"),
         F.sum("se12").alias("sse"),
-        F.sum(F.abs("v6")).cast("long").alias("sav"),
-        F.sum("v6").cast("long").alias("sv"),
-        F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("svv"),
+        F.sum(F.abs("v6")).alias("sav"),
+        F.sum("v6").alias("sv"),
+        F.sum(F.col("v6") * F.col("v6")).alias("svv"),
     )
     n = F.col("n")
     sst = F.col("svv").cast("double") - F.col("sv").cast("double") * F.col(
         "sv"
-    ) / n
+    ).cast("double") / n
     return stats.select(
         "event_type",
         "n",
-        F.round(F.col("sae") / n / 1e6, 6).alias("mae"),
+        F.round(F.col("sae").cast("double") / n / 1e6, 6).alias("mae"),
         F.round(F.sqrt(F.col("sse").cast("double") / n) / 1e6, 6).alias(
             "rmse"
         ),
-        F.round(F.col("sae") / F.col("sav").cast("double"), 6).alias("wape"),
+        F.round(
+            F.col("sae").cast("double") / F.col("sav").cast("double"), 6
+        ).alias("wape"),
         F.round(1.0 - F.col("sse").cast("double") / sst, 6).alias("r2"),
     )
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..exprs import fp_split_sum_of
 from ..registry import register
 from ..tables import load
 
@@ -734,8 +735,10 @@ def pii_hash_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
+            # 5 global segments over every order — hi/lo split; the
+            # integrity compare below tests decimal == decimal exactly
             F.count(F.lit(1)).alias("n_orders_raw"),
-            F.sum(r6).cast("long").alias("rev6_raw"),
+            fp_split_sum_of(r6).alias("rev6_raw"),
         )
     )
     ohash = o.select(
@@ -755,7 +758,7 @@ def pii_hash_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders_pseudo"),
-            F.sum(r6).cast("long").alias("rev6_pseudo"),
+            fp_split_sum_of(r6).alias("rev6_pseudo"),
         )
     )
     return raw.join(pseudo, "segment").select(

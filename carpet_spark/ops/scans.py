@@ -13,7 +13,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..exprs import lsum
+from ..exprs import fp_split_sum_of, lsum
 from ..registry import register
 from ..tables import load
 
@@ -1213,9 +1213,12 @@ def sink_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum("o_totalprice")
         * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
     ).cast("long")
+    # 3 global status groups over every landed order — hi/lo split
+    # (a single-long Σ of o_totalprice micro-units clears 2^63 at
+    # ~6e7 rows/group; 100 TB has ~5e10)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        (F.sum(r6).cast("long").cast("double") / 1000000)
+        (fp_split_sum_of(r6).cast("double") / 1000000)
         .cast("double")
         .alias("revenue"),
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import fp_scaled_long, lsum, sql_lsum
+from ..exprs import fp_scaled_long, fp_split_sum_of, lsum, sql_lsum
 from ..registry import register
 from ..tables import load
 
@@ -685,12 +685,15 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = daily.select(
         "d", "v", F.lag("v", 7).over(w).alias("forecast")
     ).filter(F.col("forecast").isNotNull())
-    err6 = F.sum(
+    # error/total sums run over the |days| spine but each row is a
+    # scale-proportional DAILY TOTAL (~5e16 micro-units at 100 TB), so a
+    # single long Σ clears 2^63 around 180 days — hi/lo split sums
+    err6 = fp_split_sum_of(
         (F.abs(F.col("v") - F.col("forecast")) * 1e6 + 0.5).cast("long")
     ).cast("double") / 1e6
-    tot6 = F.sum((F.abs(F.col("v")) * 1e6 + 0.5).cast("long")).cast(
-        "double"
-    ) / 1e6
+    tot6 = fp_split_sum_of(
+        (F.abs(F.col("v")) * 1e6 + 0.5).cast("long")
+    ).cast("double") / 1e6
     return pred.agg(
         F.count(F.lit(1)).alias("n_days"),
         F.round(err6 / F.count(F.lit(1)), 6).alias("mae"),
@@ -912,10 +915,13 @@ def ts_change_point_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_inflight_orders argument.  Per-metric change points partition
     the same plan by key."""
     ev = load(spark, sf_dir, "events")
+    # per-day cells sum ALL of events — hi/lo split (exact decimal); the
+    # prefix/total window sums below then run over decimals, exact by
+    # themselves
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(
-        F.sum(
+        fp_split_sum_of(
             (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
         ).alias("v6")
     )
@@ -1468,10 +1474,14 @@ def ts_pacing_vs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_n sampling bounds output; it must be applied AFTER the windows
     (pace needs the full cumulative path)."""
     o = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    # per-day totals over ALL 1997 orders: a single-long Σ of
+    # o_totalprice micro-units clears 2^63 within one 100 TB day
+    # (~6e7 rows × ~1.5e11 fp) — hi/lo split; the cumulative/total
+    # windows below sum decimals, exact by themselves
     daily = o.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("d")
     ).agg(
-        F.sum(
+        fp_split_sum_of(
             (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
         ).alias("v6")
     )
@@ -2023,15 +2033,16 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units — a record is never declared by float
     drift."""
     e = load(spark, sf_dir, "events")
+    # (series, day) cells sum scale-proportional slices of events —
+    # hi/lo split; the prefix MAX below is an order statistic over the
+    # exact decimals (no further sum)
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.sum(
+        fp_split_sum_of(
             (
                 F.signum("value")
                 * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
             ).cast("long")
-        )
-        .cast("long")
-        .alias("v6")
+        ).alias("v6")
     )
     w = (
         Window.partitionBy("event_type")
@@ -2216,13 +2227,15 @@ def ts_diff_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 = (
         F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
     ).cast("long")
+    # per-day conditional sums over ALL events — hi/lo split; corr()
+    # and the lag-differences consume the exact decimals directly
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
-        F.sum(F.when(F.col("event_type") == "purchase", v6).otherwise(0))
-        .cast("long")
-        .alias("a6"),
-        F.sum(F.when(F.col("event_type") == "click", v6).otherwise(0))
-        .cast("long")
-        .alias("b6"),
+        fp_split_sum_of(
+            F.when(F.col("event_type") == "purchase", v6).otherwise(0)
+        ).alias("a6"),
+        fp_split_sum_of(
+            F.when(F.col("event_type") == "click", v6).otherwise(0)
+        ).alias("b6"),
     )
     w = Window.orderBy("d")
     diffed = daily.select(
@@ -2280,8 +2293,10 @@ def ts_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 = (
         F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
     ).cast("long")
+    # (series, day) cells sum scale-proportional event slices — hi/lo
+    # split; downstream consumers (ratios, corr) read exact decimals
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.sum(v6).cast("long").alias("v6")
+        fp_split_sum_of(v6).alias("v6")
     )
     w = Window.partitionBy("event_type").orderBy("d")
     ret = daily.select(
@@ -2375,7 +2390,15 @@ def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6,
             6,
         ).alias("twap"),
-        F.round(F.avg("v6") / 1e6, 6).alias("simple_avg"),
+        # per-day Σv6 keeps only ~9x headroom at 100 TB (1e8 rows/day ×
+        # ~1e10 fp) — below the ≲10x escalation bar: split sum / count
+        # computes the identical avg-of-longs double
+        F.round(
+            fp_split_sum_of(F.col("v6")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            6,
+        ).alias("simple_avg"),
     )
 
 
@@ -2432,8 +2455,10 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     v6 = (
         F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
     ).cast("long")
+    # (series, day) cells sum scale-proportional event slices — hi/lo
+    # split; downstream consumers (ratios, corr) read exact decimals
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.sum(v6).cast("long").alias("v6")
+        fp_split_sum_of(v6).alias("v6")
     )
     lags = spark.range(2, 15).select(F.col("id").cast("int").alias("lag_k"))
     fanned = daily.crossJoin(F.broadcast(lags))
@@ -4976,8 +5001,10 @@ def ts_ar1_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").cast("double").alias("sx"),
-        F.sum("y").cast("long").cast("double").alias("sy"),
+        # first moments: daily-total cents rows keep only ~4.6x long-Σ
+        # headroom at 100 TB (~9e14/day × ~2400 days) — hi/lo split
+        fp_split_sum_of(F.col("x")).cast("double").alias("sx"),
+        fp_split_sum_of(F.col("y")).cast("double").alias("sy"),
         F.sum(wide("x") * F.col("y")).cast("double").alias("sxy"),
         F.sum(wide("x") * F.col("x")).cast("double").alias("sxx"),
     )
@@ -4994,15 +5021,16 @@ def ts_ar1_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.crossJoin(F.broadcast(fit))
         .groupBy("n", "a", "b")
         .agg(
-            F.sum(
+            # residuals quantized at 1e4/cent reach ~1e18 per ROW at
+            # 100 TB — a single-long Σ overflows within a few days of
+            # history: hi/lo split
+            fp_split_sum_of(
                 F.floor(
                     F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
                     * 10000
                     + 0.5
                 ).cast("long")
-            )
-            .cast("long")
-            .alias("ar1_abs_q"),
+            ).alias("ar1_abs_q"),
             F.sum(F.abs(F.col("y") - F.col("x"))).cast("long").alias("naive_abs_c"),
         )
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import lsum
+from ..exprs import fp_split_sum_of, lsum
 from ..registry import register
 from ..tables import load
 
@@ -717,8 +717,9 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sum is an exact fixed-point integer (y in 1e-6 units, x a
     day index): numerator and denominator are exact on both engines
     and only the final division is float, rounded at 6 dp.  Warm-up
-    rows with n<2 emit NULL.  Long-sum bound: n·Σxy needs
-    |Σvalue|·days ≲ 9.2e12 — decimal accumulators beyond.
+    rows with n<2 emit NULL.  The daily rollup and the y-sums run on
+    the hi/lo split (exact decimal merge), so no long-sum bound binds;
+    x-sums stay long (day indexes are tiny).
 
     Scale (100 TB): daily rollup map-side combines to |series|×|days|
     rows; the five window sums share one (series)-partitioned frame
@@ -728,14 +729,16 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
     ).agg(
-        F.sum(
+        # (series, day) cells sum scale-proportional event slices —
+        # hi/lo split (the docstring's "decimal accumulators beyond",
+        # implemented); the 14-row window sums below run over decimals
+        # and are exact by themselves
+        fp_split_sum_of(
             (
                 F.signum("value")
                 * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
             ).cast("long")
-        )
-        .cast("long")
-        .alias("y6")
+        ).alias("y6")
     )
     w = (
         Window.partitionBy("event_type")
@@ -748,8 +751,8 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y6",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("x").over(w).cast("long").alias("sx"),
-        F.sum("y6").over(w).cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y6")).over(w).cast("long").alias("sxy"),
+        F.sum("y6").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y6")).over(w).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -96,7 +96,9 @@ EXPENSIVE_PINNED = [
     ("quality_train_score", "89bdfa0ea98e"),          # 4.12s
     ("udf_cogrouped_pandas", "10502ae8ff51"),         # 3.97s
     ("dq_primary_key_check", "d3e3fbab875d"),         # 3.79s
-    ("agg_abc_xyz_class", "9670a55e57ae"),            # 3.75s
+    # re-pinned r9: intentional hi/lo-split escalation of the op's
+    # inline fixed-point sums (sweep commit 36a6b65)
+    ("agg_abc_xyz_class", "a571a9571c68"),            # 3.75s
     # splits=N normalized out of the v2 form in r7 (Range parallelism is
     # an env knob, not plan shape) — this is the only range-built pin
     ("ts_partial_autocorrelation", "cb5d30830af9"),   # 3.67s
@@ -106,7 +108,7 @@ EXPENSIVE_PINNED = [
     ("stream_multi_source_union", "617b4e992d85"),    # 3.13s
     ("emb_kmeans_pp_init", "e92174a4bd1c"),           # 3.08s
     ("dedup_clusters", "d879a457a638"),               # 2.98s
-    ("sink_manifest_publish", "01d6c9c239a9"),        # 2.98s
+    ("sink_manifest_publish", "61b9991c3474"),        # 2.98s (re-pinned r9: split-sum escalation)
 ]
 
 

@@ -1,0 +1,108 @@
+"""Source-level lint: no new single-long Σ over ×1e6 fixed-point values.
+
+The r8 verdict's one scale-killer was a single BIGINT accumulator over
+round(x·1e6) micro-units: exact only to |Σ| ≤ 2^63 ≈ 9.2e18, which a
+100 TB group sum blows through (loud ANSI abort — the flagship query
+dies at target scale).  r9 swept every such Spark-side sum onto the
+hi/lo split (exprs.fp_split_sum_of / _over, exact decimal(38,0) merge)
+or, where the group is provably bounded (per-part / per-customer
+partials), kept the single long WITH an inline bound comment saying so.
+
+This lint keeps that invariant from regressing: any direct
+``F.sum(<expr containing a ×1e6 fixed-point construction>)`` in an op
+module must either
+
+- route through the split helpers (the expr never reaches a bare
+  ``F.sum`` then), or
+- sum in decimal (the arg mentions ``decimal``), or
+- carry the bound marker ``single-long`` in a comment within
+  MARKER_WINDOW lines — the house idiom for "this group is bounded at
+  any SF, here's why".
+
+Scope note: sums of *variables* that hold fixed-point longs (``v6 =
+...; F.sum(v6)``) are one indirection away and regex-invisible; those
+sites were closed by the r9 sweep itself and are guarded by the parity
++ extreme-value regimes, while THIS lint catches the common copy-paste
+path (inline construction, the idiom every historical violation used).
+Cents-scale (×100) accumulators are exempt by design: 1e4× more
+headroom, audited per-site in SCALE.md's cents table.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OPS_GLOB = os.path.join(REPO, "carpet_spark", "ops", "*.py")
+MARKER = "single-long"
+MARKER_WINDOW = 8  # lines above the F.sum( line the marker may sit
+
+_FP_CONSTRUCTION = re.compile(r"1e6|1000000\b")
+
+
+def _balanced_arg(src: str, start: int) -> str:
+    """Return the balanced-paren argument of the call opening at start."""
+    depth, j = 1, start
+    while depth and j < len(src):
+        if src[j] == "(":
+            depth += 1
+        elif src[j] == ")":
+            depth -= 1
+        j += 1
+    return src[start : j - 1]
+
+
+def _violations_in(path: str) -> list[str]:
+    src = open(path).read()
+    lines = src.splitlines()
+    out = []
+    for m in re.finditer(r"F\.sum\(", src):
+        arg = _balanced_arg(src, m.end())
+        if not _FP_CONSTRUCTION.search(arg):
+            continue  # not a ×1e6 fixed-point construction
+        if "decimal" in arg:
+            continue  # decimal accumulator — unbounded-safe by itself
+        # oracle SQL strings never reach this (they're plain strings,
+        # not F.sum calls); /1e6 DISPLAY divisions outside the sum arg
+        # never reach this either (the regex scans the arg only)
+        lineno = src[: m.start()].count("\n")  # 0-based
+        ctx = lines[max(0, lineno - MARKER_WINDOW) : lineno + 2]
+        if any(MARKER in ln for ln in ctx):
+            continue  # bounded-group site, documented in place
+        out.append(f"{os.path.relpath(path, REPO)}:{lineno + 1}")
+    return out
+
+
+def test_no_unbounded_single_long_fixed_point_sums():
+    flagged: list[str] = []
+    for path in sorted(glob.glob(OPS_GLOB)):
+        flagged += _violations_in(path)
+    assert not flagged, (
+        "single-long Σ over ×1e6 fixed-point values without a bound "
+        f"marker: {flagged}. Either route through exprs.fp_split_sum_of/"
+        "_over (scale-proportional group) or add a 'single-long' comment "
+        "stating the per-group row bound (bounded group)."
+    )
+
+
+def test_lint_catches_a_violation():
+    """Self-test: the lint actually fires on the forbidden idiom."""
+    import tempfile
+
+    bad = (
+        "df.agg(\n"
+        "    F.sum(\n"
+        '        (F.abs(F.col("x")) * 1e6 + 0.5).cast("long")\n'
+        "    ).alias('s6')\n"
+        ")\n"
+    )
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".py", delete=False
+    ) as fh:
+        fh.write(bad)
+    try:
+        assert _violations_in(fh.name), "lint failed to flag the idiom"
+    finally:
+        os.unlink(fh.name)
