@@ -5085,10 +5085,13 @@ def agg_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = per.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
+        # Σx (total cents over the whole base, ~4x long headroom at
+        # 100 TB) and Σx·y (past 2^63 there) escalate — split sum and
+        # decimal product; Σy / Σy² are order counts, safe as long
+        fp_split_sum_of(F.col("x")).alias("sx"),
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
     )
     n = F.col("n")

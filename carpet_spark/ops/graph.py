@@ -25,6 +25,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..exprs import fp_split_sum_of
 from ..registry import register
 from ..tables import load
 
@@ -786,13 +787,17 @@ def graph_assortativity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ideg), "dst")
         .select(F.col("od").alias("x"), F.col("idg").alias("y"))
     )
+    # degree×degree products over |edges| rows: a hub with degree ~1e8
+    # pushes the long Σ past 2^63 well before 100 TB — cross-products
+    # run in decimal(38,0) (HUGEINT oracle-side) and the first moments
+    # on the hi/lo split (degree rows ≪ the split's 1.1e11 fp bound)
     s = j.agg(
         F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        fp_split_sum_of(F.col("x").cast("long")).alias("sx"),
+        fp_split_sum_of(F.col("y").cast("long")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
     num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
     dx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")

@@ -2156,32 +2156,34 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
     )
+    # rank-sum terms are count×count products: pos·cum_before ≈ 2N² at
+    # worst (N = corpus size), past 2^63 around N ≈ 2e9 — the products
+    # and their sums run in decimal(38,0) (HUGEINT on the oracle side)
     tot = ranked.agg(
-        F.sum(F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1))
-        .cast("long")
-        .alias("s2"),
+        F.sum(
+            F.col("pos").cast("decimal(38,0)")
+            * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("s2"),
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
     )
     # NULLIF guards (degenerate sweep): a single-class label set zeroes
     # n_pos*n_neg — AUC/Gini are undefined, NULL on both sides.
-    num = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    num = F.col("s2") - F.col("n_pos").cast("decimal(38,0)") * (
+        F.col("n_pos") + 1
+    )
+    pos_neg = (
+        F.col("n_pos").cast("decimal(38,0)") * F.col("n_neg")
+    ).cast("double")
     return tot.select(
         "n_pos",
         "n_neg",
         F.round(
-            num
-            / F.nullif(
-                (2 * F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0)
-            ),
+            num / F.nullif(2 * pos_neg, F.lit(0.0)),
             6,
         ).alias("auc"),
         F.round(
-            num
-            / F.nullif(
-                (F.col("n_pos") * F.col("n_neg")).cast("double"), F.lit(0.0)
-            )
-            - 1.0,
+            num / F.nullif(pos_neg, F.lit(0.0)) - 1.0,
             6,
         ).alias("gini"),
     )
@@ -3359,8 +3361,14 @@ def eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("np")
     )
     marg = (
+        # marginal products are count×count (≈N² per class at worst,
+        # past 2^63 at N ≈ 3e9 docs) — decimal(38,0), HUGEINT oracle-side
         ra.join(rp, "k")
-        .agg(F.sum(F.col("na") * F.col("np")).cast("long").alias("chance_num"))
+        .agg(
+            F.sum(F.col("na").cast("decimal(38,0)") * F.col("np")).alias(
+                "chance_num"
+            )
+        )
     )
     j = tot.crossJoin(F.broadcast(marg))
     po = F.col("n_agree") / F.col("n_total").cast("double")
@@ -4912,8 +4920,16 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
     )
+    # pair counts are n·(n−1)/2 with n = cluster/block size: a single
+    # giant block (the skew failure mode this op exists to expose)
+    # pushes the LONG product past 2^63 at n ≈ 3e9 — product and sum
+    # run in decimal(38,0) (HUGEINT oracle-side), halved after the sum
+    # (n·(n−1) is even, so the value is unchanged)
     tp = truth.agg(
-        F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+        F.coalesce(
+            F.sum(F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)) / 2,
+            F.lit(0),
+        )
         .cast("long")
         .alias("true_pairs")
     )
@@ -4933,7 +4949,9 @@ def dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.groupBy("blk")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
-            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("cand_pairs"),
+            (F.sum(F.col("n").cast("decimal(38,0)") * (F.col("n") - 1)) / 2)
+            .cast("long")
+            .alias("cand_pairs"),
             F.sum("n").cast("long").alias("n_docs"),
         )
     )

@@ -1896,7 +1896,10 @@ def ts_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nonzero_hours"),
         F.sum("c").cast("long").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+        # Σc² keeps only ~8x long headroom at 100 TB if one type
+        # dominates (c ≈ 1e7/hour ⇒ c² ≈ 1e14 × ~9e3 hours) — decimal
+        # (HUGEINT oracle-side); Σc is just N, safe as long
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sc2"),
     )
     j = per.crossJoin(F.broadcast(span))
     mean = F.col("sc") / F.col("n_hours").cast("double")
