@@ -124,33 +124,60 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group demeaning via applyInPandas (grouped-map 'UDAF').  The
-    group mean is computed inside the pandas function with an EXACT Decimal
-    sum, then cast to double — bit-identical to the oracle's
-    CAST(SUM(DECIMAL) AS DOUBLE)/COUNT window (pandas' float sum would
-    drift in the last ulp and flake the hash)."""
+    """Per-group demeaning via applyInPandas (grouped-map 'UDAF').
+
+    Scale (100 TB): grouping the pandas stage by event_type alone would
+    hand ONE python worker ~1/|types| of the whole table as a single
+    Arrow frame — the grouped-map memory trap.  So the exact per-type
+    mean is computed JVM-side first (decimal(28,6) sum → double, the
+    same expression as the oracle window, so mu is bit-identical to the
+    old in-pandas Decimal sum), broadcast back, and the pandas stage
+    runs on (event_type, salt) with a 64-way salt: grouped-map API
+    demonstrated, per-group frame bounded at ~rows/64·|types| no matter
+    the corpus — the salting pattern every scale-proportional
+    grouped-map should use when its per-row logic only needs per-GROUP
+    constants."""
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
-        # NULL values arrive as NaN: exclude them from the mean — the
-        # SQL mean is SUM(value)/COUNT(value), both NULL-skipping (the
-        # oracle's COUNT(value), not COUNT(*)).  NULL value rows then
-        # demean to NaN -> Arrow null, matching value - NULL = NULL.
-        vals = [v for v in pdf["value"] if not pd.isna(v)]
-        if vals:
-            dec_sum = sum((Decimal(repr(v)) for v in vals), Decimal(0))
-            mu = float(dec_sum) / len(vals)
-        else:
-            mu = float("nan")  # all-NULL group: demeaned is NULL everywhere
+        # mu rides in as a column (constant within the salted group);
+        # NULL value rows demean to NaN -> Arrow null, matching
+        # value - NULL = NULL.  An all-NULL type has NULL mu (the JVM
+        # aggregate's SUM(decimal) of zero rows), arriving here as NaN.
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "event_type": pdf["event_type"],
-                "demeaned": pdf["value"] - mu,
+                "demeaned": pdf["value"] - pdf["mu"],
             }
         )
 
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = ev.groupBy("event_type").applyInPandas(
+    # SUM(value)/COUNT(value), both NULL-skipping, exactly the oracle's
+    # window pair; NULLIF keeps the all-NULL group at NULL under ANSI
+    mu = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.nullif(F.count("value").cast("double"), F.lit(0.0))
+        ).alias("mu")
+    )
+    # null-safe equi-join: NULL is a legitimate event_type GROUP (the
+    # old groupBy kept it) — a plain inner join would drop those rows
+    mu2 = mu.select(F.col("event_type").alias("mu_type"), "mu")
+    salted = (
+        ev.join(
+            F.broadcast(mu2),
+            F.col("event_type").eqNullSafe(F.col("mu_type")),
+            "left",
+        )
+        .drop("mu_type")
+        .withColumn(
+            "salt",
+            F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(64)).cast(
+                "int"
+            ),
+        )
+    )
+    out = salted.groupBy("event_type", "salt").applyInPandas(
         demean, schema="event_id long, event_type string, demeaned double"
     )
     # round JVM-side: Spark and DuckDB round doubles identically (probed);
