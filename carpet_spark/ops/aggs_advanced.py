@@ -928,8 +928,8 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that bounded key space — one task over |customers| rows, the
     same bounded-axis argument as ts_inflight_orders (for a key space
     too big for one task, range-partition the sort and offset ranks by
-    partition prefix counts — Spark's sortWithinPartitions +
-    zipWithIndex shape).  Output is one row."""
+    partition prefix counts — the two-pass prefix sum
+    agg_abc_classification now demonstrates).  Output is one row."""
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(lsum(F.col("o_totalprice")).alias("x"))
     w = Window.orderBy("x", "o_custkey")
@@ -1671,9 +1671,14 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically; rank ties break on the part key.
 
     Scale (100 TB): the fact table collapses to |parts| sums first;
-    the global cumulative window runs over that bounded key space (the
-    agg_gini_coefficient argument — range-partition the sort if |parts|
-    outgrows a task); output is 3 rows."""
+    the global cumulative sum then runs as a two-pass RANGE-PARTITIONED
+    prefix sum — range-shuffle on the ranking key, per-partition
+    split-sum partials prefix-summed into broadcast offsets, then
+    within-partition running sums — so NO single task ever holds the
+    |parts| axis (2e10 keys at 100 TB), unlike a bare
+    Window.partitionBy() cumulative.  This op is the demonstrated
+    swap-in that the other ranked-cumulative ops' "range-partition the
+    sort past task scale" notes point to; output is 3 rows."""
     li = load(spark, sf_dir, "lineitem")
     # per-part sums stay single-long (≈30 rows/part at any SF ⇒
     # rev6 ≤ ~3e12, far under 2^63); every sum OVER the part space —
@@ -1684,15 +1689,35 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))).cast("long")
         ).alias("rev6")
     )
-    wc = (
-        Window.orderBy(F.col("rev6").desc(), F.col("l_partkey"))
+    # two-pass range-partitioned prefix sum (see the scale note):
+    # values are identical to a single global window because the range
+    # partitioner preserves the total order (rev6 DESC, partkey ASC) —
+    # partition ids ascend along it — and every sum is an exact decimal
+    NPART = 32
+    rp = part_rev.repartitionByRange(
+        NPART, F.col("rev6").desc(), F.col("l_partkey")
+    ).withColumn("pid", F.spark_partition_id())
+    per_pid = rp.groupBy("pid").agg(
+        fp_split_sum_of(F.col("rev6")).alias("psum6")
+    )
+    # ≤NPART rows: the offset prefix and the grand total are driver-tiny
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_pid.select(
+        "pid",
+        F.coalesce(F.sum("psum6").over(woff), F.lit(0)).alias("off6"),
+        F.sum("psum6").over(Window.partitionBy()).alias("total6"),
+    )
+    win = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("rev6").desc(), F.col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wall = Window.partitionBy()
-    ranked = part_rev.select(
+    ranked = rp.join(F.broadcast(offsets), "pid").select(
         "rev6",
-        fp_split_sum_over(F.col("rev6"), wc).alias("cum6"),
-        fp_split_sum_over(F.col("rev6"), wall).alias("total6"),
+        (F.col("off6") + fp_split_sum_over(F.col("rev6"), win)).alias(
+            "cum6"
+        ),
+        "total6",
     )
     cls = (
         F.when(F.col("cum6") <= 0.8 * F.col("total6"), "A")
@@ -1854,8 +1879,9 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer key.
 
     Scale (100 TB): facts collapse to |customers| exact fixed-point
-    sums; rank + shares run on that bounded axis (range-partition the
-    sort beyond task scale — the agg_gini note); output is one row."""
+    sums; rank + shares run on that bounded axis (beyond task scale,
+    the two-pass range-partitioned prefix sum agg_abc_classification
+    demonstrates); output is one row."""
     o = load(spark, sf_dir, "orders")
     # per-customer rev6 stays single-long (~10 orders/customer); the
     # grand total over the whole customer axis is scale-proportional —
@@ -2433,7 +2459,8 @@ def agg_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): facts collapse to |nations| conditional sums in one
     scan; both rankings and the Σd² reduction run on that bounded axis.
     Rank stability of customers/SKUs = the same plan at the larger key
-    (range-partition the sorts past task scale)."""
+    (past task scale, the two-pass range-partitioned prefix sum
+    agg_abc_classification demonstrates)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     r6 = (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
