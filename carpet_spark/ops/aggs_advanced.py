@@ -6586,8 +6586,11 @@ def dq_survivorship_bias_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     currently-active accounts.  All sums exact integer cents; three
     ratios at the end.
 
-    Scale (100 TB): survivor membership is one distinct-key set
-    (broadcast-able), the rollup one customer-keyed aggregate."""
+    Scale (100 TB): survivor membership is one distinct-key set — but
+    it is |active customers|-proportional (easily 1e9+ keys), so the
+    membership join carries NO broadcast hint: AQE broadcasts while
+    the set fits and shuffles on o_custkey beyond; the rollup is one
+    customer-keyed aggregate either way."""
     o = load(spark, sf_dir, "orders")
     cents = (
         F.signum("o_totalprice")
@@ -6600,7 +6603,7 @@ def dq_survivorship_bias_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("survived_flag", F.lit(1))
     )
     per = (
-        o.join(F.broadcast(survivors), "o_custkey", "left")
+        o.join(survivors, "o_custkey", "left")
         .groupBy("o_custkey", F.col("survived_flag").isNotNull().alias("survived"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),

@@ -846,12 +846,15 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Compose-don't-reimplement: reuses dedup_clusters (MinHash-LSH
     candidates → exact-Jaccard edges → CC labels) and anti-joins the
-    losers.  At 100 TB the anti join broadcasts: the loser set is
-    |dup docs|, orders of magnitude smaller than the corpus."""
+    losers.  No broadcast HINT on the anti join: the loser set is
+    |dup docs|, which web corpora routinely push to 30–50% of the
+    corpus — a forced broadcast would OOM the executors exactly when
+    dedup matters most.  AQE broadcasts while the set actually fits
+    and shuffles on doc_id beyond."""
     d = load(spark, sf_dir, "documents")
     labels = dedup_clusters(spark, sf_dir)
     losers = labels.filter(F.col("cluster_rep") != F.col("doc_id")).select("doc_id")
-    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
+    return d.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
 
@@ -1863,9 +1866,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     cont = F.col("c") / F.least("na", "nb").cast("double")
+    # no broadcast hint: the size table is |docs|-proportional — a
+    # forced broadcast OOMs at corpus scale; AQE broadcasts while it
+    # fits, else both sides shuffle on the doc key they already carry
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(cont >= 0.5)
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
     )
