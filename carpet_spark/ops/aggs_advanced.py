@@ -1694,9 +1694,20 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioner preserves the total order (rev6 DESC, partkey ASC) —
     # partition ids ascend along it — and every sum is an exact decimal
     NPART = 32
-    rp = part_rev.repartitionByRange(
-        NPART, F.col("rev6").desc(), F.col("l_partkey")
-    ).withColumn("pid", F.spark_partition_id())
+    # localCheckpoint pins ONE materialization of the range shuffle:
+    # both consumers below (the offset aggregate and the join side)
+    # must see the SAME pid assignment, and the range partitioner's
+    # sampled boundaries are only guaranteed identical across branches
+    # while the optimizer dedupes them into one reused exchange —
+    # checkpointing makes the pid contract explicit instead of an
+    # exchange-reuse side effect (the _trade_edges pattern)
+    rp = (
+        part_rev.repartitionByRange(
+            NPART, F.col("rev6").desc(), F.col("l_partkey")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     per_pid = rp.groupBy("pid").agg(
         fp_split_sum_of(F.col("rev6")).alias("psum6")
     )

@@ -2395,10 +2395,11 @@ def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap"),
         # per-day Σv6 keeps only ~9x headroom at 100 TB (1e8 rows/day ×
         # ~1e10 fp) — below the ≲10x escalation bar: split sum / count
-        # computes the identical avg-of-longs double
+        # computes the identical avg-of-longs double.  count("v6"), not
+        # count(*): AVG skips NULLs, so the divisor is the non-NULL count
         F.round(
             fp_split_sum_of(F.col("v6")).cast("double")
-            / F.count(F.lit(1))
+            / F.count("v6")
             / 1e6,
             6,
         ).alias("simple_avg"),
@@ -5034,7 +5035,11 @@ def ts_ar1_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + 0.5
                 ).cast("long")
             ).alias("ar1_abs_q"),
-            F.sum(F.abs(F.col("y") - F.col("x"))).cast("long").alias("naive_abs_c"),
+            # same magnitude profile as sx/sy (~4.3x long headroom worst
+            # case at 100 TB) — hi/lo split like its siblings
+            fp_split_sum_of(F.abs(F.col("y") - F.col("x"))).alias(
+                "naive_abs_c"
+            ),
         )
     )
     return err.select(

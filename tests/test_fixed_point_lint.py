@@ -37,9 +37,13 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OPS_GLOB = os.path.join(REPO, "carpet_spark", "ops", "*.py")
 MARKER = "single-long"
-MARKER_WINDOW = 8  # lines above the F.sum( line the marker may sit
+MARKER_WINDOW = 6  # lines above the F.sum( line the marker may sit
 
 _FP_CONSTRUCTION = re.compile(r"1e6|1000000\b")
+# a decimal accumulator that is re-cast to long INSIDE the sum argument
+# (``F.sum((x.cast("decimal...")*y).cast("long"))``) still sums longs —
+# the trailing cast decides the accumulator type, not the substring
+_RECAST_LONG = re.compile(r'\.cast\(\s*"long"\s*\)\s*$')
 
 
 def _balanced_arg(src: str, start: int) -> str:
@@ -62,7 +66,7 @@ def _violations_in(path: str) -> list[str]:
         arg = _balanced_arg(src, m.end())
         if not _FP_CONSTRUCTION.search(arg):
             continue  # not a ×1e6 fixed-point construction
-        if "decimal" in arg:
+        if "decimal" in arg and not _RECAST_LONG.search(arg.strip()):
             continue  # decimal accumulator — unbounded-safe by itself
         # oracle SQL strings never reach this (they're plain strings,
         # not F.sum calls); /1e6 DISPLAY divisions outside the sum arg
@@ -87,10 +91,19 @@ def test_no_unbounded_single_long_fixed_point_sums():
     )
 
 
-def test_lint_catches_a_violation():
-    """Self-test: the lint actually fires on the forbidden idiom."""
+def _lint_on(snippet: str) -> list[str]:
     import tempfile
 
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as fh:
+        fh.write(snippet)
+    try:
+        return _violations_in(fh.name)
+    finally:
+        os.unlink(fh.name)
+
+
+def test_lint_catches_a_violation():
+    """Self-test: the lint actually fires on the forbidden idiom."""
     bad = (
         "df.agg(\n"
         "    F.sum(\n"
@@ -98,11 +111,28 @@ def test_lint_catches_a_violation():
         "    ).alias('s6')\n"
         ")\n"
     )
-    with tempfile.NamedTemporaryFile(
-        "w", suffix=".py", delete=False
-    ) as fh:
-        fh.write(bad)
-    try:
-        assert _violations_in(fh.name), "lint failed to flag the idiom"
-    finally:
-        os.unlink(fh.name)
+    assert _lint_on(bad), "lint failed to flag the idiom"
+
+
+def test_lint_catches_decimal_recast_to_long():
+    """A decimal product re-cast to long inside the sum arg still sums
+    longs — the 'decimal' substring must not exempt it."""
+    bad = (
+        "df.agg(\n"
+        "    F.sum(\n"
+        '        (v.cast("decimal(38,0)") * 1e6).cast("long")\n'
+        "    ).alias('s')\n"
+        ")\n"
+    )
+    assert _lint_on(bad), "lint exempted a long accumulator via substring"
+
+
+def test_lint_allows_true_decimal_accumulator():
+    ok = (
+        "df.agg(\n"
+        "    F.sum(\n"
+        '        (F.col("v") * 1e6 + 0.5).cast("long").cast("decimal(38,0)")\n'
+        "    ).alias('s')\n"
+        ")\n"
+    )
+    assert not _lint_on(ok), "lint flagged a decimal accumulator"
