@@ -342,8 +342,14 @@ def build_nulls_fixture() -> str:
           {"event_id": list(range(1, n_ev + 1)),
            "ts": EVT,
            "user_id": [7, 7, 8, 8, 9, 9, 7, 8, 9, 7],
+           # index 5 is a PURCHASE with a NULL value: day 2 then holds a
+           # purchase whose values MIX non-NULL (50.0) and NULL inside
+           # one (type, day) group — the divisor trap COUNT(*) vs
+           # COUNT(value) that AVG-skipping oracles catch (found live in
+           # ts_twap_daily's split-sum rewrite, r9); day 2 still ENDS on
+           # a NULL tick, preserving the arg_max contract below
            "event_type": ["click", "view", None, "click",
-                          "purchase", None, "view", "click", "view", None],
+                          "purchase", "purchase", "view", "click", "view", None],
            "value": [10.0, 30.0, None,          # day 1: last tick NULL
                      None, 50.0, None,          # day 2: last tick NULL
                      None, 40.0,                # day 3: closes non-NULL
