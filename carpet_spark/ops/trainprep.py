@@ -857,6 +857,20 @@ def quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("text"), 32, 1), 16, 10).cast("int") < 13
         ).alias("in_train"),
     )
+    # A learned filter is undefined on docs with INCOMPLETE features or
+    # label (NULL text or NULL n_chars metadata — routine at corpus
+    # scale): VectorAssembler's handleInvalid="error" would kill the fit
+    # on the first such row, and "keep" would feed NaNs to LBFGS.  Drop
+    # them explicitly from BOTH train and score — a production pipeline
+    # routes unfeaturizable docs to a default disposition upstream.
+    feats = feats.filter(
+        F.col("label").isNotNull()
+        & F.col("in_train").isNotNull()
+        & F.col("f_ntok").isNotNull()
+        & F.col("f_avg_len").isNotNull()
+        & F.col("f_marker").isNotNull()
+        & F.col("f_distinct").isNotNull()
+    )
     va = VectorAssembler(
         inputCols=["f_ntok", "f_avg_len", "f_marker", "f_distinct"],
         outputCol="features",

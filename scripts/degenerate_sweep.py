@@ -360,12 +360,15 @@ def build_nulls_fixture() -> str:
            ("user_id", pa.int64()), ("event_type", pa.string()),
            ("value", pa.float64()), ("props", pa.string())])
     t1, t3 = "alpha beta gamma", "delta epsilon"
+    # doc 4 has text but a NULL n_chars: the lang='en' group then MIXES
+    # NULL and non-NULL n_chars, exposing COUNT(*)-vs-COUNT(col) divisor
+    # bugs in per-lang score/length aggregates (same trap as events)
     write("documents",
           {"doc_id": [1, 2, 3, 4],
            "text": [t1, None, t3, t1],
            "lang": ["en", "de", None, "en"],
            "source": ["src0", "src1", "src0", "src1"],
-           "n_chars": [len(t1), None, len(t3), len(t1)]},
+           "n_chars": [len(t1), None, len(t3), None]},
           [("doc_id", pa.int64()), ("text", pa.string()),
            ("lang", pa.string()), ("source", pa.string()),
            ("n_chars", pa.int64())])

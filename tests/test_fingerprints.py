@@ -93,7 +93,9 @@ EXPENSIVE_PINNED = [
     ("dedup_near_embedding_ann", "0c3b164e49ca"),     # 4.62s
     ("sim_mmr_rerank", "95e6e2857198"),               # 4.57s
     ("sink_python_datasource_roundtrip", "cda8daa486c8"),  # 4.45s
-    ("quality_train_score", "89bdfa0ea98e"),          # 4.12s
+    # re-pinned r9: explicit NULL-feature/label drop before fit+score
+    # (NULL-regime finding — VectorAssembler aborts on incomplete rows)
+    ("quality_train_score", "ff51ccfc793c"),          # 4.12s
     ("udf_cogrouped_pandas", "10502ae8ff51"),         # 3.97s
     ("dq_primary_key_check", "d3e3fbab875d"),         # 3.79s
     # re-pinned r9: intentional hi/lo-split escalation of the op's
