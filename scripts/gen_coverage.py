@@ -217,6 +217,28 @@ def main() -> None:
         "other formats (documented since r7; listed here so every "
         "environment ceiling lives in one section)."
     )
+    lines.append("")
+    lines.append(
+        "## Input-contract boundary: NULL elements inside embedding arrays "
+        "(r9, probed)"
+    )
+    lines.append("")
+    lines.append(
+        "The NULL regime salts whole-column NULLs (a NULL `embedding` row is\n"
+        "covered and green across all 25 embedding/similarity ops).  A NULL\n"
+        "*element* inside a vector (`[0.5, NULL, 0.5, …]` — a corrupt row, not a\n"
+        "missing one) was probed separately on a throwaway fixture: 8 of 25 ops\n"
+        "diverge between engines and one (sim_mmr_rerank) aborts, because Spark\n"
+        "higher-order functions and DuckDB list aggregates propagate element\n"
+        "NULLs differently — and there is no single right answer (drop the\n"
+        "vector? null the score? zero-fill?) without a policy decision.\n"
+        "Recorded DECISION: dense vectors are an ingestion contract — rows with\n"
+        "NULL elements must be screened upstream (the dq_* family is the place a\n"
+        "user would add that screen), and the ops assume the contract rather\n"
+        "than each inventing a different repair.  The probe script pattern lives\n"
+        "in the r9 session log; revisit only if a future round adds an explicit\n"
+        "`dq_embedding_screen` op (registry growth permitting)."
+    )
     with open(os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"COVERAGE.md: {len(REGISTRY)} ops, missing={sorted(missing) or 'none'}")

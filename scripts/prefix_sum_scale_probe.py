@@ -20,7 +20,7 @@ B. Grouped-map salting (udaf_grouped_pandas' (type, salt) grouping with
    demeaned output (asserted via checksum), measured wall both ways.
 
 Results land in SCALE.md.  Usage:
-  python scripts/prefix_sum_scale_probe.py [n_keys_millions] [n_events_millions]
+  python scripts/prefix_sum_scale_probe.py [n_keys_millions] [n_events_millions] [a|b|ab]
 """
 
 from __future__ import annotations
@@ -42,7 +42,7 @@ BASE = "/tmp/carpet_prefix_scale"
 
 
 def build(spark, n_keys: int, n_events: int) -> None:
-    if not os.path.isdir(f"{BASE}/axis_{n_keys}"):
+    if n_keys and not os.path.isdir(f"{BASE}/axis_{n_keys}"):
         # ranked axis: |keys| rows of (key, rev6), rev6 a money-shaped
         # long in micro-units — hash-scattered so the range shuffle
         # actually moves data
@@ -52,7 +52,7 @@ def build(spark, n_keys: int, n_events: int) -> None:
                 "rev6"
             ),
         ).write.mode("overwrite").parquet(f"{BASE}/axis_{n_keys}")
-    if not os.path.isdir(f"{BASE}/events_{n_events}"):
+    if n_events and not os.path.isdir(f"{BASE}/events_{n_events}"):
         # events shape: 6 types, double value, unique event_id
         spark.range(n_events).select(
             F.col("id").alias("event_id"),
@@ -181,21 +181,24 @@ def checksum_demean(df):
 def main() -> None:
     n_keys = (int(sys.argv[1]) if len(sys.argv) > 1 else 2) * 1_000_000
     n_events = (int(sys.argv[2]) if len(sys.argv) > 2 else 12) * 1_000_000
+    parts = sys.argv[3] if len(sys.argv) > 3 else "ab"
     spark = get_spark("prefix_sum_scale_probe")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
-    build(spark, n_keys, n_events)
+    build(spark, n_keys if "a" in parts else 0, n_events if "b" in parts else 0)
 
-    axis = spark.read.parquet(f"{BASE}/axis_{n_keys}")
-    print(f"\n-- A: ranked-cumulative over {n_keys:,} keys --")
-    t1, r1 = timed("single global-window cumulative", checksum_cum(cum_single_window(axis)))
-    t2, r2 = timed("two-pass range-partitioned prefix sum", checksum_cum(cum_two_pass(axis)))
-    print(f"identical checksums: {r1 == r2}   speedup {t1 / t2:.2f}x")
+    if "a" in parts:
+        axis = spark.read.parquet(f"{BASE}/axis_{n_keys}")
+        print(f"\n-- A: ranked-cumulative over {n_keys:,} keys --")
+        t1, r1 = timed("single global-window cumulative", checksum_cum(cum_single_window(axis)))
+        t2, r2 = timed("two-pass range-partitioned prefix sum", checksum_cum(cum_two_pass(axis)))
+        print(f"identical checksums: {r1 == r2}   speedup {t1 / t2:.2f}x")
 
-    ev = spark.read.parquet(f"{BASE}/events_{n_events}")
-    print(f"\n-- B: grouped-map demean over {n_events:,} events / 6 types --")
-    t3, r3 = timed("groupBy(type) pandas (one frame/type)", checksum_demean(demean_unsalted(ev)))
-    t4, r4 = timed("salted (type,salt) + JVM broadcast mu", checksum_demean(demean_salted(ev)))
-    print(f"identical checksums: {r3 == r4}   speedup {t3 / t4:.2f}x")
+    if "b" in parts:
+        ev = spark.read.parquet(f"{BASE}/events_{n_events}")
+        print(f"\n-- B: grouped-map demean over {n_events:,} events / 6 types --")
+        t3, r3 = timed("groupBy(type) pandas (one frame/type)", checksum_demean(demean_unsalted(ev)))
+        t4, r4 = timed("salted (type,salt) + JVM broadcast mu", checksum_demean(demean_salted(ev)))
+        print(f"identical checksums: {r3 == r4}   speedup {t3 / t4:.2f}x")
 
 
 if __name__ == "__main__":
