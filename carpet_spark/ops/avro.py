@@ -321,6 +321,44 @@ def read_ocf(path: str, reader_schema: dict | None = None):
     )
 
 
+def _resync(data, sync: bytes, from_pos: int) -> int:
+    """Position just past the first VERIFIED sync marker at/after
+    ``from_pos``, or -1 if none.
+
+    A bare ``find`` would accept a sync pattern INSIDE a payload.  For
+    spec-random markers that is the 2^-128 event every Avro reader
+    accepts — but write_ocf's marker is DETERMINISTIC per basename
+    (uuid5, for reproducible outputs), so a bytes column can
+    realistically carry its own file's marker (content copied from the
+    same file, round-tripped Avro fragments; the null-codec hostile
+    fixture in tests/test_avro.py constructs exactly that).  So every
+    candidate must also LOOK like a block boundary: a positive
+    row-count varint and an in-bounds size varint follow, and the
+    block's trailing 16 bytes are the sync again (or the block ends
+    the file).  A payload hit fails the structural check and the scan
+    moves to the next candidate.  Only a deliberately forged FULL
+    block (count + size + body + trailing sync) passes — that is row
+    injection, which no unauthenticated container format prevents —
+    and an ACCIDENTAL pass needs the bytes after a payload collision
+    to chain count/size varints onto another marker exactly, back at
+    astronomically-unlikely."""
+    n = len(data)
+    hit = data.find(sync, from_pos)
+    while hit >= 0:
+        p = hit + 16
+        try:
+            cnt, q = _read_long(data, p)
+            size, q = _read_long(data, q)
+            if cnt > 0 and 0 <= size <= n - q:
+                blk_end = q + size
+                if blk_end == n or bytes(data[blk_end : blk_end + 16]) == sync:
+                    return p
+        except IndexError:
+            pass  # candidate too close to EOF to hold a block header
+        hit = data.find(sync, hit + 1)
+    return -1
+
+
 def read_ocf_range(path: str, start: int, end: int,
                    reader_schema: dict | None = None):
     """Rows from every block whose header begins in [start, end) — the
@@ -328,9 +366,9 @@ def read_ocf_range(path: str, start: int, end: int,
     blocks are delimited by the header's 16-byte sync marker, so a split
     SEEKS to the first sync at/after ``start`` and decodes blocks until
     its block-start passes ``end``; the next split picks up from there,
-    so every block belongs to exactly one split).  A sync-pattern
-    collision inside a payload is the same 2^-128 event every Avro
-    reader accepts.
+    so every block belongs to exactly one split).  Seeks use _resync's
+    VERIFIED marker search, so payload bytes that embed the (per-file
+    deterministic) marker cannot mis-frame a split.
 
     I/O is mmap-backed, NOT a whole-file read: the OS pages in only the
     header plus the split's own byte range (and the tail of its last
@@ -358,13 +396,13 @@ def read_ocf_range(path: str, start: int, end: int,
     if start <= body:
         pos = body  # first split: blocks begin right after the header sync
     else:
-        # seek: first sync whose 16 bytes START at/after start-16 (so a
-        # block beginning exactly at `start` is ours, its predecessor not)
-        hit = data.find(sync, max(body, start - 16))
-        if hit < 0:
+        # seek: first VERIFIED sync whose 16 bytes START at/after
+        # start-16 (so a block beginning exactly at `start` is ours,
+        # its predecessor not)
+        pos = _resync(data, sync, max(body, start - 16))
+        if pos < 0:
             f.close()
             return schema, iter(())
-        pos = hit + 16
     def rows():
         # the generator owns the mapping: keep the file open until drained
         try:

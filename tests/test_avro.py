@@ -338,9 +338,12 @@ def test_resolution_composes_with_range_splits(tmp_path):
 # BEFORE writing.  With deflate the on-disk stream is compressed, so the
 # embedded marker does not appear verbatim and ranged reads stay exact at
 # every split size; with codec=null the payload IS verbatim on disk —
-# the sequential full-file walker must still be immune (it trusts block
-# counts and only VERIFIES the sync at block ends, never searches), which
-# is the same 2^-128 acceptance every Avro reader makes for seeks.
+# the sequential full-file walker is immune by construction (it trusts
+# block counts and only VERIFIES the sync at block ends, never
+# searches), and mid-file seeks go through _resync's verified search
+# (r9), which structurally validates each candidate instead of taking
+# the spec's 2^-128 random-marker gamble — write_ocf's marker is
+# deterministic per basename, so payload collisions are realistic here.
 # ---------------------------------------------------------------------------
 
 
@@ -414,3 +417,29 @@ def test_null_codec_sequential_read_immune_to_collisions(tmp_path):
     # single full-range read takes the pos=body path (no find()) — exact too
     _, it = read_ocf_range(p, 0, os.path.getsize(p))
     assert list(it) == rows
+
+
+def test_null_codec_ranged_reads_resync_past_payload_collisions(tmp_path):
+    """The sharpest case: codec=null puts payload-embedded sync markers
+    VERBATIM on disk, and a mid-file split's seek lands among them.  A
+    bare find() would mis-frame those splits (the r9 _resync fix); the
+    verified search must skip every payload hit — a payload marker is
+    never followed by a parseable (count>0, in-bounds size) header whose
+    block closes on another marker — and partition the file exactly at
+    every split size."""
+    import os
+    import uuid as _uuid
+
+    name = "hostile_sync_null_ranged.avro"
+    p = str(tmp_path / name)
+    sync = _uuid.uuid5(_uuid.NAMESPACE_OID, name).bytes
+    rows = _hostile_binary_rows(sync)
+    write_ocf(p, SCHEMA, iter(rows), codec="null", block_rows=53)
+    assert open(p, "rb").read().count(sync) > 8  # collisions present
+    size = os.path.getsize(p)
+    for split in (13, 64, 256, 1777, 10**9):
+        got = []
+        for s in range(0, size, split):
+            _, it = read_ocf_range(p, s, min(s + split, size))
+            got.extend(it)
+        assert got == rows, f"split={split}: {len(got)} vs {len(rows)}"
