@@ -1023,9 +1023,7 @@ def agg_partial_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact without a single-long accumulator's 9.2e18 cliff — and
     # decimal partials still MERGE algebraically, which is the whole
     # point of the op
-    fp6 = (
-        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    fp6 = fp_scaled_long(F.col("value"), 1_000_000)
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day"),
         "event_type",
@@ -1458,10 +1456,7 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <=25 exact decimals and the share divides their double images,
     # bit-identical to the previous long->double promotion
     rev6 = fp_split_sum_of(
-        (
-            F.signum("o_totalprice")
-            * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-        ).cast("long")
+        fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     )
     nation_rev = (
         o.join(c, o.o_custkey == c.c_custkey)
@@ -1680,13 +1675,13 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap-in that the other ranked-cumulative ops' "range-partition the
     sort past task scale" notes point to; output is 3 rows."""
     li = load(spark, sf_dir, "lineitem")
-    # per-part sums stay single-long (≈30 rows/part at any SF ⇒
-    # rev6 ≤ ~3e12, far under 2^63); every sum OVER the part space —
+    # single-long-ok: per-part sums are bounded (≈30 rows/part at any
+    # SF ⇒ rev6 ≤ ~3e12, far under 2^63); every sum OVER the part space —
     # cumulative, total, per-class — is scale-proportional and uses the
     # hi/lo-split exact decimal form instead (exprs.fp_split_sum_*)
     part_rev = li.groupBy("l_partkey").agg(
         F.sum(
-            (F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+            fp_scaled_long(F.col("l_extendedprice"), 1_000_000)
         ).alias("rev6")
     )
     # two-pass range-partitioned prefix sum (see the scale note):
@@ -1819,10 +1814,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 100 TB — a single-long accumulator would overflow there, while
         # decimal products/sums stay exact
         fp_split_sum_of(
-            (
-                F.signum("value")
-                * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-            ).cast("long")
+            fp_scaled_long(F.col("value"), 1_000_000)
         ).alias("v6")
     )
     reps = spark.range(100).select(F.col("id").alias("b"))
@@ -1894,13 +1886,13 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-pass range-partitioned prefix sum agg_abc_classification
     demonstrates); output is one row."""
     o = load(spark, sf_dir, "orders")
-    # per-customer rev6 stays single-long (~10 orders/customer); the
-    # grand total over the whole customer axis is scale-proportional —
-    # hi/lo-split exact decimal (the top-10/top-100 numerators sum ≤100
-    # bounded longs and stay single-long)
+    # single-long-ok: per-customer rev6 is bounded (~10 orders/customer
+    # at any SF); the grand total over the whole customer axis is
+    # scale-proportional — hi/lo-split exact decimal (the top-10/top-100
+    # numerators sum ≤100 bounded longs, also single-long-ok)
     cust = o.groupBy("o_custkey").agg(
         F.sum(
-            (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+            fp_scaled_long(F.col("o_totalprice"), 1_000_000)
         ).alias("rev6")
     )
     ranked = cust.select(
@@ -2474,7 +2466,7 @@ def agg_rank_stability_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_abc_classification demonstrates)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    r6 = (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+    r6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     p1 = F.col("o_orderkey") % 2 == 0
     per = (
         o.join(c, o.o_custkey == c.c_custkey)
@@ -3275,9 +3267,7 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fp6(col):
-        return (F.signum(col) * ((F.abs(col) * 1e6 + 0.5).cast("long"))).cast(
-            "long"
-        )
+        return fp_scaled_long(col, 1_000_000)
 
     # the flag axis has ~3 GLOBAL groups over lineitem — exact decimal
     # split sums (a single long overflows at ~8.7e7 rows/group)
@@ -3760,9 +3750,7 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned rank arrays."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    r6 = (
-        F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    r6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     p1 = F.col("o_orderkey") % 2 == 0
     per = (
         o.join(c, o.o_custkey == c.c_custkey)

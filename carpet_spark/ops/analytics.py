@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import fp_split_sum_of, fp_split_sum_over
+from ..exprs import fp_scaled_long, fp_split_sum_of, fp_split_sum_over
 from ..registry import register
 from ..tables import load
 
@@ -1205,10 +1205,7 @@ def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             # LTV window re-adds ~100 of them — exact decimal split sum
             # (window F.sum over decimals is then exact by itself)
             fp_split_sum_of(
-                (
-                    F.signum("value")
-                    * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-                ).cast("long")
+                fp_scaled_long(F.col("value"), 1_000_000)
             ).alias("rev6")
         )
     )
@@ -1434,7 +1431,7 @@ def agg_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(us) + F.floor((F.max(us) - F.min(us)) / 2).cast("long")
         ).alias("mid_us")
     )
-    v6 = (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+    v6 = fp_scaled_long(F.col("value"), 1_000_000)
     halves = ev.join(F.broadcast(bounds)).select(
         "event_type",
         F.when(F.unix_micros("ts") < F.col("mid_us"), "p1")
@@ -1730,7 +1727,7 @@ def agg_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mid_us"
         )
     )
-    v6 = (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+    v6 = fp_scaled_long(F.col("value"), 1_000_000)
     per = (
         ev.join(F.broadcast(bounds))
         .groupBy("user_id")
@@ -1868,11 +1865,11 @@ def agg_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        # per-customer partials stay single-long (~10 orders/customer
-        # at any SF ⇒ rev6 ≤ ~5e12 ≪ 2^63); the whole-base sums below
-        # use the hi/lo split
+        # single-long-ok: per-customer partials are bounded (~10
+        # orders/customer at any SF ⇒ rev6 ≤ ~5e12 ≪ 2^63); the
+        # whole-base sums below use the hi/lo split
         F.sum(
-            (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+            fp_scaled_long(F.col("o_totalprice"), 1_000_000)
         ).alias("rev6"),
     )
     rep = F.col("n_orders") >= 2
@@ -1947,7 +1944,7 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     period1 = F.col("l_orderkey") % 2 == 0
     q = F.round("l_quantity").cast("long")
-    r6 = (F.signum("l_extendedprice") * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+    r6 = fp_scaled_long(F.col("l_extendedprice"), 1_000_000)
     # 3 returnflag groups over ALL of lineitem: quantity sums stay long
     # (q<=50/row keeps Σ under 2^63 past 1e17 rows) but the 1e6-scaled
     # revenue sums need the exact decimal split
@@ -2181,7 +2178,7 @@ def agg_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): one per-customer conditional-sum scan; the matrix
     is ≤16 cells and the normalization a window over it."""
     o = load(spark, sf_dir, "orders")
-    r6 = (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+    r6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     p1 = F.col("o_orderkey") % 2 == 0
     per = o.groupBy("o_custkey").agg(
         F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("p1_6"),
@@ -2631,9 +2628,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("conv_id"),
         F.col("user_id"),
         F.col("ts").alias("conv_ts"),
-        (
-            F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-        ).cast("long").alias("v6"),
+        fp_scaled_long(F.col("value"), 1_000_000).alias("v6"),
     )
     touch = e.filter(F.col("event_type").isin("view", "click")).select(
         "user_id", "ts", "event_id", F.col("event_type").alias("channel")
@@ -2948,10 +2943,7 @@ def agg_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part-week quantity), one window over the per-part table for
     the cumulative cut, and a 9-cell report."""
     li = load(spark, sf_dir, "lineitem")
-    r6row = (
-        F.signum("l_extendedprice")
-        * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    r6row = fp_scaled_long(F.col("l_extendedprice"), 1_000_000)
     wk = F.floor(
         F.datediff(F.to_date("l_shipdate"), F.lit("2024-01-01")) / 7
     ).cast("long")
@@ -3135,9 +3127,7 @@ def feature_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
 
     def fp6(col):
-        return (
-            F.signum(col) * ((F.abs(col) * 1e6 + 0.5).cast("long"))
-        ).cast("long")
+        return fp_scaled_long(col, 1_000_000)
 
     fp = li.select(
         "l_orderkey",
@@ -3228,10 +3218,7 @@ def ab_segment_heterogeneity(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments or metrics never adds a pass over the facts."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    v6 = (
-        F.signum("o_totalprice")
-        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     tagged = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         F.when(F.col("o_orderkey") % 2 == 0, "a").otherwise("b").alias("arm"),
@@ -3353,10 +3340,7 @@ def ab_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     then scalar arithmetic; nothing after the map-side combine is
     bigger than a row."""
     o = load(spark, sf_dir, "orders")
-    v6 = (
-        F.signum("o_totalprice")
-        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     tagged = o.select(
         F.when(F.col("o_custkey") % 2 == 0, "treat")
         .otherwise("control")
@@ -3619,10 +3603,7 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): one per-user conditional rollup + one 5-moment
     aggregate — two map-side-combined passes, output is one row."""
     o = load(spark, sf_dir, "orders")
-    r6 = (
-        F.signum("o_totalprice")
-        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    r6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     cut = F.lit("1998-01-01").cast("timestamp")
     per_user = o.groupBy("o_custkey").agg(
         F.sum(F.when(F.col("o_orderdate") < cut, r6).otherwise(0))
@@ -3712,10 +3693,7 @@ def agg_bcg_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar row."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    r6 = (
-        F.signum("l_extendedprice")
-        * ((F.abs(F.col("l_extendedprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    r6 = fp_scaled_long(F.col("l_extendedprice"), 1_000_000)
 
     def in_year(y: int):
         return (
@@ -3927,10 +3905,7 @@ def agg_ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = load(spark, sf_dir, "orders").agg(
         F.max(F.to_date("o_orderdate")).alias("asof")
     )
-    v6 = (
-        F.signum("o_totalprice")
-        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     aged = o.crossJoin(F.broadcast(ref)).select(
         v6.alias("v6"),
         F.datediff(F.col("asof"), F.to_date("o_orderdate")).alias("age_days"),
@@ -4296,10 +4271,7 @@ def agg_cohort_payback_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = o.groupBy("o_custkey").agg(
         F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
     )
-    v6 = (
-        F.signum("o_totalprice")
-        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     monthly = o.join(firsts, "o_custkey").select(
         "cohort",
         (

@@ -21,6 +21,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..exprs import fp_scaled_long
 from ..registry import register
 from ..tables import load
 
@@ -938,9 +939,7 @@ def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform sample — farthest-first on a 1% sample is the textbook
     scalable k-means++ (k-means|| oversampling is the same idea)."""
     emb = load(spark, sf_dir, "embeddings")
-    iv = (
-        F.signum("valf") * ((F.abs(F.col("valf")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    iv = fp_scaled_long(F.col("valf"), 1_000_000)
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "valf")
     ).select("vec_id", "i", iv.alias("iv"))
@@ -1053,9 +1052,7 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates instead of all pairs — the thresholds then calibrate
     band/row counts directly."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    iv = (
-        F.signum("valf") * ((F.abs(F.col("valf")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    iv = fp_scaled_long(F.col("valf"), 1_000_000)
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "valf")
     ).select("vec_id", "i", iv.alias("iv"))
@@ -1163,9 +1160,7 @@ def sim_srp_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast plane table, two bounded combines, a 256-key
     histogram — linear, no pair work anywhere."""
     emb = load(spark, sf_dir, "embeddings")
-    iv = (
-        F.signum("valf") * ((F.abs(F.col("valf")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    iv = fp_scaled_long(F.col("valf"), 1_000_000)
     e = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "valf")
     ).select("vec_id", "i", iv.alias("iv"))

@@ -38,6 +38,7 @@ import uuid
 import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -559,10 +560,17 @@ def _py_converter(ftype):
         # loudly instead — callers with full-range longs must keep the
         # column integer-typed (e.g. astype("Int64")) upstream.
         def conv_int(v):
-            if isinstance(v, float):
+            # np.floating too: np.float32/float64 scalars do NOT subclass
+            # Python float, so an isinstance(v, float) check alone would
+            # let a memory-downcast float32 column truncate silently —
+            # the exact corruption class this guard refuses (r9 review).
+            # numpy integer scalars skip the float path entirely (int()
+            # on them is exact at any magnitude).
+            if isinstance(v, (float, np.floating)):
+                f = float(v)  # exact widening for float32
                 # STRICT bound: ±2^53 itself is ambiguous (2^53 + 1
                 # already rounded to it upstream), so refuse it too
-                if not v.is_integer() or not -2.0**53 < v < 2.0**53:
+                if not f.is_integer() or not -2.0**53 < f < 2.0**53:
                     raise ValueError(
                         f"float {v!r} cannot round-trip to Avro {ftype}: "
                         "non-integral or beyond float64's 2^53 exact-integer "

@@ -18,6 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..exprs import fp_scaled_long
 from ..registry import register
 from ..tables import load
 
@@ -1574,10 +1575,7 @@ def fn_progressive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): pure codegen arithmetic in the scan; adding a
     bracket adds a CASE term, never a pass."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 15 == 0)
-    v6 = (
-        F.signum("o_totalprice")
-        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     fp = o.select("o_orderkey", v6.alias("v6"))
     b1 = F.expr("LEAST(v6, 100000000000) DIV 10")
     b2 = F.when(

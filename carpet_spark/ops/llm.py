@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import davg, fp_split_sum_of, sql_davg
+from ..exprs import davg, fp_scaled_long, fp_split_sum_of, sql_davg
 from ..registry import register
 from ..tables import load
 
@@ -3851,9 +3851,7 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast is one window over |series|×|days| rows and every metric
     is a mergeable aggregate."""
     e = load(spark, sf_dir, "events")
-    v6 = (
-        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("value"), 1_000_000)
     # (series, day) cells sum scale-proportional event slices — hi/lo
     # split (exact decimal); the per-series error sums below then run
     # over decimals and are exact by themselves (sums of decimal(38,0)

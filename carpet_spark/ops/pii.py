@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..exprs import fp_split_sum_of
+from ..exprs import fp_scaled_long, fp_split_sum_of
 from ..registry import register
 from ..tables import load
 
@@ -727,10 +727,7 @@ def pii_hash_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the comparison is a |segments|-row join."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    r6 = (
-        F.signum("o_totalprice")
-        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    r6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     raw = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))

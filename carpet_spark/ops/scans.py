@@ -13,7 +13,7 @@ import tempfile
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..exprs import fp_split_sum_of, lsum
+from ..exprs import fp_scaled_long, fp_split_sum_of, lsum
 from ..registry import register
 from ..tables import load
 
@@ -1209,10 +1209,7 @@ def sink_manifest_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"manifest mismatch: {m['file']} has {actual} rows,"
                 f" manifest says {m['rows']}"
             )
-    r6 = (
-        F.signum("o_totalprice")
-        * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    r6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     # 3 global status groups over every landed order — hi/lo split
     # (a single-long Σ of o_totalprice micro-units clears 2^63 at
     # ~6e7 rows/group; 100 TB has ~5e10)

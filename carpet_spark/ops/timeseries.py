@@ -922,7 +922,7 @@ def ts_change_point_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(
         fp_split_sum_of(
-            (F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))).cast("long")
+            fp_scaled_long(F.col("value"), 1_000_000)
         ).alias("v6")
     )
     wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
@@ -1482,7 +1482,7 @@ def ts_pacing_vs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "o_orderdate").cast("date").alias("d")
     ).agg(
         fp_split_sum_of(
-            (F.signum("o_totalprice") * ((F.abs(F.col("o_totalprice")) * 1e6 + 0.5).cast("long"))).cast("long")
+            fp_scaled_long(F.col("o_totalprice"), 1_000_000)
         ).alias("v6")
     )
     wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
@@ -2041,10 +2041,7 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact decimals (no further sum)
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
         fp_split_sum_of(
-            (
-                F.signum("value")
-                * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-            ).cast("long")
+            fp_scaled_long(F.col("value"), 1_000_000)
         ).alias("v6")
     )
     w = (
@@ -2227,9 +2224,7 @@ def ts_diff_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lag window over |days| rows, and two corr sketches — nothing
     downstream of the combine scales with events."""
     e = load(spark, sf_dir, "events")
-    v6 = (
-        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("value"), 1_000_000)
     # per-day conditional sums over ALL events — hi/lo split; corr()
     # and the lag-differences consume the exact decimals directly
     daily = e.groupBy(F.to_date("ts").alias("d")).agg(
@@ -2293,9 +2288,7 @@ def ts_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_locf) owns that repair, documented rather than silently
     patched here."""
     e = load(spark, sf_dir, "events")
-    v6 = (
-        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("value"), 1_000_000)
     # (series, day) cells sum scale-proportional event slices — hi/lo
     # split; downstream consumers (ratios, corr) read exact decimals
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
@@ -2360,9 +2353,7 @@ def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
-    v6 = (
-        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("value"), 1_000_000)
     d = F.to_date("ts")
     w = Window.partitionBy("event_type", d).orderBy("ts", "event_id")
     seq = e.select(
@@ -2456,9 +2447,7 @@ def ts_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants fan out over the tiny daily table (|series|×|days|×13
     rows), each a window + corr sketch."""
     e = load(spark, sf_dir, "events")
-    v6 = (
-        F.signum("value") * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-    ).cast("long")
+    v6 = fp_scaled_long(F.col("value"), 1_000_000)
     # (series, day) cells sum scale-proportional event slices — hi/lo
     # split; downstream consumers (ratios, corr) read exact decimals
     daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(

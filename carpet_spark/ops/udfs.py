@@ -170,11 +170,13 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .drop("mu_type")
+        # integer hash, pure primitive codegen: crc32 would need a
+        # per-row string materialization of event_id just to derive a
+        # 6-bit salt (r9 review); the salt only feeds grouping, so any
+        # uniform hash gives the identical output
         .withColumn(
             "salt",
-            F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(64)).cast(
-                "int"
-            ),
+            F.pmod(F.xxhash64("event_id"), F.lit(64)).cast("int"),
         )
     )
     out = salted.groupBy("event_type", "salt").applyInPandas(

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import fp_split_sum_of, lsum
+from ..exprs import fp_scaled_long, fp_split_sum_of, lsum
 from ..registry import register
 from ..tables import load
 
@@ -734,10 +734,7 @@ def win_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         # implemented); the 14-row window sums below run over decimals
         # and are exact by themselves
         fp_split_sum_of(
-            (
-                F.signum("value")
-                * ((F.abs(F.col("value")) * 1e6 + 0.5).cast("long"))
-            ).cast("long")
+            fp_scaled_long(F.col("value"), 1_000_000)
         ).alias("y6")
     )
     w = (

@@ -157,9 +157,7 @@ def demean_salted(ev, n_salt=64):
         .drop("mu_type")
         .withColumn(
             "salt",
-            F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(n_salt)).cast(
-                "int"
-            ),
+            F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int"),
         )
     )
     return salted.groupBy("event_type", "salt").applyInPandas(

@@ -443,3 +443,39 @@ def test_null_codec_ranged_reads_resync_past_payload_collisions(tmp_path):
             _, it = read_ocf_range(p, s, min(s + split, size))
             got.extend(it)
         assert got == rows, f"split={split}: {len(got)} vs {len(rows)}"
+
+
+def test_int_converter_refuses_unsafe_floats_of_every_float_type():
+    """The long/int converter must refuse floats that cannot round-trip
+    (non-integral, or past float64's 2^53 exact range) for BOTH Python
+    floats and numpy float scalars — np.float32/float64 do not subclass
+    Python float, so an isinstance(v, float) check alone would let a
+    memory-downcast float32 column truncate silently (r9 review).
+    numpy INTEGER scalars skip the float path: int() on them is exact at
+    any magnitude."""
+    import numpy as np
+    import pytest
+
+    from carpet_spark.ops.avro import _py_converter
+
+    conv = _py_converter("long")
+    # exact-integer floats of every flavor convert
+    assert conv(3.0) == 3
+    assert conv(np.float64(-7.0)) == -7
+    assert conv(np.float32(12.0)) == 12
+    # non-integral: refused loudly, regardless of float type
+    for bad in (2.5, np.float64(2.5), np.float32(2.5), float("nan")):
+        with pytest.raises(ValueError, match="cannot round-trip"):
+            conv(bad)
+    # beyond (or at) 2^53: ambiguous — refused
+    for bad in (2.0**53, -(2.0**53), 2.0**60, np.float64(2.0**53)):
+        with pytest.raises(ValueError, match="cannot round-trip"):
+            conv(bad)
+    # integer-typed values are exact at ANY magnitude — no float detour
+    assert conv(np.int64(2**62 + 1)) == 2**62 + 1
+    assert conv(2**62 + 1) == 2**62 + 1
+    # the nullable wrapper still maps NaN/None to None before the guard
+    nconv = _py_converter(["null", "long"])
+    assert nconv(None) is None
+    assert nconv(float("nan")) is None
+    assert nconv(9.0) == 9

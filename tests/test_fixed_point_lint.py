@@ -15,7 +15,7 @@ module must either
 - route through the split helpers (the expr never reaches a bare
   ``F.sum`` then), or
 - sum in decimal (the arg mentions ``decimal``), or
-- carry the bound marker ``single-long`` in a comment within
+- carry the bound marker ``single-long-ok:`` in a comment within
   MARKER_WINDOW lines — the house idiom for "this group is bounded at
   any SF, here's why".
 
@@ -36,10 +36,19 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OPS_GLOB = os.path.join(REPO, "carpet_spark", "ops", "*.py")
-MARKER = "single-long"
+# The marker is a TOKEN prose cannot produce by accident: the r9 review
+# found the original bare word ("single-long") occurring in narrative
+# comments right above split sums, which would have silently exempted a
+# future regression at exactly the sites the lint protects.  Every
+# legitimate suppression now reads `single-long-ok: <bound>`.
+MARKER = "single-long-ok:"
 MARKER_WINDOW = 6  # lines above the F.sum( line the marker may sit
 
-_FP_CONSTRUCTION = re.compile(r"1e6|1000000\b")
+# ×1e4 and up: the sweep's worst-headroom site quantized residuals at
+# ×10000 (ts_ar1_forecast_backtest), which the original 1e6-only regex
+# missed.  ×100 cents accumulators stay exempt by design (1e4× more
+# headroom, audited per-site in SCALE.md's cents table).
+_FP_CONSTRUCTION = re.compile(r"1e[4-9]|\b10{4,}\b")
 # a decimal accumulator that is re-cast to long INSIDE the sum argument
 # (``F.sum((x.cast("decimal...")*y).cast("long"))``) still sums longs —
 # the trailing cast decides the accumulator type, not the substring
@@ -84,10 +93,10 @@ def test_no_unbounded_single_long_fixed_point_sums():
     for path in sorted(glob.glob(OPS_GLOB)):
         flagged += _violations_in(path)
     assert not flagged, (
-        "single-long Σ over ×1e6 fixed-point values without a bound "
+        "single-long Σ over ×1e4+ fixed-point values without a bound "
         f"marker: {flagged}. Either route through exprs.fp_split_sum_of/"
-        "_over (scale-proportional group) or add a 'single-long' comment "
-        "stating the per-group row bound (bounded group)."
+        "_over (scale-proportional group) or add a 'single-long-ok:' "
+        "comment stating the per-group row bound (bounded group)."
     )
 
 
@@ -112,6 +121,51 @@ def test_lint_catches_a_violation():
         ")\n"
     )
     assert _lint_on(bad), "lint failed to flag the idiom"
+
+
+def test_lint_prose_mention_does_not_suppress():
+    """r9 review finding: the old bare-word marker ('single-long') also
+    occurred in NARRATIVE comments near protected sums, silently
+    exempting a future regression there.  Prose mentioning the hazard
+    must NOT suppress; only the explicit ok-token may."""
+    bad = (
+        "# a single-long accumulator would overflow there, so we split\n"
+        "df.agg(\n"
+        "    F.sum(\n"
+        '        (F.abs(F.col("x")) * 1e6 + 0.5).cast("long")\n'
+        "    ).alias('s6')\n"
+        ")\n"
+    )
+    assert _lint_on(bad), "prose hazard mention suppressed the lint"
+    ok = bad.replace(
+        "# a single-long accumulator would overflow there, so we split",
+        "# single-long-ok: bounded at ~30 rows/group at any SF",
+    )
+    assert not _lint_on(ok), "explicit ok-token failed to suppress"
+
+
+def test_lint_catches_non_1e6_scale_factors():
+    """r9 review finding: the sweep's worst-headroom site quantized at
+    x10000, which a 1e6-only regex missed; any x1e4+ construction in a
+    bare F.sum must flag."""
+    for factor in ("10000", "1e4", "100000", "1e8"):
+        bad = (
+            "df.agg(\n"
+            "    F.sum(\n"
+            f'        (F.abs(F.col("x")) * {factor} + 0.5).cast("long")\n'
+            "    ).alias('s')\n"
+            ")\n"
+        )
+        assert _lint_on(bad), f"lint missed the x{factor} idiom"
+    # cents (x100) stay exempt by design
+    cents = (
+        "df.agg(\n"
+        "    F.sum(\n"
+        '        (F.abs(F.col("x")) * 100 + 0.5).cast("long")\n'
+        "    ).alias('s')\n"
+        ")\n"
+    )
+    assert not _lint_on(cents), "lint flagged the exempt cents scale"
 
 
 def test_lint_catches_decimal_recast_to_long():
