@@ -1473,7 +1473,7 @@ def agg_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              datediff('day', CAST(date_trunc('day', MIN(ts)) AS DATE),
                       CAST(date_trunc('day', MAX(ts)) AS DATE)) AS dur,
-             CASE WHEN MAX(ts) < (SELECT MAX(ts) - INTERVAL 7 DAY
+             CASE WHEN MAX(ts) < (SELECT MAX(ts) - INTERVAL 1 DAY
                                   FROM events)
                   THEN 1 ELSE 0 END AS churned
       FROM events GROUP BY user_id
@@ -1498,9 +1498,15 @@ def agg_change_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier survival curve for user lifetime: duration = days
     between a user's first and last activity; users still active in the
-    final 7 days are CENSORED (they haven't churned, they just ran out
+    final day are CENSORED (they haven't churned, they just ran out
     of observation window — the distinction naive 'average lifetime'
-    math gets wrong, biasing lifetimes down).  S(t) multiplies
+    math gets wrong, biasing lifetimes down).  The censoring window is
+    a parameter: production churn uses weeks, but this corpus spans 30
+    days with every user active into the final ~3, so a 7-day window
+    made the op VACUOUSLY empty at every reachable SF and fixture (r9
+    finding — the hash matched DuckDB only because both sides were
+    empty); 24 h keeps real churn events in the curve at sf0.001+.
+    S(t) multiplies
     (1 − dₜ/nₜ) over churn times, computed as exp(Σ ln(·)) so the
     running product is a window SUM — the standard log-space trick,
     identical in both engines and rounded at 6dp.  (Curve points where
@@ -1514,7 +1520,7 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same plan."""
     ev = load(spark, sf_dir, "events")
     end = ev.agg(
-        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cut")
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("cut")
     )
     span = (
         ev.groupBy("user_id")

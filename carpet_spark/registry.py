@@ -94,6 +94,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # 436 of 694 when green).  All 50 carry hash oracles (third consecutive
 # all-hash window).  Probed under the driver-faithful pandas harness at
 # sf0.01 AND sf0.001 before shipping (scripts/driver_window_probe.py).
+# r10 rotation note: force-include `agg_survival_km` in the next window —
+# its only driver bank predates the r9 re-parameterization that made it
+# non-vacuous (the 7-day censoring cut produced empty output at every
+# reachable SF, so the old hash-pass was empty == empty; the 24 h window
+# gives the curve real churn points at sf0.01).  The op is not in the r9
+# window, so the upgrade is invisible until resampled.
 _PRIORITY_WINDOW = (
     "dedup_near_simhash",
     "sim_mmr_rerank",
