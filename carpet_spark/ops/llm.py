@@ -1796,7 +1796,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t
-      FROM documents WHERE doc_id % 9 = 0
+      FROM documents WHERE doc_id % 3 = 0
     ),
     grams AS (
       SELECT DISTINCT doc_id,
@@ -1825,7 +1825,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-inside-doc relationships (a quoted article inside a longer
     page, a chunk re-embedded in a digest) which Jaccard dilutes to
     insignificance when sizes differ 10×.  Same declared-exact role as
-    dedup_near_jaccard (bounded %9 subset): this is the ground truth
+    dedup_near_jaccard (bounded %3 subset — widened from %9 in r10
+    because the narrower slice happened to miss every qualifying pair
+    at sf0.01, making the r9 driver bank an empty==empty vacuous pass;
+    %3 keeps the same semantics and threshold while the subset contains
+    real near-dup pairs at every reachable SF: 5/3/26 qualifying pairs
+    at sf0.001/0.01/0.1): this is the ground truth
     the banded/minhash family approximates; MinHash estimates Jaccard,
     and containment needs either this exact form or a HyperLogLog-
     intersection sketch at scale.
@@ -1833,7 +1838,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: distinct gram sets first, pair intersection via the
     gram-keyed equi join (never doc×doc), sizes broadcast back —
     dedup_near_jaccard's plan with a different final normalizer."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     toks = F.split("text", " ")
     grams = (
         d.select(
@@ -2826,7 +2831,7 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
                       * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})),
                    6) AS cos6
-      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 997
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 199
     ),
     binned AS (
       SELECT LEAST(19, CAST(FLOOR((cos6 + 1.0) * 10) AS BIGINT)) AS bucket
@@ -2843,8 +2848,12 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_pairwise_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space health histogram: the distribution of cosine
     similarity over a deterministic sample of vector pairs (each id
-    paired with id+997 — a fixed co-prime stride, so the sample is
-    reproducible and label-decorrelated).  A healthy isotropic space
+    paired with id+199 — a fixed prime stride, so the sample is
+    reproducible and label-decorrelated; widened from stride 997 in
+    r10 because sf0.01's 500-vector corpus has no id pair 997 apart,
+    which made every sub-sf0.1 run — including the driver's — a
+    vacuous empty==empty hash-pass; 199 < |corpus| at every reachable
+    SF: 301/301/1801 pairs at sf0.001/0.01/0.1).  A healthy isotropic space
     piles near 0; a collapsed ('cone') embedding model piles near 1
     and will break both ANN recall and near-dup thresholds — this is
     the 30-second check before trusting dedup_near_embedding's 0.4
@@ -2858,7 +2867,7 @@ def emb_pairwise_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     a = e.select("vec_id", F.col("embedding").alias("ea"))
     b = e.select(
-        (F.col("vec_id") - 997).alias("join_id"), F.col("embedding").alias("eb")
+        (F.col("vec_id") - 199).alias("join_id"), F.col("embedding").alias("eb")
     )
     pairs = a.join(b, a.vec_id == b.join_id).select(
         F.round(

@@ -1,4 +1,4 @@
-"""Positive-path parity for ops that are EMPTY at the default test SF.
+"""Positive-path parity for ops that were found EMPTY at the default test SF.
 
 An r9 registry-wide scan found 4 hash ops returning zero rows at sf0.01;
 for two of them (dedup_containment_pairs, emb_pairwise_cosine_hist) the
@@ -6,12 +6,21 @@ output was ALSO empty at sf0.001 and on every adversarial fixture, so
 their actual math — threshold comparisons, normalizers, rounding — was
 hash-"verified" only as empty == empty, a vacuous pass that would hide a
 wrong formula.  (The third, agg_survival_km, was empty at EVERY scale
-until its censoring window was re-parameterized; the fourth,
+until its censoring window was re-parameterized in r9; the fourth,
 text_collocations_pmi, already had positive rows at sf0.001.)
 
-These tests pin the positive path at sf0.1 — the smallest SF where real
-pairs exist — and assert non-emptiness so a future change that silently
-re-vacuates an op fails loudly instead of passing as empty == empty.
+r10 de-vacuated BOTH remaining ops at the driver's own SF:
+  * dedup_containment_pairs — bounding subset widened from doc_id%9 to
+    doc_id%3 (same containment semantics and 0.5 threshold; the %9
+    slice just happened to contain no qualifying pair at any SF);
+  * emb_pairwise_cosine_hist — pair stride changed from 997 to the
+    prime 199 (same deterministic-stride-sample semantics; 997 exceeds
+    sf0.01's 500-vector id range, so no pair existed below sf0.1).
+
+These tests pin each fix non-vacuous AND hash-matching at sf0.01, so a
+future change that silently re-vacuates an op fails loudly instead of
+passing as empty == empty.  min_rows values are the measured counts at
+the time of the fix (3 containment pairs; 8 cosine-histogram buckets).
 """
 
 from __future__ import annotations
@@ -19,32 +28,25 @@ from __future__ import annotations
 import pytest
 
 from carpet_spark.registry import REGISTRY
-from carpet_spark.testing import compare, duck_connect
+from carpet_spark.testing import compare
 
-SF01_DIR = "/root/testdata/sf0.1"
+SF001_DIR = "/root/testdata/sf0.01"
 
-POSITIVE_ONLY_AT_SF01 = [
-    ("dedup_containment_pairs", 4),
-    ("emb_pairwise_cosine_hist", 9),
+POSITIVE_AT_DRIVER_SF = [
+    ("dedup_containment_pairs", 3),
+    ("emb_pairwise_cosine_hist", 8),
 ]
 
 
-@pytest.fixture(scope="module")
-def duck01():
-    con = duck_connect(SF01_DIR)
-    yield con
-    con.close()
-
-
-@pytest.mark.parametrize("name,min_rows", POSITIVE_ONLY_AT_SF01)
-def test_positive_path_hash_parity_at_sf01(spark, duck01, name, min_rows):
+@pytest.mark.parametrize("name,min_rows", POSITIVE_AT_DRIVER_SF)
+def test_positive_path_hash_parity_at_driver_sf(spark, duck, name, min_rows):
     op = REGISTRY[name]
-    df = op.fn(spark, SF01_DIR)
+    df = op.fn(spark, SF001_DIR)
     assert df.count() >= min_rows, (
-        f"{name} went vacuous at sf0.1 — its formula is no longer "
-        "exercised anywhere; see this module's docstring"
+        f"{name} went vacuous at sf0.01 — the r10 de-vacuation regressed; "
+        "see this module's docstring"
     )
-    compare(df, duck01, op.oracle, name=f"{name}@sf0.1")
+    compare(df, duck, op.oracle, name=f"{name}@sf0.01")
 
 
 def test_survival_km_is_not_vacuous(spark, duck):
@@ -53,5 +55,6 @@ def test_survival_km_is_not_vacuous(spark, duck):
     days); with the 24h window the curve must have real churn points at
     the default test SF, and still hash-match."""
     op = REGISTRY["agg_survival_km"]
-    df = op.fn(spark, "/root/testdata/sf0.01")
+    df = op.fn(spark, SF001_DIR)
     assert df.count() >= 1, "agg_survival_km is vacuous again"
+    compare(df, duck, op.oracle, name="agg_survival_km@sf0.01")
