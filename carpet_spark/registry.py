@@ -80,231 +80,175 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # other possible driver behavior) still maximizes coverage.  Every op here
 # was audited this round for array/map-typed output columns (none — the
 # driver canonicalizer cannot hash those, SURVEY §7.5).
-# Round-9 window (r08 VERDICT item 1): leads with the SIX force-includes
-# the judge demanded — dedup_near_simhash, sim_mmr_rerank, mm_phash_dedup
-# (all three promoted from rows-only to hash oracles in r8 AFTER their
-# last driver sample, so the upgrades are invisible until resampled:
-# md5-bit simhash / 6dp-grid recursive-CTE MMR twin / exact byte-level
-# phash recomputation) and the three r8 Avro ops (scan_avro,
-# sink_avro_roundtrip, scan_avro_schema_evolution — spec-conformant
-# against the bundled Apache Avro jars but never externally banked) —
-# then 44 never-driver-sampled ops straight off the queue head,
-# preserving the r02-verdict user-value ordering.  3 deliberate
-# re-samples, 47 first-time samples (cumulative driver coverage 389 →
-# 436 of 694 when green).  All 50 carry hash oracles (third consecutive
-# all-hash window).  Probed under the driver-faithful pandas harness at
-# sf0.01 AND sf0.001 before shipping (scripts/driver_window_probe.py).
-# r10 rotation note: force-include `agg_survival_km` in the next window —
-# its only driver bank predates the r9 re-parameterization that made it
-# non-vacuous (the 7-day censoring cut produced empty output at every
-# reachable SF, so the old hash-pass was empty == empty; the 24 h window
-# gives the curve real churn points at sf0.01).  The op is not in the r9
-# window, so the upgrade is invisible until resampled.
+# Round-10 window (r09 VERDICT items 1-2): leads with `agg_survival_km`,
+# the round's ONE deliberate re-sample — its only driver bank (r8) is
+# `spark_rows: 0`, an empty==empty vacuous pass that predates the r9
+# censoring re-parameterization, so the fix is invisible until resampled
+# — then 49 never-driver-sampled ops: first the r10-de-vacuated
+# emb_pairwise_cosine_hist (pair stride 997 → 199 so sf0.01's 500-vector
+# corpus actually contains pairs) and the nine LLM-family stragglers the
+# r9 verdict named (dedup_cluster_size_dist, dedup_blocking_quality,
+# dedup_minhash_estimate, mm_image_channel_stats, text_bpe_merge_round,
+# quality_gopher_rules, emb_kmeans_pp_init, sample_hard_negatives,
+# text_ngram_novelty_rate), then 39 straight off the queue head in the
+# r02-verdict user-value order.  49 first-time samples bring cumulative
+# driver coverage 436 → 485 of 694 when green (the r9 verdict's exact
+# target).  All 50 carry hash oracles (fourth consecutive all-hash
+# window) and all 50 return >0 rows at sf0.01 — enforced by the vacuity
+# preflight now built into scripts/driver_window_probe.py (r9 item 3).
+# `dedup_containment_pairs` (re-parameterized %9 → %3 this round for the
+# same vacuity reason, r9 item 2) was ALREADY banked in r9 and heads the
+# planned r11 window below instead of displacing a first-time sample.
 _PRIORITY_WINDOW = (
-    "dedup_near_simhash",
-    "sim_mmr_rerank",
-    "mm_phash_dedup",
-    "scan_avro",
-    "sink_avro_roundtrip",
-    "scan_avro_schema_evolution",
-    "agg_trimmed_mean",
-    "agg_behavior_entropy",
-    "ts_latency_percentiles_hourly",
-    "agg_generalized_means",
-    "agg_allocation_by_share",
-    "text_readability_proxy",
-    "basket_lift_rules",
-    "stream_multi_source_union",
-    "agg_net_revenue_retention",
-    "agg_user_active_days_hist",
-    "ts_rsi_indicator",
-    "dedup_containment_pairs",
-    "agg_repeat_purchase_rate",
-    "ts_autocorrelation",
-    "dq_json_schema_check",
-    "pii_phone_normalize",
-    "dq_duplicate_payments",
-    "feature_minmax_scale",
-    "agg_price_volume_mix",
-    "dq_flatline_detection",
-    "scan_highwatermark_incremental",
-    "dq_sequence_gaps",
-    "ts_percentile_bands",
-    "pii_consent_filter",
-    "win_cross_sectional_zscore",
-    "agg_rank_stability_spearman",
-    "ab_effect_size_cohens_d",
-    "ab_sample_size_estimate",
-    "geo_bearing_distance",
-    "agg_rate_wilson_ci",
-    "ts_pacing_vs_target",
-    "text_tokenizer_fertility",
-    "join_record_linkage_scored",
-    "scan_multiformat_union",
-    "ts_runs_test",
-    "ts_classical_decompose",
-    "agg_ks_two_sample",
-    "agg_psi_drift",
-    "agg_mutual_information",
-    "fn_feature_hashing",
-    "agg_label_balance_report",
-    "emb_mixup_pairs",
-    "agg_segment_migration",
-    "emb_nearest_centroid_assign",
-)
-
-# Round-4+ queue (r02 VERDICT item 3): every op without a driver
-# CORRECTNESS row after the r3 window, in the order the next windows
-# should take them — trainprep remainder → llm leftovers → mutations →
-# reshape → sqlsurface → graph (the r02 verdict's explicit user-value
-# ordering), then storage-layout scans, join strategies, window/agg
-# extras, function families, ANN, streaming sinks, multimodal, and the
-# round-3 in-session additions in arrival order (each wave was
-# hash-verified locally at BOTH sf0.01 and sf0.001 on landing).  With 330
-# registered ops, 99 r1+r2-verified and 50 in the r3 window, ~181 remain:
-# promote the first 50 of this queue into _PRIORITY_WINDOW each round —
-# r4 through r7 finish the registry at the current size.
-_R4_QUEUE = (
-    "ts_trend_ols",
+    "agg_survival_km", "emb_pairwise_cosine_hist",
+    "dedup_cluster_size_dist", "dedup_blocking_quality",
+    "dedup_minhash_estimate", "mm_image_channel_stats",
+    "text_bpe_merge_round", "quality_gopher_rules", "emb_kmeans_pp_init",
+    "sample_hard_negatives", "text_ngram_novelty_rate", "ts_trend_ols",
     "agg_skyline_pareto", "dq_cross_field_rules",
     "dq_rowcount_anomaly_daily", "ab_two_proportion_ztest",
     "agg_corr_matrix", "sample_importance_weighted",
-    "agg_token_budget_allocation", "quality_gopher_rules",
-    "dq_sft_format_check", "win_rolling_regression_slope",
-    "agg_window_funnel_strict", "ts_burstiness_fano",
-    "attribution_position_based", "pii_email_normalize", "ts_residual_anomaly",
-    "dedup_cluster_size_dist",
-    "agg_bounce_rate", "fn_luhn_check",
-    "emb_pairwise_cosine_hist", "pii_kanon_generalize",
-    "join_mark_exists", "text_char_ngram_profile",
-    "agg_funnel_stage_latency",
-    "text_sentence_stats", "text_bpe_merge_round",
-    "agg_abc_xyz_class", "dq_primary_key_check",
-    "ts_record_highs", "agg_retention_curve_dayn",
-    "agg_winsorized_stats",
+    "agg_token_budget_allocation", "dq_sft_format_check",
+    "win_rolling_regression_slope", "agg_window_funnel_strict",
+    "ts_burstiness_fano", "attribution_position_based",
+    "pii_email_normalize", "ts_residual_anomaly", "agg_bounce_rate",
+    "fn_luhn_check", "pii_kanon_generalize", "join_mark_exists",
+    "text_char_ngram_profile", "agg_funnel_stage_latency",
+    "text_sentence_stats", "agg_abc_xyz_class", "dq_primary_key_check",
+    "ts_record_highs", "agg_retention_curve_dayn", "agg_winsorized_stats",
     "fn_human_number_parse", "dq_drift_report_multi",
-    "feature_standard_scale",
-    "ab_segment_heterogeneity", "ab_difference_in_differences",
-    "agg_price_elasticity", "scan_jsonl_corrupt_capture",
-    "text_template_mining", "sample_epoch_repeat_factors",
-    "emb_product_quantize_lite", "agg_newsvendor_quantile",
-    "ts_interarrival_stats", "sink_manifest_publish",
-    "join_basket_containment", "sample_hard_negatives",
-    "sink_row_hash_audit", "join_nearest_numeric",
-    "agg_slo_burn_rate", "fn_route_pattern_match",
-    "ab_sample_ratio_mismatch", "ab_cuped_adjustment",
-    "sql_group_by_all", "fn_semver_order",
-    "agg_bcg_matrix", "ts_diff_correlation",
-    "ts_compound_growth_index", "agg_reference_percentile_rank",
-    "dq_rare_categories", "ts_twap_daily",
-    "sql_distinct_on", "attribution_shapley_two_channel",
-    "sample_weighted_no_replacement", "fn_iban_mod97",
-    "text_ocr_normalize",
-    "text_script_detect",
-    "agg_ar_aging_buckets", "pii_hash_join_integrity",
-    "text_bigram_logprob", "sample_group_kfold",
-    "agg_basket_size_dist", "agg_growth_accounting",
-    "agg_churn_risk_recency",
-    "text_intradoc_dedup", "text_trending_tokens",
-    "fn_progressive_brackets", "ts_dominant_period",
-    "scan_glob_subset", "agg_cohort_payback_month",
-    "fn_number_humanize", "agg_stickiness_dau_mau",
-    "ab_mann_whitney_u", "fn_uuid_deterministic",
-    "sample_reservoir_fixed_n", "ts_cross_correlation_lags",
-    "scan_fixed_width",
-    "dedup_minhash_estimate", "agg_anova_oneway",
-    "agg_theil_index", "text_js_divergence_sources",
-    "emb_isotropy_score", "agg_kendall_tau",
-    "win_weighted_moving_average", "ts_bollinger_bands",
-    "agg_chi_square_gof", "text_hapax_ratio",
-    "fn_fiscal_calendar_445", "fn_slugify",
-    "dq_table_fingerprint", "ts_velocity_acceleration",
-    "agg_runlength_events", "sql_order_by_all",
-    "pii_subject_access_export", "fn_label_encode",
-    "fn_one_hot_encode", "sink_csv_gzip_roundtrip",
-    "sink_parquet_zstd_roundtrip", "agg_atkinson_index",
-    "ts_var_cvar", "emb_kmeans_pp_init",
-    "agg_kmv_cardinality", "agg_entropy_daily",
-    "win_rolling_skewness", "agg_quantile_normalize",
-    "fn_excel_serial_date", "ts_underwater_duration",
-    "agg_mood_median_test",
-    "agg_capture_recapture", "sample_neyman_allocation",
-    "fn_round_half_even", "agg_poisson_rate_ci",
-    "agg_cohen_h", "win_new_users_cumulative",
-    "sim_threshold_sweep", "text_heaps_law",
-    "agg_recency_decay_score", "pii_small_cell_suppress",
-    "agg_overdispersion_index", "ts_fourier_weekly_fit",
-    "ab_bayesian_shrinkage", "sim_srp_bucket_histogram",
-    "agg_friedman_test", "agg_weighted_median",
-    "geo_tile_quadkey", "scan_csv_dateformat",
-    "ts_theil_sen_slope", "dq_benford_second_digit", "win_gap_to_leader",
-    "text_ngram_novelty_rate", "agg_delta_method_ratio_ci",
-    "dedup_blocking_quality", "fn_target_encode",
-    "emb_class_separability", "ts_partial_autocorrelation",
-    "agg_mcnemar_test", "dq_hash_collision_audit",
-    "agg_wilcoxon_signed_rank", "agg_contingency_residuals",
-    "ab_cochran_armitage_trend", "agg_price_endings_profile",
-    "agg_hurst_rescaled_range", "fn_iso_week_boundaries",
-    "sample_ipw_ess",
-    "fn_checkdigit_ean13", "dq_penny_drift_audit",
-    "ts_day_percentile_vs_history", "agg_log_return_volatility",
-    "ts_month_seasonal_index", "agg_customer_tenure_dist",
-    "sink_tsv_roundtrip", "agg_hhi_yearly_trend",
-    "feature_robust_scale", "feature_cyclical_encode",
-    "sql_exists_correlated", "sql_values_dim_join",
-    "ts_stochastic_oscillator", "ts_donchian_breakout",
-    "ts_obv_indicator", "agg_cr_concentration",
-    "agg_quartile_dispersion", "ts_pivot_points_daily",
-    "ts_range_expansion", "pii_date_shift_consistent",
-    "pii_generalize_timestamp", "text_shingle_jaccard_langs",
-    "win_session_position", "join_temporal_validity_intersect",
-    "dq_timeliness_lag_profile", "agg_interpurchase_time_cv",
-    "agg_weekday_weekend_split", "emb_centroid_drift_report",
-    "join_late_arriving_dim", "win_views_per_purchase",
-    "stream_windowed_topk", "profile_temporal_coverage",
-    "agg_share_of_parent_hierarchy", "agg_littles_law_check",
-    "text_vocab_coverage_topk", "ts_week_over_week_same_dow",
-    "agg_next_basket_pairs", "sink_parquet_bloom_roundtrip",
-    "ts_intraday_volume_curve", "dq_schema_contract_check",
-    "ts_timezone_shift_report", "agg_reorder_point_calc",
-    "ts_apdex_score", "udf_pandas_grouped_forecast",
-    "attribution_time_decay", "stream_alert_episodes",
-    "dq_split_leakage_check", "agg_forecast_reconciliation_topdown",
-    "agg_price_index_laspeyres", "join_match_waterfall",
-    "cdc_scd2_apply_batch", "dq_scd2_interval_audit",
-    "agg_queueing_mm1_metrics", "ab_sequential_obf",
-    "sql_named_window_clause", "ts_effective_sample_size",
-    "ts_seasonal_adjustment_dow", "agg_hill_tail_index",
-    "dq_manifest_orphan_audit", "agg_margin_waterfall",
-    "join_fx_asof_convert",
-    "dq_balance_reconciliation_three_way", "agg_repeat_rate_by_first_value",
-    "agg_unit_economics_summary", "pii_l_diversity_check",
-    "profile_candidate_keys", "sample_pps_systematic",
-    "emb_hubness_topk", "fn_largest_remainder_allocation",
-    "agg_demand_intermittency_sbc", "text_mattr_lexical_diversity",
-    "dq_benford_mad_conformity", "pii_kanon_utility_curve",
-    "ab_interaction_check", "ts_load_duration_curve",
-    "ts_forecaster_bakeoff", "agg_dso_days_sales_outstanding",
-    "dq_join_fanout_estimate",
-    "text_blocklist_screen", "dq_survivorship_bias_probe",
-    "ab_mde_current_power", "ts_calendarized_run_rate",
-    "scan_delimiter_sniff", "dq_fx_triangulation_audit",
-    "ab_bucketing_uniformity", "emb_mean_pooling_tokens", "ts_peak_dow_shift",
-    "fn_month_boundary_features", "ab_itt_vs_perprotocol",
-    "agg_month_end_lift", "dq_event_order_audit",
-    "agg_discount_response_curve", "dq_doc_embedding_coverage",
-    "agg_dormant_skus", "agg_time_to_nth_purchase",
-    "dq_cdc_scd2_consistency", "agg_mixed_discount_baskets",
-    "agg_cart_abandonment_by_dow", "agg_return_rate_drivers",
-    "agg_supplier_concentration_tiers", "ts_event_study_window", "ab_days_to_power",
-    "ts_daily_health_score",
-    # --- round-6 in-session additions (arrival order) ---
-    "scan_python_datasource_pushdown",
-    # --- round-7 in-session additions (arrival order) ---
-    "mm_image_channel_stats",
-    # (the three round-8 Avro additions moved to the r9 window head as
-    # force-includes per the r8 verdict)
+    "feature_standard_scale", "ab_segment_heterogeneity",
+    "ab_difference_in_differences", "agg_price_elasticity",
+    "scan_jsonl_corrupt_capture", "text_template_mining",
+    "sample_epoch_repeat_factors", "emb_product_quantize_lite",
+    "agg_newsvendor_quantile", "ts_interarrival_stats",
 )
+
+# Rotation-debt burn-down plan (r09 VERDICT item 6): the committed window
+# order for rounds 11-15, so each future rotation is a LOOKUP, not a
+# decision — at round N start, park the previous window in _R{N-1}_VERIFIED
+# and copy _PLANNED_WINDOWS[N] into _PRIORITY_WINDOW (then re-probe it with
+# scripts/driver_window_probe.py, whose vacuity preflight and oracle check
+# may force swaps; record any swap in the window comment).  The plan is the
+# r02-verdict user-value ordering (the former _R4_QUEUE, which this dict
+# supersedes as the single source of truth) minus everything banked through
+# r10, with the r9-banked-but-vacuous dedup_containment_pairs re-queued at
+# the r11 head (its %3 re-parameterization makes the next bank non-vacuous).
+# After r15 every registered op has at least one non-vacuous external bank:
+# 50+210 = 260 = 258 never-sampled + 2 re-banks.
+# tests/test_window.py::test_planned_windows_* pin plan/registry consistency.
+_PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
+    11: (
+        "dedup_containment_pairs", "sink_manifest_publish",
+        "join_basket_containment", "sink_row_hash_audit",
+        "join_nearest_numeric", "agg_slo_burn_rate",
+        "fn_route_pattern_match", "ab_sample_ratio_mismatch",
+        "ab_cuped_adjustment", "sql_group_by_all", "fn_semver_order",
+        "agg_bcg_matrix", "ts_diff_correlation",
+        "ts_compound_growth_index", "agg_reference_percentile_rank",
+        "dq_rare_categories", "ts_twap_daily", "sql_distinct_on",
+        "attribution_shapley_two_channel",
+        "sample_weighted_no_replacement", "fn_iban_mod97",
+        "text_ocr_normalize", "text_script_detect", "agg_ar_aging_buckets",
+        "pii_hash_join_integrity", "text_bigram_logprob",
+        "sample_group_kfold", "agg_basket_size_dist",
+        "agg_growth_accounting", "agg_churn_risk_recency",
+        "text_intradoc_dedup", "text_trending_tokens",
+        "fn_progressive_brackets", "ts_dominant_period",
+        "scan_glob_subset", "agg_cohort_payback_month",
+        "fn_number_humanize", "agg_stickiness_dau_mau",
+        "ab_mann_whitney_u", "fn_uuid_deterministic",
+        "sample_reservoir_fixed_n", "ts_cross_correlation_lags",
+        "scan_fixed_width", "agg_anova_oneway", "agg_theil_index",
+        "text_js_divergence_sources", "emb_isotropy_score",
+        "agg_kendall_tau", "win_weighted_moving_average",
+        "ts_bollinger_bands",
+    ),
+    12: (
+        "agg_chi_square_gof", "text_hapax_ratio", "fn_fiscal_calendar_445",
+        "fn_slugify", "dq_table_fingerprint", "ts_velocity_acceleration",
+        "agg_runlength_events", "sql_order_by_all",
+        "pii_subject_access_export", "fn_label_encode",
+        "fn_one_hot_encode", "sink_csv_gzip_roundtrip",
+        "sink_parquet_zstd_roundtrip", "agg_atkinson_index", "ts_var_cvar",
+        "agg_kmv_cardinality", "agg_entropy_daily", "win_rolling_skewness",
+        "agg_quantile_normalize", "fn_excel_serial_date",
+        "ts_underwater_duration", "agg_mood_median_test",
+        "agg_capture_recapture", "sample_neyman_allocation",
+        "fn_round_half_even", "agg_poisson_rate_ci", "agg_cohen_h",
+        "win_new_users_cumulative", "sim_threshold_sweep",
+        "text_heaps_law", "agg_recency_decay_score",
+        "pii_small_cell_suppress", "agg_overdispersion_index",
+        "ts_fourier_weekly_fit", "ab_bayesian_shrinkage",
+        "sim_srp_bucket_histogram", "agg_friedman_test",
+        "agg_weighted_median", "geo_tile_quadkey", "scan_csv_dateformat",
+        "ts_theil_sen_slope", "dq_benford_second_digit",
+        "win_gap_to_leader", "agg_delta_method_ratio_ci",
+        "fn_target_encode", "emb_class_separability",
+        "ts_partial_autocorrelation", "agg_mcnemar_test",
+        "dq_hash_collision_audit", "agg_wilcoxon_signed_rank",
+    ),
+    13: (
+        "agg_contingency_residuals", "ab_cochran_armitage_trend",
+        "agg_price_endings_profile", "agg_hurst_rescaled_range",
+        "fn_iso_week_boundaries", "sample_ipw_ess", "fn_checkdigit_ean13",
+        "dq_penny_drift_audit", "ts_day_percentile_vs_history",
+        "agg_log_return_volatility", "ts_month_seasonal_index",
+        "agg_customer_tenure_dist", "sink_tsv_roundtrip",
+        "agg_hhi_yearly_trend", "feature_robust_scale",
+        "feature_cyclical_encode", "sql_exists_correlated",
+        "sql_values_dim_join", "ts_stochastic_oscillator",
+        "ts_donchian_breakout", "ts_obv_indicator", "agg_cr_concentration",
+        "agg_quartile_dispersion", "ts_pivot_points_daily",
+        "ts_range_expansion", "pii_date_shift_consistent",
+        "pii_generalize_timestamp", "text_shingle_jaccard_langs",
+        "win_session_position", "join_temporal_validity_intersect",
+        "dq_timeliness_lag_profile", "agg_interpurchase_time_cv",
+        "agg_weekday_weekend_split", "emb_centroid_drift_report",
+        "join_late_arriving_dim", "win_views_per_purchase",
+        "stream_windowed_topk", "profile_temporal_coverage",
+        "agg_share_of_parent_hierarchy", "agg_littles_law_check",
+        "text_vocab_coverage_topk", "ts_week_over_week_same_dow",
+        "agg_next_basket_pairs", "sink_parquet_bloom_roundtrip",
+        "ts_intraday_volume_curve", "dq_schema_contract_check",
+        "ts_timezone_shift_report", "agg_reorder_point_calc",
+        "ts_apdex_score", "udf_pandas_grouped_forecast",
+    ),
+    14: (
+        "attribution_time_decay", "stream_alert_episodes",
+        "dq_split_leakage_check", "agg_forecast_reconciliation_topdown",
+        "agg_price_index_laspeyres", "join_match_waterfall",
+        "cdc_scd2_apply_batch", "dq_scd2_interval_audit",
+        "agg_queueing_mm1_metrics", "ab_sequential_obf",
+        "sql_named_window_clause", "ts_effective_sample_size",
+        "ts_seasonal_adjustment_dow", "agg_hill_tail_index",
+        "dq_manifest_orphan_audit", "agg_margin_waterfall",
+        "join_fx_asof_convert", "dq_balance_reconciliation_three_way",
+        "agg_repeat_rate_by_first_value", "agg_unit_economics_summary",
+        "pii_l_diversity_check", "profile_candidate_keys",
+        "sample_pps_systematic", "emb_hubness_topk",
+        "fn_largest_remainder_allocation", "agg_demand_intermittency_sbc",
+        "text_mattr_lexical_diversity", "dq_benford_mad_conformity",
+        "pii_kanon_utility_curve", "ab_interaction_check",
+        "ts_load_duration_curve", "ts_forecaster_bakeoff",
+        "agg_dso_days_sales_outstanding", "dq_join_fanout_estimate",
+        "text_blocklist_screen", "dq_survivorship_bias_probe",
+        "ab_mde_current_power", "ts_calendarized_run_rate",
+        "scan_delimiter_sniff", "dq_fx_triangulation_audit",
+        "ab_bucketing_uniformity", "emb_mean_pooling_tokens",
+        "ts_peak_dow_shift", "fn_month_boundary_features",
+        "ab_itt_vs_perprotocol", "agg_month_end_lift",
+        "dq_event_order_audit", "agg_discount_response_curve",
+        "dq_doc_embedding_coverage", "agg_dormant_skus",
+    ),
+    15: (
+        "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
+        "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
+        "agg_return_rate_drivers", "agg_supplier_concentration_tiers",
+        "ts_event_study_window", "ab_days_to_power",
+        "ts_daily_health_score", "scan_python_datasource_pushdown",
+    ),
+}
 
 # The 50 ops the driver already hash-verified in round 1 (CORRECTNESS_r01
 # keys) — parked at the tail of the ordering.
@@ -545,21 +489,61 @@ _R08_VERIFIED = frozenset(
 )
 
 
+# The 50 ops the driver sampled green in round 9 (CORRECTNESS_r09 keys —
+# a PERFECT 50/50 hash-pass window, the six r8 force-includes leading) —
+# parked at the tail.  NOTE: the dedup_containment_pairs row in that bank
+# is vacuous (spark_rows: 0, empty == empty); the op was re-parameterized
+# in r10 and heads _PLANNED_WINDOWS[11] for a non-vacuous re-bank.
+_R09_VERIFIED = frozenset(
+    {
+        "dedup_near_simhash", "sim_mmr_rerank", "mm_phash_dedup",
+        "scan_avro", "sink_avro_roundtrip", "scan_avro_schema_evolution",
+        "agg_trimmed_mean", "agg_behavior_entropy",
+        "ts_latency_percentiles_hourly", "agg_generalized_means",
+        "agg_allocation_by_share", "text_readability_proxy",
+        "basket_lift_rules", "stream_multi_source_union",
+        "agg_net_revenue_retention", "agg_user_active_days_hist",
+        "ts_rsi_indicator", "dedup_containment_pairs",
+        "agg_repeat_purchase_rate", "ts_autocorrelation",
+        "dq_json_schema_check", "pii_phone_normalize",
+        "dq_duplicate_payments", "feature_minmax_scale",
+        "agg_price_volume_mix", "dq_flatline_detection",
+        "scan_highwatermark_incremental", "dq_sequence_gaps",
+        "ts_percentile_bands", "pii_consent_filter",
+        "win_cross_sectional_zscore", "agg_rank_stability_spearman",
+        "ab_effect_size_cohens_d", "ab_sample_size_estimate",
+        "geo_bearing_distance", "agg_rate_wilson_ci",
+        "ts_pacing_vs_target", "text_tokenizer_fertility",
+        "join_record_linkage_scored", "scan_multiformat_union",
+        "ts_runs_test", "ts_classical_decompose", "agg_ks_two_sample",
+        "agg_psi_drift", "agg_mutual_information", "fn_feature_hashing",
+        "agg_label_balance_report", "emb_mixup_pairs",
+        "agg_segment_migration", "emb_nearest_centroid_assign",
+    }
+)
+
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
+    | _R09_VERIFIED
 )
 
 
 def _ordered_names() -> list[str]:
     window = [n for n in _PRIORITY_WINDOW if n in REGISTRY]
     placed = set(window)
-    queue = [n for n in _R4_QUEUE if n in REGISTRY and n not in placed]
-    placed.update(queue)
+    planned = [
+        n
+        for rnd in sorted(_PLANNED_WINDOWS)
+        for n in _PLANNED_WINDOWS[rnd]
+        if n in REGISTRY and n not in placed
+    ]
+    placed.update(planned)
     rest = [n for n in REGISTRY if n not in placed]
     mid = [n for n in rest if n not in _DRIVER_VERIFIED]
     tail = [n for n in rest if n in _DRIVER_VERIFIED]
-    return window + queue + mid + tail
+    return window + planned + mid + tail
 
 
 def queries() -> dict[str, QueryFn]:

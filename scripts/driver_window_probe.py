@@ -8,6 +8,14 @@ priority window must be cheap.  This probe times the Spark side + oracle
 side per op and flags anything slow, so a pathological op can be reordered
 or fixed BEFORE the driver runs.
 
+Vacuity preflight (r09 VERDICT item 3): a window op that returns ZERO rows
+at sf0.01 would bank an empty==empty hash-pass — a vacuous verification
+that proves nothing about the op's math (this bug class shipped twice:
+agg_survival_km in r8 and dedup_containment_pairs in r9).  The probe now
+FAILS (exit 1) if any probed op returns 0 rows, unless the op is listed in
+EMPTY_IS_THE_ANSWER with a written justification.  Run this on every
+outgoing window BEFORE committing the rotation.
+
 Usage: python scripts/driver_window_probe.py [N] [sf_dir]
 """
 
@@ -28,6 +36,18 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+# Ops whose EMPTY output at sf0.01 is itself the verified assertion — each
+# needs a written reason why empty is a meaningful, falsifiable result (the
+# op would return rows if the property it checks were violated), not just
+# "no rows happen to qualify".  Keep this list empty unless a new op truly
+# belongs here; "the threshold is never hit at this SF" is NOT a reason —
+# that is the vacuity bug this preflight exists to catch (re-parameterize
+# the op instead, as dedup_containment_pairs %9→%3 and
+# emb_pairwise_cosine_hist stride 997→199 did in r10).
+EMPTY_IS_THE_ANSWER: dict[str, str] = {
+    # name: justification
+}
 
 
 def main() -> None:
@@ -60,11 +80,27 @@ def main() -> None:
     rows.sort(key=lambda r: -(r[1] + r[2]))
     print(f"{'op':<28}{'spark_s':>9}{'oracle_s':>10}{'rows':>9}")
     for name, ts, to, cnt in rows:
-        print(f"{name:<28}{ts:>9.2f}{to:>10.2f}{cnt:>9}")
+        flag = "  <- VACUOUS" if cnt == 0 and name not in EMPTY_IS_THE_ANSWER else ""
+        print(f"{name:<28}{ts:>9.2f}{to:>10.2f}{cnt:>9}{flag}")
     print(
         f"\nTOTAL first {n}: spark {total_spark:.1f}s + oracle "
         f"{total_oracle:.1f}s = {total_spark + total_oracle:.1f}s"
     )
+
+    vacuous = [
+        name for name, _, _, cnt in rows
+        if cnt == 0 and name not in EMPTY_IS_THE_ANSWER
+    ]
+    if vacuous:
+        print(
+            f"\nVACUITY PREFLIGHT FAILED: {len(vacuous)} op(s) return 0 rows "
+            f"at {sf_dir} — a driver bank would be an empty==empty pass "
+            f"proving nothing: {vacuous}\n"
+            "Re-parameterize each op so real rows qualify at sf0.01 (see "
+            "tests/test_positive_path.py for the precedents), or add it to "
+            "EMPTY_IS_THE_ANSWER with a written justification."
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -16,8 +16,9 @@ from pyspark.sql.types import ArrayType, MapType
 
 from carpet_spark.registry import (
     REGISTRY,
+    _DRIVER_VERIFIED,
+    _PLANNED_WINDOWS,
     _PRIORITY_WINDOW,
-    _R4_QUEUE,
     queries,
 )
 
@@ -68,12 +69,45 @@ def test_window_oracle_coverage():
     )
 
 
-def test_queue_shape():
-    assert len(set(_R4_QUEUE)) == len(_R4_QUEUE)
-    missing = [n for n in _R4_QUEUE if n not in REGISTRY]
-    assert not missing, f"queue names not registered: {missing}"
-    overlap = set(_R4_QUEUE) & set(_PRIORITY_WINDOW)
-    assert not overlap, f"queue/window overlap: {overlap}"
+# Ops already banked by the driver that are DELIBERATELY scheduled for a
+# second sample because their earlier bank was vacuous (spark_rows == 0,
+# an empty==empty hash-pass proving nothing).  Each re-bank must follow a
+# re-parameterization that makes the op non-vacuous at sf0.01.
+PLANNED_REBANKS = {"dedup_containment_pairs"}
+
+
+def test_planned_windows_shape():
+    """The r11-r15 burn-down plan (r09 VERDICT item 6) is a valid rotation
+    schedule: every planned window is <=50 duplicate-free registered names,
+    disjoint from the live window and from every other planned window."""
+    seen: set[str] = set(_PRIORITY_WINDOW)
+    for rnd in sorted(_PLANNED_WINDOWS):
+        win = _PLANNED_WINDOWS[rnd]
+        assert 0 < len(win) <= 50, f"r{rnd} window size {len(win)}"
+        assert len(set(win)) == len(win), f"r{rnd} window has duplicates"
+        missing = [n for n in win if n not in REGISTRY]
+        assert not missing, f"r{rnd} window names not registered: {missing}"
+        overlap = set(win) & seen
+        assert not overlap, f"r{rnd} window overlaps earlier windows: {overlap}"
+        seen.update(win)
+
+
+def test_planned_windows_cover_all_unbanked():
+    """window + planned windows together schedule EVERY op that lacks a
+    driver bank, and schedule nothing already banked except the documented
+    vacuous re-banks — so finishing the plan leaves zero rotation debt."""
+    planned = {n for win in _PLANNED_WINDOWS.values() for n in win}
+    scheduled = set(_PRIORITY_WINDOW) | planned
+    unbanked = set(REGISTRY) - _DRIVER_VERIFIED
+    not_scheduled = unbanked - scheduled
+    assert not not_scheduled, (
+        f"unbanked ops missing from the burn-down plan: {sorted(not_scheduled)}"
+    )
+    rebanks = (scheduled & _DRIVER_VERIFIED) - set(_PRIORITY_WINDOW)
+    assert rebanks <= PLANNED_REBANKS, (
+        f"already-banked ops scheduled without a re-bank rationale: "
+        f"{sorted(rebanks - PLANNED_REBANKS)}"
+    )
 
 
 def test_window_outputs_are_hashable(spark):
