@@ -48,7 +48,51 @@ MARKER_WINDOW = 6  # lines above the F.sum( line the marker may sit
 # ×10000 (ts_ar1_forecast_backtest), which the original 1e6-only regex
 # missed.  ×100 cents accumulators stay exempt by design (1e4× more
 # headroom, audited per-site in SCALE.md's cents table).
-_FP_CONSTRUCTION = re.compile(r"1e[4-9]|\b10{4,}\b")
+# r10 (ADVICE): the r9 dedupe sweep made the canonical construction
+# invisible to the original regex — `fp_scaled_long(col, 1_000_000)`
+# contains neither `1e6` nor a bare `10{4,}` run.  The scan now (a)
+# strips numeric-literal underscores before matching, (b) accepts any
+# coefficient and exponent ≥ 4 (`2.5e6`, `1e12`, …, not just `1e[4-9]`),
+# and (c) treats an inline fp_scaled_long(...) call as a construction
+# whenever its factor is ≥ 1e4 or not a literal (cents factors stay
+# exempt; an unprovable variable factor is conservatively hazardous).
+_FP_CONSTRUCTION = re.compile(r"\d(?:\.\d+)?e(?:[4-9]|[1-9]\d+)\b|\b10{4,}\b")
+_FP_HELPER_CALL = re.compile(r"fp_scaled_long\s*\(")
+_INT_LITERAL = re.compile(r"^\d+$")
+
+
+def _strip_numeric_underscores(s: str) -> str:
+    """Remove underscores BETWEEN digits (Python numeric-literal grouping:
+    1_000_000 → 1000000) without touching identifiers like fp_scaled_long."""
+    return re.sub(r"(?<=\d)_(?=\d)", "", s)
+
+
+def _top_level_last_arg(call_arg: str) -> str:
+    """The text after the last TOP-LEVEL comma of a call's argument list —
+    fp_scaled_long's factor parameter."""
+    depth, last = 0, -1
+    for i, ch in enumerate(call_arg):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            last = i
+    return call_arg[last + 1 :].strip()
+
+
+def _is_fp_construction(arg: str) -> bool:
+    norm = _strip_numeric_underscores(arg)
+    if _FP_CONSTRUCTION.search(norm):
+        return True
+    for m in _FP_HELPER_CALL.finditer(norm):
+        factor = _top_level_last_arg(_balanced_arg(norm, m.end()))
+        if _INT_LITERAL.match(factor):
+            if int(factor) >= 10_000:
+                return True  # micro-unit-scale factor, 2^63 is reachable
+            continue  # literal cents-scale factor — exempt by design
+        return True  # non-literal factor: can't prove cents, flag it
+    return False
 # a decimal accumulator that is re-cast to long INSIDE the sum argument
 # (``F.sum((x.cast("decimal...")*y).cast("long"))``) still sums longs —
 # the trailing cast decides the accumulator type, not the substring
@@ -73,8 +117,8 @@ def _violations_in(path: str) -> list[str]:
     out = []
     for m in re.finditer(r"F\.sum\(", src):
         arg = _balanced_arg(src, m.end())
-        if not _FP_CONSTRUCTION.search(arg):
-            continue  # not a ×1e6 fixed-point construction
+        if not _is_fp_construction(arg):
+            continue  # not a ×1e4+ fixed-point construction
         if "decimal" in arg and not _RECAST_LONG.search(arg.strip()):
             continue  # decimal accumulator — unbounded-safe by itself
         # oracle SQL strings never reach this (they're plain strings,
@@ -190,3 +234,101 @@ def test_lint_allows_true_decimal_accumulator():
         ")\n"
     )
     assert not _lint_on(ok), "lint flagged a decimal accumulator"
+
+
+def test_lint_catches_helper_and_underscore_idioms():
+    """r10 (ADVICE): the r9 dedupe sweep rewrote construction sites onto
+    `fp_scaled_long(col, 1_000_000)`, which the original regex could not
+    see (no `1e6`, no bare zero-run) — precisely the regression class the
+    lint exists to catch, with the invisible form now modeled repo-wide
+    by the canonical sites.  Both the helper call and the underscored
+    literal must flag; literal cents factors stay exempt."""
+    helper_bad = (
+        "df.agg(\n"
+        '    F.sum(fp_scaled_long(F.col("v"), 1_000_000)).alias("s6")\n'
+        ")\n"
+    )
+    assert _lint_on(helper_bad), "lint missed F.sum(fp_scaled_long(col, 1_000_000))"
+    underscore_bad = (
+        "df.agg(\n"
+        '    F.sum((F.abs(F.col("x")) * 1_000_000 + 0.5).cast("long")).alias("s")\n'
+        ")\n"
+    )
+    assert _lint_on(underscore_bad), "lint missed the underscored literal"
+    helper_10k = (
+        "df.agg(\n"
+        '    F.sum(fp_scaled_long(F.col("v"), 10_000)).alias("s4")\n'
+        ")\n"
+    )
+    assert _lint_on(helper_10k), "lint missed the x1e4 helper factor"
+    variable_factor = (
+        "df.agg(\n"
+        '    F.sum(fp_scaled_long(F.col("v"), factor)).alias("s")\n'
+        ")\n"
+    )
+    assert _lint_on(variable_factor), (
+        "a non-literal factor cannot be proven cents-scale and must flag"
+    )
+    cents_ok = (
+        "df.agg(\n"
+        '    F.sum(fp_scaled_long(F.col("v"), 100)).alias("sc")\n'
+        ")\n"
+    )
+    assert not _lint_on(cents_ok), "lint flagged the exempt cents helper"
+    marker_ok = (
+        "# single-long-ok: bounded at <=25 nations at any SF\n"
+        "df.agg(\n"
+        '    F.sum(fp_scaled_long(F.col("v"), 1_000_000)).alias("s6")\n'
+        ")\n"
+    )
+    assert not _lint_on(marker_ok), "ok-token failed to suppress helper form"
+
+
+def test_lint_catches_high_exponents_and_coefficients():
+    """r10 (ADVICE): `1e[4-9]` missed 1e10+ factors; the scan must catch
+    any scientific literal with exponent >= 4, any coefficient."""
+    for factor in ("1e10", "1e12", "2e6", "2.5e6", "1e100"):
+        bad = (
+            "df.agg(\n"
+            "    F.sum(\n"
+            f'        (F.abs(F.col("x")) * {factor} + 0.5).cast("long")\n'
+            "    ).alias('s')\n"
+            ")\n"
+        )
+        assert _lint_on(bad), f"lint missed the x{factor} idiom"
+    for factor in ("1e3", "2e2"):  # sub-1e4 stays exempt
+        ok = (
+            "df.agg(\n"
+            "    F.sum(\n"
+            f'        (F.abs(F.col("x")) * {factor} + 0.5).cast("long")\n'
+            "    ).alias('s')\n"
+            ")\n"
+        )
+        assert not _lint_on(ok), f"lint flagged the exempt x{factor} scale"
+
+
+def test_lint_covers_windowed_sums():
+    """r09 VERDICT item 5: the WINDOWED money-sum family must route
+    through exprs.fp_split_sum_over exactly like the grouped path routes
+    through fp_split_sum_of.  A bare windowed long sum over a fixed-point
+    construction is the same 2^63 hazard — the frame can hold a
+    scale-proportional row count — and must flag under the same scan."""
+    bad = (
+        "df.select(\n"
+        '    F.sum(fp_scaled_long(F.col("v"), 1_000_000)).over(w).alias("run6")\n'
+        ")\n"
+    )
+    assert _lint_on(bad), "lint missed the windowed helper-form sum"
+    bad_inline = (
+        "df.select(\n"
+        '    F.sum((F.abs(F.col("x")) * 1e6 + 0.5).cast("long")).over(w)\n'
+        ")\n"
+    )
+    assert _lint_on(bad_inline), "lint missed the windowed inline sum"
+    # the sanctioned route: the op never writes a bare F.sum at all
+    ok = (
+        "df.select(\n"
+        '    fp_split_sum_over(fp_scaled_long(F.col("v"), 1_000_000), w)\n'
+        ")\n"
+    )
+    assert not _lint_on(ok), "lint flagged the sanctioned fp_split_sum_over route"
