@@ -479,3 +479,136 @@ def test_int_converter_refuses_unsafe_floats_of_every_float_type():
     assert nconv(None) is None
     assert nconv(float("nan")) is None
     assert nconv(9.0) == 9
+
+
+# ---------------------------------------------------------------------------
+# Deflate fuzz regime (r10, r9 VERDICT item 7): the codec branch was the
+# only Avro path without a hostile sweep beyond one fixed block size.  Two
+# regimes close it:
+#
+# 1. Seeded fuzz over (block size, payload mix, split size): hostile
+#    batteries interleaved with seeded-random bytes, written under deflate
+#    at randomized block_rows, then partitioned exactly at randomized
+#    split sizes.  Seeds are FIXED so every failure is reproducible.
+# 2. The stored-block collision case the fixed-payload test cannot reach:
+#    deflate emits STORED (uncompressed) blocks for incompressible input,
+#    so a sync marker embedded in high-entropy payload bytes lands
+#    VERBATIM in the compressed stream — the one way a deflate file gets
+#    payload/marker collisions on disk.  The test constructs that file,
+#    proves the verbatim hits exist, and requires ranged reads to
+#    partition it exactly anyway (the _resync verified search must skip
+#    every payload hit, same contract as the codec=null ranged test).
+# ---------------------------------------------------------------------------
+
+
+def _fuzz_rows(rnd, sync: bytes, n: int):
+    """Rows whose bytes field interleaves the hostile battery with
+    seeded-random payloads: pure noise (incompressible -> stored deflate
+    blocks), noise-wrapped sync markers, and compressible runs, so one
+    file exercises stored, fixed-huffman, and dynamic-huffman paths."""
+    battery = _hostile_battery(sync)
+    out = []
+    for i in range(n):
+        kind = rnd.randrange(4)
+        if kind == 0:
+            payload = battery[rnd.randrange(len(battery))]
+        elif kind == 1:
+            payload = rnd.randbytes(rnd.randrange(64))
+        elif kind == 2:
+            payload = rnd.randbytes(11) + sync + rnd.randbytes(13)
+        else:
+            payload = bytes([rnd.randrange(4)]) * rnd.randrange(48)
+        out.append(
+            (
+                i,
+                None if i % 7 == 0 else f"f{i}",
+                i * 0.125,
+                i % 2 == 0,
+                payload,
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", [0xA51C, 0xBEEF, 0x5CA1E])
+def test_deflate_fuzz_random_blocks_and_splits(tmp_path, seed):
+    import os
+    import random
+    import uuid as _uuid
+
+    rnd = random.Random(seed)
+    name = f"fuzz_deflate_{seed}.avro"
+    p = str(tmp_path / name)
+    sync = _uuid.uuid5(_uuid.NAMESPACE_OID, name).bytes
+    rows = _fuzz_rows(rnd, sync, n=rnd.randrange(150, 450))
+    block_rows = rnd.randrange(1, 211)
+    write_ocf(p, SCHEMA, iter(rows), codec="deflate", block_rows=block_rows)
+    # full sequential read is exact
+    assert read_ocf(p)[1] == rows
+    # ranged reads partition exactly at randomized split sizes (plus the
+    # adversarial extremes: 1-byte splits hit EVERY byte offset, and a
+    # single full-file split must take the no-seek path)
+    size = os.path.getsize(p)
+    splits = sorted({1, size, rnd.randrange(2, 37), rnd.randrange(37, 1031)})
+    for split in splits:
+        got = []
+        for s in range(0, size, split):
+            _, it = read_ocf_range(p, s, min(s + split, size))
+            got.extend(it)
+        assert got == rows, (
+            f"seed={seed} block_rows={block_rows} split={split}: "
+            f"{len(got)} vs {len(rows)}"
+        )
+
+
+def test_deflate_stored_blocks_leak_sync_verbatim_and_resync_survives(tmp_path):
+    import os
+    import random
+    import uuid as _uuid
+
+    name = "fuzz_deflate_stored.avro"
+    p = str(tmp_path / name)
+    sync = _uuid.uuid5(_uuid.NAMESPACE_OID, name).bytes
+    rnd = random.Random(0xD1CE)
+    # Getting the marker verbatim into the COMPRESSED stream requires the
+    # whole block to be incompressible so zlib picks STORED deflate
+    # blocks: EVERY field must be high-entropy (random ids/doubles/bools,
+    # null strings, noise payloads) and the marker must appear at most
+    # ONCE per Avro block (one marker row per block_rows=29) — sequential
+    # s{i} strings / float(i) doubles give LZ matches, and a repeated
+    # marker gets back-referenced, either of which tips zlib into huffman
+    # blocks that re-encode the marker bytes (verified empirically: with
+    # structured fields the blocks compress to ratio ~0.997 and carry 0
+    # verbatim markers; with this construction every block is stored and
+    # carries exactly 1).
+    rows = [
+        (
+            rnd.getrandbits(50),
+            None,
+            rnd.random(),
+            bool(rnd.getrandbits(1)),
+            (rnd.randbytes(500) + sync + rnd.randbytes(500))
+            if i % 29 == 13
+            else rnd.randbytes(1000),
+        )
+        for i in range(200)
+    ]
+    write_ocf(p, SCHEMA, iter(rows), codec="deflate", block_rows=29)
+    raw = open(p, "rb").read()
+    genuine_delimiters = len(rows) // 29 + 2  # block ends + header
+    assert raw.count(sync) > genuine_delimiters, (
+        "construction failed: deflate compressed the payload markers away, "
+        f"only {raw.count(sync)} occurrences on disk — the stored-block "
+        "collision case is not being exercised"
+    )
+    # sequential read trusts block counts — exact
+    assert read_ocf(p)[1] == rows
+    # ranged reads must skip every verbatim payload hit via the verified
+    # search and still partition exactly
+    size = os.path.getsize(p)
+    for split in (13, 97, 521, 4099, 10**9):
+        got = []
+        for s in range(0, size, split):
+            _, it = read_ocf_range(p, s, min(s + split, size))
+            got.extend(it)
+        assert got == rows, f"split={split}: {len(got)} vs {len(rows)}"
