@@ -1738,6 +1738,8 @@ def agg_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(bounds))
         .groupBy("user_id")
         .agg(
+            # single-long-ok: per-user purchase partials are bounded
+            # (~constant events/user at any SF ⇒ |p_6| ≪ 2^63); both sums
             F.sum(F.when(us < F.col("mid_us"), v6).otherwise(0))
             .cast("long")
             .alias("p1_6"),
@@ -1746,7 +1748,6 @@ def agg_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p2_6"),
         )
     )
-    # per-user partials stay single-long (bounded rows/user at any SF);
     # every bridge term sums those longs over the WHOLE customer base —
     # exact decimal split sums, converted to double at the same /1e6
     # display points as before
@@ -2187,6 +2188,8 @@ def agg_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     p1 = F.col("o_orderkey") % 2 == 0
     per = o.groupBy("o_custkey").agg(
+        # single-long-ok: per-customer partials are bounded (~10
+        # orders/customer at any SF ⇒ |p_6| ≤ ~5e12 ≪ 2^63); both sums
         F.sum(F.when(p1, r6).otherwise(0)).cast("long").alias("p1_6"),
         F.sum(F.when(~p1, r6).otherwise(0)).cast("long").alias("p2_6"),
     )
@@ -2953,6 +2956,8 @@ def agg_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = F.floor(
         F.datediff(F.to_date("l_shipdate"), F.lit("2024-01-01")) / 7
     ).cast("long")
+    # single-long-ok: per-part sums are bounded (≈30 lineitems/part at
+    # any SF ⇒ r6 ≤ ~3e12, far under 2^63)
     per_part = li.groupBy("l_partkey").agg(F.sum(r6row).cast("long").alias("r6"))
     weekly = li.groupBy("l_partkey", wk.alias("wk")).agg(
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q")
@@ -3612,6 +3617,8 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6 = fp_scaled_long(F.col("o_totalprice"), 1_000_000)
     cut = F.lit("1998-01-01").cast("timestamp")
     per_user = o.groupBy("o_custkey").agg(
+        # single-long-ok: per-customer partials are bounded (~10
+        # orders/customer at any SF ⇒ |pre6/post6| ≤ ~5e12 ≪ 2^63)
         F.sum(F.when(F.col("o_orderdate") < cut, r6).otherwise(0))
         .cast("long")
         .alias("pre6"),
