@@ -1718,18 +1718,23 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bi b
     JOIN uni u1 ON u1.w = b.w1
     JOIN uni u2 ON u2.w = b.w2
-    WHERE b.c >= 50
+    WHERE b.c >= 20
     ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
     LIMIT 20
     """,
 )
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by pointwise mutual information: the top-20
-    adjacent word pairs (support ≥ 50) whose co-occurrence most exceeds
+    adjacent word pairs (support ≥ 20) whose co-occurrence most exceeds
     chance — PMI = ln(p(xy)/(p(x)p(y))) — the statistic behind phrase
     detection ('new york' is a unit, 'of the' is not) and the classic
     input to tokenizer merge rules and stop-phrase lists.  The support
-    floor matters: PMI is notoriously unstable on rare pairs.
+    floor matters: PMI is notoriously unstable on rare pairs.  (Floor
+    lowered from 50 in r10: the max bigram count at the driver's sf0.01
+    is 48, so ≥50 selected NOTHING below sf0.1 and the op's only driver
+    bank was a vacuous empty==empty pass; ≥20 still cuts the rare tail
+    at every reachable SF — 862/862/900 surviving bigrams at
+    sf0.001/0.01/0.1 — while real top-20 rows exist everywhere.)
 
     Scale (100 TB): unigram and bigram counts are two map-side-combined
     aggregates over the token explode; the unigram table broadcasts
@@ -1764,7 +1769,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 50)
+        .filter(F.col("c") >= 20)
     )
     n = uni.agg(F.sum("c").cast("long").alias("n_uni"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))

@@ -132,14 +132,17 @@ _PRIORITY_WINDOW = (
 # may force swaps; record any swap in the window comment).  The plan is the
 # r02-verdict user-value ordering (the former _R4_QUEUE, which this dict
 # supersedes as the single source of truth) minus everything banked through
-# r10, with the r9-banked-but-vacuous dedup_containment_pairs re-queued at
-# the r11 head (its %3 re-parameterization makes the next bank non-vacuous).
-# After r15 every registered op has at least one non-vacuous external bank:
-# 50+210 = 260 = 258 never-sampled + 2 re-banks.
+# r10, with the two vacuously-banked ops re-queued at the r11 head:
+# dedup_containment_pairs (r9 bank empty; %9 → %3 re-parameterization) and
+# text_collocations_pmi (r8 bank empty at sf0.01 — found by the r10
+# registry-wide 0-row scan, the ONLY remaining empty among all 694 ops;
+# support floor 50 → 20).  After r15 every registered op has at least one
+# non-vacuous external bank: 50+211 = 261 = 258 never-sampled + 3 re-banks.
 # tests/test_window.py::test_planned_windows_* pin plan/registry consistency.
 _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
     11: (
-        "dedup_containment_pairs", "sink_manifest_publish",
+        "dedup_containment_pairs", "text_collocations_pmi",
+        "sink_manifest_publish",
         "join_basket_containment", "sink_row_hash_audit",
         "join_nearest_numeric", "agg_slo_burn_rate",
         "fn_route_pattern_match", "ab_sample_ratio_mismatch",
@@ -162,10 +165,9 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         "scan_fixed_width", "agg_anova_oneway", "agg_theil_index",
         "text_js_divergence_sources", "emb_isotropy_score",
         "agg_kendall_tau", "win_weighted_moving_average",
-        "ts_bollinger_bands",
     ),
     12: (
-        "agg_chi_square_gof", "text_hapax_ratio", "fn_fiscal_calendar_445",
+        "ts_bollinger_bands", "agg_chi_square_gof", "text_hapax_ratio", "fn_fiscal_calendar_445",
         "fn_slugify", "dq_table_fingerprint", "ts_velocity_acceleration",
         "agg_runlength_events", "sql_order_by_all",
         "pii_subject_access_export", "fn_label_encode",
@@ -186,10 +188,10 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         "win_gap_to_leader", "agg_delta_method_ratio_ci",
         "fn_target_encode", "emb_class_separability",
         "ts_partial_autocorrelation", "agg_mcnemar_test",
-        "dq_hash_collision_audit", "agg_wilcoxon_signed_rank",
+        "dq_hash_collision_audit",
     ),
     13: (
-        "agg_contingency_residuals", "ab_cochran_armitage_trend",
+        "agg_wilcoxon_signed_rank", "agg_contingency_residuals", "ab_cochran_armitage_trend",
         "agg_price_endings_profile", "agg_hurst_rescaled_range",
         "fn_iso_week_boundaries", "sample_ipw_ess", "fn_checkdigit_ean13",
         "dq_penny_drift_audit", "ts_day_percentile_vs_history",
@@ -212,10 +214,10 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         "agg_next_basket_pairs", "sink_parquet_bloom_roundtrip",
         "ts_intraday_volume_curve", "dq_schema_contract_check",
         "ts_timezone_shift_report", "agg_reorder_point_calc",
-        "ts_apdex_score", "udf_pandas_grouped_forecast",
+        "ts_apdex_score",
     ),
     14: (
-        "attribution_time_decay", "stream_alert_episodes",
+        "udf_pandas_grouped_forecast", "attribution_time_decay", "stream_alert_episodes",
         "dq_split_leakage_check", "agg_forecast_reconciliation_topdown",
         "agg_price_index_laspeyres", "join_match_waterfall",
         "cdc_scd2_apply_batch", "dq_scd2_interval_audit",
@@ -239,10 +241,10 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         "ts_peak_dow_shift", "fn_month_boundary_features",
         "ab_itt_vs_perprotocol", "agg_month_end_lift",
         "dq_event_order_audit", "agg_discount_response_curve",
-        "dq_doc_embedding_coverage", "agg_dormant_skus",
+        "dq_doc_embedding_coverage",
     ),
     15: (
-        "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
+        "agg_dormant_skus", "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
         "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
         "agg_return_rate_drivers", "agg_supplier_concentration_tiers",
         "ts_event_study_window", "ab_days_to_power",

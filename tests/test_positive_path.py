@@ -9,18 +9,25 @@ wrong formula.  (The third, agg_survival_km, was empty at EVERY scale
 until its censoring window was re-parameterized in r9; the fourth,
 text_collocations_pmi, already had positive rows at sf0.001.)
 
-r10 de-vacuated BOTH remaining ops at the driver's own SF:
+r10 de-vacuated all three remaining ops at the driver's own SF:
   * dedup_containment_pairs — bounding subset widened from doc_id%9 to
     doc_id%3 (same containment semantics and 0.5 threshold; the %9
     slice just happened to contain no qualifying pair at any SF);
   * emb_pairwise_cosine_hist — pair stride changed from 997 to the
     prime 199 (same deterministic-stride-sample semantics; 997 exceeds
-    sf0.01's 500-vector id range, so no pair existed below sf0.1).
+    sf0.01's 500-vector id range, so no pair existed below sf0.1);
+  * text_collocations_pmi — support floor lowered 50 → 20 (the max
+    bigram count at sf0.01 is 48, so ≥50 selected nothing below sf0.1;
+    the r9 scan dismissed this op because sf0.001 happens to contain
+    one count-51 bigram, but the DRIVER banks at sf0.01, where its r8
+    hash-pass was empty == empty).  Found by the r10 registry-wide
+    0-row scan; ≥20 still cuts the rare tail at every SF.
 
 These tests pin each fix non-vacuous AND hash-matching at sf0.01, so a
 future change that silently re-vacuates an op fails loudly instead of
 passing as empty == empty.  min_rows values are the measured counts at
-the time of the fix (3 containment pairs; 8 cosine-histogram buckets).
+the time of the fix (3 containment pairs; 8 cosine-histogram buckets;
+the full 20-row PMI top-k).
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ SF001_DIR = "/root/testdata/sf0.01"
 POSITIVE_AT_DRIVER_SF = [
     ("dedup_containment_pairs", 3),
     ("emb_pairwise_cosine_hist", 8),
+    ("text_collocations_pmi", 20),
 ]
 
 

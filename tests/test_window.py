@@ -73,7 +73,10 @@ def test_window_oracle_coverage():
 # second sample because their earlier bank was vacuous (spark_rows == 0,
 # an empty==empty hash-pass proving nothing).  Each re-bank must follow a
 # re-parameterization that makes the op non-vacuous at sf0.01.
-PLANNED_REBANKS = {"dedup_containment_pairs"}
+PLANNED_REBANKS = {
+    "dedup_containment_pairs",  # r9 bank empty; %9 -> %3 slice (r10)
+    "text_collocations_pmi",  # r8 bank empty at sf0.01; floor 50 -> 20 (r10)
+}
 
 
 def test_planned_windows_shape():
