@@ -129,32 +129,49 @@ def main() -> int:
     # input for the NEXT run (r07 VERDICT item 3).  Only on a green gate:
     # a failed run under-records its crashed shard and would skew the
     # balance.
+    #
+    # r10: per-test MIN-of-runs instead of last-write-wins.  The r9/r10
+    # contended runs inflated hot tests up to 2.6x (dedup_apply extreme:
+    # 157 s recorded vs 60 s idle-solo) and last-write-wins let that
+    # poison the LPT balance until someone remembered to `git checkout`
+    # the file.  The minimum observed duration is the noise-robust
+    # estimator: contention and late-suite JVM degradation only ever
+    # ADD time, and the balance needs relative magnitudes, not absolute
+    # truth — a stale low entry for a test that genuinely got slower
+    # merely schedules it early, which LPT absorbs across ~1000 tests
+    # per shard.  Renamed/deleted tests are pruned on full default runs
+    # (never on filtered runs, whose collection is a subset by design).
     if rc == 0:
         import json
-        merged = {}
+        old = {}
         dur_file = os.path.join(REPO, "scripts", "test_durations.json")
         try:
             with open(dur_file) as f:
-                merged = json.load(f)
+                old = json.load(f)
         except (OSError, ValueError):
-            merged = {}
-        n_new = 0
+            old = {}
+        new_run: dict[str, float] = {}
         for i in range(n):
             try:
                 with open(f"/tmp/carpet_durations_{i}_of_{n}.json") as f:
-                    shard_dur = json.load(f)
+                    new_run.update(json.load(f))
             except (OSError, ValueError):
                 continue
-            n_new += len(shard_dur)
-            merged.update(shard_dur)
-        if n_new:
+        if new_run:
+            full_run = extra == ["tests/"]
+            base = new_run if full_run else {**old, **new_run}
+            merged = {
+                k: min(old[k], v) if k in old else v for k, v in base.items()
+            }
+            n_pruned = len(old) - sum(1 for k in old if k in merged)
             tmp = f"{dur_file}.tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump(merged, f, sort_keys=True)
             os.replace(tmp, dur_file)
-            print(f"recorded {n_new} test durations -> {dur_file} "
-                  f"({len(merged)} total); next run shards duration-balanced",
-                  flush=True)
+            print(f"recorded {len(new_run)} test durations -> {dur_file} "
+                  f"({len(merged)} total, min-of-runs merge"
+                  f"{f', {n_pruned} stale pruned' if n_pruned else ''}); "
+                  f"next run shards duration-balanced", flush=True)
     return rc
 
 
