@@ -2253,13 +2253,23 @@ def agg_allocation_by_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     checked AS (
+      -- NOTE: json_extract* must sit in a NESTED CASE branch, not behind
+      -- an AND guard: DuckDB adaptively reorders conjunction clauses by
+      -- measured cost at larger row counts, so `json_valid(p) AND
+      -- json_extract(p, ...)` starts THROWING on malformed payloads
+      -- once enough vectors have flowed (reproduced: green at sf0.01,
+      -- Invalid Input Error at sf0.1 — found by the r10 full-registry
+      -- sf0.1 parity sweep).  CASE branches evaluate only on their
+      -- selection vector and are never reordered.
       SELECT payload,
              CASE WHEN json_valid(payload) THEN 1 ELSE 0 END AS is_json,
              CASE WHEN json_valid(payload)
-                       AND json_extract(payload, '$.k') IS NOT NULL
-                       AND TRY_CAST(json_extract_string(payload, '$.k')
-                                    AS BIGINT) IS NOT NULL
-                  THEN 1 ELSE 0 END AS schema_ok
+                  THEN CASE WHEN json_extract(payload, '$.k') IS NOT NULL
+                                 AND TRY_CAST(
+                                       json_extract_string(payload, '$.k')
+                                       AS BIGINT) IS NOT NULL
+                            THEN 1 ELSE 0 END
+                  ELSE 0 END AS schema_ok
       FROM feed
     )
     SELECT COUNT(*) AS n_rows,
