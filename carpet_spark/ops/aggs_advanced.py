@@ -5843,9 +5843,8 @@ def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tr.nation, tr.t3_cents,
            round(tr.t3_cents / CAST(tp.total_t3 AS DOUBLE), 6) AS share,
            tp.top_forecast_cents,
-           round(tp.top_forecast_cents
-                 * (tr.t3_cents / CAST(tp.total_t3 AS DOUBLE)), 6)
-             AS reconciled_forecast_cents
+           CAST((CAST(tp.top_forecast_cents AS HUGEINT) * tr.t3_cents)
+                // tp.total_t3 AS BIGINT) AS reconciled_forecast_cents
     FROM t3 tr CROSS JOIN top tp
     """,
 )
@@ -5856,9 +5855,17 @@ def agg_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> Dat
     sum exactly to the parent) that independently-fitted per-nation
     models never give, and the standard baseline in the hierarchical
     forecasting literature before MinT-style optimal reconciliation.
-    All revenue stays exact integer cents; shares and the disaggregation
-    are the only float ops (share of an exact total × an exact top
-    forecast).
+    All revenue stays exact integer cents; the share column is the only
+    float (one IEEE division — bit-identical across engines).  The
+    disaggregation itself is EXACT integer arithmetic — floor(top·t3 ÷
+    total) via a decimal(38,0)/HUGEINT product and integer division —
+    because the float form `round(top·share, 6)` diverged by 1 ulp
+    between engines at sf0.1 (r10 sweep finding): at ~1.26e9 cents,
+    x·10⁶ ≈ 1.26e15 sits where double ulp ≈ 0.25, so "round to 6dp"
+    is below the representable grain and the engines' rounding
+    algorithms legitimately disagree; at 100 TB magnitudes every float
+    grain breaks, only the integer form is scale-proof.  Floor loses
+    ≤ 1 cent per child against the coherence identity.
 
     Scale (100 TB): facts collapse to the nation×month grid; the
     trailing filter, shares, and disaggregation all run on that grid
@@ -5895,9 +5902,8 @@ def agg_forecast_reconciliation_topdown(spark: SparkSession, sf_dir: str) -> Dat
         "nation", "t3_cents",
         F.round(share, 6).alias("share"),
         "top_forecast_cents",
-        F.round(F.col("top_forecast_cents") * share, 6).alias(
-            "reconciled_forecast_cents"
-        ),
+        F.expr("CAST((CAST(top_forecast_cents AS DECIMAL(38,0)) * t3_cents) "
+               "DIV total_t3 AS BIGINT)").alias("reconciled_forecast_cents"),
     )
 
 
