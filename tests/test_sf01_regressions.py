@@ -1,0 +1,54 @@
+"""Parity pins at sf0.1 for bugs INVISIBLE at the default test SF.
+
+The r10 full-registry sf0.1 parity sweep (driver-faithful compare of
+all 684 hash ops at 10× the gate's SF) found two defects the sf0.01
+gate structurally cannot see:
+
+* dq_json_schema_check — its oracle guarded json_extract behind
+  `json_valid(p) AND …`, but DuckDB adaptively reorders conjunction
+  clauses by measured cost once enough vectors have flowed, so the
+  extract started THROWING on the injected malformed payloads.  Green
+  at sf0.01 (too few vectors to trigger the reorder), crash at sf0.1.
+  Fixed by nesting the extract in a CASE branch (selection-vector
+  gated, never reordered).
+
+* agg_forecast_reconciliation_topdown — `round(top·share, 6)` at
+  ~1.26e9-cent magnitude asks for a grain below the double's
+  representable resolution (x·10⁶ ≈ 1.26e15, ulp ≈ 0.25), where the
+  engines' rounding algorithms legitimately disagree by 1 ulp; the
+  raw IEEE products were bit-identical.  Fixed by exact integer
+  disaggregation: floor(top·t3 ÷ total) via decimal(38,0)/HUGEINT.
+
+Each fix is pinned here with the full driver-faithful hash compare at
+sf0.1, so a regression fails in the gate instead of surfacing (or
+silently hiding) at scale.  Keep this module small — it is for bugs
+PROVEN to need sf0.1 to manifest, not general parity (that lives in
+test_oracle_parity at the default SF).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from carpet_spark.registry import REGISTRY
+from carpet_spark.testing import compare, duck_connect
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+SF01_ONLY_BUGS = [
+    "dq_json_schema_check",
+    "agg_forecast_reconciliation_topdown",
+]
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    con = duck_connect(SF01_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SF01_ONLY_BUGS)
+def test_sf01_parity_regression_pin(spark, duck01, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, SF01_DIR), duck01, op.oracle, name=f"{name}@sf0.1")
