@@ -996,12 +996,20 @@ def pipeline_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(range(1, len(embedding) + 1)) AS dim1,
              unnest(embedding) AS v
       FROM embeddings
+    ),
+    agg AS (
+      SELECT label, dim1 - 1 AS dim,
+             SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS s6,
+             COUNT(*) AS cnt
+      FROM dims
+      GROUP BY label, dim1
     )
-    SELECT label, dim1 - 1 AS dim,
-           round(CAST(SUM(CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)))
-                      AS DOUBLE) / COUNT(*), 6) AS centroid
-    FROM dims
-    GROUP BY label, dim1
+    SELECT label, dim,
+           CAST(CASE WHEN s6 >= 0
+                THEN  (2 * CAST(s6 * 1000000 AS HUGEINT) + cnt) // (2 * cnt)
+                ELSE -((2 * CAST(-s6 * 1000000 AS HUGEINT) + cnt) // (2 * cnt))
+                END AS DOUBLE) / 1000000.0 AS centroid
+    FROM agg
     """,
 )
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1011,20 +1019,46 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values are rounded to 6dp in double first (a dyadic float can never
     sit exactly on a half at the 6th decimal, so both engines round alike),
     then decimal-summed — direct float→decimal casts disagree between
-    engines at that boundary.  At 100 TB the explode
-    multiplies rows by dim (64) but the shuffle is map-side-combined down
-    to |labels|×dim rows."""
+    engines at that boundary.
+
+    The MEAN, however, must not be a float round: the exact decimal sum
+    divided by the count can sit exactly ON a 6dp half (sf0.1 hit
+    1.606750/500 = 0.0032135 — Spark's HALF_UP and DuckDB's double
+    round split there, the r10 sf0.1 sweep finding), so the 6dp mean is
+    computed as round-half-away-from-zero in PURE INTEGER math — micro-
+    unit numerator (2·|m6| + cnt) ÷ (2·cnt) on decimals/HUGEINT, sign
+    reapplied, then one exact-int→double division for display.  No
+    float round anywhere, deterministic at any corpus size.
+
+    At 100 TB the explode multiplies rows by dim (64) but the shuffle is
+    map-side-combined down to |labels|×dim rows."""
     e = load(spark, sf_dir, "embeddings")
     dims = e.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
-    return dims.groupBy("label", "dim").agg(
-        F.round(
-            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)"))
-            .cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("centroid")
+    return (
+        dims.groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+            ).alias("s6"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            "label",
+            "dim",
+            (
+                F.expr(
+                    "CAST(CASE WHEN s6 >= 0"
+                    " THEN  (2 * CAST(s6 * 1000000 AS DECIMAL(38,0)) + cnt)"
+                    "       DIV (2 * cnt)"
+                    " ELSE -((2 * CAST(-s6 * 1000000 AS DECIMAL(38,0)) + cnt)"
+                    "       DIV (2 * cnt))"
+                    " END AS DOUBLE)"
+                )
+                / F.lit(1000000.0)
+            ).alias("centroid"),
+        )
     )
 
 

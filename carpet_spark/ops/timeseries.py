@@ -1450,8 +1450,9 @@ def ts_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     )
     SELECT d,
-           round(c6 / 1e6, 6) AS cum_actual,
-           round((total6 / 1e6) * day_n / n_days, 6) AS linear_target,
+           CAST(c6 AS DOUBLE) / 1e6 AS cum_actual,
+           CAST((CAST(total6 AS HUGEINT) * day_n) // n_days AS DOUBLE) / 1e6
+             AS linear_target,
            round((c6 * n_days) / (CAST(total6 AS DOUBLE) * day_n), 6)
              AS pace_ratio
     FROM cum
@@ -1467,7 +1468,16 @@ def ts_pacing_vs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     figure via a 1-row join in production).
 
     Determinism: integer fixed-point prefix sums; the ratio divides
-    exact longs cast identically.
+    exact longs cast identically.  The two money displays carry NO
+    float round: at sf0.1 the year total is ~3.3e9 dollars, and
+    round(x, 6) at that magnitude asks for a grain below the double's
+    resolution (x·10⁶ ≈ 3.3e15, ulp ≈ 0.5) where the engines' rounding
+    algorithms split by 1 ulp (r10 sf0.1 sweep finding) — instead the
+    exact integer micro-units (the linear target floor-divided to
+    integer micro-units first) go through one correctly-rounded IEEE
+    int→double division, deterministic at any magnitude.  The pace
+    RATIO keeps its 6dp round: it is O(1)-magnitude, where the grain
+    is sound.
 
     Scale (100 TB): facts collapse to the |days| spine; the three
     windows share its single ordering — the bounded-axis rule.  The
@@ -1496,9 +1506,10 @@ def ts_pacing_vs_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cum.filter(F.col("day_n") % 30 == 0).select(
         "d",
-        F.round(F.col("c6") / 1e6, 6).alias("cum_actual"),
-        F.round(
-            (F.col("total6") / 1e6) * F.col("day_n") / F.col("n_days"), 6
+        (F.col("c6").cast("double") / F.lit(1e6)).alias("cum_actual"),
+        (
+            F.expr("CAST((total6 * day_n) DIV n_days AS DOUBLE)")
+            / F.lit(1e6)
         ).alias("linear_target"),
         F.round(
             (F.col("c6") * F.col("n_days"))

@@ -19,6 +19,18 @@ gate structurally cannot see:
   raw IEEE products were bit-identical.  Fixed by exact integer
   disaggregation: floor(top·t3 ÷ total) via decimal(38,0)/HUGEINT.
 
+* ts_pacing_vs_target — same magnitude-grain class on the cumulative
+  and linear-target money displays (~3.3e9 dollars).  Fixed by
+  emitting exact integer micro-units through one correctly-rounded
+  IEEE int→double division, with the linear target floor-divided to
+  integer micro-units first; no float round remains.
+
+* emb_label_centroids — the mean of an exact decimal(18,6) sum can sit
+  exactly ON a 6dp half (sf0.1: 1.606750/500 = 0.0032135), where
+  Spark's HALF_UP and DuckDB's double-round split.  Fixed by a pure
+  integer round-half-away-from-zero: (2·|m6| + cnt) ÷ (2·cnt) on
+  micro-unit decimals/HUGEINT, sign reapplied, one int→double divide.
+
 Each fix is pinned here with the full driver-faithful hash compare at
 sf0.1, so a regression fails in the gate instead of surfacing (or
 silently hiding) at scale.  Keep this module small — it is for bugs
@@ -38,6 +50,8 @@ SF01_DIR = "/root/testdata/sf0.1"
 SF01_ONLY_BUGS = [
     "dq_json_schema_check",
     "agg_forecast_reconciliation_topdown",
+    "ts_pacing_vs_target",
+    "emb_label_centroids",
 ]
 
 

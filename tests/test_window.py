@@ -76,6 +76,10 @@ def test_window_oracle_coverage():
 PLANNED_REBANKS = {
     "dedup_containment_pairs",  # r9 bank empty; %9 -> %3 slice (r10)
     "text_collocations_pmi",  # r8 bank empty at sf0.01; floor 50 -> 20 (r10)
+    # non-vacuous banks gone STALE: the r10 sf0.1 sweep forced both ops'
+    # float-round displays onto exact integer arithmetic
+    "ts_pacing_vs_target",
+    "emb_label_centroids",
 }
 
 
