@@ -7292,7 +7292,7 @@ def agg_return_rate_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN t.top_share >= c.med THEN '1_above_median'
                 ELSE '0_below_median' END AS concentration_tier,
            CAST(COUNT(*) AS BIGINT) AS n_parts,
-           round(CAST(SUM(t.part_cents) AS BIGINT) / 100.0, 6)
+           CAST(CAST(SUM(t.part_cents) AS BIGINT) AS DOUBLE) / 100.0
              AS value_at_tier,
            round(CAST(SUM(t.part_cents) AS BIGINT)
                  / CAST(SUM(SUM(t.part_cents)) OVER () AS DOUBLE), 6)
@@ -7309,7 +7309,12 @@ def agg_supplier_concentration_tiers(spark: SparkSession, sf_dir: str) -> DataFr
     'single-sourced' class is empty on this many-supplier fixture —
     probed — and relative concentration is what a buyer actually ranks).
     Quantile cuts interpolate at binary-exact 0.5/0.75 fractions over
-    identical share doubles; value sums are exact cents.
+    identical share doubles; value sums are exact cents.  The tier
+    value display carries NO float round: at sf0.1 it reaches 1.8e10
+    dollars, where round(x, 6) asks for a grain below double
+    resolution and the engines' rounding algorithms can split (the r10
+    magnitude-scan class) — the exact cents go through one correctly-
+    rounded int→double division instead, deterministic at any scale.
 
     Scale (100 TB): one (part, supplier) aggregate, one per-part
     rollup, a 2-number quantile broadcast, and a 3-row tier summary."""
@@ -7341,7 +7346,7 @@ def agg_supplier_concentration_tiers(spark: SparkSession, sf_dir: str) -> DataFr
     tot = Window.partitionBy()
     return g.select(
         "concentration_tier", "n_parts",
-        F.round(F.col("cents") / 100.0, 6).alias("value_at_tier"),
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("value_at_tier"),
         F.round(
             F.col("cents") / F.sum("cents").over(tot).cast("double"), 6
         ).alias("value_share"),

@@ -3594,8 +3594,8 @@ def ab_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM mom
     )
     SELECT n, round(theta, 6) AS theta,
-           round(var_post / 1e12, 6) AS var_post,
-           round(var_post * (1 - rho * rho) / 1e12, 6) AS var_adjusted,
+           var_post / 1e12 AS var_post,
+           var_post * (1 - rho * rho) / 1e12 AS var_adjusted,
            round(rho * rho, 6) AS var_reduction_share
     FROM th
     """,
@@ -3609,7 +3609,12 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     experiment, tighter confidence intervals, for free.  All five
     moments (Σx, Σy, Σx², Σxy, Σy²) accumulate as exact integer
     micro-unit products (int128), so θ and the variance ladder are
-    engine-identical before rounding.
+    engine-identical before rounding.  The two VARIANCE displays carry
+    no float round: they reach ~4.5e11 at sf0.1, where round(x, 6) is
+    far below double resolution and purely an implementation lottery
+    (the r10 magnitude-scan class) — both engines emit the identical
+    deterministic double unrounded instead.  θ/ρ² keep their 6dp
+    rounds (O(1)-magnitude, sound grain).
 
     Scale (100 TB): one per-user conditional rollup + one 5-moment
     aggregate — two map-side-combined passes, output is one row."""
@@ -3651,8 +3656,8 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "n",
         F.round(theta, 6).alias("theta"),
-        F.round(var_post / 1e12, 6).alias("var_post"),
-        F.round(var_post * (1 - rho * rho) / 1e12, 6).alias("var_adjusted"),
+        (var_post / F.lit(1e12)).alias("var_post"),
+        (var_post * (1 - rho * rho) / F.lit(1e12)).alias("var_adjusted"),
         F.round(rho * rho, 6).alias("var_reduction_share"),
     )
 
@@ -7451,11 +7456,11 @@ def agg_eoq_order_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part GROUP BY 1
     )
     SELECT s.brand,
-           round(s.rev_micro / 1000000.0, 6) AS revenue,
-           round(s.cogs_micro / 1000000.0, 6) AS cogs,
-           round((s.rev_micro - s.cogs_micro) / 1000000.0, 6)
+           CAST(s.rev_micro AS DOUBLE) / 1000000.0 AS revenue,
+           CAST(s.cogs_micro AS DOUBLE) / 1000000.0 AS cogs,
+           CAST(s.rev_micro - s.cogs_micro AS DOUBLE) / 1000000.0
              AS gross_margin,
-           round(i.inv_micro / 1000000.0, 6) AS avg_inventory_cost,
+           CAST(i.inv_micro AS DOUBLE) / 1000000.0 AS avg_inventory_cost,
            round(s.cogs_micro * 365.0 / sp.span_days / i.inv_micro, 6)
              AS inventory_turns,
            round((s.rev_micro - s.cogs_micro) * 365.0 / sp.span_days
@@ -7479,7 +7484,14 @@ def agg_inventory_turns_gmroi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine parity: revenue/COGS/inventory are exact 1e6 fixed-point
     integer sums (the lsum discipline — money-shaped factors, so
     ROUND lands mid-integer-safe); the turns/GMROI ratios divide the
-    same exact integers by the same exact span, rounded at 6 dp.
+    same exact integers by the same exact span, rounded at 6 dp (the
+    ratios are O(1)-magnitude, where the grain is sound).  The four
+    MONEY displays carry no float round: at sf0.1 revenue reaches
+    1.3e9 dollars, where round(x, 6) is below double resolution and
+    the engines' rounding algorithms can split (the r10 magnitude-scan
+    class) — exact micro decimals go through one correctly-rounded
+    int→double division instead (the subtraction done in decimal
+    first), deterministic at any scale.
 
     Scale (100 TB): lineitem aggregates map-side per partkey-free
     brand only AFTER the part join — the join is fact⋈dimension
@@ -7526,12 +7538,15 @@ def agg_inventory_turns_gmroi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "brand",
-        F.round(F.col("rev_micro") / 1_000_000.0, 6).alias("revenue"),
-        F.round(F.col("cogs_micro") / 1_000_000.0, 6).alias("cogs"),
-        F.round((F.col("rev_micro") - F.col("cogs_micro")) / 1_000_000.0, 6).alias(
-            "gross_margin"
+        (F.col("rev_micro").cast("double") / F.lit(1e6)).alias("revenue"),
+        (F.col("cogs_micro").cast("double") / F.lit(1e6)).alias("cogs"),
+        (
+            (F.col("rev_micro") - F.col("cogs_micro")).cast("double")
+            / F.lit(1e6)
+        ).alias("gross_margin"),
+        (F.col("inv_micro").cast("double") / F.lit(1e6)).alias(
+            "avg_inventory_cost"
         ),
-        F.round(F.col("inv_micro") / 1_000_000.0, 6).alias("avg_inventory_cost"),
         F.round(
             F.col("cogs_micro") * 365.0 / F.col("span_days") / F.col("inv_micro"), 6
         ).alias("inventory_turns"),

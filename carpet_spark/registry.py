@@ -136,13 +136,15 @@ _PRIORITY_WINDOW = (
 # dedup_containment_pairs (r9 bank empty; %9 → %3 re-parameterization) and
 # text_collocations_pmi (r8 bank empty at sf0.01 — found by the r10
 # registry-wide 0-row scan, the ONLY remaining empty among all 694 ops;
-# support floor 50 → 20).  Two further tail re-banks at r15:
-# ts_pacing_vs_target and emb_label_centroids, whose non-vacuous banks
-# went STALE when the r10 sf0.1 sweep forced their money/mean displays
-# from float round onto exact integer arithmetic (round(x,6) at 1e9
-# magnitude / on an exact 6dp tie splits between engines).  After r15
-# every registered op has a current non-vacuous external bank:
-# 50+213 = 263 = 258 never-sampled + 5 re-banks.
+# support floor 50 → 20).  Three further tail re-banks at r15:
+# ts_pacing_vs_target, emb_label_centroids and agg_inventory_turns_gmroi,
+# whose non-vacuous banks went STALE when the r10 sf0.1 sweep and the
+# follow-up magnitude scan forced their money/mean displays from float
+# round onto exact integer arithmetic (round(x,6) at 1e9+ magnitude / on
+# an exact 6dp tie splits between engines).  After r15 every registered
+# op has a current non-vacuous external bank: 50+214 = 264 =
+# 258 never-sampled + 6 re-banks (agg_survival_km leads the r10 window,
+# 5 more planned).
 # tests/test_window.py::test_planned_windows_* pin plan/registry consistency.
 _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
     11: (
@@ -253,6 +255,7 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         # r10 sf0.1 sweep forced a formula fix (float round at a
         # magnitude/tie where the engines split; both now exact-integer)
         "ts_pacing_vs_target", "emb_label_centroids",
+        "agg_inventory_turns_gmroi",
         "agg_dormant_skus", "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
         "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
         "agg_return_rate_drivers", "agg_supplier_concentration_tiers",

@@ -80,6 +80,7 @@ PLANNED_REBANKS = {
     # float-round displays onto exact integer arithmetic
     "ts_pacing_vs_target",
     "emb_label_centroids",
+    "agg_inventory_turns_gmroi",  # r10 magnitude-scan hardening changed values
 }
 
 
