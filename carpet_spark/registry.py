@@ -145,6 +145,11 @@ _PRIORITY_WINDOW = (
 # op has a current non-vacuous external bank: 50+214 = 264 =
 # 258 never-sampled + 6 re-banks (agg_survival_km leads the r10 window,
 # 5 more planned).
+# The r11 window was PRE-PROBED at r10 final HEAD: 100/100 driver-faithful
+# hash-pass at sf0.01 + sf0.001 (scripts/verify_entry_ops.py), and the
+# r10 registry-wide 0-row scan proves it vacuity-clean — the r11 rotation
+# is a verified copy-paste (still re-run driver_window_probe after
+# copying, in case r11-session edits touch one of its ops).
 # tests/test_window.py::test_planned_windows_* pin plan/registry consistency.
 _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
     11: (
