@@ -80,105 +80,73 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 # other possible driver behavior) still maximizes coverage.  Every op here
 # was audited this round for array/map-typed output columns (none — the
 # driver canonicalizer cannot hash those, SURVEY §7.5).
-# Round-10 window (r09 VERDICT items 1-2): leads with `agg_survival_km`,
-# the round's ONE deliberate re-sample — its only driver bank (r8) is
-# `spark_rows: 0`, an empty==empty vacuous pass that predates the r9
-# censoring re-parameterization, so the fix is invisible until resampled
-# — then 49 never-driver-sampled ops: first the r10-de-vacuated
-# emb_pairwise_cosine_hist (pair stride 997 → 199 so sf0.01's 500-vector
-# corpus actually contains pairs) and the nine LLM-family stragglers the
-# r9 verdict named (dedup_cluster_size_dist, dedup_blocking_quality,
-# dedup_minhash_estimate, mm_image_channel_stats, text_bpe_merge_round,
-# quality_gopher_rules, emb_kmeans_pp_init, sample_hard_negatives,
-# text_ngram_novelty_rate), then 39 straight off the queue head in the
-# r02-verdict user-value order.  49 first-time samples bring cumulative
-# driver coverage 436 → 485 of 694 when green (the r9 verdict's exact
-# target).  All 50 carry hash oracles (fourth consecutive all-hash
-# window) and all 50 return >0 rows at sf0.01 — enforced by the vacuity
-# preflight now built into scripts/driver_window_probe.py (r9 item 3).
-# `dedup_containment_pairs` (re-parameterized %9 → %3 this round for the
-# same vacuity reason, r9 item 2) was ALREADY banked in r9 and heads the
-# planned r11 window below instead of displacing a first-time sample.
+# Round-11 window (r10 VERDICT item 1): the literal contents of the
+# committed burn-down plan's `_PLANNED_WINDOWS[11]` entry, rotated in at
+# round start exactly as planned (key 11 removed from the dict below; the
+# r10 window — a perfect 50/50 hash-pass, CORRECTNESS_r10 — is parked in
+# `_R10_VERIFIED`).  Heads: the two deliberate re-banks whose only driver
+# rows are vacuous (`dedup_containment_pairs` r9, `text_collocations_pmi`
+# r8 — both re-parameterized non-vacuous in r10: %9 → %3 slice / support
+# floor 50 → 20, expected 3 and 20 rows at sf0.01), then 48 first-time
+# samples off the r02-verdict user-value queue.  48 first-time samples
+# bring cumulative driver coverage 485 → 533 of 694 when green (the r10
+# verdict's exact target).  All 50 carry hash oracles (fifth consecutive
+# all-hash window); the window was pre-probed 100/100 driver-faithful
+# hash-pass at sf0.01 + sf0.001 at r10 final HEAD and re-probed after
+# this rotation (vacuity preflight included — all 50 return >0 rows).
 _PRIORITY_WINDOW = (
-    "agg_survival_km", "emb_pairwise_cosine_hist",
-    "dedup_cluster_size_dist", "dedup_blocking_quality",
-    "dedup_minhash_estimate", "mm_image_channel_stats",
-    "text_bpe_merge_round", "quality_gopher_rules", "emb_kmeans_pp_init",
-    "sample_hard_negatives", "text_ngram_novelty_rate", "ts_trend_ols",
-    "agg_skyline_pareto", "dq_cross_field_rules",
-    "dq_rowcount_anomaly_daily", "ab_two_proportion_ztest",
-    "agg_corr_matrix", "sample_importance_weighted",
-    "agg_token_budget_allocation", "dq_sft_format_check",
-    "win_rolling_regression_slope", "agg_window_funnel_strict",
-    "ts_burstiness_fano", "attribution_position_based",
-    "pii_email_normalize", "ts_residual_anomaly", "agg_bounce_rate",
-    "fn_luhn_check", "pii_kanon_generalize", "join_mark_exists",
-    "text_char_ngram_profile", "agg_funnel_stage_latency",
-    "text_sentence_stats", "agg_abc_xyz_class", "dq_primary_key_check",
-    "ts_record_highs", "agg_retention_curve_dayn", "agg_winsorized_stats",
-    "fn_human_number_parse", "dq_drift_report_multi",
-    "feature_standard_scale", "ab_segment_heterogeneity",
-    "ab_difference_in_differences", "agg_price_elasticity",
-    "scan_jsonl_corrupt_capture", "text_template_mining",
-    "sample_epoch_repeat_factors", "emb_product_quantize_lite",
-    "agg_newsvendor_quantile", "ts_interarrival_stats",
+    "dedup_containment_pairs", "text_collocations_pmi",
+    "sink_manifest_publish",
+    "join_basket_containment", "sink_row_hash_audit",
+    "join_nearest_numeric", "agg_slo_burn_rate",
+    "fn_route_pattern_match", "ab_sample_ratio_mismatch",
+    "ab_cuped_adjustment", "sql_group_by_all", "fn_semver_order",
+    "agg_bcg_matrix", "ts_diff_correlation",
+    "ts_compound_growth_index", "agg_reference_percentile_rank",
+    "dq_rare_categories", "ts_twap_daily", "sql_distinct_on",
+    "attribution_shapley_two_channel",
+    "sample_weighted_no_replacement", "fn_iban_mod97",
+    "text_ocr_normalize", "text_script_detect", "agg_ar_aging_buckets",
+    "pii_hash_join_integrity", "text_bigram_logprob",
+    "sample_group_kfold", "agg_basket_size_dist",
+    "agg_growth_accounting", "agg_churn_risk_recency",
+    "text_intradoc_dedup", "text_trending_tokens",
+    "fn_progressive_brackets", "ts_dominant_period",
+    "scan_glob_subset", "agg_cohort_payback_month",
+    "fn_number_humanize", "agg_stickiness_dau_mau",
+    "ab_mann_whitney_u", "fn_uuid_deterministic",
+    "sample_reservoir_fixed_n", "ts_cross_correlation_lags",
+    "scan_fixed_width", "agg_anova_oneway", "agg_theil_index",
+    "text_js_divergence_sources", "emb_isotropy_score",
+    "agg_kendall_tau", "win_weighted_moving_average",
 )
 
 # Rotation-debt burn-down plan (r09 VERDICT item 6): the committed window
-# order for rounds 11-15, so each future rotation is a LOOKUP, not a
-# decision — at round N start, park the previous window in _R{N-1}_VERIFIED
-# and copy _PLANNED_WINDOWS[N] into _PRIORITY_WINDOW (then re-probe it with
-# scripts/driver_window_probe.py, whose vacuity preflight and oracle check
-# may force swaps; record any swap in the window comment).  The plan is the
-# r02-verdict user-value ordering (the former _R4_QUEUE, which this dict
-# supersedes as the single source of truth) minus everything banked through
-# r10, with the two vacuously-banked ops re-queued at the r11 head:
-# dedup_containment_pairs (r9 bank empty; %9 → %3 re-parameterization) and
-# text_collocations_pmi (r8 bank empty at sf0.01 — found by the r10
-# registry-wide 0-row scan, the ONLY remaining empty among all 694 ops;
-# support floor 50 → 20).  Three further tail re-banks at r15:
+# order for the REMAINING rounds 12-15, so each future rotation is a
+# LOOKUP, not a decision — at round N start, park the previous window in
+# _R{N-1}_VERIFIED and copy _PLANNED_WINDOWS[N] into _PRIORITY_WINDOW
+# (then re-probe it with scripts/driver_window_probe.py, whose vacuity
+# preflight and oracle check may force swaps; record any swap in the
+# window comment).  The plan is the r02-verdict user-value ordering (the
+# former _R4_QUEUE, which this dict supersedes as the single source of
+# truth) minus everything banked through r10 and minus the r11 window
+# above (rotated in live this round per plan).  Five re-banks total:
+# two vacuous (head the live r11 window above) and three STALE —
 # ts_pacing_vs_target, emb_label_centroids and agg_inventory_turns_gmroi,
-# whose non-vacuous banks went STALE when the r10 sf0.1 sweep and the
-# follow-up magnitude scan forced their money/mean displays from float
-# round onto exact integer arithmetic (round(x,6) at 1e9+ magnitude / on
-# an exact 6dp tie splits between engines).  After r15 every registered
-# op has a current non-vacuous external bank: 50+214 = 264 =
-# 258 never-sampled + 6 re-banks (agg_survival_km leads the r10 window,
-# 5 more planned).
-# The r11 window was PRE-PROBED at r10 final HEAD: 100/100 driver-faithful
-# hash-pass at sf0.01 + sf0.001 (scripts/verify_entry_ops.py), and the
-# r10 registry-wide 0-row scan proves it vacuity-clean — the r11 rotation
-# is a verified copy-paste (still re-run driver_window_probe after
-# copying, in case r11-session edits touch one of its ops).
+# whose non-vacuous banks predate the r10 sf0.1 sweep / magnitude scan
+# forcing their money/mean displays from float round onto exact integer
+# arithmetic (round(x,6) at 1e9+ magnitude / on an exact 6dp tie splits
+# between engines).  Per r10 VERDICT item 2 those three were PULLED
+# FORWARD from the r15 tail to the r12 head (the three displaced r12 ops
+# — ts_partial_autocorrelation, agg_mcnemar_test, dq_hash_collision_audit
+# — moved to r15, keeping both windows ≤50).  After r15 every registered
+# op has a current non-vacuous external bank.
 # tests/test_window.py::test_planned_windows_* pin plan/registry consistency.
 _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
-    11: (
-        "dedup_containment_pairs", "text_collocations_pmi",
-        "sink_manifest_publish",
-        "join_basket_containment", "sink_row_hash_audit",
-        "join_nearest_numeric", "agg_slo_burn_rate",
-        "fn_route_pattern_match", "ab_sample_ratio_mismatch",
-        "ab_cuped_adjustment", "sql_group_by_all", "fn_semver_order",
-        "agg_bcg_matrix", "ts_diff_correlation",
-        "ts_compound_growth_index", "agg_reference_percentile_rank",
-        "dq_rare_categories", "ts_twap_daily", "sql_distinct_on",
-        "attribution_shapley_two_channel",
-        "sample_weighted_no_replacement", "fn_iban_mod97",
-        "text_ocr_normalize", "text_script_detect", "agg_ar_aging_buckets",
-        "pii_hash_join_integrity", "text_bigram_logprob",
-        "sample_group_kfold", "agg_basket_size_dist",
-        "agg_growth_accounting", "agg_churn_risk_recency",
-        "text_intradoc_dedup", "text_trending_tokens",
-        "fn_progressive_brackets", "ts_dominant_period",
-        "scan_glob_subset", "agg_cohort_payback_month",
-        "fn_number_humanize", "agg_stickiness_dau_mau",
-        "ab_mann_whitney_u", "fn_uuid_deterministic",
-        "sample_reservoir_fixed_n", "ts_cross_correlation_lags",
-        "scan_fixed_width", "agg_anova_oneway", "agg_theil_index",
-        "text_js_divergence_sources", "emb_isotropy_score",
-        "agg_kendall_tau", "win_weighted_moving_average",
-    ),
     12: (
+        # stale-display re-banks pulled forward from r15 (r10 VERDICT #2)
+        "ts_pacing_vs_target", "emb_label_centroids",
+        "agg_inventory_turns_gmroi",
         "ts_bollinger_bands", "agg_chi_square_gof", "text_hapax_ratio", "fn_fiscal_calendar_445",
         "fn_slugify", "dq_table_fingerprint", "ts_velocity_acceleration",
         "agg_runlength_events", "sql_order_by_all",
@@ -199,8 +167,6 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         "ts_theil_sen_slope", "dq_benford_second_digit",
         "win_gap_to_leader", "agg_delta_method_ratio_ci",
         "fn_target_encode", "emb_class_separability",
-        "ts_partial_autocorrelation", "agg_mcnemar_test",
-        "dq_hash_collision_audit",
     ),
     13: (
         "agg_wilcoxon_signed_rank", "agg_contingency_residuals", "ab_cochran_armitage_trend",
@@ -256,11 +222,9 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         "dq_doc_embedding_coverage",
     ),
     15: (
-        # tail re-banks: ops whose NON-vacuous banks went stale when the
-        # r10 sf0.1 sweep forced a formula fix (float round at a
-        # magnitude/tie where the engines split; both now exact-integer)
-        "ts_pacing_vs_target", "emb_label_centroids",
-        "agg_inventory_turns_gmroi",
+        # displaced from r12 by the pulled-forward stale-display re-banks
+        "ts_partial_autocorrelation", "agg_mcnemar_test",
+        "dq_hash_collision_audit",
         "agg_dormant_skus", "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
         "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
         "agg_return_rate_drivers", "agg_supplier_concentration_tiers",
@@ -542,10 +506,43 @@ _R09_VERIFIED = frozenset(
 )
 
 
+# The 50 ops the driver sampled green in round 10 (CORRECTNESS_r10 keys —
+# a PERFECT 50/50 hash-pass window, led by the agg_survival_km deliberate
+# re-bank, now non-vacuous with spark_rows: 2) — parked at the tail.
+_R10_VERIFIED = frozenset(
+    {
+        "agg_survival_km", "emb_pairwise_cosine_hist",
+        "dedup_cluster_size_dist", "dedup_blocking_quality",
+        "dedup_minhash_estimate", "mm_image_channel_stats",
+        "text_bpe_merge_round", "quality_gopher_rules",
+        "emb_kmeans_pp_init", "sample_hard_negatives",
+        "text_ngram_novelty_rate", "ts_trend_ols", "agg_skyline_pareto",
+        "dq_cross_field_rules", "dq_rowcount_anomaly_daily",
+        "ab_two_proportion_ztest", "agg_corr_matrix",
+        "sample_importance_weighted", "agg_token_budget_allocation",
+        "dq_sft_format_check", "win_rolling_regression_slope",
+        "agg_window_funnel_strict", "ts_burstiness_fano",
+        "attribution_position_based", "pii_email_normalize",
+        "ts_residual_anomaly", "agg_bounce_rate", "fn_luhn_check",
+        "pii_kanon_generalize", "join_mark_exists",
+        "text_char_ngram_profile", "agg_funnel_stage_latency",
+        "text_sentence_stats", "agg_abc_xyz_class", "dq_primary_key_check",
+        "ts_record_highs", "agg_retention_curve_dayn",
+        "agg_winsorized_stats", "fn_human_number_parse",
+        "dq_drift_report_multi", "feature_standard_scale",
+        "ab_segment_heterogeneity", "ab_difference_in_differences",
+        "agg_price_elasticity", "scan_jsonl_corrupt_capture",
+        "text_template_mining", "sample_epoch_repeat_factors",
+        "emb_product_quantize_lite", "agg_newsvendor_quantile",
+        "ts_interarrival_stats",
+    }
+)
+
+
 _DRIVER_VERIFIED = (
     _R01_VERIFIED | _R02_VERIFIED | _R03_VERIFIED | _R04_VERIFIED
     | _R05_VERIFIED | _R06_VERIFIED | _R07_VERIFIED | _R08_VERIFIED
-    | _R09_VERIFIED
+    | _R09_VERIFIED | _R10_VERIFIED
 )
 
 

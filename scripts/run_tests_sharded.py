@@ -151,14 +151,25 @@ def main() -> int:
         except (OSError, ValueError):
             old = {}
         new_run: dict[str, float] = {}
+        n_loaded = 0
         for i in range(n):
             try:
                 with open(f"/tmp/carpet_durations_{i}_of_{n}.json") as f:
                     new_run.update(json.load(f))
+                n_loaded += 1
             except (OSError, ValueError):
                 continue
         if new_run:
-            full_run = extra == ["tests/"]
+            # r10 ADVICE: pruning (base = new_run) is only sound when every
+            # shard's recording actually loaded — a missing /tmp file on a
+            # green full run would silently drop that shard's tests from
+            # the balance as if they were renamed.  Fall back to the
+            # merge-with-old path (no pruning) when any shard is missing.
+            full_run = extra == ["tests/"] and n_loaded == n
+            if extra == ["tests/"] and n_loaded < n:
+                print(f"WARNING: only {n_loaded}/{n} shard duration files "
+                      "loaded on a full run; skipping stale-prune, merging "
+                      "with prior durations instead", flush=True)
             base = new_run if full_run else {**old, **new_run}
             merged = {
                 k: min(old[k], v) if k in old else v for k, v in base.items()

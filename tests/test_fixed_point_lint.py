@@ -56,7 +56,14 @@ MARKER_WINDOW = 6  # lines above the F.sum( line the marker may sit
 # and (c) treats an inline fp_scaled_long(...) call as a construction
 # whenever its factor is ≥ 1e4 or not a literal (cents factors stay
 # exempt; an unprovable variable factor is conservatively hazardous).
-_FP_CONSTRUCTION = re.compile(r"\d(?:\.\d+)?e(?:[4-9]|[1-9]\d+)\b|\b10{4,}\b")
+# r11 (ADVICE): the plain-literal branch was `\b10{4,}\b` — 1-followed-
+# by-zeros only, so an inline non-1 coefficient (`* 2_000_000 + 0.5`)
+# escaped while the docstring claimed any-coefficient coverage.  Now any
+# integer literal ≥ 10000 matches: `[1-9]\d{4,}` (5+ digits, nonzero
+# lead) is ≥ 10^4 by construction.
+_FP_CONSTRUCTION = re.compile(
+    r"\d(?:\.\d+)?e(?:[4-9]|[1-9]\d+)\b|\b[1-9]\d{4,}\b"
+)
 _FP_HELPER_CALL = re.compile(r"fp_scaled_long\s*\(")
 _INT_LITERAL = re.compile(r"^\d+$")
 
@@ -96,7 +103,9 @@ def _is_fp_construction(arg: str) -> bool:
 # a decimal accumulator that is re-cast to long INSIDE the sum argument
 # (``F.sum((x.cast("decimal...")*y).cast("long"))``) still sums longs —
 # the trailing cast decides the accumulator type, not the substring
-_RECAST_LONG = re.compile(r'\.cast\(\s*"long"\s*\)\s*$')
+# both quote styles: a single-quoted .cast('long') recast must not be
+# wrongly exempted as a decimal accumulator (r10 ADVICE)
+_RECAST_LONG = re.compile(r"\.cast\(\s*[\"']long[\"']\s*\)\s*$")
 
 
 def _balanced_arg(src: str, start: int) -> str:
@@ -297,6 +306,31 @@ def test_lint_catches_high_exponents_and_coefficients():
         )
         assert _lint_on(bad), f"lint missed the x{factor} idiom"
     for factor in ("1e3", "2e2"):  # sub-1e4 stays exempt
+        ok = (
+            "df.agg(\n"
+            "    F.sum(\n"
+            f'        (F.abs(F.col("x")) * {factor} + 0.5).cast("long")\n'
+            "    ).alias('s')\n"
+            ")\n"
+        )
+        assert not _lint_on(ok), f"lint flagged the exempt x{factor} scale"
+
+
+def test_lint_catches_plain_decimal_non_1_coefficients():
+    """r10 ADVICE: `\\b10{4,}\\b` matched only 1-followed-by-zeros, so an
+    inline plain-decimal factor with a non-1 coefficient (`* 2_000_000`)
+    escaped while the helper-call path caught it.  Any integer literal
+    >= 10000 in the sum arg must now flag; < 10000 stays exempt."""
+    for factor in ("2_000_000", "2000000", "50000", "12345"):
+        bad = (
+            "df.agg(\n"
+            "    F.sum(\n"
+            f'        (F.abs(F.col("x")) * {factor} + 0.5).cast("long")\n'
+            "    ).alias('s')\n"
+            ")\n"
+        )
+        assert _lint_on(bad), f"lint missed the plain x{factor} idiom"
+    for factor in ("9999", "2_500", "100"):  # < 1e4 stays exempt
         ok = (
             "df.agg(\n"
             "    F.sum(\n"

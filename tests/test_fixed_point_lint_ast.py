@@ -28,6 +28,7 @@ from __future__ import annotations
 import ast
 import glob
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OPS_GLOB = os.path.join(REPO, "carpet_spark", "ops", "*.py")
@@ -101,8 +102,12 @@ def _is_f_sum(node: ast.Call) -> bool:
 def _sum_is_decimal_accumulated(node: ast.Call, src_seg: str) -> bool:
     """True when the sum argument itself is cast to decimal (the
     accumulator is decimal, not long) — same exemption as the regex lint,
-    including its recast-to-long override."""
-    return "decimal" in src_seg and not src_seg.rstrip().endswith('.cast("long")')
+    including its recast-to-long override.  The recast match accepts both
+    quote styles (r10 ADVICE: a single-quoted .cast('long') trailing
+    recast must be flagged, not exempted)."""
+    return "decimal" in src_seg and not re.search(
+        r"\.cast\(\s*[\"']long[\"']\s*\)\s*$", src_seg
+    )
 
 
 def _violations_in(path: str) -> list[str]:
@@ -214,6 +219,19 @@ def test_ast_lint_marker_and_cents_and_decimal_exemptions():
         "    return df.agg(F.sum(v).alias('s'))\n"
     )
     assert _lint_on(variable_factor), "non-literal factor must flag"
+    # r10 ADVICE: a SINGLE-quoted trailing recast-to-long on a
+    # decimal-containing argument is still a long accumulator and must
+    # flag exactly like the double-quoted spelling.
+    recast_single_quoted = (
+        "def op(spark, sf_dir):\n"
+        '    v6 = fp_scaled_long(F.col("value"), 1_000_000)\n'
+        "    return df.agg(\n"
+        "        F.sum(v6.cast('decimal(38,0)').cast('long')).alias('s')\n"
+        "    )\n"
+    )
+    assert _lint_on(recast_single_quoted), (
+        "single-quoted .cast('long') recast wrongly exempted"
+    )
 
 
 def test_ast_lint_ignores_safe_sinks_and_untracked_names():

@@ -36,6 +36,15 @@ sf0.1, so a regression fails in the gate instead of surfacing (or
 silently hiding) at scale.  Keep this module small — it is for bugs
 PROVEN to need sf0.1 to manifest, not general parity (that lives in
 test_oracle_parity at the default SF).
+
+MAGNITUDE_HARDENED (r10 ADVICE): the r10 magnitude scan (max |double
+output| ≥ 5e8) additionally forced three ops off `round(x, 6)` onto the
+exact-integer display idiom BEFORE an engine split was observed at
+sf0.1 — ab_cuped_adjustment, agg_supplier_concentration_tiers and
+agg_inventory_turns_gmroi.  Their formulas changed for a reason that
+only manifests at magnitude, so they get the same sf0.1 pin: a
+regression reintroducing a 6dp float round there would stay green at
+sf0.01 and only split at larger SFs.
 """
 
 from __future__ import annotations
@@ -54,6 +63,14 @@ SF01_ONLY_BUGS = [
     "emb_label_centroids",
 ]
 
+# hardened by the r10 magnitude scan without an observed split — pinned
+# at the SF the hardening was motivated by (see module docstring)
+MAGNITUDE_HARDENED = [
+    "ab_cuped_adjustment",
+    "agg_supplier_concentration_tiers",
+    "agg_inventory_turns_gmroi",
+]
+
 
 @pytest.fixture(scope="module")
 def duck01():
@@ -62,7 +79,7 @@ def duck01():
     con.close()
 
 
-@pytest.mark.parametrize("name", SF01_ONLY_BUGS)
+@pytest.mark.parametrize("name", SF01_ONLY_BUGS + MAGNITUDE_HARDENED)
 def test_sf01_parity_regression_pin(spark, duck01, name):
     op = REGISTRY[name]
     compare(op.fn(spark, SF01_DIR), duck01, op.oracle, name=f"{name}@sf0.1")
