@@ -128,6 +128,13 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             f"only uncompressed 24-bit BMP is vendored (bpp={bpp}, "
             f"compression={compression}); other depths need PIL"
         )
+    # width is a SIGNED i32 in the header but has no negative meaning
+    # (unlike height, where sign encodes row order) — a hostile header
+    # with w<0 and h=0 would otherwise "decode" to a malformed success
+    # (negative width, empty raster) and bypass callers' error paths
+    # (r11 seeded-fuzz finding, tests/test_codecs.py)
+    if w < 0:
+        raise ValueError(f"negative BMP width {w}")
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
     stride = ((w * 3 + 3) // 4) * 4

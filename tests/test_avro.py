@@ -348,16 +348,13 @@ def test_resolution_composes_with_range_splits(tmp_path):
 
 
 def _hostile_battery(sync: bytes):
-    return [
-        sync,                            # the file's own sync marker, alone
-        b"x" * 7 + sync + b"y" * 9,      # marker mid-payload
-        sync * 3,                        # repeated marker
-        b"Obj\x01",                      # OCF magic
-        b"\x00" * 32,                    # NUL run
-        b"\xff" * 32,                    # 0xFF run (varint continuation bait)
-        b"\n\r\n\t",                     # newline soup
-        b"",                             # empty bytes
-    ]
+    # r11: the battery generalized into the shared hostile-bytes helper
+    # (tests/hostile_bytes.py) so the image-decoder fuzz reuses it; the
+    # entries this regime depends on (marker alone / mid-payload /
+    # repeated, OCF magic, NUL+0xFF runs, soup, empty) are all present.
+    from hostile_bytes import hostile_battery
+
+    return hostile_battery((sync,))
 
 
 def _hostile_binary_rows(sync: bytes, n: int = 400):

@@ -153,3 +153,83 @@ def test_encode_frames_chunks_and_preserves_order_and_nulls():
     assert cat["doc_id"].tolist() == list(range(700))
     assert cat["img_data"].iloc[13] is None
     assert bytes(cat["img_data"].iloc[0]) == b"P" + texts[0].encode()
+
+
+# ---------------------------------------------------------------------------
+# Seeded hostile-bytes fuzz (r10 VERDICT stretch item): the Avro deflate
+# regime's collision generator, generalized (tests/hostile_bytes.py) and
+# pointed at the raster decoders.  Contract: any input either decodes to a
+# WELL-FORMED (w, h, ch, px) — w,h >= 0, ch in {1,3}, len(px) == w*h*ch —
+# or raises the decoders' documented error types.  Never a foreign
+# exception (struct.error, OverflowError, MemoryError, ...), never a
+# malformed success.  First run found one of the latter: _decode_bmp
+# returned width=-5 for a hostile w<0,h=0 header.
+# ---------------------------------------------------------------------------
+
+from hostile_bytes import (  # noqa: E402
+    hostile_battery,
+    random_blobs,
+    seeded_mutants,
+)
+
+_FUZZ_SEED = 0xCA4B11  # deterministic; bump only with a written reason
+
+
+def _assert_decoder_contract(decode, data: bytes) -> None:
+    try:
+        w, h, ch, px = decode(data)
+    except (ValueError, NotImplementedError):
+        return  # documented error path
+    # well-formed success or bust
+    assert w >= 0 and h >= 0, f"negative dims ({w}, {h}) for {data[:40]!r}"
+    assert ch in (1, 3), f"channels {ch} for {data[:40]!r}"
+    assert len(px) == w * h * ch, (
+        f"raster length {len(px)} != {w}*{h}*{ch} for {data[:40]!r}"
+    )
+
+
+@pytest.mark.parametrize(
+    "valid_sample",
+    [
+        _encode_ppm_synth(b"q" * 300),           # P6
+        b"P5\n# c\n4 2\n255\n" + bytes(8),       # P5 (synth never emits)
+        _encode_bmp_synth(b"q" * 300),           # bottom-up BMP
+    ],
+    ids=["ppm_p6", "pgm_p5", "bmp"],
+)
+def test_seeded_mutation_fuzz_decoders(valid_sample):
+    """400 deterministic mutants per valid sample through the sniffing
+    dispatcher: truncations, bit flips, overwrites, splices, and magic
+    insertions must hit the contract, not a foreign exception."""
+    for mutant in seeded_mutants(valid_sample, _FUZZ_SEED, 400):
+        _assert_decoder_contract(_decode_image_real, mutant)
+
+
+def test_random_blob_and_battery_fuzz_decoders():
+    """Noise blobs (half with planted magics) and the structured battery
+    through every decoder entry point, including direct (non-sniffed)
+    calls where the magic check itself is under test."""
+    corpus = random_blobs(_FUZZ_SEED, 300) + hostile_battery()
+    for blob in corpus:
+        _assert_decoder_contract(_decode_image_real, blob)
+        _assert_decoder_contract(_decode_ppm, blob)
+        _assert_decoder_contract(_decode_bmp, blob)
+
+
+def test_fuzz_corpus_is_deterministic():
+    """A gate failure must reproduce exactly: same (seed, n) -> same
+    corpus, across processes (random.Random, not hash-randomized)."""
+    a = seeded_mutants(b"P6\n2 2\n255\n" + bytes(12), _FUZZ_SEED, 50)
+    b = seeded_mutants(b"P6\n2 2\n255\n" + bytes(12), _FUZZ_SEED, 50)
+    assert a == b
+    assert random_blobs(7, 20) == random_blobs(7, 20)
+
+
+def test_bmp_negative_width_rejected():
+    """The r11 fuzz finding, pinned directly: w<0 (signed i32) with h=0
+    must raise, not return a malformed (negative-width) success."""
+    good = _encode_bmp_synth(b"q" * 50)
+    hostile = bytearray(good)
+    struct.pack_into("<ii", hostile, 18, -5, 0)  # width=-5, height=0
+    with pytest.raises(ValueError, match="negative BMP width"):
+        _decode_bmp(bytes(hostile))
