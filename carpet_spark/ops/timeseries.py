@@ -4669,9 +4669,9 @@ def ts_forecaster_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY 1
     )
     SELECT m, cents, obs_bdays,
-           round(cents / CAST(obs_bdays AS DOUBLE) / 100, 6)
+           CAST(CAST(cents AS HUGEINT) * 10000 // obs_bdays AS DOUBLE) / 1e6
              AS rev_per_bday,
-           round(cents / CAST(obs_bdays AS DOUBLE) * 21 / 100, 6)
+           CAST(CAST(cents AS HUGEINT) * 210000 // obs_bdays AS DOUBLE) / 1e6
              AS calendarized_month
     FROM monthly WHERE obs_bdays > 0
     """,
@@ -4683,7 +4683,15 @@ def ts_calendarized_run_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a partial current month comparable to closed ones (raw monthly
     totals conflate demand with calendar; fn_business_days holds the
     general day-count machinery, Sunday=0 weekend convention here).
-    Revenue stays exact integer cents; two divisions per month.
+
+    Determinism (r11, first catch of scripts/magnitude_scan.py): the
+    displays were `round(x, 6)` on values already at 5.1e8 at sf0.1 —
+    the exact cliff class that split engines three times in r8-r10.
+    Now exact integer micro-dollars — floor(cents·10⁴·{1,21} ÷
+    obs_bdays) in decimal(38,0)/HUGEINT (operands nonnegative, so Spark
+    truncating DIV == DuckDB flooring //; the multiply is decimal
+    because cents·210000 passes 2^63 around $44B/month) — through ONE
+    correctly-rounded int→double division, deterministic at any SF.
 
     Scale (100 TB): rides the daily collapse; the monthly rollup and
     normalization run on the |months| axis."""
@@ -4700,11 +4708,19 @@ def ts_calendarized_run_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return monthly.filter(F.col("obs_bdays") > 0).select(
         "m", "cents", "obs_bdays",
-        F.round(
-            F.col("cents") / F.col("obs_bdays").cast("double") / 100, 6
+        (
+            F.expr(
+                "CAST(CAST(cents AS DECIMAL(38,0)) * 10000"
+                " DIV obs_bdays AS DOUBLE)"
+            )
+            / F.lit(1e6)
         ).alias("rev_per_bday"),
-        F.round(
-            F.col("cents") / F.col("obs_bdays").cast("double") * 21 / 100, 6
+        (
+            F.expr(
+                "CAST(CAST(cents AS DECIMAL(38,0)) * 210000"
+                " DIV obs_bdays AS DOUBLE)"
+            )
+            / F.lit(1e6)
         ).alias("calendarized_month"),
     )
 

@@ -69,6 +69,10 @@ MAGNITUDE_HARDENED = [
     "ab_cuped_adjustment",
     "agg_supplier_concentration_tiers",
     "agg_inventory_turns_gmroi",
+    # r11: first catch of the automated scripts/magnitude_scan.py —
+    # round(x,6) on displays already at 5.1e8 at sf0.1; now exact
+    # integer floor-div micro-dollars (see the op docstring)
+    "ts_calendarized_run_rate",
 ]
 
 
