@@ -93,6 +93,17 @@ def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
 
 def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
     n, pos = _read_long(data, pos)
+    # corrupt-input guards (r11 seeded fuzz, tests/test_avro.py): a
+    # mutated negative zigzag length would move the cursor BACKWARD
+    # (data[pos:pos+n] with n<0 is empty and pos+n rewinds), turning a
+    # huge mutated count loop into a hang; an overrun length would
+    # silently return a short slice and let the decoder misparse.
+    if n < 0:
+        raise ValueError(f"corrupt avro: negative length {n}")
+    if pos + n > len(data):
+        raise ValueError(
+            f"corrupt avro: length {n} runs past end of buffer"
+        )
     return data[pos : pos + n], pos + n
 
 
@@ -220,29 +231,50 @@ def write_ocf(path: str, schema: dict, rows, codec: str = "null",
 
 
 def _parse_header(data: bytes):
-    """Parse the OCF header; returns (schema, codec, sync, body_start)."""
+    """Parse the OCF header; returns (schema, codec, sync, body_start).
+
+    Corrupt input surfaces as ValueError with context, never a foreign
+    exception (r11 seeded fuzz: mutated headers previously escaped as
+    IndexError / UnicodeDecodeError / KeyError / bare JSONDecodeError)."""
     if data[:4] != _MAGIC:
         raise ValueError(f"not an Avro OCF: magic={data[:4]!r}")
     pos = 4
     meta = {}
-    while True:
-        count, pos = _read_long(data, pos)
-        if count == 0:
-            break
-        if count < 0:  # negative block count: followed by byte size (spec)
-            count = -count
-            _, pos = _read_long(data, pos)
-        for _ in range(count):
-            k, pos = _read_bytes(data, pos)
-            v, pos = _read_bytes(data, pos)
-            meta[k.decode()] = v
-    schema = json.loads(meta["avro.schema"])
-    codec = meta.get("avro.codec", b"null").decode()
+    try:
+        while True:
+            count, pos = _read_long(data, pos)
+            if count == 0:
+                break
+            if count < 0:  # negative block count: followed by byte size (spec)
+                count = -count
+                _, pos = _read_long(data, pos)
+            for _ in range(count):
+                k, pos = _read_bytes(data, pos)
+                v, pos = _read_bytes(data, pos)
+                meta[k.decode()] = v
+        schema = json.loads(meta["avro.schema"])
+        codec = meta.get("avro.codec", b"null").decode()
+    except (IndexError, UnicodeDecodeError, KeyError, ValueError) as e:
+        # IndexError: varint truncated mid-byte; UnicodeDecodeError: a
+        # meta key/codec name; KeyError: no avro.schema; ValueError
+        # covers json.JSONDecodeError and the _read_bytes guards
+        raise ValueError(f"corrupt avro header: {e!r}") from e
     if codec not in ("null", "deflate"):
         raise NotImplementedError(
             f"avro codec not vendored: {codec} — see COVERAGE.md 'Format-support ceilings'"
         )
+    if not (
+        isinstance(schema, dict)
+        and isinstance(schema.get("fields"), list)
+        and all(
+            isinstance(f, dict) and "name" in f and "type" in f
+            for f in schema["fields"]
+        )
+    ):
+        raise ValueError("corrupt avro header: schema is not a record")
     sync = data[pos : pos + 16]
+    if len(sync) != 16:
+        raise ValueError("corrupt avro header: truncated sync marker")
     return schema, codec, sync, pos + 16
 
 
@@ -297,16 +329,34 @@ def _iter_blocks(data: bytes, pos: int, stop: int, schema, codec, sync,
             return tuple(row), p
 
     while pos < stop:
-        n_block, pos = _read_long(data, pos)
-        payload, pos = _read_bytes(data, pos)
+        # corrupt-input translation (r11 seeded fuzz): block framing and
+        # row payloads must fail as ValueError with context, never as a
+        # foreign IndexError / zlib.error / UnicodeDecodeError /
+        # struct.error leaking from the primitives
+        try:
+            n_block, pos = _read_long(data, pos)
+            payload, pos = _read_bytes(data, pos)
+        except IndexError as e:  # varint truncated at EOF
+            raise ValueError("corrupt avro: truncated block header") from e
+        if n_block < 0:
+            raise ValueError(
+                f"corrupt avro: negative block row count {n_block}"
+            )
         if data[pos : pos + 16] != sync:
             raise ValueError("avro block sync marker mismatch")
         pos += 16
         if codec == "deflate":
-            payload = zlib.decompress(payload, wbits=-15)
+            try:
+                payload = zlib.decompress(payload, wbits=-15)
+            except zlib.error as e:
+                raise ValueError(f"corrupt avro deflate block: {e}") from e
         p = 0
         for _ in range(n_block):
-            row, p = decode_row(payload, p)
+            try:
+                row, p = decode_row(payload, p)
+            except (IndexError, UnicodeDecodeError, struct.error,
+                    OverflowError) as e:
+                raise ValueError(f"corrupt avro block row: {e!r}") from e
             yield row
 
 

@@ -609,3 +609,111 @@ def test_deflate_stored_blocks_leak_sync_verbatim_and_resync_survives(tmp_path):
             _, it = read_ocf_range(p, s, min(s + split, size))
             got.extend(it)
         assert got == rows, f"split={split}: {len(got)} vs {len(rows)}"
+
+
+# ---------------------------------------------------------------------------
+# Seeded whole-file mutation fuzz (r11, extending the r10 STORED-block
+# regime): deterministic mutants of valid OCFs (truncations, bit flips,
+# overwrites, splices, magic insertions) and noise blobs through read_ocf
+# and the mmap read_ocf_range path.  Contract: every input either yields
+# well-formed row tuples or raises ValueError/NotImplementedError — never
+# a foreign exception, never a hang.  The first probe run found both
+# failure kinds: a mutated negative zigzag LENGTH moved the cursor
+# backward under a huge mutated metadata COUNT (an effective hang in
+# _parse_header), and truncation/garbage escaped as IndexError /
+# zlib.error / UnicodeDecodeError / KeyError / struct.error.  All now
+# translate to ValueError at the framing layers (avro.py).
+# ---------------------------------------------------------------------------
+
+from hostile_bytes import seeded_mutants as _seeded_mutants  # noqa: E402
+from hostile_bytes import random_blobs as _random_blobs  # noqa: E402
+
+_FUZZ_SCHEMA = {
+    "type": "record", "name": "fz", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "x", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "p", "type": "bytes"},
+    ],
+}
+
+
+def _fuzz_valid_ocf(tmp_path, codec: str) -> bytes:
+    rows = [
+        (i, None if i % 5 == 0 else f"s{i}", i * 0.5, i % 2 == 0,
+         bytes([i % 256]) * (i % 20))
+        for i in range(120)
+    ]
+    p = str(tmp_path / f"fuzz_valid_{codec}.avro")
+    write_ocf(p, _FUZZ_SCHEMA, rows, codec=codec)
+    return open(p, "rb").read()
+
+
+def _assert_ocf_contract(path: str) -> None:
+    import signal
+
+    def _hang(sig, frm):
+        raise AssertionError(f"OCF reader hung on {path}")
+
+    old = signal.signal(signal.SIGALRM, _hang)
+    signal.alarm(20)  # generous: contract is "terminates", not "fast"
+    try:
+        try:
+            _, rows = read_ocf(path)
+        except (ValueError, NotImplementedError):
+            return  # documented error path
+        for r in rows:
+            assert isinstance(r, tuple) and len(r) == 5
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_seeded_mutation_fuzz_read_ocf(tmp_path, codec):
+    valid = _fuzz_valid_ocf(tmp_path, codec)
+    q = str(tmp_path / "m.avro")
+    for m in _seeded_mutants(valid, 0xA11CE, 200):
+        open(q, "wb").write(m)
+        _assert_ocf_contract(q)
+
+
+def test_noise_blob_fuzz_read_ocf(tmp_path):
+    q = str(tmp_path / "m.avro")
+    for blob in _random_blobs(0xA11CE, 100):
+        open(q, "wb").write(blob)
+        _assert_ocf_contract(q)
+
+
+def test_seeded_mutation_fuzz_read_ocf_range(tmp_path):
+    """The split path: mutants through the mmap + verified-resync reader,
+    three ranges each (first half / second half / whole)."""
+    valid = _fuzz_valid_ocf(tmp_path, "null")
+    q = str(tmp_path / "m.avro")
+    for m in _seeded_mutants(valid, 0xBEEF, 100):
+        open(q, "wb").write(m)
+        L = len(m)
+        for a, b in [(0, L // 2), (L // 2, L), (0, L)]:
+            try:
+                _, it = read_ocf_range(q, a, b)
+                for r in it:
+                    assert isinstance(r, tuple) and len(r) == 5
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_negative_length_rewind_rejected(tmp_path):
+    """The hang mutant class, pinned directly: a negative zigzag length
+    in a metadata entry must raise, not rewind the cursor under a huge
+    metadata count."""
+    import io as _io
+
+    buf = _io.BytesIO()
+    buf.write(b"Obj\x01")
+    _write_long(buf, 2**40)  # absurd metadata pair count
+    _write_long(buf, -7)     # negative length: the rewind vector
+    with pytest.raises(ValueError, match="corrupt avro header"):
+        p = str(tmp_path / "rewind.avro")
+        open(p, "wb").write(buf.getvalue())
+        read_ocf(p)
