@@ -6745,24 +6745,30 @@ def dq_fx_triangulation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                        + INTERVAL 1 MONTH - INTERVAL 1 DAY) < 7
                   THEN 1 ELSE 0 END AS me_week
       FROM daily
+    ),
+    sums AS (
+      SELECT CAST(SUM(me_week) AS BIGINT) AS n_me,
+             CAST(SUM(1 - me_week) AS BIGINT) AS n_ot,
+             CAST(SUM(CASE WHEN me_week = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS me_c,
+             CAST(SUM(CASE WHEN me_week = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS ot_c
+      FROM flagged
     )
-    SELECT CAST(SUM(me_week) AS BIGINT) AS n_me_days,
-           CAST(SUM(1 - me_week) AS BIGINT) AS n_other_days,
-           round(CAST(SUM(CASE WHEN me_week = 1 THEN cents ELSE 0 END)
-                      AS BIGINT)
-                 / CAST(NULLIF(SUM(me_week), 0) AS DOUBLE) / 100, 6)
-             AS me_rev_per_day,
-           round(CAST(SUM(CASE WHEN me_week = 0 THEN cents ELSE 0 END)
-                      AS BIGINT)
-                 / CAST(NULLIF(SUM(1 - me_week), 0) AS DOUBLE) / 100, 6)
-             AS other_rev_per_day,
-           round((CAST(SUM(CASE WHEN me_week = 1 THEN cents ELSE 0 END)
-                       AS BIGINT) / CAST(NULLIF(SUM(me_week), 0) AS DOUBLE))
-                 / NULLIF(CAST(SUM(CASE WHEN me_week = 0 THEN cents ELSE 0 END)
-                         AS BIGINT)
-                         / CAST(NULLIF(SUM(1 - me_week), 0) AS DOUBLE), 0)
+    SELECT n_me AS n_me_days,
+           n_ot AS n_other_days,
+           CAST(CASE WHEN me_c < 0
+                THEN -(CAST(-me_c AS HUGEINT) * 10000 // NULLIF(n_me, 0))
+                ELSE CAST(me_c AS HUGEINT) * 10000 // NULLIF(n_me, 0)
+                END AS DOUBLE) / 1e6 AS me_rev_per_day,
+           CAST(CASE WHEN ot_c < 0
+                THEN -(CAST(-ot_c AS HUGEINT) * 10000 // NULLIF(n_ot, 0))
+                ELSE CAST(ot_c AS HUGEINT) * 10000 // NULLIF(n_ot, 0)
+                END AS DOUBLE) / 1e6 AS other_rev_per_day,
+           round((me_c / CAST(NULLIF(n_me, 0) AS DOUBLE))
+                 / NULLIF(ot_c / CAST(NULLIF(n_ot, 0) AS DOUBLE), 0)
                  - 1.0, 6) AS month_end_lift
-    FROM flagged
+    FROM sums
     """,
 )
 def agg_month_end_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6792,17 +6798,41 @@ def agg_month_end_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ot_cents = F.sum(F.when(F.col("me_week") == 0, F.col("cents")).otherwise(0)).cast(
         "long"
     )
-    # NULLIF guards (degenerate sweep): a span with no month-end (or no
-    # other) days zeroes a day count — both sides agree on NULL.
-    me_days = F.nullif(F.sum("me_week").cast("double"), F.lit(0.0))
-    ot_days = F.nullif(F.sum(1 - F.col("me_week")).cast("double"), F.lit(0.0))
-    return flagged.agg(
+    # Per-day money displays go through the exact sign-split floor-div
+    # micro idiom (r11 near-cliff probe: round(x, 6) here sat at 1.6e7
+    # at sf0.1 and crosses the ~5e8 engine-split cliff by sf3); the
+    # NULLIF guards (degenerate sweep) ride inside the DIV — a span
+    # with no month-end (or no other) days yields NULL on both engines.
+    # The lift ratio stays O(1), where round(x, 6) is sound.
+    sums = flagged.agg(
         F.sum("me_week").cast("long").alias("n_me_days"),
         F.sum(1 - F.col("me_week")).cast("long").alias("n_other_days"),
-        F.round(me_cents / me_days / 100, 6).alias("me_rev_per_day"),
-        F.round(ot_cents / ot_days / 100, 6).alias("other_rev_per_day"),
+        me_cents.alias("_me_c"),
+        ot_cents.alias("_ot_c"),
+    )
+    per_day = (
+        "CAST(CASE WHEN {c} < 0"
+        " THEN -(CAST(-{c} AS DECIMAL(38,0)) * 10000 DIV NULLIF({n}, 0))"
+        " ELSE CAST({c} AS DECIMAL(38,0)) * 10000 DIV NULLIF({n}, 0)"
+        " END AS DOUBLE)"
+    )
+    return sums.select(
+        "n_me_days",
+        "n_other_days",
+        (
+            F.expr(per_day.format(c="_me_c", n="n_me_days")) / F.lit(1e6)
+        ).alias("me_rev_per_day"),
+        (
+            F.expr(per_day.format(c="_ot_c", n="n_other_days")) / F.lit(1e6)
+        ).alias("other_rev_per_day"),
         F.round(
-            (me_cents / me_days) / F.nullif(ot_cents / ot_days, F.lit(0.0)) - 1.0,
+            (F.col("_me_c") / F.nullif(F.col("n_me_days").cast("double"), F.lit(0.0)))
+            / F.nullif(
+                F.col("_ot_c")
+                / F.nullif(F.col("n_other_days").cast("double"), F.lit(0.0)),
+                F.lit(0.0),
+            )
+            - 1.0,
             6,
         ).alias("month_end_lift"),
     )

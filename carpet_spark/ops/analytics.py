@@ -1924,11 +1924,11 @@ def agg_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM half GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           round((r2_6 - r1_6) / 1e6, 6) AS delta_revenue,
-           round((q2 - q1) * (r1_6 / 1e6 / NULLIF(CAST(q1 AS DOUBLE), 0)), 6)
+           CAST(r2_6 - r1_6 AS DOUBLE) / 1e6 AS delta_revenue,
+           (q2 - q1) * (r1_6 / 1e6 / NULLIF(CAST(q1 AS DOUBLE), 0)) + 0.0
              AS volume_effect,
-           round(q2 * (r2_6 / 1e6 / NULLIF(CAST(q2 AS DOUBLE), 0)
-                       - r1_6 / 1e6 / NULLIF(CAST(q1 AS DOUBLE), 0)), 6)
+           q2 * (r2_6 / 1e6 / NULLIF(CAST(q2 AS DOUBLE), 0)
+                 - r1_6 / 1e6 / NULLIF(CAST(q1 AS DOUBLE), 0)) + 0.0
              AS price_effect
     FROM per
     """,
@@ -1942,8 +1942,13 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     debates, and by construction volume + price = Δ exactly (the
     identity a reviewer should check first).
 
-    Determinism: quantities and revenues accumulate as exact integers;
-    average prices divide identical doubles; effects round at display.
+    Determinism (hardened r11, near-cliff probe): quantities and
+    revenues accumulate as exact integers; Δrevenue is the exact
+    integer difference through one int→double division; the effects are
+    emitted UNROUNDED (+0.0 normalizes negative zero) — identical IEEE
+    op sequences on identical exact-integer-derived operands in both
+    engines, deterministic at any magnitude, where the former
+    round(x, 6) at 6.7e7-and-growing would split engines by ~sf0.7.
 
     Scale (100 TB): ONE scan, conditional sums per (segment, period)
     inside one aggregate — never two passes joined.  Finer mix levels
@@ -1968,9 +1973,11 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p2 = F.col("r2_6") / 1e6 / F.nullif(F.col("q2").cast("double"), F.lit(0.0))
     return per.select(
         "l_returnflag",
-        F.round((F.col("r2_6") - F.col("r1_6")) / 1e6, 6).alias("delta_revenue"),
-        F.round((F.col("q2") - F.col("q1")) * p1, 6).alias("volume_effect"),
-        F.round(F.col("q2") * (p2 - p1), 6).alias("price_effect"),
+        (
+            (F.col("r2_6") - F.col("r1_6")).cast("double") / F.lit(1e6)
+        ).alias("delta_revenue"),
+        ((F.col("q2") - F.col("q1")) * p1 + F.lit(0.0)).alias("volume_effect"),
+        (F.col("q2") * (p2 - p1) + F.lit(0.0)).alias("price_effect"),
     )
 
 

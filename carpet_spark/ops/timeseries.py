@@ -1063,23 +1063,46 @@ def ts_activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
              dayofweek(CAST(ts AS DATE)) AS dow,
-             CAST(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
-                  AS DOUBLE) / 1000000 AS DOUBLE) AS v
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS HUGEINT)
+               AS m
       FROM events GROUP BY 1, 2
     ),
-    centered AS (
-      SELECT v,
-             AVG(v) OVER () AS mu,
-             AVG(v) OVER (PARTITION BY dow) AS mu_dow
-      FROM daily
+    per_dow AS (
+      SELECT dow,
+             CAST(COUNT(*) AS HUGEINT) AS n_d,
+             SUM(m) AS s_d,
+             SUM(m * m) AS q_d
+      FROM daily GROUP BY dow
+    ),
+    terms AS (
+      SELECT n_d, s_d, q_d,
+             (n_d * q_d - s_d * s_d) // n_d AS t_d
+      FROM per_dow
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_d) AS HUGEINT) AS n,
+             SUM(s_d) AS s, SUM(q_d) AS q, SUM(t_d) AS r
+      FROM terms
+    ),
+    conv AS (
+      -- hi/lo 2^32-split int->double conversion: DuckDB's native
+      -- HUGEINT->DOUBLE is NOT correctly rounded above 2^53 (1-ulp
+      -- splits vs Spark); both halves are < 2^53 so their casts are
+      -- exact on any engine, and the one final + rounds correctly
+      SELECT n,
+             CAST((n * q - s * s) // 4294967296 AS DOUBLE) * 4294967296.0
+               + CAST((n * q - s * s) % 4294967296 AS DOUBLE) AS tot_dbl,
+             CAST(r // 4294967296 AS DOUBLE) * 4294967296.0
+               + CAST(r % 4294967296 AS DOUBLE) AS res_dbl
+      FROM tot
     )
-    SELECT COUNT(*) AS n_days,
-           round(SUM(pow(v - mu, 2)), 6) AS ss_total,
-           round(SUM(pow(v - mu_dow, 2)), 6) AS ss_residual,
-           round(1.0 - SUM(pow(v - mu_dow, 2))
-                 / NULLIF(SUM(pow(v - mu, 2)), 0), 6)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           tot_dbl / CAST(n AS DOUBLE) / 1e12 AS ss_total,
+           res_dbl / 1e12 AS ss_residual,
+           round(1.0 - (res_dbl / 1e12)
+                 / NULLIF(tot_dbl / CAST(n AS DOUBLE) / 1e12, 0), 6)
              AS seasonality_r2
-    FROM centered
+    FROM conv
     """,
 )
 def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1091,34 +1114,81 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     anomaly baselines (ts_seasonal_naive_backtest, heatmap
     conditioning).
 
-    Determinism: daily values are fixed-point; group means divide exact
-    sums; the two sums-of-squares are identically-formulated double
-    sums over the bounded day axis, rounded at 6dp.
+    Determinism (rebuilt r11, near-cliff probe): the former
+    round(SUM(pow(v-mu,2)), 6) was a FLOAT sum over days (summation
+    order engine-dependent, the round already at 3.5e8 at sf0.1 —
+    crossing the ~5e8 engine-split cliff within one 2× growth step).
+    Now pure integer arithmetic on exact micro-units m: per dow,
+    n·Σ(m−μ)² == n·Σm² − (Σm)² exactly, so SS_residual is
+    Σ_dow floor((n_d·q_d − s_d²) ÷ n_d) in decimal(38,0)/HUGEINT
+    (numerators are Cauchy-Schwarz-nonnegative, so truncating DIV ==
+    flooring //) — each display is a deterministic function of exact
+    integers.  The final int→double conversions go through a hi/lo
+    2^32-split reconstruction (r11 finding: DuckDB's 128-bit→double
+    cast is NOT correctly rounded above 2^53 — 1-ulp splits vs Spark's
+    BigDecimal conversion; two exact sub-2^53 halves + one rounded add
+    are correctly rounded on both engines, deterministic to 2^85).
+    Exactness bounds: decimal(38,0) squares hold to ~$6e10/day series
+    at 36.5k days (loud ANSI abort beyond, never a silent split); the
+    sub-micro² floor truncation is ≤ 7 micro² total.
 
-    Scale (100 TB): facts collapse to |days| rows map-side; the two
-    window means and the final reduction run on that bounded axis.
-    Fully mergeable — the same decomposition per key (per store/SKU)
+    Scale (100 TB): facts collapse to |days| rows map-side; the per-dow
+    and global closed forms are plain groupBy reductions on that
+    bounded axis (the former two window passes are gone).  Fully
+    mergeable — the same decomposition per key (per store/SKU)
     partitions the plan."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("d"),
         # grouping key only (never output): Spark 1=Sunday vs DuckDB
-        # 0=Sunday is a bijection, so per-dow means agree
+        # 0=Sunday is a bijection, so per-dow terms agree
         F.dayofweek(F.col("ts").cast("date")).alias("dow"),
-    ).agg(lsum(F.col("value")).alias("v"))
-    w_all = Window.partitionBy()
-    w_dow = Window.partitionBy("dow")
-    centered = daily.select(
-        "v",
-        F.avg("v").over(w_all).alias("mu"),
-        F.avg("v").over(w_dow).alias("mu_dow"),
+    ).agg(
+        fp_split_sum_of(fp_scaled_long(F.col("value"), 1_000_000)).alias("m")
     )
-    ss_tot = F.sum(F.pow(F.col("v") - F.col("mu"), 2))
-    ss_res = F.sum(F.pow(F.col("v") - F.col("mu_dow"), 2))
-    return centered.agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.round(ss_tot, 6).alias("ss_total"),
-        F.round(ss_res, 6).alias("ss_residual"),
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("m").alias("s_d"),
+        F.sum(F.col("m") * F.col("m")).alias("q_d"),
+    )
+    # exact floor-div on decimals: (a - a % n) / n is integral, so the
+    # decimal division is exact (no scale rounding can occur)
+    terms = per_dow.select(
+        "n_d", "s_d", "q_d",
+        F.expr(
+            "CAST(((n_d * q_d - s_d * s_d) - ((n_d * q_d - s_d * s_d) % n_d))"
+            " / n_d AS DECIMAL(38,0))"
+        ).alias("t_d"),
+    )
+    glob = terms.agg(
+        F.sum("n_d").cast("long").alias("n"),
+        F.sum("s_d").alias("s"),
+        F.sum("q_d").alias("q"),
+        F.sum("t_d").alias("r"),
+    )
+    # hi/lo 2^32-split int→double conversion (see the oracle's conv CTE
+    # comment): DuckDB's 128-bit→double cast is not correctly rounded
+    # above 2^53, so both sides reconstruct the double from two exact
+    # sub-2^53 halves with one final correctly-rounded addition
+    ss_tot = (
+        F.expr(
+            "CAST((n * q - s * s) DIV 4294967296 AS DOUBLE) * 4294967296.0"
+            " + CAST((n * q - s * s) % 4294967296 AS DOUBLE)"
+        )
+        / F.col("n").cast("double")
+        / F.lit(1e12)
+    )
+    ss_res = (
+        F.expr(
+            "CAST(r DIV 4294967296 AS DOUBLE) * 4294967296.0"
+            " + CAST(r % 4294967296 AS DOUBLE)"
+        )
+        / F.lit(1e12)
+    )
+    return glob.select(
+        F.col("n").alias("n_days"),
+        ss_tot.alias("ss_total"),
+        ss_res.alias("ss_residual"),
         # NULLIF guard (degenerate sweep): a constant series has zero
         # total variance — R² is undefined, NULL on both sides.
         F.round(
@@ -4669,10 +4739,14 @@ def ts_forecaster_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY 1
     )
     SELECT m, cents, obs_bdays,
-           CAST(CAST(cents AS HUGEINT) * 10000 // obs_bdays AS DOUBLE) / 1e6
-             AS rev_per_bday,
-           CAST(CAST(cents AS HUGEINT) * 210000 // obs_bdays AS DOUBLE) / 1e6
-             AS calendarized_month
+           CAST(CASE WHEN cents < 0
+                THEN -(CAST(-cents AS HUGEINT) * 10000 // obs_bdays)
+                ELSE CAST(cents AS HUGEINT) * 10000 // obs_bdays
+                END AS DOUBLE) / 1e6 AS rev_per_bday,
+           CAST(CASE WHEN cents < 0
+                THEN -(CAST(-cents AS HUGEINT) * 210000 // obs_bdays)
+                ELSE CAST(cents AS HUGEINT) * 210000 // obs_bdays
+                END AS DOUBLE) / 1e6 AS calendarized_month
     FROM monthly WHERE obs_bdays > 0
     """,
 )
@@ -4688,10 +4762,13 @@ def ts_calendarized_run_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     displays were `round(x, 6)` on values already at 5.1e8 at sf0.1 —
     the exact cliff class that split engines three times in r8-r10.
     Now exact integer micro-dollars — floor(cents·10⁴·{1,21} ÷
-    obs_bdays) in decimal(38,0)/HUGEINT (operands nonnegative, so Spark
-    truncating DIV == DuckDB flooring //; the multiply is decimal
-    because cents·210000 passes 2^63 around $44B/month) — through ONE
-    correctly-rounded int→double division, deterministic at any SF.
+    obs_bdays) in decimal(38,0)/HUGEINT — through ONE correctly-rounded
+    int→double division, deterministic at any SF.  The quotient is
+    sign-split (CASE on cents < 0, nonnegative operands inside) because
+    Spark's DIV truncates toward zero while DuckDB's // floors — they
+    only agree on nonnegative operands, and a refund-heavy month can
+    net negative cents.  The multiply is decimal because cents·210000
+    passes 2^63 around $44B/month.
 
     Scale (100 TB): rides the daily collapse; the monthly rollup and
     normalization run on the |months| axis."""
@@ -4710,15 +4787,19 @@ def ts_calendarized_run_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "cents", "obs_bdays",
         (
             F.expr(
-                "CAST(CAST(cents AS DECIMAL(38,0)) * 10000"
-                " DIV obs_bdays AS DOUBLE)"
+                "CAST(CASE WHEN cents < 0"
+                " THEN -(CAST(-cents AS DECIMAL(38,0)) * 10000 DIV obs_bdays)"
+                " ELSE CAST(cents AS DECIMAL(38,0)) * 10000 DIV obs_bdays"
+                " END AS DOUBLE)"
             )
             / F.lit(1e6)
         ).alias("rev_per_bday"),
         (
             F.expr(
-                "CAST(CAST(cents AS DECIMAL(38,0)) * 210000"
-                " DIV obs_bdays AS DOUBLE)"
+                "CAST(CASE WHEN cents < 0"
+                " THEN -(CAST(-cents AS DECIMAL(38,0)) * 210000 DIV obs_bdays)"
+                " ELSE CAST(cents AS DECIMAL(38,0)) * 210000 DIV obs_bdays"
+                " END AS DOUBLE)"
             )
             / F.lit(1e6)
         ).alias("calendarized_month"),
@@ -4802,8 +4883,10 @@ def ts_peak_dow_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM win WHERE offset_days BETWEEN -30 AND -6
     )
     SELECT w.offset_days, w.cents,
-           round(b.b_cents / CAST(b.b_days AS DOUBLE) / 100, 6)
-             AS baseline_per_day,
+           CAST(CASE WHEN b.b_cents < 0
+                THEN -(CAST(-b.b_cents AS HUGEINT) * 10000 // b.b_days)
+                ELSE CAST(b.b_cents AS HUGEINT) * 10000 // b.b_days
+                END AS DOUBLE) / 1e6 AS baseline_per_day,
            round(w.cents / (b.b_cents / CAST(b.b_days AS DOUBLE)) - 1.0, 6)
              AS abnormal_pct
     FROM win w CROSS JOIN base b
@@ -4817,7 +4900,10 @@ def ts_event_study_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (launch, outage, campaign) with the event date chosen
     deterministically from the data (its maximum-revenue day, ties to
     the earlier date) so the whole analysis reproduces.  Exact integer
-    cents; the baseline and abnormal ratios are the only float ops.
+    cents; the abnormal ratio (O(1), round-6-safe) is the only float
+    op — the baseline-per-day money display goes through the sign-split
+    floor-div micro idiom (r11 near-cliff probe: round(x, 6) here sat
+    at 1.5e7 at sf0.1 and crosses the ~5e8 engine-split cliff by sf3).
 
     Scale (100 TB): the event date is a 1-row top-1; the window and
     baseline run on the collapsed |days| axis."""
@@ -4841,7 +4927,15 @@ def ts_event_study_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline = F.col("b_cents") / F.col("b_days").cast("double")
     return j.select(
         "offset_days", "cents",
-        F.round(baseline / 100, 6).alias("baseline_per_day"),
+        (
+            F.expr(
+                "CAST(CASE WHEN b_cents < 0"
+                " THEN -(CAST(-b_cents AS DECIMAL(38,0)) * 10000 DIV b_days)"
+                " ELSE CAST(b_cents AS DECIMAL(38,0)) * 10000 DIV b_days"
+                " END AS DOUBLE)"
+            )
+            / F.lit(1e6)
+        ).alias("baseline_per_day"),
         F.round(F.col("cents") / baseline - 1.0, 6).alias("abnormal_pct"),
     )
 

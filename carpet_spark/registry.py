@@ -225,6 +225,11 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         # displaced from r12 by the pulled-forward stale-display re-banks
         "ts_partial_autocorrelation", "agg_mcnemar_test",
         "dq_hash_collision_audit",
+        # re-banks: non-vacuous banks gone stale when the r11 near-cliff
+        # probe forced their displays off float rounds (price-volume-mix
+        # effects unrounded + exact-int delta; seasonality SS rebuilt as
+        # exact integer closed forms with the hi/lo conversion split)
+        "agg_price_volume_mix", "ts_seasonality_strength",
         "agg_dormant_skus", "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
         "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
         "agg_return_rate_drivers", "agg_supplier_concentration_tiers",

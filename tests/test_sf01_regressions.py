@@ -73,6 +73,15 @@ MAGNITUDE_HARDENED = [
     # round(x,6) on displays already at 5.1e8 at sf0.1; now exact
     # integer floor-div micro-dollars (see the op docstring)
     "ts_calendarized_run_rate",
+    # r11 near-cliff probe (1e7 <= max|x| < 5e8 with a float round):
+    # money-per-day displays onto sign-split floor-div micro; effects
+    # unrounded; seasonality SS rebuilt as exact integer closed forms
+    # with the hi/lo 2^32 conversion split (DuckDB 128-bit->double is
+    # not correctly rounded above 2^53)
+    "agg_month_end_lift",
+    "ts_event_study_window",
+    "agg_price_volume_mix",
+    "ts_seasonality_strength",
 ]
 
 

@@ -81,6 +81,10 @@ PLANNED_REBANKS = {
     "ts_pacing_vs_target",
     "emb_label_centroids",
     "agg_inventory_turns_gmroi",  # r10 magnitude-scan hardening changed values
+    # r11 near-cliff probe hardenings changed displayed values (see the
+    # ops' Determinism docstrings); banks from r9/r8 respectively
+    "agg_price_volume_mix",
+    "ts_seasonality_strength",
 }
 
 
