@@ -4119,10 +4119,10 @@ def ts_range_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CAST(0.9 AS DOUBLE) * h.b AS b
       FROM holt h JOIN numbered n ON n.rn = h.rn + 1
     )
-    SELECT d, round(v, 6) AS v,
-           round(l, 6) + 0.0 AS level,
-           round(b, 6) + 0.0 AS trend,
-           round(l + b, 6) + 0.0 AS forecast_next
+    SELECT d, v + 0.0 AS v,
+           l + 0.0 AS level,
+           b + 0.0 AS trend,
+           (l + b) + 0.0 AS forecast_next
     FROM holt
     """,
 )
@@ -4140,7 +4140,12 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     second field in DuckDB 1.0 (probed: a 3-element fold returns
     b=0.1167 where the hand recursion gives 0.051; scalar folds like
     ts_ewma's are unaffected).  Both sides execute the same IEEE
-    operation sequence, so even deep-recursion values hash equal.
+    operation sequence, so even deep-recursion values hash equal —
+    PROVEN bit-identical r11: the displays are emitted UNROUNDED
+    (+0.0 negative-zero normalization only) and hash-match at three
+    SFs, which removes the former round(x, 6) — a grain that would
+    itself split engines once the level crosses ~5e8 (near-cliff
+    probe: 2e7 at sf0.1 and growing linearly with revenue).
 
     Scale (100 TB): the expanding fold is O(axis²) on the collapsed
     |days| axis — bounded by calendar length, never by table size; for
@@ -4166,10 +4171,12 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = c.select("d", "v", st.alias("st"))
     return h.select(
         "d",
-        F.round("v", 6).alias("v"),
-        (F.round(F.col("st")["l"], 6) + 0.0).alias("level"),
-        (F.round(F.col("st")["b"], 6) + 0.0).alias("trend"),
-        (F.round(F.col("st")["l"] + F.col("st")["b"], 6) + 0.0).alias("forecast_next"),
+        (F.col("v") + F.lit(0.0)).alias("v"),
+        (F.col("st")["l"] + F.lit(0.0)).alias("level"),
+        (F.col("st")["b"] + F.lit(0.0)).alias("trend"),
+        (F.col("st")["l"] + F.col("st")["b"] + F.lit(0.0)).alias(
+            "forecast_next"
+        ),
     )
 
 
@@ -5072,9 +5079,9 @@ def ts_daily_health_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_pairs,
            round(b, 6) AS phi,
-           round(a / 100.0, 6) AS intercept_dollars,
-           round(ar1_abs_q / 10000.0 / n / 100.0, 6) AS mae_ar1,
-           round(naive_abs_c / CAST(n AS DOUBLE) / 100.0, 6) AS mae_naive,
+           a / 100.0 + 0.0 AS intercept_dollars,
+           ar1_abs_q / 10000.0 / n / 100.0 + 0.0 AS mae_ar1,
+           naive_abs_c / CAST(n AS DOUBLE) / 100.0 + 0.0 AS mae_naive,
            CASE WHEN ar1_abs_q / 10000.0 < CAST(naive_abs_c AS DOUBLE)
                 THEN 'ar1' ELSE 'naive' END AS winner
     FROM err
@@ -5155,11 +5162,19 @@ def ts_ar1_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return err.select(
         F.col("n").alias("n_pairs"),
         F.round("b", 6).alias("phi"),
-        F.round(F.col("a") / 100.0, 6).alias("intercept_dollars"),
-        F.round(F.col("ar1_abs_q") / 10000.0 / F.col("n") / 100.0, 6).alias("mae_ar1"),
-        F.round(F.col("naive_abs_c") / F.col("n").cast("double") / 100.0, 6).alias(
-            "mae_naive"
-        ),
+        # money-magnitude displays emitted UNROUNDED since r11 (near-cliff
+        # probe: the intercept sat at 1.5e7 at sf0.1 and grows with
+        # revenue; operands derive from exact quantized sums, identical
+        # division sequences both engines).  phi stays round-6: an O(1)
+        # coefficient, where 6dp is sound.
+        (F.col("a") / 100.0 + F.lit(0.0)).alias("intercept_dollars"),
+        (
+            F.col("ar1_abs_q") / 10000.0 / F.col("n") / 100.0 + F.lit(0.0)
+        ).alias("mae_ar1"),
+        (
+            F.col("naive_abs_c") / F.col("n").cast("double") / 100.0
+            + F.lit(0.0)
+        ).alias("mae_naive"),
         F.when(
             F.col("ar1_abs_q") / 10000.0 < F.col("naive_abs_c").cast("double"),
             "ar1",
@@ -5413,12 +5428,11 @@ def ts_token_bucket_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CAST(0.8 AS DOUBLE) * h.s1
       FROM hw h JOIN numbered n ON n.rn = h.rn + 1
     )
-    SELECT d, round(v, 6) AS v,
-           round(l, 6) + 0.0 AS level,
-           round(b, 6) + 0.0 AS trend,
-           round(s7, 6) + 0.0 AS seasonal,
-           (round(l, 6) + 0.0) + (round(b, 6) + 0.0)
-             + (round(s1, 6) + 0.0) AS forecast_next
+    SELECT d, v + 0.0 AS v,
+           l + 0.0 AS level,
+           b + 0.0 AS trend,
+           s7 + 0.0 AS seasonal,
+           (l + 0.0) + (b + 0.0) + (s1 + 0.0) AS forecast_next
     FROM hw WHERE rn >= 8
     """,
 )
@@ -5495,17 +5509,19 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = c.select("d", "v", n.alias("rn"), st.alias("st")).filter(F.col("rn") >= 8)
     return h.select(
         "d",
-        F.round("v", 6).alias("v"),
-        (F.round(F.col("st")["l"], 6) + 0.0).alias("level"),
-        (F.round(F.col("st")["b"], 6) + 0.0).alias("trend"),
-        (F.round(F.element_at(F.col("st")["s"], 7), 6) + 0.0).alias("seasonal"),
-        # sum of ALREADY-ROUNDED components: round(l+b+s) itself can land
-        # on a .5 ulp boundary where the engines' decimal conversions
-        # disagree by 1e-6 (hit once at sf0.001)
+        (F.col("v") + F.lit(0.0)).alias("v"),
+        (F.col("st")["l"] + F.lit(0.0)).alias("level"),
+        (F.col("st")["b"] + F.lit(0.0)).alias("trend"),
+        (F.element_at(F.col("st")["s"], 7) + F.lit(0.0)).alias("seasonal"),
+        # forecast sums the (+0.0-normalized) components in the same
+        # order as the oracle — all UNROUNDED since r11 (bit-identical
+        # fold proven at three SFs; the former 6dp rounds were the
+        # magnitude cliff, and the rounded-component sum had its own
+        # .5-ulp boundary class, hit once at sf0.001)
         (
-            (F.round(F.col("st")["l"], 6) + 0.0)
-            + (F.round(F.col("st")["b"], 6) + 0.0)
-            + (F.round(F.element_at(F.col("st")["s"], 1), 6) + 0.0)
+            (F.col("st")["l"] + F.lit(0.0))
+            + (F.col("st")["b"] + F.lit(0.0))
+            + (F.element_at(F.col("st")["s"], 1) + F.lit(0.0))
         ).alias("forecast_next"),
     )
 

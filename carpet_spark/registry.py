@@ -228,8 +228,12 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         # re-banks: non-vacuous banks gone stale when the r11 near-cliff
         # probe forced their displays off float rounds (price-volume-mix
         # effects unrounded + exact-int delta; seasonality SS rebuilt as
-        # exact integer closed forms with the hi/lo conversion split)
+        # exact integer closed forms with the hi/lo conversion split;
+        # the three recurrence ops' money displays emitted unrounded —
+        # folds proven bit-identical cross-engine at three SFs)
         "agg_price_volume_mix", "ts_seasonality_strength",
+        "ts_holt_linear_smoothing", "ts_holt_winters_additive",
+        "ts_ar1_forecast_backtest",
         "agg_dormant_skus", "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
         "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
         "agg_return_rate_drivers", "agg_supplier_concentration_tiers",

@@ -82,6 +82,11 @@ MAGNITUDE_HARDENED = [
     "ts_event_study_window",
     "agg_price_volume_mix",
     "ts_seasonality_strength",
+    # recurrence/regression money displays emitted unrounded (folds
+    # proven bit-identical cross-engine at three SFs)
+    "ts_holt_linear_smoothing",
+    "ts_holt_winters_additive",
+    "ts_ar1_forecast_backtest",
 ]
 
 

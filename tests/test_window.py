@@ -82,9 +82,12 @@ PLANNED_REBANKS = {
     "emb_label_centroids",
     "agg_inventory_turns_gmroi",  # r10 magnitude-scan hardening changed values
     # r11 near-cliff probe hardenings changed displayed values (see the
-    # ops' Determinism docstrings); banks from r9/r8 respectively
+    # ops' Determinism docstrings)
     "agg_price_volume_mix",
     "ts_seasonality_strength",
+    "ts_holt_linear_smoothing",
+    "ts_holt_winters_additive",
+    "ts_ar1_forecast_backtest",
 }
 
 
