@@ -2189,8 +2189,10 @@ def agg_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(SUM(CASE WHEN l_orderkey % 997 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_sampled_lines,
-           round(SUM(CASE WHEN l_orderkey % 997 = 0 THEN allocated
-                          ELSE 0 END), 6) AS sampled_allocated
+           CAST(CAST(SUM(CASE WHEN l_orderkey % 997 = 0
+                         THEN CAST(ROUND(allocated * 1e6) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS DOUBLE) / 1e6
+             AS sampled_allocated
     FROM alloc
     """,
 )
@@ -2231,12 +2233,26 @@ def agg_allocation_by_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("allocated"),
     )
     sampled = F.col("l_orderkey") % 997 == 0
+    # The checksum was round(SUM(allocated), 6): a float sum over the
+    # sampled lines (summation order engine-dependent) rounded at a
+    # magnitude already 3.8e7 at sf0.1 (r11 near-cliff probe).  Each
+    # per-line `allocated` is a 6dp-rounded double, i.e. within ~1e-5 of
+    # its integer micro count k — ROUND(allocated*1e6) recovers k
+    # exactly on both engines (no half-tie reachable), the sum is an
+    # exact long (order-free), and the display is one correctly-rounded
+    # 64-bit int->double cast (exact-agreeing in both engines at any
+    # long magnitude).  The per-line round stays: O(1e5) per-line money
+    # never grows with SF, where 6dp is sound.
+    alloc6 = F.round(F.col("allocated") * 1e6).cast("long")
     return alloc.agg(
         F.sum(F.when(sampled, 1).otherwise(0)).cast("long").alias(
             "n_sampled_lines"
         ),
-        F.round(
-            F.sum(F.when(sampled, F.col("allocated")).otherwise(0.0)), 6
+        (
+            F.sum(F.when(sampled, alloc6).otherwise(0))
+            .cast("long")  # single-long-ok: sampled micro-sum < 2^63 to ~$9e12 sampled total; ANSI aborts loudly beyond
+            .cast("double")
+            / F.lit(1e6)
         ).alias("sampled_allocated"),
     )
 

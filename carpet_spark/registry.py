@@ -233,7 +233,7 @@ _PLANNED_WINDOWS: dict[int, tuple[str, ...]] = {
         # folds proven bit-identical cross-engine at three SFs)
         "agg_price_volume_mix", "ts_seasonality_strength",
         "ts_holt_linear_smoothing", "ts_holt_winters_additive",
-        "ts_ar1_forecast_backtest",
+        "ts_ar1_forecast_backtest", "agg_allocation_by_share",
         "agg_dormant_skus", "agg_time_to_nth_purchase", "dq_cdc_scd2_consistency",
         "agg_mixed_discount_baskets", "agg_cart_abandonment_by_dow",
         "agg_return_rate_drivers", "agg_supplier_concentration_tiers",

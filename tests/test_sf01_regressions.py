@@ -87,6 +87,8 @@ MAGNITUDE_HARDENED = [
     "ts_holt_linear_smoothing",
     "ts_holt_winters_additive",
     "ts_ar1_forecast_backtest",
+    # sampled allocation checksum: float sum -> exact micro-long sum
+    "agg_allocation_by_share",
 ]
 
 

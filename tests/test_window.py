@@ -88,6 +88,7 @@ PLANNED_REBANKS = {
     "ts_holt_linear_smoothing",
     "ts_holt_winters_additive",
     "ts_ar1_forecast_backtest",
+    "agg_allocation_by_share",  # sampled checksum now exact micro sum
 }
 
 
