@@ -86,9 +86,13 @@ def emit(out_path: str, adversarial: bool, only: list[str] | None) -> None:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     qs = entry.queries()
-    ops = [n for n, op in REGISTRY.items() if op.oracle is not None]
     if only:
-        ops = [n for n in ops if n in set(only)]
+        # an explicit list may name rows-only ops too — cross-engine
+        # hashing is impossible for them, but Spark-vs-Spark
+        # shape-invariance is still a meaningful (report-only) probe
+        ops = [n for n in REGISTRY if n in set(only)]
+    else:
+        ops = [n for n, op in REGISTRY.items() if op.oracle is not None]
 
     result: dict[str, dict] = {}
     for i, n in enumerate(sorted(ops), 1):
