@@ -4771,11 +4771,16 @@ def ts_calendarized_run_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Now exact integer micro-dollars — floor(cents·10⁴·{1,21} ÷
     obs_bdays) in decimal(38,0)/HUGEINT — through ONE correctly-rounded
     int→double division, deterministic at any SF.  The quotient is
-    sign-split (CASE on cents < 0, nonnegative operands inside) because
-    Spark's DIV truncates toward zero while DuckDB's // floors — they
-    only agree on nonnegative operands, and a refund-heavy month can
-    net negative cents.  The multiply is decimal because cents·210000
-    passes 2^63 around $44B/month.
+    sign-split (CASE on cents < 0, nonnegative operands inside) so the
+    display never depends on an engine's negative-quotient convention:
+    integer-division semantics vary by engine AND operand type (DuckDB
+    v1.0.0 `//` truncates toward zero on BIGINT/HUGEINT but is PLAIN
+    division — fraction kept — on DECIMAL/DOUBLE; Spark `DIV` truncates
+    on both; measured matrix pinned in tests/test_display_idioms.py),
+    while on nonnegative operands truncation == floor == Euclidean and
+    every convention agrees.  A refund-heavy month can net negative
+    cents, so the fence is load-bearing.  The multiply is decimal
+    because cents·210000 passes 2^63 around $44B/month.
 
     Scale (100 TB): rides the daily collapse; the monthly rollup and
     normalization run on the |months| axis."""
