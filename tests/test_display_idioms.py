@@ -114,6 +114,10 @@ def test_duckdb_integer_division_convention_matrix(con):
     ).fetchone()
     assert big == -3 and huge == -3          # truncation, same as Spark DIV
     assert float(dec) == -3.5 and dbl == -3.5  # NOT integer division at all
+    # remainder carries the dividend's sign on both engines (truncated-
+    # division convention); the hi/lo split nonetheless only ever takes
+    # % of nonnegative operands
+    assert con.execute("SELECT -7 % 2, 7 % -2").fetchone() == (-1, 1)
 
 
 @settings(deadline=None, max_examples=120)
