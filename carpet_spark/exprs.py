@@ -21,23 +21,52 @@ from pyspark.sql import Column
 # is widened by both engines so no overflow below ~1e12 rows x 1e5 values.
 DEC = "decimal(18,6)"
 
+_DBL_MAX = 1.7976931348623157e308
+
+
+def fin(col: Column) -> Column:
+    """Finite-or-NULL: NaN/±Inf → NULL at every double→exact-type
+    boundary (r11 non-finite regime).  Under ANSI mode `CAST(NaN AS
+    BIGINT)` / `CAST(inf AS DECIMAL)` ABORT THE JOB — at 100 TB one
+    poisoned metric row from a bad upstream division would kill the
+    whole query, so the money/fixed-point contract treats non-finite
+    like NULL: skipped by sums, null in displays, loud ANSI abort
+    RETAINED for finite-but-overflowing values (which is why this is a
+    predicate and not `try_cast`, whose silent NULL would swallow real
+    overflows too).  One primitive comparison — `abs(x) ≤ DBL_MAX` is
+    FALSE for NaN and ±Inf — keeps whole-stage codegen; NULL input
+    stays NULL (NULL comparison → NULL → when() emits NULL)."""
+    return F.when(F.abs(col) <= F.lit(_DBL_MAX), col)
+
+
+def sql_fin(expr: str) -> str:
+    """Oracle twin of fin(): DuckDB's isfinite is NULL-propagating, so
+    NULL input stays NULL and non-finite maps to NULL."""
+    return f"(CASE WHEN isfinite({expr}) THEN {expr} END)"
+
 
 def dsum(col: Column) -> Column:
-    """Deterministic sum: decimal-sum then cast to double."""
-    return F.sum(col.cast(DEC)).cast("double")
+    """Deterministic sum: decimal-sum then cast to double.  Non-finite
+    inputs behave as NULL (see fin)."""
+    return F.sum(fin(col).cast(DEC)).cast("double")
 
 
 def davg(col: Column) -> Column:
-    """Deterministic avg: exact decimal sum → double, / exact count."""
-    return F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1))
+    """Deterministic avg: exact decimal sum → double, / exact count.
+    The divisor stays COUNT(*) — the non-finite-as-NULL contract skips
+    poisoned rows in the numerator only, mirroring sql_davg."""
+    return F.sum(fin(col).cast(DEC)).cast("double") / F.count(F.lit(1))
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST({sql_fin(expr)} AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def sql_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+    return (
+        f"CAST(SUM(CAST({sql_fin(expr)} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(*)"
+    )
 
 
 def round6(col: Column) -> Column:
@@ -84,7 +113,9 @@ def _fp_long(col: Column) -> Column:
     codegen.  Contract (same as the oracle's ROUND): inputs are
     fixed-decimal (≤6 fractional digits), so |x|*1e6 lands within ~1e-4 of
     an integer and never near the .5 boundary where ``floor(y+0.5)`` and
-    ``round(y)`` could disagree by one ulp."""
+    ``round(y)`` could disagree by one ulp.  Non-finite → NULL (fin):
+    the ANSI NaN→BIGINT abort must not be reachable from one bad row."""
+    col = fin(col)
     scaled = (F.abs(col) * _FP + F.lit(0.5)).cast("long")
     # signum is double; the product is exact for |sum| ≤ 2^53, re-cast long
     return (F.signum(col) * scaled).cast("long")
@@ -98,7 +129,9 @@ def fp_scaled_long(col: Column, factor: int) -> Column:
     truncation-rounds NEGATIVE amounts one unit high (cast-to-long
     truncates toward zero, so -N.5 becomes -N instead of ROUND's -(N+1))
     — found by the extreme-value regime on refund-shaped rows.  Always
-    use this form for any column that can carry a negative amount."""
+    use this form for any column that can carry a negative amount.
+    Non-finite → NULL (fin), same contract as _fp_long."""
+    col = fin(col)
     scaled = (F.abs(col) * factor + F.lit(0.5)).cast("long")
     return (F.signum(col) * scaled).cast("long")
 
@@ -158,13 +191,13 @@ def lavg(col: Column) -> Column:
 
 def sql_lsum(expr: str) -> str:
     return (
-        f"CAST(CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
-        f" / 1000000.0 AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(ROUND({sql_fin(expr)} * 1000000) AS BIGINT))"
+        f" AS DOUBLE) / 1000000.0 AS DOUBLE)"
     )
 
 
 def sql_lavg(expr: str) -> str:
     return (
-        f"CAST(CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
-        f" / 1000000.0 / COUNT(*) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST(ROUND({sql_fin(expr)} * 1000000) AS BIGINT))"
+        f" AS DOUBLE) / 1000000.0 / COUNT(*) AS DOUBLE)"
     )

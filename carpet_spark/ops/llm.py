@@ -592,12 +592,12 @@ def _dot(a, b):
     scored AS (
       SELECT e.vec_id, e.label,
              round({_DOT_SQL.format(a='e.embedding', b='q.qe')}
-                   / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
-                      * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')})), 6) AS cos_sim
+                   / NULLIF(sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({_DOT_SQL.format(a='q.qe', b='q.qe')}), 0), 6) AS cos_sim
       FROM embeddings e CROSS JOIN q
     )
     SELECT vec_id, label, cos_sim FROM scored
-    ORDER BY cos_sim DESC, vec_id ASC
+    ORDER BY cos_sim DESC NULLS LAST, vec_id ASC
     LIMIT 10
     """,
 )
@@ -611,19 +611,26 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed scale path."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    # NULLIF zero-norm guard (non-finite regime: a signed-zero vector has
+    # norm 0 and ANSI Spark ABORTS on double x/0 where DuckDB emits IEEE
+    # inf — same class as r6's 47 divide-by-zero fixes); undefined cosine
+    # ranks last, explicitly, on both engines
     scored = e.crossJoin(F.broadcast(q)).select(
         "vec_id",
         "label",
         F.round(
             _dot(F.col("embedding"), F.col("qe"))
-            / (
+            / F.nullif(
                 F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot(F.col("qe"), F.col("qe"))),
+                F.lit(0.0),
             ),
             6,
         ).alias("cos_sim"),
     )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+    return scored.orderBy(
+        F.col("cos_sim").desc_nulls_last(), F.col("vec_id").asc()
+    ).limit(10)
 
 
 @register(
@@ -1421,10 +1428,10 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_dim_stats",
     oracle="""
     SELECT dim,
-           round(avg(v), 6) AS mean_v,
-           round(stddev_samp(v), 6) AS std_v,
-           round(min(v), 6) AS min_v,
-           round(max(v), 6) AS max_v
+           round(avg(v), 6) + 0.0 AS mean_v,
+           round(stddev_samp(v), 6) + 0.0 AS std_v,
+           round(min(v), 6) + 0.0 AS min_v,
+           round(max(v), 6) + 0.0 AS max_v
     FROM (
       SELECT unnest(range(1, len(embedding) + 1)) AS dim,
              unnest(embedding) AS v
@@ -1450,11 +1457,14 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
         (F.col("dim0") + 1).alias("dim"), "v"
     )
+    # + 0.0 normalizes signed zero on every display (non-finite regime:
+    # a -0.0 coordinate made Spark MIN emit 0.0 where DuckDB kept -0.0
+    # — same value, hash-split representation)
     return ex.groupBy("dim").agg(
-        F.round(F.avg("v"), 6).alias("mean_v"),
-        F.round(F.stddev_samp("v"), 6).alias("std_v"),
-        F.round(F.min("v"), 6).alias("min_v"),
-        F.round(F.max("v"), 6).alias("max_v"),
+        (F.round(F.avg("v"), 6) + F.lit(0.0)).alias("mean_v"),
+        (F.round(F.stddev_samp("v"), 6) + F.lit(0.0)).alias("std_v"),
+        (F.round(F.min("v"), 6) + F.lit(0.0)).alias("min_v"),
+        (F.round(F.max("v"), 6) + F.lit(0.0)).alias("max_v"),
     )
 
 
@@ -4627,9 +4637,8 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM bins)
     SELECT t.n,
            CAST(COUNT(*) AS BIGINT) AS n_bins,
-           round(SUM((n_b * 1.0 / t.n)
-                     * abs(sum_p6 / (n_b * 1000000.0)
-                           - pos * 1.0 / n_b)), 6) AS ece,
+           round(CAST(SUM(ABS(sum_p6 - pos * 1000000)) AS BIGINT)
+                 / (1000000.0 * t.n), 6) AS ece,
            round(MAX(abs(sum_p6 / (n_b * 1000000.0)
                          - pos * 1.0 / n_b)), 6) AS mce
     FROM bins CROSS JOIN tot t
@@ -4643,7 +4652,12 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
     scalars a model card quotes where eval_calibration_bins prints
     the whole reliability table (same fixed-point score, same bins,
     so the numbers reconcile exactly).  Per-bin sums are exact
-    integers; the gap, weight, and rounding happen once per bin.
+    integers; the ECE's bin weights cancel algebraically —
+    Σ_b (n_b/n)·|sum_p6−pos·1e6|/(n_b·1e6) == Σ_b|sum_p6−pos·1e6| /
+    (n·1e6) — so it sums exact integers and divides ONCE (the float
+    form's 3-term fold order landed on a 6dp halfway point on the
+    non-finite fixture and split engines by 1e-6); the MCE is a MAX
+    over identically-constructed doubles, order-free by nature.
 
     Scale (100 TB): a 10-key map-side-combined aggregate plus a 1-row
     reduction — one scan, no sort."""
@@ -4668,9 +4682,15 @@ def eval_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("n")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bins"),
-            F.round(F.sum((F.col("n_b") * F.lit(1.0) / F.col("n")) * gap), 6).alias(
-                "ece"
-            ),
+            F.round(
+                # single-long-ok: Σ over ≤11 bin rows of |sum_p6−pos·1e6|
+                # ≤ 2e6·n_docs — exact to ~4.6e12 documents
+                F.sum(
+                    F.abs(F.col("sum_p6") - F.col("pos") * F.lit(1000000))
+                ).cast("long")
+                / (F.lit(1000000.0) * F.col("n")),
+                6,
+            ).alias("ece"),
             F.round(F.max(gap), 6).alias("mce"),
         )
         .select("n", "n_bins", "ece", "mce")
@@ -5704,7 +5724,7 @@ def emb_matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataF
     dense AS (
       SELECT e.vec_id AS doc_id,
              round({{dot_ab}}
-                   / (sqrt({{dot_aa}}) * sqrt({{dot_qq}})), 6) AS cos
+                   / NULLIF(sqrt({{dot_aa}}) * sqrt({{dot_qq}}), 0), 6) AS cos
       FROM embeddings e CROSS JOIN q
     ),
     joined AS (
@@ -5723,7 +5743,7 @@ def emb_matryoshka_truncation_quality(spark: SparkSession, sf_dir: str) -> DataF
                AS hybrid
       FROM joined j CROSS JOIN bounds b
     )
-    SELECT ROW_NUMBER() OVER (ORDER BY hybrid DESC, doc_id) AS rnk,
+    SELECT ROW_NUMBER() OVER (ORDER BY hybrid DESC NULLS LAST, doc_id) AS rnk,
            doc_id, bm25, cos, hybrid
     FROM fused
     QUALIFY rnk <= 15
@@ -5781,11 +5801,14 @@ def sim_hybrid_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     dense = e.crossJoin(F.broadcast(q)).select(
         F.col("vec_id").alias("doc_id"),
+        # NULLIF zero-norm guard (non-finite regime): ANSI aborts on
+        # double x/0 where DuckDB emits IEEE inf; undefined cosine → NULL
         F.round(
             _dot(F.col("embedding"), F.col("qe"))
-            / (
+            / F.nullif(
                 F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                * F.sqrt(_dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(_dot(F.col("qe"), F.col("qe"))),
+                F.lit(0.0),
             ),
             6,
         ).alias("cos"),
@@ -5808,7 +5831,7 @@ def sim_hybrid_weighted_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hybrid"),
     )
-    wr = Window.orderBy(F.col("hybrid").desc(), "doc_id")
+    wr = Window.orderBy(F.col("hybrid").desc_nulls_last(), "doc_id")
     return (
         fused.select(
             F.row_number().over(wr).alias("rnk"), "doc_id", "bm25", "cos", "hybrid"

@@ -151,9 +151,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(schema).parquet(stage)
-    from ..tables import _normalize_event_ts
+    from ..tables import _normalize_event_ts, sanitize_events_values
 
-    return _normalize_event_ts(raw)
+    # same ingest contract as the batch loader: ns→µs ts + non-finite
+    # metric values → NULL (tables.py module docstring)
+    return sanitize_events_values(_normalize_event_ts(raw))
 
 
 def _run_available_now(

@@ -2341,8 +2341,11 @@ def ts_diff_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ret AS (
       SELECT event_type, d, v6,
-             CAST(v6 AS DOUBLE)
-               / LAG(v6) OVER (PARTITION BY event_type ORDER BY d) AS r
+             CASE WHEN v6 > 0
+                   AND LAG(v6) OVER (PARTITION BY event_type ORDER BY d) > 0
+                  THEN CAST(v6 AS DOUBLE)
+                       / LAG(v6) OVER (PARTITION BY event_type ORDER BY d)
+             END AS r
       FROM daily
     )
     SELECT event_type, d,
@@ -2376,10 +2379,17 @@ def ts_compound_growth_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_split_sum_of(v6).alias("v6")
     )
     w = Window.partitionBy("event_type").orderBy("d")
+    # a growth ratio is undefined off a non-positive level (non-finite
+    # regime: zero/negative days abort ANSI x/0 on Spark and ln(0) on
+    # DuckDB); undefined days drop out of the chain as documented
+    prev = F.lag("v6").over(w)
     ret = daily.select(
         "event_type",
         "d",
-        (F.col("v6").cast("double") / F.lag("v6").over(w)).alias("r"),
+        F.when(
+            (F.col("v6") > 0) & (prev > 0),
+            F.col("v6").cast("double") / prev.cast("double"),
+        ).alias("r"),
     )
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return ret.filter(F.col("r").isNotNull()).select(
@@ -3584,7 +3594,10 @@ def ts_day_percentile_vs_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     ),
     rets AS (
-      SELECT ln(cents * 1.0 / LAG(cents) OVER (ORDER BY d)) AS r
+      SELECT CASE WHEN cents > 0
+                   AND LAG(cents) OVER (ORDER BY d) > 0
+                  THEN ln(cents * 1.0 / LAG(cents) OVER (ORDER BY d))
+             END AS r
       FROM daily
     ),
     m AS (
@@ -3620,8 +3633,16 @@ def agg_log_return_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(F.sum(cents).cast("long").alias("cents"))
     w = Window.orderBy("d")
+    # a log return is undefined off a non-positive level (non-finite
+    # regime: a zero/negative day made ANSI Spark abort on x/0 and
+    # DuckDB abort on ln(0) — guard the ratio, don't rely on either
+    # engine's out-of-domain behavior)
+    prev = F.lag("cents").over(w)
     rets = daily.select(
-        F.log(F.col("cents") * F.lit(1.0) / F.lag("cents").over(w)).alias("r")
+        F.when(
+            (F.col("cents") > 0) & (prev > 0),
+            F.log(F.col("cents") * F.lit(1.0) / prev),
+        ).alias("r")
     ).filter(F.col("r").isNotNull())
     m = rets.agg(
         F.count("r").cast("long").alias("n"),

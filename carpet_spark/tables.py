@@ -2,11 +2,28 @@
 
 All inputs are driver-generated parquet under ``{sf_dir}/{table}.parquet``.
 Loaders are plain ``spark.read.parquet`` so Catalyst keeps full pushdown /
-pruning freedom; the only normalization is the events ns-timestamp cast.
+pruning freedom; the normalizations are the events ns-timestamp cast and
+the non-finite ingest contract below.
+
+Non-finite ingest contract (r11, tenth regime): the METRIC surface —
+``events.value`` and ``embeddings.embedding`` — normalizes NaN/±Inf to
+NULL (whole-vector NULL when any element is non-finite) at the source
+layer, on BOTH engines (testing.duck_connect mirrors it in the table
+views).  At 100 TB one poisoned metric from a bad upstream division is
+routine, and under ANSI mode any fixed-point/decimal conversion of it
+ABORTS THE JOB; treating it as missing at ingest degrades per-row
+instead, and the NULL path of every op is already under the parity gate
+(nulls regime, r6).  Money columns (l_*, o_totalprice, acctbal,
+retailprice) stay raw — non-finite money is a schema violation upstream
+ingestion owns — so their scans keep full predicate pushdown; the
+exprs.fin() guards give those paths defense-in-depth anyway.
 
 Scale note (100 TB): a scan here is a ``LogicalRelation(ParquetFileFormat)``
 — predicate pushdown, column pruning, and partition pruning all apply
-automatically downstream; nothing is materialized driver-side.
+automatically downstream; nothing is materialized driver-side.  The
+sanitize Project costs value-predicate pushdown on events.value only —
+a deliberate trade: parquet row-group stats are unreliable for a
+NaN-bearing column anyway (writers drop min/max when NaN is present).
 """
 
 from __future__ import annotations
@@ -14,6 +31,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from .exprs import _DBL_MAX, fin
 from .session import ensure_runtime_confs
 
 TABLES = (
@@ -45,7 +63,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        df = _normalize_event_ts(df)
+        df = sanitize_events_values(_normalize_event_ts(df))
+    elif table == "embeddings":
+        df = _sanitize_embeddings(df)
     # Memoize the analyzed source plan per (session, path): repeated queries
     # skip file listing + parquet schema inference, the way a catalog table
     # with cached metadata behaves on a real cluster.  DataFrames are
@@ -76,6 +96,28 @@ def _normalize_event_ts(df: DataFrame) -> DataFrame:
         # the ntz→ltz cast is value-identical — it only restores the type.
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def sanitize_events_values(df: DataFrame) -> DataFrame:
+    """Non-finite ingest contract for the metric column (module
+    docstring): NaN/±Inf value → NULL, identical on the streaming path
+    (ops/streaming._events_stream applies the same function)."""
+    return df.withColumn("value", fin(F.col("value")))
+
+
+def _sanitize_embeddings(df: DataFrame) -> DataFrame:
+    """Whole-vector NULL when ANY element is non-finite: a poisoned
+    coordinate invalidates every distance/norm the vector enters, and
+    the registry's NULL-vector path is parity-proven (nulls regime).
+    ``filter`` drops elements whose predicate is not TRUE on both
+    engines (DuckDB ``list_filter`` twin in testing.duck_connect), so
+    the idiom is NULL-element-stable too."""
+    nonfinite = F.filter(
+        F.col("embedding"), lambda e: ~(F.abs(e) <= F.lit(_DBL_MAX))
+    )
+    return df.withColumn(
+        "embedding", F.when(F.size(nonfinite) == 0, F.col("embedding"))
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

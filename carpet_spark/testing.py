@@ -36,12 +36,34 @@ from .tables import TABLES
 
 
 def duck_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
-    """In-memory DuckDB with the driver's table views pre-registered."""
+    """In-memory DuckDB with the driver's table views pre-registered.
+
+    The events/embeddings views mirror the Spark source layer's
+    non-finite ingest contract (tables.py module docstring): NaN/±Inf
+    metric values → NULL, embeddings with any non-finite element →
+    whole-vector NULL.  The driver's own DuckDB registers RAW views,
+    but the driver fixtures contain no non-finite values, so the two
+    harnesses agree everywhere the driver can observe; the sanitized
+    views exist so the non-finite regime (degenerate_sweep --nonfinite)
+    compares like against like."""
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        src = f"read_parquet('{sf_dir}/{t}.parquet')"
+        if t == "events":
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE ("
+                f"(CASE WHEN isfinite(value) THEN value END) AS value"
+                f") FROM {src}"
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE ("
+                f"(CASE WHEN len(list_filter(embedding,"
+                f" e -> NOT isfinite(e))) = 0 THEN embedding END)"
+                f" AS embedding) FROM {src}"
+            )
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     return con
 
 

@@ -1095,6 +1095,155 @@ def build_skew_fixture() -> str:
     return SKEW_FIX
 
 
+NONFINITE_FIX = "/tmp/carpet_nonfinite_fixture"
+
+
+def build_nonfinite_fixture() -> str:
+    """Non-finite regime (r11, tenth fixture): NaN / +Inf / -Inf / -0.0
+    salted into the PLAUSIBLY-nonfinite double columns — the generic
+    metric (events.value), embeddings, and balance columns — while
+    money columns (l_*, o_totalprice) stay finite (the generator
+    produces them from prices and never emits non-finite money; a NaN
+    unit price is a schema violation upstream ingestion owns).
+
+    What this gates, unreachable by the other nine regimes: at 100 TB a
+    NaN metric from one bad upstream division is ROUTINE, and under
+    ANSI mode every fixed-point conversion `CAST(ROUND(x*1e6) AS
+    BIGINT)` THROWS on it — a whole-job abort from one poisoned row.
+    Cross-engine rules under test: NaN/Inf propagation through double
+    sums (both engines agree), NaN ordering (both sort NaN above +Inf),
+    NaN grouping (both group NaNs together), -0.0 vs 0.0 in group keys
+    (both normalize) and in DISPLAYS (repr(-0.0) hash-splits engines
+    unless normalized), and the fixed-point/money scaling boundary
+    (guarded → non-finite behaves as NULL: skipped by sums, null
+    display — the only semantics that degrade gracefully per-row
+    instead of aborting per-job)."""
+    os.makedirs(NONFINITE_FIX, exist_ok=True)
+    D = dt.datetime(1996, 6, 15)
+    E = dt.datetime(2024, 1, 5, 12, 0, 0)
+    NAN, INF = float("nan"), float("inf")
+
+    def write(name, cols, schema):
+        tmp = f"{NONFINITE_FIX}/.{name}.parquet.tmp.{os.getpid()}"
+        pq.write_table(pa.table(cols, schema=pa.schema(schema)), tmp)
+        os.replace(tmp, f"{NONFINITE_FIX}/{name}.parquet")
+
+    write("region", {"r_regionkey": [0, 1], "r_name": ["AMERICA", "ASIA"]},
+          [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    write("nation",
+          {"n_nationkey": [0, 1], "n_name": ["BRAZIL", "CHINA"],
+           "n_regionkey": [0, 1]},
+          [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+           ("n_regionkey", pa.int32())])
+    # -0.0 / 0.0 pair inside one nation: any op grouping or ranking on
+    # acctbal must treat them equal (both engines do) and any DISPLAY
+    # must not leak the sign bit into the hash
+    write("customer",
+          {"c_custkey": [1, 2, 3, 4],
+           "c_name": [f"Customer#{k}" for k in range(1, 5)],
+           "c_nationkey": [0, 0, 1, 1],
+           "c_acctbal": [100.0, -0.0, 250.0, 0.0],
+           "c_mktsegment": ["BUILDING", "BUILDING", "MACHINERY", "MACHINERY"]},
+          [("c_custkey", pa.int64()), ("c_name", pa.string()),
+           ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+           ("c_mktsegment", pa.string())])
+    write("supplier",
+          {"s_suppkey": [1, 2], "s_name": ["Supplier#1", "Supplier#2"],
+           "s_nationkey": [0, 1], "s_acctbal": [50.0, -0.0]},
+          [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+           ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    write("part",
+          {"p_partkey": [1, 2, 3], "p_name": ["green part", "red part", "blue part"],
+           "p_brand": ["Brand#11", "Brand#12", "Brand#11"],
+           "p_type": ["ECONOMY BRASS", "PROMO STEEL", "STANDARD TIN"],
+           "p_size": [10, 15, 20], "p_retailprice": [900.0, 800.0, 700.0]},
+          [("p_partkey", pa.int64()), ("p_name", pa.string()),
+           ("p_brand", pa.string()), ("p_type", pa.string()),
+           ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    n_o = 8
+    write("orders",
+          {"o_orderkey": list(range(1, n_o + 1)),
+           "o_custkey": [1, 1, 2, 2, 3, 3, 4, 4],
+           "o_orderstatus": ["F", "O", "F", "O", "F", "O", "F", "O"],
+           "o_totalprice": [1000.0, 1300.0, 1200.0, 800.0,
+                            950.0, 1500.0, 900.0, 1100.0],
+           "o_orderdate": [D + dt.timedelta(days=k) for k in range(n_o)],
+           "o_orderpriority": ["3-MEDIUM", "1-URGENT", "2-HIGH", "3-MEDIUM",
+                               "2-HIGH", "1-URGENT", "1-URGENT", "3-MEDIUM"]},
+          [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+           ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+           ("o_orderdate", pa.timestamp("us")),
+           ("o_orderpriority", pa.string())])
+    n_li = 10
+    write("lineitem",
+          {"l_orderkey": [1, 1, 2, 3, 4, 5, 6, 7, 8, 8],
+           "l_partkey": [1, 2, 1, 2, 3, 3, 1, 2, 3, 1],
+           "l_suppkey": [1, 2, 1, 2, 1, 2, 1, 2, 1, 2],
+           "l_linenumber": [1, 2, 1, 1, 1, 1, 1, 1, 1, 2],
+           "l_quantity": [5.0, 2.0, 3.0, 7.0, 4.0, 2.0, 4.0, 6.0, 1.0, 8.0],
+           "l_extendedprice": [500.0, 300.0, 450.0, 700.0, 200.0,
+                               350.0, 400.0, 600.0, 100.0, 800.0],
+           "l_discount": [0.05, 0.0, 0.1, 0.08, 0.02, 0.0, 0.07, 0.01, 0.0, 0.04],
+           "l_tax": [0.02, 0.01, 0.0, 0.03, 0.0, 0.01, 0.04, 0.02, 0.0, 0.05],
+           "l_returnflag": ["N", "N", "A", "R", "R", "N", "A", "R", "N", "A"],
+           "l_linestatus": ["O", "F", "O", "F", "O", "F", "O", "F", "O", "F"],
+           "l_shipdate": [D + dt.timedelta(days=k) for k in range(n_li)]},
+          [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+           ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+           ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+           ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+           ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+           ("l_shipdate", pa.timestamp("us"))])
+    # events.value is THE generic metric: day 1 all-finite (control),
+    # day 2 contains one NaN among finite ticks, day 3 carries +Inf and
+    # -Inf (their sum is NaN — the worst case for naive day totals),
+    # day 4 is -0.0/0.0 only.  Purchases appear on every day so
+    # money-shaped per-type paths see each poison.
+    n_ev = 12
+    EVT = ([E + dt.timedelta(minutes=17 * k) for k in range(3)]
+           + [E + dt.timedelta(days=1, minutes=19 * k) for k in range(3)]
+           + [E + dt.timedelta(days=2, minutes=23 * k) for k in range(3)]
+           + [E + dt.timedelta(days=3, minutes=29 * k) for k in range(3)])
+    write("events",
+          {"event_id": list(range(1, n_ev + 1)),
+           "ts": EVT,
+           "user_id": [7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8, 9],
+           "event_type": ["click", "purchase", "view",
+                          "click", "purchase", "view",
+                          "purchase", "click", "view",
+                          "purchase", "view", "click"],
+           "value": [10.0, 30.0, 20.0,          # day 1: finite control
+                     5.0, NAN, 15.0,            # day 2: NaN among finite
+                     INF, -INF, 25.0,           # day 3: +/-Inf (sum -> NaN)
+                     -0.0, 0.0, -0.0],          # day 4: signed zeros
+           "props": [f'{{"k": {k}}}' for k in range(1, n_ev + 1)]},
+          [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+           ("user_id", pa.int64()), ("event_type", pa.string()),
+           ("value", pa.float64()), ("props", pa.string())])
+    t = ["alpha beta gamma", "delta epsilon zeta", "alpha beta gamma",
+         "eta theta iota kappa"]
+    write("documents",
+          {"doc_id": [1, 2, 3, 4], "text": t,
+           "lang": ["en", "de", "en", "en"],
+           "source": ["src0", "src1", "src0", "src1"],
+           "n_chars": [len(x) for x in t]},
+          [("doc_id", pa.int64()), ("text", pa.string()),
+           ("lang", pa.string()), ("source", pa.string()),
+           ("n_chars", pa.int64())])
+    dim = 64
+    vecs = [[0.5] * dim,
+            [NAN if j == 7 else 0.25 for j in range(dim)],   # NaN element
+            [INF if j == 3 else 0.1 for j in range(dim)],    # +Inf element
+            [-0.0] * dim,                                    # signed zeros
+            [v / 100.0 for v in range(dim)]]
+    write("embeddings",
+          {"vec_id": [0, 1, 2, 3, 4], "embedding": vecs,
+           "label": [0, 1, 0, 1, 0]},
+          [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+           ("label", pa.int32())])
+    return NONFINITE_FIX
+
+
 # Engine-inherent empty-input divergence, documented rather than papered
 # over: ANSI SQL gives GROUP BY ROLLUP/CUBE/GROUPING SETS a grand-total
 # () grouping set that emits ONE row even over an empty table (DuckDB,
@@ -1133,6 +1282,8 @@ def main() -> None:
         fix = build_skew_fixture()
     elif "--hostile" in sys.argv:
         fix = build_hostile_fixture()
+    elif "--nonfinite" in sys.argv:
+        fix = build_nonfinite_fixture()
     else:
         fix = build_fixture()
     from carpet_spark.registry import REGISTRY
