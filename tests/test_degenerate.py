@@ -389,3 +389,46 @@ def test_hostile_rows_only_smoke(spark, hostile_dir, name):
     """Rows-only ops must also survive hostile strings crash-free."""
     df = REGISTRY[name].fn(spark, hostile_dir)
     assert df.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Non-finite regime (r11, tenth fixture): NaN / +Inf / -Inf / -0.0 salted
+# into events.value, embeddings, and balance columns (money stays finite —
+# a non-finite price is a schema violation upstream ingestion owns).  At
+# 100 TB one poisoned metric row is routine, and under ANSI mode every
+# fixed-point conversion of it ABORTS THE JOB.  First sweep: 602/6/76 —
+# fixed by the source-layer ingest contract (tables.py: non-finite metric
+# -> NULL, whole-vector NULL on a poisoned coordinate; duck_connect views
+# mirror it), exprs.fin() guards at every shared double->exact boundary,
+# NULLIF zero-norm guards in the cosine ops (a signed-zero vector has
+# norm 0), positive-level guards on the log-return ops, signed-zero
+# display normalization in emb_dim_stats, and the exact-integer ECE
+# rewrite.  684/684 green after the fixes.
+# ---------------------------------------------------------------------------
+
+from degenerate_sweep import build_nonfinite_fixture  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dir():
+    return build_nonfinite_fixture()
+
+
+@pytest.fixture(scope="module")
+def nonfinite_duck(nonfinite_dir):
+    con = duck_connect(nonfinite_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HASH_OPS)
+def test_nonfinite_parity(spark, nonfinite_duck, nonfinite_dir, name):
+    op = REGISTRY[name]
+    compare(op.fn(spark, nonfinite_dir), nonfinite_duck, op.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_OPS)
+def test_nonfinite_rows_only_smoke(spark, nonfinite_dir, name):
+    """Rows-only ops must also survive non-finite inputs crash-free."""
+    df = REGISTRY[name].fn(spark, nonfinite_dir)
+    assert df.count() >= 0
