@@ -38,18 +38,20 @@ from bench import HEADLINE, _plan_fingerprint
 from carpet_spark.registry import REGISTRY
 
 PINNED = {
-    # q1/q3/q5 re-pinned in r9: intentional lsum/lavg hi/lo-split
-    # escalation (exprs._fp_split_sum — exact to ~2.2e12 rows/group,
-    # closes the r8 verdict's 100 TB overflow hole; q1 0.85x baseline
-    # after the change).
-    "q1_pricing_summary": "eb3be8611f36",
-    "q3_top_orders": "6e81351d12fa",
-    "q5_region_revenue": "2bfdffb31efd",
+    # q1/q3/q5/tumbling_1h re-pinned r11 (finishing the b776a36
+    # re-baseline, which regenerated PLANS.json but missed these): the
+    # r10 post-close non-finite regime moved them — fin() guards inside
+    # lsum/lavg (q1/q3/q5) and the events.value ingest sanitization
+    # (tumbling_1h).  Values verified == the committed PLANS.json-era
+    # plans at sf0.1 and sf0.01.
+    "q1_pricing_summary": "f0b1af55f062",
+    "q3_top_orders": "de643b1c7dfa",
+    "q5_region_revenue": "aabd7aa793b8",
     "window_rank": "63b0dd84f925",
     "topk_lineitem": "94072738dbbb",
     "distinct_users": "c043d40e06e3",
     "wordcount": "1c44349af4ab",
-    "tumbling_1h": "e4dd1ef6206f",
+    "tumbling_1h": "9bcce0da3842",
     "dedup_docs": "0dca9d0652c2",
 }
 
@@ -84,14 +86,17 @@ def test_headline_plan_fingerprint_pinned(spark, sf_dir, name):
 
 from bench import _plan_fingerprint_v2  # noqa: E402
 
+# 6 ops re-pinned r11 (same b776a36 re-baseline completion as the
+# headline block above): the non-finite ingest contract / fin() guards
+# moved their plans; values == the committed PLANS.json.
 EXPENSIVE_PINNED = [
     ("graph_k_core_peel", "9eebd4710506"),            # 7.40s
     ("decontaminate_substring", "a70a993d9516"),      # 7.26s
     ("graph_pagerank", "904c43197a93"),               # 5.26s
     ("stream_foreachbatch_upsert", "924e6d1d904e"),   # 4.65s
     ("scan_python_datasource_pushdown", "612948376226"),  # 4.64s
-    ("dedup_near_embedding_ann", "0c3b164e49ca"),     # 4.62s
-    ("sim_mmr_rerank", "95e6e2857198"),               # 4.57s
+    ("dedup_near_embedding_ann", "2bf0a853a7d1"),     # 4.62s
+    ("sim_mmr_rerank", "a607781b9efb"),               # 4.57s
     ("sink_python_datasource_roundtrip", "cda8daa486c8"),  # 4.45s
     # re-pinned r9: explicit NULL-feature/label drop before fit+score
     # (NULL-regime finding — VectorAssembler aborts on incomplete rows)
@@ -100,17 +105,17 @@ EXPENSIVE_PINNED = [
     ("dq_primary_key_check", "d3e3fbab875d"),         # 3.79s
     # re-pinned r9: intentional hi/lo-split escalation of the op's
     # inline fixed-point sums (sweep commit 36a6b65)
-    ("agg_abc_xyz_class", "a571a9571c68"),            # 3.75s
+    ("agg_abc_xyz_class", "9e29917be1ee"),            # 3.75s
     # splits=N normalized out of the v2 form in r7 (Range parallelism is
     # an env knob, not plan shape) — this is the only range-built pin
-    ("ts_partial_autocorrelation", "cb5d30830af9"),   # 3.67s
+    ("ts_partial_autocorrelation", "e90648145905"),   # 3.67s
     ("stream_interval_join", "ff48a261270e"),         # 3.63s
     ("graph_bfs_hops", "f11fa21b5f6d"),               # 3.54s
-    ("eval_rec_catalog_coverage", "160f5900c4d8"),    # 3.15s
+    ("eval_rec_catalog_coverage", "2fb6a1e75bad"),    # 3.15s
     ("stream_multi_source_union", "617b4e992d85"),    # 3.13s
     ("emb_kmeans_pp_init", "e92174a4bd1c"),           # 3.08s
     ("dedup_clusters", "d879a457a638"),               # 2.98s
-    ("sink_manifest_publish", "61b9991c3474"),        # 2.98s (re-pinned r9: split-sum escalation)
+    ("sink_manifest_publish", "3b49c5647fdc"),        # 2.98s (re-pinned r9: split-sum escalation)
 ]
 
 
