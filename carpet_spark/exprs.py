@@ -104,21 +104,45 @@ _FP = 1_000_000
 _SPLIT = 4_194_304  # 2^22: balances the N·2^22 (lo) and N·fp_max/2^22 (hi) bounds
 
 
-def _fp_long(col: Column) -> Column:
-    """round-half-away-from-zero(x*1e6) as a long, without ``F.round``.
+def _fp_scaled_long_at(col: Column, factor: int) -> Column:
+    """Shared body of _fp_long / fp_scaled_long: round-half-away-from-
+    zero(x*factor) as a long, without ``F.round`` (which routes through
+    BigDecimal per row — measured 2.1x slower on the Q1 agg at sf0.1).
 
-    ``F.round`` on DoubleType routes through BigDecimal per row (measured
-    2.1x slower on the Q1 agg at sf0.1); ``signum(x) * trunc(|x|*1e6+0.5)``
-    computes the identical half-away-from-zero value in pure primitive
-    codegen.  Contract (same as the oracle's ROUND): inputs are
-    fixed-decimal (≤6 fractional digits), so |x|*1e6 lands within ~1e-4 of
-    an integer and never near the .5 boundary where ``floor(y+0.5)`` and
-    ``round(y)`` could disagree by one ulp.  Non-finite → NULL (fin):
-    the ANSI NaN→BIGINT abort must not be reachable from one bad row."""
-    col = fin(col)
-    scaled = (F.abs(col) * _FP + F.lit(0.5)).cast("long")
-    # signum is double; the product is exact for |sum| ≤ 2^53, re-cast long
-    return (F.signum(col) * scaled).cast("long")
+    r11 optimization (guide §1.2 step 2 "per-task work"): the previous
+    form expanded the fin() non-finite guard TWICE per conversion — once
+    under signum(), once under the magnitude branch — so every money sum
+    evaluated two full CASE trees per row; this form hoists the guard to
+    a single outer CASE around the identical signed arithmetic.
+    Exact-equivalence argument (no input contract needed — this holds
+    for EVERY double, including the half-cent landings pinned by
+    tests/test_edge_cases.py::test_fp_scaled_long_rounds_half_away_from_zero):
+
+    - non-finite or NULL x: old = signum(NULL)*… = NULL; new = predicate
+      not TRUE → NULL.  Same.
+    - finite x: fin(x) = x, so old and new compute literally the same
+      expression signum(x)*trunc(|x|·factor + 0.5), including the loud
+      ANSI CAST abort when |x|·factor + 0.5 overflows long — a silent
+      wrong sum is exactly what the abort contract exists to prevent.
+
+    (A cheaper ``floor(x·factor+0.5)`` form was tried and REVERTED: it
+    is ~15% faster still, but rounds negative EXACT-half landings toward
+    +inf — floor(-3000000000.5+0.5) = -3000000000, not ROUND's
+    -3000000001 — and the half-cent boundary is reachable in real money
+    ops (the extreme regime found nine; the edge-case pin above feeds it
+    directly), so the floor form is only oracle-equal under a ≤digits
+    contract the cents scale does not have.)"""
+    scaled = (F.abs(col) * factor + F.lit(0.5)).cast("long")
+    # signum is double; the product is exact for |fp| ≤ 2^53, re-cast long
+    return F.when(
+        F.abs(col) <= F.lit(_DBL_MAX), (F.signum(col) * scaled.cast("double")).cast("long")
+    )
+
+
+def _fp_long(col: Column) -> Column:
+    """round-half-away-from-zero(x*1e6) as a long (see _fp_scaled_long_at
+    for the single-CASE design and the exact-equivalence argument)."""
+    return _fp_scaled_long_at(col, _FP)
 
 
 def fp_scaled_long(col: Column, factor: int) -> Column:
@@ -130,10 +154,8 @@ def fp_scaled_long(col: Column, factor: int) -> Column:
     truncates toward zero, so -N.5 becomes -N instead of ROUND's -(N+1))
     — found by the extreme-value regime on refund-shaped rows.  Always
     use this form for any column that can carry a negative amount.
-    Non-finite → NULL (fin), same contract as _fp_long."""
-    col = fin(col)
-    scaled = (F.abs(col) * factor + F.lit(0.5)).cast("long")
-    return (F.signum(col) * scaled).cast("long")
+    Non-finite → NULL, same contract as _fp_long."""
+    return _fp_scaled_long_at(col, factor)
 
 
 def _fp_split_sum(col: Column) -> Column:

@@ -22,6 +22,101 @@ from ..tables import load
 _FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 
 
+def _funnel_user_times(ev: DataFrame, deadline_days: int | None = None) -> DataFrame:
+    """Single-shuffle funnel recursion shared by funnel_conversion /
+    agg_funnel_stage_latency / agg_window_funnel_strict (r11 optimization,
+    guide §2.4 "remove shuffles outright" + §2.3 "aggregate before you
+    shuffle"): one row per user_id holding the earliest-qualifying stage
+    times t1..t4.
+
+    The previous formulation was the literal relational recursion — each
+    stage a filtered scan of events re-joined to the previous stage and
+    re-aggregated — which re-read events once per stage and planned 13-30
+    Exchanges per op (plans/audit r11: funnel_conversion 17,
+    agg_funnel_stage_latency 24, agg_window_funnel_strict 30).  But every
+    stage only needs the ONE user's events, so the whole recursion
+    collapses to a single groupBy(user_id): collect the user's non-signup
+    funnel events, then evaluate each stage as an in-memory array
+    reduction — t_k = array_min(ts of events with type k, ts >= t_{k-1}
+    [, ts <= t1 + deadline]) — exactly the relational MIN-under->=
+    definition, per row.  Result: ONE scan of events and ONE wide
+    exchange (the groupBy) for the whole chain, 3-4 Exchanges per op.
+
+    Oracle-equivalence notes (the subtle NULL semantics the join chain
+    had, mirrored deliberately — re-proven by the hash parity gate):
+
+    - a NULL user_id group exists in stage 1 (SQL GROUP BY groups NULLs)
+      but can never reach stage 2+ (the oracle's equi-join on user_id
+      drops NULLs), so t2 is masked NULL for the NULL-user row — t3/t4
+      then cascade to NULL through their ts >= t2 predicate;
+    - a user whose every signup ts is NULL still OWNS a stage-1 row
+      (GROUP BY over rows, MIN(ts) = NULL) — hence has_s1 is a row-count
+      flag, independent of t1's NULL-ness — and can never reach stage 2
+      (ts >= NULL is never TRUE);
+    - NULL-ts events of later stages are dropped by the same predicate
+      inside the array filter, exactly as the oracle's join condition
+      drops them.
+
+    Memory: the per-user array holds that user's view/click/purchase
+    events only (signups fold into min() during the aggregate) — the
+    per-user-bounded state every sessionization op in this engine
+    already assumes (stream_session, join_asof); no all-users state
+    anywhere."""
+    first = _FUNNEL_STAGES[0]
+    per = (
+        ev.select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin(*_FUNNEL_STAGES))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == first, F.lit(1)).otherwise(F.lit(0))
+            ).alias("has_s1"),
+            F.min(F.when(F.col("event_type") == first, F.col("ts"))).alias("t1"),
+            F.collect_list(
+                F.when(
+                    F.col("event_type") != first,
+                    F.struct(
+                        F.col("ts").alias("ts"), F.col("event_type").alias("et")
+                    ),
+                )
+            ).alias("evs"),
+        )
+    )
+    deadline = (
+        F.col("t1") + F.expr(f"INTERVAL {deadline_days} DAY")
+        if deadline_days is not None
+        else None
+    )
+    def _stage_pred(etype, lo):
+        # the returned lambda must take exactly ONE positional arg —
+        # PySpark dispatches higher-order-function arity off the
+        # callable's signature
+        def pred(s):
+            ok = (s["et"] == F.lit(etype)) & (s["ts"] >= lo)
+            if deadline is not None:
+                ok = ok & (s["ts"] <= deadline)
+            return ok
+
+        return pred
+
+    out = per
+    prev = "t1"
+    for i, etype in enumerate(_FUNNEL_STAGES[1:], start=2):
+        t = F.array_min(
+            F.transform(
+                F.filter(F.col("evs"), _stage_pred(etype, F.col(prev))),
+                lambda s: s["ts"],
+            )
+        )
+        if i == 2:
+            # oracle join on user_id never matches NULL: stage 2+ is
+            # unreachable for the NULL-user group (cascades to t3/t4)
+            t = F.when(F.col("user_id").isNotNull(), t)
+        out = out.withColumn(f"t{i}", t)
+        prev = f"t{i}"
+    return out.drop("evs")
+
+
 @register(
     "funnel_conversion",
     oracle="""
@@ -60,43 +155,35 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous stage's time (the standard greedy funnel, which maximizes
     progression).
 
-    Scale: stage k is one filtered aggregate joined to stage k-1 — all
-    four joins and aggs key on user_id, so the chain shares ONE
-    hashpartitioning end-to-end (exchange reuse); per-stage output is one
-    row per surviving user, shrinking monotonically.  The final UNION of
-    4 count rows is driver-trivial."""
+    Scale (r11 optimization, guide §2.4): one scan of events and one
+    groupBy(user_id) compute all four stage times at once
+    (_funnel_user_times); the old stage-chained join plan re-read
+    events 4x and planned 17 Exchanges, the rewrite plans 2 (the
+    user_id groupBy + the single-row global count) — before/after in
+    plans/r11/.  Stage counts are then four sums over one tiny
+    aggregate row, exploded to the 4-row report."""
     ev = load(spark, sf_dir, "events")
-
-    def first_stage(etype: str) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("ts"))
-        )
-
-    def next_stage(prev: DataFrame, etype: str) -> DataFrame:
-        p = prev.select("user_id", F.col("ts").alias("prev_ts"))
-        return (
-            ev.filter(F.col("event_type") == etype)
-            .join(p, "user_id")
-            .filter(F.col("ts") >= F.col("prev_ts"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("ts"))
-        )
-
-    stages = [first_stage(_FUNNEL_STAGES[0])]
-    for etype in _FUNNEL_STAGES[1:]:
-        stages.append(next_stage(stages[-1], etype))
-
-    counts = None
-    for i, (etype, s) in enumerate(zip(_FUNNEL_STAGES, stages), start=1):
-        row = s.agg(
-            F.lit(i).alias("stage_idx"),
-            F.lit(etype).alias("stage"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-        counts = row if counts is None else counts.unionByName(row)
-    return counts
+    per = _funnel_user_times(ev)
+    agg = per.agg(
+        # count of stage-1 GROUPS (≥1 signup row, even all-NULL-ts) —
+        # coalesce so an empty events table still reports 0, like the
+        # oracle's COUNT(*) over an empty CTE
+        F.coalesce(F.sum("has_s1"), F.lit(0).cast("long")).alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.count("t4").alias("n4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(etype).alias("stage"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, etype in enumerate(_FUNNEL_STAGES, start=1)
+        ]
+    )
+    return agg.select(F.explode(stages).alias("r")).select("r.*")
 
 
 @register(
@@ -2519,45 +2606,27 @@ def agg_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts at or after the previous stage, capped at the signup deadline)
     keeps every step deterministic.
 
-    Scale (100 TB): three self-joins on user_id after per-user MIN
-    rollups — each stage table shrinks monotonically, and all joins
-    key on the same user_id so one partitioning serves the chain;
-    AQE turns the later (small) stages into broadcasts."""
+    Scale (r11 optimization, guide §2.4): one scan of events and one
+    groupBy(user_id) compute the whole deadline-bounded chain
+    (_funnel_user_times with deadline_days=7 — every stage's array
+    predicate also caps at t1 + 7 days, mirroring the oracle's extra
+    join back to s1); depth is then a per-row expression.  The old
+    8-scan join chain planned 30 Exchanges — the worst shape in the
+    r11 registry-wide plan audit — the rewrite plans 3 (user groupBy,
+    stage rollup, single-row share window); before/after in
+    plans/r11/.  Stage-1 membership is has_s1 (≥1 signup ROW — a user
+    whose signups all carry NULL ts still counts at depth 1, like the
+    oracle's GROUP BY row with MIN(ts) = NULL that no later stage can
+    join to)."""
     e = load(spark, sf_dir, "events")
-
-    def first_at_least(prev: DataFrame, etype: str, s1: DataFrame) -> DataFrame:
-        j = (
-            e.filter(F.col("event_type") == etype)
-            .join(prev.withColumnRenamed("ts", "prev_ts"), "user_id")
-            .join(s1.select("user_id", F.col("ts").alias("dl_ts")), "user_id")
-            .filter(
-                (F.col("ts") >= F.col("prev_ts"))
-                & (F.col("ts") <= F.col("dl_ts") + F.expr("INTERVAL 7 DAY"))
-            )
-        )
-        return j.groupBy("user_id").agg(F.min("ts").alias("ts"))
-
-    s1 = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts"))
-    )
-    s2 = first_at_least(s1, "view", s1)
-    s3 = first_at_least(s2, "click", s1)
-    s4 = first_at_least(s3, "purchase", s1)
-    depth = (
-        s1.select("user_id")
-        .join(s2.select("user_id", F.lit(1).alias("h2")), "user_id", "left")
-        .join(s3.select("user_id", F.lit(1).alias("h3")), "user_id", "left")
-        .join(s4.select("user_id", F.lit(1).alias("h4")), "user_id", "left")
-        .select(
-            (
-                F.lit(1)
-                + F.coalesce("h2", F.lit(0))
-                + F.coalesce("h3", F.lit(0))
-                + F.coalesce("h4", F.lit(0))
-            ).alias("stage_reached")
-        )
+    per = _funnel_user_times(e, deadline_days=7).filter(F.col("has_s1") == 1)
+    depth = per.select(
+        (
+            F.lit(1)
+            + F.when(F.col("t2").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t3").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("t4").isNotNull(), 1).otherwise(0)
+        ).alias("stage_reached")
     )
     wall = Window.partitionBy()
     return (
@@ -2844,46 +2913,37 @@ def agg_funnel_stage_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile aggregates (the verified cross-engine percentile
     grain).
 
-    Scale (100 TB): the same monotone-shrinking per-user MIN chain as
-    the funnel ops (one user_id partitioning serves every stage),
-    then three tiny percentile rollups over per-user scalars."""
+    Scale (r11 optimization, guide §2.4): one scan of events and one
+    groupBy(user_id) compute all four stage times (_funnel_user_times);
+    each user then emits up to 3 (stage_pair, sec) rows via a local
+    array explode — no per-stage joins.  The old chain planned 24
+    Exchanges, the rewrite 3 (user groupBy + stage_pair rollup) —
+    before/after in plans/r11/.  A user contributes the
+    'signup_to_view' pair iff t2 exists (t2's >= t1 predicate already
+    implies t1 exists), exactly the oracle's s1⋈s2 inner join — and so
+    on down the chain."""
     e = load(spark, sf_dir, "events")
+    per = _funnel_user_times(e)
 
-    def first_after(prev: DataFrame, etype: str) -> DataFrame:
-        return (
-            e.filter(F.col("event_type") == etype)
-            .join(prev.withColumnRenamed("ts", "prev_ts"), "user_id")
-            .filter(F.col("ts") >= F.col("prev_ts"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("ts"))
-        )
+    def sec(a: str, b: str):
+        return F.col(b).cast("double") - F.col(a).cast("double")
 
-    s1 = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ts"))
-    )
-    s2 = first_after(s1, "view")
-    s3 = first_after(s2, "click")
-    s4 = first_after(s3, "purchase")
-
-    def lat(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
-        return (
-            a.select("user_id", F.col("ts").alias("ta"))
-            .join(b.select("user_id", F.col("ts").alias("tb")), "user_id")
-            .select(
-                F.lit(name).alias("stage_pair"),
-                (
-                    F.col("tb").cast("double") - F.col("ta").cast("double")
-                ).alias("sec"),
+    names = ("signup_to_view", "view_to_click", "click_to_purchase")
+    pairs = F.array(
+        *[
+            F.when(
+                F.col(f"t{i + 1}").isNotNull(),
+                F.struct(
+                    F.lit(name).alias("stage_pair"),
+                    sec(f"t{i}", f"t{i + 1}").alias("sec"),
+                ),
             )
-        )
-
-    lats = (
-        lat(s1, s2, "signup_to_view")
-        .unionAll(lat(s2, s3, "view_to_click"))
-        .unionAll(lat(s3, s4, "click_to_purchase"))
+            for i, name in enumerate(names, start=1)
+        ]
     )
+    lats = per.select(
+        F.explode(F.filter(pairs, lambda x: x.isNotNull())).alias("r")
+    ).select("r.*")
     return lats.groupBy("stage_pair").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.percentile("sec", F.lit(0.5)), 6).alias("median_sec"),

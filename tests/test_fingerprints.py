@@ -38,15 +38,14 @@ from bench import HEADLINE, _plan_fingerprint
 from carpet_spark.registry import REGISTRY
 
 PINNED = {
-    # q1/q3/q5/tumbling_1h re-pinned r11 (finishing the b776a36
-    # re-baseline, which regenerated PLANS.json but missed these): the
-    # r10 post-close non-finite regime moved them — fin() guards inside
-    # lsum/lavg (q1/q3/q5) and the events.value ingest sanitization
-    # (tumbling_1h).  Values verified == the committed PLANS.json-era
-    # plans at sf0.1 and sf0.01.
-    "q1_pricing_summary": "f0b1af55f062",
-    "q3_top_orders": "de643b1c7dfa",
-    "q5_region_revenue": "aabd7aa793b8",
+    # q1/q3/q5 re-pinned r11 optimization: the single-CASE
+    # fixed-point conversion (exprs._fp_scaled_long_at) halves every
+    # money sum's expression tree — value-identical per row, plan
+    # fingerprint moves.  tumbling_1h carries the r10 post-close
+    # events.value ingest sanitization (b776a36 re-baseline).
+    "q1_pricing_summary": "083172d0086b",
+    "q3_top_orders": "0106f33da939",
+    "q5_region_revenue": "6fd8e1e4c38f",
     "window_rank": "63b0dd84f925",
     "topk_lineitem": "94072738dbbb",
     "distinct_users": "c043d40e06e3",
@@ -86,9 +85,10 @@ def test_headline_plan_fingerprint_pinned(spark, sf_dir, name):
 
 from bench import _plan_fingerprint_v2  # noqa: E402
 
-# 6 ops re-pinned r11 (same b776a36 re-baseline completion as the
-# headline block above): the non-finite ingest contract / fin() guards
-# moved their plans; values == the committed PLANS.json.
+# r11 re-pins: 4 ops for the b776a36 re-baseline completion (ingest
+# contract), then agg_abc_xyz_class / sink_manifest_publish again for
+# the single-CASE fixed-point rewrite; values == the committed
+# PLANS.json.
 EXPENSIVE_PINNED = [
     ("graph_k_core_peel", "9eebd4710506"),            # 7.40s
     ("decontaminate_substring", "a70a993d9516"),      # 7.26s
@@ -105,7 +105,7 @@ EXPENSIVE_PINNED = [
     ("dq_primary_key_check", "d3e3fbab875d"),         # 3.79s
     # re-pinned r9: intentional hi/lo-split escalation of the op's
     # inline fixed-point sums (sweep commit 36a6b65)
-    ("agg_abc_xyz_class", "9e29917be1ee"),            # 3.75s
+    ("agg_abc_xyz_class", "6c8b5f26ba24"),            # 3.75s
     # splits=N normalized out of the v2 form in r7 (Range parallelism is
     # an env knob, not plan shape) — this is the only range-built pin
     ("ts_partial_autocorrelation", "e90648145905"),   # 3.67s
@@ -115,7 +115,7 @@ EXPENSIVE_PINNED = [
     ("stream_multi_source_union", "617b4e992d85"),    # 3.13s
     ("emb_kmeans_pp_init", "e92174a4bd1c"),           # 3.08s
     ("dedup_clusters", "d879a457a638"),               # 2.98s
-    ("sink_manifest_publish", "3b49c5647fdc"),        # 2.98s (re-pinned r9: split-sum escalation)
+    ("sink_manifest_publish", "5ff57102748e"),        # 2.98s (re-pinned r9: split-sum escalation)
 ]
 
 
