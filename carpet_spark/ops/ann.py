@@ -945,7 +945,25 @@ def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "i", iv.alias("iv"))
     e = e.localCheckpoint()
 
-    first = e.groupBy().agg(F.min("vec_id").alias("vid")).select("vid")
+    # r11 optimization (guide §3.3/§5 — truncate iterative lineage): each
+    # round's 1-row argmax (nxt) is consumed by THREE later subtrees (the
+    # chosen union, the newest-centroid join, and the next round's
+    # anti-join), so without materialization round r's plan embedded —
+    # and re-executed — round r-1's whole subtree once per consumer:
+    # ~3^rounds growth, 27 distance passes and 94 Exchanges in the
+    # committed r10 plan (the worst shape in the r11 registry-wide
+    # audit).  localCheckpoint-ing the 1-row nxt (and 1-row first) cuts
+    # that to the k(k-1)/2 = 6 lazy distance passes of the linear mind
+    # chain — sf0.1 noop 2.20 s -> 2.11 s locally, and the recompute
+    # multiplier is gone at any scale.  (Checkpointing the |vectors|-row
+    # mind frame per round was tried too — optimal k passes — but each
+    # eager materialization is its own job and the extra per-job
+    # overhead DOUBLED local wall-clock (4.29 s); at 100 TB, where a
+    # distance pass dwarfs job overhead, that is the variant to flip
+    # to.)
+    first = (
+        e.groupBy().agg(F.min("vec_id").alias("vid")).select("vid").localCheckpoint()
+    )
     chosen = first.select(
         F.lit(1).alias("sel_order"),
         F.col("vid").alias("vec_id"),
@@ -982,7 +1000,7 @@ def emb_kmeans_pp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
             mind.join(chosen.select("vec_id"), "vec_id", "left_anti")
             .orderBy(F.col("mind").desc(), "vec_id")
             .limit(1)
-        )
+        ).localCheckpoint()
         chosen = chosen.unionAll(
             nxt.select(
                 F.lit(r).alias("sel_order"),

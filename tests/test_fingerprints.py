@@ -113,7 +113,9 @@ EXPENSIVE_PINNED = [
     ("graph_bfs_hops", "f11fa21b5f6d"),               # 3.54s
     ("eval_rec_catalog_coverage", "2fb6a1e75bad"),    # 3.15s
     ("stream_multi_source_union", "617b4e992d85"),    # 3.13s
-    ("emb_kmeans_pp_init", "e92174a4bd1c"),           # 3.08s
+    # re-pinned r11: iterative-lineage truncation (1-row argmax
+    # localCheckpoints — 94 Exchanges / 27 distance passes -> linear)
+    ("emb_kmeans_pp_init", "4782cd0e9398"),           # 3.08s
     ("dedup_clusters", "d879a457a638"),               # 2.98s
     ("sink_manifest_publish", "5ff57102748e"),        # 2.98s (re-pinned r9: split-sum escalation)
 ]
