@@ -1457,7 +1457,18 @@ def join_nearest_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = p.unionAll(q)
     order = [F.col("v"), F.col("kind"), F.coalesce("pid", "oid")]
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w2 = Window.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    # The forward lookup is a REVERSED running frame, not a
+    # [current, unboundedFollowing] frame: Spark evaluates
+    # first(ignorenulls) over an UnboundedFollowing frame by rescanning
+    # the frame per row — O(n²) in the sort order (measured 33 s at
+    # sf0.1 on the 27.5k-row union; guide §1.2 "the distributed
+    # algorithm").  last(ignorenulls) over the DESC order's running
+    # frame visits the identical row set (asc positions ≥ current,
+    # current included; NULLS FIRST asc ↔ NULLS LAST desc reverse
+    # exactly), evaluates incrementally in O(n), and returns the same
+    # value row for row.
+    rev = [F.col("v").desc(), F.col("kind").desc(), F.coalesce("pid", "oid").desc()]
+    w2 = Window.orderBy(*rev).rowsBetween(Window.unboundedPreceding, 0)
     part_pid = F.when(F.col("kind") == 0, F.col("pid"))
     part_price = F.when(F.col("kind") == 0, F.col("v"))
     tagged = stream.select(
@@ -1466,8 +1477,8 @@ def join_nearest_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qprice",
         F.last(part_pid, ignorenulls=True).over(w).alias("prev_pid"),
         F.last(part_price, ignorenulls=True).over(w).alias("prev_price"),
-        F.first(part_pid, ignorenulls=True).over(w2).alias("next_pid"),
-        F.first(part_price, ignorenulls=True).over(w2).alias("next_price"),
+        F.last(part_pid, ignorenulls=True).over(w2).alias("next_pid"),
+        F.last(part_price, ignorenulls=True).over(w2).alias("next_price"),
     )
     prefer_prev = (
         F.col("qprice") - F.col("prev_price")

@@ -154,13 +154,16 @@ def _banded_candidates(minh: DataFrame, rows_per_band: int) -> DataFrame:
 def _verify_jaccard(cand: DataFrame, docs_sh: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: join the shingle sets
     back (equi joins on doc id) and filter.  Candidates share ≥1 band so
-    the union is never empty — no ANSI divide-by-zero path here."""
+    the union is never empty — no ANSI divide-by-zero path here.
+
+    The union size is arithmetic, not materialized: sh arrays are
+    array_distinct (see _shingles), so |A∪B| = |A| + |B| − |A∩B| exactly —
+    one set operation per pair instead of two (r11 optimization, guide
+    §1.2 per-task work; the int→double division is value-identical)."""
     sh_a = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
@@ -198,30 +201,54 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     an empty set is 0 (or 0/0), never ≥ 0.7, and under ANSI mode the 0
     denominator would raise where DuckDB's double division yields NaN.
 
-    Size-ratio prefilter (lossless): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    so J ≥ 0.7 forces the shingle-set sizes within a 0.7 ratio — the
-    cheap length predicate sits in the join condition and prunes most
-    pairs BEFORE the expensive set intersection runs (the standard size
-    filter of exact similarity joins; same trick keeps the verify stage
-    cheap at 100 TB)."""
+    Candidate generation is the LOSSLESS prefix filter of exact
+    set-similarity joins (AllPairs/PPJoin family), not an n² nested loop
+    (r11 optimization, guide §3 — the 44 s sf0.1 nested loop was the
+    sweep's single slowest op):
+
+    - Order each shingle set by a global total order (sort_array —
+      lexicographic; any fixed order works).
+    - For J ≥ t the overlap i satisfies i ≥ ⌈t·|A|⌉ (since i ≥ t·|A∪B| ≥
+      t·|A| and i is integral); the globally-smallest common element x
+      then has rank ≤ |A| − i + 1 ≤ |A| − ⌈t·|A|⌉ + 1 in A's order (all
+      i common elements sort ≥ x), and symmetrically for B.  So EVERY
+      qualifying pair shares an element inside both prefixes of length
+      |X| − ⌈t·|X|⌉ + 1 — an equi-join on prefix shingles finds it.
+      False candidates are removed by the exact verify; no false
+      negatives exist, so the result set is bit-identical to all-pairs.
+    - The size-ratio filter (J ≤ min/max of sizes) prunes candidates
+      before the distinct, and only (doc_id, size) metadata flows through
+      the prefix join — shingle arrays re-attach by doc_id equi-join for
+      the verify (guide §2.3: shuffle keys, not payloads).
+
+    ⌈0.7·n⌉ is computed as exact integer (7n+9) div 10 — no float ever
+    meets the prefix length."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     docs_sh = d.select("doc_id", _shingles(toks).alias("sh")).filter(F.size("sh") > 0)
-    a = docs_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = docs_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    size_ok = F.least(F.size("sh_a"), F.size("sh_b")) >= 0.7 * F.greatest(
-        F.size("sh_a"), F.size("sh_b")
+    sz = F.size("sh")
+    plen = F.expr("size(sh) - (7 * size(sh) + 9) DIV 10 + 1")
+    pref = docs_sh.select(
+        "doc_id",
+        sz.alias("sz"),
+        F.explode(F.slice(F.sort_array("sh"), F.lit(1), plen)).alias("g"),
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
+    pa = pref.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "g")
+    pb = pref.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "g")
+    cand = (
+        pa.join(pb, "g")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("sz_a", "sz_b")
+                >= 0.7 * F.greatest("sz_a", "sz_b")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    return (
-        a.repartition(spark.sparkContext.defaultParallelism)
-        .join(F.broadcast(b), (F.col("doc_a") < F.col("doc_b")) & size_ok)
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.7)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return _verify_jaccard(cand, docs_sh, 0.7).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
@@ -887,21 +914,36 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     score ≥ 0.4 cosine — the semantic-dedup variant (catches paraphrases
     that shingle Jaccard misses).  Exact all-pairs on the doc↔vector join;
     at 100 TB the candidate set comes from sim_ann_lsh buckets instead of
-    the full cross join (same scoring expression either way)."""
+    the full cross join (same scoring expression either way).
+
+    Per-pair work is one dot product, not three (r11 optimization, guide
+    §1.2): each side's norm sqrt(x·x) depends only on its own row, so it
+    is computed ONCE per vector before the pair join instead of once per
+    pair — the identical double (same expression over the same data), so
+    cos_sim is value-identical while the n² stage does a third of the
+    FLOPs."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     e = load(spark, sf_dir, "embeddings")
-    j = d.join(e, d.doc_id == e.vec_id).select("doc_id", "embedding")
-    a = j.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"))
-    b = j.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = j.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = j.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     # NULLIF guard (degenerate sweep): zero-norm vectors drop out — NULL
     # cosine fails the threshold identically on both engines.
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
-        / F.nullif(
-            F.sqrt(_dot(F.col("ea"), F.col("ea")))
-            * F.sqrt(_dot(F.col("eb"), F.col("eb"))),
-            F.lit(0.0),
-        ),
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
         6,
     )
     return (
