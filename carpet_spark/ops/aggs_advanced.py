@@ -2794,20 +2794,35 @@ def agg_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(10)
         .alias("bin"),
     )
-    n1 = tagged.filter(F.col("period") == 1).count()
-    n2 = tagged.filter(F.col("period") == 2).count()
+    # Period totals as a broadcast 1-row aggregate instead of two driver
+    # .count() actions (r11, guide §5.1): the old form ran the scan+midpoint
+    # pipeline two extra times before the real query even started.  The
+    # cast-to-double totals are value-identical to the old float(n) literals
+    # (counts are exact integers far below 2^53).
+    totals = tagged.agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("t1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0))
+        .cast("double")
+        .alias("t2"),
+    )
     # NULLIF guards (degenerate sweep): a one-period table zeroes the other
     # period's count, and a bin all of whose mass is in period 2 zeroes p1 —
     # ANSI Spark throws, DuckDB infs; both sides now agree on NULL psi.
-    dist = binned.groupBy("bin").agg(
-        (
-            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
-            / F.nullif(F.lit(float(n1)), F.lit(0.0))
-        ).alias("p1"),
-        (
-            F.sum(F.when(F.col("period") == 2, 1).otherwise(0))
-            / F.nullif(F.lit(float(n2)), F.lit(0.0))
-        ).alias("p2"),
+    dist = (
+        binned.join(F.broadcast(totals))
+        .groupBy("bin")
+        .agg(
+            (
+                F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+                / F.nullif(F.first("t1"), F.lit(0.0))
+            ).alias("p1"),
+            (
+                F.sum(F.when(F.col("period") == 2, 1).otherwise(0))
+                / F.nullif(F.first("t2"), F.lit(0.0))
+            ).alias("p2"),
+        )
     )
     return dist.agg(
         F.count(F.lit(1)).alias("n_bins"),

@@ -176,17 +176,25 @@ def semantic_pair_dedup(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ea = j.select(F.col("doc_id").alias("doc_a"), F.col("embedding").alias("ea"))
-    eb = j.select(F.col("doc_id").alias("doc_b"), F.col("embedding").alias("eb"))
+    # per-vector norms hoisted out of the pair scoring (r11, guide §1.2) —
+    # one interpreted dot per pair instead of three, value-identical
+    jn = j.withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    ea = jn.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = jn.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
         # zero-norm side: cosine undefined -> NULL (the >= threshold filter
         # then drops the pair); unguarded this is an ANSI DIVIDE_BY_ZERO
         # job-killer on the first all-zero embedding in a 100 TB corpus
-        / F.nullif(
-            F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb"))),
-            F.lit(0.0),
-        ),
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
         6,
     )
     return (
@@ -245,8 +253,20 @@ def knn_join_topk(
         .select("q_id", "vec_id")
         .distinct()
     )
-    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
-    ie = e.select("vec_id", F.col("embedding").alias("iv"), "label")
+    # Per-vector norms hoisted out of the pair scoring (r11, guide §1.2):
+    # sqrt(x·x) depends only on the row, so computing it once per vector
+    # instead of once per candidate pair cuts the interpreted zip_with/
+    # aggregate dot products per pair from 3 to 1 — the same double either
+    # way (identical expression over identical data).
+    en = e.withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    qe = en.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    ie = en.select(
+        "vec_id", F.col("embedding").alias("iv"), "label", F.col("nrm").alias("inm")
+    )
     scored = (
         cand.join(qe, "q_id")
         .join(ie, "vec_id")
@@ -256,11 +276,8 @@ def knn_join_topk(
             "label",
             F.round(
                 _dot(F.col("qv"), F.col("iv"))
-                / F.nullif(  # zero-norm query or item: undefined -> NULL, filtered below
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("iv"), F.col("iv"))),
-                    F.lit(0.0),
-                ),
+                # zero-norm query or item: undefined -> NULL, filtered below
+                / F.nullif(F.col("qn") * F.col("inm"), F.lit(0.0)),
                 6,
             ).alias("cos_sim"),
         )

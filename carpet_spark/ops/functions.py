@@ -784,8 +784,11 @@ def fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure narrow projection, zero shuffle, all six expressions in
     one whole-stage-codegen pass over the tokenized column."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    return d.select(
+    # materialized token split (r11, guide §1.2): six sibling expressions
+    # each inlined the split — six splits per row collapsed to one
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    return base.select(
         "doc_id",
         F.array_join(
             F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)), " "

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import davg, fp_scaled_long, fp_split_sum_of, sql_davg
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 # ---------------------------------------------------------------- dedup ----
 
@@ -102,6 +102,37 @@ def _shingles(toks):
     )
     empty = F.array().cast("array<string>")
     return F.when(n >= 3, F.array_distinct(sh)).otherwise(empty)
+
+
+def _doc_shingles(d: DataFrame, nonempty: bool = False) -> DataFrame:
+    """(doc_id, sh) with the token split MATERIALIZED in its own projection.
+
+    Passing ``F.split("text", " ")`` straight into ``_shingles`` embeds the
+    split inside the transform lambda, so every ``element_at`` re-splits the
+    text — O(tokens · text_len) per row instead of O(text_len): measured
+    7.5s → 1.0s for the bare shingle stage at sf0.1 (r11, guide §1.2).
+    CollapseProject keeps the extra projection separate because the split is
+    non-cheap and multiply-referenced, so the array is computed once.
+
+    ``spread`` first: the fixture corpus is one scan split, so the whole
+    shingle stage (and everything downstream) would serialize on one core
+    (guide §2.4); the hash repartition on doc_id is a no-op at production
+    scale and doubles as a ReuseExchange point — the three consumers of the
+    shingle set (prefix/band generation and both verify sides) share the
+    computed arrays instead of re-shingling.
+
+    ``nonempty=True`` drops shingle-less docs via the CHEAP equivalent
+    pre-filter ``size(toks) >= 3`` (sh is non-empty iff the doc has >= 3
+    tokens — see _shingles' guard): filtering on ``size(sh) > 0`` after the
+    fact would be alias-substituted by predicate pushdown and re-evaluate
+    the whole shingle expression below the exchange (same pathology as the
+    excluded InferFiltersFromGenerate rule, session.py)."""
+    toks = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    if nonempty:
+        toks = toks.filter(F.size("toks") >= 3)
+    return toks.select("doc_id", _shingles(F.col("toks")).alias("sh"))
 
 
 _MINHASH_K = 16  # 4 bands x 4 rows -> LSH threshold ~ (1/4)^(1/4) ~ 0.71
@@ -224,8 +255,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⌈0.7·n⌉ is computed as exact integer (7n+9) div 10 — no float ever
     meets the prefix length."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    docs_sh = d.select("doc_id", _shingles(toks).alias("sh")).filter(F.size("sh") > 0)
+    docs_sh = _doc_shingles(d, nonempty=True)
     sz = F.size("sh")
     plen = F.expr("size(sh) - (7 * size(sh) + 9) DIV 10 + 1")
     pref = docs_sh.select(
@@ -267,8 +297,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     only colliding candidates, never n².
     """
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    docs_sh = d.select("doc_id", _shingles(toks).alias("sh"))
+    docs_sh = _doc_shingles(d)
     cand = _banded_candidates(_minhash_sigs(docs_sh), rows_per_band=4)
     return _verify_jaccard(cand, docs_sh, 0.7).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
@@ -426,7 +455,11 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram counts via an index-transform over the token array (no
     self-join: adjacency is positional, built per-row then exploded)."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # materialized token split + spread scan (r11, guide §1.2/§2.4)
+    base = spread(d.select("doc_id", "text"), "doc_id").select(
+        F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -438,7 +471,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element_at(toks, 0) throws; DuckDB's range(1, len) is empty there.
     bigrams = F.when(n >= 2, bigrams).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        base.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -793,8 +826,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB only the Spark formulation survives.
     """
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    docs_sh = d.select("doc_id", _shingles(toks).alias("sh"))
+    docs_sh = _doc_shingles(d)
     cand = _banded_candidates(_minhash_sigs(docs_sh), rows_per_band=2)
     pairs = _verify_jaccard(cand, docs_sh, 0.7).select("doc_a", "doc_b")
     edges = pairs.union(
@@ -1829,14 +1861,18 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic anywhere — the bigram space is bounded by the corpus, not
     vocab²."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # materialized token split + spread scan (r11, guide §1.2/§2.4)
+    base = spread(d.select("doc_id", "text"), "doc_id").select(
+        F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     uni = (
-        d.select(F.explode(toks).alias("w"))
+        base.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     bi = (
-        d.select(
+        base.select(
             F.explode(
                 F.when(
                     F.size(toks) >= 2,
@@ -1930,9 +1966,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-keyed equi join (never doc×doc), sizes broadcast back —
     dedup_near_jaccard's plan with a different final normalizer."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
-    toks = F.split("text", " ")
+    # materialized token split + spread scan (r11, guide §1.2/§2.4)
+    base = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     grams = (
-        d.select(
+        base.select(
             "doc_id",
             F.explode(
                 F.when(
@@ -3860,7 +3900,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded bigrams — the LM itself never exceeds vocabulary
     scale."""
     d = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # materialized token split + spread scan (r11, guide §1.2/§2.4): the
+    # inline split re-evaluated per element_at inside the transform lambda
+    base = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - 1))
     bigram_arr = F.transform(
         idx,
@@ -3869,12 +3914,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bigrams = (
-        d.filter(F.size(w) >= 2)
+        base.filter(F.size(w) >= 2)
         .select("doc_id", F.explode(bigram_arr).alias("b"))
     )
     big_counts = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
     uni_counts = (
-        d.select(F.explode(w).alias("wd"))
+        base.select(F.explode(w).alias("wd"))
         .groupBy("wd")
         .agg(F.count(F.lit(1)).alias("cw"))
     )

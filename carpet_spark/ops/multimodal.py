@@ -31,7 +31,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 # Formats the vendored decoders below CANNOT handle (they need a codec
 # library like PIL); PPM/PGM/BMP decode is pure-Python and always works.
@@ -450,7 +450,9 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the comment skip fails the value hash.  Dims span 40..339 so both
     fit-box branches execute.  Scale: mapInPandas, one Arrow batch per
     core, payloads never on the driver."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: the single-split fixture scan would serialize the whole
+    # Python decode pipeline on one core (r11, guide §2.4/§4)
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -524,7 +526,9 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-handle fails the value hash.  The batch shape (binary in,
     fixed-width vector out) is the real embedding-worker contract; swap
     the feature lambda for a model call when weights exist."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: the single-split fixture scan would serialize the whole
+    # Python decode pipeline on one core (r11, guide §2.4/§4)
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -600,7 +604,9 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): identical shape to mm_image_features — Arrow-batched
     mapInPandas, payloads never on the driver; at production the channel
     sums feed a global mean/std aggregate for dataset normalization."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread: the single-split fixture scan would serialize the whole
+    # Python decode pipeline on one core (r11, guide §2.4/§4)
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -919,7 +925,9 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash op.  Output is the verified near-dup pair list."""
     import numpy as np
 
-    d = load(spark, sf_dir, "documents").select(
+    # spread: single-split fixture scan would serialize the Python
+    # hashing stage on one core (r11, guide §2.4/§4)
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 

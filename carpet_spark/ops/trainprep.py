@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import davg, round6, sql_davg
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 # ------------------------------------------------------------- cleaning ----
 
@@ -565,7 +565,14 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded n-grams — the corpus is never shuffled, and the per-doc
     ``array_distinct`` bounds the explode factor at |tokens|."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Materialize the token array in its own projection and spread the
+    # single-split fixture scan (r11, guide §1.2/§2.4): inlining the split
+    # into the transform lambda re-splits the text per element_at — 5x per
+    # gram — and the whole gram stage serialized on one core.
+    base = spread(d.select("doc_id", "source", "text"), "doc_id").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - 4),
@@ -583,7 +590,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.when(n >= 5, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
-    ng = d.select("doc_id", "source", grams.alias("gs"))
+    ng = base.select("doc_id", "source", grams.alias("gs"))
     bench = (
         ng.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("gs").alias("g"))
@@ -762,7 +769,17 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation, so the hash match also proves the two are equivalent.
     round(6) absorbs float-summation-order differences (SURVEY §7.4.1)."""
     d = load(spark, sf_dir, "documents")
-    toks_sorted = F.array_sort(F.split("text", " "))
+    # Materialize the sorted token array in its own projection (r11, guide
+    # §1.2): every reference to the inline expression — and run_term fires
+    # once per token run inside the fold — re-evaluated
+    # array_sort(split(text)).  No spread here: the op's pinned design
+    # claim is ZERO exchanges (test_token_entropy_zero_shuffle), and the
+    # materialization alone removes the quadratic re-evaluation.
+    # NULL-text filter moved ahead of the projection (same rows kept).
+    base = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.array_sort(F.split("text", " ")).alias("ts")
+    )
+    toks_sorted = F.col("ts")
     n = F.size(toks_sorted)
 
     def run_term(run):
@@ -796,8 +813,9 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(st.run > 0, run_term(st.run)).otherwise(F.lit(0.0)),
     )
     # NULL-text docs have no token distribution — no row, matching the
-    # oracle where unnest(split(NULL)) emits nothing for them
-    return d.where(F.col("text").isNotNull()).select(
+    # oracle where unnest(split(NULL)) emits nothing for them (filtered in
+    # the base projection above)
+    return base.select(
         "doc_id",
         n.cast("long").alias("n_tok"),
         F.round(entropy, 6).alias("token_entropy"),
@@ -834,10 +852,15 @@ def quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
 
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # materialized token split + spread scan (r11, guide §1.2/§2.4): the
+    # five sibling feature expressions each inlined the split
+    base = spread(d.select("doc_id", "n_chars", "text"), "doc_id").select(
+        "doc_id", "n_chars", "text", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks)
     markers = F.array(*[F.lit(w) for w in _QUALITY_EN_MARKERS])
-    feats = d.select(
+    feats = base.select(
         "doc_id",
         (F.col("n_chars") >= 280).cast("double").alias("label"),
         n_tok.cast("double").alias("f_ntok"),
@@ -954,14 +977,19 @@ def dedup_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     token count, so total shuffle volume is ~2 x the tokenized corpus
     digest stream — linear, skew-free (digests are uniform)."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # materialized token split + spread scan (r11, guide §1.2/§2.4): the
+    # inline split re-evaluated per slice() inside the transform lambda
     W = 10
-    d = d.filter(F.size(toks) >= W)
+    base = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    base = base.filter(F.size(toks) >= W)
     digs = F.transform(
         F.sequence(F.lit(1), F.size(toks) - W + 1),
         lambda k: F.md5(F.array_join(F.slice(toks, k, W), " ")),
     )
-    spans = d.select("doc_id", F.explode(digs).alias("dig"))
+    spans = base.select("doc_id", F.explode(digs).alias("dig"))
     per = spans.groupBy("dig").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         spans.join(per, "dig")
@@ -1274,9 +1302,16 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources yields C(k,2) pair rows, never a corpus × corpus product;
     sizes join over |sources| rows.  Output: C(|sources|,2) rows."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # materialized token split + spread scan: same inline-split fix as
+    # decontaminate_ngram (r11, guide §1.2/§2.4)
+    # round-robin spread: hashing by "source" would pile each source's docs
+    # onto one partition (only a handful of distinct sources)
+    base = spread(d.select("source", "text")).select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
     grams = (
-        d.select(
+        base.select(
             "source",
             F.explode(
                 F.when(

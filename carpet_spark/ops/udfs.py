@@ -271,8 +271,17 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Pre-partition both sides by the cogroup key at defaultParallelism
+    # (r11, guide §2.4/§4): cogroup's required ClusteredDistribution is
+    # already satisfied, so no further exchange is inserted and the ~15k
+    # per-key Python calls fan out over every core instead of the 8
+    # default shuffle partitions.  Same shuffled bytes either way — the
+    # repartition REPLACES the exchange cogroup would have inserted.
+    n = spark.sparkContext.defaultParallelism
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = o.repartition(n, "o_custkey")
+    c = c.repartition(n, "c_custkey")
     out = (
         o.groupby("o_custkey")
         .cogroup(c.groupby("c_custkey"))

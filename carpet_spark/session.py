@@ -23,6 +23,21 @@ RUNTIME_CONFS = {
     # cluster this is overridden via spark-submit to ~2-3x total cores and
     # AQE coalesces the rest
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "8"),
+    # InferFiltersFromGenerate turns every explode(computed_array) into a
+    # pre-Generate Filter whose predicate, after alias substitution by
+    # predicate pushdown, RE-EVALUATES the full array expression (twice:
+    # size()>0 AND isnotnull) below any exchange — for the 3-gram shingle
+    # pipeline that filter alone cost 8.6 s of the 10.9 s explode stage at
+    # sf0.1 (r11, guide §1.2/§2.3; measured 8.63 s -> 1.11 s with the rule
+    # excluded, identical 260,388 output rows).  The pruning the rule buys
+    # (skip rows with empty arrays before the Generate) is re-added
+    # explicitly and CHEAPLY where it matters (e.g. _doc_shingles'
+    # token-count pre-filter).  Excluding an optimizer rule is
+    # semantics-preserving by contract, and the same recomputation burns
+    # real money at 100 TB where the generate inputs are corpus text.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
 }
 
 # NOTE on Arrow batch sizing: Python->JVM OUTPUT batches are unbounded by
@@ -74,6 +89,10 @@ def get_spark(app_name: str = "carpet_spark", cpus: int | None = None) -> SparkS
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            RUNTIME_CONFS["spark.sql.optimizer.excludedRules"],
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

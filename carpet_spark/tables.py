@@ -122,3 +122,24 @@ def _sanitize_embeddings(df: DataFrame) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Scale-adaptive parallelism floor for CPU-heavy per-row stages
+    (optimization guide §2.4: derive partitioning from the input, don't
+    hard-code either the local or the cluster shape).
+
+    The test fixtures are single-row-group parquet files — one scan split —
+    so per-row-expensive stages (shingling, regex scoring, image decode,
+    pandas UDFs) serialize on one of the 32 cores.  When the plan yields
+    fewer partitions than ``defaultParallelism``, hash-repartition up to it
+    (on ``cols`` when given, so no sort-before-round-robin pass is needed);
+    when the scan already has >= cores splits — every production 100 TB
+    layout — this returns ``df`` unchanged and adds NO shuffle.  The check
+    reads the planned partition count only; no job runs.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
