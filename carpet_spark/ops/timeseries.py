@@ -4178,24 +4178,66 @@ def ts_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = daily.where(F.col("cents").isNotNull()).select(
         "d", (F.col("cents") / 100.0).alias("v")
     )
-    wexp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    vals = F.collect_list("v").over(wexp)
-    seed = F.struct(F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b"))
-    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    # Single-pass fold-with-history (r11, guide §1.2; same transformation
+    # as ts_holt_winters_additive): the expanding collect_list window
+    # re-folded the whole prefix per row — O(|days|²) steps.  One fold over
+    # the collapsed series records each step's state; every old row's fold
+    # was a prefix of this one, so each output double is bit-identical.
+    one = c.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "v"))).alias("a")
+    )
+    a = F.col("a")
+    n = F.size(a)
+    _HIST_T = "array<struct<d:date,v:double,l:double,b:double>>"
+    first = F.element_at(a, 1)
+    # seed state after observation 1 — which is ALSO row 1's output
+    seed = F.struct(
+        first["v"].alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array(
+            F.struct(
+                first["d"].alias("d"),
+                first["v"].alias("v"),
+                first["v"].alias("l"),
+                F.lit(0.0).alias("b"),
+            )
+        ).alias("hist"),
+    )
+    rest = F.slice(a, 2, F.greatest(n - 1, F.lit(0)))
 
     def step(acc, x):
-        new_l = F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])
+        new_l = F.lit(0.3) * x["v"] + F.lit(0.7) * (acc["l"] + acc["b"])
         new_b = F.lit(0.1) * (new_l - acc["l"]) + F.lit(0.9) * acc["b"]
-        return F.struct(new_l.alias("l"), new_b.alias("b"))
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            F.concat(
+                acc["hist"],
+                F.array(
+                    F.struct(
+                        x["d"].alias("d"),
+                        x["v"].alias("v"),
+                        new_l.alias("l"),
+                        new_b.alias("b"),
+                    )
+                ),
+            ).alias("hist"),
+        )
 
-    st = F.aggregate(rest, seed, step)
-    h = c.select("d", "v", st.alias("st"))
+    hist = F.aggregate(rest, seed, step, lambda acc: acc["hist"])
+    # n >= 1 guard: an empty series must not evaluate the seed's
+    # element_at(a, 1) (the old form simply had no rows)
+    h = one.select(
+        F.explode(
+            F.when(n >= 1, hist).otherwise(F.array().cast(_HIST_T))
+        ).alias("r")
+    )
     return h.select(
-        "d",
-        (F.col("v") + F.lit(0.0)).alias("v"),
-        (F.col("st")["l"] + F.lit(0.0)).alias("level"),
-        (F.col("st")["b"] + F.lit(0.0)).alias("trend"),
-        (F.col("st")["l"] + F.col("st")["b"] + F.lit(0.0)).alias(
+        F.col("r.d").alias("d"),
+        (F.col("r.v") + F.lit(0.0)).alias("v"),
+        (F.col("r.l") + F.lit(0.0)).alias("level"),
+        (F.col("r.b") + F.lit(0.0)).alias("trend"),
+        (F.col("r.l") + F.col("r.b") + F.lit(0.0)).alias(
             "forecast_next"
         ),
     )
@@ -5496,18 +5538,32 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = daily.where(F.col("cents").isNotNull()).select(
         "d", "cents", (F.col("cents") / 100.0).alias("v")
     )
-    wexp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    vals = F.collect_list("v").over(wexp)
-    valsc = F.collect_list("cents").over(wexp)
-    n = F.size(vals)
+    # Single-pass fold-with-history (r11, guide §1.2): the old form ran an
+    # EXPANDING collect_list window and re-folded the whole prefix per row
+    # — O(|days|²) recurrence steps (measured 14.0 s at sf0.1).  Collapsing
+    # the bounded calendar series into one row and running the recurrence
+    # ONCE, recording each step's state into the accumulator, performs the
+    # exact same IEEE operations in the exact same order (each old row's
+    # fold was a prefix of this one), so every output double is
+    # bit-identical; the day axis re-emerges via one explode.  The old
+    # expanding window already needed the full series in a single task, so
+    # the one-row form holds no more state than before.
+    one = c.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "cents", "v"))).alias("a")
+    )
+    a = F.col("a")
+    n = F.size(a)
+
+    def cents_at(k: int):
+        return F.element_at(a, k)["cents"]
+
     # init level from EXACT integer cents (summing seven doubles would
     # hinge on addition order — the one place the two engines differ)
     l0 = (
-        F.element_at(valsc, 1) + F.element_at(valsc, 2)
-        + F.element_at(valsc, 3) + F.element_at(valsc, 4)
-        + F.element_at(valsc, 5) + F.element_at(valsc, 6)
-        + F.element_at(valsc, 7)
+        cents_at(1) + cents_at(2) + cents_at(3) + cents_at(4)
+        + cents_at(5) + cents_at(6) + cents_at(7)
     ) / 700.0
+    _HIST_T = "array<struct<d:date,v:double,l:double,b:double,s7:double,s1:double>>"
     # seed state after observation 7: s = [y1-l0 .. y7-l0] (s[1] is the
     # next position due, i.e. position 1's seasonal)
     seed = F.struct(
@@ -5515,39 +5571,61 @@ def ts_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("b"),
         F.transform(
             F.sequence(F.lit(1), F.lit(7)),
-            lambda i: F.element_at(vals, i) - l0,
+            lambda i: F.element_at(a, i)["v"] - l0,
         ).alias("s"),
+        F.array().cast(_HIST_T).alias("hist"),
     )
-    rest = F.slice(vals, 8, F.greatest(n - 7, F.lit(0)))
+    rest = F.slice(a, 8, F.greatest(n - 7, F.lit(0)))
 
     def step(acc, x):
         s_due = F.element_at(acc["s"], 1)
-        new_l = F.lit(0.3) * (x - s_due) + F.lit(0.7) * (acc["l"] + acc["b"])
+        new_l = F.lit(0.3) * (x["v"] - s_due) + F.lit(0.7) * (acc["l"] + acc["b"])
         new_b = F.lit(0.1) * (new_l - acc["l"]) + F.lit(0.9) * acc["b"]
-        new_s = F.lit(0.2) * (x - new_l) + F.lit(0.8) * s_due
+        new_s = F.lit(0.2) * (x["v"] - new_l) + F.lit(0.8) * s_due
         return F.struct(
             new_l.alias("l"),
             new_b.alias("b"),
             F.concat(F.slice(acc["s"], 2, 6), F.array(new_s)).alias("s"),
+            F.concat(
+                acc["hist"],
+                F.array(
+                    F.struct(
+                        x["d"].alias("d"),
+                        x["v"].alias("v"),
+                        new_l.alias("l"),
+                        new_b.alias("b"),
+                        # rotated s[7] is new_s; rotated s[1] is old s[2]
+                        new_s.alias("s7"),
+                        F.element_at(acc["s"], 2).alias("s1"),
+                    )
+                ),
+            ).alias("hist"),
         )
 
-    st = F.aggregate(rest, seed, step)
-    h = c.select("d", "v", n.alias("rn"), st.alias("st")).filter(F.col("rn") >= 8)
+    hist = F.aggregate(rest, seed, step, lambda acc: acc["hist"])
+    # n >= 8 guard: with fewer than 8 observations the seed's element_at
+    # lookups would be out of bounds; the old per-row form never evaluated
+    # them because the rn >= 8 filter removed every such row
+    h = one.select(
+        F.explode(
+            F.when(n >= 8, hist).otherwise(F.array().cast(_HIST_T))
+        ).alias("r")
+    )
     return h.select(
-        "d",
-        (F.col("v") + F.lit(0.0)).alias("v"),
-        (F.col("st")["l"] + F.lit(0.0)).alias("level"),
-        (F.col("st")["b"] + F.lit(0.0)).alias("trend"),
-        (F.element_at(F.col("st")["s"], 7) + F.lit(0.0)).alias("seasonal"),
+        F.col("r.d").alias("d"),
+        (F.col("r.v") + F.lit(0.0)).alias("v"),
+        (F.col("r.l") + F.lit(0.0)).alias("level"),
+        (F.col("r.b") + F.lit(0.0)).alias("trend"),
+        (F.col("r.s7") + F.lit(0.0)).alias("seasonal"),
         # forecast sums the (+0.0-normalized) components in the same
         # order as the oracle — all UNROUNDED since r11 (bit-identical
         # fold proven at three SFs; the former 6dp rounds were the
         # magnitude cliff, and the rounded-component sum had its own
         # .5-ulp boundary class, hit once at sf0.001)
         (
-            (F.col("st")["l"] + F.lit(0.0))
-            + (F.col("st")["b"] + F.lit(0.0))
-            + (F.element_at(F.col("st")["s"], 1) + F.lit(0.0))
+            (F.col("r.l") + F.lit(0.0))
+            + (F.col("r.b") + F.lit(0.0))
+            + (F.col("r.s1") + F.lit(0.0))
         ).alias("forecast_next"),
     )
 
