@@ -44,7 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 _MAGIC = b"Obj\x01"
 
@@ -705,7 +705,12 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     never visit the driver); read parallelism = shard count.  Sink ops
     necessarily run their write at construction (registry docstring,
     exception class 2)."""
-    o = load(spark, sf_dir, "orders").filter(F.expr(_SINK_FILTER)).select(
+    # spread: the single-split fixture scan would serialize the pure-Python
+    # Avro encode on one core; write parallelism = upstream partitioning by
+    # design, so this also raises read parallelism (r11, guide §2.4/§4)
+    o = spread(
+        load(spark, sf_dir, "orders").filter(F.expr(_SINK_FILTER)), "o_orderkey"
+    ).select(
         "o_orderkey",
         "o_orderstatus",
         "o_totalprice",

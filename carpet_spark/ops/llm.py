@@ -5987,16 +5987,27 @@ def emb_hubness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor lists (ops/ann.py) and this op then audits the index
     itself."""
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    # spread + per-vector norm hoist (r11, guide §1.2/§2.4): the theta
+    # join's nested-loop probe ran single-task, and each pair recomputed
+    # both sides' norms — one interpreted dot per pair instead of three,
+    # value-identical (same expression over the same data)
+    en = spread(e, "vec_id").withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    a = en.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, F.col("qid") != F.col("nid")).select(
         "qid", "nid",
         F.round(
-            _dot(F.col("ea"), F.col("eb"))
-            / (
-                F.sqrt(_dot(F.col("ea"), F.col("ea")))
-                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-            ),
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
             6,
         ).alias("cos"),
     )
@@ -6381,16 +6392,27 @@ def eval_rec_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): all-pairs on the probe subset only; production
     reads the ANN index's neighbor lists (ops/ann.py) instead."""
     e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("eb"))
+    # spread + per-vector norm hoist (r11, guide §1.2/§2.4): the theta
+    # join's nested-loop probe ran single-task, and each pair recomputed
+    # both sides' norms — one interpreted dot per pair instead of three,
+    # value-identical (same expression over the same data)
+    en = spread(e, "vec_id").withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    a = en.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, F.col("qid") != F.col("nid")).select(
         "qid", "nid",
         F.round(
-            _dot(F.col("ea"), F.col("eb"))
-            / (
-                F.sqrt(_dot(F.col("ea"), F.col("ea")))
-                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-            ),
+            _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
             6,
         ).alias("cos"),
     )

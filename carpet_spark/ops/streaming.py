@@ -128,6 +128,21 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_dir() -> str:
+    """Base dir for THROWAWAY streaming checkpoints (one-shot availableNow
+    queries into memory sinks; unique per run, never resumed).  Prefer the
+    tmpfs when one exists — the HDFS-backed state store fsyncs per-batch
+    delta files, and putting that on page-cache-backed tmpfs cut the
+    stream-stream join 6.7 -> 5.0 s at sf0.1 (r11, guide §5/§6).  A real
+    deployment's RESUMABLE checkpoints belong on durable shared storage —
+    override via SPARK_GRAFT_CKPT_DIR; this helper only serves the
+    ephemeral local harness."""
+    env = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if env:
+        return env
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ns→µs normalized), one file per
     micro-batch capped — the file source is the deterministic stand-in for
@@ -176,7 +191,7 @@ def _run_available_now(
     last_exc: Exception | None = None
     for attempt in range(2):
         ckpt = os.path.join(
-            tempfile.gettempdir(), f"ckpt_{query_name}_{uuid.uuid4().hex}"
+            _scratch_dir(), f"ckpt_{query_name}_{uuid.uuid4().hex}"
         )
         q = (
             stream_df.writeStream.format("memory")
@@ -797,7 +812,7 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
 
     spark.dataSource.register(JsonlStreamSink)
     stream = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
-    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_pyds_sink_{uuid.uuid4().hex}")
+    ckpt = os.path.join(_scratch_dir(), f"ckpt_pyds_sink_{uuid.uuid4().hex}")
     q = (
         stream.writeStream.format("jsonlsink")
         .option("path", out)
@@ -920,7 +935,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.replace(tmp, manifest)  # atomic commit
 
     ckpt = os.path.join(
-        tempfile.gettempdir(), f"ckpt_upsert_{uuid.uuid4().hex}"
+        _scratch_dir(), f"ckpt_upsert_{uuid.uuid4().hex}"
     )
     q = (
         _events_stream(spark, sf_dir)
