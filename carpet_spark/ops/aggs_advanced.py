@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import fp_scaled_long, fp_split_sum_of, fp_split_sum_over, lsum
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 
 @register(
@@ -2052,7 +2052,11 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast as a 1-row join and pass 2 computes all three means +
     the outside count in ONE aggregate.  Two scans total, no sort of
     the full data."""
-    li = load(spark, sf_dir, "lineitem")
+    # spread both passes (r11, guide §2.4): the exact-percentile buffer
+    # collection and both full-column averages ran on the single fixture
+    # scan split; exact percentile is partition-order independent, so the
+    # repartition is value-neutral (verified identical output rows).
+    li = spread(load(spark, sf_dir, "lineitem").select("l_extendedprice"))
     bounds = li.agg(
         F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
         F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),

@@ -852,9 +852,12 @@ def quality_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
 
     d = load(spark, sf_dir, "documents")
-    # materialized token split + spread scan (r11, guide §1.2/§2.4): the
-    # five sibling feature expressions each inlined the split
-    base = spread(d.select("doc_id", "n_chars", "text"), "doc_id").select(
+    # materialized token split (r11, guide §1.2): the five sibling feature
+    # expressions each inlined the split.  NO spread here: featurization is
+    # one cheap pass, but every one of LBFGS's 25 treeAggregate iterations
+    # inherits the partition count — 32 partitions turned the tiny fit into
+    # 800 task launches (measured 6.4 -> 8.2 s cold; 1-partition fit wins).
+    base = d.select("doc_id", "n_chars", "text").select(
         "doc_id", "n_chars", "text", F.split("text", " ").alias("toks")
     )
     toks = F.col("toks")
