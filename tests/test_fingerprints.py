@@ -95,13 +95,20 @@ EXPENSIVE_PINNED = [
     ("graph_pagerank", "904c43197a93"),               # 5.26s
     ("stream_foreachbatch_upsert", "924e6d1d904e"),   # 4.65s
     ("scan_python_datasource_pushdown", "612948376226"),  # 4.64s
-    ("dedup_near_embedding_ann", "2bf0a853a7d1"),     # 4.62s
+    # re-pinned r11 optimization: per-vector norm hoist in
+    # semantic_pair_dedup (1 interpreted dot per candidate pair, not 3)
+    ("dedup_near_embedding_ann", "483e35df6700"),     # 4.62s
     ("sim_mmr_rerank", "a607781b9efb"),               # 4.57s
     ("sink_python_datasource_roundtrip", "cda8daa486c8"),  # 4.45s
     # re-pinned r9: explicit NULL-feature/label drop before fit+score
     # (NULL-regime finding — VectorAssembler aborts on incomplete rows)
-    ("quality_train_score", "ff51ccfc793c"),          # 4.12s
-    ("udf_cogrouped_pandas", "10502ae8ff51"),         # 3.97s
+    # re-pinned r11 optimization: token split materialized in its own
+    # projection (the five feature exprs each re-split the text)
+    ("quality_train_score", "2a9f52604af3"),          # 4.12s
+    # re-pinned r11 optimization: both cogroup sides pre-partitioned by
+    # key at defaultParallelism (ClusteredDistribution satisfied, the ~15k
+    # per-key Python calls fan out over every core)
+    ("udf_cogrouped_pandas", "bac36b486c79"),         # 3.97s
     ("dq_primary_key_check", "d3e3fbab875d"),         # 3.79s
     # re-pinned r9: intentional hi/lo-split escalation of the op's
     # inline fixed-point sums (sweep commit 36a6b65)
@@ -111,7 +118,9 @@ EXPENSIVE_PINNED = [
     ("ts_partial_autocorrelation", "e90648145905"),   # 3.67s
     ("stream_interval_join", "ff48a261270e"),         # 3.63s
     ("graph_bfs_hops", "f11fa21b5f6d"),               # 3.54s
-    ("eval_rec_catalog_coverage", "2fb6a1e75bad"),    # 3.15s
+    # re-pinned r11 optimization: spread + per-vector norm hoist on the
+    # all-pairs probe scoring
+    ("eval_rec_catalog_coverage", "6fe38eb30f96"),    # 3.15s
     ("stream_multi_source_union", "617b4e992d85"),    # 3.13s
     # re-pinned r11: iterative-lineage truncation (1-row argmax
     # localCheckpoints — 94 Exchanges / 27 distance passes -> linear)
