@@ -223,3 +223,27 @@ def sql_lavg(expr: str) -> str:
         f"CAST(CAST(SUM(CAST(ROUND({sql_fin(expr)} * 1000000) AS BIGINT))"
         f" AS DOUBLE) / 1000000.0 / COUNT(*) AS DOUBLE)"
     )
+
+
+def dbl_vec(col: Column) -> Column:
+    """Widen a float-vector column to array<double> ONCE per vector (r11
+    optimization, guide §1.2).  The cosine family's pair scoring folds
+    zip_with(a, b, (p, q) -> double(p) * double(q)) per candidate pair;
+    zip_with/aggregate are CodegenFallback (interpreted), so the two
+    per-element casts are ~half the interpreted frames of every pair dot.
+    float32 -> float64 widening is exact, so casting each vector once
+    before the pair join and multiplying the pre-widened elements yields
+    the bit-identical product sequence — measured ~25-30% off the pair
+    scoring stage at sf0.1 (tests/test_r11_optimizations.py pins the
+    bit-equality over every fixture pair)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def vec_dot(x: Column, y: Column) -> Column:
+    """Dot product over pre-widened array<double> vectors: the same
+    left-to-right aggregate fold as the inline-cast form (ops/llm._dot),
+    minus the two interpreted casts per element.  NULL array / padded
+    (length-mismatch) / NULL-element propagation is unchanged — the
+    product of a NULL element is NULL either way, which nulls the fold."""
+    prods = F.zip_with(x, y, lambda p, q: p * q)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)

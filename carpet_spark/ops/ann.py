@@ -21,9 +21,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..exprs import fp_scaled_long
+from ..exprs import dbl_vec, fp_scaled_long, vec_dot
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 _DIM = 64
 _N_PLANES = 8  # 256 buckets
@@ -164,21 +164,28 @@ def semantic_pair_dedup(
     """Banded-SRP near-dup pairs over (doc_id, embedding) rows: equi
     self-join on the band signature for candidates, exact double cosine
     verify at `threshold`.  Parameterized so the probe can run the
-    production-banding regime on the same code path."""
+    production-banding regime on the same code path.
+
+    r11 optimization (measured A/B at sf0.1, OPTIMIZATION_r11.md):
+    the vector is widened to array<double> once per row (exprs.dbl_vec —
+    bit-identical products, the interpreted fold drops the 2 casts per
+    element), and the raw candidate pairs are spread BEFORE the distinct:
+    the band self-join inherits the single-split scan's 1 partition, so
+    pair enumeration's partial-dedup hash aggregate ran on one core; the
+    hash repartition on (doc_a, doc_b) satisfies the distinct's
+    clustering, so the aggregate itself adds no further exchange."""
+    j = j.select("doc_id", dbl_vec(F.col("embedding")).alias("embedding"))
     bands = banded_signatures(j, planes, n_bands, n_bits)
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    raw = a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    cand = spread(raw, "doc_a", "doc_b").distinct()
     # per-vector norms hoisted out of the pair scoring (r11, guide §1.2) —
-    # one interpreted dot per pair instead of three, value-identical
-    jn = j.withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    # one dot per pair instead of three, value-identical
+    jn = j.withColumn("nrm", F.sqrt(vec_dot(F.col("embedding"), F.col("embedding"))))
     ea = jn.select(
         F.col("doc_id").alias("doc_a"),
         F.col("embedding").alias("ea"),
@@ -190,7 +197,7 @@ def semantic_pair_dedup(
         F.col("nrm").alias("nb"),
     )
     cos = F.round(
-        _dot(F.col("ea"), F.col("eb"))
+        vec_dot(F.col("ea"), F.col("eb"))
         # zero-norm side: cosine undefined -> NULL (the >= threshold filter
         # then drops the pair); unguarded this is an ANSI DIVIDE_BY_ZERO
         # job-killer on the first all-zero embedding in a 100 TB corpus
@@ -247,12 +254,19 @@ def knn_join_topk(
     qb = bands.filter(F.col("label") == 1).select(
         F.col("vec_id").alias("q_id"), "sig"
     )
-    cand = (
+    raw = (
         qb.join(bands.select("vec_id", "sig"), "sig")
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
-        .distinct()
     )
+    # r11 optimization (measured A/B at sf0.1, OPTIMIZATION_r11.md): the
+    # sig join inherits the single-split scan's 1 partition, so candidate
+    # enumeration and the distinct's partial aggregate ran on one core —
+    # spread the raw pairs BEFORE the distinct (hash repartition on the
+    # group key satisfies the aggregate's clustering; measured 3.4 s ->
+    # 1.4 s for the full op).  At any production layout spread() is a
+    # no-op (tables.spread).
+    cand = spread(raw, "q_id", "vec_id").distinct()
     # Per-vector norms hoisted out of the pair scoring (r11, guide §1.2):
     # sqrt(x·x) depends only on the row, so computing it once per vector
     # instead of once per candidate pair cuts the interpreted zip_with/

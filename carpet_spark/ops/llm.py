@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import davg, fp_scaled_long, fp_split_sum_of, sql_davg
 from ..registry import register
+from ..exprs import dbl_vec, vec_dot
 from ..tables import load, spread
 
 # ---------------------------------------------------------------- dedup ----
@@ -711,21 +712,37 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine ≥ 0.3 on the label=0 subset — deliberately a
     bounded-subset op (SURVEY §7.6): brute force is quadratic and only sane
-    after a filter; the broadcast self-join keeps it shuffle-free."""
+    after a filter; the broadcast self-join keeps it shuffle-free.
+
+    Per-pair work is one dot product, not three (r11 optimization, guide
+    §1.2): sqrt(x·x) depends only on its own row so each side's norm is
+    computed once per vector before the pair join — the identical double
+    either way — and the vector is widened to array<double> once per row
+    (exprs.dbl_vec) so the interpreted pair fold multiplies pre-cast
+    elements, bit-identical products (pinned in
+    tests/test_r11_optimizations.py)."""
     s = load(spark, sf_dir, "embeddings").filter(F.col("label") == 0).select(
-        "vec_id", "embedding"
+        "vec_id", dbl_vec(F.col("embedding")).alias("embedding")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(vec_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    a = s.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = s.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    a = s.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     # NULLIF guard (degenerate sweep): a zero-norm vector has no cosine —
     # NULL on both sides, so the >= threshold drops the pair identically.
     cos = F.round(
-        _dot(F.col("ea"), F.col("eb"))
-        / F.nullif(
-            F.sqrt(_dot(F.col("ea"), F.col("ea")))
-            * F.sqrt(_dot(F.col("eb"), F.col("eb"))),
-            F.lit(0.0),
-        ),
+        vec_dot(F.col("ea"), F.col("eb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
         6,
     )
     return (
@@ -953,13 +970,19 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed ONCE per vector before the pair join instead of once per
     pair — the identical double (same expression over the same data), so
     cos_sim is value-identical while the n² stage does a third of the
-    FLOPs."""
+    FLOPs.  The vector is also widened to array<double> ONCE per row
+    (exprs.dbl_vec) so the interpreted pair fold multiplies pre-cast
+    elements — bit-identical products, ~25-30% off the scoring stage
+    (r11, guide §1.2; an Arrow-batched numpy kernel was measured SLOWER
+    here — see OPTIMIZATION_r11.md's rejected-experiments list)."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     e = load(spark, sf_dir, "embeddings")
     j = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", dbl_vec(F.col("embedding")).alias("embedding")
+    ).select(
         "doc_id",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(vec_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     a = j.select(
         F.col("doc_id").alias("doc_a"),
@@ -974,7 +997,7 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLIF guard (degenerate sweep): zero-norm vectors drop out — NULL
     # cosine fails the threshold identically on both engines.
     cos = F.round(
-        _dot(F.col("ea"), F.col("eb"))
+        vec_dot(F.col("ea"), F.col("eb"))
         / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
         6,
     )

@@ -106,3 +106,87 @@ def test_infer_filters_from_generate_excluded(spark):
     ensure_runtime_confs(spark)
     excluded = spark.conf.get("spark.sql.optimizer.excludedRules")
     assert "InferFiltersFromGenerate" in (excluded or "")
+
+
+# --- exprs.dbl_vec / exprs.vec_dot (pre-widened pair dot) -------------------
+#
+# The cosine family's pair scoring widens each vector to array<double> ONCE
+# per row (dbl_vec) and folds the pre-widened elements (vec_dot), instead of
+# re-casting both elements inside every interpreted zip_with lambda.  The
+# products are bit-identical (float32 -> float64 widening is exact and the
+# fold order is unchanged), so every hash-banked cosine op keeps its driver
+# hash; these tests pin that claim.  (An Arrow-batched numpy kernel was also
+# built, proven bit-identical, and REJECTED on measurement — the interpreted
+# fold on well-spread partitions beats the Arrow round-trip at 64 dims; see
+# OPTIMIZATION_r11.md.)
+
+
+def test_precast_dot_bit_identical_over_all_fixture_pairs(spark, sf_dir):
+    """vec_dot over dbl_vec-widened vectors == the inline-cast fold over
+    the raw float vectors, for EVERY ordered embedding pair at the fixture
+    SF — value-equal AND string-repr-equal (catches a -0.0/0.0 split that
+    plain double equality would mask)."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.exprs import dbl_vec, vec_dot
+    from carpet_spark.ops.llm import _dot
+    from carpet_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("fa"),
+        dbl_vec(F.col("embedding")).alias("da"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("fb"),
+        dbl_vec(F.col("embedding")).alias("db"),
+    )
+    pairs = a.repartition(spark.sparkContext.defaultParallelism).join(
+        F.broadcast(b), F.col("ia") < F.col("ib")
+    )
+    cmp = pairs.select(
+        _dot(F.col("fa"), F.col("fb")).alias("inline"),
+        vec_dot(F.col("da"), F.col("db")).alias("precast"),
+    )
+    bad = cmp.filter(
+        ~(
+            F.col("inline").eqNullSafe(F.col("precast"))
+            & F.col("inline")
+            .cast("string")
+            .eqNullSafe(F.col("precast").cast("string"))
+        )
+    ).count()
+    assert bad == 0, f"{bad} pairs diverge between precast and inline-cast dot"
+
+
+def test_precast_dot_matches_inline_on_edge_rows(spark):
+    """NULL side / ragged / empty / null-element / -0.0 / order-sensitive
+    magnitude rows: the pre-widened fold must propagate every edge exactly
+    like the inline-cast fold."""
+    import pyspark.sql.functions as F
+
+    from carpet_spark.exprs import dbl_vec, vec_dot
+    from carpet_spark.ops.llm import _dot
+
+    ones = [1.0] * 8
+    rows = [
+        ([1e16, 1.0, -1e16, 1.0, 1e16, 1.0, -1e16, 1.0], ones),
+        ([1e8, 1e-8, -1e8, 1e-8, 1e8, -1e8, 1e-8, 1e-8], ones),
+        ([-0.0, 0.0, -0.0, 0.0, -0.0, 0.0, -0.0, 0.0], ones),
+        ([0.25, -0.5, 0.125, -0.25, 0.0625, 2.0, -4.0, 8.0],
+         [1.5, 2.5, -3.5, 4.5, -5.5, 6.5, 7.5, -8.5]),
+        ([], []),  # empty: fold init 0.0
+        (None, ones),  # NULL side
+        (ones, None),
+        ([1.0, 2.0], [1.0, 2.0, 3.0]),  # ragged: zip_with pads -> NULL
+        ([1.0, None, 2.0] + [0.0] * 5, ones),  # null element -> NULL
+    ]
+    df = spark.createDataFrame(rows, "xs array<float>, ys array<float>")
+    got = df.select(
+        _dot(F.col("xs"), F.col("ys")).alias("inline"),
+        vec_dot(dbl_vec(F.col("xs")), dbl_vec(F.col("ys"))).alias("precast"),
+    ).collect()
+    for r in got:
+        assert repr(r.inline) == repr(r.precast), (r.inline, r.precast)
