@@ -2024,13 +2024,21 @@ def dq_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
              quantile_cont(l_extendedprice, 0.95) AS hi
       FROM lineitem
     )
-    SELECT round(AVG(l_extendedprice), 6) AS raw_mean,
-           round(AVG(CASE WHEN l_extendedprice >= (SELECT lo FROM bounds)
-                           AND l_extendedprice <= (SELECT hi FROM bounds)
-                          THEN l_extendedprice END), 6) AS trimmed_mean,
-           round(AVG(GREATEST((SELECT lo FROM bounds),
-                     LEAST((SELECT hi FROM bounds), l_extendedprice))), 6)
-             AS winsorized_mean,
+    SELECT round(CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000 / COUNT(*), 6) AS raw_mean,
+           round(CAST(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+                      FILTER (WHERE l_extendedprice >= (SELECT lo FROM bounds)
+                              AND l_extendedprice <= (SELECT hi FROM bounds))
+                 AS DOUBLE) / 1000000
+                 / COUNT(*) FILTER (WHERE l_extendedprice
+                                    >= (SELECT lo FROM bounds)
+                                    AND l_extendedprice
+                                    <= (SELECT hi FROM bounds)), 6)
+             AS trimmed_mean,
+           round(CAST(SUM(CAST(ROUND(GREATEST((SELECT lo FROM bounds),
+                          LEAST((SELECT hi FROM bounds), l_extendedprice))
+                          * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+                 / COUNT(*), 6) AS winsorized_mean,
            CAST(COUNT(*) FILTER (WHERE l_extendedprice
                                  < (SELECT lo FROM bounds)
                                  OR l_extendedprice
@@ -2063,11 +2071,30 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = F.col("l_extendedprice")
     inside = (v >= F.col("lo")) & (v <= F.col("hi"))
+
+    # r12 correctness fix (found verifying the inherited tree): the three
+    # means were plain double AVGs, whose summation order follows the
+    # partitioning — at cpus=32 the sf0.01 winsorized mean sat on a 6dp
+    # rounding midpoint and flipped vs the oracle (53055.821699 vs
+    # 53055.8217 at cpus=8/DuckDB).  Both engines now sum the IDENTICAL
+    # 6dp fixed-point integers (the repo's determinism discipline,
+    # mirroring agg_winsorized_stats on the same column), which is
+    # partition-order independent at any scale.
+    def fp6(col):
+        return fp_scaled_long(col, 1_000_000)
+
+    def fpmean(col, cnt):
+        return F.round(
+            fp_split_sum_of(fp6(col)).cast("double") / 1000000 / cnt, 6
+        )
+
     return li.join(F.broadcast(bounds)).agg(
-        F.round(F.avg(v), 6).alias("raw_mean"),
-        F.round(F.avg(F.when(inside, v)), 6).alias("trimmed_mean"),
-        F.round(
-            F.avg(F.greatest(F.col("lo"), F.least(F.col("hi"), v))), 6
+        fpmean(v, F.count(F.lit(1))).alias("raw_mean"),
+        fpmean(F.when(inside, v), F.count(F.when(inside, 1))).alias(
+            "trimmed_mean"
+        ),
+        fpmean(
+            F.greatest(F.col("lo"), F.least(F.col("hi"), v)), F.count(F.lit(1))
         ).alias("winsorized_mean"),
         F.count(F.when(~inside, 1)).cast("long").alias("n_outside"),
     )

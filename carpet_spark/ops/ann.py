@@ -173,8 +173,15 @@ def semantic_pair_dedup(
     the band self-join inherits the single-split scan's 1 partition, so
     pair enumeration's partial-dedup hash aggregate ran on one core; the
     hash repartition on (doc_a, doc_b) satisfies the distinct's
-    clustering, so the aggregate itself adds no further exchange."""
-    j = j.select("doc_id", dbl_vec(F.col("embedding")).alias("embedding"))
+    clustering, so the aggregate itself adds no further exchange.
+
+    r12 (ADVICE r11): the widening moved OFF the banding input — float
+    vectors feed the bucketize mapInPandas (half the Arrow payload and
+    half the band-stage shuffle width; numpy widens to float64 exactly
+    either way, so the signatures are bit-identical) and dbl_vec applies
+    only on the scoring frame ``jn``, whose per-pair fold needs the
+    pre-widened elements."""
+    j = j.select("doc_id", "embedding")
     bands = banded_signatures(j, planes, n_bands, n_bits)
     a, b = bands.alias("a"), bands.alias("b")
     raw = a.join(
@@ -185,7 +192,8 @@ def semantic_pair_dedup(
     cand = spread(raw, "doc_a", "doc_b").distinct()
     # per-vector norms hoisted out of the pair scoring (r11, guide §1.2) —
     # one dot per pair instead of three, value-identical
-    jn = j.withColumn("nrm", F.sqrt(vec_dot(F.col("embedding"), F.col("embedding"))))
+    jn = j.select("doc_id", dbl_vec(F.col("embedding")).alias("embedding"))
+    jn = jn.withColumn("nrm", F.sqrt(vec_dot(F.col("embedding"), F.col("embedding"))))
     ea = jn.select(
         F.col("doc_id").alias("doc_a"),
         F.col("embedding").alias("ea"),
@@ -271,8 +279,16 @@ def knn_join_topk(
     # sqrt(x·x) depends only on the row, so computing it once per vector
     # instead of once per candidate pair cuts the interpreted zip_with/
     # aggregate dot products per pair from 3 to 1 — the same double either
-    # way (identical expression over identical data).
-    en = e.withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    # way (identical expression over identical data).  r12: the vector is
+    # widened to array<double> ONCE per row (exprs.dbl_vec) so the per-pair
+    # fold multiplies pre-widened elements — bit-identical products (the
+    # r11-pinned equivalence), ~2 interpreted casts/element saved per pair;
+    # the float vectors keep feeding banded_signatures above (half the
+    # Arrow payload; numpy widens exactly either way).
+    en = e.select(
+        "vec_id", "label", dbl_vec(F.col("embedding")).alias("embedding")
+    )
+    en = en.withColumn("nrm", F.sqrt(vec_dot(F.col("embedding"), F.col("embedding"))))
     qe = en.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
@@ -289,7 +305,7 @@ def knn_join_topk(
             "vec_id",
             "label",
             F.round(
-                _dot(F.col("qv"), F.col("iv"))
+                vec_dot(F.col("qv"), F.col("iv"))
                 # zero-norm query or item: undefined -> NULL, filtered below
                 / F.nullif(F.col("qn") * F.col("inm"), F.lit(0.0)),
                 6,

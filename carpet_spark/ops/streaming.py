@@ -130,17 +130,26 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _scratch_dir() -> str:
     """Base dir for THROWAWAY streaming checkpoints (one-shot availableNow
-    queries into memory sinks; unique per run, never resumed).  Prefer the
-    tmpfs when one exists — the HDFS-backed state store fsyncs per-batch
-    delta files, and putting that on page-cache-backed tmpfs cut the
-    stream-stream join 6.7 -> 5.0 s at sf0.1 (r11, guide §5/§6).  A real
-    deployment's RESUMABLE checkpoints belong on durable shared storage —
-    override via SPARK_GRAFT_CKPT_DIR; this helper only serves the
-    ephemeral local harness."""
+    queries into memory sinks; unique per run, never resumed).  Under a
+    ``local[*]`` master prefer the tmpfs when one exists — the HDFS-backed
+    state store fsyncs per-batch delta files, and putting that on
+    page-cache-backed tmpfs cut the stream-stream join 6.7 -> 5.0 s at
+    sf0.1 (r11, guide §5/§6).  On any NON-local master the default is the
+    ordinary temp dir, NOT node-local tmpfs: checkpoint state must be
+    visible to every node of a cluster, and even throwaway availableNow
+    state-store files are read back by downstream batches (r12, VERDICT
+    item 7).  A real deployment's RESUMABLE checkpoints belong on durable
+    shared storage — override via SPARK_GRAFT_CKPT_DIR either way."""
     env = os.environ.get("SPARK_GRAFT_CKPT_DIR")
     if env:
         return env
-    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    master = s.sparkContext.master if s is not None else ""
+    if master.startswith("local") and os.path.isdir("/dev/shm"):
+        return "/dev/shm"
+    return tempfile.gettempdir()
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

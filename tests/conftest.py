@@ -18,6 +18,84 @@ _DURATIONS_FILE = os.path.join(
 )
 
 
+# ---------------------------------------------------------------------------
+# Driver-fast verification subset (r12 VERDICT item 1).
+#
+# The full suite is ~9k tests / 20+ min even sharded — it outgrew the
+# driver's verify window (VERIFY_r11: truncated at ~45% with zero
+# failures).  A bare full-directory run (`pytest tests/ -x -q`, the
+# driver's invocation) therefore selects the DRIVER-FAST subset: every
+# fast module in full, plus one oracle-parity + output-schema op per
+# registry family (first alphabetically — deterministic) and the nine
+# headline bench ops.  ~2,4xx tests, < 5 min, covering every plan pin,
+# every micro-contract and one end-to-end DuckDB parity per family.
+#
+# The FULL gate is unchanged and remains the builder-side entrypoint:
+#   python scripts/run_tests_sharded.py 4        (CARPET_SHARD set per worker)
+#   CARPET_FULL=1 python -m pytest tests/ -q     (single process, ~50+ min)
+# Runs that target specific files/tests (fewer than 15 modules collected)
+# are never filtered, so `pytest tests/test_degenerate.py` still runs all
+# of it.  pytest prints the deselection count in its summary line.
+# ---------------------------------------------------------------------------
+
+# headline bench ops (bench.py HEADLINE values) — always in the fast set
+_FAST_ALWAYS_OPS = {
+    "agg_groupby", "q3_top_orders", "join_multiway", "win_rank", "topk",
+    "distinct_users", "text_tokenize_wordcount", "stream_tumbling",
+    "dedup_exact",
+}
+# ops touched by the r12 optimization round — parity stays driver-checked
+_FAST_ALWAYS_OPS |= {
+    "dedup_near_embedding_ann", "sim_knn_join_topk", "sim_mmr_rerank",
+    "graph_pagerank", "agg_percentile", "agg_trimmed_mean",
+    "agg_winsorized_stats", "sample_systematic_every_nth", "scan_avro",
+    "scan_python_datasource", "scan_python_datasource_pushdown",
+    "sink_python_datasource_roundtrip", "stream_python_datasource_sink",
+    "stream_interval_join", "dedup_near_embedding", "sim_knn_brute",
+    "ts_partial_autocorrelation", "sim_ann_ivf",
+}
+# per-op parameterized modules that get the family sample; all other
+# modules are kept whole
+_FAST_SAMPLED_MODULES = ("test_oracle_parity.py", "test_output_schemas.py")
+# heavyweight builder-gate modules dropped from the fast subset entirely
+_FAST_DROPPED_MODULES = (
+    "test_degenerate.py", "test_type_lint.py", "test_sf01_regressions.py",
+)
+
+
+def _driver_fast_filter(config, items):
+    if os.environ.get("CARPET_FULL"):
+        return
+    modules = {it.nodeid.split("::")[0] for it in items}
+    if len(modules) < 15:
+        return  # targeted run (single files / -k): never filter
+    # family sample over the parameterized per-op modules: first op
+    # alphabetically per family prefix, computed from the collected ids so
+    # every invocation selects identically
+    fam_first: dict[str, str] = {}
+    for it in items:
+        mod = it.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        if mod != "test_oracle_parity.py" or "[" not in it.nodeid:
+            continue
+        op = it.nodeid.split("[", 1)[1].rstrip("]")
+        fam = op.split("_")[0]
+        if fam not in fam_first or op < fam_first[fam]:
+            fam_first[fam] = op
+    keep_ops = set(fam_first.values()) | _FAST_ALWAYS_OPS
+    keep, dropped = [], []
+    for it in items:
+        mod = it.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        if mod in _FAST_DROPPED_MODULES:
+            dropped.append(it)
+        elif mod in _FAST_SAMPLED_MODULES:
+            op = it.nodeid.split("[", 1)[1].rstrip("]") if "[" in it.nodeid else ""
+            (keep if op in keep_ops else dropped).append(it)
+        else:
+            keep.append(it)
+    items[:] = keep
+    config.hook.pytest_deselected(items=dropped)
+
+
 def pytest_collection_modifyitems(config, items):
     """Deterministic test sharding (r06 VERDICT item 4): CARPET_SHARD=i/N
     partitions the collected items across N workers.  Collection order is
@@ -38,6 +116,7 @@ def pytest_collection_modifyitems(config, items):
     by collection index."""
     shard = os.environ.get("CARPET_SHARD")
     if not shard:
+        _driver_fast_filter(config, items)
         return
     idx, count = (int(x) for x in shard.split("/"))
     durations = {}

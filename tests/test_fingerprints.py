@@ -95,10 +95,10 @@ EXPENSIVE_PINNED = [
     ("graph_pagerank", "904c43197a93"),               # 5.26s
     ("stream_foreachbatch_upsert", "924e6d1d904e"),   # 4.65s
     ("scan_python_datasource_pushdown", "612948376226"),  # 4.64s
-    # re-pinned r11 optimization (2nd pass): per-vector norm hoist +
-    # dbl_vec precast + pre-distinct spread of the raw candidate pairs
-    # (the band self-join inherited the single-split scan's 1 partition)
-    ("dedup_near_embedding_ann", "0f738c468fad"),     # 4.62s -> 3.1s
+    # re-pinned r12 (ADVICE r11): float vectors feed banded_signatures
+    # (half the Arrow payload; bit-identical signatures), dbl_vec applies
+    # only on the scoring frame
+    ("dedup_near_embedding_ann", "91266d6f1adb"),     # 4.62s -> 3.1s -> 2.4s
     ("sim_mmr_rerank", "a607781b9efb"),               # 4.57s
     ("sink_python_datasource_roundtrip", "cda8daa486c8"),  # 4.45s
     # re-pinned r9: explicit NULL-feature/label drop before fit+score
