@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import fp_scaled_long, fp_split_sum_of, fp_split_sum_over, lsum
+from ..ranks import group_percentiles_exact
 from ..registry import register
 from ..tables import load, spread
 
@@ -66,14 +67,28 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT percentiles (Spark `percentile`, not percentile_approx) —
-    interpolation semantics verified identical to quantile_cont (SURVEY
-    §2.E).  Exact percentile buffers per-group values: fine for bounded
-    groups; at 100 TB switch to approx_percentile (sketch-mergeable)."""
+    """EXACT percentiles — interpolation semantics verified identical to
+    quantile_cont (SURVEY §2.E).
+
+    r12 (VERDICT item 2): the `percentile` aggregate buffers every value
+    of a group and its final merge sorts them in ONE task per group — the
+    largest remaining single-task shape in the registry.  Replaced by the
+    range-partitioned two-phase rank (ranks.group_percentiles_exact),
+    which reproduces the aggregate's interpolation BIT-FOR-BIT (form
+    probed in scripts/percentile_form_probe.py, equivalence battery
+    pinned in tests/test_r12_optimizations.py) while every phase runs
+    partition-parallel."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    pct = group_percentiles_exact(
+        li,
+        "l_extendedprice",
+        ["l_returnflag"],
+        {"p50_price": 0.5, "p90_price": 0.9},
+    )
+    return pct.select(
+        "l_returnflag",
+        F.round("p50_price", 6).alias("p50_price"),
+        F.round("p90_price", 6).alias("p90_price"),
     )
 
 
@@ -2060,14 +2075,19 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast as a 1-row join and pass 2 computes all three means +
     the outside count in ONE aggregate.  Two scans total, no sort of
     the full data."""
-    # spread both passes (r11, guide §2.4): the exact-percentile buffer
-    # collection and both full-column averages ran on the single fixture
-    # scan split; exact percentile is partition-order independent, so the
-    # repartition is value-neutral (verified identical output rows).
+    # spread pass 2 (r11, guide §2.4): the full-column fixed-point sums ran
+    # on the single fixture scan split.  Pass 1 (r12, VERDICT item 2): the
+    # exact-percentile single-task buffer merge is replaced by the
+    # range-partitioned two-phase rank — bit-identical bounds (pinned
+    # equivalence, tests/test_r12_optimizations.py), every phase parallel,
+    # so the raw scan feeds it directly (the helper's range exchange is
+    # its own spread).
     li = spread(load(spark, sf_dir, "lineitem").select("l_extendedprice"))
-    bounds = li.agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    bounds = group_percentiles_exact(
+        load(spark, sf_dir, "lineitem").select("l_extendedprice"),
+        "l_extendedprice",
+        [],
+        {"lo": 0.05, "hi": 0.95},
     )
     v = F.col("l_extendedprice")
     inside = (v >= F.col("lo")) & (v <= F.col("hi"))
@@ -3317,10 +3337,11 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     step — swap approx_percentile at scale, documented), broadcast
     bounds join, then a map-side-combined fixed-point mean."""
     li = load(spark, sf_dir, "lineitem")
-    bounds = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("p5"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
-    )
+    # r12 (VERDICT item 2): single-task-per-group percentile buffer merge
+    # -> range-partitioned two-phase rank, bit-identical bounds
+    bounds = group_percentiles_exact(
+        li, "l_extendedprice", ["l_returnflag"], {"p5": 0.05, "p95": 0.95}
+    ).select(F.col("l_returnflag").alias("flag"), "p5", "p95")
     clamped = li.join(
         F.broadcast(bounds), li.l_returnflag == bounds.flag
     ).select(

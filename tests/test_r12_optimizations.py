@@ -128,3 +128,112 @@ def test_banded_signatures_identical_for_float_and_double_input(spark, sf_dir):
     a = sorted(map(tuple, flt.collect()))
     b = sorted(map(tuple, dbl.collect()))
     assert a == b
+
+
+# --- ranks.ranked_by_range / group_percentiles_exact (VERDICT items 2, 8) --
+
+
+def test_ranked_by_range_equals_global_row_number(spark):
+    """The two-phase range rank must reproduce a global row_number over a
+    total order EXACTLY (same ranks for every row)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from carpet_spark.ranks import ranked_by_range
+
+    random.seed(7)
+    rows = [(i, random.randrange(10**9)) for i in range(5000)]
+    random.shuffle(rows)
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        (r.k, r.v): r._rank
+        for r in ranked_by_range(df, ["v", "k"]).collect()
+    }
+    w = Window.orderBy("v", "k")
+    from pyspark.sql import functions as FF
+
+    ref = {
+        (r.k, r.v): r.rn
+        for r in df.withColumn("rn", FF.row_number().over(w)).collect()
+    }
+    assert got == ref
+
+
+def test_ranked_by_range_grouped_with_null_group(spark):
+    from pyspark.sql import Window
+
+    from carpet_spark.ranks import ranked_by_range
+
+    rows = [("a", 3), ("a", 1), (None, 5), (None, 2), ("b", 4), (None, 9)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = sorted(
+        (r.g or "", r.v, r._rank)
+        for r in ranked_by_range(df, ["v"], ["g"]).collect()
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    ref = sorted(
+        (r.g or "", r.v, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    )
+    assert got == ref
+
+
+def _pct_ref_vs_got(spark, rows, groups, ps):
+    from carpet_spark.ranks import group_percentiles_exact
+
+    if groups:
+        df = spark.createDataFrame(rows, "g string, x double")
+        ref = df.groupBy("g").agg(
+            *[F.percentile("x", F.lit(p)).alias(n) for n, p in ps.items()]
+        ).collect()
+        got = group_percentiles_exact(df, "x", ["g"], ps).collect()
+    else:
+        df = spark.createDataFrame(rows, "x double")
+        ref = df.agg(
+            *[F.percentile("x", F.lit(p)).alias(n) for n, p in ps.items()]
+        ).collect()
+        got = group_percentiles_exact(df, "x", [], ps).collect()
+    return sorted(map(repr, map(tuple, ref))), sorted(map(repr, map(tuple, got)))
+
+
+@pytest.mark.parametrize(
+    "case,vals",
+    [
+        ("dups", [2.0, 2.0, 2.0, 3.0, 3.0]),
+        ("nan", [1.0, float("nan"), 2.0, float("nan"), 3.0]),
+        ("inf", [float("-inf"), 1.0, float("inf"), 2.0]),
+        ("nulls", [1.0, None, 2.0, None, 3.0]),
+        ("allnull", [None, None]),
+        ("huge", [1e16, 1e16 + 2, 1e16 + 4, -1e300, 1e300]),
+        ("single", [7.25]),
+        ("empty", []),
+        ("ulp", [0.1, 0.3, 0.30000000000000004, 0.7]),
+    ],
+)
+def test_group_percentiles_exact_bitwise_global(spark, case, vals):
+    """repr-equality (bit-faithful incl. NaN/-0.0 display) vs the Spark
+    `percentile` aggregate over adversarial inputs.  The one corner NOT
+    covered: inputs mixing -0.0 and 0.0 at a percentile boundary, where
+    the aggregate itself is partition-arrival nondeterministic (its
+    OpenHashMap keeps them as distinct keys whose sorted tie order is
+    merge-order dependent)."""
+    ps = {"p05": 0.05, "p333": 1 / 3, "p50": 0.5, "p90": 0.9}
+    rows = [(v,) for v in vals]
+    ref, got = _pct_ref_vs_got(spark, rows, None, ps)
+    assert ref == got
+
+
+def test_group_percentiles_exact_bitwise_random_grouped(spark):
+    import random
+
+    random.seed(12)
+    rows = []
+    for _ in range(800):
+        g = random.choice(["A", "B", "C", None])
+        x = None if random.random() < 0.05 else random.uniform(-1e6, 1e6)
+        rows.append((g, x))
+    rows.append(("onlynull", None))
+    ps = {"p05": 0.05, "p50": 0.5, "p90": 0.9}
+    ref, got = _pct_ref_vs_got(spark, rows, ["g"], ps)
+    assert ref == got
