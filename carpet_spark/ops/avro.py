@@ -551,7 +551,44 @@ def _register_avro_source(spark: SparkSession, spark_schema: str) -> None:
                 return
             p, start, end = partition.value
             _, rows = read_ocf_range(p, start, end, self.reader_schema)
-            yield from rows
+            # Arrow RecordBatch yield (r12, VERDICT item 4 / guide §4):
+            # decoded tuples are batched into columnar Arrow chunks
+            # instead of crossing the Python boundary as per-row pickles.
+            # Types come from the declared Spark schema (the tuples follow
+            # the same field order); an unmapped type falls back to the
+            # row path, which Spark accepts per yield.
+            import pyarrow as pa
+
+            pa_types = {
+                "long": pa.int64(), "bigint": pa.int64(), "int": pa.int32(),
+                "double": pa.float64(), "float": pa.float32(),
+                "string": pa.string(), "binary": pa.binary(),
+                "boolean": pa.bool_(),
+            }
+            fields = []
+            for part_str in self.schema_str.split(","):
+                name, _, typ = part_str.strip().partition(" ")
+                t = pa_types.get(typ.strip().lower())
+                if t is None:
+                    yield from rows  # unmapped type: row fallback
+                    return
+                fields.append((name, t))
+            chunk = []
+            for r in rows:
+                chunk.append(r)
+                if len(chunk) >= 8192:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(list(c), t) for c, (_, t) in
+                         zip(zip(*chunk), fields)],
+                        names=[n for n, _ in fields],
+                    )
+                    chunk = []
+            if chunk:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(list(c), t) for c, (_, t) in
+                     zip(zip(*chunk), fields)],
+                    names=[n for n, _ in fields],
+                )
 
     class AvroScanSource(DataSource):
         @classmethod

@@ -319,11 +319,27 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             return [InputPartition(p) for p in range(self.parts)]
 
         def read(self, partition):
+            # Arrow RecordBatch yield (r12, VERDICT item 4 / guide §4):
+            # Spark 4 converts row-tuple yields via a per-row pickle path;
+            # one columnar batch per split crosses the Python boundary as
+            # Arrow instead — same rows, same schema, no per-row cost.
             import hashlib
 
+            import pyarrow as pa
+
             p = partition.value
-            for i in range(p, self.rows, self.parts):
-                yield i, p, hashlib.md5(str(i).encode()).hexdigest()
+            ids = list(range(p, self.rows, self.parts))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([p] * len(ids), pa.int32()),
+                    pa.array(
+                        [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                        pa.string(),
+                    ),
+                ],
+                names=["id", "part", "payload"],
+            )
 
     class SynDocsDataSource(DataSource):
         @classmethod
@@ -416,12 +432,27 @@ def scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFra
             return [InputPartition(p) for p in ps]
 
         def read(self, partition):
+            # Arrow RecordBatch yield (r12, VERDICT item 4 / guide §4) —
+            # the pushed-down bounds still cap what is generated; what
+            # survives crosses the boundary as one columnar batch.
             import hashlib
+
+            import pyarrow as pa
 
             p = partition.value
             start = self.id_lo + ((p - self.id_lo) % self.parts)
-            for i in range(start, self.id_hi, self.parts):
-                yield i, p, hashlib.md5(str(i).encode()).hexdigest()
+            ids = list(range(start, self.id_hi, self.parts))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array([p] * len(ids), pa.int32()),
+                    pa.array(
+                        [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                        pa.string(),
+                    ),
+                ],
+                names=["id", "part", "payload"],
+            )
 
     class PushdownDataSource(DataSource):
         @classmethod
@@ -459,7 +490,7 @@ from dataclasses import dataclass as _dataclass
 
 from pyspark.sql.datasource import (
     DataSource as _DataSource,
-    DataSourceWriter as _DataSourceWriter,
+    DataSourceArrowWriter as _DataSourceArrowWriter,
     WriterCommitMessage as _WriterCommitMessage,
 )
 
@@ -470,7 +501,13 @@ class PartCommit(_WriterCommitMessage):
     rows: int
 
 
-class JsonLinesWriter(_DataSourceWriter):
+class JsonLinesWriter(_DataSourceArrowWriter):
+    """Arrow-batch writer (r12, VERDICT item 4 / guide §4): the row-based
+    DataSourceWriter receives every row as a pickled Spark Row; the Arrow
+    form receives whole columnar RecordBatches.  ``to_pylist()`` yields
+    dicts in schema column order — the same key order ``Row.asDict()``
+    produced — so the emitted JSONL bytes are unchanged."""
+
     def __init__(self, options):
         self.path = options["path"]
 
@@ -482,9 +519,10 @@ class JsonLinesWriter(_DataSourceWriter):
         part = os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
         n = 0
         with open(part, "w") as f:
-            for row in iterator:
-                f.write(_json.dumps(row.asDict()) + "\n")
-                n += 1
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    f.write(_json.dumps(rec) + "\n")
+                    n += 1
         return PartCommit(path=part, rows=n)
 
     def commit(self, messages):

@@ -773,7 +773,11 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     import json
     from dataclasses import dataclass
 
-    from pyspark.sql.datasource import DataSource, DataSourceStreamWriter, WriterCommitMessage
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamArrowWriter,
+        WriterCommitMessage,
+    )
 
     out = os.path.join(
         tempfile.gettempdir(),
@@ -785,7 +789,11 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     class PartCommit(WriterCommitMessage):
         path: str
 
-    class JsonlStreamWriter(DataSourceStreamWriter):
+    class JsonlStreamWriter(DataSourceStreamArrowWriter):
+        # Arrow-batch stream writer (r12, VERDICT item 4 / guide §4):
+        # micro-batch rows arrive as columnar RecordBatches instead of
+        # per-row pickles; to_pylist() keeps schema column order, so the
+        # emitted JSONL bytes are unchanged.
         def __init__(self, options):
             self.path = options["path"]
 
@@ -794,8 +802,9 @@ def stream_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
 
             part = os.path.join(self.path, f"part-{_u.uuid4().hex}.jsonl")
             with open(part, "w") as f:
-                for row in iterator:
-                    f.write(json.dumps(row.asDict()) + "\n")
+                for batch in iterator:
+                    for rec in batch.to_pylist():
+                        f.write(json.dumps(rec) + "\n")
             return PartCommit(path=part)
 
         def commit(self, messages, batchId):
