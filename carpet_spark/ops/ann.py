@@ -616,6 +616,17 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
+    # r12 examined and left alone (VERDICT item 5 named this op from its
+    # 4.6 s sweep-tail figure; isolated fresh cost is ~0.55 s of mostly
+    # fixed overhead).  Three variants were measured interleaved and ALL
+    # rejected as slower or neutral-at-best at this volume (numbers in
+    # OPTIMIZATION_r12.md): spread() on the scan (the 10k-vector shuffle
+    # costs more than the fan-out saves — the r11 q1-scan lesson), the
+    # dbl_vec row-side precast (the extra 64-element interpreted
+    # transform plus the doubled row width through the cross join cost
+    # more than the two saved casts per fold element), and even the bare
+    # query-norm hoist (a 1-row broadcast column) — the op is
+    # fixed-cost-dominated, not scoring-dominated.
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     scored = e.crossJoin(F.broadcast(q)).select(
         "vec_id",

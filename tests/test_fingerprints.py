@@ -116,7 +116,9 @@ EXPENSIVE_PINNED = [
     ("agg_abc_xyz_class", "6c8b5f26ba24"),            # 3.75s
     # splits=N normalized out of the v2 form in r7 (Range parallelism is
     # an env knob, not plan shape) — this is the only range-built pin
-    ("ts_partial_autocorrelation", "e90648145905"),   # 3.67s
+    # re-pinned r12: `daily` localCheckpointed (events scanned once, not
+    # 3x — the returned plan now tops out at the checkpoint RDD scan)
+    ("ts_partial_autocorrelation", "eb9171f4b177"),   # 3.67s -> 0.5s warm
     ("stream_interval_join", "ff48a261270e"),         # 3.63s
     ("graph_bfs_hops", "f11fa21b5f6d"),               # 3.54s
     # re-pinned r11 optimization: spread + per-vector norm hoist on the
