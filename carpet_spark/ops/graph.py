@@ -1002,10 +1002,14 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(e3, (wedges.a == e3.a3) & (wedges.c == e3.c3)).select(
         "a", "b", "c"
     )
+    # r12 (guide §1.2): the three-way union consumed `tri` THREE times —
+    # each branch re-ran the whole wedge+closing join (only exchanges are
+    # reused across consumers, not the joins above them).  Exploding the
+    # corner array credits all three corners in ONE pass over the
+    # triangles: identical per-vertex counts, measured 3.1-3.5 s ->
+    # 1.5-1.6 s for the full op at sf0.1.
     tv = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("t"))
     )
