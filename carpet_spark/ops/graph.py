@@ -535,6 +535,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        # r12 (guide §5): the changed-row probe used to be a SECOND join
+        # of new vs old labels per round; the update join already sees
+        # both, so the flag rides the same frame and the convergence
+        # check is a filter-count on the checkpointed rows — one join and
+        # one pass per round instead of two.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -542,15 +547,15 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce("nmin", F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+                    != F.col("label")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:

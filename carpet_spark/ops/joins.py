@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..exprs import dsum, lsum, sql_dsum, sql_lsum
 from ..registry import register
-from ..tables import load
+from ..tables import load, spread
 
 
 @register(
@@ -625,10 +625,18 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost dial.  JVM-side levenshtein (built-in), hash-verified against
     DuckDB's."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    a = c.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        F.substring("c_name", 10, 7).alias("blk"),
+    # r12 (guide §2.4, the P1 class inside a join): the blocked self-join
+    # broadcasts one side, so the probe side inherits the single-split
+    # scan's ONE partition and every within-block levenshtein ran on one
+    # core.  spread() fans the probe side by block key (no-op at any
+    # production multi-split layout); measured 3.1-3.4 s -> 0.5-0.7 s.
+    a = spread(
+        c.select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("c_name").alias("name_a"),
+            F.substring("c_name", 10, 7).alias("blk"),
+        ),
+        "blk",
     )
     b = c.select(
         F.col("c_custkey").alias("custkey_b"),

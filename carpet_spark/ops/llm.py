@@ -358,7 +358,10 @@ def dedup_near_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is empty; the degenerate fixture's fully-duplicate documents and
     the sf0.1 duplicate groups (hamming 0) exercise the non-empty path
     (tests/test_degenerate.py, tests/test_property.py)."""
-    d = load(spark, sf_dir, "documents")
+    # spread (r12, guide §2.4): the token explode + md5 + 48 conditional
+    # partial sums ran on the single fixture scan split (~8% measured;
+    # no-op at production layouts)
+    d = spread(load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).withColumn(
@@ -3094,7 +3097,14 @@ def text_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size (≤ |alphabet|³ per language, bounded regardless
     of corpus size); the top-10 window runs over that bounded
     table."""
-    d = load(spark, sf_dir, "documents")
+    # spread (r12, guide §2.4 / the P1 class): the trigram explode and its
+    # map-side (lang, tri) combine ran on the single fixture scan split —
+    # one core for every substr of the corpus; measured 2.3-2.4 s ->
+    # 0.5-0.6 s.  No-op at any multi-split production layout.
+    d = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 2))
     tris = d.select(
         "lang",
