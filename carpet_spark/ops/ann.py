@@ -516,6 +516,17 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     nz = np.flatnonzero(np.abs(pc1) > 1e-12)[0]
     if pc1[nz] < 0:  # deterministic sign convention
         pc1 = -pc1
+    # r12 (ADVICE r11): the eigensolve's last ulps track the partial-sum
+    # fold (partition count / arrival), so the raw literals differed
+    # between sessions and the op's PLANS.json fingerprint flapped on
+    # every regeneration — and a near-midpoint 6dp score was in principle
+    # session-dependent.  Quantizing the plan literals to a fixed 1e-9
+    # grain (|pc1_i| <= 1, mean is data-bounded; solver noise is ~1e-13,
+    # four orders below the grain) pins both.  Residual risk — a
+    # component sitting within solver noise of a 0.5e-9 midpoint — is
+    # documented rather than hidden.
+    pc1 = np.round(pc1, 9)
+    mean = np.round(mean, 9)
     pc_lit = F.array(*[F.lit(float(x)) for x in pc1])
     mean_lit = F.array(*[F.lit(float(x)) for x in mean])
     centered_dot = F.aggregate(
