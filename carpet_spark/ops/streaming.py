@@ -1219,13 +1219,29 @@ def stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = []
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        for _, r in pdf.iterrows():
-            hot = r["value"] > 60.0
-            if hot:
+        # r12 (guide §4.2): the per-row iterrows scan cost ~2 s of pure
+        # Python over the batch; episodes are RUNS of the hot flag, so one
+        # vectorized boundary pass + a tiny loop over segments reproduces
+        # the row loop exactly (a hot segment extends/opens the episode,
+        # the first row of a cool segment closes it, later cool rows were
+        # no-ops; NaN > 60.0 is False on both paths).
+        import numpy as np
+
+        vals = pdf["value"].to_numpy()
+        ids = pdf["event_id"].to_numpy()
+        hot = vals > 60.0
+        n = len(hot)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(hot.astype(np.int8)) != 0) + 1, [n])
+        )
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if s == e:
+                continue
+            if hot[s]:
                 if open_first is None:
-                    open_first, open_len = int(r["event_id"]), 1
+                    open_first, open_len = int(ids[s]), int(e - s)
                 else:
-                    open_len += 1
+                    open_len += int(e - s)
             else:
                 if open_first is not None:
                     rows.append((key[0], open_first, open_len, open_len - 1))
