@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..exprs import fp_split_sum_of
 from ..registry import register
-from ..tables import load, spread
+from ..tables import load
 
 _SCALE = 1_000_000_000_000  # rank fixed-point scale (1e12)
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
@@ -289,10 +289,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
         .distinct()
     )
-    # spread the wedge probe side by midpoint (r11, guide §2.4/§3.4): the
-    # wedge join explodes far beyond its input bytes, defeating AQE's
-    # byte-based partition coalescing
-    e1 = spread(edges, "b")
+    # fan out the wedge probe side by midpoint (r11 finding, r12 form;
+    # guide §2.4/§3.4): the wedge join explodes ~170x beyond its input
+    # bytes, so ANY input-sized partitioning — the planned width or AQE's
+    # byte-based coalescing — under-parallelizes it; the explicit
+    # repartition of the (tiny) edge list is unconditional because the
+    # explosion, not the input, is what must spread
+    e1 = edges.repartition(spark.sparkContext.defaultParallelism, F.col("b"))
     e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     wedges = e1.join(e2, e1.b == e2.b2).select("a", "b", "c")
     e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
@@ -422,13 +425,17 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("v"), F.col("a").alias("n"))
     )
     deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-    # spread the probe side by the wedge midpoint (r11, guide §2.4/§3.4):
-    # AQE coalesces the small adjacency input to ~2 partitions by BYTES,
-    # but the wedge join EXPLODES ~170x (30.4M pairs at sf0.1) — the
-    # explosion then ground through 2 cores (measured 17.3 s; 32-wide
-    # probe brings the op to ~2 s).  Production layouts with >= cores
-    # input splits skip the repartition entirely.
-    l = spread(adj, "n").select(F.col("v").alias("u"), "n")
+    # fan out the probe side by the wedge midpoint (r11 finding, r12
+    # form; guide §2.4/§3.4): AQE coalesces the small adjacency input to
+    # ~2 partitions by BYTES, but the wedge join EXPLODES ~170x (30.4M
+    # pairs at sf0.1) — the explosion ground through 2 cores (measured
+    # 17.3 s; 32-wide probe brings the op to ~2 s).  Unconditional
+    # repartition: the explosion, not the input size, is what must
+    # spread, so no input-sized heuristic (planned width or post-AQE
+    # count) is the right gate.
+    l = adj.repartition(spark.sparkContext.defaultParallelism, F.col("n")).select(
+        F.col("v").alias("u"), "n"
+    )
     r = adj.select(F.col("v").alias("w"), F.col("n").alias("n2"))
     wedge = (
         l.join(r, (l.n == r.n2) & (l.u < r.w))
@@ -997,11 +1004,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     e2 = edges.select(F.col("a").alias("b2"), F.col("b").alias("c"))
-    # spread the wedge probe side by midpoint (r11, guide §2.4/§3.4): the
-    # wedge join explodes far beyond its input bytes, so AQE's byte-based
-    # coalescing under-parallelizes it; the downstream triangle-closing
-    # join inherits the partitioning (narrow broadcast probe)
-    e1 = spread(edges, "b")
+    # fan out the wedge probe side by midpoint (r11 finding, r12 form;
+    # guide §2.4/§3.4): the wedge join explodes far beyond its input
+    # bytes, so any input-sized partitioning under-parallelizes it —
+    # unconditional repartition of the tiny edge list (see
+    # graph_triangle_count); the downstream triangle-closing join
+    # inherits the partitioning (narrow broadcast probe)
+    e1 = edges.repartition(spark.sparkContext.defaultParallelism, F.col("b"))
     wedges = e1.join(e2, e1.b == e2.b2).select("a", "b", "c")
     e3 = edges.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
     tri = wedges.join(e3, (wedges.a == e3.a3) & (wedges.c == e3.c3)).select(
