@@ -145,7 +145,12 @@ def _scratch_dir() -> str:
         return env
     from pyspark.sql import SparkSession
 
-    s = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-local — a driver thread that didn't
+    # create the session would silently lose the tmpfs fast path, so fall
+    # back to the process-wide instantiated session
+    s = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     master = s.sparkContext.master if s is not None else ""
     if master.startswith("local") and os.path.isdir("/dev/shm"):
         return "/dev/shm"
